@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All tables are read straight from parquet so Catalyst keeps scan-level
+  * pushdown (PushedFilters) and column pruning (ReadSchema). Never cache here:
+  * fixture queries must exercise the scan path the way a 100 TB run would.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads via the
+    * nanosAsLong legacy conf (as a raw long). Normalize to a µs TimestampType
+    * column here — `ns div 1000` truncation matches DuckDB's ns→µs cast.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders")
+
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "customer")
+
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "part")
+
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "supplier")
+
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "nation")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "region")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
+
+  /** The `events` table with the integer epoch-second column every windowed
+    * fixture keys on. `unix_micros div 1_000_000` is exact integer math (no
+    * double rounding), matching the DuckDB oracle's `epoch_us(ts) // 1000000`.
+    */
+  def eventsWithEpoch(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).withColumn("es", expr("unix_micros(ts) div 1000000"))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Aggregation function surface of the reference engine.
+  *
+  * Mirrors `AggregationType` in the reference (src/cql/operators/AggregationType.h:12):
+  * MAX, MIN, CNT, SUM, AVG. Multiple aggregates per query are allowed
+  * (reference ME1 has three AVGs). Outputs are declared `double`
+  * (FIXTURES.md pins this; the reference's float+count layout is an
+  * implementation detail).
+  */
+sealed abstract class AggFn(val sqlName: String)
+object AggFn {
+  case object Cnt extends AggFn("count")
+  case object Sum extends AggFn("sum")
+  case object Avg extends AggFn("avg")
+  case object Min extends AggFn("min")
+  case object Max extends AggFn("max")
+}
+
+/** One aggregate column: `fn(input) AS alias`, optionally rounded to `roundTo`
+  * decimals (doubles only — rounding pins the DuckDB-oracle hash compare
+  * against float summation-order differences).
+  */
+final case class AggSpec(
+    fn: AggFn,
+    input: Column,
+    alias: String,
+    roundTo: Option[Int] = None) {
+
+  /** Direct (single-level) aggregate column. */
+  def toColumn: Column = {
+    val c = fn match {
+      case AggFn.Cnt => count(lit(1))
+      case AggFn.Sum => sum(input)
+      case AggFn.Avg => avg(input)
+      case AggFn.Min => min(input)
+      case AggFn.Max => max(input)
+    }
+    rounded(c).as(alias)
+  }
+
+  def rounded(c: Column): Column = roundTo.fold(c)(d => round(c, d))
+
+  /** Partial-aggregate columns needed for two-level (pane-based) execution.
+    * CNT/SUM/AVG are invertible-combinable via (sum, count); MIN/MAX combine
+    * by min/max — exactly the algebraic decomposition the reference's
+    * incremental pane machinery relies on (AggregationType.h:26-34).
+    */
+  private[operators] def partialCols: Seq[(String, Column)] = fn match {
+    case AggFn.Cnt => Seq(s"__p_cnt_$alias" -> count(lit(1)))
+    case AggFn.Sum => Seq(s"__p_sum_$alias" -> sum(input))
+    case AggFn.Avg => Seq(s"__p_sum_$alias" -> sum(input), s"__p_cnt_$alias" -> count(lit(1)))
+    case AggFn.Min => Seq(s"__p_min_$alias" -> min(input))
+    case AggFn.Max => Seq(s"__p_max_$alias" -> max(input))
+  }
+
+  /** Final combine over the partial columns. */
+  private[operators] def finalCol: Column = {
+    val c = fn match {
+      case AggFn.Cnt => sum(col(s"__p_cnt_$alias"))
+      case AggFn.Sum => sum(col(s"__p_sum_$alias"))
+      case AggFn.Avg => sum(col(s"__p_sum_$alias")) / sum(col(s"__p_cnt_$alias"))
+      case AggFn.Min => min(col(s"__p_min_$alias"))
+      case AggFn.Max => max(col(s"__p_max_$alias"))
+    }
+    rounded(c).as(alias)
+  }
+}

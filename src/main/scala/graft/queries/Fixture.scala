@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator fixture: a Spark query plus (when SQL-expressible)
+  * the equivalent DuckDB SQL the driver's oracle runs on the same parquet.
+  * Column names/aliases MUST match between the two — the compare sorts columns
+  * by name before hashing.
+  */
+final case class Fixture(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object SqlGen {
+  /** DuckDB fragment: epoch seconds (floor) of a timestamp column. */
+  def es(tsCol: String): String = s"epoch_us($tsCol::TIMESTAMP) // 1000000"
+
+  /** DuckDB fragment that expands a row at epoch-second `es` to every
+    * window-start `ws` of a (size, slide) sliding window containing it —
+    * the declarative mirror of TimeWindows: ws ∈ [es − size + 1, es],
+    * ws ≡ 0 (mod slide).
+    */
+  def wsExpand(size: Long, slide: Long): String =
+    s"unnest(generate_series(((es - $size + $slide) // $slide) * $slide, (es // $slide) * $slide, $slide)) AS ws"
+}
