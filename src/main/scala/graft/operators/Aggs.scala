@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   * (FIXTURES.md pins this; the reference's float+count layout is an
   * implementation detail).
   */
+/** Cross-engine-deterministic quantization to `d` decimals:
+  * floor(x·10^d + 0.5) / 10^d, all plain IEEE ops.
+  *
+  * Why not `round`: Spark's Round snaps a double to its shortest decimal
+  * representation (BigDecimal.valueOf) before rounding HALF_UP, while DuckDB
+  * rounds the exact binary value — on a double whose shortest repr is a tie
+  * string (e.g. 42.63625 whose binary value is 42.636249999...), the two
+  * engines disagree by one ulp-of-the-grid. The floor formula is the same
+  * IEEE multiply/add/floor/divide in both engines, so identical input doubles
+  * give identical output doubles, and values whose true magnitude sits on a
+  * coarser decimal grid (the testdata's 2-decimal values) are immune to
+  * summation-order noise.
+  */
+object Quant {
+  def q4(c: Column, d: Int = 4): Column = {
+    val p = math.pow(10, d)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+  def sql(x: String, d: Int = 4): String = {
+    val p = math.pow(10, d).toLong
+    s"floor(($x) * $p + 0.5) / $p"
+  }
+}
+
 sealed abstract class AggFn(val sqlName: String)
 object AggFn {
   case object Cnt extends AggFn("count")
@@ -30,19 +54,30 @@ final case class AggSpec(
     alias: String,
     roundTo: Option[Int] = None) {
 
-  /** Direct (single-level) aggregate column. */
+  /** Direct (single-level) aggregate column.
+    *
+    * Rounded AVG is computed as round(round(sum, d) / count, d): the inputs
+    * sit on a coarse decimal grid (TESTDATA values have 2 decimals), so the
+    * rounded sum is deterministic regardless of summation order — dividing
+    * identical doubles then makes the rounded average deterministic too.
+    * Plain round(avg, d) is not: summation-order noise straddles half-ulp
+    * ties at the d-th decimal, and the DuckDB oracle lands on the other side.
+    */
   def toColumn: Column = {
     val c = fn match {
       case AggFn.Cnt => count(lit(1))
       case AggFn.Sum => sum(input)
-      case AggFn.Avg => avg(input)
+      case AggFn.Avg => roundTo match {
+        case Some(d) => Quant.q4(Quant.q4(sum(input), d) / count(input), d)
+        case None    => avg(input)
+      }
       case AggFn.Min => min(input)
       case AggFn.Max => max(input)
     }
-    rounded(c).as(alias)
+    (if (fn == AggFn.Avg) c else rounded(c)).as(alias)
   }
 
-  def rounded(c: Column): Column = roundTo.fold(c)(d => round(c, d))
+  def rounded(c: Column): Column = roundTo.fold(c)(d => Quant.q4(c, d))
 
   /** Partial-aggregate columns needed for two-level (pane-based) execution.
     * CNT/SUM/AVG are invertible-combinable via (sum, count); MIN/MAX combine
@@ -57,15 +92,22 @@ final case class AggSpec(
     case AggFn.Max => Seq(s"__p_max_$alias" -> max(input))
   }
 
-  /** Final combine over the partial columns. */
+  /** Final combine over the partial columns (same AVG determinism treatment
+    * as [[toColumn]]).
+    */
   private[operators] def finalCol: Column = {
     val c = fn match {
       case AggFn.Cnt => sum(col(s"__p_cnt_$alias"))
       case AggFn.Sum => sum(col(s"__p_sum_$alias"))
-      case AggFn.Avg => sum(col(s"__p_sum_$alias")) / sum(col(s"__p_cnt_$alias"))
+      case AggFn.Avg => roundTo match {
+        case Some(d) =>
+          Quant.q4(Quant.q4(sum(col(s"__p_sum_$alias")), d) / sum(col(s"__p_cnt_$alias")), d)
+        case None =>
+          sum(col(s"__p_sum_$alias")) / sum(col(s"__p_cnt_$alias"))
+      }
       case AggFn.Min => min(col(s"__p_min_$alias"))
       case AggFn.Max => max(col(s"__p_max_$alias"))
     }
-    rounded(c).as(alias)
+    (if (fn == AggFn.Avg) c else rounded(c)).as(alias)
   }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Count-based (ROW_BASED) windows — SURVEY §2 A3/A4, reference
+  * WindowDefinition.h:13 — the one window family Spark lacks natively.
+  *
+  * Batch semantics: rows are totally ordered by `orderBy` (callers MUST make
+  * the ordering unique, e.g. tie-break on a unique id — FIXTURES pins
+  * (epoch, event_id)); the i-th row (0-based) of each key partition belongs to
+  * tumbling window i/size, or to the sliding window of the `size` most recent
+  * rows.
+  *
+  * Scale note: a *global* (un-keyed) count window is inherently a total order
+  * over the stream — one sort, no partition parallelism. That is true of the
+  * reference too (its slot ring serializes merges in stream order,
+  * src/result/ResultHandler.cpp:398-702). Keyed count windows distribute by
+  * key and scale; fixtures cover both, 100 TB pipelines should use keyed.
+  */
+object CountWindows {
+
+  /** Adds a `wid` long column: the tumbling count-window ordinal within the
+    * key partition.
+    */
+  def tumblingIds(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[Column],
+      size: Int): DataFrame = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("wid",
+      ((row_number().over(w) - 1).cast("long") / lit(size)).cast("long"))
+  }
+
+  /** Sliding count window, slide 1: per input row, aggregates over the `size`
+    * most recent rows (inclusive) of its key partition. `aggs` are built with
+    * [[over]]'s frame, e.g. `avg(col).over(frame)`.
+    */
+  def frame(partitionBy: Seq[String], orderBy: Seq[Column], size: Int)
+      : org.apache.spark.sql.expressions.WindowSpec = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    w.rowsBetween(-(size - 1), 0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's two join shapes (SURVEY §2.5), Spark-first.
+  *
+  * J1 StaticHashJoin (reference src/cql/operators/StaticHashJoin.h:14-79): a
+  * stream probes a small pre-built in-memory table. The Spark-native analog is
+  * a broadcast hash join — the dimension side ships to every executor once, no
+  * shuffle of the 100 TB fact side.
+  *
+  * J2 ThetaJoin (reference src/cql/operators/ThetaJoin.h:18-818): two streams
+  * joined under per-stream windows with an arbitrary θ predicate. The
+  * declarative batch semantics (FIXTURES.md pins these over the reference's
+  * batch-boundary artifacts) are a time-bounded join; with an equi component
+  * present, Spark plans a shuffled sort-merge join on the key and evaluates
+  * the time bound as a post-join residual — the scalable shape, since rows
+  * co-partition by key.
+  */
+object Joins {
+
+  /** J1: fact ⋈ broadcast(dim), inner. */
+  def staticBroadcast(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(dim), cond, "inner")
+
+  /** J2: windowed θ-join — rows pair when `rightTs` lies within
+    * [leftTs, leftTs + windowSec] and `theta` holds. Timestamps are epoch
+    * seconds (long columns). Callers include an equi key in `theta` whenever
+    * semantics allow so the join shuffles instead of falling back to
+    * broadcast-nested-loop.
+    */
+  def windowedTheta(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: Column,
+      rightTs: Column,
+      windowSec: Long,
+      theta: Column): DataFrame =
+    left.join(right,
+      theta && rightTs >= leftTs && rightTs <= leftTs + lit(windowSec),
+      "inner")
+}

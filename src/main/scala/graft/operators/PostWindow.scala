@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-window operations over completed window-aggregate results
+  * (SURVEY §2.1 O4/O5).
+  *
+  * O4 Having: a predicate over aggregate outputs — plain `.where` after the
+  * agg (Catalyst evaluates it post-aggregation, reference OperatorKernel.h:176-180).
+  *
+  * O5 Post-window "hot items" (reference NBQ5.cpp:63-110): within each window,
+  * keep the rows whose count equals the window's max count. A partition-window
+  * max + filter; at scale this is one extra shuffle on the (already reduced)
+  * aggregate output, not on raw rows.
+  */
+object PostWindow {
+
+  /** Keep rows where `valueCol` equals the max of `valueCol` within the
+    * `partition` group (ties all kept — matches the reference, which emits
+    * every key at the max count).
+    */
+  def keepMaxBy(df: DataFrame, partition: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*)
+    df.withColumn("__mx", max(col(valueCol)).over(w))
+      .where(col(valueCol) === col("__mx"))
+      .drop("__mx")
+  }
+}

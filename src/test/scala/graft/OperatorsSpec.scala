@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("CountWindows.tumblingIds: each full window has exactly `size` rows") {
+    val df = CountWindows.tumblingIds(
+      Tables.eventsWithEpoch(spark, sfDir),
+      partitionBy = Seq("user_id"),
+      orderBy = Seq(col("es"), col("event_id")),
+      size = 10)
+    val sizes = df.groupBy("user_id", "wid").count()
+      .withColumn("mx", max("wid").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+    // all but the last window of each key must be full
+    val bad = sizes.where(col("wid") < col("mx") && col("count") =!= 10).count()
+    assert(bad == 0)
+  }
+
+  test("Joins.windowedTheta honors the time bound") {
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+    val l = e.select(col("es").as("l_es"), col("user_id"))
+    val r = e.select(col("es").as("r_es"), col("user_id").as("r_user"))
+    val j = Joins.windowedTheta(l, r, col("l_es"), col("r_es"), 600,
+      col("user_id") === col("r_user"))
+    val outOfBound = j.where(col("r_es") < col("l_es") || col("r_es") > col("l_es") + 600).count()
+    assert(outOfBound == 0)
+    assert(j.count() > 0)
+  }
+
+  test("PostWindow.keepMaxBy keeps only (and all) max ties") {
+    import spark.implicits._
+    val df = Seq((1, "a", 5L), (1, "b", 5L), (1, "c", 3L), (2, "d", 1L))
+      .toDF("w", "k", "cnt")
+    val kept = PostWindow.keepMaxBy(df, Seq("w"), "cnt")
+      .select("k").as[String].collect().sorted
+    assert(kept.sameElements(Array("a", "b", "d")))
+  }
+
+  test("Quant.q4 is stable on tie-repr doubles") {
+    import spark.implicits._
+    // 1023.27 / 24 has shortest repr "42.63625" but binary value below the tie
+    val got = Seq((1023.27, 24L)).toDF("s", "c")
+      .select(Quant.q4(col("s") / col("c")).as("q")).as[Double].collect()(0)
+    assert(got == 42.6362, s"got $got")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Pane-based two-level sliding aggregation must be result-identical to
+  * Spark's native window() expansion — the core LightSaber-equivalence
+  * invariant (SURVEY §2.4 A12/A13).
+  */
+class TimeWindowsSpec extends SparkTestBase {
+
+  private def src = Tables.events(spark, sfDir)
+
+  private val allAggs = Seq(
+    AggSpec(AggFn.Cnt, col("value"), "cnt"),
+    AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)),
+    AggSpec(AggFn.Avg, col("value"), "avg_v", Some(4)),
+    AggSpec(AggFn.Min, col("value"), "min_v"),
+    AggSpec(AggFn.Max, col("value"), "max_v"))
+
+  test("paned == native, grouped sliding window") {
+    assertSameRows(
+      TimeWindows.aggregate(src, col("ts"), 3600, 60, Seq("event_type"), allAggs),
+      TimeWindows.aggregatePaned(src, col("ts"), 3600, 60, Seq("event_type"), allAggs))
+  }
+
+  test("paned == native, global sliding window with coarse gcd pane") {
+    // size 1800 / slide 120 → pane = gcd = 120 < slide exercises pane<slide math.
+    assertSameRows(
+      TimeWindows.aggregate(src, col("ts"), 1800, 120, Seq.empty, allAggs),
+      TimeWindows.aggregatePaned(src, col("ts"), 1800, 120, Seq.empty, allAggs))
+  }
+
+  test("paned == native, tumbling (size == slide)") {
+    assertSameRows(
+      TimeWindows.aggregate(src, col("ts"), 600, 600, Seq("event_type"), allAggs),
+      TimeWindows.aggregatePaned(src, col("ts"), 600, 600, Seq("event_type"), allAggs))
+  }
+
+  test("sliding window count: every row lands in size/slide windows") {
+    val n = src.count()
+    val expanded = TimeWindows.aggregate(src, col("ts"), 3600, 60, Seq.empty,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+    val total = expanded.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == n * (3600 / 60), s"expected ${n * 60} window memberships, got $total")
+  }
+
+  test("epochSeconds is exact integer floor") {
+    val got = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("es"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == Math.floorDiv(r.getLong(1), 1000000L))
+    }
+  }
+}
