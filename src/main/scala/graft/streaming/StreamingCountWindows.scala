@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming count-based (ROW_BASED) tumbling windows — SURVEY §2 A3, the one
+  * window family Structured Streaming lacks natively (reference
+  * WindowDefinition.h:13; LRB2's second stage needs it).
+  *
+  * Keyed stateful counter via flatMapGroupsWithState: per key, rows are
+  * numbered in stream order; every `size` rows a completed window
+  * (key, wid, cnt, sum_v) is emitted. The in-flight window stays in state —
+  * the analog of the reference's "pending" window fragments
+  * (OperatorKernel.h:1986-2123). Rows are ordered within each micro-batch by
+  * (es, event_id); cross-batch order relies on the source being in-order,
+  * exactly the reference's operating assumption (README.md:16).
+  *
+  * Scale: state is O(#keys), shuffled by key — distributes across executors.
+  * A *global* count window would serialize; keyed is the 100 TB shape.
+  */
+object StreamingCountWindows {
+
+  case class InRow(user_id: Long, es: Long, event_id: Long, value: Double)
+  case class CountState(wid: Long, cnt: Long, sum: Double)
+  case class WindowOut(user_id: Long, wid: Long, cnt: Long, sum_v: Double)
+
+  def tumbling(
+      spark: SparkSession,
+      stream: DataFrame,
+      size: Int): Dataset[WindowOut] = {
+    import spark.implicits._
+    val typed = stream
+      .select(col("user_id"), col("es"), col("event_id"), col("value"))
+      .as[InRow]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountState, WindowOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[InRow], state: GroupState[CountState]) =>
+          var st = state.getOption.getOrElse(CountState(0L, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            st = CountState(st.wid, st.cnt + 1, st.sum + r.value)
+            if (st.cnt == size) {
+              out += WindowOut(key, st.wid, st.cnt, st.sum)
+              st = CountState(st.wid + 1, 0L, 0.0)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{AggSpec, TimeWindows}
+
+/** Structured Streaming façade: the reference is a *stream* engine
+  * (in-order tuple streams, SURVEY §1.1); every batch operator here also runs
+  * as a streaming query. Batch mode answers the DuckDB oracle; this module
+  * answers the semantics: windows + watermarks + state.
+  *
+  * Source: the same `events` parquet replayed through the file stream source
+  * (the analog of the reference's in-memory replay,
+  * test/benchmarks/applications/BenchmarkQuery.h:144-259). In production the
+  * source would be Kafka/rate — the transforms are source-agnostic.
+  */
+object Streams {
+
+  /** Matches the raw events.parquet layout (ts read as raw nanos long —
+    * the nanosAsLong conf applies to streaming reads too).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  /** Streaming view of `events` with the same columns as Tables.events
+    * (+ `es` epoch seconds). The file stream source requires a directory, so
+    * the single parquet file is staged into a per-sfDir temp dir once.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("es", TimeWindows.epochSeconds(col("ts")))
+  }
+
+  private def stageDir(sfDir: String): String = {
+    import java.nio.file._
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream", name)
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(sfDir, "events.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  /** Sliding/tumbling window aggregation on a stream: identical AggSpec
+    * surface as the batch TimeWindows. With a watermark, append mode emits
+    * each window once when it finalizes — the streaming analog of the
+    * reference's complete-window forwarding (ResultHandler §3.1 step 5).
+    */
+  def windowAgg(
+      stream: DataFrame,
+      sizeSec: Long,
+      slideSec: Long,
+      keys: Seq[String],
+      aggs: Seq[AggSpec],
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(stream)(w => stream.withWatermark("ts", w))
+    val w = window(col("ts"), s"$sizeSec seconds", s"$slideSec seconds")
+    in.groupBy(w +: keys.map(col): _*)
+      .agg(aggs.head.toColumn, aggs.tail.map(_.toColumn): _*)
+      .withColumn("ws", col("window.start").cast("long"))
+      .select(col("ws") +: keys.map(col) ++: aggs.map(a => col(a.alias)): _*)
+  }
+
+  /** Stream-stream windowed θ-join (reference ThetaJoin →
+    * StreamingSymmetricHashJoinExec): watermarks on both sides bound the
+    * join state; the time-range condition bounds pairing exactly like the
+    * batch Joins.windowedTheta.
+    */
+  def windowedThetaJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTsCol: String,
+      rightTsCol: String,
+      windowSec: Long,
+      theta: org.apache.spark.sql.Column,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      theta &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $windowSec SECONDS"),
+      "inner")
+  }
+
+  /** Drains a streaming DataFrame into an in-memory table and returns it —
+    * the test/bench harness for streaming runs (driver data is finite).
+    */
+  def runToTable(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      outputMode: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.ast._
+import graft.operators.{AggFn, AggSpec, TimeWindows}
+
+/** The DSL must compile reference-style operator pipelines to the same
+  * results as the direct DataFrame queries.
+  */
+class DslSpec extends SparkTestBase {
+
+  test("CM2-shaped pipeline through the DSL == direct query") {
+    val q = StreamQuery(Seq(
+      Selection(Cmp(CmpOp.Eq, Attr("event_type"), Const("purchase"))),
+      Projection(Seq((Attr("ts"), "ts"), (Attr("user_id"), "jobId"), (Attr("value"), "cpu"))),
+      Aggregation(
+        WindowDef(RangeBased, 3600, 60),
+        aggs = Seq((AggFn.Sum, "cpu", "sum_cpu")),
+        groupBy = Seq((Attr("jobId"), "jobId")))))
+    val got = q.compile(Tables.events(spark, sfDir))
+    val want = queries.ReferenceQueries.qCm2.build(spark, sfDir)
+      .withColumnRenamed("jobId", "jobId")
+    assertSameRows(got, want)
+  }
+
+  test("LRB1-shaped pipeline: expression group-by key + having") {
+    val q = StreamQuery(Seq(
+      Aggregation(
+        WindowDef(RangeBased, 300, 60),
+        aggs = Seq((AggFn.Avg, "value", "avg_speed")),
+        groupBy = Seq((Div(Attr("event_id"), Const(5280)), "seg_raw")),
+        having = Some(Cmp(CmpOp.Lt, Attr("avg_speed"), Const(40))))))
+    val got = q.compile(Tables.events(spark, sfDir))
+    assert(got.count() > 0)
+    assert(got.where(col("avg_speed") >= 40).count() == 0)
+  }
+
+  test("row-based tumbling aggregation through the DSL") {
+    val q = StreamQuery(Seq(
+      Aggregation(
+        WindowDef(RowBased, 10, 10),
+        aggs = Seq((AggFn.Cnt, "value", "cnt"), (AggFn.Sum, "value", "sum_v")),
+        groupBy = Seq((Attr("user_id"), "user_id")),
+        orderBy = Seq("es", "event_id"))))
+    val got = q.compile(Tables.eventsWithEpoch(spark, sfDir))
+    // all-but-last window per key has exactly 10 rows
+    val full = got.where(col("cnt") === 10).count()
+    assert(full > 0 && got.count() >= full)
+  }
+
+  test("arithmetic expression and predicate surface") {
+    val q = StreamQuery(Seq(
+      Projection(Seq(
+        (Mul(Attr("value"), Const(2)), "v2"),
+        (Add(Sub(Attr("user_id"), Const(1)), Const(1)), "uid"))),
+      Selection(Or(Seq(
+        Cmp(CmpOp.Ge, Attr("v2"), Const(100)),
+        And(Seq(Cmp(CmpOp.Lt, Attr("uid"), Const(5)),
+                Cmp(CmpOp.Ne, Attr("uid"), Const(3)))))))))
+    val got = q.compile(Tables.events(spark, sfDir))
+    assert(got.where(!(col("v2") >= 100 || (col("uid") < 5 && col("uid") =!= 3))).count() == 0)
+  }
+}
