@@ -5,7 +5,7 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def allFixtures: Seq[Fixture] =
-    ReferenceQueries.fixtures
+    ReferenceQueries.fixtures ++ PipelineQueries.fixtures
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

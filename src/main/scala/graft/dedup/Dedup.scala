@@ -1,0 +1,134 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Quant
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → n-gram Jaccard → MinHash+LSH → SimHash. Every variant
+  * is shuffle-bounded by candidate generation (inverted index / LSH bands /
+  * SimHash chunks) — none ever builds the all-pairs cross product, which is
+  * the difference between 5 000 docs and 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint: one row per distinct
+    * content, keeper = min doc id. Single hash-shuffle on the fingerprint.
+    */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), fingerprintMd5(col(text)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingles, n_sh) with distinct n-word shingles. */
+  def shingled(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
+    * shingles, self-join on shingle (only docs sharing ≥1 shingle ever meet),
+    * count intersections, compute |A∩B| / |A∪B|. Shuffle is bounded by
+    * posting-list sizes, not doc-pairs.
+    */
+  def jaccardPairs(
+      df: DataFrame, id: String, text: String, n: Int, minJ: Double): DataFrame = {
+    val sh = shingled(df, id, text, n).cache()
+    val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
+    val a = posts.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
+    val b = posts.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= minJ)
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of hash64(shingle, i). */
+  def minhashSig(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), s => hash64(s, i)))))
+
+  /** MinHash + LSH banding near-dup pairs: docs agreeing on any band of the
+    * signature become candidates (band arrays are plain equi-join keys →
+    * hash shuffle); candidates are then verified with the exact Jaccard, so
+    * output precision is 1 and recall is the banding detection probability
+    * (1−(1−j^r)^b ≈ 1−4e−8 at j=0.8 with 32×4).
+    */
+  def minhashLshPairs(
+      df: DataFrame, id: String, text: String, n: Int, minJ: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sh = shingled(df, id, text, n).cache()
+    val sig = minhashSig(sh, numHashes)
+      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col(id), col("band"), slice(col("sig"), col("band") * r + 1, lit(r)).as("bsig"))
+    val cand = sig.select(col(id).as("doc_a"), col("band"), col("bsig"))
+      .join(sig.select(col(id).as("doc_b"), col("band"), col("bsig")), Seq("band", "bsig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh, id, minJ)
+  }
+
+  /** Exact Jaccard over candidate pairs (set ops on the shingle arrays). */
+  private def verifyJaccard(
+      cand: DataFrame, sh: DataFrame, id: String, minJ: Double): DataFrame =
+    cand
+      .join(sh.select(col(id).as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col(id).as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= minJ)
+
+  /** 48-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
+    * to bit b of hash64(word). 48 bits keeps every shift/assemble step inside
+    * positive BIGINT range in both engines.
+    */
+  val SimhashBits = 48
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val wordsDf = df
+      .select(col(id), explode(array_distinct(words(col(text)))).as("w"))
+      .withColumn("h", hash64(col("w")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    wordsDf.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id),
+        (0 until SimhashBits).map { b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam, via chunk
+    * banding: split the 48 bits into `maxHam + 1` chunks — by pigeonhole any
+    * pair within maxHam agrees on at least one whole chunk, so chunk-equality
+    * candidates are EXACT (recall 1), unlike MinHash banding. Candidates then
+    * filter on true bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHam: Int): DataFrame = {
+    val chunks = maxHam + 1
+    val chunkBits = SimhashBits / chunks
+    val mask = (1L << chunkBits) - 1
+    val sh = simhash(df, id, text).cache()
+    val keyed = sh.select(col(id), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("c"))
+      .withColumn("ck", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
+    val cand = keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
+      .join(keyed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("c"), col("ck")),
+        Seq("c", "ck"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    cand
+      .withColumn("ham", expr("bit_count(ha ^ hb)"))
+      .where(col("ham") <= maxHam)
+      .select("doc_a", "doc_b", "ham")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * language-ID heuristics, quality scoring, fingerprinting. All pure Column
+  * expressions — codegen'd, no UDFs, scale linearly with input.
+  *
+  * [[hash64]] is the cross-engine 64-bit hash shared with the DuckDB oracle:
+  * the first 15 hex chars of md5 parsed as an integer. Deterministic,
+  * engine-independent, and good enough dispersion for MinHash/SimHash.
+  */
+object TextFunctions {
+
+  /** 60-bit positive hash of a string expression (md5-hex prefix → long).
+    * DuckDB mirror: ('0x' || substr(md5(x), 1, 15))::BIGINT.
+    */
+  def hash64(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash signature families. */
+  def hash64(c: Column, seed: Column): Column =
+    hash64(concat(c, lit("#"), seed.cast("string")))
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the classic "wordpiece lower bound" regex. RE2/Java-compatible pattern.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  /** Distinct n-word shingles (n-grams) of the text — the MinHash/Jaccard
+    * feature set. Empty array below n words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword-family hit counts, the basis of the lang-ID heuristic. */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|des)\\b")
+
+  /** Heuristic language-ID: argmax of stopword-family hits with a fixed
+    * priority order (en > es > de > fr) on ties; "und" (undetermined) when
+    * nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    val cs = langPatterns.map { case (l, p) => l -> regexp_count(t, lit(p)) }
+    val Seq(en, es, de, fr) = cs.map(_._2)
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1]: blends length saturation, alpha ratio, and
+    * stopword density — the standard cheap pre-filter shape for web corpora.
+    * Quantized by the caller.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val nChars = length(text).cast("double")
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val stop = regexp_count(lower(text), lit("\\b(the|and|of|to|in|a|is)\\b")).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val alphaRatio = alpha / greatest(nChars, lit(1.0))
+    val stopRatio = least(stop / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
+    lenScore * lit(0.3) + alphaRatio * lit(0.4) + stopRatio * lit(0.3)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (exact-dedup key), plus [[hash64]] of the same as the 64-bit variant.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+  def fingerprint64(text: Column): Column = hash64(normalized(text))
+}

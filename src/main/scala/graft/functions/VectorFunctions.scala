@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns, built from
+  * `zip_with`/`aggregate` higher-order functions (codegen'd, no UDFs).
+  * Elements are cast to double before arithmetic and folded left-to-right,
+  * so the DuckDB oracle (list_transform + list_sum) computes bit-identical
+  * values.
+  */
+object VectorFunctions {
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bucket of the first `bits` dimensions — a deterministic IVF-style
+    * coarse partitioner: vectors can only be near if they share most sign
+    * bits, and the bucket id is a plain integer shuffle key.
+    */
+  def signBucket(a: Column, bits: Int): Column =
+    fold(transform(sequence(lit(0), lit(bits - 1)),
+      i => when(element_at(a, i + 1) > 0, pow(lit(2.0), i.cast("double"))).otherwise(lit(0.0))))
+      .cast("long")
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.Quant
+import graft.similarity.Ann
+
+/** Training-data pipeline fixtures over `documents` / `embeddings`: dedup
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+  * similarity search (brute-force + bucketed ANN), text analysis, and the
+  * multimodal plumbing. Every oracle mirrors the Spark computation with
+  * cross-engine-identical primitives: the md5-prefix hash64, 0.0-seeded
+  * left-fold dot products, and floor-quantization (see operators.Quant).
+  */
+object PipelineQueries {
+
+  // ---- shared DuckDB fragments -------------------------------------------
+
+  /** DuckDB mirror of TextFunctions.hash64. */
+  private def h64(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  private def q4(x: String) = Quant.sql(x)
+  private val wordsSql = "string_split_regex(trim(text), '\\s+')"
+  /** Distinct 3-word shingles (mirror of TextFunctions.shingles(_, 3)). */
+  private val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')))"
+  /** 0.0-seeded sequential fold — bit-identical to functions.aggregate. */
+  private def foldSum(listExpr: String) =
+    s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
+  private def dotSql(a: String, b: String) =
+    foldSum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+
+  /** Exact pairwise n-gram Jaccard pairs at a threshold — the declarative
+    * ground truth both the inverted-index and the MinHash+LSH operators must
+    * reproduce.
+    */
+  private def jaccardOracle(minJ: String): String =
+    s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
+      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4)
+      | SELECT doc_a, doc_b, jac FROM
+      |   (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
+      | WHERE jac >= $minJ""".stripMargin
+
+  // ---- text analysis ------------------------------------------------------
+
+  /** Token counting (whitespace + BPE-ish regex) and quality scoring. */
+  val qTextStats = Fixture(
+    "q_text_stats",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+      TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"),
+      Quant.q4(TextFunctions.qualityScore(col("text"))).as("quality")),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+      |   len($wordsSql)::DOUBLE AS n_tok,
+      |   length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
+      | FROM documents)
+      | SELECT doc_id, n_tok::BIGINT AS n_tok_ws, n_bpe::BIGINT AS n_tok_bpe,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
+      | FROM t""".stripMargin))
+
+  /** Heuristic language-ID (stopword-family argmax). */
+  val qLangId = Fixture(
+    "q_lang_id",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred")),
+    Some("""WITH c AS (SELECT doc_id,
+      |   len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+      |   len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS es,
+      |   len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
+      |   len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr
+      | FROM documents)
+      | SELECT doc_id, CASE
+      |   WHEN en + es + de + fr = 0 THEN 'und'
+      |   WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      |   WHEN es >= de AND es >= fr THEN 'es'
+      |   WHEN de >= fr THEN 'de'
+      |   ELSE 'fr' END AS lang_pred
+      | FROM c""".stripMargin))
+
+  /** Document fingerprinting (md5 + 64-bit of normalized text). */
+  val qFingerprint = Fixture(
+    "q_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"),
+      TextFunctions.fingerprint64(col("text")).as("fp64")),
+    Some(s"""SELECT doc_id,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      |   ${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp64
+      | FROM documents""".stripMargin))
+
+  // ---- dedup --------------------------------------------------------------
+
+  val qDedupExact = Fixture(
+    "q_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |   min(doc_id) AS keeper_id, count(*) AS n_copies
+      | FROM documents GROUP BY 1""".stripMargin))
+
+  /** Inverted-index exact n-gram Jaccard near-dup pairs (τ = 0.5). */
+  val qDedupNgram = Fixture(
+    "q_dedup_ngram_jaccard",
+    (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5),
+    Some(jaccardOracle("0.5")))
+
+  /** MinHash(128) + LSH(32×4) candidates, exact-Jaccard-verified (τ = 0.8).
+    * Oracle is the full pairwise ground truth: LSH recall at τ=0.8 is
+    * 1−(1−0.8⁴)³² ≈ 1−4e−8 per pair, so the outputs must coincide.
+    */
+  val qDedupMinhash = Fixture(
+    "q_dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
+    Some(jaccardOracle("0.8")))
+
+  /** SimHash(48-bit) near-dup pairs, Hamming ≤ 7, chunk-banding (exact by
+    * pigeonhole). Oracle: all-pairs Hamming on identically-computed SimHash.
+    */
+  val qDedupSimhash = Fixture(
+    "q_dedup_simhash",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 7)
+      .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham")),
+    Some {
+      val bitSums = (0 until Dedup.SimhashBits)
+        .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val assemble = (0 until Dedup.SimhashBits)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
+        | h AS (SELECT doc_id, ${h64("w")} AS hv FROM wd),
+        | s AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+        | sh AS (SELECT doc_id, ($assemble)::BIGINT AS sim FROM s)
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   bit_count(xor(a.sim, b.sim))::BIGINT AS ham
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.sim, b.sim)) <= 7""".stripMargin
+    })
+
+  /** Embedding-cosine near-dup pairs within a coarse partition (label). */
+  val qDedupEmbed = Fixture(
+    "q_dedup_embed_cosine",
+    (s, d) => Ann.nearDupPairs(Tables.embeddings(s, d), "label", 0.4),
+    Some(s"""WITH e AS (SELECT vec_id, label,
+      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+      |         ${dotSql("a.v", "b.v")} AS ab,
+      |         ${dotSql("a.v", "a.v")} AS aa,
+      |         ${dotSql("b.v", "b.v")} AS bb
+      |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      | SELECT vid_a, vid_b, cos FROM
+      |   (SELECT vid_a, vid_b, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p)
+      | WHERE cos >= 0.4""".stripMargin))
+
+  // ---- similarity search --------------------------------------------------
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
+  val qAnnBrute = Fixture(
+    "q_ann_brute_topk",
+    (s, d) => Ann.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
+      |       FROM q JOIN e ON e.vec_id <> q.query_id),
+      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM c)
+      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin))
+
+  /** Bucketed (IVF-style sign-bit cells) top-k — the scale path. */
+  val qAnnBucketed = Fixture(
+    "q_ann_lsh_bucketed",
+    (s, d) => Ann.bucketedTopK(Tables.embeddings(s, d), col("vec_id") < 50, 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |     ${foldSum("list_transform(generate_series(0, 7), i -> CASE WHEN embedding[i + 1] > 0 THEN 2.0 ** i ELSE 0.0 END)")}::BIGINT AS bucket
+      |   FROM embeddings),
+      | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
+      |       FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM c)
+      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
+
+  // ---- multimodal ---------------------------------------------------------
+
+  /** Binary media column → partition-wise (stubbed) decode → features. */
+  val qMultimodal = Fixture(
+    "q_multimodal_features",
+    (s, d) => Multimodal.extractFeatures(s,
+      Multimodal.mediaTable(s, Tables.documents(s, d))).toDF(),
+    Some(s"""SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+      |   ${h64("substr(text, 1, 16)")} AS sig,
+      |   strlen(text) // 1000 + 1 AS n_frames
+      | FROM documents""".stripMargin))
+
+  def fixtures: Seq[Fixture] = Seq(
+    qTextStats, qLangId, qFingerprint,
+    qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qAnnBrute, qAnnBucketed,
+    qMultimodal)
+}

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Quant
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * [[bruteTopK]] is the exactness baseline: broadcast the (small) query set
+  * against the full corpus — one scan, no shuffle of the corpus, O(Q·N·d)
+  * compute spread over partitions. Correct at any N but linear.
+  *
+  * [[bucketedTopK]] is the scale path: an IVF-style deterministic coarse
+  * partition (sign bits of the leading dimensions) turns search into a
+  * per-bucket local problem — the corpus shuffles once by bucket id and each
+  * query only scans its own bucket (≈ N/2^bits of the data).
+  *
+  * Cosine is quantized before ranking and ties break on vec_id, so top-k is
+  * fully deterministic (and oracle-comparable).
+  */
+object Ann {
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+
+  def bruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(cosine(col("qv"), col("nv"))).as("cos"))
+    ranked(pairs, k)
+  }
+
+  def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = bucketed.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val pairs = bucketed
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"))
+      .join(q, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(cosine(col("qv"), col("nv"))).as("cos"))
+    ranked(pairs, k)
+  }
+
+  /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
+    * label, …): all-pairs only *inside* each cell, never globally.
+    */
+  def nearDupPairs(emb: DataFrame, partitionCol: String, minCos: Double): DataFrame = {
+    val a = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_a"),
+      col("embedding").as("va"))
+    val b = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("p"))
+      .where(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"), Quant.q4(cosine(col("va"), col("vb"))).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** Cross-checks between the scale-path operators and their exact
+  * counterparts — the LSH/banding candidate generation must not lose pairs
+  * at these data scales.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("minhash LSH pairs == exact inverted-index Jaccard pairs at τ=0.8") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    assertSameRows(lsh, exact)
+  }
+
+  test("simhash chunk-banding is exact (pigeonhole): candidates cover all-pairs hamming ≤ 7") {
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 7)
+    // brute-force over full simhash table
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("ham", expr("bit_count(ha ^ hb)"))
+      .where(col("ham") <= 7)
+      .select("doc_a", "doc_b", "ham")
+    assertSameRows(banded, brute)
+  }
+
+  test("bucketed ANN results are a subset of brute-force rankings' pairs") {
+    val brute = Ann.bruteTopK(emb, col("vec_id") < 10, 5)
+    assert(brute.groupBy("query_id").count().where(col("count") =!= 5).count() == 0,
+      "brute topk must return exactly k per query")
+    val bucketed = Ann.bucketedTopK(emb, col("vec_id") < 10, 5)
+    // every bucketed neighbor must share the query's sign-bucket
+    val withB = bucketed.join(
+      emb.select(col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("nb")),
+      "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("qb")),
+        "query_id")
+    assert(withB.where(col("nb") =!= col("qb")).count() == 0)
+  }
+
+  test("exact dedup keeps one keeper per distinct normalized content") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == d.select("fp").distinct().count())
+    assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+}
