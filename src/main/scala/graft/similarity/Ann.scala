@@ -28,7 +28,15 @@ object Ann {
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
 
-  def bruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** Spread the corpus across cores regardless of file-split count — dot
+    * products are compute-dense and a single small parquet split would
+    * otherwise serialize them (at cluster scale the scan already has splits).
+    */
+  private def spread(emb: DataFrame): DataFrame =
+    emb.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+
+  def bruteTopK(embIn: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val emb = spread(embIn)
     val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
@@ -38,7 +46,8 @@ object Ann {
     ranked(pairs, k)
   }
 
-  def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+  def bucketedTopK(embIn: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    val emb = spread(embIn)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val q = bucketed.where(queryPred)
@@ -55,7 +64,8 @@ object Ann {
   /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
     * label, …): all-pairs only *inside* each cell, never globally.
     */
-  def nearDupPairs(emb: DataFrame, partitionCol: String, minCos: Double): DataFrame = {
+  def nearDupPairs(embIn: DataFrame, partitionCol: String, minCos: Double): DataFrame = {
+    val emb = spread(embIn)
     val a = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_a"),
       col("embedding").as("va"))
     val b = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_b"),
