@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Session (gap-based) windows — declared in the reference's window enum
+  * (WindowDefinition.h:14,55-58, SESSION) but never wired to an operator
+  * there; Spark has them natively (`session_window`), so the capability is
+  * completed here: rows of a key belong to one session while successive
+  * event times are less than `gapSec` apart.
+  *
+  * Output: keys, `ss` (session start, epoch micros — exact integer identity
+  * for the oracle), aggregates. Scale: one hash shuffle on the keys; session
+  * merging is per-key local state, same as the streaming state-store path.
+  */
+object SessionWindows {
+
+  def aggregate(
+      df: DataFrame,
+      ts: Column,
+      gapSec: Long,
+      keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val w = session_window(ts.cast("timestamp"), s"$gapSec seconds")
+    df.groupBy(w +: keys.map(col): _*)
+      .agg(aggs.head.toColumn, aggs.tail.map(_.toColumn): _*)
+      .withColumn("ss", unix_micros(col("session_window.start")))
+      .select(col("ss") +: keys.map(col) ++: aggs.map(a => col(a.alias)): _*)
+  }
+}

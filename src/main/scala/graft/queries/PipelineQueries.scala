@@ -200,6 +200,33 @@ object PipelineQueries {
       |       FROM c)
       | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
 
+  /** PII-style scrubbing: redact digit runs and email-shaped tokens —
+    * pure regexp_replace, linear, no shuffle.
+    */
+  val qRedact = Fixture(
+    "q_redact_pii",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      regexp_replace(
+        regexp_replace(col("props"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("props_clean")),
+    Some("""SELECT event_id,
+      |   regexp_replace(
+      |     regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |     '[0-9]+', '<NUM>', 'g') AS props_clean
+      | FROM events""".stripMargin))
+
+  /** Deterministic hash sampling (reproducible corpus subsetting): keep docs
+    * whose content-independent id hash lands in a 10% bucket.
+    */
+  val qSampleHash = Fixture(
+    "q_sample_hash",
+    (s, d) => Tables.documents(s, d)
+      .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")), lit(100)) < 10)
+      .select("doc_id", "lang", "n_chars"),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+      | WHERE ${h64("doc_id::VARCHAR")} % 100 < 10""".stripMargin))
+
   // ---- multimodal ---------------------------------------------------------
 
   /** Binary media column → partition-wise (stubbed) decode → features. */
@@ -216,5 +243,6 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qAnnBrute, qAnnBucketed,
+    qRedact, qSampleHash,
     qMultimodal)
 }

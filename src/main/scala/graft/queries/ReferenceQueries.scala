@@ -401,6 +401,28 @@ object ReferenceQueries {
       | WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
       |   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  /** Session (gap) windows — completes the reference's window-type enum
+    * (WindowDefinition.h:14 declares SESSION but never uses it): per-user
+    * sessions with a 1800 s gap.
+    */
+  val qSessionWindow = Fixture(
+    "q_session_window",
+    (s, d) => SessionWindows.aggregate(
+      Tables.events(s, d), col("ts"), 1800,
+      Seq("user_id"),
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))),
+    Some("""WITH src AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS eu, value FROM events),
+      | o AS (SELECT user_id, eu, value,
+      |         CASE WHEN eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu) >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |       FROM src),
+      | s AS (SELECT user_id, eu, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY eu ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM o)
+      | SELECT min(eu) AS ss, user_id, count(*) AS cnt,
+      |        floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_v
+      | FROM s GROUP BY user_id, sid""".stripMargin))
+
   /** TPC-H-flavored pruned-scan aggregation (flagship health check):
     * only 2 of 11 lineitem columns should reach the scan.
     */
@@ -420,5 +442,6 @@ object ReferenceQueries {
     qJoinTheta,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
-    qCountTumbling, qCountSliding)
+    qCountTumbling, qCountSliding,
+    qSessionWindow)
 }

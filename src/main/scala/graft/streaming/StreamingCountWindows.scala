@@ -25,6 +25,38 @@ object StreamingCountWindows {
   case class CountState(wid: Long, cnt: Long, sum: Double)
   case class WindowOut(user_id: Long, wid: Long, cnt: Long, sum_v: Double)
 
+  case class SlideState(recent: Seq[Double])
+  case class SlideOut(user_id: Long, event_id: Long, avg_w: Double)
+
+  /** Streaming sliding count window (size, slide 1) — SURVEY §2 A4: per
+    * arriving row, the aggregate over the `size` most recent rows of its key.
+    * State per key is the ring of the last `size − 1` values.
+    */
+  def slidingTrailingAvg(
+      spark: SparkSession,
+      stream: DataFrame,
+      size: Int): Dataset[SlideOut] = {
+    import spark.implicits._
+    val typed = stream
+      .select(col("user_id"), col("es"), col("event_id"), col("value"))
+      .as[InRow]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SlideState, SlideOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[InRow], state: GroupState[SlideState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SlideOut]
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val window = (recent :+ r.value).takeRight(size)
+            out += SlideOut(key, r.event_id, window.sum / window.size)
+            recent = window.takeRight(size - 1)
+          }
+          state.update(SlideState(recent))
+          out.iterator
+      }
+  }
+
   def tumbling(
       spark: SparkSession,
       stream: DataFrame,
