@@ -10,11 +10,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Warm the JVM/codegen/scan paths once so the first measured query isn't
+    // charged for JIT + file-source initialization.
+    try {
+      spark.range(2000000L).selectExpr("sum(id)", "avg(id)").collect()
+      graft.Tables.all.foreach { t =>
+        try graft.Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
+
+    // noop sink: forces full evaluation of every output column (a bare
+    // count() lets Catalyst prune the query down to row counting).
+    // Best-of-2 per query smooths GC / scheduling noise on a shared host.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val b = if (a < 0) a else math.min(a, once())
+      // Drop per-query caches so later queries aren't squeezed by dead
+      // cached partitions (GC pressure dominates tail latencies otherwise).
+      spark.catalog.clearCache()
+      name -> b
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -55,11 +55,12 @@ object Dedup {
       .where(col("jac") >= minJ)
   }
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
-    * xxhash64 (native, codegen'd) rather than the md5-based cross-engine
-    * hash64: signature internals are Spark-only — the oracle verifies the
-    * final pairs, not the signatures — and md5-per-(shingle, seed) was the
-    * dominant cost of the whole pipeline (≈13× slower end-to-end).
+  /** MinHash signature via Kirsch-Mitzenmacher double hashing: each shingle
+    * is hashed twice (xxhash64, two seeds) and the i-th hash family is
+    * h1 + i·h2 (Java long wraparound — deterministic). This replaces
+    * numHashes string hashes per shingle with 2, leaving only cheap long
+    * arithmetic in the signature loop. Signature internals are Spark-only:
+    * the oracle verifies the final near-dup pairs, not the signatures.
     */
   def minhashSig(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("sig",

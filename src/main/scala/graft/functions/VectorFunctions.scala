@@ -21,6 +21,16 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused one-pass cosine (custom codegen'd Catalyst expression) —
+    * bit-identical to [[cosine]], ~3× less array traversal. Preferred in the
+    * ANN hot loops.
+    */
+  def cosineFused(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Sign-bucket of the first `bits` dimensions — a deterministic IVF-style
     * coarse partitioner: vectors can only be near if they share most sign
     * bits, and the bucket id is a plain integer shuffle key.

@@ -82,9 +82,17 @@ object TimeWindows {
     // Pane p (fully) belongs to windows with start ws ∈ [p + pane − size, p],
     // ws a multiple of slide. All bounds are multiples of pane by construction,
     // and ceil-to-slide is written as floor((x + slide − 1) / slide) · slide.
+    //
+    // For keyed windows, re-shuffle the (small) pane partials by key BEFORE
+    // expansion: HashPartitioning(keys) satisfies the level-2 groupBy's
+    // ClusteredDistribution(ws, keys), so Catalyst inserts no further
+    // exchange and the size/slide-fold expansion never crosses the network —
+    // the pane-merge locality of the reference's slot ring, in Spark terms.
+    val colocated =
+      if (keys.nonEmpty) level1.repartition(keys.map(col): _*) else level1
     val lo = idiv(col("__pane") + lit(pane - sizeSec + slideSec - 1), slideSec) * lit(slideSec)
     val hi = idiv(col("__pane"), slideSec) * lit(slideSec)
-    val expanded = level1
+    val expanded = colocated
       .withColumn("ws", explode(sequence(lo, hi, lit(slideSec))))
 
     // Level 2: merge pane partials per window.

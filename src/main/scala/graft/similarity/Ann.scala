@@ -42,7 +42,7 @@ object Ann {
     val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Quant.q4(cosine(col("qv"), col("nv"))).as("cos"))
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
     ranked(pairs, k)
   }
 
@@ -57,7 +57,7 @@ object Ann {
       .join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Quant.q4(cosine(col("qv"), col("nv"))).as("cos"))
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
     ranked(pairs, k)
   }
 
@@ -72,7 +72,7 @@ object Ann {
       col("embedding").as("vb"))
     a.join(b, Seq("p"))
       .where(col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b"), Quant.q4(cosine(col("va"), col("vb"))).as("cos"))
+      .select(col("vid_a"), col("vid_b"), Quant.q4(cosineFused(col("va"), col("vb"))).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

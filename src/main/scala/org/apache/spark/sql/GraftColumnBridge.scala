@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the sql-package-private Column↔Expression converters — the
+  * supported way for an extension library to expose custom Catalyst
+  * expressions as Columns on Spark 4 (Column no longer carries `.expr`).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

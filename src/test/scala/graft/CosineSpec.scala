@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** The fused custom-Expression cosine must be bit-identical to the
+  * higher-order-function composition (same left-to-right IEEE accumulation),
+  * in both interpreted and whole-stage-codegen paths.
+  */
+class CosineSpec extends SparkTestBase {
+
+  test("cosineFused == aggregate/zip_with cosine, bitwise") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        col("a") < col("b") && col("a") < 30 && col("b") < 60)
+    val both = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("hof"),
+      VectorFunctions.cosineFused(col("va"), col("vb")).as("fused"))
+    val bad = both.where(col("hof") =!= col("fused")).count()
+    assert(bad == 0, s"$bad pairs differ between HOF and fused cosine")
+    assert(both.count() > 100)
+  }
+
+  test("fused cosine survives codegen disabled (interpreted path)") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val e = Tables.embeddings(spark, sfDir).limit(20)
+      val n = e.select(VectorFunctions.cosineFused(col("embedding"), col("embedding")).as("c"))
+        .where(abs(col("c") - 1.0) < 1e-9).count()
+      assert(n == 20, "self-cosine must be 1.0 for all vectors")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}
