@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{AggFn, AggSpec}
+import graft.sources.Sources
+import graft.streaming.Streams
+
+/** Throughput harness mirroring the reference's t/sec reporting
+  * (src/monitors/ThroughputMonitor.cpp): replays the events table at full
+  * speed through (a) the micro-batch streaming path (MemoryStream → windowed
+  * agg, the analog of the reference's in-memory replay benchmark loop) and
+  * (b) the batch path (same aggregation shape over the parquet directly).
+  * Prints one JSON line with tuples/sec for both.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Load the replay payload once (bounded: sf0.1 = 100k rows).
+    val rows = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("event_id"), col("es"), col("user_id"), col("event_type"), col("value"))
+      .as[Sources.EventRow].collect()
+
+    // warmup
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // (a) streaming micro-batch replay: tumbling window CNT+SUM by type.
+    val (ms, df) = Sources.replay(spark)
+    val agg = Streams.windowAgg(df, 600, 600, Seq("event_type"),
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v")))
+    // Replay the table `loops` times (the reference loops its dataset for
+    // DURATION seconds the same way) so per-tuple cost dominates the
+    // micro-batch fixed overhead.
+    val loops = sys.env.getOrElse("SPARK_GRAFT_LOOPS", "20").toInt
+    // State-store commit cost is per state partition per micro-batch; with
+    // kilobyte-scale window state, a handful of partitions is the right
+    // shape (state partitioning is fixed at the query's first run).
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("sb_out").start()
+    val t0 = System.nanoTime()
+    (1 to loops).foreach { _ =>
+      rows.grouped(100000).foreach(c => ms.addData(c.toSeq))
+      q.processAllAvailable()
+    }
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
+    // (b) batch path, same shape, over the same replayed volume.
+    val replicated = spark.range(loops).crossJoin(Tables.events(spark, sfDir))
+    val t1 = System.nanoTime()
+    graft.operators.TimeWindows.aggregate(
+        replicated, col("ts"), 600, 600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Sum, col("value"), "sum_v")))
+      .write.format("noop").mode("overwrite").save()
+    val batchSec = (System.nanoTime() - t1) / 1e9
+
+    val n = rows.length.toLong * loops
+    println(s"""{"metric":"throughput","tuples":$n,""" +
+      s""""stream_sec":$streamSec,"stream_tps":${(n / streamSec).toLong},""" +
+      s""""batch_sec":$batchSec,"batch_tps":${(n / batchSec).toLong},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

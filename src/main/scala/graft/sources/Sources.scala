@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Source adapters mirroring the reference's ingestion surface (SURVEY §1.4):
+  *
+  *  - in-memory replay (reference BenchmarkQuery.h:144-259 replays byte
+  *    vectors) → [[ReplaySource]] over MemoryStream: push typed rows in
+  *    batches, drive a streaming query deterministically — the unit-test and
+  *    micro-bench ingestion path.
+  *  - TCP text source (reference RemoteBenchmark/remoteSource.cpp) →
+  *    [[socketEvents]]: Spark's socket source plus schema parsing. Line
+  *    format: csv `event_id,ts_epoch_us,user_id,event_type,value`.
+  *  - files (parquet) → graft.Tables (batch) / graft.streaming.Streams
+  *    (file stream source).
+  *
+  * RDMA has no Spark analog (hardware transport) — out of scope by design.
+  */
+object Sources {
+
+  case class EventRow(event_id: Long, es: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Typed in-memory replay stream; returns the stream handle (to push data)
+    * and the DataFrame view with the standard events columns.
+    */
+  def replay(spark: SparkSession): (MemoryStream[EventRow], DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val df = ms.toDF()
+      .withColumn("ts", timestamp_micros(col("es") * 1000000L))
+    (ms, df)
+  }
+
+  /** TCP line source parsed into the events schema — the remote-ingest
+    * analog. Connects to host:port; each line is
+    * `event_id,ts_epoch_us,user_id,event_type,value`.
+    */
+  def socketEvents(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(split(col("value"), ",").as("f"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("event_id"),
+        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        element_at(col("f"), 4).as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"))
+}
