@@ -107,6 +107,35 @@ object Dedup {
         Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= minJ)
 
+  /** Near-dup clusters: connected components over a pair relation, labeling
+    * every doc with the minimum doc id of its component (the canonical
+    * keeper). Distributed min-label propagation: each round joins labels
+    * across edges and keeps the per-node minimum; rounds needed = component
+    * diameter (near-dup components are tiny cliques, so 1-2). localCheckpoint
+    * truncates lineage between rounds. At 100 TB the same loop runs with
+    * edges/labels as shuffle-partitioned tables — no driver-side data, only a
+    * per-round convergence count.
+    */
+  def clusters(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = df.select(col(id).as("node"), col(id).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "node")
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as(id), col("cluster"))
+  }
+
   /** 48-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
     * to bit b of hash64(word). 48 bits keeps every shift/assemble step inside
     * positive BIGINT range in both engines.

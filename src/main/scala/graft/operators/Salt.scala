@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant two-phase aggregation: phase 1 groups by (keys, salt) where
+  * salt spreads each key over `factor` reducers; phase 2 merges the partials
+  * per key. For algebraic AggFns this is exact (same decomposition as the
+  * pane merge). Use when a handful of hot keys would otherwise pin one
+  * reducer at 100 TB — AQE's skew handling covers joins, but a skewed
+  * groupBy still needs salting.
+  */
+object SaltedAgg {
+
+  def aggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[AggSpec],
+      factor: Int = 16): DataFrame = {
+    val partials = aggs.flatMap(_.partialCols).distinct
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)))
+    val level1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._2.as(partials.head._1),
+           partials.tail.map { case (n, c) => c.as(n) }: _*)
+    level1
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head.finalCol, aggs.tail.map(_.finalCol): _*)
+      .select(keys.map(col) ++ aggs.map(a => col(a.alias)): _*)
+  }
+}

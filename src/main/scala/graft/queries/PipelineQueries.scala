@@ -149,6 +149,34 @@ object PipelineQueries {
         | WHERE bit_count(xor(a.sim, b.sim)) <= 7""".stripMargin
     })
 
+  /** Near-dup clustering: connected components over the τ=0.8 Jaccard pairs;
+    * every doc labeled with its component's minimum doc id (canonical
+    * keeper). Oracle: recursive-CTE transitive closure.
+    */
+  val qDedupClusters = Fixture(
+    "q_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
+    },
+    Some(s"""WITH RECURSIVE
+      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | ex AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | pr AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
+      |        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+      | p AS (SELECT doc_a, doc_b FROM
+      |         (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM pr)
+      |       WHERE jac >= 0.8),
+      | e(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+      | reach(a, b) AS (SELECT a, b FROM e
+      |   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      | lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS cluster
+      |         FROM documents d LEFT JOIN reach ON reach.a = d.doc_id GROUP BY d.doc_id)
+      | SELECT doc_id, cluster FROM lab""".stripMargin))
+
   /** Embedding-cosine near-dup pairs within a coarse partition (label). */
   val qDedupEmbed = Fixture(
     "q_dedup_embed_cosine",
@@ -242,6 +270,7 @@ object PipelineQueries {
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupClusters,
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash,
     qMultimodal)

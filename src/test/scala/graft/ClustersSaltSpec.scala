@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.{AggFn, AggSpec, SaltedAgg}
+
+class ClustersSaltSpec extends SparkTestBase {
+
+  test("clusters merges transitive chains to the minimum label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("salted aggregation == plain aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val aggs = Seq(
+      AggSpec(AggFn.Cnt, col("value"), "cnt"),
+      AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)),
+      AggSpec(AggFn.Avg, col("value"), "avg_v", Some(4)),
+      AggSpec(AggFn.Min, col("value"), "min_v"),
+      AggSpec(AggFn.Max, col("value"), "max_v"))
+    val plain = ev.groupBy(col("event_type"))
+      .agg(aggs.head.toColumn, aggs.tail.map(_.toColumn): _*)
+      .select(col("event_type") +: aggs.map(a => col(a.alias)): _*)
+    val salted = SaltedAgg.aggregate(ev, Seq("event_type"), aggs)
+    assertSameRows(plain, salted)
+  }
+}
