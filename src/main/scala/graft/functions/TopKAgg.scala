@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k best (score desc, id asc) pairs per
+  * group in a size-k heap. Replaces the rank-then-filter pattern
+  * (`row_number().over(partitionBy(g).orderBy(...)) <= k`), which must sort
+  * *every* candidate row per group — at ANN scale that is |queries|×|corpus|
+  * rows through a sort, versus O(n log k) heap updates with O(k) state that
+  * merges associatively across partitions (partial aggregation works).
+  *
+  * Output: array<struct<score double, id long>> sorted best-first.
+  * Deterministic: ties on score break by ascending id, matching the
+  * row_number ordering the oracle uses.
+  */
+case class TopKAgg(
+    k: Int,
+    score: Expression,
+    id: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]] {
+
+  type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))))
+
+  /** better(a, b): does a rank strictly ahead of b? */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  private def insert(buf: Buf, e: (Double, Long)): Unit = {
+    if (buf.length < k) {
+      buf += e
+    } else {
+      // replace current worst if e is better
+      var worst = 0
+      var j = 1
+      while (j < buf.length) { if (better(buf(worst), buf(j))) worst = j; j += 1 }
+      if (better(e, buf(worst))) buf(worst) = e
+    }
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.sortWith(better)
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var j = 0
+    while (j < n) { buf += ((in.readDouble(), in.readLong())); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(score = c(0), id = c(1))
+}
+
+object TopKAgg {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+
+  /** Column form: top-k (score desc, id asc) pairs per group. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKAgg(k, GraftColumnBridge.expression(score), GraftColumnBridge.expression(id))
+        .toAggregateExpression())
+}

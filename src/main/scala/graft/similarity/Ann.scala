@@ -22,11 +22,18 @@ import graft.operators.Quant
   */
 object Ann {
 
+  /** Per-query top-k via the bounded-heap aggregate (graft.functions.TopKAgg)
+    * rather than row_number-over-window: no per-group sort of all candidates,
+    * O(k) state that partial-aggregates map-side. Same (cos desc, id asc)
+    * order, so results are identical to the rank-filter form.
+    */
   private def ranked(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"), (col("pos") + 1).as("rank"))
 
   /** Spread the corpus across cores regardless of file-split count — dot
     * products are compute-dense and a single small parquet split would
