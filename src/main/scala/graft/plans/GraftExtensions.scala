@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, TopKAgg}
+
+/** SQL surface for the library's custom Catalyst expressions, so `spark.sql`
+  * users get them too:
+  *
+  *   graft_cosine(a, b)          — fused cosine over array<float>
+  *   graft_topk(score, id, k)    — bounded-heap top-k aggregate
+  *
+  * Register either at session build
+  * (`.withExtensions(new GraftExtensions)`) or on a live session
+  * (`GraftExtensions.register(spark)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity over float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("graft_topk",
+      info("graft_topk", "graft_topk(score, id, k) - top-k (score desc, id asc) pairs"),
+      (args: Seq[Expression]) => TopKAgg(
+        args(2).eval().asInstanceOf[Number].intValue(), args(0), args(1))
+          .toAggregateExpression()))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("custom expressions are usable from spark.sql after registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val self = spark.sql(
+      "SELECT vec_id, graft_cosine(embedding, embedding) AS c FROM emb LIMIT 10")
+      .collect()
+    assert(self.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+
+    val topk = spark.sql("""
+      SELECT label, graft_topk(CAST(vec_id AS DOUBLE), vec_id, 3) AS tk
+      FROM emb GROUP BY label""").collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(arr.length <= 3)
+      // best-first by score desc
+      assert(arr.map(_.getDouble(0)).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    }
+  }
+}
