@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators._
+
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val noEvents = Tables.events(spark, sfDir).where(lit(false))
+
+  test("window aggregation over an empty input yields no rows (both strategies)") {
+    val aggs = Seq(AggSpec(AggFn.Sum, col("value"), "s", Some(4)))
+    assert(TimeWindows.aggregate(noEvents, col("ts"), 3600, 60, Seq("event_type"), aggs).count() == 0)
+    assert(TimeWindows.aggregatePaned(noEvents, col("ts"), 3600, 60, Seq("event_type"), aggs).count() == 0)
+  }
+
+  test("single-row input lands in exactly size/slide sliding windows") {
+    val one = Tables.events(spark, sfDir).orderBy("event_id").limit(1)
+    val out = TimeWindows.aggregatePaned(one, col("ts"), 3600, 60, Seq.empty,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+    assert(out.count() == 60)
+    assert(out.where(col("cnt") =!= 1).count() == 0)
+  }
+
+  test("documents below the shingle width are excluded, not crashed on") {
+    val tiny = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sh = Dedup.shingled(tiny, "doc_id", "text", 3)
+    assert(sh.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("jaccard pairs with no qualifying pairs is empty, not an error") {
+    val tiny = Seq((1L, "alpha beta gamma delta"), (2L, "wholly different words here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.minhashLshPairs(tiny, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
+  test("clusters with no pairs labels every node as its own keeper") {
+    val nodes = Seq(3L, 1L, 2L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(nodes, "doc_id", empty).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("keepMaxBy on empty input is empty") {
+    assert(PostWindow.keepMaxBy(noEvents.select(col("event_id"), col("user_id")),
+      Seq("user_id"), "event_id").count() == 0)
+  }
+}
