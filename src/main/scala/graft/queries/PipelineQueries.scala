@@ -255,6 +255,24 @@ object PipelineQueries {
     Some(s"""SELECT doc_id, lang, n_chars FROM documents
       | WHERE ${h64("doc_id::VARCHAR")} % 100 < 10""".stripMargin))
 
+  /** Corpus statistics per language: the summary pass every ingest pipeline
+    * runs before filtering decisions.
+    */
+  val qCorpusStats = Fixture(
+    "q_corpus_stats",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Quant.q4(Quant.q4(sum(col("n_chars"))) / count(col("n_chars"))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("total_tokens")),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+      |   ${q4(s"${q4("sum(n_chars)")} / count(n_chars)")} AS avg_chars,
+      |   count(DISTINCT source) AS n_sources,
+      |   sum(len($wordsSql))::BIGINT AS total_tokens
+      | FROM documents GROUP BY lang""".stripMargin))
+
   // ---- multimodal ---------------------------------------------------------
 
   /** Binary media column → partition-wise (stubbed) decode → features. */
@@ -272,6 +290,6 @@ object PipelineQueries {
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupClusters,
     qAnnBrute, qAnnBucketed,
-    qRedact, qSampleHash,
+    qRedact, qSampleHash, qCorpusStats,
     qMultimodal)
 }
