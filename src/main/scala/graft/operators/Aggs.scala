@@ -92,6 +92,12 @@ final case class AggSpec(
     case AggFn.Max => Seq(s"__p_max_$alias" -> max(input))
   }
 
+  /** Public aliases for the two-level decomposition (used by the streaming
+    * paned aggregation outside this package).
+    */
+  def partialColsPublic: Seq[(String, Column)] = partialCols
+  def finalColPublic: Column = finalCol
+
   /** Final combine over the partial columns (same AVG determinism treatment
     * as [[toColumn]]).
     */

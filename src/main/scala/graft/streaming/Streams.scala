@@ -74,6 +74,37 @@ object Streams {
       .select(col("ws") +: keys.map(col) ++: aggs.map(a => col(a.alias)): _*)
   }
 
+  /** Pane-based sliding aggregation in streaming: tumbling gcd-pane partial
+    * aggregation chained into a sliding-window merge over the pane column —
+    * Spark 3.4+ chained stateful aggregations (append mode). Same shuffle
+    * economics as the batch TimeWindows.aggregatePaned: raw rows aggregate
+    * into panes before any size/slide-fold expansion, so the second stateful
+    * stage sees |panes × keys| rows, not |rows|.
+    */
+  def windowAggPaned(
+      stream: DataFrame,
+      sizeSec: Long,
+      slideSec: Long,
+      keys: Seq[String],
+      aggs: Seq[graft.operators.AggSpec],
+      watermark: String): DataFrame = {
+    val pane = gcd(sizeSec, slideSec)
+    val partials = aggs.flatMap(a => a.partialColsPublic).distinct
+    val level1 = stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$pane seconds") +: keys.map(col): _*)
+      .agg(partials.head._2.as(partials.head._1),
+           partials.tail.map { case (n, c) => c.as(n) }: _*)
+    level1
+      .groupBy(window(col("window"), s"$sizeSec seconds", s"$slideSec seconds") +:
+        keys.map(col): _*)
+      .agg(aggs.head.finalColPublic, aggs.tail.map(_.finalColPublic): _*)
+      .withColumn("ws", col("window.start").cast("long"))
+      .select(col("ws") +: keys.map(col) ++: aggs.map(a => col(a.alias)): _*)
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** Stream-stream windowed θ-join (reference ThetaJoin →
     * StreamingSymmetricHashJoinExec): watermarks on both sides bound the
     * join state; the time-range condition bounds pairing exactly like the

@@ -76,4 +76,21 @@ class StreamingSpec extends SparkTestBase {
     assert(extra == 0, s"streaming emitted $extra pairs not in batch result")
     assert(got.count() > 0)
   }
+
+  test("streaming paned sliding agg (chained stateful aggs) emits finalized windows matching batch") {
+    val stream = Streams.events(spark, sfDir)
+    val out = Streams.runToTable(spark,
+      Streams.windowAggPaned(stream, 3600, 60, Seq("event_type"), aggs, "10 minutes"),
+      "s_paned", "append")
+    val batch = TimeWindows.aggregatePaned(
+      Tables.events(spark, sfDir), col("ts"), 3600, 60, Seq("event_type"), aggs)
+    assert(out.count() > 0, "no finalized windows emitted")
+    // everything emitted must match the batch result exactly
+    assert(out.exceptAll(batch).count() == 0, "streaming paned emitted rows not in batch")
+    // and the emitted set must cover all windows finalized by the watermark
+    val maxTs = Tables.eventsWithEpoch(spark, sfDir).agg(max("es")).collect()(0).getLong(0)
+    val finalized = batch.where(col("ws") + 3600 <= lit(maxTs - 600))
+    assert(out.count() >= finalized.count(),
+      s"emitted ${out.count()} < finalized ${finalized.count()}")
+  }
 }
