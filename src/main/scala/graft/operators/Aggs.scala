@@ -84,24 +84,20 @@ final case class AggSpec(
     * by min/max — exactly the algebraic decomposition the reference's
     * incremental pane machinery relies on (AggregationType.h:26-34).
     */
-  private[operators] def partialCols: Seq[(String, Column)] = fn match {
+  private[graft] def partialCols: Seq[(String, Column)] = fn match {
     case AggFn.Cnt => Seq(s"__p_cnt_$alias" -> count(lit(1)))
     case AggFn.Sum => Seq(s"__p_sum_$alias" -> sum(input))
-    case AggFn.Avg => Seq(s"__p_sum_$alias" -> sum(input), s"__p_cnt_$alias" -> count(lit(1)))
+    // count(input), not count(*): keeps the paned AVG consistent with
+    // toColumn's avg/count(input) if a nullable column ever flows through.
+    case AggFn.Avg => Seq(s"__p_sum_$alias" -> sum(input), s"__p_cnt_$alias" -> count(input))
     case AggFn.Min => Seq(s"__p_min_$alias" -> min(input))
     case AggFn.Max => Seq(s"__p_max_$alias" -> max(input))
   }
 
-  /** Public aliases for the two-level decomposition (used by the streaming
-    * paned aggregation outside this package).
-    */
-  def partialColsPublic: Seq[(String, Column)] = partialCols
-  def finalColPublic: Column = finalCol
-
   /** Final combine over the partial columns (same AVG determinism treatment
     * as [[toColumn]]).
     */
-  private[operators] def finalCol: Column = {
+  private[graft] def finalCol: Column = {
     val c = fn match {
       case AggFn.Cnt => sum(col(s"__p_cnt_$alias"))
       case AggFn.Sum => sum(col(s"__p_sum_$alias"))

@@ -114,5 +114,5 @@ object TimeWindows {
     else aggregate(df, ts, sizeSec, slideSec, keys, aggs)
 
   @annotation.tailrec
-  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+  private[graft] def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

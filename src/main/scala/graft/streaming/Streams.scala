@@ -76,10 +76,12 @@ object Streams {
 
   /** Pane-based sliding aggregation in streaming: tumbling gcd-pane partial
     * aggregation chained into a sliding-window merge over the pane column —
-    * Spark 3.4+ chained stateful aggregations (append mode). Same shuffle
-    * economics as the batch TimeWindows.aggregatePaned: raw rows aggregate
-    * into panes before any size/slide-fold expansion, so the second stateful
-    * stage sees |panes × keys| rows, not |rows|.
+    * Spark 3.4+ chained stateful aggregations (append mode). Raw rows reduce
+    * to |panes × keys| partials in stage 1; the stage-2 stateful aggregation
+    * then expands those partials size/slide-fold and shuffles the expansion
+    * (streaming state requires partitioning on (window, keys), so the batch
+    * path's expansion-stays-local trick does not apply) — still a win
+    * whenever rows-per-pane×key exceeds 1, which is the high-rate regime.
     */
   def windowAggPaned(
       stream: DataFrame,
@@ -88,8 +90,8 @@ object Streams {
       keys: Seq[String],
       aggs: Seq[graft.operators.AggSpec],
       watermark: String): DataFrame = {
-    val pane = gcd(sizeSec, slideSec)
-    val partials = aggs.flatMap(a => a.partialColsPublic).distinct
+    val pane = TimeWindows.gcd(sizeSec, slideSec)
+    val partials = aggs.flatMap(a => a.partialCols).distinct
     val level1 = stream.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$pane seconds") +: keys.map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
@@ -97,13 +99,10 @@ object Streams {
     level1
       .groupBy(window(col("window"), s"$sizeSec seconds", s"$slideSec seconds") +:
         keys.map(col): _*)
-      .agg(aggs.head.finalColPublic, aggs.tail.map(_.finalColPublic): _*)
+      .agg(aggs.head.finalCol, aggs.tail.map(_.finalCol): _*)
       .withColumn("ws", col("window.start").cast("long"))
       .select(col("ws") +: keys.map(col) ++: aggs.map(a => col(a.alias)): _*)
   }
-
-  @annotation.tailrec
-  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Stream-stream windowed θ-join (reference ThetaJoin →
     * StreamingSymmetricHashJoinExec): watermarks on both sides bound the

@@ -14,6 +14,11 @@ class StreamingSpec extends SparkTestBase {
     AggSpec(AggFn.Cnt, col("value"), "cnt"),
     AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))
 
+  private val allFive = aggs ++ Seq(
+    AggSpec(AggFn.Avg, col("value"), "avg_v", Some(4)),
+    AggSpec(AggFn.Min, col("value"), "min_v"),
+    AggSpec(AggFn.Max, col("value"), "max_v"))
+
   test("streaming sliding window agg (complete mode) == batch") {
     val stream = Streams.events(spark, sfDir)
     val out = Streams.runToTable(spark,
@@ -80,17 +85,16 @@ class StreamingSpec extends SparkTestBase {
   test("streaming paned sliding agg (chained stateful aggs) emits finalized windows matching batch") {
     val stream = Streams.events(spark, sfDir)
     val out = Streams.runToTable(spark,
-      Streams.windowAggPaned(stream, 3600, 60, Seq("event_type"), aggs, "10 minutes"),
+      Streams.windowAggPaned(stream, 3600, 60, Seq("event_type"), allFive, "10 minutes"),
       "s_paned", "append")
     val batch = TimeWindows.aggregatePaned(
-      Tables.events(spark, sfDir), col("ts"), 3600, 60, Seq("event_type"), aggs)
+      Tables.events(spark, sfDir), col("ts"), 3600, 60, Seq("event_type"), allFive)
     assert(out.count() > 0, "no finalized windows emitted")
     // everything emitted must match the batch result exactly
     assert(out.exceptAll(batch).count() == 0, "streaming paned emitted rows not in batch")
     // and the emitted set must cover all windows finalized by the watermark
     val maxTs = Tables.eventsWithEpoch(spark, sfDir).agg(max("es")).collect()(0).getLong(0)
     val finalized = batch.where(col("ws") + 3600 <= lit(maxTs - 600))
-    assert(out.count() >= finalized.count(),
-      s"emitted ${out.count()} < finalized ${finalized.count()}")
+    assert(finalized.exceptAll(out).count() == 0, "a finalized window was not emitted")
   }
 }
