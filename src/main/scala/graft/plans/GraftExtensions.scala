@@ -16,10 +16,12 @@ import graft.functions.{CosineSimilarity, TopKAgg}
   * (`GraftExtensions.register(spark)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => PaneRewrite())
+  }
 }
 
 object GraftExtensions {

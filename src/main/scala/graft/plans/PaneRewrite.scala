@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrites a native sliding-`window()` aggregation — which
+  * Spark plans as an Expand of size/slide projections per input row followed
+  * by one Aggregate — into the pane-based two-level form
+  * (TimeWindows.aggregatePaned's plan, LightSaber's pane slicing):
+  *
+  *   Aggregate(window, keys, Expand(n projections, child))
+  *     ⇒ Aggregate(ws, keys, merge-aggs,
+  *         Generate(explode(sequence(pane − (n−1)·slide, pane)),
+  *           Aggregate(pane, keys, partial-aggs, child)))
+  *
+  * so raw rows reduce to |panes × keys| partials before the n-fold window
+  * expansion. Applies only when it is provably safe:
+  *   - slide divides size (pane == slide) and n == size/slide ≥ minExpansion;
+  *   - every Expand projection is identical except the window struct;
+  *   - aggregates are non-distinct, unfiltered COUNT/SUM/MIN/MAX
+  *     (AVG is left alone: its merged form re-associates the division);
+  *   - SUM is non-decimal (decimal SUM changes precision when nested).
+  *
+  * The pane expression is the matched plan's own window-0 start-µs subtree,
+  * reused verbatim — origin/timezone handling comes along for free.
+  * COUNT/MIN/MAX and integral SUM are bit-identical to the unrewritten plan;
+  * floating-point SUM re-associates (per-pane partials merge), the same
+  * last-ulp nondeterminism any change of partitioning already implies.
+  */
+case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs, expand: Expand, _)
+        if applicable(agg, expand).isDefined =>
+      rewrite(agg, expand, applicable(agg, expand).get)
+  }
+
+  /** (windowAttr, windowIdx, startLongExpr, slideUs, sizeUs). */
+  private case class Match(
+      windowAttr: Attribute,
+      windowIdx: Int,
+      startLong: Expression,
+      slideUs: Long,
+      sizeUs: Long)
+
+  private def applicable(agg: Aggregate, expand: Expand): Option[Match] = {
+    val n = expand.projections.length
+    if (n < minExpansion) return None
+
+    // locate the window struct attribute in the Expand output
+    val winIdx = expand.output.indexWhere { a =>
+      a.dataType match {
+        case StructType(fs) =>
+          fs.length == 2 && fs(0).name == "start" && fs(1).name == "end" &&
+            fs.forall(_.dataType == TimestampType)
+        case _ => false
+      }
+    }
+    if (winIdx < 0) return None
+    val winAttr = expand.output(winIdx)
+
+    // grouping must be window attr + plain attributes; window attr used once
+    val groupAttrsOk = agg.groupingExpressions.forall {
+      case _: Attribute => true
+      case _ => false
+    } && agg.groupingExpressions.exists {
+      case a: Attribute => a.exprId == winAttr.exprId
+      case _ => false
+    }
+    if (!groupAttrsOk) return None
+
+    // all projections identical except the window column
+    val nonWindowStable = expand.projections.forall { p =>
+      p.zipWithIndex.forall { case (e, i) =>
+        i == winIdx || e.semanticEquals(expand.projections.head(i))
+      }
+    }
+    if (!nonWindowStable) return None
+
+    // parse window-0: start = PTC(startLong), end = PTC(startLong + size)
+    def ptcChild(e: Expression): Option[Expression] = {
+      val found = e.collectFirst {
+        case p: PreciseTimestampConversion if p.toType == TimestampType => p.child
+      }
+      found
+    }
+    val struct0 = expand.projections.head(winIdx).collectFirst {
+      case c: CreateNamedStruct => c
+    }.getOrElse(return None)
+    val startLong = ptcChild(struct0.valExprs(0)).getOrElse(return None)
+    val endLong = ptcChild(struct0.valExprs(1)).getOrElse(return None)
+    val sizeUs = endLong match {
+      case Add(s, Literal(v: Long, LongType), _) if s.semanticEquals(startLong) => v
+      case _ => return None
+    }
+    val slideUs = startLong.collectFirst {
+      case Remainder(_, Literal(v: Long, LongType), _) => v
+    }.getOrElse(return None)
+
+    if (slideUs <= 0 || sizeUs <= 0 || sizeUs % slideUs != 0 ||
+        (sizeUs / slideUs) != n.toLong) return None
+
+    // every projection i's start must be startLong − i·slide (sanity on a
+    // couple of probes; structure already pinned by nonWindowStable + n)
+    val probeOk = (1 until math.min(n, 3)).forall { i =>
+      expand.projections(i)(winIdx).collectFirst {
+        case p: PreciseTimestampConversion if p.toType == TimestampType => p.child
+      } match {
+        case Some(Subtract(s, Literal(v: Long, LongType), _)) =>
+          v == i.toLong * slideUs && s.semanticEquals(stripTrailingZero(startLong))
+        case _ => false
+      }
+    }
+    if (!probeOk) return None
+
+    // aggregate functions must be mergeable
+    val aggsOk = agg.aggregateExpressions.forall { ne =>
+      ne.collectFirst { case ae: AggregateExpression => ae } match {
+        case None => true // plain grouping column reference
+        case Some(ae) =>
+          !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+            case _: Count => true
+            case s: Sum => !s.dataType.isInstanceOf[DecimalType]
+            case _: Min | _: Max => true
+            case _ => false
+          }) && !ae.references.contains(winAttr)
+      }
+    }
+    if (!aggsOk) return None
+
+    Some(Match(winAttr, winIdx, startLong, slideUs, sizeUs))
+  }
+
+  /** TimeWindowing folds `x − 0` away in projection 0 but not in later
+    * projections' shared subtree; normalize for semantic comparison.
+    */
+  private def stripTrailingZero(e: Expression): Expression = e match {
+    case Subtract(x, Literal(0L, LongType), _) => x
+    case other => other
+  }
+
+  private def rewrite(agg: Aggregate, expand: Expand, m: Match): LogicalPlan = {
+    val n = (m.sizeUs / m.slideUs).toInt
+    val child = expand.child
+    val keys = agg.groupingExpressions.collect {
+      case a: Attribute if a.exprId != m.windowAttr.exprId => a
+    }
+
+    // level 1: partial aggregation per pane (+ keys)
+    val paneAlias = Alias(m.startLong, "__pane")()
+    var partialIdx = 0
+    // original agg output name/exprId -> (partial aliases, merge builder)
+    val mapped = agg.aggregateExpressions.map { ne =>
+      val aeOpt = ne.collectFirst { case ae: AggregateExpression => ae }
+      aeOpt match {
+        case None => (Seq.empty[NamedExpression], null: (Seq[Attribute] => Expression), ne)
+        case Some(ae) =>
+          partialIdx += 1
+          val p = Alias(ae, s"__p$partialIdx")()
+          val merge: Seq[Attribute] => Expression = ae.aggregateFunction match {
+            case _: Count => attrs => Sum(attrs.head).toAggregateExpression()
+            case _: Sum => attrs => Sum(attrs.head).toAggregateExpression()
+            case _: Min => attrs => Min(attrs.head).toAggregateExpression()
+            case _: Max => attrs => Max(attrs.head).toAggregateExpression()
+            case other => throw new IllegalStateException(s"unexpected $other")
+          }
+          (Seq(p), merge, ne)
+      }
+    }
+    val partials = mapped.flatMap(_._1)
+    val paneAttr = paneAlias.toAttribute
+    val level1 = Aggregate(paneAttr +: keys,
+      (paneAttr +: keys) ++ partials,
+      Project(child.output :+ paneAlias, child))
+
+    // expansion: pane → its n window starts (µs), via explode(sequence)
+    val wsAttr = AttributeReference("__ws", LongType, nullable = false)()
+    val seq = new Sequence(
+      Subtract(paneAttr, Literal((n - 1).toLong * m.slideUs, LongType)),
+      paneAttr,
+      Some(Literal(m.slideUs, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+    val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(wsAttr), child = level1)
+
+    // level 2: merge per (ws, keys); rebuild original output attrs. The
+    // window struct is reconstructed from ws; any pass-through expression
+    // that referenced the old window attribute (e.g. a collapsed
+    // window.start projection) gets the rebuilt struct substituted in.
+    val structExpr = CreateNamedStruct(Seq(
+      Literal("start"), PreciseTimestampConversion(wsAttr, LongType, TimestampType),
+      Literal("end"), PreciseTimestampConversion(
+        Add(wsAttr, Literal(m.sizeUs, LongType)), LongType, TimestampType)))
+    val finalAggs: Seq[NamedExpression] = mapped.map { case (ps, merge, orig) =>
+      if (ps.isEmpty) {
+        orig match {
+          case a: Attribute if a.exprId == m.windowAttr.exprId =>
+            Alias(structExpr, a.name)(exprId = a.exprId)
+          case a: Attribute => a
+          case other =>
+            other.transformDown {
+              case att: Attribute if att.exprId == m.windowAttr.exprId => structExpr
+            }.asInstanceOf[NamedExpression]
+        }
+      } else {
+        val pAttr = ps.head.toAttribute
+        Alias(merge(Seq(pAttr)), orig.name)(exprId = orig.exprId)
+      }
+    }
+    Aggregate(wsAttr +: keys, finalAggs, gen)
+  }
+}

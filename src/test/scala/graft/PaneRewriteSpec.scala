@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.PaneRewrite
+
+/** The auto-pane optimizer rule must rewrite native sliding window()
+  * aggregations into the two-level pane plan without changing results
+  * (exactly for COUNT/MIN/MAX, to summation-reassociation tolerance for
+  * double SUM), and must leave unsupported shapes untouched.
+  */
+class PaneRewriteSpec extends SparkTestBase {
+
+  private def sliding(): DataFrame = Tables.events(spark, sfDir)
+    .groupBy(window(col("ts"), "3600 seconds", "60 seconds"), col("event_type"))
+    .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
+         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    .select(col("window.start").cast("long").as("ws"), col("event_type"),
+      col("cnt"), col("sum_v"), col("min_v"), col("max_v"))
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(PaneRewrite())
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rewrites sliding window agg and preserves results") {
+    val plain = sliding().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val (fired, rows) = withRule {
+      val df = sliding()
+      (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
+    }
+    assert(fired, "rule did not fire on a 60-fold sliding window")
+    assert(rows.length == plain.size)
+    rows.foreach { r =>
+      val p = plain((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == p.getLong(2), "cnt differs")
+      assert(r.getDouble(4) == p.getDouble(4) && r.getDouble(5) == p.getDouble(5),
+        "min/max differ")
+      assert(math.abs(r.getDouble(3) - p.getDouble(3)) < 1e-6,
+        s"sum differs beyond reassociation tolerance: ${r.getDouble(3)} vs ${p.getDouble(3)}")
+    }
+  }
+
+  test("leaves AVG, tumbling, and distinct aggregations untouched") {
+    withRule {
+      val avgQ = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "3600 seconds", "60 seconds"))
+        .agg(avg(col("value")).as("a"))
+      assert(!avgQ.queryExecution.optimizedPlan.treeString.contains("__pane"))
+      val tumb = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "600 seconds"))
+        .agg(count(lit(1)).as("c"))
+      assert(!tumb.queryExecution.optimizedPlan.treeString.contains("__pane"))
+      val dist = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "3600 seconds", "60 seconds"))
+        .agg(countDistinct(col("user_id")).as("c"))
+      assert(!dist.queryExecution.optimizedPlan.treeString.contains("__pane"))
+      // and they still execute correctly
+      assert(avgQ.count() > 0 && tumb.count() > 0 && dist.count() > 0)
+    }
+  }
+}
