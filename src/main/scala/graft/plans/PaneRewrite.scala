@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
   * expansion. Applies only when it is provably safe:
   *   - slide divides size (pane == slide) and n == size/slide ≥ minExpansion;
   *   - every Expand projection is identical except the window struct;
-  *   - aggregates are non-distinct, unfiltered COUNT/SUM/MIN/MAX
-  *     (AVG is left alone: its merged form re-associates the division);
-  *   - SUM is non-decimal (decimal SUM changes precision when nested).
+  *   - aggregates are non-distinct, unfiltered COUNT/SUM/MIN/MAX/AVG
+  *     (AVG decomposes into Σdouble-sums / Σcounts);
+  *   - SUM/AVG are non-decimal (decimal SUM changes precision when nested).
   *
   * The pane expression is the matched plan's own window-0 start-µs subtree,
   * reused verbatim — origin/timezone handling comes along for free.
@@ -125,6 +125,7 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
             case _: Count => true
             case s: Sum => !s.dataType.isInstanceOf[DecimalType]
             case _: Min | _: Max => true
+            case a: Average => !a.dataType.isInstanceOf[DecimalType]
             case _ => false
           }) && !ae.references.contains(winAttr)
       }
@@ -158,16 +159,34 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
       aeOpt match {
         case None => (Seq.empty[NamedExpression], null: (Seq[Attribute] => Expression), ne)
         case Some(ae) =>
-          partialIdx += 1
-          val p = Alias(ae, s"__p$partialIdx")()
-          val merge: Seq[Attribute] => Expression = ae.aggregateFunction match {
-            case _: Count => attrs => Sum(attrs.head).toAggregateExpression()
-            case _: Sum => attrs => Sum(attrs.head).toAggregateExpression()
-            case _: Min => attrs => Min(attrs.head).toAggregateExpression()
-            case _: Max => attrs => Max(attrs.head).toAggregateExpression()
-            case other => throw new IllegalStateException(s"unexpected $other")
+          ae.aggregateFunction match {
+            case avg: Average =>
+              // AVG decomposes into (sum of doubles, count); the merge is
+              // Σsums / Σcounts — Average's own sum-in-double semantics.
+              partialIdx += 1
+              val pSum = Alias(
+                Sum(Cast(avg.child, DoubleType)).toAggregateExpression(),
+                s"__p$partialIdx")()
+              partialIdx += 1
+              val pCnt = Alias(
+                Count(avg.child).toAggregateExpression(), s"__p$partialIdx")()
+              val merge: Seq[Attribute] => Expression = attrs =>
+                Divide(
+                  Sum(attrs(0)).toAggregateExpression(),
+                  Cast(Sum(attrs(1)).toAggregateExpression(), DoubleType))
+              (Seq(pSum, pCnt), merge, ne)
+            case fn =>
+              partialIdx += 1
+              val p = Alias(ae, s"__p$partialIdx")()
+              val merge: Seq[Attribute] => Expression = fn match {
+                case _: Count => attrs => Sum(attrs.head).toAggregateExpression()
+                case _: Sum => attrs => Sum(attrs.head).toAggregateExpression()
+                case _: Min => attrs => Min(attrs.head).toAggregateExpression()
+                case _: Max => attrs => Max(attrs.head).toAggregateExpression()
+                case other => throw new IllegalStateException(s"unexpected $other")
+              }
+              (Seq(p), merge, ne)
           }
-          (Seq(p), merge, ne)
       }
     }
     val partials = mapped.flatMap(_._1)
@@ -205,8 +224,7 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
             }.asInstanceOf[NamedExpression]
         }
       } else {
-        val pAttr = ps.head.toAttribute
-        Alias(merge(Seq(pAttr)), orig.name)(exprId = orig.exprId)
+        Alias(merge(ps.map(_.toAttribute)), orig.name)(exprId = orig.exprId)
       }
     }
     Aggregate(wsAttr +: keys, finalAggs, gen)

@@ -14,9 +14,10 @@ class PaneRewriteSpec extends SparkTestBase {
   private def sliding(): DataFrame = Tables.events(spark, sfDir)
     .groupBy(window(col("ts"), "3600 seconds", "60 seconds"), col("event_type"))
     .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
-         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+         min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+         avg(col("value")).as("avg_v"))
     .select(col("window.start").cast("long").as("ws"), col("event_type"),
-      col("cnt"), col("sum_v"), col("min_v"), col("max_v"))
+      col("cnt"), col("sum_v"), col("min_v"), col("max_v"), col("avg_v"))
 
   private def withRule[A](f: => A): A = {
     spark.experimental.extraOptimizations = Seq(PaneRewrite())
@@ -39,15 +40,13 @@ class PaneRewriteSpec extends SparkTestBase {
         "min/max differ")
       assert(math.abs(r.getDouble(3) - p.getDouble(3)) < 1e-6,
         s"sum differs beyond reassociation tolerance: ${r.getDouble(3)} vs ${p.getDouble(3)}")
+      assert(math.abs(r.getDouble(6) - p.getDouble(6)) < 1e-9,
+        s"avg differs beyond reassociation tolerance: ${r.getDouble(6)} vs ${p.getDouble(6)}")
     }
   }
 
-  test("leaves AVG, tumbling, and distinct aggregations untouched") {
+  test("leaves tumbling and distinct aggregations untouched") {
     withRule {
-      val avgQ = Tables.events(spark, sfDir)
-        .groupBy(window(col("ts"), "3600 seconds", "60 seconds"))
-        .agg(avg(col("value")).as("a"))
-      assert(!avgQ.queryExecution.optimizedPlan.treeString.contains("__pane"))
       val tumb = Tables.events(spark, sfDir)
         .groupBy(window(col("ts"), "600 seconds"))
         .agg(count(lit(1)).as("c"))
@@ -57,7 +56,7 @@ class PaneRewriteSpec extends SparkTestBase {
         .agg(countDistinct(col("user_id")).as("c"))
       assert(!dist.queryExecution.optimizedPlan.treeString.contains("__pane"))
       // and they still execute correctly
-      assert(avgQ.count() > 0 && tumb.count() > 0 && dist.count() > 0)
+      assert(tumb.count() > 0 && dist.count() > 0)
     }
   }
 }
