@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join: each right row pairs with the latest left row of the same key
+  * whose timestamp is ≤ the right row's (the standard event-enrichment /
+  * point-in-time-lookup operator — one of the joins Spark lacks natively;
+  * DuckDB's ASOF JOIN is the oracle).
+  *
+  * Implementation composes built-ins (preference (a) of the custom-operator
+  * ladder): tag and union both sides, sort within each key partition by
+  * (ts, side) — left-before-right on ties, so equal timestamps match — and
+  * carry the last left payload forward with a running `last(ignoreNulls)`.
+  * One hash shuffle + per-key sort; no range-join quadratic blowup, skew
+  * bounded by the hottest key like any keyed sort.
+  *
+  * Output: the right row's columns plus an `asof` struct of the matched left
+  * row (inner semantics: unmatched right rows are dropped).
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTs).cast("long").as("__t"),
+      lit(0).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTs).cast("long").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.union(rTagged)
+      .withColumn("asof", last(col("__l"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("asof").isNotNull)
+      .select(col("__r.*"), col("asof"))
+  }
+}

@@ -306,6 +306,29 @@ object ReferenceQueries {
       | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
       | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
 
+  /** As-of join (beyond the reference; the classic point-in-time lookup):
+    * each purchase enriched with the user's latest prior-or-simultaneous
+    * click. Oracle: DuckDB's native ASOF JOIN.
+    */
+  val qAsOfJoin = Fixture(
+    "q_asof_join",
+    (s, d) => {
+      val e = ev(s, d).withColumn("eu", unix_micros(col("ts")))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("eu"), col("event_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("eu"), col("event_id"))
+      AsOfJoin.asOf(l, r, "user_id", "eu", "eu")
+        .select(col("event_id").as("r_id"), col("user_id"),
+          col("eu").as("r_eu"), col("asof.event_id").as("l_id"),
+          col("asof.eu").as("l_eu"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS eu FROM events),
+      | l AS (SELECT event_id AS l_id, user_id, eu AS l_eu FROM e WHERE event_type = 'click'),
+      | r AS (SELECT event_id AS r_id, user_id, eu AS r_eu FROM e WHERE event_type = 'purchase')
+      | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
+      | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
+
   // -------------------------------------------------------------- micro ops
 
   /** O1 NoOp: identity copy (ts normalized to epoch seconds for compare). */
@@ -464,7 +487,7 @@ object ReferenceQueries {
     qSg1, qSg2, qSg3, qSg3Join,
     qLrb1, qLrb2,
     qYsb, qMe1, qNbq5,
-    qJoinTheta,
+    qJoinTheta, qAsOfJoin,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding,

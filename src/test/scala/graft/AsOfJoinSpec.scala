@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("asof picks the latest left row at or before each right row") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "x"))
+      .toDF("k", "t", "v")
+    val r = Seq((1L, 25L, "p"), (1L, 20L, "q"), (1L, 9L, "early"), (2L, 100L, "y"), (3L, 50L, "nomatch"))
+      .toDF("k", "t", "w")
+    val got = AsOfJoin.asOf(l, r, "k", "t", "t")
+      .select(col("w"), col("asof.v")).as[(String, String)].collect().toMap
+    // p@25 -> b@20; q@20 ties with b@20 -> b (ties match); early@9 -> dropped;
+    // y@100 -> x@5; nomatch key 3 -> dropped
+    assert(got == Map("p" -> "b", "q" -> "b", "y" -> "x"))
+  }
+
+  test("asof over events: every match is at or before, and is the latest") {
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+      .withColumn("eu", unix_micros(col("ts")))
+    val l = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("eu"), col("event_id"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("eu"), col("event_id"))
+    val j = AsOfJoin.asOf(l, r, "user_id", "eu", "eu")
+    assert(j.where(col("asof.eu") > col("eu")).count() == 0, "matched a future row")
+    // no left row of the same user lies strictly between match and right ts
+    val better = j.join(l.select(col("user_id").as("u2"), col("eu").as("l2")),
+        col("user_id") === col("u2") && col("l2") > col("asof.eu") && col("l2") <= col("eu"))
+    assert(better.count() == 0, "a later eligible left row was skipped")
+    assert(j.count() > 0)
+  }
+}
