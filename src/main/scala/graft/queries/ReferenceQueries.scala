@@ -329,6 +329,58 @@ object ReferenceQueries {
       | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
       | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
 
+  /** 2-into-1 query DAG (ref LRB3.cpp:776, ckpt SG3.cpp:1058-1059 — two
+    * upstream queries connectTo one downstream): two independent windowed
+    * aggregations union into a third aggregation over their combined output.
+    */
+  val qDagUnion = Fixture(
+    "q_dag_union_2to1",
+    (s, d) => {
+      val e = ev(s, d)
+      val clicks = TimeWindows.aggregate(
+        e.filter(col("event_type") === "click"), col("ts"), 600, 600,
+        Seq.empty, Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+        .withColumn("src", lit("click"))
+      val purchases = TimeWindows.aggregate(
+        e.filter(col("event_type") === "purchase"), col("ts"), 600, 600,
+        Seq.empty, Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+        .withColumn("src", lit("purchase"))
+      clicks.union(purchases)
+        .groupBy("ws")
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_streams"),
+          max(col("cnt")).as("max_stream"))
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_type FROM events),
+      | c AS (SELECT (es // 600) * 600 AS ws, count(*) AS cnt FROM e WHERE event_type = 'click' GROUP BY 1),
+      | p AS (SELECT (es // 600) * 600 AS ws, count(*) AS cnt FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      | u AS (SELECT * FROM c UNION ALL SELECT * FROM p)
+      | SELECT ws, sum(cnt)::BIGINT AS total, count(*) AS n_streams, max(cnt) AS max_stream
+      | FROM u GROUP BY ws""".stripMargin))
+
+  /** W_AVG (ref AggregationType.h:12 — the weighted-average enum member only
+    * reachable through the codegen-tree classes): Σ(value·w)/Σw per window,
+    * weight derived deterministically.
+    */
+  val qWeightedAvg = Fixture(
+    "q_weighted_avg",
+    (s, d) => {
+      val e = ev(s, d)
+        .withColumn("w", (pmod(col("user_id"), lit(5)) + lit(1)).cast("double"))
+      TimeWindows.aggregate(e, col("ts"), 3600, 3600,
+        Seq("event_type"),
+        Seq(AggSpec(AggFn.Sum, col("value") * col("w"), "sum_vw", Some(4)),
+            AggSpec(AggFn.Sum, col("w"), "sum_w", Some(4))))
+        .withColumn("w_avg", Quant.q4(col("sum_vw") / col("sum_w")))
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_type, value,
+      |   ((user_id % 5) + 1)::DOUBLE AS w FROM events),
+      | a AS (SELECT (es // 3600) * 3600 AS ws, event_type,
+      |         ${Quant.sql("sum(value * w)")} AS sum_vw,
+      |         ${Quant.sql("sum(w)")} AS sum_w
+      |       FROM e GROUP BY 1, 2)
+      | SELECT ws, event_type, sum_vw, sum_w, ${Quant.sql("sum_vw / sum_w")} AS w_avg
+      | FROM a""".stripMargin))
+
   // -------------------------------------------------------------- micro ops
 
   /** O1 NoOp: identity copy (ts normalized to epoch seconds for compare). */
@@ -487,7 +539,7 @@ object ReferenceQueries {
     qSg1, qSg2, qSg3, qSg3Join,
     qLrb1, qLrb2,
     qYsb, qMe1, qNbq5,
-    qJoinTheta, qAsOfJoin,
+    qJoinTheta, qAsOfJoin, qDagUnion, qWeightedAvg,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding,
