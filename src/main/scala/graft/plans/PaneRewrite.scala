@@ -33,20 +33,60 @@ import org.apache.spark.sql.types._
 case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groupExprs, aggExprs, expand: Expand, _)
-        if applicable(agg, expand).isDefined =>
-      rewrite(agg, expand, applicable(agg, expand).get)
+    case agg: Aggregate if applicable(agg).isDefined =>
+      val m = applicable(agg).get
+      rewrite(agg, m.expand, m)
   }
 
-  /** (windowAttr, windowIdx, startLongExpr, slideUs, sizeUs). */
+  /** (windowAttr, windowIdx, startLongExpr, slideUs, sizeUs, paneUs, expand). */
   private case class Match(
       windowAttr: Attribute,
       windowIdx: Int,
       startLong: Expression,
       slideUs: Long,
-      sizeUs: Long)
+      sizeUs: Long,
+      paneUs: Long,
+      expand: Expand)
 
-  private def applicable(agg: Aggregate, expand: Expand): Option[Match] = {
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The filter TimeWindowing inserts above Expand when slide ∤ size
+    * (`ts >= window.start && ts < window.end` plus isnotnull guards) drops
+    * the over-generated (row, window) pairs from the ceil(size/slide)-fold
+    * expansion. The pane rewrite only ever generates truly-containing
+    * windows, so this exact filter — and nothing else — may be subsumed.
+    */
+  private def isValidityFilter(
+      cond: Expression, winAttr: Attribute, timeCol: Expression): Boolean =
+    conjuncts(cond).forall {
+      case n: IsNotNull => n.references.subsetOf(AttributeSet(Seq(winAttr)))
+      case GreaterThanOrEqual(t, g: GetStructField)
+          if g.ordinal == 0 && g.child.references.subsetOf(AttributeSet(Seq(winAttr))) =>
+        t.semanticEquals(timeCol)
+      case LessThan(t, g: GetStructField)
+          if g.ordinal == 1 && g.child.references.subsetOf(AttributeSet(Seq(winAttr))) =>
+        t.semanticEquals(timeCol)
+      case _ => false
+    }
+
+  private def applicable(agg: Aggregate): Option[Match] = {
+    // unwrap the child: a bare Expand (slide | size), or — for slide ∤ size —
+    // Expand under TimeWindowing's validity Filter and an optional
+    // column-pruning Project (attributes only)
+    val (expand, validityCond) = agg.child match {
+      case e: Expand => (e, None)
+      case Project(pl, Filter(cond, e: Expand)) if pl.forall(_.isInstanceOf[Attribute]) =>
+        (e, Some(cond))
+      case Filter(cond, e: Expand) => (e, Some(cond))
+      case Project(pl, e: Expand) if pl.forall(_.isInstanceOf[Attribute]) => (e, None)
+      case _ => return None
+    }
     val n = expand.projections.length
     if (n < minExpansion) return None
 
@@ -100,8 +140,20 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
       case Remainder(_, Literal(v: Long, LongType), _) => v
     }.getOrElse(return None)
 
-    if (slideUs <= 0 || sizeUs <= 0 || sizeUs % slideUs != 0 ||
-        (sizeUs / slideUs) != n.toLong) return None
+    if (slideUs <= 0 || sizeUs <= slideUs) return None
+    // n must be exactly the ceil(size/slide) projections TimeWindowing emits
+    if (((sizeUs + slideUs - 1) / slideUs) != n.toLong) return None
+    val paneUs = gcd(sizeUs, slideUs)
+    validityCond match {
+      case None =>
+        // without a validity filter the n-fold expansion must be exact
+        if (sizeUs % slideUs != 0) return None
+      case Some(cond) =>
+        val timeCol = startLong.collectFirst {
+          case p: PreciseTimestampConversion if p.toType == LongType => p.child
+        }.getOrElse(return None)
+        if (!isValidityFilter(cond, winAttr, timeCol)) return None
+    }
 
     // every projection i's start must be startLong − i·slide (sanity on a
     // couple of probes; structure already pinned by nonWindowStable + n)
@@ -116,23 +168,23 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
     }
     if (!probeOk) return None
 
-    // aggregate functions must be mergeable
+    // EVERY aggregate in every output expression must be mergeable (an output
+    // may wrap aggregates in arithmetic, e.g. sum(x)*2 or sum(x)/count(y) —
+    // each inner aggregate is rewritten in place, so all must qualify)
     val aggsOk = agg.aggregateExpressions.forall { ne =>
-      ne.collectFirst { case ae: AggregateExpression => ae } match {
-        case None => true // plain grouping column reference
-        case Some(ae) =>
-          !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-            case _: Count => true
-            case s: Sum => !s.dataType.isInstanceOf[DecimalType]
-            case _: Min | _: Max => true
-            case a: Average => !a.dataType.isInstanceOf[DecimalType]
-            case _ => false
-          }) && !ae.references.contains(winAttr)
+      ne.collect { case ae: AggregateExpression => ae }.forall { ae =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case _: Count => true
+          case s: Sum => !s.dataType.isInstanceOf[DecimalType]
+          case _: Min | _: Max => true
+          case a: Average => !a.dataType.isInstanceOf[DecimalType]
+          case _ => false
+        }) && !ae.references.contains(winAttr)
       }
     }
     if (!aggsOk) return None
 
-    Some(Match(winAttr, winIdx, startLong, slideUs, sizeUs))
+    Some(Match(winAttr, winIdx, startLong, slideUs, sizeUs, paneUs, expand))
   }
 
   /** TimeWindowing folds `x − 0` away in projection 0 but not in later
@@ -150,82 +202,123 @@ case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
       case a: Attribute if a.exprId != m.windowAttr.exprId => a
     }
 
-    // level 1: partial aggregation per pane (+ keys)
+    // level 1: partial aggregation per pane (+ keys). Collect every distinct
+    // aggregate across ALL output expressions (an output may embed several,
+    // e.g. sum(x)/count(y)); each gets pane partials and a merge expression
+    // that is later substituted back into the original output tree, so any
+    // wrapper arithmetic around the aggregate is preserved verbatim.
     val paneAlias = Alias(m.startLong, "__pane")()
     var partialIdx = 0
-    // original agg output name/exprId -> (partial aliases, merge builder)
-    val mapped = agg.aggregateExpressions.map { ne =>
-      val aeOpt = ne.collectFirst { case ae: AggregateExpression => ae }
-      aeOpt match {
-        case None => (Seq.empty[NamedExpression], null: (Seq[Attribute] => Expression), ne)
-        case Some(ae) =>
-          ae.aggregateFunction match {
-            case avg: Average =>
-              // AVG decomposes into (sum of doubles, count); the merge is
-              // Σsums / Σcounts — Average's own sum-in-double semantics.
-              partialIdx += 1
-              val pSum = Alias(
-                Sum(Cast(avg.child, DoubleType)).toAggregateExpression(),
-                s"__p$partialIdx")()
-              partialIdx += 1
-              val pCnt = Alias(
-                Count(avg.child).toAggregateExpression(), s"__p$partialIdx")()
-              val merge: Seq[Attribute] => Expression = attrs =>
-                Divide(
-                  Sum(attrs(0)).toAggregateExpression(),
-                  Cast(Sum(attrs(1)).toAggregateExpression(), DoubleType))
-              (Seq(pSum, pCnt), merge, ne)
-            case fn =>
-              partialIdx += 1
-              val p = Alias(ae, s"__p$partialIdx")()
-              val merge: Seq[Attribute] => Expression = fn match {
-                case _: Count => attrs => Sum(attrs.head).toAggregateExpression()
-                case _: Sum => attrs => Sum(attrs.head).toAggregateExpression()
-                case _: Min => attrs => Min(attrs.head).toAggregateExpression()
-                case _: Max => attrs => Max(attrs.head).toAggregateExpression()
-                case other => throw new IllegalStateException(s"unexpected $other")
-              }
-              (Seq(p), merge, ne)
-          }
-      }
+    val distinctAes = scala.collection.mutable.LinkedHashMap.empty[Expression, AggregateExpression]
+    agg.aggregateExpressions.foreach { ne =>
+      ne.collect { case ae: AggregateExpression => ae }
+        .foreach(ae => distinctAes.getOrElseUpdate(ae.canonicalized, ae))
     }
-    val partials = mapped.flatMap(_._1)
-    val paneAttr = paneAlias.toAttribute
-    val level1 = Aggregate(paneAttr +: keys,
-      (paneAttr +: keys) ++ partials,
-      Project(child.output :+ paneAlias, child))
+    // canonicalized agg -> (partial aliases, merged replacement expression)
+    val planned: Seq[(Expression, Seq[NamedExpression], Seq[Attribute] => Expression)] =
+      distinctAes.toSeq.map { case (canon, ae) =>
+        ae.aggregateFunction match {
+          case avg: Average =>
+            // AVG decomposes into (sum of doubles, count); the merge is
+            // Σsums / Σcounts — Average's own sum-in-double semantics.
+            partialIdx += 1
+            val pSum = Alias(
+              Sum(Cast(avg.child, DoubleType)).toAggregateExpression(),
+              s"__p$partialIdx")()
+            partialIdx += 1
+            val pCnt = Alias(
+              Count(avg.child).toAggregateExpression(), s"__p$partialIdx")()
+            val merge: Seq[Attribute] => Expression = attrs =>
+              Divide(
+                Sum(attrs(0)).toAggregateExpression(),
+                Cast(Sum(attrs(1)).toAggregateExpression(), DoubleType))
+            (canon, Seq(pSum, pCnt), merge)
+          case fn =>
+            partialIdx += 1
+            val p = Alias(ae, s"__p$partialIdx")()
+            val merge: Seq[Attribute] => Expression = fn match {
+              case _: Count => attrs => Sum(attrs.head).toAggregateExpression()
+              case _: Sum => attrs => Sum(attrs.head).toAggregateExpression()
+              case _: Min => attrs => Min(attrs.head).toAggregateExpression()
+              case _: Max => attrs => Max(attrs.head).toAggregateExpression()
+              case other => throw new IllegalStateException(s"unexpected $other")
+            }
+            (canon, Seq(p), merge)
+        }
+      }
+    val partials = planned.flatMap(_._2)
+    val mergeFor: Map[Expression, Expression] = planned.map { case (canon, ps, merge) =>
+      canon -> merge(ps.map(_.toAttribute))
+    }.toMap
 
-    // expansion: pane → its n window starts (µs), via explode(sequence)
+    // expansion: pane → its containing window starts (µs), via
+    // explode(sequence). When slide | size the pane IS the projection-0
+    // window start and every pane is in exactly n windows; for the general
+    // gcd pane (slide ∤ size) the pane is startLong rounded down to the
+    // gcd grid, grouped together with __ws0 (= startLong, constant within a
+    // pane since slide-grid points never fall strictly inside a pane), and
+    // the covering-window starts are sequence(firstWs, ws0, slide) with
+    // firstWs = ws0 − slide·⌊(ws0 − (pane + g − size)) / slide⌋ — only
+    // windows that fully cover the pane, which is exactly row containment
+    // because window bounds land on the gcd grid.
     val wsAttr = AttributeReference("__ws", LongType, nullable = false)()
-    val seq = new Sequence(
-      Subtract(paneAttr, Literal((n - 1).toLong * m.slideUs, LongType)),
-      paneAttr,
-      Some(Literal(m.slideUs, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+    val (level1, seq) = if (m.paneUs == m.slideUs) {
+      val paneAttr = paneAlias.toAttribute
+      val l1 = Aggregate(paneAttr +: keys,
+        (paneAttr +: keys) ++ partials,
+        Project(child.output :+ paneAlias, child))
+      val s = new Sequence(
+        Subtract(paneAttr, Literal((n - 1).toLong * m.slideUs, LongType)),
+        paneAttr,
+        Some(Literal(m.slideUs, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+      (l1, s)
+    } else {
+      val g = m.paneUs
+      val tsUs = m.startLong.collectFirst {
+        case p: PreciseTimestampConversion if p.toType == LongType => p
+      }.get // presence proven in applicable()
+      val genPane = Add(m.startLong,
+        Multiply(Literal(g, LongType),
+          IntegralDivide(Subtract(tsUs, m.startLong), Literal(g, LongType))))
+      val gPaneAlias = Alias(genPane, "__pane")()
+      val ws0Alias = Alias(m.startLong, "__ws0")()
+      val paneAttr = gPaneAlias.toAttribute
+      val ws0Attr = ws0Alias.toAttribute
+      val l1 = Aggregate(Seq(paneAttr, ws0Attr) ++ keys,
+        (Seq(paneAttr, ws0Attr) ++ keys) ++ partials,
+        Project(child.output ++ Seq(gPaneAlias, ws0Alias), child))
+      val span = Subtract(ws0Attr,
+        Subtract(Add(paneAttr, Literal(g, LongType)), Literal(m.sizeUs, LongType)))
+      val firstWs = Subtract(ws0Attr,
+        Multiply(Literal(m.slideUs, LongType),
+          IntegralDivide(span, Literal(m.slideUs, LongType))))
+      val s = new Sequence(firstWs, ws0Attr,
+        Some(Literal(m.slideUs, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+      (l1, s)
+    }
     val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(wsAttr), child = level1)
 
-    // level 2: merge per (ws, keys); rebuild original output attrs. The
-    // window struct is reconstructed from ws; any pass-through expression
-    // that referenced the old window attribute (e.g. a collapsed
+    // level 2: merge per (ws, keys); rebuild original output exprs by
+    // substituting each inner aggregate with its merge form IN PLACE — any
+    // wrapper arithmetic (sum(x)*2, sum(x)/count(y)) survives untouched.
+    // The window struct is reconstructed from ws; any pass-through
+    // expression that referenced the old window attribute (e.g. a collapsed
     // window.start projection) gets the rebuilt struct substituted in.
     val structExpr = CreateNamedStruct(Seq(
       Literal("start"), PreciseTimestampConversion(wsAttr, LongType, TimestampType),
       Literal("end"), PreciseTimestampConversion(
         Add(wsAttr, Literal(m.sizeUs, LongType)), LongType, TimestampType)))
-    val finalAggs: Seq[NamedExpression] = mapped.map { case (ps, merge, orig) =>
-      if (ps.isEmpty) {
-        orig match {
-          case a: Attribute if a.exprId == m.windowAttr.exprId =>
-            Alias(structExpr, a.name)(exprId = a.exprId)
-          case a: Attribute => a
-          case other =>
-            other.transformDown {
-              case att: Attribute if att.exprId == m.windowAttr.exprId => structExpr
-            }.asInstanceOf[NamedExpression]
-        }
-      } else {
-        Alias(merge(ps.map(_.toAttribute)), orig.name)(exprId = orig.exprId)
-      }
+    val finalAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if a.exprId == m.windowAttr.exprId =>
+        Alias(structExpr, a.name)(exprId = a.exprId)
+      case a: Attribute => a
+      case other =>
+        other.transformDown {
+          case ae: AggregateExpression if mergeFor.contains(ae.canonicalized) =>
+            mergeFor(ae.canonicalized)
+          case att: Attribute if att.exprId == m.windowAttr.exprId => structExpr
+        }.asInstanceOf[NamedExpression]
     }
     Aggregate(wsAttr +: keys, finalAggs, gen)
   }

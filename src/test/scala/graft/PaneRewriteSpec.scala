@@ -19,15 +19,15 @@ class PaneRewriteSpec extends SparkTestBase {
     .select(col("window.start").cast("long").as("ws"), col("event_type"),
       col("cnt"), col("sum_v"), col("min_v"), col("max_v"), col("avg_v"))
 
-  private def withRule[A](f: => A): A = {
-    spark.experimental.extraOptimizations = Seq(PaneRewrite())
+  private def withRule[A](minExpansion: Int = 4)(f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(PaneRewrite(minExpansion))
     try f finally spark.experimental.extraOptimizations = Nil
   }
 
   test("rewrites sliding window agg and preserves results") {
     val plain = sliding().collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
-    val (fired, rows) = withRule {
+    val (fired, rows) = withRule() {
       val df = sliding()
       (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
     }
@@ -45,8 +45,75 @@ class PaneRewriteSpec extends SparkTestBase {
     }
   }
 
+  private def wrapped(): DataFrame = Tables.events(spark, sfDir)
+    .groupBy(window(col("ts"), "3600 seconds", "60 seconds"), col("event_type"))
+    .agg((sum(col("value")) * lit(2.0)).as("s2"),
+         (sum(col("value")) / count(lit(1))).as("ratio"),
+         (count(lit(1)) + lit(7L)).as("cnt7"))
+    .select(col("window.start").cast("long").as("ws"), col("event_type"),
+      col("s2"), col("ratio"), col("cnt7"))
+
+  test("preserves wrapper arithmetic and multi-aggregate expressions") {
+    val plain = wrapped().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val (fired, rows) = withRule() {
+      val df = wrapped()
+      (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
+    }
+    assert(fired, "rule did not fire on wrapped-aggregate sliding window")
+    assert(rows.length == plain.size)
+    rows.foreach { r =>
+      val p = plain((r.getLong(0), r.getString(1)))
+      assert(math.abs(r.getDouble(2) - p.getDouble(2)) < 1e-6,
+        s"sum*2 differs: ${r.getDouble(2)} vs ${p.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - p.getDouble(3)) < 1e-9,
+        s"sum/count differs: ${r.getDouble(3)} vs ${p.getDouble(3)}")
+      assert(r.getLong(4) == p.getLong(4), "count+7 differs")
+    }
+  }
+
+  private def slide90x60(): DataFrame = Tables.events(spark, sfDir)
+    .groupBy(window(col("ts"), "90 seconds", "60 seconds"), col("event_type"))
+    .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
+         min(col("value")).as("min_v"))
+    .select(col("window.start").cast("long").as("ws"), col("event_type"),
+      col("cnt"), col("sum_v"), col("min_v"))
+
+  test("rewrites slide-not-dividing-size windows via the gcd pane") {
+    val plain = slide90x60().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val (fired, rows) = withRule(minExpansion = 2) {
+      val df = slide90x60()
+      (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
+    }
+    assert(fired, "rule did not fire on a 90s/60s window (gcd pane = 30s)")
+    assert(rows.length == plain.size, s"${rows.length} vs ${plain.size} windows")
+    rows.foreach { r =>
+      val p = plain((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == p.getLong(2), s"cnt differs at ws=${r.getLong(0)}")
+      assert(r.getDouble(4) == p.getDouble(4), "min differs")
+      assert(math.abs(r.getDouble(3) - p.getDouble(3)) < 1e-6,
+        "sum differs beyond reassociation tolerance")
+    }
+  }
+
+  test("fires below a HAVING-style filter above the window aggregate") {
+    val plain = sliding().filter(col("cnt") > 50).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val (fired, rows) = withRule() {
+      val df = sliding().filter(col("cnt") > 50)
+      (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
+    }
+    assert(fired, "rule did not fire beneath a filter above the aggregate")
+    assert(rows.length == plain.size)
+    rows.foreach { r =>
+      val p = plain((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == p.getLong(2), "cnt differs")
+    }
+  }
+
   test("leaves tumbling and distinct aggregations untouched") {
-    withRule {
+    withRule() {
       val tumb = Tables.events(spark, sfDir)
         .groupBy(window(col("ts"), "600 seconds"))
         .agg(count(lit(1)).as("c"))
