@@ -47,4 +47,66 @@ object CountWindows {
       else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
     w.rowsBetween(-(size - 1), 0)
   }
+
+  @annotation.tailrec
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
+  /** Generic ROW_BASED sliding window `(size, slide)` with slide > 1 —
+    * reference WindowDefinition.h:13 (arbitrary row size/slide, exercised by
+    * test/benchmarks/microbenchmarks/TestAggregation.cpp). Window k of a key
+    * covers that key's rows [k·slide, k·slide + size) in (orderBy) order;
+    * only complete windows (exactly `size` rows — the reference emits a row
+    * window when it closes) are returned, keyed by `wid` = k.
+    *
+    * Scale shape — panes, not row expansion: rows first reduce to panes of
+    * g = gcd(size, slide) consecutive rows (partial aggregates), then each
+    * pane explodes to just the windows that contain it (window bounds are
+    * multiples of slide, hence of g, so a pane is always wholly in or out of
+    * a window), and pane partials merge per (key, wid). The ×(size/slide)
+    * expansion therefore applies to |rows|/g pane partials, not raw rows —
+    * the row analog of TimeWindows.aggregatePaned. The per-key sort for
+    * row_number is inherent to ROW_BASED semantics (same in the reference,
+    * whose slot ring serializes per-stream order).
+    */
+  def slidingAgg(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[Column],
+      size: Int,
+      slide: Int,
+      aggs: Seq[AggSpec]): DataFrame = {
+    require(size > 0 && slide > 0 && slide < size,
+      s"need 0 < slide < size, got size=$size slide=$slide (use tumblingIds for slide == size)")
+    val g = gcd(size, slide)
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val keys = partitionBy.map(col)
+
+    // pane id = floor(rowIdx / g); pane partials per (key, pane)
+    val paned = df
+      .withColumn("__i", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__pane", (col("__i") / lit(g)).cast("long"))
+      .groupBy((keys :+ col("__pane")): _*)
+      .agg(count(lit(1)).as("__p_rows"),
+        aggs.flatMap(_.partialCols).map { case (n, c) => c.as(n) }: _*)
+
+    // pane p (rows [p·g, p·g + g)) is inside window k iff
+    //   k·slide ≤ p·g  and  p·g + g ≤ k·slide + size
+    // ⇒ k ∈ [ max(0, ⌈(p·g + g − size)/slide⌉), ⌊p·g/slide⌋ ]
+    val pg = col("__pane") * lit(g.toLong)
+    val hi = (pg / lit(slide.toLong)).cast("long")
+    val loNum = pg + lit(g.toLong) - lit(size.toLong)
+    val lo = greatest(lit(0L),
+      ((loNum + lit(slide.toLong) - lit(1L)) / lit(slide.toLong)).cast("long"))
+    val exploded = paned
+      .withColumn("wid", explode(sequence(lo, hi)))
+
+    // merge pane partials per (key, wid); keep only closed (complete) windows
+    exploded
+      .groupBy((keys :+ col("wid")): _*)
+      .agg(sum(col("__p_rows")).as("__rows"), aggs.map(_.finalCol): _*)
+      .where(col("__rows") === size.toLong)
+      .drop("__rows")
+  }
 }

@@ -24,8 +24,4 @@ object SqlGen {
   def wsExpand(size: Long, slide: Long): String =
     s"unnest(generate_series(((es - $size + $slide) // $slide) * $slide, (es // $slide) * $slide, $slide)) AS ws"
 
-  /** Deterministic 4-decimal AVG (see AggSpec.toColumn): round the sum —
-    * exact on the testdata's 2-decimal grid — before dividing.
-    */
-  def avg4(x: String): String = s"round(round(sum($x), 4) / count($x), 4)"
 }

@@ -476,6 +476,30 @@ object ReferenceQueries {
       | WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
       |   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  /** A4 generic keyed sliding count window (size 50, slide 10) — reference
+    * WindowDefinition.h:13's arbitrary ROW_BASED (size, slide); only closed
+    * (complete) windows emit, matching the reference's row-window close.
+    */
+  val qCountSlidingS = Fixture(
+    "q_count_window_sliding_s",
+    (s, d) => CountWindows.slidingAgg(
+      ev(s, d).select(col("es"), col("event_id"), col("user_id"), col("value")),
+      partitionBy = Seq("user_id"),
+      orderBy = Seq(col("es"), col("event_id")),
+      size = 50, slide = 10,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))),
+    Some(s"""WITH src AS (SELECT ${es("ts")} AS es, event_id, user_id, value FROM events),
+      | n AS (SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) - 1 AS i
+      |       FROM src),
+      | e AS (SELECT user_id, value,
+      |         unnest(generate_series(greatest(0, (i - 50 + 10) // 10), i // 10)) AS wid
+      |       FROM n)
+      | SELECT user_id, wid, count(*) AS cnt,
+      |        floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_v
+      | FROM e GROUP BY 1, 2 HAVING count(*) = 50""".stripMargin))
+
   /** Session (gap) windows — completes the reference's window-type enum
     * (WindowDefinition.h:14 declares SESSION but never uses it): per-user
     * sessions with a 1800 s gap.
@@ -542,6 +566,6 @@ object ReferenceQueries {
     qJoinTheta, qAsOfJoin, qDagUnion, qWeightedAvg,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
-    qCountTumbling, qCountSliding,
+    qCountTumbling, qCountSliding, qCountSlidingS,
     qSessionWindow)
 }

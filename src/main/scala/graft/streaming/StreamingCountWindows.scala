@@ -57,6 +57,50 @@ object StreamingCountWindows {
       }
   }
 
+  case class GenSlideState(nextIdx: Long, recent: Seq[Double])
+
+  /** Streaming generic ROW_BASED sliding window `(size, slide)`, slide > 1 —
+    * the streaming analog of CountWindows.slidingAgg (reference
+    * WindowDefinition.h:13). Per key, rows are numbered in stream order;
+    * window k covers rows [k·slide, k·slide + size) and is emitted when its
+    * last row (index k·slide + size − 1) arrives. State per key is the ring
+    * of the last size − 1 values plus the running row count — O(size) per
+    * key, shuffled by key, the same pending-window footprint as the
+    * reference's fragment state (OperatorKernel.h:1986-2123).
+    */
+  def sliding(
+      spark: SparkSession,
+      stream: DataFrame,
+      size: Int,
+      slide: Int): Dataset[WindowOut] = {
+    require(size > 0 && slide > 0 && slide < size,
+      s"need 0 < slide < size, got size=$size slide=$slide")
+    import spark.implicits._
+    val typed = stream
+      .select(col("user_id"), col("es"), col("event_id"), col("value"))
+      .as[InRow]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GenSlideState, WindowOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[InRow], state: GroupState[GenSlideState]) =>
+          var st = state.getOption.getOrElse(GenSlideState(0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val i = st.nextIdx
+            val window = (st.recent :+ r.value).takeRight(size)
+            // window k closes at row i = k·slide + size − 1
+            if (i >= size - 1 && (i - size + 1) % slide == 0) {
+              val k = (i - size + 1) / slide
+              out += WindowOut(key, k, window.size.toLong, window.sum)
+            }
+            st = GenSlideState(i + 1, window.takeRight(size - 1))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def tumbling(
       spark: SparkSession,
       stream: DataFrame,

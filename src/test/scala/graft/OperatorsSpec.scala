@@ -19,6 +19,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("CountWindows.slidingAgg == naive per-row window expansion") {
+    val src = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("es"), col("event_id"), col("user_id"), col("value"))
+    val (size, slide) = (50, 10)
+    val got = CountWindows.slidingAgg(src,
+      partitionBy = Seq("user_id"),
+      orderBy = Seq(col("es"), col("event_id")),
+      size = size, slide = slide,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)),
+          AggSpec(AggFn.Min, col("value"), "min_v"),
+          AggSpec(AggFn.Avg, col("value"), "avg_v", Some(4))))
+    // naive reference: row i joins every window k with k·slide ≤ i < k·slide+size
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("es"), col("event_id"))
+    val naive = src
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .withColumn("wid", explode(sequence(
+        greatest(lit(0L),
+          ((col("i") - lit(size.toLong) + lit(slide.toLong)) /
+            lit(slide.toLong)).cast("long")),
+        (col("i") / lit(slide.toLong)).cast("long"))))
+      .groupBy("user_id", "wid")
+      .agg(count(lit(1)).as("cnt"),
+        Quant.q4(sum(col("value"))).as("sum_v"),
+        min(col("value")).as("min_v"),
+        Quant.q4(Quant.q4(sum(col("value"))) / count(col("value"))).as("avg_v"))
+      .where(col("cnt") === size.toLong)
+    assertSameRows(got, naive)
+    assert(got.count() > 0, "no complete windows produced")
+  }
+
   test("Joins.windowedTheta honors the time bound") {
     val e = Tables.eventsWithEpoch(spark, sfDir)
     val l = e.select(col("es").as("l_es"), col("user_id"))

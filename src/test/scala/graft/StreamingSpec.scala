@@ -61,6 +61,21 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, batch)
   }
 
+  test("streaming generic sliding count window (size 50, slide 10) == batch slidingAgg") {
+    val stream = Streams.events(spark, sfDir)
+    val out = StreamingCountWindows.sliding(spark, stream, 50, 10).toDF()
+      .withColumn("sum_v", graft.operators.Quant.q4(col("sum_v")))
+    val got = Streams.runToTable(spark, out, "s_count_slide", "append")
+
+    val batch = CountWindows.slidingAgg(
+        Tables.eventsWithEpoch(spark, sfDir)
+          .select(col("es"), col("event_id"), col("user_id"), col("value")),
+        Seq("user_id"), Seq(col("es"), col("event_id")), 50, 10,
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4))))
+    assertSameRows(got, batch)
+  }
+
   test("streaming stream-stream windowed theta join ⊆ batch join") {
     val e = Streams.events(spark, sfDir)
     val l = e.filter(col("event_type") === "click")
