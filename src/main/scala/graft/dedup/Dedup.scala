@@ -37,30 +37,40 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
     * shingles, self-join on shingle (only docs sharing ≥1 shingle ever meet),
-    * count intersections, compute |A∩B| / |A∪B|. Shuffle is bounded by
-    * posting-list sizes, not doc-pairs.
+    * then verify candidates against the full shingle sets. Shuffle is bounded
+    * by posting-list sizes, not doc-pairs.
+    *
+    * `maxDf` is the stop-shingle cap (standard prefix filtering): shingles
+    * appearing in more than maxDf docs are dropped from CANDIDATE GENERATION
+    * only — a shingle with document frequency d contributes d² join pairs, and
+    * web boilerplate makes d huge at corpus scale. Verification still uses the
+    * complete shingle sets, so scores are exact; a true pair is missed only if
+    * it shares nothing but stop-shingles, which at jaccard ≥ minJ would
+    * require both docs to be mostly boilerplate (DedupCapSpec pins pair-set
+    * equality on the fixture corpus at τ = 0.5 and 0.8).
     */
   def jaccardPairs(
-      df: DataFrame, id: String, text: String, n: Int, minJ: Double): DataFrame = {
+      df: DataFrame, id: String, text: String, n: Int, minJ: Double,
+      maxDf: Int = 1000): DataFrame = {
     val sh = shingled(df, id, text, n).cache()
-    val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
-    val a = posts.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
-    val b = posts.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
-    a.join(b, Seq("s"))
+    val posts = sh.select(col(id), explode(col("sh")).as("s"))
+    val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("s")
+    val capped = posts.join(broadcast(stop), Seq("s"), "left_anti")
+    val cand = capped.select(col(id).as("doc_a"), col("s"))
+      .join(capped.select(col(id).as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= minJ)
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh, id, minJ)
   }
 
-  /** MinHash signature via Kirsch-Mitzenmacher double hashing: each shingle
-    * is hashed twice (xxhash64, two seeds) and the i-th hash family is
-    * h1 + i·h2 (Java long wraparound — deterministic). This replaces
-    * numHashes string hashes per shingle with 2, leaving only cheap long
-    * arithmetic in the signature loop. Signature internals are Spark-only:
-    * the oracle verifies the final near-dup pairs, not the signatures.
+  /** MinHash signature, one independent xxhash64 family per seed i: the i-th
+    * hash of shingle s is xxhash64(i, s), so each shingle costs numHashes
+    * codegen'd hash evaluations. (Kirsch-Mitzenmacher h1 + i·h2 double
+    * hashing was tried and measurably degraded banding recall on the fixture
+    * corpus — 252/256 pairs at τ = 0.8 — without being the bottleneck, so the
+    * per-seed rehash stays.) Signature internals are Spark-only: the oracle
+    * verifies the final near-dup pairs, not the signatures.
     */
   def minhashSig(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("sig",
@@ -109,31 +119,46 @@ object Dedup {
 
   /** Near-dup clusters: connected components over a pair relation, labeling
     * every doc with the minimum doc id of its component (the canonical
-    * keeper). Distributed min-label propagation: each round joins labels
-    * across edges and keeps the per-node minimum; rounds needed = component
-    * diameter (near-dup components are tiny cliques, so 1-2). localCheckpoint
-    * truncates lineage between rounds. At 100 TB the same loop runs with
-    * edges/labels as shuffle-partitioned tables — no driver-side data, only a
-    * per-round convergence count.
+    * keeper). Distributed min-label propagation over EDGE-ADJACENT nodes
+    * only — isolated docs (the vast majority of any corpus) never change
+    * labels and are attached at the end with cluster = own id, so each round
+    * shuffles |pair endpoints|, not |docs|. Rounds needed = component
+    * diameter (near-dup components are tiny cliques, so 1-2).
+    *
+    * One materialization per round: the eager localCheckpoint computes the
+    * new labels WITH the previous label carried alongside (`old` — the
+    * labels side of the union contributes its own cluster, propagated rows
+    * contribute null which min() ignores, so min(old) is the previous
+    * label); the convergence count is then a scan of the just-checkpointed
+    * partitions — no second join. At 100 TB the same loop runs with
+    * edges/labels as shuffle-partitioned tables — no driver-side data.
     */
   def clusters(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    // materialize the (symmetrized) edge list once — truncates the candidate
+    // pipeline's lineage so no round recomputes it
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = df.select(col(id).as("node"), col(id).as("cluster"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("cluster"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("cluster").as("cluster"))
+        .select(col("dst").as("node"), col("cluster"),
+          lit(null).cast(labels.schema("cluster").dataType).as("old"))
+      val next = labels
+        .select(col("node"), col("cluster"), col("cluster").as("old"))
+        .union(prop)
+        .groupBy("node")
+        .agg(min("cluster").as("cluster"), min("old").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "node")
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("cluster") < col("old")).count()
+      labels = next.select("node", "cluster")
     }
-    labels.select(col("node").as(id), col("cluster"))
+    df.select(col(id))
+      .join(labels, df(id) === labels("node"), "left")
+      .select(col(id), coalesce(col("cluster"), col(id)).as("cluster"))
   }
 
   /** 48-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according

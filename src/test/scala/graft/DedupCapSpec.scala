@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** The stop-shingle document-frequency cap in Dedup.jaccardPairs prunes
+  * candidate GENERATION only; verification uses full shingle sets. These
+  * specs pin that the cap does not change the emitted pair set on the
+  * fixture corpus (the VERDICT-required recall proof) and that a
+  * deliberately boilerplate-heavy corpus still finds its true pairs.
+  */
+class DedupCapSpec extends SparkTestBase {
+
+  test("df cap leaves the fixture pair set unchanged at τ=0.5 and τ=0.8") {
+    val docs = Tables.documents(spark, sfDir)
+    for (tau <- Seq(0.5, 0.8)) {
+      val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, tau,
+        maxDf = Int.MaxValue)
+      val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, tau,
+        maxDf = 50)
+      assertSameRows(capped, uncapped)
+      assert(uncapped.count() > 0, s"fixture produced no pairs at tau=$tau")
+    }
+  }
+
+  test("true pairs sharing a hot boilerplate shingle survive a binding cap") {
+    import spark.implicits._
+    // 40 docs all share the same boilerplate prefix (shingle df = 40 > cap);
+    // docs 0/1 are near-identical beyond it, the rest are distinct
+    val boiler = "terms of service apply to all content here"
+    val docs = (0 until 40).map { i =>
+      val body =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta eta theta iota kappa run $i"
+        else s"unique document body number $i with entirely distinct wording $i $i"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "true near-dup pair lost to the df cap")
+    // jac for unrelated docs stays below 0.5 — only the true pair emits
+    assert(pairs == Set((0L, 1L)), s"unexpected pairs: $pairs")
+  }
+}
