@@ -43,7 +43,12 @@ case class TopKAgg(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    // NaN is unordered under > so better() is false both ways: a NaN that
+    // entered an underfull buffer could never be evicted. Rank-filter via
+    // row_number drops NaN-scored rows to the bottom; skipping them here
+    // keeps the documented equivalence.
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
+      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** As-of join: each right row pairs with the latest left row of the same key
   * whose timestamp is ≤ the right row's (the standard event-enrichment /
@@ -22,6 +22,17 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** Ordering key: integer columns pass through; TimestampType keeps full
+    * microsecond precision via unix_micros — cast("long") would truncate to
+    * whole seconds and let a right row match a later-in-the-same-second left
+    * row.
+    */
+  private def orderKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -31,12 +42,12 @@ object AsOfJoin {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lTagged = left.select(
-      col(key).as("__k"), col(leftTs).cast("long").as("__t"),
+      col(key).as("__k"), orderKey(left, leftTs).as("__t"),
       lit(0).as("__side"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val rTagged = right.select(
-      col(key).as("__k"), col(rightTs).cast("long").as("__t"),
+      col(key).as("__k"), orderKey(right, rightTs).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(lType).as("__l"),
       struct(right.columns.map(col): _*).as("__r"))

@@ -70,14 +70,38 @@ object Ann {
 
   /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
     * label, …): all-pairs only *inside* each cell, never globally.
+    *
+    * Cell-size bound: a cell of n rows is n² pairs, and cell sizes are
+    * data-dependent — one hot cell at corpus scale is quadratic. Cells larger
+    * than `maxCell` are therefore sub-split by ⌈log₂(n/maxCell)⌉ sign bits of
+    * the leading embedding dimensions (capped at 16), and pairs are emitted
+    * within sub-cells only. Recall semantics: near-identical vectors agree on
+    * sign bits, so true near-dups overwhelmingly co-locate; a pair straddling
+    * a sign boundary (a leading dimension near 0) can be missed. Cells of
+    * IDENTICAL vectors cannot be split by any content-derived key — but their
+    * output is itself quadratic, so that cost is inherent to the contract.
+    * With cells ≤ maxCell the result is exactly all-pairs (the oracle form).
     */
-  def nearDupPairs(embIn: DataFrame, partitionCol: String, minCos: Double): DataFrame = {
+  def nearDupPairs(embIn: DataFrame, partitionCol: String, minCos: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val maxSubBits = 16
     val emb = spread(embIn)
-    val a = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_a"),
+    val sizes = emb.groupBy(col(partitionCol).as("p")).agg(count(lit(1)).as("n"))
+      .withColumn("xb",
+        when(col("n") <= maxCell, lit(0))
+          .otherwise(least(lit(maxSubBits),
+            ceil(log(2.0, col("n").cast("double") / maxCell)).cast("int"))))
+      .select("p", "xb")
+    val keyed = emb
+      .select(col(partitionCol).as("p"), col("vec_id"), col("embedding"))
+      .join(sizes, Seq("p"))
+      .withColumn("__full", signBucket(col("embedding"), maxSubBits))
+      .withColumn("sub", expr("__full & (shiftleft(CAST(1 AS BIGINT), xb) - 1)"))
+    val a = keyed.select(col("p"), col("sub"), col("vec_id").as("vid_a"),
       col("embedding").as("va"))
-    val b = emb.select(col(partitionCol).as("p"), col("vec_id").as("vid_b"),
+    val b = keyed.select(col("p"), col("sub"), col("vec_id").as("vid_b"),
       col("embedding").as("vb"))
-    a.join(b, Seq("p"))
+    a.join(b, Seq("p", "sub"))
       .where(col("vid_a") < col("vid_b"))
       .select(col("vid_a"), col("vid_b"), Quant.q4(cosineFused(col("va"), col("vb"))).as("cos"))
       .where(col("cos") >= minCos)

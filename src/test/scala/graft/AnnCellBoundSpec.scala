@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+/** Ann.nearDupPairs cell-size bound: oversized cells sub-split by sign bits
+  * so no cell is quadratic, while near-identical vectors (which share sign
+  * bits) keep co-locating — the VERDICT-required skewed-cell coverage.
+  */
+class AnnCellBoundSpec extends SparkTestBase {
+
+  test("non-binding bound reproduces exact all-pairs on the fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.nearDupPairs(emb, "label", 0.4, maxCell = Int.MaxValue)
+    val bounded = Ann.nearDupPairs(emb, "label", 0.4) // default 10000, non-binding
+    assertSameRows(bounded, exact)
+  }
+
+  test("a deliberately skewed cell splits yet keeps all planted near-dup pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    // one hot cell: 200 random bases + a scaled copy of each (cosine exactly 1,
+    // identical sign pattern). |values| >= 0.1 keeps signs away from 0 so the
+    // planted pairs never straddle a sign boundary.
+    val rows = (0 until 200).flatMap { i =>
+      val base = Array.fill(dim)((0.1 + 0.9 * rnd.nextDouble()) *
+        (if (rnd.nextBoolean()) 1.0f else -1.0f)).map(_.toFloat)
+      val copy = base.map(v => v * 1.001f)
+      Seq((i.toLong * 2, "hot", base.toSeq), (i.toLong * 2 + 1, "hot", copy.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    // 400 rows, maxCell 50 → 3 extra sign bits (8 sub-cells)
+    val pairs = Ann.nearDupPairs(emb, "label", 0.99, maxCell = 50)
+      .select("vid_a", "vid_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 200).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"lost ${planted.diff(pairs).size} of 200 planted pairs to the cell split")
+  }
+}

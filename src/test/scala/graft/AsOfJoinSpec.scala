@@ -18,6 +18,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map("p" -> "b", "q" -> "b", "y" -> "x"))
   }
 
+  test("asof keeps sub-second ordering on timestamp columns") {
+    import spark.implicits._
+    // left at 1.5 s must NOT match a right row at 1.2 s of the same second,
+    // but must match one at 1.6 s (cast-to-long truncation would match both)
+    val l = Seq((1L, 1500000L, "late-left"), (1L, 1000000L, "early-left"))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("v"))
+    val r = Seq((1L, 1200000L, "mid"), (1L, 1600000L, "after"))
+      .toDF("k", "us", "w")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("w"))
+    val got = AsOfJoin.asOf(l, r, "k", "t", "t")
+      .select(col("w"), col("asof.v")).as[(String, String)].collect().toMap
+    assert(got == Map("mid" -> "early-left", "after" -> "late-left"),
+      s"sub-second ordering violated: $got")
+  }
+
   test("asof over events: every match is at or before, and is the latest") {
     val e = Tables.eventsWithEpoch(spark, sfDir)
       .withColumn("eu", unix_micros(col("ts")))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
+
+/** TopKAgg must match the rank-then-filter form, including on NaN scores
+  * (cosine of a zero-norm vector): NaN is unordered, so an unguarded heap
+  * would trap NaN entries in an underfull buffer and block better rows.
+  */
+class TopKAggSpec extends SparkTestBase {
+
+  test("NaN scores are skipped, not trapped in the heap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Double.NaN, 10L), (1L, 0.5, 11L), (1L, Double.NaN, 12L),
+      (1L, 0.9, 13L), (1L, 0.7, 14L),
+      (2L, Double.NaN, 20L), (2L, Double.NaN, 21L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(TopKAgg.topK(col("score"), col("id"), 2).as("tk"))
+      .select(col("g"), col("tk"))
+      .as[(Long, Seq[(Double, Long)])].collect().toMap
+    assert(got(1L) == Seq((0.9, 13L), (0.7, 14L)),
+      s"NaN polluted the top-k: ${got(1L)}")
+    assert(got(2L).isEmpty, "all-NaN group must yield an empty top-k")
+  }
+
+  test("ties break by ascending id, identical to the row_number form") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 7L), (1L, 0.5, 3L), (1L, 0.5, 9L), (1L, 0.4, 1L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(TopKAgg.topK(col("score"), col("id"), 3).as("tk"))
+      .select(col("tk")).as[Seq[(Double, Long)]].collect().head
+    assert(got == Seq((0.5, 3L), (0.5, 7L), (0.5, 9L)), s"tie order wrong: $got")
+  }
+}
