@@ -6,21 +6,36 @@ import graft.operators.{AggFn, AggSpec}
 import graft.sources.Sources
 import graft.streaming.Streams
 
-/** Throughput harness mirroring the reference's t/sec reporting
-  * (src/monitors/ThroughputMonitor.cpp): replays the events table at full
-  * speed through (a) the micro-batch streaming path (MemoryStream → windowed
-  * agg, the analog of the reference's in-memory replay benchmark loop) and
-  * (b) the batch path (same aggregation shape over the parquet directly).
-  * Prints one JSON line with tuples/sec for both.
+/** Throughput + latency harness mirroring the reference's reporting
+  * (src/monitors/ThroughputMonitor.cpp t/sec; LatencyMonitor.cpp percentile
+  * marks piggybacked on batches, TaskDispatcher.cpp:341-355): replays the
+  * events table at full speed through (a) the micro-batch streaming path
+  * (MemoryStream → windowed agg, the analog of the reference's in-memory
+  * replay benchmark loop) and (b) the batch path (same aggregation shape over
+  * the parquet directly). Prints one JSON line with tuples/sec for both plus
+  * p50/p95/p99 micro-batch latency (trigger-to-commit from
+  * StreamingQueryProgress — ingestion-to-emit for a replayed batch).
+  *
+  * Streaming state lives in the RocksDB state store provider by default
+  * (SPARK_GRAFT_STATE_STORE=memory flips back): keyed window/count state then
+  * spills past heap, the 100 TB-posture configuration.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "memory" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => other // allow a fully-qualified class
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,6 +70,15 @@ object StreamBench {
       q.processAllAvailable()
     }
     val streamSec = (System.nanoTime() - t0) / 1e9
+    // per-batch trigger-to-commit latency (ms) — the replay analog of the
+    // reference's piggybacked latency marks; empty maintenance batches excluded
+    val lat = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .sorted
+    def pct(p: Double): Long =
+      if (lat.isEmpty) -1L
+      else lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
     q.stop()
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
@@ -71,7 +95,9 @@ object StreamBench {
     val n = rows.length.toLong * loops
     println(s"""{"metric":"throughput","tuples":$n,""" +
       s""""stream_sec":$streamSec,"stream_tps":${(n / streamSec).toLong},""" +
-      s""""batch_sec":$batchSec,"batch_tps":${(n / batchSec).toLong},"sf":"$sfDir"}""")
+      s""""batch_sec":$batchSec,"batch_tps":${(n / batchSec).toLong},""" +
+      s""""latency_ms":{"p50":${pct(0.50)},"p95":${pct(0.95)},"p99":${pct(0.99)}},""" +
+      s""""state_store":"${provider.split('.').last}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Opt-in empty-window emission for range-window aggregates — the reference
+  * fills "bubble" windows when timestamps jump (fillEmptyWindows,
+  * src/cql/operators/codeGeneration/OperatorKernel.h:3830-3988, invoked at
+  * :4129-4142), emitting a result row for window starts with no input. Spark's
+  * window() naturally skips empty groups, which FIXTURES.md pinned as a
+  * documented deviation; this post-step closes it.
+  *
+  * Semantics: per key, every slide-aligned window start between that key's
+  * first and last non-empty window is emitted; gap rows carry 0 for the named
+  * count columns and NULL for all other aggregates (the SQL-natural encoding
+  * of "no rows": COUNT is 0, SUM/MIN/MAX/AVG of nothing are NULL).
+  *
+  * Scale shape: the spine is built from the aggregate RESULT (|keys| rows in,
+  * one sequence per key), never from raw input; the left join is keyed on
+  * (keys, ws) — the aggregate's own grouping — so it co-partitions with the
+  * agg output and broadcasts when small.
+  */
+object GapFill {
+
+  /** @param agg       windowed aggregate result (keys ++ ws ++ agg columns)
+    * @param wsCol     window-start column (epoch seconds or any integral grid)
+    * @param slide     window-start step in wsCol units
+    * @param keys      grouping keys of the aggregate (empty = global)
+    * @param countCols aggregate columns that are counts (gap value 0, not NULL)
+    */
+  def fill(
+      agg: DataFrame,
+      wsCol: String,
+      slide: Long,
+      keys: Seq[String],
+      countCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val bounds = agg.groupBy(keyCols: _*)
+      .agg(min(col(wsCol)).as("__lo"), max(col(wsCol)).as("__hi"))
+    val spine = bounds.select(
+      keyCols :+ explode(sequence(col("__lo"), col("__hi"), lit(slide))).as(wsCol): _*)
+    val filled = spine.join(agg, keys :+ wsCol, "left")
+    val outCols: Seq[Column] = agg.columns.toSeq.map { c =>
+      if (countCols.contains(c)) coalesce(col(c), lit(0L)).as(c) else col(c)
+    }
+    filled.select(outCols: _*)
+  }
+}

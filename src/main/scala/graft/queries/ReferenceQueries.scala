@@ -476,6 +476,30 @@ object ReferenceQueries {
       | WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
       |   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  /** Empty-window (bubble) emission, opt-in — reference fillEmptyWindows
+    * (OperatorKernel.h:3830-3988, :4129-4142): sparse input (one user) over
+    * hour windows, every window start between each key's first and last
+    * non-empty window emits; gaps carry cnt = 0, sum_v = NULL.
+    */
+  val qGapFill = Fixture(
+    "q_gap_fill_windows",
+    (s, d) => GapFill.fill(
+      TimeWindows.aggregate(
+        Tables.events(s, d).where(col("user_id") % 199 === 0),
+        col("ts"), 3600, 3600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))),
+      "ws", 3600, Seq("event_type"), Seq("cnt")),
+    Some(s"""WITH src AS (SELECT ${es("ts")} AS es, event_type, value FROM events
+      |                   WHERE user_id % 199 = 0),
+      | a AS (SELECT event_type, (es // 3600) * 3600 AS ws, count(*) AS cnt,
+      |         floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_v
+      |       FROM src GROUP BY 1, 2),
+      | b AS (SELECT event_type, min(ws) AS lo, max(ws) AS hi FROM a GROUP BY 1),
+      | sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS ws FROM b)
+      | SELECT sp.event_type, sp.ws, coalesce(a.cnt, 0) AS cnt, a.sum_v AS sum_v
+      | FROM sp LEFT JOIN a USING (event_type, ws)""".stripMargin))
+
   /** A4 generic keyed sliding count window (size 50, slide 10) — reference
     * WindowDefinition.h:13's arbitrary ROW_BASED (size, slide); only closed
     * (complete) windows emit, matching the reference's row-window close.
@@ -567,5 +591,5 @@ object ReferenceQueries {
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,
-    qSessionWindow)
+    qSessionWindow, qGapFill)
 }

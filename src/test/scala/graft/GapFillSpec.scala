@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GapFill
+
+class GapFillSpec extends SparkTestBase {
+
+  test("gaps between a key's first and last window emit cnt=0, sum=NULL") {
+    import spark.implicits._
+    val agg = Seq(
+      ("a", 0L, 3L, 30.0), ("a", 1800L, 2L, 20.0),   // gap at 600, 1200
+      ("b", 600L, 1L, 10.0))                          // single window, no gap
+      .toDF("k", "ws", "cnt", "sum_v")
+      .where(col("ws") =!= 600L || col("k") === "b")  // keep a: 0,1800; b: 600
+    val filled = GapFill.fill(agg, "ws", 600L, Seq("k"), Seq("cnt"))
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(filled == Set(
+      ("a", 0L, 3L, Some(30.0)),
+      ("a", 600L, 0L, None),
+      ("a", 1200L, 0L, None),
+      ("a", 1800L, 2L, Some(20.0)),
+      ("b", 600L, 1L, Some(10.0))), s"unexpected fill: $filled")
+  }
+
+  test("global (key-less) aggregate gap-fills over its full span") {
+    import spark.implicits._
+    val agg = Seq((0L, 5L), (1200L, 7L)).toDF("ws", "cnt")
+    val filled = GapFill.fill(agg, "ws", 600L, Seq.empty, Seq("cnt"))
+      .as[(Long, Long)].collect().toSet
+    assert(filled == Set((0L, 5L), (600L, 0L), (1200L, 7L)))
+  }
+}
