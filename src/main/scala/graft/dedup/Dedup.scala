@@ -53,15 +53,33 @@ object Dedup {
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
       maxDf: Int = 1000): DataFrame = {
     val sh = shingled(df, id, text, n).cache()
-    val posts = sh.select(col(id), explode(col("sh")).as("s"))
+    val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
     val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("s")
     val capped = posts.join(broadcast(stop), Seq("s"), "left_anti")
-    val cand = capped.select(col(id).as("doc_a"), col("s"))
-      .join(capped.select(col(id).as("doc_b"), col("s")), Seq("s"))
+    // intersection counts over capped postings only (the cheap, original
+    // count-based form — no shingle arrays ever shuffle) ...
+    val a = capped.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
+    val b = capped.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
+    val cand = a.join(b, Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, sh, id, minJ)
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter_c"))
+    // ... then exact |A∩B| = capped intersections + shared HOT shingles,
+    // recovered from tiny per-doc hot-shingle arrays (≤ |stop set| elements,
+    // so candidate pairs never carry full shingle sets)
+    val hotPerDoc = posts.join(broadcast(stop), Seq("s"))
+      .groupBy(col(id)).agg(sort_array(collect_set(col("s"))).as("hs"))
+    val empty = array().cast("array<string>")
+    cand
+      .join(hotPerDoc.select(col(id).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col(id).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
+      .withColumn("inter",
+        col("inter_c") + size(array_intersect(
+          coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))))
+      .select(col("doc_a"), col("doc_b"),
+        Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= minJ)
   }
 
   /** MinHash signature, one independent xxhash64 family per seed i: the i-th
