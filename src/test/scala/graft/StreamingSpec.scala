@@ -76,6 +76,26 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, batch)
   }
 
+  test("RocksDB state store provider: streaming sliding agg still == batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.events(spark, sfDir)
+      val out = Streams.runToTable(spark,
+        Streams.windowAgg(stream, 3600, 60, Seq("event_type"), aggs),
+        "s_sliding_rocks", "complete")
+      val batch = TimeWindows.aggregate(
+        Tables.events(spark, sfDir), col("ts"), 3600, 60, Seq("event_type"), aggs)
+      assertSameRows(out, batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming stream-stream windowed theta join ⊆ batch join") {
     val e = Streams.events(spark, sfDir)
     val l = e.filter(col("event_type") === "click")
