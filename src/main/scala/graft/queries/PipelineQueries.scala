@@ -285,11 +285,60 @@ object PipelineQueries {
       |   strlen(text) // 1000 + 1 AS n_frames
       | FROM documents""".stripMargin))
 
+  /** Embedding preprocessing: L2-normalize then int8-quantize
+    * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
+    * corpus scale (4× smaller than float32). Oracle-comparable per-vector
+    * summary (sum/min/max of the quantized codes are integer-exact) rather
+    * than array outputs; zero-norm vectors are excluded, documented.
+    */
+  val qEmbedQuantize = Fixture(
+    "q_embed_quantize",
+    (s, d) => {
+      import graft.functions.VectorFunctions
+      val v = col("embedding")
+      val nrm = VectorFunctions.norm(v)
+      val qv = transform(v, x => floor(x.cast("double") / nrm * lit(127.0) + lit(0.5)))
+      Tables.embeddings(s, d)
+        .where(nrm > 0)
+        .select(col("vec_id"), Quant.q4(nrm).as("nrm"),
+          aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(qv).as("q_min"), array_max(qv).as("q_max"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |            FROM embeddings),
+      | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      | q AS (SELECT vec_id, nrm,
+      |         list_transform(v, x -> floor(x / nrm * 127.0 + 0.5)::BIGINT) AS qv
+      |       FROM n WHERE nrm > 0)
+      | SELECT vec_id, ${q4("nrm")} AS nrm,
+      |   list_reduce(list_prepend(0::BIGINT, qv), (a, x) -> a + x) AS q_sum,
+      |   list_min(qv) AS q_min, list_max(qv) AS q_max
+      | FROM q""".stripMargin))
+
+  /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
+    * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
+    * per-partition bounded heap then a k-merge, never a global sort; the
+    * groupBy input is |corpus| but its output (the vocabulary) is what flows
+    * into the top-k.
+    */
+  val qVocabTopK = Fixture(
+    "q_vocab_topk",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(TextFunctions.words(lower(col("text")))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(100),
+    Some("""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      | c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1)
+      | SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 100""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupClusters,
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qCorpusStats,
-    qMultimodal)
+    qMultimodal, qEmbedQuantize, qVocabTopK)
 }
