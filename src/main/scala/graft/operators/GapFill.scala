@@ -29,11 +29,14 @@ object GapFill {
     * @param countCols aggregate columns that are counts (gap value 0, not NULL)
     */
   def fill(
-      agg: DataFrame,
+      aggIn: DataFrame,
       wsCol: String,
       slide: Long,
       keys: Seq[String],
       countCols: Seq[String]): DataFrame = {
+    // both the bounds pass and the join probe read the aggregate — cache so
+    // the (expensive) windowed aggregation upstream computes once
+    val agg = aggIn.cache()
     val keyCols = keys.map(col)
     val bounds = agg.groupBy(keyCols: _*)
       .agg(min(col(wsCol)).as("__lo"), max(col(wsCol)).as("__hi"))
