@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming tumbling aggregation WITH empty-window (bubble) emission — the
+  * stream-side mirror of the reference's fillEmptyWindows
+  * (src/cql/operators/codeGeneration/OperatorKernel.h:3830-3988, invoked at
+  * :4129-4142): when the event time jumps past one or more whole windows, the
+  * skipped windows emit with count 0 / NULL sum the moment the jump is
+  * observed. Batch opt-in gap-filling is operators.GapFill; this operator
+  * produces the same rows incrementally, per key, in stream order.
+  *
+  * Keyed flatMapGroupsWithState: state is the in-flight window's partials
+  * (O(1) per key). A window closes when a row of a later window arrives —
+  * the in-order-stream assumption the reference operates under (README.md:16),
+  * same as StreamingCountWindows. State shuffles by key → distributes.
+  */
+object StreamingGapFill {
+
+  case class InRow(event_type: String, es: Long, value: Double)
+  case class GapState(wid: Long, cnt: Long, sum: Double, started: Boolean)
+  case class WinOut(event_type: String, ws: Long, cnt: Long, sum_v: Option[Double])
+
+  def tumblingWithBubbles(
+      spark: SparkSession,
+      stream: DataFrame,
+      sizeSec: Long): Dataset[WinOut] = {
+    import spark.implicits._
+    val typed = stream.select(col("event_type"), col("es"), col("value")).as[InRow]
+    typed
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, WinOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[InRow], state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(GapState(0L, 0L, 0.0, started = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WinOut]
+          rows.toSeq.sortBy(_.es).foreach { r =>
+            val wid = r.es / sizeSec
+            if (!st.started) st = GapState(wid, 0L, 0.0, started = true)
+            if (wid > st.wid) {
+              out += WinOut(key, st.wid * sizeSec, st.cnt, Some(st.sum))
+              var w = st.wid + 1
+              while (w < wid) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
+              st = GapState(wid, 0L, 0.0, started = true)
+            }
+            st = st.copy(cnt = st.cnt + 1, sum = st.sum + r.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

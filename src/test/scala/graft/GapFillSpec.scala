@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.GapFill
+import graft.operators.{AggFn, AggSpec, GapFill, Quant, TimeWindows}
+import graft.streaming.{Streams, StreamingGapFill}
 
 class GapFillSpec extends SparkTestBase {
 
@@ -28,5 +29,30 @@ class GapFillSpec extends SparkTestBase {
     val filled = GapFill.fill(agg, "ws", 600L, Seq.empty, Seq("cnt"))
       .as[(Long, Long)].collect().toSet
     assert(filled == Set((0L, 5L), (600L, 0L), (1200L, 7L)))
+  }
+
+  test("streaming bubble emission matches batch gap-fill up to the in-flight window") {
+    val stream = Streams.events(spark, sfDir).where(col("user_id") % 199 === 0)
+    val out = StreamingGapFill.tumblingWithBubbles(spark, stream, 3600L).toDF()
+      .withColumn("sum_v", Quant.q4(col("sum_v"))) // null stays null on bubbles
+      .select("ws", "event_type", "cnt", "sum_v")
+    val got = Streams.runToTable(spark, out, "s_gapfill", "append")
+
+    val batch = GapFill.fill(
+      TimeWindows.aggregate(
+        Tables.events(spark, sfDir).where(col("user_id") % 199 === 0),
+        col("ts"), 3600, 3600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))),
+      "ws", 3600, Seq("event_type"), Seq("cnt"))
+    // everything emitted (closed windows + bubbles) must match batch fill ...
+    assert(got.exceptAll(batch).count() == 0, "streaming emitted a row batch fill lacks")
+    // ... and per key, every batch row up to the last streamed window emitted
+    val lastPerKey = got.groupBy("event_type").agg(max("ws").as("__mx"))
+    val expected = batch.join(lastPerKey, Seq("event_type"))
+      .where(col("ws") <= col("__mx")).drop("__mx")
+      .select("ws", "event_type", "cnt", "sum_v")
+    assertSameRows(got, expected)
+    assert(got.where(col("cnt") === 0).count() > 0, "no bubble windows exercised")
   }
 }
