@@ -23,6 +23,24 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out.where(col("cnt") =!= 1).count() == 0)
   }
 
+  test("sliding count window with fewer rows than one window emits nothing") {
+    val few = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("es"), col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id").limit(30) // < size 50: no window ever closes
+    val out = CountWindows.slidingAgg(few, Seq.empty,
+      Seq(col("es"), col("event_id")), 50, 10,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+    assert(out.count() == 0)
+    // exactly size rows → exactly window 0
+    val exact = CountWindows.slidingAgg(
+      Tables.eventsWithEpoch(spark, sfDir)
+        .select(col("es"), col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id").limit(50),
+      Seq.empty, Seq(col("es"), col("event_id")), 50, 10,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt")))
+    assert(exact.select("wid").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("documents below the shingle width are excluded, not crashed on") {
     val tiny = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
     val sh = Dedup.shingled(tiny, "doc_id", "text", 3)
