@@ -179,6 +179,29 @@ object Dedup {
       .select(col(id), coalesce(col("cluster"), col(id)).as("cluster"))
   }
 
+  /** Benchmark decontamination: for each candidate document, the count and
+    * fraction of its distinct n-gram shingles that appear anywhere in the
+    * benchmark corpus — the standard pre-training hygiene check (drop or flag
+    * docs overlapping an eval set). Only contaminated docs (overlap ≥ 1) are
+    * returned.
+    *
+    * Scale shape: the benchmark shingle set is distinct-ed and broadcast
+    * (eval sets are small by definition — MB against a 100 TB corpus); the
+    * corpus side is a single explode + broadcast-hash semi-join + per-doc
+    * count, no shuffle of the corpus beyond the final per-doc aggregation.
+    */
+  def contamination(
+      docs: DataFrame, bench: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val d = shingled(docs, id, text, n)
+    val bsh = bench.select(explode(shingles(col(text), n)).as("s")).distinct()
+    d.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
+      .join(broadcast(bsh), Seq("s"))
+      .groupBy(col(id), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(id), col("n_overlap"),
+        Quant.q4(col("n_overlap") / col("n_sh")).as("frac"))
+  }
+
   /** 48-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
     * to bit b of hash64(word). 48 bits keeps every shift/assemble step inside
     * positive BIGINT range in both engines.

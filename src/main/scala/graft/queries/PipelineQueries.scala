@@ -334,11 +334,59 @@ object PipelineQueries {
       | c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1)
       | SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 100""".stripMargin))
 
+  /** Benchmark decontamination: docs 0-24 stand in for the eval set; every
+    * other doc reports how many of its distinct 3-gram shingles appear in it.
+    */
+  val qDecontaminate = Fixture(
+    "q_decontaminate",
+    (s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contamination(
+        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
+        "doc_id", "text", 3)
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n_sh, s FROM sh WHERE len(s) > 0),
+      | bench AS (SELECT DISTINCT unnest(s) AS sg FROM f WHERE doc_id < 25),
+      | posts AS (SELECT doc_id, n_sh, unnest(s) AS sg FROM f WHERE doc_id >= 25)
+      | SELECT doc_id, count(*) AS n_overlap,
+      |        ${q4("count(*) / any_value(n_sh)")} AS frac
+      | FROM posts JOIN bench USING (sg) GROUP BY doc_id""".stripMargin))
+
+  /** Repetition ratio + type-token ratio — Gopher-style cheap quality
+    * signals: top token frequency over total tokens, and distinct over total.
+    */
+  val qRepetition = Fixture(
+    "q_repetition",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.words(lower(col("text")))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        Quant.q4(col("mx") / col("tot")).as("rep_ratio"),
+        Quant.q4(col("n_distinct") / col("tot")).as("ttr")),
+    Some("""WITH t AS (SELECT doc_id,
+      |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |       FROM documents),
+      | c AS (SELECT doc_id, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2),
+      | a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS n_distinct
+      |       FROM c GROUP BY 1)
+      | SELECT doc_id,
+      |   floor((mx / tot) * 10000 + 0.5) / 10000 AS rep_ratio,
+      |   floor((n_distinct / tot) * 10000 + 0.5) / 10000 AS ttr
+      | FROM a""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupClusters,
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qCorpusStats,
-    qMultimodal, qEmbedQuantize, qVocabTopK)
+    qMultimodal, qEmbedQuantize, qVocabTopK,
+    qDecontaminate, qRepetition)
 }
