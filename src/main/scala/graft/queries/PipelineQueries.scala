@@ -381,6 +381,57 @@ object PipelineQueries {
       |   floor((n_distinct / tot) * 10000 + 0.5) / 10000 AS ttr
       | FROM a""".stripMargin))
 
+  /** End-to-end curation funnel per source — the composite query a real
+    * corpus pipeline runs: total docs, docs passing the quality threshold,
+    * docs whose predicted language matches the labeled one, exact-dedup
+    * keepers, and the intersection (retained). One fingerprint shuffle +
+    * a same-key join back + a tiny per-source aggregate.
+    */
+  val qCurationFunnel = Fixture(
+    "q_curation_funnel",
+    (s, d) => {
+      val enriched = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("lang"),
+        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"),
+        TextFunctions.langId(col("text")).as("lp"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      val keepers = enriched.groupBy("fp").agg(min("doc_id").as("keeper"))
+      enriched.join(keepers, Seq("fp"))
+        .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("lp") === col("lang"), 1L).otherwise(0L)).as("n_lang_ok"),
+          sum(col("is_keeper")).as("n_unique"),
+          sum(when(col("q") >= 0.5 && col("lp") === col("lang") &&
+            col("is_keeper") === 1L, 1L).otherwise(0L)).as("n_retained"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, lang,
+      |   len($wordsSql)::DOUBLE AS n_tok,
+      |   length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
+      |   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS es,
+      |   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de,
+      |   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS fr,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      | FROM documents),
+      | e AS (SELECT doc_id, source, lang, fp,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q,
+      |   CASE WHEN en + es + de + fr = 0 THEN 'und'
+      |        WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      |        WHEN es >= de AND es >= fr THEN 'es'
+      |        WHEN de >= fr THEN 'de' ELSE 'fr' END AS lp
+      | FROM t),
+      | k AS (SELECT fp, min(doc_id) AS keeper FROM e GROUP BY 1)
+      | SELECT source, count(*) AS total,
+      |   sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
+      |   sum(CASE WHEN lp = lang THEN 1 ELSE 0 END) AS n_lang_ok,
+      |   sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_unique,
+      |   sum(CASE WHEN q >= 0.5 AND lp = lang AND doc_id = keeper THEN 1 ELSE 0 END) AS n_retained
+      | FROM e JOIN k USING (fp) GROUP BY 1""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
@@ -388,5 +439,5 @@ object PipelineQueries {
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qCorpusStats,
     qMultimodal, qEmbedQuantize, qVocabTopK,
-    qDecontaminate, qRepetition)
+    qDecontaminate, qRepetition, qCurationFunnel)
 }
