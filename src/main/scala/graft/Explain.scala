@@ -21,10 +21,14 @@ object Explain {
       case _ =>
         // rebuild inside the timed block: eager checkpoints in operators like
         // Dedup.clusters do real work at build time
+        // noop sink, same as Bench: a bare count() lets Catalyst prune the
+        // query down to row counting, so timings wouldn't reproduce BENCH
         (1 to 2).foreach { i =>
           val t0 = System.nanoTime()
-          val last = SparkEntry.queries(name)(spark, sfDir).count()
-          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $last rows")
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          spark.catalog.clearCache()
         }
     }
     spark.stop()

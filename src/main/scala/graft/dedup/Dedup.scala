@@ -30,9 +30,12 @@ object Dedup {
     * relative to the hash work it parallelizes.
     */
   def shingled(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.where(size(words(col(text))) >= n) // ⇔ size(shingles) > 0, but cheap:
+      // the predicate that Catalyst pushes below the exchange must not carry
+      // the full shingle tree, or it runs (twice, via CaseWhen branches)
+      // before the repartition that exists to parallelize it
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(id), shingles(col(text), n).as("sh"))
-      .where(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
@@ -194,7 +197,13 @@ object Dedup {
       docs: DataFrame, bench: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val d = shingled(docs, id, text, n)
     val bsh = bench.select(explode(shingles(col(text), n)).as("s")).distinct()
-    d.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
+    // explode_outer, not explode: InferFiltersFromGenerate would turn a plain
+    // explode into a `size(sh) > 0 AND isnotnull(sh)` filter that pushdown
+    // inlines — full shingle tree and all — below shingled()'s exchange,
+    // evaluating it twice before the stage meant to parallelize it. The outer
+    // variant skips that rule, and shingled() already guarantees non-empty
+    // arrays, so the rows are identical.
+    d.select(col(id), col("n_sh"), explode_outer(col("sh")).as("s"))
       .join(broadcast(bsh), Seq("s"))
       .groupBy(col(id), col("n_sh"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -208,9 +217,15 @@ object Dedup {
     */
   val SimhashBits = 48
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    // explode_outer for the same reason as in contamination(): a plain
+    // explode makes InferFiltersFromGenerate push a
+    // `size(array_distinct(split(…))) > 0` filter below the exchange. words()
+    // is never empty/null for non-null text (split yields at least [""]), so
+    // with the cheap isnotnull guard the rows are identical.
     val wordsDf = df
+      .where(col(text).isNotNull)
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col(id), explode(array_distinct(words(col(text)))).as("w"))
+      .select(col(id), explode_outer(array_distinct(words(col(text)))).as("w"))
       .withColumn("h", hash64(col("w")))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
@@ -228,6 +243,14 @@ object Dedup {
     * pair within maxHam agrees on at least one whole chunk, so chunk-equality
     * candidates are EXACT (recall 1), unlike MinHash banding. Candidates then
     * filter on true bit_count(xor).
+    *
+    * Scale constraint: each chunk key has `48 / (maxHam + 1)` bits, and
+    * banding degenerates once the corpus outgrows the key space — expected
+    * bucket population is N / 2^chunkBits, so candidate generation is
+    * near-linear only while N ≲ 2^chunkBits per shuffle bucket. At maxHam 3
+    * (4 × 12-bit chunks) that is ~4 k docs per bucket; larger corpora should
+    * shard by a content prefix or widen the fingerprint before banding.
+    * maxHam 7 (6-bit keys) saturated at sf0.1 already — don't go there.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHam: Int): DataFrame = {
     val chunks = maxHam + 1

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types._
   *
   * so raw rows reduce to |panes × keys| partials before the n-fold window
   * expansion. Applies only when it is provably safe:
-  *   - slide divides size (pane == slide) and n == size/slide ≥ minExpansion;
+  *   - n == ceil(size/slide) ≥ minExpansion (default 2 — the pane trick is
+  *     valid at any ratio, mirroring the reference WindowDefinition.h:46;
+  *     even at n = 2 the level-1 pane partials shuffle at most |rows| rows
+  *     where the native Expand plan shuffles n·|rows|, so the worst case —
+  *     no rows-per-pane reduction — costs one extra small exchange while
+  *     the common case removes the n-fold pre-shuffle expansion entirely);
   *   - every Expand projection is identical except the window struct;
   *   - aggregates are non-distinct, unfiltered COUNT/SUM/MIN/MAX/AVG
   *     (AVG decomposes into Σdouble-sums / Σcounts);
@@ -30,7 +35,7 @@ import org.apache.spark.sql.types._
   * floating-point SUM re-associates (per-pane partials merge), the same
   * last-ulp nondeterminism any change of partitioning already implies.
   */
-case class PaneRewrite(minExpansion: Int = 4) extends Rule[LogicalPlan] {
+case class PaneRewrite(minExpansion: Int = 2) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if applicable(agg).isDefined =>

@@ -125,12 +125,19 @@ object PipelineQueries {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
     Some(jaccardOracle("0.8")))
 
-  /** SimHash(48-bit) near-dup pairs, Hamming ≤ 7, chunk-banding (exact by
-    * pigeonhole). Oracle: all-pairs Hamming on identically-computed SimHash.
+  /** SimHash(48-bit) near-dup pairs, Hamming ≤ 3, chunk-banding (exact by
+    * pigeonhole: 4 chunks × 12 bits). Oracle: all-pairs Hamming on
+    * identically-computed SimHash.
+    *
+    * maxHam was 7 through round 2; measured at sf0.1 that made 32 % of ALL
+    * doc pairs "near-dups" (4.04 M pairs from 5 000 docs) — a quadratic
+    * output no plan shape can save, and 6-bit chunk keys saturate at
+    * |docs| ≫ 2⁶. At maxHam 3 the 12-bit chunk keys hold to |docs| ≈ 2¹²
+    * per shuffle bucket and the output is near-linear on this corpus.
     */
   val qDedupSimhash = Fixture(
     "q_dedup_simhash",
-    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 7)
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
       .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham")),
     Some {
       val bitSums = (0 until Dedup.SimhashBits)
@@ -146,7 +153,7 @@ object PipelineQueries {
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |   bit_count(xor(a.sim, b.sim))::BIGINT AS ham
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE bit_count(xor(a.sim, b.sim)) <= 7""".stripMargin
+        | WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
     })
 
   /** Near-dup clustering: connected components over the τ=0.8 Jaccard pairs;
@@ -426,10 +433,10 @@ object PipelineQueries {
       | FROM t),
       | k AS (SELECT fp, min(doc_id) AS keeper FROM e GROUP BY 1)
       | SELECT source, count(*) AS total,
-      |   sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
-      |   sum(CASE WHEN lp = lang THEN 1 ELSE 0 END) AS n_lang_ok,
-      |   sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_unique,
-      |   sum(CASE WHEN q >= 0.5 AND lp = lang AND doc_id = keeper THEN 1 ELSE 0 END) AS n_retained
+      |   sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+      |   sum(CASE WHEN lp = lang THEN 1 ELSE 0 END)::BIGINT AS n_lang_ok,
+      |   sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+      |   sum(CASE WHEN q >= 0.5 AND lp = lang AND doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_retained
       | FROM e JOIN k USING (fp) GROUP BY 1""".stripMargin))
 
   def fixtures: Seq[Fixture] = Seq(

@@ -12,42 +12,77 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * observed. Batch opt-in gap-filling is operators.GapFill; this operator
   * produces the same rows incrementally, per key, in stream order.
   *
-  * Keyed flatMapGroupsWithState: state is the in-flight window's partials
-  * (O(1) per key). A window closes when a row of a later window arrives —
-  * the in-order-stream assumption the reference operates under (README.md:16),
-  * same as StreamingCountWindows. State shuffles by key → distributes.
+  * Keyed flatMapGroupsWithState with EventTimeTimeout: state is the in-flight
+  * window's partials (O(1) per key). A window closes EITHER when a later row
+  * of the same key arrives (in-order fast path) OR when the watermark passes
+  * its end — so a key that goes quiet still closes its in-flight window and
+  * keeps emitting trailing bubbles as the stream progresses, exactly the
+  * reference's stream-progress fill. State shuffles by key → distributes.
   */
 object StreamingGapFill {
 
-  case class InRow(event_type: String, es: Long, value: Double)
+  // ts carries the watermarked column into the stateful operator — Spark's
+  // event-time-timeout check requires it in the operator's input schema
+  case class InRow(event_type: String, es: Long, value: Double, ts: java.sql.Timestamp)
   case class GapState(wid: Long, cnt: Long, sum: Double, started: Boolean)
   case class WinOut(event_type: String, ws: Long, cnt: Long, sum_v: Option[Double])
 
+  /** @param watermarkDelaySec watermark lateness bound on `ts`; the timeout
+    *   path closes every window whose end ≤ watermark, so with delay d a
+    *   window closes at most d + trigger-interval after its end.
+    */
   def tumblingWithBubbles(
       spark: SparkSession,
       stream: DataFrame,
-      sizeSec: Long): Dataset[WinOut] = {
+      sizeSec: Long,
+      watermarkDelaySec: Long = 0L): Dataset[WinOut] = {
     import spark.implicits._
-    val typed = stream.select(col("event_type"), col("es"), col("value")).as[InRow]
+    val sizeMs = sizeSec * 1000L
+    val typed = stream
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
+      .select(col("event_type"), col("es"), col("value"), col("ts")).as[InRow]
     typed
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[GapState, WinOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[InRow], state: GroupState[GapState]) =>
-          var st = state.getOption.getOrElse(GapState(0L, 0L, 0.0, started = false))
+          val wm = state.getCurrentWatermarkMs()
           val out = scala.collection.mutable.ArrayBuffer.empty[WinOut]
-          rows.toSeq.sortBy(_.es).foreach { r =>
-            val wid = r.es / sizeSec
-            if (!st.started) st = GapState(wid, 0L, 0.0, started = true)
-            if (wid > st.wid) {
-              out += WinOut(key, st.wid * sizeSec, st.cnt, Some(st.sum))
+          // a window that never saw a row emits NULL sum (bubble convention)
+          def close(st: GapState): WinOut =
+            WinOut(key, st.wid * sizeSec, st.cnt, if (st.cnt > 0) Some(st.sum) else None)
+          if (state.hasTimedOut) {
+            // watermark-driven close: every window with end ≤ watermark is
+            // final — close the in-flight one, emit bubbles up to the
+            // watermark, and leave the watermark's own window in flight
+            var st = state.get
+            val wMax = Math.floorDiv(wm - sizeMs, sizeMs) // last closeable wid
+            if (st.started && st.wid <= wMax) {
+              out += close(st)
               var w = st.wid + 1
-              while (w < wid) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
-              st = GapState(wid, 0L, 0.0, started = true)
+              while (w <= wMax) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
+              st = GapState(wMax + 1, 0L, 0.0, started = true)
+              state.update(st)
             }
-            st = st.copy(cnt = st.cnt + 1, sum = st.sum + r.value)
+            state.setTimeoutTimestamp((st.wid + 1) * sizeMs)
+          } else {
+            var st = state.getOption.getOrElse(GapState(0L, 0L, 0.0, started = false))
+            rows.toSeq.sortBy(_.es).foreach { r =>
+              val wid = r.es / sizeSec
+              if (!st.started) st = GapState(wid, 0L, 0.0, started = true)
+              if (wid > st.wid) {
+                out += close(st)
+                var w = st.wid + 1
+                while (w < wid) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
+                st = GapState(wid, 0L, 0.0, started = true)
+              }
+              if (wid >= st.wid) st = st.copy(cnt = st.cnt + 1, sum = st.sum + r.value)
+            }
+            state.update(st)
+            // arm the watermark close for the in-flight window (must be
+            // strictly above the current watermark or Spark rejects it)
+            state.setTimeoutTimestamp(math.max((st.wid + 1) * sizeMs, wm + 1L))
           }
-          state.update(st)
           out.iterator
       }
   }

@@ -31,27 +31,51 @@ class GapFillSpec extends SparkTestBase {
     assert(filled == Set((0L, 5L), (600L, 0L), (1200L, 7L)))
   }
 
-  test("streaming bubble emission matches batch gap-fill up to the in-flight window") {
-    val stream = Streams.events(spark, sfDir).where(col("user_id") % 199 === 0)
-    val out = StreamingGapFill.tumblingWithBubbles(spark, stream, 3600L).toDF()
-      .withColumn("sum_v", Quant.q4(col("sum_v"))) // null stays null on bubbles
-      .select("ws", "event_type", "cnt", "sum_v")
-    val got = Streams.runToTable(spark, out, "s_gapfill", "append")
+  test("watermark-driven close: quiet keys close in-flight windows and emit trailing bubbles") {
+    import spark.implicits._
+    val sizeSec = 3600L
+    val sizeMs = sizeSec * 1000L
+    val evB = Tables.events(spark, sfDir).where(col("user_id") % 199 === 0)
+    // the final watermark (delay 0) = max event time in ms; every window with
+    // end ≤ watermark must close, row-driven or not
+    val wmMs = evB.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000L
+    val wMaxWs = Math.floorDiv(wmMs - sizeMs, sizeMs) * sizeSec // last closeable ws
 
     val batch = GapFill.fill(
-      TimeWindows.aggregate(
-        Tables.events(spark, sfDir).where(col("user_id") % 199 === 0),
+      TimeWindows.aggregate(evB,
         col("ts"), 3600, 3600, Seq("event_type"),
         Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
             AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)))),
       "ws", 3600, Seq("event_type"), Seq("cnt"))
-    // everything emitted (closed windows + bubbles) must match batch fill ...
-    assert(got.exceptAll(batch).count() == 0, "streaming emitted a row batch fill lacks")
-    // ... and per key, every batch row up to the last streamed window emitted
-    val lastPerKey = got.groupBy("event_type").agg(max("ws").as("__mx"))
-    val expected = batch.join(lastPerKey, Seq("event_type"))
-      .where(col("ws") <= col("__mx")).drop("__mx")
+    val closed = batch.where((col("ws") + sizeSec) * 1000L <= wmMs)
+    // per key: bubbles continue past its last real window up to the watermark
+    val bubbles = batch.groupBy("event_type").agg(max("ws").as("lastWs"))
+      .as[(String, Long)].collect().toSeq
+      .flatMap { case (k, lastWs) =>
+        ((lastWs + sizeSec) to wMaxWs by sizeSec)
+          .map(w => (w, k, 0L, Option.empty[Double]))
+      }
+    val expected = closed.unionByName(
+      bubbles.toDF("ws", "event_type", "cnt", "sum_v"))
+    assert(bubbles.nonEmpty,
+      "fixture degenerate: every key is active up to the watermark")
+
+    val stream = Streams.events(spark, sfDir).where(col("user_id") % 199 === 0)
+    val out = StreamingGapFill.tumblingWithBubbles(spark, stream, sizeSec).toDF()
+      .withColumn("sum_v", Quant.q4(col("sum_v"))) // null stays null on bubbles
       .select("ws", "event_type", "cnt", "sum_v")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_gapfill").start()
+    try {
+      q.processAllAvailable()
+      // the timeout close lands in a no-data micro-batch after the watermark
+      // advances; poll for it rather than racing processAllAvailable
+      val want = expected.count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        spark.table("s_gapfill").count() < want) Thread.sleep(200)
+    } finally q.stop()
+    val got = spark.table("s_gapfill")
     assertSameRows(got, expected)
     assert(got.where(col("cnt") === 0).count() > 0, "no bubble windows exercised")
   }

@@ -97,6 +97,29 @@ class PaneRewriteSpec extends SparkTestBase {
     }
   }
 
+  private def slide120x60(): DataFrame = Tables.events(spark, sfDir)
+    .groupBy(window(col("ts"), "120 seconds", "60 seconds"), col("event_type"))
+    .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+    .select(col("window.start").cast("long").as("ws"), col("event_type"),
+      col("cnt"), col("sum_v"))
+
+  test("fires at the default gate on a 2-fold (120s/60s) sliding window") {
+    val plain = slide120x60().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val (fired, rows) = withRule(minExpansion = PaneRewrite().minExpansion) {
+      val df = slide120x60()
+      (df.queryExecution.optimizedPlan.treeString.contains("__pane"), df.collect())
+    }
+    assert(fired, "rule did not fire on a 2-fold sliding window at the default gate")
+    assert(rows.length == plain.size)
+    rows.foreach { r =>
+      val p = plain((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == p.getLong(2), "cnt differs")
+      assert(math.abs(r.getDouble(3) - p.getDouble(3)) < 1e-6,
+        "sum differs beyond reassociation tolerance")
+    }
+  }
+
   test("fires below a HAVING-style filter above the window aggregate") {
     val plain = sliding().filter(col("cnt") > 50).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r).toMap

@@ -19,18 +19,21 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(lsh, exact)
   }
 
-  test("simhash chunk-banding is exact (pigeonhole): candidates cover all-pairs hamming ≤ 7") {
-    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 7)
-    // brute-force over full simhash table
-    val sh = Dedup.simhash(docs, "doc_id", "text")
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-    val brute = a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("ham", expr("bit_count(ha ^ hb)"))
-      .where(col("ham") <= 7)
-      .select("doc_a", "doc_b", "ham")
-    assertSameRows(banded, brute)
-  }
+  // pair-set equality against brute force pins the pigeonhole argument for
+  // the shipped contract (maxHam 3, 4 × 12-bit chunks) and a coarser one
+  for (maxHam <- Seq(3, 7))
+    test(s"simhash chunk-banding is exact (pigeonhole): candidates cover all-pairs hamming ≤ $maxHam") {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHam)
+      // brute-force over full simhash table
+      val sh = Dedup.simhash(docs, "doc_id", "text")
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      val brute = a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("ham", expr("bit_count(ha ^ hb)"))
+        .where(col("ham") <= maxHam)
+        .select("doc_a", "doc_b", "ham")
+      assertSameRows(banded, brute)
+    }
 
   test("bucketed ANN results are a subset of brute-force rankings' pairs") {
     val brute = Ann.bruteTopK(emb, col("vec_id") < 10, 5)
