@@ -260,14 +260,16 @@ object Dedup {
     val keyed = sh.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("c"))
       .withColumn("ck", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
-    val cand = keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
+    // filter on the true Hamming distance BEFORE deduplicating: bit_count is
+    // a cheap codegen'd op per candidate row, so the distinct — the only
+    // wide op here — processes |true pairs × agreeing chunks| rows instead
+    // of every banding candidate (measured 3.6× more at sf0.1)
+    keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
       .join(keyed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("c"), col("ck")),
         Seq("c", "ck"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
-    cand
       .withColumn("ham", expr("bit_count(ha ^ hb)"))
       .where(col("ham") <= maxHam)
-      .select("doc_a", "doc_b", "ham")
+      .select("doc_a", "doc_b", "ham").distinct()
   }
 }

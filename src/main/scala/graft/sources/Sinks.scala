@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Result-sink adapters mirroring the reference's result-forwarding surface:
+  * the reference pushes completed window results to a downstream consumer
+  * over TCP (src/result/ResultHandler.cpp:73-117). The Spark analog is a
+  * [[ForeachWriter]] socket sink: each task opens its own connection per
+  * epoch and streams its partition's rows as CSV lines — executor-side, so
+  * result forwarding scales with the cluster instead of funneling through
+  * the driver. (RDMA forwarding has no Spark analog — hardware transport.)
+  *
+  * Delivery is at-least-once, like any side-effecting streaming sink: a
+  * retried task re-sends its partition for that epoch. Consumers that need
+  * exactly-once keep (epochId, partitionId) idempotence keys — the same
+  * contract the reference's result handler leaves to its receiver.
+  */
+object Sinks {
+
+  /** Per-partition TCP writer: one connection per (partition, epoch), rows
+    * as `sep`-joined lines (nulls rendered as empty strings).
+    */
+  class SocketForeachWriter(host: String, port: Int, sep: String = ",")
+      extends ForeachWriter[Row] {
+    @transient private var socket: java.net.Socket = _
+    @transient private var out: java.io.PrintWriter = _
+
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      socket = new java.net.Socket(host, port)
+      out = new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(
+          socket.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)))
+      true
+    }
+
+    override def process(row: Row): Unit =
+      out.println((0 until row.length).map { i =>
+        val v = row.get(i)
+        if (v == null) "" else v.toString
+      }.mkString(sep))
+
+    override def close(errorOrNull: Throwable): Unit = {
+      if (out != null) out.flush()
+      if (socket != null) socket.close()
+    }
+  }
+
+  /** Drain a streaming DataFrame to a TCP consumer. */
+  def toSocket(
+      df: DataFrame,
+      host: String,
+      port: Int,
+      outputMode: String = "append",
+      queryName: String = "graft_socket_sink"): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .queryName(queryName)
+      .foreach(new SocketForeachWriter(host, port))
+      .start()
+}

@@ -1,10 +1,10 @@
 package graft
 
-import java.io.PrintWriter
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.ServerSocket
 import org.apache.spark.sql.functions._
 import graft.operators.{AggFn, AggSpec}
-import graft.sources.Sources
+import graft.sources.{Sinks, Sources}
 import graft.streaming.Streams
 
 class SourcesSpec extends SparkTestBase {
@@ -32,6 +32,53 @@ class SourcesSpec extends SparkTestBase {
         (600L, "view", 1L, 4.0),
         (1200L, "click", 1L, 1.0)), s"got $out")
     } finally q.stop()
+  }
+
+  test("socket sink forwards finalized windowed-agg rows to a TCP consumer") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    // one connection per (partition, epoch) — accept and drain each in its
+    // own thread until the server closes
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        new Thread(() => {
+          try {
+            val br = new BufferedReader(new InputStreamReader(s.getInputStream))
+            var line = br.readLine()
+            while (line != null) { received.add(line); line = br.readLine() }
+          } finally s.close()
+        }).start()
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.start()
+
+    val (ms, df) = Sources.replay(spark)
+    val agg = df.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "600 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("cnt"))
+    val q = Sinks.toSocket(agg, "127.0.0.1", port)
+    try {
+      ms.addData(Sources.EventRow(1, 100, 1, "click", 1.0),
+                 Sources.EventRow(2, 200, 2, "click", 2.0),
+                 Sources.EventRow(3, 700, 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark past 1200 so both earlier windows finalize
+      ms.addData(Sources.EventRow(4, 1300, 1, "click", 4.0))
+      q.processAllAvailable()
+      val expected = Set("0,click,2", "600,view,1")
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+        !expected.subsetOf(received.toArray.map(_.toString).toSet))
+        Thread.sleep(200)
+      val got = received.toArray.map(_.toString).toSet
+      assert(got == expected, s"got $got, expected $expected")
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 
   test("socket source parses the remote-ingest line protocol") {
