@@ -439,6 +439,103 @@ object PipelineQueries {
       |   sum(CASE WHEN q >= 0.5 AND lp = lang AND doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_retained
       | FROM e JOIN k USING (fp) GROUP BY 1""".stripMargin))
 
+  /** Per-source token-length percentiles — the corpus length profile a
+    * pipeline reads before choosing truncation/packing parameters. Exact
+    * `percentile` here (bit-matches DuckDB quantile_cont: both interpolate at
+    * rank p·(n−1)); at 100 TB swap the same call for `approx_percentile` —
+    * identical plan shape, one partial aggregation per source, no row
+    * expansion either way.
+    */
+  val qLengthPercentiles = Fixture(
+    "q_length_percentiles",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(Quant.q4(expr("percentile(n_tok, 0.5D)")).as("p50"),
+           Quant.q4(expr("percentile(n_tok, 0.9D)")).as("p90"),
+           Quant.q4(expr("percentile(n_tok, 0.99D)")).as("p99"),
+           count(lit(1)).as("n_docs")),
+    Some(s"""WITH t AS (SELECT source, len($wordsSql) AS n_tok FROM documents)
+      | SELECT source, ${q4("quantile_cont(n_tok, 0.5)")} AS p50,
+      |   ${q4("quantile_cont(n_tok, 0.9)")} AS p90,
+      |   ${q4("quantile_cont(n_tok, 0.99)")} AS p99,
+      |   count(*) AS n_docs
+      | FROM t GROUP BY 1""".stripMargin))
+
+  /** Per-doc vocabulary coverage: fraction of a document's tokens in the
+    * corpus-wide top-k vocabulary — the cheap OOV-rate proxy used to filter
+    * noisy documents before tokenizer training. The vocabulary is a
+    * TakeOrdered over a word-count aggregate (no global sort; ties broken by
+    * word for cross-engine determinism) and is broadcast to the scoring
+    * join, so the raw corpus never shuffles: scan → broadcast-hash join →
+    * per-doc aggregate.
+    */
+  val qVocabCoverage = Fixture(
+    "q_vocab_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(10)
+        .select(col("w"), lit(1L).as("in_v"))
+      docs.select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+             sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
+        .select(col("doc_id"), col("n_tok"), col("n_in"),
+          Quant.q4(col("n_in") / col("n_tok")).as("coverage"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+      | v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
+      |        ORDER BY cnt DESC, w LIMIT 10)
+      | SELECT doc_id, count(*) AS n_tok,
+      |   sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END)::BIGINT AS n_in,
+      |   ${q4("sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) / count(*)")} AS coverage
+      | FROM tok GROUP BY 1""".stripMargin))
+
+  /** Inter-source n-gram overlap matrix: for each source pair, the count of
+    * distinct 3-gram shingles in common and the shingle-set Jaccard — the
+    * source-similarity accounting a curation pipeline uses to order crawls
+    * before dedup. Scale shape: the corpus first reduces to DISTINCT
+    * (source, shingle) — so the self-join's per-shingle group size is
+    * bounded by the number of sources, never by document count — and the
+    * per-source totals are a tiny broadcast back onto ≤ sources² rows.
+    */
+  val qSourceOverlap = Fixture(
+    "q_source_overlap",
+    (s, d) => {
+      // cached: consumed three times (per-source totals + both join sides)
+      val sh = Tables.documents(s, d)
+        .where(size(TextFunctions.words(col("text"))) >= 3)
+        .select(col("source"),
+          explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg"))
+        .distinct()
+        .cache()
+      val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.select(col("source").as("src_a"), col("sg"))
+        .join(sh.select(col("source").as("src_b"), col("sg")), "sg")
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
+        .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
+    },
+    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
+      | sh AS (SELECT DISTINCT source, unnest($shinglesSql) AS sg
+      |        FROM w0 WHERE len(w) >= 3),
+      | n AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      | p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |       FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+      |       GROUP BY 1, 2)
+      | SELECT src_a, src_b, n_common,
+      |   ${q4("n_common / (na.n_sh + nb.n_sh - n_common)")} AS sim
+      | FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
@@ -446,5 +543,6 @@ object PipelineQueries {
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qCorpusStats,
     qMultimodal, qEmbedQuantize, qVocabTopK,
-    qDecontaminate, qRepetition, qCurationFunnel)
+    qDecontaminate, qRepetition, qCurationFunnel,
+    qLengthPercentiles, qVocabCoverage, qSourceOverlap)
 }

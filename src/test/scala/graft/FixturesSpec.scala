@@ -1,13 +1,13 @@
 package graft
 
-import graft.queries.ReferenceQueries
+import graft.queries.{PipelineQueries, ReferenceQueries}
 
 /** Every declared fixture runs end-to-end at sf0.001 and yields rows. The
   * value-level gate is the DuckDB oracle (scripts/check.py at sf0.01); this
   * spec catches plan-breaking regressions fast.
   */
 class FixturesSpec extends SparkTestBase {
-  ReferenceQueries.fixtures.foreach { f =>
+  (ReferenceQueries.fixtures ++ PipelineQueries.fixtures).foreach { f =>
     test(s"${f.name} runs and yields rows") {
       val df = f.build(spark, sfDir)
       assert(df.count() > 0, s"${f.name} returned no rows")
