@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 50 distinct query plans thrash the default 100-entry generated-class
+      // cache; evicted classes force re-JIT mid-run and charge one query for
+      // another's codegen. Static conf — must be set before session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/scan paths once so the first measured query isn't
@@ -20,21 +25,32 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // Isolate queries from each other: drop any leftover cached relations,
+    // then force a full GC and let the JVM settle, so query N's garbage (and
+    // its collection pause) is not charged to query N+1's wall clock. This is
+    // measurement hygiene only — it runs OUTSIDE the timed region.
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(250)
+    }
+
     // noop sink: forces full evaluation of every output column (a bare
     // count() lets Catalyst prune the query down to row counting).
-    // Best-of-2 per query smooths GC / scheduling noise on a shared host.
+    // Best-of-2 per query smooths GC / scheduling noise on a shared host;
+    // each attempt runs in a fresh child session (own SQLConf/temp state)
+    // after a settle, so attempts and queries don't bleed into each other.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        settle()
+        val session = spark.newSession()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        try { fn(session, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
       val b = if (a < 0) a else math.min(a, once())
-      // Drop per-query caches so later queries aren't squeezed by dead
-      // cached partitions (GC pressure dominates tail latencies otherwise).
-      spark.catalog.clearCache()
       name -> b
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

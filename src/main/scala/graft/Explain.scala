@@ -2,12 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan/timing inspector: runMain graft.Explain <sfDir> <query> [explain|time] */
+/** Ad-hoc plan/timing inspector:
+  * runMain graft.Explain <sfDir> <query> [explain|time] [iters]
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
     val mode = if (args.length > 2) args(2) else "time"
+    val iters = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,12 +26,16 @@ object Explain {
         // Dedup.clusters do real work at build time
         // noop sink, same as Bench: a bare count() lets Catalyst prune the
         // query down to row counting, so timings wouldn't reproduce BENCH
-        (1 to 2).foreach { i =>
+        (1 to iters).foreach { i =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          // same settle as Bench: without it, run N's garbage (shuffle
+          // buffers, broadcast blocks) lands in run N+1's wall clock
           spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(250)
         }
     }
     spark.stop()

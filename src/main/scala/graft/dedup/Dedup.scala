@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.Quant
+import graft.operators.{Caching, Quant}
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact → n-gram Jaccard → MinHash+LSH → SimHash. Every variant
@@ -55,34 +55,36 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
       maxDf: Int = 1000): DataFrame = {
-    val sh = shingled(df, id, text, n).cache()
-    val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
-    val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("s")
-    val capped = posts.join(broadcast(stop), Seq("s"), "left_anti")
-    // intersection counts over capped postings only (the cheap, original
-    // count-based form — no shingle arrays ever shuffle) ...
-    val a = capped.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
-    val b = capped.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
-    val cand = a.join(b, Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter_c"))
-    // ... then exact |A∩B| = capped intersections + shared HOT shingles,
-    // recovered from tiny per-doc hot-shingle arrays (≤ |stop set| elements,
-    // so candidate pairs never carry full shingle sets)
-    val hotPerDoc = posts.join(broadcast(stop), Seq("s"))
-      .groupBy(col(id)).agg(sort_array(collect_set(col("s"))).as("hs"))
-    val empty = array().cast("array<string>")
-    cand
-      .join(hotPerDoc.select(col(id).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
-      .join(hotPerDoc.select(col(id).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
-      .withColumn("inter",
-        col("inter_c") + size(array_intersect(
-          coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))))
-      .select(col("doc_a"), col("doc_b"),
-        Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= minJ)
+    val sh = shingled(df, id, text, n)
+    Caching.withCached(sh) {
+      val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
+      val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("s")
+      val capped = posts.join(broadcast(stop), Seq("s"), "left_anti")
+      // intersection counts over capped postings only (the cheap, original
+      // count-based form — no shingle arrays ever shuffle) ...
+      val a = capped.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
+      val b = capped.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
+      val cand = a.join(b, Seq("s"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("inter_c"))
+      // ... then exact |A∩B| = capped intersections + shared HOT shingles,
+      // recovered from tiny per-doc hot-shingle arrays (≤ |stop set| elements,
+      // so candidate pairs never carry full shingle sets)
+      val hotPerDoc = posts.join(broadcast(stop), Seq("s"))
+        .groupBy(col(id)).agg(sort_array(collect_set(col("s"))).as("hs"))
+      val empty = array().cast("array<string>")
+      cand
+        .join(hotPerDoc.select(col(id).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
+        .join(hotPerDoc.select(col(id).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
+        .withColumn("inter",
+          col("inter_c") + size(array_intersect(
+            coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))))
+        .select(col("doc_a"), col("doc_b"),
+          Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .where(col("jac") >= minJ)
+    }
   }
 
   /** MinHash signature, one independent xxhash64 family per seed i: the i-th
@@ -109,7 +111,7 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sh = shingled(df, id, text, n).cache()
+    val sh = shingled(df, id, text, n)
     // One banded-signature relation, cached, joined to itself on a single
     // 64-bit band key (hash of band id + band slice): the signature is
     // computed once, not once per join side, and the shuffle key is a plain
@@ -119,12 +121,13 @@ object Dedup {
       .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col(id),
         xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bk"))
-      .cache()
-    val cand = banded.select(col(id).as("doc_a"), col("bk"))
-      .join(banded.select(col(id).as("doc_b"), col("bk")), Seq("bk"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, sh, id, minJ)
+    Caching.withCached(sh, banded) {
+      val cand = banded.select(col(id).as("doc_a"), col("bk"))
+        .join(banded.select(col(id).as("doc_b"), col("bk")), Seq("bk"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(cand, sh, id, minJ)
+    }
   }
 
   /** Exact Jaccard over candidate pairs (set ops on the shingle arrays). */
@@ -146,34 +149,43 @@ object Dedup {
     * shuffles |pair endpoints|, not |docs|. Rounds needed = component
     * diameter (near-dup components are tiny cliques, so 1-2).
     *
-    * One materialization per round: the eager localCheckpoint computes the
+    * One materialization per round: the eager checkpoint computes the
     * new labels WITH the previous label carried alongside (`old` — the
     * labels side of the union contributes its own cluster, propagated rows
     * contribute null which min() ignores, so min(old) is the previous
     * label); the convergence count is then a scan of the just-checkpointed
     * partitions — no second join. At 100 TB the same loop runs with
     * edges/labels as shuffle-partitioned tables — no driver-side data.
+    *
+    * @param reliable materialization mode for the per-round checkpoints:
+    *   `false` (default) uses `localCheckpoint` — executor-local blocks,
+    *   fastest, but LOST ON EXECUTOR DEATH, so a multi-hour cluster job dies
+    *   with its first lost node; `true` uses reliable `checkpoint()` against
+    *   the SparkContext checkpoint dir (HDFS/S3 at cluster scale — caller
+    *   must have called `sc.setCheckpointDir`), which survives executor loss
+    *   at the cost of a write per round. Local iteration: false; 100 TB: true.
     */
-  def clusters(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+  def clusters(
+      df: DataFrame, id: String, pairs: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    def mat(x: DataFrame): DataFrame =
+      if (reliable) x.checkpoint(eager = true) else x.localCheckpoint(eager = true)
     // materialize the (symmetrized) edge list once — truncates the candidate
     // pipeline's lineage so no round recomputes it
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .localCheckpoint(true)
+    val edges = mat(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = mat(edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("cluster"),
           lit(null).cast(labels.schema("cluster").dataType).as("old"))
-      val next = labels
+      val next = mat(labels
         .select(col("node"), col("cluster"), col("cluster").as("old"))
         .union(prop)
         .groupBy("node")
-        .agg(min("cluster").as("cluster"), min("old").as("old"))
-        .localCheckpoint(true)
+        .agg(min("cluster").as("cluster"), min("old").as("old")))
       changed = next.where(col("cluster") < col("old")).count()
       labels = next.select("node", "cluster")
     }
@@ -192,18 +204,28 @@ object Dedup {
     * (eval sets are small by definition — MB against a 100 TB corpus); the
     * corpus side is a single explode + broadcast-hash semi-join + per-doc
     * count, no shuffle of the corpus beyond the final per-doc aggregation.
+    *
+    * Shingles are hashed to 64-bit longs (xxhash64) on BOTH sides before the
+    * join: the broadcast set and the probe keys are 8-byte longs instead of
+    * multi-word strings — an order-of-magnitude smaller broadcast and a
+    * cheaper hash probe. A collision can only merge two distinct shingles
+    * into one key (P ≈ |shingles|²/2⁶⁵ — negligible even at corpus scale,
+    * and at worst perturbs a count by 1; it cannot create cross-doc leakage
+    * because the per-doc count still counts that doc's own shingles).
     */
   def contamination(
       docs: DataFrame, bench: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val d = shingled(docs, id, text, n)
-    val bsh = bench.select(explode(shingles(col(text), n)).as("s")).distinct()
+    val bsh = bench.select(explode(shingles(col(text), n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s")).distinct()
     // explode_outer, not explode: InferFiltersFromGenerate would turn a plain
     // explode into a `size(sh) > 0 AND isnotnull(sh)` filter that pushdown
     // inlines — full shingle tree and all — below shingled()'s exchange,
     // evaluating it twice before the stage meant to parallelize it. The outer
     // variant skips that rule, and shingled() already guarantees non-empty
     // arrays, so the rows are identical.
-    d.select(col(id), col("n_sh"), explode_outer(col("sh")).as("s"))
+    d.select(col(id), col("n_sh"), explode_outer(col("sh")).as("s0"))
+      .select(col(id), col("n_sh"), xxhash64(col("s0")).as("s"))
       .join(broadcast(bsh), Seq("s"))
       .groupBy(col(id), col("n_sh"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -211,11 +233,15 @@ object Dedup {
         Quant.q4(col("n_overlap") / col("n_sh")).as("frac"))
   }
 
-  /** 48-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
-    * to bit b of hash64(word). 48 bits keeps every shift/assemble step inside
-    * positive BIGINT range in both engines.
+  /** 60-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
+    * to bit b of hash64(word). hash64 is a 60-bit hash (15 md5 hex chars), so
+    * 60 bits uses its full entropy, and every shift/assemble step stays
+    * inside positive BIGINT range in both engines (max fingerprint < 2⁶⁰).
+    * 60 is also divisible by 2,3,4,5,6 — any maxHam ≤ 5 chunk count splits
+    * evenly. Widened from 48 in round 4 to push the chunk-banding saturation
+    * point out (see [[simhashPairs]]).
     */
-  val SimhashBits = 48
+  val SimhashBits = 60
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     // explode_outer for the same reason as in contamination(): a plain
     // explode makes InferFiltersFromGenerate push a
@@ -244,32 +270,37 @@ object Dedup {
     * candidates are EXACT (recall 1), unlike MinHash banding. Candidates then
     * filter on true bit_count(xor).
     *
-    * Scale constraint: each chunk key has `48 / (maxHam + 1)` bits, and
+    * Scale constraint: each chunk key has `60 / (maxHam + 1)` bits, and
     * banding degenerates once the corpus outgrows the key space — expected
     * bucket population is N / 2^chunkBits, so candidate generation is
     * near-linear only while N ≲ 2^chunkBits per shuffle bucket. At maxHam 3
-    * (4 × 12-bit chunks) that is ~4 k docs per bucket; larger corpora should
-    * shard by a content prefix or widen the fingerprint before banding.
-    * maxHam 7 (6-bit keys) saturated at sf0.1 already — don't go there.
+    * (4 × 15-bit chunks) that is ~32 k docs per bucket — 8× the 48-bit
+    * fingerprint's ~4 k ceiling; corpora beyond that should shard by a
+    * content prefix (e.g. language/source) before banding. maxHam 7 (with
+    * its narrow chunk keys) saturated at sf0.1 already — don't go there.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHam: Int): DataFrame = {
     val chunks = maxHam + 1
+    require(SimhashBits % chunks == 0,
+      s"SimhashBits=$SimhashBits must divide evenly into ${chunks} chunks (maxHam=$maxHam)")
     val chunkBits = SimhashBits / chunks
     val mask = (1L << chunkBits) - 1
-    val sh = simhash(df, id, text).cache()
-    val keyed = sh.select(col(id), col("simhash"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("c"))
-      .withColumn("ck", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
-    // filter on the true Hamming distance BEFORE deduplicating: bit_count is
-    // a cheap codegen'd op per candidate row, so the distinct — the only
-    // wide op here — processes |true pairs × agreeing chunks| rows instead
-    // of every banding candidate (measured 3.6× more at sf0.1)
-    keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
-      .join(keyed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("c"), col("ck")),
-        Seq("c", "ck"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("ham", expr("bit_count(ha ^ hb)"))
-      .where(col("ham") <= maxHam)
-      .select("doc_a", "doc_b", "ham").distinct()
+    val sh = simhash(df, id, text)
+    Caching.withCached(sh) {
+      val keyed = sh.select(col(id), col("simhash"),
+          explode(sequence(lit(0), lit(chunks - 1))).as("c"))
+        .withColumn("ck", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
+      // filter on the true Hamming distance BEFORE deduplicating: bit_count is
+      // a cheap codegen'd op per candidate row, so the distinct — the only
+      // wide op here — processes |true pairs × agreeing chunks| rows instead
+      // of every banding candidate (measured 3.6× more at sf0.1)
+      keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
+        .join(keyed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("c"), col("ck")),
+          Seq("c", "ck"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("ham", expr("bit_count(ha ^ hb)"))
+        .where(col("ham") <= maxHam)
+        .select("doc_a", "doc_b", "ham").distinct()
+    }
   }
 }

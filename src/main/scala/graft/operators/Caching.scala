@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Operator-scoped cache lifecycle.
+  *
+  * Several operators (dedup candidate generation, gap-fill, source overlap)
+  * consume an expensive intermediate more than once and must cache it — but a
+  * bare `.cache()` on a lazily-returned plan has no release point: the entry
+  * outlives the query, accumulates across a long-lived session, and re-running
+  * the same operator re-caches the same plan ("already cached" warnings). In a
+  * 100 TB session, leaked cached shingle arrays are a memory-pressure bug.
+  *
+  * [[withCached]] fixes the lifecycle: the intermediates are cached only for
+  * the duration of the operator, the (aggregate-sized) result is eagerly
+  * materialized via `localCheckpoint(eager = true)` while the caches are live,
+  * and the caches are released in a finally. The returned DataFrame is
+  * lineage-free, so the unpersisted intermediates are never recomputed.
+  *
+  * Trade-offs, both deliberate: (1) the operator becomes eager — it runs its
+  * jobs when called, not when the result is consumed; callers compose the
+  * RESULT (a pair set / filled aggregate), which stays lazy downstream.
+  * (2) `localCheckpoint` blocks are lost on executor death; for a multi-hour
+  * cluster job prefer a reliable materialization of the result (see
+  * `Dedup.clusters(reliable = true)` for the pattern) — the checkpointed
+  * blocks themselves are released automatically by the ContextCleaner once
+  * the result DataFrame is garbage-collected.
+  */
+object Caching {
+
+  /** Cache `dfs`, evaluate `body` eagerly (localCheckpoint), release `dfs`. */
+  def withCached(dfs: DataFrame*)(body: => DataFrame): DataFrame = {
+    dfs.foreach(_.cache())
+    try body.localCheckpoint(eager = true)
+    finally dfs.foreach(_.unpersist(blocking = false))
+  }
+}

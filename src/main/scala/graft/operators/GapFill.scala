@@ -34,18 +34,22 @@ object GapFill {
       slide: Long,
       keys: Seq[String],
       countCols: Seq[String]): DataFrame = {
-    // both the bounds pass and the join probe read the aggregate — cache so
-    // the (expensive) windowed aggregation upstream computes once
-    val agg = aggIn.cache()
-    val keyCols = keys.map(col)
-    val bounds = agg.groupBy(keyCols: _*)
-      .agg(min(col(wsCol)).as("__lo"), max(col(wsCol)).as("__hi"))
-    val spine = bounds.select(
-      keyCols :+ explode(sequence(col("__lo"), col("__hi"), lit(slide))).as(wsCol): _*)
-    val filled = spine.join(agg, keys :+ wsCol, "left")
-    val outCols: Seq[Column] = agg.columns.toSeq.map { c =>
-      if (countCols.contains(c)) coalesce(col(c), lit(0L)).as(c) else col(c)
+    // both the bounds pass and the join probe read the aggregate — cache it
+    // for the duration of the fill (scoped: Caching.withCached releases it
+    // once the filled result — aggregate-sized, |keys × windows| rows — is
+    // materialized) so the expensive windowed aggregation computes once
+    val agg = aggIn
+    Caching.withCached(agg) {
+      val keyCols = keys.map(col)
+      val bounds = agg.groupBy(keyCols: _*)
+        .agg(min(col(wsCol)).as("__lo"), max(col(wsCol)).as("__hi"))
+      val spine = bounds.select(
+        keyCols :+ explode(sequence(col("__lo"), col("__hi"), lit(slide))).as(wsCol): _*)
+      val filled = spine.join(agg, keys :+ wsCol, "left")
+      val outCols: Seq[Column] = agg.columns.toSeq.map { c =>
+        if (countCols.contains(c)) coalesce(col(c), lit(0L)).as(c) else col(c)
+      }
+      filled.select(outCols: _*)
     }
-    filled.select(outCols: _*)
   }
 }

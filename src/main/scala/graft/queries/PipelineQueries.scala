@@ -125,15 +125,15 @@ object PipelineQueries {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
     Some(jaccardOracle("0.8")))
 
-  /** SimHash(48-bit) near-dup pairs, Hamming ≤ 3, chunk-banding (exact by
-    * pigeonhole: 4 chunks × 12 bits). Oracle: all-pairs Hamming on
+  /** SimHash(60-bit) near-dup pairs, Hamming ≤ 3, chunk-banding (exact by
+    * pigeonhole: 4 chunks × 15 bits). Oracle: all-pairs Hamming on
     * identically-computed SimHash.
     *
     * maxHam was 7 through round 2; measured at sf0.1 that made 32 % of ALL
     * doc pairs "near-dups" (4.04 M pairs from 5 000 docs) — a quadratic
-    * output no plan shape can save, and 6-bit chunk keys saturate at
-    * |docs| ≫ 2⁶. At maxHam 3 the 12-bit chunk keys hold to |docs| ≈ 2¹²
-    * per shuffle bucket and the output is near-linear on this corpus.
+    * output no plan shape can save, and narrow chunk keys saturate fast. At
+    * maxHam 3 over the 60-bit fingerprint the 15-bit chunk keys hold to
+    * |docs| ≈ 2¹⁵ per shuffle bucket and the output is near-linear.
     */
   val qDedupSimhash = Fixture(
     "q_dedup_simhash",
@@ -292,6 +292,21 @@ object PipelineQueries {
       |   strlen(text) // 1000 + 1 AS n_frames
       | FROM documents""".stripMargin))
 
+  /** Real image metadata decode (javax.imageio header parse) over a binary
+    * media column: the payloads are genuine PNGs encoded executor-side with
+    * dimensions derived from stored columns, and the oracle checks the
+    * DECODED width/height/format against that stored metadata — end-to-end
+    * proof that the binary-column plumbing carries real media and the decode
+    * reads real headers.
+    */
+  val qImageMeta = Fixture(
+    "q_image_meta",
+    (s, d) => Multimodal.imageMeta(s,
+      Multimodal.syntheticImages(s, Tables.documents(s, d))).toDF(),
+    Some("""SELECT doc_id, (n_chars % 31 + 1)::BIGINT AS width,
+      |   (doc_id % 17 + 1)::BIGINT AS height, 'png' AS format
+      | FROM documents""".stripMargin))
+
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
     * corpus scale (4× smaller than float32). Oracle-comparable per-vector
@@ -302,14 +317,20 @@ object PipelineQueries {
     "q_embed_quantize",
     (s, d) => {
       import graft.functions.VectorFunctions
-      val v = col("embedding")
-      val nrm = VectorFunctions.norm(v)
-      val qv = transform(v, x => floor(x.cast("double") / nrm * lit(127.0) + lit(0.5)))
+      // Stage nrm and qv as materialized columns: the norm is an O(d) fold,
+      // and inlining it into the transform() lambda would make Catalyst
+      // re-evaluate the full fold per ELEMENT (O(d²) per row — HOF lambdas
+      // get no CSE); likewise qv is consumed by three aggregates and must be
+      // built once. CollapseProject keeps multi-referenced non-cheap aliases
+      // staged, so each fold runs exactly once per row.
       Tables.embeddings(s, d)
-        .where(nrm > 0)
-        .select(col("vec_id"), Quant.q4(nrm).as("nrm"),
-          aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
-          array_min(qv).as("q_min"), array_max(qv).as("q_max"))
+        .withColumn("__nrm", VectorFunctions.norm(col("embedding")))
+        .where(col("__nrm") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast("double") / col("__nrm") * lit(127.0) + lit(0.5))))
+        .select(col("vec_id"), Quant.q4(col("__nrm")).as("nrm"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"), array_max(col("qv")).as("q_max"))
     },
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |            FROM embeddings),
@@ -507,23 +528,26 @@ object PipelineQueries {
   val qSourceOverlap = Fixture(
     "q_source_overlap",
     (s, d) => {
-      // cached: consumed three times (per-source totals + both join sides)
+      // cached for the scope of the query (consumed three times: per-source
+      // totals + both join sides); Caching.withCached releases it once the
+      // tiny ≤ sources² result is materialized
       val sh = Tables.documents(s, d)
         .where(size(TextFunctions.words(col("text"))) >= 3)
         .select(col("source"),
           explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg"))
         .distinct()
-        .cache()
-      val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.select(col("source").as("src_a"), col("sg"))
-        .join(sh.select(col("source").as("src_b"), col("sg")), "sg")
-        .where(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
-      pairs
-        .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
-        .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("n_common"),
-          Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
+      graft.operators.Caching.withCached(sh) {
+        val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.select(col("source").as("src_a"), col("sg"))
+          .join(sh.select(col("source").as("src_b"), col("sg")), "sg")
+          .where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
+          .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
+      }
     },
     Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
       | sh AS (SELECT DISTINCT source, unnest($shinglesSql) AS sg
@@ -542,7 +566,7 @@ object PipelineQueries {
     qDedupClusters,
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qCorpusStats,
-    qMultimodal, qEmbedQuantize, qVocabTopK,
+    qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
     qDecontaminate, qRepetition, qCurationFunnel,
     qLengthPercentiles, qVocabCoverage, qSourceOverlap)
 }

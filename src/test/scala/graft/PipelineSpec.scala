@@ -20,8 +20,9 @@ class PipelineSpec extends SparkTestBase {
   }
 
   // pair-set equality against brute force pins the pigeonhole argument for
-  // the shipped contract (maxHam 3, 4 × 12-bit chunks) and a coarser one
-  for (maxHam <- Seq(3, 7))
+  // the shipped contract (maxHam 3, 4 × 15-bit chunks) and a coarser one
+  // (maxHam 5, 6 × 10-bit chunks — chunk count must divide the 60 bits)
+  for (maxHam <- Seq(3, 5))
     test(s"simhash chunk-banding is exact (pigeonhole): candidates cover all-pairs hamming ≤ $maxHam") {
       val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHam)
       // brute-force over full simhash table
@@ -55,5 +56,14 @@ class PipelineSpec extends SparkTestBase {
     val d = Dedup.exact(docs, "doc_id", "text")
     assert(d.count() == d.select("fp").distinct().count())
     assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("clusters reliable=true (HDFS-style checkpoint) matches the local path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+    assertSameRows(
+      Dedup.clusters(docs, "doc_id", pairs, reliable = true),
+      Dedup.clusters(docs, "doc_id", pairs))
   }
 }
