@@ -6,13 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * The decode step is a STUB — the real implementation would call an
-  * image/audio codec (not present in this environment) inside
-  * [[decodeStub]]; everything around it (schema, binary column handling,
-  * partition-wise batching, feature output shape) is real Spark plumbing and
-  * is what has to be right at 100 TB: media bytes never leave the executor,
-  * the per-partition iterator processes one batch at a time, and the output
-  * is a narrow feature row, not the blob.
+  * Two decode tiers:
+  *  - [[imageMeta]] is a REAL decode: `javax.imageio` header parsing
+  *    (width / height / container format) of PNG/JPEG/GIF/BMP payloads,
+  *    executor-side, header-only (no pixel decode) — the day-one metadata
+  *    pass of a training-data pipeline.
+  *  - [[extractFeatures]]'s content step remains a deterministic signature
+  *    standing in for a pixel-level decode → embed (no ML codecs in this
+  *    environment, see [[contentSignature]]).
+  * Everything around both (schema, binary column handling, partition-wise
+  * batching, narrow feature output) is the plumbing that has to be right at
+  * 100 TB: media bytes never leave the executor, the per-partition iterator
+  * processes one row at a time, and the output is a feature row, not the
+  * blob.
   */
 object Multimodal {
 
@@ -37,13 +43,13 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB for the real media decode (??? in production without codecs).
-    * Deterministic fake: "decodes" the payload into a signature of its first
-    * 16 bytes — md5-hex prefix parsed as long, mirroring
+  /** Content signature standing in for a pixel-level decode → embed (the
+    * embedding model / ffmpeg tier is not in this environment): md5-hex
+    * prefix of the first 16 bytes parsed as long, mirroring
     * TextFunctions.hash64 so the oracle can verify the plumbing end-to-end.
+    * Real image METADATA decode is [[imageMeta]], not a stub.
     */
-  private def decodeStub(media: Array[Byte]): Long = {
-    // real version: ImageIO/ffmpeg decode → resize → embed. Not available here.
+  private def contentSignature(media: Array[Byte]): Long = {
     val head = media.take(16)
     val d = java.security.MessageDigest.getInstance("MD5").digest(head)
     val hex = d.map("%02x".format(_)).mkString.take(15)
@@ -58,9 +64,73 @@ object Multimodal {
         MediaFeatures(
           doc_id = r.doc_id,
           n_bytes = r.n_bytes,
-          sig = decodeStub(r.media),
+          sig = contentSignature(r.media),
           n_frames = r.n_bytes / 1000 + 1)
       }
     }
+  }
+
+  /** An image payload row (binary column) and its decoded header metadata. */
+  case class ImageRow(doc_id: Long, media: Array[Byte])
+  case class ImageMeta(doc_id: Long, width: Long, height: Long, format: String)
+
+  /** REAL image metadata decode, executor-side and header-only: for each
+    * binary payload, find the `javax.imageio` reader that recognizes the
+    * container (PNG/JPEG/GIF/BMP ship with the JDK), and read width / height
+    * / format name FROM THE HEADER — `ImageReader.getWidth(0)` does not
+    * decode pixels, so cost is O(header), not O(pixels). Unrecognized
+    * payloads yield (-1, -1, "unknown") instead of failing the task — at
+    * corpus scale a crawl always contains corrupt blobs, and one bad row
+    * must not kill a 100 TB pass.
+    */
+  def imageMeta(spark: SparkSession, images: Dataset[ImageRow]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        if (iis == null) ImageMeta(r.doc_id, -1L, -1L, "unknown")
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              ImageMeta(r.doc_id, reader.getWidth(0).toLong,
+                reader.getHeight(0).toLong,
+                reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+            } catch {
+              case _: java.io.IOException => ImageMeta(r.doc_id, -1L, -1L, "unknown")
+            } finally reader.dispose()
+          } else ImageMeta(r.doc_id, -1L, -1L, "unknown")
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Deterministic synthetic image table derived from `documents`: a real
+    * PNG-encoded payload per doc with dimensions computed from stored
+    * columns (width = n_chars % 31 + 1, height = doc_id % 17 + 1), so an
+    * oracle can verify the decoded header against the stored metadata
+    * without any image file in the test data. Encoding happens executor-side
+    * per partition — the binary column is born distributed, like a parquet
+    * media column would be.
+    */
+  def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (nChars % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, (id & 0xffffff).toInt) // deterministic content
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRow(id, bos.toByteArray)
+        }
+      }
   }
 }

@@ -101,6 +101,48 @@ object StreamingCountWindows {
       }
   }
 
+  case class GlobalOut(wid: Long, cnt: Long, sum_v: Double)
+
+  /** Un-keyed (global) streaming ROW_BASED tumbling window — every `size`
+    * rows of the WHOLE stream close a window (wid, cnt, sum_v).
+    *
+    * SERIALIZATION WARNING: a global count window is inherently a total order
+    * over the stream — all rows funnel through ONE state key / one partition,
+    * so throughput is single-core no matter the cluster size. That is true of
+    * the reference too (its single-node slot ring serializes merges in stream
+    * order, src/result/ResultHandler.cpp:398-702); this exists for enum
+    * parity — 100 TB pipelines should use the keyed [[tumbling]]. Rows are
+    * ordered by (es, event_id) within each micro-batch; cross-batch order
+    * relies on the source being in-order (README.md:16), same as the keyed
+    * variants.
+    */
+  def tumblingGlobal(
+      spark: SparkSession,
+      stream: DataFrame,
+      size: Int): Dataset[GlobalOut] = {
+    import spark.implicits._
+    val typed = stream
+      .select(col("user_id"), col("es"), col("event_id"), col("value"))
+      .as[InRow]
+    typed
+      .groupByKey(_ => 0) // constant key: one state partition, by design
+      .flatMapGroupsWithState[CountState, GlobalOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[InRow], state: GroupState[CountState]) =>
+          var st = state.getOption.getOrElse(CountState(0L, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GlobalOut]
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            st = CountState(st.wid, st.cnt + 1, st.sum + r.value)
+            if (st.cnt == size) {
+              out += GlobalOut(st.wid, st.cnt, st.sum)
+              st = CountState(st.wid + 1, 0L, 0.0)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def tumbling(
       spark: SparkSession,
       stream: DataFrame,

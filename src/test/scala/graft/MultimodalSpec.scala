@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** The image-metadata decode is REAL (javax.imageio header parsing): the
+  * synthetic table carries genuine PNG payloads whose dimensions derive from
+  * stored columns, so decoding the header and comparing against the stored
+  * metadata proves the binary column carries real media end-to-end.
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  test("imageMeta decodes real PNG headers against stored metadata") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Multimodal.imageMeta(spark,
+      Multimodal.syntheticImages(spark, docs)).toDF()
+    val expected = docs.select(
+      col("doc_id").cast("long"),
+      (col("n_chars") % 31 + 1).cast("long").as("width"),
+      (col("doc_id") % 17 + 1).cast("long").as("height"),
+      lit("png").as("format"))
+    assertSameRows(got, expected)
+  }
+
+  test("imageMeta yields (-1, -1, unknown) for unrecognized payloads instead of failing") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.ImageRow(1L, Array[Byte](1, 2, 3)),
+      Multimodal.ImageRow(2L, Array.emptyByteArray)).toDS()
+    val got = Multimodal.imageMeta(spark, bad).collect().toSet
+    assert(got == Set(
+      Multimodal.ImageMeta(1L, -1L, -1L, "unknown"),
+      Multimodal.ImageMeta(2L, -1L, -1L, "unknown")), s"got $got")
+  }
+}

@@ -61,6 +61,21 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, batch)
   }
 
+  test("streaming GLOBAL (un-keyed) count window == batch global full windows") {
+    val stream = Streams.events(spark, sfDir)
+    val out = StreamingCountWindows.tumblingGlobal(spark, stream, 100).toDF()
+      .withColumn("sum_v", graft.operators.Quant.q4(col("sum_v")))
+    val got = Streams.runToTable(spark, out, "s_count_global", "append")
+
+    val batch = CountWindows.tumblingIds(
+        Tables.eventsWithEpoch(spark, sfDir),
+        Seq.empty, Seq(col("es"), col("event_id")), 100)
+      .groupBy("wid")
+      .agg(count(lit(1)).as("cnt"), Quant.q4(sum(col("value"))).as("sum_v"))
+      .where(col("cnt") === 100) // streaming emits only completed windows
+    assertSameRows(got, batch)
+  }
+
   test("streaming generic sliding count window (size 50, slide 10) == batch slidingAgg") {
     val stream = Streams.events(spark, sfDir)
     val out = StreamingCountWindows.sliding(spark, stream, 50, 10).toDF()
