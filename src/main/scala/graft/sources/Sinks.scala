@@ -19,30 +19,48 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object Sinks {
 
   /** Per-partition TCP writer: one connection per (partition, epoch), rows
-    * as `sep`-joined lines (nulls rendered as empty strings).
+    * as `sep`-joined lines (nulls rendered as empty strings; fields
+    * containing the separator, a quote, or a line break are CSV-quoted with
+    * doubled inner quotes, so free-text columns cannot corrupt the line
+    * protocol).
+    *
+    * Errors PROPAGATE: writes go through a BufferedWriter whose IOExceptions
+    * throw out of process()/close(), so a broken connection fails the task
+    * and Spark retries it — without this the at-least-once contract is
+    * silently void (a PrintWriter would swallow the IOException and keep
+    * "succeeding" while rows fall on the floor).
     */
   class SocketForeachWriter(host: String, port: Int, sep: String = ",")
       extends ForeachWriter[Row] {
     @transient private var socket: java.net.Socket = _
-    @transient private var out: java.io.PrintWriter = _
+    @transient private var out: java.io.BufferedWriter = _
 
     override def open(partitionId: Long, epochId: Long): Boolean = {
       socket = new java.net.Socket(host, port)
-      out = new java.io.PrintWriter(new java.io.BufferedWriter(
+      out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(
-          socket.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)))
+          socket.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
       true
     }
 
-    override def process(row: Row): Unit =
-      out.println((0 until row.length).map { i =>
-        val v = row.get(i)
-        if (v == null) "" else v.toString
-      }.mkString(sep))
+    private def field(v: Any): String = {
+      if (v == null) return ""
+      val s = v.toString
+      if (s.contains(sep) || s.contains('"') || s.contains('\n') || s.contains('\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+
+    override def process(row: Row): Unit = {
+      out.write((0 until row.length).map(i => field(row.get(i))).mkString(sep))
+      out.write('\n')
+    }
 
     override def close(errorOrNull: Throwable): Unit = {
-      if (out != null) out.flush()
-      if (socket != null) socket.close()
+      // flush before close so short-write errors surface here (and fail the
+      // task) rather than vanishing inside close; socket close always runs
+      try { if (out != null) out.flush() }
+      finally { if (socket != null) socket.close() }
     }
   }
 

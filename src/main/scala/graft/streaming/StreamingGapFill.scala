@@ -8,23 +8,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream-side mirror of the reference's fillEmptyWindows
   * (src/cql/operators/codeGeneration/OperatorKernel.h:3830-3988, invoked at
   * :4129-4142): when the event time jumps past one or more whole windows, the
-  * skipped windows emit with count 0 / NULL sum the moment the jump is
-  * observed. Batch opt-in gap-filling is operators.GapFill; this operator
-  * produces the same rows incrementally, per key, in stream order.
+  * skipped windows emit with count 0 / NULL sum. Batch opt-in gap-filling is
+  * operators.GapFill; this operator produces the same rows incrementally, per
+  * key, as the stream progresses.
   *
-  * Keyed flatMapGroupsWithState with EventTimeTimeout: state is the in-flight
-  * window's partials (O(1) per key). A window closes EITHER when a later row
-  * of the same key arrives (in-order fast path) OR when the watermark passes
-  * its end — so a key that goes quiet still closes its in-flight window and
-  * keeps emitting trailing bubbles as the stream progresses, exactly the
-  * reference's stream-progress fill. State shuffles by key → distributes.
+  * Keyed flatMapGroupsWithState with EventTimeTimeout. State per key is the
+  * set of OPEN windows (those whose end is still above the watermark) plus the
+  * close frontier — O(1) with in-order input, O(lateness/size) windows under a
+  * lateness bound.
+  *
+  * Two closing regimes, selected by `watermarkDelaySec`:
+  *  - `0` (in-order contract, the reference's operating assumption
+  *    README.md:16): a window closes the moment a later-window row of the same
+  *    key arrives (lowest latency), or when the watermark passes its end
+  *    (quiet keys keep closing and emitting trailing bubbles).
+  *  - `> 0` (out-of-order within the bound): rows ONLY accumulate — several
+  *    windows may be in flight at once — and a window closes exclusively when
+  *    the watermark passes its end, so an out-of-order row within the declared
+  *    lateness is never dropped and counts match batch GapFill exactly.
+  *    (Closing on the first later row here would silently undercount — the
+  *    bug this regime split fixes.)
+  * Rows at or below the close frontier are genuinely later than the declared
+  * bound and are dropped, mirroring Spark's own late-row policy for
+  * watermarked aggregations.
   */
 object StreamingGapFill {
 
   // ts carries the watermarked column into the stateful operator — Spark's
   // event-time-timeout check requires it in the operator's input schema
   case class InRow(event_type: String, es: Long, value: Double, ts: java.sql.Timestamp)
-  case class GapState(wid: Long, cnt: Long, sum: Double, started: Boolean)
+
+  /** @param lo          minimum window id seen (bubble baseline — batch
+    *                    GapFill's per-key min ws)
+    * @param closedUpTo  close frontier: every window id ≤ this has been
+    *                    emitted (real or bubble) and is final
+    * @param open        in-flight windows: wid → (cnt, sum)
+    */
+  case class GapState(
+      lo: Long, closedUpTo: Long, started: Boolean,
+      open: Map[Long, (Long, Double)])
   case class WinOut(event_type: String, ws: Long, cnt: Long, sum_v: Option[Double])
 
   /** @param watermarkDelaySec watermark lateness bound on `ts`; the timeout
@@ -47,42 +69,53 @@ object StreamingGapFill {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[InRow], state: GroupState[GapState]) =>
           val wm = state.getCurrentWatermarkMs()
+          // last window id finalized by the current watermark (end ≤ wm)
+          val wMaxWm = Math.floorDiv(wm - sizeMs, sizeMs)
           val out = scala.collection.mutable.ArrayBuffer.empty[WinOut]
-          // a window that never saw a row emits NULL sum (bubble convention)
-          def close(st: GapState): WinOut =
-            WinOut(key, st.wid * sizeSec, st.cnt, if (st.cnt > 0) Some(st.sum) else None)
-          if (state.hasTimedOut) {
-            // watermark-driven close: every window with end ≤ watermark is
-            // final — close the in-flight one, emit bubbles up to the
-            // watermark, and leave the watermark's own window in flight
-            var st = state.get
-            val wMax = Math.floorDiv(wm - sizeMs, sizeMs) // last closeable wid
-            if (st.started && st.wid <= wMax) {
-              out += close(st)
-              var w = st.wid + 1
-              while (w <= wMax) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
-              st = GapState(wMax + 1, 0L, 0.0, started = true)
-              state.update(st)
+          // emit every window in [frontier+1 ∨ lo, upTo], real or bubble
+          def emitThrough(st: GapState, upTo: Long): GapState = {
+            var s = st
+            var w = math.max(s.closedUpTo + 1, s.lo)
+            while (w <= upTo) {
+              val (c, sm) = s.open.getOrElse(w, (0L, 0.0))
+              out += WinOut(key, w * sizeSec, c, if (c > 0) Some(sm) else None)
+              s = s.copy(open = s.open - w, closedUpTo = w)
+              w += 1
             }
-            state.setTimeoutTimestamp((st.wid + 1) * sizeMs)
-          } else {
-            var st = state.getOption.getOrElse(GapState(0L, 0L, 0.0, started = false))
-            rows.toSeq.sortBy(_.es).foreach { r =>
-              val wid = r.es / sizeSec
-              if (!st.started) st = GapState(wid, 0L, 0.0, started = true)
-              if (wid > st.wid) {
-                out += close(st)
-                var w = st.wid + 1
-                while (w < wid) { out += WinOut(key, w * sizeSec, 0L, None); w += 1 }
-                st = GapState(wid, 0L, 0.0, started = true)
-              }
-              if (wid >= st.wid) st = st.copy(cnt = st.cnt + 1, sum = st.sum + r.value)
-            }
-            state.update(st)
-            // arm the watermark close for the in-flight window (must be
-            // strictly above the current watermark or Spark rejects it)
-            state.setTimeoutTimestamp(math.max((st.wid + 1) * sizeMs, wm + 1L))
+            s
           }
+          var st =
+            if (state.hasTimedOut) {
+              var s = state.get
+              if (s.started) s = emitThrough(s, wMaxWm)
+              s
+            } else {
+              var s = state.getOption.getOrElse(
+                GapState(0L, Long.MinValue, started = false, Map.empty))
+              rows.toSeq.sortBy(_.es).foreach { r =>
+                val wid = r.es / sizeSec
+                if (!s.started)
+                  // frontier starts at whichever is older: just before this
+                  // first window, or the watermark's own close line — so a
+                  // subsequent EARLIER row still within the lateness bound
+                  // (wid > wMaxWm) lands in an open window, never dropped
+                  s = GapState(wid, math.min(wid - 1, wMaxWm), started = true, Map.empty)
+                if (wid > s.closedUpTo) {
+                  if (watermarkDelaySec == 0L && wid > math.max(s.closedUpTo + 1, s.lo))
+                    s = emitThrough(s, wid - 1) // in-order fast path
+                  if (wid < s.lo) s = s.copy(lo = wid)
+                  val (c, sm) = s.open.getOrElse(wid, (0L, 0.0))
+                  s = s.copy(open = s.open.updated(wid, (c + 1, sm + r.value)))
+                } // else: older than the close frontier — beyond the declared
+                  // lateness bound, dropped
+              }
+              s
+            }
+          state.update(st)
+          // re-arm for the end of the next window to close (trailing bubbles
+          // keep flowing as the watermark advances); must be > current wm
+          state.setTimeoutTimestamp(
+            math.max((math.max(st.closedUpTo + 1, st.lo) + 1) * sizeMs, wm + 1L))
           out.iterator
       }
   }

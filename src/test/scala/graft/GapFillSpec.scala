@@ -79,4 +79,42 @@ class GapFillSpec extends SparkTestBase {
     assertSameRows(got, expected)
     assert(got.where(col("cnt") === 0).count() > 0, "no bubble windows exercised")
   }
+
+  test("lateness bound > 0: out-of-order rows within the bound are counted; windows close on watermark only") {
+    import graft.sources.Sources
+    val (ms, df) = Sources.replay(spark)
+    val stream = df.select(col("event_type"), col("es"), col("value"), col("ts"))
+    val out = StreamingGapFill
+      .tumblingWithBubbles(spark, stream, 600L, watermarkDelaySec = 600L).toDF()
+      .select("event_type", "ws", "cnt", "sum_v")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_gapfill_ooo").start()
+    try {
+      // batch 1: windows 0 and 1 both open; the in-order fast path would
+      // close window 0 on the es=1100 row — the delayed regime must not
+      ms.addData(Sources.EventRow(1, 100, 1, "a", 1.0),
+                 Sources.EventRow(2, 1100, 1, "a", 4.0))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER row for window 0, within the 600 s bound
+      // (watermark is 1100 − 600 = 500 ≤ 550) — must be counted, not dropped
+      ms.addData(Sources.EventRow(3, 550, 1, "a", 2.0))
+      q.processAllAvailable()
+      // batch 3: advance the watermark to 3000 − 600 = 2400 — windows 0..3
+      // (ends 600/1200/1800/2400 ≤ 2400) close; window 4 stays open
+      ms.addData(Sources.EventRow(4, 3000, 1, "a", 9.0))
+      q.processAllAvailable()
+      // timeout closes land in a no-data micro-batch; poll for them
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        spark.table("s_gapfill_ooo").count() < 4) Thread.sleep(200)
+    } finally q.stop()
+    import spark.implicits._
+    val got = spark.table("s_gapfill_ooo")
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 2L, Some(3.0)),    // es 100 + the out-of-order es 550
+      ("a", 600L, 1L, Some(4.0)),
+      ("a", 1200L, 0L, None),      // trailing bubbles up to the watermark
+      ("a", 1800L, 0L, None)), s"got $got")
+  }
 }

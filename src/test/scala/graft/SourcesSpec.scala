@@ -81,6 +81,46 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("socket sink CSV-quotes fields containing the separator or quotes") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        new Thread(() => {
+          try {
+            val br = new BufferedReader(new InputStreamReader(s.getInputStream))
+            var line = br.readLine()
+            while (line != null) { received.add(line); line = br.readLine() }
+          } finally s.close()
+        }).start()
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.start()
+
+    val (ms, df) = Sources.replay(spark)
+    val q = Sinks.toSocket(
+      df.select(col("event_id"), col("event_type"), col("value")),
+      "127.0.0.1", port)
+    try {
+      // free text with the separator and a quote must not corrupt the line
+      ms.addData(Sources.EventRow(1, 100, 1, "a,b\"c", 1.5),
+                 Sources.EventRow(2, 200, 1, "plain", 2.0))
+      q.processAllAvailable()
+      val expected = Set("1,\"a,b\"\"c\",1.5", "2,plain,2.0")
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+        !expected.subsetOf(received.toArray.map(_.toString).toSet))
+        Thread.sleep(200)
+      val got = received.toArray.map(_.toString).toSet
+      assert(got == expected, s"got $got, expected $expected")
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("socket source parses the remote-ingest line protocol") {
     val server = new ServerSocket(0)
     val port = server.getLocalPort
