@@ -38,6 +38,18 @@ object Dedup {
       .select(col(id), shingles(col(text), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
+  /** [[shingled]] with shingles hashed to 64-bit longs (xxhash64): everything
+    * downstream — posting lists, MinHash signatures, candidate keys, exact
+    * intersection verification — operates on 8-byte longs instead of
+    * multi-word strings, which shrinks every shuffle and makes the 128-hash
+    * MinHash signature hash longs, not strings. A collision merges two
+    * distinct shingles (P ≈ |doc shingles|²/2⁶⁵ per doc — negligible at any
+    * scale) and at worst perturbs one intersection count by 1.
+    */
+  def shingledHashed(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shingled(df, id, text, n)
+      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
     * shingles, self-join on shingle (only docs sharing ≥1 shingle ever meet),
     * then verify candidates against the full shingle sets. Shuffle is bounded
@@ -55,7 +67,7 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
       maxDf: Int = 1000): DataFrame = {
-    val sh = shingled(df, id, text, n)
+    val sh = shingledHashed(df, id, text, n)
     Caching.withCached(sh) {
       val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
       val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
@@ -74,7 +86,7 @@ object Dedup {
       // so candidate pairs never carry full shingle sets)
       val hotPerDoc = posts.join(broadcast(stop), Seq("s"))
         .groupBy(col(id)).agg(sort_array(collect_set(col("s"))).as("hs"))
-      val empty = array().cast("array<string>")
+      val empty = array().cast("array<bigint>")
       cand
         .join(hotPerDoc.select(col(id).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
         .join(hotPerDoc.select(col(id).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
@@ -111,7 +123,7 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sh = shingled(df, id, text, n)
+    val sh = shingledHashed(df, id, text, n)
     // One banded-signature relation, cached, joined to itself on a single
     // 64-bit band key (hash of band id + band slice): the signature is
     // computed once, not once per join side, and the shuffle key is a plain

@@ -119,6 +119,10 @@ object Multimodal {
   def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[ImageRow] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      // PNG encoding is compute-dense per row; a small parquet input is one
+      // split, which would pin the whole encode to one core (same rationale
+      // as Dedup.shingled). At cluster scale the scan has many splits.
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nChars) =>

@@ -530,11 +530,15 @@ object PipelineQueries {
     (s, d) => {
       // cached for the scope of the query (consumed three times: per-source
       // totals + both join sides); Caching.withCached releases it once the
-      // tiny ≤ sources² result is materialized
+      // tiny ≤ sources² result is materialized. Shingles are hashed to longs
+      // BEFORE the distinct, so the distinct's shuffle and the self-join
+      // probe move 8-byte keys, not multi-word strings (collision odds
+      // ≈ |shingles|²/2⁶⁵ — negligible; at worst one overlap count ±1)
       val sh = Tables.documents(s, d)
         .where(size(TextFunctions.words(col("text"))) >= 3)
         .select(col("source"),
-          explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg"))
+          explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg0"))
+        .select(col("source"), xxhash64(col("sg0")).as("sg"))
         .distinct()
       graft.operators.Caching.withCached(sh) {
         val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -560,6 +564,67 @@ object PipelineQueries {
       |   ${q4("n_common / (na.n_sh + nb.n_sh - n_common)")} AS sim
       | FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b""".stripMargin))
 
+  /** Sequence packing (concat-and-chunk, the standard pretraining packing):
+    * documents are concatenated in (source, doc_id) order and cut into
+    * training sequences of `B = 2048` tokens; each document is assigned to
+    * the pack where it STARTS (pack = cumulative-start-offset div B), and the
+    * result is the per-pack accounting (docs, tokens) a data loader consumes.
+    *
+    * Scale shape: one window cumulative sum partitioned by source — the sort
+    * is per-source and the packing is deterministic, so shards can be packed
+    * independently and reproducibly; at 100 TB the partition key would be a
+    * finer shard id (source, shard) chosen so each partition's documents fit
+    * an executor, same plan shape.
+    */
+  val qPackSequences = Fixture(
+    "q_pack_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("pack_id", expr("start_off div 2048"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_total"))
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
+      |            FROM documents),
+      | o AS (SELECT source, doc_id, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      |       FROM t)
+      | SELECT source, start_off // 2048 AS pack_id,
+      |   count(*) AS n_docs, sum(n_tok) AS n_tok_total
+      | FROM o GROUP BY 1, 2""".stripMargin))
+
+  /** Fixed-size token chunking: each document splits into ⌈n_tok / 64⌉
+    * chunks; the output row carries the chunk's token count and first token —
+    * the shape a tokenize-and-shard pass emits before packing. Pure explode
+    * over a per-row sequence: no shuffle at all, linear in output chunks.
+    */
+  val qChunkDocs = Fixture(
+    "q_chunk_docs",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr("(n_tok + 63) div 64 - 1"))))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(64L), col("n_tok") - col("chunk_id") * 64L).as("n_tok_chunk"),
+        element_at(col("w"), (col("chunk_id") * 64L + 1L).cast("int")).as("first_tok")),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tok FROM t),
+      | c AS (SELECT doc_id, w, n_tok,
+      |         unnest(generate_series(0, (n_tok + 63) // 64 - 1)) AS chunk_id
+      |       FROM n)
+      | SELECT doc_id, chunk_id,
+      |   least(64, n_tok - chunk_id * 64) AS n_tok_chunk,
+      |   w[(chunk_id * 64 + 1)] AS first_tok
+      | FROM c""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
@@ -568,5 +633,6 @@ object PipelineQueries {
     qRedact, qSampleHash, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
     qDecontaminate, qRepetition, qCurationFunnel,
-    qLengthPercentiles, qVocabCoverage, qSourceOverlap)
+    qLengthPercentiles, qVocabCoverage, qSourceOverlap,
+    qPackSequences, qChunkDocs)
 }
