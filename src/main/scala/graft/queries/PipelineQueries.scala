@@ -520,35 +520,63 @@ object PipelineQueries {
   /** Inter-source n-gram overlap matrix: for each source pair, the count of
     * distinct 3-gram shingles in common and the shingle-set Jaccard — the
     * source-similarity accounting a curation pipeline uses to order crawls
-    * before dedup. Scale shape: the corpus first reduces to DISTINCT
-    * (source, shingle) — so the self-join's per-shingle group size is
-    * bounded by the number of sources, never by document count — and the
-    * per-source totals are a tiny broadcast back onto ≤ sources² rows.
+    * before dedup.
+    *
+    * Scale shape — ONE wide shuffle, all-long hash aggregation: sources map
+    * to bit positions (broadcast dim, ≤ 64 sources per run — shard the
+    * matrix by source group beyond that), shingles hash to longs (collision
+    * odds ≈ |shingles|²/2⁶⁵, at worst one count ±1), and a single
+    * groupBy(sg).bit_or(1 << sid) folds the corpus to one LONG mask per
+    * distinct shingle — dedup and co-occurrence in the same codegen'd
+    * HashAggregate (no collect_set object aggregation, which falls back to
+    * sort-based past ~128 k groups; no distinct + self-join, which would
+    * shuffle the relation three times). The mask histogram is tiny
+    * (≤ 2^|sources| in theory, thousands in practice); pair expansion and
+    * per-source totals are HOF array work over its set bits, weighted by
+    * count — never a join against the corpus.
     */
   val qSourceOverlap = Fixture(
     "q_source_overlap",
     (s, d) => {
-      // cached for the scope of the query (consumed three times: per-source
-      // totals + both join sides); Caching.withCached releases it once the
-      // tiny ≤ sources² result is materialized. Shingles are hashed to longs
-      // BEFORE the distinct, so the distinct's shuffle and the self-join
-      // probe move 8-byte keys, not multi-word strings (collision odds
-      // ≈ |shingles|²/2⁶⁵ — negligible; at worst one overlap count ±1)
-      val sh = Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // source → bit position (tiny dim; global window over |sources| rows)
+      val srcIds = docs.select("source").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("source")) - 1)
+      val masks = docs
         .where(size(TextFunctions.words(col("text"))) >= 3)
+        // same rationale as Dedup.shingled: shingling is compute-dense and a
+        // small input is one parquet split — repartition to parallelize it
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("source"),
           explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg0"))
         .select(col("source"), xxhash64(col("sg0")).as("sg"))
-        .distinct()
-      graft.operators.Caching.withCached(sh) {
-        val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.select(col("source").as("src_a"), col("sg"))
-          .join(sh.select(col("source").as("src_b"), col("sg")), "sg")
-          .where(col("src_a") < col("src_b"))
-          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(srcIds), "source")
+        .groupBy("sg").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      graft.operators.Caching.withCached(masks) {
+        // set-bit positions of each mask (≤ 64-element HOF filter; SQL-form
+        // lambda because shiftright-by-a-column has no Column-DSL overload)
+        val bitsArr = expr("filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)")
+        val n = masks
+          .select(col("cnt"), explode(bitsArr).as("sid"))
+          .groupBy("sid").agg(sum(col("cnt")).as("n_sh"))
+        // ordered (i < j) set-bit pairs, weighted by the mask's count
+        val pairArr = flatten(transform(
+          sequence(lit(1), size(col("bits")) - 1),
+          i => transform(slice(col("bits"), i + 1, size(col("bits"))),
+            b => struct(element_at(col("bits"), i).as("sa"), b.as("sb")))))
+        val pairs = masks
+          .withColumn("bits", bitsArr)
+          .where(size(col("bits")) >= 2)
+          .select(col("cnt"), explode(pairArr).as("p"))
+          .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+          .agg(sum(col("cnt")).as("n_common"))
         pairs
-          .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
-          .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+          .join(broadcast(srcIds.select(col("source").as("src_a"), col("sid").as("sa"))), "sa")
+          .join(broadcast(srcIds.select(col("source").as("src_b"), col("sid").as("sb"))), "sb")
+          .join(broadcast(n.select(col("sid").as("sa"), col("n_sh").as("na"))), "sa")
+          .join(broadcast(n.select(col("sid").as("sb"), col("n_sh").as("nb"))), "sb")
           .select(col("src_a"), col("src_b"), col("n_common"),
             Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
       }
