@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.{Caching, GapFill}
+
+/** Pins the operator-scoped cache lifecycle: operators that cache
+  * intermediates must release them before returning (the round-3 board
+  * leaked every cached shingle/signature relation into the session, which
+  * both corrupted best-of-2 bench timings — second attempt ran cache-warm —
+  * and grows storage memory without bound in a long-lived session).
+  */
+class CachingSpec extends SparkTestBase {
+
+  private def nCached: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("withCached releases its caches and returns a computed result") {
+    spark.catalog.clearCache()
+    val before = nCached
+    val df = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val out = Caching.withCached(df) {
+      df.groupBy("source").agg(count(lit(1)).as("n"))
+    }
+    assert(out.count() > 0)
+    // the input cache is released; only the (lineage-free) result's own
+    // localCheckpoint blocks may remain until it is garbage-collected
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"operator input remained in the cache manager after withCached " +
+        s"(persistent RDDs before: $before, now: $nCached)")
+  }
+
+  test("dedup operators leave no cache-manager entries behind") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
+    GapFill.fill(
+      Tables.eventsWithEpoch(spark, sfDir)
+        .groupBy(col("event_type"), (col("es") - col("es") % 600).as("ws"))
+        .agg(count(lit(1)).as("cnt")),
+      "ws", 600L, Seq("event_type"), Seq("cnt")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator leaked a cache-manager entry")
+  }
+}
