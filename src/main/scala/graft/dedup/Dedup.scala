@@ -50,52 +50,53 @@ object Dedup {
     shingled(df, id, text, n)
       .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
-    * shingles, self-join on shingle (only docs sharing ≥1 shingle ever meet),
-    * then verify candidates against the full shingle sets. Shuffle is bounded
-    * by posting-list sizes, not doc-pairs.
+  /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    * index (the ppjoin/AllPairs candidate rule): each doc's hashed shingles
+    * are sorted (the hash order is the global total order), and only the
+    * first `n_sh − ⌈τ·n_sh⌉ + 1` of them — the prefix — enter the self-join.
+    * Candidate completeness: if J(A,B) ≥ τ then |A∩B| ≥ τ·max(|A|,|B|), so
+    * the SMALLEST common shingle sits within the first
+    * |A| − |A∩B| + 1 ≤ |A| − ⌈τ·|A|⌉ + 1 positions of A (and likewise of B)
+    * — i.e. in both prefixes. Candidates are then verified exactly against
+    * the full shingle sets, so precision is 1 and the τ cut is exact.
+    * Versus joining ALL postings, the prefix roughly halves posting volume
+    * at τ = 0.5 (join pairs ∝ df², so ~4× fewer) and shrinks further as τ
+    * grows — the difference between feasible and not at corpus scale.
     *
-    * `maxDf` is the stop-shingle cap (standard prefix filtering): shingles
-    * appearing in more than maxDf docs are dropped from CANDIDATE GENERATION
-    * only — a shingle with document frequency d contributes d² join pairs, and
-    * web boilerplate makes d huge at corpus scale. Verification still uses the
-    * complete shingle sets, so scores are exact; a true pair is missed only if
-    * it shares nothing but stop-shingles, which at jaccard ≥ minJ would
-    * require both docs to be mostly boilerplate (DedupCapSpec pins pair-set
-    * equality on the fixture corpus at τ = 0.5 and 0.8).
+    * `maxDf` is the stop-shingle cap on top: shingles appearing in more than
+    * maxDf docs are dropped from candidate generation only — web boilerplate
+    * makes df huge at corpus scale and each contributes df² join pairs.
+    * Verification still uses complete shingle sets, so scores stay exact; a
+    * true pair is missed only if every common prefix shingle is a
+    * stop-shingle (DedupCapSpec pins pair-set equality on the fixture corpus
+    * at τ = 0.5 and 0.8, capped vs uncapped).
     */
   def jaccardPairs(
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
       maxDf: Int = 1000): DataFrame = {
     val sh = shingledHashed(df, id, text, n)
+      .withColumn("sh", sort_array(col("sh")))
     Caching.withCached(sh) {
-      val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
-      val stop = posts.groupBy("s").agg(count(lit(1)).as("df"))
+      // document frequency (for the stop cap) comes from FULL postings
+      val stop = sh.select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("s")
-      val capped = posts.join(broadcast(stop), Seq("s"), "left_anti")
-      // intersection counts over capped postings only (the cheap, original
-      // count-based form — no shingle arrays ever shuffle) ...
-      val a = capped.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
-      val b = capped.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
-      val cand = a.join(b, Seq("s"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("inter_c"))
-      // ... then exact |A∩B| = capped intersections + shared HOT shingles,
-      // recovered from tiny per-doc hot-shingle arrays (≤ |stop set| elements,
-      // so candidate pairs never carry full shingle sets)
-      val hotPerDoc = posts.join(broadcast(stop), Seq("s"))
-        .groupBy(col(id)).agg(sort_array(collect_set(col("s"))).as("hs"))
-      val empty = array().cast("array<bigint>")
-      cand
-        .join(hotPerDoc.select(col(id).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
-        .join(hotPerDoc.select(col(id).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
-        .withColumn("inter",
-          col("inter_c") + size(array_intersect(
-            coalesce(col("hs_a"), empty), coalesce(col("hs_b"), empty))))
-        .select(col("doc_a"), col("doc_b"),
-          Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
-        .where(col("jac") >= minJ)
+      // the ε guards ⌈τ·n⌉ against double round-up (0.8·5 → 4.0000…2 would
+      // otherwise ceil to 5 and illegally shrink the prefix)
+      val plen = (col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
+        .cast("int")
+      val prefixPosts = sh
+        .select(col(id), col("n_sh"), explode(slice(col("sh"), lit(1), plen)).as("s"))
+        .join(broadcast(stop), Seq("s"), "left_anti")
+      // length filter (necessary condition): J ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ —
+      // prunes candidates inside the join, before the distinct
+      val cand = prefixPosts.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
+        .join(prefixPosts.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s")), Seq("s"))
+        .where(col("doc_a") < col("doc_b") &&
+          col("nb") >= lit(minJ) * col("na") - lit(1e-9) &&
+          col("nb") <= col("na") / lit(minJ) + lit(1e-9))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(cand, sh, id, minJ)
     }
   }
 
