@@ -117,4 +117,54 @@ class GapFillSpec extends SparkTestBase {
       ("a", 1200L, 0L, None),      // trailing bubbles up to the watermark
       ("a", 1800L, 0L, None)), s"got $got")
   }
+
+  test("bounded out-of-order stream (delay 600s): closed windows == batch GapFill exactly") {
+    import graft.sources.Sources
+    import spark.implicits._
+    val sizeSec = 600L
+    val delaySec = 600L
+    // two keys, es stepping 37 s with two multi-window gaps; arrival order =
+    // es + deterministic jitter < delay/2, so every row is out-of-order by
+    // up to ~300 s yet provably within the 600 s bound EVEN ACROSS the time
+    // gaps (when r arrives, maxEsSeen ≤ release(r) ≤ es(r) + 300, so the
+    // watermark maxEsSeen − 600 stays below es(r))
+    // es starts at 600, not 0: a row AT event-time epoch 0 ties Spark's
+    // INITIAL watermark (0 ms) and is dropped by the stateful operator's
+    // standard late-row filter before ours ever sees it
+    val inOrder = for {
+      (key, off) <- Seq(("a", 0L), ("b", 11L))
+      es <- (600L until 7800L by 37L)
+      if !(es >= 1800 && es < 3000) && !(es >= 5400 && es < 6000)
+    } yield Sources.EventRow(es, es + off, 1, key, (es % 13).toDouble)
+    val rows = inOrder.sortBy(r => r.es + (r.es * 7919) % 300)
+
+    val (ms, df) = Sources.replay(spark)
+    val stream = df.select(col("event_type"), col("es"), col("value"), col("ts"))
+    val out = StreamingGapFill
+      .tumblingWithBubbles(spark, stream, sizeSec, watermarkDelaySec = delaySec).toDF()
+      .withColumn("sum_v", Quant.q4(col("sum_v")))
+      .select("event_type", "ws", "cnt", "sum_v")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_gapfill_prop").start()
+    try {
+      rows.grouped(16).foreach { batch => ms.addData(batch: _*); q.processAllAvailable() }
+      // final watermark = max ts − delay; poll for the timeout closes
+      val maxEs = rows.map(_.es).max
+      val wmMs = (maxEs - delaySec) * 1000L
+      val batchAgg = inOrder.toDF("event_id", "es", "user_id", "event_type", "value")
+        .groupBy(col("event_type"), (col("es") - pmod(col("es"), lit(sizeSec))).as("ws"))
+        .agg(count(lit(1)).as("cnt"), Quant.q4(sum(col("value"))).as("sum_v"))
+      val expected = graft.operators.GapFill.fill(
+          batchAgg, "ws", sizeSec, Seq("event_type"), Seq("cnt"))
+        .where((col("ws") + sizeSec) * 1000L <= wmMs)
+        .select("event_type", "ws", "cnt", "sum_v")
+      val want = expected.count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        spark.table("s_gapfill_prop").count() < want) Thread.sleep(200)
+      val got = spark.table("s_gapfill_prop")
+      assertSameRows(got, expected)
+      assert(got.where(col("cnt") === 0).count() > 0, "no bubbles exercised")
+    } finally q.stop()
+  }
 }
