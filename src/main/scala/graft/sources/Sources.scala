@@ -37,19 +37,27 @@ object Sources {
 
   /** TCP line source parsed into the events schema — the remote-ingest
     * analog. Connects to host:port; each line is
-    * `event_id,ts_epoch_us,user_id,event_type,value`.
+    * `event_id,ts_epoch_us,user_id,event_type,value`. Parsed with the real
+    * CSV parser (not a naive split), so quoted fields containing the
+    * separator — exactly what [[Sinks.SocketForeachWriter]] emits for free
+    * text — round-trip intact.
     */
-  def socketEvents(spark: SparkSession, host: String, port: Int): DataFrame =
+  def socketEvents(spark: SparkSession, host: String, port: Int): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
     spark.readStream
       .format("socket")
       .option("host", host)
       .option("port", port)
       .load()
-      .select(split(col("value"), ",").as("f"))
+      // escape = quote selects CSV-standard doubled-quote escaping (Spark's
+      // default is backslash), matching what the sink emits
+      .select(from_csv(col("value"), schema, Map("escape" -> "\"")).as("r"))
       .select(
-        element_at(col("f"), 1).cast("long").as("event_id"),
-        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
-        element_at(col("f"), 3).cast("long").as("user_id"),
-        element_at(col("f"), 4).as("event_type"),
-        element_at(col("f"), 5).cast("double").as("value"))
+        col("r.event_id").as("event_id"),
+        timestamp_micros(col("r.ts_us")).as("ts"),
+        col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+  }
 }

@@ -130,6 +130,8 @@ class SourcesSpec extends SparkTestBase {
       (1 to 20).foreach { i =>
         out.println(s"$i,${1000000L * i},${i % 3},click,${i * 1.5}")
       }
+      // a line with a CSV-quoted field containing the separator and a quote
+      out.println("99,99000000,7,\"cli,ck\"\"x\",9.5")
       out.flush()
       Thread.sleep(3000)
       s.close()
@@ -142,14 +144,18 @@ class SourcesSpec extends SparkTestBase {
       // socket source is not replayable; poll until rows arrive
       val deadline = System.currentTimeMillis() + 20000
       var n = 0L
-      while (n < 20 && System.currentTimeMillis() < deadline) {
+      while (n < 21 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
         n = spark.table("socket_out").count()
       }
       q.stop()
-      assert(n == 20, s"expected 20 socket rows, got $n")
+      assert(n == 21, s"expected 21 socket rows, got $n")
       val r = spark.table("socket_out").where(col("event_id") === 2).collect()(0)
       assert(r.getAs[Long]("user_id") == 2 && r.getAs[Double]("value") == 3.0)
+      // CSV-quoted free text (the sink's own escaping) round-trips intact
+      val quoted = spark.table("socket_out").where(col("event_id") === 99).collect()(0)
+      assert(quoted.getAs[String]("event_type") == "cli,ck\"x",
+        s"quoted field mangled: ${quoted.getAs[String]("event_type")}")
     } finally {
       server.close()
     }
