@@ -75,6 +75,14 @@ object ast {
       quantize: Option[Int] = Some(4)) extends Op
   /** J1 StaticHashJoin — reference StaticHashJoin.h:14-79. */
   final case class StaticJoin(dim: DataFrame, on: Pred) extends Op
+  /** J2 windowed θ-join — reference ThetaJoin.h:18-818: pair with `other`
+    * rows whose `otherTs` lies within [thisTs, thisTs + windowSec] and θ
+    * holds. Include an equi component in θ when semantics allow, so the join
+    * shuffles by key instead of broadcast-nested-loop.
+    */
+  final case class ThetaJoin(
+      other: DataFrame, theta: Pred,
+      thisTs: String, otherTs: String, windowSec: Long) extends Op
   /** O5 post-window hot-items — reference NBQ5.cpp:63-110. */
   final case class HotItems(partition: Seq[String], valueCol: String) extends Op
 
@@ -89,6 +97,8 @@ object ast {
       case Selection(p) => df.filter(p.toColumn)
       case Projection(es) => df.select(es.map { case (e, n) => e.toColumn.as(n) }: _*)
       case StaticJoin(dim, on) => Joins.staticBroadcast(df, dim, on.toColumn)
+      case ThetaJoin(other, theta, lts, rts, w) =>
+        Joins.windowedTheta(df, other, col(lts), col(rts), w, theta.toColumn)
       case HotItems(part, v) => PostWindow.keepMaxBy(df, part, v)
       case a: Aggregation =>
         val specs = a.aggs.map { case (fn, in, out) =>
@@ -100,12 +110,14 @@ object ast {
           case RangeBased =>
             TimeWindows.auto(withKeys, col(a.tsCol), a.window.size, a.window.slide,
               keyNames, specs)
-          case RowBased =>
-            require(a.window.isTumbling, "sliding row windows: use CountWindows.frame directly")
+          case RowBased if a.window.isTumbling =>
             CountWindows.tumblingIds(withKeys, keyNames, a.orderBy.map(col),
                 a.window.size.toInt)
               .groupBy((keyNames :+ "wid").map(col): _*)
               .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
+          case RowBased => // generic sliding row window (gcd-pane partials)
+            CountWindows.slidingAgg(withKeys, keyNames, a.orderBy.map(col),
+              a.window.size.toInt, a.window.slide.toInt, specs)
         }
         a.having.fold(agged)(h => agged.where(h.toColumn))
     }

@@ -48,6 +48,37 @@ class DslSpec extends SparkTestBase {
     assert(full > 0 && got.count() >= full)
   }
 
+  test("generic sliding row window through the DSL == CountWindows.slidingAgg") {
+    import graft.operators.CountWindows
+    val q = StreamQuery(Seq(
+      Aggregation(
+        WindowDef(RowBased, 50, 10),
+        aggs = Seq((AggFn.Cnt, "value", "cnt"), (AggFn.Sum, "value", "sum_v")),
+        groupBy = Seq((Attr("user_id"), "user_id")),
+        orderBy = Seq("es", "event_id"))))
+    val got = q.compile(Tables.eventsWithEpoch(spark, sfDir))
+    val want = CountWindows.slidingAgg(
+      Tables.eventsWithEpoch(spark, sfDir),
+      Seq("user_id"), Seq(col("es"), col("event_id")), 50, 10,
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4))))
+    assertSameRows(got, want)
+  }
+
+  test("windowed theta-join through the DSL == Joins.windowedTheta") {
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("es").as("ces"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bu"), col("es").as("bes"))
+    val q = StreamQuery(Seq(
+      ThetaJoin(buys, Cmp(CmpOp.Eq, Attr("cu"), Attr("bu")), "ces", "bes", 600L)))
+    val got = q.compile(clicks)
+    val want = graft.operators.Joins.windowedTheta(
+      clicks, buys, col("ces"), col("bes"), 600L, col("cu") === col("bu"))
+    assertSameRows(got, want)
+  }
+
   test("arithmetic expression and predicate surface") {
     val q = StreamQuery(Seq(
       Projection(Seq(
