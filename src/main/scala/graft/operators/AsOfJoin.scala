@@ -44,13 +44,13 @@ object AsOfJoin {
     val lTagged = left.select(
       col(key).as("__k"), orderKey(left, leftTs).as("__t"),
       lit(0).as("__side"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val rTagged = right.select(
       col(key).as("__k"), orderKey(right, rightTs).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(lType).as("__l"),
-      struct(right.columns.map(col): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.union(rTagged)
