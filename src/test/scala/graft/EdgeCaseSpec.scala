@@ -65,4 +65,36 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(PostWindow.keepMaxBy(noEvents.select(col("event_id"), col("user_id")),
       Seq("user_id"), "event_id").count() == 0)
   }
+
+  test("chunking: empty and single-token docs yield exactly one chunk") {
+    // split('') = [""] — one token, one chunk, first_tok empty/itself
+    val docs = Seq((1L, ""), (2L, "lone"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = queries.PipelineQueries.qChunkDocs.build(spark, sfDir) // smoke real table
+    assert(got.columns.toSeq == Seq("doc_id", "chunk_id", "n_tok_chunk", "first_tok"))
+    val chunks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), expr("(n_tok + 63) div 64 - 1"))))
+      .groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(chunks == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("sequence packing: pack token totals tile the corpus and packs are contiguous") {
+    val packs = queries.PipelineQueries.qPackSequences.build(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val totalTok = docs.select(
+      sum(graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")))
+      .as[Long].head()
+    assert(packs.agg(sum("n_tok_total")).as[Long].head() == totalTok,
+      "packing dropped or duplicated tokens")
+    // per source: first pack is 0 and the last pack id is bounded by the
+    // final doc's start offset (< source total), i.e. (total − 1) div 2048
+    val perSource = packs.groupBy("source")
+      .agg(min("pack_id").as("mn"), max("pack_id").as("mx"),
+        sum("n_tok_total").as("tot"))
+    assert(perSource.where(col("mn") =!= 0).count() == 0, "first pack not 0")
+    assert(perSource.where(col("mx") > (col("tot") - 1) / 2048).count() == 0,
+      "pack id beyond the source's token span")
+  }
 }
