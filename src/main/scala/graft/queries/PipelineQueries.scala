@@ -653,6 +653,31 @@ object PipelineQueries {
       |   w[(chunk_id * 64 + 1)] AS first_tok
       | FROM c""".stripMargin))
 
+  /** Skew-resistant aggregation, oracle-checked: per-language corpus totals
+    * through [[graft.operators.SaltedAgg]]'s two-phase (keys + salt → keys)
+    * decomposition. The fixture's 5 languages over 32 reducers is exactly the
+    * hot-key shape that pins a reducer at 100 TB — salting spreads each key
+    * over 16 partials and the merge is exact for algebraic aggregates, which
+    * the plain-GROUP-BY oracle pins.
+    */
+  val qSaltedAgg = Fixture(
+    "q_salted_lang_totals",
+    (s, d) => {
+      import graft.operators.{AggFn, AggSpec, SaltedAgg}
+      SaltedAgg.aggregate(
+        Tables.documents(s, d).select(col("lang"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"),
+          col("n_chars")),
+        Seq("lang"),
+        Seq(AggSpec(AggFn.Cnt, col("n_tok"), "n_docs"),
+            AggSpec(AggFn.Sum, col("n_tok"), "total_tok"),
+            AggSpec(AggFn.Max, col("n_chars"), "max_chars")))
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+      |   sum(len($wordsSql))::BIGINT AS total_tok,
+      |   max(n_chars) AS max_chars
+      | FROM documents GROUP BY 1""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
@@ -662,5 +687,5 @@ object PipelineQueries {
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
     qDecontaminate, qRepetition, qCurationFunnel,
     qLengthPercentiles, qVocabCoverage, qSourceOverlap,
-    qPackSequences, qChunkDocs)
+    qPackSequences, qChunkDocs, qSaltedAgg)
 }
