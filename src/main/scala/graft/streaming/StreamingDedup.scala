@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Streaming exact deduplication — the ingest-time mirror of
+  * [[graft.dedup.Dedup.exact]]: only the FIRST document per normalized-text
+  * fingerprint passes; later copies (within the dedup horizon) are dropped
+  * as they arrive, so downstream operators never see them.
+  *
+  * Built on Spark's native `dropDuplicatesWithinWatermark`: state is one
+  * entry per distinct fingerprint, keyed (shuffles by fingerprint →
+  * distributes), and evicted once the watermark passes the entry's event
+  * time plus the declared delay — the horizon that makes 100 TB ingest
+  * feasible (unbounded exact dedup state is a full corpus index; bounded-
+  * horizon streaming dedup composes with a periodic batch [[graft.dedup.Dedup.exact]]
+  * sweep for the long tail, the standard split).
+  */
+object StreamingDedup {
+
+  /** @param stream    streaming DataFrame with `textCol` and event-time `tsCol`
+    * @param delay     watermark delay; duplicates arriving within it are
+    *                  always caught, state is dropped after it passes
+    */
+  def firstSeen(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      delay: String): DataFrame =
+    stream
+      .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}

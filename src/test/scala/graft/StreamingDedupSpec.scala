@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingDedup
+
+/** Streaming exact dedup: only the first copy per normalized content passes,
+  * across micro-batches, with fingerprint state keyed and watermark-evicted.
+  */
+class StreamingDedupSpec extends SparkTestBase {
+
+  test("first copy per fingerprint passes; later copies across batches are dropped") {
+    import graft.sources.Sources
+    val (ms, df) = Sources.replay(spark)
+    // event_type stands in for the document text; normalization makes
+    // "  hello   WORLD " a duplicate of "hello world"
+    val out = StreamingDedup.firstSeen(df, "event_type", "ts", "10 seconds")
+      .select("event_id", "event_type")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_dedup").start()
+    try {
+      ms.addData(
+        Sources.EventRow(1, 100, 1, "hello world", 1.0),
+        Sources.EventRow(2, 101, 1, "hello world", 1.0), // dup in-batch
+        Sources.EventRow(3, 102, 1, "other doc", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        Sources.EventRow(4, 103, 1, "  hello   WORLD ", 1.0), // dup, normalized
+        Sources.EventRow(5, 104, 1, "third doc", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("s_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+}
