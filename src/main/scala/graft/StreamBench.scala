@@ -92,10 +92,47 @@ object StreamBench {
       .write.format("noop").mode("overwrite").save()
     val batchSec = (System.nanoTime() - t1) / 1e9
 
+    // (c) SLIDING windows — the reference's headline workload (LightSaber's
+    // contribution is pane-based sliding aggregation): native window() vs the
+    // paned two-level decomposition, same 3600/60 shape as the CM/SG
+    // benchmarks, streamed with a watermark so state is evictable. Fewer
+    // loops: per-tuple work is 60× the tumbling case for the native path.
+    // Measured at sf0.1/RocksDB the two are at parity: the paned path's
+    // second stateful stage (extra shuffle + state commits per batch) offsets
+    // its 60× smaller pre-aggregation expansion at this batch size — the
+    // pane win concentrates in the BATCH path (plans.PaneRewrite, 4.9× on
+    // this shape) and grows with size/slide; both numbers are reported so
+    // the trade-off stays measured, not assumed.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val slideLoops = math.max(1, loops / 10)
+    def slidingRun(paned: Boolean): Double = {
+      val (ms2, df2) = Sources.replay(spark)
+      val aggs2 = Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+        AggSpec(AggFn.Sum, col("value"), "sum_v"))
+      val out =
+        if (paned) Streams.windowAggPaned(df2, 3600, 60, Seq("event_type"), aggs2, "0 seconds")
+        else Streams.windowAgg(df2, 3600, 60, Seq("event_type"), aggs2, Some("0 seconds"))
+      val qn = if (paned) "sb_slide_paned" else "sb_slide_native"
+      val q2 = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      val t = System.nanoTime()
+      (1 to slideLoops).foreach { _ =>
+        rows.grouped(100000).foreach(c => ms2.addData(c.toSeq))
+        q2.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      q2.stop()
+      sec
+    }
+    val nativeSec = slidingRun(paned = false)
+    val panedSec = slidingRun(paned = true)
+    val nSlide = rows.length.toLong * slideLoops
+
     val n = rows.length.toLong * loops
     println(s"""{"metric":"throughput","tuples":$n,""" +
       s""""stream_sec":$streamSec,"stream_tps":${(n / streamSec).toLong},""" +
       s""""batch_sec":$batchSec,"batch_tps":${(n / batchSec).toLong},""" +
+      s""""sliding_native_tps":${(nSlide / nativeSec).toLong},""" +
+      s""""sliding_paned_tps":${(nSlide / panedSec).toLong},""" +
       s""""latency_ms":{"p50":${pct(0.50)},"p95":${pct(0.95)},"p99":${pct(0.99)}},""" +
       s""""state_store":"${provider.split('.').last}","sf":"$sfDir"}""")
     spark.stop()
