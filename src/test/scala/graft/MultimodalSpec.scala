@@ -32,4 +32,15 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.ImageMeta(1L, -1L, -1L, "unknown"),
       Multimodal.ImageMeta(2L, -1L, -1L, "unknown")), s"got $got")
   }
+
+  test("truncated image (magic intact, header cut) yields the sentinel, not a task failure") {
+    import spark.implicits._
+    // a real PNG cut after its signature: a reader claims it, then the
+    // header read throws — the IOException branch must sentinel, not fail
+    val whole = Multimodal.syntheticImages(spark,
+      Tables.documents(spark, sfDir).limit(1)).collect()(0).media
+    val truncated = Seq(Multimodal.ImageRow(7L, whole.take(12))).toDS()
+    val got = Multimodal.imageMeta(spark, truncated).collect().toSet
+    assert(got == Set(Multimodal.ImageMeta(7L, -1L, -1L, "unknown")), s"got $got")
+  }
 }
