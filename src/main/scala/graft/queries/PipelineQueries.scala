@@ -262,6 +262,31 @@ object PipelineQueries {
     Some(s"""SELECT doc_id, lang, n_chars FROM documents
       | WHERE ${h64("doc_id::VARCHAR")} % 100 < 10""".stripMargin))
 
+  /** Deterministic fixed-size per-group sample: the k lowest content-hash
+    * docs per source — the standard reproducible eval-set / spot-check draw
+    * (hash order is a uniform shuffle, and the same k docs come back on
+    * every run and every engine). One window per source partition; at scale
+    * this is the partial TopK-per-key pattern — rank only sorts within each
+    * source.
+    */
+  val qSamplePerSource = Fixture(
+    "q_sample_per_source",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(TextFunctions.hash64(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .select("source", "rk", "doc_id", "lang")
+    },
+    Some(s"""SELECT source, rk, doc_id, lang FROM (
+      |   SELECT source, doc_id, lang,
+      |     row_number() OVER (PARTITION BY source
+      |       ORDER BY ${h64("doc_id::VARCHAR")}, doc_id) AS rk
+      |   FROM documents)
+      | WHERE rk <= 10""".stripMargin))
+
   /** Corpus statistics per language: the summary pass every ingest pipeline
     * runs before filtering decisions.
     */
@@ -683,7 +708,7 @@ object PipelineQueries {
     qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupClusters,
     qAnnBrute, qAnnBucketed,
-    qRedact, qSampleHash, qCorpusStats,
+    qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
     qDecontaminate, qRepetition, qCurationFunnel,
     qLengthPercentiles, qVocabCoverage, qSourceOverlap,
