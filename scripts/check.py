@@ -67,6 +67,14 @@ def compare(got, exp):
     for c in got.columns:
         a, b = gs[c], es[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # The driver's hash is a string compare: an int64-vs-float64
+            # column pair ("41" vs "41.0") hash-mismatches even when values
+            # are equal (DuckDB widens sum(BIGINT) to HUGEINT -> float64 in
+            # pandas). Mirror that strictness here: kind mismatch = FAIL.
+            if a.dtype.kind != b.dtype.kind:
+                return False, (f"col {c} dtype kind mismatch: got "
+                               f"{a.dtype} vs oracle {b.dtype} (cast the "
+                               f"oracle, e.g. sum(x)::BIGINT)")
             bad = (a - b).abs() > 1e-9
         else:
             bad = a.astype(str) != b.astype(str)

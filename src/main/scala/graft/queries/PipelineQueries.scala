@@ -649,8 +649,8 @@ object PipelineQueries {
       |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |           ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
       |       FROM t)
-      | SELECT source, start_off // 2048 AS pack_id,
-      |   count(*) AS n_docs, sum(n_tok) AS n_tok_total
+      | SELECT source, (start_off // 2048)::BIGINT AS pack_id,
+      |   count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok_total
       | FROM o GROUP BY 1, 2""".stripMargin))
 
   /** Fixed-size token chunking: each document splits into ⌈n_tok / 64⌉
