@@ -109,6 +109,14 @@ object StreamingGapFill {
                 } // else: older than the close frontier — beyond the declared
                   // lateness bound, dropped
               }
+              // Close watermark-finalized windows HERE too, not only in the
+              // timeout branch: a key with data in every micro-batch re-arms
+              // its timeout above the current watermark each invocation and
+              // would otherwise never emit (and `open` would grow without
+              // bound, breaking the O(lateness/size) state contract). Safe:
+              // Spark's late-row filter drops rows with ts < watermark, so no
+              // future row can land in a window whose end ≤ watermark.
+              if (s.started) s = emitThrough(s, wMaxWm)
               s
             }
           state.update(st)
