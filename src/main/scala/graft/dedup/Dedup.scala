@@ -66,10 +66,20 @@ object Dedup {
     * `maxDf` is the stop-shingle cap on top: shingles appearing in more than
     * maxDf docs are dropped from candidate generation only — web boilerplate
     * makes df huge at corpus scale and each contributes df² join pairs.
-    * Verification still uses complete shingle sets, so scores stay exact; a
-    * true pair is missed only if every common prefix shingle is a
-    * stop-shingle (DedupCapSpec pins pair-set equality on the fixture corpus
-    * at τ = 0.5 and 0.8, capped vs uncapped).
+    * Verification still uses complete shingle sets, so scores stay exact.
+    * Common STOP shingles still count toward the true overlap while being
+    * invisible to candidate generation, so both prefix and positional filter
+    * must absorb them: each doc carries its stop-shingle count `n_hot`, the
+    * prefix is extended by n_hot slots (common stop shingles sorted before
+    * the first surviving common shingle would otherwise push it past the
+    * prefix), and the positional overlap bound is relaxed by
+    * min(hot_a, hot_b) (at most that many common shingles hide in the stop
+    * set). With both corrections a true pair is missed ONLY when every one
+    * of its common shingles is a stop-shingle — i.e. the pair is a duplicate
+    * purely via > maxDf boilerplate, which no stop-capped index can see.
+    * DedupCapSpec pins pair-set equality on the fixture corpus at τ = 0.5
+    * and 0.8 capped vs uncapped, plus an adversarial corpus whose shared
+    * stop-shingles sort before the surviving prefix.
     */
   def jaccardPairs(
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
@@ -81,30 +91,49 @@ object Dedup {
       val stop = sh.select(explode(col("sh")).as("s"))
         .groupBy("s").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("s")
+      // per-doc stop-shingle count: one broadcast probe of the full postings
+      // + a map-side-combined count per doc (shuffle rows ≤ docs carrying a
+      // hot shingle), then a doc-keyed join back onto the one-row-per-doc
+      // relation — never a per-posting shuffle
+      val hot = sh.select(col(id), explode(col("sh")).as("s"))
+        .join(broadcast(stop), Seq("s"))
+        .groupBy(col(id)).agg(count(lit(1)).cast("int").as("n_hot"))
+      val shh = sh.join(hot, Seq(id), "left")
+        .withColumn("n_hot", coalesce(col("n_hot"), lit(0)))
       // the ε guards ⌈τ·n⌉ against double round-up (0.8·5 → 4.0000…2 would
-      // otherwise ceil to 5 and illegally shrink the prefix)
+      // otherwise ceil to 5 and illegally shrink the prefix); + n_hot: each
+      // common stop shingle sorted before the first surviving common shingle
+      // shifts it one slot right, so the prefix grows by the worst case.
+      // The extra postings are non-hot (the anti-join drops hot ones), so
+      // their join fan-out stays df-capped.
       val plen = (col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
-        .cast("int")
-      val prefixPosts = sh
-        .select(col(id), col("n_sh"), posexplode(slice(col("sh"), lit(1), plen)))
+        .cast("int") + col("n_hot")
+      val prefixPosts = shh
+        .select(col(id), col("n_sh"), col("n_hot"),
+          posexplode(slice(col("sh"), lit(1), plen)))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "s")
         .join(broadcast(stop), Seq("s"), "left_anti")
       // two more necessary conditions prune inside the join, before the
       // distinct: the LENGTH filter (J ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ) and
       // ppjoin's POSITIONAL filter — a match at (sorted) positions pa/pb
-      // bounds the overlap by 1 + min(|A|−pa, |B|−pb), which must reach the
-      // equivalent overlap threshold α = τ/(1+τ)·(|A|+|B|); sound because a
-      // true pair's FIRST common shingle always yields a passing occurrence
+      // bounds the SURVIVING overlap by 1 + min(|A|−pa, |B|−pb); up to
+      // min(hot_a, hot_b) more common shingles can hide in the stop set, so
+      // the total-overlap bound that must reach the equivalent threshold
+      // α = τ/(1+τ)·(|A|+|B|) adds that term. Sound because a true pair's
+      // first SURVIVING common shingle always yields a passing occurrence
       // (measured at sf0.1: candidates 430 k → 211 k, same verified pairs)
       val cand = prefixPosts
-        .select(col(id).as("doc_a"), col("n_sh").as("na"), col("p").as("pa"), col("s"))
+        .select(col(id).as("doc_a"), col("n_sh").as("na"), col("n_hot").as("hot_a"),
+          col("p").as("pa"), col("s"))
         .join(prefixPosts
-          .select(col(id).as("doc_b"), col("n_sh").as("nb"), col("p").as("pb"), col("s")),
+          .select(col(id).as("doc_b"), col("n_sh").as("nb"), col("n_hot").as("hot_b"),
+            col("p").as("pb"), col("s")),
           Seq("s"))
         .where(col("doc_a") < col("doc_b") &&
           col("nb") >= lit(minJ) * col("na") - lit(1e-9) &&
           col("nb") <= col("na") / lit(minJ) + lit(1e-9) &&
-          lit(1) + least(col("na") - (col("pa") + 1), col("nb") - (col("pb") + 1)) >=
+          lit(1) + least(col("na") - (col("pa") + 1), col("nb") - (col("pb") + 1)) +
+            least(col("hot_a"), col("hot_b")) >=
             lit(minJ / (1 + minJ)) * (col("na") + col("nb")) - lit(1e-9))
         .select("doc_a", "doc_b").distinct()
       verifyJaccard(cand, sh, id, minJ)

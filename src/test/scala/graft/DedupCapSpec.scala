@@ -40,4 +40,51 @@ class DedupCapSpec extends SparkTestBase {
     // jac for unrelated docs stays below 0.5 — only the true pair emits
     assert(pairs == Set((0L, 1L)), s"unexpected pairs: $pairs")
   }
+
+  /** Adversarial corpus for the two cap-era filter holes (VERDICT r5 #1):
+    * shared STOP-shingles that sort (by xxhash64) BEFORE the first surviving
+    * common shingle. Pre-fix, the positional filter's overlap bound
+    * 1 + min(na−pa−1, nb−pb−1) ignored common stop shingles and dropped the
+    * true pair; with more leading stops, the first surviving common shingle
+    * even fell out of the un-extended prefix. Words are picked by their
+    * RUNTIME hash order so the construction is exact, not probabilistic
+    * (n = 1 ⇒ shingle hash = word hash).
+    */
+  test("true pairs whose shared stop-shingles sort before the surviving prefix") {
+    import spark.implicits._
+    // hash-order the word pool with the same xxhash64 the index uses
+    val pool = (0 until 100).map(i => f"tok$i%02d")
+    val ordered = pool.toDF("w")
+      .select(col("w"), xxhash64(col("w")).as("h"))
+      .orderBy("h").as[(String, Long)].collect().map(_._1)
+    val stops  = ordered.take(3)              // 3 smallest hashes: the stop set
+    val shared = ordered.slice(3, 10)         // next 7: surviving common shingles
+    val junk   = ordered.slice(10, 90)        // one-off filler words
+    val uniq   = ordered.slice(90, 94)        // per-doc unique tails
+    // Pair (0,1): 2 leading stops + 7 shared + 1 unique ⇒ na = nb = 10,
+    //   J = 9/11 ≈ 0.818 ≥ 0.8. Prefix len at τ=0.8 is 3 = {stop, stop, s};
+    //   old positional bound 1 + min(7,7) = 8 < α = 8.89 dropped it.
+    // Pair (2,3): 3 leading stops + 7 shared + 1 unique ⇒ na = nb = 11,
+    //   J = 10/12 ≈ 0.833 ≥ 0.8. Old prefix len 3 was all stops — the first
+    //   surviving common shingle sat outside the prefix entirely.
+    val docA = (0L, (stops.take(2) ++ shared :+ uniq(0)).mkString(" "))
+    val docB = (1L, (stops.take(2) ++ shared :+ uniq(1)).mkString(" "))
+    val docC = (2L, (stops.take(3) ++ shared :+ uniq(2)).mkString(" "))
+    val docD = (3L, (stops.take(3) ++ shared :+ uniq(3)).mkString(" "))
+    // 12 filler docs push every stop word's df to 16 > maxDf = 5 while
+    // staying far from τ with each other and with the pairs
+    val filler = (0 until 12).map { i =>
+      (10L + i, (stops ++ junk.slice(i * 5, i * 5 + 5)).mkString(" "))
+    }
+    val docs = (Seq(docA, docB, docC, docD) ++ filler).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.8, maxDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)),
+      s"expected exactly the two true pairs, got: $pairs")
+    // sanity: the cap is binding (uncapped finds the same pairs)
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.8,
+        maxDf = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == pairs, s"capped $pairs vs uncapped $uncapped")
+  }
 }
