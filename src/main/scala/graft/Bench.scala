@@ -37,22 +37,35 @@ object Bench {
 
     // noop sink: forces full evaluation of every output column (a bare
     // count() lets Catalyst prune the query down to row counting).
-    // Best-of-2 per query smooths GC / scheduling noise on a shared host;
-    // each attempt runs in a fresh child session (own SQLConf/temp state)
+    // Each attempt runs in a fresh child session (own SQLConf/temp state)
     // after a settle, so attempts and queries don't bleed into each other.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        settle()
-        val session = spark.newSession()
-        val t0 = System.nanoTime()
-        try { fn(session, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once()
-      val b = if (a < 0) a else math.min(a, once())
-      name -> b
-    }.toMap
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      settle()
+      val session = spark.newSession()
+      val t0 = System.nanoTime()
+      try { fn(session, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Interleaved median-of-N: iterate queries in iteration-major order so a
+    // transient host-load spike lands on ONE attempt of many queries instead
+    // of EVERY attempt of one query (back-to-back attempts share correlated
+    // noise — best-of-2 could not filter it). Median of the per-query samples
+    // then discards the spike. N is tunable; 5 bounds a full run at sf0.1 to
+    // a few minutes while leaving 2 clean samples even if 2 of 5 are noisy.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (name, fn) <- ordered)
+      samples(name) = samples(name) :+ once(fn)
+    def median(xs: Vector[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = samples.map { case (k, v) => k -> median(v) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
