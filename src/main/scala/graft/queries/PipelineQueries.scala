@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -565,9 +566,38 @@ object PipelineQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      sourceOverlap(s, docs)
+    },
+    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
+      | sh AS (SELECT DISTINCT source, unnest($shinglesSql) AS sg
+      |        FROM w0 WHERE len(w) >= 3),
+      | n AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      | p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |       FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+      |       GROUP BY 1, 2)
+      | SELECT src_a, src_b, n_common,
+      |   ${q4("n_common / (na.n_sh + nb.n_sh - n_common)")} AS sim
+      | FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b""".stripMargin))
+
+  /** Body of [[qSourceOverlap]], callable on any `(source, text)` frame.
+    *
+    * Fails fast when the frame carries more than 64 distinct sources: the
+    * mask is one LONG and Spark (like the JVM) masks shift amounts mod 64,
+    * so a 65th source would silently alias bit 0 and corrupt every overlap
+    * involving source 0 — an error, not a wrong answer. Beyond 64, shard the
+    * matrix by source group and run this per shard. The guard is one count
+    * over the tiny distinct-source dim, negligible next to the shingle scan.
+    */
+  def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       // source → bit position (tiny dim; global window over |sources| rows)
       val srcIds = docs.select("source").distinct()
         .withColumn("sid", row_number().over(Window.orderBy("source")) - 1)
+      val nSrc = srcIds.count()
+      require(nSrc <= 64,
+        s"sourceOverlap supports at most 64 distinct sources per run (got " +
+        s"$nSrc): the co-occurrence mask is a single LONG and shift amounts " +
+        s"wrap mod 64. Shard the source set and run the overlap per shard.")
       val masks = docs
         .where(size(TextFunctions.words(col("text"))) >= 3)
         // same rationale as Dedup.shingled: shingling is compute-dense and a
@@ -605,17 +635,7 @@ object PipelineQueries {
           .select(col("src_a"), col("src_b"), col("n_common"),
             Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
       }
-    },
-    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
-      | sh AS (SELECT DISTINCT source, unnest($shinglesSql) AS sg
-      |        FROM w0 WHERE len(w) >= 3),
-      | n AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
-      | p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
-      |       FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
-      |       GROUP BY 1, 2)
-      | SELECT src_a, src_b, n_common,
-      |   ${q4("n_common / (na.n_sh + nb.n_sh - n_common)")} AS sim
-      | FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b""".stripMargin))
+  }
 
   /** Sequence packing (concat-and-chunk, the standard pretraining packing):
     * documents are concatenated in (source, doc_id) order and cut into

@@ -13,6 +13,20 @@ class PipelineSpec extends SparkTestBase {
   private def docs = Tables.documents(spark, sfDir)
   private def emb = Tables.embeddings(spark, sfDir)
 
+  test("sourceOverlap fails fast beyond 64 distinct sources") {
+    import spark.implicits._
+    val wide = (0 until 65)
+      .map(i => (s"src_$i", "alpha beta gamma delta epsilon"))
+      .toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.sourceOverlap(spark, wide)
+    }
+    assert(e.getMessage.contains("64"))
+    // 64 sources is still within the LONG mask — must build a plan, not throw
+    graft.queries.PipelineQueries.sourceOverlap(spark, wide.limit(0)
+      .union(wide.where(col("source") =!= "src_64")))
+  }
+
   test("minhash LSH pairs == exact inverted-index Jaccard pairs at τ=0.8") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
