@@ -87,23 +87,30 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { rows =>
       rows.map { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        if (iis == null) ImageMeta(r.doc_id, -1L, -1L, "unknown")
-        else try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers.hasNext) {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              ImageMeta(r.doc_id, reader.getWidth(0).toLong,
-                reader.getHeight(0).toLong,
-                reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
-            } catch {
-              case _: java.io.IOException => ImageMeta(r.doc_id, -1L, -1L, "unknown")
-            } finally reader.dispose()
-          } else ImageMeta(r.doc_id, -1L, -1L, "unknown")
-        } finally iis.close()
+        // NonFatal, not just IOException: ImageIO readers throw unchecked
+        // exceptions on some malformed headers (e.g. a JPEG SOF with zero
+        // dimensions → IllegalArgumentException, NegativeArraySizeException
+        // from corrupt length fields). Any such blob is "unknown", never a
+        // task failure — one bad row must not kill a 100 TB pass.
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          if (iis == null) ImageMeta(r.doc_id, -1L, -1L, "unknown")
+          else try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                ImageMeta(r.doc_id, reader.getWidth(0).toLong,
+                  reader.getHeight(0).toLong,
+                  reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+              } finally reader.dispose()
+            } else ImageMeta(r.doc_id, -1L, -1L, "unknown")
+          } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => ImageMeta(r.doc_id, -1L, -1L, "unknown")
+        }
       }
     }
   }

@@ -43,4 +43,17 @@ class MultimodalSpec extends SparkTestBase {
     val got = Multimodal.imageMeta(spark, truncated).collect().toSet
     assert(got == Set(Multimodal.ImageMeta(7L, -1L, -1L, "unknown")), s"got $got")
   }
+
+  test("header that makes ImageIO throw a RuntimeException yields the sentinel") {
+    import spark.implicits._
+    // a GIF whose logical screen is 0×0 and that ends without an image
+    // descriptor: the GIF reader claims it, then getWidth(0) throws
+    // IndexOutOfBoundsException ("read past end of image sequence") — an
+    // UNCHECKED exception, so an IOException-only catch would kill the task
+    val gifZero = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 0, 0, 0, 0,
+      0x80.toByte, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x3B)
+    val got = Multimodal.imageMeta(spark,
+      Seq(Multimodal.ImageRow(9L, gifZero)).toDS()).collect().toSet
+    assert(got == Set(Multimodal.ImageMeta(9L, -1L, -1L, "unknown")), s"got $got")
+  }
 }
