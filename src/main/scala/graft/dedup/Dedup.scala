@@ -45,10 +45,15 @@ object Dedup {
     * MinHash signature hash longs, not strings. A collision merges two
     * distinct shingles (P ≈ |doc shingles|²/2⁶⁵ per doc — negligible at any
     * scale) and at worst perturbs one intersection count by 1.
+    *
+    * Arrays come out SORTED ascending: the hash order is the global total
+    * order the ppjoin prefix filter needs, and sortedness is the contract
+    * [[SortedIntersectSize]]-based verification relies on. MinHash only
+    * takes array_min per seed, so signature values are order-independent.
     */
   def shingledHashed(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shingled(df, id, text, n)
-      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sh", sort_array(transform(col("sh"), s => xxhash64(s))))
 
   /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
     * index (the ppjoin/AllPairs candidate rule): each doc's hashed shingles
@@ -85,7 +90,6 @@ object Dedup {
       df: DataFrame, id: String, text: String, n: Int, minJ: Double,
       maxDf: Int = 1000): DataFrame = {
     val sh = shingledHashed(df, id, text, n)
-      .withColumn("sh", sort_array(col("sh")))
     Caching.withCached(sh) {
       // document frequency (for the stop cap) comes from FULL postings
       val stop = sh.select(explode(col("sh")).as("s"))
@@ -183,16 +187,27 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard over candidate pairs (set ops on the shingle arrays). */
+  /** Exact Jaccard over candidate pairs. The shingle arrays are sorted (see
+    * [[shingledHashed]]), so the intersection is one codegen'd merge pass
+    * ([[graft.functions.SortedIntersectSize]]) with a τ-threshold early
+    * exit, not `array_intersect`'s per-row hash set + result array. Rows
+    * the early exit truncates are exactly the rows the `jac ≥ τ` filter
+    * drops, so emitted scores are exact.
+    */
   private def verifyJaccard(
-      cand: DataFrame, sh: DataFrame, id: String, minJ: Double): DataFrame =
+      cand: DataFrame, sh: DataFrame, id: String, minJ: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val inter = GraftColumnBridge.column(graft.functions.SortedIntersectSize(
+      GraftColumnBridge.expression(col("sha")),
+      GraftColumnBridge.expression(col("shb")), minJ))
     cand
       .join(sh.select(col(id).as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
       .join(sh.select(col(id).as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter", inter)
       .select(col("doc_a"), col("doc_b"),
         Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= minJ)
+  }
 
   /** Near-dup clusters: connected components over a pair relation, labeling
     * every doc with the minimum doc id of its component (the canonical
@@ -318,34 +333,33 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHam, via chunk
-    * banding: split the 48 bits into `maxHam + 1` chunks — by pigeonhole any
-    * pair within maxHam agrees on at least one whole chunk, so chunk-equality
-    * candidates are EXACT (recall 1), unlike MinHash banding. Candidates then
-    * filter on true bit_count(xor).
+    * banding: split the 60 bits into `maxHam + agree` chunks — ≤ maxHam
+    * differing bits touch ≤ maxHam chunks, so by pigeonhole every true pair
+    * agrees entirely on ≥ `agree` chunks, hence on at least one
+    * `agree`-sized chunk SUBSET. Banding on those subsets is EXACT
+    * (recall 1), unlike MinHash banding. Candidates then filter on true
+    * bit_count(xor).
     *
-    * Scale constraint: each chunk key has `60 / (maxHam + 1)` bits, and
-    * banding degenerates once the corpus outgrows the key space — expected
-    * bucket population is N / 2^chunkBits, so candidate generation is
-    * near-linear only while N ≲ 2^chunkBits per shuffle bucket. At maxHam 3
-    * (4 × 15-bit chunks) that is ~32 k docs per bucket — 8× the 48-bit
-    * fingerprint's ~4 k ceiling; corpora beyond that should shard by a
-    * content prefix (e.g. language/source) before banding. maxHam 7 (with
-    * its narrow chunk keys) saturated at sf0.1 already — don't go there.
+    * `agree` is the saturation dial. Expected bucket population is
+    * N / 2^(agree · chunkBits): at maxHam 3, agree 1 keys on single 15-bit
+    * chunks (~32 k docs per bucket before candidate generation degenerates
+    * toward quadratic), while agree 2 keys on 24-bit chunk PAIRS
+    * (5 chunks × 12 bits, C(5,2) = 10 keys/doc) — the cliff moves to ~16 M
+    * docs per bucket for 2.5× the banding rows, with recall still exactly 1.
+    * Larger corpora raise `agree` again rather than shard by a content
+    * prefix, which would silently scope recall to within-shard pairs.
+    * Same trick as Manku et al.'s multi-block simhash tables (WWW'07),
+    * expressed as one explode + self-equi-join.
     */
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHam: Int): DataFrame = {
-    val chunks = maxHam + 1
-    require(SimhashBits % chunks == 0,
-      s"SimhashBits=$SimhashBits must divide evenly into ${chunks} chunks (maxHam=$maxHam)")
-    val chunkBits = SimhashBits / chunks
-    val mask = (1L << chunkBits) - 1
+  def simhashPairs(
+      df: DataFrame, id: String, text: String, maxHam: Int,
+      agree: Int = 1): DataFrame = {
     val sh = simhash(df, id, text)
     Caching.withCached(sh) {
-      val keyed = sh.select(col(id), col("simhash"),
-          explode(sequence(lit(0), lit(chunks - 1))).as("c"))
-        .withColumn("ck", expr(s"shiftright(simhash, c * $chunkBits) & $mask"))
+      val keyed = simhashKeyed(sh, id, maxHam, agree)
       // filter on the true Hamming distance BEFORE deduplicating: bit_count is
       // a cheap codegen'd op per candidate row, so the distinct — the only
-      // wide op here — processes |true pairs × agreeing chunks| rows instead
+      // wide op here — processes |true pairs × agreeing subsets| rows instead
       // of every banding candidate (measured 3.6× more at sf0.1)
       keyed.select(col(id).as("doc_a"), col("simhash").as("ha"), col("c"), col("ck"))
         .join(keyed.select(col(id).as("doc_b"), col("simhash").as("hb"), col("c"), col("ck")),
@@ -355,5 +369,32 @@ object Dedup {
         .where(col("ham") <= maxHam)
         .select("doc_a", "doc_b", "ham").distinct()
     }
+  }
+
+  /** Banding keys for [[simhashPairs]]: one row per (doc, `agree`-subset of
+    * chunks), `c` = subset index, `ck` = that subset's chunk values packed
+    * into one long (agree · chunkBits ≤ 60 bits). Subsets are enumerated at
+    * plan time — the explode is over a literal array, no UDF. Exposed for
+    * the candidate-count probe in PipelineSpec.
+    */
+  private[graft] def simhashKeyed(
+      sh: DataFrame, id: String, maxHam: Int, agree: Int): DataFrame = {
+    val chunks = maxHam + agree
+    require(agree >= 1, s"agree must be >= 1 (got $agree)")
+    require(SimhashBits % chunks == 0,
+      s"SimhashBits=$SimhashBits must divide evenly into $chunks chunks " +
+      s"(maxHam=$maxHam, agree=$agree)")
+    val chunkBits = SimhashBits / chunks
+    val mask = (1L << chunkBits) - 1
+    val combos = (0 until chunks).combinations(agree).toSeq
+    val keyStructs = combos.zipWithIndex.map { case (cs, ci) =>
+      val packed = cs.zipWithIndex.map { case (cIdx, slot) =>
+        expr(s"shiftleft(shiftright(simhash, ${cIdx * chunkBits}) & $mask, ${slot * chunkBits})")
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(ci).as("c"), packed.as("ck"))
+    }
+    sh.select(col(id), col("simhash"),
+        explode(array(keyStructs: _*)).as("k"))
+      .select(col(id), col("simhash"), col("k.c").as("c"), col("k.ck").as("ck"))
   }
 }

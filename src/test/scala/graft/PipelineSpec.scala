@@ -27,6 +27,39 @@ class PipelineSpec extends SparkTestBase {
       .union(wide.where(col("source") =!= "src_64")))
   }
 
+  test("simhash agree=2 (chunk-pair keys) emits the same pair set with near-linear candidates") {
+    // recall: the chunk-PAIR banding is exact by the same pigeonhole — the
+    // pair sets must be identical on the fixture corpus
+    for (maxHam <- Seq(3, 4)) {
+      val single = Dedup.simhashPairs(docs, "doc_id", "text", maxHam)
+      val paired = Dedup.simhashPairs(docs, "doc_id", "text", maxHam, agree = 2)
+      assertSameRows(paired, single)
+    }
+
+    // work: on a corpus dense enough to saturate single-chunk buckets
+    // (4k random fingerprints vs 2^12 single-chunk keys at maxHam=4), the
+    // 24-bit chunk-pair keys must collapse the accidental candidate count —
+    // that collapse IS the saturation cliff moving out by 2^chunkBits
+    import spark.implicits._
+    val synth = spark.range(4000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 20).map(j =>
+        concat(lit(s"w${j}_"), col("id"))): _*).as("text"))
+    val sh = Dedup.simhash(synth, "doc_id", "text").cache()
+    try {
+      def candidates(maxHam: Int, agree: Int): Long = {
+        val k = Dedup.simhashKeyed(sh, "doc_id", maxHam, agree)
+        k.select(col("doc_id").as("a"), col("c"), col("ck"))
+          .join(k.select(col("doc_id").as("b"), col("c"), col("ck")), Seq("c", "ck"))
+          .where(col("a") < col("b")).count()
+      }
+      val c1 = candidates(4, 1)
+      val c2 = candidates(4, 2)
+      assert(c1 > 2000, s"probe corpus failed to saturate single-chunk buckets (c1=$c1)")
+      assert(c2 * 10 < c1, s"chunk-pair keys did not collapse candidates: $c2 vs $c1")
+      assert(c2 < 4000, s"agree=2 candidates not near-linear in docs: $c2")
+    } finally sh.unpersist()
+  }
+
   test("minhash LSH pairs == exact inverted-index Jaccard pairs at τ=0.8") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
