@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Intersection size of two SORTED `array<bigint>` columns as a native
+  * Catalyst expression with codegen: one merge pass, O(|A|+|B|), zero
+  * allocations — versus `array_intersect`, which builds a hash set of one
+  * side plus a result array per row, only for `size(...)` to throw the
+  * array away. Jaccard verification runs this once per candidate pair, and
+  * candidate verification dominates the n-gram dedup runtime.
+  *
+  * `minJaccard` (> 0) arms an early exit: a pair can only reach
+  * J ≥ τ when |A∩B| ≥ τ/(1+τ)·(|A|+|B|), and mid-merge the final
+  * intersection is bounded by `count + min(remaining_a, remaining_b)`.
+  * Once that bound falls below the requirement the merge stops; the partial
+  * count is ≤ the true count and both are below the requirement, so the
+  * caller's `jac ≥ τ` filter drops the row either way — passing rows always
+  * see the EXACT count. The requirement is computed with a −1e-9 guard so a
+  * float round-up can only weaken the exit, never fire it on a true pair.
+  *
+  * Caller contract: both arrays ascending (the shingle relation sorts once,
+  * at build) and element-null-free. Unsorted input yields garbage, not an
+  * error — keep this `private[graft]`-adjacent, not a public function.
+  */
+case class SortedIntersectSize(
+    left: Expression, right: Expression, minJaccard: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  // τ/(1+τ), the fraction of |A|+|B| the intersection must reach
+  private val frac = if (minJaccard > 0) minJaccard / (1 + minJaccard) else 0.0
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    val need = if (frac > 0) math.ceil(frac * (na + nb) - 1e-9).toInt else 0
+    var cnt = 0; var i = 0; var j = 0
+    while (i < na && j < nb && cnt + math.min(na - i, nb - j) >= need) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val need = ctx.freshName("need")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val needExpr =
+        if (frac > 0) s"(int) java.lang.Math.ceil(${frac}D * ($na + $nb) - 1e-9)"
+        else "0"
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        int $need = $needExpr;
+        int $cnt = 0; int $i = 0; int $j = 0;
+        while ($i < $na && $j < $nb &&
+               $cnt + java.lang.Math.min($na - $i, $nb - $j) >= $need) {
+          long $x = $a.getLong($i);
+          long $y = $b.getLong($j);
+          if ($x == $y) { $cnt++; $i++; $j++; }
+          else if ($x < $y) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $cnt;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import graft.functions.SortedIntersectSize
+
+/** Pins the sorted-merge intersection expression against `array_intersect`
+  * (exactness without a threshold) and pins the early-exit contract: with a
+  * τ threshold, a pair's fate under the `jac ≥ τ` filter is identical to
+  * the exact computation — passing rows carry the exact count.
+  */
+class SortedIntersectSpec extends SparkTestBase {
+
+  private def interCol(tau: Double) = GraftColumnBridge.column(
+    SortedIntersectSize(GraftColumnBridge.expression(col("a")),
+      GraftColumnBridge.expression(col("b")), tau))
+
+  // deterministic pseudo-random distinct sorted arrays of varying overlap
+  private def corpus = {
+    import spark.implicits._
+    (0 until 200).map { k =>
+      val r = new scala.util.Random(k)
+      val shared = Seq.fill(r.nextInt(30))(r.nextLong())
+      val onlyA = Seq.fill(r.nextInt(30))(r.nextLong())
+      val onlyB = Seq.fill(r.nextInt(30))(r.nextLong())
+      ((shared ++ onlyA).distinct.sorted, (shared ++ onlyB).distinct.sorted)
+    }.toDF("a", "b")
+  }
+
+  test("no threshold: merge count == size(array_intersect) on distinct sorted arrays") {
+    val rows = corpus
+      .select(interCol(0.0).as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+    assert(rows.exists(_.getInt(0) > 0), "corpus produced no overlapping pairs")
+  }
+
+  test("early exit never changes a pair's fate under the jac >= tau filter") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val rows = corpus
+        .withColumn("na", size(col("a"))).withColumn("nb", size(col("b")))
+        .select(interCol(tau).as("fast"),
+          size(array_intersect(col("a"), col("b"))).as("exact"),
+          col("na"), col("nb"))
+        .collect()
+      var exited = 0
+      rows.foreach { r =>
+        val (fast, exact, na, nb) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        def jac(i: Int) = i.toDouble / (na + nb - i)
+        assert(jac(fast) >= tau == jac(exact) >= tau,
+          s"fate differs at tau=$tau: fast=$fast exact=$exact na=$na nb=$nb")
+        if (jac(exact) >= tau)
+          assert(fast == exact, s"passing pair lost exactness: $fast vs $exact")
+        if (fast != exact) exited += 1
+      }
+      assert(exited > 0, s"early exit never fired at tau=$tau — probe too easy")
+    }
+  }
+}
