@@ -111,6 +111,49 @@ object PipelineQueries {
       |   min(doc_id) AS keeper_id, count(*) AS n_copies
       | FROM documents GROUP BY 1""".stripMargin))
 
+  /** Streaming exact dedup under the batch oracle: the documents table is
+    * replayed as four event-time-ordered micro-batches through
+    * [[graft.streaming.StreamingDedup.firstSeen]] (watermark delay covers
+    * the whole replay horizon, so no state evicts mid-run), and the kept
+    * set's fingerprints must equal the batch distinct-fingerprint relation.
+    * The driver-side collect feeds the REPLAY only (test-harness pattern,
+    * same as StreamBench) — the operator under test shuffles by fingerprint
+    * and holds one state row per distinct fp, exactly the ingest shape.
+    * Output is the fp SET, not the winning doc ids: which copy wins inside
+    * one micro-batch is parallelism-dependent; the kept set is not.
+    */
+  val qDedupStreamFirstSeen = Fixture(
+    "q_dedup_stream_first_seen",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      // +1s: the initial watermark is epoch 0, and a row AT the watermark is
+      // already late — doc_id 0 at timestamp_micros(0) would be dropped
+      val stream = ms.toDF().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
+      val deduped = graft.streaming.StreamingDedup
+        .firstSeen(stream, "text", "ts", "1 hour")
+        .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      // unique sink name: attempts in the same session (Explain/Bench loops)
+      // must not collide on the memory-sink registration
+      val sink = s"stream_first_seen_${System.nanoTime}"
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      finally q.stop()
+      s.table(sink)
+    },
+    Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      | FROM documents""".stripMargin))
+
   /** Inverted-index exact n-gram Jaccard near-dup pairs (τ = 0.5). */
   val qDedupNgram = Fixture(
     "q_dedup_ngram_jaccard",
@@ -725,8 +768,8 @@ object PipelineQueries {
 
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
-    qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupClusters,
+    qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
+    qDedupSimhash, qDedupEmbed, qDedupClusters,
     qAnnBrute, qAnnBucketed,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
