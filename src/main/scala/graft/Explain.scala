@@ -21,6 +21,19 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "explain" => SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case "timefresh" =>
+        // exactly Bench's per-attempt shape: fresh child session per run —
+        // isolates newSession-correlated overhead from same-session warmth
+        (1 to iters).foreach { i =>
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(250)
+          val session = spark.newSession()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(session, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case _ =>
         // rebuild inside the timed block: eager checkpoints in operators like
         // Dedup.clusters do real work at build time

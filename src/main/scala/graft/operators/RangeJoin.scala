@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-containment join at scale: points `t` matched into ranges
+  * `[start, end)` WITHOUT a nested-loop plan.
+  *
+  * Spark plans a bare `p.t >= r.start && p.t < r.end` join as
+  * BroadcastNestedLoopJoin (ranges side broadcastable) or a cartesian
+  * product (it is not) — both quadratic in the general case. The scale shape
+  * is bucketing: each range explodes into the coarse buckets of width `w` it
+  * overlaps, each point keys on its single containing bucket, and the join
+  * becomes a plain hash-shuffled equi-join on (bucket ++ extra keys) with the
+  * exact containment predicate evaluated inside the join — candidates are
+  * bounded by bucket co-residency, never |points| × |ranges|.
+  *
+  * Cost model: a range spanning k buckets contributes k index rows, so pick
+  * `w` near the typical range length (k ≤ 2 for ranges shorter than w). Skew:
+  * a bucket is hot when many ranges overlap it (calendar pileups) — the
+  * standard mitigations compose (salt the bucket key on the ranges side and
+  * replicate points, or split hot buckets at a finer width); not needed at
+  * fixture scale and orthogonal to the shape.
+  *
+  * Both time columns are integer epochs (callers convert timestamps —
+  * see [[TimeWindows.epochSeconds]]); `end` is EXCLUSIVE, matching window
+  * semantics everywhere else in the library. Empty ranges (end ≤ start)
+  * match nothing and are dropped before the explode (a descending `sequence`
+  * would otherwise fabricate buckets for them).
+  */
+object RangeJoin {
+
+  /** Inner containment join: one output row per (point, containing range).
+    * Output columns: all of `points`, then all of `ranges` (caller projects;
+    * name collisions beyond `keys` are the caller's to resolve first).
+    *
+    * @param keys additional equi-join keys that must match between a point
+    *             and a range (e.g. a user/entity id) — they enter the shuffle
+    *             key alongside the bucket, so per-key range joins co-locate.
+    */
+  def bucketed(
+      points: DataFrame, t: String,
+      ranges: DataFrame, start: String, end: String,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    val w = lit(bucketWidth)
+    val rb = ranges
+      .where(col(end) > col(start))
+      .withColumn("__bucket",
+        explode(sequence(floorDiv(col(start), w), floorDiv(col(end) - 1, w))))
+    val pb = points.withColumn("__bucket", floorDiv(col(t), w))
+    val condCols = "__bucket" +: keys
+    pb.join(rb, condCols.map(c => pb(c) === rb(c)).reduce(_ && _) &&
+        pb(t) >= rb(start) && pb(t) < rb(end))
+      .drop("__bucket")
+  }
+
+  /** Floor division as a Column, exact for any sign: subtracting the
+    * (always non-negative) pmod first makes the division itself integral, so
+    * the double intermediate is exact whenever the QUOTIENT fits in 2⁵³ —
+    * true for any epoch/width pairing (micros/1 ≈ 2⁵⁰ today).
+    */
+  private def floorDiv(x: Column, w: Column): Column =
+    ((x - pmod(x, w)) / w).cast("long")
+}

@@ -553,6 +553,64 @@ object PipelineQueries {
       |   count(*) AS n_docs
       | FROM t GROUP BY 1""".stripMargin))
 
+  /** Sketch-based distinct counting (HyperLogLog++): per-source distinct
+    * token count. The sketch is the 100 TB path — one pass, fixed-size
+    * mergeable state per group, partial-aggregated map-side, while exact
+    * `count(DISTINCT)` must shuffle every distinct value (Expand doubles the
+    * input here just to co-compute both). DuckDB cannot reproduce Spark's
+    * HLL++ registers, so the fixture pins the operational contract instead:
+    * the estimate must land within 10 % of the exact count (2× the declared
+    * rsd 0.05; HLL++ is deterministic for fixed input, so the boolean is
+    * stable). The exact count rides along so the oracle still compares real
+    * values, not just literals.
+    */
+  val qApproxDistinct = Fixture(
+    "q_approx_distinct",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"),
+        explode_outer(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(countDistinct(col("w")).as("n_exact"),
+           approx_count_distinct(col("w"), 0.05).as("__est"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.1).as("hll_ok")),
+    Some(s"""WITH t AS (SELECT source, unnest($wordsSql) AS w FROM documents)
+      | SELECT source, count(DISTINCT w) AS n_exact, TRUE AS hll_ok
+      | FROM t GROUP BY 1""".stripMargin))
+
+  /** Sketch-based quantiles (Greenwald-Khanna via `approx_percentile`): the
+    * 100 TB swap that [[qLengthPercentiles]]'s docstring names, made real and
+    * accuracy-pinned. The sketch returns an actual data value at rank error
+    * ≤ n/accuracy; the contract checked cross-engine is that each estimate
+    * lands within max(10 %, ±2 tokens) of the exact interpolated percentile
+    * (the slack absorbs discrete-vs-interpolated at small n; both engines'
+    * exact interpolation already bit-matches in [[qLengthPercentiles]]).
+    * `n_docs` rides along as the oracle's real-valued column.
+    */
+  val qApproxQuantiles = Fixture(
+    "q_approx_quantiles",
+    (s, d) => {
+      def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(est - exact) <= greatest(exact * 0.1, lit(2.0))
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("approx_percentile(n_tok, array(0.5D, 0.9D, 0.99D), 10000)").as("__e"),
+          expr("percentile(n_tok, 0.5D)").as("__x50"),
+          expr("percentile(n_tok, 0.9D)").as("__x90"),
+          expr("percentile(n_tok, 0.99D)").as("__x99"))
+        .select(col("source"), col("n_docs"),
+          ok(element_at(col("__e"), 1), col("__x50")).as("ok_p50"),
+          ok(element_at(col("__e"), 2), col("__x90")).as("ok_p90"),
+          ok(element_at(col("__e"), 3), col("__x99")).as("ok_p99"))
+    },
+    Some(s"""WITH t AS (SELECT source, len($wordsSql) AS n_tok FROM documents)
+      | SELECT source, count(*) AS n_docs,
+      |   TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+      | FROM t GROUP BY 1""".stripMargin))
+
   /** Per-doc vocabulary coverage: fraction of a document's tokens in the
     * corpus-wide top-k vocabulary — the cheap OOV-rate proxy used to filter
     * noisy documents before tokenizer training. The vocabulary is a
@@ -628,19 +686,33 @@ object PipelineQueries {
     * mask is one LONG and Spark (like the JVM) masks shift amounts mod 64,
     * so a 65th source would silently alias bit 0 and corrupt every overlap
     * involving source 0 — an error, not a wrong answer. Beyond 64, shard the
-    * matrix by source group and run this per shard. The guard is one count
-    * over the tiny distinct-source dim, negligible next to the shingle scan.
+    * matrix by source group and run this per shard.
+    *
+    * The source→bit dim is collected to the driver through a hard
+    * `limit(65)` bound (TakeOrdered — per-partition top-65, so the transfer
+    * is capped even on a contract-violating frame) and re-shipped as a
+    * literal local relation: ONE bounded job builds the dim, the guard, and
+    * all four broadcast uses below. The previous shape (distinct + global
+    * row_number window, plus a separate `count()` guard) re-ran the
+    * distinct-source scan once per broadcast — five scans of the corpus'
+    * source column per query (measured: the guard commit alone moved the
+    * sf0.1 fixture 2.3 s → 5.7 s; this shape returns it).
     */
   def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      // source → bit position (tiny dim; global window over |sources| rows)
-      val srcIds = docs.select("source").distinct()
-        .withColumn("sid", row_number().over(Window.orderBy("source")) - 1)
-      val nSrc = srcIds.count()
-      require(nSrc <= 64,
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.IntegerType
+      import scala.jdk.CollectionConverters._
+      val srcCol = docs.select("source")
+      // sid order = ascending source (matches the oracle's pair orientation)
+      val collected = srcCol.distinct().orderBy("source").limit(65).collect()
+      require(collected.length <= 64,
         s"sourceOverlap supports at most 64 distinct sources per run (got " +
-        s"$nSrc): the co-occurrence mask is a single LONG and shift amounts " +
+        s"${if (collected.length > 64) "more than 64" else collected.length}): " +
+        s"the co-occurrence mask is a single LONG and shift amounts " +
         s"wrap mod 64. Shard the source set and run the overlap per shard.")
+      val srcIds = s.createDataFrame(
+        collected.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }.toSeq.asJava,
+        srcCol.schema.add("sid", IntegerType, nullable = false))
       val masks = docs
         .where(size(TextFunctions.words(col("text"))) >= 3)
         // same rationale as Dedup.shingled: shingling is compute-dense and a
@@ -774,6 +846,7 @@ object PipelineQueries {
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
     qDecontaminate, qRepetition, qCurationFunnel,
-    qLengthPercentiles, qVocabCoverage, qSourceOverlap,
+    qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
+    qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg)
 }

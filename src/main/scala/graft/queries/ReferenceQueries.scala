@@ -335,6 +335,39 @@ object ReferenceQueries {
       | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
       | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
 
+  /** Interval-containment (range) join, bucket-expanded into a hash
+    * equi-join (operators.RangeJoin — beyond the reference, which stops at
+    * windowed θ-joins): every 100th order opens a 3-day fulfilment window
+    * [o_orderdate, +3 days), and lineitems whose ship date falls inside a
+    * window roll up per order. The oracle is the naive θ-join aggregated
+    * identically — at fixture scale DuckDB can afford it; the Spark plan
+    * must not (RangeJoinSpec pins the absence of a nested-loop/cartesian
+    * operator and equality with the naive plan's result).
+    */
+  val qRangeJoin = Fixture(
+    "q_range_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"),
+          TimeWindows.epochSeconds(col("o_orderdate")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(3 * 86400L))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_quantity"),
+          TimeWindows.epochSeconds(col("l_shipdate")).as("ship_es"))
+      RangeJoin.bucketed(l, "ship_es", o, "w_start", "w_end", 86400L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"),
+          Quant.q4(sum(col("l_quantity"))).as("sum_qty"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey, ${es("o_orderdate")} AS ws
+      |        FROM orders WHERE o_orderkey % 100 = 0),
+      | l AS (SELECT l_quantity, ${es("l_shipdate")} AS ship_es FROM lineitem)
+      | SELECT o_orderkey, count(*) AS n_ship,
+      |   ${Quant.sql("sum(l_quantity)")} AS sum_qty
+      | FROM o JOIN l ON l.ship_es >= o.ws AND l.ship_es < o.ws + 259200
+      | GROUP BY 1""".stripMargin))
+
   /** 2-into-1 query DAG (ref LRB3.cpp:776, ckpt SG3.cpp:1058-1059 — two
     * upstream queries connectTo one downstream): two independent windowed
     * aggregations union into a third aggregation over their combined output.
@@ -596,6 +629,61 @@ object ReferenceQueries {
     * decimal formatting is compared digit-for-digit. SURVEY §1.5 maps
     * LongLong → Long where values fit; this pins the wide path.
     */
+  /** The PRODUCTION streaming path — append mode + watermark — under the
+    * batch oracle: events replay as four event-time-ordered micro-batches
+    * through [[graft.streaming.Streams.windowAgg]] (tumbling 1 h, keyed by
+    * event_type, CNT + SUM), watermark delay 0. Append mode only emits a
+    * window once the watermark passes its END, and the watermark reached by
+    * the final batch is max(event time) applied one batch later — so after
+    * the replay one more batch re-sends a max-timestamp row (it lands in the
+    * last, still-open window, which is never emitted, so it cannot perturb
+    * output) purely to apply that final watermark. Emitted set = exactly the
+    * windows with end ≤ max event time; the oracle filters identically.
+    * Which rows share a micro-batch does not affect the aggregate values —
+    * only emission timing — so the replay chunking is not load-bearing.
+    * Complements StreamingSpec (paned/native equivalence, late-data drops):
+    * this is the driver-visible fixture for the same path.
+    */
+  val qStreamTumbling = Fixture(
+    "q_stream_tumbling_agg",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("event_type"), col("value"))
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val stream = ms.toDF().toDF("tsu", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val agg = graft.streaming.Streams.windowAgg(
+        stream, 3600, 3600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Sum, col("value"), "sum_v")),
+        watermark = Some("0 seconds"))
+        .select(col("ws"), col("event_type"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+      val sink = s"stream_tumbling_${System.nanoTime}"
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        ms.addData(Seq(rows.last)) // apply the final watermark (see Scaladoc)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        event_type, value FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e)
+      | SELECT (es // 3600) * 3600 AS ws, event_type,
+      |   count(*) AS cnt, ${Quant.sql("sum(value)")} AS sum_v
+      | FROM e GROUP BY 1, 2
+      | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
   val qLongLongKey = Fixture(
     "q_longlong_key_agg",
     (s, d) => {
@@ -620,9 +708,9 @@ object ReferenceQueries {
     qSg1, qSg2, qSg3, qSg3Join,
     qLrb1, qLrb2,
     qYsb, qMe1, qNbq5,
-    qJoinTheta, qAsOfJoin, qDagUnion, qWeightedAvg,
+    qJoinTheta, qAsOfJoin, qRangeJoin, qDagUnion, qWeightedAvg,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,
-    qSessionWindow, qGapFill, qLongLongKey)
+    qSessionWindow, qGapFill, qLongLongKey, qStreamTumbling)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** RangeJoin.bucketed: equality with the naive θ-join (which Spark plans as
+  * a nested loop — affordable only at spec scale) plus the plan-shape claim
+  * that makes the operator worth having: the bucketed form is a hash
+  * equi-join, no nested-loop/cartesian operator anywhere.
+  */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, 0L), (2L, 5L), (3L, 10L), (4L, 14L), (5L, 15L),
+    (6L, 99L), (7L, 100L), (8L, 199L), (9L, 200L), (10L, 86400L))
+    .toDF("pid", "t")
+  // range 11 is EMPTY (end == start) and must match nothing; 13 spans many
+  // buckets at small widths; 12 is sub-bucket-sized at every width
+  private val ranges = Seq(
+    (10L, 5L, 15L), (11L, 100L, 100L), (12L, 0L, 1L), (13L, 90L, 200L))
+    .toDF("rid", "s", "e")
+
+  private def naive(p: DataFrame, r: DataFrame) =
+    p.join(r, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "rid")
+
+  test("bucketed == naive θ-join at every bucket width, incl. boundaries") {
+    val expect = naive(points, ranges)
+    // [start, end) semantics pinned by the data: t=5 matches range 10,
+    // t=15 does not; t=100 matches only 13 (11 is empty)
+    for (w <- Seq(1L, 7L, 64L, 86400L))
+      assertSameRows(
+        RangeJoin.bucketed(points, "t", ranges, "s", "e", w).select("pid", "rid"),
+        expect)
+  }
+
+  test("extra equi-keys enter the join: per-key containment only") {
+    val p = Seq((1L, "a", 7L), (2L, "b", 7L)).toDF("pid", "k", "t")
+    val r = Seq((10L, "a", 5L, 15L), (11L, "b", 8L, 15L)).toDF("rid", "k", "s", "e")
+    val got = RangeJoin.bucketed(p, "t", r, "s", "e", 10L, keys = Seq("k"))
+      .select("pid", "rid")
+    assertSameRows(got, Seq((1L, 10L)).toDF("pid", "rid"))
+  }
+
+  test("plan is a hash equi-join — no nested loop, no cartesian product") {
+    val plan = RangeJoin.bucketed(points, "t", ranges, "s", "e", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+    // the naive form really does degenerate — the comparison is meaningful
+    val naivePlan = naive(points, ranges).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop") || naivePlan.contains("Cartesian"))
+  }
+}

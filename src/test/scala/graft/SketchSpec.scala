@@ -1,0 +1,31 @@
+package graft
+
+import graft.queries.PipelineQueries
+
+/** The sketch fixtures' accuracy contracts must hold at every scale factor a
+  * gate runs (verify: sf0.01, bench: sf0.1) — the oracle emits literal TRUE,
+  * so a tolerance miss would surface as a hash mismatch in the driver gate;
+  * this spec fails it earlier and names the offending source.
+  */
+class SketchSpec extends SparkTestBase {
+
+  private val dirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("approx_count_distinct lands within 10% of exact on every source") {
+    for (d <- dirs) {
+      val bad = PipelineQueries.qApproxDistinct.build(spark, d)
+        .where(!org.apache.spark.sql.functions.col("hll_ok")).collect()
+      assert(bad.isEmpty, s"$d: ${bad.mkString(", ")}")
+    }
+  }
+
+  test("approx_percentile lands within max(10%, 2) of exact on every source") {
+    for (d <- dirs) {
+      val f = PipelineQueries.qApproxQuantiles.build(spark, d)
+      val bad = f.where(org.apache.spark.sql.functions.expr(
+        "NOT (ok_p50 AND ok_p90 AND ok_p99)")).collect()
+      assert(bad.isEmpty, s"$d: ${bad.mkString(", ")}")
+    }
+  }
+}
