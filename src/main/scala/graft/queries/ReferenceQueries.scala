@@ -629,58 +629,102 @@ object ReferenceQueries {
     * decimal formatting is compared digit-for-digit. SURVEY §1.5 maps
     * LongLong → Long where values fit; this pins the wide path.
     */
+  /** Replay harness for the streaming-under-batch-oracle fixtures: `events`
+    * rows (µs epoch, event_type, value) collected, event-time-sorted, and
+    * fed to `buildAgg`'s streaming query as four micro-batches through a
+    * MemoryStream, append mode. The driver-side collect feeds the REPLAY
+    * only (test-harness pattern, same as StreamBench) — the operator under
+    * test is a real stateful streaming aggregation. After the replay one
+    * more batch re-sends a max-timestamp row: the final watermark (= max
+    * event time − delay, computed at a batch's END) is applied by the NEXT
+    * batch, and while a no-data micro-batch normally does that
+    * (spark.sql.streaming.noDataMicroBatches.enabled), the resend guarantees
+    * it independent of that conf; the row lands in the last, still-open
+    * window, which is never emitted, so it cannot perturb output. Which rows
+    * share a micro-batch affects emission timing only, never the aggregate
+    * values — the replay chunking is not load-bearing.
+    */
+  private def replayEvents(s: SparkSession, d: String, sinkPrefix: String)(
+      buildAgg: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(unix_micros(col("ts")), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val stream = ms.toDF().toDF("tsu", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    // unique sink name: attempts in the same session must not collide
+    val sink = s"${sinkPrefix}_${System.nanoTime}"
+    val q = buildAgg(stream).writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      ms.addData(Seq(rows.last)) // apply the final watermark (see above)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+  }
+
   /** The PRODUCTION streaming path — append mode + watermark — under the
-    * batch oracle: events replay as four event-time-ordered micro-batches
-    * through [[graft.streaming.Streams.windowAgg]] (tumbling 1 h, keyed by
-    * event_type, CNT + SUM), watermark delay 0. Append mode only emits a
-    * window once the watermark passes its END, and the watermark reached by
-    * the final batch is max(event time) applied one batch later — so after
-    * the replay one more batch re-sends a max-timestamp row (it lands in the
-    * last, still-open window, which is never emitted, so it cannot perturb
-    * output) purely to apply that final watermark. Emitted set = exactly the
-    * windows with end ≤ max event time; the oracle filters identically.
-    * Which rows share a micro-batch does not affect the aggregate values —
-    * only emission timing — so the replay chunking is not load-bearing.
+    * batch oracle: tumbling 1 h windows keyed by event_type, CNT + SUM,
+    * watermark delay 0, via [[graft.streaming.Streams.windowAgg]] over the
+    * [[replayEvents]] harness. Append mode emits a window exactly once, when
+    * the watermark passes its END — so the emitted set is exactly the
+    * windows with end ≤ max event time, and the oracle filters identically.
     * Complements StreamingSpec (paned/native equivalence, late-data drops):
     * this is the driver-visible fixture for the same path.
     */
   val qStreamTumbling = Fixture(
     "q_stream_tumbling_agg",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows = Tables.events(s, d)
-        .select(unix_micros(col("ts")), col("event_type"), col("value"))
-        .as[(Long, String, Double)].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Double)]
-      val stream = ms.toDF().toDF("tsu", "event_type", "value")
-        .withColumn("ts", timestamp_micros(col("tsu")))
-      val agg = graft.streaming.Streams.windowAgg(
+    (s, d) => replayEvents(s, d, "stream_tumbling") { stream =>
+      graft.streaming.Streams.windowAgg(
         stream, 3600, 3600, Seq("event_type"),
         Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
             AggSpec(AggFn.Sum, col("value"), "sum_v")),
         watermark = Some("0 seconds"))
         .select(col("ws"), col("event_type"), col("cnt"),
           Quant.q4(col("sum_v")).as("sum_v"))
-      val sink = s"stream_tumbling_${System.nanoTime}"
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          ms.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-        ms.addData(Seq(rows.last)) // apply the final watermark (see Scaladoc)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
     },
     Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
       |        event_type, value FROM events),
       | mx AS (SELECT max(eu) AS mx FROM e)
       | SELECT (es // 3600) * 3600 AS ws, event_type,
       |   count(*) AS cnt, ${Quant.sql("sum(value)")} AS sum_v
+      | FROM e GROUP BY 1, 2
+      | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
+  /** LightSaber's pane trick on the production streaming path, under the
+    * batch oracle: [[replayEvents]] through
+    * [[graft.streaming.Streams.windowAggPaned]] — tumbling 10-min pane
+    * partials chained into a sliding (1 h, 10 min) stateful merge (Spark
+    * 3.4+ multi-stateful-operator watermark propagation), append mode,
+    * delay 0. Eviction cascades within one micro-batch (the downstream
+    * operator's late-record threshold is the PREVIOUS batch's watermark, so
+    * it accepts the upstream's same-batch pane emissions), making the
+    * emitted set exactly the windows with end ≤ max event time — same
+    * contract and oracle filter as [[qStreamTumbling]].
+    */
+  val qStreamSlidingPaned = Fixture(
+    "q_stream_sliding_paned",
+    (s, d) => replayEvents(s, d, "stream_sliding_paned") { stream =>
+      graft.streaming.Streams.windowAggPaned(
+        stream, 3600, 600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+            AggSpec(AggFn.Avg, col("value"), "avg_v", Some(4))),
+        watermark = "0 seconds")
+        .select(col("ws"), col("event_type"), col("cnt"), col("avg_v"))
+    },
+    Some(s"""WITH e0 AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        event_type, value FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e0),
+      | e AS (SELECT ${wsExpand(3600, 600)}, event_type, value FROM e0)
+      | SELECT ws, event_type, count(*) AS cnt,
+      |   ${Quant.sql(s"${Quant.sql("sum(value)")} / count(value)")} AS avg_v
       | FROM e GROUP BY 1, 2
       | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
 
@@ -712,5 +756,6 @@ object ReferenceQueries {
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,
-    qSessionWindow, qGapFill, qLongLongKey, qStreamTumbling)
+    qSessionWindow, qGapFill, qLongLongKey,
+    qStreamTumbling, qStreamSlidingPaned)
 }
