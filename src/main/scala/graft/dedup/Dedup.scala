@@ -301,6 +301,49 @@ object Dedup {
         Quant.q4(col("n_overlap") / col("n_sh")).as("frac"))
   }
 
+  /** [[contamination]] for eval sets too large to broadcast as an exact
+    * hash set: the benchmark shingles fold into a BLOOM FILTER — fixed-size
+    * mergeable binary state, built in one partial-aggregated pass
+    * (Catalyst's BloomFilterAggregate, the engine's own runtime-filter
+    * sketch) — the corpus probes it with the codegen'd `might_contain`
+    * predicate, and only the survivors (≈ true positives + fpp·|postings|)
+    * enter a SHUFFLED semi-join against the eval shingle set for exact
+    * verification. Nothing requires the exact set to fit in one executor:
+    * the bloom ships as a literal a few MiB wide however large the eval set
+    * grows, and the verify join shuffles only the pre-filtered sliver.
+    * Result is EXACTLY [[contamination]]'s (the semi-join removes bloom
+    * false positives); DedupCapSpec pins the equality.
+    *
+    * @param expectedItems sizing estimate for the bloom (distinct eval
+    *   shingles); bits follow from the standard m = −n·ln(fpp)/ln²2.
+    */
+  def contaminationBloom(
+      docs: DataFrame, bench: DataFrame, id: String, text: String, n: Int,
+      expectedItems: Long = 1L << 22, fpp: Double = 1e-3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bsh = bench.select(explode(shingles(col(text), n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+    val blob = bsh.agg(column(new BloomFilterAggregate(
+        expression(col("s")), expression(lit(expectedItems)),
+        expression(lit(numBits))).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val d = shingled(docs, id, text, n)
+    // explode_outer: same InferFiltersFromGenerate rationale as contamination
+    d.select(col(id), col("n_sh"), explode_outer(col("sh")).as("s0"))
+      .select(col(id), col("n_sh"), xxhash64(col("s0")).as("s"))
+      .where(column(BloomFilterMightContain(
+        expression(lit(blob)), expression(col("s")))))
+      .join(bsh.distinct(), Seq("s"), "left_semi")
+      .groupBy(col(id), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(id), col("n_overlap"),
+        Quant.q4(col("n_overlap") / col("n_sh")).as("frac"))
+  }
+
   /** 60-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
     * to bit b of hash64(word). hash64 is a 60-bit hash (15 md5 hex chars), so
     * 60 bits uses its full entropy, and every shift/assemble step stays

@@ -141,14 +141,20 @@ object PipelineQueries {
       // unique sink name: attempts in the same session (Explain/Bench loops)
       // must not collide on the memory-sink registration
       val sink = s"stream_first_seen_${System.nanoTime}"
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          ms.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      finally q.stop()
+      // state partitions sized to the replay, restored after — same
+      // rationale as ReferenceQueries.replayEvents
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(sink)
     },
     Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -244,6 +250,30 @@ object PipelineQueries {
       | WHERE cos >= 0.4""".stripMargin))
 
   // ---- similarity search --------------------------------------------------
+
+  /** Nearest-centroid assignment (k-means E-step / IVF coarse quantizer):
+    * 8 corpus vectors (vec_id < 8) serve as centroids; every vector assigns
+    * to its max-cosine centroid, ties to the smaller cid. One shuffle-free
+    * projection over the corpus — see [[Ann.assignCentroids]].
+    */
+  val qAssignCentroids = Fixture(
+    "q_assign_centroids",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.assignCentroids(emb, emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c),
+      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT vec_id, cid, cos,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM s)
+      | SELECT vec_id, cid AS centroid_id, cos FROM r WHERE rn = 1""".stripMargin))
 
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
   val qAnnBrute = Fixture(
@@ -450,6 +480,22 @@ object PipelineQueries {
       | SELECT doc_id, count(*) AS n_overlap,
       |        ${q4("count(*) / any_value(n_sh)")} AS frac
       | FROM posts JOIN bench USING (sg) GROUP BY doc_id""".stripMargin))
+
+  /** [[qDecontaminate]] through the Bloom-prefilter path
+    * ([[Dedup.contaminationBloom]]): sketch broadcast + shuffled exact
+    * verify instead of an exact-set broadcast — the shape for eval sets too
+    * large for executor memory. Same oracle: the bloom's false positives are
+    * removed by the exact semi-join, so the results must coincide.
+    */
+  val qDecontaminateBloom = Fixture(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminationBloom(
+        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
+        "doc_id", "text", 3, expectedItems = 1L << 16)
+    },
+    qDecontaminate.oracle)
 
   /** Repetition ratio + type-token ratio — Gopher-style cheap quality
     * signals: top token frequency over total tokens, and distinct over total.
@@ -842,10 +888,10 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
     qDedupSimhash, qDedupEmbed, qDedupClusters,
-    qAnnBrute, qAnnBucketed,
+    qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
-    qDecontaminate, qRepetition, qCurationFunnel,
+    qDecontaminate, qDecontaminateBloom, qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg)

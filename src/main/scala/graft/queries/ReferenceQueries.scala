@@ -657,16 +657,25 @@ object ReferenceQueries {
       .withColumn("ts", timestamp_micros(col("tsu")))
     // unique sink name: attempts in the same session must not collide
     val sink = s"${sinkPrefix}_${System.nanoTime}"
-    val q = buildAgg(stream).writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
+    // Streaming STATE partitioning is a deployment knob fixed at first run,
+    // not a data-scaled shuffle: every stateful operator writes state/delta
+    // files per partition per micro-batch, so 32 partitions on a replay this
+    // size is pure checkpoint-I/O overhead (measured 16 s → ~5 s for the
+    // chained paned fixture at sf0.1). Size it to the replay and restore.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-        ms.addData(chunk.toSeq)
+      val q = buildAgg(stream).writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        ms.addData(Seq(rows.last)) // apply the final watermark (see above)
         q.processAllAvailable()
-      }
-      ms.addData(Seq(rows.last)) // apply the final watermark (see above)
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
   }
 

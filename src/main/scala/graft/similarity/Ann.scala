@@ -68,6 +68,42 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** Nearest-centroid assignment — the k-means E-step / IVF coarse
+    * quantizer. Centroids are collected to the driver (k is the caller's
+    * MODEL size, small by definition, not data-scaled) and folded into the
+    * plan as a literal array of (cid, vector) structs: assignment is then
+    * ONE projection over the corpus — no join, no shuffle, no row expansion;
+    * at 100 TB the corpus is scanned exactly once and nothing else moves.
+    * The per-row argmax is `array_max` over (quantized cos, −cid) structs —
+    * struct ordering is fieldwise, so ties on the quantized cosine take the
+    * smallest centroid id, the same total order as the oracle's
+    * (cos DESC, cid ASC) row_number. The HOF lambda runs interpreted (HOFs
+    * are CodegenFallback), which is why [[graft.functions.CosineSimilarity]]
+    * carries a real `nullSafeEval` beside its codegen.
+    *
+    * @param centroids (cid: long-castable, cvec: array<float>) — k rows.
+    */
+  def assignCentroids(embIn: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignCentroids needs at least one centroid")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"),
+        array(v.map(lit): _*).cast("array<float>").as("cv"))
+    }: _*)
+    spread(embIn)
+      .select(col("vec_id"),
+        array_max(transform(centArr, c =>
+          struct(
+            Quant.q4(cosineFused(c.getField("cv"), col("embedding"))).as("cos"),
+            (-c.getField("cid")).as("ncid")))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("centroid_id"),
+        col("best.cos").as("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
     * label, …): all-pairs only *inside* each cell, never globally.
     *

@@ -41,6 +41,19 @@ class DedupCapSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)), s"unexpected pairs: $pairs")
   }
 
+  test("bloom-prefiltered contamination == exact-broadcast contamination") {
+    val all = Tables.documents(spark, sfDir)
+    val docs = all.where(col("doc_id") >= 25)
+    val bench = all.where(col("doc_id") < 25)
+    val exact = Dedup.contamination(docs, bench, "doc_id", "text", 3)
+    // tiny bloom (forced false positives at this fpp/size) — the exact
+    // semi-join must still remove every FP
+    val bloom = Dedup.contaminationBloom(docs, bench, "doc_id", "text", 3,
+      expectedItems = 1L << 10, fpp = 0.05)
+    assertSameRows(bloom, exact)
+    assert(exact.count() > 0, "fixture produced no contaminated docs")
+  }
+
   /** Adversarial corpus for the two cap-era filter holes (VERDICT r5 #1):
     * shared STOP-shingles that sort (by xxhash64) BEFORE the first surviving
     * common shingle. Pre-fix, the positional filter's overlap bound
