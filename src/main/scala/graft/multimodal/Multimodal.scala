@@ -86,6 +86,11 @@ object Multimodal {
   def imageMeta(spark: SparkSession, images: Dataset[ImageRow]): Dataset[ImageMeta] = {
     import spark.implicits._
     images.mapPartitions { rows =>
+      // ImageIO defaults to useCache=true, which backs every input stream
+      // with a TEMP FILE — one disk file per row turns a header decode into
+      // I/O-bound noise (measured 4× run-to-run swings in Bench). In-memory
+      // payloads never need the disk cache.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         // NonFatal, not just IOException: ImageIO readers throw unchecked
         // exceptions on some malformed headers (e.g. a JPEG SOF with zero
@@ -132,6 +137,9 @@ object Multimodal {
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(Long, Long)]
       .mapPartitions { it =>
+        // same rationale as imageMeta: ImageIO's default disk cache would
+        // create one temp file per encoded row
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
           val w = (nChars % 31 + 1).toInt
           val h = (id % 17 + 1).toInt

@@ -481,6 +481,37 @@ object PipelineQueries {
       |        ${q4("count(*) / any_value(n_sh)")} AS frac
       | FROM posts JOIN bench USING (sg) GROUP BY doc_id""".stripMargin))
 
+  /** Top-k rows per group (k best documents per source by quality) through
+    * the bounded-heap aggregate ([[graft.functions.TopKAgg]]) instead of
+    * rank-then-filter: a row_number window sorts EVERY row of each group
+    * (full shuffle + per-group sort), while the heap keeps O(k) state that
+    * partial-aggregates map-side — the per-group analog of TakeOrdered. The
+    * oracle IS the rank-filter form, pinning the (score desc, id asc)
+    * equivalence the aggregate documents.
+    */
+  val qTopkPerGroup = Fixture(
+    "q_topk_per_group",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.topK(col("q"), col("doc_id"), 3).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("quality")),
+    Some(s"""WITH t0 AS (SELECT source, doc_id,
+      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
+      | FROM documents),
+      | t AS (SELECT source, doc_id,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
+      | FROM t0),
+      | r AS (SELECT source, doc_id, quality,
+      |   row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+      | FROM t)
+      | SELECT source, rank, doc_id, quality FROM r WHERE rank <= 3""".stripMargin))
+
   /** [[qDecontaminate]] through the Bloom-prefilter path
     * ([[Dedup.contaminationBloom]]): sketch broadcast + shuffled exact
     * verify instead of an exact-set broadcast — the shape for eval sets too
@@ -890,7 +921,7 @@ object PipelineQueries {
     qDedupSimhash, qDedupEmbed, qDedupClusters,
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
-    qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK,
+    qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
