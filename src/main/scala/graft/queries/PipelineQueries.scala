@@ -234,6 +234,60 @@ object PipelineQueries {
       |         FROM documents d LEFT JOIN reach ON reach.a = d.doc_id GROUP BY d.doc_id)
       | SELECT doc_id, cluster FROM lab""".stripMargin))
 
+  /** The dedup pipeline's END PRODUCT: one keeper per near-dup cluster,
+    * chosen by quality (ties to the smaller doc_id), with the member count —
+    * what actually ships to training after near-dup detection. Composition
+    * of [[Dedup.clusters]] over the MinHash+LSH pairs with a quality argmax:
+    * the argmax is `max(struct(quality, −doc_id))` inside the per-cluster
+    * aggregate — fieldwise struct ordering, no per-cluster sort, map-side
+    * partials. Oracle: the recursive-CTE closure of [[qDedupClusters]]
+    * extended with a (quality DESC, doc_id) row_number.
+    */
+  val qDedupKeepers = Fixture(
+    "q_dedup_keepers",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.clusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
+      val scored = docs.select(col("doc_id"),
+        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
+      clusters.join(scored, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster"), (-col("best.nid")).as("keeper_id"),
+          col("n_members"), col("best.q").as("best_q"))
+    },
+    Some(s"""WITH RECURSIVE
+      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | ex AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | pr AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
+      |        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+      | p AS (SELECT doc_a, doc_b FROM
+      |         (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM pr)
+      |       WHERE jac >= 0.8),
+      | e(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+      | reach(a, b) AS (SELECT a, b FROM e
+      |   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      | lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS cluster
+      |         FROM documents d LEFT JOIN reach ON reach.a = d.doc_id GROUP BY d.doc_id),
+      | q0 AS (SELECT doc_id,
+      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
+      | FROM documents),
+      | qs AS (SELECT doc_id,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
+      | FROM q0),
+      | m AS (SELECT lab.cluster, lab.doc_id, qs.q,
+      |   row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn,
+      |   count(*) OVER (PARTITION BY cluster) AS n_members
+      | FROM lab JOIN qs USING (doc_id))
+      | SELECT cluster, doc_id AS keeper_id, n_members, q AS best_q
+      | FROM m WHERE rn = 1""".stripMargin))
+
   /** Embedding-cosine near-dup pairs within a coarse partition (label). */
   val qDedupEmbed = Fixture(
     "q_dedup_embed_cosine",
@@ -918,7 +972,7 @@ object PipelineQueries {
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
-    qDedupSimhash, qDedupEmbed, qDedupClusters,
+    qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
