@@ -737,6 +737,55 @@ object ReferenceQueries {
       | FROM e GROUP BY 1, 2
       | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
 
+  /** The custom-state streaming path (flatMapGroupsWithState — the analog of
+    * the reference's pending count-window fragments, OperatorKernel.h:
+    * 1986-2123) under the batch oracle: keyed tumbling COUNT windows over
+    * the ordered replay. Complete windows emit the moment their size-th row
+    * arrives — no watermark involvement — and the in-flight fragment stays
+    * in state, so the emitted set is exactly the windows the batch
+    * row_number form fills completely (oracle: HAVING count(*) = size).
+    * Determinism: rows replay in global (es, event_id) order and the
+    * operator sorts within each micro-batch by the same key, so per-key
+    * sequence numbers — and the sequential sum order — are reproducible;
+    * sum_v goes through Quant.q4 like every double aggregate.
+    */
+  val qStreamCountWindow = Fixture(
+    "q_stream_count_window",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.eventsWithEpoch(s, d)
+        .select(col("user_id"), col("es"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double)]
+      val stream = ms.toDF().toDF("user_id", "es", "event_id", "value")
+      val out = graft.streaming.StreamingCountWindows.tumbling(s, stream, 10)
+        .select(col("user_id"), col("wid"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+      val sink = s"stream_count_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH src AS (SELECT ${es("ts")} AS es, event_id, user_id, value FROM events),
+      | w AS (SELECT user_id, value,
+      |         (row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) - 1) // 10 AS wid
+      |       FROM src)
+      | SELECT user_id, wid, count(*) AS cnt,
+      |   ${Quant.sql("sum(value)")} AS sum_v
+      | FROM w GROUP BY 1, 2 HAVING count(*) = 10""".stripMargin))
+
   val qLongLongKey = Fixture(
     "q_longlong_key_agg",
     (s, d) => {
@@ -766,5 +815,5 @@ object ReferenceQueries {
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,
     qSessionWindow, qGapFill, qLongLongKey,
-    qStreamTumbling, qStreamSlidingPaned)
+    qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+/** assignCentroids edge semantics the oracle exercises only by luck:
+  * exact ties (duplicate centroid vectors) must deterministically pick the
+  * smaller cid, and a vector that IS a centroid must assign to itself.
+  */
+class CentroidSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("duplicate centroid vectors tie-break to the smaller cid") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    // cids 5 and 9 are the SAME vector — every row scoring them equal must
+    // land on 5; cid 7 is orthogonal-ish
+    val cents = Seq(
+      (9L, Seq(1.0f, 0.0f)), (5L, Seq(1.0f, 0.0f)), (7L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val got = Ann.assignCentroids(emb, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 5L, s"tie must pick cid 5, got ${got(0L)}")
+    assert(got(1L) == 7L)
+    // (0.7, 0.7) ties between the duplicate pair {5,9} and 7 at cos≈0.7071
+    // after q4 quantization — smallest cid wins overall
+    assert(got(2L) == 5L, s"quantized three-way tie must pick 5, got ${got(2L)}")
+  }
+
+  test("centroid members assign to themselves with cos 1.0") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val self = Ann.assignCentroids(emb.where(col("vec_id") < 4), cents)
+      .collect()
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"centroid not self-assigned: $r")
+      assert(r.getDouble(2) == 1.0, s"self-cos != 1.0: $r")
+    }
+  }
+}
