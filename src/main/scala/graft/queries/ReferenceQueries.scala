@@ -737,6 +737,51 @@ object ReferenceQueries {
       | FROM e GROUP BY 1, 2
       | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
 
+  /** Distinct counting inside time windows — beyond the reference's five
+    * aggregate functions (CNT/SUM/MIN/MAX/AVG, AggregationType.h:12) but the
+    * first thing a monitoring query needs (distinct users per window).
+    * Exact here (Expand + two-phase aggregate); at 100 TB the same query
+    * swaps `countDistinct` for `approx_count_distinct` (accuracy contract
+    * pinned by q_approx_distinct) with no plan-shape change.
+    */
+  val qWindowDistinct = Fixture(
+    "q_window_distinct",
+    (s, d) => ev(s, d)
+      .groupBy(expr("(es div 3600) * 3600").as("ws"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt")),
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_type, user_id FROM events)
+      | SELECT (es // 3600) * 3600 AS ws, event_type,
+      |   count(DISTINCT user_id) AS n_users, count(*) AS cnt
+      | FROM e GROUP BY 1, 2""".stripMargin))
+
+  /** RANGE-frame trailing window (per row: aggregate over the same key's
+    * rows in the preceding `600 s` of EVENT TIME) — the time-based sibling
+    * of the row-based sliding count window (A4): row frames count rows,
+    * range frames bound by the ORDER-BY value, which is how "rolling
+    * 10-minute average per user" is actually specified. One hash shuffle by
+    * key + per-key sort; both engines define RANGE frames identically over
+    * integer ORDER BY.
+    */
+  val qTrailingRange = Fixture(
+    "q_trailing_range_avg",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-600L, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), col("es"), col("value"))
+        .withColumn("avg600",
+          Quant.q4(Quant.q4(sum(col("value")).over(w)) / count(col("value")).over(w)))
+        .select("user_id", "event_id", "avg600")
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_id, user_id, value FROM events)
+      | SELECT user_id, event_id,
+      |   ${Quant.sql(s"${Quant.sql("sum(value) OVER w")} / count(value) OVER w")} AS avg600
+      | FROM e
+      | WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   /** The custom-state streaming path (flatMapGroupsWithState — the analog of
     * the reference's pending count-window fragments, OperatorKernel.h:
     * 1986-2123) under the batch oracle: keyed tumbling COUNT windows over
@@ -815,5 +860,6 @@ object ReferenceQueries {
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,
     qSessionWindow, qGapFill, qLongLongKey,
+    qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow)
 }
