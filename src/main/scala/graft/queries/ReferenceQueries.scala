@@ -782,6 +782,70 @@ object ReferenceQueries {
       | WINDOW w AS (PARTITION BY user_id ORDER BY es
       |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  /** The reference's SIGNATURE bubble semantics on the streaming path,
+    * under the batch oracle: [[graft.streaming.StreamingGapFill]] replays
+    * the sparse (user_id % 199) event slice in event-time order; with
+    * watermark delay 0 every window strictly below a key's last data window
+    * closes on the next row (emitting skipped windows as cnt-0/NULL
+    * bubbles), and the last data window itself closes only once the final
+    * watermark (= max event time) passes its end. The fixture therefore
+    * trims the streamed output to the batch spine (`ws ≤` per-key last data
+    * window — streaming additionally emits TRAILING bubbles for quiet keys
+    * as the global watermark advances, which batch GapFill's lo..hi spine
+    * deliberately does not model), and the oracle applies the same
+    * last-window close condition.
+    */
+  val qStreamGapFill = Fixture(
+    "q_stream_gap_fill",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val src = Tables.events(s, d).where(col("user_id") % 199 === 0)
+        .select(col("event_type"),
+          graft.operators.TimeWindows.epochSeconds(col("ts")).as("es"),
+          col("value"), unix_micros(col("ts")).as("eu"))
+      val rows = src.as[(String, Long, Double, Long)].collect().sortBy(_._4)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Double, Long)]
+      val stream = ms.toDF().toDF("event_type", "es", "value", "eu")
+        .withColumn("ts", timestamp_micros(col("eu")))
+      val out = graft.streaming.StreamingGapFill
+        .tumblingWithBubbles(s, stream, 3600, watermarkDelaySec = 0L)
+        .select(col("event_type"), col("ws"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+      val sink = s"stream_gap_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          ms.addData(Seq(rows.last)) // apply the final watermark
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // spine trim: per-key last DATA window, from the same batch relation
+      val hi = src.groupBy("event_type")
+        .agg(max(expr("(es div 3600) * 3600")).as("__hi"))
+      s.table(sink).join(broadcast(hi), "event_type")
+        .where(col("ws") <= col("__hi")).drop("__hi")
+    },
+    Some(s"""WITH src AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |                    event_type, value FROM events WHERE user_id % 199 = 0),
+      | mx AS (SELECT max(eu) AS mx FROM src),
+      | a AS (SELECT event_type, (es // 3600) * 3600 AS ws, count(*) AS cnt,
+      |         ${Quant.sql("sum(value)")} AS sum_v
+      |       FROM src GROUP BY 1, 2),
+      | b AS (SELECT event_type, min(ws) AS lo, max(ws) AS hi FROM a GROUP BY 1),
+      | sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS ws FROM b)
+      | SELECT sp.event_type, sp.ws, coalesce(a.cnt, 0) AS cnt, a.sum_v AS sum_v
+      | FROM sp JOIN b USING (event_type) LEFT JOIN a USING (event_type, ws)
+      | WHERE sp.ws < b.hi OR (sp.ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
   /** The custom-state streaming path (flatMapGroupsWithState — the analog of
     * the reference's pending count-window fragments, OperatorKernel.h:
     * 1986-2123) under the batch oracle: keyed tumbling COUNT windows over
@@ -861,5 +925,5 @@ object ReferenceQueries {
     qCountTumbling, qCountSliding, qCountSlidingS,
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
-    qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow)
+    qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill)
 }
