@@ -582,6 +582,34 @@ object PipelineQueries {
     },
     qDecontaminate.oracle)
 
+  /** Deterministic train/val/test split assignment: each document lands in
+    * a split by a fixed-width band of its content-hash (98 / 1 / 1 %),
+    * independent of row order, partitioning, or corpus growth — re-running
+    * on an extended corpus never reassigns an existing doc. Output is the
+    * per-(source, split) accounting. Pure projection + one aggregation.
+    * Bands come from the md5-prefix hash64 (cross-engine identical); the
+    * modulus is 1000, so band edges are exact integers in both engines.
+    */
+  val qSplitAssign = Fixture(
+    "q_split_assign",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"),
+        pmod(TextFunctions.fingerprint64(col("text")), lit(1000L)).as("band"))
+      .withColumn("split",
+        when(col("band") < 980, "train")
+          .when(col("band") < 990, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs")),
+    Some(s"""WITH t AS (SELECT source,
+      |   ((${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}) % 1000 + 1000) % 1000 AS band
+      | FROM documents)
+      | SELECT source,
+      |   CASE WHEN band < 980 THEN 'train'
+      |        WHEN band < 990 THEN 'val' ELSE 'test' END AS split,
+      |   count(*) AS n_docs
+      | FROM t GROUP BY 1, 2""".stripMargin))
+
   /** Repetition ratio + type-token ratio — Gopher-style cheap quality
     * signals: top token frequency over total tokens, and distinct over total.
     */
@@ -976,7 +1004,8 @@ object PipelineQueries {
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
-    qDecontaminate, qDecontaminateBloom, qRepetition, qCurationFunnel,
+    qDecontaminate, qDecontaminateBloom, qSplitAssign,
+    qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg)
