@@ -610,6 +610,32 @@ object PipelineQueries {
       |   count(*) AS n_docs
       | FROM t GROUP BY 1, 2""".stripMargin))
 
+  /** Partitioned-parquet write → pruned read roundtrip: documents written
+    * `partitionBy(source)` (the standard layout for a curated corpus — one
+    * directory per source), read back with a partition-key predicate, and
+    * aggregated. The predicate must resolve at PLANNING time from the
+    * directory listing (PartitionFilters, zero data files of other sources
+    * opened) — the difference between scanning 1/20th and all of 100 TB.
+    * PartitionSpec asserts the pruned-scan plan shape; this fixture pins the
+    * roundtrip VALUES (partition-column type restoration included) against
+    * the direct DuckDB aggregate.
+    */
+  val qPartitionedRoundtrip = Fixture(
+    "q_partitioned_roundtrip",
+    (s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_part_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .where(col("source") === "src7")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin))
+
   /** Repetition ratio + type-token ratio — Gopher-style cheap quality
     * signals: top token frequency over total tokens, and distinct over total.
     */
@@ -1004,7 +1030,7 @@ object PipelineQueries {
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
-    qDecontaminate, qDecontaminateBloom, qSplitAssign,
+    qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
     qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The partitioned-roundtrip fixture's PLAN claim: a partition-key predicate
+  * prunes at planning time — the scan's selected partitions carry only the
+  * matching directory, and the predicate appears as a PartitionFilter, not a
+  * data filter over opened files.
+  */
+class PartitionSpec extends SparkTestBase {
+
+  test("partition-key predicate prunes to one directory at planning time") {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_part_spec").getAbsolutePath
+    Tables.documents(spark, sfDir).write.mode("overwrite")
+      .partitionBy("source").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("source") === "src7")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"predicate did not become a PartitionFilter: ${scan.partitionFilters}")
+    val nSelected = scan.selectedPartitions.partitionCount
+    assert(nSelected == 1,
+      s"expected exactly 1 selected partition dir, got $nSelected")
+    // and the values still roundtrip (partition column restored)
+    assert(pruned.count() ==
+      Tables.documents(spark, sfDir).where(col("source") === "src7").count())
+  }
+}
