@@ -585,6 +585,66 @@ object ReferenceQueries {
       |        floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_v
       | FROM s GROUP BY user_id, sid""".stripMargin))
 
+  /** Session windows on the streaming path, under the batch oracle: Spark's
+    * native `session_window` + watermark (delay 0), append mode, over the
+    * ordered four-batch replay. Eviction at session end ≤ watermark is
+    * merge-safe BY CONSTRUCTION: a row extending a session must arrive with
+    * ts < last + gap = end, and once the watermark reaches `end` every
+    * future row has ts ≥ end — so emitted sessions are final. The emitted
+    * set is exactly the sessions with end ≤ the final watermark; Spark
+    * tracks watermarks at millisecond resolution (event-time stats µs→ms
+    * floor), so the oracle compares against `(max(eu) // 1000) · 1000`, not
+    * raw max(eu) — session ends have µs precision, unlike the whole-second
+    * tumbling-window ends where the distinction is invisible.
+    */
+  val qStreamSession = Fixture(
+    "q_stream_session_window",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val stream = ms.toDF().toDF("eu", "user_id", "value")
+        .withColumn("ts", timestamp_micros(col("eu")))
+      val agg = stream.withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+        .agg(AggSpec(AggFn.Cnt, col("value"), "cnt").toColumn,
+             AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4)).toColumn)
+        .withColumn("ss", unix_micros(col("session_window.start")))
+        .select("ss", "user_id", "cnt", "sum_v")
+      val sink = s"stream_session_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          ms.addData(Seq(rows.last)) // apply the final watermark
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some("""WITH src AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS eu, value FROM events),
+      | mx AS (SELECT (max(eu) // 1000) * 1000 AS wm FROM src),
+      | o AS (SELECT user_id, eu, value,
+      |         CASE WHEN eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu) >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |       FROM src),
+      | s AS (SELECT user_id, eu, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY eu ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM o)
+      | SELECT min(eu) AS ss, user_id, count(*) AS cnt,
+      |        floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_v
+      | FROM s GROUP BY user_id, sid
+      | HAVING max(eu) + 1800000000 <= (SELECT wm FROM mx)""".stripMargin))
+
   /** TPC-H-flavored pruned-scan aggregation (flagship health check):
     * only 2 of 11 lineitem columns should reach the scan.
     */
@@ -925,5 +985,6 @@ object ReferenceQueries {
     qCountTumbling, qCountSliding, qCountSlidingS,
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
-    qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill)
+    qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
+    qStreamSession)
 }
