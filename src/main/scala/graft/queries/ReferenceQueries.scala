@@ -645,6 +645,68 @@ object ReferenceQueries {
       | FROM s GROUP BY user_id, sid
       | HAVING max(eu) + 1800000000 <= (SELECT wm FROM mx)""".stripMargin))
 
+  /** The reference's flagship benchmark pipeline — YSB's filter → project →
+    * static broadcast join → tumbling window count (YSB.cpp:140-230) —
+    * end-to-end ON THE STREAMING PATH, under the batch oracle: the view
+    * events replay through the same `Joins.staticBroadcast` (stateless in
+    * streaming) into `Streams.windowAgg`, append + watermark delay 0. The
+    * watermark node sits above the filter, so only view rows feed it — the
+    * replay therefore carries view rows only (the stream-side filter stays,
+    * as a pipeline-shape no-op) and the final-watermark resend row is the
+    * last view row. Emitted set: windows with end ≤ max view event time.
+    */
+  val qStreamYsb = Fixture(
+    "q_stream_ysb_pipeline",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).where(col("event_type") === "view")
+        .select(unix_micros(col("ts")), col("event_type"), col("event_id"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val stream = ms.toDF().toDF("eu", "event_type", "event_id")
+        .withColumn("ts", timestamp_micros(col("eu")))
+        .filter(col("event_type") === "view")
+        .select(col("ts"), expr("unix_micros(ts) div 1000000").as("es"),
+          pmod(col("event_id"), lit(1000)).as("ad_id"))
+      val campaigns = Tables.part(s, d).select(
+        pmod(col("p_partkey"), lit(1000)).as("ad_id"),
+        pmod(col("p_partkey"), lit(37)).as("campaign_id"))
+      val joined = Joins
+        .staticBroadcast(stream, campaigns, stream("ad_id") === campaigns("ad_id"))
+        .drop("ad_id")
+      val agg = graft.streaming.Streams.windowAgg(
+        joined, 100, 100, Seq("campaign_id"),
+        Seq(AggSpec(AggFn.Cnt, col("es"), "cnt"),
+            AggSpec(AggFn.Max, col("es"), "max_ts")),
+        watermark = Some("0 seconds"))
+      val sink = s"stream_ysb_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          ms.addData(Seq(rows.last)) // apply the final watermark
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH c AS (SELECT p_partkey % 1000 AS ad_id, p_partkey % 37 AS campaign_id FROM part),
+      | e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu, event_id % 1000 AS ad_id
+      |       FROM events WHERE event_type = 'view'),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | j AS (SELECT (es // 100) * 100 AS ws, campaign_id, es FROM e JOIN c USING (ad_id))
+      | SELECT ws, campaign_id, count(*) AS cnt, max(es) AS max_ts
+      | FROM j GROUP BY ws, campaign_id
+      | HAVING (ws + 100) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
   /** TPC-H-flavored pruned-scan aggregation (flagship health check):
     * only 2 of 11 lineitem columns should reach the scan.
     */
@@ -986,5 +1048,5 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession)
+    qStreamSession, qStreamYsb)
 }
