@@ -331,6 +331,10 @@ object Dedup {
         expression(col("s")), expression(lit(expectedItems)),
         expression(lit(numBits))).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // empty eval set → null sketch; nothing can be contaminated
+    if (blob == null)
+      return docs.select(col(id), lit(0L).as("n_overlap"),
+        lit(0.0).as("frac")).limit(0)
     val d = shingled(docs, id, text, n)
     // explode_outer: same InferFiltersFromGenerate rationale as contamination
     d.select(col(id), col("n_sh"), explode_outer(col("sh")).as("s0"))

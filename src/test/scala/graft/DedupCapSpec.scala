@@ -54,6 +54,14 @@ class DedupCapSpec extends SparkTestBase {
     assert(exact.count() > 0, "fixture produced no contaminated docs")
   }
 
+  test("bloom contamination with an empty eval set is empty, not an error") {
+    val all = Tables.documents(spark, sfDir)
+    val out = Dedup.contaminationBloom(
+      all, all.limit(0), "doc_id", "text", 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "n_overlap", "frac"))
+  }
+
   /** Adversarial corpus for the two cap-era filter holes (VERDICT r5 #1):
     * shared STOP-shingles that sort (by xxhash64) BEFORE the first surviving
     * common shingle. Pre-fix, the positional filter's overlap bound
