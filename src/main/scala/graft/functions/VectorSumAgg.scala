@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Elementwise sum of an `array<double>` column per group — the k-means
+  * M-step primitive (and any per-group vector accumulation: gradient sums,
+  * centroid updates, per-cluster embedding means).
+  *
+  * The naive Spark form is `posexplode` → groupBy(key, dim) → sum: a d-fold
+  * row expansion that shuffles d rows per group per partition. This
+  * aggregate keeps ONE O(d) double[] per group that partial-aggregates
+  * map-side and merges associatively, so a corpus-scale groupBy moves
+  * k·d doubles per partition, never |corpus|·d rows. TypedImperativeAggregate
+  * (not DeclarativeAggregate): an array-typed buffer is not an UnsafeRow
+  * mutable field, which would force SortAggregate; the imperative form runs
+  * under ObjectHashAggregateExec — hash-based, no per-partition sort on the
+  * group key.
+  *
+  * Determinism contract: double addition is order-sensitive, and partial
+  * merge order is not deterministic — callers that need cross-engine
+  * bit-equality (the DuckDB oracle) must feed INTEGER-VALUED doubles (e.g.
+  * `floor(x·10⁴ + 0.5)`-scaled), which sum exactly in any order below 2⁵³.
+  *
+  * All input vectors in a group must share the same length; a mismatch is a
+  * corrupt-input signal and fails fast rather than truncating silently.
+  * Null rows/elements are skipped (a null element skips its row).
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // getDouble on a long- or float-backed ArrayData would REINTERPRET bits,
+  // not convert — a silent all-zeros result. The Column helper casts; this
+  // guards direct Expression construction.
+  private lazy val typeOk = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Empty marker — distinguishes "no rows yet" from a zero vector. */
+  override def createAggregationBuffer(): Array[Double] = null
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    require(typeOk, s"VectorSumAgg requires array<double> input, got ${child.dataType}")
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return buf; i += 1 }
+    if (buf == null) {
+      arr.toDoubleArray()
+    } else {
+      require(buf.length == n,
+        s"VectorSumAgg: vector length mismatch within a group (${buf.length} vs $n)")
+      i = 0
+      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (b == null) return a
+    if (a == null) return b
+    require(a.length == b.length,
+      s"VectorSumAgg: vector length mismatch across partials (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf == null) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    if (buf == null) return Array.emptyByteArray
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    if (bytes.isEmpty) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object VectorSumAgg {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+
+  /** Column form: elementwise sum per group; input coerced to array<double>. */
+  def vectorSum(v: Column): Column =
+    GraftColumnBridge.column(
+      VectorSumAgg(GraftColumnBridge.expression(v.cast("array<double>")))
+        .toAggregateExpression())
+}

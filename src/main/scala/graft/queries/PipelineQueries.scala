@@ -1023,6 +1023,199 @@ object PipelineQueries {
       |   max(n_chars) AS max_chars
       | FROM documents GROUP BY 1""".stripMargin))
 
+  /** One k-means Lloyd iteration over the embeddings ([[Ann.kmeansStep]]):
+    * E-step assignment against a centroid plan-literal (no join, no
+    * shuffle), M-step elementwise mean through the O(d)-state
+    * [[graft.functions.VectorSumAgg]] — the corpus is scanned once and the
+    * shuffle carries k·d partials, never a posexplode'd corpus. Elements are
+    * 10⁴-scaled to integer-valued doubles before summing, so the mean is
+    * order-independent and bit-identical to the oracle's (see the operator
+    * doc). Output exploded to (centroid_id, dim) cells for the compare.
+    */
+  val qKmeansStep = Fixture(
+    "q_kmeans_step",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      Ann.kmeansStep(emb, emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c),
+      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT vec_id, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM s),
+      | a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+      | q AS (SELECT a.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
+      |       FROM a JOIN e USING (vec_id)),
+      | x AS (SELECT cid, u.dim AS dim, u.val AS val FROM
+      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
+      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q))
+      | SELECT cid AS centroid_id, dim, count(*) AS n_members,
+      |   ${q4("sum(val) / count(*) / 10000")} AS coord
+      | FROM x GROUP BY 1, 2""".stripMargin))
+
+  /** Per-source characteristic terms by TF-IDF — the corpus-exploration /
+    * source-tagging staple. tf is the (source, term) aggregate, df the
+    * per-term distinct-source count computed FROM tf (vocabulary-sized
+    * input, not the corpus), and the source count ships as a broadcast
+    * 1-row relation — no driver-side action. The final per-source top-5 is
+    * a row_number over (source), which sorts each source's VOCABULARY (not
+    * its rows); at 100 TB the same query swaps the window for a
+    * string-keyed variant of the bounded-heap TopKAgg pattern
+    * (q_topk_per_group) with no upstream change. Ranking happens on the
+    * QUANTIZED score in both engines, so rank order is cross-engine
+    * deterministic (ties break on the term).
+    */
+  val qTfidfTopTerms = Fixture(
+    "q_tfidf_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = graft.Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.words(lower(col("text")))).as("w"))
+        .where(col("w") =!= "")
+      val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      graft.operators.Caching.withCached(tf) {
+        val df = tf.groupBy("w").agg(countDistinct("source").as("df"))
+        val ns = tf.agg(countDistinct("source").as("ns"))
+        val win = Window.partitionBy("source")
+          .orderBy(col("tfidf").desc, col("w").asc)
+        tf.join(df, "w").crossJoin(broadcast(ns))
+          .select(col("source"), col("w"), col("tf"),
+            Quant.q4(col("tf") * log(col("ns") / col("df"))).as("tfidf"))
+          .withColumn("rank", row_number().over(win))
+          .where(col("rank") <= 5)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("w").as("term"), col("tf"), col("tfidf"))
+      }
+    },
+    Some(s"""WITH t AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      |            FROM documents),
+      | tf AS (SELECT source, w, count(*) AS tf FROM t WHERE w <> '' GROUP BY 1, 2),
+      | df AS (SELECT w, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+      | n AS (SELECT count(DISTINCT source) AS ns FROM tf),
+      | sc AS (SELECT source, w, tf, ${q4("tf * ln(ns / df)")} AS tfidf
+      |        FROM tf JOIN df USING (w) CROSS JOIN n),
+      | r AS (SELECT source, w, tf, tfidf,
+      |         row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, w) AS rank
+      |       FROM sc)
+      | SELECT source, rank, w AS term, tf, tfidf FROM r WHERE rank <= 5""".stripMargin))
+
+  /** Bigram language-model table: the 50 most frequent word bigrams with
+    * their continuation probability P(w₂|w₁) = c(w₁w₂)/c(w₁·). Bigrams come
+    * from one per-row transform+explode (no self-join on position); c(w₁·)
+    * is re-aggregated FROM the bigram counts (vocabulary-sized input) and
+    * joined back keyed on w₁ — both sides hash-partition on w₁, and at
+    * corpus scale neither is broadcastable, so the co-partitioned shuffle
+    * join IS the right plan. Counts are integers, so P is cross-engine
+    * deterministic; the global top-50 plans as TakeOrdered (per-partition
+    * heap + k-merge, no global sort).
+    */
+  val qBigramLm = Fixture(
+    "q_bigram_lm",
+    (s, d) => {
+      val pairs = graft.Tables.documents(s, d)
+        .select(TextFunctions.words(lower(col("text"))).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      graft.operators.Caching.withCached(c12) {
+        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+        c12.join(c1, "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            Quant.q4(col("c12") / col("c1")).as("p"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(50)
+      }
+    },
+    Some(s"""WITH w0 AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+      |             FROM documents),
+      | b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |         i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM w0 WHERE len(w) >= 2),
+      | c12 AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1)
+      | SELECT w1, w2, c12, c1, ${q4("c12 / c1")} AS p
+      | FROM c12 JOIN c1 USING (w1)
+      | ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin))
+
+  /** Per-source length z-scores with outlier flags — distribution-shift /
+    * anomaly screening per source. The per-source moments come from ONE
+    * aggregation of exact INTEGER sums (Σx, Σx², n — order-independent,
+    * cross-engine identical; a float stddev aggregate is neither), shipped
+    * back as a BROADCAST join: at 100 TB that is a tiny stats relation
+    * against a corpus scan, where the window-function form
+    * (avg/stddev OVER (PARTITION BY source)) would shuffle and buffer the
+    * whole corpus per source. The outlier flag compares the QUANTIZED z in
+    * both engines.
+    */
+  val qZscoreOutliers = Fixture(
+    "q_zscore_outliers",
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val stats = docs.groupBy("source").agg(
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"),
+        count(lit(1)).as("n"))
+      val mu = col("sx") / col("n")
+      val z = Quant.q4((col("n_chars") - mu) /
+        sqrt(greatest(col("sxx") / col("n") - mu * mu, lit(1e-12))))
+      docs.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"), z.as("z"))
+        .withColumn("is_outlier", abs(col("z")) > lit(2.0))
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+      | st AS (SELECT source, sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx,
+      |          count(*) AS n FROM d GROUP BY 1),
+      | z AS (SELECT doc_id, d.source, n_chars,
+      |         ${q4("(n_chars - sx / n) / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 1e-12))")} AS z
+      |       FROM d JOIN st USING (source))
+      | SELECT doc_id, source, n_chars, z, (abs(z) > 2.0) AS is_outlier FROM z""".stripMargin))
+
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * per-label fractions — the quality audit that closes the loop on
+    * q_lang_id. Two tiny aggregations (|langs|² cells) off one corpus scan;
+    * the per-label totals re-aggregate FROM the cell counts and broadcast
+    * back. Counts are integers → fractions cross-engine deterministic.
+    */
+  val qLangConfusion = Fixture(
+    "q_lang_confusion",
+    (s, d) => {
+      val cm = graft.Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+      graft.operators.Caching.withCached(cm) {
+        val tot = cm.groupBy("lang").agg(sum("cnt").as("total"))
+        cm.join(broadcast(tot), "lang")
+          .select(col("lang"), col("lang_pred"), col("cnt"),
+            Quant.q4(col("cnt") / col("total")).as("frac"))
+      }
+    },
+    Some(s"""WITH c AS (SELECT lang,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
+      |   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS es,
+      |   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de,
+      |   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS fr
+      | FROM documents),
+      | p AS (SELECT lang, CASE
+      |   WHEN en + es + de + fr = 0 THEN 'und'
+      |   WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+      |   WHEN es >= de AND es >= fr THEN 'es'
+      |   WHEN de >= fr THEN 'de'
+      |   ELSE 'fr' END AS lang_pred FROM c),
+      | cm AS (SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY 1, 2),
+      | t AS (SELECT lang, sum(cnt)::BIGINT AS total FROM cm GROUP BY 1)
+      | SELECT lang, lang_pred, cnt, ${q4("cnt / total")} AS frac
+      | FROM cm JOIN t USING (lang)""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
@@ -1034,5 +1227,6 @@ object PipelineQueries {
     qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
-    qPackSequences, qChunkDocs, qSaltedAgg)
+    qPackSequences, qChunkDocs, qSaltedAgg,
+    qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion)
 }

@@ -1017,6 +1017,64 @@ object ReferenceQueries {
       |   ${Quant.sql("sum(value)")} AS sum_v
       | FROM w GROUP BY 1, 2 HAVING count(*) = 10""".stripMargin))
 
+  /** The stream-stream windowed θ-join (reference ThetaJoin, J2) on the
+    * PRODUCTION streaming path — StreamingSymmetricHashJoinExec via
+    * [[graft.streaming.Streams.windowedThetaJoin]] — under the same batch
+    * oracle as q_join_theta_windowed: clicks pair with purchases of the same
+    * user within [l_es, l_es + 600 s], both branches filtered from ONE
+    * replayed stream (a streaming self-join). An INNER stream-stream join
+    * emits each match in the micro-batch where it forms (no watermark wait),
+    * and the 2 h watermark delay exceeds the 600 s pairing range on an
+    * event-time-sorted replay, so no partner row is evicted before all its
+    * matches form — the emitted set is exactly the batch join. Event time is
+    * floored to whole seconds BEFORE the join (timestamp_seconds(es)): the
+    * batch operator and oracle compare second-resolution es values, and the
+    * raw µs timestamps would pair a different (sub-second-shifted) set.
+    */
+  val qStreamJoinTheta = Fixture(
+    "q_stream_join_theta",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.eventsWithEpoch(s, d)
+        .select(col("es"), col("event_type"), col("event_id"), col("user_id"))
+        .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Long)]
+      val src = ms.toDF().toDF("es", "event_type", "event_id", "user_id")
+      val l = src.where(col("event_type") === "click")
+        .select(timestamp_seconds(col("es")).as("l_ts"),
+          col("event_id").as("l_id"), col("user_id"))
+      val r = src.where(col("event_type") === "purchase")
+        .select(timestamp_seconds(col("es")).as("r_ts"),
+          col("event_id").as("r_id"), col("user_id").as("r_user"))
+      val joined = graft.streaming.Streams.windowedThetaJoin(
+          l, r, "l_ts", "r_ts", 600,
+          col("user_id") === col("r_user"), "2 hours")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          expr("unix_micros(l_ts) div 1000000").as("l_es"),
+          expr("unix_micros(r_ts) div 1000000").as("r_es"))
+      val sink = s"stream_join_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_id, user_id, event_type FROM events),
+      | l AS (SELECT es AS l_es, event_id AS l_id, user_id FROM e WHERE event_type = 'click'),
+      | r AS (SELECT es AS r_es, event_id AS r_id, user_id FROM e WHERE event_type = 'purchase')
+      | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
+      | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
+
   val qLongLongKey = Fixture(
     "q_longlong_key_agg",
     (s, d) => {
@@ -1048,5 +1106,5 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb)
+    qStreamSession, qStreamYsb, qStreamJoinTheta)
 }

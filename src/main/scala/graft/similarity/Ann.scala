@@ -83,26 +83,69 @@ object Ann {
     *
     * @param centroids (cid: long-castable, cvec: array<float>) — k rows.
     */
-  def assignCentroids(embIn: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCentroids(embIn: DataFrame, centroids: DataFrame): DataFrame =
+    spread(embIn)
+      .select(col("vec_id"), bestCentroid(centroidArray(centroids)).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("centroid_id"),
+        col("best.cos").as("cos"))
+
+  /** Centroids folded into a plan literal: array<struct<cid, cv>> sorted by
+    * cid. k is the caller's MODEL size — small by definition, not
+    * data-scaled — so the collect is bounded.
+    */
+  private def centroidArray(centroids: DataFrame): Column = {
     val cents = centroids
       .select(col("cid").cast("long"), col("cvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignCentroids needs at least one centroid")
-    val centArr = array(cents.map { case (cid, v) =>
+    array(cents.map { case (cid, v) =>
       struct(lit(cid).as("cid"),
         array(v.map(lit): _*).cast("array<float>").as("cv"))
     }: _*)
-    spread(embIn)
-      .select(col("vec_id"),
-        array_max(transform(centArr, c =>
-          struct(
-            Quant.q4(cosineFused(c.getField("cv"), col("embedding"))).as("cos"),
-            (-c.getField("cid")).as("ncid")))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("centroid_id"),
-        col("best.cos").as("cos"))
   }
+
+  /** Per-row argmax over the centroid literal — (quantized cos, −cid) struct
+    * max, the same total order as the oracle's (cos DESC, cid ASC).
+    */
+  private def bestCentroid(centArr: Column): Column =
+    array_max(transform(centArr, c =>
+      struct(
+        Quant.q4(cosineFused(c.getField("cv"), col("embedding"))).as("cos"),
+        (-c.getField("cid")).as("ncid"))))
+
+  /** One Lloyd iteration (k-means E-step + M-step): assign each vector to
+    * its nearest centroid, then recompute each centroid as the elementwise
+    * mean of its members. Output is exploded to (centroid_id, dim,
+    * n_members, coord) rows so the oracle can compare scalar cells.
+    *
+    * Scale shape: the E-step is the [[assignCentroids]] projection (centroid
+    * literal, no join, no shuffle); the M-step is ONE hash aggregation whose
+    * state is an O(d) vector per centroid ([[graft.functions.VectorSumAgg]],
+    * map-side partials under ObjectHashAggregate) — the corpus is scanned
+    * once and the shuffle carries k·d doubles per partition, never a
+    * d-fold posexplode of the corpus. The final explode runs over k rows.
+    *
+    * Cross-engine determinism: elements are `floor(x·10⁴ + 0.5)`-scaled to
+    * integer-valued doubles BEFORE summing — integer sums are exact in any
+    * partial-merge order below 2⁵³ (100 TB headroom: 3·10⁴-magnitude cells
+    * times 10⁹ rows ≈ 3·10¹³), so the mean is bit-identical to the oracle's
+    * regardless of partitioning. The un-quantized mean would not be.
+    */
+  def kmeansStep(embIn: DataFrame, centroids: DataFrame): DataFrame =
+    spread(embIn)
+      .select(bestCentroid(centroidArray(centroids)).as("best"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1e4) + lit(0.5))).as("qv"))
+      .select((-col("best.ncid")).as("centroid_id"), col("qv"))
+      .groupBy("centroid_id")
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("qv")).as("vs"),
+        count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("n_members"), posexplode(col("vs")))
+      .select(col("centroid_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("n_members"),
+        Quant.q4(col("col") / col("n_members") / lit(1e4)).as("coord"))
 
   /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
     * label, …): all-pairs only *inside* each cell, never globally.

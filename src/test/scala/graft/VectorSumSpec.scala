@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorSumAgg
+
+/** Pins the O(d)-state vector-sum aggregate against the posexplode →
+  * groupBy(key, dim) → sum reference form, plus the operator's edge
+  * contract: null rows skipped, all-null groups evaluate to null, and a
+  * dimension mismatch fails fast instead of truncating.
+  */
+class VectorSumSpec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    (0 until 500).map { i =>
+      val r = new scala.util.Random(i)
+      // integer-valued doubles: sums must be EXACTLY equal in any order
+      (i % 7, Seq.fill(16)(r.nextInt(20001).toDouble - 10000))
+    }.toDF("k", "v")
+  }
+
+  test("per-group elementwise sum equals the posexplode reference") {
+    val viaAgg = corpus.groupBy("k")
+      .agg(VectorSumAgg.vectorSum(col("v")).as("vs"))
+      .select(col("k"), posexplode(col("vs")))
+      .select(col("k"), col("pos"), col("col").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaExplode = corpus
+      .select(col("k"), posexplode(col("v")))
+      .groupBy("k", "pos").agg(sum("col").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg == viaExplode)
+    assert(viaAgg.size == 7 * 16)
+  }
+
+  test("null vectors are skipped; an all-null group evaluates to null") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option(Seq(1.0, 2.0))),
+      (1, Option.empty[Seq[Double]]),
+      (2, Option.empty[Seq[Double]])).toDF("k", "v")
+    val out = df.groupBy("k").agg(VectorSumAgg.vectorSum(col("v")).as("vs"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(out(1).isDefined)
+    assert(out(1).get.asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(1.0, 2.0))
+    assert(out(2).isEmpty)
+  }
+
+  test("vector length mismatch within a group fails fast") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0))).toDF("k", "v")
+    val e = intercept[Throwable] {
+      df.coalesce(1).groupBy("k")
+        .agg(VectorSumAgg.vectorSum(col("v")).as("vs")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("length mismatch")), s"got: ${msgs(e)}")
+  }
+}
