@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters sketch as a mergeable aggregate: the one-pass,
+  * O(m)-state answer to "which items exceed n/m of the stream" — the scale
+  * path when the exact form (groupBy over the full item domain) would build
+  * a corpus-sized vocabulary aggregation just to read off its head.
+  *
+  * State is at most `capacity` (item, count) pairs. Update: increment a
+  * present item; insert if there is room; otherwise decrement ALL counters
+  * by 1 and drop zeros (the classic Misra-Gries step — each decrement is
+  * "paid for" by one arriving item, so estimates undercount by at most
+  * n/capacity). Merge is the Agarwal et al. (Mergeable Summaries, PODS '12)
+  * rule: pointwise-sum both summaries, then subtract the (capacity+1)-th
+  * largest count from every entry and drop non-positives — the result is
+  * again a valid summary over the combined stream, so partial aggregation
+  * and any shuffle/merge order preserve the guarantee.
+  *
+  * Guarantees over n total items (any partitioning):
+  *   - true(x) − n/capacity ≤ est(x) ≤ true(x)
+  *   - every x with true(x) > n/capacity is present in the summary.
+  * Estimates themselves are partitioning-dependent (only the BOUNDS are
+  * deterministic) — fixtures must check the bound, not the estimate.
+  *
+  * Output: array<struct<term string, est long>>, (est desc, term asc).
+  */
+case class HeavyHittersAgg(
+    capacity: Int,
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(capacity > 0, "HeavyHittersAgg capacity must be positive")
+
+  type Buf = mutable.HashMap[String, Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))))
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val term = v.asInstanceOf[UTF8String].toString
+    buf.get(term) match {
+      case Some(c) => buf.update(term, c + 1)
+      case None if buf.size < capacity => buf.update(term, 1L)
+      case None =>
+        // classic Misra-Gries step: the arriving item and one unit of every
+        // counter cancel — capacity+1 stream items pay for one decrement
+        buf.mapValuesInPlace((_, c) => c - 1)
+        buf.filterInPlace((_, c) => c > 0)
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count, drop non-positives
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      a.filterInPlace((_, c) => c - sub > 0)
+      a.mapValuesInPlace((_, c) => c - sub)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object HeavyHittersAgg {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+
+  /** Column form: Misra-Gries summary of a string column at `capacity`. */
+  def heavyHitters(term: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      HeavyHittersAgg(capacity, GraftColumnBridge.expression(term))
+        .toAggregateExpression())
+}

@@ -1216,6 +1216,68 @@ object PipelineQueries {
       | SELECT lang, lang_pred, cnt, ${q4("cnt / total")} AS frac
       | FROM cm JOIN t USING (lang)""".stripMargin))
 
+  /** Weighted data-mixing sampler: each language is kept at its target rate
+    * (per-10⁴) by a deterministic content-hash threshold — the knob that
+    * turns raw corpus proportions into a training mixture. The rate table
+    * rides in the plan as a map literal (no join, no shuffle, no driver
+    * action); membership is reproducible under any partitioning, ordering,
+    * or corpus growth, exactly like [[qSampleHash]]. Unknown languages fall
+    * to rate 0 (fail-closed: an unconfigured source never leaks into the
+    * mixture).
+    */
+  val qMixSample = Fixture(
+    "q_mix_weighted_sample",
+    (s, d) => {
+      val rates = map(
+        lit("en"), lit(10000L), lit("zh"), lit(4000L), lit("de"), lit(2500L),
+        lit("fr"), lit(1000L), lit("es"), lit(500L))
+      Tables.documents(s, d)
+        .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")), lit(10000)) <
+          coalesce(element_at(rates, col("lang")), lit(0L)))
+        .select("doc_id", "lang", "source")
+    },
+    Some(s"""SELECT doc_id, lang, source FROM documents
+      | WHERE ${h64("doc_id::VARCHAR")} % 10000 <
+      |   CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 4000 WHEN 'de' THEN 2500
+      |        WHEN 'fr' THEN 1000 WHEN 'es' THEN 500 ELSE 0 END""".stripMargin))
+
+  /** Heavy hitters through the Misra-Gries sketch
+    * ([[graft.functions.HeavyHittersAgg]]): ONE pass, O(m) mergeable state —
+    * versus the exact form, which aggregates the full item domain only to
+    * read off its head. The fixture aggregates user cohorts (√-bucketed, so
+    * cohort populations grow linearly — real skew on an otherwise uniform
+    * testset) and checks the sketch CONTRACT on exactly the guaranteed set
+    * (true count > n/m): present, never overcounting, undercount ≤ n/m.
+    * Estimates themselves are partitioning-dependent; only the bounds are
+    * deterministic, so the bounds are what the fixture (and oracle) pin —
+    * same pattern as q_approx_distinct/q_approx_quantiles.
+    */
+  val qHeavyHitters = Fixture(
+    "q_heavy_hitters",
+    (s, d) => {
+      val m = 8
+      val items = Tables.events(s, d)
+        .select(floor(sqrt(col("user_id") % 150)).cast("long").cast("string").as("bk"))
+      val exact = items.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      val sketch = items
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("bk"), m).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("bk"), col("e.est").as("est"))
+      graft.operators.Caching.withCached(exact) {
+        val n = exact.agg(sum("cnt").as("n"))
+        exact.crossJoin(broadcast(n))
+          .where(col("cnt") * m > col("n"))
+          .join(sketch, Seq("bk"), "left")
+          .select(col("bk"), col("cnt"),
+            (col("est").isNotNull && col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * m <= col("n")).as("mg_ok"))
+      }
+    },
+    Some(s"""WITH b AS (SELECT floor(sqrt(user_id % 150))::BIGINT::VARCHAR AS bk FROM events),
+      | c AS (SELECT bk, count(*) AS cnt FROM b GROUP BY 1),
+      | n AS (SELECT sum(cnt)::BIGINT AS n FROM c)
+      | SELECT bk, cnt, TRUE AS mg_ok FROM c, n WHERE cnt * 8 > n""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
@@ -1228,5 +1290,6 @@ object PipelineQueries {
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg,
-    qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion)
+    qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
+    qMixSample, qHeavyHitters)
 }

@@ -650,10 +650,17 @@ object ReferenceQueries {
     * end-to-end ON THE STREAMING PATH, under the batch oracle: the view
     * events replay through the same `Joins.staticBroadcast` (stateless in
     * streaming) into `Streams.windowAgg`, append + watermark delay 0. The
-    * watermark node sits above the filter, so only view rows feed it — the
-    * replay therefore carries view rows only (the stream-side filter stays,
-    * as a pipeline-shape no-op) and the final-watermark resend row is the
-    * last view row. Emitted set: windows with end ≤ max view event time.
+    * watermark node sits above the filter AND the inner join, so only view
+    * rows WITH A MATCHING CAMPAIGN feed it — a view whose ad has no
+    * campaign row is dropped before the EventTimeWatermark operator and
+    * never advances the clock. Emitted set: windows with end ≤ max JOINED
+    * event time (the oracle computes mx over the join, not the raw views —
+    * at sf0.001 the part table covers only a prefix of the ad domain, and
+    * ad ids correlate with time, so the raw-view max overshoots the
+    * watermark and predicts one extra window). The replay carries view rows
+    * only (the stream-side filter stays, as a pipeline-shape no-op); the
+    * final-watermark resend row is the last view row, which applies the
+    * final eviction whenever it joins and is harmlessly dropped when not.
     */
   val qStreamYsb = Fixture(
     "q_stream_ysb_pipeline",
@@ -701,8 +708,8 @@ object ReferenceQueries {
     Some(s"""WITH c AS (SELECT p_partkey % 1000 AS ad_id, p_partkey % 37 AS campaign_id FROM part),
       | e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu, event_id % 1000 AS ad_id
       |       FROM events WHERE event_type = 'view'),
-      | mx AS (SELECT max(eu) AS mx FROM e),
-      | j AS (SELECT (es // 100) * 100 AS ws, campaign_id, es FROM e JOIN c USING (ad_id))
+      | j AS (SELECT (es // 100) * 100 AS ws, campaign_id, es, eu FROM e JOIN c USING (ad_id)),
+      | mx AS (SELECT max(eu) AS mx FROM j)
       | SELECT ws, campaign_id, count(*) AS cnt, max(es) AS max_ts
       | FROM j GROUP BY ws, campaign_id
       | HAVING (ws + 100) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HeavyHittersAgg
+
+/** Pins the Misra-Gries aggregate's contract on a genuinely skewed (Zipf)
+  * synthetic stream, under different partitionings (merge orders): summary
+  * size ≤ capacity, every item above n/capacity present, estimates never
+  * overcount and undercount by at most n/capacity. Also pins exactness when
+  * capacity exceeds the item domain (no decrement can ever fire).
+  */
+class HeavyHittersSpec extends SparkTestBase {
+
+  // Zipf-ish stream: item i appears ~ N/(i+1) times, deterministic
+  private def zipf(n: Int) = {
+    import spark.implicits._
+    (0 until n).flatMap { i =>
+      Seq.fill(n / (i + 1))(s"item_$i")
+    }.toDF("w")
+  }
+
+  private def summary(df: org.apache.spark.sql.DataFrame, m: Int, parts: Int) =
+    df.repartition(parts)
+      .agg(HeavyHittersAgg.heavyHitters(col("w"), m).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("w"), col("e.est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("guarantees hold on a Zipf stream under 1, 4, and 13 partitions") {
+    val df = zipf(80)
+    val exact = df.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val m = 12
+    for (parts <- Seq(1, 4, 13)) {
+      val est = summary(df, m, parts)
+      assert(est.size <= m, s"summary overflowed: ${est.size} > $m")
+      exact.foreach { case (w, cnt) =>
+        if (cnt * m > n)
+          assert(est.contains(w), s"heavy item $w (cnt=$cnt, n/m=${n / m}) missing @ $parts parts")
+        est.get(w).foreach { e =>
+          assert(e <= cnt, s"$w overcounted: est=$e > true=$cnt @ $parts parts")
+          assert((cnt - e) * m <= n, s"$w undercounted past n/m: est=$e true=$cnt @ $parts parts")
+        }
+      }
+    }
+  }
+
+  test("capacity above the domain size makes the sketch exact") {
+    val df = zipf(20)
+    val exact = df.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = summary(df, 64, 5)
+    assert(est == exact)
+  }
+}
