@@ -1082,6 +1082,72 @@ object ReferenceQueries {
       | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
       | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
 
+  /** NBQ5 hot-items (O5) ON THE STREAMING PATH — the post-window operator as
+    * a SECOND chained stateful aggregation (Spark 3.4+ window-of-window):
+    * stage 1 counts per (tumbling window, auction); stage 2 re-windows the
+    * stage-1 output at the same size — a same-size window-of-window maps
+    * each window to itself (containment), so grouping is per original
+    * window — and keeps every auction at the window max (ties kept, like
+    * the batch PostWindow.keepMaxBy and the reference NBQ5.cpp:63-110).
+    * The per-window item list rides through a collect_list, fine for
+    * auction-sized key domains (the reference's NBQ5 has 4); a huge key
+    * domain would swap it for max(struct(cnt, key)) at the cost of
+    * tie-keeping. Eviction cascades within the micro-batch (same
+    * multi-stateful watermark propagation as q_stream_sliding_paned), so
+    * the emitted set is exactly the windows with end ≤ max event time —
+    * the qStreamTumbling oracle filter.
+    */
+  val qStreamHotItems = Fixture(
+    "q_stream_hot_items",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("event_id"))
+        .as[(Long, Long)].collect().sortBy(identity)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val stream = ms.toDF().toDF("eu", "event_id")
+        .select(timestamp_micros(col("eu")).as("ts"),
+          pmod(col("event_id"), lit(4)).as("auction"))
+        .withWatermark("ts", "0 seconds")
+      val s1 = stream
+        .groupBy(window(col("ts"), "3600 seconds").as("w0"), col("auction"))
+        .agg(count(lit(1)).as("cnt"))
+      val out = s1
+        .groupBy(window(col("w0"), "3600 seconds"))
+        .agg(max(col("cnt")).as("mx"),
+          collect_list(struct(col("cnt"), col("auction"))).as("items"))
+        .select(col("window.start").cast("long").as("ws"), col("mx"),
+          explode(col("items")).as("it"))
+        .where(col("it.cnt") === col("mx"))
+        .select(col("ws"), col("it.auction").as("auction"), col("it.cnt").as("cnt"))
+      val sink = s"stream_hot_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          ms.addData(Seq(rows.last))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        event_id % 4 AS auction FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | a AS (SELECT (es // 3600) * 3600 AS ws, auction, count(*) AS cnt
+      |       FROM e GROUP BY 1, 2)
+      | SELECT ws, auction, cnt FROM a
+      | WHERE (ws + 3600) * 1000000 <= (SELECT mx FROM mx)
+      | QUALIFY cnt = max(cnt) OVER (PARTITION BY ws)""".stripMargin))
+
   val qLongLongKey = Fixture(
     "q_longlong_key_agg",
     (s, d) => {
@@ -1113,5 +1179,5 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb, qStreamJoinTheta)
+    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems)
 }
