@@ -21,6 +21,33 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the "new crawl vs existing lake" pass: each
+    * new document is flagged against the corpus fingerprint set
+    * (is_dup_in_corpus), against earlier rows of its own batch
+    * (is_dup_in_batch, first-by-id wins), and resolved into a keep decision
+    * (novel content, first occurrence).
+    *
+    * Scale shape: the corpus reduces to its DISTINCT fingerprint column —
+    * in production this is the persisted fingerprint index of the lake, not
+    * a rescan — and the new batch left-joins it keyed on fp; batch-internal
+    * ranking is a row_number over the same fp key, so the window reuses the
+    * join's hash partitioning without a second exchange. Nothing broadcasts
+    * (the corpus index is corpus-sized) and nothing is all-pairs.
+    */
+  def incrementalExact(
+      newDocs: DataFrame, corpus: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = newDocs.select(col(id), fingerprintMd5(col(text)).as("fp"))
+    val cf = corpus.select(fingerprintMd5(col(text)).as("fp")).distinct()
+    val w = Window.partitionBy("fp").orderBy(col(id))
+    nf.join(cf.withColumn("__hit", lit(true)), Seq("fp"), "left")
+      .withColumn("is_dup_in_corpus", coalesce(col("__hit"), lit(false)))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(id), col("is_dup_in_corpus"),
+        (col("__rn") > 1).as("is_dup_in_batch"),
+        (!col("is_dup_in_corpus") && col("__rn") === 1).as("keep"))
+  }
+
   /** (id, shingles, n_sh) with distinct n-word shingles.
     *
     * The repartition decouples CPU parallelism from file splits: shingling +

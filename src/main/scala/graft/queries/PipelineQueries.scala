@@ -1278,6 +1278,37 @@ object PipelineQueries {
       | n AS (SELECT sum(cnt)::BIGINT AS n FROM c)
       | SELECT bk, cnt, TRUE AS mg_ok FROM c, n WHERE cnt * 8 > n""".stripMargin))
 
+  /** Incremental (new-crawl-vs-lake) exact dedup through
+    * [[Dedup.incrementalExact]]. The testdata has no natural exact
+    * duplicates, so the fixture constructs the re-crawl: the new batch is
+    * the src0 shard plus renumbered copies (+100000) of every 7th corpus
+    * document — copies of non-src0 docs must flag is_dup_in_corpus, copies
+    * of src0 docs must flag is_dup_in_batch (their twin sits in the same
+    * batch), and everything else keeps.
+    */
+  val qDedupIncremental = Fixture(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val newBatch = docs.where(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val corpus = docs.where(col("source") =!= "src0")
+      Dedup.incrementalExact(newBatch, corpus, "doc_id", "text")
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |       FROM documents),
+      | n AS (SELECT doc_id, fp FROM f WHERE source = 'src0'
+      |       UNION ALL SELECT doc_id + 100000, fp FROM f WHERE doc_id % 7 = 0),
+      | c AS (SELECT DISTINCT fp FROM f WHERE source <> 'src0'),
+      | r AS (SELECT n.doc_id, n.fp, EXISTS (SELECT 1 FROM c WHERE c.fp = n.fp) AS dc,
+      |         row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
+      |       FROM n)
+      | SELECT doc_id, dc AS is_dup_in_corpus, rn > 1 AS is_dup_in_batch,
+      |   (NOT dc AND rn = 1) AS keep FROM r""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
@@ -1291,5 +1322,5 @@ object PipelineQueries {
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg,
     qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
-    qMixSample, qHeavyHitters)
+    qMixSample, qHeavyHitters, qDedupIncremental)
 }
