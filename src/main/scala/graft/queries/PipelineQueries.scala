@@ -1309,6 +1309,77 @@ object PipelineQueries {
       | SELECT doc_id, dc AS is_dup_in_corpus, rn > 1 AS is_dup_in_batch,
       |   (NOT dc AND rn = 1) AS keep FROM r""".stripMargin))
 
+  /** The END-TO-END curation pipeline as one composed query — the artifact a
+    * training run actually consumes: candidate docs (eval set excluded) →
+    * quality gate (q ≥ 0.5) → exact-dup keeper → decontamination against
+    * the eval set (drop frac > 0.10, on the quantized fraction both engines
+    * compute identically) → deterministic 98/1/1 split → the TRAIN shard's
+    * pack manifest (per-source cumulative token offsets div 2048). Every
+    * stage is an already-oracle-proven operator (q_text_stats,
+    * q_dedup_exact, q_decontaminate, q_split_assign, q_pack_sequences);
+    * this fixture pins their COMPOSITION — stage ordering, column flow, and
+    * the join/filter seams between them — which is what a user of the
+    * library actually runs. Plan shape: one corpus scan feeds the quality +
+    * fingerprint projection; the keeper and contamination stages are
+    * fp-/shingle-keyed shuffles of the REDUCED survivor set; the pack
+    * window is per-source. Nothing rescans the corpus.
+    */
+  val qTrainingManifest = Fixture(
+    "q_training_manifest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val enriched = docs.where(col("doc_id") >= 25).select(
+        col("doc_id"), col("source"), col("text"),
+        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"),
+        pmod(TextFunctions.fingerprint64(col("text")), lit(1000L)).as("band"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val quality = enriched.where(col("q") >= 0.5)
+      val keepers = quality.groupBy("fp").agg(min("doc_id").as("keeper"))
+      val unique = quality.join(keepers, Seq("fp"))
+        .where(col("doc_id") === col("keeper"))
+      val evalSet = docs.where(col("doc_id") < 25)
+      val tooContaminated = Dedup
+        .contamination(unique.select("doc_id", "text"), evalSet, "doc_id", "text", 3)
+        .where(col("frac") > 0.10)
+        .select("doc_id")
+      val clean = unique.join(tooContaminated, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      clean.where(col("band") < 980) // train shard
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("q"), col("n_tok"),
+          expr("start_off div 2048").as("pack_id"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source, text,
+      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      |   ((${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}) % 1000 + 1000) % 1000 AS band
+      | FROM documents WHERE doc_id >= 25),
+      | e AS (SELECT doc_id, source, text, fp, band, n_tok::BIGINT AS n_tok,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
+      | FROM t0),
+      | ql AS (SELECT * FROM e WHERE q >= 0.5),
+      | k AS (SELECT fp, min(doc_id) AS keeper FROM ql GROUP BY 1),
+      | u AS (SELECT ql.* FROM ql JOIN k USING (fp) WHERE doc_id = keeper),
+      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n_sh, s FROM sh WHERE len(s) > 0),
+      | bench AS (SELECT DISTINCT unnest(s) AS sg FROM f WHERE doc_id < 25),
+      | posts AS (SELECT doc_id, n_sh, unnest(s) AS sg FROM f
+      |           WHERE doc_id IN (SELECT doc_id FROM u)),
+      | contam AS (SELECT doc_id FROM (
+      |     SELECT doc_id, ${q4("count(*) / any_value(n_sh)")} AS frac
+      |     FROM posts JOIN bench USING (sg) GROUP BY doc_id)
+      |   WHERE frac > 0.10),
+      | clean AS (SELECT * FROM u WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      | tr AS (SELECT * FROM clean WHERE band < 980)
+      | SELECT doc_id, source, q, n_tok,
+      |   ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 2048)::BIGINT AS pack_id
+      | FROM tr""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
@@ -1322,5 +1393,5 @@ object PipelineQueries {
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg,
     qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
-    qMixSample, qHeavyHitters, qDedupIncremental)
+    qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest)
 }
