@@ -113,4 +113,43 @@ class PipelineSpec extends SparkTestBase {
       Dedup.clusters(docs, "doc_id", pairs, reliable = true),
       Dedup.clusters(docs, "doc_id", pairs))
   }
+
+  test("incrementalExact: empty corpus flags nothing as corpus dup, batch dups still resolve") {
+    import spark.implicits._
+    val batch = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val corpus = docs.where(lit(false)) // empty, same schema
+    val out = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((false, false, true)))  // first of its fp: keep
+    assert(out(2L) == ((false, true, false)))  // batch dup of doc 1
+    assert(out(3L) == ((false, false, true)))
+  }
+
+  test("incrementalExact: a corpus hit beats the batch-first rule") {
+    import spark.implicits._
+    val batch = Seq((10L, "alpha beta"), (11L, "delta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha  BETA")).toDF("doc_id", "text") // normalizes equal
+    val out = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((true, false, false))) // known content: never keep
+    assert(out(11L) == ((false, false, true)))
+  }
+
+  test("kmeansStep drops empty centroids and keeps every vector exactly once") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // centroid 999 is a far-away sentinel direction no vector should win
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Ann.kmeansStep(emb, cents)
+    val members = out.select("centroid_id", "n_members").distinct()
+    val total = members.agg(sum("n_members")).collect()(0).getLong(0)
+    assert(total == emb.count(), "every vector assigned exactly once")
+    // each surviving centroid carries exactly d dims
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val dimCounts = out.groupBy("centroid_id").count().collect()
+    dimCounts.foreach(r => assert(r.getLong(1) == d))
+  }
 }
