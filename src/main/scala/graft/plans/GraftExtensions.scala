@@ -3,13 +3,16 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, TopKAgg}
+import graft.functions.{CosineSimilarity, HeavyHittersAgg, SortedIntersectSize, TopKAgg, VectorSumAgg}
 
 /** SQL surface for the library's custom Catalyst expressions, so `spark.sql`
   * users get them too:
   *
-  *   graft_cosine(a, b)          — fused cosine over array<float>
-  *   graft_topk(score, id, k)    — bounded-heap top-k aggregate
+  *   graft_cosine(a, b)            — fused cosine over array<float>
+  *   graft_topk(score, id, k)      — bounded-heap top-k aggregate
+  *   graft_vector_sum(v)           — elementwise array<double> sum aggregate
+  *   graft_heavy_hitters(term, m)  — Misra-Gries heavy-hitters aggregate
+  *   graft_sorted_intersect(a, b)  — sorted-merge intersection size (exact)
   *
   * Register either at session build
   * (`.withExtensions(new GraftExtensions)`) or on a live session
@@ -36,7 +39,21 @@ object GraftExtensions {
       info("graft_topk", "graft_topk(score, id, k) - top-k (score desc, id asc) pairs"),
       (args: Seq[Expression]) => TopKAgg(
         args(2).eval().asInstanceOf[Number].intValue(), args(0), args(1))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    ("graft_vector_sum",
+      info("graft_vector_sum",
+        "graft_vector_sum(v) - elementwise sum of array<double> per group"),
+      (args: Seq[Expression]) => VectorSumAgg(args(0)).toAggregateExpression()),
+    ("graft_heavy_hitters",
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(term, m) - Misra-Gries summary at capacity m"),
+      (args: Seq[Expression]) => HeavyHittersAgg(
+        args(1).eval().asInstanceOf[Number].intValue(), args(0))
+          .toAggregateExpression()),
+    ("graft_sorted_intersect",
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - intersection size of two sorted array<bigint>"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1), 0.0)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -22,5 +22,26 @@ class ExtensionsSpec extends SparkTestBase {
       // best-first by score desc
       assert(arr.map(_.getDouble(0)).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
     }
+
+    // vector_sum over a single vector per group == the vector itself
+    val vs = spark.sql("""
+      SELECT vec_id, graft_vector_sum(CAST(embedding AS ARRAY<DOUBLE>)) AS s
+      FROM emb GROUP BY vec_id LIMIT 5""").collect()
+    assert(vs.forall(_.getSeq[Double](1).nonEmpty))
+
+    // heavy hitters with capacity above the domain = exact counts
+    val hh = spark.sql("""
+      SELECT graft_heavy_hitters(CAST(label AS STRING), 64) AS hh FROM emb""")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val exact = spark.sql(
+      "SELECT CAST(label AS STRING) l, count(*) c FROM emb GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+
+    // sorted-merge intersection == array_intersect size on sorted inputs
+    val si = spark.sql("""
+      SELECT graft_sorted_intersect(array(1L, 3L, 5L, 9L), array(3L, 5L, 7L)) AS n""")
+      .collect()(0).getInt(0)
+    assert(si == 2)
   }
 }
