@@ -1148,6 +1148,50 @@ object ReferenceQueries {
       | WHERE (ws + 3600) * 1000000 <= (SELECT mx FROM mx)
       | QUALIFY cnt = max(cnt) OVER (PARTITION BY ws)""".stripMargin))
 
+  /** The as-of join ON THE STREAMING PATH
+    * ([[graft.streaming.StreamingAsOf]]) under the same DuckDB ASOF JOIN
+    * oracle as the batch q_asof_join: clicks and purchases replay as one
+    * tagged stream; per-user O(1) custom state (latest click) enriches each
+    * purchase with its latest prior-or-simultaneous click. Chunking is not
+    * load-bearing: a match is final when the purchase arrives (in-order
+    * source), so every micro-batch emits its purchases' pairings and the
+    * union over batches equals the batch join.
+    */
+  val qStreamAsOf = Fixture(
+    "q_stream_asof_join",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("eu"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"))
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._2, r._4, r._3))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Int)]
+      val stream = ms.toDF().toDF("user_id", "eu", "event_id", "side")
+      val out = graft.streaming.StreamingAsOf.latestPrior(s, stream).toDF()
+      val sink = s"stream_asof_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS eu FROM events),
+      | l AS (SELECT event_id AS l_id, user_id, eu AS l_eu FROM e WHERE event_type = 'click'),
+      | r AS (SELECT event_id AS r_id, user_id, eu AS r_eu FROM e WHERE event_type = 'purchase')
+      | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
+      | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
+
   val qLongLongKey = Fixture(
     "q_longlong_key_agg",
     (s, d) => {
@@ -1179,5 +1223,5 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems)
+    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems, qStreamAsOf)
 }

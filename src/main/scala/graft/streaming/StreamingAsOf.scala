@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of join (point-in-time enrichment) — the batch
+  * [[graft.operators.AsOfJoin]] on the streaming path, which Structured
+  * Streaming lacks natively: each right-side event (purchase) is enriched
+  * with the LATEST prior-or-simultaneous left-side event (click) of the
+  * same key, and the pairing must be stable however the stream is chunked
+  * into micro-batches.
+  *
+  * Custom keyed state via flatMapGroupsWithState: both sides arrive as ONE
+  * stream tagged by kind; per key the state is just the latest left event
+  * seen so far — O(1) per key, the smallest possible as-of state. Within a
+  * micro-batch rows are ordered by (eu, side, event_id) — left before right
+  * on timestamp ties, so simultaneous events match, the `r_eu >= l_eu`
+  * semantics of the batch operator and DuckDB's ASOF JOIN. Cross-batch
+  * order relies on the source being in-order, the reference's operating
+  * assumption (README.md:16). Inner semantics: a right event with no prior
+  * left event emits nothing.
+  *
+  * Scale: state is O(#keys) × O(1), shuffled by key; emission is per-batch
+  * append with no watermark dependency (nothing is ever held back — an
+  * as-of match is final the moment the right row arrives, because later
+  * left rows are later in event time by the in-order assumption).
+  */
+object StreamingAsOf {
+
+  case class Ev(user_id: Long, eu: Long, event_id: Long, side: Int)
+  case class LastLeft(eu: Long, event_id: Long)
+  case class Out(r_id: Long, user_id: Long, r_eu: Long, l_id: Long, l_eu: Long)
+
+  /** `stream` columns: user_id, eu (µs), event_id, side (0 = left/click,
+    * 1 = right/purchase).
+    */
+  def latestPrior(spark: SparkSession, stream: DataFrame): Dataset[Out] = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("eu"), col("event_id"), col("side"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastLeft, Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Ev], state: GroupState[LastLeft]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+          rows.toSeq.sortBy(e => (e.eu, e.side, e.event_id)).foreach { e =>
+            if (e.side == 0) last = Some(LastLeft(e.eu, e.event_id))
+            else last.foreach(c => out += Out(e.event_id, key, e.eu, c.event_id, c.eu))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+}
