@@ -1380,6 +1380,47 @@ object PipelineQueries {
       |   ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 2048)::BIGINT AS pack_id
       | FROM tr""".stripMargin))
 
+  /** Curriculum / difficulty binning: each document assigned to a quality
+    * quartile WITHOUT a global sort — the boundaries come from ONE tiny
+    * aggregation (exact interpolated percentiles here; `approx_percentile`
+    * is the same-plan 100 TB swap, contract pinned by q_approx_quantiles)
+    * broadcast back to the scan, and assignment is a scan-side CASE. The
+    * ntile()-window alternative would range-shuffle and sort the entire
+    * corpus. Quartiles compare on the QUANTIZED quality in both engines.
+    */
+  val qCurriculumBins = Fixture(
+    "q_curriculum_bins",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
+      val bounds = docs.agg(
+        Quant.q4(expr("percentile(q, 0.25D)")).as("b1"),
+        Quant.q4(expr("percentile(q, 0.5D)")).as("b2"),
+        Quant.q4(expr("percentile(q, 0.75D)")).as("b3"))
+      docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("q"),
+          when(col("q") < col("b1"), 0L)
+            .when(col("q") < col("b2"), 1L)
+            .when(col("q") < col("b3"), 2L)
+            .otherwise(3L).as("bin"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id,
+      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
+      | FROM documents),
+      | t AS (SELECT doc_id,
+      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
+      | FROM t0),
+      | b AS (SELECT ${q4("quantile_cont(q, 0.25)")} AS b1,
+      |         ${q4("quantile_cont(q, 0.5)")} AS b2,
+      |         ${q4("quantile_cont(q, 0.75)")} AS b3 FROM t)
+      | SELECT doc_id, q,
+      |   (CASE WHEN q < b1 THEN 0 WHEN q < b2 THEN 1
+      |         WHEN q < b3 THEN 2 ELSE 3 END)::BIGINT AS bin
+      | FROM t, b""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
@@ -1393,5 +1434,6 @@ object PipelineQueries {
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qChunkDocs, qSaltedAgg,
     qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
-    qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest)
+    qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
+    qCurriculumBins)
 }
