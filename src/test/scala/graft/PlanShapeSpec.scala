@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.operators.Quant
+import graft.similarity.Ann
+
+/** Physical-plan regression pins for the round-8 operators — the properties
+  * that make each plan survive a 100× scale-up, asserted against
+  * `executedPlan` so a refactor cannot silently degrade them:
+  *
+  *   - kmeansStep aggregates UNDER ObjectHashAggregate (hash, not sort) and
+  *     explodes only the k result rows, never the corpus;
+  *   - the z-score stats relation comes back as a BROADCAST join (the
+  *     window-function form would shuffle the corpus);
+  *   - the bigram c(w1·) join is a keyed shuffle join, never a
+  *     nested-loop/cartesian;
+  *   - incrementalExact plans one fp-keyed join and its batch window reuses
+  *     that partitioning (no second exchange between join and window).
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("kmeansStep: ObjectHashAggregate, and no Generate below the aggregate") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val p = plan(Ann.kmeansStep(emb, cents))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // the only Generate (posexplode) sits ABOVE the final aggregate: in the
+    // bottom-up executedPlan string the aggregate must appear after it
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(gen >= 0 && gen < agg,
+      s"posexplode must apply to the k aggregated rows, not the corpus\n$p")
+  }
+
+  test("z-score per-source stats join back as a broadcast") {
+    val d = docs.select(col("source"), col("doc_id"), col("n_chars"))
+    val stats = d.groupBy("source").agg(
+      sum(col("n_chars")).as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("sxx"),
+      count(lit(1)).as("n"))
+    val joined = d.join(broadcast(stats), "source")
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bigram continuation join is keyed, never nested-loop") {
+    val pairs = docs
+      .select(TextFunctions.words(lower(col("text"))).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val p = plan(c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), Quant.q4(col("c12") / col("c1")).as("p")))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"), p)
+  }
+
+  test("incrementalExact: exactly one exchange feeds both the join and the window") {
+    val newBatch = docs.where(col("source") === "src0").select("doc_id", "text")
+    val corpus = docs.where(col("source") =!= "src0")
+    val p = plan(Dedup.incrementalExact(newBatch, corpus, "doc_id", "text"))
+    assert(p.contains("Window"), p)
+    // the Window's required ordering is satisfied by a sort WITHOUT a fresh
+    // hashpartitioning exchange between the join and the window operator
+    val winIdx = p.indexOf("Window")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+    if (joinIdx >= 0) {
+      val between = p.substring(winIdx, joinIdx max winIdx)
+      assert(!between.contains("Exchange hashpartitioning"),
+        s"window must reuse the join's fp partitioning\n$p")
+    }
+  }
+}
