@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingAsOf
+
+/** Pins StreamingAsOf's contract: micro-batch chunking is not load-bearing
+  * (1-chunk and 8-chunk replays emit the identical pairing set), state
+  * carries matches across batch boundaries, and timestamp ties pair
+  * left-before-right (r_eu ≥ l_eu, the batch/DuckDB ASOF semantics).
+  */
+class StreamingAsOfSpec extends SparkTestBase {
+
+  private def replay(rows: Seq[(Long, Long, Long, Int)], chunks: Int) = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Int)]
+    val stream = ms.toDF().toDF("user_id", "eu", "event_id", "side")
+    val out = StreamingAsOf.latestPrior(s, stream).toDF()
+    val sink = s"asof_spec_${System.nanoTime}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try
+      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    s.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+  }
+
+  // user 1: click(10) → purchase(20) → click(30) → purchase(40), plus a
+  // tie at eu=50 (click and purchase same instant → must pair) and a
+  // purchase-before-any-click user 2 (must emit nothing)
+  private val rows = Seq(
+    (1L, 10L, 100L, 0), (1L, 20L, 101L, 1), (1L, 30L, 102L, 0),
+    (1L, 40L, 103L, 1), (1L, 50L, 104L, 0), (1L, 50L, 105L, 1),
+    (2L, 15L, 200L, 1))
+    .sortBy(r => (r._2, r._4, r._3))
+
+  test("pairings are chunking-invariant and tie pairs left-before-right") {
+    val expect = Set(
+      (101L, 1L, 20L, 100L, 10L),  // first purchase → click @10
+      (103L, 1L, 40L, 102L, 30L),  // second purchase → click @30 (state crossed batches)
+      (105L, 1L, 50L, 104L, 50L))  // simultaneous click pairs (r_eu >= l_eu)
+    for (chunks <- Seq(1, 3, 8)) {
+      val got = replay(rows, chunks)
+      assert(got == expect, s"chunks=$chunks: $got")
+    }
+  }
+}
