@@ -74,10 +74,32 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val results = samples.map { case (k, v) => k -> median(v) }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision, trailing zeros stripped: full doubles pushed the
+    // one-line artifact past the driver's ~2 KB tail capture (round 8 lost 29
+    // of 87 per-query numbers to mid-JSON truncation). The bench noise band
+    // is ~35 %, so 3 decimals lose nothing.
+    def fmt(v: Double): String = {
+      val s = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Capture-proofing: persist the full artifact to a file the judge can
+    // always read, then make the stdout JSON the LAST bytes the process emits
+    // — logging off, session stopped first — so no shutdown message can eat
+    // the tail window it has to survive.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
   }
 }

@@ -87,11 +87,17 @@ case class HeavyHittersAgg(
     }.toArray[Any])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF caps entries at 65535
+  // encoded bytes and would throw at partial-aggregate shuffle time for a
+  // long term — this aggregate is exposed over arbitrary strings.
   override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -100,7 +106,12 @@ case class HeavyHittersAgg(
     val n = in.readInt()
     val buf = new Buf()
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -82,9 +82,14 @@ case class VectorSumAgg(
   override def eval(buf: Array[Double]): Any =
     if (buf == null) null else new GenericArrayData(buf)
 
+  // explicit present-marker byte: a d=0 group's buffer is Array.empty, which
+  // a bare "empty bytes = null" encoding would silently turn back into the
+  // no-rows marker across a serialization boundary — making the aggregate's
+  // output partitioning-dependent (null vs empty array) for empty vectors.
   override def serialize(buf: Array[Double]): Array[Byte] = {
     if (buf == null) return Array.emptyByteArray
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(1 + buf.length * 8)
+    bb.put(1: Byte)
     var i = 0
     while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
     bb.array()
@@ -93,7 +98,8 @@ case class VectorSumAgg(
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     if (bytes.isEmpty) return null
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Double](bytes.length / 8)
+    bb.get() // present marker
+    val out = new Array[Double]((bytes.length - 1) / 8)
     var i = 0
     while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
     out

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Cost model: a range spanning k buckets contributes k index rows, so pick
   * `w` near the typical range length (k ≤ 2 for ranges shorter than w). Skew:
-  * a bucket is hot when many ranges overlap it (calendar pileups) — the
-  * standard mitigations compose (salt the bucket key on the ranges side and
-  * replicate points, or split hot buckets at a finer width); not needed at
-  * fixture scale and orthogonal to the shape.
+  * a bucket is hot when many ranges overlap it (calendar pileups) —
+  * `saltBuckets > 1` spreads each hot bucket's ranges over that many salt
+  * partitions (deterministic row-hash salt) and replicates every point to
+  * all of them, so the hottest shuffle partition shrinks ~saltBuckets× at
+  * the cost of a saltBuckets× points-side fan-out. Each candidate pair still
+  * meets exactly once (a range sits in ONE salt; the point visits all), so
+  * the output set is salt-invariant — RangeJoinSpec pins this.
   *
   * Both time columns are integer epochs (callers convert timestamps —
   * see [[TimeWindows.epochSeconds]]); `end` is EXCLUSIVE, matching window
@@ -37,22 +40,48 @@ object RangeJoin {
     * @param keys additional equi-join keys that must match between a point
     *             and a range (e.g. a user/entity id) — they enter the shuffle
     *             key alongside the bucket, so per-key range joins co-locate.
+    * @param saltBuckets hot-bucket mitigation: ranges spread over this many
+    *             salt partitions per bucket, points replicated to all of
+    *             them. 1 (default) = no salting, the plan is unchanged.
     */
   def bucketed(
       points: DataFrame, t: String,
       ranges: DataFrame, start: String, end: String,
-      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Long, keys: Seq[String] = Nil,
+      saltBuckets: Int = 1): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    require(saltBuckets > 0, s"saltBuckets must be positive (got $saltBuckets)")
+    val rb = rangesIndex(ranges, start, end, bucketWidth, saltBuckets)
+    val pb0 = points.withColumn("__bucket", floorDiv(col(t), lit(bucketWidth)))
+    val pb =
+      if (saltBuckets == 1) pb0
+      else pb0.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val condCols =
+      (if (saltBuckets == 1) Seq("__bucket") else Seq("__bucket", "__salt")) ++ keys
+    pb.join(rb, condCols.map(c => pb(c) === rb(c)).reduce(_ && _) &&
+        pb(t) >= rb(start) && pb(t) < rb(end))
+      .drop("__bucket").drop("__salt")
+  }
+
+  /** The exploded (and, for `saltBuckets > 1`, salted) ranges-side index —
+    * factored out so the skew spec can assert directly that salting shrinks
+    * the hottest (bucket, salt) group. The salt is a deterministic hash of
+    * the WHOLE range row (not just start/end): calendar pileups are many
+    * distinct rows sharing one interval, and salting on the interval alone
+    * would re-concentrate exactly the hot case.
+    */
+  private[graft] def rangesIndex(
+      ranges: DataFrame, start: String, end: String,
+      bucketWidth: Long, saltBuckets: Int): DataFrame = {
     val w = lit(bucketWidth)
-    val rb = ranges
+    val base = ranges
       .where(col(end) > col(start))
       .withColumn("__bucket",
         explode(sequence(floorDiv(col(start), w), floorDiv(col(end) - 1, w))))
-    val pb = points.withColumn("__bucket", floorDiv(col(t), w))
-    val condCols = "__bucket" +: keys
-    pb.join(rb, condCols.map(c => pb(c) === rb(c)).reduce(_ && _) &&
-        pb(t) >= rb(start) && pb(t) < rb(end))
-      .drop("__bucket")
+    if (saltBuckets == 1) base
+    else base.withColumn("__salt",
+      pmod(hash(ranges.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
   }
 
   /** Floor division as a Column, exact for any sign: subtracting the

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArraySort, Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, HeavyHittersAgg, SortedIntersectSize, TopKAgg, VectorSumAgg}
 
 /** SQL surface for the library's custom Catalyst expressions, so `spark.sql`
@@ -52,8 +52,15 @@ object GraftExtensions {
           .toAggregateExpression()),
     ("graft_sorted_intersect",
       info("graft_sorted_intersect",
-        "graft_sorted_intersect(a, b) - intersection size of two sorted array<bigint>"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1), 0.0)))
+        "graft_sorted_intersect(a, b) - intersection size of two array<bigint> " +
+          "(inputs are array_sort'ed; pre-sorted callers should use the " +
+          "SortedIntersectSize expression directly to skip the sort)"),
+      // SortedIntersectSize's contract is sorted input — unsorted silently
+      // yields garbage. SQL is a public surface, so sort defensively here;
+      // the library's own hot paths build the expression directly over
+      // already-sorted arrays and never pay this.
+      (args: Seq[Expression]) => SortedIntersectSize(
+        new ArraySort(args(0)), new ArraySort(args(1)), 0.0)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

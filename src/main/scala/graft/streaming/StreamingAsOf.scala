@@ -46,8 +46,15 @@ object StreamingAsOf {
           var last = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[Out]
           rows.toSeq.sortBy(e => (e.eu, e.side, e.event_id)).foreach { e =>
-            if (e.side == 0) last = Some(LastLeft(e.eu, e.event_id))
-            else last.foreach(c => out += Out(e.event_id, key, e.eu, c.event_id, c.eu))
+            // monotone guard: a left event that is OLDER than the stored
+            // state (a straggler arriving in a later micro-batch) must not
+            // regress the "latest prior" — without it a subsequent right
+            // event would pair with the stale older left. Under in-order
+            // input the guard is a no-op; under disorder it makes the
+            // operator deterministic-monotone instead of silently wrong.
+            if (e.side == 0) {
+              if (last.forall(_.eu <= e.eu)) last = Some(LastLeft(e.eu, e.event_id))
+            } else last.foreach(c => out += Out(e.event_id, key, e.eu, c.event_id, c.eu))
           }
           last.foreach(state.update)
           out.iterator

@@ -68,18 +68,24 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("incrementalExact: exactly one exchange feeds both the join and the window") {
-    val newBatch = docs.where(col("source") === "src0").select("doc_id", "text")
-    val corpus = docs.where(col("source") =!= "src0")
-    val p = plan(Dedup.incrementalExact(newBatch, corpus, "doc_id", "text"))
-    assert(p.contains("Window"), p)
-    // the Window's required ordering is satisfied by a sort WITHOUT a fresh
-    // hashpartitioning exchange between the join and the window operator
-    val winIdx = p.indexOf("Window")
-    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
-    if (joinIdx >= 0) {
+    // at test scale the fp join would plan as BroadcastHashJoin, which has no
+    // exchange to reuse and would skip the pinned property vacuously — force
+    // the shuffle-join path, which is what the operator plans at corpus scale
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val newBatch = docs.where(col("source") === "src0").select("doc_id", "text")
+      val corpus = docs.where(col("source") =!= "src0")
+      val p = plan(Dedup.incrementalExact(newBatch, corpus, "doc_id", "text"))
+      assert(p.contains("Window"), p)
+      // the Window's required ordering is satisfied by a sort WITHOUT a fresh
+      // hashpartitioning exchange between the join and the window operator
+      val winIdx = p.indexOf("Window")
+      val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+      assert(joinIdx >= 0, s"expected a shuffle join with broadcast disabled\n$p")
       val between = p.substring(winIdx, joinIdx max winIdx)
       assert(!between.contains("Exchange hashpartitioning"),
         s"window must reuse the join's fp partitioning\n$p")
-    }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 }

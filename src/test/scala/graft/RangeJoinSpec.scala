@@ -44,6 +44,38 @@ class RangeJoinSpec extends SparkTestBase {
     assertSameRows(got, Seq((1L, 10L)).toDF("pid", "rid"))
   }
 
+  test("salted join emits the identical pair set (pileup fixture)") {
+    // calendar pileup: 64 distinct ranges all containing the same instant —
+    // one bucket holds every range
+    val pileup = (0 until 64).map(i => (100L + i, 1000L - i, 2000L + i))
+      .toDF("rid", "s", "e")
+    val pts = Seq((1L, 999L), (2L, 1000L), (3L, 1500L), (4L, 2000L), (5L, 2063L))
+      .toDF("pid", "t")
+    val expect = naive(pts, pileup)
+    for (salt <- Seq(1, 4, 8))
+      assertSameRows(
+        RangeJoin.bucketed(pts, "t", pileup, "s", "e", 10000L, saltBuckets = salt)
+          .select("pid", "rid"),
+        expect)
+  }
+
+  test("salting shrinks the hottest (bucket, salt) candidate group") {
+    val pileup = (0 until 64).map(i => (100L + i, 1000L - i, 2000L + i))
+      .toDF("rid", "s", "e")
+    def hottest(salt: Int): Long = {
+      val idx = RangeJoin.rangesIndex(pileup, "s", "e", 10000L, salt)
+      val groups = if (salt == 1) Seq(col("__bucket"))
+        else Seq(col("__bucket"), col("__salt"))
+      idx.groupBy(groups: _*).count().agg(max("count")).as[Long].head()
+    }
+    val unsalted = hottest(1)
+    assert(unsalted == 64L, s"pileup fixture must concentrate one bucket, got $unsalted")
+    val salted = hottest(8)
+    // hash-spread over 8 salts: the hottest group must be well under the
+    // unsalted concentration (ideal 8, allow slack for hash imbalance)
+    assert(salted <= 16L, s"hottest salted group $salted — salting did not spread")
+  }
+
   test("plan is a hash equi-join — no nested loop, no cartesian product") {
     val plan = RangeJoin.bucketed(points, "t", ranges, "s", "e", 64L)
       .queryExecution.executedPlan.toString

@@ -51,4 +51,46 @@ class StreamingAsOfSpec extends SparkTestBase {
       assert(got == expect, s"chunks=$chunks: $got")
     }
   }
+
+  /** Replay with an EXPLICIT batch split — the disorder cases need a
+    * straggler pinned to a later micro-batch, which chunk-count splitting
+    * can't express.
+    */
+  private def replayBatches(batches: Seq[Seq[(Long, Long, Long, Int)]]) = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Int)]
+    val stream = ms.toDF().toDF("user_id", "eu", "event_id", "side")
+    val out = StreamingAsOf.latestPrior(s, stream).toDF()
+    val sink = s"asof_ooo_${System.nanoTime}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+  }
+
+  test("a straggler left older than the stored state cannot regress the pairing") {
+    // click@30 lands in batch 1; the late click@10 straggles into batch 2
+    // alongside purchase@40. Unguarded state would let click@10 overwrite
+    // click@30 and pair the purchase with the stale older left; the monotone
+    // guard keeps click@30, matching the batch AsOfJoin over the full data.
+    val got = replayBatches(Seq(
+      Seq((1L, 30L, 102L, 0)),
+      Seq((1L, 10L, 100L, 0), (1L, 40L, 103L, 1))))
+    assert(got == Set((103L, 1L, 40L, 102L, 30L)), got.toString)
+  }
+
+  test("an equal-eu left straggler MAY refresh state (monotone, not strict)") {
+    // ties on eu keep last-writer-wins across batches — the guard is <=, so
+    // in-order replays are byte-identical to the unguarded behavior
+    val got = replayBatches(Seq(
+      Seq((1L, 30L, 102L, 0)),
+      Seq((1L, 30L, 104L, 0), (1L, 40L, 103L, 1))))
+    assert(got == Set((103L, 1L, 40L, 104L, 30L)), got.toString)
+  }
 }
