@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * Two decode tiers:
-  *  - [[imageMeta]] is a REAL decode: `javax.imageio` header parsing
-  *    (width / height / container format) of PNG/JPEG/GIF/BMP payloads,
-  *    executor-side, header-only (no pixel decode) — the day-one metadata
-  *    pass of a training-data pipeline.
-  *  - [[extractFeatures]]'s content step remains a deterministic signature
-  *    standing in for a pixel-level decode → embed (no ML codecs in this
-  *    environment, see [[contentSignature]]).
-  * Everything around both (schema, binary column handling, partition-wise
+  * Three decode tiers, all REAL for image payloads:
+  *  - [[imageMeta]]: `javax.imageio` header parsing (width / height /
+  *    container format) of PNG/JPEG/GIF/BMP payloads, executor-side,
+  *    header-only — the day-one metadata pass of a training-data pipeline.
+  *  - [[pixelFeatures]]: FULL pixel decode (`ImageIO.read`) → per-channel
+  *    means + 8×8 aHash and 9×8 dHash perceptual hashes — the
+  *    decode → featurize tier, with [[nearDupPairs]] providing image
+  *    near-dup candidate pairing on the perceptual hash via exact-recall
+  *    Hamming chunk banding (the [[graft.dedup.Dedup.simhashPairs]] shape).
+  *  - [[extractFeatures]]'s signature step covers OPAQUE media (audio/video
+  *    whose codecs the JDK lacks): a deterministic content fingerprint, not
+  *    a decode — for images the real tier above supersedes it.
+  * Everything around them (schema, binary column handling, partition-wise
   * batching, narrow feature output) is the plumbing that has to be right at
   * 100 TB: media bytes never leave the executor, the per-partition iterator
   * processes one row at a time, and the output is a feature row, not the
@@ -43,11 +47,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Content signature standing in for a pixel-level decode → embed (the
-    * embedding model / ffmpeg tier is not in this environment): md5-hex
-    * prefix of the first 16 bytes parsed as long, mirroring
-    * TextFunctions.hash64 so the oracle can verify the plumbing end-to-end.
-    * Real image METADATA decode is [[imageMeta]], not a stub.
+  /** Content signature for OPAQUE media whose codecs the JDK lacks
+    * (audio/video): md5-hex prefix of the first 16 bytes parsed as long,
+    * mirroring TextFunctions.hash64 so the oracle can verify the plumbing
+    * end-to-end. Image payloads have real decode tiers instead —
+    * [[imageMeta]] (header) and [[pixelFeatures]] (pixels).
     */
   private def contentSignature(media: Array[Byte]): Long = {
     val head = media.take(16)
@@ -118,6 +122,170 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Full pixel-decode features: decoded dimensions, per-channel means, and
+    * two 64-bit perceptual hashes.
+    */
+  case class PixelFeatures(
+      doc_id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      ahash: Long, dhash: Long)
+
+  /** REAL pixel-level decode tier, executor-side: `ImageIO.read` decodes the
+    * full pixel raster of each payload (PNG/JPEG/GIF/BMP via the JDK's own
+    * codecs), and the partition iterator reduces it to a narrow feature row:
+    *
+    *  - per-channel means over ALL pixels — the basic content statistic a
+    *    quality/filter pass reads (all-black frames, blown-out whites);
+    *  - aHash: average hash — area-average the luma raster onto an 8×8 grid,
+    *    set bit (8·gy + gx) when that cell exceeds the 64-cell mean;
+    *  - dHash: difference hash — 9×8 luma grid, set bit (8·gy + gx) when
+    *    cell (gx+1) > cell (gx) in row gy (horizontal gradient sign).
+    *
+    * Both hashes are the standard perceptual-dedup primitives: stable under
+    * re-encoding and mild noise, 64 bits, compared by Hamming distance
+    * ([[nearDupPairs]]). Grid cells area-average their pixel block; when an
+    * image is narrower than the grid the empty block falls back to its
+    * nearest pixel, so any size ≥ 1×1 hashes deterministically. Luma is the
+    * integer Rec.601 weighting (299·R + 587·G + 114·B) / 1000 per pixel.
+    *
+    * Undecodable payloads yield the (-1, -1) sentinel row (zero means and
+    * hashes) — same corrupt-blob posture as [[imageMeta]]: one bad row must
+    * not kill a 100 TB pass. Cost is O(pixels) per row, partition-wise; the
+    * raster never leaves the executor, only the feature row does.
+    */
+  def pixelFeatures(spark: SparkSession, images: Dataset[ImageRow]): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            PixelFeatures(r.doc_id, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            PixelFeatures(r.doc_id, w.toLong, h.toLong,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+              aHash(img), dHash(img))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            PixelFeatures(r.doc_id, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Area-averaged luma of `img` on a gw×gh grid (row-major). Each cell
+    * averages its pixel block `[gx·w/gw, (gx+1)·w/gw) × [gy·h/gh, …)`; a
+    * block made empty by integer truncation (image narrower than the grid)
+    * falls back to the single nearest pixel, so the grid is total for any
+    * image ≥ 1×1.
+    */
+  private def cellLuma(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255) + 114 * (p & 255)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  private def aHash(img: java.awt.image.BufferedImage): Long = {
+    val cells = cellLuma(img, 8, 8)
+    val mean = cells.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  private def dHash(img: java.awt.image.BufferedImage): Long = {
+    val cells = cellLuma(img, 9, 8)
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cells(gy * 9 + gx + 1) > cells(gy * 9 + gx)) hash |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Image near-dup candidate pairs at Hamming distance ≤ `maxHam` on a
+    * 64-bit perceptual-hash column, via chunk banding — the
+    * [[graft.dedup.Dedup.simhashPairs]] machinery on the image path: split
+    * the 64 bits into `maxHam + 1` chunks; ≤ maxHam differing bits touch
+    * ≤ maxHam chunks, so by pigeonhole every true pair agrees on ≥ 1 whole
+    * chunk. Banding on (chunk index, chunk value) is therefore EXACT
+    * (recall 1); candidates then filter on true `bit_count(a ^ b)`. The
+    * join is a plain hash-shuffled equi-join on the chunk key — bucketed,
+    * never all-pairs; if a uniform-content corpus saturates a bucket, the
+    * `agree`-subset generalization of simhashPairs applies unchanged.
+    *
+    * Output: (doc_a, doc_b, ham), doc_a < doc_b, one row per pair.
+    */
+  def nearDupPairs(features: DataFrame, id: String, hashCol: String, maxHam: Int): DataFrame = {
+    val chunks = maxHam + 1
+    require(chunks > 1 && 64 % chunks == 0,
+      s"64 bits must split evenly into maxHam+1 chunks (maxHam=$maxHam; use 1, 3, 7, 15, 31)")
+    val chunkBits = 64 / chunks
+    // shiftrightunsigned, not shiftright: the top chunk of a negative hash
+    // would smear sign bits into the key with an arithmetic shift
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val keyStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        expr(s"shiftrightunsigned(__h, ${c * chunkBits}) & $mask").as("ck"))
+    }
+    val keyed = features
+      .select(col(id), col(hashCol).cast("long").as("__h"))
+      .select(col(id), col("__h"), explode(array(keyStructs: _*)).as("k"))
+      .select(col(id), col("__h"), col("k.c").as("c"), col("k.ck").as("ck"))
+    keyed.select(col(id).as("doc_a"), col("__h").as("ha"), col("c"), col("ck"))
+      .join(keyed.select(col(id).as("doc_b"), col("__h").as("hb"), col("c"), col("ck")),
+        Seq("c", "ck"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("ham", expr("bit_count(ha ^ hb)"))
+      .where(col("ham") <= maxHam)
+      .select("doc_a", "doc_b", "ham").distinct()
   }
 
   /** Deterministic synthetic image table derived from `documents`: a real

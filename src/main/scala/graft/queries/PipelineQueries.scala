@@ -435,7 +435,9 @@ object PipelineQueries {
 
   // ---- multimodal ---------------------------------------------------------
 
-  /** Binary media column → partition-wise (stubbed) decode → features. */
+  /** Binary media column → partition-wise signature → features (the opaque
+    * non-image media path; images have the real decode tiers below).
+    */
   val qMultimodal = Fixture(
     "q_multimodal_features",
     (s, d) => Multimodal.extractFeatures(s,
@@ -459,6 +461,37 @@ object PipelineQueries {
     Some("""SELECT doc_id, (n_chars % 31 + 1)::BIGINT AS width,
       |   (doc_id % 17 + 1)::BIGINT AS height, 'png' AS format
       | FROM documents""".stripMargin))
+
+  /** REAL pixel-level decode over the binary media column: `ImageIO.read`
+    * decodes each synthetic PNG's full raster executor-side, and the
+    * per-channel means must equal the stored-column prediction — the
+    * payload is all-black except pixel (0,0) = doc_id's low 24 bits, so
+    * mean_c = channel_c(doc_id) / (width · height). The hash compare proves
+    * the features derive from DECODED PIXEL CONTENT (the color lives only
+    * inside the PNG raster, not in any header or stored column). The
+    * perceptual-hash outputs of the same decode pass are spec-pinned in
+    * MultimodalSpec (their 8×8-grid arithmetic is not SQL-expressible).
+    */
+  val qImagePixelStats = Fixture(
+    "q_image_pixel_stats",
+    (s, d) => Multimodal.pixelFeatures(s,
+        Multimodal.syntheticImages(s, Tables.documents(s, d))).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        Quant.q4(col("mean_r")).as("mean_r"),
+        Quant.q4(col("mean_g")).as("mean_g"),
+        Quant.q4(col("mean_b")).as("mean_b")),
+    Some(s"""WITH m AS (SELECT doc_id,
+      |   (n_chars % 31 + 1)::BIGINT AS width,
+      |   (doc_id % 17 + 1)::BIGINT AS height,
+      |   ((doc_id >> 16) & 255)::DOUBLE AS r,
+      |   ((doc_id >> 8) & 255)::DOUBLE AS g,
+      |   (doc_id & 255)::DOUBLE AS b
+      | FROM documents)
+      | SELECT doc_id, width, height,
+      |   ${q4("r / (width * height)")} AS mean_r,
+      |   ${q4("g / (width * height)")} AS mean_g,
+      |   ${q4("b / (width * height)")} AS mean_b
+      | FROM m""".stripMargin))
 
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
@@ -1427,7 +1460,7 @@ object PipelineQueries {
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
-    qMultimodal, qImageMeta, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
+    qMultimodal, qImageMeta, qImagePixelStats, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
     qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,

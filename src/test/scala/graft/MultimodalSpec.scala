@@ -44,6 +44,111 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == Set(Multimodal.ImageMeta(7L, -1L, -1L, "unknown")), s"got $got")
   }
 
+  // ---- pixel tier ---------------------------------------------------------
+
+  /** PNG-encode a 64×64 image whose 8×8 blocks take the given luma values
+    * (row-major, 64 entries) — block (gy·8+gx) maps 1:1 onto aHash cell
+    * (gy·8+gx), so expected hashes are computable by hand.
+    */
+  private def blockImage(blocks: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = blocks((y / 8) * 8 + (x / 8)) & 255
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val checker: Seq[Int] =
+    (0 until 64).map(i => if ((i / 8 + i % 8) % 2 == 0) 255 else 0)
+
+  test("pixelFeatures: decoded means match the stored-column prediction") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Multimodal.pixelFeatures(spark,
+        Multimodal.syntheticImages(spark, docs)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        graft.operators.Quant.q4(col("mean_r")).as("mean_r"),
+        graft.operators.Quant.q4(col("mean_g")).as("mean_g"),
+        graft.operators.Quant.q4(col("mean_b")).as("mean_b"))
+    // the color lives ONLY in the decoded raster (pixel (0,0) = doc_id's low
+    // 24 bits, rest black) — matching proves a real pixel decode happened
+    val n = (col("n_chars") % 31 + 1) * (col("doc_id") % 17 + 1)
+    val expected = docs.select(
+      col("doc_id").cast("long"),
+      (col("n_chars") % 31 + 1).cast("long").as("width"),
+      (col("doc_id") % 17 + 1).cast("long").as("height"),
+      graft.operators.Quant.q4(shiftrightunsigned(col("doc_id"), 16)
+        .bitwiseAND(255).cast("double") / n).as("mean_r"),
+      graft.operators.Quant.q4(shiftrightunsigned(col("doc_id"), 8)
+        .bitwiseAND(255).cast("double") / n).as("mean_g"),
+      graft.operators.Quant.q4(col("doc_id").bitwiseAND(255).cast("double") / n)
+        .as("mean_b"))
+    assertSameRows(got, expected)
+  }
+
+  test("aHash/dHash match hand-computed values on block images") {
+    import spark.implicits._
+    // checkerboard: white blocks sit above the 127.5 mean → aHash bit set on
+    // even (gy+gx); horizontal ramp: every dHash gradient bit set
+    val ramp = (0 until 64).map(i => (i % 8) * 30)
+    val rows = Seq(
+      Multimodal.ImageRow(1L, blockImage(checker)),
+      Multimodal.ImageRow(2L, blockImage(ramp))).toDS()
+    val got = Multimodal.pixelFeatures(spark, rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    val checkerHash = (0 until 64)
+      .filter(i => (i / 8 + i % 8) % 2 == 0).map(1L << _).reduce(_ | _)
+    assert(got(1L).ahash == checkerHash,
+      s"checker ahash ${got(1L).ahash.toBinaryString}")
+    assert(got(2L).dhash == -1L, // all 64 gradient bits set
+      s"ramp dhash ${got(2L).dhash.toBinaryString}")
+    assert(got(2L).ahash != 0L && got(1L).width == 64L)
+  }
+
+  test("nearDupPairs: banding recall is exact vs brute-force Hamming") {
+    import spark.implicits._
+    // 24 base patterns (distinct pseudo-random block images) + a perturbed
+    // near-dup of every fourth one (single block flipped → small Hamming)
+    def pattern(seed: Int): Seq[Int] =
+      (0 until 64).map(i => if (((i * 2654435761L + seed * 40503L) & 4) != 0) 255 else 0)
+    val base = (0 until 24).map(s => Multimodal.ImageRow(s.toLong, blockImage(pattern(s))))
+    val dups = (0 until 24 by 4).map { s =>
+      val p = pattern(s)
+      val flipped = p.updated(5, 255 - p(5))
+      Multimodal.ImageRow(100L + s, blockImage(flipped))
+    }
+    val feats = Multimodal.pixelFeatures(spark, (base ++ dups).toDS()).toDF()
+    val got = Multimodal.nearDupPairs(feats, "doc_id", "ahash", maxHam = 3)
+      .select("doc_a", "doc_b", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force ground truth over the collected hashes
+    val hashes = feats.select("doc_id", "ahash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (ida, idb, ham)).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+    // the fixture is meaningful: every perturbed copy pairs with its base,
+    // and at least one such pair exists
+    assert(expect.nonEmpty)
+    (0 until 24 by 4).foreach { s =>
+      assert(expect.exists(p => p._1 == s.toLong && p._2 == 100L + s),
+        s"perturbed copy of $s did not pair")
+    }
+  }
+
+  test("pixelFeatures yields the sentinel row for undecodable payloads") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.ImageRow(1L, Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.pixelFeatures(spark, bad).collect().toSeq
+    assert(got == Seq(
+      Multimodal.PixelFeatures(1L, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)), got.toString)
+  }
+
   test("header that makes ImageIO throw a RuntimeException yields the sentinel") {
     import spark.implicits._
     // a GIF whose logical screen is 0×0 and that ends without an image
