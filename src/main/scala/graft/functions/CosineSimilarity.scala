@@ -4,13 +4,17 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
-/** Fused cosine similarity over two `array<float>` columns as a native
-  * Catalyst expression with codegen: one pass accumulates dot product and
-  * both squared norms (each in left-to-right IEEE order, so results are
-  * bit-identical to the three separate fold expressions it replaces — and to
-  * the DuckDB oracle's 0.0-seeded list folds).
+/** Fused cosine similarity over two `array<float>` (or `array<double>`)
+  * columns as a native Catalyst expression with codegen: one pass
+  * accumulates dot product and both squared norms (each in left-to-right
+  * IEEE order, so results are bit-identical to the three separate fold
+  * expressions it replaces — and to the DuckDB oracle's 0.0-seeded list
+  * folds). Each side reads through the accessor of ITS OWN element type —
+  * getFloat on a double-backed array (or vice versa) would reinterpret
+  * bits, not convert — so a float corpus can compare against double
+  * centroids (the k-means loop's model type) with full double precision.
   *
   * Why an Expression and not three `aggregate(zip_with(...))` columns: the
   * HOF form materializes a zipped intermediate array and walks each input
@@ -23,15 +27,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val aD = isDoubleArr(left)
+    val bD = isDoubleArr(right)
     val n = math.min(a.numElements(), b.numElements())
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
       ab += x * y; aa += x * x; bb += y * y
       i += 1
     }
@@ -47,12 +58,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val getA =
+        if (isDoubleArr(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getB =
+        if (isDoubleArr(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $ab = 0.0, $aa = 0.0, $bb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.getFloat($i);
-          double $y = (double) $b.getFloat($i);
+          double $x = $getA;
+          double $y = $getB;
           $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
         }
         ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing start offsets: for each row, the cumulative sum of
+  * `weight` over all earlier rows of the same `source` in `order` order —
+  * the primitive behind concat-and-chunk packing (pack id = start_off div
+  * block), greedy manifest packing, and any per-source running total.
+  *
+  * Two forms, identical output (PackingSpec pins equality):
+  *
+  *  - [[startOffsets]]: one window `sum().over(partitionBy(source)
+  *    .orderBy(order))` — a per-source TOTAL ORDER. Correct and fine while
+  *    every source fits one executor's sort; at 100 TB a dominant source
+  *    (one crawl = 80 % of the corpus is common) makes that single sorted
+  *    partition the critical path.
+  *  - [[startOffsetsScalable]]: the distributed two-phase prefix sum. Rows
+  *    shard by `order div shardWidth` (order-preserving, deterministic);
+  *    phase 1 computes within-shard prefix sums — the sort is bounded by a
+  *    SHARD, not a source; phase 2 cumulates the per-shard totals (a
+  *    |sources × shards|-row relation) and broadcasts each shard's base
+  *    offset back. The hottest source now costs max-shard, and shardWidth
+  *    dials that down arbitrarily. For an order key with very non-uniform
+  *    density, swap the fixed-width shard for `approx_percentile` range
+  *    boundaries — same plan shape, data-sized boundary list.
+  */
+object Packing {
+
+  /** Exact floor division on a Column (same trick as RangeJoin.floorDiv):
+    * subtracting the non-negative pmod first makes the division integral.
+    */
+  private def floorDiv(x: Column, w: Column): Column =
+    ((x - pmod(x, w)) / w).cast("long")
+
+  /** Per-source running start offset via one per-source sorted window.
+    * Output: the input plus `start_off`.
+    */
+  def startOffsets(
+      df: DataFrame, source: String, order: String, weight: String): DataFrame = {
+    val w = Window.partitionBy(source).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("start_off", sum(col(weight)).over(w) - col(weight))
+  }
+
+  /** Distributed two-phase prefix sum: identical `start_off`, per-source
+    * sort replaced by per-(source, shard) sorts plus a broadcast of the
+    * tiny cumulated shard-total relation.
+    */
+  def startOffsetsScalable(
+      df: DataFrame, source: String, order: String, weight: String,
+      shardWidth: Long): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive (got $shardWidth)")
+    val sharded = df.withColumn("__shard", floorDiv(col(order), lit(shardWidth)))
+    // phase 1: prefix sum within (source, shard) — sort bounded by the shard
+    val wIn = Window.partitionBy(source, "__shard").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("__local", sum(col(weight)).over(wIn))
+    // phase 2: per-shard totals (|sources × shards| rows), cumulated over
+    // the PRECEDING shards of the same source — the window here runs on the
+    // tiny totals relation, never the corpus
+    val wPrev = Window.partitionBy(source).orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded
+      .groupBy(source, "__shard").agg(sum(col(weight)).as("__tot"))
+      .withColumn("__base", coalesce(sum(col("__tot")).over(wPrev), lit(0L)))
+      .drop("__tot")
+    local.join(broadcast(bases), Seq(source, "__shard"))
+      .withColumn("start_off", col("__base") + col("__local") - col(weight))
+      .drop("__shard", "__local", "__base")
+  }
+}

@@ -978,25 +978,12 @@ object PipelineQueries {
     *
     * Scale shape: one window cumulative sum partitioned by source — the sort
     * is per-source and the packing is deterministic, so shards can be packed
-    * independently and reproducibly; at 100 TB the partition key would be a
-    * finer shard id (source, shard) chosen so each partition's documents fit
-    * an executor, same plan shape.
+    * independently and reproducibly. A dominant source makes that one sorted
+    * partition the critical path at 100 TB — [[qPackScalable]] runs the same
+    * packing through the distributed two-phase prefix sum instead.
     */
-  val qPackSequences = Fixture(
-    "q_pack_sequences",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-        .withColumn("pack_id", expr("start_off div 2048"))
-        .groupBy("source", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_total"))
-    },
-    Some(s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
+  private val packSql =
+    s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
       |            FROM documents),
       | o AS (SELECT source, doc_id, n_tok,
       |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -1004,7 +991,34 @@ object PipelineQueries {
       |       FROM t)
       | SELECT source, (start_off // 2048)::BIGINT AS pack_id,
       |   count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok_total
-      | FROM o GROUP BY 1, 2""".stripMargin))
+      | FROM o GROUP BY 1, 2""".stripMargin
+
+  private def packInput(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+
+  private def packAccounting(offsets: DataFrame): DataFrame = offsets
+    .withColumn("pack_id", expr("start_off div 2048"))
+    .groupBy("source", "pack_id")
+    .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_total"))
+
+  val qPackSequences = Fixture(
+    "q_pack_sequences",
+    (s, d) => packAccounting(
+      graft.operators.Packing.startOffsets(packInput(s, d), "source", "doc_id", "n_tok")),
+    Some(packSql))
+
+  /** The same packing through [[graft.operators.Packing.startOffsetsScalable]]
+    * — per-(source, shard) prefix sums plus a broadcast of the cumulated
+    * shard totals, no per-source total order. Same oracle: the offsets are
+    * definitionally equal, only the plan differs (PackingSpec pins both).
+    */
+  val qPackScalable = Fixture(
+    "q_pack_scalable",
+    (s, d) => packAccounting(
+      graft.operators.Packing.startOffsetsScalable(
+        packInput(s, d), "source", "doc_id", "n_tok", shardWidth = 16L)),
+    Some(packSql))
 
   /** Fixed-size token chunking: each document splits into ⌈n_tok / 64⌉
     * chunks; the output row carries the chunk's token count and first token —
@@ -1091,6 +1105,61 @@ object PipelineQueries {
       | SELECT cid AS centroid_id, dim, count(*) AS n_members,
       |   ${q4("sum(val) / count(*) / 10000")} AS coord
       | FROM x GROUP BY 1, 2""".stripMargin))
+
+  /** The full Lloyd's LOOP under the oracle: [[Ann.kmeans]] runs iteration 1
+    * (deterministic smallest-vec_id init, E-step against the centroid
+    * literal, O(d)-state M-step, q4-quantized double coords collected back
+    * into the next literal), and [[Ann.kmeansStep]] then computes iteration
+    * 2's exploded cells from the fitted model. The DuckDB side unrolls the
+    * SAME two rounds — every arithmetic step (double casts, q4 cosine,
+    * (cos DESC, cid ASC) argmax, integer-quantized sums, q4 coords) is
+    * bit-identical, including the empty-cluster keep-old coalesce. This
+    * pins the loop's round-trip (model out of round N = literal into round
+    * N+1), not just one step.
+    */
+  val qKmeansConverged = Fixture(
+    "q_kmeans_converged",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      Ann.kmeansStep(emb, Ann.kmeans(emb, k = 8, maxIters = 1).centroidsDf(s))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      | p1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c0 c),
+      | s1 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p1),
+      | r1 AS (SELECT vec_id, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM s1),
+      | a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+      | q1 AS (SELECT a1.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
+      |       FROM a1 JOIN e USING (vec_id)),
+      | x1 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
+      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
+      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
+      | m1 AS (SELECT cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
+      |       FROM x1 GROUP BY 1, 2),
+      | cm AS (SELECT cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+      | c1 AS (SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN cm USING (cid)),
+      | p2 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c1 c),
+      | s2 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p2),
+      | r2 AS (SELECT vec_id, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM s2),
+      | a2 AS (SELECT vec_id, cid FROM r2 WHERE rn = 1),
+      | q2 AS (SELECT a2.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
+      |       FROM a2 JOIN e USING (vec_id)),
+      | x2 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
+      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
+      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q2))
+      | SELECT cid AS centroid_id, dim, count(*) AS n_members,
+      |   ${q4("sum(val) / count(*) / 10000")} AS coord
+      | FROM x2 GROUP BY 1, 2""".stripMargin))
 
   /** Per-source characteristic terms by TF-IDF — the corpus-exploration /
     * source-tagging staple. tf is the (source, term) aggregate, df the
@@ -1355,7 +1424,12 @@ object PipelineQueries {
     * library actually runs. Plan shape: one corpus scan feeds the quality +
     * fingerprint projection; the keeper and contamination stages are
     * fp-/shingle-keyed shuffles of the REDUCED survivor set; the pack
-    * window is per-source. Nothing rescans the corpus.
+    * window is per-source. Nothing rescans the corpus. The per-source pack
+    * window is the one stage with a total order — at 100 TB, where one
+    * crawl can be 80 % of the corpus, swap it for
+    * [[graft.operators.Packing.startOffsetsScalable]] (identical offsets,
+    * per-shard sorts + broadcast shard bases; q_pack_scalable pins it under
+    * this same oracle).
     */
   val qTrainingManifest = Fixture(
     "q_training_manifest",
@@ -1465,8 +1539,8 @@ object PipelineQueries {
     qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
-    qPackSequences, qChunkDocs, qSaltedAgg,
-    qKmeansStep, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
+    qPackSequences, qPackScalable, qChunkDocs, qSaltedAgg,
+    qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins)
 }

@@ -91,18 +91,26 @@ object Ann {
 
   /** Centroids folded into a plan literal: array<struct<cid, cv>> sorted by
     * cid. k is the caller's MODEL size — small by definition, not
-    * data-scaled — so the collect is bounded.
+    * data-scaled — so the collect is bounded. The cv element type follows
+    * the input column (float corpus centroids stay float; the k-means
+    * loop's double model stays double — CosineSimilarity dispatches per
+    * side, so no precision is silently dropped).
     */
   private def centroidArray(centroids: DataFrame): Column = {
+    import org.apache.spark.sql.types.ArrayType
+    val elemType = centroids.schema("cvec").dataType match {
+      case ArrayType(et, _) => et
+      case t => throw new IllegalArgumentException(s"cvec must be an array, got $t")
+    }
     val cents = centroids
       .select(col("cid").cast("long"), col("cvec"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Any](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignCentroids needs at least one centroid")
     array(cents.map { case (cid, v) =>
       struct(lit(cid).as("cid"),
-        array(v.map(lit): _*).cast("array<float>").as("cv"))
+        array(v.map(x => lit(x)): _*).cast(ArrayType(elemType)).as("cv"))
     }: _*)
   }
 
@@ -146,6 +154,78 @@ object Ann {
       .select(col("centroid_id"), (col("pos") + 1).cast("long").as("dim"),
         col("n_members"),
         Quant.q4(col("col") / col("n_members") / lit(1e4)).as("coord"))
+
+  /** A fitted k-means model: the centroids (model-sized — k·d doubles, the
+    * same documented bound as the centroid literal), the iterations run, and
+    * the final inter-iteration delta (max |coord change| over all centroids).
+    */
+  final case class KmeansFit(
+      centroids: Seq[(Long, Array[Double])], iters: Int, delta: Double) {
+    def centroidsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+    }
+  }
+
+  /** Full Lloyd's loop: [[kmeansStep]]'s E+M step iterated to convergence.
+    *
+    * Init is deterministic (the k smallest vec_ids' vectors); each round is
+    * ONE corpus pass — the E-step projection against the centroid literal
+    * and the O(d)-state VectorSumAgg M-step, exactly the oracle-proven
+    * kmeansStep plan — whose k-row result is collected back into the next
+    * round's literal. Per-round materialization cuts the lineage at every
+    * iteration (each job plans against a fresh literal, not a growing
+    * DAG — the Dedup.clusters posture); the ONLY driver-side data is the
+    * model itself (k·d doubles per round), never corpus rows. Convergence:
+    * stop when the max |coordinate change| over all centroids is ≤ `tol` —
+    * coordinates are `Quant.q4`-quantized like kmeansStep's, so with the
+    * default tol = 0 the loop stops exactly when the assignment is stable.
+    * A centroid whose cluster empties keeps its previous position.
+    *
+    * The model vectors are DOUBLE (exact q4 coords; CosineSimilarity reads
+    * each side at its own precision), so a DuckDB mirror that unrolls the
+    * same iterations computes bit-identical centroids —
+    * `q_kmeans_converged` pins two unrolled rounds under that oracle.
+    */
+  def kmeans(embIn: DataFrame, k: Int, maxIters: Int, tol: Double = 0.0): KmeansFit = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(maxIters >= 1, s"maxIters must be >= 1 (got $maxIters)")
+    val emb = spread(embIn)
+    var cents: Seq[(Long, Array[Double])] = embIn
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    require(cents.nonEmpty, "kmeans needs a non-empty corpus")
+    var iters = 0
+    var delta = Double.PositiveInfinity
+    while (iters < maxIters && delta > tol) {
+      val centLit = array(cents.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(x => lit(x)): _*).as("cv"))
+      }: _*)
+      val stepped = emb
+        .select(bestCentroid(centLit).as("best"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(1e4) + lit(0.5))).as("qv"))
+        .select((-col("best.ncid")).as("cid"), col("qv"))
+        .groupBy("cid")
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("qv")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vs"), x => Quant.q4(x / col("n") / lit(1e4))).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      val next = cents.map { case (cid, old) => (cid, stepped.getOrElse(cid, old)) }
+      delta = cents.zip(next).iterator.map { case ((_, a), (_, b)) =>
+        if (a.isEmpty) 0.0
+        else a.iterator.zip(b.iterator).map(t => math.abs(t._1 - t._2)).max
+      }.foldLeft(0.0)(math.max)
+      cents = next
+      iters += 1
+    }
+    KmeansFit(cents, iters, delta)
+  }
 
   /** Embedding-cosine near-dup pairs within a partition column (IVF cell,
     * label, …): all-pairs only *inside* each cell, never globally.

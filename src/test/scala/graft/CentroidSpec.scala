@@ -39,4 +39,57 @@ class CentroidSpec extends SparkTestBase {
       assert(r.getDouble(2) == 1.0, s"self-cos != 1.0: $r")
     }
   }
+
+  test("kmeans loop converges on separable clusters and recovers their means") {
+    // three tight angular clusters; init (3 smallest vec_ids) seeds one
+    // member of each, so Lloyd must converge to the per-cluster means and
+    // then report delta == 0 (coords are q4-quantized, so stability is
+    // EXACT equality, not an epsilon)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(-0.9f, -1.1f)),
+      (6L, Seq(1.0f, 0.2f)), (7L, Seq(0.2f, 1.0f)), (8L, Seq(-1.1f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val fit = Ann.kmeans(emb, k = 3, maxIters = 10)
+    assert(fit.iters < 10, s"did not converge early: ${fit.iters} iters")
+    assert(fit.delta == 0.0, s"converged fit must have delta 0, got ${fit.delta}")
+    val cents = fit.centroids.toMap
+    assert(cents.keySet == Set(0L, 1L, 2L))
+    // cluster {(1,0),(.9,.1),(1,.2)} → mean ≈ (0.9667, 0.1); q4 exact values
+    def close(a: Array[Double], e: Seq[Double]): Boolean =
+      a.length == e.length && a.zip(e).forall(t => math.abs(t._1 - t._2) < 1e-9)
+    assert(close(cents(0L), Seq(0.9667, 0.1)), cents(0L).mkString(","))
+    assert(close(cents(1L), Seq(0.1, 0.9667)), cents(1L).mkString(","))
+    assert(close(cents(2L), Seq(-1.0, -1.0)), cents(2L).mkString(","))
+  }
+
+  test("kmeans keeps an emptied centroid's previous position") {
+    // the two init vectors (vec_ids 0, 1) are IDENTICAL: every vector ties
+    // between them and the (cos, cid) argmax sends all of them to cid 0 —
+    // after one iteration cid 1's cluster is empty, and its coords must
+    // stay at the init position instead of vanishing from the model
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val fit = Ann.kmeans(emb, k = 2, maxIters = 1)
+    val cents = fit.centroids.toMap
+    assert(cents.keySet == Set(0L, 1L))
+    assert(cents(1L).toSeq == Seq(1.0, 0.0), cents(1L).mkString(","))
+    // cid 0 absorbed all four rows — it must have moved off the init
+    assert(cents(0L).toSeq != Seq(1.0, 0.0), cents(0L).mkString(","))
+  }
+
+  test("kmeans(maxIters = 1) model equals the oracle-proven kmeansStep cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fromLoop = Ann.kmeans(emb, k = 4, maxIters = 1).centroidsDf(spark)
+      .select(col("cid").as("centroid_id"), posexplode(col("cvec")))
+      .select(col("centroid_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("coord"))
+    val init = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val fromStep = Ann.kmeansStep(emb, init)
+      .select("centroid_id", "dim", "coord")
+    assertSameRows(fromLoop, fromStep)
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Packing.startOffsetsScalable == startOffsets row-for-row (the distributed
+  * two-phase prefix sum is a pure plan change), at shard widths that exercise
+  * one-row shards, multi-shard sources, and the everything-in-one-shard
+  * degenerate case; plus the plan claims that make the scalable form worth
+  * having — the corpus-side window partitions by (source, shard), and the
+  * shard-base relation comes back as a broadcast.
+  */
+class PackingSpec extends SparkTestBase {
+
+  private def input = Tables.documents(spark, sfDir)
+    .select(col("source"), col("doc_id"),
+      graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+
+  test("scalable offsets equal windowed offsets at every shard width") {
+    val expect = Packing.startOffsets(input, "source", "doc_id", "n_tok")
+      .select("source", "doc_id", "start_off")
+    for (width <- Seq(1L, 7L, 64L, 1000000L))
+      assertSameRows(
+        Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", width)
+          .select("source", "doc_id", "start_off"),
+        expect)
+  }
+
+  test("corpus-side window partitions by (source, shard); shard bases broadcast back") {
+    val p = Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", 16L)
+      .queryExecution.executedPlan.toString
+    // the big-side window must include the shard in its partition spec — a
+    // per-source-only spec would be the total order the operator exists to
+    // avoid
+    assert(p.contains("__shard"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
