@@ -160,6 +160,55 @@ object PipelineQueries {
     Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       | FROM documents""".stripMargin))
 
+  /** Streaming NEAR-dup dedup under the batch oracle: the documents replay
+    * in doc_id order through [[graft.streaming.StreamingMinhashDedup]]
+    * (MinHash(128)+LSH(32×4) band buckets in keyed state, exact-Jaccard
+    * verification on arrival), and the kept set must equal "documents minus
+    * the doc_b side of the exact pairwise τ = 0.8 relation" — the monotone
+    * first-seen contract, computed pairwise-exactly by DuckDB. LSH recall at
+    * τ = 0.8 is 1−4e−8 per pair (the same bound q_dedup_minhash_lsh banks
+    * on), so the sets coincide.
+    */
+  val qDedupStreamMinhash = Fixture(
+    "q_dedup_stream_minhash",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val stream = ms.toDF().toDF("doc_id", "text")
+      val kept = graft.streaming.StreamingMinhashDedup
+        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8)
+        .toDF("doc_id")
+      val sink = s"stream_minhash_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = kept.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
+      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4),
+      | d AS (SELECT DISTINCT doc_b FROM
+      |        (SELECT doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
+      |       WHERE jac >= 0.8)
+      | SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM d)""".stripMargin))
+
   /** Inverted-index exact n-gram Jaccard near-dup pairs (τ = 0.5). */
   val qDedupNgram = Fixture(
     "q_dedup_ngram_jaccard",
@@ -1530,7 +1579,7 @@ object PipelineQueries {
 
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
-    qDedupExact, qDedupStreamFirstSeen, qDedupNgram, qDedupMinhash,
+    qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,

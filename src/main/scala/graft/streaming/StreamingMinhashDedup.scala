@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextFunctions
+
+/** Streaming NEAR-dup first-seen dedup — fuzzy dedup on the ingest path:
+  * [[graft.dedup.Dedup.minhashLshPairs]]'s candidate machinery (the same
+  * shingle hashing, MinHash signature family, and 64-bit band keys) driven
+  * through keyed streaming state, so a document is dropped AS IT ARRIVES
+  * when an earlier document within the horizon is ≥ τ Jaccard-similar.
+  *
+  * Kept-set contract (monotone, order-deterministic under in-order input):
+  * a document is kept iff NO earlier document — kept or dropped — is ≥ τ
+  * similar. Every seen document absorbs into the index (same as the batch
+  * pair relation, where doc_b of any qualifying pair is a dup regardless of
+  * doc_a's own fate), so the kept set equals "documents minus the doc_b
+  * side of the batch pair relation" — which is what the DuckDB oracle
+  * computes pairwise-exactly.
+  *
+  * Shape: stage 0 (stateless) shingles, signs, and explodes each doc into
+  * its `bands` band rows; stage 1 keys by band — per bucket the state is
+  * the (doc_id, shingles) list of absorbed docs, each arrival is verified
+  * with the EXACT sorted-merge Jaccard against its bucket (precision 1,
+  * recall = LSH detection probability, ≈ 1−4e−8 at τ = 0.8 with 32×4) and
+  * emits one verdict row; stage 2 keys by doc and keeps the doc once all
+  * `bands` verdicts arrive dup-free. Shingle-less docs (< n words) bypass
+  * both stages and are always kept. Both stateful stages run in append
+  * mode, so they chain legally.
+  *
+  * Scale posture: the shuffle keys are band longs and doc ids — the batch
+  * operator's keys exactly; state is per-bucket doc lists, bounded by LSH
+  * bucket population (hot boilerplate buckets are the known hazard; the
+  * production variant caps absorbed docs per bucket and/or evicts by
+  * watermark TTL — the fixture replays a bounded corpus and uses
+  * NoTimeout). Shingle arrays ride the band explode `bands`× into the
+  * shuffle; the batch operator pays the same factor as its two
+  * candidate-side joins back onto the shingle relation.
+  */
+object StreamingMinhashDedup {
+
+  case class BandEv(doc_id: Long, bk: Long, sh: Seq[Long])
+  case class Verdict(doc_id: Long, dup: Boolean)
+  case class DocSh(doc_id: Long, sh: Seq[Long])
+  case class BucketState(docs: List[DocSh])
+  case class DocState(seen: Int, dup: Boolean)
+
+  /** Exact Jaccard on two sorted distinct long arrays (the Scala mirror of
+    * SortedIntersectSize + the q4 threshold both engines apply).
+    */
+  private def jacAtLeast(a: Seq[Long], b: Seq[Long], minJ: Double): Boolean = {
+    val (as, bs) = (a.toArray, b.toArray)
+    var i = 0; var j = 0; var inter = 0
+    while (i < as.length && j < bs.length) {
+      if (as(i) == bs(j)) { inter += 1; i += 1; j += 1 }
+      else if (as(i) < bs(j)) i += 1
+      else j += 1
+    }
+    val jac = math.floor(
+      inter.toDouble / (as.length + bs.length - inter) * 1e4 + 0.5) / 1e4
+    jac >= minJ
+  }
+
+  /** @param stream streaming DataFrame with long `idCol` and string `textCol`
+    * @return streaming Dataset of kept doc ids
+    */
+  def firstSeen(
+      spark: SparkSession, stream: DataFrame, idCol: String, textCol: String,
+      n: Int, minJ: Double, numHashes: Int = 128, bands: Int = 32): Dataset[Long] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    val r = numHashes / bands
+
+    // stage 0: the batch pipeline's shingle hashing, signature family, and
+    // band keys, verbatim (Dedup.shingledHashed / minhashSig / band slice)
+    val hashed = stream
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .withColumn("sh",
+        sort_array(transform(TextFunctions.shingles(col("__text"), n), s => xxhash64(s))))
+      .withColumn("n_sh", size(col("sh")))
+    val shingleLess = hashed.where(col("n_sh") <= 0).select(col("doc_id")).as[Long]
+    val banded = hashed.where(col("n_sh") > 0)
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"), col("sh"))
+      .select(col("doc_id"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bk"),
+        col("sh"))
+      .as[BandEv]
+
+    // stage 1: per band bucket, verify each arrival against every absorbed
+    // doc (exact Jaccard), emit one verdict per band row, absorb the doc
+    val verdicts = banded
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketState, Verdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandEv], state: GroupState[BucketState]) =>
+          var docs = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+          rows.toSeq.sortBy(_.doc_id).foreach { ev =>
+            val dup = docs.exists(p =>
+              p.doc_id < ev.doc_id && jacAtLeast(p.sh, ev.sh, minJ))
+            out += Verdict(ev.doc_id, dup)
+            if (!docs.exists(_.doc_id == ev.doc_id))
+              docs = DocSh(ev.doc_id, ev.sh) :: docs
+          }
+          state.update(BucketState(docs))
+          out.iterator
+      }
+
+    // stage 2: a doc is kept once all `bands` verdicts arrived dup-free
+    // (stage 1 emits them in the doc's own micro-batch, so the decision is
+    // never deferred); state frees as soon as the doc resolves
+    val kept = verdicts
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocState, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[Verdict], state: GroupState[DocState]) =>
+          val prev = state.getOption.getOrElse(DocState(0, dup = false))
+          var seen = prev.seen
+          var dup = prev.dup
+          rows.foreach { v => seen += 1; dup ||= v.dup }
+          if (seen >= bands) {
+            state.remove()
+            if (dup) Iterator.empty else Iterator.single(docId)
+          } else {
+            state.update(DocState(seen, dup))
+            Iterator.empty
+          }
+      }
+
+    kept.union(shingleLess)
+  }
+}

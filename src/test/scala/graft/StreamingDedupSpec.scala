@@ -32,4 +32,59 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(ids == Set(1L, 3L, 5L), s"got $ids")
     } finally q.stop()
   }
+
+  // ---- near-dup (MinHash/LSH) ---------------------------------------------
+
+  private def replayMinhash(
+      rows: Seq[(Long, String)], chunks: Int, minJ: Double = 0.8): Set[Long] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val kept = graft.streaming.StreamingMinhashDedup
+      .firstSeen(s, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, minJ)
+      .toDF("doc_id")
+    val sink = s"mh_dedup_${System.nanoTime}"
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try
+      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    finally q.stop()
+    s.table(sink).collect().map(_.getLong(0)).toSet
+  }
+
+  // near-identical texts (one word swapped in a 12-word doc → Jaccard of
+  // 3-shingles ≈ 0.54 — below τ=0.8; use a one-word SUFFIX change → shared
+  // prefix shingles dominate). Build dups by appending one extra word: for a
+  // w-word doc, shingles 10 vs 11, 10 shared → jac 10/11 ≈ 0.909 ≥ 0.8.
+  private val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+
+  test("near-dup is dropped across batches; unrelated doc passes; chunking-invariant") {
+    val rows = Seq(
+      (1L, baseText),
+      (2L, baseText + " mike"),          // jac 10/11 ≈ 0.909 → dropped
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, baseText),                    // identical → dropped
+      (5L, "tiny"))                      // < 3 words: no shingles, always kept
+    for (chunks <- Seq(1, 2, 5)) {
+      val got = replayMinhash(rows, chunks)
+      assert(got == Set(1L, 3L, 5L), s"chunks=$chunks: $got")
+    }
+  }
+
+  test("monotone contract: a doc similar only to an earlier DROPPED doc still drops") {
+    // 2 is dropped because of 1; 4 is a copy of 2 — under greedy-kept-only
+    // semantics 4 would be compared against kept docs only and could pass,
+    // but the absorb-all contract (and the batch pair relation the oracle
+    // computes) drops anything with ANY earlier similar doc
+    val rows = Seq(
+      (1L, baseText),
+      (2L, baseText + " mike"),
+      (4L, baseText + " mike"))
+    val got = replayMinhash(rows, chunks = 3)
+    assert(got == Set(1L), got.toString)
+  }
 }
