@@ -90,14 +90,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Capture-proofing: persist the full artifact to a file the judge can
-    // always read, then make the stdout JSON the LAST bytes the process emits
-    // — logging off, session stopped first — so no shutdown message can eat
-    // the tail window it has to survive.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // Capture-proofing: persist the full artifact to files that survive any
+    // stdout tail window (/tmp for the driver, bench_last.json in the repo
+    // so it rides along with the round's commit), then make the stdout JSON
+    // the LAST bytes the process emits — logging off, session stopped first
+    // — so no shutdown message can eat the tail it has to survive.
+    for (p <- Seq("/tmp/bench.json", "bench_last.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(json)

@@ -34,9 +34,15 @@ import graft.functions.TextFunctions
   * bucket population (hot boilerplate buckets are the known hazard; the
   * production variant caps absorbed docs per bucket and/or evicts by
   * watermark TTL — the fixture replays a bounded corpus and uses
-  * NoTimeout). Shingle arrays ride the band explode `bands`× into the
-  * shuffle; the batch operator pays the same factor as its two
-  * candidate-side joins back onto the shingle relation.
+  * NoTimeout). The known cost term: shingle arrays ride the band explode
+  * `bands`× into the stage-1 shuffle and bucket state (the batch operator
+  * pays a related factor via its two candidate-side joins back onto the
+  * shingle relation). The documented slimming for extreme scale splits
+  * candidate GENERATION from verification — band state keeps doc ids only,
+  * emitted sh-less candidate pairs route through a doc-keyed shingle store
+  * for the exact verify — trading the `bands`× replication for two extra
+  * chained stateful hops; at this corpus the simpler single-verify-stage
+  * form wins.
   */
 object StreamingMinhashDedup {
 
