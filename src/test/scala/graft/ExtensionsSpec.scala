@@ -43,5 +43,13 @@ class ExtensionsSpec extends SparkTestBase {
       SELECT graft_sorted_intersect(array(1L, 3L, 5L, 9L), array(3L, 5L, 7L)) AS n""")
       .collect()(0).getInt(0)
     assert(si == 2)
+
+    // UNSORTED SQL input is sorted defensively by the builder — the raw
+    // expression's sortedness precondition must not leak wrong counts to
+    // SQL users
+    val siUnsorted = spark.sql("""
+      SELECT graft_sorted_intersect(array(9L, 1L, 5L, 3L), array(7L, 5L, 3L)) AS n""")
+      .collect()(0).getInt(0)
+    assert(siUnsorted == 2, s"unsorted SQL input returned $siUnsorted")
   }
 }

@@ -53,4 +53,23 @@ class HeavyHittersSpec extends SparkTestBase {
     val est = summary(df, 64, 5)
     assert(est == exact)
   }
+
+  test("terms over 64 KiB UTF-8 survive the serialize round-trip") {
+    // writeUTF would throw UTFDataFormatException past 65535 encoded bytes;
+    // the aggregate is exposed over arbitrary strings, so a long term must
+    // round-trip at the partial-aggregate shuffle boundary, not kill a task
+    import graft.functions.HeavyHittersAgg
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = HeavyHittersAgg(4, Literal("x"))
+    val big = "ü" * 40000 // 80 000 UTF-8 bytes
+    val buf = agg.createAggregationBuffer()
+    buf.update(big, 7L); buf.update("small", 2L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf, "round-trip changed the buffer")
+    // and end-to-end through a real multi-partition aggregation
+    import spark.implicits._
+    val df = (Seq.fill(5)(big) ++ Seq("a", "a", "b")).toDF("w").repartition(4)
+    val est = summary(df, 8, 4)
+    assert(est(big) == 5L, est.toString)
+  }
 }

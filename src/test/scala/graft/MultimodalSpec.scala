@@ -141,6 +141,27 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("nearDupPairs plans as a hash equi-join — no nested loop, no cartesian") {
+    import spark.implicits._
+    val feats = Seq((1L, 0x0L), (2L, 0x1L), (3L, -1L)).toDF("doc_id", "ahash")
+    val plan = Multimodal.nearDupPairs(feats, "doc_id", "ahash", maxHam = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("nearDupPairs bands the sign bit correctly (unsigned top chunk)") {
+    import spark.implicits._
+    // -1L and (-1L ^ 1) differ in one bit; an arithmetic shift on the top
+    // chunk would smear sign bits but must still pair them — and must NOT
+    // pair hashes whose top chunks differ in more than maxHam bits
+    val feats = Seq((1L, -1L), (2L, -1L ^ 1L), (3L, 0x00FFFFFFFFFFFFFFL))
+      .toDF("doc_id", "h")
+    val got = Multimodal.nearDupPairs(feats, "doc_id", "h", maxHam = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   test("pixelFeatures yields the sentinel row for undecodable payloads") {
     import spark.implicits._
     val bad = Seq(Multimodal.ImageRow(1L, Array[Byte](1, 2, 3))).toDS()

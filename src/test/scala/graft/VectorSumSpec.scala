@@ -46,6 +46,28 @@ class VectorSumSpec extends SparkTestBase {
     assert(out(2).isEmpty)
   }
 
+  test("empty (d=0) vectors round-trip as empty, not null, at any partitioning") {
+    import spark.implicits._
+    // serialize(Array.empty) must stay distinct from the no-rows null marker,
+    // or the result flips between [] and null depending on whether the
+    // buffer crossed a shuffle boundary
+    val agg = graft.functions.VectorSumAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    assert(agg.deserialize(agg.serialize(Array.emptyByteArray.map(_.toDouble)))
+      .sameElements(Array.empty[Double]))
+    assert(agg.deserialize(agg.serialize(null)) == null)
+    val df = Seq((1, Seq.empty[Double]), (1, Seq.empty[Double])).toDF("k", "v")
+    for (parts <- Seq(1, 4)) {
+      val out = df.repartition(parts).groupBy("k")
+        .agg(VectorSumAgg.vectorSum(col("v")).as("vs")).collect()
+      assert(out.length == 1)
+      val vs = out(0).get(1)
+      assert(vs != null &&
+        vs.asInstanceOf[scala.collection.Seq[Double]].isEmpty,
+        s"parts=$parts: got $vs")
+    }
+  }
+
   test("vector length mismatch within a group fails fast") {
     import spark.implicits._
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0))).toDF("k", "v")
