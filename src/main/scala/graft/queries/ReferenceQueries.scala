@@ -778,11 +778,12 @@ object ReferenceQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val rows = Tables.events(s, d)
-      .select(unix_micros(col("ts")), col("event_type"), col("value"))
-      .as[(Long, String, Double)].collect().sortBy(_._1)
+      .select(unix_micros(col("ts")), col("event_type"), col("value"),
+        col("user_id").cast("long"))
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1)
     val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, Double)]
-    val stream = ms.toDF().toDF("tsu", "event_type", "value")
+      .MemoryStream[(Long, String, Double, Long)]
+    val stream = ms.toDF().toDF("tsu", "event_type", "value", "user_id")
       .withColumn("ts", timestamp_micros(col("tsu")))
     // unique sink name: attempts in the same session must not collide
     val sink = s"${sinkPrefix}_${System.nanoTime}"
@@ -865,6 +866,59 @@ object ReferenceQueries {
       |   ${Quant.sql(s"${Quant.sql("sum(value)")} / count(value)")} AS avg_v
       | FROM e GROUP BY 1, 2
       | HAVING (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
+  /** W_AVG on the production streaming path — the one aggregate enum entry
+    * that had only a batch oracle: the same sum(v·w)/sum(w) decomposition
+    * as [[qWeightedAvg]] (the reference's W_AVG, AggregationType.h:12),
+    * through [[graft.streaming.Streams.windowAgg]] in append mode, emitted
+    * set = windows with end ≤ max event time, same contract as
+    * [[qStreamTumbling]].
+    */
+  val qStreamWeightedAvg = Fixture(
+    "q_stream_weighted_avg",
+    (s, d) => replayEvents(s, d, "stream_wavg") { stream =>
+      val e = stream.withColumn("w",
+        (pmod(col("user_id"), lit(5)) + lit(1)).cast("double"))
+      graft.streaming.Streams.windowAgg(
+        e, 3600, 3600, Seq("event_type"),
+        Seq(AggSpec(AggFn.Sum, col("value") * col("w"), "sum_vw", Some(4)),
+            AggSpec(AggFn.Sum, col("w"), "sum_w", Some(4))),
+        watermark = Some("0 seconds"))
+        .withColumn("w_avg", Quant.q4(col("sum_vw") / col("sum_w")))
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        event_type, value, ((user_id % 5) + 1)::DOUBLE AS w FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | a AS (SELECT (es // 3600) * 3600 AS ws, event_type,
+      |         ${Quant.sql("sum(value * w)")} AS sum_vw,
+      |         ${Quant.sql("sum(w)")} AS sum_w
+      |       FROM e GROUP BY 1, 2
+      |       HAVING ((es // 3600) * 3600 + 3600) * 1000000 <= (SELECT mx FROM mx))
+      | SELECT ws, event_type, sum_vw, sum_w, ${Quant.sql("sum_vw / sum_w")} AS w_avg
+      | FROM a""".stripMargin))
+
+  /** A10's HAVING-on-window-result on the production streaming path: the
+    * batch [[qHaving]] query (1 h tumbling per-user sums, sum > 200)
+    * through append-mode streaming — the post-window filter composes on the
+    * emitted stream exactly as PostWindow does on the batch relation.
+    */
+  val qStreamHaving = Fixture(
+    "q_stream_having",
+    (s, d) => replayEvents(s, d, "stream_having") { stream =>
+      graft.streaming.Streams.windowAgg(
+        stream, 3600, 3600, Seq("user_id"),
+        Seq(AggSpec(AggFn.Sum, col("value"), "sum_v", Some(4))),
+        watermark = Some("0 seconds"))
+        .where(col("sum_v") > 200)
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        user_id, value FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e)
+      | SELECT (es // 3600) * 3600 AS ws, user_id,
+      |   ${Quant.sql("sum(value)")} AS sum_v
+      | FROM e GROUP BY 1, 2
+      | HAVING ${Quant.sql("sum(value)")} > 200
+      |   AND ((es // 3600) * 3600 + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
 
   /** Distinct counting inside time windows — beyond the reference's five
     * aggregate functions (CNT/SUM/MIN/MAX/AVG, AggregationType.h:12) but the
@@ -1223,5 +1277,6 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems, qStreamAsOf)
+    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems, qStreamAsOf,
+    qStreamWeightedAvg, qStreamHaving)
 }
