@@ -26,6 +26,23 @@ class PackingSpec extends SparkTestBase {
         expect)
   }
 
+  test("negative order keys shard order-preservingly (floor division, not truncation)") {
+    import spark.implicits._
+    // truncation toward zero would map -3 and +3 to the same shard at
+    // width 4 and break the shard ordering; floor division must not
+    val df = Seq(
+      ("a", -7L, 10L), ("a", -3L, 20L), ("a", 0L, 30L), ("a", 3L, 40L),
+      ("a", 5L, 50L), ("b", -1L, 5L), ("b", 2L, 6L))
+      .toDF("source", "ord", "n_tok")
+    val expect = Packing.startOffsets(df, "source", "ord", "n_tok")
+      .select("source", "ord", "start_off")
+    for (width <- Seq(1L, 4L, 100L))
+      assertSameRows(
+        Packing.startOffsetsScalable(df, "source", "ord", "n_tok", width)
+          .select("source", "ord", "start_off"),
+        expect)
+  }
+
   test("corpus-side window partitions by (source, shard); shard bases broadcast back") {
     val p = Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", 16L)
       .queryExecution.executedPlan.toString
