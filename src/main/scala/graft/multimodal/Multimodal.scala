@@ -288,6 +288,62 @@ object Multimodal {
       .select("doc_a", "doc_b", "ham").distinct()
   }
 
+  /** Deterministic BLOCK-content synthetic images: 64×64 PNGs of 8×8 gray
+    * blocks with block i's value [[blockVal]](doc_id div 2, i) — chosen so
+    * (a) the 8×8 blocks land exactly on [[pixelFeatures]]' aHash cells
+    * (uniform cells → exact integer cell lumas, since the Rec.601 weights
+    * sum to 1000), making the 64-bit aHash PREDICTABLE FROM STORED COLUMNS
+    * by pure SQL, and (b) consecutive doc_id pairs (2k, 2k+1) carry
+    * identical content, so the near-dup pair relation is |docs|/2 rows —
+    * linear at any scale, never a quadratic pileup. The color pattern lives
+    * only inside the PNG raster; an oracle matching the decoded aHash
+    * proves the full decode → grid → threshold pipeline.
+    */
+  def syntheticBlockImages(spark: SparkSession, docs: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              val i = (y / 8) * 8 + (x / 8)
+              val v = blockVal(id / 2, i)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Block gray value for [[syntheticBlockImages]]: a lowbias32-style
+    * integer mix of (base·64 + i), masked to 32 bits after each multiply so
+    * every intermediate fits int64 — the same arithmetic is replayed in the
+    * DuckDB oracle verbatim (xor / shift / masked multiply). A LINEAR
+    * pattern here (e.g. (base·31 + i·97) mod 256) makes different bases
+    * mere level-shifts of one cyclic ramp, and measured 2.3 % of ALL doc
+    * pairs land within Hamming 3 of each other — a quadratic oracle output;
+    * the mixed pattern has zero accidental cross-pairs at 2 500 bases.
+    */
+  private[graft] def blockVal(base: Long, i: Int): Int = {
+    var x = base * 64 + i
+    x = ((x ^ (x >>> 16)) * 73244475L) & 0xffffffffL
+    x = ((x ^ (x >>> 16)) * 73244475L) & 0xffffffffL
+    x = x ^ (x >>> 16)
+    (x % 256).toInt
+  }
+
   /** Deterministic synthetic image table derived from `documents`: a real
     * PNG-encoded payload per doc with dimensions computed from stored
     * columns (width = n_chars % 31 + 1, height = doc_id % 17 + 1), so an

@@ -542,6 +542,66 @@ object PipelineQueries {
       |   ${q4("b / (width * height)")} AS mean_b
       | FROM m""".stripMargin))
 
+  /** DuckDB mirror of Multimodal.blockVal over every (doc, cell): the
+    * lowbias32-style mix replayed verbatim (xor / shift / 32-bit-masked
+    * multiply — every intermediate fits int64), yielding relation
+    * (doc_id, i, v).
+    */
+  private val blockCellsSql =
+    """SELECT doc_id, i, xor(x2, x2 >> 16) % 256 AS v FROM (
+      |    SELECT doc_id, i, (xor(x1, x1 >> 16) * 73244475) & 4294967295 AS x2 FROM (
+      |      SELECT doc_id, i, (xor(x0, x0 >> 16) * 73244475) & 4294967295 AS x1 FROM (
+      |        SELECT doc_id, t.i AS i, (doc_id // 2) * 64 + t.i AS x0
+      |        FROM documents, generate_series(0, 63) AS t(i))))""".stripMargin
+  /** aHash from the v relation: strict mean threshold, bit 63 spelled as
+    * the signed minimum (two's-complement, matching Scala's `1L << 63`).
+    */
+  private val blockAhashSql =
+    s"""WITH c AS ($blockCellsSql),
+      | m AS (SELECT doc_id, avg(v) AS mean FROM c GROUP BY doc_id),
+      | h AS (SELECT c.doc_id,
+      |         CAST(sum(CASE WHEN v > mean THEN
+      |           CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS ahash
+      |       FROM c JOIN m USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+
+  /** The PERCEPTUAL HASH under the oracle: block synthetic images put 8×8
+    * uniform gray blocks exactly on the aHash grid (cell luma equals the
+    * block value exactly — the Rec.601 weights sum to 1000), so the decoded
+    * 64-bit hash is predictable from stored columns by pure SQL. Hash
+    * equality proves decode → luma grid → mean threshold end-to-end, not
+    * just channel sums.
+    */
+  val qImageAhash = Fixture(
+    "q_image_ahash",
+    (s, d) => Multimodal.pixelFeatures(s,
+        Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("ahash")),
+    Some(s"""$blockAhashSql
+      | SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height, ahash
+      | FROM h""".stripMargin))
+
+  /** Image near-dup pairing under the oracle: Hamming-banded candidate
+    * generation + bit_count verify ([[Multimodal.nearDupPairs]], recall 1
+    * by pigeonhole) against DuckDB's brute-force all-pairs Hamming over the
+    * SAME SQL-computed hashes. The mixed block content makes consecutive
+    * doc_id pairs identical and everything else Hamming-far (measured zero
+    * accidental cross-pairs at 2 500 bases), so the relation is |docs|/2
+    * rows — linear at any scale.
+    */
+  val qImageNearDup = Fixture(
+    "q_image_near_dup",
+    (s, d) => Multimodal.nearDupPairs(
+        Multimodal.pixelFeatures(s,
+          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF(),
+        "doc_id", "ahash", maxHam = 3)
+      .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham")),
+    Some(s"""$blockAhashSql
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   bit_count(xor(a.ahash, b.ahash))::BIGINT AS ham
+      | FROM h a JOIN h b ON a.doc_id < b.doc_id
+      | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
+
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
     * corpus scale (4× smaller than float32). Oracle-comparable per-vector
@@ -1583,7 +1643,8 @@ object PipelineQueries {
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
-    qMultimodal, qImageMeta, qImagePixelStats, qEmbedQuantize, qVocabTopK, qTopkPerGroup,
+    qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
+    qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
     qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
