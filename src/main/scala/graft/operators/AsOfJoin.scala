@@ -33,12 +33,9 @@ object AsOfJoin {
       case _ => col(c).cast("long")
     }
 
-  def asOf(
-      left: DataFrame,
-      right: DataFrame,
-      key: String,
-      leftTs: String,
-      rightTs: String): DataFrame = {
+  private def tagged(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lTagged = left.select(
@@ -51,11 +48,80 @@ object AsOfJoin {
       lit(1).as("__side"),
       lit(null).cast(lType).as("__l"),
       struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
+    lTagged.union(rTagged)
+  }
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    lTagged.union(rTagged)
+    tagged(left, right, key, leftTs, rightTs)
       .withColumn("asof", last(col("__l"), ignoreNulls = true).over(w))
       .where(col("__side") === 1 && col("asof").isNotNull)
       .select(col("__r.*"), col("asof"))
   }
+
+  /** [[asOf]] without the per-key total order — the distributed-carry form
+    * for when one key dominates (a bot user, a default/null key: at corpus
+    * scale the hottest key's sorted partition is [[asOf]]'s critical path).
+    *
+    * Same two-phase shape as Packing.startOffsetsScalable, with "latest
+    * prior left" as the carried quantity instead of a running sum: rows
+    * shard by `orderKey div shardWidth` (order-preserving, deterministic);
+    * phase 1 runs the last-carry window within (key, shard) — the sort is
+    * bounded by a shard, not a key; phase 2 reduces each (key, shard) to
+    * its LAST left event (a deterministic struct max on (t, payload)) and
+    * runs the per-key carry over that shard-level relation — skew cost
+    * drops from |rows of hottest key| to |shards of hottest key|, dialed by
+    * shardWidth. The carry-in joins back on (key, shard), the partitioning
+    * phase 1 already established. A right row then takes its within-shard
+    * prior left if one exists, else the carry-in from strictly earlier
+    * shards (any such left is strictly earlier in time, since equal
+    * timestamps share a shard).
+    *
+    * Output is identical to [[asOf]] (AsOfJoinSpec pins equality at several
+    * widths); on timestamp ties between multiple LEFT rows of one key both
+    * forms are tie-ambiguous — the base form by unstable sort order, this
+    * form by struct-max payload order.
+    */
+  def asOfScalable(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      shardWidth: Long): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive (got $shardWidth)")
+    val t = tagged(left, right, key, leftTs, rightTs)
+      .withColumn("__shard", floorDiv(col("__t"), lit(shardWidth)))
+    val wIn = Window.partitionBy("__k", "__shard")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = t.withColumn("__local", last(col("__l"), ignoreNulls = true).over(wIn))
+    // per-(key, shard) last left: max of (t, payload) structs over left rows
+    // only — null (hence skipped by the carry window) when the shard has no
+    // lefts. The relation is |keys × occupied shards|, far below |rows|.
+    val bounds = t.groupBy(col("__k"), col("__shard"))
+      .agg(max(when(col("__side") === 0,
+        struct(col("__t").as("t"), col("__l").as("l")))).as("m"))
+    val wPrev = Window.partitionBy("__k").orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds
+      .withColumn("__carry", last(col("m.l"), ignoreNulls = true).over(wPrev))
+      .select(col("__k"), col("__shard"), col("__carry"))
+    local.join(carry, Seq("__k", "__shard"))
+      .withColumn("asof", coalesce(col("__local"), col("__carry")))
+      .where(col("__side") === 1 && col("asof").isNotNull)
+      .select(col("__r.*"), col("asof"))
+  }
+
+  /** Exact floor division (same trick as RangeJoin.floorDiv): subtracting
+    * the non-negative pmod first makes the division integral.
+    */
+  private def floorDiv(x: Column, w: Column): Column =
+    ((x - pmod(x, w)) / w).cast("long")
 }

@@ -335,6 +335,32 @@ object ReferenceQueries {
       | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
       | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
 
+  /** The as-of join through [[AsOfJoin.asOfScalable]] — the distributed-
+    * carry form that replaces the per-key total order with (key, shard)
+    * windows plus a shard-level carry relation (skew cost: |shards of
+    * hottest key|, not |rows|). Same DuckDB ASOF oracle as [[qAsOfJoin]]:
+    * the offsets are definitionally equal, only the plan differs
+    * (AsOfJoinSpec pins equality at four shard widths).
+    */
+  val qAsOfScalable = Fixture(
+    "q_asof_scalable",
+    (s, d) => {
+      val e = ev(s, d).withColumn("eu", unix_micros(col("ts")))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("eu"), col("event_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("eu"), col("event_id"))
+      AsOfJoin.asOfScalable(l, r, "user_id", "eu", "eu", shardWidth = 3600L * 1000000)
+        .select(col("event_id").as("r_id"), col("user_id"),
+          col("eu").as("r_eu"), col("asof.event_id").as("l_id"),
+          col("asof.eu").as("l_eu"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS eu FROM events),
+      | l AS (SELECT event_id AS l_id, user_id, eu AS l_eu FROM e WHERE event_type = 'click'),
+      | r AS (SELECT event_id AS r_id, user_id, eu AS r_eu FROM e WHERE event_type = 'purchase')
+      | SELECT r_id, r.user_id AS user_id, r_eu, l_id, l_eu
+      | FROM r ASOF JOIN l ON r.user_id = l.user_id AND r.r_eu >= l.l_eu""".stripMargin))
+
   /** Interval-containment (range) join, bucket-expanded into a hash
     * equi-join (operators.RangeJoin — beyond the reference, which stops at
     * windowed θ-joins): every 100th order opens a 3-day fulfilment window
@@ -1270,7 +1296,7 @@ object ReferenceQueries {
     qSg1, qSg2, qSg3, qSg3Join,
     qLrb1, qLrb2,
     qYsb, qMe1, qNbq5,
-    qJoinTheta, qAsOfJoin, qRangeJoin, qDagUnion, qWeightedAvg,
+    qJoinTheta, qAsOfJoin, qAsOfScalable, qRangeJoin, qDagUnion, qWeightedAvg,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,

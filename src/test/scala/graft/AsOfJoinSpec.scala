@@ -34,6 +34,42 @@ class AsOfJoinSpec extends SparkTestBase {
       s"sub-second ordering violated: $got")
   }
 
+  test("asOfScalable == asOf at every shard width (edges: no-left key, ties, boundaries)") {
+    import spark.implicits._
+    // crafted boundaries: lefts/rights on exact shard edges at width 10,
+    // a key with no lefts, a right before any left, a same-instant tie
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "x"))
+      .toDF("k", "t", "v")
+    val r = Seq((1L, 25L, "p"), (1L, 20L, "q"), (1L, 9L, "early"),
+      (2L, 100L, "y"), (3L, 50L, "nomatch")).toDF("k", "t", "w")
+    val expect = AsOfJoin.asOf(l, r, "k", "t", "t")
+      .select(col("w"), col("asof.v").as("v"))
+    for (width <- Seq(1L, 7L, 10L, 1000L))
+      assertSameRows(
+        AsOfJoin.asOfScalable(l, r, "k", "t", "t", width)
+          .select(col("w"), col("asof.v").as("v")),
+        expect)
+  }
+
+  test("asOfScalable == asOf on the events fixture, and shards the windows") {
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+      .withColumn("eu", unix_micros(col("ts")))
+    val l = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("eu"), col("event_id"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("eu"), col("event_id"))
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"), col("user_id"), col("eu"),
+      col("asof.event_id").as("l_id"), col("asof.eu").as("l_eu"))
+    val expect = proj(AsOfJoin.asOf(l, r, "user_id", "eu", "eu"))
+    val scalable = AsOfJoin.asOfScalable(
+      l, r, "user_id", "eu", "eu", shardWidth = 3600L * 1000000)
+    assertSameRows(proj(scalable), expect)
+    // the big-side window must partition by (key, shard) — a key-only spec
+    // would be the total order the operator exists to avoid
+    assert(scalable.queryExecution.executedPlan.toString.contains("__shard"))
+  }
+
   test("asof over events: every match is at or before, and is the latest") {
     val e = Tables.eventsWithEpoch(spark, sfDir)
       .withColumn("eu", unix_micros(col("ts")))
