@@ -102,9 +102,12 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = t.withColumn("__local", last(col("__l"), ignoreNulls = true).over(wIn))
-    // per-(key, shard) last left: max of (t, payload) structs over left rows
-    // only — null (hence skipped by the carry window) when the shard has no
-    // lefts. The relation is |keys × occupied shards|, far below |rows|.
+    // per-(key, shard) last left: max of (t, payload) structs over left
+    // rows — null (hence skipped by the carry window) when the shard holds
+    // no lefts. Built from the union so every (key, shard) local contains
+    // has a carry row (gaps propagate through the ignoreNulls window); the
+    // second pass over the union map-side-combines straight down to the
+    // |keys × occupied shards| relation, so its shuffle is tiny.
     val bounds = t.groupBy(col("__k"), col("__shard"))
       .agg(max(when(col("__side") === 0,
         struct(col("__t").as("t"), col("__l").as("l")))).as("m"))
