@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused cosine similarity over two `array<float>` (or `array<double>`)
   * columns as a native Catalyst expression with codegen: one pass
@@ -26,6 +27,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Each side must be exactly array<float> or array<double>: the per-side
+    * accessor dispatch below reads through getFloat when the element type is
+    * not double, so an array<int>/array<long> reaching eval (possible via
+    * the registered graft_cosine SQL function) would REINTERPRET bits, not
+    * convert — fail analysis instead.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   private def isDoubleArr(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true

@@ -102,19 +102,28 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = t.withColumn("__local", last(col("__l"), ignoreNulls = true).over(wIn))
-    // per-(key, shard) last left: max of (t, payload) structs over left
-    // rows — null (hence skipped by the carry window) when the shard holds
-    // no lefts. Built from the union so every (key, shard) local contains
-    // has a carry row (gaps propagate through the ignoreNulls window); the
-    // second pass over the union map-side-combines straight down to the
-    // |keys × occupied shards| relation, so its shuffle is tiny.
+    // per-(key, shard) last left: max_by(payload, t) over left rows — null
+    // (hence skipped by the carry window) when the shard holds no lefts.
+    // max_by orders on the TIMESTAMP alone, so the left payload only rides
+    // along and may contain unorderable columns (maps) — a max over
+    // (t, payload) structs would demand the whole left schema be orderable
+    // and silently rule out schemas asOf accepts. On left-timestamp ties
+    // within one (key, shard) the winner is unspecified, matching the
+    // documented tie ambiguity of both forms. Built from the union so every
+    // (key, shard) local contains has a carry row (gaps propagate through
+    // the ignoreNulls window); the second pass over the union map-side-
+    // combines straight down to the |keys × occupied shards| relation, so
+    // its shuffle is tiny. The carry join below carries no broadcast hint
+    // for the same reason as Packing.startOffsetsScalable: the relation
+    // grows as shardWidth shrinks, so AQE sizes it at runtime — broadcast
+    // when it fits, shuffled join on the (key, shard) partitioning phase 1
+    // already established when it doesn't.
     val bounds = t.groupBy(col("__k"), col("__shard"))
-      .agg(max(when(col("__side") === 0,
-        struct(col("__t").as("t"), col("__l").as("l")))).as("m"))
+      .agg(max_by(col("__l"), when(col("__side") === 0, col("__t"))).as("m"))
     val wPrev = Window.partitionBy("__k").orderBy("__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = bounds
-      .withColumn("__carry", last(col("m.l"), ignoreNulls = true).over(wPrev))
+      .withColumn("__carry", last(col("m"), ignoreNulls = true).over(wPrev))
       .select(col("__k"), col("__shard"), col("__carry"))
     local.join(carry, Seq("__k", "__shard"))
       .withColumn("asof", coalesce(col("__local"), col("__carry")))

@@ -45,8 +45,17 @@ object Packing {
   }
 
   /** Distributed two-phase prefix sum: identical `start_off`, per-source
-    * sort replaced by per-(source, shard) sorts plus a broadcast of the
-    * tiny cumulated shard-total relation.
+    * sort replaced by per-(source, shard) sorts plus a join back against the
+    * cumulated shard-total relation.
+    *
+    * The shard-total relation is |sources × occupied shards| rows — tiny at
+    * sane widths, but it grows toward the INPUT row count as shardWidth
+    * shrinks (at shardWidth=1 over a unique order key it equals it), which
+    * is exactly the regime a caller dials toward under heavy skew. So the
+    * join carries NO broadcast hint: AQE sizes the built relation at runtime
+    * and picks broadcast only when it actually fits (the common case), while
+    * a pathological width degrades to a shuffled join on (source, shard) —
+    * the partitioning phase 1 already established — instead of a driver OOM.
     */
   def startOffsetsScalable(
       df: DataFrame, source: String, order: String, weight: String,
@@ -66,7 +75,7 @@ object Packing {
       .groupBy(source, "__shard").agg(sum(col(weight)).as("__tot"))
       .withColumn("__base", coalesce(sum(col("__tot")).over(wPrev), lit(0L)))
       .drop("__tot")
-    local.join(broadcast(bases), Seq(source, "__shard"))
+    local.join(bases, Seq(source, "__shard"))
       .withColumn("start_off", col("__base") + col("__local") - col(weight))
       .drop("__shard", "__local", "__base")
   }

@@ -1533,17 +1533,16 @@ object PipelineQueries {
     * library actually runs. Plan shape: one corpus scan feeds the quality +
     * fingerprint projection; the keeper and contamination stages are
     * fp-/shingle-keyed shuffles of the REDUCED survivor set; the pack
-    * window is per-source. Nothing rescans the corpus. The per-source pack
-    * window is the one stage with a total order — at 100 TB, where one
-    * crawl can be 80 % of the corpus, swap it for
-    * [[graft.operators.Packing.startOffsetsScalable]] (identical offsets,
-    * per-shard sorts + broadcast shard bases; q_pack_scalable pins it under
-    * this same oracle).
+    * stage is [[graft.operators.Packing.startOffsetsScalable]] — the
+    * distributed two-phase prefix sum (per-(source, shard) sorts plus the
+    * tiny cumulated shard-base relation), NOT a per-source total-order
+    * window, so the composite a user copies ships the form that survives a
+    * crawl being 80 % of the corpus (q_pack_scalable pins the equality of
+    * the two forms under this same oracle). Nothing rescans the corpus.
     */
   val qTrainingManifest = Fixture(
     "q_training_manifest",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val enriched = docs.where(col("doc_id") >= 25).select(
         col("doc_id"), col("source"), col("text"),
@@ -1561,9 +1560,9 @@ object PipelineQueries {
         .where(col("frac") > 0.10)
         .select("doc_id")
       val clean = unique.join(tooContaminated, Seq("doc_id"), "left_anti")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      clean.where(col("band") < 980) // train shard
-        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      graft.operators.Packing
+        .startOffsetsScalable(clean.where(col("band") < 980) /* train shard */,
+          "source", "doc_id", "n_tok", shardWidth = 64L)
         .select(col("doc_id"), col("source"), col("q"), col("n_tok"),
           expr("start_off div 2048").as("pack_id"))
     },

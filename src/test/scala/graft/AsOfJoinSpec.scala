@@ -70,6 +70,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(scalable.queryExecution.executedPlan.toString.contains("__shard"))
   }
 
+  test("asOfScalable accepts unorderable left payload columns (maps), like asOf") {
+    import spark.implicits._
+    // the shard-bounds pass must order on the timestamp ALONE (max_by):
+    // reducing with max over (t, payload) structs would demand the whole
+    // left schema be orderable and reject a map column asOf accepts
+    val l = Seq((1L, 10L, Map("a" -> 1)), (1L, 20L, Map("b" -> 2)), (2L, 5L, Map("x" -> 9)))
+      .toDF("k", "t", "m")
+    val r = Seq((1L, 25L, "p"), (1L, 15L, "q"), (2L, 100L, "y")).toDF("k", "t", "w")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w"), map_keys(col("asof.m"))(0).as("mk"))
+    val expect = proj(AsOfJoin.asOf(l, r, "k", "t", "t"))
+    for (width <- Seq(1L, 7L, 1000L))
+      assertSameRows(proj(AsOfJoin.asOfScalable(l, r, "k", "t", "t", width)), expect)
+  }
+
   test("asof over events: every match is at or before, and is the latest") {
     val e = Tables.eventsWithEpoch(spark, sfDir)
       .withColumn("eu", unix_micros(col("ts")))

@@ -22,6 +22,17 @@ class CosineSpec extends SparkTestBase {
     assert(both.count() > 100)
   }
 
+  test("non-float/double array arguments fail analysis, not silently reinterpret") {
+    import spark.implicits._
+    // getFloat on an int-backed array would reinterpret bits — the type
+    // check must reject it at analysis time
+    val df = Seq((Seq(1, 2, 3), Seq(1.0f, 2.0f, 3.0f))).toDF("ints", "floats")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.cosineFused(col("ints"), col("floats"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_cosine"), err.getMessage)
+  }
+
   test("fused cosine survives codegen disabled (interpreted path)") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {

@@ -44,12 +44,38 @@ class PackingSpec extends SparkTestBase {
   }
 
   test("corpus-side window partitions by (source, shard); shard bases broadcast back") {
-    val p = Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", 16L)
-      .queryExecution.executedPlan.toString
+    val df = Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", 16L)
+    // no static broadcast hint anymore: AQE sizes the shard-base relation at
+    // runtime, so the broadcast shows up in the FINAL adaptive plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the big-side window must include the shard in its partition spec — a
     // per-source-only spec would be the total order the operator exists to
     // avoid
     assert(p.contains("__shard"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pathological shardWidth degrades to a non-broadcast join, not an OOM") {
+    // shardWidth=1 over a unique order key makes the shard-base relation as
+    // big as the input — the skew-dialed regime. With broadcast forced off
+    // (standing in for "bases outgrew the threshold") the operator must
+    // degrade to a shuffled join on (source, shard) and still be correct; an
+    // unconditional broadcast hint would ignore the threshold entirely.
+    val expect = Packing.startOffsets(input, "source", "doc_id", "n_tok")
+      .select("source", "doc_id", "start_off")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = Packing.startOffsetsScalable(input, "source", "doc_id", "n_tok", 1L)
+        .select("source", "doc_id", "start_off")
+      assertSameRows(df, expect)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 }
