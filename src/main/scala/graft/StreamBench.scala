@@ -21,6 +21,60 @@ import graft.streaming.Streams
   * spills past heap, the 100 TB-posture configuration.
   */
 object StreamBench {
+
+  /** The replay payload, loaded once (bounded: sf0.1 = 100k rows). */
+  def loadRows(spark: SparkSession, sfDir: String): Array[Sources.EventRow] = {
+    import spark.implicits._
+    Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("event_id"), col("es"), col("user_id"), col("event_type"), col("value"))
+      .as[Sources.EventRow].collect()
+  }
+
+  /** The tumbling-window micro-batch replay core — the streaming-throughput
+    * measurement both this main and graft.Bench report (the reference's
+    * ThroughputMonitor t/sec analog): replays `rows` `loops` times through a
+    * MemoryStream → 600 s tumbling CNT+SUM, update mode, memory sink.
+    * Returns (tuples, seconds, sorted per-batch trigger-to-commit ms).
+    * Caller owns session conf (state-store provider); shuffle partitions are
+    * pinned to 4 for the run and restored (state partitioning is fixed at
+    * the query's first run, and kilobyte-scale window state wants few
+    * partitions).
+    */
+  def tumblingReplay(
+      spark: SparkSession, rows: Array[Sources.EventRow],
+      loops: Int): (Long, Double, Seq[Long]) = {
+    val (ms, df) = Sources.replay(spark)
+    val agg = Streams.windowAgg(df, 600, 600, Seq("event_type"),
+      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
+          AggSpec(AggFn.Sum, col("value"), "sum_v")))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName(s"sb_out_${System.nanoTime}").start()
+      val t0 = System.nanoTime()
+      (1 to loops).foreach { _ =>
+        rows.grouped(100000).foreach(c => ms.addData(c.toSeq))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-batch trigger-to-commit latency (ms) — the replay analog of the
+      // reference's piggybacked latency marks; empty maintenance batches
+      // excluded
+      val lat = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sorted
+      q.stop()
+      (rows.length.toLong * loops, sec, lat)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Percentile over the sorted latency samples (−1 when empty). */
+  def pctOf(lat: Seq[Long], p: Double): Long =
+    if (lat.isEmpty) -1L
+    else lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,48 +93,19 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    // Load the replay payload once (bounded: sf0.1 = 100k rows).
-    val rows = Tables.eventsWithEpoch(spark, sfDir)
-      .select(col("event_id"), col("es"), col("user_id"), col("event_type"), col("value"))
-      .as[Sources.EventRow].collect()
+    val rows = loadRows(spark, sfDir)
 
     // warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // (a) streaming micro-batch replay: tumbling window CNT+SUM by type.
-    val (ms, df) = Sources.replay(spark)
-    val agg = Streams.windowAgg(df, 600, 600, Seq("event_type"),
-      Seq(AggSpec(AggFn.Cnt, col("value"), "cnt"),
-          AggSpec(AggFn.Sum, col("value"), "sum_v")))
     // Replay the table `loops` times (the reference loops its dataset for
     // DURATION seconds the same way) so per-tuple cost dominates the
     // micro-batch fixed overhead.
     val loops = sys.env.getOrElse("SPARK_GRAFT_LOOPS", "20").toInt
-    // State-store commit cost is per state partition per micro-batch; with
-    // kilobyte-scale window state, a handful of partitions is the right
-    // shape (state partitioning is fixed at the query's first run).
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = agg.writeStream.outputMode("update")
-      .format("memory").queryName("sb_out").start()
-    val t0 = System.nanoTime()
-    (1 to loops).foreach { _ =>
-      rows.grouped(100000).foreach(c => ms.addData(c.toSeq))
-      q.processAllAvailable()
-    }
-    val streamSec = (System.nanoTime() - t0) / 1e9
-    // per-batch trigger-to-commit latency (ms) — the replay analog of the
-    // reference's piggybacked latency marks; empty maintenance batches excluded
-    val lat = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      .sorted
-    def pct(p: Double): Long =
-      if (lat.isEmpty) -1L
-      else lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
-    q.stop()
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val (n, streamSec, lat) = tumblingReplay(spark, rows, loops)
+    def pct(p: Double): Long = pctOf(lat, p)
 
     // (b) batch path, same shape, over the same replayed volume.
     val replicated = spark.range(loops).crossJoin(Tables.events(spark, sfDir))
@@ -127,7 +152,6 @@ object StreamBench {
     val panedSec = slidingRun(paned = true)
     val nSlide = rows.length.toLong * slideLoops
 
-    val n = rows.length.toLong * loops
     println(s"""{"metric":"throughput","tuples":$n,""" +
       s""""stream_sec":$streamSec,"stream_tps":${(n / streamSec).toLong},""" +
       s""""batch_sec":$batchSec,"batch_tps":${(n / batchSec).toLong},""" +
