@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The reference's two join shapes (SURVEY §2.5), Spark-first.
   *
@@ -40,4 +42,88 @@ object Joins {
     left.join(right,
       theta && rightTs >= leftTs && rightTs <= leftTs + lit(windowSec),
       "inner")
+
+  /** J2 with ROW_BASED per-stream windows (reference ThetaJoin.h:307-326,
+    * 367-386 — eviction by row count, not time; the ctor accepts any
+    * WindowDefinition, so a row window on either stream is legal reference
+    * surface). Declarative slide-1 contract, pinned over the reference's
+    * batch-boundary artifacts like the rest of FIXTURES.md: a pair (l, r)
+    * matches iff `theta` holds AND at least one of
+    *
+    *  - l is among the last `leftRows` left rows at r's arrival
+    *    (l arrived at or before r), or
+    *  - r is among the last `rightRows` right rows at l's arrival.
+    *
+    * "Arrival" is the total order of `leftOrd`/`rightOrd`, which must be
+    * GLOBALLY UNIQUE across both inputs (build a composite like
+    * ts·K + unique_id) — the reference's single-node engine gets this order
+    * implicitly from its in-order interleave; we require it explicitly.
+    *
+    * Scale shape: row windows inherently need a per-stream global arrival
+    * numbering. Rather than one total-order sort, both per-stream row
+    * numbers and the cross-stream "rows seen at or before" counts come from
+    * the same two-phase distributed prefix sum as
+    * [[Packing.startOffsetsScalable]]: rows shard by `ord div shardWidth`
+    * (order-preserving), phase 1 counts within shards, phase 2 cumulates
+    * the |shards|-row totals relation and joins back (AQE-sized, broadcast
+    * when it fits). The join itself then carries the window-membership
+    * bands as residual predicates — callers include an equi key in `theta`
+    * whenever semantics allow, exactly as in [[windowedTheta]].
+    */
+  def rowWindowedTheta(
+      left: DataFrame,
+      right: DataFrame,
+      leftOrd: Column,
+      rightOrd: Column,
+      leftRows: Int,
+      rightRows: Int,
+      theta: Column,
+      shardWidth: Long = 1L << 20): DataFrame = {
+    require(leftRows > 0 && rightRows > 0, "row windows must be positive")
+    require(shardWidth > 0, s"shardWidth must be positive (got $shardWidth)")
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val lT = left.select(leftOrd.cast("long").as("__ord"),
+      lit(1L).as("__wl"), lit(0L).as("__wr"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rT = right.select(rightOrd.cast("long").as("__ord"),
+      lit(0L).as("__wl"), lit(1L).as("__wr"),
+      lit(null).cast(lType).as("__l"),
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
+    val u = lT.union(rT)
+      .withColumn("__shard", ((col("__ord") - pmod(col("__ord"), lit(shardWidth))) / shardWidth).cast("long"))
+    // phase 1: within-shard inclusive prefix counts of each side
+    val wIn = Window.partitionBy("__shard").orderBy("__ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = u
+      .withColumn("__lc", sum(col("__wl")).over(wIn))
+      .withColumn("__rc", sum(col("__wr")).over(wIn))
+    // phase 2: per-shard totals cumulated over PRECEDING shards — the
+    // window runs on the |shards|-row totals relation, never the corpus
+    // (single-partition there is fine; the relation is tiny by construction)
+    val wPrev = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = u.groupBy("__shard")
+      .agg(sum(col("__wl")).as("__tl"), sum(col("__wr")).as("__tr"))
+      .withColumn("__bl", coalesce(sum(col("__tl")).over(wPrev), lit(0L)))
+      .withColumn("__br", coalesce(sum(col("__tr")).over(wPrev), lit(0L)))
+      .select(col("__shard"), col("__bl"), col("__br"))
+    val counted = local.join(bases, Seq("__shard"))
+      .withColumn("__lcnt", col("__bl") + col("__lc"))
+      .withColumn("__rcnt", col("__br") + col("__rc"))
+    // split back: a side's own count at its row is its arrival row number
+    // (it counts itself); the other side's count is "rows at or before" —
+    // strictly before, by ord uniqueness across inputs
+    val lefts = counted.where(col("__wl") === 1).select(col("__l.*"),
+      col("__lcnt").as("__lrn"), col("__rcnt").as("__rbefore"))
+    val rights = counted.where(col("__wr") === 1).select(col("__r.*"),
+      col("__rcnt").as("__rrn"), col("__lcnt").as("__lbefore"))
+    val inLeftWindow = col("__lrn") > col("__lbefore") - leftRows &&
+      col("__lrn") <= col("__lbefore")
+    val inRightWindow = col("__rrn") > col("__rbefore") - rightRows &&
+      col("__rrn") <= col("__rbefore")
+    lefts.join(rights, theta && (inLeftWindow || inRightWindow), "inner")
+      .drop("__lrn", "__rbefore", "__rrn", "__lbefore")
+  }
 }

@@ -312,6 +312,48 @@ object ReferenceQueries {
       | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
       | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
 
+  /** Q-JOIN with ROW_BASED windows (ref ThetaJoin.h:307-326,367-386 — the
+    * ctor takes any WindowDefinition, so row eviction is reference surface;
+    * no reference benchmark exercises it, hence this micro-fixture): clicks
+    * pair with same-user purchases when either is among the other stream's
+    * most recent rows at its arrival — last 400 clicks / last 300 purchases,
+    * asymmetric so both membership branches are exercised. Arrival order is
+    * the composite es·10⁷ + event_id (globally unique; event_id stays well
+    * under 10⁷ at every driver SF). The oracle mirrors the same two prefix
+    * counts with plain window sums over the unioned arrival sequence.
+    */
+  val qJoinThetaRow = Fixture(
+    "q_join_theta_rowwin",
+    (s, d) => {
+      val e = ev(s, d)
+      val l = e.filter(col("event_type") === "click")
+        .select(col("es").as("l_es"), col("event_id").as("l_id"), col("user_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("es").as("r_es"), col("event_id").as("r_id"),
+          col("user_id").as("r_user"))
+      Joins.rowWindowedTheta(l, r,
+          col("l_es") * lit(10000000L) + col("l_id"),
+          col("r_es") * lit(10000000L) + col("r_id"),
+          leftRows = 400, rightRows = 300,
+          col("user_id") === col("r_user"))
+        .select("user_id", "l_id", "r_id", "l_es", "r_es")
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, event_id, user_id, event_type FROM events),
+      | l AS (SELECT es AS l_es, event_id AS l_id, user_id FROM e WHERE event_type = 'click'),
+      | r AS (SELECT es AS r_es, event_id AS r_id, user_id AS r_user FROM e WHERE event_type = 'purchase'),
+      | u AS (SELECT ord, sum(isl) OVER (ORDER BY ord) AS lcnt,
+      |         sum(isr) OVER (ORDER BY ord) AS rcnt
+      |       FROM (SELECT l_es * 10000000 + l_id AS ord, 1 AS isl, 0 AS isr FROM l
+      |             UNION ALL SELECT r_es * 10000000 + r_id, 0, 1 FROM r)),
+      | lx AS (SELECT l.*, u.lcnt AS lrn, u.rcnt AS rbefore
+      |        FROM l JOIN u ON u.ord = l_es * 10000000 + l_id),
+      | rx AS (SELECT r.*, u.rcnt AS rrn, u.lcnt AS lbefore
+      |        FROM r JOIN u ON u.ord = r_es * 10000000 + r_id)
+      | SELECT user_id, l_id, r_id, l_es, r_es
+      | FROM lx JOIN rx ON user_id = r_user AND (
+      |   (lrn > lbefore - 400 AND lrn <= lbefore) OR
+      |   (rrn > rbefore - 300 AND rrn <= rbefore))""".stripMargin))
+
   /** As-of join (beyond the reference; the classic point-in-time lookup):
     * each purchase enriched with the user's latest prior-or-simultaneous
     * click. Oracle: DuckDB's native ASOF JOIN.
@@ -1296,7 +1338,7 @@ object ReferenceQueries {
     qSg1, qSg2, qSg3, qSg3Join,
     qLrb1, qLrb2,
     qYsb, qMe1, qNbq5,
-    qJoinTheta, qAsOfJoin, qAsOfScalable, qRangeJoin, qDagUnion, qWeightedAvg,
+    qJoinTheta, qJoinThetaRow, qAsOfJoin, qAsOfScalable, qRangeJoin, qDagUnion, qWeightedAvg,
     qNoop, qProjectArith, qFilterCmp,
     qTumblingMulti, qHaving,
     qCountTumbling, qCountSliding, qCountSlidingS,

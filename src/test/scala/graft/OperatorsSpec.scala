@@ -51,6 +51,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.count() > 0, "no complete windows produced")
   }
 
+  test("Joins.rowWindowedTheta: membership by per-stream row recency, either side") {
+    import spark.implicits._
+    // arrival order (ord): L1(1) L2(2) R1(3) L3(4) R2(5) L4(6);
+    // leftRows=2, rightRows=1 — asymmetric so each branch is distinguishable:
+    //  R1 sees the last 2 lefts {L1,L2}; L3 sees the last right {R1};
+    //  R2 sees {L2,L3}; L4 sees {R2} (R1 already evicted from the 1-row
+    //  right window). Verified against the reference eviction rule by hand.
+    val l = Seq((1L, 1L), (2L, 2L), (4L, 3L), (6L, 4L)).toDF("l_ord", "lid")
+    val r = Seq((3L, 101L), (5L, 102L)).toDF("r_ord", "rid")
+    val got = Joins.rowWindowedTheta(l, r, col("l_ord"), col("r_ord"),
+        leftRows = 2, rightRows = 1, lit(true), shardWidth = 2)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L), (2L, 101L), (3L, 101L),
+      (2L, 102L), (3L, 102L), (4L, 102L)), s"got $got")
+  }
+
   test("Joins.windowedTheta honors the time bound") {
     val e = Tables.eventsWithEpoch(spark, sfDir)
     val l = e.select(col("es").as("l_es"), col("user_id"))
