@@ -161,13 +161,16 @@ object PipelineQueries {
       | FROM documents""".stripMargin))
 
   /** Streaming NEAR-dup dedup under the batch oracle: the documents replay
-    * in doc_id order through [[graft.streaming.StreamingMinhashDedup]]
-    * (MinHash(128)+LSH(32×4) band buckets in keyed state, exact-Jaccard
-    * verification on arrival), and the kept set must equal "documents minus
-    * the doc_b side of the exact pairwise τ = 0.8 relation" — the monotone
-    * first-seen contract, computed pairwise-exactly by DuckDB. LSH recall at
-    * τ = 0.8 is 1−4e−8 per pair (the same bound q_dedup_minhash_lsh banks
-    * on), so the sets coincide.
+    * in doc_id order through [[graft.streaming.StreamingMinhashDedup]]'s
+    * PRODUCTION form — doc-id-only band buckets (capped), a doc-keyed
+    * shingle store, exact-Jaccard verification in the arriving doc's own
+    * micro-batch, and watermark-TTL eviction on every stage (the synthetic
+    * event time is doc_id µs past epoch+1 s; the 1 h horizon covers the
+    * whole replay, so nothing evicts mid-run and the kept set must equal
+    * "documents minus the doc_b side of the exact pairwise τ = 0.8
+    * relation" — the monotone first-seen contract, computed
+    * pairwise-exactly by DuckDB). LSH recall at τ = 0.8 is 1−4e−8 per pair
+    * (the same bound q_dedup_minhash_lsh banks on), so the sets coincide.
     */
   val qDedupStreamMinhash = Fixture(
     "q_dedup_stream_minhash",
@@ -178,13 +181,22 @@ object PipelineQueries {
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)].collect().sortBy(_._1)
       val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      // +1s: the initial watermark is epoch 0, and a row AT the watermark
+      // is already late (same convention as q_dedup_stream_first_seen)
       val stream = ms.toDF().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
       val kept = graft.streaming.StreamingMinhashDedup
-        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8)
+        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8,
+          tsCol = Some("ts"), horizon = "1 hour")
         .toDF("doc_id")
       val sink = s"stream_minhash_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevCheck = s.conf
+        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // chained watermarked stateful stages trip Spark's global-watermark
+      // heuristic; sound here — see StreamingMinhashDedup's scaladoc
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
       try {
         val q = kept.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -194,7 +206,10 @@ object PipelineQueries {
             q.processAllAvailable()
           }
         finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prevCheck)
+      }
       s.table(sink)
     },
     Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -19,38 +21,88 @@ import graft.functions.TextFunctions
   * side of the batch pair relation" — which is what the DuckDB oracle
   * computes pairwise-exactly.
   *
-  * Shape: stage 0 (stateless) shingles, signs, and explodes each doc into
-  * its `bands` band rows; stage 1 keys by band — per bucket the state is
-  * the (doc_id, shingles) list of absorbed docs, each arrival is verified
-  * with the EXACT sorted-merge Jaccard against its bucket (precision 1,
-  * recall = LSH detection probability, ≈ 1−4e−8 at τ = 0.8 with 32×4) and
-  * emits one verdict row; stage 2 keys by doc and keeps the doc once all
-  * `bands` verdicts arrive dup-free. Shingle-less docs (< n words) bypass
-  * both stages and are always kept. Both stateful stages run in append
-  * mode, so they chain legally.
+  * [[firstSeen]] is the production form. Shape: stage 0 (stateless)
+  * shingles and signs each doc ONCE, then splits two ways — a per-doc
+  * shingle record, and `bands` band rows carrying ONLY (doc_id, band key).
+  * Stage 1 keys by band bucket; per bucket the state is the CAPPED doc-id
+  * list of absorbed docs — no payload — and each arrival emits one
+  * sh-less candidate row per absorbed earlier doc. Stage 2 keys by the
+  * CANDIDATE doc id over a union of shingle records and candidate rows: it
+  * is the doc-keyed shingle store (one array per doc, not one per band),
+  * and attaches the earlier doc's shingles to each candidate. Stage 3 keys
+  * by the ARRIVING doc id over a union of shingle records and attached
+  * candidates: it has both sides' shingles in one place, runs the EXACT
+  * sorted-merge Jaccard (precision 1; recall = LSH detection probability,
+  * ≈ 1−4e−8 at τ = 0.8 with 32×4), and emits the doc iff no candidate
+  * verifies. All of a doc's rows traverse the whole DAG inside the doc's
+  * own micro-batch, so resolution is never deferred; a `done` marker (kept
+  * until the horizon passes) makes re-delivery of a doc by an
+  * at-least-once source emit nothing the second time. Shingle-less docs
+  * (< n words) bypass all stages and are always kept. All stateful stages
+  * run in append mode, so they chain legally.
   *
-  * Scale posture: the shuffle keys are band longs and doc ids — the batch
-  * operator's keys exactly; state is per-bucket doc lists, bounded by LSH
-  * bucket population (hot boilerplate buckets are the known hazard; the
-  * production variant caps absorbed docs per bucket and/or evicts by
-  * watermark TTL — the fixture replays a bounded corpus and uses
-  * NoTimeout). The known cost term: shingle arrays ride the band explode
-  * `bands`× into the stage-1 shuffle and bucket state (the batch operator
-  * pays a related factor via its two candidate-side joins back onto the
-  * shingle relation). The documented slimming for extreme scale splits
-  * candidate GENERATION from verification — band state keeps doc ids only,
-  * emitted sh-less candidate pairs route through a doc-keyed shingle store
-  * for the exact verify — trading the `bands`× replication for two extra
-  * chained stateful hops; at this corpus the simpler single-verify-stage
-  * form wins.
+  * State lifecycle (the 100 TB posture): pass `tsCol` to run every stage
+  * under a watermark with event-time-timeout eviction — state that
+  * outlives `horizon` past the watermark is dropped by timers, and
+  * entries touched by later data are ALSO lazily aged out on access (a
+  * key that keeps receiving data never times out, so expiry must be
+  * checked in-band too). `bucketCap` bounds a hot bucket (boilerplate
+  * text): beyond the cap a bucket stops absorbing — new arrivals still
+  * verify against the first `bucketCap` representatives, so a capped
+  * bucket keeps catching dups of anything it holds; what it can no longer
+  * do is index a NOVEL doc that landed in a saturated bucket (recall
+  * caveat under adversarial bucket load, the standard cap trade-off).
+  * Chaining watermarked stateful operators trips Spark's global-watermark
+  * pattern heuristic; callers must set
+  * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+  * for this query. That is sound here: every stage re-emits its input
+  * rows' own event timestamps in the same micro-batch, so no stage can
+  * emit a row that is late for the next one.
+  *
+  * Versus the dense single-verify-stage form ([[firstSeenDense]], kept as
+  * the executable spec of the contract): the dense form replicates each
+  * doc's shingle array `bands`× (32×) through the stage-1 shuffle AND
+  * holds it `bands`× in bucket state forever. The slim form ships each
+  * shingle array once (as a pass-through row on the same scan) plus once
+  * per candidate PAIR, and stores it once per doc with TTL — per-doc
+  * state and shuffle cost drops from O(bands · |sh|) to O(|sh|), at the
+  * price of two extra chained stateful hops. Measured on the 5 000-doc
+  * sf0.1 replay the two forms are at wall-clock parity (~15 s): at that
+  * corpus the micro-batch machinery, not payload volume, dominates, so
+  * the hops cancel the replication win — the slim form's payoff is the
+  * BOUNDED state (cap + TTL) and the 32× smaller state/shuffle volume,
+  * which is what survives a corpus 1000× this size.
+  * StreamingMinhashSlimSpec pins kept-set equality of the two forms.
   */
 object StreamingMinhashDedup {
 
+  // dense-form records
   case class BandEv(doc_id: Long, bk: Long, sh: Seq[Long])
   case class Verdict(doc_id: Long, dup: Boolean)
   case class DocSh(doc_id: Long, sh: Seq[Long])
   case class BucketState(docs: List[DocSh])
   case class DocState(seen: Int, dup: Boolean)
+
+  // slim-form records. Every stage input carries `ts` so the event-time
+  // (watermark) attribute survives into each stateful operator's child.
+  /** Stage-1 input: a band row (kind 0, bk = band key, sh empty) or a
+    * shingle record riding the same shuffle as a PASS-THROUGH (kind 1,
+    * bk = a spreading hash of the doc id, sh = the doc's shingles) — one
+    * source scan feeds the whole chain instead of each stage re-scanning
+    * (and re-shingling) the input for its shingle-record union branch. */
+  case class S1In(doc_id: Long, bk: Long, kind: Int, sh: Seq[Long], ts: Timestamp)
+  /** Stage-2 input: shingle record (b_id = -1, sh = own shingles, k = own
+    * id) or sh-less candidate (k = earlier doc a, b_id = arriving doc). */
+  case class Cand(k: Long, b_id: Long, sh: Seq[Long], ts: Timestamp)
+  /** Stage-3 input: shingle record (a_id = -1, sh = own shingles) or
+    * attached candidate (k = arriving doc b, a_id, sh = a's shingles). */
+  case class Att(k: Long, a_id: Long, sh: Seq[Long], ts: Timestamp)
+  /** Stage-1 state: absorbed (doc_id, event-time ms), newest first, ≤ cap. */
+  case class BucketIds(ids: List[(Long, Long)])
+  /** Stage-2 state: the doc's shingles + its event-time ms. */
+  case class ShSt(sh: Seq[Long], tsm: Long)
+  /** Stage-3 state: resolution marker (replay suppression) + event-time ms. */
+  case class Done(tsm: Long)
 
   /** Exact Jaccard on two sorted distinct long arrays (the Scala mirror of
     * SortedIntersectSize + the q4 threshold both engines apply).
@@ -68,10 +120,218 @@ object StreamingMinhashDedup {
     jac >= minJ
   }
 
-  /** @param stream streaming DataFrame with long `idCol` and string `textCol`
+  private def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"horizon must not use months (got '$s')")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** Production form: doc-id-only band state, doc-keyed shingle store,
+    * optional watermark-TTL eviction, per-bucket cap. See object doc.
+    *
+    * @param stream streaming DataFrame with long `idCol` and string `textCol`
+    * @param tsCol event-time timestamp column: when set, the stream is
+    *   watermarked (`watermarkDelay`) and ALL state evicts `horizon` past
+    *   the watermark; when None, state lives for the run (bounded replays,
+    *   tests)
+    * @param horizon how long a seen doc keeps suppressing near-dups
+    * @param bucketCap max docs absorbed per band bucket
     * @return streaming Dataset of kept doc ids
     */
   def firstSeen(
+      spark: SparkSession, stream: DataFrame, idCol: String, textCol: String,
+      n: Int, minJ: Double, numHashes: Int = 128, bands: Int = 32,
+      tsCol: Option[String] = None, watermarkDelay: String = "10 seconds",
+      horizon: String = "1 hour", bucketCap: Int = 4096): Dataset[Long] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    require(bucketCap > 0, s"bucketCap must be positive (got $bucketCap)")
+    val r = numHashes / bands
+    val ttl = tsCol.isDefined
+    val horizonMs = intervalMs(horizon)
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    // On-access expiry of state the timers cannot reach (keys still
+    // receiving data are exempt from event-time timeout).
+    def expired(tsm: Long, wmMs: Long): Boolean = ttl && tsm + horizonMs < wmMs
+    def setTtl(state: GroupState[_], maxTsm: Long): Unit = if (ttl)
+      state.setTimeoutTimestamp(math.max(maxTsm, state.getCurrentWatermarkMs()) + horizonMs)
+
+    // stage 0: the batch pipeline's shingle hashing, signature family, and
+    // band keys, verbatim (Dedup.shingledHashed / minhashSig / band slice);
+    // each doc is hashed ONCE and split into a shingle record + `bands`
+    // payload-free band rows
+    val withTs = stream
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"),
+        tsCol.map(c => col(c).cast("timestamp"))
+          .getOrElse(timestamp_micros(lit(0L))).as("ts"))
+    val marked = if (ttl) withTs.withWatermark("ts", watermarkDelay) else withTs
+    val hashed = marked
+      .withColumn("sh",
+        sort_array(transform(TextFunctions.shingles(col("__text"), n), s => xxhash64(s))))
+      .withColumn("n_sh", size(col("sh")))
+    val shingleLess = hashed.where(col("n_sh") <= 0).select(col("doc_id")).as[Long]
+    val shRecs = hashed.where(col("n_sh") > 0)
+      .select(col("doc_id"), col("sh"), col("ts"))
+    // The size(sh) < 0 guard is a COLLAPSE BARRIER, not logic: band rows
+    // drop `sh` (that is the point of the slim form), so `sh` would be
+    // referenced exactly once here and CollapseProject would inline the
+    // whole shingle expression into sig's inner lambda — re-evaluating the
+    // shingling once per outer minhash iteration (128× per doc; measured
+    // 7× the fixture's wall clock). A second reference to the non-cheap
+    // alias makes the collapse duplication check keep `sh` materialized.
+    // The shingle record rides the SAME scan as a pass-through row
+    // (kind 1, spread across buckets by a hash of the doc id) so the whole
+    // three-stage chain consumes ONE source scan — separate shingle-record
+    // union branches per stage would each re-scan and re-shingle the input.
+    val banded = shRecs
+      .withColumn("sig", when(size(col("sh")) < 0, lit(null))
+        .otherwise(transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("sh"), s => xxhash64(i, s))))))
+      .select(col("doc_id"),
+        explode(sequence(lit(-1), lit(bands - 1))).as("band"),
+        col("sig"), col("sh"), col("ts"))
+      .select(col("doc_id"),
+        when(col("band") < 0, xxhash64(col("doc_id")))
+          .otherwise(xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+          .as("bk"),
+        when(col("band") < 0, lit(1)).otherwise(lit(0)).as("kind"),
+        when(col("band") < 0, col("sh")).otherwise(array().cast("array<long>")).as("sh"),
+        col("ts"))
+      .as[S1In]
+
+    // stage 1: per band bucket, emit one sh-less candidate per absorbed
+    // earlier doc, absorb the arrival (doc id only, capped); shingle
+    // records pass through untouched (no state for their spreading keys)
+    val candidates = banded
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketIds, Cand](OutputMode.Append, timeout) {
+        (_: Long, rows: Iterator[S1In], state: GroupState[BucketIds]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
+            var ids = state.getOption.map(_.ids).getOrElse(Nil)
+              .filterNot(e => expired(e._2, wm))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Cand]
+            var maxTsm = Long.MinValue
+            var sawBand = false
+            rows.toSeq.sortBy(_.doc_id).foreach { ev =>
+              if (ev.kind == 1) out += Cand(ev.doc_id, -1L, ev.sh, ev.ts)
+              else {
+                val tsm = ev.ts.getTime
+                maxTsm = math.max(maxTsm, tsm)
+                sawBand = true
+                ids.foreach { case (a, _) =>
+                  if (a < ev.doc_id) out += Cand(a, ev.doc_id, Nil, ev.ts)
+                }
+                if (!ids.exists(_._1 == ev.doc_id) && ids.size < bucketCap)
+                  ids = (ev.doc_id, tsm) :: ids
+              }
+            }
+            if (sawBand) {
+              state.update(BucketIds(ids))
+              setTtl(state, maxTsm)
+            }
+            out.iterator
+          }
+      }
+
+    // Downstream stages do NOT re-watermark: a second EventTimeWatermark
+    // node below a stateful operator is rejected by the watermark
+    // propagation simulator once the watermark advances ("Redefining
+    // watermark is disallowed"). A stateful operator's OUTPUT also sheds
+    // the event-time attribute metadata, which the EventTimeTimeout
+    // analysis check requires on the next stage's input — so re-tag the
+    // emitted `ts` field with the delay metadata by hand. The runtime
+    // eviction watermark is supplied by Spark's multiple-stateful-operator
+    // watermark propagation regardless; the tag only re-states what the
+    // column already is: the row's own event time, unmodified since the
+    // watermarked source.
+    def tagEventTime(df: DataFrame): DataFrame =
+      if (!ttl) df
+      else df.withColumn("ts", col("ts").as("ts",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey,
+            intervalMs(watermarkDelay))
+          .build()))
+
+    // stage 2: the doc-keyed shingle store — ONE array per doc (vs `bands`×
+    // in bucket state for the dense form); attaches the earlier doc's
+    // shingles to each candidate pair and forwards the shingle record for
+    // stage 3's own-side lookup
+    val attached = tagEventTime(candidates.toDF()).as[Cand]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ShSt, Att](OutputMode.Append, timeout) {
+        (k: Long, rows: Iterator[Cand], state: GroupState[ShSt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
+            var st = state.getOption.filterNot(s => expired(s.tsm, wm))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Att]
+            var maxTsm = Long.MinValue
+            // shingle records (b_id = -1) first: an intra-batch candidate
+            // may reference a doc whose record rides the same batch
+            rows.toSeq.sortBy(r => (r.b_id, r.ts.getTime)).foreach { rec =>
+              maxTsm = math.max(maxTsm, rec.ts.getTime)
+              if (rec.b_id < 0) {
+                if (st.isEmpty) st = Some(ShSt(rec.sh, rec.ts.getTime))
+                out += Att(k, -1L, rec.sh, rec.ts) // forward for stage 3
+              } else {
+                // store miss (expired / capped-out) → empty shingles → the
+                // verify below fails → an expired doc cannot suppress new
+                // docs, the safe direction
+                out += Att(rec.b_id, k, st.map(_.sh).getOrElse(Nil), rec.ts)
+              }
+            }
+            if (st.isDefined) {
+              st.foreach(state.update)
+              setTtl(state, maxTsm)
+            }
+            out.iterator
+          }
+      }
+
+    // stage 3: per arriving doc — own shingles (forwarded through stages
+    // 1-2) + every attached candidate land in the doc's own micro-batch;
+    // verify exactly, emit iff clean; keep a `done` marker so an
+    // at-least-once redelivery emits nothing
+    val stage3In = tagEventTime(attached.toDF()).as[Att]
+    val kept = stage3In
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Done, Long](OutputMode.Append, timeout) {
+        (k: Long, rows: Iterator[Att], state: GroupState[Done]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
+            val maxTsm = rs.map(_.ts.getTime).max
+            val already = state.getOption.filterNot(d => expired(d.tsm, wm))
+            state.update(Done(maxTsm))
+            setTtl(state, maxTsm)
+            if (already.isDefined) Iterator.empty
+            else {
+              val shB = rs.find(_.a_id < 0).map(_.sh).getOrElse(Seq.empty)
+              val dup = shB.nonEmpty && rs.exists(a =>
+                a.a_id >= 0 && a.sh.nonEmpty && jacAtLeast(a.sh, shB, minJ))
+              if (dup) Iterator.empty else Iterator.single(k)
+            }
+          }
+      }
+
+    kept.union(shingleLess)
+  }
+
+  /** The dense single-verify-stage form — shingles ride the band explode
+    * `bands`× into the stage-1 shuffle and bucket state, verification
+    * happens in the bucket, and a second keyed stage gathers the `bands`
+    * verdicts. Simple and correct on bounded corpora; kept as the
+    * executable contract the slim form is spec-checked against (and as the
+    * cheaper plan for small replays, where `bands`× replication of a few
+    * hundred docs costs less than two extra stateful hops).
+    */
+  def firstSeenDense(
       spark: SparkSession, stream: DataFrame, idCol: String, textCol: String,
       n: Int, minJ: Double, numHashes: Int = 128, bands: Int = 32): Dataset[Long] = {
     import spark.implicits._

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingMinhashDedup
+
+/** The slim production form of StreamingMinhashDedup (doc-id-only band
+  * state, doc-keyed shingle store, watermark TTL, bucket cap) versus the
+  * dense executable contract: kept-set equality on the fixture corpus, and
+  * the lifecycle behaviors the dense form does not have — bounded bucket
+  * state, horizon eviction, at-least-once replay suppression.
+  */
+class StreamingMinhashSlimSpec extends SparkTestBase {
+
+  /** Replay (doc_id, text, ts_us) rows in `chunks` micro-batches through
+    * the slim form with TTL enabled; returns the kept doc-id set.
+    */
+  private def replaySlim(
+      rows: Seq[(Long, String, Long)], chunks: Int, minJ: Double = 0.8,
+      horizon: String = "1 hour", bucketCap: Int = 4096,
+      delay: String = "10 seconds"): Set[Long] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = ms.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val kept = StreamingMinhashDedup.firstSeen(
+        s, stream, "doc_id", "text", 3, minJ,
+        tsCol = Some("ts"), watermarkDelay = delay,
+        horizon = horizon, bucketCap = bucketCap)
+      .toDF("doc_id")
+    val sink = s"mh_slim_${System.nanoTime}"
+    val prev = s.conf
+      .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try
+      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
+    }
+    val got = s.table(sink).collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length,
+      s"kept ids emitted more than once: ${got.groupBy(identity).filter(_._2.length > 1).keys}")
+    got.toSet
+  }
+
+  private def replayDense(rows: Seq[(Long, String)], chunks: Int): Set[Long] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val kept = StreamingMinhashDedup
+      .firstSeenDense(s, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .toDF("doc_id")
+    val sink = s"mh_dense_${System.nanoTime}"
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try
+      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    finally q.stop()
+    s.table(sink).collect().map(_.getLong(0)).toSet
+  }
+
+  test("slim (TTL mode) == dense on the fixture corpus, chunking-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val expect = replayDense(docs, chunks = 4)
+    for (chunks <- Seq(1, 4))
+      assert(replaySlim(docs.map(d => (d._1, d._2, 1000000L + d._1)), chunks) == expect,
+        s"slim/dense kept sets diverge at chunks=$chunks")
+  }
+
+  private val baseText =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+
+  test("bucketCap bounds hot-bucket state; capped bucket still catches its dups") {
+    // 40 identical docs: all land in the same 32 buckets; with cap 4 the
+    // buckets stop absorbing at 4 ids, yet every later copy still verifies
+    // against the absorbed representatives and drops — state is bounded by
+    // the cap, not the hot-bucket population
+    val rows = (1L to 40L).map(i => (i, baseText, 1000000L + i))
+    val got = replaySlim(rows, chunks = 5, bucketCap = 4)
+    assert(got == Set(1L), s"got $got")
+  }
+
+  test("horizon eviction: a doc older than the horizon stops suppressing near-dups") {
+    // A at t=100s; filler at t=400s advances the watermark past A's horizon
+    // (60s); B (identical to A) at t=401s then finds no index entry — kept.
+    // The filler shares no shingles with A/B. With a 1h horizon instead, B
+    // is dropped — proving the kept/evicted difference is the TTL, nothing
+    // else. (Keys receiving data are exempt from event-time timers, so this
+    // also exercises the on-access lazy expiry path.)
+    val rows = Seq(
+      (1L, baseText, 100000000L),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", 400000000L),
+      (3L, baseText, 401000000L))
+    assert(replaySlim(rows, chunks = 3, horizon = "1 minute", delay = "1 second")
+      == Set(1L, 2L, 3L), "evicted doc must not suppress a later near-dup")
+    assert(replaySlim(rows, chunks = 3, horizon = "1 hour", delay = "1 second")
+      == Set(1L, 2L), "in-horizon near-dup must still drop")
+  }
+
+  test("at-least-once redelivery: a replayed batch emits no doc twice") {
+    val rows = Seq(
+      (1L, baseText, 1000000L),
+      (2L, baseText + " mike", 1001000L), // near-dup of 1 → dropped
+      (3L, "one two three four five six seven eight nine ten eleven twelve", 1002000L))
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = ms.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val kept = StreamingMinhashDedup.firstSeen(
+        s, stream, "doc_id", "text", 3, 0.8, tsCol = Some("ts"))
+      .toDF("doc_id")
+    val sink = s"mh_replay_${System.nanoTime}"
+    val prev = s.conf
+      .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      ms.addData(rows); q.processAllAvailable()
+      ms.addData(rows) // the at-least-once source redelivers the whole batch
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
+    }
+    val got = s.table(sink).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == Seq(1L, 3L), s"got $got")
+  }
+}
