@@ -197,7 +197,7 @@ object PipelineQueries {
       // chained watermarked stateful stages trip Spark's global-watermark
       // heuristic; sound here — see StreamingMinhashDedup's scaladoc
       s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-      try {
+      try graft.streaming.Streams.withRocksDb(s) {
         val q = kept.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try

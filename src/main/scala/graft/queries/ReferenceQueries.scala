@@ -1067,7 +1067,7 @@ object ReferenceQueries {
       val sink = s"stream_gap_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
@@ -1097,9 +1097,9 @@ object ReferenceQueries {
       | FROM sp JOIN b USING (event_type) LEFT JOIN a USING (event_type, ws)
       | WHERE sp.ws < b.hi OR (sp.ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
 
-  /** The custom-state streaming path (flatMapGroupsWithState — the analog of
-    * the reference's pending count-window fragments, OperatorKernel.h:
-    * 1986-2123) under the batch oracle: keyed tumbling COUNT windows over
+  /** The custom-state streaming path (transformWithState, Spark 4 state-v2
+    * on RocksDB — the analog of the reference's pending count-window
+    * fragments, OperatorKernel.h:1986-2123) under the batch oracle: keyed tumbling COUNT windows over
     * the ordered replay. Complete windows emit the moment their size-th row
     * arrives — no watermark involvement — and the in-flight fragment stays
     * in state, so the emitted set is exactly the windows the batch
@@ -1126,7 +1126,7 @@ object ReferenceQueries {
       val sink = s"stream_count_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try
@@ -1296,7 +1296,7 @@ object ReferenceQueries {
       val sink = s"stream_asof_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming as-of join (point-in-time enrichment) — the batch
   * [[graft.operators.AsOfJoin]] on the streaming path, which Structured
@@ -11,9 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same key, and the pairing must be stable however the stream is chunked
   * into micro-batches.
   *
-  * Custom keyed state via flatMapGroupsWithState: both sides arrive as ONE
-  * stream tagged by kind; per key the state is just the latest left event
-  * seen so far — O(1) per key, the smallest possible as-of state. Within a
+  * Custom keyed state via `transformWithState` (Spark 4 state-v2; the
+  * running query needs the RocksDB state store provider): both sides arrive
+  * as ONE stream tagged by kind; per key the state is just the latest left
+  * event seen so far — O(1) per key, the smallest possible as-of state. Within a
   * micro-batch rows are ordered by (eu, side, event_id) — left before right
   * on timestamp ties, so simultaneous events match, the `r_eu >= l_eu`
   * semantics of the batch operator and DuckDB's ASOF JOIN. Cross-batch
@@ -32,6 +33,31 @@ object StreamingAsOf {
   case class LastLeft(eu: Long, event_id: Long)
   case class Out(r_id: Long, user_id: Long, r_eu: Long, l_id: Long, l_eu: Long)
 
+  private class LatestPriorProcessor extends StatefulProcessor[Long, Ev, Out] {
+    @transient private var st: ValueState[LastLeft] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastLeft](
+        "last", Encoders.product[LastLeft], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[Out] = {
+      var last = if (st.exists()) Option(st.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+      rows.toSeq.sortBy(e => (e.eu, e.side, e.event_id)).foreach { e =>
+        // monotone guard: a left event that is OLDER than the stored
+        // state (a straggler arriving in a later micro-batch) must not
+        // regress the "latest prior" — without it a subsequent right
+        // event would pair with the stale older left. Under in-order
+        // input the guard is a no-op; under disorder it makes the
+        // operator deterministic-monotone instead of silently wrong.
+        if (e.side == 0) {
+          if (last.forall(_.eu <= e.eu)) last = Some(LastLeft(e.eu, e.event_id))
+        } else last.foreach(c => out += Out(e.event_id, key, e.eu, c.event_id, c.eu))
+      }
+      last.foreach(st.update)
+      out.iterator
+    }
+  }
+
   /** `stream` columns: user_id, eu (µs), event_id, side (0 = left/click,
     * 1 = right/purchase).
     */
@@ -40,24 +66,7 @@ object StreamingAsOf {
     stream.select(col("user_id"), col("eu"), col("event_id"), col("side"))
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastLeft, Out](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[Ev], state: GroupState[LastLeft]) =>
-          var last = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Out]
-          rows.toSeq.sortBy(e => (e.eu, e.side, e.event_id)).foreach { e =>
-            // monotone guard: a left event that is OLDER than the stored
-            // state (a straggler arriving in a later micro-batch) must not
-            // regress the "latest prior" — without it a subsequent right
-            // event would pair with the stale older left. Under in-order
-            // input the guard is a no-op; under disorder it makes the
-            // operator deterministic-monotone instead of silently wrong.
-            if (e.side == 0) {
-              if (last.forall(_.eu <= e.eu)) last = Some(LastLeft(e.eu, e.event_id))
-            } else last.foreach(c => out += Out(e.event_id, key, e.eu, c.event_id, c.eu))
-          }
-          last.foreach(state.update)
-          out.iterator
-      }
+      .transformWithState(new LatestPriorProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

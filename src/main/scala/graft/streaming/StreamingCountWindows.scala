@@ -1,17 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming count-based (ROW_BASED) tumbling windows — SURVEY §2 A3, the one
   * window family Structured Streaming lacks natively (reference
   * WindowDefinition.h:13; LRB2's second stage needs it).
   *
-  * Keyed stateful counter via flatMapGroupsWithState: per key, rows are
+  * Keyed stateful counter via `transformWithState` (Spark 4 state-v2 — the
+  * arbitrary-state API successor to flatMapGroupsWithState; requires the
+  * RocksDB state store provider on the running query): per key, rows are
   * numbered in stream order; every `size` rows a completed window
-  * (key, wid, cnt, sum_v) is emitted. The in-flight window stays in state —
-  * the analog of the reference's "pending" window fragments
+  * (key, wid, cnt, sum_v) is emitted. The in-flight window stays in a
+  * ValueState — the analog of the reference's "pending" window fragments
   * (OperatorKernel.h:1986-2123). Rows are ordered within each micro-batch by
   * (es, event_id); cross-batch order relies on the source being in-order,
   * exactly the reference's operating assumption (README.md:16).
@@ -28,6 +30,86 @@ object StreamingCountWindows {
   case class SlideState(recent: Seq[Double])
   case class SlideOut(user_id: Long, event_id: Long, avg_w: Double)
 
+  private def ordered(rows: Iterator[InRow]): Seq[InRow] =
+    rows.toSeq.sortBy(r => (r.es, r.event_id))
+
+  /** Tumbling count-window fragment keyed by an arbitrary K (the keyed and
+    * global forms share it; K only labels the output rows).
+    */
+  private class TumblingProcessor(size: Int)
+      extends StatefulProcessor[Long, InRow, WindowOut] {
+    @transient private var st: ValueState[CountState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountState](
+        "frag", Encoders.product[CountState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[InRow], tv: TimerValues): Iterator[WindowOut] = {
+      var s = if (st.exists()) st.get() else CountState(0L, 0L, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
+      ordered(rows).foreach { r =>
+        s = CountState(s.wid, s.cnt + 1, s.sum + r.value)
+        if (s.cnt == size) {
+          out += WindowOut(key, s.wid, s.cnt, s.sum)
+          s = CountState(s.wid + 1, 0L, 0.0)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  private class SlidingTrailingProcessor(size: Int)
+      extends StatefulProcessor[Long, InRow, SlideOut] {
+    @transient private var st: ValueState[SlideState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SlideState](
+        "ring", Encoders.product[SlideState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[InRow], tv: TimerValues): Iterator[SlideOut] = {
+      var recent = if (st.exists()) st.get().recent else Seq.empty[Double]
+      val out = scala.collection.mutable.ArrayBuffer.empty[SlideOut]
+      ordered(rows).foreach { r =>
+        val window = (recent :+ r.value).takeRight(size)
+        out += SlideOut(key, r.event_id, window.sum / window.size)
+        recent = window.takeRight(size - 1)
+      }
+      st.update(SlideState(recent))
+      out.iterator
+    }
+  }
+
+  case class GenSlideState(nextIdx: Long, recent: Seq[Double])
+
+  private class GenSlidingProcessor(size: Int, slide: Int)
+      extends StatefulProcessor[Long, InRow, WindowOut] {
+    @transient private var st: ValueState[GenSlideState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GenSlideState](
+        "ring", Encoders.product[GenSlideState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[InRow], tv: TimerValues): Iterator[WindowOut] = {
+      var s = if (st.exists()) st.get() else GenSlideState(0L, Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
+      ordered(rows).foreach { r =>
+        val i = s.nextIdx
+        val window = (s.recent :+ r.value).takeRight(size)
+        // window k closes at row i = k·slide + size − 1
+        if (i >= size - 1 && (i - size + 1) % slide == 0) {
+          val k = (i - size + 1) / slide
+          out += WindowOut(key, k, window.size.toLong, window.sum)
+        }
+        s = GenSlideState(i + 1, window.takeRight(size - 1))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  private def typedRows(stream: DataFrame)(implicit spark: SparkSession): Dataset[InRow] = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("es"), col("event_id"), col("value")).as[InRow]
+  }
+
   /** Streaming sliding count window (size, slide 1) — SURVEY §2 A4: per
     * arriving row, the aggregate over the `size` most recent rows of its key.
     * State per key is the ring of the last `size − 1` values.
@@ -37,27 +119,11 @@ object StreamingCountWindows {
       stream: DataFrame,
       size: Int): Dataset[SlideOut] = {
     import spark.implicits._
-    val typed = stream
-      .select(col("user_id"), col("es"), col("event_id"), col("value"))
-      .as[InRow]
-    typed
+    typedRows(stream)(spark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SlideState, SlideOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[InRow], state: GroupState[SlideState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SlideOut]
-          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
-            val window = (recent :+ r.value).takeRight(size)
-            out += SlideOut(key, r.event_id, window.sum / window.size)
-            recent = window.takeRight(size - 1)
-          }
-          state.update(SlideState(recent))
-          out.iterator
-      }
+      .transformWithState(new SlidingTrailingProcessor(size),
+        TimeMode.None(), OutputMode.Append())
   }
-
-  case class GenSlideState(nextIdx: Long, recent: Seq[Double])
 
   /** Streaming generic ROW_BASED sliding window `(size, slide)`, slide > 1 —
     * the streaming analog of CountWindows.slidingAgg (reference
@@ -76,29 +142,10 @@ object StreamingCountWindows {
     require(size > 0 && slide > 0 && slide < size,
       s"need 0 < slide < size, got size=$size slide=$slide")
     import spark.implicits._
-    val typed = stream
-      .select(col("user_id"), col("es"), col("event_id"), col("value"))
-      .as[InRow]
-    typed
+    typedRows(stream)(spark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[GenSlideState, WindowOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[InRow], state: GroupState[GenSlideState]) =>
-          var st = state.getOption.getOrElse(GenSlideState(0L, Seq.empty))
-          val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
-          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
-            val i = st.nextIdx
-            val window = (st.recent :+ r.value).takeRight(size)
-            // window k closes at row i = k·slide + size − 1
-            if (i >= size - 1 && (i - size + 1) % slide == 0) {
-              val k = (i - size + 1) / slide
-              out += WindowOut(key, k, window.size.toLong, window.sum)
-            }
-            st = GenSlideState(i + 1, window.takeRight(size - 1))
-          }
-          state.update(st)
-          out.iterator
-      }
+      .transformWithState(new GenSlidingProcessor(size, slide),
+        TimeMode.None(), OutputMode.Append())
   }
 
   case class GlobalOut(wid: Long, cnt: Long, sum_v: Double)
@@ -121,26 +168,11 @@ object StreamingCountWindows {
       stream: DataFrame,
       size: Int): Dataset[GlobalOut] = {
     import spark.implicits._
-    val typed = stream
-      .select(col("user_id"), col("es"), col("event_id"), col("value"))
-      .as[InRow]
-    typed
-      .groupByKey(_ => 0) // constant key: one state partition, by design
-      .flatMapGroupsWithState[CountState, GlobalOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[InRow], state: GroupState[CountState]) =>
-          var st = state.getOption.getOrElse(CountState(0L, 0L, 0.0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[GlobalOut]
-          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
-            st = CountState(st.wid, st.cnt + 1, st.sum + r.value)
-            if (st.cnt == size) {
-              out += GlobalOut(st.wid, st.cnt, st.sum)
-              st = CountState(st.wid + 1, 0L, 0.0)
-            }
-          }
-          state.update(st)
-          out.iterator
-      }
+    typedRows(stream)(spark)
+      .groupByKey(_ => 0L) // constant key: one state partition, by design
+      .transformWithState(new TumblingProcessor(size),
+        TimeMode.None(), OutputMode.Append())
+      .map(w => GlobalOut(w.wid, w.cnt, w.sum_v))
   }
 
   def tumbling(
@@ -148,25 +180,9 @@ object StreamingCountWindows {
       stream: DataFrame,
       size: Int): Dataset[WindowOut] = {
     import spark.implicits._
-    val typed = stream
-      .select(col("user_id"), col("es"), col("event_id"), col("value"))
-      .as[InRow]
-    typed
+    typedRows(stream)(spark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[CountState, WindowOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[InRow], state: GroupState[CountState]) =>
-          var st = state.getOption.getOrElse(CountState(0L, 0L, 0.0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[WindowOut]
-          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
-            st = CountState(st.wid, st.cnt + 1, st.sum + r.value)
-            if (st.cnt == size) {
-              out += WindowOut(key, st.wid, st.cnt, st.sum)
-              st = CountState(st.wid + 1, 0L, 0.0)
-            }
-          }
-          state.update(st)
-          out.iterator
-      }
+      .transformWithState(new TumblingProcessor(size),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.functions.TextFunctions
 
 /** Streaming NEAR-dup first-seen dedup — fuzzy dedup on the ingest path:
@@ -39,7 +39,11 @@ import graft.functions.TextFunctions
   * until the horizon passes) makes re-delivery of a doc by an
   * at-least-once source emit nothing the second time. Shingle-less docs
   * (< n words) bypass all stages and are always kept. All stateful stages
-  * run in append mode, so they chain legally.
+  * are `transformWithState` processors (Spark 4 state-v2 — the running
+  * query needs the RocksDB state store provider) in append mode, so they
+  * chain legally; eviction uses per-key event-time TIMERS, which the state
+  * store indexes — unlike flatMapGroupsWithState's timeout path, no
+  * full-state scan per micro-batch.
   *
   * State lifecycle (the 100 TB posture): pass `tsCol` to run every stage
   * under a watermark with event-time-timeout eviction — state that
@@ -127,6 +131,142 @@ object StreamingMinhashDedup {
     iv.days * 86400000L + iv.microseconds / 1000L
   }
 
+  /** Shared eviction plumbing for the slim stages (state-v2): an event-time
+    * TIMER fires `horizonMs` past the key's last event time and clears the
+    * state; data arrival re-arms it. Keys receiving data in a batch are not
+    * expired by timers, so stale entries are ALSO lazily aged on access via
+    * [[expired]]. In no-ttl mode (no watermark) both paths are inert.
+    */
+  private abstract class SlimStage[I, O](ttl: Boolean, horizonMs: Long)
+      extends StatefulProcessor[Long, I, O] {
+    protected def stateToClear: ValueState[_]
+    protected def expired(tsm: Long, wmMs: Long): Boolean =
+      ttl && tsm + horizonMs < wmMs
+    protected def watermark(tv: TimerValues): Long =
+      if (ttl) tv.getCurrentWatermarkInMs() else 0L
+    protected def rearm(maxTsm: Long, tv: TimerValues): Unit = if (ttl) {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(maxTsm, watermark(tv)) + horizonMs)
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] = {
+      stateToClear.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Stage 1: per band bucket, emit one sh-less candidate per absorbed
+    * earlier doc, absorb the arrival (doc id only, capped); shingle records
+    * pass through untouched (no state, no timer for their spreading keys).
+    */
+  private class BucketStage(ttl: Boolean, horizonMs: Long, bucketCap: Int)
+      extends SlimStage[S1In, Cand](ttl, horizonMs) {
+    @transient private var st: ValueState[BucketIds] = _
+    override protected def stateToClear: ValueState[_] = st
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BucketIds](
+        "bucket", Encoders.product[BucketIds], TTLConfig.NONE)
+    override def handleInputRows(
+        bk: Long, rows: Iterator[S1In], tv: TimerValues): Iterator[Cand] = {
+      val wm = watermark(tv)
+      var ids = (if (st.exists()) st.get().ids else Nil)
+        .filterNot(e => expired(e._2, wm))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Cand]
+      var maxTsm = Long.MinValue
+      var sawBand = false
+      rows.toSeq.sortBy(_.doc_id).foreach { ev =>
+        if (ev.kind == 1) out += Cand(ev.doc_id, -1L, ev.sh, ev.ts)
+        else {
+          val tsm = ev.ts.getTime
+          maxTsm = math.max(maxTsm, tsm)
+          sawBand = true
+          ids.foreach { case (a, _) =>
+            if (a < ev.doc_id) out += Cand(a, ev.doc_id, Nil, ev.ts)
+          }
+          if (!ids.exists(_._1 == ev.doc_id) && ids.size < bucketCap)
+            ids = (ev.doc_id, tsm) :: ids
+        }
+      }
+      if (sawBand) {
+        st.update(BucketIds(ids))
+        rearm(maxTsm, tv)
+      }
+      out.iterator
+    }
+  }
+
+  /** Stage 2: the doc-keyed shingle store — ONE array per doc (vs `bands`×
+    * in bucket state for the dense form); attaches the earlier doc's
+    * shingles to each candidate pair and forwards the shingle record for
+    * stage 3's own-side lookup.
+    */
+  private class ShingleStoreStage(ttl: Boolean, horizonMs: Long)
+      extends SlimStage[Cand, Att](ttl, horizonMs) {
+    @transient private var st: ValueState[ShSt] = _
+    override protected def stateToClear: ValueState[_] = st
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ShSt](
+        "sh", Encoders.product[ShSt], TTLConfig.NONE)
+    override def handleInputRows(
+        k: Long, rows: Iterator[Cand], tv: TimerValues): Iterator[Att] = {
+      val wm = watermark(tv)
+      var cur = (if (st.exists()) Option(st.get()) else None)
+        .filterNot(s => expired(s.tsm, wm))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Att]
+      var maxTsm = Long.MinValue
+      // shingle records (b_id = -1) first: an intra-batch candidate may
+      // reference a doc whose record rides the same batch
+      rows.toSeq.sortBy(r => (r.b_id, r.ts.getTime)).foreach { rec =>
+        maxTsm = math.max(maxTsm, rec.ts.getTime)
+        if (rec.b_id < 0) {
+          if (cur.isEmpty) cur = Some(ShSt(rec.sh, rec.ts.getTime))
+          out += Att(k, -1L, rec.sh, rec.ts) // forward for stage 3
+        } else {
+          // store miss (expired / capped-out) → empty shingles → the verify
+          // fails → an expired doc cannot suppress new docs, the safe
+          // direction
+          out += Att(rec.b_id, k, cur.map(_.sh).getOrElse(Nil), rec.ts)
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        rearm(maxTsm, tv)
+      }
+      out.iterator
+    }
+  }
+
+  /** Stage 3: per arriving doc — own shingles (forwarded through stages
+    * 1-2) + every attached candidate land in the doc's own micro-batch;
+    * verify exactly, emit iff clean; keep a `done` marker so an
+    * at-least-once redelivery emits nothing.
+    */
+  private class ResolveStage(ttl: Boolean, horizonMs: Long, minJ: Double)
+      extends SlimStage[Att, Long](ttl, horizonMs) {
+    @transient private var st: ValueState[Done] = _
+    override protected def stateToClear: ValueState[_] = st
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Done](
+        "done", Encoders.product[Done], TTLConfig.NONE)
+    override def handleInputRows(
+        k: Long, rows: Iterator[Att], tv: TimerValues): Iterator[Long] = {
+      val rs = rows.toSeq
+      val wm = watermark(tv)
+      val maxTsm = rs.map(_.ts.getTime).max
+      val already = (if (st.exists()) Option(st.get()) else None)
+        .filterNot(d => expired(d.tsm, wm))
+      st.update(Done(maxTsm))
+      rearm(maxTsm, tv)
+      if (already.isDefined) Iterator.empty
+      else {
+        val shB = rs.find(_.a_id < 0).map(_.sh).getOrElse(Seq.empty)
+        val dup = shB.nonEmpty && rs.exists(a =>
+          a.a_id >= 0 && a.sh.nonEmpty && jacAtLeast(a.sh, shB, minJ))
+        if (dup) Iterator.empty else Iterator.single(k)
+      }
+    }
+  }
+
   /** Production form: doc-id-only band state, doc-keyed shingle store,
     * optional watermark-TTL eviction, per-bucket cap. See object doc.
     *
@@ -150,14 +290,7 @@ object StreamingMinhashDedup {
     val r = numHashes / bands
     val ttl = tsCol.isDefined
     val horizonMs = intervalMs(horizon)
-    val timeout =
-      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
-
-    // On-access expiry of state the timers cannot reach (keys still
-    // receiving data are exempt from event-time timeout).
-    def expired(tsm: Long, wmMs: Long): Boolean = ttl && tsm + horizonMs < wmMs
-    def setTtl(state: GroupState[_], maxTsm: Long): Unit = if (ttl)
-      state.setTimeoutTimestamp(math.max(maxTsm, state.getCurrentWatermarkMs()) + horizonMs)
+    val timeMode = if (ttl) TimeMode.EventTime() else TimeMode.None()
 
     // stage 0: the batch pipeline's shingle hashing, signature family, and
     // band keys, verbatim (Dedup.shingledHashed / minhashSig / band slice);
@@ -202,50 +335,21 @@ object StreamingMinhashDedup {
         col("ts"))
       .as[S1In]
 
-    // stage 1: per band bucket, emit one sh-less candidate per absorbed
-    // earlier doc, absorb the arrival (doc id only, capped); shingle
-    // records pass through untouched (no state for their spreading keys)
+    // stage 1 ([[BucketStage]]): per band bucket, emit one sh-less
+    // candidate per absorbed earlier doc, absorb the arrival
     val candidates = banded
       .groupByKey(_.bk)
-      .flatMapGroupsWithState[BucketIds, Cand](OutputMode.Append, timeout) {
-        (_: Long, rows: Iterator[S1In], state: GroupState[BucketIds]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
-            var ids = state.getOption.map(_.ids).getOrElse(Nil)
-              .filterNot(e => expired(e._2, wm))
-            val out = scala.collection.mutable.ArrayBuffer.empty[Cand]
-            var maxTsm = Long.MinValue
-            var sawBand = false
-            rows.toSeq.sortBy(_.doc_id).foreach { ev =>
-              if (ev.kind == 1) out += Cand(ev.doc_id, -1L, ev.sh, ev.ts)
-              else {
-                val tsm = ev.ts.getTime
-                maxTsm = math.max(maxTsm, tsm)
-                sawBand = true
-                ids.foreach { case (a, _) =>
-                  if (a < ev.doc_id) out += Cand(a, ev.doc_id, Nil, ev.ts)
-                }
-                if (!ids.exists(_._1 == ev.doc_id) && ids.size < bucketCap)
-                  ids = (ev.doc_id, tsm) :: ids
-              }
-            }
-            if (sawBand) {
-              state.update(BucketIds(ids))
-              setTtl(state, maxTsm)
-            }
-            out.iterator
-          }
-      }
+      .transformWithState(new BucketStage(ttl, horizonMs, bucketCap),
+        timeMode, OutputMode.Append())
 
     // Downstream stages do NOT re-watermark: a second EventTimeWatermark
     // node below a stateful operator is rejected by the watermark
     // propagation simulator once the watermark advances ("Redefining
     // watermark is disallowed"). A stateful operator's OUTPUT also sheds
-    // the event-time attribute metadata, which the EventTimeTimeout
-    // analysis check requires on the next stage's input — so re-tag the
-    // emitted `ts` field with the delay metadata by hand. The runtime
-    // eviction watermark is supplied by Spark's multiple-stateful-operator
+    // the event-time attribute metadata, which event-time-mode analysis
+    // requires on the next stage's input — so re-tag the emitted `ts`
+    // field with the delay metadata by hand. The runtime eviction
+    // watermark is supplied by Spark's multiple-stateful-operator
     // watermark propagation regardless; the tag only re-states what the
     // column already is: the row's own event time, unmodified since the
     // watermarked source.
@@ -257,68 +361,17 @@ object StreamingMinhashDedup {
             intervalMs(watermarkDelay))
           .build()))
 
-    // stage 2: the doc-keyed shingle store — ONE array per doc (vs `bands`×
-    // in bucket state for the dense form); attaches the earlier doc's
-    // shingles to each candidate pair and forwards the shingle record for
-    // stage 3's own-side lookup
+    // stage 2 ([[ShingleStoreStage]]): the doc-keyed shingle store
     val attached = tagEventTime(candidates.toDF()).as[Cand]
       .groupByKey(_.k)
-      .flatMapGroupsWithState[ShSt, Att](OutputMode.Append, timeout) {
-        (k: Long, rows: Iterator[Cand], state: GroupState[ShSt]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
-            var st = state.getOption.filterNot(s => expired(s.tsm, wm))
-            val out = scala.collection.mutable.ArrayBuffer.empty[Att]
-            var maxTsm = Long.MinValue
-            // shingle records (b_id = -1) first: an intra-batch candidate
-            // may reference a doc whose record rides the same batch
-            rows.toSeq.sortBy(r => (r.b_id, r.ts.getTime)).foreach { rec =>
-              maxTsm = math.max(maxTsm, rec.ts.getTime)
-              if (rec.b_id < 0) {
-                if (st.isEmpty) st = Some(ShSt(rec.sh, rec.ts.getTime))
-                out += Att(k, -1L, rec.sh, rec.ts) // forward for stage 3
-              } else {
-                // store miss (expired / capped-out) → empty shingles → the
-                // verify below fails → an expired doc cannot suppress new
-                // docs, the safe direction
-                out += Att(rec.b_id, k, st.map(_.sh).getOrElse(Nil), rec.ts)
-              }
-            }
-            if (st.isDefined) {
-              st.foreach(state.update)
-              setTtl(state, maxTsm)
-            }
-            out.iterator
-          }
-      }
+      .transformWithState(new ShingleStoreStage(ttl, horizonMs),
+        timeMode, OutputMode.Append())
 
-    // stage 3: per arriving doc — own shingles (forwarded through stages
-    // 1-2) + every attached candidate land in the doc's own micro-batch;
-    // verify exactly, emit iff clean; keep a `done` marker so an
-    // at-least-once redelivery emits nothing
-    val stage3In = tagEventTime(attached.toDF()).as[Att]
-    val kept = stage3In
+    // stage 3 ([[ResolveStage]]): verify and emit in the doc's own batch
+    val kept = tagEventTime(attached.toDF()).as[Att]
       .groupByKey(_.k)
-      .flatMapGroupsWithState[Done, Long](OutputMode.Append, timeout) {
-        (k: Long, rows: Iterator[Att], state: GroupState[Done]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val rs = rows.toSeq
-            val wm = if (ttl) state.getCurrentWatermarkMs() else 0L
-            val maxTsm = rs.map(_.ts.getTime).max
-            val already = state.getOption.filterNot(d => expired(d.tsm, wm))
-            state.update(Done(maxTsm))
-            setTtl(state, maxTsm)
-            if (already.isDefined) Iterator.empty
-            else {
-              val shB = rs.find(_.a_id < 0).map(_.sh).getOrElse(Seq.empty)
-              val dup = shB.nonEmpty && rs.exists(a =>
-                a.a_id >= 0 && a.sh.nonEmpty && jacAtLeast(a.sh, shB, minJ))
-              if (dup) Iterator.empty else Iterator.single(k)
-            }
-          }
-      }
+      .transformWithState(new ResolveStage(ttl, horizonMs, minJ),
+        timeMode, OutputMode.Append())
 
     kept.union(shingleLess)
   }
@@ -362,43 +415,61 @@ object StreamingMinhashDedup {
     // doc (exact Jaccard), emit one verdict per band row, absorb the doc
     val verdicts = banded
       .groupByKey(_.bk)
-      .flatMapGroupsWithState[BucketState, Verdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[BandEv], state: GroupState[BucketState]) =>
-          var docs = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
-          rows.toSeq.sortBy(_.doc_id).foreach { ev =>
-            val dup = docs.exists(p =>
-              p.doc_id < ev.doc_id && jacAtLeast(p.sh, ev.sh, minJ))
-            out += Verdict(ev.doc_id, dup)
-            if (!docs.exists(_.doc_id == ev.doc_id))
-              docs = DocSh(ev.doc_id, ev.sh) :: docs
-          }
-          state.update(BucketState(docs))
-          out.iterator
-      }
+      .transformWithState(new DenseBucketStage(minJ),
+        TimeMode.None(), OutputMode.Append())
 
     // stage 2: a doc is kept once all `bands` verdicts arrived dup-free
     // (stage 1 emits them in the doc's own micro-batch, so the decision is
     // never deferred); state frees as soon as the doc resolves
     val kept = verdicts
       .groupByKey(_.doc_id)
-      .flatMapGroupsWithState[DocState, Long](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (docId: Long, rows: Iterator[Verdict], state: GroupState[DocState]) =>
-          val prev = state.getOption.getOrElse(DocState(0, dup = false))
-          var seen = prev.seen
-          var dup = prev.dup
-          rows.foreach { v => seen += 1; dup ||= v.dup }
-          if (seen >= bands) {
-            state.remove()
-            if (dup) Iterator.empty else Iterator.single(docId)
-          } else {
-            state.update(DocState(seen, dup))
-            Iterator.empty
-          }
-      }
+      .transformWithState(new DenseGatherStage(bands),
+        TimeMode.None(), OutputMode.Append())
 
     kept.union(shingleLess)
+  }
+
+  private class DenseBucketStage(minJ: Double)
+      extends StatefulProcessor[Long, BandEv, Verdict] {
+    @transient private var st: ValueState[BucketState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BucketState](
+        "docs", Encoders.product[BucketState], TTLConfig.NONE)
+    override def handleInputRows(
+        bk: Long, rows: Iterator[BandEv], tv: TimerValues): Iterator[Verdict] = {
+      var docs = if (st.exists()) st.get().docs else Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+      rows.toSeq.sortBy(_.doc_id).foreach { ev =>
+        val dup = docs.exists(p =>
+          p.doc_id < ev.doc_id && jacAtLeast(p.sh, ev.sh, minJ))
+        out += Verdict(ev.doc_id, dup)
+        if (!docs.exists(_.doc_id == ev.doc_id))
+          docs = DocSh(ev.doc_id, ev.sh) :: docs
+      }
+      st.update(BucketState(docs))
+      out.iterator
+    }
+  }
+
+  private class DenseGatherStage(bands: Int)
+      extends StatefulProcessor[Long, Verdict, Long] {
+    @transient private var st: ValueState[DocState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DocState](
+        "gather", Encoders.product[DocState], TTLConfig.NONE)
+    override def handleInputRows(
+        docId: Long, rows: Iterator[Verdict], tv: TimerValues): Iterator[Long] = {
+      val prev = if (st.exists()) st.get() else DocState(0, dup = false)
+      var seen = prev.seen
+      var dup = prev.dup
+      rows.foreach { v => seen += 1; dup ||= v.dup }
+      if (seen >= bands) {
+        st.clear()
+        if (dup) Iterator.empty else Iterator.single(docId)
+      } else {
+        st.update(DocState(seen, dup))
+        Iterator.empty
+      }
+    }
   }
 }

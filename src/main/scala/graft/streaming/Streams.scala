@@ -126,6 +126,20 @@ object Streams {
       "inner")
   }
 
+  /** `transformWithState` (state-v2) runs only on the RocksDB state store
+    * provider; wraps `body` — which must start AND fully drain its streaming
+    * query — with the provider set on the session, restoring the previous
+    * value after (the provider is captured per query at start).
+    */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Drains a streaming DataFrame into an in-memory table and returns it —
     * the test/bench harness for streaming runs (driver data is finite).
     */

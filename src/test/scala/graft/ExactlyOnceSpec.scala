@@ -73,7 +73,8 @@ class ExactlyOnceSpec extends SparkTestBase {
   test("streaming sliding count window == batch trailing aggregate") {
     val stream = Streams.events(spark, sfDir)
     val out = StreamingCountWindows.slidingTrailingAvg(spark, stream, 50).toDF()
-    val got = Streams.runToTable(spark, out, "s_slide_cnt", "append")
+    val got = Streams.withRocksDb(spark)(
+      Streams.runToTable(spark, out, "s_slide_cnt", "append"))
 
     val f = CountWindows.frame(Seq("user_id"), Seq(col("es"), col("event_id")), 50)
     val batch = Tables.eventsWithEpoch(spark, sfDir)

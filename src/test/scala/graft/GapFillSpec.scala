@@ -64,17 +64,19 @@ class GapFillSpec extends SparkTestBase {
     val out = StreamingGapFill.tumblingWithBubbles(spark, stream, sizeSec).toDF()
       .withColumn("sum_v", Quant.q4(col("sum_v"))) // null stays null on bubbles
       .select("ws", "event_type", "cnt", "sum_v")
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName("s_gapfill").start()
-    try {
-      q.processAllAvailable()
-      // the timeout close lands in a no-data micro-batch after the watermark
-      // advances; poll for it rather than racing processAllAvailable
-      val want = expected.count()
-      val deadline = System.currentTimeMillis() + 30000
-      while (System.currentTimeMillis() < deadline &&
-        spark.table("s_gapfill").count() < want) Thread.sleep(200)
-    } finally q.stop()
+    Streams.withRocksDb(spark) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("s_gapfill").start()
+      try {
+        q.processAllAvailable()
+        // the timer close lands in a no-data micro-batch after the watermark
+        // advances; poll for it rather than racing processAllAvailable
+        val want = expected.count()
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline &&
+          spark.table("s_gapfill").count() < want) Thread.sleep(200)
+      } finally q.stop()
+    }
     val got = spark.table("s_gapfill")
     assertSameRows(got, expected)
     assert(got.where(col("cnt") === 0).count() > 0, "no bubble windows exercised")
@@ -87,27 +89,29 @@ class GapFillSpec extends SparkTestBase {
     val out = StreamingGapFill
       .tumblingWithBubbles(spark, stream, 600L, watermarkDelaySec = 600L).toDF()
       .select("event_type", "ws", "cnt", "sum_v")
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName("s_gapfill_ooo").start()
-    try {
-      // batch 1: windows 0 and 1 both open; the in-order fast path would
-      // close window 0 on the es=1100 row — the delayed regime must not
-      ms.addData(Sources.EventRow(1, 100, 1, "a", 1.0),
-                 Sources.EventRow(2, 1100, 1, "a", 4.0))
-      q.processAllAvailable()
-      // batch 2: OUT-OF-ORDER row for window 0, within the 600 s bound
-      // (watermark is 1100 − 600 = 500 ≤ 550) — must be counted, not dropped
-      ms.addData(Sources.EventRow(3, 550, 1, "a", 2.0))
-      q.processAllAvailable()
-      // batch 3: advance the watermark to 3000 − 600 = 2400 — windows 0..3
-      // (ends 600/1200/1800/2400 ≤ 2400) close; window 4 stays open
-      ms.addData(Sources.EventRow(4, 3000, 1, "a", 9.0))
-      q.processAllAvailable()
-      // timeout closes land in a no-data micro-batch; poll for them
-      val deadline = System.currentTimeMillis() + 30000
-      while (System.currentTimeMillis() < deadline &&
-        spark.table("s_gapfill_ooo").count() < 4) Thread.sleep(200)
-    } finally q.stop()
+    Streams.withRocksDb(spark) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("s_gapfill_ooo").start()
+      try {
+        // batch 1: windows 0 and 1 both open; the in-order fast path would
+        // close window 0 on the es=1100 row — the delayed regime must not
+        ms.addData(Sources.EventRow(1, 100, 1, "a", 1.0),
+                   Sources.EventRow(2, 1100, 1, "a", 4.0))
+        q.processAllAvailable()
+        // batch 2: OUT-OF-ORDER row for window 0, within the 600 s bound
+        // (watermark is 1100 − 600 = 500 ≤ 550) — must be counted, not dropped
+        ms.addData(Sources.EventRow(3, 550, 1, "a", 2.0))
+        q.processAllAvailable()
+        // batch 3: advance the watermark to 3000 − 600 = 2400 — windows 0..3
+        // (ends 600/1200/1800/2400 ≤ 2400) close; window 4 stays open
+        ms.addData(Sources.EventRow(4, 3000, 1, "a", 9.0))
+        q.processAllAvailable()
+        // timer closes land in a no-data micro-batch; poll for them
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline &&
+          spark.table("s_gapfill_ooo").count() < 4) Thread.sleep(200)
+      } finally q.stop()
+    }
     import spark.implicits._
     val got = spark.table("s_gapfill_ooo")
       .as[(String, Long, Long, Option[Double])].collect().toSet
@@ -144,6 +148,7 @@ class GapFillSpec extends SparkTestBase {
       .tumblingWithBubbles(spark, stream, sizeSec, watermarkDelaySec = delaySec).toDF()
       .withColumn("sum_v", Quant.q4(col("sum_v")))
       .select("event_type", "ws", "cnt", "sum_v")
+    Streams.withRocksDb(spark) {
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("s_gapfill_prop").start()
     try {
@@ -166,5 +171,6 @@ class GapFillSpec extends SparkTestBase {
       assertSameRows(got, expected)
       assert(got.where(col("cnt") === 0).count() > 0, "no bubbles exercised")
     } finally q.stop()
+    }
   }
 }

@@ -19,14 +19,16 @@ class StreamingAsOfSpec extends SparkTestBase {
     val stream = ms.toDF().toDF("user_id", "eu", "event_id", "side")
     val out = StreamingAsOf.latestPrior(s, stream).toDF()
     val sink = s"asof_spec_${System.nanoTime}"
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-        ms.addData(c)
-        q.processAllAvailable()
-      }
-    finally q.stop()
+    graft.streaming.Streams.withRocksDb(s) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+          ms.addData(c)
+          q.processAllAvailable()
+        }
+      finally q.stop()
+    }
     s.table(sink).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
@@ -65,10 +67,12 @@ class StreamingAsOfSpec extends SparkTestBase {
     val stream = ms.toDF().toDF("user_id", "eu", "event_id", "side")
     val out = StreamingAsOf.latestPrior(s, stream).toDF()
     val sink = s"asof_ooo_${System.nanoTime}"
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    graft.streaming.Streams.withRocksDb(s) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     s.table(sink).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet

@@ -46,13 +46,15 @@ class StreamingDedupSpec extends SparkTestBase {
       .firstSeen(s, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, minJ)
       .toDF("doc_id")
     val sink = s"mh_dedup_${System.nanoTime}"
-    val q = kept.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-        ms.addData(c); q.processAllAvailable()
-      }
-    finally q.stop()
+    graft.streaming.Streams.withRocksDb(s) {
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+          ms.addData(c); q.processAllAvailable()
+        }
+      finally q.stop()
+    }
     s.table(sink).collect().map(_.getLong(0)).toSet
   }
 

@@ -34,16 +34,16 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
     val prev = s.conf
       .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val q = kept.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-        ms.addData(c); q.processAllAvailable()
-      }
-    finally {
-      q.stop()
+    try graft.streaming.Streams.withRocksDb(s) {
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+          ms.addData(c); q.processAllAvailable()
+        }
+      finally q.stop()
+    } finally
       s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
-    }
     val got = s.table(sink).collect().map(_.getLong(0))
     assert(got.length == got.distinct.length,
       s"kept ids emitted more than once: ${got.groupBy(identity).filter(_._2.length > 1).keys}")
@@ -60,13 +60,15 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
       .firstSeenDense(s, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
       .toDF("doc_id")
     val sink = s"mh_dense_${System.nanoTime}"
-    val q = kept.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-        ms.addData(c); q.processAllAvailable()
-      }
-    finally q.stop()
+    graft.streaming.Streams.withRocksDb(s) {
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+          ms.addData(c); q.processAllAvailable()
+        }
+      finally q.stop()
+    }
     s.table(sink).collect().map(_.getLong(0)).toSet
   }
 
@@ -130,16 +132,16 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
     val prev = s.conf
       .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val q = kept.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try {
-      ms.addData(rows); q.processAllAvailable()
-      ms.addData(rows) // the at-least-once source redelivers the whole batch
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    try graft.streaming.Streams.withRocksDb(s) {
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        ms.addData(rows); q.processAllAvailable()
+        ms.addData(rows) // the at-least-once source redelivers the whole batch
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally
       s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
-    }
     val got = s.table(sink).collect().map(_.getLong(0)).toSeq
     assert(got.sorted == Seq(1L, 3L), s"got $got")
   }

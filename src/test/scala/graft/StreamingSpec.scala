@@ -46,11 +46,12 @@ class StreamingSpec extends SparkTestBase {
       out.select("ws").distinct().collect().map(_.getLong(0)).toSeq: _*)))
   }
 
-  test("streaming count window (flatMapGroupsWithState) == batch full windows") {
+  test("streaming count window (transformWithState) == batch full windows") {
     val stream = Streams.events(spark, sfDir)
     val out = StreamingCountWindows.tumbling(spark, stream, 10).toDF()
       .withColumn("sum_v", graft.operators.Quant.q4(col("sum_v")))
-    val got = Streams.runToTable(spark, out, "s_count", "append")
+    val got = Streams.withRocksDb(spark)(
+      Streams.runToTable(spark, out, "s_count", "append"))
 
     val batch = CountWindows.tumblingIds(
         Tables.eventsWithEpoch(spark, sfDir),
@@ -65,7 +66,8 @@ class StreamingSpec extends SparkTestBase {
     val stream = Streams.events(spark, sfDir)
     val out = StreamingCountWindows.tumblingGlobal(spark, stream, 100).toDF()
       .withColumn("sum_v", graft.operators.Quant.q4(col("sum_v")))
-    val got = Streams.runToTable(spark, out, "s_count_global", "append")
+    val got = Streams.withRocksDb(spark)(
+      Streams.runToTable(spark, out, "s_count_global", "append"))
 
     val batch = CountWindows.tumblingIds(
         Tables.eventsWithEpoch(spark, sfDir),
@@ -80,7 +82,8 @@ class StreamingSpec extends SparkTestBase {
     val stream = Streams.events(spark, sfDir)
     val out = StreamingCountWindows.sliding(spark, stream, 50, 10).toDF()
       .withColumn("sum_v", graft.operators.Quant.q4(col("sum_v")))
-    val got = Streams.runToTable(spark, out, "s_count_slide", "append")
+    val got = Streams.withRocksDb(spark)(
+      Streams.runToTable(spark, out, "s_count_slide", "append"))
 
     val batch = CountWindows.slidingAgg(
         Tables.eventsWithEpoch(spark, sfDir)
