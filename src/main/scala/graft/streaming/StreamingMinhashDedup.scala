@@ -81,11 +81,16 @@ import graft.functions.TextFunctions
 object StreamingMinhashDedup {
 
   // dense-form records
-  case class BandEv(doc_id: Long, bk: Long, sh: Seq[Long])
-  case class Verdict(doc_id: Long, dup: Boolean)
+  case class BandEv(doc_id: Long, band: Int, bk: Long, sh: Seq[Long])
+  case class Verdict(doc_id: Long, band: Int, dup: Boolean)
   case class DocSh(doc_id: Long, sh: Seq[Long])
   case class BucketState(docs: List[DocSh])
-  case class DocState(seen: Int, dup: Boolean)
+  /** Gather state: bitmask of DISTINCT band verdicts seen (an at-least-once
+    * redelivery re-sends verdicts for bands already counted — a plain
+    * counter would resolve early on a partial band set), any-dup flag, and
+    * a resolved marker so a redelivered batch emits nothing the second
+    * time. */
+  case class DocState(mask: Long, dup: Boolean, done: Boolean)
 
   // slim-form records. Every stage input carries `ts` so the event-time
   // (watermark) attribute survives into each stateful operator's child.
@@ -389,6 +394,7 @@ object StreamingMinhashDedup {
       n: Int, minJ: Double, numHashes: Int = 128, bands: Int = 32): Dataset[Long] = {
     import spark.implicits._
     require(numHashes % bands == 0, s"bands must divide numHashes")
+    require(bands <= 64, s"dense gather tracks bands in a Long bitmask (got $bands)")
     val r = numHashes / bands
 
     // stage 0: the batch pipeline's shingle hashing, signature family, and
@@ -406,7 +412,7 @@ object StreamingMinhashDedup {
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"), col("sh"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("band").cast("int").as("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bk"),
         col("sh"))
       .as[BandEv]
@@ -442,7 +448,7 @@ object StreamingMinhashDedup {
       rows.toSeq.sortBy(_.doc_id).foreach { ev =>
         val dup = docs.exists(p =>
           p.doc_id < ev.doc_id && jacAtLeast(p.sh, ev.sh, minJ))
-        out += Verdict(ev.doc_id, dup)
+        out += Verdict(ev.doc_id, ev.band, dup)
         if (!docs.exists(_.doc_id == ev.doc_id))
           docs = DocSh(ev.doc_id, ev.sh) :: docs
       }
@@ -459,15 +465,20 @@ object StreamingMinhashDedup {
         "gather", Encoders.product[DocState], TTLConfig.NONE)
     override def handleInputRows(
         docId: Long, rows: Iterator[Verdict], tv: TimerValues): Iterator[Long] = {
-      val prev = if (st.exists()) st.get() else DocState(0, dup = false)
-      var seen = prev.seen
+      val prev = if (st.exists()) st.get()
+                 else DocState(0L, dup = false, done = false)
+      var mask = prev.mask
       var dup = prev.dup
-      rows.foreach { v => seen += 1; dup ||= v.dup }
-      if (seen >= bands) {
-        st.clear()
+      rows.foreach { v => mask |= 1L << v.band; dup ||= v.dup }
+      val full = if (bands == 64) -1L else (1L << bands) - 1L
+      if (prev.done) Iterator.empty
+      else if (mask == full) {
+        // resolved: keep the state as a marker (not cleared) so an
+        // at-least-once redelivery of the doc emits nothing
+        st.update(DocState(mask, dup, done = true))
         if (dup) Iterator.empty else Iterator.single(docId)
       } else {
-        st.update(DocState(seen, dup))
+        st.update(DocState(mask, dup, done = false))
         Iterator.empty
       }
     }

@@ -50,7 +50,10 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
     got.toSet
   }
 
-  private def replayDense(rows: Seq[(Long, String)], chunks: Int): Set[Long] = {
+  private def replayDense(rows: Seq[(Long, String)], chunks: Int): Set[Long] =
+    replayDenseSeq(rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq).toSet
+
+  private def replayDenseSeq(batches: Seq[Seq[(Long, String)]]): Seq[Long] = {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
@@ -64,12 +67,10 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
       val q = kept.writeStream.outputMode("append")
         .format("memory").queryName(sink).start()
       try
-        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-          ms.addData(c); q.processAllAvailable()
-        }
+        batches.foreach { c => ms.addData(c); q.processAllAvailable() }
       finally q.stop()
     }
-    s.table(sink).collect().map(_.getLong(0)).toSet
+    s.table(sink).collect().map(_.getLong(0)).toSeq
   }
 
   test("slim (TTL mode) == dense on the fixture corpus, chunking-invariant") {
@@ -111,6 +112,18 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
       == Set(1L, 2L, 3L), "evicted doc must not suppress a later near-dup")
     assert(replaySlim(rows, chunks = 3, horizon = "1 hour", delay = "1 second")
       == Set(1L, 2L), "in-horizon near-dup must still drop")
+  }
+
+  test("dense form: a redelivered batch emits no doc twice and no partial-band resolution") {
+    // the gather stage counts DISTINCT bands (bitmask): redelivery re-sends
+    // all 32 verdicts for docs 1-3, which a plain counter would take as a
+    // second full resolution (double emit) — the done marker suppresses it
+    val batch = Seq(
+      (1L, baseText),
+      (2L, baseText + " mike"), // near-dup of 1 → dropped
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+    val got = replayDenseSeq(Seq(batch, batch))
+    assert(got.sorted == Seq(1L, 3L), s"got $got")
   }
 
   test("at-least-once redelivery: a replayed batch emits no doc twice") {
