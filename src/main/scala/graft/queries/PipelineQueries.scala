@@ -144,7 +144,7 @@ object PipelineQueries {
       // state partitions sized to the replay, restored after — same
       // rationale as ReferenceQueries.replayEvents
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = deduped.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -193,7 +193,7 @@ object PipelineQueries {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       val prevCheck = s.conf
         .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       // chained watermarked stateful stages trip Spark's global-watermark
       // heuristic; sound here — see StreamingMinhashDedup's scaladoc
       s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")

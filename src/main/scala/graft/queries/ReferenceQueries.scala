@@ -685,7 +685,7 @@ object ReferenceQueries {
         .select("ss", "user_id", "cnt", "sum_v")
       val sink = s"stream_session_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -758,7 +758,7 @@ object ReferenceQueries {
         watermark = Some("0 seconds"))
       val sink = s"stream_ysb_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -861,7 +861,7 @@ object ReferenceQueries {
     // size is pure checkpoint-I/O overhead (measured 16 s → ~5 s for the
     // chained paned fixture at sf0.1). Size it to the replay and restore.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = buildAgg(stream).writeStream.outputMode("append")
         .format("memory").queryName(sink).start()
@@ -1066,7 +1066,7 @@ object ReferenceQueries {
           Quant.q4(col("sum_v")).as("sum_v"))
       val sink = s"stream_gap_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -1125,7 +1125,7 @@ object ReferenceQueries {
           Quant.q4(col("sum_v")).as("sum_v"))
       val sink = s"stream_count_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -1185,7 +1185,7 @@ object ReferenceQueries {
           expr("unix_micros(r_ts) div 1000000").as("r_es"))
       val sink = s"stream_join_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -1246,7 +1246,7 @@ object ReferenceQueries {
         .select(col("ws"), col("it.auction").as("auction"), col("it.cnt").as("cnt"))
       val sink = s"stream_hot_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
@@ -1295,7 +1295,7 @@ object ReferenceQueries {
       val out = graft.streaming.StreamingAsOf.latestPrior(s, stream).toDF()
       val sink = s"stream_asof_${System.nanoTime}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.streaming.Streams.withRocksDb(s) {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()

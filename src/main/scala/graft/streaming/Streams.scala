@@ -133,11 +133,20 @@ object Streams {
     */
   def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing: commit the per-batch delta instead of a full
+    // RocksDB snapshot upload — snapshots still happen, but off the commit
+    // path (background maintenance), which is the production posture too
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevCl = spark.conf.getOption(clKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
     try body
-    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+    }
   }
 
   /** Drains a streaming DataFrame into an in-memory table and returns it —
