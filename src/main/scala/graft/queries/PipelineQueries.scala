@@ -427,6 +427,49 @@ object PipelineQueries {
       |       FROM c)
       | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
 
+  /** IVF top-k: 8 corpus vectors (vec_id < 8) as trained cells, queries
+    * (vec_id < 30) probe their 2 nearest cells, exact top-5 within probed
+    * cells — see [[Ann.ivfTopK]]. The oracle mirrors BOTH rankings (corpus
+    * cell assignment and query probe) from one quantized-cosine relation,
+    * so the probed candidate sets are engine-identical by construction.
+    */
+  val qAnnIvf = Fixture(
+    "q_ann_ivf_probe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        col("vec_id") < 30, 5, 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |        FROM e CROSS JOIN c),
+      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
+      | cr AS (SELECT vec_id, cid,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |        FROM sc),
+      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
+      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
+      |           WHERE rn <= 2 AND vec_id < 30),
+      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      | pr AS (SELECT query_id, neighbor_id,
+      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
+      |          ${dotSql("en.v", "en.v")} AS bb
+      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
+      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM sr)
+      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin))
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -792,6 +835,46 @@ object PipelineQueries {
     },
     Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       | FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin))
+
+  /** Bucketed-layout roundtrip → co-located fingerprint join: documents and
+    * their exact-dedup keeper index both written `bucketBy(8, fp)` (the
+    * shuffle paid once, at write time), read back through the catalog, and
+    * joined + aggregated on `fp` — the join and BOTH aggregations plan with
+    * ZERO shuffle exchanges because every operator's required distribution
+    * is already the storage layout (BucketingSpec pins that plan shape).
+    * This is the 100 TB curated-corpus layout: every fp-keyed pass the
+    * pipeline makes (keeper joins, incremental crawl dedup, contamination)
+    * reuses one ingest-time shuffle. This fixture pins the VALUES against
+    * the direct DuckDB join on the raw parquet — bucketing must be a pure
+    * layout change, invisible in the results.
+    */
+  val qBucketedJoin = Fixture(
+    "q_bucketed_join",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bucket_$h").getAbsolutePath
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("lang"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      graft.sources.Bucketing.writeBucketed(
+        docs, s"graft_docs_b_$h", s"$base/docs", 8, "fp", Seq("fp"))
+      val docsB = s.table(s"graft_docs_b_$h")
+      val keepers = docsB.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+      graft.sources.Bucketing.writeBucketed(
+        keepers, s"graft_keep_b_$h", s"$base/keepers", 8, "fp", Seq("fp"))
+      docsB.join(s.table(s"graft_keep_b_$h"), Seq("fp"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L))
+            .as("n_keepers"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id, source, lang,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+      | k AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY 1)
+      | SELECT source, lang, count(*) AS n_docs,
+      |   sum(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END)::BIGINT AS n_keepers
+      | FROM f JOIN k USING (fp) GROUP BY 1, 2""".stripMargin))
 
   /** Repetition ratio + type-token ratio — Gopher-style cheap quality
     * signals: top token frequency over total tokens, and distinct over total.
@@ -1655,12 +1738,12 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
-    qAnnBrute, qAnnBucketed, qAssignCentroids,
+    qAnnBrute, qAnnBucketed, qAnnIvf, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
-    qRepetition, qCurationFunnel,
+    qBucketedJoin, qRepetition, qCurationFunnel,
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qPackScalable, qChunkDocs, qSaltedAgg,

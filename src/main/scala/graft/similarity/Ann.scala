@@ -123,6 +123,50 @@ object Ann {
         Quant.q4(cosineFused(c.getField("cv"), col("embedding"))).as("cos"),
         (-c.getField("cid")).as("ncid"))))
 
+  /** IVF (inverted-file) top-k — the trained-cells scale path beside the
+    * sign-bit [[bucketedTopK]]: the corpus is coarse-quantized to its
+    * nearest centroid (the same literal projection as [[assignCentroids]] —
+    * one shuffle-free corpus pass), each query probes its `nprobe` nearest
+    * cells, and the exact quantized-cosine top-k runs over candidates in
+    * probed cells only (≈ nprobe/k of the corpus per query).
+    *
+    * Plan shape at 100 TB: ONE corpus shuffle on cell id (building the
+    * inverted file), |Q|·nprobe query rows joined against it, and TopKAgg's
+    * bounded heap for the final rank — no per-group sort, no all-pairs.
+    * `nprobe` dials recall against cost: a true neighbor is missed only when
+    * its cell is not among the query's nprobe nearest — the standard IVF
+    * contract. Pair with [[kmeans]] for trained centroids.
+    *
+    * Determinism: both the corpus assignment and the query's probe ranking
+    * order cells by (q4 cosine DESC, cid ASC) — the assignCentroids total
+    * order — so probed sets, and therefore results, are engine-independent.
+    */
+  def ivfTopK(embIn: DataFrame, centroids: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val emb = spread(embIn)
+    val centArr = centroidArray(centroids)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"),
+      (-bestCentroid(centArr).getField("ncid")).as("cell"))
+    // nprobe nearest cells per query: sort the k (model-sized) centroid
+    // structs by (−q4 cos, cid) and keep the first nprobe — all inside one
+    // projection over the query rows.
+    val probes = slice(
+      array_sort(transform(centArr, c => struct(
+        (-Quant.q4(cosineFused(c.getField("cv"), col("embedding")))).as("ncos"),
+        c.getField("cid").as("cid")))),
+      1, nprobe)
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(probes, s => s.getField("cid"))).as("cell"))
+    val pairs = corpus.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
+    ranked(pairs, k)
+  }
+
   /** One Lloyd iteration (k-means E-step + M-step): assign each vector to
     * its nearest centroid, then recompute each centroid as the elementwise
     * mean of its members. Output is exploded to (centroid_id, dim,

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout: pay a key's shuffle ONCE at write time, then run
+  * every later equi-join / aggregation on that key shuffle-free.
+  *
+  * `bucketBy(n, key)` hash-partitions rows into `n` files per directory by
+  * the key (Spark's `Murmur3Hash pmod n` — the same function the shuffle
+  * exchange uses, which is why the planner can elide the exchange), and
+  * `sortBy` orders rows within each bucket file. Two tables bucketed by the
+  * same key into the same bucket count sort-merge-join with NO exchange on
+  * either side; a single bucketed table aggregates on its key without a
+  * shuffle; an equality predicate on the bucket key prunes the scan to 1 of
+  * `n` buckets before any file is opened.
+  *
+  * At 100 TB this is the difference between re-shuffling the corpus on every
+  * fingerprint-keyed pass (dedup keepers, incremental crawl joins,
+  * contamination checks all key on `fp`) and shuffling it once at ingest:
+  * the curated-corpus layout should be bucketed by the join key the pipeline
+  * hits most. Bucket count is a layout-time decision: at cluster scale pick
+  * `corpus size / target partition size` (so one bucket ≈ one task), NOT the
+  * current executor count — the layout outlives the cluster that wrote it.
+  *
+  * Catalog notes: bucketing metadata lives in the session catalog (a plain
+  * parquet directory has nowhere to record it), so readers must come through
+  * `spark.table(name)`. The data itself is ordinary parquet at `path` —
+  * engines that ignore bucket metadata (DuckDB, the oracle) still read it
+  * correctly, they just can't skip the shuffle.
+  *
+  * Reference basis: the reference keeps operator state partitioned by key
+  * across pipeline stages so downstream stages never re-partition
+  * (/root/reference/src/dispatcher/TaskDispatcher.h's hash routing); the
+  * storage-layout analog on Spark is bucketing.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and per-bucket sorted) parquet table
+    * registered as `table` with its data at `path`. Overwrites both.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int,
+      key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
+  /** Read a bucketed table back with its bucket metadata (the plain
+    * `read.parquet(path)` form would see the same rows but lose the
+    * exchange-elision property).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

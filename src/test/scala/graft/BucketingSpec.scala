@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.sources.Bucketing
+
+/** The scale properties bucketing buys (sources/Bucketing.scala), pinned
+  * against the physical plan so a refactor cannot silently lose them:
+  *
+  *   - two tables bucketed by the same key/count sort-merge-join with ZERO
+  *     shuffle exchanges (the write-time layout satisfies EnsureRequirements
+  *     on both sides);
+  *   - an aggregation on the bucket key runs without an exchange;
+  *   - an equality predicate on the bucket key prunes the scan to 1 of n
+  *     buckets before a file is opened;
+  *   - the results are identical to the plain-parquet plans — layout only,
+  *     never values.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  private val tmp = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft_bucketing_spec").getAbsolutePath
+
+  private def docsFp: DataFrame = Tables.documents(spark, sfDir).select(
+    col("doc_id"), col("source"),
+    TextFunctions.fingerprintMd5(col("text")).as("fp"))
+
+  /** Executed plan with broadcast off: forces the join to prove co-location
+    * (a broadcast would elide the shuffle for the wrong reason).
+    */
+  private def planNoBroadcast(f: => DataFrame): (DataFrame, String) = {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try { val df = f; (df, df.queryExecution.executedPlan.toString) }
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  private lazy val written: Unit = {
+    Bucketing.writeBucketed(
+      docsFp, "bspec_docs", s"$tmp/docs", 8, "fp", Seq("fp"))
+    Bucketing.writeBucketed(
+      docsFp.groupBy("fp").agg(min("doc_id").as("keeper_id")),
+      "bspec_keep", s"$tmp/keep", 8, "fp", Seq("fp"))
+  }
+
+  test("same-key same-count bucketed join plans zero exchanges") {
+    written
+    val (df, p) = planNoBroadcast {
+      Bucketing.table(spark, "bspec_docs")
+        .join(Bucketing.table(spark, "bspec_keep"), Seq("fp"))
+        .select(col("doc_id"), col("keeper_id"))
+    }
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    // layout only: same rows as the plain-parquet join
+    assertSameRows(df, docsFp
+      .join(docsFp.groupBy("fp").agg(min("doc_id").as("keeper_id")), Seq("fp"))
+      .select(col("doc_id"), col("keeper_id")))
+  }
+
+  test("aggregation on the bucket key plans zero exchanges") {
+    written
+    val (df, p) = planNoBroadcast {
+      Bucketing.table(spark, "bspec_docs")
+        .groupBy("fp").agg(count(lit(1)).as("n"))
+    }
+    assert(!p.contains("Exchange"), s"bucket-key agg must not shuffle:\n$p")
+    assertSameRows(df, docsFp.groupBy("fp").agg(count(lit(1)).as("n")))
+  }
+
+  test("equality predicate on the bucket key prunes to 1 of 8 buckets") {
+    written
+    // A bare filter gives the planner no distribution requirement, so
+    // DisableUnnecessaryBucketedScan turns the bucketed scan off and the
+    // pruning metadata with it; pin the property with the auto-disable off
+    // (a real point-lookup job sets the same conf for the same reason).
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val anyFp = docsFp.select("fp").head().getString(0)
+      val p = Bucketing.table(spark, "bspec_docs")
+        .where(col("fp") === anyFp)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from scan:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+}
