@@ -67,6 +67,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"), p)
   }
 
+  test("ivfTopK: keyed cell join, never nested-loop; no corpus explode below it") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Ann.ivfTopK(emb, cents, col("vec_id") < 10, 5, 2))
+      // candidate generation is an equi-join on cell id — the property that
+      // bounds work at ≈ nprobe/k of the corpus per query
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"), p)
+      val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+      assert(joinIdx >= 0, s"expected a keyed join on cell id\n$p")
+      // exactly two Generates, neither corpus-scaled: the top-k posexplode
+      // sits ABOVE the bounded-heap aggregate (k rows per query), and the
+      // nprobe explode expands the centroid-literal slice (nprobe rows per
+      // query) — the corpus branch itself must never expand
+      val generates = p.sliding("Generate".length).count(_ == "Generate")
+      assert(generates == 2, s"expected 2 Generates, got $generates\n$p")
+      val topkGen = p.indexOf("Generate posexplode")
+      val agg = p.indexOf("ObjectHashAggregate")
+      assert(topkGen >= 0 && topkGen < agg,
+        s"top-k posexplode must apply to the aggregated k rows\n$p")
+      assert(p.contains("Generate explode(transform(slice("),
+        s"probe explode must expand the sliced centroid literal, not data\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("incrementalExact: exactly one exchange feeds both the join and the window") {
     // at test scale the fp join would plan as BroadcastHashJoin, which has no
     // exchange to reuse and would skip the pinned property vacuously — force
