@@ -69,6 +69,25 @@ class BucketingSpec extends SparkTestBase {
     assertSameRows(df, docsFp.groupBy("fp").agg(count(lit(1)).as("n")))
   }
 
+  test("incremental crawl batch joins the bucketed lake index lake-side shuffle-free") {
+    written
+    // The 100 TB case bucketing exists for: the LAKE (bucketed fp index,
+    // written once at ingest) joins each day's small crawl batch with an
+    // exchange on the BATCH side only — the corpus never re-shuffles.
+    val batch = docsFp.limit(50).select(col("doc_id").as("new_id"), col("fp"))
+    val (df, p) = planNoBroadcast {
+      Bucketing.table(spark, "bspec_keep").join(batch, Seq("fp"))
+        .select(col("new_id"), col("keeper_id"))
+    }
+    val exchanges = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1,
+      s"exactly one exchange (the crawl batch side), got $exchanges:\n$p")
+    // the scan below the join's FIRST (lake) branch reads the bucketed table
+    assert(p.contains("SortMergeJoin"), p)
+    assert(df.count() == 50)
+  }
+
   test("equality predicate on the bucket key prunes to 1 of 8 buckets") {
     written
     // A bare filter gives the planner no distribution requirement, so
