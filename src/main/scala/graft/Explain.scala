@@ -21,6 +21,24 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "explain" => SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case "dump" =>
+        // single-query Verify: result parquet + a one-entry oracle_sql.json,
+        // so scripts/check.py can gate one fixture during iteration
+        val outDir = if (args.length > 3) args(3) else s"/tmp/graft_dump_$name"
+        new java.io.File(outDir).mkdirs()
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        val sql = SparkEntry.oracleSql.get(name).map(s =>
+          s.flatMap {
+            case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+            case '\r' => "\\r"; case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          })
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+          sql.fold("{}")(s => s"""{"$name": "$s"}"""))
+        println(s"[dump] $outDir")
       case "timefresh" =>
         // exactly Bench's per-attempt shape: fresh child session per run —
         // isolates newSession-correlated overhead from same-session warmth

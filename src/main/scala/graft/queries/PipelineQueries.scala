@@ -470,6 +470,68 @@ object PipelineQueries {
       |       FROM sr)
       | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin))
 
+  /** Train → index → search end-to-end under one oracle: [[Ann.kmeans]]
+    * fits 8 centroids (one Lloyd round, the q_kmeans_converged recipe),
+    * [[Ann.ivfTopK]] then builds the inverted file from the FITTED model
+    * and answers top-3 probes. The DuckDB side unrolls the identical
+    * training round (CTEs c0…c1 match q_kmeans_converged's) and re-ranks
+    * cells/candidates from the fitted centroids — pinning that the model
+    * handed from the trainer to the index is bit-identical in both engines,
+    * not just each stage separately.
+    */
+  val qAnnIvfTrained = Fixture(
+    "q_ann_ivf_trained",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      Ann.ivfTopK(emb, Ann.kmeans(emb, k = 8, maxIters = 1).centroidsDf(s),
+        col("vec_id") < 20, 3, 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      | p1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c0 c),
+      | s1 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p1),
+      | r1 AS (SELECT vec_id, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM s1),
+      | a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+      | q1 AS (SELECT a1.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
+      |       FROM a1 JOIN e USING (vec_id)),
+      | x1 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
+      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
+      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
+      | m1 AS (SELECT cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
+      |       FROM x1 GROUP BY 1, 2),
+      | cm AS (SELECT cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+      | c1 AS (SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN cm USING (cid)),
+      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |        FROM e CROSS JOIN c1 c),
+      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
+      | cr AS (SELECT vec_id, cid,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |        FROM sc),
+      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
+      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
+      |           WHERE rn <= 2 AND vec_id < 20),
+      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      | pr AS (SELECT query_id, neighbor_id,
+      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
+      |          ${dotSql("en.v", "en.v")} AS bb
+      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
+      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM sr)
+      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -1738,7 +1800,7 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
-    qAnnBrute, qAnnBucketed, qAnnIvf, qAssignCentroids,
+    qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
