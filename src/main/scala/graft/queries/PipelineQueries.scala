@@ -183,7 +183,11 @@ object PipelineQueries {
       val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       // +1s: the initial watermark is epoch 0, and a row AT the watermark
       // is already late (same convention as q_dedup_stream_first_seen)
-      val stream = ms.toDF().toDF("doc_id", "text")
+      // spread the replay across cores BEFORE the signature projection: a
+      // MemoryStream addData block is ONE partition, which would run the
+      // whole 128-hash MinHash family single-threaded (a real source's
+      // scan splits provide this parallelism for free)
+      val stream = ms.toDF().repartition(16).toDF("doc_id", "text")
         .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
       val kept = graft.streaming.StreamingMinhashDedup
         .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8,
@@ -201,7 +205,12 @@ object PipelineQueries {
         val q = kept.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          // 2 replay chunks (not 4): the contract needs cross-batch state,
+          // a mid-stream watermark advance, and timer eviction — all
+          // present at 2 batches — while every extra micro-batch costs a
+          // fixed pass through FOUR chained stateful stages; this fixture
+          // is the correctness gate, StreamBench owns the throughput signal
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
