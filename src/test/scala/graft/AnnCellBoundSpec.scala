@@ -16,6 +16,18 @@ class AnnCellBoundSpec extends SparkTestBase {
     assertSameRows(bounded, exact)
   }
 
+  test("ivfTopK with every cell probed reproduces bruteTopK exactly") {
+    // total-recall bound: nprobe = k(centroids) probes every cell, so the
+    // candidate set is the full corpus and IVF must equal brute force —
+    // any discrepancy would mean the inverted file lost or duplicated rows
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivf = Ann.ivfTopK(emb, cents, col("vec_id") < 10, 5, nprobe = 8)
+    val brute = Ann.bruteTopK(emb, col("vec_id") < 10, 5)
+    assertSameRows(ivf, brute)
+  }
+
   test("a deliberately skewed cell splits yet keeps all planted near-dup pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
