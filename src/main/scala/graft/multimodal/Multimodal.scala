@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *  - [[extractFeatures]]'s signature step covers OPAQUE media (audio/video
   *    whose codecs the JDK lacks): a deterministic content fingerprint, not
   *    a decode — for images the real tier above supersedes it.
+  *  - [[resizeImages]]: REAL decode → area-average resample → PNG re-encode
+  *    (the thumbnail / CNN-preprocess step), bit-deterministic across JVMs.
+  *  - [[sampleFrames]]: strided frame sampling over an opaque video payload
+  *    (deterministic stub demux — the codecs aren't in the JDK — with the
+  *    real binary-column fan-out plumbing a frame pipeline needs).
   * Everything around them (schema, binary column handling, partition-wise
   * batching, narrow feature output) is the plumbing that has to be right at
   * 100 TB: media bytes never leave the executor, the per-partition iterator
@@ -53,9 +58,14 @@ object Multimodal {
     * end-to-end. Image payloads have real decode tiers instead —
     * [[imageMeta]] (header) and [[pixelFeatures]] (pixels).
     */
-  private def contentSignature(media: Array[Byte]): Long = {
-    val head = media.take(16)
-    val d = java.security.MessageDigest.getInstance("MD5").digest(head)
+  private def contentSignature(media: Array[Byte]): Long =
+    md5Sig(media.take(16))
+
+  /** md5-prefix 64-bit signature of a byte slice (15 hex chars → positive
+    * long), the cross-engine primitive mirrored by the oracles' `h64`.
+    */
+  private def md5Sig(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val hex = d.map("%02x".format(_)).mkString.take(15)
     java.lang.Long.parseLong(hex, 16)
   }
@@ -70,6 +80,47 @@ object Multimodal {
           n_bytes = r.n_bytes,
           sig = contentSignature(r.media),
           n_frames = r.n_bytes / 1000 + 1)
+      }
+    }
+  }
+
+  /** One sampled frame of an opaque video payload: grid position, total
+    * frame count, slice length, and a content signature keyed for a
+    * downstream frame-level dedup / embedding join.
+    */
+  case class FrameSample(doc_id: Long, frame_idx: Long, n_frames: Long,
+      frame_bytes: Long, frame_sig: Long)
+
+  /** Strided frame sampling over an opaque video payload: every `stride`-th
+    * frame of the fixed-size frame grid (`frameBytes` bytes per frame,
+    * count = n/frameBytes + 1 — the same grid [[extractFeatures]] reports).
+    * The DECODE is a deterministic stub standing in for a real demuxer (the
+    * container codecs aren't in the JDK): frame i is the byte slice
+    * `[i·frameBytes, (i+1)·frameBytes)`, its signature the md5-prefix
+    * hash64 of the slice — so an oracle can verify the full plumbing
+    * end-to-end. The Spark side is the part that matters at 100 TB and is
+    * real: partition-wise slicing of the binary column (payload bytes never
+    * leave the executor and never appear in the output), fan-out bounded by
+    * `stride` (a 2-hour clip at stride 30 emits ~1% of its frames), and a
+    * narrow feature row out. Swapping the stub for JCodec/ffmpeg keyframe
+    * extraction changes ONLY the body of the per-frame closure.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      frameBytes: Int = 1000, stride: Int = 1): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(frameBytes >= 1, s"frameBytes must be >= 1 (got $frameBytes)")
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.media.length
+        val nFrames = n / frameBytes + 1
+        (0 until nFrames by stride).iterator.map { i =>
+          val start = i * frameBytes
+          val end = math.min(start + frameBytes, n)
+          FrameSample(r.doc_id, i.toLong, nFrames.toLong,
+            (end - start).toLong,
+            md5Sig(java.util.Arrays.copyOfRange(r.media, start, end)))
+        }
       }
     }
   }
@@ -186,6 +237,70 @@ object Multimodal {
           case scala.util.control.NonFatal(_) =>
             PixelFeatures(r.doc_id, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)
         }
+      }
+    }
+  }
+
+  /** REAL image resize over the binary media column: decode
+    * (`ImageIO.read`), area-average resample to `outW`×`outH`, PNG
+    * re-encode — all executor-side; the payload bytes never leave the
+    * executor. Area averaging (each target pixel is the per-channel mean of
+    * its source box, half-up rounded) is the right downscale filter for a
+    * feature pipeline (thumbnail-before-perceptual-hash, CNN preprocess):
+    * unlike nearest-neighbor it can't alias away thin features, and unlike
+    * `Graphics2D`'s platform-dependent interpolation it is bit-deterministic
+    * across JVMs — which is what reproducible shards on a 1000-executor run
+    * (and the DuckDB oracle) require. Source boxes use the same integer
+    * grid as [[cellLuma]], so any source/target ratio is total; payloads
+    * that fail to decode are dropped (NonFatal-guarded), never task-fatal.
+    */
+  def resizeImages(spark: SparkSession, images: Dataset[ImageRow],
+      outW: Int, outH: Int): Dataset[ImageRow] = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1, s"target dims must be >= 1 (got $outW x $outH)")
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var gy = 0
+            while (gy < outH) {
+              val y0 = gy * h / outH
+              val y1 = math.max((gy + 1) * h / outH, y0 + 1)
+              var gx = 0
+              while (gx < outW) {
+                val x0 = gx * w / outW
+                val x1 = math.max((gx + 1) * w / outW, x0 + 1)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (y1 - y0).toLong * (x1 - x0)
+                val pr = ((sr + n / 2) / n).toInt
+                val pg = ((sg + n / 2) / n).toInt
+                val pb = ((sb + n / 2) / n).toInt
+                out.setRGB(gx, gy, (pr << 16) | (pg << 8) | pb)
+                gx += 1
+              }
+              gy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ImageRow(r.doc_id, bos.toByteArray))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
   }

@@ -731,6 +731,51 @@ object PipelineQueries {
       | FROM h a JOIN h b ON a.doc_id < b.doc_id
       | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
 
+  /** REAL resize under the oracle, round-tripped: block PNGs (64×64, 8×8
+    * uniform blocks) → [[Multimodal.resizeImages]] area-average downscale to
+    * 8×8 → PNG re-encode → [[Multimodal.pixelFeatures]] decodes the RESIZED
+    * payload. Each target pixel averages exactly one uniform block, so the
+    * resized raster is the 8×8 block-value grid and the decoded channel
+    * means must equal avg(blockVal) predicted by pure SQL from stored
+    * columns — proving decode → resample → encode → decode end-to-end (the
+    * block values live only inside the source PNG raster). width/height = 8
+    * in the output pins that the payload really was rewritten, not passed
+    * through.
+    */
+  val qImageResize = Fixture(
+    "q_image_resize",
+    (s, d) => Multimodal.pixelFeatures(s,
+        Multimodal.resizeImages(s,
+          Multimodal.syntheticBlockImages(s, Tables.documents(s, d)), 8, 8)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        Quant.q4(col("mean_r")).as("mean_r"),
+        Quant.q4(col("mean_g")).as("mean_g"),
+        Quant.q4(col("mean_b")).as("mean_b")),
+    Some(s"""WITH c AS ($blockCellsSql),
+      | m AS (SELECT doc_id, avg(v) AS mv FROM c GROUP BY doc_id)
+      | SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+      |   ${q4("mv")} AS mean_r, ${q4("mv")} AS mean_g, ${q4("mv")} AS mean_b
+      | FROM m""".stripMargin))
+
+  /** Strided frame sampling over the opaque media payload
+    * ([[Multimodal.sampleFrames]], stub demux on the 1000-byte frame grid):
+    * every 3rd frame, per-frame slice length and md5-prefix signature. The
+    * oracle replays the identical slicing/hashing in SQL (`substr` + `md5`
+    * over the same bytes), pinning the binary-column fan-out plumbing —
+    * per-doc frame explosion bounded by the stride, narrow feature rows
+    * out, payload bytes absent from the result.
+    */
+  val qFrameSample = Fixture(
+    "q_frame_sample",
+    (s, d) => Multimodal.sampleFrames(s,
+        Multimodal.mediaTable(s, Tables.documents(s, d)),
+        frameBytes = 1000, stride = 3).toDF(),
+    Some(s"""SELECT doc_id, t.i::BIGINT AS frame_idx,
+      |   (strlen(text) // 1000 + 1)::BIGINT AS n_frames,
+      |   greatest(least(strlen(text) - t.i * 1000, 1000), 0)::BIGINT AS frame_bytes,
+      |   ${h64("substr(text, t.i * 1000 + 1, 1000)")} AS frame_sig
+      | FROM documents, generate_series(0, strlen(text) // 1000, 3) AS t(i)""".stripMargin))
+
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
     * corpus scale (4× smaller than float32). Oracle-comparable per-vector
@@ -1812,6 +1857,7 @@ object PipelineQueries {
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
+    qImageResize, qFrameSample,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
     qBucketedJoin, qRepetition, qCurationFunnel,

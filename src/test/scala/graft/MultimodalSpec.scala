@@ -182,4 +182,102 @@ class MultimodalSpec extends SparkTestBase {
       Seq(Multimodal.ImageRow(9L, gifZero)).toDS()).collect().toSet
     assert(got == Set(Multimodal.ImageMeta(9L, -1L, -1L, "unknown")), s"got $got")
   }
+
+  // ---- resize tier --------------------------------------------------------
+
+  test("resizeImages: 64x64 block image downscales to its exact 8x8 block grid") {
+    import spark.implicits._
+    // each target pixel averages one uniform 8×8 block → the resized raster
+    // IS the block-value grid, bit-exact; round-trip through PNG re-encode
+    val blocks = (0 until 64).map(i => (i * 37 + 11) % 256)
+    val in = Seq(Multimodal.ImageRow(1L, blockImage(blocks))).toDS()
+    val out = Multimodal.resizeImages(spark, in, 8, 8).collect()
+    assert(out.length == 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).media))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = blocks(y * 8 + x)
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 255) == v && ((p >> 8) & 255) == v && (p & 255) == v,
+        s"pixel ($x,$y): got ${p.toHexString}, want $v")
+    }
+  }
+
+  test("resizeImages: non-uniform boxes use half-up rounded per-channel means") {
+    import spark.implicits._
+    // 2×2 source with distinct per-channel values → 1×1 target: one box of
+    // all four pixels; sums (10+20+30+40, 0+0+0+2, 255+255+255+254) with
+    // n=4 → half-up means (25, 1, 255)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (0 << 8) | 255)
+    img.setRGB(1, 0, (20 << 16) | (0 << 8) | 255)
+    img.setRGB(0, 1, (30 << 16) | (0 << 8) | 255)
+    img.setRGB(1, 1, (40 << 16) | (2 << 8) | 254)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImages(spark,
+      Seq(Multimodal.ImageRow(1L, bos.toByteArray)).toDS(), 1, 1).collect()
+    val p = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).media)).getRGB(0, 0)
+    assert(((p >> 16) & 255, (p >> 8) & 255, p & 255) == ((25, 1, 255)),
+      s"got ${p.toHexString}")
+  }
+
+  test("resizeImages: upscale replicates source pixels (integer box grid is total)") {
+    import spark.implicits._
+    // 1×1 source → 3×3 target: every target box collapses to the single
+    // source pixel (the max(..., +1) fallback), so all nine pixels equal it
+    val img = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (7 << 16) | (8 << 8) | 9)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImages(spark,
+      Seq(Multimodal.ImageRow(1L, bos.toByteArray)).toDS(), 3, 3).collect()
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).media))
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert((up.getRGB(x, y) & 0xFFFFFF) == ((7 << 16) | (8 << 8) | 9))
+  }
+
+  test("resizeImages drops undecodable payloads instead of failing the task") {
+    import spark.implicits._
+    val in = Seq(
+      Multimodal.ImageRow(1L, Array[Byte](1, 2, 3)),
+      Multimodal.ImageRow(2L, blockImage(checker))).toDS()
+    val out = Multimodal.resizeImages(spark, in, 4, 4).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(2L))
+  }
+
+  // ---- frame sampling -----------------------------------------------------
+
+  private def md5Prefix(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("sampleFrames: strided slicing, counts, lengths, signatures") {
+    import spark.implicits._
+    val payload = Array.tabulate(2500)(i => (i * 31 + 7).toByte)
+    val media = Seq(Multimodal.MediaRow(1L, payload, "video", 2500L)).toDS()
+    val got = Multimodal.sampleFrames(spark, media, frameBytes = 1000, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // n=2500 → 3 frames on the 1000-byte grid; stride 2 samples 0 and 2
+    assert(got.map(f => (f.frame_idx, f.n_frames, f.frame_bytes)).toSeq ==
+      Seq((0L, 3L, 1000L), (2L, 3L, 500L)), got.mkString(", "))
+    assert(got(0).frame_sig == md5Prefix(payload.slice(0, 1000)))
+    assert(got(1).frame_sig == md5Prefix(payload.slice(2000, 2500)))
+  }
+
+  test("sampleFrames: exact-multiple payload carries an empty tail frame") {
+    import spark.implicits._
+    // the frame grid is n/frameBytes + 1 (extractFeatures' convention): a
+    // 2000-byte payload has frames 0,1 full and frame 2 empty — the empty
+    // slice must hash like md5('') on both engines, not crash
+    val payload = Array.tabulate(2000)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, payload, "video", 2000L)).toDS()
+    val got = Multimodal.sampleFrames(spark, media, frameBytes = 1000, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(f => (f.frame_idx, f.frame_bytes)).toSeq ==
+      Seq((0L, 1000L), (1L, 1000L), (2L, 0L)), got.mkString(", "))
+    assert(got(2).frame_sig == md5Prefix(Array.emptyByteArray))
+  }
 }
