@@ -17,15 +17,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads via the
-    * nanosAsLong legacy conf (as a raw long). Normalize to a µs TimestampType
-    * column here — `ns div 1000` truncation matches DuckDB's ns→µs cast.
+  /** `events.ts` has shipped in two physical forms across driver data drops:
+    * TIMESTAMP(NANOS) parquet (readable only as a raw long via the
+    * nanosAsLong legacy conf) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Normalize either to a µs
+    * TimestampType column — `ns div 1000` truncation matches DuckDB's ns→µs
+    * cast, and the NTZ→TZ cast is value-identity under the UTC session zone
+    * the harness runs in.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, sfDir, "events"))
   }
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "lineitem")

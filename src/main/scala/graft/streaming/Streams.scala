@@ -17,16 +17,18 @@ import graft.operators.{AggSpec, TimeWindows}
   */
 object Streams {
 
-  /** Matches the raw events.parquet layout (ts read as raw nanos long —
-    * the nanosAsLong conf applies to streaming reads too).
+  /** Raw events.parquet layout with `ts` slotted to whatever physical type
+    * the data drop uses (nanos-long or µs NTZ — see Tables.events). The file
+    * stream source needs a declared schema, so probe the batch footer once.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType, nullable = false),
-    StructField("ts", LongType, nullable = false),
-    StructField("user_id", LongType, nullable = false),
-    StructField("event_type", StringType, nullable = false),
-    StructField("value", DoubleType, nullable = false),
-    StructField("props", StringType, nullable = false)))
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", tsType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
 
   /** Streaming view of `events` with the same columns as Tables.events
     * (+ `es` epoch seconds). The file stream source requires a directory, so
@@ -34,10 +36,12 @@ object Streams {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(raw)
       .withColumn("es", TimeWindows.epochSeconds(col("ts")))
   }
 
@@ -45,11 +49,16 @@ object Streams {
     import java.nio.file._
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream", name)
+    val src = Paths.get(sfDir, "events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst)) {
+    // Re-stage when the source file changed (the driver regenerates the
+    // testdata between rounds — a stale copy may carry an older schema).
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
       Files.createDirectories(dir)
-      Files.copy(Paths.get(sfDir, "events.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
     dir.toString
   }
