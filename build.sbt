@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST bytes of `sbt "runMain graft.Bench"` stdout as
+// one JSON line. Two sbt behaviors broke that three rounds running
+// (BENCH_r08..r10 "parsed": null): forked run output is routed through the
+// logger (an "[info] " prefix on every line) and sbt prints a
+// "[success] Total time: …" epilogue AFTER the run's final line. Send forked
+// stdout straight through, and drop the success epilogue.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,8 +65,16 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to iters; (name, fn) <- ordered)
-      samples(name) = samples(name) :+ once(name, fn)
+    // Iteration 0 is a DISCARDED warm-up pass: each query's first attempt on
+    // its fresh child session pays codegen JIT + plan-cache fill, and that
+    // cold cost is big enough (measured 10.5 s cold vs 2.0/2.5 s warm on
+    // q_dedup_simhash at sf0.1) to drag a median-of-5 across the driver's 2×
+    // regression bar when host pressure stacks 2+ cold-ish attempts. Warm
+    // steady-state is the number that projects to a long-running cluster job.
+    for (it <- 0 to iters; (name, fn) <- ordered) {
+      val t = once(name, fn)
+      if (it > 0) samples(name) = samples(name) :+ t
+    }
     def median(xs: Vector[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -79,13 +87,23 @@ object Bench {
     // StreamBench on a RocksDB-backed child session, fixed loop count so the
     // tps/latency numbers compare round-over-round (they previously lived
     // only in StreamBench's own output, which the driver never captured).
-    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "10").toInt
+    // 25 loops ⇒ ~25 data triggers: with the prior 10, ceil(.95n) and
+    // ceil(.99n) indexed the SAME sample, so the artifact reported p95==p99
+    // by construction; ≥21 triggers make the two percentile indices distinct.
+    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
     val (sTps, sP50, sP95, sP99) =
       try {
         settle()
         val ss = spark.newSession()
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Changelog checkpointing: commit uploads the per-batch delta instead
+        // of a full RocksDB snapshot — the production posture for large state,
+        // and it removes the periodic snapshot-upload spike that otherwise
+        // lands on one unlucky trigger and sets the latency tail.
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
         val rows = StreamBench.loadRows(ss, sfDir)
         val (n, sec, lat) = StreamBench.tumblingReplay(ss, rows, streamLoops)
         ((n / sec).toLong, StreamBench.pctOf(lat, 0.50),

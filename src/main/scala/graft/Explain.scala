@@ -10,7 +10,8 @@ object Explain {
     val sfDir = args(0)
     val name = args(1)
     val mode = if (args.length > 2) args(2) else "time"
-    val iters = if (args.length > 3) args(3).toInt else 2
+    // args(3) is the out DIR in dump mode and the iteration COUNT elsewhere
+    val iters = if (args.length > 3) args(3).toIntOption.getOrElse(2) else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

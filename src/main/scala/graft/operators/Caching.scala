@@ -31,6 +31,19 @@ object Caching {
   /** Cache `dfs`, evaluate `body` eagerly (localCheckpoint), release `dfs`. */
   def withCached(dfs: DataFrame*)(body: => DataFrame): DataFrame = {
     dfs.foreach(_.cache())
+    // Populate each cache BEFORE body's query runs: the final plan's
+    // broadcast exchanges and (under AQE) independent shuffle-map stages are
+    // submitted CONCURRENTLY, and concurrent scans of a not-yet-populated
+    // cache each recompute the full upstream plan — block-level cache puts
+    // dedup storage, not compute. sourceOverlap hit exactly this: its four
+    // broadcast dims plus the probe stage raced the uncached shingle scan,
+    // recomputing it up to 3× (measured bimodal 3.5 s vs 13.9/21.4 s at
+    // sf0.1 on identical runs). A count() per cached frame is the same work
+    // the first consumer would do anyway; every consumer then hits cache,
+    // and the wall clock is deterministic. Order matters when a later df
+    // derives from an earlier one (e.g. minhash's (sh, banded)): left to
+    // right, so derived frames scan the already-populated parent.
+    dfs.foreach(_.count())
     try body.localCheckpoint(eager = true)
     finally dfs.foreach(_.unpersist(blocking = false))
   }

@@ -770,11 +770,15 @@ object PipelineQueries {
     (s, d) => Multimodal.sampleFrames(s,
         Multimodal.mediaTable(s, Tables.documents(s, d)),
         frameBytes = 1000, stride = 3).toDF(),
-    Some(s"""SELECT doc_id, t.i::BIGINT AS frame_idx,
-      |   (strlen(text) // 1000 + 1)::BIGINT AS n_frames,
-      |   greatest(least(strlen(text) - t.i * 1000, 1000), 0)::BIGINT AS frame_bytes,
-      |   ${h64("substr(text, t.i * 1000 + 1, 1000)")} AS frame_sig
-      | FROM documents, generate_series(0, strlen(text) // 1000, 3) AS t(i)""".stripMargin))
+    Some(s"""WITH f AS (
+      |   SELECT doc_id, text, strlen(text) AS len,
+      |     unnest(range(0, strlen(text) // 1000 + 1, 3)) AS i
+      |   FROM documents)
+      | SELECT doc_id, i::BIGINT AS frame_idx,
+      |   (len // 1000 + 1)::BIGINT AS n_frames,
+      |   greatest(least(len - i * 1000, 1000), 0)::BIGINT AS frame_bytes,
+      |   ${h64("substr(text, i * 1000 + 1, 1000)")} AS frame_sig
+      | FROM f""".stripMargin))
 
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at

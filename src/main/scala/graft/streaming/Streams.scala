@@ -53,12 +53,23 @@ object Streams {
     val dst = dir.resolve("events.parquet")
     // Re-stage when the source file changed (the driver regenerates the
     // testdata between rounds — a stale copy may carry an older schema).
-    val stale = !Files.exists(dst) ||
-      Files.size(dst) != Files.size(src) ||
-      Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0
-    if (stale) {
-      Files.createDirectories(dir)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    // ANY mtime difference counts as changed, not just "source newer": a
+    // regenerated file restored with cp -p / rsync -a / archive extraction
+    // keeps its original (older) timestamp and a size match would otherwise
+    // mask new content. If the source is missing but a staged copy exists,
+    // keep serving the copy instead of throwing on Files.size(src).
+    if (!Files.exists(src)) {
+      require(Files.exists(dst),
+        s"events source $src is missing and no staged copy exists at $dst")
+    } else {
+      val stale = !Files.exists(dst) ||
+        Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) != 0
+      if (stale) {
+        Files.createDirectories(dir)
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
     }
     dir.toString
   }
