@@ -1204,6 +1204,53 @@ object ReferenceQueries {
       | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
       | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
 
+  /** The ROW-windowed θ-join ON THE STREAMING PATH
+    * ([[graft.streaming.StreamingThetaJoin]], reference ThetaJoin.h:307-326
+    * row-count eviction) — closing the one batch/streaming asymmetry left in
+    * the J2 surface: same shape as [[qJoinThetaRow]] (clicks × same-user
+    * purchases, last 400 clicks / last 300 purchases, arrival ord
+    * es·10⁷ + event_id), same oracle. The two streams replay as ONE
+    * interleaved tagged stream in arrival order — the reference's single-node
+    * dispatcher feeds ThetaJoin the same interleave — and the probe-on-arrival
+    * state machine emits each pair exactly once (the membership branches are
+    * disjoint by arrival order), so append mode needs no dedup.
+    */
+  val qStreamJoinThetaRow = Fixture(
+    "q_stream_join_theta_rowwin",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.eventsWithEpoch(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          (col("es") * lit(10000000L) + col("event_id")).as("ord"),
+          (col("event_type") === "click").as("left"),
+          col("user_id").as("key"), col("es").as("ts"), col("event_id").as("id"))
+        .as[(Long, Boolean, Long, Long, Long)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Boolean, Long, Long, Long)]
+      val tagged = ms.toDF().toDF("ord", "left", "key", "ts", "id")
+      val out = graft.streaming.StreamingThetaJoin
+        .rowWindowedTheta(s, tagged, leftRows = 400, rightRows = 300)
+        .select(col("key").as("user_id"), col("l_id"), col("r_id"),
+          col("l_ts").as("l_es"), col("r_ts").as("r_es"))
+      val sink = s"stream_join_row_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qJoinThetaRow.oracle)
+
   /** NBQ5 hot-items (O5) ON THE STREAMING PATH — the post-window operator as
     * a SECOND chained stateful aggregation (Spark 3.4+ window-of-window):
     * stage 1 counts per (tumbling window, auction); stage 2 re-windows the
@@ -1345,6 +1392,6 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamHotItems, qStreamAsOf,
-    qStreamWeightedAvg, qStreamHaving)
+    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamJoinThetaRow,
+    qStreamHotItems, qStreamAsOf, qStreamWeightedAvg, qStreamHaving)
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming stream-stream θ-join under ROW_BASED per-stream windows — the
+  * streaming counterpart of [[graft.operators.Joins.rowWindowedTheta]] and the
+  * last batch/streaming asymmetry of the J2 surface (reference
+  * src/cql/operators/ThetaJoin.h:307-326, 367-386: eviction by row count; the
+  * ctor accepts any WindowDefinition, so row windows on either stream are
+  * legal reference surface, and the reference runs the same eviction logic on
+  * its streaming path).
+  *
+  * Semantics (identical to the batch contract, pinned by the shared oracle):
+  * a pair (l, r) matches iff θ holds AND at least one of
+  *  - l is among the last `leftRows` left rows at r's arrival, or
+  *  - r is among the last `rightRows` right rows at l's arrival.
+  * "Arrival" is the total order of `ord`, globally unique across both inputs.
+  *
+  * The two membership branches are DISJOINT by arrival order (the earlier row
+  * of a pair can only be in a buffer when the later one arrives), so the
+  * probe-on-arrival emission below produces each matching pair exactly once —
+  * no distinct stage needed, append mode is exact.
+  *
+  * State machine, exactly the reference's (ThetaJoin.h:307-326): two bounded
+  * ring buffers, sized `leftRows` / `rightRows`. An arriving left row probes
+  * the right ring (its contents ARE the last ≤ rightRows right rows at this
+  * arrival), emits θ-matches, then pushes itself into the left ring, evicting
+  * by count; mirrored for right rows. State is O(leftRows + rightRows) —
+  * bounded by construction, no TTL needed.
+  *
+  * SERIALIZATION WARNING (same as [[StreamingCountWindows.tumblingGlobal]]):
+  * global row windows are inherently a total order over the interleaved
+  * stream — all rows funnel through ONE state key, single-core throughput by
+  * design. The reference has the identical property: its single-node
+  * dispatcher feeds ThetaJoin in arrival order. At 100 TB use the TIME-window
+  * join ([[Streams.windowedThetaJoin]], watermark-sharded by key) or the
+  * batch [[graft.operators.Joins.rowWindowedTheta]], whose two-phase prefix
+  * sum distributes the numbering. This operator exists for reference-surface
+  * parity on the streaming path.
+  *
+  * Rows are ordered by `ord` within each micro-batch; cross-batch order
+  * relies on the source being in-order — the reference's operating assumption
+  * (README.md:16) and the contract of every streaming fixture here.
+  *
+  * Requires the RocksDB state store provider (`transformWithState`, state v2).
+  */
+object StreamingThetaJoin {
+
+  /** One tagged input row of the interleaved stream: `ord` the global
+    * arrival order, `left` the stream tag, `key` the θ equi-key, plus the
+    * (ts, id) payload the fixture projects back out.
+    */
+  case class TaggedRow(ord: Long, left: Boolean, key: Long, ts: Long, id: Long)
+
+  /** An emitted pair, left payload first. */
+  case class PairOut(key: Long, l_id: Long, r_id: Long, l_ts: Long, r_ts: Long)
+
+  /** The two bounded rings. Stored as one ValueState: the windows are small
+    * by definition (the reference sizes its circular buffers to the row
+    * window too), and every arriving row rewrites one ring anyway.
+    */
+  case class Rings(lbuf: Seq[TaggedRow], rbuf: Seq[TaggedRow])
+
+  private class RowThetaProcessor(
+      leftRows: Int, rightRows: Int,
+      theta: (TaggedRow, TaggedRow) => Boolean)
+      extends StatefulProcessor[Long, TaggedRow, PairOut] {
+    @transient private var st: ValueState[Rings] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Rings](
+        "rings", Encoders.product[Rings], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[TaggedRow], tv: TimerValues): Iterator[PairOut] = {
+      var s = if (st.exists()) st.get() else Rings(Seq.empty, Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      rows.toSeq.sortBy(_.ord).foreach { r =>
+        if (r.left) {
+          s.rbuf.foreach { p =>
+            if (theta(r, p)) out += PairOut(r.key, r.id, p.id, r.ts, p.ts)
+          }
+          s = Rings((s.lbuf :+ r).takeRight(leftRows), s.rbuf)
+        } else {
+          s.lbuf.foreach { p =>
+            if (theta(p, r)) out += PairOut(p.key, p.id, r.id, p.ts, r.ts)
+          }
+          s = Rings(s.lbuf, (s.rbuf :+ r).takeRight(rightRows))
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Row-windowed θ-join over an interleaved tagged stream with columns
+    * (ord, left, key, ts, id). θ defaults to equality on `key` — the
+    * reference fixture's predicate; pass any (left, right) => Boolean for a
+    * general θ (it runs inside the processor, so arbitrary predicates cost
+    * no plan support).
+    */
+  def rowWindowedTheta(
+      spark: SparkSession,
+      tagged: DataFrame,
+      leftRows: Int,
+      rightRows: Int,
+      theta: (TaggedRow, TaggedRow) => Boolean = _.key == _.key): Dataset[PairOut] = {
+    require(leftRows > 0 && rightRows > 0, "row windows must be positive")
+    import spark.implicits._
+    tagged.select(col("ord"), col("left"), col("key"), col("ts"), col("id"))
+      .as[TaggedRow]
+      .groupByKey(_ => 0L) // global row windows: one state key, by design
+      .transformWithState(new RowThetaProcessor(leftRows, rightRows, theta),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
