@@ -541,6 +541,34 @@ object PipelineQueries {
       |       FROM sr)
       | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
 
+  /** The IVF index AT REST ([[Ann.ivfWriteIndex]] → [[Ann.ivfSearchPersisted]]):
+    * same centroids / queries / k / nprobe as [[qAnnIvf]], but the inverted
+    * file is WRITTEN bucketed-by-cell and the search runs against the
+    * persisted table, scanning only the probed buckets (the served-index
+    * 100 TB shape — ivfTopK's per-search cell shuffle paid once at ingest).
+    * Same oracle as q_ann_ivf_probe: persistence must be a pure layout
+    * change, invisible in results. AnnPersistSpec pins the scan-side bucket
+    * pruning (SelectedBucketsCount == probed cells).
+    */
+  val qAnnIvfPersisted = Fixture(
+    "q_ann_ivf_persisted",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_ivf_$h").getAbsolutePath
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.ivfWriteIndex(emb, cents, s"graft_ivf_idx_$h", s"$base/idx", 8)
+      Ann.ivfSearchPersisted(s, s"graft_ivf_idx_$h", cents,
+          emb.where(col("vec_id") < 30)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          5, 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    },
+    qAnnIvf.oracle)
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -1858,7 +1886,8 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
-    qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAssignCentroids,
+    qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
+    qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qImageResize, qFrameSample,

@@ -141,6 +141,20 @@ object Ann {
     * order cells by (q4 cosine DESC, cid ASC) — the assignCentroids total
     * order — so probed sets, and therefore results, are engine-independent.
     */
+  /** The nprobe nearest cells of `embCol`: sort the k (model-sized) centroid
+    * structs by (−q4 cos, cid) and keep the first nprobe — all inside one
+    * projection over the query rows. Same total order as [[bestCentroid]],
+    * so probe sets are engine-independent.
+    */
+  private def probeCells(centArr: Column, embCol: Column, nprobe: Int): Column =
+    transform(
+      slice(
+        array_sort(transform(centArr, c => struct(
+          (-Quant.q4(cosineFused(c.getField("cv"), embCol))).as("ncos"),
+          c.getField("cid").as("cid")))),
+        1, nprobe),
+      s => s.getField("cid"))
+
   def ivfTopK(embIn: DataFrame, centroids: DataFrame, queryPred: Column,
       k: Int, nprobe: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
@@ -149,18 +163,68 @@ object Ann {
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nv"),
       (-bestCentroid(centArr).getField("ncid")).as("cell"))
-    // nprobe nearest cells per query: sort the k (model-sized) centroid
-    // structs by (−q4 cos, cid) and keep the first nprobe — all inside one
-    // projection over the query rows.
-    val probes = slice(
-      array_sort(transform(centArr, c => struct(
-        (-Quant.q4(cosineFused(c.getField("cv"), col("embedding")))).as("ncos"),
-        c.getField("cid").as("cid")))),
-      1, nprobe)
     val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(transform(probes, s => s.getField("cid"))).as("cell"))
+        explode(probeCells(centArr, col("embedding"), nprobe)).as("cell"))
     val pairs = corpus.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
+    ranked(pairs, k)
+  }
+
+  /** Persist the inverted file AT REST: assign each corpus vector to its
+    * nearest cell (the [[assignCentroids]] literal projection — one corpus
+    * pass, no join) and write (cell, vec_id, embedding) BUCKETED BY CELL via
+    * [[graft.sources.Bucketing.writeBucketed]]. This is the 100 TB ANN
+    * posture [[ivfTopK]] stops short of: ivfTopK re-assigns cells and
+    * re-shuffles the corpus on every search, which is right for a one-shot
+    * query but wrong for a served index — the cell shuffle should be paid
+    * once at ingest, like every other bucketed layout here. Searches against
+    * the persisted table read ONLY the probed buckets (bucket pruning on the
+    * cell-equality predicate — spec-proven in BucketingSpec) and never
+    * shuffle the corpus again. Re-index when the centroid model changes —
+    * the index is a function of the model, same as any IVF system.
+    */
+  def ivfWriteIndex(embIn: DataFrame, centroids: DataFrame,
+      table: String, path: String, buckets: Int): Unit = {
+    val centArr = centroidArray(centroids)
+    val assigned = spread(embIn).select(
+      (-bestCentroid(centArr).getField("ncid")).as("cell"),
+      col("vec_id"), col("embedding"))
+    graft.sources.Bucketing.writeBucketed(
+      assigned, table, path, buckets, "cell", Seq("cell", "vec_id"))
+  }
+
+  /** Top-k search over a [[ivfWriteIndex]]-persisted index. The probe cells
+    * for the query BATCH are computed by one model-sized job over the query
+    * rows (the [[probeCells]] expression — bit-identical to the order the
+    * index was built with) and collected: |Q|·nprobe longs, bounded by the
+    * search batch, never the corpus. The scan then carries
+    * `cell IN (probed…)` — Spark's bucket pruning opens only those buckets
+    * of the index, ≈ nprobe/k of the files — and the (tiny) query relation
+    * broadcasts onto it. No corpus shuffle, no full scan: at 100 TB the
+    * search cost is |probed buckets| + |Q|·nprobe·|cell| cosine evaluations,
+    * the served-index shape.
+    *
+    * @param queries (query_id, qv) — the search batch.
+    */
+  def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val centArr = centroidArray(centroids)
+    val q = queries
+      .select(col("query_id"), col("qv"),
+        explode(probeCells(centArr, col("qv"), nprobe)).as("cell"))
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(probed.nonEmpty, "query batch probed no cells")
+    val idx = spark.table(table)
+      .where(col("cell").isin(probed.map(c => c: Any): _*))
+    val pairs = idx
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+/** The persisted IVF index (Ann.ivfWriteIndex / ivfSearchPersisted):
+  *   - search over the at-rest index returns EXACTLY ivfTopK's relation
+  *     (persistence is layout only, never values);
+  *   - the index scan prunes to the probed cells' buckets — the search
+  *     must not open the rest of the corpus.
+  */
+class AnnPersistSpec extends SparkTestBase {
+
+  private val tmp = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft_ann_persist_spec").getAbsolutePath
+
+  private def emb = Tables.embeddings(spark, sfDir)
+  private def cents = emb.where(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  private lazy val written: Unit =
+    Ann.ivfWriteIndex(emb, cents, "apspec_idx", s"$tmp/idx", 8)
+
+  test("persisted search == ivfTopK (layout change only)") {
+    written
+    val persisted = Ann.ivfSearchPersisted(spark, "apspec_idx", cents,
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k = 5, nprobe = 2)
+    val direct = Ann.ivfTopK(emb, cents, col("vec_id") < 10, k = 5, nprobe = 2)
+    assertSameRows(persisted, direct)
+  }
+
+  test("index scan prunes to the probed cells' buckets") {
+    written
+    // visible pruning metadata needs the bucketed scan kept on even without
+    // a downstream distribution requirement (same conf note as BucketingSpec)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      // a 1-query batch probes nprobe=2 cells -> at most 2 of 8 buckets
+      val p = Ann.ivfSearchPersisted(spark, "apspec_idx", cents,
+          emb.where(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          k = 3, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"bucket pruning missing from index scan:\n$p")
+      assert(m.get.group(1).toInt <= 2,
+        s"1 query x nprobe 2 must open <= 2 buckets, got ${m.get.group(1)}:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+}
