@@ -1270,6 +1270,13 @@ object PipelineQueries {
     * distinct-source scan once per broadcast — five scans of the corpus'
     * source column per query (measured: the guard commit alone moved the
     * sf0.1 fixture 2.3 s → 5.7 s; this shape returns it).
+    *
+    * Wall-clock history: after this rewrite the fixture still measured
+    * bimodal 3.5 s vs 13.9–21.4 s at sf0.1 — that was NOT this plan but the
+    * withCached cache race (concurrent broadcast builds + the probe stage
+    * re-computing the unpopulated `masks` cache up to 3×), fixed in
+    * [[graft.operators.Caching.withCached]] by materializing before the body
+    * runs. Warm-stable since: ~2.1–2.8 s median at sf0.1.
     */
   def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.Row
