@@ -171,6 +171,49 @@ object Dedup {
     }
   }
 
+  /** EXACT-SUBSTRING duplication pairs — the span-level dedup signal of
+    * training-data practice (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": duplicated ≥ N-token spans, not
+    * whole-document similarity): every pair of documents sharing at least
+    * one run of `w` consecutive tokens, with the shared distinct w-gram
+    * count and each side's duplicated fraction (n_shared / its distinct
+    * w-grams) — the signal a span-removal or doc-drop policy consumes.
+    * Complements [[jaccardPairs]]: Jaccard at τ measures WHOLE-document
+    * overlap and misses a long verbatim quote inside two otherwise-different
+    * documents; any shared w-run here is a hit regardless of document size.
+    *
+    * Plan shape at 100 TB: the same inverted-index discipline as every
+    * dedup operator here — distinct hashed w-grams per doc (one compute
+    * pass), posting lists keyed by gram hash (one shuffle), pairs generated
+    * per posting list bounded by `maxDf` (grams in more docs are
+    * boilerplate: each contributes df² pairs, and a shared run that common
+    * is not duplication — the [[jaccardPairs]] stop-cap contract; pairs
+    * sharing ONLY > maxDf grams are not reported, SubstringDedupSpec pins
+    * the behavior), then ONE pair-keyed aggregation. Never all-pairs.
+    * Denominators stay the UNCAPPED per-doc gram counts, so reported
+    * fractions are stable as maxDf dials.
+    */
+  def substringPairs(df: DataFrame, id: String, text: String, w: Int = 8,
+      maxDf: Int = 1000): DataFrame = {
+    val sh = shingledHashed(df, id, text, w)
+    Caching.withCached(sh) {
+      val posts = sh.select(col(id), col("n_sh"), explode(col("sh")).as("s"))
+      val hot = posts.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("s")
+      val cold = posts.join(broadcast(hot), Seq("s"), "left_anti")
+      val a = cold.select(col(id).as("doc_a"), col("n_sh").as("na"), col("s"))
+      val b = cold.select(col(id).as("doc_b"), col("n_sh").as("nb"), col("s"))
+      a.join(b, Seq("s"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          Quant.q4(col("n_shared") / col("na")).as("frac_a"),
+          Quant.q4(col("n_shared") / col("nb")).as("frac_b"))
+    }
+  }
+
   /** MinHash signature, one independent xxhash64 family per seed i: the i-th
     * hash of shingle s is xxhash64(i, s), so each shingle costs numHashes
     * codegen'd hash evaluations. (Kirsch-Mitzenmacher h1 + i·h2 double

@@ -239,6 +239,34 @@ object PipelineQueries {
     (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5),
     Some(jaccardOracle("0.5")))
 
+  /** Exact-substring duplication pairs ([[Dedup.substringPairs]], w = 8):
+    * doc pairs sharing ≥ 1 run of 8 consecutive tokens, with shared-gram
+    * counts and per-side duplicated fractions. Oracle replays the identical
+    * distinct-8-gram inverted index in SQL (gram strings where Spark joins
+    * their xxhash64s — a collision would perturb one count, P ≈ 2⁻⁶⁵·|sh|²,
+    * the documented shingledHashed contract). maxDf stays at the default:
+    * nothing in the fixture corpus is boilerplate-hot, so the cap is
+    * exercised by SubstringDedupSpec's adversarial corpus instead.
+    */
+  val qDedupSubstring = Fixture(
+    "q_dedup_substring",
+    (s, d) => Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text", 8),
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | g AS (SELECT doc_id, list_distinct(list_transform(
+      |          generate_series(1, len(w) - 7),
+      |          i -> array_to_string(w[i:i+7], ' '))) AS gs
+      |       FROM w0 WHERE len(w) >= 8),
+      | e AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS s FROM g),
+      | hot AS (SELECT s FROM e GROUP BY s HAVING count(*) > 1000),
+      | cold AS (SELECT * FROM e WHERE s NOT IN (SELECT s FROM hot)),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n AS na, b.n AS nb
+      |       FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id)
+      | SELECT doc_a, doc_b, count(*) AS n_shared,
+      |   ${q4("count(*) / max(na)")} AS frac_a,
+      |   ${q4("count(*) / max(nb)")} AS frac_b
+      | FROM p GROUP BY 1, 2""".stripMargin))
+
   /** MinHash(128) + LSH(32×4) candidates, exact-Jaccard-verified (τ = 0.8).
     * Oracle is the full pairwise ground truth: LSH recall at τ=0.8 is
     * 1−(1−0.8⁴)³² ≈ 1−4e−8 per pair, so the outputs must coincide.
@@ -1892,7 +1920,7 @@ object PipelineQueries {
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
-    qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
+    qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
     qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Exact-substring duplication pairs (Dedup.substringPairs): the span-level
+  * signal whole-document Jaccard misses, plus the maxDf boilerplate-cap
+  * contract on an adversarial corpus.
+  */
+class SubstringDedupSpec extends SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+  private def docs(rows: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = false))))
+  }
+
+  private val quote = "to be or not to be that is the question"  // 10 tokens
+
+  test("a shared 8-run inside otherwise-different documents is found; Jaccard misses it") {
+    val corpus = docs(Seq(
+      (1L, s"completely unrelated preamble text here $quote and then it diverges wildly"),
+      (2L, s"different framing material leads up $quote before another unrelated ending"),
+      (3L, "no shared runs anywhere in this one at all eight tokens long minimum")))
+    val pairs = Dedup.substringPairs(corpus, "doc_id", "text", w = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // whole-document Jaccard at a realistic tau does NOT pair them: the
+    // quote is a small fraction of each document's 3-gram set
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(jac.isEmpty, s"jaccard(0.5) unexpectedly paired: ${jac.mkString(",")}")
+  }
+
+  test("n_shared counts distinct shared w-grams; fractions are per side") {
+    // 10-token quote -> 3 distinct 8-grams, all shared; doc 1 has 14 tokens
+    // (7 grams), doc 2 has 15 (8 grams)
+    val corpus = docs(Seq(
+      (1L, s"$quote four more filler tokens"),
+      (2L, s"$quote with five extra trailing words")))
+    val r = Dedup.substringPairs(corpus, "doc_id", "text", w = 8).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_shared") == 3, row.toString)
+    // fractions are Quant.q4-quantized: 3/7 -> 0.4286, 3/8 -> 0.375
+    assert(row.getAs[Double]("frac_a") == 0.4286, row.toString)
+    assert(row.getAs[Double]("frac_b") == 0.375, row.toString)
+  }
+
+  test("maxDf cap: pairs sharing ONLY boilerplate-frequent grams are not reported") {
+    // one 8-token boilerplate run present in EVERY doc (df = 4 > maxDf = 3),
+    // plus one genuine pair sharing a rarer run
+    val boiler = "standard legal disclaimer footer applies to everything here"
+    val rare = "a genuinely duplicated span of eight tokens"
+    val corpus = docs(Seq(
+      (1L, s"alpha unique words one $boiler"),
+      (2L, s"beta other tokens two $boiler"),
+      (3L, s"gamma body text three $boiler $rare"),
+      (4L, s"delta final words four $boiler $rare")))
+    val capped = Dedup.substringPairs(corpus, "doc_id", "text", w = 8, maxDf = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((3L, 4L)), s"got $capped")
+    // uncapped, the boilerplate pairs everyone with everyone
+    val uncapped = Dedup.substringPairs(corpus, "doc_id", "text", w = 8, maxDf = 1000)
+      .count()
+    assert(uncapped == 6, s"expected all 6 pairs uncapped, got $uncapped")
+  }
+}
