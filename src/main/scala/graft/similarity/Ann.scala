@@ -196,6 +196,22 @@ object Ann {
       assigned, table, path, buckets, "cell", Seq("cell", "vec_id"))
   }
 
+  /** Incremental ingest into a [[ivfWriteIndex]]-persisted index: assign the
+    * new batch's cells with the SAME centroid model the index was built
+    * with and append — the write job adds its own files per bucket (readers
+    * union them, bucket pruning intact), so the day's crawl never rewrites
+    * the lake index. The model must be the index's model: assignment under
+    * a different model would scatter vectors into cells searches won't
+    * probe. Re-index (not append) when the model itself is retrained.
+    */
+  def ivfAppendIndex(embIn: DataFrame, centroids: DataFrame, table: String): Unit = {
+    val centArr = centroidArray(centroids)
+    spread(embIn).select(
+        (-bestCentroid(centArr).getField("ncid")).as("cell"),
+        col("vec_id"), col("embedding"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Top-k search over a [[ivfWriteIndex]]-persisted index. The probe cells
     * for the query BATCH are computed by one model-sized job over the query
     * rows (the [[probeCells]] expression — bit-identical to the order the

@@ -31,6 +31,24 @@ class AnnPersistSpec extends SparkTestBase {
     assertSameRows(persisted, direct)
   }
 
+  test("incremental ingest: appending a batch to the index == rebuilding it") {
+    // the crawl-day posture: the lake index is NOT rewritten for a new
+    // batch — the batch is cell-assigned with the same centroid model and
+    // APPENDED (each job adds its own bucket files; readers union them with
+    // pruning intact). Search over (old ∪ appended) must equal ivfTopK over
+    // the full corpus.
+    val old = emb.where(col("vec_id") >= 100)
+    val batch = emb.where(col("vec_id") < 100)
+    Ann.ivfWriteIndex(old, cents, "apspec_incr", s"$tmp/incr", 8)
+    Ann.ivfAppendIndex(batch, cents, "apspec_incr")
+    val searched = Ann.ivfSearchPersisted(spark, "apspec_incr", cents,
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k = 5, nprobe = 2)
+    assertSameRows(searched,
+      Ann.ivfTopK(emb, cents, col("vec_id") < 10, k = 5, nprobe = 2))
+  }
+
   test("index scan prunes to the probed cells' buckets") {
     written
     // visible pruning metadata needs the bucketed scan kept on even without
