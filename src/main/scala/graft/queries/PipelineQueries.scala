@@ -1638,6 +1638,65 @@ object PipelineQueries {
       | FROM c12 JOIN c1 USING (w1)
       | ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin))
 
+  /** Per-document LM scoring under the corpus bigram LM — the CCNet/KenLM
+    * quality-filter posture: each document's average log P(w₂|w₁) under the
+    * maximum-likelihood bigram model of the corpus itself (every doc bigram
+    * is in the model by construction, so no smoothing term is needed).
+    * Low scores flag gibberish / boilerplate; the score feeds the same
+    * keep/drop policies as [[qTopkPerGroup]]'s heuristic quality.
+    *
+    * Plan shape at 100 TB: the model is the observed-bigram table (ONE
+    * aggregation of the exploded corpus, vocabulary²-bounded in theory,
+    * observed-bigrams-bounded in fact — the sharded-KenLM posture), and
+    * scoring is ONE equi-join of the doc bigrams against it keyed on
+    * (w1, w2) — co-partitioned with the aggregation that built the model,
+    * so ReuseExchange serves both from a single corpus shuffle. Nothing
+    * broadcasts at corpus scale; c12 is cached model-sized via withCached.
+    *
+    * Cross-engine determinism: ln(c12/c1) is computed on identical doubles
+    * (integer÷integer) in both engines, then integer-scaled
+    * (floor(·10⁶ + 0.5)) per BIGRAM before the per-doc sum — integer sums
+    * are partial-merge-order-exact (the kmeansStep trick), so the only
+    * cross-engine surface is a 1-ulp ln() difference crossing a 10⁻⁶ floor
+    * boundary (P ≈ 10⁻¹⁰ per distinct bigram; ln(1) = 0 exactly for the
+    * common c12 = c1 case).
+    */
+  val qLmDocScore = Fixture(
+    "q_lm_doc_score",
+    (s, d) => {
+      val bi = graft.Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      graft.operators.Caching.withCached(c12) {
+        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+        val model = c12.join(c1, "w1")
+          .select(col("w1"), col("w2"),
+            floor(log(col("c12") / col("c1")) * lit(1e6) + lit(0.5)).as("lp6"))
+        bi.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            Quant.q4(col("slp") / col("n_bigrams") / lit(1e6)).as("avg_logp"))
+      }
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      |             FROM documents),
+      | b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |         i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM w0 WHERE len(w) >= 2),
+      | bi AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b),
+      | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+      | m AS (SELECT w1, w2, floor(ln(c12 / c1) * 1000000 + 0.5) AS lp6
+      |       FROM c12 JOIN c1 USING (w1))
+      | SELECT doc_id, count(*) AS n_bigrams,
+      |   ${q4("sum(lp6) / count(*) / 1000000")} AS avg_logp
+      | FROM bi JOIN m USING (w1, w2) GROUP BY doc_id""".stripMargin))
+
   /** Per-source length z-scores with outlier flags — distribution-shift /
     * anomaly screening per source. The per-source moments come from ONE
     * aggregation of exact INTEGER sums (Σx, Σx², n — order-independent,
@@ -1932,7 +1991,8 @@ object PipelineQueries {
     qLengthPercentiles, qApproxDistinct, qApproxQuantiles,
     qVocabCoverage, qSourceOverlap,
     qPackSequences, qPackScalable, qChunkDocs, qSaltedAgg,
-    qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qZscoreOutliers, qLangConfusion,
+    qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
+    qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins)
 }
