@@ -49,6 +49,21 @@ class AnnPersistSpec extends SparkTestBase {
       Ann.ivfTopK(emb, cents, col("vec_id") < 10, k = 5, nprobe = 2))
   }
 
+  test("edge: a probed cell with no corpus rows still returns the other cells' top-k") {
+    written
+    // index holds only vectors assigned to SOME cells; a query whose nprobe
+    // set includes an empty cell must rank over whatever the non-empty
+    // probed cells hold, not fail. Build a sparse index (20 vectors over 8
+    // cells leaves cells empty at sf0.001) and probe broadly.
+    Ann.ivfWriteIndex(emb.where(col("vec_id") < 20), cents,
+      "apspec_sparse", s"$tmp/sparse", 8)
+    val r = Ann.ivfSearchPersisted(spark, "apspec_sparse", cents,
+      emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k = 3, nprobe = 8)
+    assert(r.count() == 3, "broad probe over a sparse index must still rank")
+  }
+
   test("index scan prunes to the probed cells' buckets") {
     written
     // visible pruning metadata needs the bucketed scan kept on even without

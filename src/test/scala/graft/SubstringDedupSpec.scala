@@ -51,6 +51,20 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(row.getAs[Double]("frac_b") == 0.375, row.toString)
   }
 
+  test("edge: docs shorter than w are excluded; a single doc yields no pairs") {
+    val corpus = docs(Seq(
+      (1L, "only seven tokens live in this doc"),            // 7 < w=8
+      (2L, quote)))                                          // 10 tokens, no partner
+    assert(Dedup.substringPairs(corpus, "doc_id", "text", w = 8).count() == 0)
+    // the short doc pairs fine at a window it can fill
+    val corpus2 = docs(Seq(
+      (1L, "only seven tokens live in this doc"),
+      (2L, "padding only seven tokens live in this doc")))
+    val pairs = Dedup.substringPairs(corpus2, "doc_id", "text", w = 7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("maxDf cap: pairs sharing ONLY boilerplate-frequent grams are not reported") {
     // one 8-token boilerplate run present in EVERY doc (df = 4 > maxDf = 3),
     // plus one genuine pair sharing a rarer run
