@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) merge induction — the vocabulary
+  * trainer a large-scale LLM data pipeline runs over its corpus before
+  * tokenization (Sennrich et al. 2016; the sentencepiece/HF-tokenizers
+  * training loop).
+  *
+  * Scale shape, deliberately: the corpus is scanned ONCE into a
+  * (word, freq) vocabulary table — Zipf puts |vocab| at millions even for a
+  * 100 TB corpus, so every subsequent merge round is an aggregation over the
+  * vocab table, never the corpus. Each round shuffles |vocab|-scale pair
+  * counts, takes the global argmax (a 1-row collect — the model, like
+  * kmeans' k·d centroids, is driver-held by design), and rewrites the symbol
+  * sequences with a pure string `replace`. N rounds → N vocab-scale jobs +
+  * an N-row model. Applying the model back to the corpus (see
+  * [[applyMerges]]) is a replace CHAIN folded into one projection — a single
+  * corpus scan with the merges inlined as literals, nothing broadcast.
+  *
+  * Symbol-sequence encoding: each word becomes its characters plus a
+  * terminal `</w>` marker, rendered as a string with every token flanked by
+  * single spaces and separated by DOUBLE spaces (` a  b  </w> `). A merge of
+  * (l, r) is then the literal replacement of ` l  r ` with ` lr ` — and
+  * because the match consumes only ONE flanking space on each side, the
+  * left-to-right non-overlapping scan of `replace` pairs a run
+  * ` a  a  a  a ` into ` aa  aa ` exactly like the reference BPE algorithm
+  * (leftmost-first, non-overlapping). A single-space encoding would consume
+  * the shared boundary and mis-pair runs; an unanchored pattern would merge
+  * across token boundaries. The double-space form needs no regex, so the
+  * same plan runs codegen'd in Spark and mirrors 1:1 into the DuckDB oracle.
+  *
+  * Tie-break: equal counts resolve by (lhs, rhs) ascending binary order —
+  * integer counts + binary string compare make every round cross-engine
+  * deterministic.
+  *
+  * Reference anchor: the reference engine ships no tokenizer trainer; this
+  * extends the text-analysis tier (SURVEY §2 pipeline operators) with the
+  * vocabulary-induction step that sits directly upstream of its token
+  * counting (`TextFunctions.tokenCountBpe`).
+  */
+object Bpe {
+
+  /** One learned merge: rank order, the pair, and its count at merge time. */
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Lowercased `[a-z]+`-only word frequencies — the trainer's working set.
+    * The alphabet restriction keeps merge patterns literal-safe in both
+    * engines (no regex metacharacters can enter a symbol) and mirrors the
+    * usual pre-tokenization normalization in front of a BPE trainer.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** ` a  b  c  </w> ` symbol-sequence rendering of a word column. */
+  def initialSeq(word: Column): Column = {
+    val chars = transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    concat(lit(" "), array_join(concat(chars, array(lit("</w>"))), "  "), lit(" "))
+  }
+
+  private def tokens(seq: Column): Column = split(trim(seq), "  ")
+
+  /** Adjacent-pair explosion of a (seq, freq) frame → (lhs, rhs, freq). */
+  private def pairRows(cur: DataFrame): DataFrame = {
+    val t = tokens(col("seq"))
+    cur.where(size(tokens(col("seq"))) >= 2)
+      .select(col("freq"), explode(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("lhs"), element_at(t, i + 1).as("rhs")))).as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("freq"))
+  }
+
+  /** The merge-(l,r) rewrite of a symbol-sequence column. */
+  def applyMerge(seq: Column, lhs: String, rhs: String): Column =
+    replace(seq, lit(s" $lhs  $rhs "), lit(s" $lhs$rhs "))
+
+  /** Train up to `nMerges` merges over `docs(textCol)`; stops early when no
+    * adjacent pair remains. Returns the driver-held model in merge order.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var cur = wordFreqs(docs, textCol)
+      .select(initialSeq(col("word")).as("seq"), col("freq"))
+    cur.cache(); cur.count()
+    try {
+      var k = 1
+      var exhausted = false
+      while (k <= nMerges && !exhausted) {
+        val top = pairRows(cur)
+          .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Merge(k, l, r, c)
+          // Materialize each round's rewrite: the next round's aggregation
+          // would otherwise recompute the whole replace chain from the raw
+          // vocab (O(k) work per round, O(n²) total) and round k+1's scan
+          // would race an unpopulated cache (the withCached lesson).
+          val next = cur.select(applyMerge(col("seq"), l, r).as("seq"), col("freq"))
+          next.cache(); next.count()
+          cur.unpersist()
+          cur = next
+          k += 1
+        }
+      }
+      merges.toSeq
+    } finally cur.unpersist()
+  }
+
+  /** Trained model as a DataFrame (merge_rank, lhs, rhs, cnt) — the
+    * `queries()` surface of [[trainMerges]].
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, nMerges).toDF()
+  }
+
+  /** Segment the corpus under a trained model: per-document BPE token count.
+    * The merge chain folds into ONE projection over the exploded words — a
+    * single corpus scan; the model rides along as expression literals (the
+    * plan-literal posture of Ann's centroids: nothing broadcast, nothing
+    * shuffled for the model).
+    */
+  def segmentTokenCount(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+    val seq = merges.foldLeft(initialSeq(col("word")))(
+      (s, m) => applyMerge(s, m.lhs, m.rhs))
+    words.select(col(idCol), size(tokens(seq)).cast("long").as("n_tok"))
+      .groupBy(idCol).agg(sum("n_tok").as("n_tok_bpe"))
+  }
+}

@@ -1976,6 +1976,89 @@ object PipelineQueries {
       |         WHEN q < b3 THEN 2 ELSE 3 END)::BIGINT AS bin
       | FROM t, b""".stripMargin))
 
+  // ---- BPE vocabulary induction ------------------------------------------
+
+  /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
+    * double-space symbol sequences), then per round k: pair counts pk,
+    * argmax mk, rewritten sequences sk. Mirrors functions.Bpe exactly —
+    * integer counts + binary-string tie-break keep every round
+    * cross-engine deterministic; see Bpe.scala for why the DOUBLE-space
+    * encoding makes plain `replace` reproduce leftmost non-overlapping
+    * BPE pairing in both engines.
+    */
+  private def bpeOracleCtes(n: Int): String = {
+    val base =
+      s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+        |     SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        |     FROM documents)
+        |   WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+        | s0 AS (SELECT ' ' || array_to_string(list_append(
+        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
+        |          '</w>'), '  ') || ' ' AS seq, freq FROM wf)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s""" p$k AS (SELECT u.lhs AS lhs, u.rhs AS rhs, freq FROM (
+        |   SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |            i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u, freq
+        |   FROM (SELECT string_split(trim(seq), '  ') AS t, freq FROM s${k - 1})
+        |   WHERE len(t) >= 2)),
+        | m$k AS (SELECT $k AS merge_rank, lhs, rhs, sum(freq)::BIGINT AS cnt
+        |   FROM p$k GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        | s$k AS (SELECT replace(seq,
+        |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM m$k), chr(1)),
+        |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM m$k), chr(1))) AS seq,
+        |   freq FROM s${k - 1})""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** BPE merge-table induction (functions/Bpe.scala): N rounds of
+    * vocab-scale pair aggregation, driver-held N-row model. The oracle
+    * unrolls the identical rounds as CTEs; the `coalesce(chr(1))` guard
+    * makes an exhausted round a no-op rewrite so early stopping matches.
+    */
+  val qBpeMerges = Fixture(
+    "q_bpe_merges",
+    (s, d) => graft.functions.Bpe.train(Tables.documents(s, d), "text", 6),
+    Some(s"""${bpeOracleCtes(6)}
+      | SELECT * FROM (
+      |   SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
+      |   SELECT * FROM m3 UNION ALL SELECT * FROM m4 UNION ALL
+      |   SELECT * FROM m5 UNION ALL SELECT * FROM m6)
+      | ORDER BY merge_rank""".stripMargin))
+
+  /** Train → apply: per-document token count under the learned 6-merge
+    * model. The merge chain folds into one projection over a single corpus
+    * scan — the model rides as plan literals (Ann's centroid posture). The
+    * oracle re-derives the same model in CTEs and applies it with the same
+    * guarded replace chain.
+    */
+  val qBpeSegment = Fixture(
+    "q_bpe_segment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.functions.Bpe.trainMerges(docs, "text", 6)
+      graft.functions.Bpe.segmentTokenCount(docs, "text", "doc_id", model)
+    },
+    Some {
+      val applyChain = (1 to 6).map { k =>
+        s""" a$k AS (SELECT doc_id, replace(seq,
+          |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM m$k), chr(1)),
+          |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM m$k), chr(1))) AS seq
+          |   FROM a${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""${bpeOracleCtes(6)},
+        | d0 AS (SELECT doc_id, word FROM (
+        |     SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        |     FROM documents)
+        |   WHERE regexp_matches(word, '^[a-z]+$$')),
+        | a0 AS (SELECT doc_id, ' ' || array_to_string(list_append(
+        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
+        |          '</w>'), '  ') || ' ' AS seq FROM d0),
+        |$applyChain
+        | SELECT doc_id, sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_tok_bpe
+        | FROM a6 GROUP BY doc_id""".stripMargin
+    })
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
@@ -1994,5 +2077,5 @@ object PipelineQueries {
     qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
-    qCurriculumBins)
+    qCurriculumBins, qBpeMerges, qBpeSegment)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE merge induction: hand-computed merge tables, the double-space
+  * replace's leftmost non-overlapping pairing on symbol runs, token-boundary
+  * safety of the merge rewrite, early stop, and train→segment consistency.
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("hand-computed merge sequence on 'ab ab abc', with early stop") {
+    // wf: ab:2, abc:1 → pairs r1: (a,b):3 (b,</w>):2 (b,c):1 (c,</w>):1
+    val m = Bpe.trainMerges(docs("ab ab abc 123 Hello!"), "text", 6)
+    assert(m == Seq(
+      Bpe.Merge(1, "a", "b", 3),     // most frequent pair across both words
+      Bpe.Merge(2, "ab", "</w>", 2), // 'ab' closes in both copies of word 1
+      Bpe.Merge(3, "ab", "c", 1),    // tie with (c,</w>) broken by lhs asc
+      Bpe.Merge(4, "abc", "</w>", 1))) // last pair; round 5 finds none
+  }
+
+  test("symbol runs pair leftmost non-overlapping, like reference BPE") {
+    // ' a  a  a  a  </w> ': (a,a) counted 3 times, then ONE rewrite pass
+    // must yield ' aa  aa  </w> ' — the single-space encoding would consume
+    // the shared boundary and stop after one merge ('aa a a').
+    val m = Bpe.trainMerges(docs("aaaa"), "text", 6)
+    assert(m.head == Bpe.Merge(1, "a", "a", 3))
+    // round 2: pairs (aa,aa):1 and (aa,</w>):1 — '</w>' < 'aa' in binary
+    // order, so the tie-break picks (aa,</w>); that only exists if round 1
+    // produced exactly two 'aa' tokens.
+    assert(m(1) == Bpe.Merge(2, "aa", "</w>", 1))
+    assert(m(2) == Bpe.Merge(3, "aa", "aa</w>", 1))
+    assert(m.length == 3) // ' aaaa</w> ' has no pair left
+  }
+
+  test("applyMerge is token-anchored: no cross-boundary or substring match") {
+    import spark.implicits._
+    val df = Seq(
+      " a  rx ",      // rx starts with r: must NOT merge (a,r)
+      " xa  r ",      // xa ends with a: must NOT merge
+      " a  r  x ",    // genuine adjacent pair: must merge
+      " a  a  a ")    // odd run: leftmost pair merges, tail survives
+      .toDF("seq")
+    val out = df.select(Bpe.applyMerge(col("seq"), "a", "r").as("s")).as[String].collect()
+    assert(out(0) == " a  rx ")
+    assert(out(1) == " xa  r ")
+    assert(out(2) == " ar  x ")
+    val runs = df.select(Bpe.applyMerge(col("seq"), "a", "a").as("s")).as[String].collect()
+    assert(runs(3) == " aa  a ")
+  }
+
+  test("segmentTokenCount under the trained model") {
+    val d = docs("ab ab abc")
+    val full = Bpe.trainMerges(d, "text", 6)
+    // 4 merges collapse both words to single tokens incl. </w>: 1+1+1
+    val seg = Bpe.segmentTokenCount(d, "text", "doc_id", full).collect()
+    assert(seg.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 3L)))
+    // only 2 merges: ab→[ab</w>] ×2, abc→[ab, c, </w>] = 1+1+3
+    val seg2 = Bpe.segmentTokenCount(d, "text", "doc_id", full.take(2)).collect()
+    assert(seg2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 5L)))
+  }
+
+  test("train on the fixture table is deterministic across runs") {
+    val a = Bpe.trainMerges(Tables.documents(spark, sfDir), "text", 4)
+    val b = Bpe.trainMerges(Tables.documents(spark, sfDir), "text", 4)
+    assert(a == b)
+    assert(a.length == 4) // sf0.001 vocabulary has ≥4 merges' worth of pairs
+  }
+}
