@@ -1976,6 +1976,31 @@ object PipelineQueries {
       |         WHEN q < b3 THEN 2 ELSE 3 END)::BIGINT AS bin
       | FROM t, b""".stripMargin))
 
+  /** Z-ordered lake layout roundtrip (sources/ZOrder.scala): documents
+    * rewritten as 12 Morton-clustered files on (n_chars, doc_id), then a
+    * 2-D box predicate + aggregation over the clustered copy. Like
+    * q_bucketed_join, the oracle runs on the RAW table — clustering must be
+    * a pure layout change, invisible in the values; ZOrderSpec pins the
+    * pruning payoff (file min/max stats actually shrink the candidate set).
+    */
+  val qZorderLayout = Fixture(
+    "q_zorder_layout",
+    (s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_zorder_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.sources.ZOrder.writeZOrdered(
+        Tables.documents(s, d), Seq("n_chars", "doc_id"), out, 12)
+      s.read.parquet(out)
+        .where(col("n_chars").between(100, 300) && col("doc_id").between(100, 350))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents
+      | WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
+      | GROUP BY 1""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2077,5 +2102,5 @@ object PipelineQueries {
     qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
-    qCurriculumBins, qBpeMerges, qBpeSegment)
+    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout)
 }

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data clustering — the multi-column lake layout
+  * that makes BOX predicates prune files/row-groups when no single sort
+  * column dominates (the Delta/Iceberg `OPTIMIZE ZORDER BY` posture).
+  *
+  * Why it matters at 100 TB: parquet prunes on per-file/row-group min-max
+  * stats. A linear sort clusters ONE column — a predicate on any other
+  * column intersects every file's full-range stats and scans the lake.
+  * Interleaving the bits of k rank-mapped columns makes each file a compact
+  * k-D region, so a selective predicate on ANY of the z-columns shrinks the
+  * candidate file set (ZOrderSpec pins both: the value-dim predicate that
+  * prunes 0 files linear-sorted prunes most z-ordered files, and the
+  * primary dim keeps pruning too).
+  *
+  * Plan shape: ONE tiny min/max aggregation broadcast back to the scan
+  * (same stats-relation posture as q_zscore_outliers), the z-key as a pure
+  * codegen'd bit-twiddle Column, then `repartitionByRange(zkey)` +
+  * `sortWithinPartitions(zkey)` — the single range shuffle every clustering
+  * rewrite pays, at WRITE time, amortized over every read after. Rank
+  * mapping is equal-width from the broadcast min/max; heavily skewed
+  * columns degrade to fewer effective bins — the same-plan swap is
+  * approx-percentile boundaries (q_approx_quantiles pins that contract),
+  * which is what Delta's range-id variant does.
+  *
+  * Reference anchor: the reference engine keeps data in arrival order
+  * (stream circular buffers; SURVEY §1.1) and has no at-rest layout tier;
+  * this extends the storage posture beside sources/Bucketing.scala.
+  */
+object ZOrder {
+
+  /** Bit-interleave of `cols` (each already a 0..2^bits-1 long rank):
+    * output bit i*d+j = bit i of column j. Pure Column ops — codegen'd,
+    * no UDF. d*bits must fit a signed long.
+    */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 1 && d * bits <= 63, s"$d cols x $bits bits exceeds a long")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** `df` plus a `zkey` column interleaving the equal-width ranks of
+    * `cols`, computed against a broadcast 1-row min/max stats relation.
+    */
+  def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      keyName: String = "zkey"): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_zmin_$c"),
+      max(col(c)).cast("double").as(s"_zmax_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val nBins = 1L << bits
+    val ranks = cols.map { c =>
+      val mn = col(s"_zmin_$c")
+      val span = greatest(col(s"_zmax_$c") - mn, lit(1e-12))
+      least(floor((col(c).cast("double") - mn) / span * nBins),
+        lit((nBins - 1).toDouble)).cast("long")
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(keyName, interleave(ranks, bits))
+      .drop(cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
+  }
+
+  /** Write `df` as `numFiles` z-ordered parquet files at `path`. The z-key
+    * drives the range shuffle and within-file sort, then drops out — the
+    * layout is invisible in the schema, exactly like bucketing's contract
+    * (q_zorder_layout pins values-invariance under the DuckDB oracle).
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    withZKey(df, cols, bits)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ZOrder
+
+/** Z-order layout: bit-interleave correctness against a scalar reference,
+  * and the pruning payoff — per-file min/max stats (what parquet row-group
+  * pruning reads) intersect far fewer files for box/secondary-dim
+  * predicates than a linear single-column sort.
+  */
+class ZOrderSpec extends SparkTestBase {
+
+  /** Scalar reference: bit i of input j lands at output bit i*d+j. */
+  private def refInterleave(xs: Seq[Long], bits: Int): Long = {
+    val d = xs.size
+    var out = 0L
+    for (j <- xs.indices; i <- 0 until bits)
+      out |= ((xs(j) >> i) & 1L) << (i * d + j)
+    out
+  }
+
+  test("interleave matches the scalar reference on sampled ranks") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 9L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L), (12345L, 54321L))
+    val df = pairs.toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(Seq(col("x"), col("y")), 16))
+    val got = df.select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == refInterleave(Seq(x, y), 16), s"($x,$y)")
+    }
+    // known small values: x occupies even bits, y odd bits
+    val m = got.map { case (x, y, z) => (x, y) -> z }.toMap
+    assert(m((1L, 0L)) == 1L && m((0L, 1L)) == 2L && m((3L, 3L)) == 15L)
+  }
+
+  test("3-column interleave stays within a long and matches reference") {
+    import spark.implicits._
+    val df = Seq((7L, 5L, 3L), (1048575L, 0L, 1048575L)).toDF("a", "b", "c")
+      .withColumn("z",
+        ZOrder.interleave(Seq(col("a"), col("b"), col("c")), 20))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) ==
+        refInterleave(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 20))
+    }
+  }
+
+  /** Files whose [min,max] stats intersect the predicate — the exact set a
+    * min/max-pruning reader must touch.
+    */
+  private def touchedFiles(path: String, conds: Map[String, (Double, Double)]): Long = {
+    val aggCols = conds.keys.toSeq.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val keep = conds.map { case (c, (lo, hi)) =>
+      col(s"mx_$c") >= lo && col(s"mn_$c") <= hi
+    }.reduce(_ && _)
+    stats.where(keep).count()
+  }
+
+  test("z-order layout prunes secondary-dim and box predicates; linear sort cannot") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_spec")
+    val zPath = s"$tmp/z"
+    val linPath = s"$tmp/lin"
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    ZOrder.writeZOrdered(ev, Seq("user_id", "value"), zPath, 16)
+    ev.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linPath)
+    val nz = spark.read.parquet(zPath).select(input_file_name()).distinct.count()
+    val nl = spark.read.parquet(linPath).select(input_file_name()).distinct.count()
+    assert(nz == 16 && nl >= 8, s"layouts wrote $nz / $nl files")
+
+    // middle-quarter band of the SECONDARY dim: every user-sorted file
+    // spans the full value range, so linear prunes nothing
+    val valueBand = Map("value" -> (82.0, 164.0))
+    val linTouched = touchedFiles(linPath, valueBand)
+    val zTouched = touchedFiles(zPath, valueBand)
+    assert(linTouched >= nl - 1, "user-sorted layout cannot prune a value band")
+    assert(zTouched < nz / 2,
+      s"z-order should prune most files for a quarter-range band, touched $zTouched/$nz")
+
+    // 2-D box: sharing bits with the value dim must not COST the primary
+    // dim — z-order touches no more files than the user-only sort even on
+    // a user-selective box (the win is the value dim above; the primary
+    // dim's clustering survives the interleave)
+    val box = Map("user_id" -> (4.0, 7.0), "value" -> (82.0, 164.0))
+    val zBox = touchedFiles(zPath, box)
+    val linBox = touchedFiles(linPath, box)
+    assert(zBox <= linBox,
+      s"box query: z-order touched $zBox, linear $linBox")
+  }
+}
