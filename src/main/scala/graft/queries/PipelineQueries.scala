@@ -2001,6 +2001,30 @@ object PipelineQueries {
       | WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
       | GROUP BY 1""".stripMargin))
 
+  /** Compaction roundtrip (sources/Compaction.scala): the incremental-crawl
+    * fragmentation case — 48 tiny files AQE-rebalanced into ~targetBytes
+    * files — read back through the compacted layout and aggregated. Oracle
+    * on the raw table: compaction must be value-invariant; CompactionSpec
+    * pins the file-count mechanics (merge up, record-bound split down).
+    */
+  val qCompactRoundtrip = Fixture(
+    "q_compact_roundtrip",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_compact_$h").getAbsolutePath
+      Tables.documents(s, d).repartition(48)
+        .write.mode("overwrite").parquet(s"$base/fragged")
+      graft.sources.Compaction.compact(s, s"$base/fragged", s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          max("doc_id").as("max_doc_id"))
+    },
+    Some("""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   max(doc_id) AS max_doc_id
+      | FROM documents GROUP BY 1""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2102,5 +2126,5 @@ object PipelineQueries {
     qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
-    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout)
+    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip)
 }

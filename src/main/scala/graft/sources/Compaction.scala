@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the lake-maintenance pass that keeps a 100 TB
+  * corpus scannable. Incremental crawl ingest (the q_dedup_incremental /
+  * Bucketing posture) lands each batch as its own small files; after months
+  * of batches a scan pays per-file open/footer costs and the driver pays
+  * per-file listing memory, both of which dominate long before data size
+  * does (the classic "millions of 1 MB files" failure).
+  *
+  * Plan shape: ONE AQE `REBALANCE` shuffle — the runtime coalesces/splits
+  * shuffle blocks to `targetBytes` per output partition, so small inputs
+  * merge AND oversized/skewed inputs split, with no row count collected and
+  * no fixed partition count guessed (a static `coalesce(n)` needs the
+  * answer up front and cannot split). `maxRecordsPerFile` rides as the hard
+  * per-file bound against estimation error. Values are untouched —
+  * q_compact_roundtrip pins the oracle on the raw table, CompactionSpec
+  * pins the file-count mechanics both directions (merge up, bound down).
+  *
+  * Reference anchor: the reference streams from in-memory circular buffers
+  * (SURVEY §1.1) and has no at-rest maintenance tier; this completes the
+  * storage story beside Bucketing (key layout), ZOrder (clustering), and
+  * this (file sizing).
+  */
+object Compaction {
+
+  /** Rewrite `inPath` at `outPath` as ~`targetBytes` parquet files.
+    * `maxRecords` is the hard per-file row bound (0 = unbounded).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20, maxRecords: Long = 0L): Unit =
+    compactDf(spark.read.parquet(inPath), outPath, targetBytes, maxRecords)
+
+  /** Compact an arbitrary frame (e.g. one day-partition of a partitioned
+    * table — compaction composes with partition pruning, so maintenance
+    * touches only the partitions that fragmented).
+    */
+  def compactDf(df: DataFrame, outPath: String,
+      targetBytes: Long = 128L << 20, maxRecords: Long = 0L): Unit = {
+    val spark = df.sparkSession
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, targetBytes.toString)
+    try {
+      val writer = df.hint("rebalance").write.mode("overwrite")
+      (if (maxRecords > 0) writer.option("maxRecordsPerFile", maxRecords)
+       else writer).parquet(outPath)
+    } finally prev.fold(spark.conf.unset(advisoryKey))(spark.conf.set(advisoryKey, _))
+  }
+}

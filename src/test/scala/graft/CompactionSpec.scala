@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Compaction
+
+/** Compaction mechanics: a fragmented layout merges up to few files, the
+  * per-file record bound splits back down, and the rewrite is
+  * value-invariant.
+  */
+class CompactionSpec extends SparkTestBase {
+
+  private def fileCount(path: String): Long =
+    spark.read.parquet(path).select(input_file_name()).distinct.count()
+
+  test("fragmented ingest compacts to far fewer files, values unchanged") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec")
+    val fragged = s"$tmp/fragged"
+    val compacted = s"$tmp/compacted"
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(64).write.mode("overwrite").parquet(fragged)
+    assert(fileCount(fragged) == 64)
+    Compaction.compact(spark, fragged, compacted, targetBytes = 64L << 20)
+    val n = fileCount(compacted)
+    assert(n <= 4, s"64 fragments should merge to a handful of files, got $n")
+    assertSameRows(spark.read.parquet(compacted), docs)
+  }
+
+  test("maxRecords is a hard per-file bound against estimation error") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec2")
+    val fragged = s"$tmp/fragged"
+    val bounded = s"$tmp/bounded"
+    Tables.documents(spark, sfDir).repartition(32)
+      .write.mode("overwrite").parquet(fragged)
+    // 500 docs, bound 100/file: at least 5 files even though the byte
+    // target would happily merge everything into one
+    Compaction.compact(spark, fragged, bounded,
+      targetBytes = 1L << 30, maxRecords = 100L)
+    val n = fileCount(bounded)
+    assert(n >= 5, s"500 rows at 100/file must write >= 5 files, got $n")
+    assert(spark.read.parquet(bounded)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).head().getLong(0) <= 100)
+  }
+}
