@@ -2025,6 +2025,83 @@ object PipelineQueries {
       |   max(doc_id) AS max_doc_id
       | FROM documents GROUP BY 1""".stripMargin))
 
+  /** End-to-end STREAMING curation — the ingest-time mirror of
+    * q_curation_funnel's batch composite: stateless quality filter →
+    * first-seen exact dedup → tumbling per-source accepted-volume counts.
+    * Two CHAINED stateful operators under ONE delay-0 watermark: the dedup
+    * is [[graft.streaming.StreamingFirstSeen]]'s `transformWithState`
+    * stage, whose horizon is state TTL rather than the watermark delay
+    * (`dropDuplicatesWithinWatermark` couples the two, and a horizon long
+    * enough for the corpus' 3600 s-apart duplicates would hold every
+    * 60 s window open for the whole replay — watermark redefinition
+    * between chained stateful operators is disallowed). Event time chains
+    * through the processor's output, so windows finalize at delay 0.
+    *
+    * Emission contract (append mode): windows with end ≤ max event time of
+    * the QUALITY-PASSING rows — the filter sits before the watermark node,
+    * so rejected rows never advance event time; the oracle computes the
+    * same cutoff from the filtered set. Dedup keeps the min-doc_id copy
+    * *among quality passers* (a rejected earlier copy never reaches the
+    * state store — ordering of filter vs dedup is observable and pinned).
+    */
+  val qStreamCuration = Fixture(
+    "q_stream_curation",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"), col("source"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val stream = ms.toDF().toDF("doc_id", "text", "source")
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+        .where(Quant.q4(TextFunctions.qualityScore(col("text"))) >= 0.5)
+        .withWatermark("ts", "0 seconds")
+      val out = graft.streaming.StreamingFirstSeen
+        .firstSeen(stream, "text", "ts")
+        .groupBy(window(col("ts"), "60 seconds"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+        .withColumn("ws", col("window.start").cast("long"))
+        .select("ws", "source", "n_docs", "n_tok")
+      val sink = s"stream_curation_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          // one more batch so the final chunk's watermark gets APPLIED
+          // (watermark updates lag one micro-batch)
+          ms.addData(Seq(rows.last))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, text,
+      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      | FROM documents),
+      | flt AS (SELECT doc_id, source, fp, n_tok::BIGINT AS n_tok FROM (
+      |     SELECT *, ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
+      |     FROM t)
+      |   WHERE q >= 0.5),
+      | k AS (SELECT fp, min(doc_id) AS keeper FROM flt GROUP BY 1),
+      | kept AS (SELECT f.* FROM flt f JOIN k ON f.fp = k.fp AND f.doc_id = k.keeper),
+      | mx AS (SELECT max(doc_id) + 1 AS maxts FROM flt)
+      | SELECT ((doc_id + 1) // 60) * 60 AS ws, source,
+      |   count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok
+      | FROM kept, mx
+      | WHERE ((doc_id + 1) // 60) * 60 + 60 <= maxts
+      | GROUP BY 1, 2""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2126,5 +2203,6 @@ object PipelineQueries {
     qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
-    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip)
+    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
+    qStreamCuration)
 }

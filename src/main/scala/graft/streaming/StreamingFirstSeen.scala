@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.functions.TextFunctions
+
+/** First-seen exact dedup as a `transformWithState` stage that CHAINS into
+  * downstream event-time aggregation — the piece
+  * `dropDuplicatesWithinWatermark` cannot provide: its dedup horizon IS the
+  * watermark delay, so any horizon long enough to catch far-apart
+  * duplicates also holds every downstream window open for that long
+  * (and Spark disallows redefining the watermark between chained stateful
+  * operators). Here the horizon is explicit state TTL instead — decoupled
+  * from the query watermark — and the emitted rows carry their event time
+  * forward via the `eventTimeColumnName` overload, so a delay-0 watermark
+  * can finalize downstream windows while dedup state lives as long as the
+  * configured TTL (processing-time TTL; `TTLConfig.NONE` = the replay /
+  * backfill posture where nothing must leak).
+  *
+  * Within-batch ties resolve to the min-doc_id copy — the same keeper rule
+  * as the batch Dedup.exact / q_curation_funnel, so ONE oracle covers both.
+  * State is 1 boolean per distinct fingerprint, keyed (shuffles by fp →
+  * distributes); the 100 TB ingest posture is TTL + a periodic batch sweep,
+  * exactly as documented on [[StreamingDedup]].
+  */
+object StreamingFirstSeen {
+
+  case class DocIn(fp: String, doc_id: Long, ts_us: Long, source: String, n_tok: Long)
+  case class DocOut(doc_id: Long, ts: java.sql.Timestamp, source: String, n_tok: Long)
+
+  private class FirstSeenProc(ttl: TTLConfig)
+      extends StatefulProcessor[String, DocIn, DocOut] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, ttl)
+    override def handleInputRows(
+        fp: String, rows: Iterator[DocIn], tv: TimerValues): Iterator[DocOut] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(_.doc_id)
+        seen.update(true)
+        Iterator.single(DocOut(first.doc_id,
+          new java.sql.Timestamp(first.ts_us / 1000L), first.source, first.n_tok))
+      }
+    }
+  }
+
+  /** Dedup `stream` (needs doc_id, tsCol, source, textCol; watermark already
+    * defined on tsCol upstream) to first-seen rows
+    * (doc_id, ts, source, n_tok), event time preserved for chaining.
+    */
+  def firstSeen(stream: DataFrame, textCol: String, tsCol: String,
+      ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(
+        TextFunctions.fingerprintMd5(col(textCol)).as("fp"),
+        col("doc_id").cast("long").as("doc_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col("source"),
+        TextFunctions.tokenCountWs(col(textCol)).cast("long").as("n_tok"))
+      .as[DocIn]
+      .groupByKey(_.fp)
+      .transformWithState(new FirstSeenProc(ttl), "ts", OutputMode.Append())
+      .toDF()
+  }
+}
