@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-based upsert (MERGE INTO semantics, snapshot form) — how a crawl
+  * pipeline folds a re-fetch batch into the curated lake: rows whose key
+  * appears in the batch are REPLACED, everything else carries over, new
+  * keys append. Without a table format's transaction log the merge is a
+  * snapshot rewrite: `lake ANTI-JOIN batch ∪ batch`.
+  *
+  * Scale shape: ONE key-equi anti-join + a union — no window functions, no
+  * global order. The anti-join shuffles both sides by key in the general
+  * case; on the bucketed lake layout (sources/Bucketing.scala, key =
+  * bucket column) BOTH the anti-join and any downstream key-keyed
+  * aggregation reuse the at-rest partitioning and the day's batch is the
+  * only side that shuffles — UpsertSpec pins that zero-lake-exchange plan.
+  * Combined with partition pruning (merge only the day partitions the
+  * batch touches) this is the 100 TB incremental-maintenance posture.
+  *
+  * The batch must be unique per key (a MERGE with two sources for one key
+  * is ambiguous in every engine); [[mergeByKeyLatest]] resolves multi-row
+  * batches first via the max-`versionCol` row, the CDC compaction rule.
+  */
+object Upsert {
+
+  def mergeByKey(lake: DataFrame, batch: DataFrame, key: String): DataFrame =
+    lake.join(batch.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(batch)
+
+  /** Multi-row batches (e.g. a day of CDC events) reduce to the
+    * max-`versionCol` row per key first — a partial-aggregating max_by,
+    * not a window sort.
+    */
+  def mergeByKeyLatest(lake: DataFrame, batch: DataFrame, key: String,
+      versionCol: String): DataFrame = {
+    val latest = batch
+      .groupBy(key)
+      .agg(max_by(struct(batch.columns.filter(_ != key).map(col): _*),
+        col(versionCol)).as("__r"))
+      .select(col(key) +: batch.columns.filter(_ != key)
+        .map(c => col(s"__r.$c").as(c)): _*)
+    mergeByKey(lake, latest, key)
+  }
+}

@@ -2102,6 +2102,39 @@ object PipelineQueries {
       | WHERE ((doc_id + 1) // 60) * 60 + 60 <= maxts
       | GROUP BY 1, 2""".stripMargin))
 
+  /** MERGE INTO upsert (operators/Upsert.scala): a re-crawl batch (changed
+    * docs + brand-new docs) folded into the lake snapshot — replaced rows
+    * take the batch values, new keys append, the rest carry over. One
+    * anti-join + union; UpsertSpec pins the zero-lake-exchange plan on the
+    * bucketed layout. The oracle recomputes the same snapshot from the raw
+    * table.
+    */
+  val qMergeUpsert = Fixture(
+    "q_merge_upsert",
+    (s, d) => {
+      val lake = Tables.documents(s, d)
+      val updates = lake.where(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val fresh = lake.where(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.operators.Upsert
+        .mergeByKey(lake, updates.unionByName(fresh), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"))
+    },
+    Some("""WITH b AS (
+      |   SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars
+      |   FROM documents WHERE doc_id % 10 = 0
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, text, lang, source, n_chars
+      |   FROM documents WHERE doc_id % 7 = 3),
+      | m AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM b)
+      |       UNION ALL SELECT * FROM b)
+      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   sum(doc_id)::BIGINT AS id_sum
+      | FROM m GROUP BY 1""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2204,5 +2237,5 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration)
+    qStreamCuration, qMergeUpsert)
 }

@@ -74,9 +74,25 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit =
+    layout(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** Incremental maintenance — the crawl-batch posture (the ivfAppendIndex
+    * pattern): cluster ONLY the day's batch and append its files; the lake
+    * never rewrites. Sound because pruning reads per-FILE min/max of the
+    * ORIGINAL columns — each appended file is compactly clustered under the
+    * batch's own rank mapping, so selectivity holds for old and new files
+    * alike with no global rank invariant to maintain (rank drift only
+    * shuffles which file a row lands in, never what its stats say).
+    * Fragmentation from many small batches is [[Compaction]]'s job.
+    */
+  def appendZOrdered(batch: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    layout(batch, cols, numFiles, bits).write.mode("append").parquet(path)
+
+  private def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int): DataFrame =
     withZKey(df, cols, bits)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")
-      .write.mode("overwrite").parquet(path)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Upsert semantics (replace / carry / append), CDC latest-wins reduction,
+  * and the zero-lake-exchange anti-join plan on the bucketed layout.
+  */
+class UpsertSpec extends SparkTestBase {
+
+  test("mergeByKey replaces matched keys, carries the rest, appends new") {
+    import spark.implicits._
+    val lake = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n")
+    val batch = Seq((2L, "B", 99L), (9L, "z", 90L)).toDF("id", "v", "n")
+    val got = Upsert.mergeByKey(lake, batch, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "B", 99L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("mergeByKeyLatest reduces a multi-version batch to max-version rows") {
+    import spark.implicits._
+    val lake = Seq((1L, "a", 0L)).toDF("id", "v", "ver")
+    val batch = Seq((1L, "v1", 1L), (1L, "v3", 3L), (1L, "v2", 2L),
+      (5L, "n1", 1L), (5L, "n2", 2L)).toDF("id", "v", "ver")
+    val got = Upsert.mergeByKeyLatest(lake, batch, "id", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "v3", 3L), (5L, "n2", 2L)))
+  }
+
+  test("on the bucketed lake only the batch side shuffles") {
+    import spark.implicits._
+    val h = "upsert_spec"
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_$h").getAbsolutePath
+    graft.sources.Bucketing.writeBucketed(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars"),
+      s"graft_lake_$h", s"$base/lake", 8, "doc_id", Seq("doc_id"))
+    val lake = spark.table(s"graft_lake_$h")
+    val batch = Seq((3L, "srcX", 1L), (900001L, "srcY", 2L))
+      .toDF("doc_id", "source", "n_chars")
+    val merged = Upsert.mergeByKey(lake, batch, "doc_id")
+    merged.write.format("noop").mode("overwrite").save()
+    val p = merged.queryExecution.executedPlan.toString
+    val exchanges = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    // the 35 k-row lake reads in place; only the 2-row batch may shuffle
+    // (or broadcast, in which case zero hash exchanges remain)
+    assert(exchanges <= 1, s"lake side must not shuffle:\n$p")
+    assert(merged.count() == Tables.documents(spark, sfDir).count() + 1)
+  }
+}

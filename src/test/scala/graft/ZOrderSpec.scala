@@ -94,4 +94,22 @@ class ZOrderSpec extends SparkTestBase {
     assert(zBox <= linBox,
       s"box query: z-order touched $zBox, linear $linBox")
   }
+
+  test("incremental append keeps values and pruning without a lake rewrite") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_append")
+    val path = s"$tmp/z"
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val base = ev.where(col("event_id") % 2 === 0)
+    val batch = ev.where(col("event_id") % 2 === 1)
+    ZOrder.writeZOrdered(base, Seq("user_id", "value"), path, 8)
+    ZOrder.appendZOrdered(batch, Seq("user_id", "value"), path, 8)
+    assertSameRows(spark.read.parquet(path), ev)
+    val n = spark.read.parquet(path).select(input_file_name()).distinct.count()
+    assert(n == 16, s"8 base + 8 appended files expected, got $n")
+    // the batch's files are clustered under their own rank mapping, so a
+    // quarter-range value band still prunes most of the UNION layout
+    val touched = touchedFiles(path, Map("value" -> (82.0, 164.0)))
+    assert(touched < n / 2,
+      s"value band should prune most files post-append, touched $touched/$n")
+  }
 }
