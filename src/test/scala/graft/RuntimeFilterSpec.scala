@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runtime bloom-filter injection — the AQE-era semi-join reduction that
+  * matters at 100 TB: when a fact-dim join's dim side carries a selective
+  * filter, Catalyst builds a bloom filter over the dim's join keys and
+  * applies `might_contain` on the FACT side before the shuffle, so the
+  * fact scan ships only rows that can match. Thresholds are lowered here
+  * because they are sized for TB-scale inputs (the application side must
+  * normally exceed 10 GB); the spec pins the MECHANISM fires on this
+  * join shape, and that it changes no values, so the posture documented in
+  * the join operators ("selective dim joins prune the fact shuffle at
+  * runtime") is load-bearing, not aspirational.
+  */
+class RuntimeFilterSpec extends SparkTestBase {
+
+  test("selective dim filter injects might_contain into the fact side") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.lineitem(s, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(s, sfDir)
+      .where(col("o_totalprice") > 200000.0) // selective dim
+      .select("o_orderkey")
+    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"expected an injected bloom runtime filter in:\n$plan")
+
+    // values must be identical with the filter off
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val li2 = Tables.lineitem(s2, sfDir).select("l_orderkey", "l_quantity")
+    val ord2 = Tables.orders(s2, sfDir)
+      .where(col("o_totalprice") > 200000.0).select("o_orderkey")
+    val expect = li2.join(ord2, li2("l_orderkey") === ord2("o_orderkey"))
+      .agg(sum("l_quantity").as("q")).head().getDouble(0)
+    assert(joined.head().getDouble(0) == expect)
+  }
+}
