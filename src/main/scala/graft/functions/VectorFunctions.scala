@@ -39,4 +39,28 @@ object VectorFunctions {
     fold(transform(sequence(lit(0), lit(bits - 1)),
       i => when(element_at(a, i + 1) > 0, pow(lit(2.0), i.cast("double"))).otherwise(lit(0.0))))
       .cast("long")
+
+  /** Johnson–Lindenstrauss random projection `dIn → dOut` with a
+    * DETERMINISTIC ±1 matrix derived from [[TextFunctions.hash64]] of the
+    * cell coordinates (Achlioptas 2003 sign projection) — no materialized
+    * matrix, no broadcast, no randomness source to coordinate across
+    * executors or engines: the "matrix" is an expression, the same
+    * plan-literal posture as Ann's centroids. Scaled by 1/√dOut so dot
+    * products estimate the originals; with dOut a power of 4 the scale is
+    * exact in binary and the fold stays bit-identical to the DuckDB mirror
+    * (left fold, 0.0 seed, double promotion before multiply).
+    *
+    * The 100 TB role: compress `array<float>` embeddings ~4× ahead of the
+    * shuffle-heavy ANN/near-dup stages — candidate generation runs on the
+    * sketch, exact re-rank on the full vectors touches only candidates.
+    */
+  def rpProject(vec: Column, dIn: Int, dOut: Int): Column = {
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    transform(sequence(lit(0), lit(dOut - 1)), j =>
+      aggregate(sequence(lit(1), lit(dIn)), lit(0.0),
+        (acc, i) => acc + element_at(vec, i).cast("double") *
+          when(TextFunctions.hash64(concat(lit("rp#"), (i - 1).cast("string"),
+            lit("#"), j.cast("string"))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+        * lit(scale))
+  }
 }

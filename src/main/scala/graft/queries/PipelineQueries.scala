@@ -2135,6 +2135,24 @@ object PipelineQueries {
       |   sum(doc_id)::BIGINT AS id_sum
       | FROM m GROUP BY 1""".stripMargin))
 
+  /** JL random projection 64 → 16 (VectorFunctions.rpProject): the
+    * deterministic ±1 sketch that compresses embeddings 4× ahead of the
+    * shuffle-heavy ANN stages. Every (row, component) pinned against the
+    * DuckDB mirror of the same hash-derived matrix and left fold; RpSpec
+    * pins the sign derivation and the similarity-preservation quality.
+    */
+  val qRpProject = Fixture(
+    "q_rp_project",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions
+          .rpProject(col("embedding"), 64, 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        Quant.q4(col("col")).as("comp")),
+    Some(s"""SELECT vec_id, j,
+      |   ${q4("0.25 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5('rp#' || (i-1) || '#' || j), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)")} AS comp
+      | FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2237,5 +2255,5 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qMergeUpsert)
+    qStreamCuration, qMergeUpsert, qRpProject)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Random projection: the hash-derived sign matrix matches an independent
+  * scalar rederivation (basis vectors read out matrix columns), and the
+  * sketch preserves cosine similarity well enough to drive candidate
+  * generation on the fixture embeddings.
+  */
+class RpSpec extends SparkTestBase {
+
+  /** Independent md5-based rederivation of the ±1 cell sign. */
+  private def refSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp#$i#$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  test("projecting basis vectors reads out the sign matrix exactly") {
+    import spark.implicits._
+    val d = 8
+    val basis = (0 until d).map(i =>
+      (i.toLong, Array.tabulate(d)(k => if (k == i) 1.0f else 0.0f)))
+      .toDF("i", "vec")
+    val out = basis
+      .select(col("i"), VectorFunctions.rpProject(col("vec"), d, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val scale = 1.0 / math.sqrt(4.0)
+    for (i <- 0 until d; j <- 0 until 4)
+      assert(out(i.toLong)(j) == scale * refSign(i, j), s"cell ($i,$j)")
+  }
+
+  test("sketch cosines track full-dimension cosines on the fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.rpProject(col("embedding"), 64, 16).as("sk"))
+    val a = emb.where(col("vec_id") < 40).select(
+      col("vec_id").as("ida"), col("embedding").as("ea"), col("sk").as("ska"))
+    val b = emb.where(col("vec_id") >= 40 && col("vec_id") < 80).select(
+      col("vec_id").as("idb"), col("embedding").as("eb"), col("sk").as("skb"))
+    val stats = a.crossJoin(b).select(
+      abs(VectorFunctions.cosine(col("ea"), col("eb")) -
+        VectorFunctions.cosine(col("ska"), col("skb"))).as("err"))
+      .agg(avg("err").as("mae"), max("err").as("worst"))
+      .head()
+    val (mae, worst) = (stats.getDouble(0), stats.getDouble(1))
+    // JL at dOut=16: typical deviation ~1/sqrt(16); fixed data, fixed matrix
+    assert(mae < 0.25, s"mean |cosine error| $mae")
+    assert(worst < 0.8, s"worst |cosine error| $worst")
+  }
+}
