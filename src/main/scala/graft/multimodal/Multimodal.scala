@@ -491,4 +491,74 @@ object Multimodal {
         }
       }
   }
+
+  // ---- audio tier ----------------------------------------------------------
+
+  /** A raw-audio asset: s16le PCM payload + sample count. */
+  case class AudioRow(doc_id: Long, pcm: Array[Byte], n_samples: Long)
+
+  /** One analysis window of a decoded waveform. */
+  case class AudioWindow(doc_id: Long, win_id: Long, rms: Double, peak: Long)
+
+  /** Deterministic synthetic PCM table: per doc, `2048 + (doc_id % 5)·1024`
+    * signed-16-bit little-endian samples from an exact integer recurrence
+    * (`(doc_id·1000003 + k·7919) mod 65536 − 32768`), encoded to REAL bytes
+    * executor-side — the binary column is born distributed, like the image
+    * tier's PNGs, and the recurrence lets an oracle recompute every sample
+    * without parsing binary.
+    */
+  def syntheticPcm(spark: SparkSession, docs: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (2048 + (id % 5) * 1024).toInt
+          val buf = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var k = 0L
+          while (k < n) {
+            buf.putShort((((id * 1000003L + k * 7919L) % 65536L) - 32768L).toShort)
+            k += 1
+          }
+          AudioRow(id, buf.array(), n.toLong)
+        }
+      }
+  }
+
+  /** REAL waveform decode tier, executor-side: parse the s16le payload back
+    * through a little-endian ShortBuffer and reduce each full `win`-sample
+    * window to RMS + peak — the loudness/clipping screen an audio curation
+    * pipeline runs before transcription. Integer sum-of-squares keeps the
+    * reduction exact (merge-order-independent); only the final sqrt is
+    * floating point. Bytes never leave the executor; the output is the
+    * narrow feature row. Swapping the PCM parse for a real codec (FLAC/OPUS
+    * via JAVE/ffmpeg) changes only the decode line.
+    */
+  def audioWindows(spark: SparkSession, audio: Dataset[AudioRow],
+      win: Int = 1024): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(win >= 1, s"win must be >= 1 (got $win)")
+    audio.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val sb = java.nio.ByteBuffer.wrap(r.pcm)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val nWin = sb.remaining() / win
+        (0 until nWin).iterator.map { w =>
+          var i = 0
+          var sumSq = 0L
+          var peak = 0L
+          while (i < win) {
+            val v = sb.get(w * win + i).toLong
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioWindow(r.doc_id, w.toLong,
+            math.sqrt(sumSq.toDouble / win), peak)
+        }
+      }
+    }
+  }
 }

@@ -2153,6 +2153,33 @@ object PipelineQueries {
       |   ${q4("0.25 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5('rp#' || (i-1) || '#' || j), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)")} AS comp
       | FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""".stripMargin))
 
+  /** Audio-tier plumbing (Multimodal.syntheticPcm/audioWindows): s16le PCM
+    * born as REAL bytes executor-side, decoded back through a little-endian
+    * ShortBuffer, reduced to per-window RMS + peak — the loudness/clipping
+    * screen before transcription. The oracle recomputes every sample from
+    * the integer recurrence without touching binary; the byte roundtrip is
+    * exactly what it verifies (any endianness/offset slip shifts every
+    * window's sum).
+    */
+  val qAudioEnergy = Fixture(
+    "q_audio_energy",
+    (s, d) => {
+      val audio = Multimodal.syntheticPcm(s, Tables.documents(s, d))
+      Multimodal.audioWindows(s, audio).toDF()
+        .select(col("doc_id"), col("win_id"),
+          Quant.q4(col("rms")).as("rms"), col("peak"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, 2048 + (doc_id % 5) * 1024 AS n FROM documents),
+      | w AS (SELECT doc_id, unnest(generate_series(0, n // 1024 - 1)) AS win_id FROM d),
+      | sm AS (SELECT doc_id, win_id,
+      |          unnest(generate_series(win_id * 1024, win_id * 1024 + 1023)) AS k
+      |        FROM w),
+      | v AS (SELECT doc_id, win_id,
+      |         ((doc_id * 1000003 + k * 7919) % 65536) - 32768 AS x FROM sm)
+      | SELECT doc_id, win_id, ${q4("sqrt(sum(x * x) / 1024.0)")} AS rms,
+      |   max(abs(x)) AS peak
+      | FROM v GROUP BY 1, 2""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2255,5 +2282,5 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qMergeUpsert, qRpProject)
+    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy)
 }

@@ -280,4 +280,24 @@ class MultimodalSpec extends SparkTestBase {
       Seq((0L, 1000L), (1L, 1000L), (2L, 0L)), got.mkString(", "))
     assert(got(2).frame_sig == md5Prefix(Array.emptyByteArray))
   }
+
+  test("audio: PCM byte roundtrip reproduces the recurrence, full windows only") {
+    import spark.implicits._
+    val docs = Seq((3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val audio = Multimodal.syntheticPcm(spark, docs)
+    // doc 3: 2048 + 3*1024 = 5120 samples → 5 windows; doc 7: 2048+2*1024 → 4
+    val wins = Multimodal.audioWindows(spark, audio).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.win_id)).toMap
+    assert(wins(3L).length == 5 && wins(7L).length == 4)
+    // scalar rederivation of window 2 of doc 3 straight from the recurrence
+    // — if the s16le encode/decode slipped a byte or an endianness, every
+    // sum differs
+    def sample(id: Long, k: Long): Long = ((id * 1000003L + k * 7919L) % 65536L) - 32768L
+    val xs = (2048L until 3072L).map(sample(3L, _))
+    val expRms = math.sqrt(xs.map(x => x * x).sum.toDouble / 1024)
+    val expPeak = xs.map(math.abs).max
+    val w2 = wins(3L)(2)
+    assert(w2.rms == expRms && w2.peak == expPeak,
+      s"got (${w2.rms}, ${w2.peak}) expected ($expRms, $expPeak)")
+  }
 }
