@@ -2180,6 +2180,63 @@ object PipelineQueries {
       |   max(abs(x)) AS peak
       | FROM v GROUP BY 1, 2""".stripMargin))
 
+  /** Streaming CDC apply into the versioned snapshot lake
+    * (streaming/StreamingUpsert + sources/SnapshotLake): two change batches
+    * replayed through `foreachBatch`, each folded in with latest-wins merge
+    * and committed pointer-last; the fixture reads the FINAL snapshot — so
+    * the oracle checks the whole chain (merge semantics × version
+    * arithmetic × pointer swap), and StreamingUpsertSpec separately pins
+    * replayed-batch idempotence.
+    */
+  val qStreamCdcUpsert = Fixture(
+    "q_stream_cdc_upsert",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_cdclake_${System.nanoTime}").getAbsolutePath
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"), col("n_chars"))
+      graft.sources.SnapshotLake.commit(
+        docs.withColumn("ver", lit(0L)), root, 0L)
+      def rows(df: DataFrame) =
+        df.as[(Long, String, Long, Long)].collect().toSeq
+      val b1 = rows(docs.where(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L).withColumn("ver", lit(1L)))
+      val b2 = rows(docs.where(col("doc_id") % 20 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000L).withColumn("ver", lit(2L))
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("ver", lit(1L))))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Long)]
+      val q = graft.streaming.StreamingUpsert.start(
+        ms.toDF().toDF("doc_id", "source", "n_chars", "ver"),
+        root, "doc_id", "ver", s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"), max("ver").as("max_ver"))
+    },
+    Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      | fin AS (
+      |   SELECT doc_id, source,
+      |     CASE WHEN doc_id % 20 = 0 THEN n_chars + 2000
+      |          WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |          ELSE n_chars END AS n_chars,
+      |     CASE WHEN doc_id % 20 = 0 THEN 2
+      |          WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS ver
+      |   FROM base
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, source, n_chars, 1 FROM base WHERE doc_id % 7 = 3)
+      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   sum(doc_id)::BIGINT AS id_sum, max(ver)::BIGINT AS max_ver
+      | FROM fin GROUP BY 1""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2282,5 +2339,5 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy)
+    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert)
 }

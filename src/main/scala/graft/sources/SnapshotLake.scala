@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Minimal versioned-snapshot table: `root/v<N>/` parquet directories plus a
+  * `_CURRENT` pointer file, committed pointer-last — the two-phase shape
+  * every table format (Delta/Iceberg/Hudi) builds on. Readers resolve
+  * `_CURRENT` once and only ever see a fully-written snapshot; a writer
+  * that dies mid-write leaves an orphan directory, never a torn table.
+  * The pointer swap is a single atomic rename, and version directories are
+  * immutable once committed — which is what makes the streaming upsert's
+  * per-batch idempotence checkable (see [[graft.streaming.StreamingUpsert]]).
+  *
+  * Local-filesystem paths here; on an object store the pointer lives in a
+  * conditional-put object or a catalog entry — same protocol, different
+  * primitive.
+  */
+object SnapshotLake {
+
+  private def currentFile(root: String) = Paths.get(root, "_CURRENT")
+
+  /** The committed version number, if the table exists. */
+  def currentVersion(root: String): Option[Long] = {
+    val f = currentFile(root)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  def versionPath(root: String, v: Long): String =
+    Paths.get(root, s"v$v").toString
+
+  /** Read the current snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    spark.read.parquet(versionPath(root, v))
+  }
+
+  /** True if version `v` has already been fully committed — the replayed
+    * micro-batch case: the work is done, the commit must not repeat.
+    */
+  def isCommitted(root: String, v: Long): Boolean =
+    currentVersion(root).exists(_ >= v)
+
+  /** Write `df` as version `v` and swap the pointer. Data first, pointer
+    * last; the pointer move is atomic, so a crash at any step leaves the
+    * previous version readable.
+    */
+  def commit(df: DataFrame, root: String, v: Long): Unit = {
+    df.write.mode("overwrite").parquet(versionPath(root, v))
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
