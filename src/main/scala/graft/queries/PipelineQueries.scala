@@ -404,6 +404,58 @@ object PipelineQueries {
       |   (SELECT vid_a, vid_b, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p)
       | WHERE cos >= 0.4""".stripMargin))
 
+  /** STREAMING embedding near-dup dedup
+    * (streaming/StreamingEmbedDedup.scala): the embeddings replay in vec_id
+    * order through label-keyed `transformWithState`; an arrival is dropped
+    * iff quantized cosine ≥ 0.4 against ANY previously-seen vector of its
+    * label — by construction the kept set is exactly "vectors that are no
+    * pair's later side" of the batch q_dedup_embed_cosine relation, which
+    * is what the oracle computes (see the module scaladoc for why
+    * seen-not-kept semantics is the curation-correct AND oracle-exact
+    * choice; EmbedDedupStreamSpec pins the chain case).
+    */
+  val qDedupStreamEmbed = Fixture(
+    "q_dedup_stream_embed",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.embeddings(s, d)
+        .select(col("label").cast("long"), col("vec_id").cast("long"),
+          col("embedding"))
+        .as[(Long, Long, Array[Float])].collect().sortBy(_._2)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Array[Float])]
+      val out = graft.streaming.StreamingEmbedDedup
+        .firstSeen(ms.toDF().toDF("cell", "vec_id", "vec"), 0.4)
+        .select(col("vec_id"), col("cell").as("label"))
+      val sink = s"stream_embed_dedup_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+      |         ${dotSql("a.v", "b.v")} AS ab,
+      |         ${dotSql("a.v", "a.v")} AS aa,
+      |         ${dotSql("b.v", "b.v")} AS bb
+      |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      | dup AS (SELECT vid_b FROM
+      |     (SELECT vid_b, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p)
+      |   WHERE cos >= 0.4)
+      | SELECT vec_id, label::BIGINT AS label FROM embeddings
+      | WHERE vec_id NOT IN (SELECT vid_b FROM dup)""".stripMargin))
+
   // ---- similarity search --------------------------------------------------
 
   /** Nearest-centroid assignment (k-means E-step / IVF coarse quantizer):
@@ -2339,5 +2391,6 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert)
+    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
+    qDedupStreamEmbed)
 }

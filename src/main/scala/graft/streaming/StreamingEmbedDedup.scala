@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Streaming embedding near-dup dedup — the ingest-time mirror of
+  * [[graft.similarity.Ann.nearDupPairs]], completing the streaming dedup
+  * set (exact: StreamingDedup/StreamingFirstSeen; text near-dup:
+  * StreamingMinhashDedup; this: vector near-dup).
+  *
+  * Semantics, deliberately: an arrival is DROPPED iff its quantized cosine
+  * against ANY previously-SEEN vector of its coarse partition reaches
+  * `minCos` — seen, not kept. Comparing against kept-only representatives
+  * (true sequential first-seen) makes the kept set depend on drop chains
+  * (a~b, b~c, a≁c keeps c because b died first), which no closed-form
+  * relation reproduces; comparing against all arrivals makes the kept set
+  * EXACTLY "vectors that are no pair's later side" — the batch pair
+  * relation verbatim, one oracle for both engines at any scale, and the
+  * conservative choice for corpus curation (near-a-near-dup is itself
+  * suspect). EmbedDedupStreamSpec pins the chain case explicitly.
+  *
+  * Scale shape: state is keyed by the coarse partition (label / sign-cell /
+  * IVF cell id), so comparisons never cross cells — the same
+  * candidate-bounding as the batch path. Within a cell the arrival
+  * compares against the stored list, capped at `maxPerKey` (beyond the
+  * cap, new arrivals still compare against the retained prefix — recall
+  * degrades before state explodes, the StreamingMinhashDedup bucket-cap
+  * rule); the production posture adds event-time TTL for the crawl
+  * horizon, exactly as documented there.
+  */
+object StreamingEmbedDedup {
+
+  case class VecIn(cell: Long, vec_id: Long, vec: Array[Float])
+  case class Kept(vec_id: Long, cell: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  case class Stored(id: Long, v: Array[Float])
+
+  /** Ascending left-fold one-pass quantized cosine — the scalar twin of
+    * VectorFunctions.cosineFused + Quant.q4 (same IEEE op order, so the
+    * kept set matches the SQL relation bit-for-bit).
+    */
+  private[streaming] def cosQ4(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    math.floor(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e4 + 0.5) / 1e4
+  }
+
+  private class DedupProc(minCos: Double, maxPerKey: Int)
+      extends StatefulProcessor[Long, VecIn, Kept] {
+    @transient private var seen: ListState[Stored] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Stored](
+        "seen", Encoders.product[Stored], TTLConfig.NONE)
+    override def handleInputRows(
+        cell: Long, rows: Iterator[VecIn], tv: TimerValues): Iterator[Kept] = {
+      // within-batch arrivals order by vec_id — the replay's arrival order
+      // (shuffle iterators do not guarantee it)
+      val batch = rows.toArray.sortBy(_.vec_id)
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Stored]
+      seen.get().foreach(stored += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Kept]
+      batch.foreach { r =>
+        val dup = stored.exists(s => cosQ4(s.v, r.vec) >= minCos)
+        if (!dup) out += Kept(r.vec_id, cell)
+        if (stored.length < maxPerKey) {
+          val s = Stored(r.vec_id, r.vec)
+          stored += s
+          seen.appendValue(s)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Dedup a stream of (cell, vec_id, vec) rows; emits kept ids. */
+  def firstSeen(stream: DataFrame, minCos: Double,
+      maxPerKey: Int = Int.MaxValue): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("cell").cast("long").as("cell"),
+        col("vec_id").cast("long").as("vec_id"), col("vec"))
+      .as[VecIn]
+      .groupByKey(_.cell)
+      .transformWithState(new DedupProc(minCos, maxPerKey),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+}
