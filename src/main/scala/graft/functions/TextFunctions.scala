@@ -67,6 +67,21 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Text normalization for ingest: strip C0/C1-ish control characters
+    * (keeping \t \n \r only long enough to collapse them), squash
+    * whitespace runs to single spaces, trim. Pure codegen'd regexps — the
+    * same two patterns run verbatim in the DuckDB oracle (RE2 and Java both
+    * accept the \x escapes), so cleaning is oracle-checkable even though
+    * the synthetic corpus is born clean (q_clean_text constructs its own
+    * dirt). This is the mojibake/control-char scrub every web-crawl
+    * pipeline runs before fingerprinting — fingerprints of uncleaned text
+    * split identical documents that differ only in whitespace/controls.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit("")),
+      lit("\\s+"), lit(" ")))
+
   /** Quality score in [0,1]: blends length saturation, alpha ratio, and
     * stopword density — the standard cheap pre-filter shape for web corpora.
     * Quantized by the caller.

@@ -2289,6 +2289,97 @@ object PipelineQueries {
       |   sum(doc_id)::BIGINT AS id_sum, max(ver)::BIGINT AS max_ver
       | FROM fin GROUP BY 1""".stripMargin))
 
+  /** Same contract as q_zorder_layout, equal-frequency ranks
+    * (ZOrder.writeZOrderedQuantile): the skew-robust clustering path must
+    * also be invisible in query values. ZOrderSpec pins WHY this variant
+    * exists (outlier-stretched ranges collapse equal-width binning).
+    */
+  val qZorderQuantile = Fixture(
+    "q_zorder_quantile",
+    (s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_zorderq_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.sources.ZOrder.writeZOrderedQuantile(
+        Tables.documents(s, d), Seq("n_chars", "doc_id"), out, 12)
+      s.read.parquet(out)
+        .where(col("n_chars").between(100, 300) && col("doc_id").between(100, 350))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents
+      | WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
+      | GROUP BY 1""".stripMargin))
+
+  /** Text cleaning (TextFunctions.cleanText) under the oracle: the corpus
+    * is born clean, so the fixture CONSTRUCTS deterministic dirt — leading
+    * spaces, tabs, a NUL, trailing run — identically in both engines, then
+    * cleans it and fingerprints. A clean(dirty(text)) == normalized(text)
+    * invariant is exactly what ingest relies on: whitespace/control noise
+    * must not split exact-dedup fingerprints.
+    */
+  val qCleanText = Fixture(
+    "q_clean_text",
+    (s, d) => {
+      val dirty = concat(lit("  "), col("text"), lit("\t\t"),
+        lit("\u0000"), lit("end  "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(TextFunctions.cleanText(dirty)).cast("long").as("n_clean"),
+        md5(TextFunctions.cleanText(dirty)).as("fp_clean"))
+    },
+    Some("""SELECT doc_id,
+      |   strlen(trim(regexp_replace(regexp_replace(
+      |     '  ' || text || chr(9) || chr(9) || chr(0) || 'end  ',
+      |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS n_clean,
+      |   md5(trim(regexp_replace(regexp_replace(
+      |     '  ' || text || chr(9) || chr(9) || chr(0) || 'end  ',
+      |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))) AS fp_clean
+      | FROM documents""".stripMargin))
+
+  /** Temperature-weighted mixture planning — the α-sampling recipe step
+    * (multilingual-LM style, α = 0.5): per-source sampling weights
+    * wₛ = pₛ^α / Σ pₛ^α from token mass, and the implied epochs over each
+    * source at a fixed token budget. Three TINY aggregations chained by
+    * broadcast (source cardinality ≤ hundreds at any corpus size — the
+    * q_source_overlap dimension-bound argument); the corpus is touched
+    * ONCE for token counts. sqrt (α = ½) is IEEE-exact in both engines;
+    * divisions quantize at the output.
+    */
+  val qMixTemperature = Fixture(
+    "q_mix_temperature",
+    (s, d) => {
+      val counts = Tables.documents(s, d).groupBy("source")
+        .agg(sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_tok"))
+      graft.operators.Caching.withCached(counts) {
+        val tot = counts.agg(sum("n_tok").as("tot"))
+        // integer-scaled weights (the lm_doc_score trick): the weight SUM
+        // must be merge-order-exact or w's q4 can flip cross-engine
+        val raw = counts.crossJoin(broadcast(tot))
+          .withColumn("w6",
+            floor(sqrt(col("n_tok").cast("double") / col("tot")) * lit(1e6)
+              + lit(0.5)).cast("long"))
+        val wsum = raw.agg(sum("w6").as("wsum6"))
+        raw.crossJoin(broadcast(wsum))
+          .select(col("source"), col("n_tok"),
+            Quant.q4(col("n_tok").cast("double") / col("tot")).as("p"),
+            Quant.q4(col("w6").cast("double") / col("wsum6")).as("w"),
+            Quant.q4(col("w6").cast("double") / col("wsum6") * lit(1000000.0) /
+              col("n_tok")).as("epochs_at_1m"))
+      }
+    },
+    Some(s"""WITH c AS (SELECT source, sum(len($wordsSql))::BIGINT AS n_tok
+      |        FROM documents GROUP BY 1),
+      | t AS (SELECT sum(n_tok)::BIGINT AS tot FROM c),
+      | r AS (SELECT source, n_tok,
+      |         floor(sqrt(n_tok / tot) * 1000000 + 0.5)::BIGINT AS w6 FROM c, t),
+      | ws AS (SELECT sum(w6)::BIGINT AS wsum6 FROM r)
+      | SELECT source, n_tok, ${q4("n_tok / (SELECT tot FROM t)")} AS p,
+      |   ${q4("w6 / wsum6")} AS w,
+      |   ${q4("w6 / wsum6 * 1000000.0 / n_tok")} AS epochs_at_1m
+      | FROM r, ws""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2392,5 +2483,5 @@ object PipelineQueries {
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
-    qDedupStreamEmbed)
+    qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature)
 }

@@ -67,6 +67,33 @@ object ZOrder {
       .drop(cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
   }
 
+  /** Equal-FREQUENCY variant of [[withZKey]]: ranks come from
+    * approx-percentile boundaries instead of min/max width — the
+    * skew-robust path (a heavy-hitter value collapses equal-width binning
+    * to one bin, and with it the layout's pruning power; equal-frequency
+    * bins split the remaining mass regardless). `bits` is small by design:
+    * pruning granularity only needs ~2^bits ≥ file count, and the rank is
+    * a codegen'd linear scan over the 2^bits−1 boundary literals
+    * (boundaries ride in the same broadcast 1-row stats relation). This is
+    * Delta's range-id ZORDER shape with the sort sampled once up front.
+    */
+  def withZKeyByQuantile(df: DataFrame, cols: Seq[String], bits: Int = 6,
+      keyName: String = "zkey"): DataFrame = {
+    require(bits >= 1 && bits <= 10, s"quantile ranks want small bits (got $bits)")
+    val nBins = 1 << bits
+    val fractions = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"), fractions,
+      lit(10000)).as(s"_zq_$c"))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val ranks = cols.map { c =>
+      aggregate(col(s"_zq_$c"), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(keyName, interleave(ranks, bits))
+      .drop(cols.map(c => s"_zq_$c"): _*)
+  }
+
   /** Write `df` as `numFiles` z-ordered parquet files at `path`. The z-key
     * drives the range shuffle and within-file sort, then drops out — the
     * layout is invisible in the schema, exactly like bucketing's contract
@@ -74,7 +101,7 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit =
-    layout(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+    layout(withZKey(df, cols, bits), numFiles).write.mode("overwrite").parquet(path)
 
   /** Incremental maintenance — the crawl-batch posture (the ivfAppendIndex
     * pattern): cluster ONLY the day's batch and append its files; the lake
@@ -87,11 +114,18 @@ object ZOrder {
     */
   def appendZOrdered(batch: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit =
-    layout(batch, cols, numFiles, bits).write.mode("append").parquet(path)
+    layout(withZKey(batch, cols, bits), numFiles).write.mode("append").parquet(path)
 
-  private def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int): DataFrame =
-    withZKey(df, cols, bits)
+  /** [[writeZOrdered]] with equal-frequency ranks — the skew-robust write
+    * path (see [[withZKeyByQuantile]]).
+    */
+  def writeZOrderedQuantile(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 6): Unit =
+    layout(withZKeyByQuantile(df, cols, bits), numFiles)
+      .write.mode("overwrite").parquet(path)
+
+  private def layout(keyed: DataFrame, numFiles: Int): DataFrame =
+    keyed
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")

@@ -95,6 +95,29 @@ class ZOrderSpec extends SparkTestBase {
       s"box query: z-order touched $zBox, linear $linBox")
   }
 
+  test("quantile ranks keep pruning alive under an outlier-stretched range") {
+    import spark.implicits._
+    // real mass lives in [0, 100); two outliers stretch the range to 1e9 —
+    // the classic equal-width failure: every real value collapses into
+    // bin 0 and the layout loses all pruning power on this column
+    val rows = (0 until 2000).map { i =>
+      val v = if (i < 2) 1e9 else (i % 100).toDouble
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val widthRanks = ZOrder.withZKey(df, Seq("v"), bits = 6, keyName = "zw")
+      .select(countDistinct(col("zw"))).head().getLong(0)
+    val qRanks = ZOrder.withZKeyByQuantile(df, Seq("v"), bits = 6, keyName = "zq")
+      .select(countDistinct(col("zq"))).head().getLong(0)
+    assert(widthRanks <= 3, s"width binning should collapse, got $widthRanks ranks")
+    assert(qRanks > 16,
+      s"quantile binning should resolve inside the mass, got $qRanks ranks")
+    // determinism: one value → one rank
+    val hotRanks = ZOrder.withZKeyByQuantile(df, Seq("v"), bits = 6, keyName = "zq")
+      .where(col("v") === 50.0).select(countDistinct(col("zq"))).head().getLong(0)
+    assert(hotRanks == 1L)
+  }
+
   test("incremental append keeps values and pruning without a lake rewrite") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_append")
     val path = s"$tmp/z"
