@@ -456,6 +456,48 @@ object PipelineQueries {
       | SELECT vec_id, label::BIGINT AS label FROM embeddings
       | WHERE vec_id NOT IN (SELECT vid_b FROM dup)""".stripMargin))
 
+  /** Two-stage RP-sketch ANN (Ann.rpRerankTopK): candidates from the 16-dim
+    * JL sketch (top-24 by quantized sketch cosine), exact rerank on full
+    * vectors. The oracle mirrors BOTH stages — sketch derivation, candidate
+    * ranking with the (score desc, id asc) TopKAgg tie-break, exact
+    * rerank — so the composite's recall is pinned exactly, not bounded.
+    */
+  val qAnnRpRerank = Fixture(
+    "q_ann_rp_rerank",
+    (s, d) => Ann.rpRerankTopK(Tables.embeddings(s, d), col("vec_id") < 10,
+        k = 5, kCand = 24, dIn = 64, dOut = 16)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank")),
+    Some {
+      val skComp =
+        """0.25 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          |     i -> v[i] * (CASE WHEN ('0x' || substr(md5('rp#' || (i-1) || '#' || j), 1, 15))::BIGINT % 2 = 0
+          |                  THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |        FROM embeddings),
+        | sk AS (SELECT vec_id, list_transform(generate_series(0, 15), j -> $skComp) AS s
+        |        FROM e),
+        | q AS (SELECT e.vec_id AS query_id, e.v AS qv, sk.s AS qs
+        |       FROM e JOIN sk USING (vec_id) WHERE e.vec_id < 10),
+        | c1 AS (SELECT query_id, n.vec_id AS neighbor_id,
+        |          ${q4(s"${dotSql("qs", "n.s")} / (sqrt(${dotSql("qs", "qs")}) * sqrt(${dotSql("n.s", "n.s")}))")} AS scos
+        |        FROM sk n CROSS JOIN q WHERE n.vec_id <> query_id),
+        | r1 AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |              ORDER BY scos DESC, neighbor_id) AS rn
+        |          FROM c1) WHERE rn <= 24),
+        | c2 AS (SELECT query_id, neighbor_id,
+        |          ${q4(s"${dotSql("qv", "nv.v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv.v", "nv.v")}))")} AS cos
+        |        FROM r1 JOIN q USING (query_id)
+        |             JOIN e nv ON nv.vec_id = r1.neighbor_id)
+        | SELECT query_id, neighbor_id, cos, rank FROM (
+        |   SELECT query_id, neighbor_id, cos,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank
+        |   FROM c2) WHERE rank <= 5""".stripMargin
+    })
+
   // ---- similarity search --------------------------------------------------
 
   /** Nearest-centroid assignment (k-means E-step / IVF coarse quantizer):
@@ -2483,5 +2525,6 @@ object PipelineQueries {
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
-    qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature)
+    qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
+    qAnnRpRerank)
 }

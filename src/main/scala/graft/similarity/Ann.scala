@@ -53,6 +53,41 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** Two-stage compressed-domain search: candidate generation on the JL
+    * sketch ([[graft.functions.VectorFunctions.rpProject]], `dOut` ≪ `dIn`),
+    * exact cosine rerank on FULL vectors for the `kCand` survivors only —
+    * the memory-bandwidth trade every large ANN deployment makes (scan the
+    * 4×-smaller sketch column; touch full vectors for ~kCand rows per
+    * query). Fully deterministic end-to-end (hash-derived sketch, quantized
+    * scores, id tie-break), so the two-stage COMPOSITE has a closed-form
+    * oracle — recall is whatever the sketch earns and the fixture pins it
+    * exactly, rather than asserting a bound.
+    */
+  def rpRerankTopK(embIn: DataFrame, queryPred: Column, k: Int, kCand: Int,
+      dIn: Int, dOut: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = spread(embIn).select(col("vec_id"), col("embedding"),
+      VectorFunctions.rpProject(col("embedding"), dIn, dOut).as("sk"))
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("sk").as("qsk"))
+    val candPairs = emb.select(col("vec_id").as("neighbor_id"), col("sk").as("nsk"))
+      .join(broadcast(q.select(col("query_id"), col("qsk"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(VectorFunctions.cosine(col("qsk"), col("nsk"))).as("scos"))
+    val cands = candPairs.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(col("scos"), col("neighbor_id"), kCand).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val full = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val pairs = cands.join(full, Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
+    ranked(pairs, k)
+  }
+
   def bucketedTopK(embIn: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
     val emb = spread(embIn)
     val bucketed = emb.select(col("vec_id"), col("embedding"),

@@ -32,6 +32,18 @@ class RpSpec extends SparkTestBase {
       assert(out(i.toLong)(j) == scale * refSign(i, j), s"cell ($i,$j)")
   }
 
+  test("rpRerankTopK with kCand = corpus reproduces bruteTopK exactly") {
+    // total-recall bound: if every vector survives candidate generation,
+    // the rerank must equal brute force — any discrepancy means the
+    // two-stage composite lost or duplicated candidates
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count().toInt
+    val rr = graft.similarity.Ann.rpRerankTopK(
+      emb, col("vec_id") < 10, k = 5, kCand = n, dIn = 64, dOut = 16)
+    val brute = graft.similarity.Ann.bruteTopK(emb, col("vec_id") < 10, 5)
+    assertSameRows(rr, brute)
+  }
+
   test("sketch cosines track full-dimension cosines on the fixture") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
