@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style hashed n-gram importance weighting (Xie et al., "Data
+  * Selection for Language Models via Importance Resampling", NeurIPS 2023):
+  * score each raw-corpus document by how target-like its token distribution
+  * is, as the log-likelihood ratio between a TARGET unigram model and the
+  * RAW corpus unigram model over `m` hash buckets:
+  *
+  *   lw(doc) = Σ_tokens  ln p̂_target(bucket(tok)) − ln p̂_raw(bucket(tok))
+  *
+  * with add-one smoothing on both models. High scores mark documents that
+  * look like the target domain (e.g. a trusted reference corpus); the
+  * weights feed quota sampling / resampling downstream.
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *   - The MODEL is m buckets (caller-chosen, 1 024 here), built by two
+  *     bucket-keyed aggregations (target + raw token histograms) that each
+  *     reduce to ≤ m rows map-side — the corpus shuffles nothing bigger
+  *     than m rows per partition.
+  *   - The model is then a PLAN LITERAL (the same documented bound as the
+  *     ANN centroid literal: m longs, not data-scaled), so SCORING is a
+  *     pure projection over one corpus scan — per row, a fold over the
+  *     token array looking λ up in the literal. Zero joins, zero shuffles,
+  *     whole-stage codegen end to end; the 100 TB scoring pass is
+  *     scan-bound.
+  *
+  * Cross-engine determinism (the oracle contract): λ is integer-scaled per
+  * bucket — floor(ln((ct+1)·(R+m) / ((cr+1)·(T+m))) · 10⁶ + 0.5) — computed
+  * from exact integer counts, so the only float op is ONE ln() on an
+  * identically-computed double ratio (the q_lm_doc_score trick; products
+  * stay far under 2⁶³). Per-doc sums of the λ6 integers are then
+  * partial-merge-order-exact in any engine.
+  */
+object Importance {
+
+  /** Bucket of one token: hash64 is the md5-prefix hash (non-negative, 60
+    * bits), so `pmod` == `%` in every engine.
+    */
+  private def bucketOf(w: Column, m: Int): Column =
+    pmod(TextFunctions.hash64(w), lit(m.toLong)).cast("int")
+
+  /** Non-empty whitespace tokens of `textCol`. */
+  private def toks(textCol: Column): Column =
+    filter(TextFunctions.words(textCol), w => w =!= "")
+
+  /** λ6 model: integer-scaled per-bucket log-likelihood ratios, indexed by
+    * bucket 0..m-1. Buckets unseen in either corpus get the smoothed
+    * (count 0) estimate, so scoring never misses. Returns an m-element
+    * array — model-sized by definition; the collect is bounded like the
+    * ANN centroid literal.
+    */
+  def lambda6(target: DataFrame, raw: DataFrame, textCol: String, m: Int): Array[Long] = {
+    def histogram(df: DataFrame): DataFrame = df
+      .select(explode(toks(col(textCol))).as("w"))
+      .select(bucketOf(col("w"), m).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("c"))
+    val ct = histogram(target).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cr = histogram(raw).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val t = ct.valuesIterator.sum
+    val r = cr.valuesIterator.sum
+    Array.tabulate(m) { b =>
+      val num = (ct.getOrElse(b, 0L) + 1L).toDouble * (r + m).toDouble
+      val den = (cr.getOrElse(b, 0L) + 1L).toDouble * (t + m).toDouble
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    }
+  }
+
+  /** Importance scores for `docs`: one scan, zero shuffles — the λ6 model
+    * rides in the plan as an array literal and each row folds its token
+    * buckets through it. Output per doc: token count, the EXACT integer
+    * weight `lw6` (= Σ λ6, cross-engine bit-identical), and the readable
+    * per-token average `avg_lw` (quantized).
+    */
+  def score(docs: DataFrame, idCols: Seq[String], textCol: String,
+      lambda6: Array[Long]): DataFrame = {
+    val m = lambda6.length
+    val model = lit(lambda6)
+    docs
+      // stage the token array once: it feeds both the fold and the count,
+      // and HOF arguments get no CSE (same staging rationale as
+      // PipelineQueries.qEmbedQuantize)
+      .withColumn("__ws", toks(col(textCol)))
+      .withColumn("__lw6", aggregate(col("__ws"), lit(0L),
+        (acc, w) => acc + element_at(model, bucketOf(w, m) + 1)))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .select(idCols.map(col) ++ Seq(
+        col("__n").as("n_tok"), col("__lw6").as("lw6"),
+        graft.operators.Quant.q4(col("__lw6") / col("__n") / lit(1e6)).as("avg_lw")): _*)
+  }
+}

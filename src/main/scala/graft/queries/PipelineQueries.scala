@@ -524,6 +524,42 @@ object PipelineQueries {
       |       FROM s)
       | SELECT vec_id, cid AS centroid_id, cos FROM r WHERE rn = 1""".stripMargin))
 
+  /** SemDeDup over the embedding corpus ([[Ann.semDedup]]): cluster-blocked
+    * semantic dedup — assign to the nearest of 8 seed centroids (the same
+    * deterministic seeds as [[qAssignCentroids]]), drop any vector with
+    * quantized cosine ≥ 0.4 to a lower-id vector of its cluster. The oracle
+    * replays assignment (cos DESC, cid ASC argmax) and the closed-form
+    * "some pair's later side" drop rule; `kept` is compared for EVERY
+    * vector, so both the blocking and the pair threshold are pinned.
+    */
+  val qSemDedup = Fixture(
+    "q_semdedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.semDedup(emb, emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")), 0.4)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c),
+      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY cos DESC, cid) AS rn FROM s),
+      | asn AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+      | pr AS (SELECT y.vec_id AS vb, ${dotSql("ex.v", "ey.v")} AS ab,
+      |          ${dotSql("ex.v", "ex.v")} AS aa, ${dotSql("ey.v", "ey.v")} AS bb
+      |        FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |        JOIN e ex ON ex.vec_id = x.vec_id
+      |        JOIN e ey ON ey.vec_id = y.vec_id),
+      | drp AS (SELECT DISTINCT vb FROM
+      |          (SELECT vb, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS pcos FROM pr)
+      |        WHERE pcos >= 0.4)
+      | SELECT a.vec_id, a.cid AS centroid_id, (d.vb IS NULL) AS kept
+      | FROM asn a LEFT JOIN drp d ON d.vb = a.vec_id""".stripMargin))
+
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
   val qAnnBrute = Fixture(
     "q_ann_brute_topk",
@@ -1791,6 +1827,43 @@ object PipelineQueries {
       |   ${q4("sum(lp6) / count(*) / 1000000")} AS avg_logp
       | FROM bi JOIN m USING (w1, w2) GROUP BY doc_id""".stripMargin))
 
+  /** DSIR-style hashed-unigram importance weights
+    * ([[graft.functions.Importance]]): each document scored by the
+    * log-likelihood ratio between the TARGET unigram model (the `en` slice,
+    * standing in for a trusted reference corpus) and the RAW corpus model
+    * over 1 024 hash buckets, add-one smoothed — the importance-resampling
+    * selection signal of Xie et al. (NeurIPS 2023). The model is two
+    * bucket-keyed histogram aggregations folded into a 1 024-long plan
+    * literal; SCORING is one shuffle-free corpus scan (per-row fold over
+    * the token buckets). `lw6` is the exact integer-scaled weight — the
+    * oracle matches it bit-for-bit, pinning model counts, smoothing,
+    * bucketing, and the per-doc fold in one comparison.
+    */
+  val qDsirWeights = Fixture(
+    "q_dsir_weights",
+    (s, d) => {
+      import graft.functions.Importance
+      val docs = Tables.documents(s, d)
+      val lam = Importance.lambda6(docs.where(col("lang") === "en"), docs, "text", 1024)
+      Importance.score(docs, Seq("doc_id"), "text", lam)
+        .where(col("n_tok") > 0)
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, lang, w
+      |        FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)
+      |        WHERE w <> ''),
+      | b AS (SELECT doc_id, lang, ${h64("w")} % 1024 AS bk FROM tok),
+      | cr AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+      | ct AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+      | tots AS (SELECT (SELECT count(*) FROM b) AS r,
+      |                 (SELECT count(*) FROM b WHERE lang = 'en') AS t),
+      | lam AS (SELECT cr.bk,
+      |     floor(ln(((coalesce(ct.c, 0) + 1) * (r + 1024))::DOUBLE /
+      |              ((cr.c + 1) * (t + 1024))) * 1000000 + 0.5)::BIGINT AS l6
+      |   FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tots)
+      | SELECT doc_id, count(*) AS n_tok, sum(l6)::BIGINT AS lw6,
+      |   ${q4("sum(l6) / count(*) / 1000000")} AS avg_lw
+      | FROM b JOIN lam USING (bk) GROUP BY doc_id""".stripMargin))
+
   /** Per-source length z-scores with outlier flags — distribution-shift /
     * anomaly screening per source. The per-source moments come from ONE
     * aggregation of exact INTEGER sums (Σx, Σx², n — order-independent,
@@ -2526,5 +2599,5 @@ object PipelineQueries {
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
-    qAnnRpRerank)
+    qAnnRpRerank, qSemDedup, qDsirWeights)
 }

@@ -124,6 +124,46 @@ object Ann {
       .select(col("vec_id"), (-col("best.ncid")).as("centroid_id"),
         col("best.cos").as("cos"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * BLOCKED BY CLUSTER — every vector is assigned to its nearest centroid
+    * (the shuffle-free literal projection of [[assignCentroids]]), and a
+    * vector is dropped iff its quantized cosine to some LOWER-id vector of
+    * the SAME cluster is ≥ `minCos`. Greedy-by-id is the published
+    * keep-one-per-duplicate-group rule with a deterministic keeper, and —
+    * unlike chain-transitive clustering — it is closed-form: dropped =
+    * "some pair's later side", so the oracle needs no iteration.
+    *
+    * Scale shape: the candidate set is per-cluster pairs, never all-pairs —
+    * the published SemDeDup cost model, where k is chosen ~n/targetCluster
+    * so each cluster stays bounded (the paper runs k = 11 000 on LAION-440M;
+    * cluster size, not corpus size, bounds the quadratic term). Both sides
+    * of the pair join shuffle once on centroid_id (ReuseExchange serves them
+    * from one exchange), and the final membership join is keyed on vec_id.
+    * Skewed (over-dense) cells are the k-means model's problem, not the
+    * join's: re-train with larger k or split hot cells — same dial as IVF.
+    *
+    * Output: (vec_id, centroid_id, kept) for EVERY input vector.
+    */
+  def semDedup(embIn: DataFrame, centroids: DataFrame, minCos: Double): DataFrame = {
+    val assigned = spread(embIn)
+      .select(col("vec_id"), col("embedding"),
+        bestCentroid(centroidArray(centroids)).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where(col("va") < col("vb") &&
+        Quant.q4(cosineFused(col("ea"), col("eb"))) >= lit(minCos))
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        (!coalesce(col("__dropped"), lit(false))).as("kept"))
+  }
+
   /** Centroids folded into a plan literal: array<struct<cid, cv>> sorted by
     * cid. k is the caller's MODEL size — small by definition, not
     * data-scaled — so the collect is bounded. The cv element type follows

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Importance, TextFunctions}
+import graft.similarity.Ann
+
+/** DSIR importance weighting and SemDeDup: model semantics on tiny
+  * hand-checkable corpora, plus the plan-shape guarantees the 100 TB posture
+  * depends on (shuffle-free scoring scan; cluster-keyed — never all-pairs —
+  * SemDeDup candidate join).
+  */
+class ImportanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lambda6 separates target-only from raw-only vocabulary") {
+    // target repeats "alpha", raw adds "omega": the alpha bucket must score
+    // positive (over-represented in target), the omega bucket negative
+    val target = Seq("alpha alpha alpha").toDF("text")
+    val raw = Seq("alpha alpha alpha", "omega omega omega").toDF("text")
+    val lam = Importance.lambda6(target, raw, "text", 64)
+    assert(lam.length == 64)
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    assert(lam(bucket("alpha")) > 0, "target-like token must score positive")
+    assert(lam(bucket("omega")) < 0, "raw-only token must score negative")
+  }
+
+  test("score is the exact integer fold of per-bucket lambda6") {
+    val target = Seq("a b").toDF("text")
+    val raw = Seq("a b", "c d").toDF("text")
+    val m = 32
+    val lam = Importance.lambda6(target, raw, "text", m)
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+    val docs = Seq((1L, "a c"), (2L, "b b d")).toDF("doc_id", "text")
+    val got = Importance.score(docs, Seq("doc_id"), "text", lam)
+      .select("doc_id", "n_tok", "lw6")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == (2L, lam(bucket("a")) + lam(bucket("c"))))
+    assert(got(2L) == (3L, 2 * lam(bucket("b")) + lam(bucket("d"))))
+  }
+
+  test("scoring plan has no shuffle: the model is a literal, not a join") {
+    val docs = Tables.documents(spark, sfDir)
+    val lam = Importance.lambda6(docs.where(col("lang") === "en"), docs, "text", 1024)
+    val plan = Importance.score(docs, Seq("doc_id"), "text", lam)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scoring must be a shuffle-free scan, got:\n$plan")
+    assert(!plan.contains("Join"), "scoring must not join the model")
+  }
+
+  test("semDedup drops the higher id of a within-cluster near-pair, pairwise not transitively") {
+    // centroids: x-axis and y-axis (a MODEL, not corpus rows). Corpus: three
+    // x-cluster vectors at 2°/6°/10° — adjacent pairs (4° apart, cos≈0.9976)
+    // are near at τ=0.994, the 8°-apart ends (cos≈0.9903) are not — plus one
+    // y-cluster vector. Greedy-by-id keeps 10, drops 11 (near lower-id 10)
+    // AND drops 12 (near lower-id 11 — the pair rule is over ALL pairs, the
+    // oracle's closed form, not over the kept set).
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val e = Seq(
+      (10L, at(2)), (11L, at(6)), (12L, at(10)), (50L, at(85)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = Ann.semDedup(e, cents, minCos = 0.994)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == (0L, true), "lowest id of the near-chain is kept")
+    assert(!out(11L)._2, "near a lower-id vector -> dropped")
+    assert(!out(12L)._2, "pairwise rule: near dropped-but-lower-id 11 -> still dropped")
+    assert(out(50L) == (1L, true), "other cluster untouched")
+  }
+
+  test("semDedup candidate join is keyed on centroid_id — no cartesian") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = Ann.semDedup(emb, cents, 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must block on centroid_id:\n$plan")
+  }
+}
