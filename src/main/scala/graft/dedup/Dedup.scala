@@ -418,6 +418,51 @@ object Dedup {
         Quant.q4(col("n_overlap") / col("n_sh")).as("frac"))
   }
 
+  /** Cross-document boilerplate coverage — the template/navigation-chrome
+    * signal of web curation (CCNet-family pipelines drop or strip pages
+    * dominated by cross-page repeated text): a document's n-gram shingle is
+    * BOILERPLATE when it occurs in ≥ `minDf` distinct documents of the SAME
+    * source, and the document's score is the fraction of its distinct
+    * shingles that are boilerplate. Distinct from within-doc repetition
+    * (q_repetition) and global-vocabulary coverage (q_vocab_coverage): the
+    * frequency is a per-source DOCUMENT frequency, so site templates light
+    * up without cross-source common phrases doing so.
+    *
+    * Scale shape: the per-doc shingle-ARRAY relation (doc-sized, not
+    * posting-sized) is computed once and cached for the operator's scope
+    * (the jaccardPairs pattern); its exploded postings feed (1) the
+    * (source, shingle)-keyed document-frequency aggregation, df-filtered
+    * down to the boilerplate set, and (2) a LEFT SEMI probe of that set —
+    * so only boilerplate hits flow into the per-doc rollup, and the final
+    * doc-keyed join attaches counts to the one-row-per-doc relation.
+    * Nothing is all-pairs; the boilerplate set is df-threshold bounded
+    * (boilerplate repeats by definition) but data-dependent, so it stays a
+    * keyed semi-join rather than an assumed-broadcastable set.
+    */
+  def boilerplateCoverage(df: DataFrame, src: String, id: String, text: String,
+      n: Int = 3, minDf: Int = 2): DataFrame = {
+    val sh = df.where(size(words(col(text))) >= n)
+      // same CPU-vs-file-splits rationale as [[shingled]]
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(src), col(id), shingles(col(text), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    Caching.withCached(sh) {
+      val posts = sh.select(col(src), col(id), explode(col("sh")).as("sg"))
+      // shingles are per-doc distinct, so count(*) IS document frequency
+      val boiler = posts.groupBy(col(src), col("sg"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= minDf)
+        .select(col(src), col("sg"))
+      val nb = posts.join(boiler, Seq(src, "sg"), "left_semi")
+        .groupBy(col(src), col(id)).agg(count(lit(1)).as("n_boiler"))
+      sh.select(col(src), col(id), col("n_sh"))
+        .join(nb, Seq(src, id), "left")
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+        .select(col(src), col(id), col("n_sh"), col("n_boiler"),
+          Quant.q4(col("n_boiler") / col("n_sh")).as("boiler_frac"))
+    }
+  }
+
   /** 60-bit word-feature SimHash: bit b is the sign of Σ_words ±1 according
     * to bit b of hash64(word). hash64 is a 60-bit hash (15 md5 hex chars), so
     * 60 bits uses its full entropy, and every shift/assemble step stays

@@ -1375,6 +1375,28 @@ object PipelineQueries {
       |   ${q4("sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) / count(*)")} AS coverage
       | FROM tok GROUP BY 1""".stripMargin))
 
+  /** Cross-document boilerplate coverage ([[Dedup.boilerplateCoverage]]):
+    * per-doc fraction of distinct 3-gram shingles that appear in ≥ 2 docs
+    * of the same source — the site-template signal. The cached doc-sized
+    * shingle-array relation feeds both the per-source df aggregation and
+    * the semi-join probe of its df-filtered boilerplate set; the oracle
+    * replays the identical per-source df over the same distinct-shingle
+    * relation.
+    */
+  val qBoilerplate = Fixture(
+    "q_boilerplate",
+    (s, d) => Dedup.boilerplateCoverage(
+      Tables.documents(s, d), "source", "doc_id", "text", 3, 2),
+    Some(s"""WITH w0 AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT source, doc_id, unnest($shinglesSql) AS sg
+      |        FROM w0 WHERE len(w) >= 3),
+      | df AS (SELECT source, sg, count(*) AS df FROM sh GROUP BY 1, 2)
+      | SELECT sh.source, doc_id, count(*) AS n_sh,
+      |   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+      |   ${q4("sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*)")} AS boiler_frac
+      | FROM sh JOIN df ON sh.source = df.source AND sh.sg = df.sg
+      | GROUP BY 1, 2""".stripMargin))
+
   /** Inter-source n-gram overlap matrix: for each source pair, the count of
     * distinct 3-gram shingles in common and the shingle-set Jaccard — the
     * source-similarity accounting a curation pipeline uses to order crawls
@@ -2599,5 +2621,5 @@ object PipelineQueries {
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
-    qAnnRpRerank, qSemDedup, qDsirWeights)
+    qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate)
 }

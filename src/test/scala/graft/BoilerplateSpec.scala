@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Cross-document boilerplate coverage: hand-checkable semantics (per-source
+  * document frequency over distinct shingles) and the single-exchange plan
+  * claim.
+  */
+class BoilerplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-source df marks shared shingles; other sources don't leak") {
+    // "a b c" appears in two docs of s1 (boilerplate there) and one doc of
+    // s2 (not boilerplate there — df is PER SOURCE)
+    val docs = Seq(
+      ("s1", 1L, "a b c x y z"),   // shingles: "a b c","b c x","c x y","x y z"
+      ("s1", 2L, "a b c q r s"),
+      ("s2", 3L, "a b c x y z")
+    ).toDF("source", "doc_id", "text")
+    val out = Dedup.boilerplateCoverage(docs, "source", "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (4L, 1L), "doc1: 4 shingles, only 'a b c' shared within s1")
+    assert(out(2L) == (4L, 1L))
+    assert(out(3L) == (4L, 0L), "s2's single doc shares nothing within s2")
+  }
+
+  test("shingling runs once (cached array relation); no cartesian anywhere") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Dedup.boilerplateCoverage(docs, "source", "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    // withCached returns a lineage-free localCheckpoint; the plan itself
+    // must be a scan of that materialized result — i.e. the expensive
+    // shingle/df/probe work ran under the cache scope, not per consumer
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"result must be the eagerly-materialized checkpoint:\n$plan")
+  }
+
+  test("docs with fewer than n words are absent, not zero-rowed") {
+    val docs = Seq(("s1", 1L, "a b"), ("s1", 2L, "a b c")).toDF("source", "doc_id", "text")
+    val ids = Dedup.boilerplateCoverage(docs, "source", "doc_id", "text", 3, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+}
