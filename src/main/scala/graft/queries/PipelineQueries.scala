@@ -2018,6 +2018,57 @@ object PipelineQueries {
       | n AS (SELECT sum(cnt)::BIGINT AS n FROM c)
       | SELECT bk, cnt, TRUE AS mg_ok FROM c, n WHERE cnt * 8 > n""".stripMargin))
 
+  /** STREAMING Misra-Gries heavy hitters per group
+    * ([[graft.streaming.StreamingHeavyHitters]]): the events replay in 4
+    * chunks through group-keyed `transformWithState` (capacity 16 per
+    * event_type, O(capacity) state per group); each trigger emits the
+    * group's refreshed sketch snapshot tagged with an update sequence
+    * number, and the fixture reads the LATEST snapshot per group — the
+    * dashboard consumption pattern. With capacity ≥ the 13-value item
+    * domain no decrement ever fires, so the final sketch IS the exact
+    * (event_type, bucket) count relation independent of chunking — the
+    * oracle computes exactly that in SQL (the eviction path's
+    * order-dependent estimates are spec territory, same split as the
+    * batch q_heavy_hitters fixture).
+    */
+  val qStreamHeavyHitters = Fixture(
+    "q_stream_heavy_hitters",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.eventsWithEpoch(s, d)
+        .select(col("event_type"),
+          floor(sqrt(col("user_id") % 150)).cast("long").cast("string").as("bk"),
+          col("es"), col("event_id"))
+        .as[(String, String, Long, Long)].collect().sortBy(r => (r._3, r._4))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Long, Long)]
+      val stream = ms.toDF().toDF("event_type", "bk", "es", "event_id")
+      val out = graft.streaming.StreamingHeavyHitters
+        .heavyHitters(stream, "event_type", "bk", 16)
+      val sink = s"stream_hh_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      s.table(sink)
+        .withColumn("__mx", max("seq").over(w))
+        .where(col("seq") === col("__mx"))
+        .select(col("grp").as("event_type"), col("term").as("bk"), col("est"))
+    },
+    Some("""SELECT event_type, floor(sqrt(user_id % 150))::BIGINT::VARCHAR AS bk,
+      |   count(*) AS est
+      | FROM events GROUP BY 1, 2""".stripMargin))
+
   /** Incremental (new-crawl-vs-lake) exact dedup through
     * [[Dedup.incrementalExact]]. The testdata has no natural exact
     * duplicates, so the fixture constructs the re-crawl: the new batch is
@@ -2621,5 +2672,5 @@ object PipelineQueries {
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
-    qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate)
+    qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters)
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming Misra-Gries heavy hitters per group — the monitoring-loop
+  * analog of the batch [[graft.functions.HeavyHittersAgg]] sketch (same
+  * update and bound; see that scaladoc for the guarantee): per group key,
+  * O(capacity) state tracks which items exceed n/capacity of the group's
+  * stream so far, and each trigger emits the group's refreshed sketch
+  * snapshot tagged with a per-group update sequence number (the consumer's
+  * "latest wins" handle — a dashboard reads max-seq rows, exactly what the
+  * fixture does).
+  *
+  * Scale shape: state is keyed by GROUP, so groups distribute over the
+  * state-store shuffle like any keyed operator, and each group's state is
+  * a hard O(capacity) regardless of item cardinality or stream length —
+  * the property that makes per-domain top-URL / per-source hot-item
+  * tracking survive unbounded ingest where an exact per-(group, item)
+  * count-state would grow with the key product. Emission is
+  * capacity-bounded per (group, trigger).
+  *
+  * Determinism contract (what the oracle can pin): with
+  * capacity ≥ distinct items of a group, no decrement ever fires and the
+  * final sketch IS the exact count relation, independent of arrival or
+  * partition order. Under eviction the ESTIMATES are arrival-order
+  * dependent (only the Misra-Gries bounds are deterministic) — the spec
+  * drives that path with a controlled single-chunk replay and checks the
+  * bounds, the same split as the batch fixture.
+  */
+object StreamingHeavyHitters {
+
+  case class ItemIn(grp: String, item: String)
+  case class MgState(seq: Long, terms: Seq[String], ests: Seq[Long])
+  case class HhOut(grp: String, seq: Long, term: String, est: Long)
+
+  private class MgProc(capacity: Int)
+      extends StatefulProcessor[String, ItemIn, HhOut] {
+    @transient private var st: ValueState[MgState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MgState](
+        "mg", Encoders.product[MgState], TTLConfig.NONE)
+    override def handleInputRows(
+        grp: String, rows: Iterator[ItemIn], tv: TimerValues): Iterator[HhOut] = {
+      val prev = if (st.exists()) st.get() else MgState(0L, Nil, Nil)
+      val m = mutable.HashMap.empty[String, Long]
+      prev.terms.iterator.zip(prev.ests.iterator).foreach { case (t, e) => m.update(t, e) }
+      rows.foreach { r =>
+        m.get(r.item) match {
+          case Some(c) => m.update(r.item, c + 1)
+          case None if m.size < capacity => m.update(r.item, 1L)
+          case None =>
+            // classic Misra-Gries: the arriving item pays for a global
+            // decrement; zeros drop, freeing slots for later arrivals
+            m.mapValuesInPlace((_, c) => c - 1)
+            m.filterInPlace((_, c) => c > 0)
+        }
+      }
+      val snap = m.toSeq.sortBy { case (t, e) => (-e, t) }
+      val seq = prev.seq + 1
+      st.update(MgState(seq, snap.map(_._1), snap.map(_._2)))
+      snap.iterator.map { case (t, e) => HhOut(grp, seq, t, e) }
+    }
+  }
+
+  /** Sketch the `(grpCol, itemCol)` stream: one output row per surviving
+    * sketch entry per (group, trigger-with-arrivals), tagged with the
+    * group's update sequence number.
+    */
+  def heavyHitters(stream: DataFrame, grpCol: String, itemCol: String,
+      capacity: Int): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(grpCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .as[ItemIn]
+      .groupByKey(_.grp)
+      .transformWithState(new MgProc(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+}
