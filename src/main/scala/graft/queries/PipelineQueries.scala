@@ -1886,6 +1886,55 @@ object PipelineQueries {
       |   ${q4("sum(l6) / count(*) / 1000000")} AS avg_lw
       | FROM b JOIN lam USING (bk) GROUP BY doc_id""".stripMargin))
 
+  /** The DSIR SELECTION step on top of [[qDsirWeights]]' signal: keep the
+    * top 25 % most-target-like documents per source by per-token importance
+    * (lw6/n_tok, exact-integer ratio so the ordering is engine-identical;
+    * ties by doc_id). Deterministic rank-quota selection is the
+    * reproducible-pipeline variant of the paper's Gumbel resampling — same
+    * marginal effect (keep high-weight docs, per-source quota), but
+    * re-runnable bit-identically, which is what a training-data lineage
+    * audit needs. Plan: the shuffle-free scoring scan, then ONE per-source
+    * window shuffle shared by the rank and the quota count.
+    */
+  val qDsirSelect = Fixture(
+    "q_dsir_select",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Importance
+      val docs = Tables.documents(s, d)
+      val lam = Importance.lambda6(docs.where(col("lang") === "en"), docs, "text", 1024)
+      val scored = Importance.score(docs, Seq("doc_id", "source"), "text", lam)
+        .where(col("n_tok") > 0)
+      val byW = Window.partitionBy("source")
+        .orderBy((col("lw6") / col("n_tok")).desc, col("doc_id"))
+      scored
+        .withColumn("rk", row_number().over(byW).cast("long"))
+        .withColumn("__ns", count(lit(1)).over(Window.partitionBy("source")))
+        .where(col("rk") <= ceil(col("__ns") * lit(0.25)))
+        .select(col("source"), col("doc_id"), col("rk"), col("avg_lw"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, source, lang, w
+      |        FROM (SELECT doc_id, source, lang, unnest($wordsSql) AS w FROM documents)
+      |        WHERE w <> ''),
+      | b AS (SELECT doc_id, source, lang, ${h64("w")} % 1024 AS bk FROM tok),
+      | cr AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+      | ct AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+      | tots AS (SELECT (SELECT count(*) FROM b) AS r,
+      |                 (SELECT count(*) FROM b WHERE lang = 'en') AS t),
+      | lam AS (SELECT cr.bk,
+      |     floor(ln(((coalesce(ct.c, 0) + 1) * (r + 1024))::DOUBLE /
+      |              ((cr.c + 1) * (t + 1024))) * 1000000 + 0.5)::BIGINT AS l6
+      |   FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tots),
+      | pd AS (SELECT doc_id, source, count(*) AS n_tok, sum(l6)::BIGINT AS lw6
+      |        FROM b JOIN lam USING (bk) GROUP BY 1, 2),
+      | sel AS (SELECT doc_id, source, n_tok, lw6,
+      |          row_number() OVER (PARTITION BY source
+      |            ORDER BY lw6 / n_tok DESC, doc_id) AS rk,
+      |          count(*) OVER (PARTITION BY source) AS ns
+      |        FROM pd)
+      | SELECT source, doc_id, rk, ${q4("lw6 / n_tok / 1000000")} AS avg_lw
+      | FROM sel WHERE rk <= ceil(ns * 0.25)""".stripMargin))
+
   /** Per-source length z-scores with outlier flags — distribution-shift /
     * anomaly screening per source. The per-source moments come from ONE
     * aggregation of exact INTEGER sums (Σx, Σx², n — order-independent,
@@ -2672,5 +2721,6 @@ object PipelineQueries {
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
-    qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters)
+    qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
+    qDsirSelect)
 }
