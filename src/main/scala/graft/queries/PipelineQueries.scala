@@ -2118,6 +2118,50 @@ object PipelineQueries {
       |   count(*) AS est
       | FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** JSONL landing-zone ingest ([[graft.sources.JsonIngest]]): events
+    * round-trip through JSON Lines WITH two injected corrupt lines, read
+    * back schema-EXPLICIT in PERMISSIVE mode, and the result is the ingest
+    * accounting — per-type counts/sums over rows that parsed, plus a
+    * `__corrupt__` row counting the lines that did not. The oracle computes
+    * the same aggregation from the original parquet (+ the known corrupt
+    * count), so a value that survives parquet → JSON → parse differently
+    * (precision, nulls, type coercion) fails the hash. Sums use the
+    * integer-scaling trick (floor(value·10⁴ + 0.5) summed as BIGINT) so
+    * partial-merge order can't move a float boundary.
+    */
+  val qJsonlIngest = Fixture(
+    "q_jsonl_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value")
+      val dir = graft.sources.JsonIngest.stageJsonl(ev,
+        "events_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+        Seq("{\"event_id\": 1, broken", "not json at all"))
+      val schema = new StructType()
+        .add("event_id", LongType).add("event_type", StringType)
+        .add("user_id", LongType).add("value", DoubleType)
+      // one parse pass serves both consumers — also required: Spark rejects
+      // an uncached query whose pruned scan would reference ONLY the
+      // corrupt-record column (the `bad` count), since corrupt capture
+      // happens at parse time, not per consumer
+      val r = graft.sources.JsonIngest.readJsonl(s, dir, schema)
+      graft.operators.Caching.withCached(r) {
+        val good = r.where(col("_corrupt_record").isNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * lit(1e4) + lit(0.5))).cast("long").as("sum_v4"))
+        val bad = r.where(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n_events"))
+          .select(lit("__corrupt__").as("event_type"), col("n_events"),
+            lit(null).cast("long").as("sum_v4"))
+        good.unionAll(bad)
+      }
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4
+      | FROM events GROUP BY 1
+      | UNION ALL SELECT '__corrupt__', 2, NULL""".stripMargin))
+
   /** Incremental (new-crawl-vs-lake) exact dedup through
     * [[Dedup.incrementalExact]]. The testdata has no natural exact
     * duplicates, so the fixture constructs the re-crawl: the new batch is
@@ -2722,5 +2766,5 @@ object PipelineQueries {
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
-    qDsirSelect)
+    qDsirSelect, qJsonlIngest)
 }

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSON-Lines lake landing — the other common drop format beside parquet
+  * (crawler output, API event dumps). The scale contract this module pins:
+  *
+  *   - Schema-EXPLICIT reads only. Schema inference is a full extra pass
+  *     over the data before the real one (and infers from a sample under
+  *     `samplingRatio`, i.e. nondeterministically) — at 100 TB the schema
+  *     is a declared contract, never discovered.
+  *   - PERMISSIVE + a corrupt-record column. A malformed line lands in
+  *     `_corrupt_record` instead of failing the job (FAILFAST) or silently
+  *     vanishing (DROPMALFORMED) — corrupt-line ACCOUNTING is part of the
+  *     ingest result, which is how a pipeline notices a producer went bad.
+  *
+  * The staging half exists for fixtures/tests: it materializes a DataFrame
+  * as JSONL with deliberately-injected corrupt lines so the read contract
+  * is exercised end-to-end (write → parse → account).
+  */
+object JsonIngest {
+
+  /** Stage `df` as JSON Lines under the JVM tmpdir (overwritten per call),
+    * with `corruptLines` appended raw — the landing-zone shape.
+    */
+  def stageJsonl(df: DataFrame, name: String, corruptLines: Seq[String]): String = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl/$name"
+    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+      .unionAll(corruptLines.toDF("value"))
+      .write.mode("overwrite").text(dir)
+    dir
+  }
+
+  /** Schema-explicit permissive JSONL read; malformed lines surface as
+    * non-null `_corrupt_record`.
+    */
+  def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+}
