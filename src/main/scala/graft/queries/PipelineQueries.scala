@@ -2118,6 +2118,66 @@ object PipelineQueries {
       |   count(*) AS est
       | FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** STREAMING embedding drift monitor: the vector stream is assigned to
+    * its nearest centroid by the SAME stateless plan-literal projection as
+    * batch [[Ann.assignCentroids]] (online IVF ingest — no state, no join;
+    * the model rides in the plan), then chained into a per-cell tumbling
+    * 60 s count under a delay-0 watermark. The per-window cell histogram is
+    * the drift signal a serving pipeline alarms on (cells drifting hot ⇒
+    * re-train the coarse quantizer). Emission contract and oracle filter
+    * are the q_stream_tumbling_agg standard: windows with
+    * end ≤ max event time; event time = vec_id seconds, so the oracle is
+    * the batch assignment relation + window arithmetic.
+    */
+  val qStreamDrift = Fixture(
+    "q_stream_drift",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val out = Ann.assignCentroids(ms.toDF().toDF("vec_id", "embedding"), cents)
+        .withColumn("ts", timestamp_seconds(col("vec_id")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "60 seconds"), col("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("centroid_id"), col("n"))
+      val sink = s"stream_drift_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |       FROM e CROSS JOIN c),
+      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY cos DESC, cid) AS rn FROM sc),
+      | asn AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+      | mx AS (SELECT max(vec_id) AS mx FROM embeddings)
+      | SELECT (vec_id // 60) * 60 AS ws, cid AS centroid_id, count(*) AS n
+      | FROM asn GROUP BY 1, 2
+      | HAVING ws + 60 <= (SELECT mx FROM mx)""".stripMargin))
+
   /** JSONL landing-zone ingest ([[graft.sources.JsonIngest]]): events
     * round-trip through JSON Lines WITH two injected corrupt lines, read
     * back schema-EXPLICIT in PERMISSIVE mode, and the result is the ingest
@@ -2766,5 +2826,5 @@ object PipelineQueries {
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
-    qDsirSelect, qJsonlIngest)
+    qDsirSelect, qJsonlIngest, qStreamDrift)
 }
