@@ -233,27 +233,101 @@ object Dedup {
     * output precision is 1 and recall is the banding detection probability
     * (1−(1−j^r)^b ≈ 1−4e−8 at j=0.8 with 32×4).
     */
-  def minhashLshPairs(
-      df: DataFrame, id: String, text: String, n: Int, minJ: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+  /** (id, bk) band keys of each doc: one 64-bit key per LSH band (hash of
+    * band id + band signature slice). A band-key hash collision can only
+    * add a false candidate, which exact verification then rejects.
+    */
+  private def bandKeys(sh: DataFrame, id: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sh = shingledHashed(df, id, text, n)
-    // One banded-signature relation, cached, joined to itself on a single
-    // 64-bit band key (hash of band id + band slice): the signature is
-    // computed once, not once per join side, and the shuffle key is a plain
-    // long. A band-key hash collision can only add a false candidate, which
-    // exact verification then rejects.
-    val banded = minhashSig(sh, numHashes)
+    minhashSig(sh, numHashes)
       .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col(id),
         xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bk"))
+  }
+
+  def minhashLshPairs(
+      df: DataFrame, id: String, text: String, n: Int, minJ: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sh = shingledHashed(df, id, text, n)
+    // One banded-signature relation, cached, joined to itself on a single
+    // 64-bit band key: the signature is computed once, not once per join
+    // side, and the shuffle key is a plain long.
+    val banded = bandKeys(sh, id, numHashes, bands)
     Caching.withCached(sh, banded) {
       val cand = banded.select(col(id).as("doc_a"), col("bk"))
         .join(banded.select(col(id).as("doc_b"), col("bk")), Seq("bk"))
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       verifyJaccard(cand, sh, id, minJ)
+    }
+  }
+
+  /** Persisted MinHash band index — the near-dup "index at rest", closing
+    * the triad beside the exact-dedup fingerprint index
+    * ([[incrementalExact]]'s production posture) and the IVF ANN index
+    * (`Ann.ivfWriteIndex`): the corpus's banding shuffle is paid ONCE at
+    * ingest, and each day's crawl probes the stored index instead of
+    * re-scanning (or re-shingling) the lake.
+    *
+    * Layout — two bucketed tables (`sources.Bucketing`):
+    *  - `<table>_bands` (bk, doc_id), bucketed by bk: the probe join runs
+    *    with NO exchange on the index side (only the batch's band keys
+    *    shuffle).
+    *  - `<table>_docs` (doc_id, sh, n_sh), bucketed by doc_id: exact
+    *    verification fetches corpus shingle sets for CANDIDATES only,
+    *    again without shuffling the index.
+    * Rebuild when the signature family (numHashes/bands) changes — probing
+    * with a different family would look up keys the index never wrote.
+    */
+  def minhashWriteIndex(df: DataFrame, id: String, text: String, n: Int,
+      table: String, path: String, buckets: Int,
+      numHashes: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingledHashed(df, id, text, n)
+    sh.cache(); sh.count() // both writes read it; same rationale as withCached
+    try {
+      graft.sources.Bucketing.writeBucketed(
+        bandKeys(sh, id, numHashes, bands).select(col("bk"), col(id).as("doc_id")),
+        s"${table}_bands", s"$path/bands", buckets, "bk", Seq("bk", "doc_id"))
+      graft.sources.Bucketing.writeBucketed(
+        sh.select(col(id).as("doc_id"), col("sh"), col("n_sh")),
+        s"${table}_docs", s"$path/docs", buckets, "doc_id", Seq("doc_id"))
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Near-dup pairs between a new batch and a [[minhashWriteIndex]]-persisted
+    * corpus: the batch is shingled/banded (batch-sized work), candidates
+    * come from the band-key join against the stored index, and exact
+    * Jaccard verification joins candidates to the stored shingle table —
+    * the corpus is never re-scanned, re-shingled, or re-shuffled. Output
+    * (new_id, corpus_id, jac ≥ minJ), precision 1, recall = the banding
+    * detection probability of the index's signature family.
+    */
+  def minhashProbeIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, id: String, text: String, n: Int, minJ: Double,
+      table: String, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val shNew = shingledHashed(newDocs, id, text, n)
+    Caching.withCached(shNew) {
+      val cand = bandKeys(shNew, id, numHashes, bands)
+        .select(col(id).as("new_id"), col("bk"))
+        .join(spark.table(s"${table}_bands")
+          .select(col("bk"), col("doc_id").as("corpus_id")), Seq("bk"))
+        .select("new_id", "corpus_id").distinct()
+      val inter = GraftColumnBridge.column(graft.functions.SortedIntersectSize(
+        GraftColumnBridge.expression(col("sha")),
+        GraftColumnBridge.expression(col("shb")), minJ))
+      cand
+        .join(spark.table(s"${table}_docs")
+          .select(col("doc_id").as("corpus_id"), col("sh").as("shb"), col("n_sh").as("nb")),
+          "corpus_id")
+        .join(shNew.select(col(id).as("new_id"), col("sh").as("sha"), col("n_sh").as("na")),
+          "new_id")
+        .withColumn("inter", inter)
+        .select(col("new_id"), col("corpus_id"),
+          Quant.q4(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .where(col("jac") >= minJ)
     }
   }
 

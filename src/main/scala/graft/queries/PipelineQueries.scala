@@ -276,6 +276,40 @@ object PipelineQueries {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
     Some(jaccardOracle("0.8")))
 
+  /** Incremental near-dup against the PERSISTED MinHash band index
+    * ([[Dedup.minhashWriteIndex]] / [[Dedup.minhashProbeIndex]]): the even
+    * docs are the indexed lake, the odd docs the day's crawl; the probe
+    * never re-scans the corpus — candidates come from the stored band
+    * table (bucketed on bk, no index-side exchange) and verification joins
+    * the stored shingle table. Oracle: exact cross-parity Jaccard pairs at
+    * the same threshold — the near-dup analog of `q_dedup_incremental`'s
+    * crawl-vs-lake posture, and recall 1 on this corpus like
+    * `q_dedup_minhash_lsh`.
+    */
+  val qDedupIndexProbe = Fixture(
+    "q_dedup_index_probe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "mh_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mhidx/$tbl"
+      Dedup.minhashWriteIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 3, tbl, path, 8)
+      Dedup.minhashProbeIndex(s, docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 3, 0.8, tbl)
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | p AS (SELECT a.doc_id AS corpus_id, a.n AS na,
+      |         b.doc_id AS new_id, b.n AS nb, count(*) AS inter
+      |       FROM e a JOIN e b ON a.sg = b.sg
+      |         AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |       GROUP BY 1, 2, 3, 4)
+      | SELECT new_id, corpus_id, jac FROM
+      |   (SELECT new_id, corpus_id, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
+      | WHERE jac >= 0.8""".stripMargin))
+
   /** SimHash(60-bit) near-dup pairs, Hamming ≤ 3, chunk-banding (exact by
     * pigeonhole: 4 chunks × 15 bits). Oracle: all-pairs Hamming on
     * identically-computed SimHash.
@@ -2826,5 +2860,5 @@ object PipelineQueries {
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
-    qDsirSelect, qJsonlIngest, qStreamDrift)
+    qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe)
 }

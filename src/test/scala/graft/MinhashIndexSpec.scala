@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Persisted MinHash band index: probe-vs-recompute equivalence and the
+  * index-side shuffle-free plan property the layout exists for.
+  */
+class MinhashIndexSpec extends SparkTestBase {
+
+  private def buildIndex(): String = {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = s"mh_spec_${System.nanoTime}"
+    Dedup.minhashWriteIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, tbl,
+      s"${sys.props("java.io.tmpdir")}/graft_mhidx_spec/$tbl", 8)
+    tbl
+  }
+
+  test("probing the index equals recomputing pairs over corpus+batch, cross side") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = buildIndex()
+    val probed = Dedup.minhashProbeIndex(spark,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", 3, 0.8, tbl)
+    // ground truth: the all-docs pair relation restricted to cross-parity
+    // pairs, re-oriented to (new, corpus)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .where(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b")).as("new_id"),
+        when(col("doc_a") % 2 === 0, col("doc_a")).otherwise(col("doc_b")).as("corpus_id"),
+        col("jac"))
+    assertSameRows(probed, full)
+  }
+
+  test("the probe join leaves the stored band table unshuffled") {
+    // minhashProbeIndex returns a materialized (lineage-free) result, so
+    // audit the candidate-join SHAPE directly: a batch-shaped frame joined
+    // to the stored band table on bk must read the table `Bucketed: true`
+    // and plan exactly ONE exchange — the batch side's. The property is the
+    // layout's (any long bk join key exercises it).
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = buildIndex()
+    val bands = spark.table(s"${tbl}_bands")
+    val batchShaped = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("new_id"),
+        graft.functions.TextFunctions.hash64(col("text")).as("bk"))
+    // broadcast off: a broadcast would elide the index shuffle for the
+    // wrong (batch-is-tiny) reason — the layout must prove co-location
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p =
+      try batchShaped
+        .join(bands.select(col("bk"), col("doc_id").as("corpus_id")), Seq("bk"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(p.linesIterator.filter(_.contains("FileScan"))
+        .mkString("\n").contains("Bucketed: true"),
+      s"band table must be read with bucket metadata:\n$p")
+    val exchanges = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1,
+      s"only the batch side may shuffle (got $exchanges exchanges):\n$p")
+  }
+}
