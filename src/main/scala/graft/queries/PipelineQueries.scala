@@ -276,6 +276,25 @@ object PipelineQueries {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
     Some(jaccardOracle("0.8")))
 
+  /** The same near-dup components through the LOGARITHMIC-round
+    * large-star/small-star contraction ([[Dedup.clustersLsss]], Kiveris et
+    * al. SoCC 2014) instead of O(diameter) min-label propagation — the
+    * 100 TB path for chain-shaped duplicate families (page-revision chains),
+    * where propagation's round count is the chain length. Identical output
+    * contract, so the recursive-CTE oracle of [[qDedupClusters]] is reused
+    * verbatim; LsssSpec pins the round-count separation on a path graph.
+    */
+  // lazy: reuses qDedupClusters.oracle, which is declared further down —
+  // an eager val here would read null during object init
+  lazy val qDedupClustersLsss = Fixture(
+    "q_dedup_clusters_lsss",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clustersLsss(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
+    },
+    qDedupClusters.oracle)
+
   /** Incremental near-dup against the PERSISTED MinHash band index
     * ([[Dedup.minhashWriteIndex]] / [[Dedup.minhashProbeIndex]]): the even
     * docs are the indexed lake, the odd docs the day's crawl; the probe
@@ -2755,6 +2774,60 @@ object PipelineQueries {
       |   ${q4("w6 / wsum6 * 1000000.0 / n_tok")} AS epochs_at_1m
       | FROM r, ws""".stripMargin))
 
+  /** EXECUTING the temperature-mixture plan ([[qMixTemperature]] computes
+    * the weights; this draws the sample): per-source keep rate
+    * rₛ = min(1, wₛ·B / tokₛ) at token budget B = 10 000, membership by the
+    * deterministic id-hash threshold (`h64(doc_id) % 10⁶ < floor(rₛ·10⁶)`)
+    * — the q_sample_hash rule with a COMPUTED per-source rate, so the drawn
+    * corpus is reproducible bit-for-bit across runs, engines, and corpus
+    * growth (a doc's membership never depends on other docs of its
+    * source). Plan: two tiny aggregations broadcast-chained, then the rate
+    * relation broadcast onto one corpus scan — the membership test is a
+    * scan-side predicate, nothing shuffles. Threshold arithmetic keeps the
+    * q_mix_temperature integer-scaled weights end-to-end: the only float
+    * ops are identically-formed double chains, and the final compare is
+    * integer vs integer.
+    */
+  val qMixExecute = Fixture(
+    "q_mix_execute",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val counts = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
+      graft.operators.Caching.withCached(counts) {
+        val tot = counts.agg(sum("tok_s").as("tot"))
+        val raw = counts.crossJoin(broadcast(tot))
+          .withColumn("w6",
+            floor(sqrt(col("tok_s").cast("double") / col("tot")) * lit(1e6)
+              + lit(0.5)).cast("long"))
+        val wsum = raw.agg(sum("w6").as("wsum6"))
+        val thr = raw.crossJoin(broadcast(wsum))
+          .select(col("source"),
+            least(
+              floor(col("w6").cast("double") / col("wsum6") * lit(10000)
+                / col("tok_s") * lit(1e6) + lit(0.5)).cast("long"),
+              lit(1000000L)).as("thr"))
+        docs.join(broadcast(thr), "source")
+          .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")),
+            lit(1000000L)) < col("thr"))
+          .select("source", "doc_id", "n_tok")
+      }
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
+      |        FROM documents),
+      | c AS (SELECT source, sum(n_tok)::BIGINT AS tok_s FROM t GROUP BY 1),
+      | tt AS (SELECT sum(tok_s)::BIGINT AS tot FROM c),
+      | w AS (SELECT source, tok_s,
+      |         floor(sqrt(tok_s / tot) * 1000000 + 0.5)::BIGINT AS w6 FROM c, tt),
+      | ws AS (SELECT sum(w6)::BIGINT AS wsum6 FROM w),
+      | r AS (SELECT source,
+      |         least(floor(w6 / wsum6 * 10000 / tok_s * 1000000 + 0.5),
+      |           1000000)::BIGINT AS thr FROM w, ws)
+      | SELECT t.source, doc_id, n_tok
+      | FROM t JOIN r ON t.source = r.source
+      | WHERE ${h64("doc_id::VARCHAR")} % 1000000 < thr""".stripMargin))
+
   // ---- BPE vocabulary induction ------------------------------------------
 
   /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
@@ -2860,5 +2933,6 @@ object PipelineQueries {
     qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
-    qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe)
+    qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
+    qDedupClustersLsss)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Large-star/small-star connected components: correctness vs the min-label
+  * propagation baseline, and the LOGARITHMIC round bound that is the
+  * operator's reason to exist (a path graph is propagation's worst case —
+  * O(diameter) rounds — and LS/SS's showcase).
+  */
+class LsssSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("path graph of 256 nodes contracts in O(log n) rounds, labels all 0") {
+    val pairs = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until 256L).toDF("doc_id")
+    val (out, rounds) = Dedup.clustersLsssWithRounds(nodes, "doc_id", pairs)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.forall(_ == 0L), "one component rooted at 0")
+    assert(labels.size == 256)
+    assert(rounds <= 12,
+      s"path-256 must contract logarithmically (got $rounds rounds; " +
+      "min-label propagation would need ~255)")
+  }
+
+  test("equals min-label propagation on the fixture near-dup graph") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .localCheckpoint(true)
+    assertSameRows(
+      Dedup.clustersLsss(docs, "doc_id", pairs),
+      Dedup.clusters(docs, "doc_id", pairs))
+  }
+
+  test("no pairs: every doc is its own singleton cluster, zero rounds") {
+    val nodes = Seq(3L, 7L, 9L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.clustersLsssWithRounds(nodes, "doc_id", empty)
+    assert(rounds == 0)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 3L), (7L, 7L), (9L, 9L)))
+  }
+}
