@@ -1055,6 +1055,75 @@ object PipelineQueries {
       |   list_min(qv) AS q_min, list_max(qv) AS q_max
       | FROM q""".stripMargin))
 
+  /** BM25 top-k retrieval for a literal 3-term query — the lexical-search
+    * primitive a RAG/retrieval pipeline runs beside ANN (Robertson k1=1.2,
+    * b=0.75; Lucene's +1 idf so unseen terms can't go negative). Plan
+    * shape: ONE corpus scan computes per-doc term frequencies as HOF
+    * filter-counts over the token array (no explode, no posting shuffle —
+    * the query's terms are literals, so tf is a projection), corpus stats
+    * (N, avgdl, per-term df) are ONE tiny aggregation broadcast back, and
+    * the top-k is TakeOrdered (per-partition heap, no global sort). At
+    * 100 TB: scan-bound, two jobs, zero corpus shuffles.
+    *
+    * Determinism: integer tf/dl/df; avgdl and every score term are
+    * identically-formed double chains mirrored in the oracle; q4 on the
+    * output score; ties by doc_id.
+    */
+  val qBm25 = Fixture(
+    "q_bm25_topk",
+    (s, d) => {
+      val terms = Seq("table", "row", "window")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("w"))
+        .withColumn("dl", size(col("w")).cast("long"))
+      val tfs = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("w"), x => x === lit(t))).cast("long"))
+      }.drop("w")
+      graft.operators.Caching.withCached(tfs) {
+        val stats = tfs.agg(
+          count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+          sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+        def part(i: Int): org.apache.spark.sql.Column = {
+          val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+            (col(s"df$i") + lit(0.5)) + lit(1.0))
+          idf * (col(s"tf$i") * lit(2.2)) /
+            (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }
+        tfs.crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+          .where(col("tf0") + col("tf1") + col("tf2") > 0)
+          .select(col("doc_id"), col("dl"),
+            Quant.q4(part(0) + part(1) + part(2)).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      }
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      |        FROM documents),
+      | f AS (SELECT doc_id, len(w)::BIGINT AS dl,
+      |         len(list_filter(w, x -> x = 'table'))::BIGINT AS tf0,
+      |         len(list_filter(w, x -> x = 'row'))::BIGINT AS tf1,
+      |         len(list_filter(w, x -> x = 'window'))::BIGINT AS tf2
+      |       FROM t),
+      | st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sdl,
+      |          sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+      |          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+      |          sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+      |        FROM f),
+      | sc AS (SELECT doc_id, dl,
+      |     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) /
+      |       (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
+      |   + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) /
+      |       (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
+      |   + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) /
+      |       (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl / n))) AS s
+      |   FROM f, st WHERE tf0 + tf1 + tf2 > 0)
+      | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
+      | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
   /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
     * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
     * per-partition bounded heap then a k-merge, never a global sort; the
@@ -2934,5 +3003,5 @@ object PipelineQueries {
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
-    qDedupClustersLsss)
+    qDedupClustersLsss, qBm25)
 }
