@@ -1163,6 +1163,61 @@ object PipelineQueries {
       |        ${q4("count(*) / any_value(n_sh)")} AS frac
       | FROM posts JOIN bench USING (sg) GROUP BY doc_id""".stripMargin))
 
+  /** SPAN-LEVEL decontamination — mask the contaminated n-gram spans
+    * instead of dropping the document (the modern alternative to doc-level
+    * removal when an otherwise-good page quotes an eval item): token p is
+    * masked iff some 3-gram window covering p appears in the eval set, and
+    * the document is re-emitted with those tokens replaced by `<MASK>`.
+    *
+    * Plan shape: POSITIONAL shingles (not the distinct set — spans need
+    * starts) explode once; the eval-set shingle relation is distinct-ed and
+    * broadcast (eval sets are small by definition) and a LEFT SEMI probe
+    * keeps only contaminated starts, so the per-doc mask aggregation
+    * shuffles contaminated positions only — orders of magnitude below the
+    * posting count. The rebuild is a scan-side HOF over the token array.
+    * The oracle replays positions, windows, and the rebuilt string, so the
+    * masked TEXT itself is hash-compared.
+    */
+  val qDecontaminateMask = Fixture(
+    "q_decontaminate_mask",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      val posts = docs.where(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+        .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("sg"))
+      val bench = posts.where(col("doc_id") < 25).select("sg").distinct()
+      val mpos = posts.where(col("doc_id") >= 25)
+        .join(broadcast(bench), Seq("sg"), "left_semi")
+        .select(col("doc_id"),
+          explode(array(col("s"), col("s") + 1, col("s") + 2)).as("p"))
+        .groupBy("doc_id").agg(sort_array(collect_set(col("p"))).as("mp"))
+      docs.join(mpos, "doc_id")
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          size(col("mp")).cast("long").as("n_masked"),
+          concat_ws(" ", transform(sequence(lit(1), size(col("w"))),
+            p => when(array_contains(col("mp"), p), lit("<MASK>"))
+              .otherwise(element_at(col("w"), p)))).as("text_masked"))
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | st AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS s
+      |        FROM w0 WHERE len(w) >= 3),
+      | po AS (SELECT doc_id, s, array_to_string(w[s:s+2], ' ') AS sg FROM st),
+      | bset AS (SELECT DISTINCT sg FROM po WHERE doc_id < 25),
+      | cont AS (SELECT po.doc_id, po.s FROM po JOIN bset USING (sg)
+      |          WHERE po.doc_id >= 25),
+      | mp AS (SELECT doc_id, list_sort(list(p)) AS mp FROM
+      |          (SELECT DISTINCT doc_id, s + o AS p
+      |           FROM cont CROSS JOIN (VALUES (0), (1), (2)) AS t(o))
+      |        GROUP BY doc_id)
+      | SELECT w0.doc_id, len(w)::BIGINT AS n_tok, len(mp)::BIGINT AS n_masked,
+      |   array_to_string(list_transform(generate_series(1, len(w)), p ->
+      |     CASE WHEN list_contains(mp, p) THEN '<MASK>' ELSE w[p] END),
+      |     ' ') AS text_masked
+      | FROM w0 JOIN mp USING (doc_id)""".stripMargin))
+
   /** Top-k rows per group (k best documents per source by quality) through
     * the bounded-heap aggregate ([[graft.functions.TopKAgg]]) instead of
     * rank-then-filter: a row_number window sorts EVERY row of each group
@@ -3003,5 +3058,5 @@ object PipelineQueries {
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
-    qDedupClustersLsss, qBm25)
+    qDedupClustersLsss, qBm25, qDecontaminateMask)
 }
