@@ -1218,6 +1218,54 @@ object PipelineQueries {
       |     ' ') AS text_masked
       | FROM w0 JOIN mp USING (doc_id)""".stripMargin))
 
+  /** STREAMING decontamination at ingest: the document stream is probed
+    * against the eval-set shingle set as a STATELESS projection — the
+    * hashed eval shingles ride in the plan as a sorted array literal
+    * (bounded by the EVAL set, the same smallness argument as the batch
+    * broadcast; at eval sets too large to inline, chain the
+    * contaminationBloom expression as a prefilter and sweep exact counts
+    * in batch). No state store, no watermark, no shuffle: contamination
+    * flagging adds zero streaming machinery to the ingest path. Kept
+    * semantics and output are identical to batch [[qDecontaminate]], so
+    * its oracle is reused verbatim.
+    */
+  lazy val qStreamDecontaminate = Fixture(
+    "q_stream_decontaminate",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val all = Tables.documents(s, d)
+      val evalSet: Array[Long] = all.where(col("doc_id") < 25)
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("s0"))
+        .select(xxhash64(col("s0")).as("sg")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val rows = all.where(col("doc_id") >= 25)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val litSet = lit(evalSet)
+      val out = ms.toDF().toDF("doc_id", "text")
+        .withColumn("sh", TextFunctions.shingles(col("text"), 3))
+        .where(size(col("sh")) > 0)
+        .withColumn("n_overlap",
+          size(filter(col("sh"), x => array_contains(litSet, xxhash64(x)))).cast("long"))
+        .where(col("n_overlap") > 0)
+        .select(col("doc_id"), col("n_overlap"),
+          Quant.q4(col("n_overlap") / size(col("sh"))).as("frac"))
+      val sink = s"stream_decon_${System.nanoTime}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      finally q.stop()
+      s.table(sink)
+    },
+    qDecontaminate.oracle)
+
   /** Top-k rows per group (k best documents per source by quality) through
     * the bounded-heap aggregate ([[graft.functions.TopKAgg]]) instead of
     * rank-then-filter: a row_number window sorts EVERY row of each group
@@ -3058,5 +3106,5 @@ object PipelineQueries {
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
-    qDedupClustersLsss, qBm25, qDecontaminateMask)
+    qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate)
 }
