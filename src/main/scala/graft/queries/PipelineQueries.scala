@@ -1124,6 +1124,25 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** BM25 over the PERSISTED posting index ([[graft.similarity.Bm25]]):
+    * same query, same top-20, but the corpus scan happened at index-build
+    * time — the probe reads only the 3 query terms' buckets (bucket
+    * pruning on the term key), derives df from those pruned postings, and
+    * scores with the scan form's exact double chain. Oracle reused
+    * verbatim from q_bm25_topk: the index must be invisible in the result.
+    */
+  val qBm25Index = Fixture(
+    "q_bm25_index_topk",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val tbl = s"graft_bm25_idx_$h"
+      graft.similarity.Bm25.writeIndex(
+        Tables.documents(s, d), "doc_id", "text", tbl,
+        s"${sys.props("java.io.tmpdir")}/graft_bm25/$h", 8)
+      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
+    },
+    qBm25.oracle)
+
   /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
     * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
     * per-partition bounded heap then a k-merge, never a global sort; the
@@ -3106,5 +3125,6 @@ object PipelineQueries {
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
-    qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate)
+    qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
+    qBm25Index)
 }

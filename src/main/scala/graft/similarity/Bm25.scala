@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Quant
+
+/** Persisted inverted (posting-list) index for BM25 retrieval — the
+  * index-at-rest counterpart of the scan-bound `q_bm25_topk` fixture.
+  *
+  * The scan form recomputes term frequencies from raw text on every query:
+  * fine for one ad-hoc probe, wrong as the serving shape — at 100 TB a
+  * 3-term query must not cost a corpus scan. [[writeIndex]] pays the
+  * tokenize + (term, doc) aggregation ONCE, landing
+  *
+  *   - `table` — postings (term, doc_id, tf, dl), bucketed by `term` and
+  *     per-bucket sorted on (term, doc_id). Denormalizing the document
+  *     length `dl` into each posting is the classic search-engine layout
+  *     decision: it costs one long per posting and saves the alternative —
+  *     a corpus-sized (doc_id, dl) side table whose join key conflicts
+  *     with the bucket key — so scoring never touches a second
+  *     corpus-scaled relation.
+  *   - `table_stats` — ONE row (n docs, sum of dl): the corpus-level BM25
+  *     inputs that cannot be derived from a pruned probe.
+  *
+  * [[searchTopK]] then reads ONLY the query terms' buckets (equality/IN on
+  * the bucket key → Spark bucket pruning opens |terms| of `buckets` files
+  * before any IO), derives per-term document frequencies with one tiny
+  * aggregation over those pruned postings, and scores with the exact
+  * double-formation chain of the scan form, so index and scan agree
+  * bit-for-bit. Matched postings — not the corpus — are what shuffle into
+  * the per-doc pivot, and the top-k plans as TakeOrdered (per-partition
+  * heap + k-merge, no global sort).
+  *
+  * Reference basis: the reference pays its ingest-time hash routing once and
+  * keys all later operator state off it
+  * (/root/reference/src/dispatcher/TaskDispatcher.h); the retrieval-index
+  * analog on Spark is a term-bucketed posting lake probed by bucket pruning.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokenize, count (term, doc) frequencies, and land the posting +
+    * stats tables. One shuffle (the (term, doc_id) aggregation) and one
+    * bucket-layout write — both paid once per corpus build.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.words(lower(col(textCol))).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    // corpus stats BEFORE any term filter: n counts every document (even
+    // token-free ones), exactly the scan form's count(*)
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/stats").saveAsTable(s"${table}_stats")
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    graft.sources.Bucketing.writeBucketed(
+      postings, table, s"$path/postings", buckets, "term", Seq("term", "doc_id"))
+  }
+
+  /** BM25 top-k over the persisted index for a literal term list.
+    *
+    * Score formation mirrors the scan-bound form exactly — per-term parts
+    * summed in term-list order (a fixed literal fold, not a shuffle-order
+    * `sum`), Lucene's +1 idf, all frequency inputs LONG until the same
+    * double coercion points — so the two forms return identical rows.
+    */
+  def searchTopK(spark: SparkSession, table: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+    val posts = spark.table(table).where(col("term").isin(terms: _*))
+    // per-term df over the PRUNED postings only: postings are unique per
+    // (term, doc), so df(t) = count of term-t postings. |terms| longs.
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === lit(t), 1L)), lit(0L)).as(s"df$i")
+    }
+    val dfAgg = posts.agg(dfCols.head, dfCols.tail: _*)
+    val stats = spark.table(s"${table}_stats").crossJoin(dfAgg)
+    // pivot matched postings to one row per doc with tf0..tfn — the only
+    // probe-time shuffle, sized by matched postings
+    val perDoc = posts.groupBy(col("doc_id")).agg(
+      max(col("dl")).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0L)).as(s"tf$i")
+      }: _*)
+    def part(i: Int): Column = {
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (col(s"tf$i") * lit(K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+      .select(col("doc_id"), col("dl"),
+        Quant.q4(terms.indices.map(part).reduce(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.PipelineQueries
+import graft.similarity.Bm25
+
+/** Persisted BM25 posting index: probe-vs-scan equivalence and the bucket
+  * pruning the layout exists for.
+  */
+class Bm25IndexSpec extends SparkTestBase {
+
+  private val terms = Seq("table", "row", "window")
+
+  private def buildIndex(): String = {
+    val tbl = s"bm25_spec_${System.nanoTime}"
+    Bm25.writeIndex(Tables.documents(spark, sfDir), "doc_id", "text", tbl,
+      s"${sys.props("java.io.tmpdir")}/graft_bm25_spec/$tbl", 8)
+    tbl
+  }
+
+  test("index probe returns exactly the scan-bound BM25 result") {
+    val tbl = buildIndex()
+    val scan = PipelineQueries.qBm25.build(spark, sfDir)
+    val probe = Bm25.searchTopK(spark, tbl, terms, 20)
+    assertSameRows(scan, probe)
+  }
+
+  test("the probe scan is bucket-pruned to the query terms' buckets") {
+    val tbl = buildIndex()
+    // DisableUnnecessaryBucketedScan hides the bucketed form of the scan
+    // when no operator needs the bucket distribution (file-level bucket
+    // pruning still applies in the plain read path); force the bucketed
+    // scan so SelectedBucketsCount — the property under test — is visible.
+    val saved = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan =
+      try Bm25.searchTopK(spark, tbl, terms, 20)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved)
+    val scanLines = plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scanLines.contains("Bucketed: true"),
+      s"posting scan must carry bucket metadata:\n$plan")
+    // 3 literal terms can hash into at most 3 of the 8 buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(sel.exists(_ <= terms.length),
+      s"expected <= ${terms.length} selected buckets, plan:\n$plan")
+  }
+
+  test("df/stats derived from the pruned index match a full-corpus count") {
+    val tbl = buildIndex()
+    import org.apache.spark.sql.functions._
+    val stats = spark.table(s"${tbl}_stats").collect().head
+    val docs = Tables.documents(spark, sfDir)
+    val expN = docs.count()
+    assert(stats.getAs[Long]("n") == expN, "stats n must count every document")
+    val dl = docs.select(
+      size(graft.functions.TextFunctions.words(lower(col("text")))).cast("long").as("dl"))
+      .agg(sum("dl")).collect().head.getLong(0)
+    assert(stats.getAs[Long]("sdl") == dl, "stats sdl must sum whitespace dl")
+  }
+}
