@@ -34,6 +34,35 @@ object TextFunctions {
   val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCountBpe(text: Column): Column = regexp_count(text, lit(bpePattern))
 
+  /** Hashing-trick linear classifier inference — the fastText-style quality
+    * filter every large crawl pipeline runs (heuristic scores gate obvious
+    * junk; a trained linear model over hashed token features does the real
+    * selection). The MODEL is a plan literal: token → bucket via the
+    * cross-engine [[hash64]] mod `buckets`, bucket → weight via a
+    * deterministic integer chain standing in for trained parameters (a real
+    * deployment swaps [[bucketWeight]] for an `element_at` into a literal
+    * weight array — same plan shape, same cost). Inference is ONE
+    * sequential HOF fold per row: scan-side, no shuffle, no UDF, no join —
+    * at 100 TB classifying the corpus costs exactly one scan.
+    *
+    * Determinism: all-integer bucket/weight math, a left fold seeded at 0.0
+    * (bit-identical to DuckDB's list_reduce), and the caller quantizes the
+    * sigmoid output.
+    */
+  val ClassifierBuckets = 1024L
+  def bucketWeight(tok: Column): Column =
+    ((pmod(hash64(tok), lit(ClassifierBuckets)) * lit(2654435761L))
+      % lit(1001L) - lit(500L)) / lit(500.0)
+
+  /** P(keep) under the hashed linear model: sigmoid of mean token weight
+    * plus a bias. `w` is the non-empty token array.
+    */
+  def classifierProb(w: Column, bias: Double = 0.1): Column = {
+    val raw = aggregate(w, lit(0.0), (a, x) => a + bucketWeight(x))
+    val score = raw / greatest(size(w).cast("long"), lit(1L)) + lit(bias)
+    lit(1.0) / (lit(1.0) + exp(-score))
+  }
+
   /** Distinct n-word shingles (n-grams) of the text — the MinHash/Jaccard
     * feature set. Empty array below n words.
     */

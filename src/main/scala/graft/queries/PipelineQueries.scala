@@ -1124,6 +1124,36 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Model-based quality filtering ([[TextFunctions.classifierProb]]):
+    * hashed-feature linear classifier scored in ONE scan-side projection —
+    * the plan shape of running a trained fastText-style keep/drop model
+    * over 100 TB (the model rides the plan as a literal; no shuffle, no
+    * join, no UDF). Output pins the probability AND the keep decision;
+    * the threshold compares the quantized prob so both engines decide on
+    * the same 4-decimal value.
+    */
+  val qQualityClassifier = Fixture(
+    "q_quality_classifier",
+    (s, d) => {
+      val w = filter(TextFunctions.words(lower(col("text"))), x => x =!= "")
+      val prob = Quant.q4(TextFunctions.classifierProb(col("w")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          prob.as("prob"))
+        .withColumn("keep", col("prob") >= lit(0.55))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+      |     list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+      |   FROM documents),
+      | sc AS (SELECT doc_id, len(w)::BIGINT AS n_tok,
+      |     ${foldSum(s"list_transform(w, x -> ((${h64("x")} % 1024) * 2654435761 % 1001 - 500) / 500.0)")} AS raw
+      |   FROM t),
+      | p AS (SELECT doc_id, n_tok,
+      |     ${q4("1.0 / (1.0 + exp(-(raw / greatest(n_tok, 1) + 0.1)))")} AS prob
+      |   FROM sc)
+      | SELECT doc_id, n_tok, prob, prob >= 0.55 AS keep FROM p""".stripMargin))
+
   /** BM25 over the PERSISTED posting index ([[graft.similarity.Bm25]]):
     * same query, same top-20, but the corpus scan happened at index-build
     * time — the probe reads only the 3 query terms' buckets (bucket
@@ -3126,5 +3156,5 @@ object PipelineQueries {
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
-    qBm25Index)
+    qBm25Index, qQualityClassifier)
 }
