@@ -1124,6 +1124,37 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Hard-negative mining — the contrastive-retrieval training-data shape:
+    * for each query vector, the top neighbor is the pseudo-positive and
+    * ranks 3..6 are the hard negatives (rank 2 is skipped as the classic
+    * false-negative guard: the nearest non-positive is too often an
+    * unlabeled true match). One ranked-candidates pass feeds both roles —
+    * no second search. Candidate generation here is the exact brute
+    * baseline so the oracle is closed-form; at 100 TB the SAME downstream
+    * (rank-window + role split) runs off Ann.ivfSearchPersisted's
+    * bucket-pruned candidates instead — mining cost is the index probe,
+    * never a corpus×corpus pass.
+    */
+  val qHardNegatives = Fixture(
+    "q_hard_negatives",
+    (s, d) => Ann.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 15, 6)
+      .where(col("rank") === 1 || col("rank") >= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"),
+        when(col("rank") === 1, lit("pos")).otherwise(lit("neg")).as("role")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 15),
+      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
+      |       FROM q JOIN e ON e.vec_id <> q.query_id),
+      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM c)
+      | SELECT query_id, neighbor_id, cos, rank,
+      |   CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role
+      | FROM r WHERE rank <= 6 AND (rank = 1 OR rank >= 3)""".stripMargin))
+
   /** Model-based quality filtering ([[TextFunctions.classifierProb]]):
     * hashed-feature linear classifier scored in ONE scan-side projection —
     * the plan shape of running a trained fastText-style keep/drop model
@@ -3156,5 +3187,5 @@ object PipelineQueries {
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
-    qBm25Index, qQualityClassifier)
+    qBm25Index, qQualityClassifier, qHardNegatives)
 }
