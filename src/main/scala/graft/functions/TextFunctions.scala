@@ -63,6 +63,39 @@ object TextFunctions {
     lit(1.0) / (lit(1.0) + exp(-score))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken — SIGMOD
+    * 2003, the MOSS algorithm): from the positional k-gram hash sequence,
+    * every window of `wnd` consecutive hashes contributes its minimum —
+    * guaranteeing that any match of length ≥ wnd + k − 1 tokens shares at
+    * least one selected fingerprint, while storing only ~2/(wnd+1) of all
+    * hashes. This is the span-granular robust fingerprint the full-text
+    * MinHash/SimHash family can't give: selected (pos, fp) pairs localize
+    * WHERE two documents overlap, not just that they do.
+    *
+    * Tie-break: the leftmost minimum in each window (`array_position` finds
+    * the first occurrence) — a fixed deterministic choice shared with the
+    * oracle. Entirely scan-side HOFs over the token array: at 100 TB,
+    * fingerprinting is one corpus scan emitting O(n/wnd) rows per doc into
+    * an fp-keyed index (the same posting layout [[graft.similarity.Bm25]]
+    * uses), and overlap detection is an equi-join on fp.
+    *
+    * @param w non-empty token array; caller must ensure
+    *          size(w) ≥ k + wnd − 1 (shorter docs have no full window).
+    * @return array of (pos, fp): 1-based k-gram start positions and their
+    *         [[hash64]] fingerprints, one per window, duplicates included
+    *         (callers dedup per doc — consecutive windows usually reselect
+    *         the same minimum; that collapse is winnowing's compression).
+    */
+  def winnow(w: Column, k: Int, wnd: Int): Column = {
+    val hs = transform(sequence(lit(1), size(w) - (k - 1)),
+      i => hash64(concat_ws(" ", slice(w, i, lit(k)))))
+    transform(sequence(lit(1), size(hs) - (wnd - 1)), j => {
+      val win = slice(hs, j, lit(wnd))
+      val mn = array_min(win)
+      struct((j - 1 + array_position(win, mn)).as("pos"), mn.as("fp"))
+    })
+  }
+
   /** Distinct n-word shingles (n-grams) of the text — the MinHash/Jaccard
     * feature set. Empty array below n words.
     */

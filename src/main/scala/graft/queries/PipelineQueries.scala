@@ -1124,6 +1124,36 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Winnowing (MOSS) fingerprints ([[TextFunctions.winnow]], k=3 word
+    * grams, window 4): the span-granular robust fingerprints — any shared
+    * run of ≥ 6 tokens between two documents is guaranteed to share a
+    * selected (pos-localizable) fingerprint. Pure scan-side HOFs; the
+    * distinct collapses the consecutive-window reselections that give
+    * winnowing its ~2/(w+1) density. Docs shorter than one full window
+    * (< 6 tokens) have no fingerprint by definition.
+    */
+  val qWinnow = Fixture(
+    "q_winnow_fingerprints",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 6)
+      .select(col("doc_id"),
+        explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .distinct(),
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | h AS (SELECT doc_id,
+      |     list_transform(generate_series(1, len(w) - 2),
+      |       i -> ${h64("array_to_string(w[i:i+2], ' ')")}) AS hs
+      |   FROM w0 WHERE len(w) >= 6),
+      | st AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 3)) AS j
+      |        FROM h),
+      | sel AS (SELECT DISTINCT doc_id,
+      |     j - 1 + list_position(hs[j:j+3], list_min(hs[j:j+3])) AS pos,
+      |     list_min(hs[j:j+3]) AS fp
+      |   FROM st)
+      | SELECT doc_id, pos::BIGINT AS pos, fp FROM sel""".stripMargin))
+
   /** Hard-negative mining — the contrastive-retrieval training-data shape:
     * for each query vector, the top neighbor is the pseudo-positive and
     * ranks 3..6 are the hard negatives (rank 2 is skipped as the classic
@@ -3187,5 +3217,5 @@ object PipelineQueries {
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
-    qBm25Index, qQualityClassifier, qHardNegatives)
+    qBm25Index, qQualityClassifier, qHardNegatives, qWinnow)
 }

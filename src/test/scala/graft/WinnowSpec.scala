@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Winnowing's defining guarantee: documents sharing a token run of length
+  * >= wnd + k - 1 share at least one selected fingerprint (that is what
+  * makes the selection safe to index instead of all k-gram hashes).
+  */
+class WinnowSpec extends SparkTestBase {
+
+  private def fps(texts: Seq[(Long, String)]) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 6)
+      .select(col("doc_id"), explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+      .select(col("doc_id"), col("f.fp")).distinct()
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+  }
+
+  test("a shared 6-token run always yields a shared fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val m = fps(Seq(
+      1L -> s"one two three $shared nine ten",
+      2L -> s"$shared completely different tail words here",
+      3L -> "unrelated text with no overlap at all whatsoever today"))
+    assert((m(1L) & m(2L)).nonEmpty, "guaranteed detection failed")
+    assert((m(1L) & m(3L)).isEmpty, "disjoint docs should not collide")
+  }
+
+  test("selection is sparse: fewer fingerprints than k-grams") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 6)
+    val nGrams = docs.select(sum(size(col("w")) - 2)).collect().head.getLong(0)
+    val nSel = docs
+      .select(col("doc_id"), explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+      .select(col("doc_id"), col("f.pos"), col("f.fp")).distinct().count()
+    assert(nSel < nGrams / 2,
+      s"winnowing should keep well under half the k-grams ($nSel of $nGrams)")
+  }
+}
