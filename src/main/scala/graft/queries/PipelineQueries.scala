@@ -1124,6 +1124,87 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Streaming ANN serving over the PERSISTED IVF index
+    * ([[Ann.ivfSearchStreamCandidates]]): query vectors arrive as a stream,
+    * probe their 2 nearest cells via the plan-literal centroid model, and
+    * join stream-static against the index at rest — stateless candidate
+    * generation, then a windowed ARGMAX aggregate (max of (cos, −id)
+    * structs: rank-over-window doesn't exist in append streams) emits each
+    * query's top-1 neighbor. Event time = query_id·7 s so the replay
+    * spans several tumbling windows; emission semantics are the
+    * q_stream_tumbling_agg standard (window end ≤ max event time). The
+    * oracle is the batch IVF relation at rank 1 + window arithmetic —
+    * stream serving must return exactly what a batch probe would.
+    */
+  val qStreamAnnProbe = Fixture(
+    "q_stream_ann_probe",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val tbl = s"graft_ivf_stream_$h"
+      Ann.ivfWriteIndex(emb, cents, tbl,
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_stream/$h", 8)
+      val rows = emb.where(col("vec_id") < 30)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val qdf = ms.toDF().toDF("query_id", "qv")
+        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
+      val out = Ann.ivfSearchStreamCandidates(s, tbl, cents, qdf, 2)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
+        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("nn"))).as("b"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
+          (-col("b.nn")).as("neighbor_id"), col("b.cos").as("cos"))
+      val sink = s"stream_ann_$h${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |        FROM e CROSS JOIN c),
+      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
+      | cr AS (SELECT vec_id, cid,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |        FROM sc),
+      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
+      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
+      |           WHERE rn <= 2 AND vec_id < 30),
+      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      | pr AS (SELECT query_id, neighbor_id,
+      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
+      |          ${dotSql("en.v", "en.v")} AS bb
+      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
+      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM sr),
+      | mx AS (SELECT max(vec_id * 7) AS mx FROM e WHERE vec_id < 30)
+      | SELECT (query_id * 7 // 60) * 60 AS ws, query_id, neighbor_id, cos
+      | FROM r WHERE rank = 1
+      |   AND (query_id * 7 // 60) * 60 + 60 <= (SELECT mx FROM mx)""".stripMargin))
+
   /** Winnowing (MOSS) fingerprints ([[TextFunctions.winnow]], k=3 word
     * grams, window 4): the span-granular robust fingerprints — any shared
     * run of ≥ 6 tokens between two documents is guaranteed to share a
@@ -3217,5 +3298,5 @@ object PipelineQueries {
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
-    qBm25Index, qQualityClassifier, qHardNegatives, qWinnow)
+    qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe)
 }

@@ -322,6 +322,40 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** STREAMING search over the [[ivfWriteIndex]]-persisted index — the
+    * online ANN-serving path: each arriving query row probes its `nprobe`
+    * nearest cells (the same plan-literal centroid model and
+    * (q4 cos DESC, cid ASC) total order as every batch searcher, so
+    * stream and batch probe identical cells) and equi-joins STREAM-STATIC
+    * against the index table on `cell`. Entirely STATELESS — no state
+    * store, no watermark requirement of its own, no stream-side shuffle
+    * beyond routing |batch|·nprobe query rows to the join — so serving
+    * latency is one micro-batch over candidates, never corpus-scaled.
+    * The static side is the index at rest; the per-micro-batch query
+    * relation is tiny against it, the classic served-index asymmetry.
+    *
+    * Returns scored candidates (query_id, ts, neighbor_id, cos); callers
+    * window + aggregate for a streaming top-k (rank-over-window does not
+    * exist in append streams — an argmax/TopK AGGREGATE does).
+    *
+    * @param queryStream streaming (query_id, qv, ts).
+    */
+  def ivfSearchStreamCandidates(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: DataFrame, queryStream: DataFrame,
+      nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val centArr = centroidArray(centroids)
+    val q = queryStream.select(col("query_id"), col("qv"), col("ts"),
+      explode(probeCells(centArr, col("qv"), nprobe)).as("cell"))
+    q.join(
+        spark.table(table).select(col("cell"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("ts"), col("neighbor_id"),
+        Quant.q4(cosineFused(col("qv"), col("nv"))).as("cos"))
+  }
+
   /** One Lloyd iteration (k-means E-step + M-step): assign each vector to
     * its nearest centroid, then recompute each centroid as the elementwise
     * mean of its members. Output is exploded to (centroid_id, dim,
