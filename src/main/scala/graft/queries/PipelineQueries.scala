@@ -1124,6 +1124,65 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** kNN majority-vote auto-labeling — semi-supervised label propagation,
+    * the weak-labeling pass that turns a small hand-labeled seed set into
+    * corpus-scale training labels: every unlabeled vector takes its k=5
+    * nearest LABELED neighbors (exact cosine; ties (cos DESC, id ASC) via
+    * TopKAgg's bounded heap) and adopts the majority label, ties to the
+    * smallest label. Plan shape: the query batch broadcasts onto the
+    * labeled corpus (one scan), top-k ids — |Q|·k rows — broadcast back
+    * to fetch labels, and the vote is a tiny (query, label) aggregation
+    * finished by an argmax struct-max. No corpus×corpus pass, no
+    * rank-over-window on the big relation. At 100 TB the candidate stage
+    * swaps to the persisted-IVF probe, votes unchanged.
+    */
+  val qKnnLabel = Fixture(
+    "q_knn_label",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labeled = emb.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("label").cast("long").as("nlabel"))
+      val q = emb.where(col("vec_id") % 3 =!= 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val pairs = labeled.join(broadcast(q), lit(true))
+        .select(col("query_id"), col("neighbor_id"),
+          Quant.q4(graft.functions.VectorFunctions.cosineFused(col("qv"), col("nv"))).as("cos"))
+      val topk = pairs.groupBy("query_id")
+        .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), 5).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("t"))
+        .select(col("query_id"), col("t.id").as("neighbor_id"))
+      val votes = broadcast(topk)
+        .join(labeled.select(col("neighbor_id"), col("nlabel")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy("query_id")
+        .agg(max(struct(col("votes"), (-col("nlabel")).as("nl"))).as("b"))
+        .select(col("query_id"), (-col("b.nl")).as("pred_label"),
+          col("b.votes").as("votes"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | lab AS (SELECT vec_id AS neighbor_id, v AS nv, label::BIGINT AS nlabel
+      |         FROM e WHERE vec_id % 3 = 0),
+      | q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      |       WHERE vec_id % 3 <> 0 AND vec_id < 60),
+      | p AS (SELECT query_id, neighbor_id, nlabel,
+      |         ${dotSql("qv", "nv")} AS ab, ${dotSql("qv", "qv")} AS aa,
+      |         ${dotSql("nv", "nv")} AS bb
+      |       FROM q CROSS JOIN lab),
+      | c AS (SELECT query_id, neighbor_id, nlabel,
+      |         ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
+      | r AS (SELECT query_id, neighbor_id, nlabel,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM c),
+      | v AS (SELECT query_id, nlabel, count(*) AS votes FROM r
+      |       WHERE rank <= 5 GROUP BY 1, 2),
+      | w AS (SELECT query_id, nlabel, votes,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS rn
+      |       FROM v)
+      | SELECT query_id, nlabel AS pred_label, votes FROM w WHERE rn = 1""".stripMargin))
+
   /** Streaming ANN serving over the PERSISTED IVF index
     * ([[Ann.ivfSearchStreamCandidates]]): query vectors arrive as a stream,
     * probe their 2 nearest cells via the plan-literal centroid model, and
@@ -3298,5 +3357,6 @@ object PipelineQueries {
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
-    qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe)
+    qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
+    qKnnLabel)
 }
