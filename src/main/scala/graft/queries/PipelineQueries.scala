@@ -2697,6 +2697,49 @@ object PipelineQueries {
       | FROM events GROUP BY 1
       | UNION ALL SELECT '__corrupt__', 2, NULL""".stripMargin))
 
+  /** CSV landing-zone ingest ([[graft.sources.CsvIngest]]): events
+    * round-trip through headerless CSV WITH the `props` JSON column —
+    * commas, quotes and escapes inside a quoted field — plus two injected
+    * TYPE-corrupt lines (CSV token-count errors null-fill rather than
+    * corrupt; only cast failures land in `_corrupt_record`, which is why
+    * the injected lines break a LONG field). The accounting result adds
+    * `sum_plen` (total props length) so a quoting/escape bug that mangles
+    * one character of one field fails the hash, not just the row count.
+    */
+  val qCsvIngest = Fixture(
+    "q_csv_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .select("event_id", "event_type", "user_id", "value", "props")
+      val dir = graft.sources.CsvIngest.stageCsv(ev,
+        "events_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+        Seq("notalong,click,5,1.0,{}", "7,scroll,badid,2.5,{}"))
+      val schema = new StructType()
+        .add("event_id", LongType).add("event_type", StringType)
+        .add("user_id", LongType).add("value", DoubleType)
+        .add("props", StringType)
+      val r = graft.sources.CsvIngest.readCsv(s, dir, schema)
+      graft.operators.Caching.withCached(r) {
+        val good = r.where(col("_corrupt_record").isNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * lit(1e4) + lit(0.5))).cast("long").as("sum_v4"),
+            sum(length(col("props"))).cast("long").as("sum_plen"))
+        val bad = r.where(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n_events"))
+          .select(lit("__corrupt__").as("event_type"), col("n_events"),
+            lit(null).cast("long").as("sum_v4"),
+            lit(null).cast("long").as("sum_plen"))
+        good.unionAll(bad)
+      }
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4,
+      |   sum(strlen(props))::BIGINT AS sum_plen
+      | FROM events GROUP BY 1
+      | UNION ALL SELECT '__corrupt__', 2, NULL, NULL""".stripMargin))
+
   /** Incremental (new-crawl-vs-lake) exact dedup through
     * [[Dedup.incrementalExact]]. The testdata has no natural exact
     * duplicates, so the fixture constructs the re-crawl: the new batch is
@@ -3358,5 +3401,5 @@ object PipelineQueries {
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
-    qKnnLabel)
+    qKnnLabel, qCsvIngest)
 }

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** CSV lake landing — the third drop format beside parquet and JSONL
+  * (exports from warehouses and spreadsheet-adjacent producers). Same
+  * scale contract as [[JsonIngest]]:
+  *
+  *   - Schema-EXPLICIT, never inferred (inference is an extra sampled —
+  *     i.e. nondeterministic — pass over 100 TB).
+  *   - PERMISSIVE + `_corrupt_record`: a line whose field fails its
+  *     declared type lands in the corrupt column and is ACCOUNTED, not
+  *     dropped or fatal. CSV caveat worth pinning: a row with the wrong
+  *     TOKEN COUNT is not "corrupt" to Spark's parser (missing tokens
+  *     null-fill, extras drop) — only type-cast failures are; corrupt
+  *     injection in tests must therefore break a type, not the shape.
+  *
+  * Staging writes rows through `to_csv` (quoting/escaping applied) and
+  * appends raw corrupt lines, so the write → parse → account loop is
+  * exercised with the same reader options the lake read uses.
+  */
+object CsvIngest {
+
+  /** Stage `df` as CSV lines (headerless — the schema is the contract)
+    * under the JVM tmpdir, with `corruptLines` appended raw.
+    */
+  def stageCsv(df: DataFrame, name: String, corruptLines: Seq[String]): String = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_csv/$name"
+    df.select(to_csv(struct(df.columns.map(col).toSeq: _*)).as("value"))
+      .unionAll(corruptLines.toDF("value"))
+      .write.mode("overwrite").text(dir)
+    dir
+  }
+
+  /** Schema-explicit permissive CSV read; type-malformed lines surface as
+    * non-null `_corrupt_record`.
+    */
+  def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+}
