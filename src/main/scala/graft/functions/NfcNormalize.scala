@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen'd Catalyst expression.
+  *
+  * Why it must exist: every content-addressed operation in the pipeline —
+  * exact-dedup fingerprints, shingle hashes, decontamination probes — keys
+  * on BYTES of text. The same visible string arrives from crawls in both
+  * composed (é = U+00E9) and decomposed (e + U+0301) forms; without
+  * canonicalization those are different fingerprints and a duplicate
+  * document silently survives dedup. NFC at ingest, before any hashing, is
+  * the standard fix, and Spark has no built-in for it (DuckDB ships
+  * `nfc_normalize`, which is the oracle mirror).
+  *
+  * Implementation: `java.text.Normalizer` behind a fast `isNormalized`
+  * check — real-world corpora are overwhelmingly already NFC, and the
+  * check is a cheap scan that skips the allocating normalize pass, so the
+  * common case adds no garbage to the ingest scan. Codegen keeps the call
+  * inside whole-stage codegen (one virtual call per row, no
+  * interpreted-projection fallback on the 100 TB scan path).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize$$.MODULE$$.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nfc"
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

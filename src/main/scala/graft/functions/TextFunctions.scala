@@ -23,6 +23,15 @@ object TextFunctions {
   def hash64(c: Column, seed: Column): Column =
     hash64(concat(c, lit("#"), seed.cast("string")))
 
+  /** Unicode NFC canonicalization ([[NfcNormalize]]) — run BEFORE any
+    * hashing/fingerprinting so composed and decomposed forms of the same
+    * text agree byte-for-byte. DuckDB mirror: nfc_normalize(x).
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
+  }
+
   /** Whitespace tokens. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 

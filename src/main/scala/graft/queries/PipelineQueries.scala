@@ -1124,6 +1124,35 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Unicode NFC canonicalization ([[TextFunctions.nfc]], a codegen'd
+    * custom Expression — Spark has no built-in; DuckDB's nfc_normalize is
+    * the mirror). The fixture manufactures DECOMPOSED text from the corpus
+    * (every 'e' becomes e + combining-acute U+0301) in both engines, then
+    * normalizes: composed output must be shorter (combining pairs fuse to
+    * one codepoint) and its md5 — i.e. its exact bytes — must agree
+    * cross-engine. This is the canonicalization exact-dedup fingerprints
+    * depend on: without it, composed and decomposed forms of the same
+    * document hash apart and survive dedup.
+    */
+  val qNfcNormalize = Fixture(
+    "q_nfc_normalize",
+    (s, d) => {
+      val decomposed = regexp_replace(col("text"), "e", "é")
+      val normed = TextFunctions.nfc(decomposed)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(decomposed).cast("long").as("n_decomposed"),
+        length(normed).cast("long").as("n_nfc"),
+        md5(normed).as("fp"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+      |     regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
+      |   FROM documents)
+      | SELECT doc_id, length(dec)::BIGINT AS n_decomposed,
+      |   length(nfc_normalize(dec))::BIGINT AS n_nfc,
+      |   md5(nfc_normalize(dec)) AS fp
+      | FROM t""".stripMargin))
+
   /** kNN majority-vote auto-labeling — semi-supervised label propagation,
     * the weak-labeling pass that turns a small hand-labeled seed set into
     * corpus-scale training labels: every unlabeled vector takes its k=5
@@ -3401,5 +3430,5 @@ object PipelineQueries {
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
-    qKnnLabel, qCsvIngest)
+    qKnnLabel, qCsvIngest, qNfcNormalize)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** NFC expression: semantics, codegen/interpreted agreement, and the
+  * already-normalized fast path (identity, not just equality).
+  */
+class NfcNormalizeSpec extends SparkTestBase {
+
+  test("composed and decomposed forms normalize to identical bytes") {
+    import spark.implicits._
+    val df = Seq(
+      ("café", "café"), // composed vs decomposed é
+      ("åv", "åv"), // å decomposed vs composed
+      ("plain ascii", "plain ascii"))
+      .toDF("a", "b")
+      .select(TextFunctions.nfc(col("a")).as("na"), TextFunctions.nfc(col("b")).as("nb"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"NFC forms differ: ${r.getString(0)} vs ${r.getString(1)}")
+    }
+  }
+
+  test("codegen and interpreted paths agree on corpus-derived text") {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+      regexp_replace(col("text"), "e", "é").as("t"))
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try base.select(col("doc_id"), md5(TextFunctions.nfc(col("t"))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
+  }
+
+  test("already-NFC input returns the same UTF8String (no realloc)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromString("already normalized café")
+    assert(graft.functions.NfcNormalize.nfc(s) eq s)
+  }
+}
