@@ -1124,6 +1124,71 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Table profiling — the ingest-time data-quality snapshot every lake
+    * keeps per partition drop (row/null/distinct counts, value ranges):
+    * ONE aggregation pass over the fact table emits all metrics for all
+    * profiled columns, then a constant-width unpivot (4 selects over the
+    * single agg row) shapes one row per column. Exact distincts ride with
+    * an HLL estimate pinned to ±10 % (`hll_ok`) — at 100 TB the exact
+    * count(DISTINCT)s (whose multi-column form Expands the scan) drop out
+    * and the mergeable HLL sketches are the profile, as in
+    * q_approx_distinct. Numeric ranges quantize through q4; string ranges
+    * stay raw — cross-engine double FORMATTING is the one thing a
+    * profiler must never hash.
+    */
+  val qProfileColumns = Fixture(
+    "q_profile_columns",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val strs = Seq("l_returnflag")
+      val aggs = (nums ++ strs).flatMap { c =>
+        Seq(count(col(c)).as(s"n_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          approx_count_distinct(col(c), 0.05).as(s"ne_$c"))
+      } ++ nums.flatMap(c => Seq(
+        Quant.q4(min(col(c))).as(s"mn_$c"), Quant.q4(max(col(c))).as(s"mx_$c"))) ++
+        strs.flatMap(c => Seq(min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = nums.map { c =>
+        one.select(lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
+          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+          (abs(col(s"ne_$c") - col(s"nd_$c")) <= col(s"nd_$c") * 0.1).as("hll_ok"),
+          col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+      } ++ strs.map { c =>
+        one.select(lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
+          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+          (abs(col(s"ne_$c") - col(s"nd_$c")) <= col(s"nd_$c") * 0.1).as("hll_ok"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col(s"ms_$c").as("min_str"), col(s"xs_$c").as("max_str"))
+      }
+      rows.reduce(_ unionAll _)
+    },
+    Some(s"""WITH p AS (
+      |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_rows,
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+      |    count(DISTINCT l_quantity) AS n_distinct, TRUE AS hll_ok,
+      |    ${q4("min(l_quantity)")} AS min_num, ${q4("max(l_quantity)")} AS max_num,
+      |    NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(l_extendedprice),
+      |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |    count(DISTINCT l_extendedprice), TRUE,
+      |    ${q4("min(l_extendedprice)")}, ${q4("max(l_extendedprice)")}, NULL, NULL FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', count(l_discount),
+      |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |    count(DISTINCT l_discount), TRUE,
+      |    ${q4("min(l_discount)")}, ${q4("max(l_discount)")}, NULL, NULL FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(l_returnflag),
+      |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+      |    count(DISTINCT l_returnflag), TRUE,
+      |    NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem)
+      | SELECT * FROM p""".stripMargin))
+
   /** Unicode NFC canonicalization ([[TextFunctions.nfc]], a codegen'd
     * custom Expression — Spark has no built-in; DuckDB's nfc_normalize is
     * the mirror). The fixture manufactures DECOMPOSED text from the corpus
@@ -3430,5 +3495,5 @@ object PipelineQueries {
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
-    qKnnLabel, qCsvIngest, qNfcNormalize)
+    qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns)
 }
