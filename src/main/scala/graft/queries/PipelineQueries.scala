@@ -3185,6 +3185,47 @@ object PipelineQueries {
       |   max(abs(x)) AS peak
       | FROM v GROUP BY 1, 2""".stripMargin))
 
+  /** VAD-style audio segmentation on top of the decoded window features:
+    * windows whose peak clears the activity gate are merged into maximal
+    * CONSECUTIVE runs — the classic gaps-and-islands `win_id − row_number`
+    * grouping — and each segment reports its span, length and peak. This
+    * is the speech-curation step between loudness screening and
+    * transcription: ship segments, not raw hours. The per-doc window
+    * function is bounded by a single recording's window count (never
+    * corpus-scaled state), and the segment aggregation shuffles only
+    * gated windows. Gate = peak ≥ 32720 — an order statistic of the
+    * synthetic waveform that splits windows ≈ 50/50, so runs and gaps are
+    * both exercised; both engines compute it exactly (integer peak).
+    */
+  val qAudioSegments = Fixture(
+    "q_audio_segments",
+    (s, d) => {
+      val wins = Multimodal.audioWindows(s,
+        Multimodal.syntheticPcm(s, Tables.documents(s, d))).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("win_id")
+      wins.where(col("peak") >= 32720)
+        .withColumn("g", col("win_id") - row_number().over(w))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("win_id")).as("seg_start"), max(col("win_id")).as("seg_end"),
+          count(lit(1)).as("n_win"), max(col("peak")).as("seg_peak"))
+        .select("doc_id", "seg_start", "seg_end", "n_win", "seg_peak")
+    },
+    Some("""WITH d AS (SELECT doc_id, 2048 + (doc_id % 5) * 1024 AS n FROM documents),
+      | w AS (SELECT doc_id, unnest(generate_series(0, n // 1024 - 1)) AS win_id FROM d),
+      | sm AS (SELECT doc_id, win_id,
+      |          unnest(generate_series(win_id * 1024, win_id * 1024 + 1023)) AS k
+      |        FROM w),
+      | v AS (SELECT doc_id, win_id,
+      |         ((doc_id * 1000003 + k * 7919) % 65536) - 32768 AS x FROM sm),
+      | p AS (SELECT doc_id, win_id, max(abs(x)) AS peak FROM v GROUP BY 1, 2),
+      | a AS (SELECT doc_id, win_id, peak,
+      |         win_id - row_number() OVER (PARTITION BY doc_id ORDER BY win_id) AS g
+      |       FROM p WHERE peak >= 32720)
+      | SELECT doc_id, min(win_id) AS seg_start, max(win_id) AS seg_end,
+      |   count(*) AS n_win, max(peak) AS seg_peak
+      | FROM a GROUP BY doc_id, g""".stripMargin))
+
   /** Streaming CDC apply into the versioned snapshot lake
     * (streaming/StreamingUpsert + sources/SnapshotLake): two change batches
     * replayed through `foreachBatch`, each folded in with latest-wins merge
@@ -3495,5 +3536,5 @@ object PipelineQueries {
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
-    qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns)
+    qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments)
 }
