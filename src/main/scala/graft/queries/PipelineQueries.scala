@@ -1388,6 +1388,50 @@ object PipelineQueries {
       |   FROM st)
       | SELECT doc_id, pos::BIGINT AS pos, fp FROM sel""".stripMargin))
 
+  /** Span-overlap candidate pairs from the winnowing index — what MOSS
+    * actually reports: documents sharing ≥ 2 selected fingerprints, i.e.
+    * at least two independent ≥ 6-token runs in common (or one long one).
+    * The inverted fingerprint self-join is bounded the same way the
+    * n-gram Jaccard index is: fingerprints appearing in > 50 documents
+    * (boilerplate) are dropped BEFORE pairing — MOSS's own over-common
+    * exclusion — so no hot key can go quadratic; everything else is
+    * |postings|² within rare fingerprints only. At 100 TB the fps
+    * relation is the persisted winnow index (fp-bucketed), and this query
+    * never rescans text.
+    */
+  val qWinnowOverlap = Fixture(
+    "q_winnow_overlap",
+    (s, d) => {
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .where(size(col("w")) >= 6)
+        .select(col("doc_id"),
+          explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+        .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .where(col("nd") <= 50).select("fp")
+      val keep = fps.join(rare, Seq("fp"))
+      keep.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(keep.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | h AS (SELECT doc_id,
+      |     list_transform(generate_series(1, len(w) - 2),
+      |       i -> ${h64("array_to_string(w[i:i+2], ' ')")}) AS hs
+      |   FROM w0 WHERE len(w) >= 6),
+      | st AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 3)) AS j
+      |        FROM h),
+      | sel AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp FROM st),
+      | df AS (SELECT fp, count(*) AS nd FROM sel GROUP BY 1),
+      | keep AS (SELECT doc_id, s.fp FROM sel s JOIN df USING (fp) WHERE nd <= 50),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |       FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      | SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin))
+
   /** Hard-negative mining — the contrastive-retrieval training-data shape:
     * for each query vector, the top neighbor is the pseudo-positive and
     * ranks 3..6 are the hard negatives (rank 2 is skipped as the classic
@@ -3536,5 +3580,6 @@ object PipelineQueries {
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
-    qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments)
+    qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
+    qWinnowOverlap)
 }
