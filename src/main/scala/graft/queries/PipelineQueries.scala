@@ -1512,6 +1512,28 @@ object PipelineQueries {
     },
     qBm25.oracle)
 
+  /** Index lifecycle: build the posting index on HALF the corpus, append
+    * the other half incrementally ([[graft.similarity.Bm25.appendIndex]] —
+    * only the batch shuffles, stats fold additively, no lake rescan), then
+    * search. Result must equal the full-corpus scan-bound BM25 exactly
+    * (oracle reused verbatim): the search cannot tell whether the index
+    * was built in one shot or grown crawl-by-crawl.
+    */
+  val qBm25IndexAppend = Fixture(
+    "q_bm25_index_append",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val tbl = s"graft_bm25_app_$h"
+      val docs = Tables.documents(s, d)
+      graft.similarity.Bm25.writeIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tbl,
+        s"${sys.props("java.io.tmpdir")}/graft_bm25_app/$h", 8)
+      graft.similarity.Bm25.appendIndex(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", tbl)
+      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
+    },
+    qBm25.oracle)
+
   /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
     * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
     * per-partition bounded heap then a k-merge, never a global sort; the
@@ -3581,5 +3603,5 @@ object PipelineQueries {
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
-    qWinnowOverlap)
+    qWinnowOverlap, qBm25IndexAppend)
 }

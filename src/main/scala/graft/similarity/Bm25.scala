@@ -67,6 +67,40 @@ object Bm25 {
       postings, table, s"$path/postings", buckets, "term", Seq("term", "doc_id"))
   }
 
+  /** Incremental ingest into a [[writeIndex]]-persisted index: the day's
+    * batch tokenizes and aggregates ALONE (only the batch shuffles, never
+    * the lake) and appends its postings — the write adds files per bucket,
+    * bucket pruning intact, exactly the [[graft.similarity.Ann.ivfAppendIndex]]
+    * contract. The stats row is additive (n and Σdl are sums), so the
+    * corpus-level BM25 inputs update by folding the batch's one-row
+    * aggregate into the stored one — no corpus rescan. Batch doc_ids must
+    * be new (a re-crawled doc needs delete+insert, the lake's upsert
+    * problem, not the index's).
+    */
+  def appendIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.words(lower(col(textCol))).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val merged = spark.table(s"${table}_stats")
+      .unionAll(base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")))
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .collect().head
+    base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .write.mode("append").insertInto(table)
+    // stats LAST and via a literal row: the one-row table cannot be read
+    // and overwritten in the same plan (self-overwrite reads zero rows)
+    import spark.implicits._
+    Seq((merged.getAs[Long]("n"), merged.getAs[Long]("sdl")))
+      .toDF("n", "sdl")
+      .write.mode("overwrite").insertInto(s"${table}_stats")
+  }
+
   /** BM25 top-k over the persisted index for a literal term list.
     *
     * Score formation mirrors the scan-bound form exactly — per-term parts
