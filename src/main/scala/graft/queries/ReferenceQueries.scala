@@ -1266,6 +1266,41 @@ object ReferenceQueries {
     * the emitted set is exactly the windows with end ≤ max event time —
     * the qStreamTumbling oracle filter.
     */
+  /** Streaming per-group TOP-K (k=3) — [[graft.functions.TopKAgg]]'s
+    * bounded heap running INSIDE the streaming state store: the
+    * TypedImperativeAggregate's O(k) buffer is what each (window, group)
+    * persists and partial-merges across micro-batches, versus the
+    * collect_list-then-filter shape (state = every row in the window) the
+    * hot-items fixture uses for its max. This is the generalization of
+    * A11 (post-window top-1) to arbitrary k with bounded state — the form
+    * that survives a 100 TB window. Scores quantize BEFORE aggregation so
+    * heap ordering is the oracle's (q4 value DESC, user_id ASC) in both
+    * engines; emission contract as q_stream_tumbling_agg.
+    */
+  val qStreamTopK = Fixture(
+    "q_stream_topk_per_group",
+    (s, d) => replayEvents(s, d, "stream_topk") { stream =>
+      stream.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "3600 seconds"), col("event_type"))
+        .agg(graft.functions.TopKAgg.topK(
+          Quant.q4(col("value")), col("user_id"), 3).as("tk"))
+        .select(col("window.start").cast("long").as("ws"), col("event_type"),
+          posexplode(col("tk")))
+        .select(col("ws"), col("event_type"), col("col.id").as("user_id"),
+          col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+    },
+    Some(s"""WITH e AS (SELECT ${es("ts")} AS es, epoch_us(ts::TIMESTAMP) AS eu,
+      |        event_type, value, user_id FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | r AS (SELECT (es // 3600) * 3600 AS ws, event_type, user_id,
+      |         ${Quant.sql("value")} AS score,
+      |         row_number() OVER (
+      |           PARTITION BY (es // 3600) * 3600, event_type
+      |           ORDER BY ${Quant.sql("value")} DESC, user_id) AS rank
+      |       FROM e)
+      | SELECT ws, event_type, user_id, score, rank FROM r
+      | WHERE rank <= 3 AND (ws + 3600) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
   val qStreamHotItems = Fixture(
     "q_stream_hot_items",
     (s, d) => {
@@ -1393,5 +1428,6 @@ object ReferenceQueries {
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
     qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamJoinThetaRow,
-    qStreamHotItems, qStreamAsOf, qStreamWeightedAvg, qStreamHaving)
+    qStreamHotItems, qStreamAsOf, qStreamWeightedAvg, qStreamHaving,
+    qStreamTopK)
 }
