@@ -1124,6 +1124,70 @@ object PipelineQueries {
       | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
       | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Deterministic training-order shuffle — the reproducible global
+    * permutation every trainer needs (same data order across reruns,
+    * engines, and cluster sizes): each example's rank is a SEEDED hash of
+    * its id, its shard is a fixed-width RANGE of that hash (uniform
+    * hashes → balanced shards with no sampling pass and no global sort),
+    * and its position is the rank order within the shard. Changing the
+    * seed string is a fresh epoch permutation. Plan: one scan-side
+    * projection + a per-shard sort — the only distributed-sort shape that
+    * reproduces bit-identically at any parallelism, because both shard
+    * boundary and in-shard order are pure functions of the id.
+    */
+  val qTrainShuffle = Fixture(
+    "q_train_shuffle",
+    (s, d) => {
+      val rank = TextFunctions.hash64(
+        concat(lit("shuf42#"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("rank", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), rank.as("rank"))
+        .withColumn("shard", (col("rank") / lit(144115188075855872L)).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    },
+    Some(s"""WITH r AS (SELECT doc_id,
+      |     ${h64("'shuf42#' || doc_id")} AS rank FROM documents),
+      | sh AS (SELECT doc_id, rank, rank // 144115188075855872 AS shard FROM r)
+      | SELECT doc_id, shard,
+      |   row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS pos
+      | FROM sh""".stripMargin))
+
+  /** Per-source top-fraction quality gate — "keep the best 30 % of every
+    * source" (the per-source form every mixture recipe uses so a
+    * high-volume low-quality source can't flood the cut): exact
+    * percent_rank within source over the (quantized) quality score,
+    * doc_id tiebreak so ranks are total. The per-source window sort is
+    * distributed by the source key; at 100 TB (or under source skew) the
+    * same gate becomes a per-source approx_percentile threshold broadcast
+    * back — one pass, no window — as q_length_percentiles documents.
+    */
+  val qSelectTopFrac = Fixture(
+    "q_select_top_frac",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Quant.q4(TextFunctions.qualityScore(col("text"))).as("quality"))
+        .withColumn("pr", Quant.q4(percent_rank().over(w)))
+        .where(col("pr") <= 0.3)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+      |     len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
+      |     len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
+      |     len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
+      |   FROM documents),
+      | sc AS (SELECT doc_id, source,
+      |     ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
+      |   FROM t),
+      | r AS (SELECT doc_id, source, quality,
+      |     ${q4("percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)")} AS pr
+      |   FROM sc)
+      | SELECT doc_id, source, quality, pr FROM r WHERE pr <= 0.3""".stripMargin))
+
   /** Table profiling — the ingest-time data-quality snapshot every lake
     * keeps per partition drop (row/null/distinct counts, value ranges):
     * ONE aggregation pass over the fact table emits all metrics for all
@@ -3603,5 +3667,5 @@ object PipelineQueries {
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
-    qWinnowOverlap, qBm25IndexAppend)
+    qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac)
 }
