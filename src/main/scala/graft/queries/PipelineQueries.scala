@@ -3356,6 +3356,51 @@ object PipelineQueries {
       |   count(*) AS n_win, max(peak) AS seg_peak
       | FROM a GROUP BY doc_id, g""".stripMargin))
 
+  /** Snapshot time-travel diff ([[graft.sources.SnapshotLake.readVersion]]
+    * + [[graft.sources.SnapshotLake.diff]]): commit v0 = the corpus, v1 =
+    * an edited corpus (every 10th doc's n_chars bumped, every
+    * (id % 7 = 3) doc added under a new id, every (id % 13 = 5) doc
+    * dropped), then read BOTH pinned versions back and diff — the audit a
+    * training run does between "the corpus my model saw" and today's.
+    * Unchanged rows drop before moving; output is change-sized. The
+    * oracle reconstructs the same edit arithmetic from the base table.
+    */
+  val qSnapshotDiff = Fixture(
+    "q_snapshot_diff",
+    (s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sdiff_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      graft.sources.SnapshotLake.commit(docs, root, 0L)
+      val v1 = docs.where(col("doc_id") % 13 =!= 5)
+        .withColumn("n_chars",
+          when(col("doc_id") % 10 === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")))
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")))
+      graft.sources.SnapshotLake.commit(v1, root, 1L)
+      graft.sources.SnapshotLake.diff(
+        graft.sources.SnapshotLake.readVersion(s, root, 0L),
+        graft.sources.SnapshotLake.readVersion(s, root, 1L),
+        "doc_id", "n_chars")
+    },
+    Some("""WITH base AS (SELECT doc_id, n_chars FROM documents),
+      | v1 AS (SELECT doc_id,
+      |     CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |   FROM base WHERE doc_id % 13 <> 5
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, n_chars FROM base WHERE doc_id % 7 = 3),
+      | j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         o.n_chars AS old_v, n.n_chars AS new_v
+      |       FROM base o FULL OUTER JOIN v1 n ON o.doc_id = n.doc_id)
+      | SELECT doc_id,
+      |   CASE WHEN old_v IS NULL THEN 'added'
+      |        WHEN new_v IS NULL THEN 'removed'
+      |        WHEN old_v <> new_v THEN 'changed' END AS change,
+      |   old_v, new_v
+      | FROM j
+      | WHERE old_v IS NULL OR new_v IS NULL OR old_v <> new_v""".stripMargin))
+
   /** Streaming CDC apply into the versioned snapshot lake
     * (streaming/StreamingUpsert + sources/SnapshotLake): two change batches
     * replayed through `foreachBatch`, each folded in with latest-wins merge
@@ -3667,5 +3712,6 @@ object PipelineQueries {
     qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
-    qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac)
+    qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
+    qSnapshotDiff)
 }

@@ -57,4 +57,40 @@ object SnapshotLake {
     Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** TIME TRAVEL: read a pinned (committed, immutable) version — what a
+    * training run records so the exact dataset is re-readable after later
+    * commits. Refuses uncommitted versions: an orphan directory from a
+    * dead writer must not be readable as data.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    require(isCommitted(root, v),
+      s"version $v is not committed at $root (current: ${currentVersion(root)})")
+    spark.read.parquet(versionPath(root, v))
+  }
+
+  /** Snapshot DIFF — the audit between two pinned dataset versions
+    * ("what changed between the corpus my model trained on and today's"):
+    * full-outer join on the key, rows classified added / removed /
+    * changed; unchanged rows are dropped BEFORE they move anywhere, so
+    * the output is change-sized, not corpus-sized. With both versions
+    * written through the same bucketed layout the join is zero-exchange;
+    * here it is one key-shuffle each.
+    *
+    * @param cmpCol the value column whose difference means "changed"
+    *               (a multi-column diff passes a hash/struct of them).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      cmpCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select(col(keyCol).as("k"), col(cmpCol).as("old_v"))
+    val n = newDf.select(col(keyCol).as("k"), col(cmpCol).as("new_v"))
+    o.join(n, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("old_v").isNull, lit("added"))
+          .when(col("new_v").isNull, lit("removed"))
+          .when(col("old_v") =!= col("new_v"), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(col("k").as(keyCol), col("change"), col("old_v"), col("new_v"))
+  }
 }
