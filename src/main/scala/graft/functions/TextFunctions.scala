@@ -81,29 +81,45 @@ object TextFunctions {
     * MinHash/SimHash family can't give: selected (pos, fp) pairs localize
     * WHERE two documents overlap, not just that they do.
     *
+    * Two stages on purpose — [[kgramHashes]] MUST be staged as its own
+    * projected column (`withColumn`) before [[winnowFromHashes]] consumes
+    * it. A single fused expression re-evaluates the O(n)·md5 hash
+    * transform for EVERY window (HOF lambdas get no common-subexpression
+    * elimination), turning a linear scan into O(n²) hashing — measured
+    * 110 s at sf0.1 for the fused form vs seconds staged. Same hazard
+    * class as q_embed_quantize's norm staging; CollapseProject keeps the
+    * multi-referenced non-cheap alias staged.
+    *
     * Tie-break: the leftmost minimum in each window (`array_position` finds
     * the first occurrence) — a fixed deterministic choice shared with the
-    * oracle. Entirely scan-side HOFs over the token array: at 100 TB,
-    * fingerprinting is one corpus scan emitting O(n/wnd) rows per doc into
-    * an fp-keyed index (the same posting layout [[graft.similarity.Bm25]]
-    * uses), and overlap detection is an equi-join on fp.
-    *
-    * @param w non-empty token array; caller must ensure
-    *          size(w) ≥ k + wnd − 1 (shorter docs have no full window).
-    * @return array of (pos, fp): 1-based k-gram start positions and their
-    *         [[hash64]] fingerprints, one per window, duplicates included
-    *         (callers dedup per doc — consecutive windows usually reselect
-    *         the same minimum; that collapse is winnowing's compression).
+    * oracle. Entirely scan-side: at 100 TB, fingerprinting is one corpus
+    * scan emitting O(n/wnd) rows per doc into an fp-keyed index (the same
+    * posting layout [[graft.similarity.Bm25]] uses), and overlap detection
+    * is an equi-join on fp.
     */
-  def winnow(w: Column, k: Int, wnd: Int): Column = {
-    val hs = transform(sequence(lit(1), size(w) - (k - 1)),
+  /** Positional k-gram [[hash64]] sequence of token array `w` (1-based
+    * starts). Requires size(w) ≥ k for a non-degenerate result — filter
+    * first: Spark's sequence(1, x) with x ≤ 0 DESCENDS instead of
+    * emitting empty.
+    */
+  def kgramHashes(w: Column, k: Int): Column =
+    transform(sequence(lit(1), size(w) - (k - 1)),
       i => hash64(concat_ws(" ", slice(w, i, lit(k)))))
+
+  /** Winnow selection over a PRE-STAGED hash array (see above). Caller
+    * ensures size(hs) ≥ wnd. Duplicates included — consecutive windows
+    * usually reselect the same minimum; dedup per doc is the caller's
+    * (that collapse is winnowing's compression).
+    *
+    * @return array of (pos, fp): 1-based k-gram start positions and their
+    *         fingerprints, one entry per window.
+    */
+  def winnowFromHashes(hs: Column, wnd: Int): Column =
     transform(sequence(lit(1), size(hs) - (wnd - 1)), j => {
       val win = slice(hs, j, lit(wnd))
       val mn = array_min(win)
       struct((j - 1 + array_position(win, mn)).as("pos"), mn.as("fp"))
     })
-  }
 
   /** Distinct n-word shingles (n-grams) of the text — the MinHash/Jaccard
     * feature set. Empty array below n words.

@@ -1435,8 +1435,9 @@ object PipelineQueries {
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
       .where(size(col("w")) >= 6)
+      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
       .select(col("doc_id"),
-        explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+        explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
       .distinct(),
     Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -1469,8 +1470,9 @@ object PipelineQueries {
       val fps = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
         .where(size(col("w")) >= 6)
+        .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
         .select(col("doc_id"),
-          explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+          explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
         .select(col("doc_id"), col("f.fp").as("fp")).distinct()
       val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
         .where(col("nd") <= 50).select("fp")
@@ -2964,6 +2966,55 @@ object PipelineQueries {
       | FROM events GROUP BY 1
       | UNION ALL SELECT '__corrupt__', 2, NULL, NULL""".stripMargin))
 
+  /** STREAMING landing-zone ingest — the autoloader shape: the same
+    * staged JSONL directory q_jsonl_ingest reads in batch is consumed as
+    * a FILE-SOURCE STREAM (schema-explicit, PERMISSIVE, corrupt column),
+    * one file per trigger so the accounting aggregation demonstrably
+    * folds across micro-batches; complete-mode snapshot compared against
+    * the BATCH oracle verbatim. At 100 TB this is the continuous-ingest
+    * front door: new files land, each trigger parses only its files, and
+    * the running corrupt/count accounting is the producer-health monitor.
+    */
+  val qStreamJsonlIngest = Fixture(
+    "q_stream_jsonl_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value")
+      val dir = graft.sources.JsonIngest.stageJsonl(ev,
+        "events_stream_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+        Seq("{\"event_id\": 1, broken", "not json at all"))
+      val schema = new StructType()
+        .add("event_id", LongType).add("event_type", StringType)
+        .add("user_id", LongType).add("value", DoubleType)
+      val stream = s.readStream
+        .schema(schema.add("_corrupt_record", StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", "1")
+        .json(dir)
+      val out = stream
+        .groupBy(coalesce(
+          when(col("_corrupt_record").isNotNull, lit("__corrupt__")),
+          col("event_type")).as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("_corrupt_record").isNull,
+            floor(col("value") * lit(1e4) + lit(0.5)))).cast("long").as("sum_v4"))
+      val sink = s"stream_jsonl_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4
+      | FROM events GROUP BY 1
+      | UNION ALL SELECT '__corrupt__', 2, NULL""".stripMargin))
+
   /** Incremental (new-crawl-vs-lake) exact dedup through
     * [[Dedup.incrementalExact]]. The testdata has no natural exact
     * duplicates, so the fixture constructs the re-crawl: the new batch is
@@ -3713,5 +3764,5 @@ object PipelineQueries {
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
-    qSnapshotDiff)
+    qSnapshotDiff, qStreamJsonlIngest)
 }

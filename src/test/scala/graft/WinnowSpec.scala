@@ -14,7 +14,8 @@ class WinnowSpec extends SparkTestBase {
     texts.toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
       .where(size(col("w")) >= 6)
-      .select(col("doc_id"), explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
+      .select(col("doc_id"), explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
       .select(col("doc_id"), col("f.fp")).distinct()
       .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
   }
@@ -35,7 +36,8 @@ class WinnowSpec extends SparkTestBase {
       .where(size(col("w")) >= 6)
     val nGrams = docs.select(sum(size(col("w")) - 2)).collect().head.getLong(0)
     val nSel = docs
-      .select(col("doc_id"), explode(TextFunctions.winnow(col("w"), 3, 4)).as("f"))
+      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
+      .select(col("doc_id"), explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
       .select(col("doc_id"), col("f.pos"), col("f.fp")).distinct().count()
     assert(nSel < nGrams / 2,
       s"winnowing should keep well under half the k-grams ($nSel of $nGrams)")
