@@ -1720,12 +1720,23 @@ object PipelineQueries {
         .as[(Long, String)].collect().sortBy(_._1)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val litSet = lit(evalSet)
+      // membership probe = ONE codegen'd sorted-merge per row
+      // (SortedIntersectSize against the sorted eval literal), not a
+      // per-shingle linear array_contains over the |eval| literal — the
+      // latter is O(|sh|·|eval|) interpreted work per document and
+      // measured 24.6 s at sf0.1 for this replay; the merge form is
+      // O(|sh| + |eval|) native. The hash array stages via withColumn so
+      // the shingle transform runs once per row (winnow's staging rule).
+      import org.apache.spark.sql.GraftColumnBridge
+      val litSet = lit(evalSet) // ascending — the merge contract
       val out = ms.toDF().toDF("doc_id", "text")
         .withColumn("sh", TextFunctions.shingles(col("text"), 3))
         .where(size(col("sh")) > 0)
-        .withColumn("n_overlap",
-          size(filter(col("sh"), x => array_contains(litSet, xxhash64(x)))).cast("long"))
+        .withColumn("shh", sort_array(transform(col("sh"), x => xxhash64(x))))
+        .withColumn("n_overlap", GraftColumnBridge.column(
+          graft.functions.SortedIntersectSize(
+            GraftColumnBridge.expression(col("shh")),
+            GraftColumnBridge.expression(litSet), 0.0)).cast("long"))
         .where(col("n_overlap") > 0)
         .select(col("doc_id"), col("n_overlap"),
           Quant.q4(col("n_overlap") / size(col("sh"))).as("frac"))
