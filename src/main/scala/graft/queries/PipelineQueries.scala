@@ -1453,6 +1453,62 @@ object PipelineQueries {
       |   FROM st)
       | SELECT doc_id, pos::BIGINT AS pos, fp FROM sel""".stripMargin))
 
+  /** Content-defined chunking — the storage-dedup primitive (rsync/LBFS
+    * lineage): a chunk boundary falls after token p wherever the rolling
+    * fingerprint of the trailing 3-gram hits 0 mod 64, so boundaries are
+    * a pure function of LOCAL content. Insert one sentence into a
+    * document and only the chunk containing it changes fingerprint —
+    * fixed-width chunking would shift every later chunk, defeating
+    * incremental dedup/storage of re-crawled pages. Expected chunk
+    * length = the modulus (64 tokens). Entirely scan-side HOFs over the
+    * staged token array (each position hashed ONCE — the winnow staging
+    * rule); emitted chunk rows land in an fp-keyed table where exact
+    * dedup is a groupBy, as `q_dedup_exact` does for whole docs.
+    */
+  val qCdcChunks = Fixture(
+    "q_cdc_chunks",
+    (s, d) => {
+      val n = size(col("w"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .where(size(col("w")) >= 1)
+        .withColumn("bpos",
+          when(n >= 4, filter(sequence(lit(3), n - 1), p =>
+            pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
+              lit(64L)) === 0))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+        .withColumn("ends", concat(col("bpos"), array(n)))
+        .select(col("doc_id"), col("w"), col("starts"), col("ends"),
+          explode(sequence(lit(1), size(col("starts")))).as("ci"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          element_at(col("starts"), col("ci")).cast("long").as("start_tok"),
+          (element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)
+            .cast("long").as("n_tok"),
+          TextFunctions.hash64(concat_ws(" ",
+            slice(col("w"), element_at(col("starts"), col("ci")),
+              element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)))
+            .as("fp"))
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | wn AS (SELECT doc_id, w, len(w) AS n FROM w0 WHERE len(w) >= 1),
+      | b AS (SELECT doc_id, w, n,
+      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
+      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
+      |     ELSE [] END AS bpos
+      |   FROM wn),
+      | c AS (SELECT doc_id, w, n,
+      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+      |     list_append(bpos, n) AS ends
+      |   FROM b),
+      | e AS (SELECT doc_id, w, starts, ends,
+      |     unnest(generate_series(1, len(starts))) AS ci FROM c)
+      | SELECT doc_id, ci::BIGINT AS chunk_idx, starts[ci]::BIGINT AS start_tok,
+      |   (ends[ci] - starts[ci] + 1)::BIGINT AS n_tok,
+      |   ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp
+      | FROM e""".stripMargin))
+
   /** Span-overlap candidate pairs from the winnowing index — what MOSS
     * actually reports: documents sharing ≥ 2 selected fingerprints, i.e.
     * at least two independent ≥ 6-token runs in common (or one long one).
@@ -3775,5 +3831,5 @@ object PipelineQueries {
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
-    qSnapshotDiff, qStreamJsonlIngest)
+    qSnapshotDiff, qStreamJsonlIngest, qCdcChunks)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Content-defined chunking's defining property: an edit changes only the
+  * chunks around it — the fingerprints of chunks before AND after the
+  * edited region survive, because boundaries are functions of local
+  * content (fixed-width chunking shifts everything after the edit).
+  */
+class CdcChunkSpec extends SparkTestBase {
+
+  private def chunks(texts: Seq[(Long, String)]): Map[Long, Seq[Long]] = {
+    import spark.implicits._
+    val base = texts.toDF("doc_id", "text")
+    // same chunking expressions as q_cdc_chunks, over a local frame
+    val n = size(col("w"))
+    val out: DataFrame = base
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 1)
+      .withColumn("bpos",
+        when(n >= 4, filter(sequence(lit(3), n - 1), p =>
+          pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
+            lit(64L)) === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+      .withColumn("ends", concat(col("bpos"), array(n)))
+      .select(col("doc_id"), col("w"), col("starts"), col("ends"),
+        explode(sequence(lit(1), size(col("starts")))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        TextFunctions.hash64(concat_ws(" ",
+          slice(col("w"), element_at(col("starts"), col("ci")),
+            element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)))
+          .as("fp"))
+    out.collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+  }
+
+  test("an insertion invalidates only local chunks; shared tail chunks survive") {
+    // long pseudo-random-ish text so several boundaries exist
+    val words = (0 until 600).map(i => s"tok${(i * 2654435761L) % 997}")
+    val orig = words.mkString(" ")
+    val edited = (words.take(300) ++ Seq("INSERTED") ++ words.drop(300)).mkString(" ")
+    val m = chunks(Seq(1L -> orig, 2L -> edited))
+    val (a, b) = (m(1L), m(2L))
+    assert(a.size > 3, s"need several chunks to test locality, got ${a.size}")
+    val shared = a.toSet & b.toSet
+    // all chunks fully before or fully after the edit keep their fp; only
+    // the edited chunk (and at most its boundary neighbors) may differ
+    assert(shared.size >= a.size - 2,
+      s"edit must be local: ${a.size} orig chunks, only ${shared.size} shared")
+    assert(a != b, "the edited chunk itself must change")
+  }
+}
