@@ -36,4 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 150 codegen'd query plans overflow the JVM's default 240 MB JIT code
+  // cache mid-bench: once full, the sweeper evicts hot compiled methods
+  // (or compilation stops) and later queries run partially interpreted —
+  // observed as a broad ~15 % inflation of the common-query subset, and
+  // 2-3x on the largest plans, exactly as the query count grew. The
+  // generated-CLASS cache was already raised (codegen.cache.maxEntries);
+  // this raises the native cache those classes JIT into.
+  "-XX:ReservedCodeCacheSize=1g",
 )
