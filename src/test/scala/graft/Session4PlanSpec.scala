@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Quant
+
+/** Physical-plan pins for the fourth round-11 session's operators — the
+  * properties that make each plan survive a 100× scale-up:
+  *
+  *   - classifier inference is ONE scan-side projection (zero exchanges);
+  *   - the training shuffle plans exactly one exchange (the per-shard
+  *     window) — shard assignment itself is scan-side arithmetic;
+  *   - winnow fingerprinting stages the k-gram hash array as a projected
+  *     column, so the plan carries no nested re-evaluation (zero
+  *     exchanges until the caller's distinct);
+  *   - kNN labeling broadcasts the query batch onto the labeled corpus —
+  *     never a non-broadcast nested loop over corpus×corpus.
+  */
+class Session4PlanSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def countOf(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("quality classifier: zero exchanges — pure scan-side inference") {
+    val w = filter(TextFunctions.words(lower(col("text"))), x => x =!= "")
+    val p = plan(docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), Quant.q4(TextFunctions.classifierProb(col("w"))).as("prob")))
+    assert(countOf(p, "Exchange") == 0, s"classifier must not shuffle:\n$p")
+  }
+
+  test("train shuffle: exactly one exchange (the per-shard window sort)") {
+    val rank = TextFunctions.hash64(concat(lit("shuf42#"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("rank", "doc_id")
+    val p = plan(docs.select(col("doc_id"), rank.as("rank"))
+      .withColumn("shard", (col("rank") / lit(144115188075855872L)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos"))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"shard assignment is scan-side; only the window shuffles:\n$p")
+  }
+
+  test("winnow fingerprints: no exchange below the distinct") {
+    val p = plan(docs
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 6)
+      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp")))
+    assert(countOf(p, "Exchange") == 0,
+      s"fingerprinting is one scan, no shuffle:\n$p")
+  }
+
+  test("kNN labeling: candidate join builds on the broadcast query batch") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labeled = emb.where(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val q = emb.where(col("vec_id") % 3 =!= 0 && col("vec_id") < 60)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val p = plan(labeled.join(broadcast(q), lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(graft.functions.VectorFunctions.cosineFused(col("qv"), col("nv"))).as("cos")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never a non-broadcast corpus product:\n$p")
+  }
+}
