@@ -1509,6 +1509,84 @@ object PipelineQueries {
       |   ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp
       | FROM e""".stripMargin))
 
+  /** The storage payoff of content-defined chunking: a re-crawl arrives
+    * with every 5th document EDITED (one token appended — the re-crawl
+    * reality: pages change a little). Chunk both sides; for each edited
+    * copy report how many of its chunks already exist in the original
+    * corpus's chunk store. Because boundaries are content-defined, only
+    * the final chunk changes — reuse is (n_chunks − 1)/n_chunks instead
+    * of the ~0 a fixed-width chunker would get from the length shift.
+    * Plan: chunk relations on both sides (scan-side HOFs), one fp-keyed
+    * LEFT SEMI probe of the corpus chunk store, per-doc counts.
+    */
+  val qCdcChunkDedup = Fixture(
+    "q_cdc_chunk_dedup",
+    (s, d) => {
+      def chunksOf(df: DataFrame): DataFrame = {
+        val n = size(col("w"))
+        df.select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+          .where(size(col("w")) >= 1)
+          .withColumn("bpos",
+            when(n >= 4, filter(sequence(lit(3), n - 1), p =>
+              pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
+                lit(64L)) === 0))
+              .otherwise(array().cast("array<int>")))
+          .withColumn("starts",
+            concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+          .withColumn("ends", concat(col("bpos"), array(n)))
+          .select(col("doc_id"), col("w"), col("starts"), col("ends"),
+            explode(sequence(lit(1), size(col("starts")))).as("ci"))
+          .select(col("doc_id"),
+            TextFunctions.hash64(concat_ws(" ",
+              slice(col("w"), element_at(col("starts"), col("ci")),
+                element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)))
+              .as("fp"))
+      }
+      val docs = Tables.documents(s, d)
+      val corpusChunks = chunksOf(docs).select("fp").distinct()
+      val edited = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzedit")).as("text"))
+      val editedChunks = chunksOf(edited)
+      val reused = editedChunks.join(corpusChunks, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_reused"))
+      editedChunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(reused, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_reused"), lit(0L)).as("n_reused"))
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | wn AS (SELECT doc_id, w, len(w) AS n FROM w0 WHERE len(w) >= 1),
+      | b AS (SELECT doc_id, w, n,
+      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
+      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
+      |     ELSE [] END AS bpos FROM wn),
+      | c AS (SELECT doc_id, w, n,
+      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+      |     list_append(bpos, n) AS ends FROM b),
+      | e AS (SELECT doc_id, w, starts, ends,
+      |     unnest(generate_series(1, len(starts))) AS ci FROM c),
+      | corpus_fp AS (SELECT DISTINCT
+      |     ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp FROM e),
+      | ew0 AS (SELECT doc_id + 100000 AS doc_id,
+      |     string_split_regex(trim(text || ' zzedit'), '\\s+') AS w
+      |   FROM documents WHERE doc_id % 5 = 0),
+      | ewn AS (SELECT doc_id, w, len(w) AS n FROM ew0 WHERE len(w) >= 1),
+      | eb AS (SELECT doc_id, w, n,
+      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
+      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
+      |     ELSE [] END AS bpos FROM ewn),
+      | ec AS (SELECT doc_id, w, n,
+      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+      |     list_append(bpos, n) AS ends FROM eb),
+      | ee AS (SELECT doc_id, w, starts, ends,
+      |     unnest(generate_series(1, len(starts))) AS ci FROM ec),
+      | ech AS (SELECT doc_id,
+      |     ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp FROM ee)
+      | SELECT doc_id, count(*) AS n_chunks,
+      |   sum(CASE WHEN fp IN (SELECT fp FROM corpus_fp) THEN 1 ELSE 0 END)::BIGINT AS n_reused
+      | FROM ech GROUP BY doc_id""".stripMargin))
+
   /** Span-overlap candidate pairs from the winnowing index — what MOSS
     * actually reports: documents sharing ≥ 2 selected fingerprints, i.e.
     * at least two independent ≥ 6-token runs in common (or one long one).
@@ -3831,5 +3909,5 @@ object PipelineQueries {
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
-    qSnapshotDiff, qStreamJsonlIngest, qCdcChunks)
+    qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }
