@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Edge cases for the fourth-session operators: degenerate sizes, absent
+  * terms, and null flow — the inputs a 100 TB corpus always contains.
+  */
+class Session4EdgeSpec extends SparkTestBase {
+
+  test("BM25 probe: a term absent from the whole corpus contributes nothing") {
+    val tbl = s"bm25_edge_${System.nanoTime}"
+    graft.similarity.Bm25.writeIndex(Tables.documents(spark, sfDir),
+      "doc_id", "text", tbl,
+      s"${sys.props("java.io.tmpdir")}/graft_bm25_edge/$tbl", 4)
+    val withBogus = graft.similarity.Bm25
+      .searchTopK(spark, tbl, Seq("table", "zzznotaword"), 10)
+    val without = graft.similarity.Bm25.searchTopK(spark, tbl, Seq("table"), 10)
+    assert(withBogus.where(col("score").isNull).count() == 0,
+      "df=0 must not null the scores (coalesce guard)")
+    assertSameRows(withBogus, without)
+  }
+
+  test("winnow at the minimum viable size: one window, one fingerprint") {
+    import spark.implicits._
+    val m = Seq(1L -> "a b c d e f") // 6 tokens -> 4 k-gram hashes -> 1 window
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 6)
+      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
+      .select(explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
+      .collect()
+    assert(m.length == 1, s"exactly one window expected, got ${m.length}")
+  }
+
+  test("classifier on token-free text: probability is sigmoid(bias)") {
+    import spark.implicits._
+    val p = Seq("", "   ").toDF("text")
+      .select(graft.operators.Quant.q4(TextFunctions.classifierProb(
+        filter(TextFunctions.words(lower(col("text"))), x => x =!= ""))).as("p"))
+      .collect().map(_.getDouble(0)).toSet
+    val expected = math.floor(1.0 / (1.0 + math.exp(-0.1)) * 1e4 + 0.5) / 1e4
+    assert(p == Set(expected), s"expected sigmoid(0.1)=$expected, got $p")
+  }
+
+  test("NFC of null is null; of empty is empty") {
+    import spark.implicits._
+    val r = Seq[(java.lang.Long, String)]((1L, null), (2L, ""))
+      .toDF("id", "t").select(TextFunctions.nfc(col("t"))).collect()
+    assert(r(0).isNullAt(0) && r(1).getString(0) == "")
+  }
+
+  test("CDC chunking of a short doc (< 4 tokens): one whole-doc chunk") {
+    import spark.implicits._
+    val n = size(col("w"))
+    val rows = Seq(1L -> "one two three").toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .withColumn("bpos",
+        when(n >= 4, filter(sequence(lit(3), n - 1), p =>
+          pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
+            lit(64L)) === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+      .withColumn("ends", concat(col("bpos"), array(n)))
+      .select(explode(sequence(lit(1), size(col("starts")))).as("ci"),
+        element_at(col("starts"), col("ci")).as("st"),
+        element_at(col("ends"), col("ci")).as("en"))
+      .collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == 1 && rows(0).getInt(2) == 3,
+      s"one chunk [1,3] expected: ${rows.mkString(",")}")
+  }
+}
