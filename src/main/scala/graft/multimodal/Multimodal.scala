@@ -403,6 +403,65 @@ object Multimodal {
       .select("doc_a", "doc_b", "ham").distinct()
   }
 
+  /** Persist the perceptual-hash band index AT REST — the image analog of
+    * the MinHash band index and the IVF vector index (the index-at-rest
+    * triad becomes a quartet): each image's 64-bit aHash is split into
+    * maxHam+1 chunks (the [[nearDupPairs]] pigeonhole banding — a pair
+    * within Hamming maxHam must agree on at least one chunk) and each
+    * (chunk, key) lands as one row keyed by the single long
+    * `bk = chunk << chunkBits | key`, BUCKETED BY bk with the full hash
+    * denormalized in. The banding shuffle is paid once at ingest; the
+    * day's crawl probes with its own band rows joined on bk (index side
+    * co-located), verifying exact Hamming against the stored hash — the
+    * corpus is never re-decoded or re-hashed.
+    */
+  def ahashWriteIndex(features: DataFrame, id: String, hashCol: String,
+      maxHam: Int, table: String, path: String, buckets: Int): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      bandRows(features, id, hashCol, maxHam)
+        .select(col("bk"), col(id), col("__h").as("ahash")),
+      table, path, buckets, "bk", Seq("bk", id))
+  }
+
+  /** Probe a [[ahashWriteIndex]]-persisted index with a new batch: band the
+    * batch the same way, join on bk, verify exact Hamming ≤ maxHam against
+    * the STORED hash. Output (new_id, corpus_id, ham), distinct across the
+    * chunks that agreed.
+    */
+  def ahashProbeIndex(spark: SparkSession, features: DataFrame, id: String,
+      hashCol: String, maxHam: Int, table: String): DataFrame = {
+    val batch = bandRows(features, id, hashCol, maxHam)
+      .select(col("bk"), col(id).as("new_id"), col("__h").as("hb"))
+    spark.table(table)
+      .select(col("bk"), col(id).as("corpus_id"), col("ahash").as("ha"))
+      .join(batch, Seq("bk"))
+      .withColumn("ham", expr("bit_count(ha ^ hb)"))
+      .where(col("ham") <= maxHam)
+      .select(col("new_id"), col("corpus_id"), col("ham")).distinct()
+  }
+
+  /** (bk, id, __h) band rows shared by [[nearDupPairs]]' self-join form and
+    * the persisted index: bk packs (chunk index, chunk key) into one long —
+    * a single bucketable join key.
+    */
+  private def bandRows(features: DataFrame, id: String, hashCol: String,
+      maxHam: Int): DataFrame = {
+    val chunks = maxHam + 1
+    require(chunks > 1 && 64 % chunks == 0,
+      s"64 bits must split evenly into maxHam+1 chunks (maxHam=$maxHam; use 1, 3, 7, 15, 31)")
+    val chunkBits = 64 / chunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val keyStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        expr(s"shiftrightunsigned(__h, ${c * chunkBits}) & $mask").as("ck"))
+    }
+    features
+      .select(col(id), col(hashCol).cast("long").as("__h"))
+      .select(col(id), col("__h"), explode(array(keyStructs: _*)).as("k"))
+      .select(col(id), col("__h"),
+        ((col("k.c").cast("long") * lit(mask + 1)) + col("k.ck")).as("bk"))
+  }
+
   /** Deterministic BLOCK-content synthetic images: 64×64 PNGs of 8×8 gray
     * blocks with block i's value [[blockVal]](doc_id div 2, i) — chosen so
     * (a) the 8×8 blocks land exactly on [[pixelFeatures]]' aHash cells
