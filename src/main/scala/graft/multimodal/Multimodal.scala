@@ -379,24 +379,13 @@ object Multimodal {
     * Output: (doc_a, doc_b, ham), doc_a < doc_b, one row per pair.
     */
   def nearDupPairs(features: DataFrame, id: String, hashCol: String, maxHam: Int): DataFrame = {
-    val chunks = maxHam + 1
-    require(chunks > 1 && 64 % chunks == 0,
-      s"64 bits must split evenly into maxHam+1 chunks (maxHam=$maxHam; use 1, 3, 7, 15, 31)")
-    val chunkBits = 64 / chunks
-    // shiftrightunsigned, not shiftright: the top chunk of a negative hash
-    // would smear sign bits into the key with an arithmetic shift
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val keyStructs = (0 until chunks).map { c =>
-      struct(lit(c).as("c"),
-        expr(s"shiftrightunsigned(__h, ${c * chunkBits}) & $mask").as("ck"))
-    }
-    val keyed = features
-      .select(col(id), col(hashCol).cast("long").as("__h"))
-      .select(col(id), col("__h"), explode(array(keyStructs: _*)).as("k"))
-      .select(col(id), col("__h"), col("k.c").as("c"), col("k.ck").as("ck"))
-    keyed.select(col(id).as("doc_a"), col("__h").as("ha"), col("c"), col("ck"))
-      .join(keyed.select(col(id).as("doc_b"), col("__h").as("hb"), col("c"), col("ck")),
-        Seq("c", "ck"))
+    // the chunking/banding lives ONCE in bandRows (shared with the
+    // persisted-index pair ahashWriteIndex/ahashProbeIndex); this is the
+    // self-join form over the same (bk, id, __h) relation
+    val banded = bandRows(features, id, hashCol, maxHam)
+    banded.select(col(id).as("doc_a"), col("__h").as("ha"), col("bk"))
+      .join(banded.select(col(id).as("doc_b"), col("__h").as("hb"), col("bk")),
+        Seq("bk"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("ham", expr("bit_count(ha ^ hb)"))
       .where(col("ham") <= maxHam)
@@ -451,6 +440,8 @@ object Multimodal {
       s"64 bits must split evenly into maxHam+1 chunks (maxHam=$maxHam; use 1, 3, 7, 15, 31)")
     val chunkBits = 64 / chunks
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    // shiftrightunsigned, not shiftright: the top chunk of a negative hash
+    // would smear sign bits into the key with an arithmetic shift
     val keyStructs = (0 until chunks).map { c =>
       struct(lit(c).as("c"),
         expr(s"shiftrightunsigned(__h, ${c * chunkBits}) & $mask").as("ck"))

@@ -276,21 +276,23 @@ object PipelineQueries {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
     Some(jaccardOracle("0.8")))
 
-  /** The same near-dup components through the LOGARITHMIC-round
-    * large-star/small-star contraction ([[Dedup.clustersLsss]], Kiveris et
-    * al. SoCC 2014) instead of O(diameter) min-label propagation — the
-    * 100 TB path for chain-shaped duplicate families (page-revision chains),
-    * where propagation's round count is the chain length. Identical output
-    * contract, so the recursive-CTE oracle of [[qDedupClusters]] is reused
-    * verbatim; LsssSpec pins the round-count separation on a path graph.
+  /** The same near-dup components through O(diameter) MIN-LABEL propagation
+    * ([[Dedup.clusters]]) — the small-graph variant kept alongside the
+    * default logarithmic path of [[qDedupClusters]]. Min-label does fewer,
+    * cheaper passes when components are tiny cliques (the common near-dup
+    * shape), but a chain-shaped duplicate family (page-revision chains)
+    * costs rounds equal to the chain length, so the composite fixtures
+    * default to large-star/small-star. Identical output contract, so the
+    * recursive-CTE oracle of [[qDedupClusters]] is reused verbatim;
+    * LsssSpec pins the round-count separation on a path graph.
     */
   // lazy: reuses qDedupClusters.oracle, which is declared further down —
   // an eager val here would read null during object init
-  lazy val qDedupClustersLsss = Fixture(
-    "q_dedup_clusters_lsss",
+  lazy val qDedupClustersMinLabel = Fixture(
+    "q_dedup_clusters_minlabel",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.clustersLsss(docs, "doc_id",
+      Dedup.clusters(docs, "doc_id",
         Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
     },
     qDedupClusters.oracle)
@@ -362,13 +364,18 @@ object PipelineQueries {
 
   /** Near-dup clustering: connected components over the τ=0.8 Jaccard pairs;
     * every doc labeled with its component's minimum doc id (canonical
-    * keeper). Oracle: recursive-CTE transitive closure.
+    * keeper). DEFAULTS to the logarithmic-round large-star/small-star
+    * contraction ([[Dedup.clustersLsss]], Kiveris et al. SoCC 2014) — the
+    * composition a user should copy at 100 TB, where min-label's
+    * O(diameter) rounds lose on chain-shaped duplicate families; the
+    * min-label variant is covered by [[qDedupClustersMinLabel]].
+    * Oracle: recursive-CTE transitive closure.
     */
   val qDedupClusters = Fixture(
     "q_dedup_clusters",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.clusters(docs, "doc_id",
+      Dedup.clustersLsss(docs, "doc_id",
         Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
     },
     Some(s"""WITH RECURSIVE
@@ -391,8 +398,9 @@ object PipelineQueries {
   /** The dedup pipeline's END PRODUCT: one keeper per near-dup cluster,
     * chosen by quality (ties to the smaller doc_id), with the member count —
     * what actually ships to training after near-dup detection. Composition
-    * of [[Dedup.clusters]] over the MinHash+LSH pairs with a quality argmax:
-    * the argmax is `max(struct(quality, −doc_id))` inside the per-cluster
+    * of [[Dedup.clustersLsss]] (the log-round scale path) over the
+    * MinHash+LSH pairs with a quality argmax: the argmax is
+    * `max(struct(quality, −doc_id))` inside the per-cluster
     * aggregate — fieldwise struct ordering, no per-cluster sort, map-side
     * partials. Oracle: the recursive-CTE closure of [[qDedupClusters]]
     * extended with a (quality DESC, doc_id) row_number.
@@ -401,7 +409,7 @@ object PipelineQueries {
     "q_dedup_keepers",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.clusters(docs, "doc_id",
+      val clusters = Dedup.clustersLsss(docs, "doc_id",
         Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
       val scored = docs.select(col("doc_id"),
         Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
@@ -970,6 +978,37 @@ object PipelineQueries {
       | FROM h a JOIN h b ON a.doc_id < b.doc_id
       | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
 
+  /** Incremental image near-dup against the PERSISTED aHash band index
+    * ([[Multimodal.ahashWriteIndex]] / [[Multimodal.ahashProbeIndex]]):
+    * even docs are the indexed image lake, odd docs the day's crawl. The
+    * banding shuffle is paid once at ingest (bucketed on bk); the probe
+    * bands only the batch and verifies exact Hamming against the STORED
+    * hash — the corpus is never re-decoded or re-hashed. Oracle: brute
+    * cross-parity Hamming ≤ 3 over the same SQL-predicted hashes; the
+    * block corpus's duplicate pairs are exactly (2k, 2k+1) — always
+    * cross-parity — so the probe must surface every true pair (pigeonhole
+    * recall 1, like [[qImageNearDup]]'s self-join form).
+    */
+  val qAhashIndexProbe = Fixture(
+    "q_ahash_index_probe",
+    (s, d) => {
+      val feats = Multimodal.pixelFeatures(s,
+          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("ahash"))
+      val tbl = "ah_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ahidx/$tbl"
+      Multimodal.ahashWriteIndex(feats.where(col("doc_id") % 2 === 0),
+        "doc_id", "ahash", 3, tbl, path, 8)
+      Multimodal.ahashProbeIndex(s, feats.where(col("doc_id") % 2 === 1),
+        "doc_id", "ahash", 3, tbl)
+        .select(col("new_id"), col("corpus_id"), col("ham").cast("long").as("ham"))
+    },
+    Some(s"""$blockAhashSql
+      | SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+      |   bit_count(xor(a.ahash, b.ahash))::BIGINT AS ham
+      | FROM h a JOIN h b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
+
   /** REAL resize under the oracle, round-tripped: block PNGs (64×64, 8×8
     * uniform blocks) → [[Multimodal.resizeImages]] area-average downscale to
     * 8×8 → PNG re-encode → [[Multimodal.pixelFeatures]] decodes the RESIZED
@@ -1144,7 +1183,11 @@ object PipelineQueries {
         .partitionBy("shard").orderBy("rank", "doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"), rank.as("rank"))
-        .withColumn("shard", (col("rank") / lit(144115188075855872L)).cast("long"))
+        // exact integer shard = rank >>> 57 (rank is a non-negative 60-bit
+        // md5 prefix, so 8 shards of 2^57). Column `/` is DOUBLE division —
+        // a rank within ~64 of a shard boundary could round across it and
+        // disagree with the oracle's integer `rank // 2^57`.
+        .withColumn("shard", shiftrightunsigned(col("rank"), 57))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     },
@@ -3890,6 +3933,7 @@ object PipelineQueries {
     qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
+    qAhashIndexProbe,
     qImageResize, qFrameSample,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
@@ -3905,7 +3949,7 @@ object PipelineQueries {
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,
-    qDedupClustersLsss, qBm25, qDecontaminateMask, qStreamDecontaminate,
+    qDedupClustersMinLabel, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,

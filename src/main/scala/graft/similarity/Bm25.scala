@@ -20,8 +20,26 @@ import graft.operators.Quant
   *     a corpus-sized (doc_id, dl) side table whose join key conflicts
   *     with the bucket key — so scoring never touches a second
   *     corpus-scaled relation.
-  *   - `table_stats` — ONE row (n docs, sum of dl): the corpus-level BM25
-  *     inputs that cannot be derived from a pruned probe.
+  *   - `table_stats` — an APPEND-ONLY LOG of (n, Σdl) delta rows, one per
+  *     build/append; the corpus totals are the column sums. A log instead
+  *     of a single maintained row means ingest never does a read-modify-
+  *     write (two concurrent appends both land their delta — no lost
+  *     update), and the probe-time fold costs a scan of batch-count tiny
+  *     rows.
+  *   - `table_docs` — (doc_id, dl) per document, INCLUDING token-free docs
+  *     that have no postings. Never read at query time (scoring uses the
+  *     dl denormalized into postings); it exists so `n`/`Σdl` are always
+  *     re-derivable — [[rebuildStats]] recovers from a crash that landed
+  *     postings+docs but not the stats delta.
+  *
+  * Durability contract: appends are SINGLE-WRITER per index (Parquet
+  * append has no cross-table transaction; for concurrent or crash-atomic
+  * ingest, land batches through [[graft.sources.SnapshotLake]]-style
+  * commit markers instead). Within one append the write order is
+  * docs → postings → stats delta, so any crash prefix is repairable:
+  * missing stats ⇒ [[rebuildStats]]; missing postings ⇒ re-run the batch
+  * append after deleting its docs rows (batch doc_ids are new by
+  * contract, so the prefix is identifiable by id).
   *
   * [[searchTopK]] then reads ONLY the query terms' buckets (equality/IN on
   * the bucket key → Spark bucket pruning opens |terms| of `buckets` files
@@ -53,6 +71,11 @@ object Bm25 {
       col(idCol).as("doc_id"),
       TextFunctions.words(lower(col(textCol))).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
+    // doc-level (doc_id, dl) BEFORE any term filter — includes token-free
+    // docs that never reach the postings; the recovery source for stats
+    base.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/docs").saveAsTable(s"${table}_docs")
     // corpus stats BEFORE any term filter: n counts every document (even
     // token-free ones), exactly the scan form's count(*)
     base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
@@ -71,32 +94,44 @@ object Bm25 {
     * batch tokenizes and aggregates ALONE (only the batch shuffles, never
     * the lake) and appends its postings — the write adds files per bucket,
     * bucket pruning intact, exactly the [[graft.similarity.Ann.ivfAppendIndex]]
-    * contract. The stats row is additive (n and Σdl are sums), so the
-    * corpus-level BM25 inputs update by folding the batch's one-row
-    * aggregate into the stored one — no corpus rescan. Batch doc_ids must
-    * be new (a re-crawled doc needs delete+insert, the lake's upsert
-    * problem, not the index's).
+    * contract. The stats update is a DELTA APPEND — the batch's one-row
+    * (n, Σdl) aggregate lands as a new log row, never read-modify-write —
+    * so a concurrent append cannot lose the other's fold and no corpus
+    * rescan happens. Batch doc_ids must be new (a re-crawled doc needs
+    * delete+insert, the lake's upsert problem, not the index's).
+    *
+    * Write order docs → postings → stats: a crash leaves a repairable
+    * prefix (see the object doc's durability contract).
     */
   def appendIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
-    val spark = docs.sparkSession
     val base = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.words(lower(col(textCol))).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
-    val merged = spark.table(s"${table}_stats")
-      .unionAll(base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")))
-      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
-      .collect().head
+    base.select(col("doc_id"), col("dl"))
+      .write.mode("append").insertInto(s"${table}_docs")
     base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .where(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .write.mode("append").insertInto(table)
-    // stats LAST and via a literal row: the one-row table cannot be read
-    // and overwritten in the same plan (self-overwrite reads zero rows)
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.mode("append").insertInto(s"${table}_stats")
+  }
+
+  /** Recover/compact the stats log from the doc-level table — the repair
+    * path for a crash that landed a batch's docs+postings but not its
+    * stats delta: recompute (n, Σdl) over `table_docs` and overwrite the
+    * log with the single true total row. Token-free docs are in
+    * `table_docs` (unlike the postings), so the rebuild is exact.
+    */
+  def rebuildStats(spark: SparkSession, table: String): Unit = {
+    val total = spark.table(s"${table}_docs")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .collect().head
     import spark.implicits._
-    Seq((merged.getAs[Long]("n"), merged.getAs[Long]("sdl")))
+    Seq((total.getAs[Long]("n"), total.getAs[Long]("sdl")))
       .toDF("n", "sdl")
       .write.mode("overwrite").insertInto(s"${table}_stats")
   }
@@ -118,7 +153,11 @@ object Bm25 {
       coalesce(sum(when(col("term") === lit(t), 1L)), lit(0L)).as(s"df$i")
     }
     val dfAgg = posts.agg(dfCols.head, dfCols.tail: _*)
-    val stats = spark.table(s"${table}_stats").crossJoin(dfAgg)
+    // the stats table is an append-only delta log — corpus totals are the
+    // column sums (one tiny row per build/append)
+    val stats = spark.table(s"${table}_stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .crossJoin(dfAgg)
     // pivot matched postings to one row per doc with tf0..tfn — the only
     // probe-time shuffle, sized by matched postings
     val perDoc = posts.groupBy(col("doc_id")).agg(

@@ -47,6 +47,31 @@ class Bm25IndexSpec extends SparkTestBase {
       s"expected <= ${terms.length} selected buckets, plan:\n$plan")
   }
 
+  test("append lifecycle: delta-log stats fold; rebuildStats recovers from _docs") {
+    import org.apache.spark.sql.functions._
+    val tbl = s"bm25_spec_app_${System.nanoTime}"
+    val docs = Tables.documents(spark, sfDir)
+    Bm25.writeIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tbl,
+      s"${sys.props("java.io.tmpdir")}/graft_bm25_spec/$tbl", 8)
+    Bm25.appendIndex(docs.where(col("doc_id") % 2 === 1), "doc_id", "text", tbl)
+    // the stats table is an append-only delta log: build row + append row
+    assert(spark.table(s"${tbl}_stats").count() == 2,
+      "append must land a stats DELTA row, not rewrite the log")
+    val scan = PipelineQueries.qBm25.build(spark, sfDir)
+    assertSameRows(scan, Bm25.searchTopK(spark, tbl, terms, 20))
+    // crash repair: clobber the stats log (as if a delta was lost), then
+    // rebuild from the doc-level table — totals and probe results recover
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("n", "sdl")
+      .write.mode("overwrite").insertInto(s"${tbl}_stats")
+    Bm25.rebuildStats(spark, tbl)
+    val st = spark.table(s"${tbl}_stats")
+      .agg(sum("n").as("n"), sum("sdl").as("sdl")).collect().head
+    assert(st.getAs[Long]("n") == docs.count(),
+      "rebuilt n must count every document (including token-free ones)")
+    assertSameRows(scan, Bm25.searchTopK(spark, tbl, terms, 20))
+  }
+
   test("df/stats derived from the pruned index match a full-corpus count") {
     val tbl = buildIndex()
     import org.apache.spark.sql.functions._
