@@ -1,0 +1,264 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+
+/** Minimal, dependency-free AVI (RIFF) container writer + demuxer for
+  * UNCOMPRESSED (BI_RGB, 24-bit bottom-up DIB) video streams — the real
+  * container-parse tier of the video pipeline: [[Multimodal.videoFrames]]
+  * decodes actual frame rasters out of a byte payload instead of slicing a
+  * synthetic byte grid.
+  *
+  * Format is the public Microsoft "AVI RIFF File Reference": a RIFF file
+  * with form type `AVI `, an `hdrl` LIST carrying the `avih` main header
+  * and one `strl` (stream) LIST with `strh`/`strf` (BITMAPINFOHEADER),
+  * a `movi` LIST whose `00db` chunks hold one uncompressed frame each
+  * (rows bottom-up, BGR byte order, rows padded to 4 bytes), and an `idx1`
+  * index whose entries carry the AVIIF_KEYFRAME flag and the chunk offset
+  * relative to the `movi` fourcc. All integers little-endian; chunk bodies
+  * pad to even length.
+  *
+  * The demuxer is defensive the way a crawl-scale decode has to be: any
+  * structural violation (truncated chunk, wrong fourcc, unsupported
+  * compression) yields `None`/empty rather than a task-killing throw —
+  * one corrupt blob must not kill a 100 TB pass.
+  *
+  * Scale posture: both sides are O(payload) single-pass byte-array work on
+  * the executor; the keyframe path reads `idx1` first and decodes ONLY the
+  * flagged frames (index-driven selective decode — the reason video
+  * pipelines sample keyframes instead of demuxing everything).
+  */
+object Avi {
+
+  val AVIIF_KEYFRAME = 0x10
+
+  /** Parsed stream-level metadata (from `avih` + `strf`). */
+  case class AviInfo(width: Int, height: Int, totalFrames: Int,
+      bitCount: Int, compression: Int)
+
+  // ---- writing --------------------------------------------------------
+
+  /** Serialize `frames` (all `width`×`height`) as an uncompressed AVI.
+    * Every `keyframeEvery`-th frame (0, k, 2k, …) is flagged
+    * AVIIF_KEYFRAME in `idx1`; for a DIB stream every frame is in fact
+    * independently decodable, but the flags model the keyframe cadence a
+    * compressed stream would carry, and the demuxer honors them.
+    */
+  def writeUncompressed(width: Int, height: Int,
+      frames: IndexedSeq[BufferedImage], keyframeEvery: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "at least one frame")
+    require(keyframeEvery >= 1, s"keyframeEvery must be >= 1 (got $keyframeEvery)")
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val frameBytes = rowBytes * height
+    val n = frames.length
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 255); bos.write((v >> 8) & 255) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+
+    // sizes, inside-out (every chunk body here is already even)
+    val strfSize = 40
+    val strhSize = 56
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val avihSize = 56
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val moviSize = 4 + n * (8 + frameBytes)
+    val idx1Size = n * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+
+    fourcc("RIFF"); u32(riffSize); fourcc("AVI ")
+    // hdrl
+    fourcc("LIST"); u32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); u32(avihSize)
+    u32(40000)          // dwMicroSecPerFrame (25 fps)
+    u32(frameBytes * 25) // dwMaxBytesPerSec
+    u32(0)              // dwPaddingGranularity
+    u32(0x10)           // dwFlags = AVIF_HASINDEX
+    u32(n)              // dwTotalFrames
+    u32(0)              // dwInitialFrames
+    u32(1)              // dwStreams
+    u32(frameBytes)     // dwSuggestedBufferSize
+    u32(width); u32(height)
+    u32(0); u32(0); u32(0); u32(0) // dwReserved
+    fourcc("LIST"); u32(strlSize); fourcc("strl")
+    fourcc("strh"); u32(strhSize)
+    fourcc("vids"); fourcc("DIB ")
+    u32(0)              // dwFlags
+    u16(0); u16(0)      // wPriority, wLanguage
+    u32(0)              // dwInitialFrames
+    u32(1); u32(25)     // dwScale, dwRate → 25 fps
+    u32(0)              // dwStart
+    u32(n)              // dwLength (frames)
+    u32(frameBytes)     // dwSuggestedBufferSize
+    u32(-1)             // dwQuality (default)
+    u32(0)              // dwSampleSize (0 = one sample per chunk)
+    u16(0); u16(0); u16(width); u16(height) // rcFrame
+    fourcc("strf"); u32(strfSize)
+    u32(40)             // biSize
+    u32(width); u32(height) // positive biHeight = bottom-up rows
+    u16(1); u16(24)     // biPlanes, biBitCount
+    u32(0)              // biCompression = BI_RGB
+    u32(frameBytes)     // biSizeImage
+    u32(0); u32(0); u32(0); u32(0) // pels/meter, clrUsed, clrImportant
+    // movi
+    fourcc("LIST"); u32(moviSize); fourcc("movi")
+    frames.foreach { img =>
+      fourcc("00db"); u32(frameBytes)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = img.getRGB(x, y)
+          bos.write(p & 255); bos.write((p >> 8) & 255); bos.write((p >> 16) & 255)
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { bos.write(0); pad -= 1 }
+        y -= 1
+      }
+    }
+    // idx1: offsets relative to the position of the 'movi' fourcc
+    fourcc("idx1"); u32(idx1Size)
+    var off = 4 // first chunk header starts right after the 'movi' fourcc
+    (0 until n).foreach { f =>
+      fourcc("00db")
+      u32(if (f % keyframeEvery == 0) AVIIF_KEYFRAME else 0)
+      u32(off)
+      u32(frameBytes)
+      off += 8 + frameBytes
+    }
+    bos.toByteArray
+  }
+
+  // ---- parsing --------------------------------------------------------
+
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 255) | ((b(p + 1) & 255) << 8) | ((b(p + 2) & 255) << 16) | ((b(p + 3) & 255) << 24)
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 255) | ((b(p + 1) & 255) << 8)
+  private def fcc(b: Array[Byte], p: Int, s: String): Boolean =
+    p >= 0 && p + 4 <= b.length &&
+      b(p) == s.charAt(0).toByte && b(p + 1) == s.charAt(1).toByte &&
+      b(p + 2) == s.charAt(2).toByte && b(p + 3) == s.charAt(3).toByte
+  private def isVideoChunk(b: Array[Byte], p: Int): Boolean =
+    fcc(b, p, "00db") || fcc(b, p, "00dc")
+
+  /** Locations of the container's parts: (info, moviFccPos, moviEnd,
+    * idx1Pos, idx1End). `moviFccPos` is the byte position of the `movi`
+    * fourcc — the base the idx1 offsets are relative to.
+    */
+  private def scan(b: Array[Byte]): Option[(AviInfo, Int, Int, Int, Int)] = {
+    if (b.length < 24 || !fcc(b, 0, "RIFF") || !fcc(b, 8, "AVI ")) return None
+    var width = -1; var height = -1; var total = -1
+    var bits = -1; var comp = -1
+    var moviFcc = -1; var moviEnd = -1; var idx1 = -1; var idx1End = -1
+
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = le32(b, p + 4)
+        val body = p + 8
+        if (size < 0 || body + size > to) return // truncated — stop cleanly
+        if (fcc(b, p, "LIST") && size >= 4) {
+          if (fcc(b, body, "hdrl") || fcc(b, body, "strl")) walk(body + 4, body + size)
+          else if (fcc(b, body, "movi")) { moviFcc = body; moviEnd = body + size }
+        } else if (fcc(b, p, "avih") && size >= 40) {
+          total = le32(b, body + 16)
+          width = le32(b, body + 32); height = le32(b, body + 36)
+        } else if (fcc(b, p, "strf") && size >= 40) {
+          bits = le16(b, body + 14); comp = le32(b, body + 16)
+        } else if (fcc(b, p, "idx1")) { idx1 = body; idx1End = body + size }
+        p = body + size + (size & 1) // chunks pad to even
+      }
+    }
+    walk(12, math.min(b.length, 8 + le32(b, 4)))
+    if (width < 1 || height < 1 || total < 0 || moviFcc < 0) None
+    else Some((AviInfo(width, height, total, bits, comp), moviFcc, moviEnd, idx1, idx1End))
+  }
+
+  /** Header-only metadata (the video analog of [[Multimodal.imageMeta]]). */
+  def parseInfo(bytes: Array[Byte]): Option[AviInfo] = scan(bytes).map(_._1)
+
+  /** Decode one BI_RGB bottom-up frame chunk body into a BufferedImage. */
+  private def decodeFrame(b: Array[Byte], body: Int, size: Int,
+      w: Int, h: Int): Option[BufferedImage] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (size < rowBytes * h || body + size > b.length) return None
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val row = body + (h - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val p = row + x * 3
+        img.setRGB(x, y, ((b(p + 2) & 255) << 16) | ((b(p + 1) & 255) << 8) | (b(p) & 255))
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
+  }
+
+  /** Demux + decode.
+    *
+    *  - `keyframesOnly = true`: read `idx1`, keep entries flagged
+    *    AVIIF_KEYFRAME, seek each chunk by its index offset and decode just
+    *    those (selective decode — O(keyframes) raster work, not O(frames)).
+    *  - `keyframesOnly = false`: sequential `movi` walk, decoding every
+    *    `stride`-th video chunk (index-free, the streaming-demux shape).
+    *
+    * Returns (frame ordinal among the stream's video chunks, decoded
+    * image). Empty on any structural failure or unsupported pixel format.
+    */
+  def frames(bytes: Array[Byte], keyframesOnly: Boolean,
+      stride: Int = 1): Seq[(Int, BufferedImage)] = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    scan(bytes) match {
+      case Some((info, moviFcc, moviEnd, idx1, idx1End))
+          if info.compression == 0 && info.bitCount == 24 =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, BufferedImage)]
+        if (keyframesOnly && idx1 >= 0) {
+          var p = idx1
+          var ord = 0
+          while (p + 16 <= idx1End && p + 16 <= bytes.length) {
+            if (isVideoChunk(bytes, p)) {
+              val flags = le32(bytes, p + 4)
+              val off = le32(bytes, p + 8)
+              val len = le32(bytes, p + 12)
+              if ((flags & AVIIF_KEYFRAME) != 0) {
+                // offsets are movi-relative by spec; some writers emit
+                // absolute positions — accept whichever lands on a chunk id
+                val cand = moviFcc + off
+                val pos =
+                  if (isVideoChunk(bytes, cand)) cand
+                  else if (isVideoChunk(bytes, off)) off
+                  else -1
+                if (pos >= 0)
+                  decodeFrame(bytes, pos + 8, len, info.width, info.height)
+                    .foreach(img => out += ((ord, img)))
+              }
+              ord += 1
+            }
+            p += 16
+          }
+        } else {
+          var p = moviFcc + 4
+          var ord = 0
+          while (p + 8 <= moviEnd && p + 8 <= bytes.length) {
+            val size = le32(bytes, p + 4)
+            if (size < 0 || p + 8 + size > bytes.length) return out.toSeq
+            if (isVideoChunk(bytes, p)) {
+              if (ord % stride == 0)
+                decodeFrame(bytes, p + 8, size, info.width, info.height)
+                  .foreach(img => out += ((ord, img)))
+              ord += 1
+            }
+            p += 8 + size + (size & 1)
+          }
+        }
+        out.toSeq
+      case _ => Seq.empty
+    }
+  }
+}

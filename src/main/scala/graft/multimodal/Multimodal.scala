@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *    a decode — for images the real tier above supersedes it.
   *  - [[resizeImages]]: REAL decode → area-average resample → PNG re-encode
   *    (the thumbnail / CNN-preprocess step), bit-deterministic across JVMs.
-  *  - [[sampleFrames]]: strided frame sampling over an opaque video payload
-  *    (deterministic stub demux — the codecs aren't in the JDK — with the
-  *    real binary-column fan-out plumbing a frame pipeline needs).
+  *  - [[videoFrames]]: REAL video container demux ([[Avi]] — RIFF/AVI
+  *    parse, `idx1`-driven keyframe selection, BI_RGB raster decode) →
+  *    per-frame luma mean + aHash, the frame-sampling tier of a video
+  *    training pipeline with the signatures derived from DECODED pixels.
+  *  - [[sampleFrames]]: strided byte-grid slice sampling for payloads whose
+  *    codec is unknown/unavailable — the honest fallback tier below the
+  *    real container parse (no decode claimed; signatures are slice
+  *    hashes), with the same binary-column fan-out plumbing.
   * Everything around them (schema, binary column handling, partition-wise
   * batching, narrow feature output) is the plumbing that has to be right at
   * 100 TB: media bytes never leave the executor, the per-partition iterator
@@ -98,12 +103,13 @@ object Multimodal {
     * container codecs aren't in the JDK): frame i is the byte slice
     * `[i·frameBytes, (i+1)·frameBytes)`, its signature the md5-prefix
     * hash64 of the slice — so an oracle can verify the full plumbing
-    * end-to-end. The Spark side is the part that matters at 100 TB and is
-    * real: partition-wise slicing of the binary column (payload bytes never
+    * end-to-end. This tier claims NO decode: it is the fallback for blobs
+    * whose codec the pipeline lacks; real container demux + raster decode
+    * is [[videoFrames]]. The Spark side is the part that matters at 100 TB:
+    * partition-wise slicing of the binary column (payload bytes never
     * leave the executor and never appear in the output), fan-out bounded by
     * `stride` (a 2-hour clip at stride 30 emits ~1% of its frames), and a
-    * narrow feature row out. Swapping the stub for JCodec/ffmpeg keyframe
-    * extraction changes ONLY the body of the per-frame closure.
+    * narrow feature row out.
     */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
       frameBytes: Int = 1000, stride: Int = 1): Dataset[FrameSample] = {
@@ -472,21 +478,8 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
-          val img = new java.awt.image.BufferedImage(
-            64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 64) {
-            var x = 0
-            while (x < 64) {
-              val i = (y / 8) * 8 + (x / 8)
-              val v = blockVal(id / 2, i)
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
-          }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          javax.imageio.ImageIO.write(blockImage(id / 2), "png", bos)
           ImageRow(id, bos.toByteArray)
         }
       }
@@ -507,6 +500,102 @@ object Multimodal {
     x = ((x ^ (x >>> 16)) * 73244475L) & 0xffffffffL
     x = x ^ (x >>> 16)
     (x % 256).toInt
+  }
+
+  /** 64×64 image of 8×8 uniform gray blocks, block i = [[blockVal]](base, i)
+    * — the shared raster of [[syntheticBlockImages]] and
+    * [[syntheticBlockVideos]].
+    */
+  private def blockImage(base: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = blockVal(base, (y / 8) * 8 + (x / 8))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic synthetic VIDEO table derived from `documents`: a real
+    * AVI/RIFF payload per doc ([[Avi.writeUncompressed]]) of `nFrames`
+    * 64×64 block frames, frame f's 8×8 block grid carrying
+    * [[blockVal]](doc_id·nFrames + f, i) — so every DECODED frame's cell
+    * lumas (and hence its aHash and mean) are predictable from stored
+    * columns by pure SQL, the same trick [[syntheticBlockImages]] plays
+    * for the image tier. Every `keyframeEvery`-th frame is flagged
+    * AVIIF_KEYFRAME in the container index. Encoding is executor-side,
+    * partition-wise; the binary column is born distributed.
+    */
+  def syntheticBlockVideos(spark: SparkSession, docs: DataFrame,
+      nFrames: Int = 6, keyframeEvery: Int = 3): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nFrames >= 1, s"nFrames must be >= 1 (got $nFrames)")
+    docs.select(col("doc_id").cast("long"))
+      // video encode is compute-dense per row; spread a small input across
+      // cores (same rationale as syntheticImages)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (0 until nFrames).map(f => blockImage(id * nFrames + f))
+          val payload = Avi.writeUncompressed(64, 64, frames, keyframeEvery)
+          MediaRow(id, payload, "avi", payload.length.toLong)
+        }
+      }
+  }
+
+  /** One decoded video frame's features: ordinal in the stream, stream
+    * frame count and dimensions (from the container header), mean luma of
+    * the decoded raster, and the 8×8 aHash — the narrow row a frame-level
+    * dedup/curation pass consumes.
+    */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, n_frames: Long,
+      width: Long, height: Long, mean_luma: Double, ahash: Long)
+
+  /** REAL video frame extraction over the binary media column: [[Avi]]
+    * demux (RIFF walk → header → `idx1`) + BI_RGB raster decode,
+    * executor-side per partition. `keyframesOnly = true` decodes only the
+    * container-index keyframes (selective decode — O(keyframes) raster
+    * work); otherwise every `stride`-th frame of the sequential `movi`
+    * walk. Per frame: mean luma (integer Rec.601 per pixel, exact for
+    * gray content) and the 8×8 aHash — both over DECODED pixels, so an
+    * oracle that predicts the raster predicts these.
+    *
+    * Undecodable/foreign payloads yield the (-1, …) sentinel row, the
+    * [[imageMeta]] corrupt-blob posture: visible, never task-fatal. The
+    * payload bytes never leave the executor; only feature rows ship.
+    */
+  def videoFrames(spark: SparkSession, media: Dataset[MediaRow],
+      keyframesOnly: Boolean = true, stride: Int = 1): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val info = Avi.parseInfo(r.media)
+          val fs = Avi.frames(r.media, keyframesOnly, stride)
+          if (info.isEmpty || fs.isEmpty)
+            Iterator.single(VideoFrame(r.doc_id, -1L, -1L, -1L, -1L, 0.0, 0L))
+          else {
+            val i = info.get
+            fs.iterator.map { case (ord, img) =>
+              val cells = cellLuma(img, 8, 8)
+              VideoFrame(r.doc_id, ord.toLong, i.totalFrames.toLong,
+                i.width.toLong, i.height.toLong,
+                cells.sum / 64.0, aHash(img))
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Iterator.single(VideoFrame(r.doc_id, -1L, -1L, -1L, -1L, 0.0, 0L))
+        }
+      }
+    }
   }
 
   /** Deterministic synthetic image table derived from `documents`: a real

@@ -1058,6 +1058,70 @@ object PipelineQueries {
       |   ${h64("substr(text, i * 1000 + 1, 1000)")} AS frame_sig
       | FROM f""".stripMargin))
 
+  /** DuckDB replay of [[Multimodal.blockVal]] per (doc, frame, cell) for
+    * [[Multimodal.syntheticBlockVideos]] content — base = doc_id·nFrames + f
+    * — plus the per-frame mean and aHash (same signed-bit-63 spelling as
+    * [[blockAhashSql]]). `frames` is the SQL list of frame ordinals the
+    * query under test must emit.
+    */
+  private def videoFramesOracle(nFrames: Int, frames: String): String =
+    s"""WITH fr AS (SELECT doc_id, unnest([$frames]) AS f FROM documents),
+      | c AS (SELECT doc_id, f, i, xor(x2, x2 >> 16) % 256 AS v FROM (
+      |    SELECT doc_id, f, i, (xor(x1, x1 >> 16) * 73244475) & 4294967295 AS x2 FROM (
+      |      SELECT doc_id, f, i, (xor(x0, x0 >> 16) * 73244475) & 4294967295 AS x1 FROM (
+      |        SELECT doc_id, f, t.i AS i, (doc_id * $nFrames + f) * 64 + t.i AS x0
+      |        FROM fr, generate_series(0, 63) AS t(i))))),
+      | m AS (SELECT doc_id, f, avg(v) AS mean FROM c GROUP BY 1, 2),
+      | h AS (SELECT c.doc_id, c.f,
+      |         CAST(sum(CASE WHEN v > mean THEN
+      |           CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS ahash
+      |       FROM c JOIN m USING (doc_id, f) GROUP BY 1, 2)
+      | SELECT m.doc_id, m.f::BIGINT AS frame_idx, $nFrames::BIGINT AS n_frames,
+      |   64::BIGINT AS width, 64::BIGINT AS height,
+      |   ${q4("m.mean")} AS mean_luma, h.ahash AS ahash
+      | FROM m JOIN h ON m.doc_id = h.doc_id AND m.f = h.f""".stripMargin
+
+  /** REAL video keyframe extraction under the oracle: synthetic AVI/RIFF
+    * containers ([[Multimodal.syntheticBlockVideos]] — 6 uncompressed
+    * 64×64 block frames per doc, every 3rd flagged AVIIF_KEYFRAME in
+    * `idx1`) → [[Multimodal.videoFrames]] parses the container INDEX and
+    * decodes ONLY the flagged frames (0 and 3), emitting mean luma + aHash
+    * of the DECODED rasters. The oracle predicts those rasters from stored
+    * columns by replaying the block mix in SQL — frame signatures derive
+    * from decoded frame content, so hash equality proves RIFF walk →
+    * idx1 selection → bottom-up BGR decode → luma grid end-to-end.
+    * Selective decode is the 100 TB posture: raster work scales with
+    * keyframes, not frames.
+    */
+  val qVideoKeyframes = Fixture(
+    "q_video_keyframes",
+    (s, d) => Multimodal.videoFrames(s,
+        Multimodal.syntheticBlockVideos(s, Tables.documents(s, d),
+          nFrames = 6, keyframeEvery = 3),
+        keyframesOnly = true).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        Quant.q4(col("mean_luma")).as("mean_luma"), col("ahash")),
+    Some(videoFramesOracle(6, "0, 3")))
+
+  /** Strided REAL demux of the same containers, index-free: sequential
+    * `movi` walk decoding every 2nd frame (0, 2, 4) — the streaming-demux
+    * shape for containers without a usable index. Same decoded-content
+    * oracle, different container path (chunk walk vs `idx1` seek), so the
+    * two fixtures pin both demux modes.
+    */
+  val qVideoFramesStrided = Fixture(
+    "q_video_frames_strided",
+    (s, d) => Multimodal.videoFrames(s,
+        Multimodal.syntheticBlockVideos(s, Tables.documents(s, d),
+          nFrames = 6, keyframeEvery = 3),
+        keyframesOnly = false, stride = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        Quant.q4(col("mean_luma")).as("mean_luma"), col("ahash")),
+    Some(videoFramesOracle(6, "0, 2, 4")))
+
   /** Embedding preprocessing: L2-normalize then int8-quantize
     * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
     * corpus scale (4× smaller than float32). Oracle-comparable per-vector
@@ -1428,7 +1492,7 @@ object PipelineQueries {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
@@ -1920,12 +1984,15 @@ object PipelineQueries {
       val sink = s"stream_decon_${System.nanoTime}"
       val q = out.writeStream.outputMode("append")
         .format("memory").queryName(sink).start()
-      try
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          ms.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      finally q.stop()
+      try {
+        // ONE trigger (the probe is STATELESS — no state store, no
+        // watermark — so batch boundaries cannot affect any row), but MANY
+        // addData blocks: MemoryStream makes one partition per block, and
+        // the shingle+hash+merge projection is the cost — one 5 000-row
+        // block would run it on a single core while 31 idle
+        rows.grouped(math.max(1, rows.length / 64 + 1)).foreach(c => ms.addData(c.toSeq))
+        q.processAllAvailable()
+      } finally q.stop()
       s.table(sink)
     },
     qDecontaminate.oracle)
@@ -3044,7 +3111,7 @@ object PipelineQueries {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
@@ -3428,7 +3495,10 @@ object PipelineQueries {
         .as[(Long, String, String)].collect().sortBy(_._1)
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, String)]
-      val stream = ms.toDF().toDF("doc_id", "text", "source")
+      // spread the replay across cores BEFORE the regex-heavy quality
+      // scoring: a MemoryStream addData block is ONE partition (a real
+      // source's scan splits provide this parallelism for free)
+      val stream = ms.toDF().repartition(16).toDF("doc_id", "text", "source")
         .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
         .where(Quant.q4(TextFunctions.qualityScore(col("text"))) >= 0.5)
         .withWatermark("ts", "0 seconds")
@@ -3445,7 +3515,11 @@ object PipelineQueries {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          // 2 chunks: the replay is doc_id-sorted, so first-seen keeps the
+          // min-doc_id copy under ANY chunking (first arrival = smallest
+          // id; within-batch ties go to minBy(doc_id)) — cross-batch state
+          // carry is exercised at 2 batches, extra triggers are overhead
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
@@ -3934,7 +4008,7 @@ object PipelineQueries {
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,
-    qImageResize, qFrameSample,
+    qImageResize, qFrameSample, qVideoKeyframes, qVideoFramesStrided,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,
     qBucketedJoin, qRepetition, qCurationFunnel,

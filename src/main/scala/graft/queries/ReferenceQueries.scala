@@ -690,7 +690,7 @@ object ReferenceQueries {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
@@ -763,7 +763,7 @@ object ReferenceQueries {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }
@@ -839,7 +839,12 @@ object ReferenceQueries {
     * it independent of that conf; the row lands in the last, still-open
     * window, which is never emitted, so it cannot perturb output. Which rows
     * share a micro-batch affects emission timing only, never the aggregate
-    * values — the replay chunking is not load-bearing.
+    * values — the replay chunking is not load-bearing, so the replay uses
+    * TWO chunks: enough to exercise cross-batch state carry (plus the tail
+    * trigger), without paying micro-batch overhead four times per attempt
+    * (~1 s/fixture at sf0.1 across the 150-query bench). Fixtures whose
+    * CUSTOM state semantics could see batch boundaries (first-seen keeper
+    * choice, ring eviction in the θ-joins, count windows) keep 4 chunks.
     */
   private def replayEvents(s: SparkSession, d: String, sinkPrefix: String)(
       buildAgg: DataFrame => DataFrame): DataFrame = {
@@ -866,7 +871,7 @@ object ReferenceQueries {
       val q = buildAgg(stream).writeStream.outputMode("append")
         .format("memory").queryName(sink).start()
       try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
           ms.addData(chunk.toSeq)
           q.processAllAvailable()
         }
@@ -1333,7 +1338,7 @@ object ReferenceQueries {
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
             ms.addData(chunk.toSeq)
             q.processAllAvailable()
           }

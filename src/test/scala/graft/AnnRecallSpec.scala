@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+/** Recall of the IVF served-index path against exact brute force — the
+  * number an ANN deployment actually tunes. The oracle fixtures prove the
+  * IVF search is exact ON ITS OWN RANKING (deterministic probe order,
+  * quantized scores); this spec pins what that ranking is WORTH: recall@10
+  * of [[Ann.ivfSearchPersisted]] vs [[Ann.bruteTopK]] across the nprobe
+  * curve, with a floor so a centroid/probe regression fails loudly instead
+  * of silently degrading search quality.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val K = 10
+
+  /** recall@K averaged over queries: |ivf ∩ brute| / |brute| per query. */
+  private def recallCurve(): Map[Int, Double] = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fit = Ann.kmeans(emb, k = 16, maxIters = 5)
+    val cents = fit.centroidsDf(spark)
+    val h = s"recall_${System.nanoTime}"
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_$h").getAbsolutePath
+    Ann.ivfWriteIndex(emb, cents, s"graft_ivf_idx_$h", s"$base/idx", 8)
+
+    val pred = col("vec_id") % 10 === 0
+    val queries = emb.where(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = Ann.bruteTopK(emb, pred, K)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(brute.nonEmpty && brute.values.forall(_.size == K))
+
+    Seq(1, 2, 4, 8).map { nprobe =>
+      val ivf = Ann.ivfSearchPersisted(
+          spark, s"graft_ivf_idx_$h", cents, queries, K, nprobe)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val r = brute.toSeq.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / K
+      }
+      nprobe -> r.sum / r.size
+    }.toMap
+  }
+
+  test("IVF recall@10 rises with nprobe and beats the random-scan baseline") {
+    val curve = recallCurve()
+    info(s"recall@10 by nprobe (16 cells): ${curve.toSeq.sortBy(_._1).mkString(", ")}")
+    // the curve must be monotone — more probed cells can only add candidates
+    assert(curve(1) <= curve(2) + 1e-9 && curve(2) <= curve(4) + 1e-9 &&
+      curve(4) <= curve(8) + 1e-9, s"recall must be monotone in nprobe: $curve")
+    // The synthetic embeddings are near-uniform — the WORST case for IVF
+    // (no cluster structure to exploit), so absolute recall is modest by
+    // construction. The meaningful invariant: probing the nprobe NEAREST
+    // cells must far outperform scanning a random nprobe/16 of the corpus,
+    // which is what a probe-order or cell-assignment bug degrades to.
+    // Measured curve on this corpus: 0.25 / 0.39 / 0.59 / 0.80.
+    Seq(1, 2, 4, 8).foreach { np =>
+      val randomBaseline = np / 16.0
+      assert(curve(np) >= 1.5 * randomBaseline,
+        s"recall@10 at nprobe=$np (${curve(np)}) does not beat the " +
+          s"random-scan baseline $randomBaseline: $curve")
+    }
+    // floors just under the measured curve — a regression that costs more
+    // than ~15% relative recall at any point fails loudly
+    assert(curve(1) >= 0.20 && curve(2) >= 0.32 && curve(4) >= 0.50 &&
+      curve(8) >= 0.70, s"recall floor breached: $curve")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.multimodal.{Avi, Multimodal}
+
+/** The AVI container writer/demuxer pair: structural round-trip, keyframe
+  * index selection, stride semantics, and the corrupt-blob posture. The
+  * q_video_keyframes / q_video_frames_strided oracles prove decoded CONTENT
+  * end-to-end; this spec pins the container mechanics directly.
+  */
+class AviSpec extends SparkTestBase {
+
+  /** w×h frame whose pixel (x, y) is gray value ((seed + y·w + x) % 256) —
+    * row-asymmetric, so a demuxer that mis-orders the bottom-up rows
+    * cannot round-trip it.
+    */
+  private def gradFrame(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + y * w + x) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def pixels(img: BufferedImage): Seq[Int] =
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y) & 0xffffff
+
+  test("write → parse round-trips header metadata and every pixel") {
+    // 5×3: width*3 = 15 bytes/row, NOT 4-aligned — exercises row padding
+    val frames = (0 until 4).map(f => gradFrame(5, 3, f * 37))
+    val bytes = Avi.writeUncompressed(5, 3, frames, keyframeEvery = 2)
+    val info = Avi.parseInfo(bytes).get
+    assert((info.width, info.height, info.totalFrames, info.bitCount,
+      info.compression) == (5, 3, 4, 24, 0))
+    val got = Avi.frames(bytes, keyframesOnly = false)
+    assert(got.map(_._1) == Seq(0, 1, 2, 3))
+    got.foreach { case (i, img) =>
+      assert(pixels(img) == pixels(frames(i)), s"frame $i pixel mismatch")
+    }
+  }
+
+  test("keyframesOnly honors the idx1 AVIIF_KEYFRAME flags") {
+    val frames = (0 until 7).map(f => gradFrame(8, 8, f))
+    val bytes = Avi.writeUncompressed(8, 8, frames, keyframeEvery = 3)
+    val got = Avi.frames(bytes, keyframesOnly = true)
+    assert(got.map(_._1) == Seq(0, 3, 6))
+    got.foreach { case (i, img) => assert(pixels(img) == pixels(frames(i))) }
+  }
+
+  test("stride decodes every nth frame of the sequential movi walk") {
+    val frames = (0 until 6).map(f => gradFrame(4, 4, f * 11))
+    val bytes = Avi.writeUncompressed(4, 4, frames, keyframeEvery = 1)
+    assert(Avi.frames(bytes, keyframesOnly = false, stride = 2).map(_._1)
+      == Seq(0, 2, 4))
+    assert(Avi.frames(bytes, keyframesOnly = false, stride = 5).map(_._1)
+      == Seq(0, 5))
+  }
+
+  test("garbage, truncation, and foreign payloads demux to empty, never throw") {
+    val good = Avi.writeUncompressed(8, 8, IndexedSeq(gradFrame(8, 8, 1)), 1)
+    assert(Avi.frames(Array.emptyByteArray, keyframesOnly = true).isEmpty)
+    assert(Avi.frames(Array[Byte](1, 2, 3), keyframesOnly = false).isEmpty)
+    assert(Avi.parseInfo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // cut mid-movi: structure scan must stop cleanly
+    assert(Avi.frames(good.take(good.length / 2), keyframesOnly = false).isEmpty)
+  }
+
+  test("videoFrames emits the sentinel row for undecodable media") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "junk", 3L)).toDS()
+    val got = Multimodal.videoFrames(spark, bad).collect().toSeq
+    assert(got == Seq(Multimodal.VideoFrame(7L, -1L, -1L, -1L, -1L, 0.0, 0L)))
+  }
+
+  test("videoFrames decodes container keyframes with exact block lumas") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val got = Multimodal.videoFrames(spark,
+        Multimodal.syntheticBlockVideos(spark, docs, nFrames = 4, keyframeEvery = 2),
+        keyframesOnly = true)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    assert(got.map(f => (f.doc_id, f.frame_idx)).toSeq ==
+      ids.flatMap(id => Seq((id, 0L), (id, 2L))).toSeq)
+    got.foreach { f =>
+      // uniform 8×8 blocks on the aHash grid → mean luma = mean blockVal
+      val cells = (0 until 64).map(i =>
+        Multimodal.blockVal(f.doc_id * 4 + f.frame_idx, i))
+      assert(f.mean_luma == cells.sum / 64.0, s"mean mismatch at $f")
+      assert((f.width, f.height, f.n_frames) == (64L, 64L, 4L))
+    }
+  }
+}
