@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + domain extraction for the crawl-curation tier —
+  * the dedup-by-URL and domain-balance steps every web corpus runs before
+  * content-level dedup (two crawls of `HTTP://Site.com:80/a?utm_source=x&b=1`
+  * and `http://site.com/a?b=1` are the same page; and untreated, a handful
+  * of mega-domains dominate the token budget).
+  *
+  * Everything here is composed from built-in column functions
+  * (regexp_extract / lower / split / filter / sort_array / array_join), so
+  * the whole normalization stays inside whole-stage codegen — no UDF, no
+  * driver round-trip, linear per-row work at any corpus size.
+  *
+  * Normalization contract (the common subset of RFC 3986 §6 syntax-based
+  * normalization + the tracking-param strip crawl pipelines add):
+  *   1. scheme and host lowercase;
+  *   2. default port stripped (`:80` for http, `:443` for https; any other
+  *      port kept);
+  *   3. empty path becomes `/`;
+  *   4. fragment dropped;
+  *   5. query parameters: `utm_*` tracking params and empty params dropped,
+  *      the rest SORTED (param order is almost never semantic, and sorting
+  *      makes equal pages hash-equal); `?` dropped if nothing survives.
+  */
+object UrlFunctions {
+
+  /** Canonical form of `url` per the contract above. Input is expected to
+    * be `scheme://host[:port][/path][?query][#fragment]`; rows that don't
+    * match still pass through the same projections (no exceptions), just
+    * without a scheme/host split to normalize.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portNorm = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = rest.substr(length(hostPort) + 1, length(rest))
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = sort_array(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val queryNorm = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    concat(scheme, lit("://"), host, portNorm, pathNorm, queryNorm)
+  }
+
+  /** Lowercased host of `url` (port stripped). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      "^([^:]*)", 1))
+
+  /** Second-level public suffixes the apex heuristic must not split on —
+    * a deliberately small built-in sample of the public-suffix list (the
+    * full list is data, not code: at deployment it loads the same way and
+    * broadcasts as a lookup; the heuristic's SHAPE is what's pinned here).
+    */
+  private val secondLevelSuffixes = Seq("co.uk", "com.au", "co.jp", "com.br")
+
+  /** Apex (registrable) domain of a host: the last two labels, or the last
+    * three when the host ends in a known second-level public suffix —
+    * `a.b.site.co.uk` → `site.co.uk`, `www.site.com` → `site.com`. The
+    * domain-balance group-by key.
+    */
+  def apexDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val last2 = array_join(slice(labels, -2, 2), ".")
+    val last3 = array_join(slice(labels, -3, 3), ".")
+    when(size(labels) <= 2, host)
+      .when(last2.isin(secondLevelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+}

@@ -700,4 +700,79 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic synthetic WAV table: the [[syntheticPcm]] recurrence
+    * samples wrapped in a REAL RIFF/WAVE container ([[Wav.writePcm16]]),
+    * mono 16-bit, sample rate `8000 + (doc_id % 3)·4000` Hz so the header
+    * carries per-doc information an oracle can predict from stored columns.
+    * Every third doc gets a `LIST`-INFO chunk between `fmt ` and `data` —
+    * the layout real encoders emit — so a fixed-offset "parser" cannot pass
+    * the oracle; the chunk walk is load-bearing. Encoding is executor-side,
+    * partition-wise; the binary column is born distributed.
+    */
+  def syntheticWavs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (2048 + (id % 5) * 1024).toInt
+          val samples = new Array[Short](n)
+          var k = 0
+          while (k < n) {
+            samples(k) = (((id * 1000003L + k * 7919L) % 65536L) - 32768L).toShort
+            k += 1
+          }
+          val payload = Wav.writePcm16(
+            sampleRate = (8000 + (id % 3) * 4000).toInt, samples,
+            withListChunk = id % 3 == 0)
+          MediaRow(id, payload, "wav", payload.length.toLong)
+        }
+      }
+  }
+
+  /** One WAV asset's container header, no sample decode. */
+  case class WavMeta(doc_id: Long, channels: Long, sample_rate: Long,
+      bits: Long, n_frames: Long)
+
+  /** Header-only WAV metadata over the binary media column ([[Wav.parseInfo]]
+    * — chunk walk, `fmt ` fields, frame count from the `data` chunk), the
+    * audio analog of [[imageMeta]]: the schema/rate/duration screen an audio
+    * curation pass runs before paying for decode. Unparseable payloads yield
+    * the (-1, …) sentinel row — visible, never task-fatal.
+    */
+  def wavMeta(spark: SparkSession, media: Dataset[MediaRow]): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Wav.parseInfo(r.media) match {
+          case Some(i) => WavMeta(r.doc_id, i.channels.toLong,
+            i.sampleRate.toLong, i.bitsPerSample.toLong, i.nFrames.toLong)
+          case None => WavMeta(r.doc_id, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** REAL container-driven waveform decode: locate each WAV's `data` chunk
+    * by parsing its RIFF structure ([[Wav.dataRange]] — zero-copy slice, no
+    * re-encode) and hand the s16le payload to the [[audioWindows]] reducer.
+    * Undecodable payloads drop out here (they carry no samples to window);
+    * [[wavMeta]] is the screen that surfaces them. Composition over
+    * duplication: the window RMS/peak reduction exists once, shared by the
+    * raw-PCM and container tiers.
+    */
+  def wavAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.dataRange(r.media).map { case (start, len) =>
+          AudioRow(r.doc_id,
+            java.util.Arrays.copyOfRange(r.media, start, start + len),
+            (len / 2).toLong)
+        }
+      }
+    }
+  }
 }

@@ -3669,6 +3669,174 @@ object PipelineQueries {
       |   count(*) AS n_win, max(peak) AS seg_peak
       | FROM a GROUP BY doc_id, g""".stripMargin))
 
+  /** REAL audio-container metadata ([[Multimodal.syntheticWavs]] →
+    * [[Multimodal.wavMeta]]): every doc's recurrence samples wrapped in an
+    * actual RIFF/WAVE file — per-doc sample rate in the `fmt ` chunk, every
+    * third container carrying a `LIST`-INFO chunk before `data` — then
+    * header-parsed back. The oracle predicts channels/rate/bits/frames from
+    * stored columns, so hash equality proves the chunk WALK (not a fixed
+    * byte offset) recovered the format fields; a parse failure would emit
+    * the (-1, …) sentinel and mismatch. This is the screen-before-decode
+    * step of an audio curation pass — header-only, no sample decode paid.
+    */
+  val qWavMeta = Fixture(
+    "q_wav_meta",
+    (s, d) => Multimodal.wavMeta(s,
+        Multimodal.syntheticWavs(s, Tables.documents(s, d))).toDF(),
+    Some("""SELECT doc_id, 1::BIGINT AS channels,
+      |   (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
+      |   16::BIGINT AS bits, (2048 + (doc_id % 5) * 1024)::BIGINT AS n_frames
+      | FROM documents""".stripMargin))
+
+  /** Container-driven waveform decode end-to-end: [[Multimodal.wavAudio]]
+    * locates each WAV's `data` chunk by RIFF parse (zero-copy slice, no
+    * re-encode) and the shared [[Multimodal.audioWindows]] reducer computes
+    * per-window RMS + peak from the sliced bytes. Oracle = the same integer
+    * recurrence as `q_audio_energy`; equality through the CONTAINER proves
+    * chunk-walk → data location → s16le decode, and any offset slip (e.g.
+    * mis-skipping the LIST chunk present in a third of the files) shifts
+    * every sample and fails the hash.
+    */
+  val qWavWindows = Fixture(
+    "q_wav_windows",
+    (s, d) => Multimodal.audioWindows(s,
+        Multimodal.wavAudio(s,
+          Multimodal.syntheticWavs(s, Tables.documents(s, d)))).toDF()
+        .select(col("doc_id"), col("win_id"),
+          Quant.q4(col("rms")).as("rms"), col("peak")),
+    qAudioEnergy.oracle)
+
+  /** Crawl-archive ingest end-to-end ([[graft.sources.Warc]]): documents
+    * serialized into REAL multi-record WARC shards (warcinfo lead record +
+    * one HTTP response per doc, status/content-type varying by id, body =
+    * the document text), then exploded back by the Content-Length record
+    * walk + HTTP unwrap. The oracle predicts every parsed field from stored
+    * columns, so hash equality proves the full container path: record
+    * framing, header parse, warcinfo skip, status-line split, byte-exact
+    * UTF-8 body recovery. This is the entry format of a crawl-scale corpus
+    * (Common Crawl ships exactly this shape); parallelism is per-FILE, the
+    * unit Spark's binaryFile source hands out.
+    */
+  val qWarcIngest = Fixture(
+    "q_warc_ingest",
+    (s, d) => graft.sources.Warc.ingestResponses(s,
+      graft.sources.Warc.syntheticWarcFiles(s, Tables.documents(s, d))),
+    Some("""SELECT doc_id // 50 AS file_id,
+      |   'http://example.com/doc/' || doc_id AS target_uri,
+      |   CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+      |   (CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END)::BIGINT AS http_status,
+      |   coalesce(text, '') AS body
+      | FROM documents""".stripMargin))
+
+  /** Deterministic MESSY url per doc — mixed-case scheme/host, default and
+    * non-default ports, empty paths, tracking + empty + unsorted query
+    * params, fragments — the input both the Spark fixture and the DuckDB
+    * oracle construct IDENTICALLY (it is the shared test vector; keep the
+    * two spellings in sync), then normalize with their own independent
+    * implementations.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://WWW.Site"), (col("doc_id") % 40).cast("string"),
+    when(col("doc_id") % 4 === 0, lit(".CO.UK")).otherwise(lit(".com")),
+    when(col("doc_id") % 6 === 0, lit(":80"))
+      .when(col("doc_id") % 6 === 3, lit(":8080"))
+      .when(col("doc_id") % 6 === 1, lit(":443")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit(""))
+      .otherwise(concat(lit("/a/"), col("doc_id").cast("string"))),
+    when(col("doc_id") % 3 === 0, lit("?b=2&utm_source=x&&a=1"))
+      .when(col("doc_id") % 3 === 1, lit("?single=1")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** The same construction in DuckDB SQL (column `url` over `documents`).
+    * Single-line on purpose: it interpolates into templates that apply
+    * stripMargin, which would eat the first char of a leading `||`.
+    */
+  private val messyUrlSql = Seq(
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)",
+    "'://WWW.Site' || (doc_id % 40)",
+    "(CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.com' END)",
+    "(CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 3 THEN ':8080' WHEN doc_id % 6 = 1 THEN ':443' ELSE '' END)",
+    "(CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/a/' || doc_id END)",
+    "(CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=x&&a=1' WHEN doc_id % 3 = 1 THEN '?single=1' ELSE '' END)",
+    "(CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)").mkString(" || ")
+
+  /** URL canonicalization ([[UrlFunctions.urlNormalize]]) — the
+    * dedup-by-URL key every crawl pipeline computes before content dedup:
+    * scheme/host lowercased, default port stripped, empty path → `/`,
+    * fragment dropped, `utm_*`/empty params dropped and the rest sorted.
+    * Spark side is pure built-in column functions (whole-stage codegen,
+    * no UDF); the oracle re-derives the contract from RFC 3986 §6 spelled
+    * in DuckDB string/list functions. Hash equality proves the two
+    * independent implementations agree on every case the messy corpus
+    * covers (http+https × 4 port shapes × empty/real path × 3 query
+    * shapes × fragment).
+    */
+  val qUrlNormalize = Fixture(
+    "q_url_normalize",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.UrlFunctions.urlNormalize(messyUrl).as("url_norm")),
+    Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+      | n AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+      | p AS (SELECT doc_id,
+      |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |   regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n),
+      | q AS (SELECT doc_id, scheme,
+      |   regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+      |   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq FROM p),
+      | r AS (SELECT doc_id, scheme,
+      |   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+      |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+      |   regexp_extract(pathq, '^([^?]*)', 1) AS path,
+      |   regexp_extract(pathq, '\\?(.*)$$', 1) AS query FROM q),
+      | s AS (SELECT doc_id, scheme, host,
+      |   CASE WHEN port = '' THEN ''
+      |        WHEN scheme = 'http' AND port = '80' THEN ''
+      |        WHEN scheme = 'https' AND port = '443' THEN ''
+      |        ELSE ':' || port END AS portn,
+      |   CASE WHEN path = '' THEN '/' ELSE path END AS pathn,
+      |   list_sort(list_filter(string_split(query, '&'),
+      |     x -> x <> '' AND x NOT LIKE 'utm_%')) AS params FROM r)
+      | SELECT doc_id, scheme || '://' || host || portn || pathn ||
+      |   CASE WHEN len(params) = 0 THEN ''
+      |        ELSE '?' || array_to_string(params, '&') END AS url_norm
+      | FROM s""".stripMargin))
+
+  /** Domain balance ([[UrlFunctions.urlHost]] + [[UrlFunctions.apexDomain]]
+    * + per-domain cap): group the crawl by registrable domain (public-suffix
+    * aware: `www.site.co.uk` → `site.co.uk`) and keep at most 8 docs per
+    * domain in doc_id order — the cap that stops a handful of mega-domains
+    * from dominating the token budget. The window partitions BY DOMAIN, so
+    * per-partition state is one domain's docs (never corpus-scaled), and at
+    * 100 TB the same plan runs with AQE skew splitting on the giants.
+    */
+  val qDomainCaps = Fixture(
+    "q_domain_caps",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.UrlFunctions.apexDomain(
+          graft.functions.UrlFunctions.urlHost(messyUrl)).as("domain"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 8)
+        .select("domain", "doc_id")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+      | h AS (SELECT doc_id, lower(regexp_extract(
+      |     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |     '^([^:]*)', 1)) AS host FROM u),
+      | l AS (SELECT doc_id, string_split(host, '.') AS lab FROM h),
+      | d AS (SELECT doc_id,
+      |   CASE WHEN len(lab) >= 3 AND array_to_string(lab[len(lab)-1:], '.')
+      |          IN ('co.uk', 'com.au', 'co.jp', 'com.br')
+      |        THEN array_to_string(lab[len(lab)-2:], '.')
+      |        ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain FROM l),
+      | a AS (SELECT domain, doc_id,
+      |   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM d)
+      | SELECT domain, doc_id FROM a WHERE rn <= 8""".stripMargin))
+
   /** Snapshot time-travel diff ([[graft.sources.SnapshotLake.readVersion]]
     * + [[graft.sources.SnapshotLake.diff]]): commit v0 = the corpus, v1 =
     * an edited corpus (every 10th doc's n_chars bumped, every
@@ -4026,6 +4194,7 @@ object PipelineQueries {
     qDedupClustersMinLabel, qBm25, qDecontaminateMask, qStreamDecontaminate,
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
+    qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -1,0 +1,201 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal, dependency-free WARC (Web ARChive, ISO 28500) writer + parser —
+  * the ingest format of crawl-scale text pipelines (Common Crawl publishes
+  * exactly this): a file is a concatenation of records, each a header block
+  * of `Key: Value` lines introduced by a `WARC/1.0` version line, a blank
+  * line, then a payload of exactly `Content-Length` bytes, then a blank
+  * separator. For `response` records the payload is an HTTP message whose
+  * own header block (status line + headers + blank line) precedes the body.
+  *
+  * Parsing walks records by Content-Length — NEVER by scanning for the next
+  * version line — so a body containing the literal text `WARC/1.0` cannot
+  * desynchronize the walk (adversarial crawl content is the norm, not the
+  * exception). Any structural violation (missing length, truncated payload,
+  * malformed header) ends the walk cleanly with the records already
+  * recovered: one corrupt tail must not kill a 100 TB pass.
+  *
+  * Scale posture: a WARC file is inherently sequential (records are
+  * back-to-back with no index), so the unit of parallelism is the FILE —
+  * exactly how Spark's binaryFile source hands them out, one file per task,
+  * payload bytes never leaving the executor. Record extraction is a single
+  * O(bytes) pass per file.
+  */
+object Warc {
+
+  /** One file of the synthetic crawl: `file_id` is the grouping key the
+    * corpus was sharded by; `warc` is the full container byte stream.
+    */
+  case class WarcFile(file_id: Long, warc: Array[Byte])
+
+  /** One parsed record, HTTP layer unwrapped for `response` records:
+    * `http_status` is −1 and `body` empty for non-response records
+    * (warcinfo, request, metadata), which carry no HTTP message.
+    */
+  case class WarcRecord(warc_type: String, target_uri: String,
+      content_type: String, http_status: Long, body: String)
+
+  private val CRLF = "\r\n"
+
+  // ---- writing --------------------------------------------------------
+
+  private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+    head.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
+    val h = head.toString.getBytes("US-ASCII")
+    val out = new Array[Byte](h.length + payload.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(payload, 0, out, h.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Serialize one `response` record: WARC headers + an HTTP/1.1 message
+    * wrapping `body` (UTF-8). `Content-Length` at the WARC layer covers the
+    * whole HTTP message, as the spec requires.
+    */
+  def writeResponse(uri: String, status: Int, contentType: String,
+      body: String): Array[Byte] = {
+    val b = body.getBytes("UTF-8")
+    val statusText = if (status == 200) "OK" else "Error"
+    val http = (s"HTTP/1.1 $status $statusText" + CRLF +
+      s"Content-Type: $contentType" + CRLF +
+      s"Content-Length: ${b.length}" + CRLF + CRLF).getBytes("US-ASCII")
+    val payload = new Array[Byte](http.length + b.length)
+    System.arraycopy(http, 0, payload, 0, http.length)
+    System.arraycopy(b, 0, payload, http.length, b.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response"), payload)
+  }
+
+  /** Serialize the `warcinfo` header record real crawlers lead a file with
+    * — ingest must walk over it, so the synthetic corpus includes it.
+    */
+  def writeWarcinfo(filename: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Filename" -> filename,
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes("US-ASCII"))
+
+  // ---- parsing --------------------------------------------------------
+
+  /** Index of the first CRLFCRLF at or after `from`, or −1. */
+  private def blankLine(b: Array[Byte], from: Int, to: Int): Int = {
+    var p = from
+    while (p + 4 <= to) {
+      if (b(p) == '\r' && b(p + 1) == '\n' && b(p + 2) == '\r' && b(p + 3) == '\n')
+        return p
+      p += 1
+    }
+    -1
+  }
+
+  /** Parse a `Key: Value` header block (ASCII, case-insensitive keys). */
+  private def headerMap(b: Array[Byte], from: Int, to: Int): Map[String, String] =
+    new String(b, from, to - from, "US-ASCII").split(CRLF).iterator
+      .map(_.split(":", 2))
+      .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+      .toMap
+
+  /** Walk every record in a WARC byte stream. Stops cleanly at the first
+    * structural violation, returning the records recovered so far.
+    */
+  def records(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    while (p + 8 <= bytes.length) {
+      if (!new String(bytes, p, 8, "US-ASCII").startsWith("WARC/")) return out.toSeq
+      val headEnd = blankLine(bytes, p, bytes.length)
+      if (headEnd < 0) return out.toSeq
+      // skip the version line itself: headers start after its CRLF
+      val lineEnd = {
+        var q = p
+        while (q + 2 <= headEnd + 2 && !(bytes(q) == '\r' && bytes(q + 1) == '\n')) q += 1
+        q + 2
+      }
+      val h = if (lineEnd >= headEnd) Map.empty[String, String]
+        else headerMap(bytes, lineEnd, headEnd)
+      val len = h.get("content-length").flatMap(_.toIntOption).getOrElse(-1)
+      val payloadStart = headEnd + 4
+      if (len < 0 || payloadStart + len > bytes.length) return out.toSeq
+      val warcType = h.getOrElse("warc-type", "")
+      val uri = h.getOrElse("warc-target-uri", "")
+      if (warcType == "response") {
+        // unwrap the HTTP message: status line + headers + CRLFCRLF + body
+        val httpEnd = blankLine(bytes, payloadStart, payloadStart + len)
+        val (status, cType, body) =
+          if (httpEnd < 0) (-1L, "", "")
+          else {
+            // the colon-less status line drops out of the Key: Value collect
+            val hh = headerMap(bytes, payloadStart, httpEnd)
+            val statusLine = new String(bytes, payloadStart,
+              math.min(64, httpEnd - payloadStart), "US-ASCII")
+            val st = statusLine.split(" ").lift(1).flatMap(_.toLongOption).getOrElse(-1L)
+            val bodyStart = httpEnd + 4
+            (st, hh.getOrElse("content-type", ""),
+              new String(bytes, bodyStart, payloadStart + len - bodyStart, "UTF-8"))
+          }
+        out += WarcRecord(warcType, uri, cType, status, body)
+      } else out += WarcRecord(warcType, uri, h.getOrElse("content-type", ""), -1L, "")
+      p = payloadStart + len + 4 // records separate with CRLFCRLF
+    }
+    out.toSeq
+  }
+
+  // ---- Spark tier -----------------------------------------------------
+
+  /** Deterministic synthetic crawl shard set from `documents`: docs group
+    * into files of `docsPerFile` by id range, each file led by a `warcinfo`
+    * record and carrying one HTTP `response` record per doc — URI
+    * `http://example.com/doc/<id>`, status 200 except every 17th id (404),
+    * content type alternating text/plain | text/html, body = the document
+    * text — so an oracle predicts every parsed field from stored columns.
+    * Files are assembled executor-side after a single shuffle on file_id
+    * (the write-side analog of reading real WARCs one file per task).
+    */
+  def syntheticWarcFiles(spark: SparkSession, docs: DataFrame,
+      docsPerFile: Int = 50): Dataset[WarcFile] = {
+    import spark.implicits._
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1 (got $docsPerFile)")
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(Warc.writeWarcinfo(s"crawl-$fileId.warc"))
+        rows.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          bos.write(Warc.writeResponse(
+            uri = s"http://example.com/doc/$id",
+            status = if (id % 17 == 0) 404 else 200,
+            contentType = if (id % 2 == 0) "text/plain" else "text/html",
+            body = Option(text).getOrElse("")))
+        }
+        WarcFile(fileId, bos.toByteArray)
+      }
+  }
+
+  /** Crawl ingest: explode every WARC file into its `response` records —
+    * one O(bytes) pass per file, executor-side, emitting narrow parsed rows
+    * (the container bytes never ship). Non-response records (warcinfo,
+    * request, metadata) are walked over, not emitted. This is the entry
+    * point a real pipeline points at `spark.read.format("binaryFile")`
+    * output; the synthetic tier feeds it the same (file, bytes) shape.
+    */
+  def ingestResponses(spark: SparkSession, files: Dataset[WarcFile]): DataFrame = {
+    import spark.implicits._
+    files.flatMap { f =>
+      Warc.records(f.warc).iterator.collect {
+        case r if r.warc_type == "response" =>
+          (f.file_id, r.target_uri, r.content_type, r.http_status, r.body)
+      }
+    }.toDF("file_id", "target_uri", "content_type", "http_status", "body")
+  }
+}

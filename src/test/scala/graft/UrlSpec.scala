@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+
+/** URL canonicalization mechanics on handcrafted cases — the q_url_normalize
+  * / q_domain_caps oracles prove cross-engine agreement over the corpus;
+  * this spec pins the contract on readable single cases, plus idempotence
+  * (a normalizer that isn't idempotent corrupts re-crawled URLs).
+  */
+class UrlSpec extends SparkTestBase {
+
+  private def norm(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url").select(UrlFunctions.urlNormalize(col("url")).as("n"))
+      .as[String].collect().toSeq
+  }
+
+  test("normalize: case, default ports, empty path, fragment, params") {
+    assert(norm(
+      "HTTP://Example.COM:80?b=2&utm_source=x&&a=1#frag",
+      "https://site.com:443/p?z=9&a=1",
+      "https://site.com:8080/p",
+      "http://site.com/deep/path?single=1#x",
+      "https://site.com") == Seq(
+      "http://example.com/?a=1&b=2",
+      "https://site.com/p?a=1&z=9",
+      "https://site.com:8080/p",
+      "http://site.com/deep/path?single=1",
+      "https://site.com/"))
+  }
+
+  test("normalize is idempotent") {
+    val once = norm(
+      "HTTP://A.B:80/x?utm_c=1&b=&a=2#f",
+      "https://Q.co.UK:8443/?y=1&x=2")
+    assert(norm(once: _*) == once)
+  }
+
+  test("apexDomain honors second-level public suffixes") {
+    import spark.implicits._
+    val got = Seq("www.site.co.uk", "a.b.site.com.au", "www.site.com",
+      "site.com", "co.uk", "localhost")
+      .toDF("h").select(UrlFunctions.apexDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("site.co.uk", "site.com.au", "site.com",
+      "site.com", "co.uk", "localhost"))
+  }
+
+  test("urlHost strips scheme, port, path, and lowercases") {
+    import spark.implicits._
+    val got = Seq("HTTPS://WWW.Site.COM:8443/a/b?q=1#f", "http://host/x")
+      .toDF("u").select(UrlFunctions.urlHost(col("u")).as("h"))
+      .as[String].collect().toSeq
+    assert(got == Seq("www.site.com", "host"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Warc
+
+/** The WARC writer/parser pair: record framing by Content-Length, HTTP
+  * unwrap, warcinfo skip, desync resistance, and the corrupt-tail posture.
+  * The q_warc_ingest oracle proves field recovery end-to-end over the
+  * corpus; this spec pins the container mechanics directly.
+  */
+class WarcSpec extends SparkTestBase {
+
+  test("response record round-trips uri, status, content type, and body") {
+    val body = "héllo wörld — UTF-8 bytes ≠ chars"
+    val bytes = Warc.writeResponse("http://x/1", 200, "text/plain", body)
+    val got = Warc.records(bytes)
+    assert(got == Seq(Warc.WarcRecord("response", "http://x/1", "text/plain", 200L, body)))
+  }
+
+  test("a body containing 'WARC/1.0' record markers cannot desync the walk") {
+    val evil = "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake inner record"
+    val bytes = Warc.writeResponse("http://x/evil", 200, "text/html", evil) ++
+      Warc.writeResponse("http://x/2", 404, "text/plain", "after")
+    val got = Warc.records(bytes)
+    assert(got.map(r => (r.target_uri, r.http_status, r.body)) ==
+      Seq(("http://x/evil", 200L, evil), ("http://x/2", 404L, "after")))
+  }
+
+  test("warcinfo lead record is parsed as non-response and ingest skips it") {
+    import spark.implicits._
+    val bytes = Warc.writeWarcinfo("f.warc") ++
+      Warc.writeResponse("http://x/9", 200, "text/plain", "ok")
+    val recs = Warc.records(bytes)
+    assert(recs.map(_.warc_type) == Seq("warcinfo", "response"))
+    assert(recs.head.http_status == -1L && recs.head.body.isEmpty)
+    val df = Warc.ingestResponses(spark,
+      Seq(Warc.WarcFile(3L, bytes)).toDS())
+    assert(df.select("file_id", "target_uri", "body").collect().map(_.toSeq).toSeq
+      == Seq(Seq(3L, "http://x/9", "ok")))
+  }
+
+  test("truncated tail yields the records already recovered, never throws") {
+    val bytes = Warc.writeResponse("http://x/1", 200, "text/plain", "one") ++
+      Warc.writeResponse("http://x/2", 200, "text/plain", "two")
+    val cut = bytes.take(bytes.length - 10)
+    assert(Warc.records(cut).map(_.body) == Seq("one"))
+    assert(Warc.records(Array.emptyByteArray).isEmpty)
+    assert(Warc.records("not a warc at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("missing Content-Length or malformed HTTP payload stop cleanly") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("US-ASCII")
+    assert(Warc.records(noLen).isEmpty)
+    // response whose payload has no HTTP blank line: record is framed (the
+    // walk continues) but the HTTP fields are the failure sentinel
+    val raw = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\nContent-Length: 5\r\n\r\nabcde\r\n\r\n"
+    val got = Warc.records(raw.getBytes("US-ASCII"))
+    assert(got == Seq(Warc.WarcRecord("response", "u", "", -1L, "")))
+  }
+
+  test("synthetic shards group docs per file and ingest recovers the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val files = Warc.syntheticWarcFiles(spark, docs, docsPerFile = 50)
+    val got = Warc.ingestResponses(spark, files)
+    assert(got.count() == 120L)
+    val byFile = got.groupBy("file_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(byFile.keySet.forall(_ >= 0L) && byFile.values.sum == 120L)
+    // body text byte-identical to the source column
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.select("target_uri", "body").as[(String, String)].collect().foreach {
+      case (uri, body) =>
+        val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+        assert(body == texts(id), s"body mismatch for doc $id")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.multimodal.{Multimodal, Wav}
+
+/** The WAV container writer/parser pair: structural round-trip, chunk-walk
+  * robustness (LIST chunk between fmt and data), truncation salvage, and the
+  * corrupt-blob posture. The q_wav_meta / q_wav_windows oracles prove decoded
+  * CONTENT end-to-end; this spec pins the container mechanics directly.
+  */
+class WavSpec extends SparkTestBase {
+
+  private def ramp(n: Int): Array[Short] =
+    Array.tabulate(n)(i => (i * 1103 - 7000).toShort)
+
+  test("write → parse round-trips header metadata and every sample") {
+    val s = ramp(777) // odd data size in samples, even in bytes
+    val bytes = Wav.writePcm16(16000, s)
+    val info = Wav.parseInfo(bytes).get
+    assert((info.channels, info.sampleRate, info.bitsPerSample, info.nFrames)
+      == (1, 16000, 16, 777))
+    assert(Wav.samples(bytes).toSeq == s.toSeq)
+  }
+
+  test("LIST chunk between fmt and data is walked over, not misread") {
+    val s = ramp(100)
+    val bytes = Wav.writePcm16(8000, s, withListChunk = true)
+    assert(Wav.parseInfo(bytes).get.nFrames == 100)
+    assert(Wav.samples(bytes).toSeq == s.toSeq)
+    // and the data slice is frame-aligned inside the buffer
+    val (start, len) = Wav.dataRange(bytes).get
+    assert(len == 200 && start + len <= bytes.length)
+  }
+
+  test("stereo frames count per channel; interleaving round-trips") {
+    val s = ramp(64) // 32 L/R frames
+    val bytes = Wav.writePcm16(44100, s, channels = 2)
+    val info = Wav.parseInfo(bytes).get
+    assert((info.channels, info.nFrames) == (2, 32))
+    assert(Wav.samples(bytes).toSeq == s.toSeq)
+  }
+
+  test("truncated download salvages the whole frames actually present") {
+    val s = ramp(500)
+    val bytes = Wav.writePcm16(16000, s)
+    val cut = bytes.take(bytes.length - 101) // drop 101 bytes: 50 frames + 1
+    val info = Wav.parseInfo(cut).get
+    assert(info.nFrames == 449)
+    assert(Wav.samples(cut).toSeq == s.take(449).toSeq)
+  }
+
+  test("garbage, foreign forms, and non-PCM payloads parse to None, never throw") {
+    assert(Wav.parseInfo(Array.emptyByteArray).isEmpty)
+    assert(Wav.parseInfo("RIFFxxxxAVI LIST".getBytes("US-ASCII")).isEmpty)
+    assert(Wav.samples(Array[Byte](82, 73, 70, 70, 1, 2, 3)).isEmpty)
+    // valid RIFF/WAVE but 8-bit format tag field: rejected by the PCM-16 gate
+    val good = Wav.writePcm16(8000, ramp(10))
+    val mutated = good.clone()
+    mutated(34) = 8 // wBitsPerSample LSB: 16 → 8
+    assert(Wav.parseInfo(mutated).isEmpty)
+  }
+
+  test("wavMeta emits the sentinel row for undecodable media; wavAudio drops it") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "junk", 3L)).toDS()
+    assert(Multimodal.wavMeta(spark, bad).collect().toSeq
+      == Seq(Multimodal.WavMeta(7L, -1L, -1L, -1L, -1L)))
+    assert(Multimodal.wavAudio(spark, bad).count() == 0L)
+  }
+
+  test("container tier matches the raw-PCM tier on the same waveform") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(30)
+    val viaWav = Multimodal.audioWindows(spark,
+      Multimodal.wavAudio(spark, Multimodal.syntheticWavs(spark, docs)))
+      .collect().map(w => (w.doc_id, w.win_id, w.rms, w.peak)).sortBy(t => (t._1, t._2))
+    val viaPcm = Multimodal.audioWindows(spark,
+      Multimodal.syntheticPcm(spark, docs))
+      .collect().map(w => (w.doc_id, w.win_id, w.rms, w.peak)).sortBy(t => (t._1, t._2))
+    assert(viaWav.nonEmpty && viaWav.toSeq == viaPcm.toSeq)
+  }
+}
