@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction for the crawl tier — the step between WARC ingest
+  * (which yields `text/html` bodies) and every text-quality operator
+  * downstream (quality scoring, language ID, dedup shingles all want
+  * rendered text, not markup; a `<div class="...">` soup inflates shingle
+  * sets and poisons quality ratios).
+  *
+  * Composed entirely from built-in column functions (regexp_replace +
+  * literal replace chains), so extraction stays inside whole-stage codegen —
+  * no UDF, no external parser, linear per-row work. The regexes avoid
+  * backreferences and possessive quantifiers on purpose: the same patterns
+  * must run under Java regex (Spark) and RE2 (DuckDB oracle, and the RE2
+  * family many production scanners use).
+  *
+  * This is deliberately a TEXT EXTRACTOR, not an HTML parser: malformed
+  * markup (unclosed tags, stray `<`) degrades to extra stripped spans or
+  * leftover angle text, never to an error — the right failure mode for
+  * crawl-scale content. A DOM-fidelity parse (tables, lists, boilerplate
+  * DOM pruning) is a different tier; [[TextFunctions]] boilerplate removal
+  * composes downstream of this one.
+  */
+object HtmlFunctions {
+
+  /** Entity decode order matters: `&amp;` must decode LAST so that
+    * `&amp;lt;` renders as the literal text `&lt;` rather than `<`.
+    */
+  private val entities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Rendered text of an HTML fragment:
+    *  1. `<script>`/`<style>` elements dropped WITH their contents (code is
+    *     not prose — and script bodies are the classic dedup poison);
+    *  2. comments and all remaining tags replaced by a space (block
+    *     boundaries must not glue words together);
+    *  3. the five core named entities + `&#39;`/`&nbsp;` decoded, `&amp;`
+    *     last;
+    *  4. whitespace collapsed to single spaces and trimmed.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    trim(regexp_replace(decoded, "[\\s\\u00A0]+", " "))
+  }
+
+  /** Visible text of the `<title>` element ('' when absent) — the
+    * highest-signal quality/snippet field a crawl extract keeps.
+    */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title", 1),
+      "[\\s\\u00A0]+", " "))
+
+  /** Outbound link targets: every `href` attribute value of an `<a>` tag
+    * (double- or single-quoted). The crawl-frontier / link-graph feed —
+    * compose with [[UrlFunctions.urlNormalize]] + [[UrlFunctions.apexDomain]]
+    * for the domain-graph edge list.
+    */
+  def htmlLinks(html: Column): Column = {
+    val hrefs = regexp_extract_all(
+      html, lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    filter(hrefs, h => h =!= "")
+  }
+}

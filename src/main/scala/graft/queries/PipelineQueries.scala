@@ -3837,6 +3837,194 @@ object PipelineQueries {
       |   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM d)
       | SELECT domain, doc_id FROM a WHERE rn <= 8""".stripMargin))
 
+  /** Streaming crawl ingest — the PRODUCTION shape of WARC consumption: a
+    * continuous crawler lands shard files and the pipeline parses them as
+    * they arrive, not in a nightly batch. The stream carries whole WARC
+    * FILES (the natural arrival unit — a file is sequential inside, so the
+    * record walk is per-file executor work exactly as in batch), exploded
+    * to response records by the same [[graft.sources.Warc.ingestResponses]]
+    * path, so batch and stream share one parser. Stateless → ONE trigger;
+    * many addData blocks so the per-file parse fans across cores
+    * (MemoryStream = one partition per block). Oracle = the batch ingest
+    * oracle: chunking cannot affect a stateless explode.
+    */
+  lazy val qStreamWarcIngest = Fixture(
+    "q_stream_warc_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val files = graft.sources.Warc
+        .syntheticWarcFiles(s, Tables.documents(s, d))
+        .map(f => (f.file_id, f.warc))
+        .collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Byte])]
+      val out = graft.sources.Warc.ingestResponses(s,
+        ms.toDS().map { case (id, bytes) => graft.sources.Warc.WarcFile(id, bytes) })
+      val sink = s"stream_warc_${System.nanoTime}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        files.grouped(math.max(1, files.length / 8 + 1)).foreach(c => ms.addData(c.toSeq))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    },
+    qWarcIngest.oracle)
+
+  /** Deterministic HTML wrapping of each document — title with an entity,
+    * a style block, a script whose body contains `<`, `>` and quotes (the
+    * classic naive-tag-strip desync), a comment, entity-quoted body text,
+    * and two links — constructed IDENTICALLY by the Spark fixture and the
+    * oracle (shared test vector; keep in sync with [[messyHtmlSql]]).
+    */
+  private def messyHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" &amp; friends</title><style>p { color: red; }</style>" +
+      "<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>" +
+      "<body><!-- hidden --><h1 class=\"t\">Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>&quot;"), col("text"),
+    lit("&quot; &amp;&nbsp;more</p><a href=\"HTTP://Site"),
+    (col("doc_id") % 9).cast("string"),
+    lit(".com:80/p?utm_a=1&b=2#f\">l1</a><a href='/rel'>l2</a></body></html>"))
+
+  /** The same construction in DuckDB SQL (column `html` over `documents`). */
+  private val messyHtmlSql = Seq(
+    "'<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'",
+    "'<style>p { color: red; }</style>'",
+    "'<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>'",
+    "'<body><!-- hidden --><h1 class=\"t\">Doc ' || doc_id || '</h1>'",
+    "'<p>&quot;' || text || '&quot; &amp;&nbsp;more</p>'",
+    "'<a href=\"HTTP://Site' || (doc_id % 9) || '.com:80/p?utm_a=1&b=2#f\">l1</a>'",
+    "'<a href=''/rel''>l2</a></body></html>'").mkString(" || ")
+
+  /** HTML → text extraction ([[HtmlFunctions]]) — the step between WARC
+    * ingest and every downstream text operator: script/style/comment
+    * bodies dropped, tags spaced out, core entities decoded (`&amp;`
+    * last), whitespace collapsed; plus `<title>` recovery and the `href`
+    * link list (the crawl-frontier feed). The script body embeds `<`,
+    * `>`, `&&` and a literal `</div>` string — a tag-strip that doesn't
+    * remove script elements FIRST emits fragments of code and fails the
+    * hash. Spark side is all built-in column functions under whole-stage
+    * codegen; the oracle re-derives extraction with RE2 regexes — the
+    * patterns are deliberately backreference-free so both engines run
+    * them.
+    */
+  val qHtmlExtract = Fixture(
+    "q_html_extract",
+    (s, d) => {
+      import graft.functions.HtmlFunctions._
+      Tables.documents(s, d).select(col("doc_id"),
+        htmlTitle(messyHtml).as("title"),
+        htmlToText(messyHtml).as("txt"),
+        array_join(htmlLinks(messyHtml), " ").as("links"),
+        size(htmlLinks(messyHtml)).cast("long").as("n_links"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, text, $messyHtmlSql AS html FROM documents),
+      | s1 AS (SELECT doc_id, text, html,
+      |   regexp_replace(html, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g') AS h FROM u),
+      | s2 AS (SELECT doc_id, text, html,
+      |   regexp_replace(h, '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g') AS h FROM s1),
+      | s3 AS (SELECT doc_id, text, html,
+      |   regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+      | s4 AS (SELECT doc_id, text, html,
+      |   regexp_replace(h, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS h FROM s3),
+      | s5 AS (SELECT doc_id, text, html,
+      |   replace(replace(replace(replace(replace(replace(h,
+      |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |     '&nbsp;', ' '), '&amp;', '&') AS h FROM s4),
+      | fin AS (SELECT doc_id, html,
+      |   trim(regexp_replace(h, '\\s+', ' ', 'g')) AS txt FROM s5)
+      | SELECT doc_id,
+      |   trim(regexp_replace(regexp_extract(html,
+      |     '(?is)<title[^>]*>(.*?)</title', 1), '\\s+', ' ', 'g')) AS title,
+      |   txt,
+      |   array_to_string(list_filter(regexp_extract_all(html,
+      |     '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1),
+      |     x -> x <> ''), ' ') AS links,
+      |   len(list_filter(regexp_extract_all(html,
+      |     '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1),
+      |     x -> x <> ''))::BIGINT AS n_links
+      | FROM fin""".stripMargin))
+
+  /** Domain link-graph edges extracted the long way — page URL →
+    * [[UrlFunctions.apexDomain]] source, every ABSOLUTE `href` in the HTML
+    * ([[HtmlFunctions.htmlLinks]]) → destination domain — aggregated to a
+    * weighted edge list, the crawl-frontier / authority-graph feed. The
+    * oracle predicts the edges from doc_id arithmetic alone, so hash
+    * equality proves HTML link scrape → relative-link drop → host parse →
+    * apex mapping end-to-end. One corpus scan, one edge-sized shuffle.
+    */
+  val qLinkGraph = Fixture(
+    "q_link_graph",
+    (s, d) => {
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      Tables.documents(s, d)
+        .select(
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
+          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
+        .where(lower(col("link")).startsWith("http"))
+        .select(col("src"),
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT 'site' || (doc_id % 40) ||
+      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
+      |   'site' || (doc_id % 9) || '.com' AS dst, count(*)::BIGINT AS cnt
+      | FROM documents GROUP BY 1, 2""".stripMargin))
+
+  /** Fixed-iteration PageRank over the extracted domain graph
+    * ([[graft.operators.LinkGraph.pageRank]], 3 rounds, d = 0.85) — domain
+    * authority, the curation signal that weights quality scores and orders
+    * the crawl frontier. The oracle unrolls the same synchronous iteration
+    * in SQL (r0 → r1 → r2 → r3, dangling mass dropped per the operator's
+    * contract), so agreement pins the CONTRACT, not one engine's quirks.
+    * Each Spark round is one node-sized shuffle joined to the static
+    * out-degree relation; lineage is checkpoint-truncated per round — the
+    * plan a 100 TB crawl graph needs (rank state is node-sized, driver
+    * holds nothing).
+    */
+  val qDomainPagerank = Fixture(
+    "q_domain_pagerank",
+    (s, d) => {
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val edges = Tables.documents(s, d)
+        .select(
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
+          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
+        .where(lower(col("link")).startsWith("http"))
+        .select(col("src"),
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
+      graft.operators.LinkGraph.pageRank(s, edges, iters = 3)
+        .select(col("node"), Quant.q4(col("rank")).as("rank"))
+    },
+    Some(s"""WITH raw AS (SELECT 'site' || (doc_id % 40) ||
+      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
+      |   'site' || (doc_id % 9) || '.com' AS dst FROM documents),
+      | e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
+      | o AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY 1),
+      | nd AS (SELECT DISTINCT node FROM
+      |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      | nn AS (SELECT count(*)::DOUBLE AS n FROM nd),
+      | r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
+      | c1 AS (SELECT e.dst AS node, sum(r0.rank * e.w / o.outdeg) AS m
+      |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      | r1 AS (SELECT nd.node,
+      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c1.m, 0) AS rank
+      |   FROM nd LEFT JOIN c1 USING (node)),
+      | c2 AS (SELECT e.dst AS node, sum(r1.rank * e.w / o.outdeg) AS m
+      |        FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      | r2 AS (SELECT nd.node,
+      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c2.m, 0) AS rank
+      |   FROM nd LEFT JOIN c2 USING (node)),
+      | c3 AS (SELECT e.dst AS node, sum(r2.rank * e.w / o.outdeg) AS m
+      |        FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      | r3 AS (SELECT nd.node,
+      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.m, 0) AS rank
+      |   FROM nd LEFT JOIN c3 USING (node))
+      | SELECT node, ${q4("rank")} AS rank FROM r3""".stripMargin))
+
   /** Snapshot time-travel diff ([[graft.sources.SnapshotLake.readVersion]]
     * + [[graft.sources.SnapshotLake.diff]]): commit v0 = the corpus, v1 =
     * an edited corpus (every 10th doc's n_chars bumped, every
@@ -4195,6 +4383,7 @@ object PipelineQueries {
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
+    qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlFunctions
+
+/** HTML→text extraction mechanics on handcrafted cases — the q_html_extract
+  * oracle proves cross-engine agreement over the corpus; this spec pins the
+  * contract on readable single cases.
+  */
+class HtmlSpec extends SparkTestBase {
+
+  private def extract(html: String): (String, String, Seq[String]) = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(
+      HtmlFunctions.htmlToText(col("h")).as("t"),
+      HtmlFunctions.htmlTitle(col("h")).as("ti"),
+      HtmlFunctions.htmlLinks(col("h")).as("l"))
+      .as[(String, String, Seq[String])].collect().head
+  }
+
+  test("script and style bodies are dropped with their contents") {
+    val (t, _, _) = extract(
+      "<p>before</p><script>if (a < b && c > d) { s = \"</div>\"; }</script>" +
+        "<style>p > a { color: red }</style><p>after</p>")
+    assert(t == "before after")
+  }
+
+  test("comments, tags, and entities: decode order keeps &amp;lt; literal") {
+    val (t, _, _) = extract(
+      "<!-- note --><p>&quot;x&quot; &lt;tag&gt; &amp;lt; &amp;&nbsp;y</p>")
+    assert(t == "\"x\" <tag> &lt; & y")
+  }
+
+  test("title is recovered and whitespace-collapsed; absent title is empty") {
+    val (_, ti, _) = extract("<head><title>  A \n  B </title></head>")
+    assert(ti == "A B")
+    assert(extract("<p>no title</p>")._2 == "")
+  }
+
+  test("links: double/single quotes collected, empty hrefs dropped") {
+    val (_, _, l) = extract(
+      "<a href=\"http://x/1\">a</a><A HREF='rel/p'>b</A>" +
+        "<a href=\"\">empty</a><a name=\"anchor\">no href</a>")
+    assert(l == Seq("http://x/1", "rel/p"))
+  }
+
+  test("malformed markup degrades, never throws: stray < stays text") {
+    // tags must start with a letter or '!', so "< 3" survives as text
+    val (t, _, _) = extract("<p>2 < 3 and <b>bold</b> and 5 > 4</p>")
+    assert(t == "2 < 3 and bold and 5 > 4")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.LinkGraph
+
+/** PageRank contract on handcrafted graphs with hand-computed ranks — the
+  * q_domain_pagerank oracle proves the crawl-scale path; this pins the
+  * algebra (damping, weights, dangling handling) on readable cases.
+  */
+class LinkGraphSpec extends SparkTestBase {
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    import spark.implicits._
+    LinkGraph.pageRank(spark, edges.toDF("src", "dst"), iters)
+      .as[(String, Double)].collect().toMap
+  }
+
+  test("two-node cycle is the fixed point: ranks stay 1/2") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"), iters = 4)
+    assert(r.keySet == Set("a", "b"))
+    r.values.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+  }
+
+  test("chain with a dangling sink: source decays to (1-d)/N, mass drains") {
+    // a→b→c, c dangling: after 2 rounds a = 0.05, b = 0.05 + 0.85·0.05
+    val r = ranks(Seq("a" -> "b", "b" -> "c"), iters = 2)
+    assert(math.abs(r("a") - 0.05) < 1e-12)
+    assert(math.abs(r("b") - (0.05 + 0.85 * 0.05)) < 1e-12)
+    assert(math.abs(r("c") - (0.05 + 0.85 * (0.05 + 0.85 / 3.0))) < 1e-12)
+    // dangling c's mass is dropped, not redistributed: total < 1
+    assert(r.values.sum < 1.0)
+  }
+
+  test("parallel edges weight contributions 2:1") {
+    // a→b ×2, a→c ×1: b gets 2/3 of a's damped rank, c gets 1/3
+    val r = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c"), iters = 1)
+    val base = 0.15 / 3.0
+    assert(math.abs(r("b") - (base + 0.85 * (1.0 / 3.0) * (2.0 / 3.0))) < 1e-12)
+    assert(math.abs(r("c") - (base + 0.85 * (1.0 / 3.0) * (1.0 / 3.0))) < 1e-12)
+  }
+
+  test("iters = 0 returns the uniform prior over the node set") {
+    val r = ranks(Seq("a" -> "b", "c" -> "a"), iters = 0)
+    assert(r.keySet == Set("a", "b", "c"))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3.0) < 1e-15))
+  }
+}
