@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join that never degenerates into a broadcast
+  * nested-loop / cartesian product — the plan Spark itself picks for a raw
+  * `p.t BETWEEN i.s AND i.e` theta join, which is O(|points|·|intervals|)
+  * and the classic range-join cliff at scale.
+  *
+  * Mechanics (the standard time-chunk / grid-bucketing decomposition, as in
+  * interval-join implementations of the streaming engines and the
+  * overlap-join literature): pick a chunk width W in the domain's units;
+  * every interval registers under each chunk it overlaps
+  * (`s div W .. e div W` — fan-out `len/W + 1`), every point under the one
+  * chunk containing it; a plain EQUI-join on the chunk id then meets each
+  * point only with intervals sharing its chunk, and the exact
+  * `s ≤ t ≤ e` predicate filters the survivors. Equi-join ⇒ hash
+  * partitioned shuffle, partial pruning, AQE skew splitting — all the
+  * machinery a theta join forfeits.
+  *
+  * Choosing W: ≈ the TYPICAL interval length. Much smaller → interval
+  * fan-out explodes; much larger → each chunk pairs points with far-away
+  * intervals the filter then discards. Both degrade gracefully (correctness
+  * is unaffected — only the candidate count moves).
+  *
+  * Domain contract: `ptCol`/`startCol`/`endCol` are NON-NEGATIVE integral
+  * values in one shared unit (epoch seconds, micros, …) — `div` is used for
+  * exact chunk assignment (no double rounding near boundaries). Inverted
+  * intervals (`e < s`) are dropped, not errors: crawl-scale inputs contain
+  * them.
+  */
+object IntervalJoin {
+
+  def pointInInterval(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      chunk: Long): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1 (got $chunk)")
+    val ic = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("__chunk",
+        explode(sequence(expr(s"$startCol div $chunk"), expr(s"$endCol div $chunk"))))
+    val pc = points.withColumn("__chunk", expr(s"$ptCol div $chunk"))
+    pc.join(ic, Seq("__chunk"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__chunk")
+  }
+}

@@ -2805,6 +2805,61 @@ object PipelineQueries {
       |   ${q4("sum(lp6) / count(*) / 1000000")} AS avg_logp
       | FROM bi JOIN m USING (w1, w2) GROUP BY doc_id""".stripMargin))
 
+  /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
+    * against 200 synthetic "session" intervals (arithmetic starts/ends, some
+    * overlapping) via the time-CHUNK decomposition — interval fan-out to
+    * chunk ids + plain equi-join + exact filter — where the naive spelling
+    * is a broadcast nested-loop over every (point, interval) pair. The
+    * oracle IS that naive spelling (DuckDB `BETWEEN` theta join), so hash
+    * equality proves the decomposition loses and invents nothing at chunk
+    * boundaries (chunk 15000 vs interval lengths 3000–15000 exercises
+    * intervals spanning 1–2 chunks). Same-unit integer `div` chunking —
+    * no double rounding near boundaries.
+    */
+  val qIntervalJoin = Fixture(
+    "q_interval_join",
+    (s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("long").as("t"))
+      val iv = s.range(0, 200).select(col("id").as("iid"),
+        (lit(1704067200L) + col("id") * 11000).as("s0"),
+        (lit(1704067200L) + col("id") * 11000 + 3000 + (col("id") % 7) * 2000).as("e0"))
+      graft.operators.IntervalJoin.pointInInterval(pts, "t", iv, "s0", "e0",
+          chunk = 15000L)
+        .select(col("event_id"), col("iid"))
+    },
+    Some(s"""WITH iv AS (SELECT j AS iid, 1704067200 + j * 11000 AS s0,
+      |     1704067200 + j * 11000 + 3000 + (j % 7) * 2000 AS e0
+      |   FROM (SELECT unnest(generate_series(0, 199)) AS j)),
+      | p AS (SELECT event_id, ${SqlGen.es("ts")} AS t FROM events)
+      | SELECT p.event_id, iv.iid FROM p JOIN iv ON p.t BETWEEN iv.s0 AND iv.e0""".stripMargin))
+
+  /** CCNet-style quality bucketing: per-LANGUAGE perplexity terciles over
+    * the corpus-LM document scores ([[qLmDocScore]]'s exact pipeline, by
+    * composition) — head/middle/tail is the split CCNet publishes and
+    * training mixtures key on ("train on head+middle, drop tail").
+    * Per-language windows matter: absolute LM scores are not comparable
+    * across languages, so bucketing must be within-lang. Ordering is the
+    * quantized score (identical doubles both engines) with doc_id
+    * tie-break — fully deterministic; `ntile` partitions are per-language
+    * (never corpus-wide window state). Bucket 1 = most fluent.
+    */
+  val qCcnetBuckets = Fixture(
+    "q_ccnet_buckets",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(qLmDocScore.build(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          ntile(3).over(w).cast("long").as("bucket"))
+    },
+    Some(s"""WITH scored AS (${qLmDocScore.oracle.get})
+      | SELECT d.doc_id, d.lang,
+      |   ntile(3) OVER (PARTITION BY d.lang
+      |                  ORDER BY s.avg_logp DESC, d.doc_id)::BIGINT AS bucket
+      | FROM documents d JOIN scored s ON d.doc_id = s.doc_id""".stripMargin))
+
   /** DSIR-style hashed-unigram importance weights
     * ([[graft.functions.Importance]]): each document scored by the
     * log-likelihood ratio between the TARGET unigram model (the `en` slice,
@@ -4384,6 +4439,7 @@ object PipelineQueries {
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
     qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
+    qCcnetBuckets, qIntervalJoin,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntervalJoin
+
+/** The chunked interval join against the naive theta join on the same data
+  * — boundary inclusivity, chunk-spanning intervals, inverted-interval
+  * drop, and chunk-width invariance (W only changes candidates, never
+  * results).
+  */
+class IntervalJoinSpec extends SparkTestBase {
+
+  private def naive(points: Seq[(Long, Long)],
+      ivs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (pid, t) <- points
+      (iid, s0, e0) <- ivs
+      if e0 >= s0 && t >= s0 && t <= e0
+    } yield (pid, iid)).toSet
+
+  private def chunked(points: Seq[(Long, Long)],
+      ivs: Seq[(Long, Long, Long)], w: Long): Set[(Long, Long)] = {
+    import spark.implicits._
+    IntervalJoin.pointInInterval(
+        points.toDF("pid", "t"), "t",
+        ivs.toDF("iid", "s0", "e0"), "s0", "e0", w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+  }
+
+  test("matches the naive join, including exact start/end boundary points") {
+    val ivs = Seq((1L, 100L, 200L), (2L, 150L, 150L), (3L, 199L, 310L))
+    val pts = Seq((10L, 99L), (11L, 100L), (12L, 150L), (13L, 200L),
+      (14L, 201L), (15L, 310L), (16L, 311L))
+    val expect = naive(pts, ivs)
+    assert(expect.contains((11L, 1L)) && expect.contains((13L, 1L))) // inclusive ends
+    assert(chunked(pts, ivs, 64L) == expect)
+  }
+
+  test("chunk width only changes candidates, never results") {
+    // deterministic pseudo-random layout with heavy overlap
+    val ivs = (0L until 60L).map(i => (i, i * 37 % 500, i * 37 % 500 + i % 90))
+    val pts = (0L until 300L).map(p => (p, p * 13 % 600))
+    val expect = naive(pts, ivs)
+    for (w <- Seq(1L, 7L, 50L, 1000L))
+      assert(chunked(pts, ivs, w) == expect, s"mismatch at chunk=$w")
+  }
+
+  test("inverted intervals are dropped, not joined or thrown") {
+    val ivs = Seq((1L, 200L, 100L), (2L, 50L, 60L))
+    val pts = Seq((10L, 150L), (11L, 55L))
+    assert(chunked(pts, ivs, 32L) == Set((11L, 2L)))
+  }
+}
