@@ -2805,6 +2805,58 @@ object PipelineQueries {
       |   ${q4("sum(lp6) / count(*) / 1000000")} AS avg_logp
       | FROM bi JOIN m USING (w1, w2) GROUP BY doc_id""".stripMargin))
 
+  /** robots.txt compliance gate ([[graft.sources.Robots]]): 40 synthetic
+    * per-domain robots files — a `googlebot` group with `Disallow: /` that
+    * MUST be skipped (broken group selection disallows everything and
+    * fails every row), comments, an empty `Disallow:` (the allow-all
+    * idiom), an unknown directive — and a frontier whose paths exercise
+    * longest-match (`Allow: /privateK/ok` beating `Disallow: /privateK/`),
+    * pure prefix semantics (`/tmp` blocks `/tmpfile`), the
+    * shorter-than-rule miss (`/privateK` vs `/privateK/`), and the
+    * no-match default. The oracle predicts each decision from doc_id
+    * arithmetic alone, so equality proves parse → group selection →
+    * longest-match → tie-break end-to-end. Rules are a domain-keyed
+    * relation; the gate is one equi-join + per-URL window.
+    */
+  val qRobotsGate = Fixture(
+    "q_robots_gate",
+    (s, d) => {
+      val kd = col("id").cast("string")
+      val robots = s.range(0, 40).select(
+        concat(lit("site"), kd, lit(".com")).as("domain"),
+        concat(
+          lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /private"), kd,
+          lit("/\nDisallow: /tmp\nAllow: /private"), kd, lit("/ok\n"),
+          when(col("id") % 3 === 0, lit("Disallow:\n")).otherwise(lit("")),
+          when(col("id") % 2 === 0, lit("Crawl-delay: 2\n")).otherwise(lit("")))
+          .as("robots_txt"))
+      val rules = graft.sources.Robots.parseRules(s, robots)
+      val k = (col("doc_id") % 40).cast("string")
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("site"), k, lit(".com")).as("domain"),
+        when(col("doc_id") % 6 === 0,
+            concat(lit("/private"), k, lit("/ok/page"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 1, concat(lit("/private"), k, lit("/secret")))
+          .when(col("doc_id") % 6 === 2, lit("/tmpfile"))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("/public/page"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 4, lit("/tmp/x"))
+          .otherwise(concat(lit("/private"), k)).as("path"))
+      graft.sources.Robots.gate(urls, rules)
+        .select("doc_id", "domain", "path", "allowed")
+    },
+    Some("""SELECT doc_id, 'site' || (doc_id % 40) || '.com' AS domain,
+      |   CASE doc_id % 6
+      |     WHEN 0 THEN '/private' || (doc_id % 40) || '/ok/page' || doc_id
+      |     WHEN 1 THEN '/private' || (doc_id % 40) || '/secret'
+      |     WHEN 2 THEN '/tmpfile'
+      |     WHEN 3 THEN '/public/page' || doc_id
+      |     WHEN 4 THEN '/tmp/x'
+      |     ELSE '/private' || (doc_id % 40) END AS path,
+      |   doc_id % 6 IN (0, 3, 5) AS allowed
+      | FROM documents""".stripMargin))
+
   /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
     * against 200 synthetic "session" intervals (arithmetic starts/ends, some
     * overlapping) via the time-CHUNK decomposition — interval fan-out to
@@ -4439,7 +4491,7 @@ object PipelineQueries {
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
     qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
-    qCcnetBuckets, qIntervalJoin,
+    qCcnetBuckets, qIntervalJoin, qRobotsGate,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance for the crawl tier — the politeness gate between
+  * the link-graph frontier and the fetcher: a crawler that ignores
+  * robots.txt is not shippable, so "can I fetch this path" is as much a
+  * pipeline operator as dedup is.
+  *
+  * Semantics implemented (the original robots exclusion protocol plus the
+  * Allow extension, match semantics per RFC 9309 §2.2.2): rules are PATH
+  * PREFIXES under a `User-agent` group; the applicable rule for a path is
+  * the LONGEST matching prefix, with `Allow` winning length ties; no
+  * matching rule (or no robots.txt at all) means allowed. Only the
+  * `User-agent: *` group is consulted — per-agent selection is a
+  * pre-filter on the rules relation, not a different algorithm. Wildcards
+  * (`*`, `$`) inside rule paths are NOT implemented (they are a later
+  * Google extension); `parseRules` keeps such patterns as literal
+  * prefixes, the conservative reading.
+  *
+  * Scale posture: rules live in a (domain, prefix, allow) RELATION — a few
+  * rows per domain, corpus-bounded by #domains not #pages. The allow
+  * decision is an equi-join on domain (co-partitioned with any per-domain
+  * frontier work) + prefix filter + one per-(url) longest-match window —
+  * window state is one URL's matching rules, never corpus-scaled. For a
+  * frontier of billions of URLs against millions of domains, both sides
+  * shuffle once on domain; no broadcast is required (though AQE may choose
+  * one when the rules side is small).
+  */
+object Robots {
+
+  /** Parse robots.txt payloads into the rules relation.
+    *
+    * Input: (`domain`, `robots_txt`) rows. Output: (`domain`, `prefix`,
+    * `allow`, `rule_len`) — the `User-agent: *` group's Allow/Disallow
+    * lines with non-empty paths. Parsing is line-oriented and defensive
+    * (crawl-scale robots.txt is full of typos): unknown directives and
+    * other agent groups are skipped; comments (`#`) stripped; directive
+    * names case-insensitive; an empty `Disallow:` (the "allow everything"
+    * idiom) produces no rule, matching its meaning.
+    */
+  def parseRules(spark: SparkSession, robots: DataFrame): DataFrame = {
+    import spark.implicits._
+    robots.select(col("domain").cast("string"), col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (domain, txt) =>
+        // a RUN of consecutive User-agent lines names one group; the group
+        // is the star group if ANY of them is `*`. Any directive line ends
+        // the run; blank/comment lines are ignored entirely.
+        var inStar = false
+        var inUaRun = false
+        Option(txt).getOrElse("").split("\n").iterator.flatMap { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val i = line.indexOf(':')
+          if (i < 0) Iterator.empty
+          else {
+            val key = line.substring(0, i).trim.toLowerCase
+            val value = line.substring(i + 1).trim
+            key match {
+              case "user-agent" =>
+                if (!inUaRun) inStar = false
+                if (value == "*") inStar = true
+                inUaRun = true
+                Iterator.empty
+              case "allow" | "disallow" if inStar && value.nonEmpty =>
+                inUaRun = false
+                Iterator.single((domain, value, key == "allow", value.length.toLong))
+              case _ =>
+                inUaRun = false
+                Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("domain", "prefix", "allow", "rule_len")
+  }
+
+  /** Gate a URL frontier on the rules relation. `urls` carries (`domain`,
+    * `path`, …; rows assumed distinct — they are the window identity);
+    * returns the input columns plus `allowed`. Longest matching prefix
+    * wins; `Allow` wins length ties; no matching rule (including no rules
+    * at all for the domain) ⇒ allowed.
+    */
+  def gate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val urlCols = urls.columns.map(col)
+    val isMatch = col("prefix").isNotNull && col("path").startsWith(col("prefix"))
+    // every joined row survives to the ranking; NON-matching rows carry
+    // null match keys so they rank after any real match and fall back to
+    // allowed — a URL whose rules all miss must not vanish in a filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(urlCols: _*)
+      .orderBy(col("__mlen").desc_nulls_last, col("__mallow").desc_nulls_last)
+    urls.join(rules, Seq("domain"), "left")
+      .withColumn("__mlen", when(isMatch, col("rule_len")))
+      .withColumn("__mallow", when(isMatch, col("allow")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(urlCols :+
+        coalesce(col("__mallow"), lit(true)).as("allowed"): _*)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.Robots
+
+/** robots.txt parse + gate mechanics on handcrafted files — the
+  * q_robots_gate oracle proves the corpus path; this pins group selection,
+  * RFC 9309 longest-match/Allow-tie semantics, and parser defensiveness.
+  */
+class RobotsSpec extends SparkTestBase {
+
+  private def rules(txt: String): Set[(String, Boolean)] = {
+    import spark.implicits._
+    Robots.parseRules(spark, Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .select("prefix", "allow").as[(String, Boolean)].collect().toSet
+  }
+
+  private def allowed(txt: String, paths: Seq[String]): Map[String, Boolean] = {
+    import spark.implicits._
+    val urls = paths.map(p => ("d.com", p)).toDF("domain", "path")
+    Robots.gate(urls,
+        Robots.parseRules(spark, Seq(("d.com", txt)).toDF("domain", "robots_txt")))
+      .select("path", "allowed").as[(String, Boolean)].collect().toMap
+  }
+
+  test("only the star group's rules are kept; comments and typos skipped") {
+    val txt = """# header
+      |User-agent: googlebot
+      |Disallow: /all
+      |
+      |User-agent: *
+      |Disallow: /a   # trailing comment
+      |Allow: /a/b
+      |Disallow:
+      |Crawl-delay: 2
+      |not a directive line
+      |""".stripMargin
+    assert(rules(txt) == Set(("/a", false), ("/a/b", true)))
+  }
+
+  test("a consecutive User-agent run naming * applies to the shared group") {
+    val txt = "User-agent: googlebot\nUser-agent: *\nDisallow: /x\n" +
+      "User-agent: googlebot\nDisallow: /y\n"
+    assert(rules(txt) == Set(("/x", false)))
+  }
+
+  test("longest match wins; Allow wins length ties; no match allows") {
+    val txt = "User-agent: *\nDisallow: /p/\nAllow: /p/ok\nDisallow: /q\nAllow: /q\n"
+    val got = allowed(txt, Seq("/p/ok/1", "/p/secret", "/q-deep", "/p", "/other"))
+    assert(got == Map(
+      "/p/ok/1" -> true,   // Allow /p/ok (len 5) beats Disallow /p/ (len 3)
+      "/p/secret" -> false,
+      "/q-deep" -> true,   // /q matches both ways, Allow wins the tie
+      "/p" -> true,        // shorter than every rule: no match
+      "/other" -> true))
+  }
+
+  test("domains with no robots entry are fully allowed") {
+    import spark.implicits._
+    val urls = Seq(("x.com", "/anything")).toDF("domain", "path")
+    val empty = Robots.parseRules(spark,
+      Seq.empty[(String, String)].toDF("domain", "robots_txt"))
+    assert(Robots.gate(urls, empty).select("allowed")
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true))
+  }
+}
