@@ -63,4 +63,67 @@ object LinkGraph {
     }
     rank
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM '99) over `edges` (columns
+    * `src`, `dst`; parallel edges count as weight) — the complementary
+    * authority signal to [[pageRank]]: a good HUB links to many good
+    * authorities (a directory/aggregator page), a good AUTHORITY is linked
+    * from many good hubs (the canonical source). Crawl curation uses both:
+    * hubs seed frontier expansion, authorities weight content quality.
+    * Returns (`node`, `hub`, `auth`).
+    *
+    * Contract (pinned by the oracle): nodes = union of sources and
+    * destinations; initial hub = auth = 1; per round,
+    * `auth'(v) = Σ_{u→v} hub(u)·w(u,v)` then L1-normalized, then
+    * `hub'(u) = Σ_{u→v} auth'(v)·w(u,v)` L1-normalized. L1 (sum)
+    * normalization instead of the classical L2 keeps every round's
+    * arithmetic a plain SUM — exactly reproducible in the SQL oracle and
+    * insensitive to float association — while yielding the identical
+    * RANKING (normalization is a positive scalar per round).
+    *
+    * Scale posture mirrors [[pageRank]]: each half-round is one shuffle of
+    * the node-sized score relation joined to the static weighted edge list;
+    * the L1 norm is a scalar agg broadcast back as a literal-free
+    * cross-join-of-one (Catalyst folds it to a BroadcastNestedLoopJoin of a
+    * single row); lineage is checkpoint-truncated per round. Nothing
+    * driver-side scales with the graph.
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val w = edges.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(eager = true)
+    val nodes = w.select(col("src").as("node"))
+      .unionByName(w.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    // one-row relation holding the L1 norm, joined back as a broadcast —
+    // keeps the normalizer in-plan (no driver round-trip per iteration)
+    def l1Normalized(scores: DataFrame, c: String): DataFrame = {
+      val norm = scores.agg(sum(col(c)).as("__norm"))
+      scores.crossJoin(broadcast(norm))
+        .select(col("node"), (col(c) / col("__norm")).as(c))
+    }
+
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(1.0))
+    for (_ <- 0 until iters) {
+      val a = w.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub") * col("w")).as("auth"))
+      auth = l1Normalized(
+        nodes.join(a, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth").localCheckpoint(eager = true)
+      val h = w.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth") * col("w")).as("hub"))
+      hub = l1Normalized(
+        nodes.join(h, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint(eager = true)
+    }
+    hub.join(auth, "node")
+  }
 }

@@ -2857,6 +2857,155 @@ object PipelineQueries {
       |   doc_id % 6 IN (0, 3, 5) AS allowed
       | FROM documents""".stripMargin))
 
+  /** Sitemap ingest ([[graft.sources.Sitemap]]): per-domain `<urlset>`
+    * documents assembled from the corpus (entries whitespace-padded inside
+    * `<loc>` to exercise trimming, `<priority>` present only on even ids,
+    * plus one loc-less junk `<url>` block per sitemap that extraction must
+    * DROP), then exploded back to the frontier feed. The oracle predicts
+    * every (loc, lastmod, priority) from doc_id arithmetic — the junk
+    * block and padding vanish only if the block extraction, per-field
+    * recovery, trim, and loc-filter all work. Assembly sorts entries by
+    * doc_id before concatenation so the per-domain XML is deterministic
+    * at any parallelism; one sitemap = one row, fan-out bounded by the
+    * protocol's 50 000-URL cap.
+    */
+  val qSitemapIngest = Fixture(
+    "q_sitemap_ingest",
+    (s, d) => {
+      val k = (col("doc_id") % 40).cast("string")
+      val entry = concat(
+        lit("<url><loc>\n  http://site"), k, lit(".com/a/"),
+        col("doc_id").cast("string"), lit(" </loc><lastmod>2024-01-"),
+        lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"),
+        lit("</lastmod>"),
+        when(col("doc_id") % 2 === 0, lit("<priority>0.5</priority>"))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><lastmod>junk</lastmod></url>"),
+        array_join(transform(
+          sort_array(col("es")), e => e.getField("entry")), ""),
+        lit("</urlset>"))
+      Tables.documents(s, d)
+        .select(concat(lit("site"), k, lit(".com")).as("domain"),
+          struct(col("doc_id"), entry.as("entry")).as("e"))
+        .groupBy("domain").agg(collect_list(col("e")).as("es"))
+        .select(col("domain"),
+          explode(graft.sources.Sitemap.sitemapUrls(xml)).as("u"))
+        .select(col("domain"), col("u.loc").as("loc"),
+          col("u.lastmod").as("lastmod"), col("u.priority").as("priority"))
+    },
+    Some("""SELECT 'site' || (doc_id % 40) || '.com' AS domain,
+      |   'http://site' || (doc_id % 40) || '.com/a/' || doc_id AS loc,
+      |   '2024-01-' || lpad((doc_id % 27 + 1)::VARCHAR, 2, '0') AS lastmod,
+      |   CASE WHEN doc_id % 2 = 0 THEN '0.5' ELSE '' END AS priority
+      | FROM documents""".stripMargin))
+
+  /** Sitemap INDEX hierarchy ([[graft.sources.Sitemap.sitemapChildren]] →
+    * [[graft.sources.Sitemap.sitemapUrls]]): large sites split their URL
+    * inventory across leaf sitemaps and publish one `<sitemapindex>` root
+    * (the protocol's 50 000-URL / 50 MB cap forces this) — discovery must
+    * walk index → leaf → URL. Here: 40 per-domain leaf sitemaps assembled
+    * from the corpus, one root index listing them (locs whitespace-padded
+    * to exercise trim), children extracted and JOINED back to the leaf
+    * relation, then leaf URLs exploded. The child→leaf join is
+    * broadcast-sized (the index fan-out is site count, not URL count); the
+    * URL fan-out stays in the leaf explode — the same shape at a million
+    * sites. Oracle predicts every (sitemap, loc) from doc_id arithmetic:
+    * rows survive only if index extraction, trim, the join, and leaf
+    * extraction all agree.
+    */
+  val qSitemapIndex = Fixture(
+    "q_sitemap_index",
+    (s, d) => {
+      val k = (col("doc_id") % 40).cast("string")
+      val entry = concat(lit("<url><loc>http://site"), k, lit(".com/a/"),
+        col("doc_id").cast("string"), lit("</loc></url>"))
+      val leaf = Tables.documents(s, d)
+        .select(concat(lit("http://site"), k, lit(".com/sitemap.xml")).as("sm_loc"),
+          struct(col("doc_id"), entry.as("entry")).as("e"))
+        .groupBy("sm_loc").agg(collect_list(col("e")).as("es"))
+        .select(col("sm_loc"),
+          concat(lit("<urlset>"),
+            array_join(transform(sort_array(col("es")), e => e.getField("entry")), ""),
+            lit("</urlset>")).as("xml"))
+      val index = leaf
+        .select(concat(lit("<sitemap><loc> "), col("sm_loc"),
+          lit(" </loc></sitemap>")).as("entry"))
+        .agg(concat(lit("<sitemapindex>"),
+          array_join(sort_array(collect_list(col("entry"))), ""),
+          lit("</sitemapindex>")).as("xml"))
+      val children = index.select(
+        explode(graft.sources.Sitemap.sitemapChildren(col("xml"))).as("sm_loc"))
+      children.join(leaf, "sm_loc")
+        .select(col("sm_loc").as("sitemap"),
+          explode(graft.sources.Sitemap.sitemapUrls(col("xml"))).as("u"))
+        .select(col("sitemap"), col("u.loc").as("loc"))
+    },
+    Some("""SELECT 'http://site' || (doc_id % 40) || '.com/sitemap.xml' AS sitemap,
+      |   'http://site' || (doc_id % 40) || '.com/a/' || doc_id AS loc
+      | FROM documents""".stripMargin))
+
+  /** ORC lake roundtrip — the other columnar format in Spark's built-in
+    * set (a 100 TB lake is rarely format-pure; Hive-era producers land
+    * ORC). Stage a corpus projection as ORC, read it back with a
+    * filter + narrow projection, aggregate. The VALUE contract is this
+    * oracle (against the parquet original, so the write→read loop must be
+    * lossless); the PLAN contract — predicate pushdown into the ORC
+    * reader, ReadSchema pruned to the touched columns — is pinned by
+    * `OrcSpec`, mirroring what q_partitioned_roundtrip does for parquet.
+    */
+  val qOrcRoundtrip = Fixture(
+    "q_orc_roundtrip",
+    (s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc/docs_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .where(col("n_chars") >= 200L)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          max("doc_id").as("max_id"))
+    },
+    Some("""SELECT lang, source, count(*) AS n_docs,
+      |   sum(n_chars)::BIGINT AS sum_chars, max(doc_id) AS max_id
+      | FROM documents WHERE n_chars >= 200
+      | GROUP BY 1, 2""".stripMargin))
+
+  /** Frontier scheduling with per-domain politeness — the step after the
+    * robots gate: a crawler may issue at most one request per domain per
+    * round, so the frontier is striped into rounds by per-domain rank
+    * (authority-ordered in production; doc_id here for determinism).
+    * `fetch_round` = that rank: round r contains at most one URL of each
+    * domain, total rounds = the largest domain's backlog — the standard
+    * politeness shape. The window partitions BY DOMAIN (state = one
+    * domain's URLs); the composition with [[qRobotsGate]]'s gate and
+    * [[qDomainCaps]]' cap is three stages sharing the SAME domain-keyed
+    * shuffle, which ReuseExchange serves once.
+    */
+  val qFrontierSchedule = Fixture(
+    "q_frontier_schedule",
+    (s, d) => {
+      val k = (col("doc_id") % 40).cast("string")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("site"), k,
+            when(col("doc_id") % 4 === 0, lit(".co.uk"))
+              .otherwise(lit(".com"))).as("domain"))
+        .withColumn("fetch_round", row_number().over(w).cast("long"))
+    },
+    Some("""SELECT doc_id,
+      |   'site' || (doc_id % 40) ||
+      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS domain,
+      |   row_number() OVER (PARTITION BY ('site' || (doc_id % 40) ||
+      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END))
+      |     ORDER BY doc_id)::BIGINT AS fetch_round
+      | FROM documents""".stripMargin))
+
   /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
     * against 200 synthetic "session" intervals (arithmetic starts/ends, some
     * overlapping) via the time-CHUNK decomposition — interval fan-out to
@@ -4132,6 +4281,64 @@ object PipelineQueries {
       |   FROM nd LEFT JOIN c3 USING (node))
       | SELECT node, ${q4("rank")} AS rank FROM r3""".stripMargin))
 
+  /** HITS hubs-and-authorities over the extracted domain graph
+    * ([[graft.operators.LinkGraph.hits]], 2 rounds, L1-normalized) — the
+    * complementary authority signal to [[qDomainPagerank]]: hub scores
+    * rank the directory/aggregator domains that seed frontier expansion,
+    * authority scores rank canonical sources. The oracle unrolls both
+    * half-rounds of both iterations in SQL (auth ← hubs then normalize,
+    * hub ← fresh auths then normalize), so agreement pins the
+    * mutual-reinforcement contract itself, not one engine's quirks. Per
+    * half-round cost: one shuffle of the node-sized score relation against
+    * the static weighted edge list; the L1 normalizer is a one-row
+    * broadcast folded back in-plan — nothing driver-side, nothing
+    * corpus-sized.
+    */
+  val qDomainHits = Fixture(
+    "q_domain_hits",
+    (s, d) => {
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val edges = Tables.documents(s, d)
+        .select(
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
+          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
+        .where(lower(col("link")).startsWith("http"))
+        .select(col("src"),
+          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
+      graft.operators.LinkGraph.hits(s, edges, iters = 2)
+        .select(col("node"), Quant.q4(col("hub")).as("hub"),
+          Quant.q4(col("auth")).as("auth"))
+    },
+    Some(s"""WITH raw AS (SELECT 'site' || (doc_id % 40) ||
+      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
+      |   'site' || (doc_id % 9) || '.com' AS dst FROM documents),
+      | e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
+      | nd AS (SELECT DISTINCT node FROM
+      |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      | h0 AS (SELECT node, 1.0 AS hub FROM nd),
+      | a1r AS (SELECT e.dst AS node, sum(h0.hub * e.w) AS s
+      |         FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+      | a1u AS (SELECT nd.node, coalesce(a1r.s, 0) AS auth
+      |         FROM nd LEFT JOIN a1r USING (node)),
+      | a1 AS (SELECT node, auth / (SELECT sum(auth) FROM a1u) AS auth FROM a1u),
+      | h1r AS (SELECT e.src AS node, sum(a1.auth * e.w) AS s
+      |         FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+      | h1u AS (SELECT nd.node, coalesce(h1r.s, 0) AS hub
+      |         FROM nd LEFT JOIN h1r USING (node)),
+      | h1 AS (SELECT node, hub / (SELECT sum(hub) FROM h1u) AS hub FROM h1u),
+      | a2r AS (SELECT e.dst AS node, sum(h1.hub * e.w) AS s
+      |         FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+      | a2u AS (SELECT nd.node, coalesce(a2r.s, 0) AS auth
+      |         FROM nd LEFT JOIN a2r USING (node)),
+      | a2 AS (SELECT node, auth / (SELECT sum(auth) FROM a2u) AS auth FROM a2u),
+      | h2r AS (SELECT e.src AS node, sum(a2.auth * e.w) AS s
+      |         FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+      | h2u AS (SELECT nd.node, coalesce(h2r.s, 0) AS hub
+      |         FROM nd LEFT JOIN h2r USING (node)),
+      | h2 AS (SELECT node, hub / (SELECT sum(hub) FROM h2u) AS hub FROM h2u)
+      | SELECT node, ${q4("hub")} AS hub, ${q4("auth")} AS auth
+      | FROM h2 JOIN a2 USING (node)""".stripMargin))
+
   /** Snapshot time-travel diff ([[graft.sources.SnapshotLake.readVersion]]
     * + [[graft.sources.SnapshotLake.diff]]): commit v0 = the corpus, v1 =
     * an edited corpus (every 10th doc's n_chars bumped, every
@@ -4491,7 +4698,8 @@ object PipelineQueries {
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
     qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
-    qCcnetBuckets, qIntervalJoin, qRobotsGate,
+    qCcnetBuckets, qIntervalJoin, qRobotsGate, qFrontierSchedule,
+    qSitemapIngest, qSitemapIndex, qDomainHits, qOrcRoundtrip,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org XML ingest — the crawl-discovery input that complements the
+  * link graph: sites publish their canonical URL inventory (with change
+  * dates and priorities) as `<urlset>` documents, and a crawler seeds /
+  * refreshes its frontier from them.
+  *
+  * Extraction is entirely built-in column functions (regexp_extract_all +
+  * per-entry regexp_extract inside a `transform` lambda), so it runs under
+  * whole-stage codegen with no UDF and no DOM — the same
+  * tolerant-extractor posture as [[graft.functions.HtmlFunctions]]: a
+  * sitemap is machine-generated XML with a fixed vocabulary, and fields
+  * are recovered per `<url>` block, so one malformed entry degrades to
+  * empty fields for that entry only. Patterns are backreference-free
+  * (Java regex and RE2 agree).
+  *
+  * Scale posture: one sitemap is one row; fan-out is its URL count
+  * (bounded at 50 000 by the protocol). A sitemap INDEX (`<sitemapindex>`)
+  * lists child sitemaps — [[sitemapChildren]] extracts those `<loc>`s so
+  * the reader can iterate the index → leaf → URL hierarchy with plain
+  * explodes.
+  */
+object Sitemap {
+
+  private def field(block: Column, tag: String): Column =
+    regexp_extract(block, s"(?is)<$tag[^>]*>\\s*(.*?)\\s*</$tag", 1)
+
+  /** All `<url>` entries of a `<urlset>` document as
+    * `array<struct<loc, lastmod, priority>>` (absent fields ''; entries
+    * with no `<loc>` dropped). Explode for the frontier feed.
+    */
+  def sitemapUrls(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml, lit("(?is)<url>(.*?)</url>"), lit(1))
+    filter(
+      transform(blocks, b => struct(
+        field(b, "loc").as("loc"),
+        field(b, "lastmod").as("lastmod"),
+        field(b, "priority").as("priority"))),
+      e => e.getField("loc") =!= "")
+  }
+
+  /** Child sitemap locations of a `<sitemapindex>` document. */
+  def sitemapChildren(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml, lit("(?is)<sitemap>(.*?)</sitemap>"), lit(1))
+    filter(transform(blocks, b => field(b, "loc")), l => l =!= "")
+  }
+}

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 /** Minimal versioned-snapshot table: `root/v<N>/` parquet directories plus a
   * `_CURRENT` pointer file, committed pointer-last — the two-phase shape
@@ -66,6 +67,8 @@ object SnapshotLake {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(isCommitted(root, v),
       s"version $v is not committed at $root (current: ${currentVersion(root)})")
+    require(Files.exists(Paths.get(versionPath(root, v))),
+      s"version $v at $root was vacuumed beyond retention")
     spark.read.parquet(versionPath(root, v))
   }
 
@@ -92,5 +95,49 @@ object SnapshotLake {
           .when(col("old_v") =!= col("new_v"), lit("changed")))
       .where(col("change").isNotNull)
       .select(col("k").as(keyCol), col("change"), col("old_v"), col("new_v"))
+  }
+
+  /** VACUUM — reclaim storage while preserving the time-travel contract
+    * for the retained window. Keeps the newest `keepLast` COMMITTED
+    * versions (current, current−1, …) and deletes:
+    *
+    *   - committed version directories older than the retained window
+    *     (their history remains in the diff chain of retained versions,
+    *     their bytes are gone — the Delta/Iceberg `VACUUM`/
+    *     `expire_snapshots` shape), and
+    *   - ORPHAN directories from writers that died before the pointer
+    *     swap (`v > current`): never readable via [[readVersion]], pure
+    *     leaked bytes. Safe to remove precisely because [[commit]] writes
+    *     data first and swaps the pointer last — a LIVE writer's
+    *     in-progress directory is also `> current`, so production callers
+    *     gate this arm on directory mtime (the standard retention-period
+    *     guard); this single-writer implementation deletes eagerly.
+    *
+    * Returns the deleted version numbers (sorted). [[readVersion]] of a
+    * vacuumed version then fails its committed-readability contract loudly
+    * rather than returning partial data: the caller pinned a version
+    * beyond retention, which is a configuration error, not a read path.
+    *
+    * Scale posture: pure manifest/filesystem work — O(#versions) directory
+    * listings and deletes, no data scan, nothing proportional to table
+    * size on the driver beyond file metadata.
+    */
+  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val cur = currentVersion(root).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    val dir = Paths.get(root)
+    val versioned = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .toSeq.sorted
+    val keepFloor = cur - (keepLast - 1)
+    val doomed = versioned.filter(v => v < keepFloor || v > cur)
+    doomed.foreach { v =>
+      val victim = Paths.get(versionPath(root, v))
+      Files.walk(victim).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    doomed
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLake
+
+/** VACUUM contract on the snapshot lake: the retained time-travel window
+  * stays readable, expired versions and orphan (never-committed) writer
+  * directories are reclaimed, and a pinned-but-vacuumed version fails
+  * loudly rather than reading partial data.
+  */
+class LakeVacuumSpec extends SparkTestBase {
+
+  private def df(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"d$i")).toDF("k", "v")
+  }
+
+  test("vacuum keeps the retained window, removes expired and orphans") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_vacuum_a"
+    SnapshotLake.commit(df(3), root, 0L)
+    SnapshotLake.commit(df(5), root, 1L)
+    SnapshotLake.commit(df(7), root, 2L)
+    // a writer that died before its pointer swap leaves an orphan dir
+    df(9).write.mode("overwrite").parquet(SnapshotLake.versionPath(root, 9L))
+
+    val deleted = SnapshotLake.vacuum(root, keepLast = 2)
+    assert(deleted == Seq(0L, 9L))
+
+    // retained window intact: current and current-1 read back in full
+    assert(SnapshotLake.read(spark, root).count() == 7)
+    assert(SnapshotLake.readVersion(spark, root, 1L).count() == 5)
+    assert(!Files.exists(Paths.get(SnapshotLake.versionPath(root, 0L))))
+    assert(!Files.exists(Paths.get(SnapshotLake.versionPath(root, 9L))))
+
+    // pinning a vacuumed version is a loud contract failure
+    val e = intercept[IllegalArgumentException](
+      SnapshotLake.readVersion(spark, root, 0L))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum is idempotent and keepLast=1 retains only current") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_vacuum_b"
+    SnapshotLake.commit(df(2), root, 0L)
+    SnapshotLake.commit(df(4), root, 1L)
+    assert(SnapshotLake.vacuum(root, keepLast = 1) == Seq(0L))
+    assert(SnapshotLake.vacuum(root, keepLast = 1).isEmpty)
+    assert(SnapshotLake.read(spark, root).count() == 4)
+    // a later commit then vacuum rolls the window forward
+    SnapshotLake.commit(df(6), root, 2L)
+    assert(SnapshotLake.vacuum(root, keepLast = 1) == Seq(1L))
+    assert(SnapshotLake.read(spark, root).agg(sum("k")).head.getLong(0) == 15)
+  }
+}

@@ -43,4 +43,35 @@ class LinkGraphSpec extends SparkTestBase {
     assert(r.keySet == Set("a", "b", "c"))
     r.values.foreach(v => assert(math.abs(v - 1.0 / 3.0) < 1e-15))
   }
+
+  private def hits(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Double, Double)] = {
+    import spark.implicits._
+    LinkGraph.hits(spark, edges.toDF("src", "dst"), iters)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+  }
+
+  test("HITS triangle-ish DAG: directory page is the hub, sink the authority") {
+    // a→b, a→c, b→c. Round 1 (L1): auth = (0, 1/3, 2/3); hub = (3/5, 2/5, 0).
+    val r = hits(Seq("a" -> "b", "a" -> "c", "b" -> "c"), iters = 1)
+    assert(math.abs(r("a")._1 - 0.6) < 1e-12 && math.abs(r("a")._2) < 1e-12)
+    assert(math.abs(r("b")._1 - 0.4) < 1e-12 && math.abs(r("b")._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r("c")._1) < 1e-12 && math.abs(r("c")._2 - 2.0 / 3) < 1e-12)
+  }
+
+  test("HITS two-node cycle is the fixed point: all scores 1/2") {
+    val r = hits(Seq("a" -> "b", "b" -> "a"), iters = 3)
+    r.values.foreach { case (h, a) =>
+      assert(math.abs(h - 0.5) < 1e-12 && math.abs(a - 0.5) < 1e-12)
+    }
+  }
+
+  test("HITS parallel edges weight authority 2:1 and concentrate the hub") {
+    // a→b ×2, a→c: auth = (0, 2/3, 1/3); a is the only hub → hub(a) = 1.
+    val r = hits(Seq("a" -> "b", "a" -> "b", "a" -> "c"), iters = 1)
+    assert(math.abs(r("b")._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(r("c")._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r("a")._1 - 1.0) < 1e-12)
+  }
 }

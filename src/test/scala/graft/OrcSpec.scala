@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan pins for the ORC lake path (q_orc_roundtrip pins the values): at
+  * 100 TB the difference between "reads 4 columns of the rows that can
+  * match" and "reads everything" IS the query, so the predicate must reach
+  * the ORC reader as a pushed filter and the ReadSchema must be pruned to
+  * the touched columns — same contract `PartitionSpec` pins for parquet.
+  */
+class OrcSpec extends SparkTestBase {
+
+  private lazy val dir: String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_orc_spec"
+    spark.range(1000).select(col("id").as("doc_id"),
+      (col("id") % 5).cast("string").as("lang"),
+      (col("id") * 7 % 997).as("n_chars"),
+      lit("wide-payload-not-touched-by-the-query").as("payload"))
+      .write.mode("overwrite").orc(d)
+    d
+  }
+
+  test("ORC roundtrip is lossless") {
+    val back = spark.read.orc(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      (0L until 1000L).map(i => i * 7 % 997).sum)
+  }
+
+  test("filter is pushed into the ORC scan; schema pruned to touched columns") {
+    val q = spark.read.orc(dir)
+      .where(col("n_chars") > 500L)
+      .groupBy("lang").agg(sum("n_chars").as("s"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]"),
+      s"predicate must reach the ORC reader:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"scan must prune to the two touched columns:\n$p")
+    assert(!p.contains("payload"), s"untouched wide column must not be read:\n$p")
+  }
+
+  test("ORC scan stays inside whole-stage codegen") {
+    val q = spark.read.orc(dir).where(col("n_chars") > 500L)
+      .groupBy("lang").agg(sum("n_chars").as("s"))
+    q.collect() // finalize the adaptive plan before inspecting it
+    val p = q.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n)" in the compact plan string: the
+    // filter+partial-agg over the scan must sit inside one
+    assert(p.contains("*(1) Filter"), s"expected codegen'd filter:\n$p")
+    assert(p.contains("*(1) HashAggregate"), s"expected codegen'd partial agg:\n$p")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sitemap
+
+/** Sitemap extraction mechanics on handcrafted documents — the
+  * q_sitemap_ingest oracle proves the corpus path; this pins field trim,
+  * loc-less drop, absent-field defaults, and the index hierarchy.
+  */
+class SitemapSpec extends SparkTestBase {
+
+  private def urls(xml: String): Seq[(String, String, String)] = {
+    import spark.implicits._
+    Seq(xml).toDF("x")
+      .select(explode(Sitemap.sitemapUrls(col("x"))).as("u"))
+      .select("u.loc", "u.lastmod", "u.priority")
+      .as[(String, String, String)].collect().toSeq
+  }
+
+  test("urlset: whitespace trimmed, absent fields empty, loc-less dropped") {
+    val xml = """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc>
+      |   http://a/1 </loc><lastmod>2024-02-03</lastmod><priority>0.9</priority></url>
+      |<url><lastmod>no-loc</lastmod></url>
+      |<url><loc>http://a/2</loc></url>
+      |</urlset>""".stripMargin
+    assert(urls(xml) == Seq(
+      ("http://a/1", "2024-02-03", "0.9"),
+      ("http://a/2", "", "")))
+  }
+
+  test("sitemapindex children are extracted; urlset blocks are not confused") {
+    import spark.implicits._
+    val xml = "<sitemapindex><sitemap><loc>http://a/s1.xml</loc></sitemap>" +
+      "<sitemap><loc> http://a/s2.xml </loc><lastmod>2024-01-01</lastmod></sitemap></sitemapindex>"
+    val kids = Seq(xml).toDF("x")
+      .select(explode(Sitemap.sitemapChildren(col("x"))).as("c"))
+      .as[String].collect().toSeq
+    assert(kids == Seq("http://a/s1.xml", "http://a/s2.xml"))
+    assert(urls(xml).isEmpty)
+  }
+
+  test("garbage input yields no entries, never throws") {
+    assert(urls("").isEmpty)
+    assert(urls("<html><body>not a sitemap</body></html>").isEmpty)
+    assert(urls("<urlset><url><loc></loc></url></urlset>").isEmpty)
+  }
+}
