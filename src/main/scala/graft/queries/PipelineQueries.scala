@@ -788,6 +788,71 @@ object PipelineQueries {
     },
     qAnnIvf.oracle)
 
+  /** Product-quantization ADC search ([[graft.similarity.Pq]], Jégou et al.
+    * TPAMI 2011): m=4 subspaces × ksub=8 codes trained with one Lloyd round
+    * (deterministic init from the 8 smallest vec_ids' subvectors), corpus
+    * encoded to 4 codes/vector (a 64× compression of the 64-float column —
+    * the memory-side scale path the IVF fixtures leave open), then top-5
+    * ADC for 10 queries: score = ordered sum over subspaces of
+    * dot(query_sub, codebook[code]). The oracle replays the ENTIRE path in
+    * SQL — subvector split, per-subspace k-means (one relational pass
+    * grouped by subspace), re-encode, ADC parts summed in subspace order —
+    * so agreement pins init, assignment tie-breaks, the quantized-mean
+    * M-step, and the fold discipline end-to-end. All floating folds are
+    * 0.0-seeded ascending on both engines; assignment distances and final
+    * scores are q4-quantized before any argmin/rank.
+    */
+  val qAnnPqAdc = Fixture(
+    "q_ann_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+      graft.similarity.Pq.searchAdc(emb, model, col("vec_id") < 10, k = 5)
+    },
+    Some {
+      def l2(a: String, b: String) = foldSum(
+        s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      | sv AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
+      |        FROM e CROSS JOIN ss),
+      | c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+      | d1 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
+      |        FROM sv a JOIN c0 c ON c.sub = a.sub),
+      | r1 AS (SELECT vec_id, sub, cid, row_number() OVER
+      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1),
+      | a1 AS (SELECT vec_id, sub, cid FROM r1 WHERE rn = 1),
+      | q1 AS (SELECT a1.sub, a1.cid,
+      |          list_transform(s.sv, x -> floor(x * 10000 + 0.5)) AS qv
+      |        FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub),
+      | x1 AS (SELECT sub, cid, u.dim AS dim, u.val AS val FROM
+      |        (SELECT sub, cid, unnest(list_transform(generate_series(1, len(qv)),
+      |           i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
+      | m1 AS (SELECT sub, cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
+      |        FROM x1 GROUP BY 1, 2, 3),
+      | cm AS (SELECT sub, cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+      | c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.cv, c0.cv) AS cv
+      |        FROM c0 LEFT JOIN cm ON cm.sub = c0.sub AND cm.cid = c0.cid),
+      | d2 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
+      |        FROM sv a JOIN c1 c ON c.sub = a.sub),
+      | r2 AS (SELECT vec_id, sub, cid, row_number() OVER
+      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2),
+      | enc AS (SELECT vec_id, sub, cid FROM r2 WHERE rn = 1),
+      | part AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.sub,
+      |            ${dotSql("q.sv", "c.cv")} AS p
+      |          FROM enc n JOIN c1 c ON c.sub = n.sub AND c.cid = n.cid
+      |               JOIN sv q ON q.sub = n.sub AND q.vec_id <> n.vec_id
+      |          WHERE q.vec_id < 10),
+      | sc AS (SELECT query_id, neighbor_id,
+      |          ${q4("list_reduce(list_prepend(0.0, list(p ORDER BY sub)), (a, x) -> a + x)")} AS score
+      |        FROM part GROUP BY 1, 2),
+      | rk AS (SELECT query_id, neighbor_id, score, row_number() OVER
+      |          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |        FROM sc)
+      | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
+    })
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -4674,7 +4739,7 @@ object PipelineQueries {
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
-    qAssignCentroids,
+    qAnnPqAdc, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,

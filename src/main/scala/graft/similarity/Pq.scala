@@ -1,0 +1,180 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quant
+
+/** Product quantization for ANN (Jégou, Douze, Schmid — "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+  * d-dim embedding into `m` subvectors of d/m dims, learn an independent
+  * `ksub`-centroid codebook per subspace (plain L2 Lloyd iterations), and
+  * store each corpus vector as `m` small codes. Search is ADC (asymmetric
+  * distance computation): the query stays full-precision and its score
+  * against a corpus vector is the sum over subspaces of
+  * `dot(query_sub, codebook[sub][code])` — the reconstructed-neighbor dot
+  * product, i.e. maximum-inner-product ADC to match this library's
+  * cosine/dot ranking convention (classical PQ phrases it with L2; the
+  * algebra is the same table lookup).
+  *
+  * WHY at 100 TB: this is the memory-side answer the IVF operators
+  * ([[Ann.ivfWriteIndex]]) leave open — a 64-float vector (256 B) becomes
+  * m = 4 codes (4 B at ksub ≤ 256), a 64× compression, so the scan side of
+  * a search touches code columns only and never re-reads the float
+  * corpus. The codebook is model-sized (m·ksub·(d/m) doubles) and folds
+  * into a plan literal exactly like the IVF centroid array, so encode and
+  * search are ONE corpus scan each — no join, no shuffle below the top-k
+  * aggregation. Compose with IVF for the standard IVF-PQ layout: cell
+  * prune first, ADC within probed cells.
+  *
+  * Cross-engine determinism (same contract as [[Ann.kmeansStep]]):
+  * assignment distances are Quant.q4-quantized before the argmin (ties →
+  * smaller cid), M-step means are computed over `floor(x·10⁴+0.5)`-scaled
+  * integer-valued doubles (exact in any partial-merge order), and every
+  * floating fold (subspace L2, ADC dot, the over-subspaces sum) is a
+  * 0.0-seeded ascending sequential fold — bit-identical to the DuckDB
+  * oracle's `list_reduce(list_prepend(0.0, …))`.
+  */
+object Pq {
+
+  /** The fitted model: per-(subspace, code) centroids. Driver-side size is
+    * m·ksub·(d/m) doubles — the model, never corpus rows.
+    */
+  final case class PqModel(m: Int, ksub: Int,
+      codebook: Seq[((Int, Long), Array[Double])], iters: Int) {
+
+    def codebookDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      codebook.map { case ((s, c), v) => (s, c, v.toSeq) }
+        .toDF("sub", "cid", "cv")
+    }
+
+    /** Flat literal `array<struct<sub, cid, cv>>` for assignment argmins. */
+    private[similarity] def literal: Column = array(codebook.map {
+      case ((s, c), v) => struct(lit(s).as("sub"), lit(c).as("cid"),
+        array(v.map(lit(_)): _*).as("cv"))
+    }: _*)
+
+    /** Dense lookup literal: outer index = sub+1, inner index = cid+1 →
+      * centroid vector (cids are dense 0..ksub-1 by construction).
+      */
+    private[similarity] def denseLiteral: Column = array(
+      (0 until m).map { s =>
+        array((0L until ksub.toLong).map { c =>
+          array(codebook.toMap.apply((s, c)).map(lit(_)): _*)
+        }: _*)
+      }: _*)
+  }
+
+  /** 0.0-seeded ascending fold of `a·b` — the shared dot convention. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 between subvector and centroid, same fold discipline. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The (vec_id, sub, sv) subvector relation — one corpus scan, m-fold
+    * explode, subvectors as array<double>. Dimension must divide evenly.
+    */
+  def subvectors(embIn: DataFrame, m: Int): DataFrame = {
+    val dsub = (size(col("v")) / m).cast("int")
+    embIn
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        slice(col("v"), (col("sub") * dsub + 1).cast("int"), dsub).as("sv"))
+  }
+
+  /** Argmin code for subvector `sv` of subspace `sub` against the flat
+    * codebook literal: lexicographic array_min over (q4 distance, cid).
+    */
+  private def bestCode(cbLit: Column, sub: Column, sv: Column): Column =
+    array_min(transform(
+      filter(cbLit, c => c.getField("sub") === sub),
+      c => struct(Quant.q4(l2sq(sv, c.getField("cv"))).as("d"),
+        c.getField("cid").as("cid")))).getField("cid")
+
+  /** Train the per-subspace codebooks: deterministic init (the `ksub`
+    * smallest vec_ids' subvectors), then `iters` Lloyd rounds. Each round
+    * is ONE pass over the subvector relation — assignment is a projection
+    * against the codebook literal (no join), the M-step is the O(d)-state
+    * [[graft.functions.VectorSumAgg]] hash aggregation — and only the
+    * model's m·ksub rows ever reach the driver. A code whose cluster
+    * empties keeps its previous centroid.
+    */
+  def train(embIn: DataFrame, m: Int, ksub: Int, iters: Int): PqModel = {
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      s"need m, ksub >= 1 and iters >= 0 (got $m, $ksub, $iters)")
+    val sv = subvectors(embIn, m)
+    var cents: Seq[((Int, Long), Array[Double])] = sv
+      .where(col("vec_id") < ksub)
+      .collect()
+      .map(r => ((r.getInt(1), r.getLong(0)), r.getSeq[Double](2).toArray))
+      .toSeq.sortBy(_._1)
+    require(cents.size == m * ksub,
+      s"init needs vec_ids 0..${ksub - 1} present (got ${cents.size} subvectors)")
+    for (_ <- 0 until iters) {
+      val cbLit = PqModel(m, ksub, cents, 0).literal
+      val stepped = sv
+        .select(col("sub"), bestCode(cbLit, col("sub"), col("sv")).as("cid"),
+          transform(col("sv"), x => floor(x * lit(1e4) + lit(0.5))).as("qv"))
+        .groupBy("sub", "cid")
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("qv")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"),
+          transform(col("vs"), x => Quant.q4(x / col("n") / lit(1e4))).as("cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      cents = cents.map { case (key, old) => (key, stepped.getOrElse(key, old)) }
+    }
+    PqModel(m, ksub, cents, iters)
+  }
+
+  /** Encode the corpus: (vec_id, codes array<long> ordered by subspace) —
+    * one scan, the 64×-smaller representation that goes to rest.
+    */
+  def encode(embIn: DataFrame, model: PqModel): DataFrame = {
+    val cbLit = model.literal
+    val dsub = (size(col("embedding")) / model.m).cast("int")
+    embIn.select(col("vec_id"),
+      transform(sequence(lit(0), lit(model.m - 1)), s =>
+        bestCode(cbLit, s.cast("int"),
+          slice(col("embedding").cast("array<double>"),
+            (s * dsub + 1).cast("int"), dsub))).as("codes"))
+  }
+
+  /** ADC top-k: queries (rows matching `queryPred`) stay full-precision;
+    * the corpus side is its codes. Score = ordered sum over subspaces of
+    * `dot(query_sub, codebook[sub][code])`, ranked per query by the
+    * bounded-heap top-k (score desc, neighbor_id asc). The query batch is
+    * broadcast; the corpus-side scan reads codes only — at rest that
+    * column is m bytes/row, which is the entire point.
+    */
+  def searchAdc(embIn: DataFrame, model: PqModel, queryPred: Column,
+      k: Int): DataFrame = {
+    val denseLit = model.denseLiteral
+    val dsub = (size(col("qv")) / model.m).cast("int")
+    val q = embIn.where(queryPred)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pairs = encode(embIn, model)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quant.q4(aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+          (acc, s) => acc + dot(
+            slice(col("qv"), (s * dsub + 1).cast("int"), dsub),
+            element_at(element_at(denseLit, (s + 1).cast("int")),
+              (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))))
+          .as("score"))
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+}

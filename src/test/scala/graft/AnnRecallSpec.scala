@@ -68,4 +68,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(curve(1) >= 0.20 && curve(2) >= 0.32 && curve(4) >= 0.50 &&
       curve(8) >= 0.70, s"recall floor breached: $curve")
   }
+
+  /** recall@K of PQ-ADC vs brute at a given code budget. */
+  private def pqRecall(m: Int, ksub: Int): Double = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 10 === 0
+    val brute = Ann.bruteTopK(emb, pred, K)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val model = graft.similarity.Pq.train(emb, m, ksub, iters = 3)
+    val adc = graft.similarity.Pq.searchAdc(emb, model, pred, K)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val r = brute.toSeq.map { case (q, truth) =>
+      adc.getOrElse(q, Set.empty).intersect(truth).size.toDouble / K
+    }
+    r.sum / r.size
+  }
+
+  test("PQ-ADC recall@10 beats chance and improves with the code budget") {
+    val coarse = pqRecall(m = 2, ksub = 8)   // 2×3 bits / vector
+    val fine = pqRecall(m = 8, ksub = 16)    // 8×4 bits / vector
+    info(s"PQ recall@10: m=2/ksub=8 -> $coarse, m=8/ksub=16 -> $fine")
+    // The synthetic embeddings are near-uniform (see the IVF comment
+    // above) — PQ's worst case, so absolute recall is modest by
+    // construction; measured 0.084 / 0.282. The invariants: each budget
+    // must beat CHANCE (K/corpus ≈ 0.02) by a wide margin, and 5× the
+    // code bits must buy a large recall multiple, which is what a
+    // codebook-training or LUT-indexing bug destroys first.
+    assert(coarse >= 3.0 * 0.02, s"coarse PQ recall@10 at chance level: $coarse")
+    assert(fine >= 2.0 * coarse,
+      s"finer code budget should multiply recall: coarse=$coarse fine=$fine")
+    assert(fine >= 0.20, s"fine PQ recall floor breached: $fine")
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pq
+
+/** PQ contract on a hand-computable 2-D / m=2 / ksub=2 instance (the
+  * q_ann_pq_adc oracle proves the corpus-scale path): subvector split,
+  * deterministic init, one Lloyd round's means, encode argmins, and the
+  * ADC ranking (reconstructed dot, score desc / id asc).
+  */
+class PqSpec extends SparkTestBase {
+
+  // two obvious 1-D clusters per subspace
+  private def emb = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(0.0f, 10.0f)),
+      (1L, Seq(1.0f, 11.0f)),
+      (2L, Seq(0.2f, 10.2f)),
+      (3L, Seq(0.8f, 10.8f))).toDF("vec_id", "embedding")
+  }
+
+  test("train: init from smallest ids, one Lloyd round lands on cluster means") {
+    val m = Pq.train(emb, m = 2, ksub = 2, iters = 1)
+    val cb = m.codebook.toMap
+    assert(cb((0, 0L)).toSeq == Seq(0.1) && cb((0, 1L)).toSeq == Seq(0.9))
+    assert(cb((1, 0L)).toSeq == Seq(10.1) && cb((1, 1L)).toSeq == Seq(10.9))
+  }
+
+  test("encode: per-subspace argmin codes, ordered by subspace") {
+    val model = Pq.train(emb, m = 2, ksub = 2, iters = 1)
+    val codes = Pq.encode(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(codes == Map(0L -> Seq(0L, 0L), 1L -> Seq(1L, 1L),
+      2L -> Seq(0L, 0L), 3L -> Seq(1L, 1L)))
+  }
+
+  test("ADC search ranks by reconstructed dot, ties broken by neighbor id") {
+    val model = Pq.train(emb, m = 2, ksub = 2, iters = 1)
+    val r = Pq.searchAdc(emb, model, col("vec_id") === 0L, k = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3)))
+    // query [0,10]: n1/n3 reconstruct to [0.9,10.9] → 109.0; n2 → 101.0
+    assert(r.toSeq == Seq((1L, 109.0, 1L), (3L, 109.0, 2L), (2L, 101.0, 3L)))
+  }
+
+  test("iters=0 keeps the init codebook; codes stay in range on the corpus") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val model = Pq.train(corpus, m = 4, ksub = 8, iters = 0)
+    assert(model.codebook.size == 32)
+    val codes = Pq.encode(corpus, model)
+      .select(explode(col("codes")).as("c")).agg(
+        min("c").as("lo"), max("c").as("hi")).head
+    assert(codes.getLong(0) >= 0L && codes.getLong(1) <= 7L)
+  }
+}
