@@ -853,6 +853,81 @@ object PipelineQueries {
       | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
     })
 
+  /** IVF-PQ composed ([[Ann.ivfPqTopK]]): coarse cells bound WHICH vectors
+    * a query touches (nprobe=2 of 8 cosine cells, the q_ann_ivf_probe
+    * contract), PQ codes bound WHAT is read per touched vector (the
+    * q_ann_pq_adc codebook; ADC scoring, float corpus never read at search
+    * time) — the billion-vector layout both halves exist for. The oracle
+    * chains both proven CTE blocks and scores only in-probe candidates, so
+    * agreement pins the COMPOSITION: one corpus pass computing cell+codes
+    * together, candidate sets from the probe ranking, ADC fold order.
+    */
+  val qAnnIvfPq = Fixture(
+    "q_ann_ivf_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+      Ann.ivfPqTopK(emb,
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        model, col("vec_id") < 10, k = 5, nprobe = 2)
+    },
+    Some {
+      def l2(a: String, b: String) = foldSum(
+        s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | cc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | cp AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |        FROM e CROSS JOIN cc c),
+      | cs AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM cp),
+      | crk AS (SELECT vec_id, cid, row_number() OVER
+      |           (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM cs),
+      | cell AS (SELECT vec_id, cid AS cell FROM crk WHERE rn = 1),
+      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM crk
+      |           WHERE rn <= 2 AND vec_id < 10),
+      | ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      | sv AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
+      |        FROM e CROSS JOIN ss),
+      | c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+      | d1 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
+      |        FROM sv a JOIN c0 c ON c.sub = a.sub),
+      | r1 AS (SELECT vec_id, sub, cid, row_number() OVER
+      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1),
+      | a1 AS (SELECT vec_id, sub, cid FROM r1 WHERE rn = 1),
+      | q1 AS (SELECT a1.sub, a1.cid,
+      |          list_transform(s.sv, x -> floor(x * 10000 + 0.5)) AS qv
+      |        FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub),
+      | x1 AS (SELECT sub, cid, u.dim AS dim, u.val AS val FROM
+      |        (SELECT sub, cid, unnest(list_transform(generate_series(1, len(qv)),
+      |           i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
+      | m1 AS (SELECT sub, cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
+      |        FROM x1 GROUP BY 1, 2, 3),
+      | cm AS (SELECT sub, cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+      | c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.cv, c0.cv) AS cv
+      |        FROM c0 LEFT JOIN cm ON cm.sub = c0.sub AND cm.cid = c0.cid),
+      | d2 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
+      |        FROM sv a JOIN c1 c ON c.sub = a.sub),
+      | r2 AS (SELECT vec_id, sub, cid, row_number() OVER
+      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2),
+      | enc AS (SELECT vec_id, sub, cid FROM r2 WHERE rn = 1),
+      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      | part AS (SELECT cand.query_id, cand.neighbor_id, n.sub,
+      |            ${dotSql("q.sv", "c.cv")} AS p
+      |          FROM cand JOIN enc n ON n.vec_id = cand.neighbor_id
+      |               JOIN c1 c ON c.sub = n.sub AND c.cid = n.cid
+      |               JOIN sv q ON q.vec_id = cand.query_id AND q.sub = n.sub),
+      | sc2 AS (SELECT query_id, neighbor_id,
+      |          ${q4("list_reduce(list_prepend(0.0, list(p ORDER BY sub)), (a, x) -> a + x)")} AS score
+      |        FROM part GROUP BY 1, 2),
+      | rk AS (SELECT query_id, neighbor_id, score, row_number() OVER
+      |          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |        FROM sc2)
+      | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
+    })
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -4739,7 +4814,7 @@ object PipelineQueries {
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
-    qAnnPqAdc, qAssignCentroids,
+    qAnnPqAdc, qAnnIvfPq, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,

@@ -248,6 +248,39 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** IVF-PQ (Jégou et al., TPAMI 2011 §V) — the two scale answers
+    * composed, which is how every billion-vector deployment actually ships:
+    * IVF's coarse cells bound WHICH vectors a query touches (≈ nprobe/k of
+    * the corpus), PQ's codes bound WHAT is read per touched vector (m codes,
+    * not d floats). One corpus pass computes cell + codes together (both are
+    * literal projections, so the combined scan is still shuffle-free);
+    * candidates are ADC-scored by codebook lookup — the float corpus is
+    * never read at search time. Ranking = (q4 ADC score desc, neighbor asc),
+    * the library-wide total order.
+    *
+    * Approximation composes both error sources: a true neighbor is lost if
+    * its cell is outside the probe set (IVF) or its reconstructed dot
+    * misranks it (PQ) — dial nprobe and m·ksub independently, exactly as
+    * the recall spec measures for each half.
+    */
+  def ivfPqTopK(embIn: DataFrame, centroids: DataFrame, model: Pq.PqModel,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val emb = spread(embIn)
+    val centArr = centroidArray(centroids)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      (-bestCentroid(centArr).getField("ncid")).as("cell"),
+      Pq.codesExpr(model, col("embedding")).as("codes"))
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeCells(centArr, col("embedding"), nprobe)).as("cell"))
+    val pairs = corpus.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Pq.adcScoreExpr(model, col("qv"), col("codes")).as("score"))
+    Pq.rankTopK(pairs, k)
+  }
+
   /** Persist the inverted file AT REST: assign each corpus vector to its
     * nearest cell (the [[assignCentroids]] literal projection — one corpus
     * pass, no join) and write (cell, vec_id, embedding) BUCKETED BY CELL via

@@ -133,18 +133,52 @@ object Pq {
     PqModel(m, ksub, cents, iters)
   }
 
+  /** The codes column for an embedding column — per-subspace argmins,
+    * ordered by subspace. A pure projection: composes into any scan
+    * (the IVF-PQ corpus pass computes cell + codes in one go).
+    */
+  private[similarity] def codesExpr(model: PqModel, embCol: Column): Column = {
+    val cbLit = model.literal
+    val v = embCol.cast("array<double>")
+    val dsub = (size(v) / model.m).cast("int")
+    transform(sequence(lit(0), lit(model.m - 1)), s =>
+      bestCode(cbLit, s.cast("int"),
+        slice(v, (s * dsub + 1).cast("int"), dsub)))
+  }
+
+  /** The q4-quantized ADC score of a full-precision query column against a
+    * codes column: ordered sum over subspaces of dot(query_sub,
+    * codebook[sub][code]) — the codebook is a dense plan literal, so this
+    * is a per-row lookup, no join.
+    */
+  private[similarity] def adcScoreExpr(model: PqModel, qvCol: Column,
+      codesCol: Column): Column = {
+    val denseLit = model.denseLiteral
+    val qv = qvCol.cast("array<double>")
+    val dsub = (size(qv) / model.m).cast("int")
+    Quant.q4(aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc + dot(
+        slice(qv, (s * dsub + 1).cast("int"), dsub),
+        element_at(element_at(denseLit, (s + 1).cast("int")),
+          (element_at(codesCol, (s + 1).cast("int")) + 1).cast("int")))))
+  }
+
+  /** Bounded-heap top-k of (query_id, neighbor_id, score) pairs —
+    * (score desc, neighbor_id asc), ranks 1..k.
+    */
+  private[similarity] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+
   /** Encode the corpus: (vec_id, codes array<long> ordered by subspace) —
     * one scan, the 64×-smaller representation that goes to rest.
     */
-  def encode(embIn: DataFrame, model: PqModel): DataFrame = {
-    val cbLit = model.literal
-    val dsub = (size(col("embedding")) / model.m).cast("int")
-    embIn.select(col("vec_id"),
-      transform(sequence(lit(0), lit(model.m - 1)), s =>
-        bestCode(cbLit, s.cast("int"),
-          slice(col("embedding").cast("array<double>"),
-            (s * dsub + 1).cast("int"), dsub))).as("codes"))
-  }
+  def encode(embIn: DataFrame, model: PqModel): DataFrame =
+    embIn.select(col("vec_id"), codesExpr(model, col("embedding")).as("codes"))
 
   /** ADC top-k: queries (rows matching `queryPred`) stay full-precision;
     * the corpus side is its codes. Score = ordered sum over subspaces of
@@ -155,8 +189,6 @@ object Pq {
     */
   def searchAdc(embIn: DataFrame, model: PqModel, queryPred: Column,
       k: Int): DataFrame = {
-    val denseLit = model.denseLiteral
-    val dsub = (size(col("qv")) / model.m).cast("int")
     val q = embIn.where(queryPred)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
@@ -164,17 +196,7 @@ object Pq {
       .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Quant.q4(aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-          (acc, s) => acc + dot(
-            slice(col("qv"), (s * dsub + 1).cast("int"), dsub),
-            element_at(element_at(denseLit, (s + 1).cast("int")),
-              (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))))
-          .as("score"))
-    pairs
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+        adcScoreExpr(model, col("qv"), col("codes")).as("score"))
+    rankTopK(pairs, k)
   }
 }

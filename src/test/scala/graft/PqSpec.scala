@@ -45,6 +45,18 @@ class PqSpec extends SparkTestBase {
     assert(r.toSeq == Seq((1L, 109.0, 1L), (3L, 109.0, 2L), (2L, 101.0, 3L)))
   }
 
+  test("IVF-PQ: probing one cell restricts ADC candidates to that cell") {
+    import graft.similarity.Ann
+    val model = Pq.train(emb, m = 2, ksub = 2, iters = 1)
+    val cents = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // cosine cells: {0,2} -> cell 0, {1,3} -> cell 1; query 0 probes cell 0
+    val r = Ann.ivfPqTopK(emb, cents, model, col("vec_id") === 0L,
+        k = 3, nprobe = 1)
+      .collect().map(x => (x.getLong(1), x.getDouble(2), x.getLong(3)))
+    assert(r.toSeq == Seq((2L, 101.0, 1L)))
+  }
+
   test("iters=0 keeps the init codebook; codes stay in range on the corpus") {
     val corpus = Tables.embeddings(spark, sfDir)
     val model = Pq.train(corpus, m = 4, ksub = 8, iters = 0)
