@@ -3146,6 +3146,53 @@ object PipelineQueries {
       |     ORDER BY doc_id)::BIGINT AS fetch_round
       | FROM documents""".stripMargin))
 
+  /** STREAMING frontier politeness ([[graft.streaming.StreamingFrontier]])
+    * under the SAME oracle as the batch [[qFrontierSchedule]]: discovered
+    * URLs replay in doc_id order across 4 micro-batches and each must
+    * receive the fetch_round the batch ranking would give it — which holds
+    * only if the per-domain counter survives across triggers (cross-batch
+    * keyed state, the thing this fixture exists to pin). The streaming form
+    * touches only arriving rows; the batch form re-ranks the accumulated
+    * frontier per recompute — same contract, incremental cost.
+    */
+  val qStreamFrontier = Fixture(
+    "q_stream_frontier",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long].collect().sorted
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val stream = ms.toDF().toDF("doc_id")
+        .withColumn("domain", concat(lit("site"),
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".com"))))
+        // whole-second event times ((id+1) s past epoch): the emitted
+        // Timestamp is ms-precision, so sub-ms offsets would truncate
+        // BEHIND the already-advanced watermark and trip
+        // EMITTING_ROWS_OLDER_THAN_WATERMARK on the chained stage
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+        .withWatermark("ts", "0 seconds")
+      val sched = graft.streaming.StreamingFrontier
+        .schedule(stream, "doc_id", "domain", "ts")
+        .select(col("id").as("doc_id"), col("domain"), col("fetch_round"))
+      val sink = s"stream_frontier_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = sched.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qFrontierSchedule.oracle)
+
   /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
     * against 200 synthetic "session" intervals (arithmetic starts/ends, some
     * overlapping) via the time-CHUNK decomposition — interval fan-out to
@@ -4840,6 +4887,7 @@ object PipelineQueries {
     qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
     qCcnetBuckets, qIntervalJoin, qRobotsGate, qFrontierSchedule,
     qSitemapIngest, qSitemapIndex, qDomainHits, qOrcRoundtrip,
+    qStreamFrontier,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

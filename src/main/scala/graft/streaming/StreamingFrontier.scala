@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming frontier scheduling with per-domain politeness — the
+  * continuous form of the batch politeness striping (q_frontier_schedule):
+  * a crawler may issue at most ONE request per domain per round, so each
+  * arriving URL is assigned `fetch_round` = its domain's arrival index,
+  * maintained incrementally across micro-batches in keyed state. Discovery
+  * (WARC/link-graph/sitemap) feeds URLs in; what comes out is the fetch
+  * schedule, no rescan of the accumulated frontier per trigger — the batch
+  * form re-ranks the whole frontier every recompute, this form touches
+  * only the arriving rows.
+  *
+  * State is ONE long per domain (the count scheduled so far) — keyed by
+  * domain, so it shuffles/distributes like every `transformWithState`
+  * stage here, and the optional processing-time TTL bounds it exactly as
+  * the dedup stages bound theirs: a domain idle past the TTL restarts at
+  * round 1, the right semantics for politeness (the budget is per active
+  * window, not forever).
+  *
+  * Within-batch determinism: a batch's rows for one domain are assigned in
+  * ascending id order (the buffered sort is per-domain-per-batch sized —
+  * politeness domains are inherently low-fanout per trigger). Event time
+  * is preserved for chaining into downstream windowed aggregation.
+  */
+object StreamingFrontier {
+
+  case class UrlIn(domain: String, id: Long, ts_us: Long)
+  case class UrlOut(id: Long, domain: String, fetch_round: Long,
+      ts: java.sql.Timestamp)
+
+  private class FrontierProc(ttl: TTLConfig)
+      extends StatefulProcessor[String, UrlIn, UrlOut] {
+    @transient private var scheduled: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      scheduled = getHandle.getValueState[Long](
+        "scheduled", Encoders.scalaLong, ttl)
+    override def handleInputRows(
+        domain: String, rows: Iterator[UrlIn], tv: TimerValues): Iterator[UrlOut] = {
+      var n = if (scheduled.exists()) scheduled.get() else 0L
+      val out = rows.toArray.sortBy(_.id).map { r =>
+        n += 1
+        UrlOut(r.id, domain, n, new java.sql.Timestamp(r.ts_us / 1000L))
+      }
+      scheduled.update(n)
+      out.iterator
+    }
+  }
+
+  /** Assign `fetch_round` per domain (needs `idCol`, `domainCol`, `tsCol`;
+    * watermark already defined on tsCol upstream). Output
+    * (id, domain, fetch_round, ts), event time preserved for chaining.
+    */
+  def schedule(stream: DataFrame, idCol: String, domainCol: String,
+      tsCol: String, ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(domainCol).cast("string").as("domain"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .as[UrlIn]
+      .groupByKey(_.domain)
+      .transformWithState(new FrontierProc(ttl), "ts", OutputMode.Append())
+      .toDF()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingFrontier, Streams}
+
+/** StreamingFrontier politeness contract on hand-sized replays (the
+  * q_stream_frontier oracle proves the corpus path): per-domain rounds
+  * continue across micro-batches, within-batch arrivals are assigned in
+  * ascending id order, and domains count independently.
+  */
+class StreamingFrontierSpec extends SparkTestBase {
+
+  /** Replay (id, domain) tuples in the given chunks; returns
+    * (id -> (domain, fetch_round)).
+    */
+  private def replay(chunks: Seq[Seq[(Long, String)]]): Map[Long, (String, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("id", "domain")
+      .withColumn("ts", timestamp_micros((col("id") + 1L) * 1000000L))
+      .withWatermark("ts", "0 seconds")
+    val out = StreamingFrontier.schedule(stream, "id", "domain", "ts")
+    val sink = s"frontier_spec_${System.nanoTime}"
+    Streams.withRocksDb(s) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    s.table(sink).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  test("rounds continue across micro-batches, per domain independently") {
+    val r = replay(Seq(
+      Seq((0L, "a.com"), (1L, "b.com")),
+      Seq((2L, "a.com"), (3L, "a.com")),
+      Seq((4L, "b.com"))))
+    assert(r == Map(
+      0L -> ("a.com", 1L), 1L -> ("b.com", 1L),
+      2L -> ("a.com", 2L), 3L -> ("a.com", 3L),
+      4L -> ("b.com", 2L)))
+  }
+
+  test("within one batch, a domain's arrivals are ordered by id") {
+    val r = replay(Seq(Seq((9L, "a.com"), (2L, "a.com"), (5L, "a.com"))))
+    assert(r == Map(2L -> ("a.com", 1L), 5L -> ("a.com", 2L),
+      9L -> ("a.com", 3L)))
+  }
+
+  test("each round contains at most one URL per domain (the politeness law)") {
+    val r = replay(Seq(
+      Seq((0L, "a.com"), (1L, "a.com"), (2L, "b.com")),
+      Seq((3L, "b.com"), (4L, "a.com"))))
+    val byRound = r.toSeq.groupBy { case (_, (d, round)) => (d, round) }
+    assert(byRound.values.forall(_.size == 1), s"round collision: $r")
+  }
+}
