@@ -48,6 +48,46 @@ object Dedup {
         (!col("is_dup_in_corpus") && col("__rn") === 1).as("keep"))
   }
 
+  /** Paragraph-level exact dedup — the sub-document granularity used by the
+    * RefinedWeb (Penedo et al. 2023 §G) and Dolma (Soldaini et al. 2024)
+    * pipelines: boilerplate (nav bars, cookie banners, license blurbs)
+    * repeats across MILLIONS of otherwise-distinct pages, so whole-document
+    * fingerprints never catch it. The corpus-wide FIRST occurrence of each
+    * paragraph survives; every later copy is dropped from its document, and
+    * documents are reassembled from their surviving paragraphs in original
+    * order.
+    *
+    * Input is the exploded paragraph relation (`id`, `pos`, `para`) — the
+    * split itself is corpus-specific (real pipelines split on `\n\n`;
+    * fixtures derive windows), so it stays with the caller. Output: one row
+    * per document — (id, `text_deduped`, `n_kept`, `n_dropped`), with
+    * `text_deduped = ""` when every paragraph was a repeat.
+    *
+    * Scale shape: two shuffles total, both key-bounded. (1) first-occurrence
+    * ranking is a row_number over `partitionBy(para)` — groups are
+    * duplicate-family-sized, never corpus-sized, and the paragraph STRING is
+    * the partition key so the decision is exact (no hash-collision merges).
+    * (2) reassembly is one groupBy on the document id; the keeper filter is
+    * evaluated inside the aggregate (collect_list skips nulls) so dropped
+    * counts ride the same pass. No joins, no all-pairs, nothing
+    * driver-side.
+    */
+  def dedupParagraphs(paras: DataFrame, id: String, pos: String,
+      para: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(para)).orderBy(col(id), col(pos))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col(pos).as("p"), col(para).as("t"))))),
+          x => x.getField("t")), " ").as("text_deduped"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** (id, shingles, n_sh) with distinct n-word shingles.
     *
     * The repartition decouples CPU parallelism from file splits: shingling +

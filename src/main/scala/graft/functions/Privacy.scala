@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Differential-privacy release primitives for corpus statistics.
+  *
+  * A training-data lake publishes aggregate reports (per-language counts,
+  * per-source token totals) to audiences that must not learn about any
+  * single contributed document; the standard mechanism is the Laplace
+  * release (Dwork et al., "Calibrating Noise to Sensitivity in Private Data
+  * Analysis", TCC 2006): add `Laplace(sensitivity / ε)` noise to each
+  * published value.
+  *
+  * The noise here is DETERMINISTIC PER RELEASE KEY — drawn by inverse-CDF
+  * from a hash of `(group key, release seed)` rather than an RNG. That is
+  * standard practice for recurring releases: re-running the same release
+  * must emit the SAME noised value, otherwise an observer averages
+  * re-publications and cancels the noise (each fresh draw spends fresh ε).
+  * A new release epoch gets a new `seed`, which is a new draw. The hash is
+  * the cross-engine [[TextFunctions.hash64]], so the oracle reproduces the
+  * exact noise.
+  *
+  * All pure Column expressions — codegen'd, evaluated post-aggregation on
+  * group-count-sized data, zero cost at corpus scale.
+  */
+object Privacy {
+
+  /** Laplace(b = sensitivity/ε) noise, deterministic in (`key`, `seed`).
+    *
+    * u = hash-uniform in (−0.5, 0.5) (the +0.5 bucket-center offset keeps u
+    * away from ±0.5, where the inverse CDF diverges), then the Laplace
+    * inverse CDF −b·sgn(u)·ln(1 − 2|u|). 2²⁰ hash buckets bound the
+    * quantization of u at 2⁻²⁰ — far below the 4-decimal release grid.
+    */
+  def laplaceNoise(key: Column, seed: String, sensitivity: Double,
+      epsilon: Double): Column = {
+    require(sensitivity > 0 && epsilon > 0,
+      s"need sensitivity, epsilon > 0 (got $sensitivity, $epsilon)")
+    val b = sensitivity / epsilon
+    val h = TextFunctions.hash64(concat(key, lit("|" + seed)))
+    val u = (h % lit(1048576L) + lit(0.5)) / lit(1048576.0) - lit(0.5)
+    val mag = lit(b) * log(lit(1.0) - lit(2.0) * abs(u))
+    when(u < 0, mag).otherwise(-mag)
+  }
+
+  /** DuckDB mirror of [[laplaceNoise]] — same hash, same inverse CDF. */
+  def laplaceNoiseSql(keySql: String, seed: String, sensitivity: Double,
+      epsilon: Double): String = {
+    val b = sensitivity / epsilon
+    val u = s"((('0x' || substr(md5($keySql || '|$seed'), 1, 15))::BIGINT " +
+      s"% 1048576) + 0.5) / 1048576.0 - 0.5"
+    s"(CASE WHEN ($u) < 0 THEN 1.0 ELSE -1.0 END) " +
+      s"* $b * ln(1.0 - 2.0 * abs($u))"
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
-import graft.functions.TextFunctions
+import graft.functions.{Privacy, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.Quant
 import graft.similarity.Ann
@@ -449,6 +449,45 @@ object PipelineQueries {
       | FROM lab JOIN qs USING (doc_id))
       | SELECT cluster, doc_id AS keeper_id, n_members, q AS best_q
       | FROM m WHERE rn = 1""".stripMargin))
+
+  /** Paragraph-level exact dedup ([[Dedup.dedupParagraphs]], the
+    * RefinedWeb/Dolma sub-document granularity): boilerplate repeats across
+    * otherwise-distinct pages, so whole-document fingerprints never see it.
+    * Paragraphs here are 10-word windows (the synthetic corpus has no
+    * newline structure — same derivation convention as `q_chunk_docs`);
+    * the corpus-wide first occurrence of each paragraph survives, later
+    * copies are dropped, and each document is reassembled from its
+    * surviving paragraphs in original order (151 drops at sf0.01). Oracle
+    * mirrors the keep/reassemble contract with a row_number over the
+    * paragraph partition and an ordered FILTERed string_agg.
+    */
+  val qDedupParagraph = Fixture(
+    "q_dedup_paragraph",
+    (s, d) => {
+      val paras = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("pos", explode(sequence(lit(0L), expr("(n_tok + 9) div 10 - 1"))))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("w"), (col("pos") * 10L + 1L).cast("int"), lit(10)),
+            " ").as("para"))
+      Dedup.dedupParagraphs(paras, "doc_id", "pos", "para")
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tok FROM w0),
+      | p AS (SELECT doc_id, w,
+      |         unnest(generate_series(0, (n_tok + 9) // 10 - 1)) AS pos FROM n),
+      | t AS (SELECT doc_id, pos,
+      |         array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS para FROM p),
+      | r AS (SELECT doc_id, pos, para,
+      |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      |       FROM t)
+      | SELECT doc_id,
+      |   coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+      |     AS text_deduped,
+      |   count(*) FILTER (WHERE rn = 1) AS n_kept,
+      |   count(*) FILTER (WHERE rn > 1) AS n_dropped
+      | FROM r GROUP BY doc_id""".stripMargin))
 
   /** Embedding-cosine near-dup pairs within a coarse partition (label). */
   val qDedupEmbed = Fixture(
@@ -997,6 +1036,56 @@ object PipelineQueries {
       |   count(DISTINCT source) AS n_sources,
       |   sum(len($wordsSql))::BIGINT AS total_tokens
       | FROM documents GROUP BY lang""".stripMargin))
+
+  /** Hierarchical corpus report via grouping sets: (lang, source) detail,
+    * per-lang subtotals, and the grand total in ONE pass — Catalyst's
+    * `Expand` replays each input row once per grouping level inside the
+    * same scan, where the naive form is three scans + a union. At 100 TB
+    * the difference is 2 full corpus reads. `glevel` is the grouping_id
+    * bitmask (first rollup column = most significant bit — Spark and
+    * DuckDB agree); NULL group keys from rolled-up levels are coalesced to
+    * a sentinel on BOTH sides so the engines' null orderings never meet
+    * the comparator.
+    */
+  val qCorpusRollup = Fixture(
+    "q_corpus_rollup",
+    (s, d) => Tables.documents(s, d)
+      .rollup("lang", "source")
+      .agg(grouping_id().cast("long").as("glevel"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("glevel"), col("n_docs"), col("total_chars")),
+    Some("""SELECT coalesce(lang, '(all)') AS lang,
+      |   coalesce(source, '(all)') AS source,
+      |   GROUPING(lang, source)::BIGINT AS glevel,
+      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin))
+
+  /** Differentially-private corpus release ([[Privacy.laplaceNoise]]):
+    * per-language document counts published with Laplace(1/ε) noise,
+    * ε = 0.5, sensitivity 1 (one document changes one count by one). The
+    * noise is deterministic per (key, release-seed) — the reproducibility
+    * discipline a recurring release needs (fresh draws per re-run would let
+    * an observer average the noise away) — so the oracle replays the exact
+    * inverse-CDF draw from the shared cross-engine hash. Noise is added
+    * POST-aggregation on group-count-sized data: zero corpus-scale cost.
+    */
+  val qDpRelease = Fixture(
+    "q_dp_release_counts",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("lang"),
+        Quant.q4(col("n_true").cast("double") +
+          Privacy.laplaceNoise(col("lang"), "rel1", 1.0, 0.5)).as("n_released")),
+    Some(s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+      |   GROUP BY 1)
+      | SELECT lang,
+      |   ${q4("n + " + graft.functions.Privacy.laplaceNoiseSql("lang", "rel1", 1.0, 0.5))}
+      |     AS n_released
+      | FROM c""".stripMargin))
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -3193,6 +3282,50 @@ object PipelineQueries {
     },
     qFrontierSchedule.oracle)
 
+  /** Politeness in TIME ([[graft.sources.Robots.parseCrawlDelay]] composed
+    * with the frontier rounds): each domain's `Crawl-delay` (default 5 s
+    * where robots.txt declares none — only even-k domains do here) spaces
+    * its rounds into absolute offsets, `fetch_at_s = (round−1)·delay` —
+    * what the fetcher actually consumes. The delay relation is
+    * domain-keyed and joins the frontier on the SAME domain key the round
+    * window partitions by: one shuffle serves both, and the delay side is
+    * #domains-sized (broadcast at any scale). A planted star-group
+    * `Crawl-delay` after a googlebot group proves group attribution; odd
+    * domains prove the no-row → default path.
+    */
+  val qFrontierFetchAt = Fixture(
+    "q_frontier_fetch_at",
+    (s, d) => {
+      val kd = col("id").cast("string")
+      val robots = s.range(0, 40).select(
+        concat(lit("site"), kd, lit(".com")).as("domain"),
+        concat(
+          lit("User-agent: googlebot\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /private\n"),
+          when(col("id") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("id") % 7 + 1).cast("string"),
+              lit("\n"))).otherwise(lit("")))
+          .as("robots_txt"))
+      val delays = graft.sources.Robots.parseCrawlDelay(s, robots)
+      val k = (col("doc_id") % 40).cast("string")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(lit("site"), k, lit(".com")).as("domain"))
+        .withColumn("fetch_round", row_number().over(w).cast("long"))
+        .join(delays, Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"), col("fetch_round"),
+          ((col("fetch_round") - 1L) *
+            coalesce(col("crawl_delay"), lit(5.0))).as("fetch_at_s"))
+    },
+    Some("""WITH f AS (SELECT doc_id, 'site' || (doc_id % 40) || '.com' AS domain,
+      |     row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id)::BIGINT
+      |       AS fetch_round
+      |   FROM documents)
+      | SELECT doc_id, domain, fetch_round,
+      |   (fetch_round - 1) * (CASE WHEN doc_id % 40 % 2 = 0
+      |      THEN (doc_id % 40 % 7 + 1)::DOUBLE ELSE 5.0 END) AS fetch_at_s
+      | FROM f""".stripMargin))
+
   /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
     * against 200 synthetic "session" intervals (arithmetic starts/ends, some
     * overlapping) via the time-CHUNK decomposition — interval fan-out to
@@ -4860,9 +4993,11 @@ object PipelineQueries {
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
+    qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
     qAnnPqAdc, qAnnIvfPq, qAssignCentroids,
-    qRedact, qSampleHash, qSamplePerSource, qCorpusStats,
+    qRedact, qSampleHash, qSamplePerSource, qCorpusStats, qCorpusRollup,
+    qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,
     qImageResize, qFrameSample, qVideoKeyframes, qVideoFramesStrided,
@@ -4887,7 +5022,7 @@ object PipelineQueries {
     qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
     qCcnetBuckets, qIntervalJoin, qRobotsGate, qFrontierSchedule,
     qSitemapIngest, qSitemapIndex, qDomainHits, qOrcRoundtrip,
-    qStreamFrontier,
+    qStreamFrontier, qFrontierFetchAt,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
 }

@@ -66,6 +66,13 @@ object Pq {
       }: _*)
   }
 
+  /** Spread compute-dense scans across cores regardless of file-split
+    * count — same rationale as the Ann operators (values are unaffected:
+    * per-row argmins and the integer-sum M-step are partitioning-exact).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** 0.0-seeded ascending fold of `a·b` — the shared dot convention. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -107,7 +114,7 @@ object Pq {
   def train(embIn: DataFrame, m: Int, ksub: Int, iters: Int): PqModel = {
     require(m >= 1 && ksub >= 1 && iters >= 0,
       s"need m, ksub >= 1 and iters >= 0 (got $m, $ksub, $iters)")
-    val sv = subvectors(embIn, m)
+    val sv = subvectors(spread(embIn), m)
     var cents: Seq[((Int, Long), Array[Double])] = sv
       .where(col("vec_id") < ksub)
       .collect()
@@ -192,7 +199,7 @@ object Pq {
     val q = embIn.where(queryPred)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    val pairs = encode(embIn, model)
+    val pairs = encode(spread(embIn), model)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -76,6 +76,73 @@ object Robots {
       .toDF("domain", "prefix", "allow", "rule_len")
   }
 
+  /** `Sitemap:` declarations — the discovery bridge from the robots tier to
+    * the sitemap tier (sitemaps.org / RFC 9309 companion convention): a
+    * compliant crawler's sitemap walk STARTS from these URLs, not from
+    * guessing `/sitemap.xml`. Unlike every other directive, `Sitemap:` is
+    * GROUP-INDEPENDENT (it may appear anywhere in the file, outside any
+    * `User-agent` group), so this is a stateless line scan: pure built-in
+    * column functions (split → explode → prefix filter → trim), codegen'd,
+    * no per-row state machine. Output: (`domain`, `sitemap_url`), one row
+    * per declaration, duplicates preserved in file order semantics
+    * (callers distinct() before fetching).
+    */
+  def parseSitemaps(robots: DataFrame): DataFrame = robots
+    .select(col("domain").cast("string"),
+      explode(split(coalesce(col("robots_txt").cast("string"), lit("")),
+        "\n")).as("line"))
+    // comments stripped before the prefix test, like the grouped parse
+    .withColumn("line", trim(substring_index(col("line"), "#", 1)))
+    .where(lower(col("line")).startsWith("sitemap:"))
+    .select(col("domain"),
+      trim(expr("substring(line, 9)")).as("sitemap_url"))
+    .where(length(col("sitemap_url")) > 0)
+
+  /** Per-domain `Crawl-delay` (seconds) from the `User-agent: *` group —
+    * the politeness SPACING that turns the frontier's per-domain rounds
+    * into absolute fetch times (fetch_at = (round−1)·delay). Not part of
+    * RFC 9309 (which standardizes only allow/disallow) but honored by most
+    * non-Google crawlers, so a compliant fetcher reads it.
+    *
+    * Output: (`domain`, `crawl_delay`) — one row per domain that declares
+    * a parseable non-negative value in its star group (first declaration
+    * wins); domains without one get NO row, and the caller supplies its
+    * default spacing. Same line-oriented defensive parse as [[parseRules]].
+    */
+  def parseCrawlDelay(spark: SparkSession, robots: DataFrame): DataFrame = {
+    import spark.implicits._
+    robots.select(col("domain").cast("string"), col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (domain, txt) =>
+        var inStar = false
+        var inUaRun = false
+        var delay: Option[Double] = None
+        Option(txt).getOrElse("").split("\n").foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val i = line.indexOf(':')
+          if (i >= 0) {
+            val key = line.substring(0, i).trim.toLowerCase
+            val value = line.substring(i + 1).trim
+            key match {
+              case "user-agent" =>
+                if (!inUaRun) inStar = false
+                if (value == "*") inStar = true
+                inUaRun = true
+              case "crawl-delay" =>
+                inUaRun = false
+                if (inStar && delay.isEmpty)
+                  delay = scala.util.Try(value.toDouble).toOption
+                    .filter(v => v >= 0 && !v.isNaN && !v.isInfinite)
+              case _ =>
+                inUaRun = false
+            }
+          }
+        }
+        delay.map(domain -> _)
+      }
+      .toDF("domain", "crawl_delay")
+  }
+
   /** Gate a URL frontier on the rules relation. `urls` carries (`domain`,
     * `path`, …; rows assumed distinct — they are the window identity);
     * returns the input columns plus `allowed`. Longest matching prefix

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Paragraph-level exact dedup ([[Dedup.dedupParagraphs]]): hand-computed
+  * keep/drop/reassembly semantics plus the plan-shape contract (two
+  * shuffles, no join).
+  */
+class DedupParagraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // doc 1: [A, B]   doc 2: [B, C, A]   doc 3: [C]
+  // first occurrences: A@(1,0), B@(1,1), C@(2,1)
+  private def paras = Seq(
+    (1L, 0L, "aa aa"), (1L, 1L, "bb bb"),
+    (2L, 0L, "bb bb"), (2L, 1L, "cc cc"), (2L, 2L, "aa aa"),
+    (3L, 0L, "cc cc")
+  ).toDF("doc_id", "pos", "para")
+
+  test("corpus-wide first occurrence survives; docs reassemble in order") {
+    val r = Dedup.dedupParagraphs(paras, "doc_id", "pos", "para")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, "aa aa bb bb", 2L, 0L),
+      (2L, "cc cc", 1L, 2L),     // kept para at pos 1, order preserved
+      (3L, "", 0L, 1L)))         // all paragraphs were repeats → empty doc
+  }
+
+  test("tie within one document: earlier position is the keeper") {
+    val df = Seq((7L, 0L, "x x"), (7L, 1L, "x x")).toDF("doc_id", "pos", "para")
+    val r = Dedup.dedupParagraphs(df, "doc_id", "pos", "para").collect()
+    assert(r.map(x => (x.getString(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq(("x x", 1L, 1L)))
+  }
+
+  test("plan shape: one window shuffle on para + one agg shuffle on id, no join") {
+    val p = Dedup.dedupParagraphs(paras, "doc_id", "pos", "para")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"window + reassembly shuffles only:\n$p")
+  }
+}

@@ -57,6 +57,24 @@ class PqSpec extends SparkTestBase {
     assert(r.toSeq == Seq((2L, 101.0, 1L)))
   }
 
+  test("plan shape: encode is a zero-exchange scan-side projection; " +
+      "ADC search shuffles only for the top-k aggregation") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val model = Pq.train(corpus, m = 4, ksub = 8, iters = 0)
+    def countOf(p: String, needle: String): Int =
+      p.sliding(needle.length).count(_ == needle)
+    val pEnc = Pq.encode(corpus, model).queryExecution.executedPlan.toString
+    assert(countOf(pEnc, "Exchange") == 0,
+      s"encode must not shuffle (codebook is a plan literal):\n$pEnc")
+    val pSearch = Pq.searchAdc(corpus, model, col("vec_id") < 5, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(pSearch.contains("BroadcastNestedLoopJoin") ||
+      pSearch.contains("BroadcastExchange"),
+      s"query batch must broadcast onto the code scan:\n$pSearch")
+    assert(countOf(pSearch, "Exchange hashpartitioning") <= 1,
+      s"only the top-k aggregation may hash-shuffle:\n$pSearch")
+  }
+
   test("iters=0 keeps the init codebook; codes stay in range on the corpus") {
     val corpus = Tables.embeddings(spark, sfDir)
     val model = Pq.train(corpus, m = 4, ksub = 8, iters = 0)

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Privacy
+
+/** Laplace release noise ([[Privacy.laplaceNoise]]): determinism-per-key,
+  * seed separation, scale calibration, and distribution sanity.
+  */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def draw(seed: String, eps: Double, n: Int = 2000): Array[Double] =
+    spark.range(n).select(
+      Privacy.laplaceNoise(concat(lit("k"), col("id")), seed, 1.0, eps).as("x"))
+      .collect().map(_.getDouble(0))
+
+  test("deterministic per (key, seed); different seed = different draw") {
+    assert(draw("a", 0.5, 100).toSeq == draw("a", 0.5, 100).toSeq)
+    assert(draw("a", 0.5, 100).toSeq != draw("b", 0.5, 100).toSeq)
+  }
+
+  test("scale calibration: mean |X| tracks b = sensitivity/eps") {
+    // E|Laplace(b)| = b; 2000 hash-uniform draws land well within ±15 %
+    val m1 = draw("s", 1.0).map(math.abs).sum / 2000 // b = 1
+    val m2 = draw("s", 0.25).map(math.abs).sum / 2000 // b = 4
+    assert(math.abs(m1 - 1.0) < 0.15, s"b=1 got $m1")
+    assert(math.abs(m2 - 4.0) < 0.6, s"b=4 got $m2")
+  }
+
+  test("sign symmetry and median near zero") {
+    val xs = draw("t", 0.5)
+    val pos = xs.count(_ > 0).toDouble / xs.length
+    assert(math.abs(pos - 0.5) < 0.05, s"P(X>0) = $pos")
+  }
+
+  test("all draws finite (inverse CDF never sees |u| = 0.5)") {
+    assert(draw("u", 0.1, 5000).forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("SQL mirror emits the identical formula shape for the oracle") {
+    val sql = Privacy.laplaceNoiseSql("lang", "rel1", 1.0, 0.5)
+    assert(sql.contains("md5(lang || '|rel1')") && sql.contains("ln(1.0 - 2.0"))
+  }
+}

@@ -62,4 +62,23 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.gate(urls, empty).select("allowed")
       .collect().map(_.getBoolean(0)).toSeq == Seq(true))
   }
+
+  private def delay(txt: String): Option[Double] = {
+    import spark.implicits._
+    Robots.parseCrawlDelay(spark, Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .collect().map(_.getDouble(1)).headOption
+  }
+
+  test("crawl-delay: star group only, first declaration wins") {
+    assert(delay("User-agent: googlebot\nCrawl-delay: 99\n\n" +
+      "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\nCrawl-delay: 7\n")
+      .contains(2.5))
+  }
+
+  test("crawl-delay: absent, other-agent-only, or garbage values yield no row") {
+    assert(delay("User-agent: *\nDisallow: /x\n").isEmpty)
+    assert(delay("User-agent: googlebot\nCrawl-delay: 3\n").isEmpty)
+    assert(delay("User-agent: *\nCrawl-delay: soon\n").isEmpty)
+    assert(delay("User-agent: *\nCrawl-delay: -1\n").isEmpty)
+  }
 }
