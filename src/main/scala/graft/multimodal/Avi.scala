@@ -138,7 +138,7 @@ object Avi {
   private def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 255) | ((b(p + 1) & 255) << 8)
   private def fcc(b: Array[Byte], p: Int, s: String): Boolean =
-    p >= 0 && p + 4 <= b.length &&
+    p >= 0 && p.toLong + 4 <= b.length && // Long: p near 2^31 must not wrap
       b(p) == s.charAt(0).toByte && b(p + 1) == s.charAt(1).toByte &&
       b(p + 2) == s.charAt(2).toByte && b(p + 3) == s.charAt(3).toByte
   private def isVideoChunk(b: Array[Byte], p: Int): Boolean =
@@ -159,7 +159,9 @@ object Avi {
       while (p + 8 <= to) {
         val size = le32(b, p + 4)
         val body = p + 8
-        if (size < 0 || body + size > to) return // truncated — stop cleanly
+        // Long math: a crafted size near 2^31 would wrap the Int sum
+        // negative, sneak past this check, and send the cursor negative
+        if (size < 0 || body.toLong + size > to) return // truncated — stop cleanly
         if (fcc(b, p, "LIST") && size >= 4) {
           if (fcc(b, body, "hdrl") || fcc(b, body, "strl")) walk(body + 4, body + size)
           else if (fcc(b, body, "movi")) { moviFcc = body; moviEnd = body + size }
@@ -183,8 +185,12 @@ object Avi {
   /** Decode one BI_RGB bottom-up frame chunk body into a BufferedImage. */
   private def decodeFrame(b: Array[Byte], body: Int, size: Int,
       w: Int, h: Int): Option[BufferedImage] = {
+    // header dims are untrusted: cap them (a 46341x46341 BufferedImage is
+    // a fatal OOM, not a NonFatal parse error) and do the size check in
+    // Long so rowBytes * h cannot wrap past it
+    if (w < 1 || h < 1 || w > 32768 || h > 32768) return None
     val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (size < rowBytes * h || body + size > b.length) return None
+    if (size.toLong < rowBytes.toLong * h || body.toLong + size > b.length) return None
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -247,14 +253,15 @@ object Avi {
           var ord = 0
           while (p + 8 <= moviEnd && p + 8 <= bytes.length) {
             val size = le32(bytes, p + 4)
-            if (size < 0 || p + 8 + size > bytes.length) return out.toSeq
+            // Long math: crafted sizes near 2^31 wrap Int sums negative
+            if (size < 0 || p.toLong + 8 + size > bytes.length) return out.toSeq
             if (isVideoChunk(bytes, p)) {
               if (ord % stride == 0)
                 decodeFrame(bytes, p + 8, size, info.width, info.height)
                   .foreach(img => out += ((ord, img)))
               ord += 1
             }
-            p += 8 + size + (size & 1)
+            p += 8 + size + (size & 1) // in-range: p + 8 + size <= length
           }
         }
         out.toSeq

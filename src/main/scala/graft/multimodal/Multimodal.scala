@@ -746,7 +746,12 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        Wav.parseInfo(r.media) match {
+        // belt over the parser's bounds checks: a blob that still throws
+        // is a sentinel row, never a dead task
+        val info = try Wav.parseInfo(r.media) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        info match {
           case Some(i) => WavMeta(r.doc_id, i.channels.toLong,
             i.sampleRate.toLong, i.bitsPerSample.toLong, i.nFrames.toLong)
           case None => WavMeta(r.doc_id, -1L, -1L, -1L, -1L)
@@ -767,7 +772,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        Wav.dataRange(r.media).map { case (start, len) =>
+        val range = try Wav.dataRange(r.media) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        range.map { case (start, len) =>
           AudioRow(r.doc_id,
             java.util.Arrays.copyOfRange(r.media, start, start + len),
             (len / 2).toLong)

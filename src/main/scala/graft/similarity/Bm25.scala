@@ -76,11 +76,6 @@ object Bm25 {
     base.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$path/docs").saveAsTable(s"${table}_docs")
-    // corpus stats BEFORE any term filter: n counts every document (even
-    // token-free ones), exactly the scan form's count(*)
-    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$path/stats").saveAsTable(s"${table}_stats")
     val postings = base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .where(col("term") =!= "")
@@ -88,6 +83,14 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     graft.sources.Bucketing.writeBucketed(
       postings, table, s"$path/postings", buckets, "term", Seq("term", "doc_id"))
+    // corpus stats LAST (docs → postings → stats), matching [[appendIndex]]'s
+    // durability order: a crash before this line leaves no stats row
+    // counting documents whose postings never landed, so any crash prefix
+    // is repairable by [[rebuildStats]]. Counts BEFORE any term filter:
+    // n includes token-free docs, exactly the scan form's count(*).
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/stats").saveAsTable(s"${table}_stats")
   }
 
   /** Incremental ingest into a [[writeIndex]]-persisted index: the day's

@@ -89,8 +89,11 @@ object Robots {
     */
   def parseSitemaps(robots: DataFrame): DataFrame = robots
     .select(col("domain").cast("string"),
+      // CRLF line endings are the common real-world form (RFC 9309 allows
+      // them); splitting on bare \n would leave a trailing \r that Spark's
+      // trim (ASCII-space-only) does not strip, corrupting the URL
       explode(split(coalesce(col("robots_txt").cast("string"), lit("")),
-        "\n")).as("line"))
+        "\r?\n")).as("line"))
     // comments stripped before the prefix test, like the grouped parse
     .withColumn("line", trim(substring_index(col("line"), "#", 1)))
     .where(lower(col("line")).startsWith("sitemap:"))

@@ -108,10 +108,15 @@ object SnapshotLake {
     *   - ORPHAN directories from writers that died before the pointer
     *     swap (`v > current`): never readable via [[readVersion]], pure
     *     leaked bytes. Safe to remove precisely because [[commit]] writes
-    *     data first and swaps the pointer last — a LIVE writer's
-    *     in-progress directory is also `> current`, so production callers
-    *     gate this arm on directory mtime (the standard retention-period
-    *     guard); this single-writer implementation deletes eagerly.
+    *     data first and swaps the pointer last — BUT a LIVE writer's
+    *     in-progress directory is also `> current`, so this arm is gated
+    *     on `orphanOlderThanMs`: an orphan is deleted only when its
+    *     newest file mtime is at least that many ms in the past (the
+    *     standard retention-period guard; Delta's
+    *     `deletedFileRetentionDuration` shape). The default 0 deletes
+    *     eagerly — correct for single-writer tables; pass a grace window
+    *     (e.g. 24h) whenever a [[graft.streaming.StreamingUpsert]] or any
+    *     concurrent committer may be mid-write.
     *
     * Returns the deleted version numbers (sorted). [[readVersion]] of a
     * vacuumed version then fails its committed-readability contract loudly
@@ -122,8 +127,9 @@ object SnapshotLake {
     * listings and deletes, no data scan, nothing proportional to table
     * size on the driver beyond file metadata.
     */
-  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+  def vacuum(root: String, keepLast: Int, orphanOlderThanMs: Long = 0L): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    require(orphanOlderThanMs >= 0, s"orphanOlderThanMs must be >= 0")
     val cur = currentVersion(root).getOrElse(
       sys.error(s"no committed snapshot at $root"))
     val dir = Paths.get(root)
@@ -132,7 +138,13 @@ object SnapshotLake {
       .map(p => p.getFileName.toString.drop(1).toLong)
       .toSeq.sorted
     val keepFloor = cur - (keepLast - 1)
-    val doomed = versioned.filter(v => v < keepFloor || v > cur)
+    val cutoff = System.currentTimeMillis() - orphanOlderThanMs
+    // newest mtime under the dir — a live writer adding files keeps it fresh
+    def newestMtime(v: Long): Long =
+      Files.walk(Paths.get(versionPath(root, v))).iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis).max
+    val doomed = versioned.filter(v =>
+      v < keepFloor || (v > cur && newestMtime(v) <= cutoff))
     doomed.foreach { v =>
       val victim = Paths.get(versionPath(root, v))
       Files.walk(victim).iterator().asScala.toSeq.reverse

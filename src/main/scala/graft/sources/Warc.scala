@@ -123,9 +123,13 @@ object Warc {
       }
       val h = if (lineEnd >= headEnd) Map.empty[String, String]
         else headerMap(bytes, lineEnd, headEnd)
-      val len = h.get("content-length").flatMap(_.toIntOption).getOrElse(-1)
+      // Long math: an untrusted Content-Length near 2^31 would wrap the
+      // Int sum negative and sneak past the truncation check, sending the
+      // cursor negative — one corrupt record must not kill a 100 TB pass.
+      val lenL = h.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
       val payloadStart = headEnd + 4
-      if (len < 0 || payloadStart + len > bytes.length) return out.toSeq
+      if (lenL < 0 || payloadStart.toLong + lenL > bytes.length) return out.toSeq
+      val len = lenL.toInt // in-range: payloadStart + lenL <= bytes.length
       val warcType = h.getOrElse("warc-type", "")
       val uri = h.getOrElse("warc-target-uri", "")
       if (warcType == "response") {
@@ -192,7 +196,13 @@ object Warc {
   def ingestResponses(spark: SparkSession, files: Dataset[WarcFile]): DataFrame = {
     import spark.implicits._
     files.flatMap { f =>
-      Warc.records(f.warc).iterator.collect {
+      // one malformed container yields its parseable prefix (records stops
+      // at the first structural violation) — and if a record slips past
+      // the structural checks and throws, the file is dropped, not the job
+      val recs = try Warc.records(f.warc) catch {
+        case scala.util.control.NonFatal(_) => Seq.empty[WarcRecord]
+      }
+      recs.iterator.collect {
         case r if r.warc_type == "response" =>
           (f.file_id, r.target_uri, r.content_type, r.http_status, r.body)
       }

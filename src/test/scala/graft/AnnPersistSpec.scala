@@ -11,8 +11,7 @@ import graft.similarity.Ann
   */
 class AnnPersistSpec extends SparkTestBase {
 
-  private val tmp = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft_ann_persist_spec").getAbsolutePath
+  private val tmp = freshDir("ann_persist_spec")
 
   private def emb = Tables.embeddings(spark, sfDir)
   private def cents = emb.where(col("vec_id") < 8)

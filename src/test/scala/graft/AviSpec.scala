@@ -68,6 +68,33 @@ class AviSpec extends SparkTestBase {
     assert(Avi.frames(good.take(good.length / 2), keyframesOnly = false).isEmpty)
   }
 
+  test("crafted chunk sizes and adversarial header dims cannot kill the task") {
+    // chunk size near 2^31: Int-math cursor would wrap negative and throw
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 255).toInt))
+    bos.write("RIFF".getBytes("US-ASCII")); u32(200L)
+    bos.write("AVI ".getBytes("US-ASCII"))
+    bos.write("JUNK".getBytes("US-ASCII")); u32(2147483640L)
+    bos.write(new Array[Byte](128))
+    assert(Avi.parseInfo(bos.toByteArray).isEmpty)
+
+    // header claiming 46341×46341 (w·h·3 overflows Int): decode must
+    // reject the dims BEFORE allocating a raster — an OutOfMemoryError is
+    // fatal and would escape every NonFatal catch up the stack
+    val good = Avi.writeUncompressed(8, 8, IndexedSeq(gradFrame(8, 8, 1)), 1)
+    val avih = {
+      val pat = "avih".getBytes("US-ASCII")
+      (0 until good.length - 4).find(i => pat.indices.forall(j => good(i + j) == pat(j))).get
+    }
+    val patched = good.clone()
+    def putU32(at: Int, v: Long): Unit =
+      (0 until 4).foreach(i => patched(at + i) = ((v >> (8 * i)) & 255).toByte)
+    putU32(avih + 8 + 32, 46341L) // dwWidth
+    putU32(avih + 8 + 36, 46341L) // dwHeight
+    assert(Avi.frames(patched, keyframesOnly = false).isEmpty)
+    assert(Avi.frames(patched, keyframesOnly = true).isEmpty)
+  }
+
   test("videoFrames emits the sentinel row for undecodable media") {
     import spark.implicits._
     val bad = Seq(

@@ -19,8 +19,7 @@ import graft.sources.Bucketing
   */
 class BucketingSpec extends SparkTestBase {
 
-  private val tmp = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft_bucketing_spec").getAbsolutePath
+  private val tmp = freshDir("bucketing_spec")
 
   private def docsFp: DataFrame = Tables.documents(spark, sfDir).select(
     col("doc_id"), col("source"),

@@ -13,7 +13,7 @@ class CompactionSpec extends SparkTestBase {
     spark.read.parquet(path).select(input_file_name()).distinct.count()
 
   test("fragmented ingest compacts to far fewer files, values unchanged") {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec")
+    val tmp = freshDir("compact_spec")
     val fragged = s"$tmp/fragged"
     val compacted = s"$tmp/compacted"
     val docs = Tables.documents(spark, sfDir)
@@ -26,7 +26,7 @@ class CompactionSpec extends SparkTestBase {
   }
 
   test("maxRecords is a hard per-file bound against estimation error") {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec2")
+    val tmp = freshDir("compact_spec2")
     val fragged = s"$tmp/fragged"
     val bounded = s"$tmp/bounded"
     Tables.documents(spark, sfDir).repartition(32)

@@ -19,7 +19,7 @@ class LakeVacuumSpec extends SparkTestBase {
   }
 
   test("vacuum keeps the retained window, removes expired and orphans") {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_vacuum_a"
+    val root = freshDir("vacuum_a")
     SnapshotLake.commit(df(3), root, 0L)
     SnapshotLake.commit(df(5), root, 1L)
     SnapshotLake.commit(df(7), root, 2L)
@@ -41,8 +41,31 @@ class LakeVacuumSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("orphan grace window protects an in-flight writer's directory") {
+    val root = freshDir("vacuum_c")
+    SnapshotLake.commit(df(3), root, 0L)
+    // a LIVE writer mid-write: v5 exists, pointer not yet swapped
+    val inflight = SnapshotLake.versionPath(root, 5L)
+    df(4).write.mode("overwrite").parquet(inflight)
+
+    // fresh mtime + 1h grace: the in-flight dir must survive
+    assert(SnapshotLake.vacuum(root, keepLast = 1,
+      orphanOlderThanMs = 3600L * 1000).isEmpty)
+    assert(Files.exists(Paths.get(inflight)))
+
+    // age every file past the window: now it is a dead writer's orphan
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200L * 1000)
+    Files.walk(Paths.get(inflight)).iterator().forEachRemaining(p =>
+      Files.setLastModifiedTime(p, old))
+    assert(SnapshotLake.vacuum(root, keepLast = 1,
+      orphanOlderThanMs = 3600L * 1000) == Seq(5L))
+    assert(!Files.exists(Paths.get(inflight)))
+    assert(SnapshotLake.read(spark, root).count() == 3)
+  }
+
   test("vacuum is idempotent and keepLast=1 retains only current") {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_vacuum_b"
+    val root = freshDir("vacuum_b")
     SnapshotLake.commit(df(2), root, 0L)
     SnapshotLake.commit(df(4), root, 1L)
     assert(SnapshotLake.vacuum(root, keepLast = 1) == Seq(0L))

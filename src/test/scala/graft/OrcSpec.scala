@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class OrcSpec extends SparkTestBase {
 
   private lazy val dir: String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft_orc_spec"
+    val d = freshDir("orc_spec")
     spark.range(1000).select(col("id").as("doc_id"),
       (col("id") % 5).cast("string").as("lang"),
       (col("id") * 7 % 997).as("n_chars"),

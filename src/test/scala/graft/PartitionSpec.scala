@@ -11,8 +11,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 class PartitionSpec extends SparkTestBase {
 
   test("partition-key predicate prunes to one directory at planning time") {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_part_spec").getAbsolutePath
+    val out = freshDir("part_spec")
     Tables.documents(spark, sfDir).write.mode("overwrite")
       .partitionBy("source").parquet(out)
     val pruned = spark.read.parquet(out).where(col("source") === "src7")

@@ -63,6 +63,23 @@ class RobotsSpec extends SparkTestBase {
       .collect().map(_.getBoolean(0)).toSeq == Seq(true))
   }
 
+  test("CRLF robots.txt yields identical sitemaps, rules, and delay to LF") {
+    import spark.implicits._
+    // RFC 9309 allows CRLF and it is the common real-world form; the three
+    // parsers must agree on the same file — a sitemap URL with a trailing
+    // \r (invisible in logs) would 404 every fetch
+    val lf = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n" +
+      "Sitemap: https://d.com/sitemap.xml\n"
+    val crlf = lf.replace("\n", "\r\n")
+    def sitemaps(txt: String): Seq[String] =
+      Robots.parseSitemaps(Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+        .select("sitemap_url").as[String].collect().toSeq
+    assert(sitemaps(crlf) == Seq("https://d.com/sitemap.xml"))
+    assert(sitemaps(crlf) == sitemaps(lf))
+    assert(rules(crlf) == rules(lf))
+    assert(delay(crlf) == delay(lf))
+  }
+
   private def delay(txt: String): Option[Double] = {
     import spark.implicits._
     Robots.parseCrawlDelay(spark, Seq(("d.com", txt)).toDF("domain", "robots_txt"))

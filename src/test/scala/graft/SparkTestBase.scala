@@ -8,6 +8,14 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Unique per-run temp path. Fixed /tmp names leak state across JVM
+    * sessions: a previous run's leftover directory changes what a
+    * list-the-directory assertion sees (the LakeVacuumSpec alternation).
+    */
+  def freshDir(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${System.nanoTime}").getAbsolutePath
+
   /** Order-insensitive equality of two DataFrames with identical schemas. */
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
     assert(a.columns.sorted.sameElements(b.columns.sorted),

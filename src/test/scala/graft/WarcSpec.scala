@@ -57,6 +57,25 @@ class WarcSpec extends SparkTestBase {
     assert(got == Seq(Warc.WarcRecord("response", "u", "", -1L, "")))
   }
 
+  test("a Content-Length near 2^31 cannot wrap the cursor negative") {
+    // payloadStart + 2147483640 overflows Int: an Int-math truncation
+    // check would pass (negative is not > length), send the cursor
+    // negative, and the next iteration's version read would throw —
+    // one crafted record killing a 100 TB pass. Long math stops cleanly.
+    val good = Warc.writeResponse("http://x/ok", 200, "text/plain", "fine")
+    val evil = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/evil\r\n" +
+      "Content-Length: 2147483640\r\n" +
+      "\r\nshort").getBytes("US-ASCII")
+    val got = Warc.records(good ++ evil)
+    assert(got.map(_.target_uri) == Seq("http://x/ok"))
+    // and a length past Int range entirely parses as a clean stop too
+    val evil2 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999999999999\r\n\r\n").getBytes("US-ASCII")
+    assert(Warc.records(evil2).isEmpty)
+  }
+
   test("synthetic shards group docs per file and ingest recovers the corpus") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).limit(120)

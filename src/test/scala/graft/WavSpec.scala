@@ -59,6 +59,19 @@ class WavSpec extends SparkTestBase {
     assert(Wav.parseInfo(mutated).isEmpty)
   }
 
+  test("a chunk size near 2^31 cannot wrap the cursor negative") {
+    // body + size overflows Int: an Int-math cursor would go negative and
+    // the next le32 read would throw out of bounds. Long math walks off
+    // the end cleanly and the fmt-less scan parses to None.
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 255).toInt))
+    bos.write("RIFF".getBytes("US-ASCII")); u32(100L)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("JUNK".getBytes("US-ASCII")); u32(2147483640L)
+    bos.write(new Array[Byte](64))
+    assert(Wav.parseInfo(bos.toByteArray).isEmpty)
+  }
+
   test("wavMeta emits the sentinel row for undecodable media; wavAudio drops it") {
     import spark.implicits._
     val bad = Seq(

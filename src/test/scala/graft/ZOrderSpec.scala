@@ -63,7 +63,7 @@ class ZOrderSpec extends SparkTestBase {
   }
 
   test("z-order layout prunes secondary-dim and box predicates; linear sort cannot") {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_spec")
+    val tmp = freshDir("zorder_spec")
     val zPath = s"$tmp/z"
     val linPath = s"$tmp/lin"
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
@@ -119,7 +119,7 @@ class ZOrderSpec extends SparkTestBase {
   }
 
   test("incremental append keeps values and pruning without a lake rewrite") {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_append")
+    val tmp = freshDir("zorder_append")
     val path = s"$tmp/z"
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val base = ev.where(col("event_id") % 2 === 0)
