@@ -967,6 +967,34 @@ object PipelineQueries {
       | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
     })
 
+  /** The IVF-PQ index AT REST ([[Ann.ivfPqWriteIndex]] →
+    * [[Ann.ivfPqSearchPersisted]]): same centroids / codebook / queries /
+    * k / nprobe as [[qAnnIvfPq]], but (cell, vec_id, codes) is WRITTEN
+    * bucketed-by-cell and the search runs against the persisted table —
+    * probed buckets only, codes only, the float corpus never read after
+    * ingest (the full 100 TB serving shape; q_ann_ivf_persisted stops at
+    * floats-at-rest). Same oracle as q_ann_ivf_pq: persistence must be a
+    * pure layout change, invisible in results. AnnPersistSpec pins the
+    * bucket pruning and the codes-only read schema.
+    */
+  val qAnnIvfPqPersisted = Fixture(
+    "q_ann_ivf_pq_persisted",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_ivfpq_$h").getAbsolutePath
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+      Ann.ivfPqWriteIndex(emb, cents, model, s"graft_ivfpq_idx_$h", s"$base/idx", 8)
+      Ann.ivfPqSearchPersisted(s, s"graft_ivfpq_idx_$h", cents, model,
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        k = 5, nprobe = 2)
+    },
+    qAnnIvfPq.oracle)
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -4995,7 +5023,7 @@ object PipelineQueries {
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
-    qAnnPqAdc, qAnnIvfPq, qAssignCentroids,
+    qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,

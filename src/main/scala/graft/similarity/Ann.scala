@@ -320,6 +320,73 @@ object Ann {
       .write.mode("append").insertInto(table)
   }
 
+  /** Persist the composed IVF-PQ index AT REST: one corpus pass computes
+    * coarse cell + PQ codes together (both are plan-literal projections)
+    * and lands (cell, vec_id, codes) bucketed by cell. This closes the
+    * seam [[ivfWriteIndex]] leaves open at 100 TB: that index stores the
+    * float embeddings, so a probed bucket still reads d floats per row —
+    * here a bucket row is m codes (64× smaller at m=4/d=64), and the float
+    * corpus is never read again after ingest, by ANY search. Both models
+    * (centroids and codebook) must be the ones searches will probe/score
+    * with; re-index when either is retrained.
+    */
+  def ivfPqWriteIndex(embIn: DataFrame, centroids: DataFrame,
+      model: Pq.PqModel, table: String, path: String, buckets: Int): Unit = {
+    val centArr = centroidArray(centroids)
+    val assigned = spread(embIn).select(
+      (-bestCentroid(centArr).getField("ncid")).as("cell"),
+      col("vec_id"),
+      Pq.codesExpr(model, col("embedding")).as("codes"))
+    graft.sources.Bucketing.writeBucketed(
+      assigned, table, path, buckets, "cell", Seq("cell", "vec_id"))
+  }
+
+  /** Incremental ingest into a [[ivfPqWriteIndex]]-persisted index — the
+    * [[ivfAppendIndex]] contract (same models as the build, appended files
+    * per bucket, pruning intact), with the batch encoded to codes in the
+    * same single pass that assigns its cells.
+    */
+  def ivfPqAppendIndex(embIn: DataFrame, centroids: DataFrame,
+      model: Pq.PqModel, table: String): Unit = {
+    val centArr = centroidArray(centroids)
+    spread(embIn).select(
+        (-bestCentroid(centArr).getField("ncid")).as("cell"),
+        col("vec_id"),
+        Pq.codesExpr(model, col("embedding")).as("codes"))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Top-k search over a [[ivfPqWriteIndex]]-persisted index: the
+    * [[ivfSearchPersisted]] probe discipline (query-batch cells collected —
+    * |Q|·nprobe longs — then `cell IN (…)` bucket pruning opens only the
+    * probed buckets) with ADC scoring against the codes column. The scan
+    * reads (cell, vec_id, codes) ONLY — the index stores no floats to
+    * read — and the query batch broadcasts onto it full-precision, so at
+    * 100 TB the bytes touched per search are ≈ nprobe/k of the CODES, the
+    * smallest on-disk footprint any layout here offers.
+    */
+  def ivfPqSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: DataFrame, model: Pq.PqModel,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val centArr = centroidArray(centroids)
+    val q = queries
+      .select(col("query_id"), col("qv"),
+        explode(probeCells(centArr, col("qv"), nprobe)).as("cell"))
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(probed.nonEmpty, "query batch probed no cells")
+    val idx = spark.table(table)
+      .where(col("cell").isin(probed.map(c => c: Any): _*))
+    val pairs = idx
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Pq.adcScoreExpr(model, col("qv"), col("codes")).as("score"))
+    Pq.rankTopK(pairs, k)
+  }
+
   /** Top-k search over a [[ivfWriteIndex]]-persisted index. The probe cells
     * for the query BATCH are computed by one model-sized job over the query
     * rows (the [[probeCells]] expression — bit-identical to the order the

@@ -63,6 +63,47 @@ class AnnPersistSpec extends SparkTestBase {
     assert(r.count() == 3, "broad probe over a sparse index must still rank")
   }
 
+  test("persisted IVF-PQ search == ivfPqTopK; scan is bucket-pruned and codes-only") {
+    val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+    Ann.ivfPqWriteIndex(emb, cents, model, "apspec_pq", s"$tmp/pq", 8)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val persisted = Ann.ivfPqSearchPersisted(spark, "apspec_pq", cents, model,
+      queries, k = 5, nprobe = 2)
+    assertSameRows(persisted,
+      Ann.ivfPqTopK(emb, cents, model, col("vec_id") < 10, k = 5, nprobe = 2))
+
+    // appending a batch == rebuilding over the union (same ivfAppendIndex contract)
+    Ann.ivfPqWriteIndex(emb.where(col("vec_id") >= 100), cents, model,
+      "apspec_pq_incr", s"$tmp/pq_incr", 8)
+    Ann.ivfPqAppendIndex(emb.where(col("vec_id") < 100), cents, model, "apspec_pq_incr")
+    assertSameRows(
+      Ann.ivfPqSearchPersisted(spark, "apspec_pq_incr", cents, model,
+        queries, k = 5, nprobe = 2),
+      persisted)
+
+    // the 100 TB claim, pinned in the plan: probed buckets only, and the
+    // scan's read schema carries codes — there is no float column to read
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val p = Ann.ivfPqSearchPersisted(spark, "apspec_pq", cents, model,
+          emb.where(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          k = 3, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"bucket pruning missing from PQ index scan:\n$p")
+      assert(m.get.group(1).toInt <= 2,
+        s"1 query x nprobe 2 must open <= 2 buckets, got ${m.get.group(1)}:\n$p")
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+      assert(read.contains("codes"), s"index scan must read codes: $read")
+      assert(!read.contains("embedding"),
+        s"PQ index scan must not read a float embedding column: $read")
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("index scan prunes to the probed cells' buckets") {
     written
     // visible pruning metadata needs the bucketed scan kept on even without
