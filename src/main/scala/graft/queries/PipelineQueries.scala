@@ -4552,6 +4552,133 @@ object PipelineQueries {
       |     x -> x <> ''))::BIGINT AS n_links
       | FROM fin""".stripMargin))
 
+  /** END-TO-END crawl manifest — the crawl tier's `q_training_manifest`:
+    * one fixture chaining every stage seam instead of pinning each stage
+    * alone. The corpus is wrapped in HTML pages (visible text = the
+    * document text in quotes — deliberately doc_id-free so real duplicate
+    * prefixes survive to the dedup stage), serialized into REAL WARC
+    * shards, and then the pipeline runs exactly as production would:
+    *
+    *   1. WARC record walk + HTTP unwrap ([[graft.sources.Warc]]), keep
+    *      status-200 fetches (the %17 404s drop here);
+    *   2. HTML → text ([[HtmlFunctions.htmlToText]] — script/style/comment
+    *      drop, entity decode, whitespace collapse);
+    *   3. URL canonicalize + registrable domain ([[UrlFunctions]], the
+    *      shared messy-URL vector) with the robots PATH taken from the
+    *      NORMALIZED url (the seam: gate what you'd fetch, not the raw
+    *      spelling);
+    *   4. robots gate ([[graft.sources.Robots]]) over CRLF-terminated
+    *      per-domain files (both TLD forms), star-group selection;
+    *   5. frontier politeness rounds + per-domain cap (one domain-keyed
+    *      window serves both);
+    *   6. dedup handoff: normalized-prefix fingerprint, min-id keeper,
+    *      duplicate count ([[Dedup.exact]]'s shape on the EXTRACTED text).
+    *
+    * The oracle re-derives all six stages in SQL from stored columns, so
+    * a slip at ANY seam — record framing, tag strip, entity order, port
+    * rules, apex labels, path extraction, group selection, window frame,
+    * fingerprint bytes — changes the hash. Scale shape: per-file WARC
+    * parallelism, codegen'd extraction, one domain-keyed shuffle for
+    * gate+rounds+cap, one fp-keyed shuffle for dedup; nothing corpus-sized
+    * on the driver.
+    */
+  val qCrawlManifest = Fixture(
+    "q_crawl_manifest",
+    (s, d) => {
+      val pageHtml = concat(
+        lit("<html><head><title>Page &amp; co</title>" +
+          "<style>p { color: red; }</style>" +
+          "<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>" +
+          "<body><!-- hidden --><p>&quot;"), col("text"),
+        lit("&quot;</p></body></html>"))
+      val pages = Tables.documents(s, d).select(col("doc_id"), pageHtml.as("text"))
+      val fetched = graft.sources.Warc.ingestResponses(s,
+          graft.sources.Warc.syntheticWarcFiles(s, pages))
+        .where(col("http_status") === 200)
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("body"))
+      val extracted = fetched.select(col("doc_id"),
+        graft.functions.HtmlFunctions.htmlToText(col("body")).as("txt"))
+      val urled = extracted
+        .withColumn("url_norm",
+          graft.functions.UrlFunctions.urlNormalize(messyUrl))
+        .withColumn("domain", graft.functions.UrlFunctions.apexDomain(
+          graft.functions.UrlFunctions.urlHost(messyUrl)))
+        .withColumn("path",
+          regexp_extract(col("url_norm"), "^[a-z]+://[^/]*(/.*)$", 1))
+      val kd = col("id").cast("string")
+      val robots = s.range(0, 40)
+        .select(col("id"), explode(array(lit(".com"), lit(".co.uk"))).as("tld"))
+        .select(concat(lit("site"), kd, col("tld")).as("domain"),
+          concat(
+            lit("User-agent: googlebot\r\nDisallow: /\r\n\r\nUser-agent: *\r\n"),
+            when(col("id") % 3 === 0, lit("Disallow: /a\r\n"))
+              .otherwise(lit("Disallow: /zzz\r\n"))).as("robots_txt"))
+      val gated = graft.sources.Robots.gate(
+          urled.select("doc_id", "domain", "path"),
+          graft.sources.Robots.parseRules(s, robots))
+        .where(col("allowed")).select("doc_id")
+        .join(urled, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      val capped = gated
+        .withColumn("fetch_round", row_number().over(w).cast("long"))
+        .where(col("fetch_round") <= 8)
+      val keyed = capped.withColumn("fp", md5(substring(col("txt"), 1, 64)))
+      val keepers = keyed.groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      keyed.select(col("doc_id"), col("domain"), col("url_norm"),
+          col("fetch_round"), length(col("txt")).cast("long").as("n_chars"))
+        .join(keepers.select("doc_id", "n_dups"), Seq("doc_id"))
+    },
+    Some(s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+      | x AS (SELECT doc_id,
+      |   'Page & co "' || regexp_replace(text, '\\s+', ' ', 'g') || '"' AS txt
+      |   FROM src),
+      | u AS (SELECT doc_id, txt, $messyUrlSql AS url FROM x),
+      | n AS (SELECT doc_id, txt, regexp_replace(url, '#.*', '') AS nf FROM u),
+      | p AS (SELECT doc_id, txt,
+      |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |   regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n),
+      | q AS (SELECT doc_id, txt, scheme,
+      |   regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+      |   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq FROM p),
+      | r AS (SELECT doc_id, txt, scheme,
+      |   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+      |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+      |   regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+      |   regexp_extract(pathq, '\\?(.*)$$', 1) AS query FROM q),
+      | s AS (SELECT doc_id, txt, scheme, host,
+      |   CASE WHEN port = '' THEN ''
+      |        WHEN scheme = 'http' AND port = '80' THEN ''
+      |        WHEN scheme = 'https' AND port = '443' THEN ''
+      |        ELSE ':' || port END AS portn,
+      |   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pathn,
+      |   list_sort(list_filter(string_split(query, '&'),
+      |     y -> y <> '' AND y NOT LIKE 'utm_%')) AS params FROM r),
+      | nu AS (SELECT doc_id, txt, host,
+      |   scheme || '://' || host || portn || pathn ||
+      |   CASE WHEN len(params) = 0 THEN ''
+      |        ELSE '?' || array_to_string(params, '&') END AS url_norm FROM s),
+      | l AS (SELECT doc_id, txt, url_norm, string_split(host, '.') AS lab FROM nu),
+      | dm AS (SELECT doc_id, txt, url_norm,
+      |   CASE WHEN len(lab) >= 3 AND array_to_string(lab[len(lab)-1:], '.')
+      |          IN ('co.uk', 'com.au', 'co.jp', 'com.br')
+      |        THEN array_to_string(lab[len(lab)-2:], '.')
+      |        ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain FROM l),
+      | pp AS (SELECT doc_id, txt, url_norm, domain,
+      |   regexp_extract(url_norm, '^[a-z]+://[^/]*(/.*)$$', 1) AS path FROM dm),
+      | g AS (SELECT * FROM pp
+      |   WHERE NOT ((doc_id % 40) % 3 = 0 AND path LIKE '/a%')),
+      | f AS (SELECT doc_id, txt, url_norm, domain, row_number() OVER
+      |   (PARTITION BY domain ORDER BY doc_id)::BIGINT AS fetch_round FROM g),
+      | c AS (SELECT * FROM f WHERE fetch_round <= 8),
+      | k AS (SELECT md5(substr(txt, 1, 64)) AS fp, min(doc_id) AS doc_id,
+      |   count(*) AS n_dups FROM c GROUP BY 1)
+      | SELECT c.doc_id, c.domain, c.url_norm, c.fetch_round,
+      |   length(c.txt)::BIGINT AS n_chars, k.n_dups
+      | FROM c JOIN k USING (doc_id)""".stripMargin))
+
   /** Domain link-graph edges extracted the long way — page URL →
     * [[UrlFunctions.apexDomain]] source, every ABSOLUTE `href` in the HTML
     * ([[HtmlFunctions.htmlLinks]]) → destination domain — aggregated to a
@@ -5047,7 +5174,7 @@ object PipelineQueries {
     qBm25Index, qQualityClassifier, qHardNegatives, qWinnow, qStreamAnnProbe,
     qKnnLabel, qCsvIngest, qNfcNormalize, qProfileColumns, qAudioSegments,
     qWavMeta, qWavWindows, qWarcIngest, qUrlNormalize, qDomainCaps,
-    qHtmlExtract, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
+    qHtmlExtract, qCrawlManifest, qLinkGraph, qDomainPagerank, qStreamWarcIngest,
     qCcnetBuckets, qIntervalJoin, qRobotsGate, qFrontierSchedule,
     qSitemapIngest, qSitemapIndex, qDomainHits, qOrcRoundtrip,
     qStreamFrontier, qFrontierFetchAt,
