@@ -233,6 +233,59 @@ object PipelineQueries {
       |       WHERE jac >= 0.8)
       | SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM d)""".stripMargin))
 
+  /** The SAME streaming near-dup pipeline replayed from a FILE SOURCE
+    * ([[graft.streaming.FileReplay]]) instead of MemoryStream — the
+    * landing-zone shape a production crawl actually has, and the replay
+    * harness that scales: a MemoryStream is fed by the driver one block
+    * at a time (single-threaded at any data size), while a file source
+    * hands every micro-batch one scan split per file, so the 128-hash
+    * signature computation parallelizes exactly as it would over a real
+    * ingest directory. 32 staged files at 16 per trigger = the same
+    * 2-ordered-chunk replay (cross-batch state, mid-stream watermark
+    * advance) the MemoryStream fixture constructs driver-side. Oracle
+    * unchanged: the feed mechanism must be invisible in the kept set.
+    */
+  val qDedupStreamMinhashFiles = Fixture(
+    "q_dedup_stream_minhash_files",
+    (s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_replay_minhash_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.streaming.FileReplay.stageOrdered(
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        dir, "doc_id", 32)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "16")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
+      val kept = graft.streaming.StreamingMinhashDedup
+        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8,
+          tsCol = Some("ts"), horizon = "1 hour")
+        .toDF("doc_id")
+      val sink = s"stream_minhash_files_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevCheck = s.conf
+        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      // 16 (not the MemoryStream fixtures' 4): this variant exists to
+      // measure OPERATOR state at scale, and the four chained stateful
+      // stages parallelize by state partition — results are partition-
+      // count-invariant (key-hash routing), only the wall clock moves
+      s.conf.set("spark.sql.shuffle.partitions", "16")
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = kept.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prevCheck)
+      }
+      s.table(sink)
+    },
+    qDedupStreamMinhash.oracle)
+
   /** Inverted-index exact n-gram Jaccard near-dup pairs (τ = 0.5). */
   val qDedupNgram = Fixture(
     "q_dedup_ngram_jaccard",
@@ -4154,6 +4207,49 @@ object PipelineQueries {
       | WHERE ((doc_id + 1) // 60) * 60 + 60 <= maxts
       | GROUP BY 1, 2""".stripMargin))
 
+  /** Streaming curation replayed from a FILE SOURCE — same rationale as
+    * [[qDedupStreamMinhashFiles]]: the regex-heavy quality scoring gets a
+    * scan split per staged file instead of the driver's single-threaded
+    * MemoryStream feed. The staged tail file (a duplicate of the max-id
+    * row, listed last by mtime) is the file-source spelling of the
+    * trailing addData: one extra micro-batch so the final data batch's
+    * watermark is APPLIED and its windows emit. Oracle unchanged.
+    */
+  val qStreamCurationFiles = Fixture(
+    "q_stream_curation_files",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_replay_curation_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.streaming.FileReplay.stageOrdered(docs, dir, "doc_id", 32,
+        tail = Some(docs.orderBy(col("doc_id").desc).limit(1)))
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, source STRING")
+        .option("maxFilesPerTrigger", "16")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+        .where(Quant.q4(TextFunctions.qualityScore(col("text"))) >= 0.5)
+        .withWatermark("ts", "0 seconds")
+      val out = graft.streaming.StreamingFirstSeen
+        .firstSeen(stream, "text", "ts")
+        .groupBy(window(col("ts"), "60 seconds"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+        .withColumn("ws", col("window.start").cast("long"))
+        .select("ws", "source", "n_docs", "n_tok")
+      val sink = s"stream_curation_files_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "16") // see minhash-files note
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qStreamCuration.oracle)
+
   /** MERGE INTO upsert (operators/Upsert.scala): a re-crawl batch (changed
     * docs + brand-new docs) folded into the lake snapshot — replaced rows
     * take the batch values, new keys append, the rest carry over. One
@@ -5146,7 +5242,8 @@ object PipelineQueries {
 
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
-    qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash, qDedupNgram, qDedupMinhash,
+    qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
+    qDedupStreamMinhashFiles, qDedupNgram, qDedupMinhash,
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
@@ -5166,7 +5263,8 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qMergeUpsert, qRpProject, qAudioEnergy, qStreamCdcUpsert,
+    qStreamCuration, qStreamCurationFiles, qMergeUpsert, qRpProject,
+    qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
     qDsirSelect, qJsonlIngest, qStreamDrift, qDedupIndexProbe, qMixExecute,

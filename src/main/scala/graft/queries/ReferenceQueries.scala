@@ -1209,6 +1209,57 @@ object ReferenceQueries {
       | SELECT l.user_id AS user_id, l_id, r_id, l_es, r_es
       | FROM l JOIN r ON l.user_id = r.user_id AND r_es >= l_es AND r_es <= l_es + 600""".stripMargin))
 
+  /** The stream-stream windowed θ-join replayed from a FILE SOURCE
+    * ([[graft.streaming.FileReplay]]) — same contract and oracle as
+    * [[qStreamJoinTheta]], but the events arrive as staged parquet files
+    * (32 files, 16 per trigger, mtime-ordered by es·10⁷+event_id) read by
+    * a file-source stream that both join branches filter — so each
+    * micro-batch's probe work runs on real scan splits instead of the
+    * driver's single-threaded MemoryStream feed. An inner stream-stream
+    * join emits on formation, so no tail batch is needed; the 2 h
+    * watermark delay still exceeds the 600 s pairing range on the
+    * es-ordered replay.
+    */
+  val qStreamJoinThetaFiles = Fixture(
+    "q_stream_join_theta_files",
+    (s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_replay_theta_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.streaming.FileReplay.stageOrdered(
+        Tables.eventsWithEpoch(s, d)
+          .select((col("es") * lit(10000000L) + col("event_id")).as("ord"),
+            col("es"), col("event_type"), col("event_id"), col("user_id")),
+        dir, "ord", 32)
+      val src = s.readStream
+        .schema("ord LONG, es LONG, event_type STRING, event_id LONG, user_id LONG")
+        .option("maxFilesPerTrigger", "16")
+        .parquet(dir)
+      val l = src.where(col("event_type") === "click")
+        .select(timestamp_seconds(col("es")).as("l_ts"),
+          col("event_id").as("l_id"), col("user_id"))
+      val r = src.where(col("event_type") === "purchase")
+        .select(timestamp_seconds(col("es")).as("r_ts"),
+          col("event_id").as("r_id"), col("user_id").as("r_user"))
+      val joined = graft.streaming.Streams.windowedThetaJoin(
+          l, r, "l_ts", "r_ts", 600,
+          col("user_id") === col("r_user"), "2 hours")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          expr("unix_micros(l_ts) div 1000000").as("l_es"),
+          expr("unix_micros(r_ts) div 1000000").as("r_es"))
+      val sink = s"stream_join_files_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // 16: join state partitions parallelize; results are invariant
+      s.conf.set("spark.sql.shuffle.partitions", "16")
+      try {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qStreamJoinTheta.oracle)
+
   /** The ROW-windowed θ-join ON THE STREAMING PATH
     * ([[graft.streaming.StreamingThetaJoin]], reference ThetaJoin.h:307-326
     * row-count eviction) — closing the one batch/streaming asymmetry left in
@@ -1432,7 +1483,8 @@ object ReferenceQueries {
     qSessionWindow, qGapFill, qLongLongKey,
     qWindowDistinct, qTrailingRange,
     qStreamTumbling, qStreamSlidingPaned, qStreamCountWindow, qStreamGapFill,
-    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamJoinThetaRow,
+    qStreamSession, qStreamYsb, qStreamJoinTheta, qStreamJoinThetaFiles,
+    qStreamJoinThetaRow,
     qStreamHotItems, qStreamAsOf, qStreamWeightedAvg, qStreamHaving,
     qStreamTopK)
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import scala.jdk.CollectionConverters._
+
+/** Stage a DataFrame as an ORDERED file set a file-source stream replays
+  * deterministically — the production-shaped alternative to MemoryStream
+  * for HEAVY streaming fixtures. A MemoryStream replay is fed by the
+  * driver one addData block at a time, so at 10× data the fixture
+  * measures the single-threaded feed, not the operator under test; a
+  * file source hands each micro-batch real scan splits (one per file),
+  * so signature computation / quality scoring parallelize exactly as
+  * they would reading a landing zone, and `maxFilesPerTrigger` plays the
+  * role of the replay chunking.
+  *
+  * Determinism: `FileStreamSource` orders unread files by modification
+  * time — so this helper (a) writes contiguous `orderCol` ranges via
+  * `repartitionByRange` + in-partition sort (range partition ids are
+  * ascending, hence so are the part-file names), and (b) stamps each
+  * part file's mtime 1 s apart in name order. Replaying f files with
+  * `maxFilesPerTrigger = f/k` then yields k micro-batches carrying
+  * ascending `orderCol` ranges — the same event-time-ordered replay the
+  * MemoryStream fixtures construct by sorting and chunking driver-side.
+  */
+object FileReplay {
+
+  /** Write `df` into `nFiles` ascending-`orderCol` parquet files under
+    * `dir` (replaced if present), mtime-staggered in range order. With
+    * `tail`, one extra file is staged LAST — a final micro-batch of its
+    * own whose only job is making the source apply the last data batch's
+    * watermark (watermark updates lag one micro-batch; MemoryStream
+    * fixtures do this with a trailing addData of an already-seen row).
+    * Returns `dir`.
+    */
+  def stageOrdered(df: DataFrame, dir: String, orderCol: String,
+      nFiles: Int, tail: Option[DataFrame] = None): String = {
+    require(nFiles >= 1, s"nFiles must be >= 1 (got $nFiles)")
+    df.repartitionByRange(nFiles, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(dir)
+    val parts = partFiles(dir)
+    tail.foreach { t =>
+      val tmp = s"$dir/_tail_stage"
+      t.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = partFiles(tmp).head
+      Files.move(src, Paths.get(dir, "part-zz-tail.parquet"))
+      deleteRecursively(Paths.get(tmp))
+    }
+    // stamp AFTER all files exist: name order == range order == replay order
+    val base = 1_000_000_000_000L // fixed epoch: runs must not race wall time
+    partFiles(dir).zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
+    }
+    require(parts.size == nFiles,
+      s"expected $nFiles part files, got ${parts.size} — range partitioner collapsed")
+    dir
+  }
+
+  private def partFiles(dir: String): Seq[Path] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}
