@@ -71,7 +71,15 @@ object Bench {
     // q_dedup_simhash at sf0.1) to drag a median-of-5 across the driver's 2×
     // regression bar when host pressure stacks 2+ cold-ish attempts. Warm
     // steady-state is the number that projects to a long-running cluster job.
-    for (it <- 0 to iters; (name, fn) <- ordered) {
+    // Deterministic per-iteration shuffle: with a FIXED order, a query's
+    // attempts always run in the same JVM-pressure context (same
+    // predecessors' garbage, same codegen-cache temperature), so position
+    // bias survives the median — the r12 artifact inflated unchanged
+    // mid-alphabet fixtures 1.4–1.7× this way. Shuffling per iteration
+    // decorrelates position from query, so the median sees each query in
+    // several contexts. Seeded by iteration index: runs stay reproducible.
+    for (it <- 0 to iters;
+         (name, fn) <- new scala.util.Random(it.toLong).shuffle(ordered)) {
       val t = once(name, fn)
       if (it > 0) samples(name) = samples(name) :+ t
     }
@@ -82,6 +90,20 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val results = samples.map { case (k, v) => k -> median(v) }.toMap
+
+    // Isolated warm re-measure of the slowest queries: the interleave
+    // medians above still carry whole-gate JVM pressure (the artifact's
+    // round-over-round noise source — regressions kept needing manual
+    // `Explain <q> time` adjudication). Back-to-back attempts on the
+    // query's own already-warm session, with the usual settle between,
+    // approximate that isolated shape inside one run; emitting BOTH
+    // numbers lets a reader split plan cost (isolated) from gate pressure
+    // (interleaved − isolated) without leaving the artifact.
+    val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
+    val isolated = results.toSeq.sortBy(-_._2).take(isoN).map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      name -> median((1 to 3).map(_ => once(name, fn)).toVector)
+    }.toMap
 
     // Streaming throughput trend line: the tumbling replay core from
     // StreamBench on a RocksDB-backed child session, fixed loop count so the
@@ -128,8 +150,11 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val iso = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":$qs,$streamKeys,"sf":"$sfDir"}"""
+      s""","queries":$qs,"isolated":$iso,$streamKeys,"sf":"$sfDir"}"""
     // Capture-proofing, round-10 form. The driver keeps only the LAST 2000
     // chars of stdout (measured from BENCH_r08/r09, both of which lost the
     // head of the one-line artifact: ~2.6 KB of 96 query names can never
