@@ -63,8 +63,17 @@ object ScaleSmoke {
       new java.io.File(s"$dest/_SMOKE_READY").createNewFile()
     } else println(s"[smoke] reusing $dest")
 
+    // pseudo-query: the WARC tier's worst case — the ENTIRE corpus in one
+    // container file, so the record walk is a single task (parallelism's
+    // unit is the file). Probes the per-task O(bytes) bound the many-file
+    // fixture never exercises; not a fixture because production answers
+    // this with file splitting at ingest, not a faster single task.
+    val warcBigFile: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.sources.Warc.ingestResponses(s, graft.sources.Warc
+        .syntheticWarcFiles(s, Tables.documents(s, dir), docsPerFile = Int.MaxValue))
+
     val results = queries.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = if (name == "warc_bigfile") warcBigFile else SparkEntry.queries(name)
       val session = spark.newSession()
       def once(): Double = {
         spark.catalog.clearCache(); System.gc()

@@ -1048,6 +1048,69 @@ object PipelineQueries {
     },
     qAnnIvfPq.oracle)
 
+  /** Streaming ANN serving over the PERSISTED CODES index
+    * ([[Ann.ivfPqSearchStreamCandidates]]) — [[qStreamAnnProbe]]'s shape
+    * with IVF-PQ economics: arriving queries probe 2 cells and
+    * stream-static join the (cell, vec_id, codes) table, ADC-scored, then
+    * a windowed argmax emits each query's top-1 neighbor. The static side
+    * a trigger reads is codes-only (m bytes per candidate at rest) — the
+    * float corpus is never opened while serving. Oracle = the chained
+    * IVF-PQ relation at rank 1 + the standard emission-window arithmetic:
+    * the serving stream must return exactly what the batch composition
+    * would.
+    */
+  val qStreamAnnPqProbe = Fixture(
+    "q_stream_ann_pq_probe",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+      val tbl = s"graft_ivfpq_stream_$h"
+      Ann.ivfPqWriteIndex(emb, cents, model, tbl,
+        s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream/$h", 8)
+      val rows = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val qdf = ms.toDF().toDF("query_id", "qv")
+        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
+      val out = Ann.ivfPqSearchStreamCandidates(s, tbl, cents, model, qdf, 2)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("nn"))).as("b"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
+          (-col("b.nn")).as("neighbor_id"), col("b.score").as("score"))
+      val sink = s"stream_annpq_$h${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qAnnIvfPq.oracle.map { o =>
+      val tail = "SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5"
+      require(o.endsWith(tail),
+        "q_ann_ivf_pq oracle tail changed; update q_stream_ann_pq_probe")
+      o.dropRight(tail.length) +
+        """SELECT (query_id * 7 // 60) * 60 AS ws, query_id, neighbor_id, score
+          | FROM rk WHERE rank = 1
+          |   AND (query_id * 7 // 60) * 60 + 60 <=
+          |       (SELECT max(vec_id * 7) FROM e WHERE vec_id < 10)""".stripMargin
+    })
+
   /** PII-style scrubbing: redact digit runs and email-shaped tokens —
     * pure regexp_replace, linear, no shuffle.
     */
@@ -5247,7 +5310,7 @@ object PipelineQueries {
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
-    qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qAssignCentroids,
+    qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
     qRedact, qSampleHash, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,

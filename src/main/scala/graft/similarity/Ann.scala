@@ -422,6 +422,33 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** STREAMING search over the [[ivfPqWriteIndex]]-persisted codes index —
+    * [[ivfSearchStreamCandidates]]'s serving shape with the PQ economics:
+    * each arriving query probes its nprobe cells and stream-static joins
+    * the codes table on `cell`, scoring by ADC codebook lookup. Still
+    * stateless, still one micro-batch of latency — but the static side a
+    * trigger reads is m codes per candidate instead of d floats, so the
+    * per-trigger byte budget shrinks ~64× at the default geometry and the
+    * float corpus is never opened while serving. Returns scored
+    * candidates (query_id, ts, neighbor_id, score); callers window +
+    * argmax exactly as with the float path.
+    */
+  def ivfPqSearchStreamCandidates(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: DataFrame, model: Pq.PqModel,
+      queryStream: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+    val centArr = centroidArray(centroids)
+    val q = queryStream.select(col("query_id"), col("qv"), col("ts"),
+      explode(probeCells(centArr, col("qv"), nprobe)).as("cell"))
+    q.join(
+        spark.table(table).select(col("cell"),
+          col("vec_id").as("neighbor_id"), col("codes")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("ts"), col("neighbor_id"),
+        Pq.adcScoreExpr(model, col("qv"), col("codes")).as("score"))
+  }
+
   /** STREAMING search over the [[ivfWriteIndex]]-persisted index — the
     * online ANN-serving path: each arriving query row probes its `nprobe`
     * nearest cells (the same plan-literal centroid model and
