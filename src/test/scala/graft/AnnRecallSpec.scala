@@ -101,4 +101,57 @@ class AnnRecallSpec extends SparkTestBase {
       s"finer code budget should multiply recall: coarse=$coarse fine=$fine")
     assert(fine >= 0.20, s"fine PQ recall floor breached: $fine")
   }
+
+  test("composed IVF-PQ persisted recall tracks its own ceilings") {
+    // The composition can lose a true neighbor to EITHER stage: its cell
+    // outside the probe set (IVF loss) or its reconstructed dot misranking
+    // it (PQ loss). So composed recall is bounded above by each half run
+    // alone at the same setting — and must stay within noise of the
+    // in-memory composition (persistence is layout only) while beating
+    // the random-scan baseline that any wiring bug degrades to.
+    val emb = Tables.embeddings(spark, sfDir)
+    val fit = Ann.kmeans(emb, k = 16, maxIters = 5)
+    val cents = fit.centroidsDf(spark)
+    val model = graft.similarity.Pq.train(emb, m = 8, ksub = 16, iters = 3)
+    val h = s"recall_pq_${System.nanoTime}"
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivfpq_$h").getAbsolutePath
+    Ann.ivfPqWriteIndex(emb, cents, model, s"graft_ivfpq_idx_$h", s"$base/idx", 8)
+
+    val pred = col("vec_id") % 10 === 0
+    val queries = emb.where(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val brute = sets(Ann.bruteTopK(emb, pred, K))
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val r = brute.toSeq.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / K }
+      r.sum / r.size
+    }
+    val nprobe = 8
+    val composedAtRest = recallOf(sets(Ann.ivfPqSearchPersisted(
+      spark, s"graft_ivfpq_idx_$h", cents, model, queries, K, nprobe)))
+    val composedInMem = recallOf(sets(Ann.ivfPqTopK(
+      emb, cents, model, pred, K, nprobe)))
+    val ivfOnly = recallOf(sets(Ann.ivfTopK(emb, cents, pred, K, nprobe)))
+    val pqOnly = recallOf(sets(
+      graft.similarity.Pq.searchAdc(emb, model, pred, K)))
+    info(s"recall@10 nprobe=$nprobe: ivf-only $ivfOnly, pq-only $pqOnly, " +
+      s"composed in-mem $composedInMem, composed at-rest $composedAtRest")
+    assert(math.abs(composedAtRest - composedInMem) < 1e-9,
+      "persistence changed composed recall — layout is leaking into values")
+    assert(composedAtRest <= ivfOnly + 1e-9,
+      s"composed recall cannot exceed its IVF ceiling: $composedAtRest > $ivfOnly")
+    // on this corpus the binding constraint is the PQ ranking (measured:
+    // ivf 0.82, pq 0.28, composed 0.28 — cell pruning even helps a little
+    // by removing far vectors ADC falsely scores high), so the floor is
+    // relative to the TIGHTER ceiling, and chance is the absolute floor
+    assert(composedAtRest >= 0.7 * math.min(ivfOnly, pqOnly),
+      s"composed recall far under its tighter ceiling: $composedAtRest " +
+        s"vs min($ivfOnly, $pqOnly)")
+    assert(composedAtRest >= 3.0 * (K / 500.0),
+      s"composed recall at chance level: $composedAtRest")
+  }
 }
