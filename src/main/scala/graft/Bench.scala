@@ -99,10 +99,17 @@ object Bench {
     // approximate that isolated shape inside one run; emitting BOTH
     // numbers lets a reader split plan cost (isolated) from gate pressure
     // (interleaved − isolated) without leaving the artifact.
+    // MIN of 3, not median: this block runs AFTER the full interleave, in
+    // the most-pressured JVM state of the whole run, so any single attempt
+    // can still catch a GC/compaction tail (r13 shakedown: a median showed
+    // q_dedup_keepers slower isolated than interleaved). The minimum over
+    // back-to-back warm attempts is the best-achievable warm time — the
+    // closest same-process stand-in for a fresh-JVM single-query run.
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
     val isolated = results.toSeq.sortBy(-_._2).take(isoN).map { case (name, _) =>
       val fn = SparkEntry.queries(name)
-      name -> median((1 to 3).map(_ => once(name, fn)).toVector)
+      val ts = (1 to 3).map(_ => once(name, fn)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
 
     // Streaming throughput trend line: the tumbling replay core from
