@@ -1138,6 +1138,35 @@ object PipelineQueries {
     Some(s"""SELECT doc_id, lang, n_chars FROM documents
       | WHERE ${h64("doc_id::VARCHAR")} % 100 < 10""".stripMargin))
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis, IPL 2006,
+    * the A-ES scheme): each doc draws the deterministic uniform
+    * u = (hash(id) mod 10⁶ + 0.5)/10⁶ and the selection key ln(u)/w with
+    * weight w = n_chars — the k LARGEST keys are a size-k sample where
+    * inclusion odds scale with w. This is how a quality-/length-weighted
+    * training subsample is drawn reproducibly: one scan computes keys,
+    * a distributed top-k (TakeOrdered — no full sort, no shuffle of the
+    * corpus, exactly the q_topk pattern) selects, and the same 200 docs
+    * come back on every run and every engine. Key scaled ×10⁶ before the
+    * q4 quantization so 4 decimals still separate neighbors; ties (quantized
+    * equal keys) break by doc_id on both sides.
+    */
+  val qSampleWeighted = Fixture(
+    "q_sample_weighted",
+    (s, d) => {
+      val u = (pmod(TextFunctions.hash64(col("doc_id").cast("string")),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      val skey = Quant.q4(log(u) * lit(1000000.0) / col("n_chars"))
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), skey.as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(200)
+    },
+    Some(s"""SELECT doc_id, lang, n_chars,
+      |   ${q4(s"ln(((${h64("doc_id::VARCHAR")} % 1000000) + 0.5) / 1000000.0) * 1000000.0 / n_chars")} AS skey
+      | FROM documents WHERE n_chars > 0
+      | ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
+
   /** Deterministic fixed-size per-group sample: the k lowest content-hash
     * docs per source — the standard reproducible eval-set / spot-check draw
     * (hash order is a uniform shuffle, and the same k docs come back on
@@ -4313,6 +4342,45 @@ object PipelineQueries {
     },
     qStreamCuration.oracle)
 
+  /** Lake schema evolution — the read-compat half every long-lived corpus
+    * needs: a crawl adds a metadata column mid-life, new files carry it,
+    * the years of old files do not, and one scan must read BOTH — legacy
+    * rows surfacing NULL for the new column, never an error, never a
+    * silent drop. Staged as two parquet generations (evens = legacy
+    * 3-column schema, odds = evolved 4-column) under one directory, read
+    * with mergeSchema, aggregated per language with explicit legacy/
+    * evolved accounting. The oracle predicts every count from doc_id
+    * parity, so a miscounted generation or a non-null legacy `source`
+    * fails the hash. Scale note: mergeSchema infers by sampling footers —
+    * fine here; at 100 TB the schema lives in a catalog and this fixture
+    * pins the READ semantics that catalog schema implies.
+    */
+  val qSchemaEvolution = Fixture(
+    "q_schema_evolution",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_schema_evo_$h").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          count(col("source")).as("n_evolved"),
+          sum("n_chars").as("sum_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      |   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
+      |   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_evolved,
+      |   sum(n_chars)::BIGINT AS sum_chars
+      | FROM documents GROUP BY 1""".stripMargin))
+
   /** MERGE INTO upsert (operators/Upsert.scala): a re-crawl batch (changed
     * docs + brand-new docs) folded into the lake snapshot — replaced rows
     * take the batch values, new keys append, the rest carry over. One
@@ -5311,7 +5379,7 @@ object PipelineQueries {
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
     qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
-    qRedact, qSampleHash, qSamplePerSource, qCorpusStats, qCorpusRollup,
+    qRedact, qSampleHash, qSampleWeighted, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,
@@ -5326,7 +5394,7 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qStreamCurationFiles, qMergeUpsert, qRpProject,
+    qStreamCuration, qStreamCurationFiles, qSchemaEvolution, qMergeUpsert, qRpProject,
     qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
