@@ -181,6 +181,34 @@ object Multimodal {
     }
   }
 
+  /** Header-gated full decode: read the dims from the container header
+    * first (O(header), the [[imageMeta]] path) and refuse rasters beyond
+    * `maxPixels` BEFORE `ImageIO.read` allocates — a crafted 46341×46341
+    * header would otherwise raise OutOfMemoryError, which is fatal and
+    * escapes every NonFatal catch (the same untrusted-dims gate as
+    * Avi.decodeFrame). None for unrecognized, oversized, or undecodable
+    * payloads. 2²⁴ pixels (≈ 4k×4k, a 64 MB raster) bounds per-row memory
+    * at corpus scale without touching any legitimate thumbnail/photo.
+    */
+  private def readGated(media: Array[Byte],
+      maxPixels: Long = 1L << 24): Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w < 1 || h < 1 || w * h > maxPixels) None
+        else Option(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** Full pixel-decode features: decoded dimensions, per-channel means, and
     * two 64-bit perceptual hashes.
     */
@@ -218,26 +246,26 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          if (img == null || img.getWidth < 1 || img.getHeight < 1)
-            PixelFeatures(r.doc_id, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
-                x += 1
+          readGated(r.media) match {
+            case None =>
+              PixelFeatures(r.doc_id, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val n = w.toLong * h
-            PixelFeatures(r.doc_id, w.toLong, h.toLong,
-              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
-              aHash(img), dHash(img))
+              val n = w.toLong * h
+              PixelFeatures(r.doc_id, w.toLong, h.toLong,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+                aHash(img), dHash(img))
           }
         } catch {
           case scala.util.control.NonFatal(_) =>
@@ -268,9 +296,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          if (img == null || img.getWidth < 1 || img.getHeight < 1) None
-          else {
+          readGated(r.media).map { img =>
             val w = img.getWidth; val h = img.getHeight
             val out = new java.awt.image.BufferedImage(
               outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -304,7 +330,7 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
-            Some(ImageRow(r.doc_id, bos.toByteArray))
+            ImageRow(r.doc_id, bos.toByteArray)
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       }

@@ -183,6 +183,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == Set(Multimodal.ImageMeta(9L, -1L, -1L, "unknown")), s"got $got")
   }
 
+  test("adversarial header dims are rejected before the raster allocates") {
+    import spark.implicits._
+    // BMP claiming 50000×50000 (7.5 GB raster): the header gate must turn
+    // it into a sentinel/drop BEFORE ImageIO.read allocates — an
+    // OutOfMemoryError is fatal and escapes every NonFatal catch. Header:
+    // 'BM' file header + BITMAPINFOHEADER with dims at offsets 18/22.
+    // start from a REAL encoder's 1×1 BMP so the reader recognizes the
+    // container, then patch the DIB dims (offsets 18/22) to the bomb size
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB), "bmp", bos)
+    val b = bos.toByteArray
+    def u32(at: Int, v: Long): Unit =
+      (0 until 4).foreach(i => b(at + i) = ((v >> (8 * i)) & 255).toByte)
+    u32(18, 50000L)  // biWidth
+    u32(22, 50000L)  // biHeight
+    val rows = Seq(Multimodal.ImageRow(3L, b)).toDS()
+    val feats = Multimodal.pixelFeatures(spark, rows).collect().toSeq
+    assert(feats == Seq(
+      Multimodal.PixelFeatures(3L, -1L, -1L, 0.0, 0.0, 0.0, 0L, 0L)), feats.toString)
+    assert(Multimodal.resizeImages(spark, rows, 8, 8).count() == 0L)
+    // the header-only meta path must also survive it (the JDK reader
+    // happens to refuse the patched header outright — fine: either the
+    // claimed dims or the unknown sentinel, never a dead task)
+    val meta = Multimodal.imageMeta(spark, rows).collect().toSeq
+    assert(meta.size == 1 && meta.head.doc_id == 3L, meta.toString)
+  }
+
   // ---- resize tier --------------------------------------------------------
 
   test("resizeImages: 64x64 block image downscales to its exact 8x8 block grid") {
