@@ -1167,6 +1167,36 @@ object PipelineQueries {
       | FROM documents WHERE n_chars > 0
       | ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
 
+  /** STRATIFIED weighted sampling: the [[qSampleWeighted]] A-ES draw run
+    * independently per language — 20 docs per lang, inclusion odds within
+    * each stratum scaling with n_chars. This is the actual mixture-building
+    * draw (per-language quotas with quality/length weighting inside each);
+    * the window partitions BY LANG so per-partition state is one stratum,
+    * and WindowGroupLimit keeps the rank partial before the shuffle.
+    */
+  val qSampleWeightedPerLang = Fixture(
+    "q_sample_weighted_per_lang",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = (pmod(TextFunctions.hash64(col("doc_id").cast("string")),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      val skey = Quant.q4(log(u) * lit(1000000.0) / col("n_chars"))
+      val w = Window.partitionBy("lang").orderBy(col("skey").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), skey.as("skey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select("lang", "rk", "doc_id", "skey")
+    },
+    Some(s"""WITH k AS (SELECT doc_id, lang,
+      |   ${q4(s"ln(((${h64("doc_id::VARCHAR")} % 1000000) + 0.5) / 1000000.0) * 1000000.0 / n_chars")} AS skey
+      | FROM documents WHERE n_chars > 0)
+      | SELECT lang, rk, doc_id, skey FROM (
+      |   SELECT lang, doc_id, skey, row_number() OVER
+      |     (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rk FROM k)
+      | WHERE rk <= 20""".stripMargin))
+
   /** Deterministic fixed-size per-group sample: the k lowest content-hash
     * docs per source — the standard reproducible eval-set / spot-check draw
     * (hash order is a uniform shuffle, and the same k docs come back on
@@ -5379,7 +5409,7 @@ object PipelineQueries {
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
     qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
-    qRedact, qSampleHash, qSampleWeighted, qSamplePerSource, qCorpusStats, qCorpusRollup,
+    qRedact, qSampleHash, qSampleWeighted, qSampleWeightedPerLang, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
     qAhashIndexProbe,
