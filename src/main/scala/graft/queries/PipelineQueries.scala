@@ -4411,6 +4411,53 @@ object PipelineQueries {
       |   sum(n_chars)::BIGINT AS sum_chars
       | FROM documents GROUP BY 1""".stripMargin))
 
+  /** STREAMING read of the evolving landing zone — the continuous-ingest
+    * form of [[qSchemaEvolution]]: a file-source stream declares the
+    * EVOLVED schema (streams cannot infer or merge; the catalog schema is
+    * the contract) and must read legacy files anyway, surfacing NULL for
+    * the column they predate — parquet resolves columns by name, so a
+    * missing column is null, not an error. Same oracle as the batch scan:
+    * the feed mechanism and the generation mix must both be invisible in
+    * the aggregate. Complete-mode snapshot, one file per trigger so the
+    * fold demonstrably crosses generations mid-stream.
+    */
+  val qStreamSchemaEvolution = Fixture(
+    "q_stream_schema_evolution",
+    (s, d) => {
+      val h = Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_schema_evo_stream_$h").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir)
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .repartition(4)
+        .write.mode("append").parquet(dir)
+      val stream = s.readStream
+        .schema("doc_id LONG, lang STRING, n_chars LONG, source STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val out = stream.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          count(col("source")).as("n_evolved"),
+          sum("n_chars").as("sum_chars"))
+      val sink = s"stream_schevo_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    qSchemaEvolution.oracle)
+
   /** MERGE INTO upsert (operators/Upsert.scala): a re-crawl batch (changed
     * docs + brand-new docs) folded into the lake snapshot — replaced rows
     * take the batch values, new keys append, the rest carry over. One
@@ -5424,7 +5471,7 @@ object PipelineQueries {
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
     qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
-    qStreamCuration, qStreamCurationFiles, qSchemaEvolution, qMergeUpsert, qRpProject,
+    qStreamCuration, qStreamCurationFiles, qSchemaEvolution, qStreamSchemaEvolution, qMergeUpsert, qRpProject,
     qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
     qAnnRpRerank, qSemDedup, qDsirWeights, qBoilerplate, qStreamHeavyHitters,
