@@ -40,6 +40,18 @@ object FileReplay {
   def stageOrdered(df: DataFrame, dir: String, orderCol: String,
       nFiles: Int, tail: Option[DataFrame] = None): String = {
     require(nFiles >= 1, s"nFiles must be >= 1 (got $nFiles)")
+    // Idempotence: staging is harness cost, and a bench loop re-running
+    // the same fixture would otherwise pay the full write on every
+    // attempt. The marker (written LAST) records the staging recipe; a
+    // matching marker short-circuits — sound because the source tables
+    // are immutable per sfDir (the ScaleSmoke _SMOKE_READY precedent).
+    // schema in the recipe: a fixture that later changes its projection
+    // must invalidate any stale staging left by the old code
+    val recipe = s"$orderCol/$nFiles/${tail.isDefined}/${df.schema.catalogString}"
+    val marker = Paths.get(dir, "_REPLAY_READY")
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == recipe)
+      return dir
     df.repartitionByRange(nFiles, col(orderCol))
       .sortWithinPartitions(orderCol)
       .write.mode("overwrite").parquet(dir)
@@ -58,6 +70,7 @@ object FileReplay {
     }
     require(parts.size == nFiles,
       s"expected $nFiles part files, got ${parts.size} — range partitioner collapsed")
+    Files.write(marker, recipe.getBytes("UTF-8"))
     dir
   }
 
