@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — the entity-resolution / fuzzy-key
+  * matching primitive (near-identical titles, misspelled author names,
+  * OCR'd identifiers) that exact-key joins and token-set similarity
+  * (Jaccard over shingles, [[Dedup]]) both miss.
+  *
+  * Candidate generation uses single-deletion neighborhoods (the SymSpell
+  * banding, Garbe 2012; the same pigeonhole idea as PassJoin's segment
+  * signatures, Li et al. VLDB'11): index every key under itself plus each
+  * string obtained by deleting ONE character. Two strings at Levenshtein
+  * distance ≤ 1 necessarily share a neighborhood entry — equal strings
+  * share themselves, a substitution shares the both-sides deletion at the
+  * substituted position, an insertion/deletion shares the shorter string
+  * itself — so the equi-join on the variant key is a COMPLETE candidate
+  * generator for k = 1 (a transposition is distance 2 in plain Levenshtein
+  * and is correctly out of scope). FuzzyJoinSpec proves completeness
+  * against a brute-force cross join, and the fixture's DuckDB oracle IS
+  * the brute force — the gate checks completeness, not a mirrored plan.
+  *
+  * Scale shape: the index is O(n · L) rows (L = key length, short for
+  * entity keys) equi-joined on the variant — hash-partitionable, never an
+  * all-pairs comparison; the Levenshtein verify runs only on candidate
+  * pairs, each pair-local. Pathologically hot variants (very short keys
+  * collapsing to the same deletions) can be bounded with `maxBucket`,
+  * which keeps the deterministic lowest-id `cap` entries per variant —
+  * the same df-capping discipline as the MinHash/shingle inverted indexes,
+  * trading recall only on those degenerate keys.
+  */
+object FuzzyJoin {
+
+  /** The string plus every single-character deletion of it. */
+  def deletionNeighborhood(c: Column): Column =
+    when(length(c) <= 1, array(c, lit("")))
+      .otherwise(array_union(array(c),
+        transform(sequence(lit(1), length(c)),
+          p => concat(c.substr(lit(1), p - 1), c.substr(p + 1, length(c))))))
+
+  /** All pairs (left, right) with levenshtein(leftKey, rightKey) ≤ 1.
+    * Output columns: l_id, l_key, r_id, r_key.
+    */
+  def joinWithin1(left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      maxBucket: Option[Int] = None): DataFrame = {
+    def index(df: DataFrame, id: String, key: String,
+        ip: String, kp: String): DataFrame =
+      df.select(col(id).as(ip), col(key).as(kp),
+        explode(deletionNeighborhood(col(key))).as("variant"))
+    val li = index(left, leftId, leftKey, "l_id", "l_key")
+    val ri0 = index(right, rightId, rightKey, "r_id", "r_key")
+    val ri = maxBucket match {
+      case None => ri0
+      case Some(cap) =>
+        // deterministic cap: keep the lowest-id entries of a hot variant
+        ri0.withColumn("__rn", row_number().over(
+            Window.partitionBy("variant").orderBy("r_id", "r_key")))
+          .where(col("__rn") <= cap).drop("__rn")
+    }
+    li.join(ri, Seq("variant"))
+      .select("l_id", "l_key", "r_id", "r_key").distinct()
+      .where(levenshtein(col("l_key"), col("r_key")) <= 1)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Ivm
+import graft.sources.SnapshotLake
+
+/** Streaming IVM — the `foreachBatch` bridge from a CDC delta stream to a
+  * materialized rollup held in the [[SnapshotLake]]: every micro-batch of
+  * (keys, op, old_v, new_v) changes folds into the current view snapshot
+  * via [[Ivm.applyDelta]] and commits as the next version.
+  *
+  * Exactly-once by the same version arithmetic as [[StreamingUpsert]]: the
+  * sink version is `base + batchId + 1`, so a replayed micro-batch hits
+  * [[SnapshotLake.isCommitted]] and skips — critical here because IVM is
+  * NOT idempotent (applying a delta twice double-counts), unlike the
+  * latest-wins row merge.
+  *
+  * Scale shape per trigger: one delta-sized aggregation plus a
+  * view-sized full-outer join — the base corpus is never read. This is
+  * the rollup twin of [[StreamingUpsert]]: one stream, two sinks — the
+  * row store merges pre-images, the view folds the same deltas, and the
+  * pair stays transactionally consistent per micro-batch.
+  */
+object StreamingIvm {
+
+  /** Fold one micro-batch (the `foreachBatch` body, exposed for direct
+    * testing): returns false when the version was already committed (a
+    * replayed batch).
+    */
+  def applyBatch(batch: DataFrame, root: String, keys: Seq[String],
+      baseVersion: Long, batchId: Long): Boolean = {
+    val v = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, v)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(Ivm.applyDelta(view, batch, keys), root, v)
+      true
+    }
+  }
+
+  /** Start the delta stream into the materialized view at `root` (which
+    * must hold a committed base version, normally [[Ivm.view]] of the
+    * initial corpus).
+    */
+  def start(deltas: DataFrame, root: String, keys: Seq[String],
+      checkpoint: String): StreamingQuery = {
+    val base = SnapshotLake.currentVersion(root).getOrElse(
+      sys.error(s"initialize $root with SnapshotLake.commit before streaming"))
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, root, keys, base, batchId)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.FuzzyJoin
+
+/** Deletion-neighborhood banding must be COMPLETE for Levenshtein ≤ 1:
+  * every brute-force pair survives the banded path, across substitution,
+  * insertion, deletion, equality — and a transposition (distance 2) stays
+  * excluded. Plus the deterministic hot-variant cap.
+  */
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val words = Seq(
+    "spark", "spork", "sprak",      // substitution + transposition of spark
+    "sparks", "park",               // insertion / deletion neighbors
+    "spark",                        // exact duplicate
+    "flink", "blink", "linkk", "link",
+    "a", "b", "",                   // degenerate lengths
+    "totallyunrelated"
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+
+  private def df = words.toDF("id", "key")
+
+  test("banded join equals brute force at k = 1") {
+    val banded = FuzzyJoin.joinWithin1(df, "id", "key", df, "id", "key")
+      .select("l_id", "r_id")
+    val brute = df.as("l").crossJoin(df.as("r"))
+      .where(levenshtein(col("l.key"), col("r.key")) <= 1)
+      .select(col("l.id").as("l_id"), col("r.id").as("r_id"))
+    assertSameRows(banded, brute)
+  }
+
+  test("a transposition is distance 2 and must not match") {
+    val out = FuzzyJoin.joinWithin1(df, "id", "key", df, "id", "key")
+    assert(out.where(col("l_key") === "spark" && col("r_key") === "sprak")
+      .count() == 0)
+    // while the substitution neighbor does
+    assert(out.where(col("l_key") === "spark" && col("r_key") === "spork")
+      .count() > 0)
+  }
+
+  test("maxBucket caps a hot variant deterministically, keeping lowest ids") {
+    // many keys collapsing onto variant "xy"
+    val hot = Seq("xy", "xyz", "wxy", "xby", "xy", "axy")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "key")
+    val probe = Seq((100L, "xy")).toDF("id", "key")
+    val capped = FuzzyJoin.joinWithin1(probe, "id", "key", hot, "id", "key",
+      maxBucket = Some(2))
+    val full = FuzzyJoin.joinWithin1(probe, "id", "key", hot, "id", "key")
+    assert(capped.count() <= full.count())
+    // capped output is a subset of the uncapped truth
+    val cappedPairs = capped.select("l_id", "r_id").collect().map(_.toSeq).toSet
+    val fullPairs = full.select("l_id", "r_id").collect().map(_.toSeq).toSet
+    assert(cappedPairs.subsetOf(fullPairs))
+    // determinism: same result twice
+    val again = FuzzyJoin.joinWithin1(probe, "id", "key", hot, "id", "key",
+      maxBucket = Some(2)).select("l_id", "r_id").collect().map(_.toSeq).toSet
+    assert(again == cappedPairs)
+  }
+}

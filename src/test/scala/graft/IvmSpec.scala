@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LeafExecNode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ivm
+
+/** Incremental view maintenance: maintained == recomputed across every
+  * delta arm, groups vanish at count zero, chunked application composes,
+  * and the structural scale property — the algebraic path's plan contains
+  * no base-table scan at all.
+  */
+class IvmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def base: DataFrame = Seq(
+    ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+    ("b", 4L, 5L), ("b", 5L, 5L),          // duplicate minimum in b
+    ("c", 6L, 100L)
+  ).toDF("g", "id", "v")
+
+  // delete a's min (10) and one of b's tied mins; update a's 30 -> 3
+  // (a NEW minimum via update); insert into c and into brand-new group d;
+  // delete group c entirely and re-insert one row, keeping it alive
+  private def delta: DataFrame = Seq(
+    ("a", "D", Some(10L), None),
+    ("b", "D", Some(5L), None),
+    ("a", "U", Some(30L), Some(3L)),
+    ("c", "D", Some(100L), None),
+    ("c", "I", None, Some(7L)),
+    ("d", "I", None, Some(42L))
+  ).toDF("g", "op", "old_v", "new_v")
+
+  private def applied: DataFrame = Seq(
+    ("a", 2L, 20L), ("a", 3L, 3L), ("b", 5L, 5L),
+    ("c", 7L, 7L), ("d", 9L, 42L)
+  ).toDF("g", "id", "v")
+
+  test("algebraic maintenance equals recompute, including new groups") {
+    assertSameRows(
+      Ivm.applyDelta(Ivm.view(base, Seq("g"), "v"), delta, Seq("g")),
+      Ivm.view(applied, Seq("g"), "v"))
+  }
+
+  test("full maintenance equals recompute: broken min, tied min, update-born min") {
+    assertSameRows(
+      Ivm.applyDeltaFull(Ivm.viewFull(base, Seq("g"), "v"), delta,
+        applied.select(col("g"), col("v")), Seq("g"), "v"),
+      Ivm.viewFull(applied, Seq("g"), "v"))
+  }
+
+  test("a group deleted to count zero vanishes from the view") {
+    val wipe = Seq(("c", "D", Option(100L), Option.empty[Long]))
+      .toDF("g", "op", "old_v", "new_v")
+    val out = Ivm.applyDelta(Ivm.view(base, Seq("g"), "v"), wipe, Seq("g"))
+    assert(out.where(col("g") === "c").count() == 0)
+    assert(out.count() == 2)
+  }
+
+  test("chunked application composes to the one-shot result") {
+    val d1 = delta.where(col("g").isin("a", "b"))
+    val d2 = delta.where(!col("g").isin("a", "b"))
+    val view0 = Ivm.view(base, Seq("g"), "v")
+    assertSameRows(
+      Ivm.applyDelta(Ivm.applyDelta(view0, d1, Seq("g")), d2, Seq("g")),
+      Ivm.applyDelta(view0, delta, Seq("g")))
+  }
+
+  test("the algebraic plan scans view and delta only — no base leaf") {
+    val dir = freshDir("ivm_base")
+    base.write.parquet(dir)
+    Ivm.view(spark.read.parquet(dir), Seq("g"), "v")
+      .write.parquet(s"${dir}_view") // the view at rest
+    val out = Ivm.applyDelta(spark.read.parquet(s"${dir}_view"), delta, Seq("g"))
+    val leaves = out.queryExecution.executedPlan.collectLeaves()
+      .collect { case l: LeafExecNode => l.toString }
+    assert(leaves.exists(_.contains(s"${dir}_view")),
+      "the materialized view must be a plan leaf")
+    val baseScans =
+      leaves.filter(s => s.contains(dir) && !s.contains(s"${dir}_view"))
+    assert(baseScans.isEmpty,
+      s"base table must not appear in the maintenance plan: $baseScans")
+  }
+
+  test("min/max recompute touches only broken groups") {
+    // delete b's duplicate min: bound unbroken for a and c, broken for b
+    val d = Seq(("b", "D", Option(5L), Option.empty[Long]))
+      .toDF("g", "op", "old_v", "new_v")
+    val after = base.where(!(col("g") === "b" && col("id") === 4L))
+    val out = Ivm.applyDeltaFull(Ivm.viewFull(base, Seq("g"), "v"), d,
+      after.select(col("g"), col("v")), Seq("g"), "v")
+    assertSameRows(out, Ivm.viewFull(after, Seq("g"), "v"))
+    // removing a non-extreme value breaks nothing: recompute arm is empty
+    val mid = Seq(("a", "D", Option(20L), Option.empty[Long]))
+      .toDF("g", "op", "old_v", "new_v")
+    val afterMid = base.where(!(col("g") === "a" && col("id") === 2L))
+    // poison the base: if ANY group recomputes, the wrong bound surfaces
+    val poisoned = afterMid.select(col("g"), (col("v") + 100000L).as("v"))
+    val outMid = Ivm.applyDeltaFull(Ivm.viewFull(base, Seq("g"), "v"), mid,
+      poisoned, Seq("g"), "v")
+    assertSameRows(outMid, Ivm.viewFull(afterMid, Seq("g"), "v"))
+  }
+}

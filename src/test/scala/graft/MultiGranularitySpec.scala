@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+import org.apache.spark.sql.functions._
+
+/** The scale claims behind the multi-granularity fixtures: cube/grouping
+  * sets fan out inside ONE Expand over ONE scan (not a scan per level),
+  * and pivot with explicit values stays lazy — the values-free form runs
+  * an eager driver-side distinct scan at CONSTRUCTION time, which is the
+  * 100 TB footgun the fixture's docstring warns about.
+  */
+class MultiGranularitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def basePath: String = {
+    val dir = freshDir("mgran")
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("g", "h", "v").write.parquet(dir)
+    dir
+  }
+
+  test("cube: all four granularities from one Expand over one scan") {
+    val out = spark.read.parquet(basePath)
+      .cube("g", "h").agg(sum("v").as("s"))
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.collect { case e: ExpandExec => e }.size == 1)
+    assert(plan.collect { case s: FileSourceScanExec => s }.size == 1,
+      "cube must not multiply the scan")
+    assert(out.count() == 3 + 2 + 2 + 1)
+  }
+
+  test("grouping sets: disjoint margins, one Expand, one scan") {
+    val out = spark.read.parquet(basePath)
+      .groupingSets(Seq(Seq(col("g")), Seq(col("h"))), col("g"), col("h"))
+      .agg(sum("v").as("s"))
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.collect { case e: ExpandExec => e }.size == 1)
+    assert(plan.collect { case s: FileSourceScanExec => s }.size == 1)
+    assert(out.count() == 2 + 2) // per-g margins + per-h margins, no detail
+  }
+
+  test("pivot with explicit values is lazy; the values-free form is eager") {
+    val base = Seq(("a", "x", 1L)).toDF("g", "h", "v")
+    val poisoned = base.withColumn("trap",
+      when(col("v") < 0, lit(0L)).otherwise(raise_error(lit("boom"))))
+    // explicit values: constructing the pivot plan runs NO job, so the
+    // poison pill stays dormant until an action
+    val lazyPiv = poisoned.groupBy("g").pivot("h", Seq("x", "y"))
+      .agg(sum("trap"))
+    val err = intercept[Exception](lazyPiv.collect())
+    def boom(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("boom")
+        || boom(t.getCause))
+    assert(boom(err), s"poison must fire only at the action: $err")
+    // values-free: pivot() itself runs the distinct-discovery job — the
+    // corpus-scale eager scan explicit values avoid
+    val eager = intercept[Exception] {
+      poisoned.groupBy("g").pivot("trap").agg(sum("v"))
+    }
+    assert(boom(eager) || eager.isInstanceOf[SparkException],
+      s"values-free pivot should have scanned eagerly: $eager")
+  }
+}

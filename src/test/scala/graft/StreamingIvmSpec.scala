@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ivm
+import graft.sources.SnapshotLake
+import graft.streaming.StreamingIvm
+
+/** The streaming IVM fold is NOT idempotent (a delta applied twice
+  * double-counts), so replay safety comes entirely from the version
+  * arithmetic: a re-delivered batchId must hit isCommitted and skip.
+  */
+class StreamingIvmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("replayed micro-batch skips; a fresh batchId advances the version") {
+    val root = freshDir("ivm_stream")
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("g", "v")
+    SnapshotLake.commit(Ivm.view(base, Seq("g"), "v"), root, 0L)
+    val d1 = Seq(("a", "I", Option.empty[Long], Some(1L)))
+      .toDF("g", "op", "old_v", "new_v")
+
+    assert(StreamingIvm.applyBatch(d1, root, Seq("g"), 0L, 0L))
+    val once = SnapshotLake.read(spark, root)
+      .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
+    assert(once == ((3L, 31L)))
+
+    // crash-replay of the SAME batchId: no double-count
+    assert(!StreamingIvm.applyBatch(d1, root, Seq("g"), 0L, 0L))
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+    val replayed = SnapshotLake.read(spark, root)
+      .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
+    assert(replayed == ((3L, 31L)), s"replay must not re-apply: $replayed")
+
+    // the next batch folds on top
+    val d2 = Seq(("b", "D", Some(5L), Option.empty[Long]))
+      .toDF("g", "op", "old_v", "new_v")
+    assert(StreamingIvm.applyBatch(d2, root, Seq("g"), 0L, 1L))
+    assert(SnapshotLake.read(spark, root).where(col("g") === "b").count() == 0)
+    assert(SnapshotLake.currentVersion(root).contains(2L))
+  }
+}
