@@ -5448,6 +5448,305 @@ object PipelineQueries {
         | FROM a6 GROUP BY doc_id""".stripMargin
     })
 
+  // ---- incremental view maintenance (operators/Ivm.scala) ----------------
+
+  /** Shared CDC recipe over documents, keyed by lang on n_chars: deletes
+    * doc_id % 13 = 5 plus EVERY n_chars < 100 row (which removes each
+    * lang's minimum — forcing the min/max recompute arm at the gate, not
+    * just in the spec), updates doc_id % 10 = 0 (+1000), inserts
+    * doc_id % 7 = 3 as new rows (+7). One op per base row (delete wins
+    * over update; inserts are new identities), so any partition of the
+    * base induces a valid partition of the delta — what the streaming
+    * twin's chunked replay relies on.
+    */
+  private def ivmDel = col("doc_id") % 13 === 5 || col("n_chars") < 100
+  private def ivmUpd = col("doc_id") % 10 === 0
+  private def ivmIns = col("doc_id") % 7 === 3
+
+  private def ivmDelta(docs: DataFrame): DataFrame =
+    docs.where(ivmDel).select(col("lang"), lit("D").as("op"),
+        col("n_chars").as("old_v"), lit(null).cast("long").as("new_v"))
+      .unionByName(docs.where(!ivmDel && ivmUpd).select(col("lang"),
+        lit("U").as("op"), col("n_chars").as("old_v"),
+        (col("n_chars") + 1000L).as("new_v")))
+      .unionByName(docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
+        lit(null).cast("long").as("old_v"), (col("n_chars") + 7L).as("new_v")))
+
+  /** DuckDB CTE: the post-CDC final state the maintained view must equal. */
+  private val ivmFinSql =
+    """WITH fin AS (
+      |   SELECT lang, CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |     ELSE n_chars END AS v
+      |   FROM documents WHERE NOT (doc_id % 13 = 5 OR n_chars < 100)
+      |   UNION ALL
+      |   SELECT lang, n_chars + 7 FROM documents WHERE doc_id % 7 = 3)""".stripMargin
+
+  /** Algebraic IVM (Ivm.applyDelta): the lang rollup maintained purely
+    * from the CDC delta — the plan contains NO scan of the base table
+    * (applyDelta structurally takes none; IvmSpec pins the leaf count).
+    * The oracle recomputes the final state from scratch, so the check is
+    * exactly "maintained == recomputed". avg derives from sum/cnt, the
+    * algebraic-aggregate story at 100 TB: a day's rollup refresh costs
+    * O(|delta| + |view|), never a corpus scan.
+    */
+  val qIvmRollup = Fixture(
+    "q_ivm_rollup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Ivm.applyDelta(
+        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"),
+        ivmDelta(docs), Seq("lang"))
+        .select(col("lang"), col("cnt"), col("sum_v"),
+          Quant.q4(col("sum_v").cast("double") / col("cnt")).as("avg_v"))
+    },
+    Some(s"""$ivmFinSql
+      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v,
+      |   ${q4("sum(v)::DOUBLE / count(*)")} AS avg_v
+      | FROM fin GROUP BY 1""".stripMargin))
+
+  /** Min/max IVM (Ivm.applyDeltaFull): deletion can break a bound, so
+    * broken groups — here every lang, because the recipe deletes each
+    * group's minimum row — recompute from the post-CDC base via a
+    * broadcast semi-join on the broken keys, while unbroken bounds
+    * maintain as least/greatest against inserted values only. cnt/sum
+    * stay delta-maintained in the same pass.
+    */
+  val qIvmMinmax = Fixture(
+    "q_ivm_minmax",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val newBase = docs.where(!ivmDel)
+        .select(col("lang"), when(ivmUpd, col("n_chars") + 1000L)
+          .otherwise(col("n_chars")).as("v"))
+        .unionByName(docs.where(ivmIns)
+          .select(col("lang"), (col("n_chars") + 7L).as("v")))
+      graft.operators.Ivm.applyDeltaFull(
+        graft.operators.Ivm.viewFull(docs, Seq("lang"), "n_chars"),
+        ivmDelta(docs), newBase, Seq("lang"), "v")
+    },
+    Some(s"""$ivmFinSql
+      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v,
+      |   min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+      | FROM fin GROUP BY 1""".stripMargin))
+
+  /** Streaming IVM (streaming/StreamingIvm): the same delta split into two
+    * micro-batches folds into the SnapshotLake-held view via foreachBatch —
+    * version arithmetic makes the non-idempotent fold replay-safe (a
+    * replayed batchId hits isCommitted and skips; StreamingIvmSpec pins
+    * that directly). Final lake state == the batch oracle: the fold is
+    * associative across any chunking of the delta.
+    */
+  val qStreamIvmRollup = Fixture(
+    "q_stream_ivm_rollup",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivmlake_${System.nanoTime}").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      graft.sources.SnapshotLake.commit(
+        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
+      def rows(df: DataFrame) =
+        df.as[(String, String, Option[Long], Option[Long])].collect().toSeq
+      val b1 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 0)))
+      val b2 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Option[Long], Option[Long])]
+      val q = graft.streaming.StreamingIvm.start(
+        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
+        root, Seq("lang"), s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .select(col("lang"), col("cnt"), col("sum_v"))
+    },
+    Some(s"""$ivmFinSql
+      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
+      | FROM fin GROUP BY 1""".stripMargin))
+
+  // ---- multi-granularity reporting: cube / grouping sets / (un)pivot -----
+
+  /** Full CUBE over (lang, source): all four granularities — detail, each
+    * one-dimension margin, grand total — in ONE `Expand` pass over a
+    * single scan (q_corpus_rollup's argument, one level further: the naive
+    * spelling is four scans + unions). Rolled-up NULL keys coalesce to a
+    * sentinel on both sides, `glevel` is the shared grouping_id bitmask.
+    */
+  val qCubeReport = Fixture(
+    "q_cube_report",
+    (s, d) => Tables.documents(s, d)
+      .cube("lang", "source")
+      .agg(grouping_id().cast("long").as("glevel"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("glevel"), col("n_docs"), col("total_chars")),
+    Some("""SELECT coalesce(lang, '(all)') AS lang,
+      |   coalesce(source, '(all)') AS source,
+      |   GROUPING(lang, source)::BIGINT AS glevel,
+      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents GROUP BY CUBE(lang, source)""".stripMargin))
+
+  /** Disjoint GROUPING SETS ((lang), (source)): two independent margin
+    * reports from one scan — the non-hierarchical shape rollup/cube can't
+    * spell (no detail level, no grand total). This is the "dashboard
+    * refresh" plan: every per-dimension breakdown a report needs, one
+    * Expand, one shuffle.
+    */
+  val qGroupingSets = Fixture(
+    "q_grouping_sets",
+    (s, d) => Tables.documents(s, d)
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("glevel"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("glevel"), col("n_docs"), col("total_chars")),
+    Some("""SELECT coalesce(lang, '(all)') AS lang,
+      |   coalesce(source, '(all)') AS source,
+      |   GROUPING(lang, source)::BIGINT AS glevel,
+      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents GROUP BY GROUPING SETS ((lang), (source))""".stripMargin))
+
+  /** PIVOT to a source × lang matrix with EXPLICIT pivot values — the
+    * scale-critical form: values-free `.pivot(col)` runs a driver-side
+    * distinct scan over the corpus to discover columns, this one compiles
+    * straight to conditional aggregation (one pass, map-side partials).
+    * sum over an absent (source, lang) cell is NULL in both engines,
+    * which is why the fixture pivots a sum and not a count.
+    */
+  val qPivotLangMatrix = Fixture(
+    "q_pivot_lang_matrix",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(sum(col("n_chars"))),
+    Some("""SELECT source,
+      |   sum(CASE WHEN lang = 'de' THEN n_chars END)::BIGINT AS de,
+      |   sum(CASE WHEN lang = 'en' THEN n_chars END)::BIGINT AS en,
+      |   sum(CASE WHEN lang = 'es' THEN n_chars END)::BIGINT AS es,
+      |   sum(CASE WHEN lang = 'fr' THEN n_chars END)::BIGINT AS fr,
+      |   sum(CASE WHEN lang = 'zh' THEN n_chars END)::BIGINT AS zh
+      | FROM documents GROUP BY source""".stripMargin))
+
+  /** UNPIVOT (melt) of a wide per-source stats row to (source, metric,
+    * value) long form — the inverse reshape, constant-width row expansion
+    * with no shuffle beyond the feeding aggregation. Wide→long is how a
+    * metrics table feeds a generic drift monitor (q_stream_drift's input
+    * shape) without one query per metric.
+    */
+  val qUnpivotMetrics = Fixture(
+    "q_unpivot_metrics",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        max("n_chars").as("max_chars"))
+      .unpivot(Array(col("source")),
+        Array(col("n_docs"), col("sum_chars"), col("max_chars")),
+        "metric", "value"),
+    Some("""WITH w AS (SELECT source, count(*) AS n_docs,
+      |     sum(n_chars)::BIGINT AS sum_chars, max(n_chars) AS max_chars
+      |   FROM documents GROUP BY 1)
+      | SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+      | UNION ALL SELECT source, 'sum_chars', sum_chars FROM w
+      | UNION ALL SELECT source, 'max_chars', max_chars FROM w""".stripMargin))
+
+  /** Edit-distance similarity join (dedup/FuzzyJoin.scala): probe keys are
+    * each document key with ONE character deleted at a recipe position, so
+    * every probe must find at least its own source row at Levenshtein ≤ 1.
+    * The Spark side runs the deletion-neighborhood banding (index +
+    * equi-join + pair-local verify); the DuckDB oracle runs the BRUTE
+    * FORCE cross join with levenshtein ≤ 1 — so a hash match certifies
+    * the candidate generator is complete, not merely self-consistent.
+    * Keys are the [a-z]-stripped first 12 chars of text (ASCII-stable
+    * across engines; zh rows fall out at the shared length gate).
+    */
+  val qFuzzyJoin = Fixture(
+    "q_fuzzy_join_ed1",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val keys = docs.select(col("doc_id"),
+        regexp_replace(lower(substring(col("text"), 1, 12)), "[^a-z]", "")
+          .as("key"))
+        .where(length(col("key")) >= 4)
+      val p = col("doc_id") % 4 + 1
+      val probes = keys.select((col("doc_id") + 5000000L).as("pid"),
+        concat(col("key").substr(lit(1), p - 1),
+          col("key").substr(p + 1, length(col("key")))).as("pkey"))
+      graft.dedup.FuzzyJoin
+        .joinWithin1(probes, "pid", "pkey", keys, "doc_id", "key")
+        .groupBy(col("l_id").as("pid"))
+        .agg(count(lit(1)).as("n_matches"), min(col("r_id")).as("first_match"))
+    },
+    Some("""WITH k AS (SELECT doc_id,
+      |     regexp_replace(lower(substr(text, 1, 12)), '[^a-z]', '', 'g') AS key
+      |   FROM documents),
+      | kk AS (SELECT * FROM k WHERE strlen(key) >= 4),
+      | pr AS (SELECT doc_id + 5000000 AS pid,
+      |     substr(key, 1, (doc_id % 4 + 1) - 1)
+      |       || substr(key, (doc_id % 4 + 1) + 1, 99) AS pkey
+      |   FROM kk),
+      | m AS (SELECT pid, doc_id FROM pr, kk WHERE levenshtein(pkey, key) <= 1)
+      | SELECT pid, count(*) AS n_matches, min(doc_id) AS first_match
+      | FROM m GROUP BY 1""".stripMargin))
+
+  /** Hybrid retrieval via reciprocal-rank fusion (similarity/Fusion.scala):
+    * the BM25 top-20 (the exact [[qBm25]] lexical ranking, rank attached)
+    * fused with a cosine top-20 of the embedding corpus against a literal
+    * query vector — the sparse+dense first stage of a RAG pipeline. RRF
+    * score = Σ 1/(60 + rank), rank-only, so the two rankers' incompatible
+    * score scales never need calibration (Cormack et al., SIGIR'09).
+    * Corpus-sized work stays inside the rankers (one scan each, TakeOrdered
+    * top-k); the fuse itself touches ≤40 rows. The oracle recomputes both
+    * rankings and the fusion from scratch in DuckDB; doc_id aligns with
+    * vec_id by generation, which is what makes fusing their ids meaningful.
+    * Determinism: both ranks order by q4-quantized scores with id
+    * tie-breaks; the fused sum has ≤2 addends (commutative-exact), q4 at
+    * the boundary; final order by (raw fused desc, best_rank, id).
+    */
+  val qHybridRrf = Fixture(
+    "q_hybrid_rrf",
+    (s, d) => {
+      val lex = qBm25.build(s, d)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val qv = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+      val den = graft.similarity.Fusion.cosineRank(
+          Tables.embeddings(s, d), "vec_id", "embedding", qv, 20,
+          Quant.q4(_))
+        .select(col("id"), col("rank"))
+      graft.similarity.Fusion.rrf(Seq(lex, den), "id", "rank")
+        .select(col("id"), Quant.q4(col("fused_score")).as("fused_score"),
+          col("n_lists"), col("best_rank"), col("fused_rank"))
+    },
+    Some(s"""WITH lex AS (SELECT doc_id AS id,
+      |     row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |   FROM (${qBm25.oracle.get})),
+      | e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |       FROM embeddings),
+      | qq AS (SELECT list_transform(generate_series(0, 63),
+      |          i -> (((i * 37) % 19 - 9) / 10.0)::DOUBLE) AS q),
+      | dc AS (SELECT vec_id AS id,
+      |     ${q4(s"${dotSql("v", "q")} / (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("q", "q")}))")} AS cos
+      |   FROM e, qq),
+      | den AS (SELECT id,
+      |     row_number() OVER (ORDER BY cos DESC, id) AS rank
+      |   FROM (SELECT id, cos FROM dc ORDER BY cos DESC, id LIMIT 20)),
+      | u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM den),
+      | fu AS (SELECT id, sum(1.0::DOUBLE / (60 + rank)) AS fs,
+      |     count(*) AS n_lists, min(rank) AS best_rank
+      |   FROM u GROUP BY 1)
+      | SELECT id, ${q4("fs")} AS fused_score, n_lists, best_rank,
+      |   row_number() OVER (ORDER BY fs DESC, best_rank, id) AS fused_rank
+      | FROM fu ORDER BY fused_rank LIMIT 20""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -5485,5 +5784,8 @@ object PipelineQueries {
     qSitemapIngest, qSitemapIndex, qDomainHits, qOrcRoundtrip,
     qStreamFrontier, qFrontierFetchAt,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
-    qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup)
+    qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
+    qIvmRollup, qIvmMinmax, qStreamIvmRollup,
+    qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
+    qFuzzyJoin, qHybridRrf)
 }

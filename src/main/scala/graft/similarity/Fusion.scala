@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — combining a lexical ranking (BM25,
+  * [[Bm25]]) with a semantic one (cosine ANN, [[Ann]]) into a single
+  * result list, the standard first stage of a RAG / retrieval pipeline
+  * (sparse + dense, fused, then optionally reranked).
+  *
+  * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+  * `score(d) = Σ_r 1 / (k + rank_r(d))` over the rankings that contain
+  * `d`. RRF needs only RANKS, not scores — so the two rankers' wildly
+  * different score scales (BM25 sums vs cosine) never need calibration,
+  * which is exactly why it is the default fusion in production hybrid
+  * search.
+  *
+  * Scale shape: the inputs are already top-N candidate LISTS (model-sized,
+  * thousands of rows — the corpus-sized work happened inside the rankers,
+  * which prune via the BM25 index / IVF cells). Fusion is a union of the
+  * lists plus one list-sized groupBy — the corpus appears nowhere. The
+  * whole fuse costs O(Σ|lists|) regardless of corpus size, so it composes
+  * with any ranker that can emit a bounded candidate list.
+  *
+  * Determinism: ranks are integers, the fused score is a fixed-length sum
+  * of exact reciprocals evaluated in list-index order (`n_lists` and
+  * `best_rank` are integer outputs); callers quantize the double score at
+  * the fixture boundary. Ties break by (fused desc, best_rank asc, id).
+  */
+object Fusion {
+
+  /** Fuse ranked candidate lists. Each input must carry `idCol` and
+    * `rankCol` (1-based, dense within its list). Returns
+    * (id, fused_score, n_lists, best_rank, fused_rank) — the top `topK`
+    * by RRF score.
+    *
+    * @param kRrf the RRF damping constant (60 in the original paper);
+    *             larger values flatten the head advantage.
+    */
+  def rrf(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    val tagged = rankings.map(df =>
+      df.select(col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rank")))
+    val all = tagged.reduce(_ unionByName _)
+    val fused = all.groupBy(col("id"))
+      .agg(sum(lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("fused_score"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"))
+    // TakeOrdered first (per-partition heaps — no global sort of the fused
+    // set), THEN rank: the window runs over topK rows, not Σ|lists|.
+    fused
+      .orderBy(col("fused_score").desc, col("best_rank"), col("id"))
+      .limit(topK)
+      .withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("fused_score").desc, col("best_rank"), col("id"))).cast("long"))
+  }
+
+  /** Cosine ranking of a corpus of (id, vector) against ONE literal query
+    * vector — the dense-ranker half of a hybrid search when the query
+    * arrives as an embedding. One corpus scan, the query is a plan
+    * literal (broadcast by construction), top-k via TakeOrdered — no
+    * shuffle of the corpus. For at-rest corpora use the IVF/PQ paths in
+    * [[Ann]]; this is the exact scorer those approximate and the right
+    * tool for a reranking pass over a pruned candidate set.
+    */
+  def cosineRank(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], topK: Int,
+      quant: Column => Column = identity): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val dot = aggregate(zip_with(v, qLit, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        quant(dot / (nrm * lit(qn))).as("cos"))
+      .where(col("cos").isNotNull)
+      // TakeOrdered over the corpus, then rank the k survivors
+      .orderBy(col("cos").desc, col("id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("cos").desc, col("id"))).cast("long"))
+  }
+}

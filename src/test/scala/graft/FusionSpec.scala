@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Fusion
+
+/** Reciprocal-rank fusion (similarity/Fusion.scala): hand-computed RRF
+  * scores, membership/absence semantics, tie-breaking, and the plan shape
+  * (fusion never scans a corpus — it unions candidate lists).
+  */
+class FusionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranking(rows: (Long, Long)*) =
+    rows.toSeq.toDF("id", "rank")
+
+  test("rrf matches hand-computed scores and ranks") {
+    // List A ranks ids 1,2,3; list B ranks 2,1,4.
+    val a = ranking(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val b = ranking(2L -> 1L, 1L -> 2L, 4L -> 3L)
+    val out = Fusion.rrf(Seq(a, b), "id", "rank", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // id 1: 1/61 + 1/62; id 2: 1/62 + 1/61 (equal score, tie -> best_rank
+    // equal too -> id breaks); id 3: 1/63; id 4: 1/63 (tie -> id).
+    val s12 = 1.0 / 61 + 1.0 / 62
+    val s34 = 1.0 / 63
+    assert(out.toSeq == Seq(
+      (1L, s12, 2L, 1L, 1L), (2L, s12, 2L, 1L, 2L),
+      (3L, s34, 1L, 3L, 3L), (4L, s34, 1L, 3L, 4L)))
+  }
+
+  test("an id in one list only gets that list's reciprocal, count 1") {
+    val a = ranking(7L -> 1L)
+    val b = ranking(9L -> 1L, 7L -> 2L)
+    val out = Fusion.rrf(Seq(a, b), "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == Map(7L -> 2L, 9L -> 1L))
+  }
+
+  test("topK truncates after fusion, not per list") {
+    val a = ranking((1L to 30L).map(i => i -> i): _*)
+    val out = Fusion.rrf(Seq(a), "id", "rank", topK = 5)
+    assert(out.count() == 5)
+    assert(out.agg(max("best_rank")).head.getLong(0) == 5L)
+  }
+
+  test("cosineRank against a literal query: exact scorer, top-k, id ties") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 with q=(1,0)
+      (2L, Array(0.0f, 1.0f)),   // cos 0
+      (3L, Array(1.0f, 1.0f)),   // cos 1/sqrt(2)
+      (4L, Array(2.0f, 0.0f))    // cos 1.0 — ties id 1, id order wins
+    ).toDF("vid", "vec")
+    val out = Fusion.cosineRank(corpus, "vid", "vec", Seq(1.0, 0.0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (4L, 2L), (3L, 3L)))
+  }
+
+  test("fusion plan unions lists — no join, no corpus leaf") {
+    val a = ranking(1L -> 1L)
+    val b = ranking(2L -> 1L)
+    val plan = Fusion.rrf(Seq(a, b), "id", "rank")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"))
+    assert(!plan.toLowerCase.contains("join"))
+  }
+}
