@@ -1,0 +1,120 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values / bottom-k theta) distinct sketch: keep the k
+  * smallest DISTINCT hash values per group (Bar-Yossef et al. RANDOM'02;
+  * Beyer et al. SIGMOD'07 — the unbiased (k−1)/u_k estimator; the same
+  * family as Apache DataSketches' theta sketch). Unlike HLL registers the
+  * sketch CONTENT is deterministic and engine-independent — it is just the
+  * sorted k smallest values of a shared hash — so a DuckDB oracle can
+  * reproduce sketches, merges, and estimates bit-for-bit, which is what
+  * lets a fixture pin the whole store path, not merely an error bound.
+  *
+  * Why this exists beside `approx_count_distinct`: the sketch is a VALUE
+  * you can persist. At 100 TB the pattern is: each ingest shard writes its
+  * per-key sketch partial once (one scan at write time), and every later
+  * distinct-count query merges k-sized arrays instead of rescanning the
+  * corpus — including unions across keys (merge is bottom-k of the union
+  * of sketches, associative and idempotent). Buffer state is O(k) per
+  * group, merges map-side (partial aggregation works), duplicates collapse
+  * in-buffer, and a re-delivered partial merges to the same sketch.
+  */
+case class KmvAgg(
+    k: Int,
+    hash: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]] {
+
+  type Buf = scala.collection.mutable.TreeSet[Long]
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def insert(buf: Buf, h: Long): Unit =
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val h = hash.eval(input)
+    if (h != null) insert(buf, h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.toArray[Any]) // TreeSet iterates ascending
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var j = 0
+    while (j < n) { buf += in.readLong(); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(hash = c(0))
+}
+
+object Kmv {
+  import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+  import org.apache.spark.sql.functions._
+
+  /** hash64's range is [0, 2^60) — 15 hex chars of md5 — so u_k = h_k/2^60. */
+  private val HashSpan = 1152921504606846976.0 // 2^60, exact as a double
+
+  /** Bottom-k distinct aggregate over a Long hash column → sorted array. */
+  def bottomK(hash: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvAgg(k, GraftColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** Per-group KMV sketch of `value` (hashed via [[TextFunctions.hash64]]).
+    * One scan, O(k) state per group; this is what an ingest shard persists.
+    */
+  def sketch(df: DataFrame, keys: Seq[String], value: Column, k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(bottomK(TextFunctions.hash64(value), k).as("kmv"))
+
+  /** Merge persisted sketch partials back to one sketch per key group —
+    * bottom-k of the union. Spelled explode → re-aggregate (NOT
+    * collect_list of arrays): the shuffle carries ≤ k rows per partial and
+    * the same bounded aggregate absorbs them map-side, so a key with a
+    * million shard partials never materializes them in one place.
+    */
+  def merge(partials: DataFrame, keys: Seq[String], sketchCol: String,
+      k: Int): DataFrame =
+    partials
+      .select(keys.map(col) :+ explode(col(sketchCol)).as("__h") : _*)
+      .groupBy(keys.map(col): _*)
+      .agg(bottomK(col("__h"), k).as("kmv"))
+
+  /** Distinct-count estimate from a sketch array: exact |sketch| while the
+    * set is underfull, else the unbiased (k−1)/u_k with u_k = h_k / 2^60.
+    */
+  def estimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpan) /
+        element_at(sketch, k).cast("double"))
+}

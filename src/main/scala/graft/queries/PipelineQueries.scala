@@ -5747,6 +5747,75 @@ object PipelineQueries {
       |   row_number() OVER (ORDER BY fs DESC, best_rank, id) AS fused_rank
       | FROM fu ORDER BY fused_rank LIMIT 20""".stripMargin))
 
+  /** KMV distinct-sketch store (functions/Kmv.scala): per-(lang, shard)
+    * bottom-64 distinct-hash sketches persisted to parquet at ingest, then
+    * per-lang distinct-token estimates — plus a grand-total row merged from
+    * the per-lang sketches — computed entirely from the STORE (the token
+    * corpus is scanned once at write time; queries touch only k-sized
+    * arrays). This is the sketch the HLL fixture can't pin: KMV content is
+    * deterministic engine-independent data, so the DuckDB oracle replays
+    * sketch → merge → two-level union → (k−1)/u_k estimate bit-for-bit
+    * (Beyer et al. SIGMOD'07). `n_exact` rides along with a computed ok25
+    * accuracy bit (k=64 ⇒ rsd ≈ 13%); both engines derive the boolean from
+    * the same numbers, so it is hash-stable by construction.
+    */
+  val qKmvSketchStore = Fixture(
+    "q_kmv_sketch_store",
+    (s, d) => {
+      import graft.functions.Kmv
+      val k = 64
+      val toks = Tables.documents(s, d).select(col("lang"),
+        (col("doc_id") % 4).as("shard"),
+        explode(TextFunctions.words(lower(col("text")))).as("w"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_kmv/" +
+        Integer.toHexString(d.hashCode)
+      Kmv.sketch(toks, Seq("lang", "shard"), col("w"), k)
+        .write.mode("overwrite").parquet(dir)
+      val atRest = s.read.parquet(dir)
+      val perLang = Kmv.merge(atRest, Seq("lang"), "kmv", k)
+      val total = Kmv.merge(perLang.withColumn("lang", lit("(all)")),
+        Seq("lang"), "kmv", k)
+      val nPart = atRest.groupBy("lang").agg(count(lit(1)).as("n_partials"))
+        .unionByName(atRest.agg(count(lit(1)).as("n_partials"))
+          .withColumn("lang", lit("(all)")))
+      val exact = toks.groupBy("lang").agg(countDistinct(col("w")).as("n_exact"))
+        .unionByName(toks.agg(countDistinct(col("w")).as("n_exact"))
+          .withColumn("lang", lit("(all)")))
+      val est = Kmv.estimate(col("kmv"), k)
+      perLang.unionByName(total)
+        .join(broadcast(nPart), "lang").join(broadcast(exact), "lang")
+        .select(col("lang"), col("n_partials"),
+          size(col("kmv")).cast("long").as("sketch_size"),
+          Quant.q4(est).as("est_distinct"), col("n_exact"),
+          (abs(est - col("n_exact")) <= col("n_exact") * 0.25).as("ok25"))
+    },
+    Some(s"""WITH t AS (SELECT lang, doc_id % 4 AS shard,
+      |       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      |     FROM documents),
+      | hh AS (SELECT DISTINCT lang, shard, ${h64("w")} AS h FROM t),
+      | sk AS (SELECT lang, shard, (list_sort(list(h)))[1:64] AS kmv
+      |        FROM hh GROUP BY 1, 2),
+      | m1 AS (SELECT lang, (list_sort(list(DISTINCT uh)))[1:64] AS kmv
+      |        FROM (SELECT lang, unnest(kmv) AS uh FROM sk) GROUP BY 1),
+      | m2 AS (SELECT '(all)' AS lang,
+      |          (list_sort(list(DISTINCT uh)))[1:64] AS kmv
+      |        FROM (SELECT unnest(kmv) AS uh FROM m1)),
+      | m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+      | np AS (SELECT lang, count(*) AS n_partials FROM sk GROUP BY 1
+      |        UNION ALL SELECT '(all)', count(*) FROM sk),
+      | ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM t GROUP BY 1
+      |        UNION ALL SELECT '(all)', count(DISTINCT w) FROM t),
+      | est AS (SELECT lang, kmv,
+      |     CASE WHEN len(kmv) < 64 THEN len(kmv)::DOUBLE
+      |       ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[64]::DOUBLE
+      |     END AS e
+      |   FROM m)
+      | SELECT est.lang, np.n_partials, len(est.kmv)::BIGINT AS sketch_size,
+      |   ${q4("e")} AS est_distinct, ex.n_exact,
+      |   (abs(e - ex.n_exact) <= ex.n_exact * 0.25) AS ok25
+      | FROM est JOIN np ON np.lang = est.lang
+      |          JOIN ex ON ex.lang = est.lang""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -5787,5 +5856,5 @@ object PipelineQueries {
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
-    qFuzzyJoin, qHybridRrf)
+    qFuzzyJoin, qHybridRrf, qKmvSketchStore)
 }

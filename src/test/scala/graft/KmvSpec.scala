@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kmv
+
+/** KMV distinct sketch (functions/Kmv.scala): exactness while underfull,
+  * partition/merge invariance (the property the at-rest store relies on),
+  * estimator accuracy, bounded size, and map-side partial aggregation.
+  */
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("underfull sketch is the exact distinct hash set; estimate is exact") {
+    val df = Seq("a", "b", "c", "a", "b").toDF("v").withColumn("g", lit(1))
+    val out = Kmv.sketch(df, Seq("g"), col("v"), 64)
+      .select(col("kmv"), Kmv.estimate(col("kmv"), 64).as("est")).head
+    val sk = out.getSeq[Long](0)
+    assert(sk.length == 3 && sk == sk.sorted && sk.distinct.length == 3)
+    assert(out.getDouble(1) == 3.0)
+  }
+
+  test("merge of shard partials equals the one-shot sketch of the union") {
+    val df = (1 to 5000).map(i => (s"tok$i", i % 7)).toDF("v", "shard")
+      .withColumn("g", lit("x"))
+    val oneShot = Kmv.sketch(df, Seq("g"), col("v"), 64)
+      .select(col("kmv")).head.getSeq[Long](0)
+    val partials = Kmv.sketch(df, Seq("g", "shard"), col("v"), 64)
+    assert(partials.count() == 7)
+    val merged = Kmv.merge(partials, Seq("g"), "kmv", 64)
+      .select(col("kmv")).head.getSeq[Long](0)
+    assert(merged == oneShot)
+  }
+
+  test("merge is idempotent under re-delivered partials") {
+    val df = (1 to 2000).map(i => (s"t$i", i % 3)).toDF("v", "shard")
+      .withColumn("g", lit("x"))
+    val partials = Kmv.sketch(df, Seq("g", "shard"), col("v"), 32)
+    val once = Kmv.merge(partials, Seq("g"), "kmv", 32)
+      .select("kmv").head.getSeq[Long](0)
+    val twice = Kmv.merge(partials.union(partials.limit(2)), Seq("g"), "kmv", 32)
+      .select("kmv").head.getSeq[Long](0)
+    assert(once == twice)
+  }
+
+  test("estimate lands within 25% of exact at n=20000, k=256") {
+    val df = (1 to 20000).map(i => s"item_$i").toDF("v").withColumn("g", lit(1))
+    val est = Kmv.sketch(df, Seq("g"), col("v"), 256)
+      .select(Kmv.estimate(col("kmv"), 256)).head.getDouble(0)
+    assert(math.abs(est - 20000) < 5000, s"est $est")
+    assert(est != 20000.0) // genuinely estimated, not a fallthrough exact
+  }
+
+  test("sketch size never exceeds k and stays sorted") {
+    val df = (1 to 1000).map(i => (s"v$i", i % 4)).toDF("v", "g")
+    val rows = Kmv.sketch(df, Seq("g"), col("v"), 16).select("kmv").collect()
+    rows.foreach { r =>
+      val sk = r.getSeq[Long](0)
+      assert(sk.length == 16 && sk == sk.sorted)
+    }
+  }
+
+  test("the aggregate partial-aggregates (map-side combine in the plan)") {
+    val df = (1 to 100).map(i => s"v$i").toDF("v").withColumn("g", lit(1))
+    val plan = Kmv.sketch(df, Seq("g"), col("v"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    assert(plan.contains("partial_kmvagg") || plan.contains("partial_KmvAgg") ||
+      plan.toLowerCase.contains("partial_kmv"))
+  }
+}
