@@ -5816,6 +5816,155 @@ object PipelineQueries {
       | FROM est JOIN np ON np.lang = est.lang
       |          JOIN ex ON ex.lang = est.lang""".stripMargin))
 
+  /** STREAMING hybrid retrieval — the serving form of [[qHybridRrf]]:
+    * query rows arrive as a stream and are served against TWO indexes at
+    * rest (the IVF cell-bucketed ANN index and the BM25 term-bucketed
+    * posting index), candidates fused per query by RRF. Plan shape: both
+    * candidate generators are STATELESS stream-static equi-joins (cell /
+    * term bucket pruning on the static side); the only state is one
+    * windowed aggregate holding two bounded [[graft.functions.TopKAgg]]
+    * buffers (k=5 each) per query — ranks are array positions, because
+    * rank-over-window does not exist in append streams — and fusion is a
+    * post-aggregate HOF projection ([[graft.similarity.Fusion.rrfFuseArrays]]).
+    * At serving scale nothing is corpus-sized: per-batch cost is candidate
+    * rows, state is O(k) per live query. Each query's term comes from a
+    * 4-term vocab by query_id; its vector is the query row itself. The
+    * oracle re-derives dense candidates (cell assignment + 2-cell probe),
+    * lexical BM25 over matched docs, both top-5 rankings, the RRF fold,
+    * and the emission window arithmetic — streaming hybrid serving must
+    * return exactly what the batch rankers + fusion would.
+    */
+  val qStreamHybridRrf = Fixture(
+    "q_stream_hybrid_rrf",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.functions.TopKAgg
+      val h = Integer.toHexString(d.hashCode)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val ivfTbl = s"graft_hyb_ivf_$h"
+      Ann.ivfWriteIndex(emb, cents, ivfTbl,
+        s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf/$h", 8)
+      val bmTbl = s"graft_hyb_bm_$h"
+      graft.similarity.Bm25.writeIndex(Tables.documents(s, d), "doc_id",
+        "text", bmTbl, s"${sys.props("java.io.tmpdir")}/graft_hyb_bm/$h", 8)
+      val vocab = Seq("table", "row", "window", "data")
+      val posts = s.table(bmTbl).where(col("term").isin(vocab: _*))
+      val termStats = posts.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(s.table(s"${bmTbl}_stats")
+          .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl")))
+      val rows = emb.where(col("vec_id") < 30)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val qdf = ms.toDF().toDF("query_id", "qv")
+        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
+      val den = Ann.ivfSearchStreamCandidates(s, ivfTbl, cents,
+          qdf.select("query_id", "qv", "ts"), 2)
+        .select(col("query_id"), col("ts"), lit(1).as("tag"),
+          col("neighbor_id").as("id"), col("cos").as("score"))
+      val idf = log((col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val lex = qdf
+        .withColumn("term", element_at(array(vocab.map(lit): _*),
+          (col("query_id") % 4 + 1).cast("int")))
+        .join(posts.select("term", "doc_id", "tf", "dl"), Seq("term"))
+        .join(broadcast(termStats), Seq("term"))
+        .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+        .select(col("query_id"), col("ts"), lit(0).as("tag"),
+          col("doc_id").as("id"),
+          Quant.q4(idf * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("score"))
+      val out = lex.unionByName(den)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
+        .agg(TopKAgg.topK(when(col("tag") === 0, col("score")), col("id"), 5)
+            .as("lex5"),
+          TopKAgg.topK(when(col("tag") === 1, col("score")), col("id"), 5)
+            .as("den5"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
+          posexplode(graft.similarity.Fusion.rrfFuseArrays(
+            col("lex5"), col("den5"), 60, 3)))
+        .select(col("ws"), col("query_id"), (col("pos") + 1).cast("long")
+            .as("fused_rank"), col("col.id").as("id"),
+          Quant.q4(col("col.fused_score")).as("fused_score"),
+          col("col.n_lists").as("n_lists"), col("col.best_rank").as("best_rank"))
+      val sink = s"stream_hyb_$h${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings),
+      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
+      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
+      |        FROM e CROSS JOIN c),
+      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
+      | cr AS (SELECT vec_id, cid,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |        FROM sc),
+      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
+      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
+      |           WHERE rn <= 2 AND vec_id < 30),
+      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      | pr AS (SELECT query_id, neighbor_id,
+      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
+      |          ${dotSql("en.v", "en.v")} AS bb
+      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
+      | srd AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
+      | den AS (SELECT query_id, neighbor_id AS id,
+      |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |        FROM srd),
+      | t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      |       FROM documents),
+      | dw AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM t),
+      | st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sdl FROM dw),
+      | qs AS (SELECT vec_id AS query_id,
+      |          CASE vec_id % 4 WHEN 0 THEN 'table' WHEN 1 THEN 'row'
+      |            WHEN 2 THEN 'window' ELSE 'data' END AS term
+      |        FROM e WHERE vec_id < 30),
+      | tf AS (SELECT q.query_id, q.term, d.doc_id, d.dl,
+      |          len(list_filter(d.w, x -> x = q.term))::BIGINT AS tf
+      |        FROM qs q CROSS JOIN dw d),
+      | dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+      |         WHERE tf > 0 GROUP BY 1),
+      | lexsc AS (SELECT f.query_id, f.doc_id AS id,
+      |     ${q4("ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))")} AS score
+      |   FROM tf f JOIN dfx ON dfx.term = f.term, st WHERE f.tf > 0),
+      | lex AS (SELECT query_id, id,
+      |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+      |        FROM lexsc),
+      | u AS (SELECT query_id, id, rn FROM lex WHERE rn <= 5
+      |       UNION ALL SELECT query_id, id, rn FROM den WHERE rn <= 5),
+      | fu AS (SELECT query_id, id, sum(1.0::DOUBLE / (60 + rn)) AS fs,
+      |          count(*) AS n_lists, min(rn) AS best_rank
+      |        FROM u GROUP BY 1, 2),
+      | fr AS (SELECT query_id, id, fs, n_lists, best_rank,
+      |          row_number() OVER (PARTITION BY query_id
+      |            ORDER BY fs DESC, best_rank, id) AS fused_rank
+      |        FROM fu),
+      | mx AS (SELECT max(vec_id * 7) AS mx FROM e WHERE vec_id < 30)
+      | SELECT (query_id * 7 // 60) * 60 AS ws, query_id, fused_rank, id,
+      |   ${q4("fs")} AS fused_score, n_lists, best_rank
+      | FROM fr WHERE fused_rank <= 3
+      |   AND (query_id * 7 // 60) * 60 + 60 <= (SELECT mx FROM mx)""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -5856,5 +6005,5 @@ object PipelineQueries {
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
-    qFuzzyJoin, qHybridRrf, qKmvSketchStore)
+    qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf)
 }

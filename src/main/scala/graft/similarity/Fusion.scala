@@ -58,6 +58,45 @@ object Fusion {
           col("fused_score").desc, col("best_rank"), col("id"))).cast("long"))
   }
 
+  /** Array-form RRF for STREAMING serving: fuse two best-first top-k
+    * arrays (`array<struct<score double, id long>>` — the
+    * [[graft.functions.TopKAgg]] output shape) into the fused top-`topK`
+    * as one Column, so fusion can run as a projection AFTER a windowed
+    * streaming aggregate (rank-over-window does not exist in append
+    * streams; ranks here are array positions, already materialized by the
+    * bounded aggregate). Pure HOFs over ≤2k-element arrays — per-row cost
+    * is O(k²) on model-sized k, state is whatever the aggregate kept.
+    *
+    * Returns array<struct<fused_score double, n_lists long,
+    * best_rank long, id long>> sorted (fused desc, best_rank, id).
+    */
+  def rrfFuseArrays(a: Column, b: Column, kRrf: Int = 60,
+      topK: Int = 3): Column = {
+    val aIds = transform(a, x => x("id"))
+    val bIds = transform(b, x => x("id"))
+    val fused = transform(array_distinct(concat(aIds, bIds)), id => {
+      val pa = array_position(aIds, id)
+      val pb = array_position(bIds, id)
+      val sa = when(pa > 0,
+        lit(1.0) / (lit(kRrf.toDouble) + pa.cast("double"))).otherwise(lit(0.0))
+      val sb = when(pb > 0,
+        lit(1.0) / (lit(kRrf.toDouble) + pb.cast("double"))).otherwise(lit(0.0))
+      struct((sa + sb).as("fused_score"),
+        ((pa > 0).cast("long") + (pb > 0).cast("long")).as("n_lists"),
+        least(when(pa > 0, pa), when(pb > 0, pb)).as("best_rank"),
+        id.cast("long").as("id"))
+    })
+    val cmp = (l: Column, r: Column) =>
+      when(l("fused_score") > r("fused_score"), -1)
+        .when(l("fused_score") < r("fused_score"), 1)
+        .when(l("best_rank") < r("best_rank"), -1)
+        .when(l("best_rank") > r("best_rank"), 1)
+        .when(l("id") < r("id"), -1)
+        .when(l("id") > r("id"), 1)
+        .otherwise(0)
+    slice(array_sort(fused, cmp), 1, topK)
+  }
+
   /** Cosine ranking of a corpus of (id, vector) against ONE literal query
     * vector — the dense-ranker half of a hybrid search when the query
     * arrives as an embedding. One corpus scan, the query is a plan

@@ -56,6 +56,30 @@ class FusionSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 1L), (4L, 2L), (3L, 3L)))
   }
 
+  test("rrfFuseArrays fuses two top-k arrays by position, hand-checked") {
+    val df = Seq(1).toDF("x").select(
+      // lex ranks: id 10 @1, 20 @2; den ranks: 20 @1, 30 @2
+      Fusion.rrfFuseArrays(
+        expr("array(struct(0.9D as score, 10L as id), struct(0.5D as score, 20L as id))"),
+        expr("array(struct(0.8D as score, 20L as id), struct(0.1D as score, 30L as id))"),
+        60, 3).as("f"))
+    val out = df.select(explode(col("f"))).select("col.*").collect()
+      .map(r => (r.getLong(3), r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val s20 = 1.0 / 62 + 1.0 / 61
+    assert(out.toSeq == Seq(
+      (20L, s20, 2L, 1L), (10L, 1.0 / 61, 1L, 1L), (30L, 1.0 / 62, 1L, 2L)))
+  }
+
+  test("rrfFuseArrays handles an empty side and truncates to topK") {
+    val df = Seq(1).toDF("x").select(
+      Fusion.rrfFuseArrays(
+        expr("array(struct(0.9D as score, 1L as id), struct(0.8D as score, 2L as id), struct(0.7D as score, 3L as id))"),
+        expr("array()").cast("array<struct<score:double,id:bigint>>"),
+        60, 2).as("f"))
+    val ids = df.select(explode(col("f"))).select("col.id").as[Long].collect()
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("fusion plan unions lists — no join, no corpus leaf") {
     val a = ranking(1L -> 1L)
     val b = ranking(2L -> 1L)
