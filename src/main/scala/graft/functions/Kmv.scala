@@ -117,4 +117,28 @@ object Kmv {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(HashSpan) /
         element_at(sketch, k).cast("double"))
+
+  /** Sketch of the set UNION — bottom-k of the two sketches' union. Pure
+    * HOFs over k-sized arrays; associative, so any merge tree of stored
+    * sketches yields the same result. Underfull output means the union
+    * was seen completely and every estimate below is exact.
+    */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Jaccard estimate ρ = |L ∩ A ∩ B| / |L| with L = [[unionSketch]]
+    * (Beyer et al. SIGMOD'07 §4): within the union's k smallest hashes —
+    * a uniform sample of the union — count how many both sides saw.
+    */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val l = unionSketch(a, b, k)
+    size(array_intersect(array_intersect(a, b), l)).cast("double") / size(l)
+  }
+
+  /** Intersection cardinality estimate ρ · |A ∪ B|-estimate — exact when
+    * the union sketch is underfull. Set DIFFERENCE follows the same way
+    * (|A| − |A∩B|); callers compose from the same three primitives.
+    */
+  def intersectEstimate(a: Column, b: Column, k: Int): Column =
+    jaccardEstimate(a, b, k) * estimate(unionSketch(a, b, k), k)
 }

@@ -5965,6 +5965,76 @@ object PipelineQueries {
       | FROM fr WHERE fused_rank <= 3
       |   AND (query_id * 7 // 60) * 60 + 60 <= (SELECT mx FROM mx)""".stripMargin))
 
+  /** KMV set algebra over stored sketches: per-source-PAIR union /
+    * Jaccard / intersection estimates computed ENTIRELY from per-source
+    * bottom-128 shingle sketches (functions/Kmv.scala — Beyer et al.
+    * SIGMOD'07 §4: the union sketch's k smallest hashes are a uniform
+    * sample of the union, so ρ = |L∩A∩B|/|L| estimates Jaccard and ρ·U
+    * the intersection). This is the sketch-store answer to
+    * [[qSourceOverlap]]'s question — cross-corpus contamination /overlap
+    * triage at 100 TB compares 190 pairs of k-sized arrays, never
+    * re-joining shingle relations; the corpus is scanned once when the
+    * per-source sketches land. Exact pair intersections ride along from
+    * a shingle self-join so the estimates sit beside ground truth (the
+    * estimator's accuracy itself is spec-pinned in KmvSpec). Every
+    * number is deterministic shared-hash data — the oracle replays
+    * sketch, union, ρ, and both estimates bit-for-bit.
+    */
+  val qKmvSetOps = Fixture(
+    "q_kmv_set_ops",
+    (s, d) => {
+      import graft.functions.Kmv
+      val k = 128
+      val sh = Tables.documents(s, d).select(col("source"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("sg"))
+      val sk = Kmv.sketch(sh, Seq("source"), col("sg"), k)
+      val pairs = sk.as("a")
+        .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+      val tx = sh.distinct()
+      val ex = tx.as("x")
+        .join(tx.as("y"),
+          col("x.sg") === col("y.sg") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      pairs
+        .select(col("src_a"), col("src_b"),
+          Quant.q4(Kmv.estimate(Kmv.unionSketch(col("ka"), col("kb"), k), k))
+            .as("union_est"),
+          Quant.q4(Kmv.jaccardEstimate(col("ka"), col("kb"), k)).as("jacc_est"),
+          Quant.q4(Kmv.intersectEstimate(col("ka"), col("kb"), k))
+            .as("inter_est"))
+        .join(ex, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+    },
+    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
+      | shl AS (SELECT source, unnest($shinglesSql) AS sg FROM w0),
+      | hh AS (SELECT DISTINCT source, ${h64("sg")} AS h FROM shl),
+      | sk AS (SELECT source, (list_sort(list(h)))[1:128] AS kmv
+      |        FROM hh GROUP BY 1),
+      | p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |         a.kmv AS ka, b.kmv AS kb
+      |       FROM sk a JOIN sk b ON a.source < b.source),
+      | lu AS (SELECT src_a, src_b, ka, kb,
+      |          (list_sort(list_distinct(list_concat(ka, kb))))[1:128] AS l
+      |        FROM p),
+      | es AS (SELECT src_a, src_b,
+      |     CASE WHEN len(l) < 128 THEN len(l)::DOUBLE
+      |       ELSE 127.0::DOUBLE * 1152921504606846976.0::DOUBLE / l[128]::DOUBLE
+      |     END AS u_est,
+      |     len(list_intersect(list_intersect(ka, kb), l))::DOUBLE / len(l) AS rho
+      |   FROM lu),
+      | tx AS (SELECT DISTINCT source, sg FROM shl),
+      | ex AS (SELECT x.source AS src_a, y.source AS src_b,
+      |          count(*) AS n_inter_exact
+      |        FROM tx x JOIN tx y ON x.sg = y.sg AND x.source < y.source
+      |        GROUP BY 1, 2)
+      | SELECT es.src_a, es.src_b, ${q4("u_est")} AS union_est,
+      |   ${q4("rho")} AS jacc_est, ${q4("rho * u_est")} AS inter_est,
+      |   coalesce(ex.n_inter_exact, 0) AS n_inter_exact
+      | FROM es LEFT JOIN ex ON ex.src_a = es.src_a AND ex.src_b = es.src_b""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -6005,5 +6075,5 @@ object PipelineQueries {
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
-    qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf)
+    qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps)
 }

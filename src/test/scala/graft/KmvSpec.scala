@@ -59,6 +59,30 @@ class KmvSpec extends SparkTestBase {
     }
   }
 
+  test("set-op estimates: exact when underfull, within tolerance when full") {
+    // A = 1..3000, B = 2001..5000 → |A∪B| = 5000, |A∩B| = 1000, J = 0.2
+    val a = (1 to 3000).map(i => s"e$i").toDF("v").withColumn("g", lit(1))
+    val b = (2001 to 5000).map(i => s"e$i").toDF("v").withColumn("g", lit(1))
+    def sk(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Kmv.sketch(df, Seq("g"), col("v"), k).select(col("kmv")).head.getSeq[Long](0)
+    // full regime, k=256
+    val (ka, kb) = (sk(a, 256), sk(b, 256))
+    val est = spark.range(1).select(
+      Kmv.estimate(Kmv.unionSketch(typedLit(ka), typedLit(kb), 256), 256).as("u"),
+      Kmv.jaccardEstimate(typedLit(ka), typedLit(kb), 256).as("j"),
+      Kmv.intersectEstimate(typedLit(ka), typedLit(kb), 256).as("i")).head
+    assert(math.abs(est.getDouble(0) - 5000) < 1250, s"union ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 0.2) < 0.1, s"jaccard ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 1000) < 500, s"inter ${est.getDouble(2)}")
+    // underfull regime (k larger than the union): everything exact
+    val (xa, xb) = (sk(a.limit(40), 256), sk(b.limit(40), 256))
+    val ex = spark.range(1).select(
+      Kmv.estimate(Kmv.unionSketch(typedLit(xa), typedLit(xb), 256), 256).as("u"),
+      Kmv.intersectEstimate(typedLit(xa), typedLit(xb), 256).as("i")).head
+    assert(ex.getDouble(0) == (xa ++ xb).distinct.length.toDouble)
+    assert(ex.getDouble(1) == xa.toSet.intersect(xb.toSet).size.toDouble)
+  }
+
   test("the aggregate partial-aggregates (map-side combine in the plan)") {
     val df = (1 to 100).map(i => s"v$i").toDF("v").withColumn("g", lit(1))
     val plan = Kmv.sketch(df, Seq("g"), col("v"), 8)
