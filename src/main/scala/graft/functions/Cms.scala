@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min frequency sketch at rest (Cormode & Muthukrishnan, J.Alg'05):
+  * a depth×width counter matrix, row r counting values by their seeded
+  * hash `h_r(x) mod width`. Point estimate = min over rows of the probed
+  * cell — never an underestimate (each cell ≥ the true count; collisions
+  * only add), overestimate bounded by n/width per row whp.
+  *
+  * This is the FREQUENCY member of the sketch-store family beside the KMV
+  * cardinality sketch ([[Kmv]]): sketch content is deterministic shared-
+  * hash data (plain grouped counts), so a DuckDB oracle reproduces cells,
+  * merges, and estimates exactly — unlike an opaque register blob. The
+  * matrix is stored RELATIONALLY as (keys…, r, c, cnt) rows: merging
+  * shards is `sum` by (r, c) — the one aggregate every engine has — and
+  * the representation stays sparse (absent cell = 0) and columnar-
+  * compressible.
+  *
+  * Scale shape: building costs one corpus scan expanded ×depth (a
+  * projection, map-side partial-aggregated into ≤ depth·width rows per
+  * group — the shuffle carries sketch-sized, not corpus-sized, data).
+  * Point queries touch `depth` cells of a depth·width-row relation,
+  * regardless of corpus size. The classic use downstream: heavy-hitter
+  * screening and frequency joins where exact per-term counts would keep
+  * a corpus-scaled term relation alive.
+  */
+object Cms {
+
+  /** Build the sketch table (keys…, r, c, cnt) for `value` occurrences.
+    * depth independent seeded hashes via [[TextFunctions.hash64]](x, r).
+    */
+  def build(df: DataFrame, keys: Seq[String], value: Column,
+      depth: Int, width: Int): DataFrame =
+    df.select(keys.map(col) :+
+        explode(sequence(lit(0), lit(depth - 1))).as("r") :+
+        value.as("__v") : _*)
+      .withColumn("c", pmod(TextFunctions.hash64(col("__v"), col("r")),
+        lit(width.toLong)))
+      .groupBy((keys :+ "r" :+ "c").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard partials: counter-matrix addition = sum by (r, c). */
+  def merge(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy((keys :+ "r" :+ "c").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequencies of `terms` against a merged sketch:
+    * min over rows of the probed cell, absent cells counting 0. The
+    * sketch is depth·width rows BY CONSTRUCTION — broadcast it, so any
+    * number of probe terms join without a shuffle.
+    */
+  def pointEstimate(cms: DataFrame, terms: DataFrame, termCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probe = terms
+      .select(col(termCol).as("__t"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(TextFunctions.hash64(col("__t"), col("r")),
+        lit(width.toLong)))
+    probe.join(broadcast(cms), Seq("r", "c"), "left")
+      .groupBy(col("__t").as(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -6035,6 +6035,60 @@ object PipelineQueries {
       |   coalesce(ex.n_inter_exact, 0) AS n_inter_exact
       | FROM es LEFT JOIN ex ON ex.src_a = es.src_a AND ex.src_b = es.src_b""".stripMargin))
 
+  /** Count-Min frequency-sketch store (functions/Cms.scala): per-shard
+    * 4×8 counter matrices over tokens persisted relationally, merged by
+    * (r, c) sum, then point-estimated for a 7-term probe vocabulary —
+    * with the deliberately TINY width forcing collisions so the min-over-
+    * rows recovery and the never-underestimate invariant (est ≥ exact,
+    * Cormode & Muthukrishnan J.Alg'05) are exercised, not vacuous. The
+    * probe joins a broadcast sketch (depth·width rows by construction);
+    * exact counts ride along, plus an absent term pinning the
+    * empty-cell → 0 path. Sketch cells are plain grouped counts of a
+    * shared seeded hash — the oracle rebuilds matrix, merge, probe, and
+    * invariant exactly.
+    */
+  val qCmsSketchStore = Fixture(
+    "q_cms_sketch_store",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.Cms
+      val (depth, width) = (4, 8)
+      val toks = Tables.documents(s, d).select((col("doc_id") % 4).as("shard"),
+        explode(TextFunctions.words(lower(col("text")))).as("w"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_cms/" +
+        Integer.toHexString(d.hashCode)
+      Cms.build(toks, Seq("shard"), col("w"), depth, width)
+        .write.mode("overwrite").parquet(dir)
+      val merged = Cms.merge(s.read.parquet(dir), Seq())
+      val vocab = Seq("table", "row", "window", "data", "stream", "the",
+        "zzzabsent")
+      val est = Cms.pointEstimate(merged, vocab.toDF("term"), "term",
+        depth, width)
+      val exact = toks.groupBy(col("w").as("term"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("term"), "left")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .withColumn("never_under", col("est") >= col("n_exact"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id % 4 AS shard,
+      |       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      |     FROM documents),
+      | rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+      | cm AS (SELECT r, ${h64("w || '#' || r::VARCHAR")} % 8 AS c,
+      |          count(*) AS cnt
+      |        FROM t CROSS JOIN rs GROUP BY 1, 2),
+      | pv AS (SELECT unnest(['table', 'row', 'window', 'data', 'stream',
+      |          'the', 'zzzabsent']) AS term),
+      | pb AS (SELECT term, r, ${h64("term || '#' || r::VARCHAR")} % 8 AS c
+      |        FROM pv CROSS JOIN rs),
+      | est AS (SELECT term, min(coalesce(cm.cnt, 0)) AS est
+      |         FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
+      |         GROUP BY 1),
+      | ex AS (SELECT w AS term, count(*) AS n_exact FROM t GROUP BY 1)
+      | SELECT est.term, est.est, coalesce(ex.n_exact, 0) AS n_exact,
+      |   est.est >= coalesce(ex.n_exact, 0) AS never_under
+      | FROM est LEFT JOIN ex ON ex.term = est.term""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -6075,5 +6129,6 @@ object PipelineQueries {
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
-    qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps)
+    qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
+    qCmsSketchStore)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Cms
+
+/** Count-Min sketch (functions/Cms.scala): never-underestimate invariant,
+  * merge = addition, exactness at generous width, and collision recovery
+  * via the min over rows.
+  */
+class CmsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(n: Int) =
+    (1 to n).flatMap(i => Seq.fill(i % 5 + 1)(s"w${i % 37}"))
+      .map(w => (w, w.hashCode % 3))
+      .toDF("w", "shard")
+
+  test("point estimates never underestimate, and are exact at wide width") {
+    val df = toks(500)
+    val exact = df.groupBy("w").agg(count(lit(1)).as("n"))
+    // width 1024 >> 37 distinct values: collisions vanish, est == exact
+    val cms = Cms.merge(Cms.build(df, Seq("shard"), col("w"), 4, 1024), Seq())
+    val out = Cms.pointEstimate(cms, exact.select("w"), "w", 4, 1024)
+      .join(exact, "w").collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
+  test("narrow width forces collisions; min-over-rows still >= exact") {
+    val df = toks(500)
+    val exact = df.groupBy("w").agg(count(lit(1)).as("n"))
+    val cms = Cms.merge(Cms.build(df, Seq("shard"), col("w"), 4, 4), Seq())
+    val out = Cms.pointEstimate(cms, exact.select("w"), "w", 4, 4)
+      .join(exact, "w").collect()
+    assert(out.forall(r => r.getLong(1) >= r.getLong(2)))
+    // with 37 values in 4 columns at least one estimate must overshoot
+    assert(out.exists(r => r.getLong(1) > r.getLong(2)))
+  }
+
+  test("merge of shard partials equals the one-shot global sketch") {
+    val df = toks(300)
+    val oneShot = Cms.build(df, Seq.empty, col("w"), 4, 16)
+      .orderBy("r", "c").collect().map(_.toSeq)
+    val merged = Cms.merge(Cms.build(df, Seq("shard"), col("w"), 4, 16), Seq())
+      .orderBy("r", "c").collect().map(_.toSeq)
+    assert(oneShot.toSeq == merged.toSeq)
+  }
+
+  test("absent probe term estimates 0 through the empty-cell path") {
+    val df = toks(50)
+    val cms = Cms.merge(Cms.build(df, Seq("shard"), col("w"), 4, 1024), Seq())
+    val est = Cms.pointEstimate(cms, Seq("nope").toDF("w"), "w", 4, 1024)
+      .head.getLong(1)
+    assert(est == 0L)
+  }
+
+  test("the probe joins a broadcast sketch — no shuffle of probe terms") {
+    val df = toks(100)
+    val cms = Cms.merge(Cms.build(df, Seq("shard"), col("w"), 4, 16), Seq())
+    val plan = Cms.pointEstimate(cms, Seq("w1").toDF("w"), "w", 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
