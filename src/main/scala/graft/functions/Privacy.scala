@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Differential-privacy release primitives for corpus statistics.
@@ -52,5 +52,58 @@ object Privacy {
       s"% 1048576) + 0.5) / 1048576.0 - 0.5"
     s"(CASE WHEN ($u) < 0 THEN 1.0 ELSE -1.0 END) " +
       s"* $b * ln(1.0 - 2.0 * abs($u))"
+  }
+
+  /** k-anonymity release gate with a GENERALIZATION LADDER (Sweeney,
+    * IJUFKS'02; the level-per-row assignment is the suppression-or-
+    * generalize decision of Mondrian-style recoding): each row is tagged
+    * with the FINEST level of `levels` (finest first, columns must
+    * already exist on `df`) whose quasi-identifier group reaches size
+    * ≥ k; rows no level can cover get `anon_level = levels.length` —
+    * the suppression bucket. Callers then publish each row's quasi
+    * identifiers generalized to its level.
+    *
+    * Plan shape: ALL level cardinalities come from ONE scan — a single
+    * GROUPING SETS aggregate (one Expand, one shuffle, group-sized
+    * output), never one count pass per level; each level's counts then
+    * broadcast-join back onto the rows (quasi-identifier group tables
+    * are model-sized by definition — if they weren't, the data would
+    * already be anonymous). At 100 TB: one corpus shuffle + L broadcast
+    * joins.
+    *
+    * NULL caveat: rows with NULL in a level's columns never match that
+    * level's count row (SQL join semantics), so they fall through to
+    * coarser levels — treat NULL quasi-identifiers upstream.
+    */
+  def kAnonLevels(df: DataFrame, levels: Seq[Seq[String]], k: Int): DataFrame = {
+    require(levels.nonEmpty && k > 0, "need a non-empty ladder and k > 0")
+    val allCols = levels.flatten.distinct
+    val sets = df
+      .groupingSets(levels.map(_.map(col)), allCols.map(col): _*)
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("__cnt"))
+    // grouping_id bit i (MSB-first over the groupBy column list) is SET
+    // when that column is aggregated AWAY — a level's id has ones exactly
+    // at its non-member columns.
+    def gidOf(set: Seq[String]): Long =
+      allCols.zipWithIndex.collect {
+        case (c, i) if !set.contains(c) => 1L << (allCols.length - 1 - i)
+      }.sum
+    // MATERIALIZE the grouping-sets table before fanning out: each level's
+    // filter references it, and without caching Catalyst duplicates the
+    // whole scan+Expand+aggregate subtree per level — L corpus scans, the
+    // exact thing this function exists to avoid.
+    graft.operators.Caching.withCached(sets) {
+      val joined = levels.zipWithIndex.foldLeft(df) { case (acc, (set, i)) =>
+        val counts = sets.where(col("__gid") === gidOf(set))
+          .select(set.map(col) :+ col("__cnt").as(s"__cnt$i"): _*)
+        acc.join(broadcast(counts), set, "left")
+      }
+      joined
+        .withColumn("anon_level", coalesce(
+          levels.indices.map(i =>
+            when(col(s"__cnt$i") >= k, lit(i).cast("long"))) :+
+            lit(levels.length.toLong): _*))
+        .drop(levels.indices.map(i => s"__cnt$i"): _*)
+    }
   }
 }

@@ -5974,8 +5974,9 @@ object PipelineQueries {
     * [[qSourceOverlap]]'s question — cross-corpus contamination /overlap
     * triage at 100 TB compares 190 pairs of k-sized arrays, never
     * re-joining shingle relations; the corpus is scanned once when the
-    * per-source sketches land. Exact pair intersections ride along from
-    * a shingle self-join so the estimates sit beside ground truth (the
+    * per-source sketches land. Exact pair intersections ride along via
+    * the q_source_overlap mask-histogram (bit_or per shingle — never a
+    * shingle self-join) so the estimates sit beside ground truth (the
     * estimator's accuracy itself is spec-pinned in KmvSpec). Every
     * number is deterministic shared-hash data — the oracle replays
     * sketch, union, ρ, and both estimates bit-for-bit.
@@ -5983,30 +5984,62 @@ object PipelineQueries {
   val qKmvSetOps = Fixture(
     "q_kmv_set_ops",
     (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.IntegerType
+      import scala.jdk.CollectionConverters._
       import graft.functions.Kmv
       val k = 128
-      val sh = Tables.documents(s, d).select(col("source"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("sg"))
-      val sk = Kmv.sketch(sh, Seq("source"), col("sg"), k)
-      val pairs = sk.as("a")
-        .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
-        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-          col("a.kmv").as("ka"), col("b.kmv").as("kb"))
-      val tx = sh.distinct()
-      val ex = tx.as("x")
-        .join(tx.as("y"),
-          col("x.sg") === col("y.sg") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-        .agg(count(lit(1)).as("n_inter_exact"))
-      pairs
-        .select(col("src_a"), col("src_b"),
-          Quant.q4(Kmv.estimate(Kmv.unionSketch(col("ka"), col("kb"), k), k))
-            .as("union_est"),
-          Quant.q4(Kmv.jaccardEstimate(col("ka"), col("kb"), k)).as("jacc_est"),
-          Quant.q4(Kmv.intersectEstimate(col("ka"), col("kb"), k))
-            .as("inter_est"))
-        .join(ex, Seq("src_a", "src_b"), "left")
-        .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      val docs = Tables.documents(s, d)
+      // source→bit dim, the sourceOverlap shape (≤64 sources per mask long)
+      val collected = docs.select("source").distinct()
+        .orderBy("source").limit(65).collect()
+      require(collected.length <= 64, "mask path supports ≤64 sources")
+      val srcIds = s.createDataFrame(
+        collected.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }
+          .toSeq.asJava,
+        docs.select("source").schema.add("sid", IntegerType, nullable = false))
+      // shingling is compute-dense and sf-sized parquet is few splits —
+      // repartition to parallelize it (the sourceOverlap rationale); hash
+      // shingles to LONGs immediately so the cache and both aggregations
+      // below never carry strings. No distinct: the sketch buffer and the
+      // per-hash bit_or both collapse duplicates themselves.
+      val tx = docs
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("source"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("sg"))
+        .select(col("source"), TextFunctions.hash64(col("sg")).as("h"))
+      graft.operators.Caching.withCached(tx) {
+        val sk = tx.groupBy("source").agg(Kmv.bottomK(col("h"), k).as("kmv"))
+        val pairs = sk.as("a")
+          .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+        // exact pair intersections via the q_source_overlap mask histogram
+        // (one aggregate per shingle + bit enumeration of mask-sized rows)
+        // instead of a shingle self-join, which blows up on hot shingles
+        val hist = tx.join(broadcast(srcIds), "source")
+          .groupBy("h").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
+          .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        val bitsArr = expr("filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)")
+        val ex = hist
+          .select(col("cnt"), col("mask"), explode(bitsArr).as("ia"))
+          .select(col("cnt"), col("ia"), explode(expr(
+            "filter(sequence(0, 63), b -> b > ia AND (shiftright(mask, b) & 1) = 1)")).as("ib"))
+          .join(broadcast(srcIds.select(col("sid").as("ia"),
+            col("source").as("src_a"))), "ia")
+          .join(broadcast(srcIds.select(col("sid").as("ib"),
+            col("source").as("src_b"))), "ib")
+          .groupBy("src_a", "src_b").agg(sum(col("cnt")).as("n_inter_exact"))
+        pairs
+          .select(col("src_a"), col("src_b"),
+            Quant.q4(Kmv.estimate(Kmv.unionSketch(col("ka"), col("kb"), k), k))
+              .as("union_est"),
+            Quant.q4(Kmv.jaccardEstimate(col("ka"), col("kb"), k)).as("jacc_est"),
+            Quant.q4(Kmv.intersectEstimate(col("ka"), col("kb"), k))
+              .as("inter_est"))
+          .join(ex, Seq("src_a", "src_b"), "left")
+          .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      }
     },
     Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
       | shl AS (SELECT source, unnest($shinglesSql) AS sg FROM w0),
@@ -6025,10 +6058,9 @@ object PipelineQueries {
       |     END AS u_est,
       |     len(list_intersect(list_intersect(ka, kb), l))::DOUBLE / len(l) AS rho
       |   FROM lu),
-      | tx AS (SELECT DISTINCT source, sg FROM shl),
       | ex AS (SELECT x.source AS src_a, y.source AS src_b,
       |          count(*) AS n_inter_exact
-      |        FROM tx x JOIN tx y ON x.sg = y.sg AND x.source < y.source
+      |        FROM hh x JOIN hh y ON x.h = y.h AND x.source < y.source
       |        GROUP BY 1, 2)
       | SELECT es.src_a, es.src_b, ${q4("u_est")} AS union_est,
       |   ${q4("rho")} AS jacc_est, ${q4("rho * u_est")} AS inter_est,
@@ -6089,6 +6121,60 @@ object PipelineQueries {
       |   est.est >= coalesce(ex.n_exact, 0) AS never_under
       | FROM est LEFT JOIN ex ON ex.term = est.term""".stripMargin))
 
+  /** k-anonymity generalization ladder ([[graft.functions.Privacy
+    * .kAnonLevels]], Sweeney IJUFKS'02): every document is released at
+    * the finest quasi-identifier granularity whose group reaches k=7 —
+    * full (lang, source, length-bucket, long-doc flag), then source
+    * generalized away, then the bucket too — or suppressed when even
+    * (lang, isl) is too small (the rare long-doc flag persists down the
+    * ladder, so suppression genuinely triggers). All level cardinalities
+    * come from ONE grouping-sets scan (one Expand, one shuffle) with
+    * model-sized count tables broadcast back — the release gate a corpus
+    * report runs before publishing per-slice statistics. The recipe
+    * exercises all four arms at sf0.01 (16/453/17/14 rows); the oracle
+    * recomputes every level count and the CASE ladder.
+    */
+  val qKAnonymity = Fixture(
+    "q_k_anonymity",
+    (s, d) => {
+      val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), expr("n_chars div 100").as("b100"),
+        (col("n_chars") > 500).as("isl"))
+      graft.functions.Privacy.kAnonLevels(staged,
+        Seq(Seq("lang", "source", "b100", "isl"),
+          Seq("lang", "b100", "isl"), Seq("lang", "isl")), 7)
+        .select(col("doc_id"), col("anon_level"),
+          when(col("anon_level") === 0, concat_ws("|", col("lang"),
+            col("source"), col("b100"), col("isl")))
+          .when(col("anon_level") === 1, concat_ws("|", col("lang"),
+            lit("*"), col("b100"), col("isl")))
+          .when(col("anon_level") === 2, concat_ws("|", col("lang"),
+            lit("*"), lit("*"), col("isl")))
+          .otherwise(lit("(suppressed)")).as("released"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS b100,
+      |       n_chars > 500 AS isl FROM documents),
+      | c0 AS (SELECT lang, source, b100, isl, count(*) AS n
+      |        FROM d GROUP BY 1, 2, 3, 4),
+      | c1 AS (SELECT lang, b100, isl, count(*) AS n FROM d GROUP BY 1, 2, 3),
+      | c2 AS (SELECT lang, isl, count(*) AS n FROM d GROUP BY 1, 2),
+      | lv AS (SELECT d.doc_id, d.lang, d.source, d.b100, d.isl,
+      |          CASE WHEN c0.n >= 7 THEN 0 WHEN c1.n >= 7 THEN 1
+      |            WHEN c2.n >= 7 THEN 2 ELSE 3 END AS anon_level
+      |        FROM d
+      |        JOIN c0 ON c0.lang = d.lang AND c0.source = d.source
+      |          AND c0.b100 = d.b100 AND c0.isl = d.isl
+      |        JOIN c1 ON c1.lang = d.lang AND c1.b100 = d.b100
+      |          AND c1.isl = d.isl
+      |        JOIN c2 ON c2.lang = d.lang AND c2.isl = d.isl)
+      | SELECT doc_id, anon_level::BIGINT AS anon_level,
+      |   CASE anon_level
+      |     WHEN 0 THEN lang || '|' || source || '|' || b100::VARCHAR || '|' || isl::VARCHAR
+      |     WHEN 1 THEN lang || '|*|' || b100::VARCHAR || '|' || isl::VARCHAR
+      |     WHEN 2 THEN lang || '|*|*|' || isl::VARCHAR
+      |     ELSE '(suppressed)' END AS released
+      | FROM lv""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -6130,5 +6216,5 @@ object PipelineQueries {
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
-    qCmsSketchStore)
+    qCmsSketchStore, qKAnonymity)
 }

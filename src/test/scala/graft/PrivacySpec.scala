@@ -41,4 +41,44 @@ class PrivacySpec extends SparkTestBase {
     val sql = Privacy.laplaceNoiseSql("lang", "rel1", 1.0, 0.5)
     assert(sql.contains("md5(lang || '|rel1')") && sql.contains("ln(1.0 - 2.0"))
   }
+
+  // ---- k-anonymity generalization ladder ---------------------------------
+
+  private def anonDf = {
+    import spark.implicits._
+    // group sizes by (g1, g2): (a,x)=5, (a,y)=2, (b,x)=1 → level-0 only
+    // (a,x) at k=3; (a,*)=7 covers (a,y); (b,*)=1 stays suppressed.
+    (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++ Seq(("b", "x")))
+      .zipWithIndex.map { case ((g1, g2), i) => (i.toLong, g1, g2) }
+      .toDF("id", "g1", "g2")
+  }
+
+  test("kAnonLevels: finest passing level wins; exhausted ladder suppresses") {
+    val out = Privacy.kAnonLevels(anonDf, Seq(Seq("g1", "g2"), Seq("g1")), 3)
+      .select("id", "anon_level").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach(i => assert(out(i) == 0L, s"id $i"))  // (a,x) n=5
+    (5L to 6L).foreach(i => assert(out(i) == 1L, s"id $i"))  // (a,y)→(a) n=8
+    assert(out(7L) == 2L)                                     // (b) n=1 → suppressed
+  }
+
+  test("kAnonLevels materializes the grouping-sets table once (no Expand re-run)") {
+    // The level counts fan out from ONE cached grouping-sets aggregate
+    // (withCached); without it Catalyst duplicates the scan+Expand subtree
+    // per level. The returned frame is the eager localCheckpoint result —
+    // lineage-free, so no consumer can ever re-run the Expand.
+    val plan = Privacy.kAnonLevels(anonDf, Seq(Seq("g1", "g2"), Seq("g1")), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && plan.contains("ExistingRDD"), plan)
+  }
+
+  test("every group at a released level meets k (the anonymity invariant)") {
+    val released = Privacy.kAnonLevels(anonDf, Seq(Seq("g1", "g2"), Seq("g1")), 3)
+    val l0 = released.where(col("anon_level") === 0)
+      .groupBy("g1", "g2").count().collect()
+    val l1 = released.where(col("anon_level") <= 1)
+      .groupBy("g1").count().collect()
+    assert(l0.forall(_.getLong(2) >= 3))
+    assert(l1.forall(_.getLong(1) >= 3))
+  }
 }
