@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => PaneRewrite())
+    e.injectOptimizerRule(_ => MvRewrite())
   }
 }
 

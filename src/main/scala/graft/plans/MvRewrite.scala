@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent materialized-view rewrite: queries keep addressing the BASE
+  * table; when a registered MV already holds the aggregate, the optimizer
+  * swaps the corpus scan for the group-sized MV scan. Together with
+  * [[graft.operators.Ivm]] this closes the MV loop — `Ivm.applyDelta`
+  * keeps the view current from CDC deltas at O(|delta| + |view|), and this
+  * rule makes every matching report read it, so the 100 TB corpus is
+  * scanned exactly once per view lifetime, not once per dashboard refresh.
+  *
+  * Matching (v1, deliberately conservative — a miss means the original
+  * plan runs, never a wrong answer):
+  *   - the aggregate's child is the MV's base parquet relation (optionally
+  *     under a column-pruning Project),
+  *   - grouping expressions are plain columns forming a SUBSET of the MV's
+  *     keys (exact match → pure projection; proper subset → a ROLLUP
+  *     re-aggregation over the group-sized MV: sum→sum, count→SUM of
+  *     partial counts, min→min, max→max),
+  *   - every aggregate is an undistinct, unfiltered sum/count(lit)/min/max
+  *     whose (fn, input column) the MV declares.
+  *
+  * Output attributes keep the original expression ids, so the rewrite is
+  * invisible to every downstream operator.
+  *
+  * Freshness contract: [[MvRegistry.register]] captures the MV relation at
+  * registration; re-register after each refresh that rewrites the MV files
+  * (an [[graft.operators.Ivm]] refresh landing new parquet). Like any MV
+  * system, serving a registered view ASSERTS it is current — deregister
+  * around non-atomic rebuilds.
+  */
+object MvRegistry {
+  /** One declared aggregate of the view: `outName` = MV column,
+    * `fn` ∈ sum|count|min|max, `inputCol` = base column (None for count).
+    */
+  final case class AggDef(outName: String, fn: String, inputCol: Option[String])
+
+  final case class MvDef(name: String, basePathTail: String, keys: Seq[String],
+      aggs: Seq[AggDef], relation: LogicalRelation)
+
+  private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** Register `mvPath` (parquet with columns keys ++ aggs.outName) as the
+    * materialization of base-table aggregates over `basePathTail`.
+    */
+  def register(spark: SparkSession, name: String, basePathTail: String,
+      keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
+    val analyzed = spark.read.parquet(mvPath).queryExecution.analyzed
+    val lr = analyzed.collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mvPath did not analyze to a LogicalRelation"))
+    val have = lr.output.map(_.name).toSet
+    val need = keys ++ aggs.map(_.outName)
+    require(need.forall(have), s"MV $mvPath lacks ${need.filterNot(have)}")
+    views.put(name, MvDef(name, basePathTail, keys, aggs, lr))
+  }
+
+  def deregister(name: String): Unit = views.remove(name)
+  def isEmpty: Boolean = views.isEmpty
+  def all: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    views.values.asScala.toSeq
+  }
+}
+
+case class MvRewrite() extends Rule[LogicalPlan] {
+  import MvRegistry._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRegistry.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** The base parquet path beneath an optional column-pruning Project. */
+  private def basePath(p: LogicalPlan): Option[String] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      basePath(c)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val keyNames: Option[Seq[String]] =
+      if (agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+        Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
+      else None
+    for {
+      path <- basePath(agg.child)
+      keys <- keyNames
+      mv <- MvRegistry.all.find(m =>
+        path.stripSuffix("/").endsWith(m.basePathTail.stripSuffix("/")) &&
+          keys.toSet.subsetOf(m.keys.toSet))
+      out <- rewriteWith(agg, keys, mv)
+    } yield out
+  }
+
+  /** (fn, inputCol) of a supported aggregate call, or None. */
+  private def fnOf(e: AggregateExpression): Option[(String, Option[String])] =
+    if (e.isDistinct || e.filter.nonEmpty) None
+    else e.aggregateFunction match {
+      case Sum(a: AttributeReference, _) => Some(("sum", Some(a.name)))
+      case Min(a: AttributeReference)    => Some(("min", Some(a.name)))
+      case Max(a: AttributeReference)    => Some(("max", Some(a.name)))
+      case Count(es) if es.forall(_.isInstanceOf[Literal]) =>
+        Some(("count", None))
+      case _ => None
+    }
+
+  private def rewriteWith(agg: Aggregate, keys: Seq[String],
+      mv: MvDef): Option[LogicalPlan] = {
+    // fresh exprIds per use so two rewrites never collide in one tree
+    val scan = mv.relation.newInstance()
+    def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
+    val exact = keys.toSet == mv.keys.toSet
+    // map every output of the original aggregate
+    val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if keys.contains(a.name) =>
+        Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name) if keys.contains(a.name) =>
+        Some(Alias(mvAttr(a.name), name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        fnOf(ae).flatMap { case (fn, in) =>
+          mv.aggs.find(d => d.fn == fn && d.inputCol == in).map { d =>
+            val src = mvAttr(d.outName)
+            val expr: Expression =
+              if (exact) src
+              else fn match {
+                // rollup re-aggregation: partial counts SUM
+                case "sum" | "count" => Sum(src).toAggregateExpression()
+                case "min"           => Min(src).toAggregateExpression()
+                case "max"           => Max(src).toAggregateExpression()
+              }
+            Alias(expr, name)(exprId = al.exprId)
+          }
+        }
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else {
+      val outputs = mapped.map(_.get)
+      val plan =
+        if (exact) Project(outputs, scan)
+        else Aggregate(keys.map(mvAttr), outputs, scan)
+      // type change would corrupt downstream codegen — bail, never guess
+      val ok = plan.output.zip(agg.output).forall { case (n, o) =>
+        n.dataType == o.dataType
+      }
+      if (ok) Some(plan) else None
+    }
+  }
+}

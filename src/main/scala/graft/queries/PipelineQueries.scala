@@ -6175,6 +6175,113 @@ object PipelineQueries {
       |     ELSE '(suppressed)' END AS released
       | FROM lv""".stripMargin))
 
+  /** Transparent materialized-view rewrite (plans/MvRewrite.scala): the
+    * query addresses the BASE documents table with a plain
+    * groupBy(lang).agg(count, sum, max); a registered (lang, source) MV
+    * makes the optimizer swap the corpus scan for the group-sized MV scan
+    * and ROLL UP (sum of sums, SUM of partial counts, max of maxes). The
+    * fixture REQUIREs the rewritten plan reads the MV and not the base —
+    * a silent non-rewrite fails the gate — and executes while the rule is
+    * live (localCheckpoint) so the restore in finally can't unwind it.
+    * The oracle is the plain base aggregation: rewrite must be invisible.
+    */
+  val qMvRewrite = Fixture(
+    "q_mv_rewrite",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv/$h"
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"), max(col("n_chars")).as("max_chars"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"docs_by_lang_source_$h"
+      MvRegistry.register(s, name, s"$d/documents.parquet",
+        Seq("lang", "source"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_chars", "sum", Some("n_chars")),
+          AggDef("max_chars", "max", Some("n_chars"))), mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"), max(col("n_chars")).as("max_chars"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv")) &&
+          !scans.exists(_.contains("documents.parquet")),
+          s"MV rewrite did not fire; scans = ${scans.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   max(n_chars) AS max_chars
+      | FROM documents GROUP BY 1""".stripMargin))
+
+  /** The closed IVM + MV loop: the (lang) rollup is materialized once,
+    * a CDC delta refreshes it via [[graft.operators.Ivm.applyDelta]] —
+    * reading ONLY the stored view and the delta, O(|delta| + |view|),
+    * never the corpus — and the refreshed store is re-registered so a
+    * plain base-table aggregate silently serves the POST-CDC state. This
+    * is the dashboard-refresh economics at 100 TB: corpus scanned once at
+    * materialization, every later refresh delta-sized, every later query
+    * view-sized. The fixture pins freshness end-to-end: the oracle is the
+    * post-CDC recompute from scratch ([[ivmFinSql]]), so a stale or
+    * mis-maintained view hash-mismatches.
+    */
+  val qMvIvmServe = Fixture(
+    "q_mv_ivm_serve",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val v1Path = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_v1"
+      val v2Path = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_v2"
+      graft.operators.Ivm.view(docs, Seq("lang"), "n_chars")
+        .write.mode("overwrite").parquet(v1Path)
+      // day-2 refresh: stored view + CDC delta only
+      graft.operators.Ivm.applyDelta(s.read.parquet(v1Path),
+          ivmDelta(docs), Seq("lang"))
+        .write.mode("overwrite").parquet(v2Path)
+      val name = s"docs_lang_rollup_$h"
+      MvRegistry.register(s, name, s"$d/documents.parquet", Seq("lang"),
+        Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("n_chars"))),
+        v2Path)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = docs.groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_v"))
+        val leaves = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_mv_ivm"),
+          s"expected exactly the refreshed MV leaf; got ${leaves.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""$ivmFinSql
+      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
+      | FROM fin GROUP BY 1""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -6216,5 +6323,5 @@ object PipelineQueries {
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
-    qCmsSketchStore, qKAnonymity)
+    qCmsSketchStore, qKAnonymity, qMvRewrite, qMvIvmServe)
 }

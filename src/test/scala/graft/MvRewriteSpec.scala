@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.{MvRewrite, MvRegistry}
+import graft.plans.MvRegistry.AggDef
+
+/** Materialized-view rewrite (plans/MvRewrite.scala): exact-key projection,
+  * subset-key rollup re-aggregation, conservative misses, exprId
+  * preservation under downstream operators, and deregistration.
+  */
+class MvRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  private def withMv[T](body: (String, org.apache.spark.sql.DataFrame) => T): T = {
+    val baseDir = freshDir("mv_base")
+    val mvDir = freshDir("mv_view")
+    (1 to 300).map(i => (s"g${i % 5}", s"h${i % 3}", i.toLong))
+      .toDF("g1", "g2", "v").write.parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    base.groupBy("g1", "g2").agg(count(lit(1)).as("cnt"),
+        sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .write.parquet(mvDir)
+    MvRegistry.register(spark, s"mv_$baseDir", baseDir, Seq("g1", "g2"),
+      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v")),
+        AggDef("min_v", "min", Some("v")), AggDef("max_v", "max", Some("v"))),
+      mvDir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try body(mvDir, base)
+    finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister(s"mv_$baseDir")
+    }
+  }
+
+  test("exact key set rewrites to a projection over the MV scan") {
+    withMv { (mvDir, base) =>
+      val q = base.groupBy("g1", "g2").agg(sum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(mvDir)), paths.mkString(","))
+      assert(!paths.exists(_.contains("mv_base")), "base still scanned")
+      // semantics unchanged vs an un-rewritten computation
+      val expect = base.collect().groupBy(r => (r.getString(0), r.getString(1)))
+      q.collect().foreach { r =>
+        val g = expect((r.getString(0), r.getString(1)))
+        assert(r.getLong(2) == g.map(_.getLong(2)).sum && r.getLong(3) == g.size)
+      }
+    }
+  }
+
+  test("key subset rolls up over the MV: sum of sums, SUM of counts") {
+    withMv { (mvDir, base) =>
+      val q = base.groupBy("g1").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      assert(scanPaths(q).forall(_.contains(mvDir)))
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val rows = base.collect().groupBy(_.getString(0))
+      rows.foreach { case (g, rs) =>
+        val vs = rs.map(_.getLong(2))
+        assert(got(g) == ((rs.size.toLong, vs.sum, vs.min, vs.max)), g)
+      }
+    }
+  }
+
+  test("unsupported aggregates (avg, distinct) fall through to the base") {
+    withMv { (mvDir, base) =>
+      val q1 = base.groupBy("g1").agg(avg(col("v")).as("a"))
+      assert(!scanPaths(q1).exists(_.contains(mvDir)))
+      val q2 = base.groupBy("g1", "g2").agg(countDistinct(col("v")).as("d"))
+      assert(!scanPaths(q2).exists(_.contains(mvDir)))
+    }
+  }
+
+  test("exprIds survive: downstream filter/sort over rewritten output") {
+    withMv { (mvDir, base) =>
+      val q = base.groupBy("g1").agg(sum(col("v")).as("s"))
+        .where(col("s") > 0).orderBy(col("s").desc)
+      assert(scanPaths(q).forall(_.contains(mvDir)))
+      assert(q.count() == 5)
+    }
+  }
+
+  test("deregistered view no longer rewrites") {
+    val paths = withMv { (_, base) => // registry emptied by withMv's finally
+      base
+    }
+    val q = paths.groupBy("g1", "g2").agg(sum(col("v")).as("s"))
+    assert(!scanPaths(q).exists(_.contains("mv_view")))
+  }
+}
