@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArraySort, Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HeavyHittersAgg, SortedIntersectSize, TopKAgg, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HeavyHittersAgg, KmvAgg, SortedIntersectSize, TopKAgg, VectorSumAgg}
 
 /** SQL surface for the library's custom Catalyst expressions, so `spark.sql`
   * users get them too:
@@ -13,6 +13,7 @@ import graft.functions.{CosineSimilarity, HeavyHittersAgg, SortedIntersectSize, 
   *   graft_vector_sum(v)           — elementwise array<double> sum aggregate
   *   graft_heavy_hitters(term, m)  — Misra-Gries heavy-hitters aggregate
   *   graft_sorted_intersect(a, b)  — sorted-merge intersection size (exact)
+  *   graft_kmv(hash, k)            — KMV bottom-k distinct sketch aggregate
   *
   * Register either at session build
   * (`.withExtensions(new GraftExtensions)`) or on a live session
@@ -61,7 +62,15 @@ object GraftExtensions {
       // the library's own hot paths build the expression directly over
       // already-sorted arrays and never pay this.
       (args: Seq[Expression]) => SortedIntersectSize(
-        new ArraySort(args(0)), new ArraySort(args(1)), 0.0)))
+        new ArraySort(args(0)), new ArraySort(args(1)), 0.0)),
+    ("graft_kmv",
+      info("graft_kmv",
+        "graft_kmv(hash, k) - KMV distinct sketch: the k smallest distinct " +
+          "BIGINT hashes per group, sorted ascending (functions.Kmv has the " +
+          "store/merge/estimate companions)"),
+      (args: Seq[Expression]) => KmvAgg(
+        args(1).eval().asInstanceOf[Number].intValue(), args(0))
+          .toAggregateExpression()))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

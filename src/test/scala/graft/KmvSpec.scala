@@ -83,6 +83,18 @@ class KmvSpec extends SparkTestBase {
     assert(ex.getDouble(1) == xa.toSet.intersect(xb.toSet).size.toDouble)
   }
 
+  test("graft_kmv is SQL-registered and matches the Column form") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = (1 to 500).map(i => s"v${i % 90}").toDF("v")
+    df.createOrReplaceTempView("kmv_sql_in")
+    val viaSql = spark.sql(
+      "SELECT graft_kmv(CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT), 16) " +
+        "FROM kmv_sql_in").head.getSeq[Long](0)
+    val viaCol = df.agg(Kmv.bottomK(
+      graft.functions.TextFunctions.hash64(col("v")), 16)).head.getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
+
   test("the aggregate partial-aggregates (map-side combine in the plan)") {
     val df = (1 to 100).map(i => s"v$i").toDF("v").withColumn("g", lit(1))
     val plan = Kmv.sketch(df, Seq("g"), col("v"), 8)
