@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** Transparent materialized-view rewrite: queries keep addressing the BASE
   * table; when a registered MV already holds the aggregate, the optimizer
@@ -104,15 +105,21 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     } yield out
   }
 
-  /** (fn, inputCol) of a supported aggregate call, or None. */
+  /** (fn, inputCol) of a supported aggregate call, or None. `count` with
+    * an input column is the NON-NULL count (count(v)), distinct from the
+    * row count (count(1)/count(*)) — avg rewrites pair with the former so
+    * null semantics survive.
+    */
   private def fnOf(e: AggregateExpression): Option[(String, Option[String])] =
     if (e.isDistinct || e.filter.nonEmpty) None
     else e.aggregateFunction match {
-      case Sum(a: AttributeReference, _) => Some(("sum", Some(a.name)))
-      case Min(a: AttributeReference)    => Some(("min", Some(a.name)))
-      case Max(a: AttributeReference)    => Some(("max", Some(a.name)))
+      case Sum(a: AttributeReference, _)     => Some(("sum", Some(a.name)))
+      case Min(a: AttributeReference)        => Some(("min", Some(a.name)))
+      case Max(a: AttributeReference)        => Some(("max", Some(a.name)))
+      case Average(a: AttributeReference, _) => Some(("avg", Some(a.name)))
       case Count(es) if es.forall(_.isInstanceOf[Literal]) =>
         Some(("count", None))
+      case Count(Seq(a: AttributeReference)) => Some(("count", Some(a.name)))
       case _ => None
     }
 
@@ -129,19 +136,36 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       case al @ Alias(a: AttributeReference, name) if keys.contains(a.name) =>
         Some(Alias(mvAttr(a.name), name)(exprId = al.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
-        fnOf(ae).flatMap { case (fn, in) =>
-          mv.aggs.find(d => d.fn == fn && d.inputCol == in).map { d =>
-            val src = mvAttr(d.outName)
-            val expr: Expression =
-              if (exact) src
-              else fn match {
-                // rollup re-aggregation: partial counts SUM
-                case "sum" | "count" => Sum(src).toAggregateExpression()
-                case "min"           => Min(src).toAggregateExpression()
-                case "max"           => Max(src).toAggregateExpression()
-              }
-            Alias(expr, name)(exprId = al.exprId)
+        // a stored total, at the right granularity for the arm in play
+        def tot(d: AggDef): Expression = {
+          val src = mvAttr(d.outName)
+          if (exact) src
+          else d.fn match {
+            // rollup re-aggregation: partial counts/sums SUM
+            case "sum" | "count" => Sum(src).toAggregateExpression()
+            case "min"           => Min(src).toAggregateExpression()
+            case "max"           => Max(src).toAggregateExpression()
           }
+        }
+        fnOf(ae).flatMap {
+          case ("avg", in) =>
+            // avg = stored sum / NULL-CONSISTENT count: prefer a declared
+            // count(v); a row count only substitutes when v can't be null.
+            // Double caveat: totals beyond 2^53 can differ from running-
+            // mean accumulation in the last bit — no worse than Spark's
+            // own shuffle-order-dependent double aggregation.
+            val cntDef = mv.aggs.find(d => d.fn == "count" && d.inputCol == in)
+              .orElse(mv.aggs.find(d => d.fn == "count" && d.inputCol.isEmpty)
+                .filter(_ => agg.child.output
+                  .exists(a => in.contains(a.name) && !a.nullable)))
+            for {
+              sumDef <- mv.aggs.find(d => d.fn == "sum" && d.inputCol == in)
+              c <- cntDef
+            } yield Alias(Divide(Cast(tot(sumDef), DoubleType),
+              Cast(tot(c), DoubleType)), name)(exprId = al.exprId)
+          case (fn, in) =>
+            mv.aggs.find(d => d.fn == fn && d.inputCol == in)
+              .map(d => Alias(tot(d), name)(exprId = al.exprId))
         }
       case _ => None
     }

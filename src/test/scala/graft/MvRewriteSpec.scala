@@ -27,11 +27,13 @@ class MvRewriteSpec extends SparkTestBase {
       .toDF("g1", "g2", "v").write.parquet(baseDir)
     val base = spark.read.parquet(baseDir)
     base.groupBy("g1", "g2").agg(count(lit(1)).as("cnt"),
+        count(col("v")).as("cnt_v"),
         sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
       .write.parquet(mvDir)
     MvRegistry.register(spark, s"mv_$baseDir", baseDir, Seq("g1", "g2"),
-      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v")),
+      Seq(AggDef("cnt", "count", None), AggDef("cnt_v", "count", Some("v")),
+        AggDef("sum_v", "sum", Some("v")),
         AggDef("min_v", "min", Some("v")), AggDef("max_v", "max", Some("v"))),
       mvDir)
     val prev = spark.experimental.extraOptimizations
@@ -74,10 +76,23 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
-  test("unsupported aggregates (avg, distinct) fall through to the base") {
+  test("avg derives from stored sum / count(v), both arms, value-exact") {
     withMv { (mvDir, base) =>
-      val q1 = base.groupBy("g1").agg(avg(col("v")).as("a"))
-      assert(!scanPaths(q1).exists(_.contains(mvDir)))
+      val q = base.groupBy("g1").agg(avg(col("v")).as("a"))
+      assert(scanPaths(q).forall(_.contains(mvDir)))
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      base.collect().groupBy(_.getString(0)).foreach { case (g, rs) =>
+        val vs = rs.map(_.getLong(2))
+        assert(got(g) == vs.sum.toDouble / vs.size, g)
+      }
+      val exactArm = base.groupBy("g1", "g2").agg(avg(col("v")).as("a"))
+      assert(scanPaths(exactArm).forall(_.contains(mvDir)))
+      assert(exactArm.count() == 15)
+    }
+  }
+
+  test("unsupported aggregates (distinct) fall through to the base") {
+    withMv { (mvDir, base) =>
       val q2 = base.groupBy("g1", "g2").agg(countDistinct(col("v")).as("d"))
       assert(!scanPaths(q2).exists(_.contains(mvDir)))
     }
