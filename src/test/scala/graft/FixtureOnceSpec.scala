@@ -1,0 +1,25 @@
+package graft
+
+import graft.queries.{FixtureOnce, PipelineQueries}
+
+/** FixtureOnce (queries/Fixture.scala): the session-scoped ingest
+  * memoization must leave a re-run fixture's RESULTS identical — the
+  * second run serves from the already-built index instead of rebuilding.
+  */
+class FixtureOnceSpec extends SparkTestBase {
+
+  test("second run of an index-at-rest fixture skips the build, same rows") {
+    val fx = PipelineQueries.qBm25Index
+    val first = fx.build(spark, sfDir).collect().map(_.toSeq).toSeq
+    val second = fx.build(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(first == second && first.nonEmpty)
+  }
+
+  test("bodies run exactly once per key, always for new keys") {
+    var n = 0
+    FixtureOnce("fixture_once_spec_k1") { n += 1 }
+    FixtureOnce("fixture_once_spec_k1") { n += 1 }
+    FixtureOnce("fixture_once_spec_k2") { n += 1 }
+    assert(n == 2)
+  }
+}
