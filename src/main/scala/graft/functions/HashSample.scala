@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-rate sampling — the RANK/quantile member of the
+  * at-rest sketch family beside KMV (cardinality, [[Kmv]]) and Count-Min
+  * (frequency, [[Cms]]): keep exactly the rows whose shared 60-bit hash of
+  * a stable key falls below `2^60 / denom`.
+  *
+  * Why hash-rate instead of Bernoulli rng or bottom-k:
+  *   - DETERMINISTIC: the same row is in or out on every engine, every
+  *     run, every cluster size — so a DuckDB oracle reproduces the sample
+  *     (and everything computed from it) bit-for-bit, and re-ingesting a
+  *     shard re-lands the identical sample rows (idempotent).
+  *   - TRIVIALLY MERGEABLE: the threshold is global, so the union of
+  *     per-shard samples IS the sample of the union — a sample store
+  *     appends shard files and never reconciles.
+  *   - COMPOSABLE: tightening `denom` is a pure filter of an existing
+  *     sample (4 → 16 never re-reads the corpus), the knob a statistics
+  *     service turns as the corpus grows.
+  *   - COORDINATED: sampling every table by the same JOIN KEY yields
+  *     matching row sets across tables (a join of samples is a sample of
+  *     the join) — hash-rate is what makes sampled joins sound.
+  *
+  * Downstream estimators are ordinary SQL over the sample: quantiles via
+  * `percentile` (rank error O(1/√(n/denom))), totals via count × denom.
+  * At 100 TB the store costs one corpus scan at ingest; every later
+  * percentile/distribution question reads sample-sized data.
+  */
+object HashSample {
+
+  /** hash64's range is [0, 2^60). */
+  val Span: Long = 1L << 60
+
+  /** The rows whose hashed `key` falls under 2^60/denom — a deterministic
+    * 1/denom sample of distinct keys (and of rows, when `key` is unique).
+    */
+  def sample(df: DataFrame, key: Column, denom: Int): DataFrame = {
+    require(denom >= 1, s"denom must be >= 1 (got $denom)")
+    df.where(TextFunctions.hash64(key) < lit(Span / denom))
+  }
+
+  /** Scale a per-group sample count back to a total estimate. */
+  def countEstimate(sampleCount: Column, denom: Int): Column =
+    sampleCount * lit(denom.toLong)
+
+  /** DuckDB mirror of the membership predicate, for oracles. */
+  def sampleSql(keySql: String, denom: Int): String =
+    s"('0x' || substr(md5($keySql), 1, 15))::BIGINT < ${Span / denom}"
+}

@@ -6294,6 +6294,55 @@ object PipelineQueries {
       | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
       | FROM fin GROUP BY 1""".stripMargin))
 
+  /** Deterministic sample store for quantiles (functions/HashSample.scala)
+    * — the RANK member of the at-rest sketch trio beside KMV (cardinality)
+    * and CMS (frequency): each ingest shard lands the rows whose shared
+    * doc_id hash falls under 2^60/4, and because the threshold is global,
+    * the UNION of shard files IS the merged sample — reading the store
+    * back is the merge. Per-lang medians/p90s and total estimates then
+    * cost sample-sized work forever; the corpus was scanned once at
+    * ingest. Hash-rate membership is engine-deterministic, so the oracle
+    * reproduces the exact sample rows, both quantile estimates, and the
+    * accuracy bit against the exact percentiles — unlike rng sampling,
+    * nothing here is "approximately checkable", it is all pinned.
+    */
+  val qSampleQuantileStore = Fixture(
+    "q_sample_quantile_store",
+    (s, d) => {
+      import graft.functions.HashSample
+      val docs = Tables.documents(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_sample/" +
+        Integer.toHexString(d.hashCode)
+      HashSample.sample(docs.withColumn("shard", col("doc_id") % 4),
+          col("doc_id").cast("string"), 4)
+        .select(col("shard"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      val sm = s.read.parquet(dir)
+      val fromSample = sm.groupBy("lang").agg(
+        count(lit(1)).as("n_sample"),
+        HashSample.countEstimate(count(lit(1)), 4).as("est_total"),
+        Quant.q4(expr("percentile(n_chars, 0.5D)")).as("p50_est"),
+        Quant.q4(expr("percentile(n_chars, 0.9D)")).as("p90_est"))
+      val exact = docs.groupBy("lang").agg(count(lit(1)).as("n_exact"),
+        Quant.q4(expr("percentile(n_chars, 0.5D)")).as("p50_exact"))
+      fromSample.join(exact, "lang")
+        .withColumn("ok_p50",
+          abs(col("p50_est") - col("p50_exact")) <= col("p50_exact") * 0.25)
+    },
+    Some(s"""WITH sm AS (SELECT lang, n_chars FROM documents
+      |        WHERE ${graft.functions.HashSample.sampleSql("doc_id::VARCHAR", 4)}),
+      | fs AS (SELECT lang, count(*) AS n_sample, count(*) * 4 AS est_total,
+      |          ${q4("quantile_cont(n_chars, 0.5)")} AS p50_est,
+      |          ${q4("quantile_cont(n_chars, 0.9)")} AS p90_est
+      |        FROM sm GROUP BY 1),
+      | ex AS (SELECT lang, count(*) AS n_exact,
+      |          ${q4("quantile_cont(n_chars, 0.5)")} AS p50_exact
+      |        FROM documents GROUP BY 1)
+      | SELECT fs.lang, n_sample, est_total, p50_est, p90_est, n_exact,
+      |   p50_exact,
+      |   abs(p50_est - p50_exact) <= p50_exact * 0.25 AS ok_p50
+      | FROM fs JOIN ex ON ex.lang = fs.lang""".stripMargin))
+
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
     qDedupExact, qDedupStreamFirstSeen, qDedupStreamMinhash,
@@ -6335,5 +6384,6 @@ object PipelineQueries {
     qIvmRollup, qIvmMinmax, qStreamIvmRollup,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
-    qCmsSketchStore, qKAnonymity, qMvRewrite, qMvIvmServe)
+    qCmsSketchStore, qKAnonymity, qMvRewrite, qMvIvmServe,
+    qSampleQuantileStore)
 }

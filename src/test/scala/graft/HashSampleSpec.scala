@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashSample
+
+/** Hash-rate sampling (functions/HashSample.scala): determinism, the
+  * union-merge property, downsample composition, coordinated-join
+  * soundness, and rate calibration.
+  */
+class HashSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(i => s"id$i").toDF("k")
+
+  test("sample of the union equals the union of shard samples") {
+    val df = ids(4000).withColumn("shard", (length(col("k")) % 3))
+    val whole = HashSample.sample(df, col("k"), 8).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val byShard = (0 to 2).flatMap { s =>
+      HashSample.sample(df.where(col("shard") === s), col("k"), 8)
+        .select("k").collect().map(_.getString(0))
+    }.sorted
+    assert(whole == byShard)
+  }
+
+  test("tightening the rate is a pure filter of the existing sample") {
+    val df = ids(4000)
+    val direct16 = HashSample.sample(df, col("k"), 16)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val composed = HashSample.sample(
+      HashSample.sample(df, col("k"), 4), col("k"), 16)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(direct16 == composed)
+  }
+
+  test("a join of key-coordinated samples is a sample of the join") {
+    val a = ids(2000).withColumn("va", length(col("k")))
+    val b = ids(2000).withColumn("vb", length(col("k")) * 2)
+    val joinedThenSampled = HashSample.sample(a.join(b, "k"), col("k"), 8)
+      .select("k").collect().map(_.getString(0)).sorted.toSeq
+    val sampledThenJoined = HashSample.sample(a, col("k"), 8)
+      .join(HashSample.sample(b, col("k"), 8), "k")
+      .select("k").collect().map(_.getString(0)).sorted.toSeq
+    assert(joinedThenSampled == sampledThenJoined)
+  }
+
+  test("rate lands near 1/denom and countEstimate recovers the total") {
+    val n = 20000
+    val cnt = HashSample.sample(ids(n), col("k"), 8).count()
+    assert(math.abs(cnt - n / 8.0) < n / 8.0 * 0.15, s"got $cnt")
+    val est = spark.range(1)
+      .select(HashSample.countEstimate(lit(cnt), 8)).head.getLong(0)
+    assert(math.abs(est - n) < n * 0.15)
+  }
+
+  test("the membership predicate reaches the scan as a pushed filter") {
+    val dir = freshDir("hs")
+    ids(500).write.parquet(dir)
+    val plan = HashSample.sample(spark.read.parquet(dir), col("k"), 4)
+      .queryExecution.executedPlan.toString
+    // md5(k) isn't pushable itself, but the filter must sit directly on
+    // the scan with no shuffle before it
+    assert(!plan.contains("Exchange"))
+  }
+}
