@@ -106,7 +106,12 @@ object Kmv {
   def merge(partials: DataFrame, keys: Seq[String], sketchCol: String,
       k: Int): DataFrame =
     partials
-      .select(keys.map(col) :+ explode(col(sketchCol)).as("__h") : _*)
+      // explode_outer, not explode: a key whose every shard partial is an
+      // EMPTY sketch (all-NULL values upstream) must survive the merge as
+      // kmv = [], exactly like sketch() emits it — plain explode drops the
+      // group entirely. The NULL placeholder row is skipped inside KmvAgg
+      // (update ignores null hashes), so it contributes nothing else.
+      .select(keys.map(col) :+ explode_outer(col(sketchCol)).as("__h") : _*)
       .groupBy(keys.map(col): _*)
       .agg(bottomK(col("__h"), k).as("kmv"))
 

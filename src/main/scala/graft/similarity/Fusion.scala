@@ -114,10 +114,15 @@ object Fusion {
       lit(0.0), (acc, x) => acc + x)
     val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
     val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "cosineRank needs a non-zero query vector")
     corpus
+      // a zero-norm corpus vector is a non-result, not rank 1: 0/0 either
+      // throws under ANSI or yields NaN (which Spark orders ABOVE every
+      // double, crowding real neighbors out of the top-k) — guard the
+      // divisor so degenerate vectors become NULL and drop out below
       .select(col(idCol).cast("long").as("id"),
-        quant(dot / (nrm * lit(qn))).as("cos"))
-      .where(col("cos").isNotNull)
+        quant(when(nrm > 0, dot / (nrm * lit(qn)))).as("cos"))
+      .where(col("cos").isNotNull && !isnan(col("cos")))
       // TakeOrdered over the corpus, then rank the k survivors
       .orderBy(col("cos").desc, col("id"))
       .limit(topK)

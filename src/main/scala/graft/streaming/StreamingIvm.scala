@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -40,14 +43,43 @@ object StreamingIvm {
     }
   }
 
+  /** The INCEPTION base version of the view for this checkpoint: read from
+    * a marker file beside the checkpoint if present, else snapshotted from
+    * `root`'s current version and persisted atomically (tmp + move).
+    *
+    * Why it must be stable across restarts: the sink version is
+    * `base + batchId + 1`. If `base` were re-derived from
+    * `currentVersion(root)` on every start, a crash AFTER
+    * [[SnapshotLake.commit]] but BEFORE the streaming checkpoint records
+    * the batch would replay the same batchId against a LARGER base — a
+    * fresh uncommitted version, so [[SnapshotLake.isCommitted]] would miss
+    * and the non-idempotent fold would double-count. Pinning the base at
+    * inception makes `version = f(batchId)` a pure function for the life
+    * of the checkpoint, which is the whole replay-dedup contract.
+    */
+  def inceptionBase(root: String, checkpoint: String): Long = {
+    val f = Paths.get(checkpoint, "_GRAFT_IVM_BASE")
+    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8).trim.toLong
+    else {
+      val base = SnapshotLake.currentVersion(root).getOrElse(
+        sys.error(s"initialize $root with SnapshotLake.commit before streaming"))
+      Files.createDirectories(f.getParent)
+      val tmp = Files.createTempFile(f.getParent, "_GRAFT_IVM_BASE", ".tmp")
+      Files.write(tmp, base.toString.getBytes(UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      base
+    }
+  }
+
   /** Start the delta stream into the materialized view at `root` (which
     * must hold a committed base version, normally [[Ivm.view]] of the
-    * initial corpus).
+    * initial corpus). The base version is pinned ONCE per checkpoint via
+    * [[inceptionBase]] so restarts replay against the same version line.
     */
   def start(deltas: DataFrame, root: String, keys: Seq[String],
       checkpoint: String): StreamingQuery = {
-    val base = SnapshotLake.currentVersion(root).getOrElse(
-      sys.error(s"initialize $root with SnapshotLake.commit before streaming"))
+    val base = inceptionBase(root, checkpoint)
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -56,6 +56,19 @@ class FusionSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 1L), (4L, 2L), (3L, 3L)))
   }
 
+  test("zero-norm corpus vectors are excluded, not ranked first as NaN") {
+    // 0/0 = NaN passes isNotNull and Spark sorts NaN above every double,
+    // so without the finite-guard the degenerate vector would take rank 1
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.0f)),   // zero norm -> NaN cosine
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f))
+    ).toDF("vid", "vec")
+    val out = Fusion.cosineRank(corpus, "vid", "vec", Seq(1.0, 0.0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)), out.toSeq.toString)
+  }
+
   test("rrfFuseArrays fuses two top-k arrays by position, hand-checked") {
     val df = Seq(1).toDF("x").select(
       // lex ranks: id 10 @1, 20 @2; den ranks: 20 @1, 30 @2

@@ -103,4 +103,21 @@ class KmvSpec extends SparkTestBase {
     assert(plan.contains("partial_kmvagg") || plan.contains("partial_KmvAgg") ||
       plan.toLowerCase.contains("partial_kmv"))
   }
+
+  test("a key whose every partial is an empty sketch survives merge with kmv = []") {
+    // sketch() of an all-NULL value column emits the group with kmv = [];
+    // merge must round-trip that, not drop the key (explode vs explode_outer)
+    val df = Seq((1, "a", Option.empty[String]), (2, "a", Option.empty[String]),
+        (1, "b", Some("x")), (2, "b", Some("y")))
+      .toDF("shard", "g", "v")
+    val partials = Kmv.sketch(df, Seq("g", "shard"), col("v"), 8)
+    assert(partials.where(col("g") === "a")
+      .select(size(col("kmv"))).as[Int].collect().forall(_ == 0))
+    val merged = Kmv.merge(partials, Seq("g"), "kmv", 8)
+    assert(merged.count() == 2, "all-empty group must survive the merge")
+    val a = merged.where(col("g") === "a").select("kmv").head.getSeq[Long](0)
+    assert(a.isEmpty)
+    val b = merged.where(col("g") === "b").select("kmv").head.getSeq[Long](0)
+    assert(b.length == 2)
+  }
 }

@@ -39,4 +39,37 @@ class StreamingIvmSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).where(col("g") === "b").count() == 0)
     assert(SnapshotLake.currentVersion(root).contains(2L))
   }
+
+  test("inception base is pinned per checkpoint — restart after commit-" +
+      "before-checkpoint replays into the SAME version and skips") {
+    val root = freshDir("ivm_base_pin")
+    val cp = freshDir("ivm_base_cp")
+    SnapshotLake.commit(
+      Ivm.view(Seq(("a", 10L)).toDF("g", "v"), Seq("g"), "v"), root, 0L)
+
+    val base0 = StreamingIvm.inceptionBase(root, cp)
+    assert(base0 == 0L)
+
+    // batch 0 commits v1, then the process dies BEFORE the streaming
+    // checkpoint records batch 0 — the exact window the guard covers
+    val d1 = Seq(("a", "I", Option.empty[Long], Some(2L)))
+      .toDF("g", "op", "old_v", "new_v")
+    assert(StreamingIvm.applyBatch(d1, root, Seq("g"), base0, 0L))
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+
+    // restart: currentVersion has advanced to 1; a re-derived base would
+    // map the replayed batchId 0 to fresh version 2 and double-count.
+    // The pinned inception base still reads 0 from the marker file…
+    val base1 = StreamingIvm.inceptionBase(root, cp)
+    assert(base1 == 0L, s"base must be pinned at inception, got $base1")
+    // …so the replay hits the committed version and skips
+    assert(!StreamingIvm.applyBatch(d1, root, Seq("g"), base1, 0L))
+    val a = SnapshotLake.read(spark, root)
+      .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
+    assert(a == ((2L, 12L)), s"replay after restart double-counted: $a")
+
+    // a FRESH checkpoint (new query incarnation) snapshots the new current
+    val cp2 = freshDir("ivm_base_cp2")
+    assert(StreamingIvm.inceptionBase(root, cp2) == 1L)
+  }
 }
