@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.DoubleType
   * rule makes every matching report read it, so the 100 TB corpus is
   * scanned exactly once per view lifetime, not once per dashboard refresh.
   *
-  * Matching (v1, deliberately conservative — a miss means the original
+  * Matching (v2, deliberately conservative — a miss means the original
   * plan runs, never a wrong answer):
-  *   - the aggregate's child is the MV's base parquet relation (optionally
-  *     under a column-pruning Project),
+  *   - the aggregate's child is the MV's base parquet relation, optionally
+  *     under column-pruning Projects and/or Filters whose predicates are
+  *     deterministic, subquery-free, and reference ONLY MV key columns
+  *     (a key predicate selects whole groups, so it commutes with the
+  *     rollup and is applied to the group-sized MV instead); HAVING — a
+  *     Filter ABOVE the aggregate — needs no matching at all: the rewrite
+  *     preserves output exprIds, so the post-agg filter applies unchanged,
   *   - grouping expressions are plain columns forming a SUBSET of the MV's
   *     keys (exact match → pure projection; proper subset → a ROLLUP
   *     re-aggregation over the group-sized MV: sum→sum, count→SUM of
@@ -79,16 +84,53 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The base parquet path beneath an optional column-pruning Project. */
-  private def basePath(p: LogicalPlan): Option[String] = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+  /** The base parquet path beneath an optional stack of column-pruning
+    * Projects and Filters, plus the conjunction of the Filter conditions
+    * found on the way down (v2: a predicate on grouping keys commutes with
+    * the rollup, so `WHERE lang = 'en' GROUP BY source` can serve from an
+    * MV keyed (lang, source) by filtering the GROUP-sized MV instead of
+    * the corpus; whether the collected condition qualifies is decided by
+    * the caller against the matched MV's key set).
+    */
+  private def baseScan(p: LogicalPlan): Option[(String, Option[Expression])] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toString -> None)
+        case _ => None
+      }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        baseScan(c)
+      case Filter(cond, c) =>
+        baseScan(c).map { case (path, inner) =>
+          (path, Some(inner.fold(cond)(And(cond, _))))
+        }
       case _ => None
     }
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      basePath(c)
-    case _ => None
+
+  /** Tail match ANCHORED on a path-segment boundary: a registered tail
+    * `sales` matches `.../sales` but never `.../whole_sales` — an
+    * unanchored suffix would silently rewrite an aggregate over an
+    * unrelated table to read the MV, breaking the "a miss means the
+    * original plan runs, never a wrong answer" contract.
+    */
+  private def pathMatches(scanPath: String, tail: String): Boolean = {
+    val p = scanPath.stripSuffix("/")
+    val t = tail.stripSuffix("/").stripPrefix("/")
+    p == t || p.endsWith("/" + t)
   }
+
+  /** A base-side Filter is servable from the MV iff it is deterministic,
+    * subquery-free, and references ONLY MV grouping-key columns: such a
+    * predicate partitions WHOLE groups, so filtering the group-sized view
+    * is row-for-row identical to filtering the corpus before aggregating.
+    * Anything else (a predicate on a measure column, a nondeterministic
+    * rand() filter, a subquery) falls through to the original plan.
+    */
+  private def filterServable(cond: Expression, mvKeys: Set[String]): Boolean =
+    cond.deterministic &&
+      cond.references.forall(a => mvKeys.contains(a.name)) &&
+      !cond.exists(_.isInstanceOf[PlanExpression[_]])
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val keyNames: Option[Seq[String]] =
@@ -96,12 +138,12 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
       else None
     for {
-      path <- basePath(agg.child)
+      (path, cond) <- baseScan(agg.child)
       keys <- keyNames
       mv <- MvRegistry.all.find(m =>
-        path.stripSuffix("/").endsWith(m.basePathTail.stripSuffix("/")) &&
-          keys.toSet.subsetOf(m.keys.toSet))
-      out <- rewriteWith(agg, keys, mv)
+        pathMatches(path, m.basePathTail) && keys.toSet.subsetOf(m.keys.toSet) &&
+          cond.forall(c => filterServable(c, m.keys.toSet)))
+      out <- rewriteWith(agg, keys, cond, mv)
     } yield out
   }
 
@@ -124,10 +166,17 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     }
 
   private def rewriteWith(agg: Aggregate, keys: Seq[String],
-      mv: MvDef): Option[LogicalPlan] = {
+      cond: Option[Expression], mv: MvDef): Option[LogicalPlan] = {
     // fresh exprIds per use so two rewrites never collide in one tree
     val scan = mv.relation.newInstance()
     def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
+    // the key-only base predicate, re-rooted onto the MV scan's attributes
+    val child: LogicalPlan = cond match {
+      case Some(c) => Filter(c.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      }, scan)
+      case None => scan
+    }
     val exact = keys.toSet == mv.keys.toSet
     // map every output of the original aggregate
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
@@ -173,8 +222,8 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     else {
       val outputs = mapped.map(_.get)
       val plan =
-        if (exact) Project(outputs, scan)
-        else Aggregate(keys.map(mvAttr), outputs, scan)
+        if (exact) Project(outputs, child)
+        else Aggregate(keys.map(mvAttr), outputs, child)
       // type change would corrupt downstream codegen — bail, never guess
       val ok = plan.output.zip(agg.output).forall { case (n, o) =>
         n.dataType == o.dataType

@@ -107,6 +107,89 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("v2: WHERE on key columns serves from the MV, filtered group-side") {
+    withMv { (mvDir, base) =>
+      // filter below the aggregate, on grouping-key columns only
+      val q = base.where(col("g1") === "g1" || col("g2") === "h2")
+        .groupBy("g1").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(mvDir)), s"filtered agg must hit MV: $paths")
+      assert(!paths.exists(_.contains("mv_base")), "base still scanned")
+      val rows = base.collect()
+        .filter(r => r.getString(0) == "g1" || r.getString(1) == "h2")
+        .groupBy(_.getString(0))
+      val got = q.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == rows.keySet)
+      rows.foreach { case (g, rs) =>
+        assert(got(g) == ((rs.map(_.getLong(2)).sum, rs.size.toLong)), g)
+      }
+    }
+  }
+
+  test("v2: HAVING (filter above the agg) composes with the rewrite") {
+    withMv { (mvDir, base) =>
+      base.createOrReplaceTempView("mv_having_base")
+      val q = spark.sql(
+        """SELECT g1, sum(v) AS s FROM mv_having_base
+          |GROUP BY g1 HAVING count(1) > 55 AND sum(v) > 0""".stripMargin)
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(mvDir)), s"HAVING agg must hit MV: $paths")
+      val expect = base.collect().groupBy(_.getString(0))
+        .filter { case (_, rs) => rs.size > 55 }
+        .map { case (g, rs) => g -> rs.map(_.getLong(2)).sum }
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"$got vs $expect")
+    }
+  }
+
+  test("v2 conservatism: filters on measure columns or nondeterministic fall through") {
+    withMv { (mvDir, base) =>
+      val onMeasure = base.where(col("v") > 100L).groupBy("g1")
+        .agg(sum(col("v")).as("s"))
+      assert(!scanPaths(onMeasure).exists(_.contains(mvDir)),
+        "a measure predicate does NOT commute with the rollup")
+      // NB: a tautological rand predicate (rand > -1) gets range-folded to
+      // true by the optimizer and legitimately rewrites; this one can't fold
+      val nondet = base.where(rand(7) > 0.0001 && col("g1") === "g1")
+        .groupBy("g1").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(nondet).exists(_.contains(mvDir)),
+        "nondeterministic predicates must not be re-evaluated group-side")
+    }
+  }
+
+  test("tail match anchors on a path segment: 'sales' never claims 'whole_sales'") {
+    val parent = freshDir("mv_anchor")
+    val salesDir = s"$parent/sales"
+    val wholeDir = s"$parent/whole_sales"
+    val mvDir = s"$parent/mv"
+    (1 to 50).map(i => (s"g${i % 3}", i.toLong)).toDF("g1", "v")
+      .write.parquet(salesDir)
+    // DIFFERENT values: a mis-rewrite would surface sales' sums
+    (1 to 50).map(i => (s"g${i % 3}", i.toLong * 1000L)).toDF("g1", "v")
+      .write.parquet(wholeDir)
+    spark.read.parquet(salesDir).groupBy("g1")
+      .agg(sum(col("v")).as("sum_v")).write.parquet(mvDir)
+    MvRegistry.register(spark, "mv_anchor", "sales", Seq("g1"),
+      Seq(AggDef("sum_v", "sum", Some("v"))), mvDir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val hit = spark.read.parquet(salesDir).groupBy("g1")
+        .agg(sum(col("v")).as("s"))
+      assert(scanPaths(hit).exists(_.contains(mvDir)), "anchored tail must still hit")
+      val miss = spark.read.parquet(wholeDir).groupBy("g1")
+        .agg(sum(col("v")).as("s"))
+      val paths = scanPaths(miss)
+      assert(!paths.exists(_.contains(mvDir)),
+        s"unanchored suffix rewrote whole_sales to the MV: $paths")
+      assert(miss.agg(sum(col("s"))).head.getLong(0) == (1 to 50).map(_ * 1000L).sum)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_anchor")
+    }
+  }
+
   test("deregistered view no longer rewrites") {
     val paths = withMv { (_, base) => // registry emptied by withMv's finally
       base
