@@ -121,21 +121,198 @@ object Bpe {
   }
 
   /** Segment the corpus under a trained model: per-document BPE token count.
-    * The merge chain folds into ONE projection over the exploded words — a
-    * single corpus scan; the model rides along as expression literals (the
-    * plan-literal posture of Ann's centroids: nothing broadcast, nothing
-    * shuffled for the model).
+    *
+    * Two physical paths, chosen by model depth:
+    *
+    *  - `merges.size <= exprDepthLimit` (default 64): the merge chain folds
+    *    into ONE projection over the exploded words — a single corpus scan;
+    *    the model rides along as expression literals (the plan-literal
+    *    posture of Ann's centroids: nothing broadcast, nothing shuffled).
+    *
+    *  - past the limit, the expression form is structurally unsound — a
+    *    32k-deep nested-replace tree blows Janino's 64KB method limit
+    *    (interpreted fallback at best, analysis failure at worst) — so the
+    *    chain moves EXECUTOR-side: segment each DISTINCT word once via
+    *    [[segmentUnitsExecutor]] (Zipf: |vocab| ≪ corpus tokens), then one
+    *    shuffle to join per-word token counts back to per-document
+    *    occurrence counts. Per-word work is |model| string replaces; the
+    *    model is broadcast once per executor, never per row.
     */
   def segmentTokenCount(
       docs: DataFrame, textCol: String, idCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], exprDepthLimit: Int = 64): DataFrame = {
     val words = docs
       .select(col(idCol),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
-    val seq = merges.foldLeft(initialSeq(col("word")))(
-      (s, m) => applyMerge(s, m.lhs, m.rhs))
-    words.select(col(idCol), size(tokens(seq)).cast("long").as("n_tok"))
-      .groupBy(idCol).agg(sum("n_tok").as("n_tok_bpe"))
+    if (merges.size <= exprDepthLimit) {
+      val seq = merges.foldLeft(initialSeq(col("word")))(
+        (s, m) => applyMerge(s, m.lhs, m.rhs))
+      words.select(col(idCol), size(tokens(seq)).cast("long").as("n_tok"))
+        .groupBy(idCol).agg(sum("n_tok").as("n_tok_bpe"))
+    } else {
+      val perWord = words.groupBy(col(idCol), col("word"))
+        .agg(count(lit(1)).as("n_occ"))
+      val seg = segmentUnitsExecutor(words.select("word"), "word", merges)
+        .withColumnRenamed("unit", "word")
+      perWord.join(seg, "word")
+        .groupBy(idCol).agg(sum(col("n_occ") * col("n_tok")).as("n_tok_bpe"))
+    }
+  }
+
+  /** Executor-side merge application over the DISTINCT units of `unitCol`:
+    * returns (unit, n_tok) after the full rank-ordered replace chain.
+    * `java.lang.String.replace` is the same leftmost non-overlapping
+    * LITERAL scan as Spark's `replace()` and DuckDB's `replace`, so the
+    * three engines agree byte-for-byte on the double-space encoding.
+    * mapPartitions is justified here exactly like the multimodal binary
+    * walks: past ~64 merges no Catalyst expression CAN express the chain
+    * (Janino's 64KB method ceiling), and the per-row loop touches only
+    * broadcast model state.
+    */
+  def segmentUnitsExecutor(units: DataFrame, unitCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    val pats = merges.sortBy(_.merge_rank)
+      .map(m => (s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs}${m.rhs} ")).toArray
+    val bc = spark.sparkContext.broadcast(pats)
+    units.select(col(unitCol).cast("string")).distinct().as[String]
+      .mapPartitions { it =>
+        val reps = bc.value
+        it.map { u =>
+          val sb = new StringBuilder(" ")
+          var i = 0
+          while (i < u.length) { sb.append(u.charAt(i)).append("  "); i += 1 }
+          sb.append("</w> ")
+          var s = sb.toString
+          var j = 0
+          while (j < reps.length) { s = s.replace(reps(j)._1, reps(j)._2); j += 1 }
+          (u, s.trim.split("  ").length.toLong)
+        }
+      }.toDF("unit", "n_tok")
+  }
+
+  /** Batched trainer: `rounds` driver rounds, each selecting up to
+    * `capPerRound` LOCALLY-DOMINANT pairs — pairs that beat every
+    * overlapping pair (sharing a symbol) on (cnt DESC, lhs, rhs). Two
+    * winners can never overlap (they would have to beat each other), so
+    * the batch is mutually DISJOINT and its merges commute: none can
+    * create, destroy, or recount another's adjacencies, which is what
+    * makes applying them in one rewrite exact rather than approximate —
+    * each winner's recorded cnt is its true count at application time.
+    *
+    * With capPerRound = 1 the selection degenerates to the global argmax
+    * (the global maximum is trivially locally dominant), i.e. ONE round
+    * per merge == classic sequential BPE ([[trainMerges]]) — spec-pinned.
+    *
+    * Scale shape: a 32k-merge vocabulary no longer needs 32k sequential
+    * driver round-trips; rounds grow with the model's symbol interaction
+    * structure (empirically ~|alive symbols|/4 winners per round), and
+    * each round is one vocab-scale aggregation + a capPerRound-row
+    * collect. The local-dominance test is one explode + one per-symbol
+    * window — linear, never a pair×pair self-join.
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String, rounds: Int,
+      capPerRound: Int): Seq[Merge] = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var cur = wordFreqs(docs, textCol)
+      .select(initialSeq(col("word")).as("seq"), col("freq"))
+    cur.cache(); cur.count()
+    try {
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val counts = pairRows(cur)
+          .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
+        // per-symbol best pair; a pair wins iff it is the best for EVERY
+        // symbol it touches (== beats all overlapping pairs)
+        val bySym = counts.select(col("lhs"), col("rhs"), col("cnt"),
+          explode(array_distinct(array(col("lhs"), col("rhs")))).as("sym"))
+        val best = bySym.withColumn("rn", row_number().over(
+            Window.partitionBy("sym")
+              .orderBy(col("cnt").desc, col("lhs"), col("rhs"))))
+          .where(col("rn") === 1)
+        val winners = best.groupBy("lhs", "rhs", "cnt")
+          .agg(count(lit(1)).as("wins"))
+          .where(col("wins") ===
+            when(col("lhs") === col("rhs"), 1L).otherwise(2L))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(capPerRound)
+          .collect()
+        if (winners.isEmpty) exhausted = true
+        else {
+          val batch = winners.zipWithIndex.map { case (w, i) =>
+            Merge(merges.size + 1 + i,
+              w.getString(0), w.getString(1), w.getLong(2))
+          }
+          merges ++= batch
+          val pats = batch.map(m =>
+            (s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs}${m.rhs} "))
+          val next = applyMergesExecutor(cur, pats)
+          next.cache(); next.count()
+          cur.unpersist()
+          cur = next
+          r += 1
+        }
+      }
+      merges.toSeq
+    } finally cur.unpersist()
+  }
+
+  /** [[trainMergesBatched]] as a DataFrame (merge_rank, lhs, rhs, cnt). */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+      capPerRound: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMergesBatched(docs, textCol, rounds, capPerRound).toDF()
+  }
+
+  /** One executor-side rewrite round of the trainer's (seq, freq) working
+    * set — same broadcast-loop posture as [[segmentUnitsExecutor]], so a
+    * 256-winner batch costs one pass, not a 256-deep expression.
+    */
+  private def applyMergesExecutor(cur: DataFrame,
+      pats: Seq[(String, String)]): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pats.toArray)
+    cur.select(col("seq"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val reps = bc.value
+        it.map { case (s0, f) =>
+          var s = s0
+          var j = 0
+          while (j < reps.length) { s = s.replace(reps(j)._1, reps(j)._2); j += 1 }
+          (s, f)
+        }
+      }.toDF("seq", "freq")
+  }
+
+  /** Deterministic SYNTHETIC model for apply-path stress tests: character
+    * merges that progressively assemble the PREFIXES of every
+    * concatenated word pair from a fixed reference vocabulary — (prefix,
+    * next char) for every split point, ranked by (prefix length, lhs,
+    * rhs), capped. Data-independent (the vocabulary is a literal), so an
+    * oracle can embed the identical chain; units built from OTHER words
+    * simply merge less. Model-sized driver work: |vocab|² × avg length
+    * pairs.
+    */
+  def prefixMerges(vocab: Seq[String], cap: Int): Seq[Merge] = {
+    val units = (for (a <- vocab; b <- vocab) yield a + b).distinct.sorted
+    val firstLen = scala.collection.mutable.Map.empty[(String, String), Int]
+    for (u <- units; i <- 1 until u.length) {
+      val k = (u.substring(0, i), u.substring(i, i + 1))
+      firstLen.get(k) match {
+        case Some(l) if l <= i => ()
+        case _ => firstLen(k) = i
+      }
+    }
+    firstLen.toSeq
+      .sortBy { case ((l, r), plen) => (plen, l, r) }
+      .take(cap)
+      .zipWithIndex
+      .map { case (((l, r), _), i) => Merge(i + 1, l, r, 0L) }
   }
 }

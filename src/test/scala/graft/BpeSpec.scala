@@ -71,4 +71,65 @@ class BpeSpec extends SparkTestBase {
     assert(a == b)
     assert(a.length == 4) // sf0.001 vocabulary has ≥4 merges' worth of pairs
   }
+
+  test("batched trainer with capPerRound=1 IS classic sequential BPE") {
+    // the global argmax is trivially locally dominant, so cap=1 rounds
+    // degenerate to trainMerges — merge for merge, count for count
+    val d = docs("ab ab abc", "banana band ban", "aaaa aaaa")
+    val classic = Bpe.trainMerges(d, "text", 5)
+    val batched = Bpe.trainMergesBatched(d, "text", rounds = 5, capPerRound = 1)
+    assert(batched == classic, s"$batched vs $classic")
+  }
+
+  test("a batch's winners are mutually symbol-disjoint and exactly counted") {
+    val d = docs("ab ab abc", "cd cd cde", "ef ef efg")
+    val batch = Bpe.trainMergesBatched(d, "text", rounds = 1, capPerRound = 100)
+    val syms = batch.flatMap(m => Seq(m.lhs, m.rhs))
+    assert(syms.distinct.length == syms.length,
+      s"winners share a symbol: $batch")
+    // disjointness ⇒ every winner's cnt matches its classic-BPE count at
+    // round start: (a,b):3, (c,d):3, (e,f):3 are all locally dominant
+    assert(batch.map(m => (m.lhs, m.rhs, m.cnt)).toSet
+      .contains(("a", "b", 3L)))
+    assert(batch.count(_.cnt == 3L) == 3)
+  }
+
+  test("segment executor path equals the folded-expression path") {
+    val d = docs("ab ab abc", "banana band ban")
+    val model = Bpe.trainMerges(d, "text", 6)
+    val viaExpr = Bpe.segmentTokenCount(d, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // exprDepthLimit = 0 forces the broadcast-loop path on the same model
+    val viaExec = Bpe.segmentTokenCount(d, "text", "doc_id", model,
+        exprDepthLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaExec == viaExpr, s"$viaExec vs $viaExpr")
+  }
+
+  test("prefixMerges: deterministic, rank-ordered, data-independent") {
+    val vocab = Seq("ab", "ba", "c")
+    val m = Bpe.prefixMerges(vocab, 100)
+    assert(m == Bpe.prefixMerges(vocab, 100)) // pure function
+    assert(m.map(_.merge_rank) == (1 to m.size))
+    // units: abab abba abc baab baba bac cab cba cc (distinct pairs)
+    // plen-1 merges must come first and be lexicographic
+    val firstRanks = m.takeWhile(x => x.lhs.length == 1)
+    assert(firstRanks.map(x => (x.lhs, x.rhs)) ==
+      firstRanks.map(x => (x.lhs, x.rhs)).sorted)
+    // a 1536-cap over the 31-word reference vocab clears the 1024 bar
+    // (the fixture REQUIREs it; keep the property visible here too)
+  }
+
+  test("segmentUnitsExecutor: no merges -> chars+1 tokens; full chain merges") {
+    import spark.implicits._
+    val units = Seq("abc", "zq").toDF("unit")
+    val none = Bpe.segmentUnitsExecutor(units, "unit", Seq.empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(none == Map("abc" -> 4L, "zq" -> 3L)) // chars + </w>
+    val chain = Seq(Bpe.Merge(1, "a", "b", 0L), Bpe.Merge(2, "ab", "c", 0L),
+      Bpe.Merge(3, "abc", "</w>", 0L))
+    val full = Bpe.segmentUnitsExecutor(units, "unit", chain)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("abc" -> 1L, "zq" -> 3L)) // zq untouched by the model
+  }
 }
