@@ -294,15 +294,36 @@ object Ann {
     * shuffle the corpus again. Re-index when the centroid model changes —
     * the index is a function of the model, same as any IVF system.
     */
-  def ivfWriteIndex(embIn: DataFrame, centroids: DataFrame,
-      table: String, path: String, buckets: Int): Unit = {
+  /** (cell, vec_id, embedding) of a batch under the index's centroid
+    * model — the single projection every IVF build/append shares.
+    */
+  def ivfAssign(embIn: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroidArray(centroids)
-    val assigned = spread(embIn).select(
+    spread(embIn).select(
       (-bestCentroid(centArr).getField("ncid")).as("cell"),
       col("vec_id"), col("embedding"))
-    graft.sources.Bucketing.writeBucketed(
-      assigned, table, path, buckets, "cell", Seq("cell", "vec_id"))
   }
+
+  def ivfWriteIndex(embIn: DataFrame, centroids: DataFrame,
+      table: String, path: String, buckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      ivfAssign(embIn, centroids), table, path, buckets, "cell",
+      Seq("cell", "vec_id"))
+
+  /** [[ivfWriteIndex]] in the STREAM-INGESTABLE layout: the same bucketed
+    * (cell, vec_id, embedding) plus an `ingest_batch` partition column
+    * (base rows land as batch −1, stream batches as their batchId). This
+    * is what lets [[graft.streaming.StreamingIndexIngest]] keep the index
+    * fresh exactly-once: a replayed micro-batch overwrites its own
+    * partition instead of appending twice. Searches are unchanged — they
+    * select (cell, vec_id, embedding) and prune on cell.
+    */
+  def ivfWriteIndexIngestable(embIn: DataFrame, centroids: DataFrame,
+      table: String, path: String, buckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      ivfAssign(embIn, centroids).withColumn(
+        "ingest_batch", org.apache.spark.sql.functions.lit(-1L)),
+      table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
 
   /** Incremental ingest into a [[ivfWriteIndex]]-persisted index: assign the
     * new batch's cells with the SAME centroid model the index was built
@@ -312,13 +333,8 @@ object Ann {
     * a different model would scatter vectors into cells searches won't
     * probe. Re-index (not append) when the model itself is retrained.
     */
-  def ivfAppendIndex(embIn: DataFrame, centroids: DataFrame, table: String): Unit = {
-    val centArr = centroidArray(centroids)
-    spread(embIn).select(
-        (-bestCentroid(centArr).getField("ncid")).as("cell"),
-        col("vec_id"), col("embedding"))
-      .write.mode("append").insertInto(table)
-  }
+  def ivfAppendIndex(embIn: DataFrame, centroids: DataFrame, table: String): Unit =
+    ivfAssign(embIn, centroids).write.mode("append").insertInto(table)
 
   /** Persist the composed IVF-PQ index AT REST: one corpus pass computes
     * coarse cell + PQ codes together (both are plan-literal projections)

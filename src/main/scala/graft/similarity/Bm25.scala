@@ -64,23 +64,31 @@ object Bm25 {
     * stats tables. One shuffle (the (term, doc_id) aggregation) and one
     * bucket-layout write — both paid once per corpus build.
     */
-  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, path: String, buckets: Int): Unit = {
-    val spark = docs.sparkSession
-    val base = docs.select(
+  /** (doc_id, w, dl) tokenization every build/append shares. */
+  private[graft] def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.words(lower(col(textCol))).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
+
+  /** (term, doc_id, tf, dl) posting aggregation of a tokenized batch. */
+  private[graft] def postingsOf(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val base = tokenized(docs, idCol, textCol)
     // doc-level (doc_id, dl) BEFORE any term filter — includes token-free
     // docs that never reach the postings; the recovery source for stats
     base.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$path/docs").saveAsTable(s"${table}_docs")
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val postings = postingsOf(base)
     graft.sources.Bucketing.writeBucketed(
       postings, table, s"$path/postings", buckets, "term", Seq("term", "doc_id"))
     // corpus stats LAST (docs → postings → stats), matching [[appendIndex]]'s
@@ -108,19 +116,41 @@ object Bm25 {
     */
   def appendIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.words(lower(col(textCol))).as("w"))
-      .withColumn("dl", size(col("w")).cast("long"))
+    val base = tokenized(docs, idCol, textCol)
     base.select(col("doc_id"), col("dl"))
       .write.mode("append").insertInto(s"${table}_docs")
-    base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .write.mode("append").insertInto(table)
+    postingsOf(base).write.mode("append").insertInto(table)
     base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("append").insertInto(s"${table}_stats")
+  }
+
+  /** [[writeIndex]] in the STREAM-INGESTABLE layout: all three tables
+    * (postings, docs, stats) carry an `ingest_batch` partition column
+    * (base = −1), so [[graft.streaming.StreamingIndexIngest.applyBm25Batch]]
+    * can land each micro-batch as `ingest_batch = batchId` under dynamic
+    * partition overwrite — a replayed batch REWRITES its three partitions
+    * instead of appending twice, which closes the crash window
+    * [[appendIndex]]'s docs→postings→stats ordering only narrows: a batch
+    * that died between table writes is fully healed by its replay.
+    * Searches are unchanged (term pruning + column sums ignore the
+    * partition column).
+    */
+  def writeIndexIngestable(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, buckets: Int): Unit = {
+    val base = tokenized(docs, idCol, textCol)
+    base.select(col("doc_id"), col("dl"), lit(-1L).as("ingest_batch"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/docs").partitionBy("ingest_batch")
+      .saveAsTable(s"${table}_docs")
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      postingsOf(base).withColumn("ingest_batch", lit(-1L)),
+      table, s"$path/postings", buckets, "term", "ingest_batch",
+      Seq("term", "doc_id"))
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/stats").partitionBy("ingest_batch")
+      .saveAsTable(s"${table}_stats")
   }
 
   /** Recover/compact the stats log from the doc-level table — the repair

@@ -53,6 +53,33 @@ object Bucketing {
     ws.saveAsTable(table)
   }
 
+  /** [[writeBucketed]] with an additional PARTITION column — the layout
+    * for exactly-once streaming appends: each micro-batch lands as
+    * partition `partCol = batchId`, so a REPLAYED batch (same batchId)
+    * written under dynamic `partitionOverwriteMode` overwrites ONLY its
+    * own partition — the append is idempotent without a transaction log,
+    * and a batch that crashed between its table writes self-heals on
+    * replay (every partial partition gets rewritten). Bucket pruning on
+    * `key` still applies inside every partition; readers that ignore the
+    * partition column see one logical table.
+    */
+  def writeBucketedPartitioned(
+      df: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int,
+      key: String,
+      partCol: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .partitionBy(partCol)
+      .bucketBy(buckets, key)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** Read a bucketed table back with its bucket metadata (the plain
     * `read.parquet(path)` form would see the same rows but lose the
     * exchange-elision property).

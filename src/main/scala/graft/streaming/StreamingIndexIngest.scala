@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.{Ann, Bm25}
+
+/** Streaming ingest into the PERSISTED retrieval indexes — the
+  * `foreachBatch` bridge that keeps the at-rest IVF/BM25 stores fresh
+  * while a crawl runs, closing the "indexes at rest, appended in batch
+  * only" seam: previously a continuous crawl had to stop to call
+  * [[Ann.ivfAppendIndex]] / [[Bm25.appendIndex]].
+  *
+  * Exactly-once WITHOUT a transaction log: the index tables are built in
+  * the `ingest_batch`-partitioned layout ([[Ann.ivfWriteIndexIngestable]],
+  * [[Bm25.writeIndexIngestable]]) and every micro-batch writes partition
+  * `ingest_batch = batchId` under dynamic partition overwrite. Structured
+  * Streaming replays a failed micro-batch with the SAME batchId, so the
+  * replay OVERWRITES the partition it already (fully or partially) wrote
+  * instead of appending a second copy — idempotence from `partition =
+  * f(batchId)`, the overwrite cousin of [[StreamingUpsert]]'s
+  * `version = f(batchId)` skip. Unlike a skip guard, the overwrite also
+  * self-heals a batch that crashed BETWEEN its table writes (BM25 lands
+  * three tables per batch): whatever prefix landed is rewritten whole.
+  *
+  * Scale shape per trigger: only the batch tokenizes/assigns and shuffles
+  * (never the lake); the write adds bucketed files under one new
+  * partition directory, so bucket pruning and term pruning on the serving
+  * side are untouched. At 100 TB the index grows by crawl-day partitions
+  * while every search still opens |probed cells| (or |query terms|)
+  * buckets.
+  */
+object StreamingIndexIngest {
+
+  /** Run `body` with dynamic partition-overwrite semantics, restoring the
+    * previous conf after — batch-partition idempotence depends on it
+    * (static mode would truncate the WHOLE table on overwrite).
+    */
+  def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Land one micro-batch of (vec_id, embedding) rows into an
+    * [[Ann.ivfWriteIndexIngestable]] table as partition `batchId` —
+    * assignment under the index's OWN centroid model (the
+    * [[Ann.ivfAppendIndex]] contract), idempotent under replay.
+    */
+  def applyIvfBatch(batch: DataFrame, centroids: DataFrame, table: String,
+      batchId: Long): Unit =
+    withDynamicOverwrite(batch.sparkSession) {
+      Ann.ivfAssign(batch, centroids)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").insertInto(table)
+    }
+
+  /** Start a (vec_id, embedding) stream into the persisted IVF index. */
+  def startIvf(stream: DataFrame, centroids: DataFrame, table: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfBatch(batch, centroids, table, batchId)
+        ()
+      }
+      .start()
+
+  /** Land one micro-batch of documents into a
+    * [[Bm25.writeIndexIngestable]] index: the batch tokenizes and
+    * aggregates ALONE, then its docs / postings / stats partitions are
+    * (re)written as `ingest_batch = batchId`. Batch doc_ids must be new
+    * (the [[Bm25.appendIndex]] contract — re-crawled docs are the lake's
+    * upsert problem, not the index's).
+    */
+  def applyBm25Batch(batch: DataFrame, idCol: String, textCol: String,
+      table: String, batchId: Long): Unit =
+    withDynamicOverwrite(batch.sparkSession) {
+      val base = Bm25.tokenized(batch, idCol, textCol)
+      base.select(col("doc_id"), col("dl"), lit(batchId).as("ingest_batch"))
+        .write.mode("overwrite").insertInto(s"${table}_docs")
+      Bm25.postingsOf(base).withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").insertInto(table)
+      base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").insertInto(s"${table}_stats")
+    }
+
+  /** Start a document stream into the persisted BM25 index. */
+  def startBm25(stream: DataFrame, idCol: String, textCol: String,
+      table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBm25Batch(batch, idCol, textCol, table, batchId)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ann, Bm25}
+import graft.streaming.StreamingIndexIngest
+
+/** Exactly-once streaming ingest into the persisted retrieval indexes
+  * (streaming/StreamingIndexIngest.scala): a replayed batchId OVERWRITES
+  * its own `ingest_batch` partition instead of appending twice, a torn
+  * multi-table BM25 batch is healed whole by its replay, and a genuine
+  * checkpoint-level crash window (commit file deleted between runs)
+  * replays into an index that stays bit-equal to the one-shot build.
+  */
+class StreamingIndexIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def embAll = Tables.embeddings(spark, sfDir)
+  private def cents = embAll.where(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  test("IVF: replayed batchId overwrites its partition — double == single") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ivf_spec_$run"
+    val dir = freshDir("ing_ivf")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 2 === 0), cents,
+      tbl, s"$dir/idx", 4)
+    val batch = embAll.where(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
+    val once = spark.table(tbl).count()
+    StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
+    assert(spark.table(tbl).count() == once, "replay appended instead of overwriting")
+    // content equals the one-shot full build, partition column aside
+    val oneTbl = s"ing_ivf_one_$run"
+    Ann.ivfWriteIndex(embAll, cents, oneTbl, s"$dir/one", 4)
+    assertSameRows(spark.table(tbl).select("cell", "vec_id"),
+      spark.table(oneTbl).select("cell", "vec_id"))
+  }
+
+  test("BM25: a torn batch (postings only, wrong content) is healed by replay") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_bm25_spec_$run"
+    val dir = freshDir("ing_bm25")
+    val docs = Tables.documents(spark, sfDir)
+    Bm25.writeIndexIngestable(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, s"$dir/idx", 4)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    // crash prefix: only a TRUNCATED postings partition landed for batch 7
+    StreamingIndexIngest.withDynamicOverwrite(spark) {
+      Bm25.postingsOf(Bm25.tokenized(batch.limit(3), "doc_id", "text"))
+        .withColumn("ingest_batch", lit(7L))
+        .write.mode("overwrite").insertInto(tbl)
+    }
+    // the replay overwrites the torn partition and lands all three tables;
+    // a second replay is a no-op rewrite
+    StreamingIndexIngest.applyBm25Batch(batch, "doc_id", "text", tbl, 7L)
+    StreamingIndexIngest.applyBm25Batch(batch, "doc_id", "text", tbl, 7L)
+    // stats log: exactly one row for the batch partition, not three
+    assert(spark.table(s"${tbl}_stats")
+      .where(col("ingest_batch") === 7L).count() == 1)
+    // search equals a clean one-shot full-corpus index
+    val cleanTbl = s"ing_bm25_clean_$run"
+    Bm25.writeIndex(docs, "doc_id", "text", cleanTbl, s"$dir/clean", 4)
+    assertSameRows(
+      Bm25.searchTopK(spark, tbl, Seq("table", "row", "window"), 10),
+      Bm25.searchTopK(spark, cleanTbl, Seq("table", "row", "window"), 10))
+  }
+
+  test("kill/restart: deleting the newest commit forces a replay; no double-append") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ivf_kr_$run"
+    val dir = freshDir("ing_kr")
+    val ckpt = s"$dir/ckpt"
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 2 === 0), cents,
+      tbl, s"$dir/idx", 4)
+    // two source files → two micro-batches under maxFilesPerTrigger=1
+    val odd = embAll.where(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val mid = odd.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    odd.where(col("vec_id") <= mid).coalesce(1)
+      .write.parquet(s"$dir/src/part1")
+    odd.where(col("vec_id") > mid).coalesce(1)
+      .write.parquet(s"$dir/src/part2")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(odd.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/src/*")
+      val q = StreamingIndexIngest.startIvf(stream, cents, tbl, ckpt)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    runOnce()
+    // the crash window: the batch's sink write landed (its partition is in
+    // the table) but the streaming commit did not — erase the newest commit
+    val commits = Files.list(Paths.get(s"$ckpt/commits")).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+      .sortBy(_.getFileName.toString.toLong)
+    assert(commits.size >= 2, s"expected >=2 commits, got ${commits.size}")
+    Files.delete(commits.last)
+    // the local checksum FS keeps a hidden sidecar; a leftover .N.crc would
+    // block the replay's rename (a real crash machine has no such file)
+    Files.deleteIfExists(commits.last.resolveSibling(
+      "." + commits.last.getFileName.toString + ".crc"))
+    runOnce() // restart replays the last batchId into its own partition
+    val oneTbl = s"ing_ivf_kr_one_$run"
+    Ann.ivfWriteIndex(embAll, cents, oneTbl, s"$dir/one", 4)
+    assertSameRows(spark.table(tbl).select("cell", "vec_id"),
+      spark.table(oneTbl).select("cell", "vec_id"))
+  }
+}
