@@ -108,12 +108,17 @@ object Ivm {
       .where(col("cnt") > 0)
     // a removed pre-image ties-or-beats the current bound ⇒ bound invalid;
     // the isNotNull guards keep the predicate two-valued (false, not NULL,
-    // when a group saw no removals or is brand new)
+    // when a group saw no removals). A group that is NEW in this delta
+    // (NULL view bounds) but saw deletions intra-batch (non-null rem_*) is
+    // broken too: its surviving bound is NOT least(NULL, ins_min) — e.g.
+    // {I v=1, I v=5, D v=1} must land min=5, so it takes the recompute arm.
     val broken =
       (col("rem_min").isNotNull && col("min_v").isNotNull &&
         col("rem_min") <= col("min_v")) ||
       (col("rem_max").isNotNull && col("max_v").isNotNull &&
-        col("rem_max") >= col("max_v"))
+        col("rem_max") >= col("max_v")) ||
+      (col("min_v").isNull && col("rem_min").isNotNull) ||
+      (col("max_v").isNull && col("rem_max").isNotNull)
     val keep = merged.where(!broken)
       .select(keys.map(col) ++ Seq(col("cnt"), col("sum_v"),
         least(col("min_v"), col("ins_min")).as("min_v"),
@@ -129,5 +134,44 @@ object Ivm {
       .select(keys.map(col) ++ Seq(col("cnt"), col("sum_v"),
         col("r_min").as("min_v"), col("r_max").as("max_v")): _*)
     keep.unionByName(fixedUp)
+  }
+
+  /** Materialize a DISTINCT-COUNT view as a KMV sketch store: keys → kmv
+    * (the [[graft.functions.Kmv.sketch]] shape). Distinct aggregates are
+    * the view class the algebraic path cannot carry (COUNT(DISTINCT) is
+    * holistic), but a bottom-k sketch is MERGEABLE state: insert-only
+    * deltas refresh it exactly, and because the sketch content is
+    * deterministic (the k smallest distinct hashes), "refreshed" and
+    * "recomputed from scratch" are bit-identical — an oracle can pin the
+    * whole loop, not an error bound.
+    */
+  def viewKmv(base: DataFrame, keys: Seq[String], v: String,
+      k: Int): DataFrame =
+    graft.functions.Kmv.sketch(base, keys, col(v), k)
+
+  /** Maintain a [[viewKmv]] distinct-count view from an INSERT-ONLY CDC
+    * delta: sketch the batch's `new_v` values per key (delta-sized, one
+    * aggregation) and union-merge into the stored sketches — pure HOFs
+    * over k-sized arrays, the base table appears nowhere. Deletes are
+    * REJECTED, not mis-absorbed: a bottom-k sketch is not subtractive
+    * (removing a retired hash cannot resurrect the evicted k+1-th), so a
+    * delta containing D/U ops throws and the caller recomputes — the same
+    * honest split as min/max's broken-group recompute arm, with the
+    * check costing one delta-sized scan.
+    */
+  def applyDeltaKmv(view: DataFrame, delta: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
+    import graft.functions.Kmv
+    require(delta.where(col("op") =!= "I").isEmpty,
+      "KMV distinct views refresh from INSERT-only deltas; " +
+        "deletes/updates require a recompute (sketches are not subtractive)")
+    val d = Kmv.sketch(delta.where(col("op") === "I"), keys,
+        col("new_v"), k)
+      .withColumnRenamed("kmv", "d_kmv")
+    val empty = array().cast("array<bigint>")
+    view.join(d, keys, "full_outer")
+      .select(keys.map(col) :+ Kmv.unionSketch(
+        coalesce(col("kmv"), empty), coalesce(col("d_kmv"), empty),
+        k).as("kmv"): _*)
   }
 }

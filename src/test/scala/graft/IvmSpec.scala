@@ -101,4 +101,37 @@ class IvmSpec extends SparkTestBase {
       poisoned, Seq("g"), "v")
     assertSameRows(outMid, Ivm.viewFull(afterMid, Seq("g"), "v"))
   }
+
+  test("KMV distinct view: insert-only refresh == recompute; deletes refused") {
+    val withS = base.withColumn("s", concat(col("g"), col("v")))
+    val v1 = Ivm.viewKmv(withS, Seq("g"), "s", 4)
+    val ins = Seq(("a", "I", "new1"), ("a", "I", "new2"), ("z", "I", "zz"))
+      .toDF("g", "op", "new_v")
+    val refreshed = Ivm.applyDeltaKmv(v1, ins, Seq("g"), 4)
+    val after = withS.select(col("g"), col("s"))
+      .unionByName(ins.select(col("g"), col("new_v").as("s")))
+    assertSameRows(refreshed, Ivm.viewKmv(after, Seq("g"), "s", 4))
+    val del = Seq(("a", "D", "x")).toDF("g", "op", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaKmv(v1, del, Seq("g"), 4)
+    }
+  }
+
+  test("NEW group with intra-batch deletions recomputes: {I 1, I 5, D 1} -> min 5") {
+    // view bounds are NULL for a brand-new group, so least(NULL, ins_min)
+    // would wrongly resurrect the deleted 1 — the broken classifier must
+    // send NULL-bound groups with non-null rem_* to the recompute arm
+    val d = Seq(
+      ("z", "I", Option.empty[Long], Some(1L)),
+      ("z", "I", Option.empty[Long], Some(5L)),
+      ("z", "D", Some(1L), Option.empty[Long])
+    ).toDF("g", "op", "old_v", "new_v")
+    val after = base.unionByName(Seq(("z", 99L, 5L)).toDF("g", "id", "v"))
+    val out = Ivm.applyDeltaFull(Ivm.viewFull(base, Seq("g"), "v"), d,
+      after.select(col("g"), col("v")), Seq("g"), "v")
+    assertSameRows(out, Ivm.viewFull(after, Seq("g"), "v"))
+    val z = out.where(col("g") === "z")
+      .select("cnt", "sum_v", "min_v", "max_v").as[(Long, Long, Long, Long)].head()
+    assert(z == ((1L, 5L, 5L, 5L)), s"new-group intra-batch delete: $z")
+  }
 }
