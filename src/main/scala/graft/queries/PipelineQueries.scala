@@ -882,6 +882,56 @@ object PipelineQueries {
     },
     qAnnIvf.oracle)
 
+  /** STREAMING ingest into the persisted IVF index
+    * ([[graft.streaming.StreamingIndexIngest]]): the index is built on the
+    * even half of the corpus in the `ingest_batch`-partitioned layout,
+    * the odd half arrives as a 2-chunk stream whose micro-batches land as
+    * partitions batchId 0/1 under dynamic partition overwrite, and then
+    * the LAST batch is re-applied with the same batchId — the crash-replay
+    * window. Search must equal the one-shot full-corpus IVF oracle
+    * exactly: a double-append would surface duplicate candidates and
+    * hash-mismatch, so the gate itself certifies replay idempotence, and
+    * "indexes at rest" composes with "indexes kept fresh while the crawl
+    * runs".
+    */
+  val qStreamIvfIngest = Fixture(
+    "q_stream_ivf_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val tbl = s"graft_ivf_ing_${h}_$run"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_ing/$h/$run"
+      Ann.ivfWriteIndexIngestable(emb.where(col("vec_id") % 2 === 0), cents,
+        tbl, s"$dir/idx", 8)
+      val rows = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingIndexIngest.startIvf(
+        ms.toDF().toDF("vec_id", "embedding"), cents, tbl, s"$dir/cp")
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // crash-replay of the last micro-batch: same batchId, same rows —
+      // the partition overwrite must leave the index bit-identical
+      graft.streaming.StreamingIndexIngest.applyIvfBatch(
+        chunks.last.toSeq.toDF("vec_id", "embedding"), cents, tbl,
+        chunks.length - 1L)
+      Ann.ivfSearchPersisted(s, tbl, cents,
+          emb.where(col("vec_id") < 30)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          5, 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    },
+    qAnnIvf.oracle)
+
   /** Product-quantization ADC search ([[graft.similarity.Pq]], Jégou et al.
     * TPAMI 2011): m=4 subspaces × ksub=8 codes trained with one Lloyd round
     * (deterministic init from the 8 smallest vec_ids' subvectors), corpus
@@ -2279,6 +2329,47 @@ object PipelineQueries {
         s"${sys.props("java.io.tmpdir")}/graft_bm25_app/$h", 8)
       graft.similarity.Bm25.appendIndex(
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text", tbl)
+      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
+    },
+    qBm25.oracle)
+
+  /** STREAMING ingest into the persisted BM25 index — the
+    * [[qStreamIvfIngest]] protocol on the three-table lexical index:
+    * build on the even half ([[graft.similarity.Bm25.writeIndexIngestable]]),
+    * stream the odd half in 2 micro-batches (each landing docs + postings
+    * + stats partitions keyed by batchId), then crash-replay the last
+    * batch. A double-append would double that batch's df and corpus
+    * stats and shift every BM25 score — the full-corpus scan oracle
+    * certifies the replay rewrote, not re-appended. This also closes
+    * [[graft.similarity.Bm25.appendIndex]]'s residual crash window: a
+    * batch that died between its three table writes is healed whole by
+    * the replay's partition overwrites.
+    */
+  val qStreamBm25Ingest = Fixture(
+    "q_stream_bm25_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val docs = Tables.documents(s, d)
+      val tbl = s"graft_bm25_ing_${h}_$run"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bm25_ing/$h/$run"
+      graft.similarity.Bm25.writeIndexIngestable(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tbl, dir, 8)
+      val rows = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIndexIngest.startBm25(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, s"$dir/cp")
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      graft.streaming.StreamingIndexIngest.applyBm25Batch(
+        chunks.last.toSeq.toDF("doc_id", "text"), "doc_id", "text", tbl,
+        chunks.length - 1L)
       graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
     },
     qBm25.oracle)
@@ -5458,6 +5549,139 @@ object PipelineQueries {
         | FROM a6 GROUP BY doc_id""".stripMargin
     })
 
+  /** Shared pair-extraction CTE body for the batched-BPE oracle. */
+  private def bpePairsSql(from: String): String =
+    s"""(SELECT u.lhs AS lhs, u.rhs AS rhs, freq FROM (
+      |   SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |            i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u, freq
+      |   FROM (SELECT string_split(trim(seq), '  ') AS t, freq FROM $from)
+      |   WHERE len(t) >= 2))""".stripMargin
+
+  /** Batched-BPE oracle: per round, pair counts → per-symbol best
+    * (window) → locally-dominant winners (best for EVERY touched symbol)
+    * ranked and capped → a cap-deep guarded replace chain. Mirrors
+    * [[graft.functions.Bpe.trainMergesBatched]] CTE-for-stage.
+    */
+  private def bpeBatchedCtes(rounds: Int, cap: Int): String = {
+    val base =
+      s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+        |     SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        |     FROM documents)
+        |   WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+        | s0 AS (SELECT ' ' || array_to_string(list_append(
+        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
+        |          '</w>'), '  ') || ' ' AS seq, freq FROM wf)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      val apply = (1 to cap).foldLeft("seq") { (acc, k) =>
+        s"""replace($acc,
+          |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM w$r WHERE rank = $k), chr(1)),
+          |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM w$r WHERE rank = $k), chr(1)))""".stripMargin
+      }
+      s""" p$r AS ${bpePairsSql(s"s${r - 1}")},
+        | c$r AS (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p$r GROUP BY 1, 2),
+        | e$r AS (SELECT lhs, rhs, cnt, unnest(list_distinct([lhs, rhs])) AS sym FROM c$r),
+        | b$r AS (SELECT lhs, rhs, cnt FROM (
+        |     SELECT e$r.*, row_number() OVER (PARTITION BY sym
+        |       ORDER BY cnt DESC, lhs, rhs) AS rn FROM e$r) WHERE rn = 1),
+        | w$r AS (SELECT row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank,
+        |     lhs, rhs, cnt FROM (
+        |     SELECT lhs, rhs, cnt, count(*) AS wins FROM b$r GROUP BY 1, 2, 3)
+        |   WHERE wins = CASE WHEN lhs = rhs THEN 1 ELSE 2 END
+        |   QUALIFY rank <= $cap),
+        | s$r AS (SELECT $apply AS seq, freq FROM s${r - 1})""".stripMargin
+    }
+    (base +: blocks).mkString(",\n")
+  }
+
+  /** Batched BPE induction (Bpe.trainMergesBatched): each round takes ALL
+    * locally-dominant pairs (capped) instead of one global argmax — the
+    * winners are mutually disjoint so their merges commute and their
+    * counts are exact at application time; a 32k-merge vocabulary costs
+    * ~|symbols|-paced rounds instead of 32k sequential driver jobs. The
+    * oracle unrolls the identical selection (explode→window→wins test)
+    * and the cap-deep guarded replace chain per round.
+    */
+  val qBpeMergesBatched = Fixture(
+    "q_bpe_merges_batched",
+    (s, d) => graft.functions.Bpe.trainBatched(Tables.documents(s, d),
+      "text", 3, 4),
+    Some(s"""${bpeBatchedCtes(3, 4)}
+      | SELECT row_number() OVER (ORDER BY round, rank)::INT AS merge_rank,
+      |   lhs, rhs, cnt
+      | FROM (SELECT 1 AS round, * FROM w1 UNION ALL
+      |       SELECT 2, * FROM w2 UNION ALL SELECT 3, * FROM w3)""".stripMargin))
+
+  /** Fixed reference vocabulary for the synthetic large-model stressor —
+    * the posture of a production tokenizer: the model ships with the
+    * vocabulary it was induced from and is APPLIED to whatever corpus
+    * arrives (unknown symbols simply stay unmerged, in both engines).
+    */
+  private val bpeRefVocab = Seq(
+    "join", "hash", "row", "batch", "scan", "column", "customer", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "a", "spark", "part",
+    "group", "big", "sort", "query", "fast", "the", "dup")
+
+  /** ≥1024-merge APPLY-path stressor (Bpe.segmentUnitsExecutor): a
+    * 1536-merge synthetic model ([[graft.functions.Bpe.prefixMerges]] over
+    * [[bpeRefVocab]] word-pair units) applied to the corpus's adjacent-
+    * word-pair units. At this depth the folded-expression path is
+    * structurally unsound (Janino's 64KB ceiling), so segmentation runs
+    * executor-side over DISTINCT units with the model broadcast once —
+    * the plan is one corpus scan + a vocab-sized mapPartitions + one
+    * join-back shuffle, and it is invariant in model depth. The oracle
+    * replays the same 1536 literal replaces as a generated CTE chain
+    * (MATERIALIZED barriers every 300 steps keep DuckDB's inliner under
+    * its expression-depth limit); java/Spark/DuckDB `replace` share
+    * leftmost non-overlapping literal semantics, so the chain agrees
+    * byte-for-byte.
+    */
+  val qBpeSegmentLarge = Fixture(
+    "q_bpe_segment_large",
+    (s, d) => {
+      val model = graft.functions.Bpe.prefixMerges(bpeRefVocab, 1536)
+      require(model.size >= 1024, s"stressor needs >=1024 merges, got ${model.size}")
+      val ws = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w.rlike("^[a-z]+$"))
+      val du = Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("unit"))
+      val perDoc = du.groupBy("doc_id", "unit").agg(count(lit(1)).as("n_occ"))
+      val seg = graft.functions.Bpe.segmentUnitsExecutor(
+        du.select("unit"), "unit", model)
+      perDoc.join(seg, "unit")
+        .groupBy("doc_id").agg(sum(col("n_occ") * col("n_tok")).as("n_tok_bpe"))
+    },
+    Some {
+      val model = graft.functions.Bpe.prefixMerges(bpeRefVocab, 1536)
+      val steps = model.map { m =>
+        val mat = if (m.merge_rank % 300 == 0) " MATERIALIZED" else ""
+        s""" a${m.merge_rank} AS$mat (SELECT unit, replace(seq,
+          |   ' ${m.lhs}  ${m.rhs} ', ' ${m.lhs}${m.rhs} ') AS seq
+          |   FROM a${m.merge_rank - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id,
+        |     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |       x -> regexp_matches(x, '^[a-z]+$$')) AS ws
+        |   FROM documents),
+        | du AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, len(ws) - 1), i -> ws[i] || ws[i+1])) AS unit
+        |   FROM w WHERE len(ws) >= 2),
+        | v AS (SELECT DISTINCT unit FROM du),
+        | a0 AS (SELECT unit, ' ' || array_to_string(list_append(
+        |     list_transform(generate_series(1, strlen(unit)), i -> unit[i]),
+        |     '</w>'), '  ') || ' ' AS seq FROM v),
+        |$steps,
+        | vn AS (SELECT unit, len(string_split(trim(seq), '  '))::BIGINT AS n_tok
+        |   FROM a${model.size})
+        | SELECT du.doc_id, sum(n_tok)::BIGINT AS n_tok_bpe
+        | FROM du JOIN vn USING (unit) GROUP BY 1""".stripMargin
+    })
+
   // ---- incremental view maintenance (operators/Ivm.scala) ----------------
 
   /** Shared CDC recipe over documents, keyed by lang on n_chars: deletes
@@ -5825,6 +6049,55 @@ object PipelineQueries {
       |   (abs(e - ex.n_exact) <= ex.n_exact * 0.25) AS ok25
       | FROM est JOIN np ON np.lang = est.lang
       |          JOIN ex ON ex.lang = est.lang""".stripMargin))
+
+  /** Distinct-count views through the IVM loop via the KMV store
+    * ([[graft.operators.Ivm.applyDeltaKmv]]): COUNT(DISTINCT) is the view
+    * class both the algebraic IVM arm and the MV rewrite conservatively
+    * skip (holistic, not delta-foldable) — but a bottom-k sketch IS
+    * mergeable state, so an insert-only CDC delta refreshes the persisted
+    * per-lang sketch with one delta-sized aggregation + k-array HOFs, the
+    * corpus scanned only at materialization. Because KMV content is
+    * deterministic, the oracle recomputes the post-CDC sketch FROM
+    * SCRATCH and the refreshed store must match it hash-for-hash — the
+    * maintained≡recomputed bar, applied to a distinct-count view.
+    * Deletes are rejected by the operator (sketches are not subtractive);
+    * IvmSpec pins the refusal.
+    */
+  val qIvmKmvDistinct = Fixture(
+    "q_ivm_kmv_distinct",
+    (s, d) => {
+      import graft.functions.Kmv
+      val k = 16
+      val docs = Tables.documents(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_kmv/" +
+        Integer.toHexString(d.hashCode)
+      graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k)
+        .write.mode("overwrite").parquet(dir)
+      // insert-only CDC: the usual insert recipe, but with SUFFIXED source
+      // values so the refresh adds genuinely new distincts per group
+      val delta = docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
+        concat(col("source"), lit("_x")).as("new_v"))
+      val v2 = graft.operators.Ivm.applyDeltaKmv(
+        s.read.parquet(dir), delta, Seq("lang"), k)
+      // kmv_xor pins the refreshed sketch CONTENT hash-for-hash (the gate
+      // can't compare raw array columns); size + estimate ride along
+      v2.select(col("lang"),
+        aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("kmv_xor"),
+        size(col("kmv")).cast("long").as("sketch_size"),
+        Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
+    },
+    Some(s"""WITH fin AS (
+      |   SELECT lang, source AS v FROM documents
+      |   UNION ALL
+      |   SELECT lang, source || '_x' FROM documents WHERE doc_id % 7 = 3),
+      | hh AS (SELECT DISTINCT lang, ${h64("v")} AS h FROM fin),
+      | sk AS (SELECT lang, (list_sort(list(h)))[1:16] AS kmv FROM hh GROUP BY 1)
+      | SELECT lang,
+      |   list_reduce(list_prepend(0::BIGINT, kmv), (a, x) -> xor(a, x)) AS kmv_xor,
+      |   len(kmv)::BIGINT AS sketch_size,
+      |   ${q4("CASE WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE " +
+          "ELSE 15.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[16]::DOUBLE END")} AS est_distinct
+      | FROM sk""".stripMargin))
 
   /** STREAMING hybrid retrieval — the serving form of [[qHybridRrf]]:
     * query rows arrive as a stream and are served against TWO indexes at
@@ -6239,6 +6512,103 @@ object PipelineQueries {
       |   max(n_chars) AS max_chars
       | FROM documents GROUP BY 1""".stripMargin))
 
+  /** MvRewrite v2, the dashboard shape: `WHERE lang IN (…) GROUP BY
+    * source` over the BASE table. The predicate references only MV key
+    * columns, so it selects whole groups and commutes with the rollup —
+    * the optimizer serves it by filtering the GROUP-sized MV, and the
+    * 100 TB corpus appears nowhere in the plan (REQUIREd, like
+    * [[qMvRewrite]]). v1 sent exactly this query to the corpus scan.
+    */
+  val qMvRewriteFiltered = Fixture(
+    "q_mv_rewrite_filtered",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_f/$h"
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"docs_mv_filtered_$h"
+      MvRegistry.register(s, name, s"$d/documents.parquet",
+        Seq("lang", "source"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_chars", "sum", Some("n_chars"))), mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = docs.where(col("lang").isin("en", "de"))
+          .groupBy("source").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_f")) &&
+          !scans.exists(_.contains("documents.parquet")),
+          s"filtered MV rewrite did not fire; scans = ${scans.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+      |   sum(n_chars)::BIGINT AS total_chars
+      | FROM documents WHERE lang IN ('en', 'de') GROUP BY 1""".stripMargin))
+
+  /** MvRewrite v2, HAVING shape: SQL `GROUP BY lang HAVING count(1) >= 75`
+    * over the base table. Catalyst plants the HAVING as a Filter ABOVE the
+    * Aggregate; the rewrite preserves output exprIds, so the post-agg
+    * filter composes with the MV-served aggregate untouched — the REQUIRE
+    * pins that the combination actually lands on the MV scan.
+    */
+  val qMvRewriteHaving = Fixture(
+    "q_mv_rewrite_having",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_h/$h"
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"docs_mv_having_$h"
+      MvRegistry.register(s, name, s"$d/documents.parquet",
+        Seq("lang", "source"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_chars", "sum", Some("n_chars"))), mvPath)
+      docs.createOrReplaceTempView(s"docs_mvh_$h")
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = s.sql(
+          s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS total_chars
+             |FROM docs_mvh_$h GROUP BY lang HAVING count(1) >= 75""".stripMargin)
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_h")) &&
+          !scans.exists(_.contains("documents.parquet")),
+          s"HAVING MV rewrite did not fire; scans = ${scans.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      | FROM documents GROUP BY 1 HAVING count(*) >= 75""".stripMargin))
+
   /** The closed IVM + MV loop: the (lang) rollup is materialized once,
     * a CDC delta refreshes it via [[graft.operators.Ivm.applyDelta]] —
     * reading ONLY the stored view and the delta, O(|delta| + |view|),
@@ -6350,6 +6720,7 @@ object PipelineQueries {
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
+    qStreamIvfIngest, qStreamBm25Ingest,
     qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
     qRedact, qSampleHash, qSampleWeighted, qSampleWeightedPerLang, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
@@ -6365,7 +6736,8 @@ object PipelineQueries {
     qKmeansStep, qKmeansConverged, qTfidfTopTerms, qBigramLm, qLmDocScore,
     qZscoreOutliers, qLangConfusion,
     qMixSample, qHeavyHitters, qDedupIncremental, qTrainingManifest,
-    qCurriculumBins, qBpeMerges, qBpeSegment, qZorderLayout, qCompactRoundtrip,
+    qCurriculumBins, qBpeMerges, qBpeSegment, qBpeMergesBatched,
+    qBpeSegmentLarge, qZorderLayout, qCompactRoundtrip,
     qStreamCuration, qStreamCurationFiles, qSchemaEvolution, qStreamSchemaEvolution, qMergeUpsert, qRpProject,
     qAudioEnergy, qStreamCdcUpsert,
     qDedupStreamEmbed, qZorderQuantile, qCleanText, qMixTemperature,
@@ -6381,9 +6753,10 @@ object PipelineQueries {
     qStreamFrontier, qFrontierFetchAt,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
-    qIvmRollup, qIvmMinmax, qStreamIvmRollup,
+    qIvmRollup, qIvmMinmax, qStreamIvmRollup, qIvmKmvDistinct,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
-    qCmsSketchStore, qKAnonymity, qMvRewrite, qMvIvmServe,
+    qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
+    qMvRewriteHaving, qMvIvmServe,
     qSampleQuantileStore)
 }
