@@ -35,11 +35,16 @@ import org.apache.spark.sql.types.DoubleType
   * Output attributes keep the original expression ids, so the rewrite is
   * invisible to every downstream operator.
   *
-  * Freshness contract: [[MvRegistry.register]] captures the MV relation at
-  * registration; re-register after each refresh that rewrites the MV files
-  * (an [[graft.operators.Ivm]] refresh landing new parquet). Like any MV
-  * system, serving a registered view ASSERTS it is current — deregister
-  * around non-atomic rebuilds.
+  * Freshness contract, two tiers:
+  *   - `mvPath` is a [[graft.sources.SnapshotLake]] root (has a `_CURRENT`
+  *     pointer): the rewrite resolves the CURRENT version at QUERY time,
+  *     so an IVM refresh that commits v+1 is served immediately — no
+  *     re-register, and stale-file serving is structurally impossible
+  *     (version directories are immutable; the pointer swap is atomic).
+  *     This is the recommended store for any view that refreshes.
+  *   - plain parquet path: the relation is captured at registration;
+  *     re-register after each refresh that rewrites the files in place,
+  *     and deregister around non-atomic rebuilds.
   */
 object MvRegistry {
   /** One declared aggregate of the view: `outName` = MV column,
@@ -48,24 +53,51 @@ object MvRegistry {
   final case class AggDef(outName: String, fn: String, inputCol: Option[String])
 
   final case class MvDef(name: String, basePathTail: String, keys: Seq[String],
-      aggs: Seq[AggDef], relation: LogicalRelation)
+      aggs: Seq[AggDef], mvPath: String, fixed: Option[LogicalRelation])
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  // one analyzed relation per committed version; version dirs are immutable
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), LogicalRelation]()
 
-  /** Register `mvPath` (parquet with columns keys ++ aggs.outName) as the
-    * materialization of base-table aggregates over `basePathTail`.
+  private def analyzeRelation(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path did not analyze to a LogicalRelation"))
+
+  /** Register `mvPath` as the materialization of base-table aggregates
+    * over `basePathTail`. `mvPath` is either a SnapshotLake root (version-
+    * stamped store — served at its CURRENT version on every query) or a
+    * plain parquet directory (fixed relation captured now); columns must
+    * include keys ++ aggs.outName either way.
     */
   def register(spark: SparkSession, name: String, basePathTail: String,
       keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
-    val analyzed = spark.read.parquet(mvPath).queryExecution.analyzed
-    val lr = analyzed.collectFirst { case l: LogicalRelation => l }
-      .getOrElse(throw new IllegalArgumentException(
-        s"$mvPath did not analyze to a LogicalRelation"))
+    import graft.sources.SnapshotLake
+    val versionedAt = SnapshotLake.currentVersion(mvPath)
+    val lr = analyzeRelation(spark,
+      versionedAt.map(v => SnapshotLake.versionPath(mvPath, v)).getOrElse(mvPath))
     val have = lr.output.map(_.name).toSet
     val need = keys ++ aggs.map(_.outName)
     require(need.forall(have), s"MV $mvPath lacks ${need.filterNot(have)}")
-    views.put(name, MvDef(name, basePathTail, keys, aggs, lr))
+    views.put(name, MvDef(name, basePathTail, keys, aggs, mvPath,
+      if (versionedAt.isDefined) None else Some(lr)))
   }
+
+  /** The relation to serve NOW: fixed stores return the registration-time
+    * capture; version-stamped stores resolve `_CURRENT` and analyze (once
+    * per version — cached; a version directory never changes).
+    */
+  def currentRelation(spark: SparkSession, mv: MvDef): LogicalRelation =
+    mv.fixed.getOrElse {
+      import graft.sources.SnapshotLake
+      val v = SnapshotLake.currentVersion(mv.mvPath).getOrElse(
+        throw new IllegalStateException(
+          s"MV store ${mv.mvPath} lost its _CURRENT pointer"))
+      relCache.computeIfAbsent((mv.mvPath, v),
+        k => analyzeRelation(spark, SnapshotLake.versionPath(k._1, k._2)))
+    }
 
   def deregister(name: String): Unit = views.remove(name)
   def isEmpty: Boolean = views.isEmpty
@@ -167,8 +199,9 @@ case class MvRewrite() extends Rule[LogicalPlan] {
 
   private def rewriteWith(agg: Aggregate, keys: Seq[String],
       cond: Option[Expression], mv: MvDef): Option[LogicalPlan] = {
-    // fresh exprIds per use so two rewrites never collide in one tree
-    val scan = mv.relation.newInstance()
+    // resolve the CURRENT version (version-stamped stores) or the fixed
+    // capture; fresh exprIds per use so two rewrites never collide
+    val scan = MvRegistry.currentRelation(SparkSession.active, mv).newInstance()
     def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
     // the key-only base predicate, re-rooted onto the MV scan's attributes
     val child: LogicalPlan = cond match {

@@ -6609,37 +6609,43 @@ object PipelineQueries {
     Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       | FROM documents GROUP BY 1 HAVING count(*) >= 75""".stripMargin))
 
-  /** The closed IVM + MV loop: the (lang) rollup is materialized once,
-    * a CDC delta refreshes it via [[graft.operators.Ivm.applyDelta]] —
-    * reading ONLY the stored view and the delta, O(|delta| + |view|),
-    * never the corpus — and the refreshed store is re-registered so a
-    * plain base-table aggregate silently serves the POST-CDC state. This
-    * is the dashboard-refresh economics at 100 TB: corpus scanned once at
-    * materialization, every later refresh delta-sized, every later query
-    * view-sized. The fixture pins freshness end-to-end: the oracle is the
-    * post-CDC recompute from scratch ([[ivmFinSql]]), so a stale or
-    * mis-maintained view hash-mismatches.
+  /** The closed IVM + MV loop on the VERSION-STAMPED store: the (lang)
+    * rollup is committed as v0 of a [[graft.sources.SnapshotLake]] MV
+    * store and registered ONCE — BEFORE the refresh. A CDC delta then
+    * refreshes it via [[graft.operators.Ivm.applyDelta]] (stored view +
+    * delta only, never the corpus) and commits v1; the query afterwards
+    * must serve v1 WITHOUT re-registering, because the rewrite resolves
+    * the store's `_CURRENT` pointer at query time (the REQUIRE pins the
+    * v1 directory in the plan). Stale-file serving is structurally
+    * impossible: version dirs are immutable, the pointer swap atomic.
+    * Dashboard-refresh economics at 100 TB: corpus scanned once at
+    * materialization, refreshes delta-sized, queries view-sized. The
+    * oracle is the post-CDC recompute from scratch ([[ivmFinSql]]), so a
+    * stale or mis-maintained view hash-mismatches.
     */
   val qMvIvmServe = Fixture(
     "q_mv_ivm_serve",
     (s, d) => {
       import graft.plans.{MvRewrite, MvRegistry}
       import graft.plans.MvRegistry.AggDef
+      import graft.sources.SnapshotLake
       import org.apache.spark.sql.execution.datasources.LogicalRelation
       val docs = Tables.documents(s, d)
       val h = Integer.toHexString(d.hashCode)
-      val v1Path = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_v1"
-      val v2Path = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_v2"
-      graft.operators.Ivm.view(docs, Seq("lang"), "n_chars")
-        .write.mode("overwrite").parquet(v1Path)
-      // day-2 refresh: stored view + CDC delta only
-      graft.operators.Ivm.applyDelta(s.read.parquet(v1Path),
-          ivmDelta(docs), Seq("lang"))
-        .write.mode("overwrite").parquet(v2Path)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_$run"
+      SnapshotLake.commit(
+        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
       val name = s"docs_lang_rollup_$h"
+      // register at v0, BEFORE the refresh — freshness must come from the
+      // pointer resolution, not from re-registration
       MvRegistry.register(s, name, s"$d/documents.parquet", Seq("lang"),
         Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("n_chars"))),
-        v2Path)
+        root)
+      // day-2 refresh: stored view + CDC delta only, committed as v1
+      SnapshotLake.commit(
+        graft.operators.Ivm.applyDelta(SnapshotLake.read(s, root),
+          ivmDelta(docs), Seq("lang")), root, 1L)
       val prev = s.experimental.extraOptimizations
       s.experimental.extraOptimizations = prev :+ MvRewrite()
       try {
@@ -6652,8 +6658,9 @@ object PipelineQueries {
             case _ => Seq.empty
           }
         }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mv_ivm"),
-          s"expected exactly the refreshed MV leaf; got ${leaves.mkString(", ")}")
+        require(leaves.size == 1 && leaves.head.contains("graft_mv_ivm") &&
+          leaves.head.stripSuffix("/").endsWith("/v1"),
+          s"expected exactly the refreshed v1 MV leaf; got ${leaves.mkString(", ")}")
         q.localCheckpoint(true)
       } finally {
         s.experimental.extraOptimizations = prev

@@ -41,12 +41,16 @@ object StreamingUpsert {
   }
 
   /** Start the CDC stream into the snapshot table at `root` (which must
-    * hold a committed base version).
+    * hold a committed base version). The base version is pinned ONCE per
+    * checkpoint ([[StreamingIvm.inceptionBase]] — same marker-file
+    * protocol): unlike the IVM fold, a replayed merge here is
+    * content-idempotent (latest-wins re-merge of the same rows), but a
+    * re-derived base would still burn a fresh version number per crash
+    * replay and break the version = f(batchId) audit line.
     */
   def start(cdc: DataFrame, root: String, key: String, versionCol: String,
       checkpoint: String): StreamingQuery = {
-    val base = SnapshotLake.currentVersion(root).getOrElse(
-      sys.error(s"initialize $root with SnapshotLake.commit before streaming"))
+    val base = StreamingIvm.inceptionBase(root, checkpoint)
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
