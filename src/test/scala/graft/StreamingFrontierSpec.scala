@@ -52,6 +52,51 @@ class StreamingFrontierSpec extends SparkTestBase {
       9L -> ("a.com", 3L)))
   }
 
+  test("95%-dominant domain: politeness holds and state rows = |domains|, not |urls|") {
+    // the crawl-frontier hot-key case: one domain owns 95% of the stream.
+    // Round-robin correctness must hold for the long tail AND the per-key
+    // state must stay ONE counter row per domain — numRowsTotal is pinned
+    // to the domain count, so a dominant key skews COMPUTE to one
+    // partition (inherent to keyed politeness) but never state.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val urls = (0L until 200L).map(i =>
+      (i, if (i % 20 == 5) s"tail${i % 40}.org" else "giant.com"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("id", "domain")
+      .withColumn("ts", timestamp_micros((col("id") + 1L) * 1000000L))
+      .withWatermark("ts", "0 seconds")
+    val out = StreamingFrontier.schedule(stream, "id", "domain", "ts")
+    val sink = s"frontier_skew_${System.nanoTime}"
+    var peakState = 0L
+    Streams.withRocksDb(s) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try urls.grouped(50).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+        peakState = math.max(peakState, q.recentProgress
+          .map(_.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L))
+      } finally q.stop()
+    }
+    val got = s.table(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dominant = got.filter(_._2 == "giant.com").sortBy(_._1)
+    assert(dominant.length == 190)
+    // politeness: the dominant domain's rounds are exactly 1..190 in id order
+    assert(dominant.map(_._3).toSeq == (1L to 190L),
+      "dominant domain's rounds must stay a strict round-robin sequence")
+    // tail domains each got their own independent 1..k sequence
+    got.filter(_._2 != "giant.com").groupBy(_._2).foreach { case (d, rs) =>
+      assert(rs.sortBy(_._1).map(_._3).toSeq == (1L to rs.length),
+        s"tail domain $d rounds broken")
+    }
+    val nDomains = urls.map(_._2).distinct.size.toLong
+    assert(peakState == nDomains,
+      s"frontier state must be one row per domain: $peakState vs $nDomains")
+  }
+
   test("each round contains at most one URL per domain (the politeness law)") {
     val r = replay(Seq(
       Seq((0L, "a.com"), (1L, "a.com"), (2L, "b.com")),

@@ -11,6 +11,46 @@ import graft.streaming.StreamingMinhashDedup
   */
 class StreamingMinhashSlimSpec extends SparkTestBase {
 
+  /** [[replaySlim]] plus the PEAK total state rows the query reported
+    * (max over progress of Σ stateOperators.numRowsTotal) — the skew probe:
+    * under a dominant key, bounded state must show up in the metric, not
+    * just in the output.
+    */
+  private def replaySlimMeasured(
+      rows: Seq[(Long, String, Long)], chunks: Int,
+      bucketCap: Int, horizon: String = "1 hour"): (Set[Long], Long) = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = ms.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val kept = StreamingMinhashDedup.firstSeen(
+        s, stream, "doc_id", "text", 3, 0.8,
+        tsCol = Some("ts"), watermarkDelay = "10 seconds",
+        horizon = horizon, bucketCap = bucketCap)
+      .toDF("doc_id")
+    val sink = s"mh_skew_${System.nanoTime}"
+    val prev = s.conf
+      .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    var peak = 0L
+    try graft.streaming.Streams.withRocksDb(s) {
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try
+        rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+          ms.addData(c); q.processAllAvailable()
+          peak = math.max(peak, q.recentProgress
+            .map(_.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L))
+        }
+      finally q.stop()
+    } finally
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
+    (s.table(sink).collect().map(_.getLong(0)).toSet, peak)
+  }
+
   /** Replay (doc_id, text, ts_us) rows in `chunks` micro-batches through
     * the slim form with TTL enabled; returns the kept doc-id set.
     */
@@ -95,6 +135,40 @@ class StreamingMinhashSlimSpec extends SparkTestBase {
     val rows = (1L to 40L).map(i => (i, baseText, 1000000L + i))
     val got = replaySlim(rows, chunks = 5, bucketCap = 4)
     assert(got == Set(1L), s"got $got")
+  }
+
+  test("dominant-key load: horizon eviction keeps state window-bounded, not history-bound") {
+    // 95%-dominant key: every dominant doc is the same boilerplate text —
+    // the adversarial hot-LSH load. Two state populations: band-bucket id
+    // LISTS (one state row per bucket; their length bound is the cap,
+    // behaviorally pinned by the 40-identical-docs test above) and the
+    // doc-keyed transient records, whose ROW count is what numRowsTotal
+    // sees and whose bound must be the event-time horizon, not the stream
+    // length. One doc per 30 s against a 10-minute horizon: doubling the
+    // history (40 → 80 docs = 2 more horizons of dominant arrivals) must
+    // NOT double peak state rows — while the no-eviction control (1-hour
+    // horizon over the same 80 docs) shows the linear growth eviction is
+    // removing.
+    def mix(n: Int) = (1L to n.toLong).map { i =>
+      val text = if (i % 20 == 5) s"novel $i " + baseText.reverse.take(30)
+        else baseText
+      (i, text, i * 30000000L) // 30 s apart
+    }
+    def run(n: Int, horizon: String) =
+      replaySlimMeasured(mix(n), chunks = n / 10, bucketCap = 4, horizon = horizon)
+    val (kept40, peak40) = run(40, "10 minutes")
+    val (kept80, peak80) = run(80, "10 minutes")
+    val (_, peak80NoEvict) = run(80, "1 hour")
+    // dominance correctness: copies inside the horizon still drop — kept =
+    // doc 1 + the periodic novels + the re-keeper after each eviction gap
+    assert(kept40.contains(1L) && kept80.contains(1L))
+    assert(kept80.size < 20, s"dedup broke under dominance: ${kept80.size} kept")
+    // eviction bound: 2× the history, ≪ 2× the state
+    assert(peak80 <= peak40 * 13L / 10L + 10L,
+      s"state grew with history despite horizon eviction: $peak40 -> $peak80")
+    // the control proves the metric sees what eviction removes
+    assert(peak80NoEvict > peak80,
+      s"no-evict control should exceed evicted peak: $peak80NoEvict vs $peak80")
   }
 
   test("horizon eviction: a doc older than the horizon stops suppressing near-dups") {
