@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -52,8 +53,16 @@ object MvRegistry {
     */
   final case class AggDef(outName: String, fn: String, inputCol: Option[String])
 
+  /** STAR-JOIN views: the MV materialized
+    * `fact INNER JOIN dim ON fact.factKey = dim.dimKey` before
+    * aggregating — the classic star rollup (dim attributes as grouping
+    * keys, fact columns as measures).
+    */
+  final case class JoinDef(dimPathTail: String, factKey: String, dimKey: String)
+
   final case class MvDef(name: String, basePathTail: String, keys: Seq[String],
-      aggs: Seq[AggDef], mvPath: String, fixed: Option[LogicalRelation])
+      aggs: Seq[AggDef], mvPath: String, fixed: Option[LogicalRelation],
+      join: Option[JoinDef] = None)
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   // one analyzed relation per committed version; version dirs are immutable
@@ -83,6 +92,20 @@ object MvRegistry {
     require(need.forall(have), s"MV $mvPath lacks ${need.filterNot(have)}")
     views.put(name, MvDef(name, basePathTail, keys, aggs, mvPath,
       if (versionedAt.isDefined) None else Some(lr)))
+  }
+
+  /** Register a STAR-JOIN view: `mvPath` materialized
+    * `<factPathTail> INNER JOIN <dimPathTail> ON factKey = dimKey`
+    * aggregated to `keys`. Queries re-stating that join shape rewrite to
+    * the group-sized MV; everything else about the store (versioning,
+    * rollup arms, key filters) behaves like [[register]].
+    */
+  def registerJoin(spark: SparkSession, name: String, factPathTail: String,
+      dimPathTail: String, factKey: String, dimKey: String,
+      keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
+    register(spark, name, factPathTail, keys, aggs, mvPath)
+    val mv = views.get(name)
+    views.put(name, mv.copy(join = Some(JoinDef(dimPathTail, factKey, dimKey))))
   }
 
   /** The relation to serve NOW: fixed stores return the registration-time
@@ -169,15 +192,101 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       if (agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
         Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
       else None
+    keyNames.flatMap(keys => tryPlain(agg, keys).orElse(tryJoin(agg, keys)))
+  }
+
+  private def tryPlain(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
     for {
       (path, cond) <- baseScan(agg.child)
-      keys <- keyNames
-      mv <- MvRegistry.all.find(m =>
+      // a join-MV must never claim a plain scan of its fact table alone —
+      // the dim join can drop (or multiply) fact rows
+      mv <- MvRegistry.all.find(m => m.join.isEmpty &&
         pathMatches(path, m.basePathTail) && keys.toSet.subsetOf(m.keys.toSet) &&
           cond.forall(c => filterServable(c, m.keys.toSet)))
       out <- rewriteWith(agg, keys, cond, mv)
     } yield out
+
+  /** The Join beneath an optional stack of column-pruning Projects and
+    * Filters, plus the conjunction of Filters found ABOVE the join.
+    */
+  private def stripToJoin(p: LogicalPlan): Option[(Join, Option[Expression])] =
+    p match {
+      case j: Join => Some((j, None))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(c)
+      case Filter(cond, c) =>
+        stripToJoin(c).map { case (j, inner) =>
+          (j, Some(inner.fold(cond)(And(cond, _))))
+        }
+      case _ => None
+    }
+
+  /** Conjuncts of a side-filter with the join-key IsNotNull guards the
+    * optimizer plants under every inner equi-join removed — the MV
+    * materialized the join itself, so those are implied; anything left
+    * must be key-servable like every other filter.
+    */
+  private def minusJoinKeyNotNull(cond: Option[Expression],
+      joinKeys: Set[String]): Option[Expression] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    cond.map(conjuncts).getOrElse(Nil).filterNot {
+      case IsNotNull(a: AttributeReference) => joinKeys.contains(a.name)
+      case _ => false
+    }.reduceOption(And)
   }
+
+  /** STAR-JOIN match (v3): `Aggregate over (fact INNER JOIN dim ON
+    * fk = pk)` — exactly the registered shape, either side order —
+    * rewrites to the group-sized MV. Conservative like the scan path:
+    * single equi-condition on plain columns, globally unique column names
+    * across the join output (name-based mapping must be unambiguous),
+    * residual filters deterministic / subquery-free / MV-key-only.
+    */
+  private def tryJoin(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
+    for {
+      (j, above) <- stripToJoin(agg.child)
+      if j.joinType == Inner
+      (lk, rk) <- j.condition match {
+        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+          Some((a, b))
+        case _ => None
+      }
+      (lPath, lCond) <- baseScan(j.left)
+      (rPath, rCond) <- baseScan(j.right)
+      allNames = (j.left.output ++ j.right.output).map(_.name)
+      if allNames.distinct.size == allNames.size
+      mv <- MvRegistry.all.find { m =>
+        m.join.exists { jd =>
+          val joinKeys = Set(jd.factKey, jd.dimKey)
+          val keyOk = {
+            // the condition attr rooted in each side must carry that
+            // side's registered key name, in either fact/dim orientation
+            val (la, ra) =
+              if (j.left.outputSet.contains(lk)) (lk, rk) else (rk, lk)
+            (pathMatches(lPath, m.basePathTail) &&
+              pathMatches(rPath, jd.dimPathTail) &&
+              la.name == jd.factKey && ra.name == jd.dimKey) ||
+            (pathMatches(lPath, jd.dimPathTail) &&
+              pathMatches(rPath, m.basePathTail) &&
+              la.name == jd.dimKey && ra.name == jd.factKey)
+          }
+          val residual = Seq(
+            minusJoinKeyNotNull(lCond, joinKeys),
+            minusJoinKeyNotNull(rCond, joinKeys),
+            above).flatten.reduceOption(And)
+          keyOk && keys.toSet.subsetOf(m.keys.toSet) &&
+            residual.forall(c => filterServable(c, m.keys.toSet))
+        }
+      }
+      residual = Seq(
+        minusJoinKeyNotNull(lCond, Set(mv.join.get.factKey, mv.join.get.dimKey)),
+        minusJoinKeyNotNull(rCond, Set(mv.join.get.factKey, mv.join.get.dimKey)),
+        above).flatten.reduceOption(And)
+      out <- rewriteWith(agg, keys, residual, mv)
+    } yield out
 
   /** (fn, inputCol) of a supported aggregate call, or None. `count` with
     * an input column is the NON-NULL count (count(v)), distinct from the

@@ -6609,6 +6609,68 @@ object PipelineQueries {
     Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       | FROM documents GROUP BY 1 HAVING count(*) >= 75""".stripMargin))
 
+  /** MvRewrite v3, the star-schema shape: the MV materialized
+    * `lineitem INNER JOIN orders ON l_orderkey = o_orderkey` rolled up to
+    * o_orderpriority; a query RE-STATING that join + rollup serves from
+    * the group-sized view — neither fact nor dim appears in the plan
+    * (REQUIREd). This is the warehouse-dashboard economics: the fact⋈dim
+    * shuffle is paid once at materialization, every report after reads
+    * |priorities| rows. Conservative matching: exact inner equi-join on
+    * the registered key pair, unique column names, residual filters
+    * key-only; a plain fact aggregate is never claimed (the join can drop
+    * or multiply fact rows).
+    */
+  val qMvRewriteJoin = Fixture(
+    "q_mv_rewrite_join",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_j/$h"
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"li_by_priority_$h"
+      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
+        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
+        Seq("o_orderpriority"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_j")) &&
+          !scans.exists(p => p.contains("lineitem.parquet") ||
+            p.contains("orders.parquet")),
+          s"star-join MV rewrite did not fire; scans = ${scans.mkString(", ")}")
+        // q4 OUTSIDE the aggregate (a wrapped sum would block the matcher);
+        // the double sum is reassociation-noisy in the last ulp either way
+        q.select(col("o_orderpriority"), col("n_items"),
+          Quant.q4(col("sum_qty")).as("sum_qty"))
+          .localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+      |   ${q4("sum(l_quantity)")} AS sum_qty
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
   /** The closed IVM + MV loop on the VERSION-STAMPED store: the (lang)
     * rollup is committed as v0 of a [[graft.sources.SnapshotLake]] MV
     * store and registered ONCE — BEFORE the refresh. A CDC delta then
@@ -6764,6 +6826,6 @@ object PipelineQueries {
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
-    qMvRewriteHaving, qMvIvmServe,
+    qMvRewriteHaving, qMvRewriteJoin, qMvIvmServe,
     qSampleQuantileStore)
 }

@@ -272,6 +272,65 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("v3: star-join rollup serves from the MV; near-misses fall through") {
+    val parent = freshDir("mv_join")
+    val factDir = s"$parent/fact"
+    val dimDir = s"$parent/dim"
+    val mvDir = s"$parent/mv"
+    (1 to 300).map(i => (i.toLong % 20, i.toLong)).toDF("fk", "v")
+      .write.parquet(factDir)
+    (0 until 20).map(p => (p.toLong, s"a${p % 4}")).toDF("pk", "attr")
+      .write.parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.join(dim, col("fk") === col("pk"))
+      .groupBy("attr").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(mvDir)
+    MvRegistry.registerJoin(spark, "mv_join", factDir, dimDir, "fk", "pk",
+      Seq("attr"), Seq(AggDef("cnt", "count", None),
+        AggDef("sum_v", "sum", Some("v"))), mvDir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val q = fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(mvDir)), s"join rollup must hit MV: $paths")
+      assert(!paths.exists(p => p.contains("/fact") || p.contains("/dim")),
+        s"fact/dim still scanned: $paths")
+      val expect = (1 to 300).groupBy(i => s"a${(i % 20) % 4}")
+        .map { case (a, is) => a -> ((is.map(_.toLong).sum, is.size.toLong)) }
+      q.collect().foreach { r =>
+        assert((r.getLong(1), r.getLong(2)) == expect(r.getString(0)), r)
+      }
+      // a dim-attr (MV key) filter serves view-side too
+      val qf = fact.join(dim, col("fk") === col("pk"))
+        .where(col("attr") === "a1")
+        .groupBy("attr").agg(sum(col("v")).as("s"))
+      assert(scanPaths(qf).exists(_.contains(mvDir)), "key-filtered join must hit")
+      assert(qf.collect().map(r => r.getLong(1)).toSeq ==
+        Seq(expect("a1")._1))
+      // a plain FACT aggregate must never be claimed by the join MV (the
+      // dim join can drop or multiply fact rows)
+      val qp = fact.agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qp).exists(_.contains(mvDir)),
+        "join MV claimed a plain fact scan")
+      // a measure filter under the join falls through
+      val qm = fact.where(col("v") > 100L).join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qm).exists(_.contains(mvDir)),
+        "measure-filtered join must fall through")
+      // a different join condition falls through
+      val qc = fact.join(dim, col("fk") === col("pk") + 1L)
+        .groupBy("attr").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qc).exists(_.contains(mvDir)),
+        "non-matching join condition must fall through")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_join")
+    }
+  }
+
   test("deregistered view no longer rewrites") {
     val paths = withMv { (_, base) => // registry emptied by withMv's finally
       base
