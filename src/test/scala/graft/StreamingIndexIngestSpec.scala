@@ -70,6 +70,33 @@ class StreamingIndexIngestSpec extends SparkTestBase {
       Bm25.searchTopK(spark, cleanTbl, Seq("table", "row", "window"), 10))
   }
 
+  test("partitioned ingestable layout keeps cell-bucket pruning (the serving cost)") {
+    // the layout change must not regress the 100 TB serving shape: probes
+    // open |probed cells| buckets per ingest partition, never the table
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ivf_prune_$run"
+    val dir = freshDir("ing_prune")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 2 === 0), cents,
+      tbl, s"$dir/idx", 8)
+    StreamingIndexIngest.applyIvfBatch(
+      embAll.where(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      cents, tbl, 0L)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val p = Ann.ivfSearchPersisted(spark, tbl, cents,
+          embAll.where(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          k = 3, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"bucket pruning missing from partitioned index scan:\n$p")
+      assert(m.get.group(1).toInt <= 2,
+        s"1 query x nprobe 2 must open <= 2 buckets, got ${m.get.group(1)}:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("kill/restart: deleting the newest commit forces a replay; no double-append") {
     val run = java.lang.Long.toHexString(System.nanoTime)
     val tbl = s"ing_ivf_kr_$run"
