@@ -102,4 +102,66 @@ object StreamingIndexIngest {
         ()
       }
       .start()
+
+  /** Fold every ingest partition of an IVF ingestable index back into the
+    * base partition (−1): a long-running crawl otherwise accrues one
+    * partition directory (with `buckets` files) PER MICRO-BATCH, and at
+    * crawl-day cadence the probe-side file count — not bytes — becomes the
+    * serving cost. Compaction stages the current rows to a side directory
+    * FIRST (`<path>__compact`), then rebuilds the table from the stage:
+    * the index is derived data, and a crash mid-rebuild leaves the full
+    * row set in the stage directory (re-run `compactIvf` to finish; the
+    * stage is re-read, not re-derived). Stop the ingest stream around a
+    * compaction — single-writer, like every layout rewrite here. The
+    * streaming checkpoint stays valid: future batchIds land as fresh
+    * partitions on the compacted table.
+    */
+  def compactIvf(spark: SparkSession, table: String, path: String,
+      buckets: Int): Unit = {
+    val stage = s"${path}__compact"
+    spark.table(table).select(col("cell"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stage)
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      spark.read.parquet(stage).withColumn("ingest_batch", lit(-1L)),
+      table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
+    deleteDir(stage)
+  }
+
+  /** [[compactIvf]] for the three-table BM25 ingestable index: postings,
+    * docs re-landed under partition −1; the stats delta log collapses to
+    * ONE total row (its column sums — the fold [[graft.similarity.Bm25]]
+    * searches do at probe time, paid once here instead).
+    */
+  def compactBm25(spark: SparkSession, table: String, path: String,
+      buckets: Int): Unit = {
+    val stage = s"${path}__compact"
+    spark.table(table).select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    spark.table(s"${table}_docs").select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$stage/docs")
+    spark.table(s"${table}_stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$stage/stats")
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      spark.read.parquet(s"$stage/postings").withColumn("ingest_batch", lit(-1L)),
+      table, s"$path/postings", buckets, "term", "ingest_batch",
+      Seq("term", "doc_id"))
+    spark.read.parquet(s"$stage/docs").withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/docs").partitionBy("ingest_batch")
+      .saveAsTable(s"${table}_docs")
+    spark.read.parquet(s"$stage/stats").withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/stats").partitionBy("ingest_batch")
+      .saveAsTable(s"${table}_stats")
+    deleteDir(stage)
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(); ()
+    }
+    rec(new java.io.File(dir))
+  }
 }

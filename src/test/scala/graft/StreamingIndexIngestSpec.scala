@@ -97,6 +97,66 @@ class StreamingIndexIngestSpec extends SparkTestBase {
     } finally spark.conf.set(conf, saved)
   }
 
+  test("IVF compaction folds ingest partitions into base; results and pruning intact") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ivf_cmp_$run"
+    val dir = freshDir("ing_cmp")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 4 === 0), cents,
+      tbl, s"$dir/idx", 8)
+    (1 to 3).foreach { m =>
+      StreamingIndexIngest.applyIvfBatch(
+        embAll.where(col("vec_id") % 4 === m).select("vec_id", "embedding"),
+        cents, tbl, m - 1L)
+    }
+    val queries = embAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val before = Ann.ivfSearchPersisted(spark, tbl, cents, queries, 5, 2)
+      .collect().toSeq
+    assert(spark.table(tbl).select("ingest_batch").distinct().count() == 4)
+    val rowsBefore = spark.table(tbl).count()
+    StreamingIndexIngest.compactIvf(spark, tbl, s"$dir/idx", 8)
+    assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1,
+      "compaction must fold every batch partition into base")
+    assert(spark.table(tbl).count() == rowsBefore)
+    assert(Ann.ivfSearchPersisted(spark, tbl, cents, queries, 5, 2)
+      .collect().toSeq == before, "compaction changed search results")
+    assert(!new java.io.File(s"$dir/idx__compact").exists(),
+      "stage directory must be cleaned up")
+    // serving shape preserved after the rebuild
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val p = Ann.ivfSearchPersisted(spark, tbl, cents,
+          queries.where(col("query_id") === 0), 3, 2)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(p)
+      assert(m.isDefined && m.get.group(1).toInt <= 2, s"pruning lost:\n$p")
+    } finally spark.conf.set(conf, saved)
+  }
+
+  test("BM25 compaction collapses the stats log to one row; scores unchanged") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_bm25_cmp_$run"
+    val dir = freshDir("ing_bm25_cmp")
+    val docs = Tables.documents(spark, sfDir)
+    Bm25.writeIndexIngestable(docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", tbl, s"$dir/idx", 4)
+    (1 to 2).foreach { m =>
+      StreamingIndexIngest.applyBm25Batch(
+        docs.where(col("doc_id") % 3 === m), "doc_id", "text", tbl, m - 1L)
+    }
+    val before = Bm25.searchTopK(spark, tbl, Seq("table", "row", "window"), 10)
+      .collect().toSeq
+    assert(spark.table(s"${tbl}_stats").count() == 3)
+    StreamingIndexIngest.compactBm25(spark, tbl, s"$dir/idx", 4)
+    assert(spark.table(s"${tbl}_stats").count() == 1,
+      "stats delta log must collapse to one total row")
+    assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1)
+    assert(Bm25.searchTopK(spark, tbl, Seq("table", "row", "window"), 10)
+      .collect().toSeq == before, "compaction changed BM25 scores")
+  }
+
   test("kill/restart: deleting the newest commit forces a replay; no double-append") {
     val run = java.lang.Long.toHexString(System.nanoTime)
     val tbl = s"ing_ivf_kr_$run"
