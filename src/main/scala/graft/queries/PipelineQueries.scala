@@ -6733,6 +6733,75 @@ object PipelineQueries {
       | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
       | FROM fin GROUP BY 1""".stripMargin))
 
+  /** The WHOLE loop, streaming: CDC deltas stream through
+    * [[graft.streaming.StreamingIvm]] into the version-stamped MV store
+    * (each micro-batch commits the next version, replay-safe via the
+    * pinned inception base), and the MV was registered ONCE — BEFORE any
+    * delta arrived. After the stream drains, a plain base-table aggregate
+    * must silently serve the post-stream state, because the rewrite
+    * resolves `_CURRENT` at query time (REQUIREd: the v2 directory is the
+    * plan's only leaf). This is the live-dashboard posture at 100 TB: the
+    * corpus was scanned once at materialization, the stream keeps the
+    * view current at O(|delta|+|view|) per trigger, and every report
+    * reads |groups| rows with zero coordination between the refresher
+    * and the reader beyond one atomic pointer.
+    */
+  val qStreamMvServe = Fixture(
+    "q_stream_mv_serve",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import graft.sources.SnapshotLake
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val docs = Tables.documents(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mvstream_${System.nanoTime}").getAbsolutePath
+      SnapshotLake.commit(
+        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
+      val name = s"docs_stream_mv_${System.nanoTime}"
+      MvRegistry.register(s, name, s"$d/documents.parquet", Seq("lang"),
+        Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("n_chars"))),
+        root)
+      def rows(df: DataFrame) =
+        df.as[(String, String, Option[Long], Option[Long])].collect().toSeq
+      val b1 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 0)))
+      val b2 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Option[Long], Option[Long])]
+      val q = graft.streaming.StreamingIvm.start(
+        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
+        root, Seq("lang"), s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val served = docs.groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_v"))
+        val leaves = served.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_mvstream") &&
+          leaves.head.stripSuffix("/").endsWith("/v2"),
+          s"expected the stream-refreshed v2 leaf; got ${leaves.mkString(", ")}")
+        served.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""$ivmFinSql
+      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
+      | FROM fin GROUP BY 1""".stripMargin))
+
   /** Deterministic sample store for quantiles (functions/HashSample.scala)
     * — the RANK member of the at-rest sketch trio beside KMV (cardinality)
     * and CMS (frequency): each ingest shard lands the rows whose shared
@@ -6826,6 +6895,6 @@ object PipelineQueries {
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
-    qMvRewriteHaving, qMvRewriteJoin, qMvIvmServe,
+    qMvRewriteHaving, qMvRewriteJoin, qMvIvmServe, qStreamMvServe,
     qSampleQuantileStore)
 }
