@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -103,54 +103,74 @@ object StreamingIndexIngest {
       }
       .start()
 
-  /** Fold every ingest partition of an IVF ingestable index back into the
-    * base partition (−1): a long-running crawl otherwise accrues one
-    * partition directory (with `buckets` files) PER MICRO-BATCH, and at
-    * crawl-day cadence the probe-side file count — not bytes — becomes the
-    * serving cost. Compaction stages the current rows to a side directory
-    * FIRST (`<path>__compact`), then rebuilds the table from the stage:
-    * the index is derived data, and a crash mid-rebuild leaves the full
-    * row set in the stage directory (re-run `compactIvf` to finish; the
-    * stage is re-read, not re-derived). Stop the ingest stream around a
-    * compaction — single-writer, like every layout rewrite here. The
-    * streaming checkpoint stays valid: future batchIds land as fresh
-    * partitions on the compacted table.
+  /** Fold ingest partitions of an IVF ingestable index back into the base
+    * partition (−1): a long-running crawl otherwise accrues one partition
+    * directory (with `buckets` files) PER MICRO-BATCH, and at crawl-day
+    * cadence the probe-side file count — not bytes — becomes the serving
+    * cost. Compaction stages the current rows to a side directory FIRST
+    * (`<path>__compact`), then rebuilds the table from the stage: the
+    * index is derived data, and a crash mid-rebuild leaves the full row
+    * set in the stage directory (re-run to finish; the stage is re-read,
+    * not re-derived).
+    *
+    * The NEWEST batch partition is kept UN-FOLDED: only the newest batch
+    * can ever be replayed after a restart (older batchIds are in the
+    * streaming commit log), and a replay overwrites its own partition —
+    * if that partition had been folded into −1, the replay would
+    * re-create it beside the folded copy and double those rows. Folding
+    * strictly older partitions keeps replay-overwrite semantics exact
+    * across a stop → compact → restart sequence. Stop the ingest stream
+    * around a compaction — single-writer, like every layout rewrite here.
     */
   def compactIvf(spark: SparkSession, table: String, path: String,
       buckets: Int): Unit = {
     val stage = s"${path}__compact"
-    spark.table(table).select(col("cell"), col("vec_id"), col("embedding"))
+    val maxB = spark.table(table).agg(max(col("ingest_batch"))).head.getLong(0)
+    spark.table(table)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        when(col("ingest_batch") === maxB && maxB >= 0L, maxB)
+          .otherwise(-1L).as("ingest_batch"))
       .write.mode("overwrite").parquet(stage)
     graft.sources.Bucketing.writeBucketedPartitioned(
-      spark.read.parquet(stage).withColumn("ingest_batch", lit(-1L)),
+      spark.read.parquet(stage),
       table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
     deleteDir(stage)
   }
 
-  /** [[compactIvf]] for the three-table BM25 ingestable index: postings,
-    * docs re-landed under partition −1; the stats delta log collapses to
-    * ONE total row (its column sums — the fold [[graft.similarity.Bm25]]
-    * searches do at probe time, paid once here instead).
+  /** [[compactIvf]] for the three-table BM25 ingestable index: postings
+    * and docs of strictly-older batches re-land under partition −1 (the
+    * newest batch partition is kept, same replay reasoning), and the
+    * stats delta log collapses to one folded total row for them (its
+    * column sums — the fold [[graft.similarity.Bm25]] searches do at
+    * probe time, paid once here instead) plus the newest batch's row.
     */
   def compactBm25(spark: SparkSession, table: String, path: String,
       buckets: Int): Unit = {
     val stage = s"${path}__compact"
-    spark.table(table).select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val maxB = spark.table(table).agg(max(col("ingest_batch"))).head.getLong(0)
+    def fold(c: Column): Column =
+      when(c === maxB && maxB >= 0L, maxB).otherwise(-1L).as("ingest_batch")
+    spark.table(table)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        fold(col("ingest_batch")))
       .write.mode("overwrite").parquet(s"$stage/postings")
-    spark.table(s"${table}_docs").select(col("doc_id"), col("dl"))
+    spark.table(s"${table}_docs")
+      .select(col("doc_id"), col("dl"), fold(col("ingest_batch")))
       .write.mode("overwrite").parquet(s"$stage/docs")
     spark.table(s"${table}_stats")
+      .groupBy(fold(col("ingest_batch")))
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .select(col("n"), col("sdl"), col("ingest_batch"))
       .write.mode("overwrite").parquet(s"$stage/stats")
     graft.sources.Bucketing.writeBucketedPartitioned(
-      spark.read.parquet(s"$stage/postings").withColumn("ingest_batch", lit(-1L)),
+      spark.read.parquet(s"$stage/postings"),
       table, s"$path/postings", buckets, "term", "ingest_batch",
       Seq("term", "doc_id"))
-    spark.read.parquet(s"$stage/docs").withColumn("ingest_batch", lit(-1L))
+    spark.read.parquet(s"$stage/docs")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$path/docs").partitionBy("ingest_batch")
       .saveAsTable(s"${table}_docs")
-    spark.read.parquet(s"$stage/stats").withColumn("ingest_batch", lit(-1L))
+    spark.read.parquet(s"$stage/stats")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$path/stats").partitionBy("ingest_batch")
       .saveAsTable(s"${table}_stats")

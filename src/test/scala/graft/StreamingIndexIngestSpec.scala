@@ -115,13 +115,25 @@ class StreamingIndexIngestSpec extends SparkTestBase {
     assert(spark.table(tbl).select("ingest_batch").distinct().count() == 4)
     val rowsBefore = spark.table(tbl).count()
     StreamingIndexIngest.compactIvf(spark, tbl, s"$dir/idx", 8)
-    assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1,
-      "compaction must fold every batch partition into base")
+    // the NEWEST batch partition survives un-folded: it is the only one a
+    // restart can replay, and the replay must overwrite it, not duplicate
+    assert(spark.table(tbl).select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L),
+      "compaction must fold all but the newest batch partition")
     assert(spark.table(tbl).count() == rowsBefore)
     assert(Ann.ivfSearchPersisted(spark, tbl, cents, queries, 5, 2)
       .collect().toSeq == before, "compaction changed search results")
     assert(!new java.io.File(s"$dir/idx__compact").exists(),
       "stage directory must be cleaned up")
+    // the crash-window replay AFTER compaction: batch 2 re-lands its own
+    // partition; rows and results stay exact
+    StreamingIndexIngest.applyIvfBatch(
+      embAll.where(col("vec_id") % 4 === 3).select("vec_id", "embedding"),
+      cents, tbl, 2L)
+    assert(spark.table(tbl).count() == rowsBefore,
+      "post-compaction replay duplicated the newest batch")
+    assert(Ann.ivfSearchPersisted(spark, tbl, cents, queries, 5, 2)
+      .collect().toSeq == before, "post-compaction replay changed results")
     // serving shape preserved after the rebuild
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = spark.conf.get(conf)
@@ -150,11 +162,18 @@ class StreamingIndexIngestSpec extends SparkTestBase {
       .collect().toSeq
     assert(spark.table(s"${tbl}_stats").count() == 3)
     StreamingIndexIngest.compactBm25(spark, tbl, s"$dir/idx", 4)
-    assert(spark.table(s"${tbl}_stats").count() == 1,
-      "stats delta log must collapse to one total row")
-    assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1)
+    // folded total for base+batch0, plus the kept newest batch's delta row
+    assert(spark.table(s"${tbl}_stats").count() == 2,
+      "stats log must collapse to folded total + newest batch delta")
+    assert(spark.table(tbl).select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 1L))
     assert(Bm25.searchTopK(spark, tbl, Seq("table", "row", "window"), 10)
       .collect().toSeq == before, "compaction changed BM25 scores")
+    // crash-window replay of the kept newest batch: still idempotent
+    StreamingIndexIngest.applyBm25Batch(
+      docs.where(col("doc_id") % 3 === 2), "doc_id", "text", tbl, 1L)
+    assert(Bm25.searchTopK(spark, tbl, Seq("table", "row", "window"), 10)
+      .collect().toSeq == before, "post-compaction replay changed scores")
   }
 
   test("kill/restart: deleting the newest commit forces a replay; no double-append") {
