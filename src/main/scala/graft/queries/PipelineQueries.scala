@@ -6099,6 +6099,50 @@ object PipelineQueries {
           "ELSE 15.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[16]::DOUBLE END")} AS est_distinct
       | FROM sk""".stripMargin))
 
+  /** Streaming twin of [[qIvmKmvDistinct]]: the insert-only delta arrives
+    * as TWO micro-batches through [[graft.streaming.StreamingIvm.startKmv]]
+    * — each trigger union-merges the batch's hashes into the stored
+    * per-lang sketches and commits the next lake version (v0→v2),
+    * replay-safe via the pinned inception base. Deterministic sketch
+    * content makes the check exact: the final stored state must equal
+    * the from-scratch post-CDC recompute hash-for-hash, under ANY
+    * chunking of the delta (bottom-k union is associative).
+    */
+  val qStreamIvmKmv = Fixture(
+    "q_stream_ivm_kmv",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.Kmv
+      val k = 16
+      val docs = Tables.documents(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_kmvlake_${System.nanoTime}").getAbsolutePath
+      graft.sources.SnapshotLake.commit(
+        graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k), root, 0L)
+      def rows(df: DataFrame) = df
+        .select(col("lang"), lit("I").as("op"),
+          concat(col("source"), lit("_x")).as("new_v"))
+        .as[(String, String, String)].collect().toSeq
+      val b1 = rows(docs.where(ivmIns && col("doc_id") % 2 === 0))
+      val b2 = rows(docs.where(ivmIns && col("doc_id") % 2 === 1))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, String)]
+      val q = graft.streaming.StreamingIvm.startKmv(
+        ms.toDF().toDF("lang", "op", "new_v"),
+        root, Seq("lang"), k, s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .select(col("lang"),
+          aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("kmv_xor"),
+          size(col("kmv")).cast("long").as("sketch_size"),
+          Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
+    },
+    qIvmKmvDistinct.oracle)
+
   /** STREAMING hybrid retrieval — the serving form of [[qHybridRrf]]:
     * query rows arrive as a stream and are served against TWO indexes at
     * rest (the IVF cell-bucketed ANN index and the BM25 term-bucketed
@@ -6891,7 +6935,7 @@ object PipelineQueries {
     qStreamFrontier, qFrontierFetchAt,
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
-    qIvmRollup, qIvmMinmax, qStreamIvmRollup, qIvmKmvDistinct,
+    qIvmRollup, qIvmMinmax, qStreamIvmRollup, qIvmKmvDistinct, qStreamIvmKmv,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,

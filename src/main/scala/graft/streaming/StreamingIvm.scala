@@ -88,4 +88,39 @@ object StreamingIvm {
       }
       .start()
   }
+
+  /** [[applyBatch]] for a DISTINCT-COUNT (KMV sketch) view
+    * ([[Ivm.viewKmv]] schema): the micro-batch's insert-only delta
+    * union-merges into the stored per-key sketches and commits the next
+    * version. The sketch union is content-idempotent, but the version
+    * guard still makes a replay a SKIP, keeping version = f(batchId)
+    * exact; a delta carrying D/U ops throws ([[Ivm.applyDeltaKmv]]) and
+    * fails the query rather than silently mis-absorbing.
+    */
+  def applyBatchKmv(batch: DataFrame, root: String, keys: Seq[String],
+      k: Int, baseVersion: Long, batchId: Long): Boolean = {
+    val v = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, v)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(Ivm.applyDeltaKmv(view, batch, keys, k), root, v)
+      true
+    }
+  }
+
+  /** Start an insert-only delta stream into the KMV distinct-count view
+    * at `root` — streaming parity for the sketch-backed view class the
+    * algebraic fold can't carry.
+    */
+  def startKmv(deltas: DataFrame, root: String, keys: Seq[String], k: Int,
+      checkpoint: String): StreamingQuery = {
+    val base = inceptionBase(root, checkpoint)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchKmv(batch, root, keys, k, base, batchId)
+        ()
+      }
+      .start()
+  }
 }

@@ -40,6 +40,24 @@ class StreamingIvmSpec extends SparkTestBase {
     assert(SnapshotLake.currentVersion(root).contains(2L))
   }
 
+  test("KMV view stream: replayed batchId skips; version line advances") {
+    val root = freshDir("ivm_kmv_stream")
+    val base = Seq(("a", "s1"), ("a", "s2"), ("b", "s1")).toDF("g", "s")
+    SnapshotLake.commit(Ivm.viewKmv(base, Seq("g"), "s", 4), root, 0L)
+    val d1 = Seq(("a", "I", "s3")).toDF("g", "op", "new_v")
+    assert(StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, 0L, 0L))
+    val once = SnapshotLake.read(spark, root)
+      .where(col("g") === "a").select(size(col("kmv"))).as[Int].head()
+    assert(once == 3)
+    // replay: skip (and the union would be content-idempotent anyway)
+    assert(!StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, 0L, 0L))
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+    // refreshed == recomputed, the deterministic-sketch bar
+    assertSameRows(SnapshotLake.read(spark, root),
+      Ivm.viewKmv(base.unionByName(Seq(("a", "s3")).toDF("g", "s")),
+        Seq("g"), "s", 4))
+  }
+
   test("inception base is pinned per checkpoint — restart after commit-" +
       "before-checkpoint replays into the SAME version and skips") {
     val root = freshDir("ivm_base_pin")
