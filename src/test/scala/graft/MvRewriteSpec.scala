@@ -298,6 +298,11 @@ class MvRewriteSpec extends SparkTestBase {
       assert(paths.exists(_.contains(mvDir)), s"join rollup must hit MV: $paths")
       assert(!paths.exists(p => p.contains("/fact") || p.contains("/dim")),
         s"fact/dim still scanned: $paths")
+      // the served plan carries NO join at all — the fact⋈dim shuffle was
+      // paid at materialization, the query is view-sized end to end
+      assert(!q.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must not contain a Join")
       val expect = (1 to 300).groupBy(i => s"a${(i % 20) % 4}")
         .map { case (a, is) => a -> ((is.map(_.toLong).sum, is.size.toLong)) }
       q.collect().foreach { r =>
