@@ -313,12 +313,9 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     val scan = MvRegistry.currentRelation(SparkSession.active, mv).newInstance()
     def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
     // the key-only base predicate, re-rooted onto the MV scan's attributes
-    val child: LogicalPlan = cond match {
-      case Some(c) => Filter(c.transform {
-        case a: AttributeReference => mvAttr(a.name)
-      }, scan)
-      case None => scan
-    }
+    val remappedCond = cond.map(_.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    })
     val exact = keys.toSet == mv.keys.toSet
     // map every output of the original aggregate
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
@@ -363,6 +360,18 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     if (mapped.exists(_.isEmpty)) None
     else {
       val outputs = mapped.map(_.get)
+      // prune the scan to the columns the outputs, grouping keys, and
+      // filter actually touch: this rule runs AFTER the main optimizer's
+      // ColumnPruning batch, so nothing downstream will — without it a
+      // wide MV (many declared measures) would read every measure column
+      // for a one-measure query
+      val keyAttrs = if (exact) Seq.empty[Attribute] else keys.map(mvAttr)
+      val used = (outputs.flatMap(_.references) ++ keyAttrs ++
+        remappedCond.toSeq.flatMap(_.references)).map(_.exprId).toSet
+      val prunedScan: LogicalPlan =
+        if (scan.output.forall(a => used.contains(a.exprId))) scan
+        else Project(scan.output.filter(a => used.contains(a.exprId)), scan)
+      val child = remappedCond.map(Filter(_, prunedScan)).getOrElse(prunedScan)
       val plan =
         if (exact) Project(outputs, child)
         else Aggregate(keys.map(mvAttr), outputs, child)
