@@ -336,6 +336,43 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("versioned star-join store: refresh serves v1 with no re-register") {
+    // the two round-14 tiers composed: a JOIN view in a SnapshotLake root
+    import graft.sources.SnapshotLake
+    val parent = freshDir("mv_jver")
+    (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("fk", "v")
+      .write.parquet(s"$parent/fact")
+    (0 until 10).map(p => (p.toLong, s"a${p % 2}")).toDF("pk", "attr")
+      .write.parquet(s"$parent/dim")
+    val fact = spark.read.parquet(s"$parent/fact")
+    val dim = spark.read.parquet(s"$parent/dim")
+    val root = s"$parent/store"
+    SnapshotLake.commit(fact.join(dim, col("fk") === col("pk"))
+      .groupBy("attr").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")),
+      root, 0L)
+    MvRegistry.registerJoin(spark, "mv_jver", s"$parent/fact", s"$parent/dim",
+      "fk", "pk", Seq("attr"),
+      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v"))), root)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def q = fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum(col("v")).as("s"))
+      val v0 = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(scanPaths(q).exists(_.stripSuffix("/").endsWith("/v0")))
+      SnapshotLake.commit(
+        spark.read.parquet(SnapshotLake.versionPath(root, 0L))
+          .withColumn("sum_v", col("sum_v") + 500L), root, 1L)
+      val v1 = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      v0.foreach { case (a, s0) => assert(v1(a) == s0 + 500L, a) }
+      assert(scanPaths(q).exists(_.stripSuffix("/").endsWith("/v1")),
+        s"join view must serve the refreshed version: ${scanPaths(q)}")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_jver")
+    }
+  }
+
   test("deregistered view no longer rewrites") {
     val paths = withMv { (_, base) => // registry emptied by withMv's finally
       base
