@@ -162,7 +162,11 @@ object Ivm {
   def applyDeltaKmv(view: DataFrame, delta: DataFrame, keys: Seq[String],
       k: Int): DataFrame = {
     import graft.functions.Kmv
-    require(delta.where(col("op") =!= "I").isEmpty,
+    // null-safe (<=>): a NULL op is NOT an insert and must fail loudly —
+    // `op =!= "I"` evaluates to NULL (not true) for such rows, which would
+    // slip them past the require only to be silently dropped by the
+    // op === "I" sketch filter below instead of triggering the refusal
+    require(delta.where(!(col("op") <=> "I")).isEmpty,
       "KMV distinct views refresh from INSERT-only deltas; " +
         "deletes/updates require a recompute (sketches are not subtractive)")
     val d = Kmv.sketch(delta.where(col("op") === "I"), keys,

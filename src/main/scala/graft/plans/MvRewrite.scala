@@ -65,9 +65,14 @@ object MvRegistry {
       join: Option[JoinDef] = None)
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
-  // one analyzed relation per committed version; version dirs are immutable
+  // one analyzed relation per STORE PATH, tagged with its version: only
+  // `_CURRENT` is ever served, so when a refresh advances the pointer the
+  // superseded version's entry is dead by construction — keyed by path and
+  // replaced on version advance, the cache is bounded by |registered
+  // stores|, not by refresh count (a per-minute IVM refresher used to leak
+  // one analyzed plan + file index per trigger, forever).
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), LogicalRelation]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, LogicalRelation)]()
 
   private def analyzeRelation(spark: SparkSession, path: String): LogicalRelation =
     spark.read.parquet(path).queryExecution.analyzed
@@ -81,8 +86,16 @@ object MvRegistry {
     * plain parquet directory (fixed relation captured now); columns must
     * include keys ++ aggs.outName either way.
     */
-  def register(spark: SparkSession, name: String, basePathTail: String,
-      keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
+  /** The complete, validated MvDef — NOT yet published. [[register]] and
+    * [[registerJoin]] both publish with one `views.put` of the finished
+    * definition: publishing a join view in two steps would open a window
+    * where a concurrent query aggregating the fact table ALONE passes
+    * `tryPlain`'s join-isEmpty guard and is served from the join MV, whose
+    * dim join may have dropped or multiplied fact rows.
+    */
+  private def buildDef(spark: SparkSession, name: String,
+      basePathTail: String, keys: Seq[String], aggs: Seq[AggDef],
+      mvPath: String, join: Option[JoinDef]): MvDef = {
     import graft.sources.SnapshotLake
     val versionedAt = SnapshotLake.currentVersion(mvPath)
     val lr = analyzeRelation(spark,
@@ -90,27 +103,36 @@ object MvRegistry {
     val have = lr.output.map(_.name).toSet
     val need = keys ++ aggs.map(_.outName)
     require(need.forall(have), s"MV $mvPath lacks ${need.filterNot(have)}")
-    views.put(name, MvDef(name, basePathTail, keys, aggs, mvPath,
-      if (versionedAt.isDefined) None else Some(lr)))
+    MvDef(name, basePathTail, keys, aggs, mvPath,
+      if (versionedAt.isDefined) None else Some(lr), join)
+  }
+
+  def register(spark: SparkSession, name: String, basePathTail: String,
+      keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
+    views.put(name,
+      buildDef(spark, name, basePathTail, keys, aggs, mvPath, None))
+    ()
   }
 
   /** Register a STAR-JOIN view: `mvPath` materialized
     * `<factPathTail> INNER JOIN <dimPathTail> ON factKey = dimKey`
     * aggregated to `keys`. Queries re-stating that join shape rewrite to
     * the group-sized MV; everything else about the store (versioning,
-    * rollup arms, key filters) behaves like [[register]].
+    * rollup arms, key filters) behaves like [[register]]. Published
+    * atomically WITH its JoinDef (one put — see [[buildDef]]).
     */
   def registerJoin(spark: SparkSession, name: String, factPathTail: String,
       dimPathTail: String, factKey: String, dimKey: String,
       keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
-    register(spark, name, factPathTail, keys, aggs, mvPath)
-    val mv = views.get(name)
-    views.put(name, mv.copy(join = Some(JoinDef(dimPathTail, factKey, dimKey))))
+    views.put(name, buildDef(spark, name, factPathTail, keys, aggs, mvPath,
+      Some(JoinDef(dimPathTail, factKey, dimKey))))
+    ()
   }
 
   /** The relation to serve NOW: fixed stores return the registration-time
     * capture; version-stamped stores resolve `_CURRENT` and analyze (once
-    * per version — cached; a version directory never changes).
+    * per version — the path's cache entry is REPLACED when the pointer
+    * advances, so superseded versions do not accumulate).
     */
   def currentRelation(spark: SparkSession, mv: MvDef): LogicalRelation =
     mv.fixed.getOrElse {
@@ -118,11 +140,19 @@ object MvRegistry {
       val v = SnapshotLake.currentVersion(mv.mvPath).getOrElse(
         throw new IllegalStateException(
           s"MV store ${mv.mvPath} lost its _CURRENT pointer"))
-      relCache.computeIfAbsent((mv.mvPath, v),
-        k => analyzeRelation(spark, SnapshotLake.versionPath(k._1, k._2)))
+      relCache.compute(mv.mvPath, (_, prev) =>
+        if (prev != null && prev._1 == v) prev
+        else (v, analyzeRelation(spark, SnapshotLake.versionPath(mv.mvPath, v))))
+        ._2
     }
 
-  def deregister(name: String): Unit = views.remove(name)
+  def deregister(name: String): Unit =
+    Option(views.remove(name)).foreach(mv => relCache.remove(mv.mvPath))
+
+  /** Test hook: the number of cached analyzed relations — bounded by the
+    * number of registered version-stamped stores, never by refresh count.
+    */
+  private[graft] def relCacheSize: Int = relCache.size
   def isEmpty: Boolean = views.isEmpty
   def all: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
@@ -329,10 +359,18 @@ case class MvRewrite() extends Rule[LogicalPlan] {
           val src = mvAttr(d.outName)
           if (exact) src
           else d.fn match {
-            // rollup re-aggregation: partial counts/sums SUM
-            case "sum" | "count" => Sum(src).toAggregateExpression()
-            case "min"           => Min(src).toAggregateExpression()
-            case "max"           => Max(src).toAggregateExpression()
+            // rollup re-aggregation: partial counts/sums SUM. A count
+            // rollup is Coalesce'd to 0: a GLOBAL (no GROUP BY) count
+            // over zero matching MV groups must return 0 exactly like
+            // Count over an empty corpus — bare Sum would return NULL,
+            // a silent wrong answer (grouped rollups never hit the
+            // fallback: a group row implies ≥1 non-null partial count).
+            // sum/min/max/avg keep NULL-on-empty, matching the original.
+            case "count" => Coalesce(Seq(
+              Sum(src).toAggregateExpression(), Literal(0L)))
+            case "sum"   => Sum(src).toAggregateExpression()
+            case "min"   => Min(src).toAggregateExpression()
+            case "max"   => Max(src).toAggregateExpression()
           }
         }
         fnOf(ae).flatMap {

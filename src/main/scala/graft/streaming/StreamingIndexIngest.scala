@@ -48,6 +48,51 @@ object StreamingIndexIngest {
     }
   }
 
+  /** The single-writer contract, ENFORCED: compaction stages and then
+    * REBUILDS the index table, and a micro-batch landing inside that
+    * stage→rebuild window writes into a table about to be overwritten —
+    * silently lost rows. Compaction holds a lock file (a sibling of the
+    * table directory, so the rebuild's own overwrite can't wipe it) for
+    * its whole run; every ingest write checks it first and fails LOUDLY,
+    * which under Structured Streaming fails the micro-batch — the batch
+    * replays with the same batchId once the compaction finishes, and the
+    * partition overwrite makes that replay exact. Lock, not queue: an
+    * index compaction is rare and operator-initiated; blocking ingest
+    * inside foreachBatch would just hide the coordination.
+    */
+  private def lockPath(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + "__lock")
+  }
+
+  private def requireNotCompacting(spark: SparkSession, table: String): Unit = {
+    val p = lockPath(spark, table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"index $table is being compacted (lock $p present); the failed " +
+        "micro-batch will replay with the same batchId after the " +
+        "compaction releases the lock")
+  }
+
+  private def withCompactionLock[T](spark: SparkSession, table: String)(
+      body: => T): T = {
+    val p = lockPath(spark, table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.createNewFile(p), s"compaction lock $p already held")
+    try body finally { fs.delete(p, false); () }
+  }
+
+  /** max(ingest_batch) of the table, or None when it is empty (max over
+    * zero rows is NULL — compacting a fresh index is a no-op, not an NPE).
+    */
+  private def maxBatchOf(spark: SparkSession, table: String): Option[Long] = {
+    val row = spark.table(table).agg(max(col("ingest_batch"))).head
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   /** Land one micro-batch of (vec_id, embedding) rows into an
     * [[Ann.ivfWriteIndexIngestable]] table as partition `batchId` —
     * assignment under the index's OWN centroid model (the
@@ -56,6 +101,7 @@ object StreamingIndexIngest {
   def applyIvfBatch(batch: DataFrame, centroids: DataFrame, table: String,
       batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
+      requireNotCompacting(batch.sparkSession, table)
       Ann.ivfAssign(batch, centroids)
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite").insertInto(table)
@@ -82,14 +128,22 @@ object StreamingIndexIngest {
   def applyBm25Batch(batch: DataFrame, idCol: String, textCol: String,
       table: String, batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
+      requireNotCompacting(batch.sparkSession, table)
+      // cache the tokenized batch: all three writes read it, and without
+      // the cache each write re-tokenizes from scratch — a 3× per-trigger
+      // tax on the continuous-crawl path (batch-sized, so memory-safe;
+      // same rationale as minhashWriteIndex's shingle cache)
       val base = Bm25.tokenized(batch, idCol, textCol)
-      base.select(col("doc_id"), col("dl"), lit(batchId).as("ingest_batch"))
-        .write.mode("overwrite").insertInto(s"${table}_docs")
-      Bm25.postingsOf(base).withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite").insertInto(table)
-      base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite").insertInto(s"${table}_stats")
+      base.persist()
+      try {
+        base.select(col("doc_id"), col("dl"), lit(batchId).as("ingest_batch"))
+          .write.mode("overwrite").insertInto(s"${table}_docs")
+        Bm25.postingsOf(base).withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").insertInto(table)
+        base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").insertInto(s"${table}_stats")
+      } finally { base.unpersist(blocking = false); () }
     }
 
   /** Start a document stream into the persisted BM25 index. */
@@ -119,22 +173,26 @@ object StreamingIndexIngest {
     * if that partition had been folded into −1, the replay would
     * re-create it beside the folded copy and double those rows. Folding
     * strictly older partitions keeps replay-overwrite semantics exact
-    * across a stop → compact → restart sequence. Stop the ingest stream
-    * around a compaction — single-writer, like every layout rewrite here.
+    * across a stop → compact → restart sequence. Single-writer is
+    * ENFORCED, not advisory: compaction holds a lock file for its whole
+    * run and any concurrent ingest write fails loudly (then replays
+    * exactly once the lock clears — see [[requireNotCompacting]]); an
+    * empty/fresh index compacts as a no-op.
     */
   def compactIvf(spark: SparkSession, table: String, path: String,
-      buckets: Int): Unit = {
-    val stage = s"${path}__compact"
-    val maxB = spark.table(table).agg(max(col("ingest_batch"))).head.getLong(0)
-    spark.table(table)
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        when(col("ingest_batch") === maxB && maxB >= 0L, maxB)
-          .otherwise(-1L).as("ingest_batch"))
-      .write.mode("overwrite").parquet(stage)
-    graft.sources.Bucketing.writeBucketedPartitioned(
-      spark.read.parquet(stage),
-      table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
-    deleteDir(stage)
+      buckets: Int): Unit = withCompactionLock(spark, table) {
+    maxBatchOf(spark, table).foreach { maxB => // empty index → no-op
+      val stage = s"${path}__compact"
+      spark.table(table)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          when(col("ingest_batch") === maxB && maxB >= 0L, maxB)
+            .otherwise(-1L).as("ingest_batch"))
+        .write.mode("overwrite").parquet(stage)
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        spark.read.parquet(stage),
+        table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
+      deleteDir(stage)
+    }
   }
 
   /** [[compactIvf]] for the three-table BM25 ingestable index: postings
@@ -145,9 +203,15 @@ object StreamingIndexIngest {
     * probe time, paid once here instead) plus the newest batch's row.
     */
   def compactBm25(spark: SparkSession, table: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit = withCompactionLock(spark, table) {
+    maxBatchOf(spark, table).foreach { maxB => // empty index → no-op
+      compactBm25At(spark, table, path, buckets, maxB)
+    }
+  }
+
+  private def compactBm25At(spark: SparkSession, table: String, path: String,
+      buckets: Int, maxB: Long): Unit = {
     val stage = s"${path}__compact"
-    val maxB = spark.table(table).agg(max(col("ingest_batch"))).head.getLong(0)
     def fold(c: Column): Column =
       when(c === maxB && maxB >= 0L, maxB).otherwise(-1L).as("ingest_batch")
     spark.table(table)

@@ -115,6 +115,14 @@ class IvmSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ivm.applyDeltaKmv(v1, del, Seq("g"), 4)
     }
+    // a NULL op is NOT an insert: `op =!= "I"` is NULL (not true) for it,
+    // which used to slip past the guard and then be silently dropped by
+    // the op === "I" sketch filter — the null-safe guard refuses loudly
+    val nullOp = Seq(("a", Option("I"), "ok"), ("a", Option.empty[String], "bad"))
+      .toDF("g", "op", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaKmv(v1, nullOp, Seq("g"), 4)
+    }
   }
 
   test("NEW group with intra-batch deletions recomputes: {I 1, I 5, D 1} -> min 5") {

@@ -373,6 +373,86 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("global count(*) over zero matching groups returns 0, not NULL") {
+    withMv { (mvDir, base) =>
+      // no GROUP BY + a key filter matching NOTHING: the original plan
+      // returns one row with count=0; the count rollup arm must Coalesce
+      // Sum(partial counts) to 0 or the rewrite silently answers NULL
+      val q = base.where(col("g1") === "nope")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(scanPaths(q).exists(_.contains(mvDir)),
+        s"global agg with key filter must serve from MV: ${scanPaths(q)}")
+      val r = q.head
+      assert(r.getLong(0) == 0L, s"count must be 0, got ${r.get(0)}")
+      assert(r.isNullAt(1), "sum over empty stays NULL (matches original)")
+      // non-empty global: values still correct
+      val all = base.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head
+      assert(all.getLong(0) == 300L && all.getLong(1) == (1 to 300).map(_.toLong).sum)
+    }
+  }
+
+  test("relCache holds ONE entry per versioned store across refresh cycles") {
+    import graft.sources.SnapshotLake
+    val parent = freshDir("mv_cache")
+    (1 to 60).map(i => (s"g${i % 3}", i.toLong)).toDF("g1", "v")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val root = s"$parent/store"
+    SnapshotLake.commit(base.groupBy("g1")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")), root, 0L)
+    val sizeBefore = MvRegistry.relCacheSize
+    MvRegistry.register(spark, "mv_cache", s"$parent/base", Seq("g1"),
+      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v"))), root)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def serve(): Unit = {
+        val q = base.groupBy("g1").agg(sum(col("v")).as("s"))
+        assert(scanPaths(q).exists(_.contains("/store/")), "must serve from MV")
+        q.collect()
+      }
+      serve()
+      // 3 refresh→serve cycles: a per-version cache would grow by one
+      // analyzed plan per cycle; the path-keyed cache REPLACES the entry
+      (1L to 3L).foreach { v =>
+        SnapshotLake.commit(
+          spark.read.parquet(SnapshotLake.versionPath(root, v - 1)), root, v)
+        serve()
+        assert(MvRegistry.relCacheSize == sizeBefore + 1,
+          s"cache grew on refresh $v: ${MvRegistry.relCacheSize}")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_cache")
+    }
+    assert(MvRegistry.relCacheSize == sizeBefore,
+      "deregister must drop the path's cached relation")
+  }
+
+  test("registerJoin publishes atomically: plain fact agg never served mid-register") {
+    // buildDef constructs the COMPLETE MvDef (incl. JoinDef) before the one
+    // views.put — verified structurally: immediately after registerJoin
+    // returns, the def carries its join, and no name is ever visible with
+    // join = None (the old two-put window served fact-only aggregates from
+    // a join MV). The registry exposes `all`; assert the invariant there.
+    val parent = freshDir("mv_atomic")
+    (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("fk", "v")
+      .write.parquet(s"$parent/fact")
+    (0 until 5).map(p => (p.toLong, s"a$p")).toDF("pk", "attr")
+      .write.parquet(s"$parent/dim")
+    val fact = spark.read.parquet(s"$parent/fact")
+    val dim = spark.read.parquet(s"$parent/dim")
+    fact.join(dim, col("fk") === col("pk")).groupBy("attr")
+      .agg(count(lit(1)).as("cnt")).write.parquet(s"$parent/mv")
+    MvRegistry.registerJoin(spark, "mv_atomic", s"$parent/fact",
+      s"$parent/dim", "fk", "pk", Seq("attr"),
+      Seq(AggDef("cnt", "count", None)), s"$parent/mv")
+    try {
+      val d = MvRegistry.all.find(_.name == "mv_atomic").get
+      assert(d.join.isDefined, "JoinDef must be visible with the first put")
+    } finally MvRegistry.deregister("mv_atomic")
+  }
+
   test("deregistered view no longer rewrites") {
     val paths = withMv { (_, base) => // registry emptied by withMv's finally
       base

@@ -176,6 +176,95 @@ class StreamingIndexIngestSpec extends SparkTestBase {
       .collect().toSeq == before, "post-compaction replay changed scores")
   }
 
+  test("compacting an EMPTY index is a no-op, not an NPE") {
+    // max(ingest_batch) over zero rows is NULL; the guard must turn that
+    // into "nothing to fold" for both index families
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_empty_$run"
+    val dir = freshDir("ing_empty")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") < 0), cents,
+      tbl, s"$dir/idx", 4)
+    StreamingIndexIngest.compactIvf(spark, tbl, s"$dir/idx", 4)
+    assert(spark.table(tbl).count() == 0)
+    val bmTbl = s"ing_empty_bm_$run"
+    val docs = Tables.documents(spark, sfDir)
+    Bm25.writeIndexIngestable(docs.where(col("doc_id") < 0),
+      "doc_id", "text", bmTbl, s"$dir/bm", 4)
+    StreamingIndexIngest.compactBm25(spark, bmTbl, s"$dir/bm", 4)
+    assert(spark.table(bmTbl).count() == 0)
+    // the fresh-but-empty index still ingests normally afterwards
+    StreamingIndexIngest.applyIvfBatch(
+      embAll.where(col("vec_id") < 20).select("vec_id", "embedding"),
+      cents, tbl, 0L)
+    assert(spark.table(tbl).count() == 20)
+  }
+
+  test("ingest during a compaction fails loudly (single-writer lock)") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_lock_$run"
+    val dir = freshDir("ing_lock")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 2 === 0), cents,
+      tbl, s"$dir/idx", 4)
+    val batch = embAll.where(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    // simulate a compaction in flight: the lock file is a SIBLING of the
+    // table directory (the rebuild's own overwrite can't wipe it)
+    val lock = new java.io.File(s"$dir/idx__lock")
+    assert(lock.createNewFile())
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
+      }
+      assert(e.getMessage.contains("compacted"), e.getMessage)
+      assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1,
+        "the refused batch must not have written anything")
+    } finally { lock.delete(); () }
+    // lock released → the SAME batchId lands cleanly (the replay path)
+    StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
+    assert(spark.table(tbl).where(col("ingest_batch") === 0L).count() ==
+      batch.count())
+    // BM25 family: lock sits beside the postings table directory
+    val bmTbl = s"ing_lock_bm_$run"
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 0)
+    Bm25.writeIndexIngestable(docs, "doc_id", "text", bmTbl, s"$dir/bm", 4)
+    val bmLock = new java.io.File(s"$dir/bm/postings__lock")
+    assert(bmLock.createNewFile())
+    try intercept[IllegalArgumentException] {
+      StreamingIndexIngest.applyBm25Batch(
+        Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 1),
+        "doc_id", "text", bmTbl, 0L)
+    } finally { bmLock.delete(); () }
+  }
+
+  test("BM25 ingest tokenizes each micro-batch ONCE across its three writes") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_tok_$run"
+    val dir = freshDir("ing_tok")
+    val docs = Tables.documents(spark, sfDir)
+    Bm25.writeIndexIngestable(docs.where(col("doc_id") % 5 === 0),
+      "doc_id", "text", tbl, s"$dir/idx", 4)
+    // count SOURCE SCANS of the batch with an accumulator inside a
+    // nondeterministic identity UDF (nondeterministic so the optimizer
+    // can't clone it into several projections): with the tokenized batch
+    // cached across the docs/postings/stats writes the batch is read once;
+    // the old 3× re-tokenization read it three times
+    val acc = spark.sparkContext.longAccumulator(s"tok_scans_$run")
+    val touch = udf { (s: String) => acc.add(1L); s }.asNondeterministic()
+    val batch = docs.where(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), touch(col("text")).as("text"))
+    val n = batch.count()
+    acc.reset()
+    StreamingIndexIngest.applyBm25Batch(batch, "doc_id", "text", tbl, 0L)
+    assert(acc.value == n,
+      s"batch text scanned ${acc.value} row-reads for $n rows — " +
+        "expected exactly one tokenize pass")
+    // and the landed batch is complete (all three tables see it)
+    assert(spark.table(s"${tbl}_docs").where(col("ingest_batch") === 0L)
+      .count() == n)
+    assert(spark.table(s"${tbl}_stats").where(col("ingest_batch") === 0L)
+      .count() == 1)
+  }
+
   test("kill/restart: deleting the newest commit forces a replay; no double-append") {
     val run = java.lang.Long.toHexString(System.nanoTime)
     val tbl = s"ing_ivf_kr_$run"
