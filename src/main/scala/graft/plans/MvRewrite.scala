@@ -53,18 +53,43 @@ object MvRegistry {
     */
   final case class AggDef(outName: String, fn: String, inputCol: Option[String])
 
-  /** STAR-JOIN views: the MV materialized
-    * `fact INNER JOIN dim ON fact.factKey = dim.dimKey` before
-    * aggregating — the classic star rollup (dim attributes as grouping
-    * keys, fact columns as measures).
+  /** One dimension of a STAR/SNOWFLAKE view: its anchor (path tail or
+    * catalog table name) and the equi-key pairs that join it in —
+    * `(leftName, dimName)` column-name pairs, where `leftName` may live on
+    * the fact table (star) or on another dim (snowflake chain), and a dim
+    * may join on a COMPOSITE key (several pairs). Names are global across
+    * the join (the matcher requires join-wide unique column names), so a
+    * name pair identifies the join condition unambiguously.
     */
-  final case class JoinDef(dimPathTail: String, factKey: String, dimKey: String)
+  final case class DimDef(dimPathTail: String, keys: Seq[(String, String)])
+
+  /** JOIN views: the MV materialized the fact table inner-joined with
+    * every [[DimDef]] (in any association order — inner joins commute)
+    * before aggregating — star, snowflake, and composite-key rollups.
+    */
+  final case class JoinDef(dims: Seq[DimDef])
 
   final case class MvDef(name: String, basePathTail: String, keys: Seq[String],
       aggs: Seq[AggDef], mvPath: String, fixed: Option[LogicalRelation],
       join: Option[JoinDef] = None)
 
+  /** A DISTINCT-COUNT view held as a per-group KMV sketch store
+    * ([[graft.operators.Ivm.viewKmv]] schema: keys :+ `kmv`): serves
+    * `graft_kmv(hash64(valueCol), k)` sketch aggregates over the base
+    * table, and — opt-in via `serveExactDistinct` — `count(DISTINCT
+    * valueCol)` as the sketch size. The exact arm is the registrant's
+    * CONTRACT that every group's distinct count stays under k (the
+    * underfull regime, where the bottom-k set IS the complete distinct
+    * hash set); outside it the sketch is an estimate and the exact arm
+    * must stay off.
+    */
+  final case class KmvDef(name: String, basePathTail: String,
+      keys: Seq[String], valueCol: String, k: Int, mvPath: String,
+      fixed: Option[LogicalRelation], serveExactDistinct: Boolean)
+
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val kmvViews =
+    new java.util.concurrent.ConcurrentHashMap[String, KmvDef]()
   // one analyzed relation per STORE PATH, tagged with its version: only
   // `_CURRENT` is ever served, so when a refresh advances the pointer the
   // superseded version's entry is dead by construction — keyed by path and
@@ -123,9 +148,51 @@ object MvRegistry {
     */
   def registerJoin(spark: SparkSession, name: String, factPathTail: String,
       dimPathTail: String, factKey: String, dimKey: String,
+      keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit =
+    registerSnowflake(spark, name, factPathTail,
+      Seq(dimPathTail -> Seq(factKey -> dimKey)), keys, aggs, mvPath)
+
+  /** Register a SNOWFLAKE / composite-key join view: the MV materialized
+    * `<factPathTail> ⋈ dim₁ ⋈ dim₂ ⋈ …` (all inner, each dim joined by
+    * its [[DimDef]] name pairs — a pair's left side may be a fact column
+    * or another dim's column, so chains like fact⋈orders⋈customer
+    * register naturally) aggregated to `keys`. A query re-stating exactly
+    * that join set — in ANY association order, with exactly those equi
+    * conditions — serves from the group-sized MV.
+    */
+  def registerSnowflake(spark: SparkSession, name: String,
+      factPathTail: String, dims: Seq[(String, Seq[(String, String)])],
       keys: Seq[String], aggs: Seq[AggDef], mvPath: String): Unit = {
+    require(dims.nonEmpty && dims.forall(_._2.nonEmpty),
+      "every dim needs at least one key pair")
+    require(dims.map(_._1).distinct.size == dims.size,
+      "dim anchors must be distinct (the same table twice would also " +
+        "break the matcher's unique-name requirement)")
     views.put(name, buildDef(spark, name, factPathTail, keys, aggs, mvPath,
-      Some(JoinDef(dimPathTail, factKey, dimKey))))
+      Some(JoinDef(dims.map { case (t, ks) => DimDef(t, ks) }))))
+    ()
+  }
+
+  /** Register a KMV sketch store ([[graft.operators.Ivm.viewKmv]] output
+    * at `mvPath` — SnapshotLake root or plain parquet, like [[register]])
+    * as the DISTINCT-COUNT view of `basePathTail` grouped by exactly
+    * `keys` over hash64(`valueCol`). `serveExactDistinct = true` is the
+    * registrant's contract that per-group distinct counts stay < k
+    * (underfull sketches are complete), enabling `count(DISTINCT v)`
+    * service; sketch-aggregate (`graft_kmv`) queries serve either way.
+    */
+  def registerKmv(spark: SparkSession, name: String, basePathTail: String,
+      keys: Seq[String], valueCol: String, k: Int, mvPath: String,
+      serveExactDistinct: Boolean = false): Unit = {
+    import graft.sources.SnapshotLake
+    val versionedAt = SnapshotLake.currentVersion(mvPath)
+    val lr = analyzeRelation(spark,
+      versionedAt.map(v => SnapshotLake.versionPath(mvPath, v)).getOrElse(mvPath))
+    val have = lr.output.map(_.name).toSet
+    val need = keys :+ "kmv"
+    require(need.forall(have), s"KMV store $mvPath lacks ${need.filterNot(have)}")
+    kmvViews.put(name, KmvDef(name, basePathTail, keys, valueCol, k, mvPath,
+      if (versionedAt.isDefined) None else Some(lr), serveExactDistinct))
     ()
   }
 
@@ -135,28 +202,38 @@ object MvRegistry {
     * advances, so superseded versions do not accumulate).
     */
   def currentRelation(spark: SparkSession, mv: MvDef): LogicalRelation =
-    mv.fixed.getOrElse {
+    serveRelation(spark, mv.mvPath, mv.fixed)
+
+  private[graft] def serveRelation(spark: SparkSession, mvPath: String,
+      fixed: Option[LogicalRelation]): LogicalRelation =
+    fixed.getOrElse {
       import graft.sources.SnapshotLake
-      val v = SnapshotLake.currentVersion(mv.mvPath).getOrElse(
+      val v = SnapshotLake.currentVersion(mvPath).getOrElse(
         throw new IllegalStateException(
-          s"MV store ${mv.mvPath} lost its _CURRENT pointer"))
-      relCache.compute(mv.mvPath, (_, prev) =>
+          s"MV store $mvPath lost its _CURRENT pointer"))
+      relCache.compute(mvPath, (_, prev) =>
         if (prev != null && prev._1 == v) prev
-        else (v, analyzeRelation(spark, SnapshotLake.versionPath(mv.mvPath, v))))
+        else (v, analyzeRelation(spark, SnapshotLake.versionPath(mvPath, v))))
         ._2
     }
 
-  def deregister(name: String): Unit =
+  def deregister(name: String): Unit = {
     Option(views.remove(name)).foreach(mv => relCache.remove(mv.mvPath))
+    Option(kmvViews.remove(name)).foreach(kv => relCache.remove(kv.mvPath))
+  }
 
   /** Test hook: the number of cached analyzed relations — bounded by the
     * number of registered version-stamped stores, never by refresh count.
     */
   private[graft] def relCacheSize: Int = relCache.size
-  def isEmpty: Boolean = views.isEmpty
+  def isEmpty: Boolean = views.isEmpty && kmvViews.isEmpty
   def all: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values.asScala.toSeq
+  }
+  def allKmv: Seq[KmvDef] = {
+    import scala.jdk.CollectionConverters._
+    kmvViews.values.asScala.toSeq
   }
 }
 
@@ -169,7 +246,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The base parquet path beneath an optional stack of column-pruning
+  /** The base relation beneath an optional stack of column-pruning
     * Projects and Filters, plus the conjunction of the Filter conditions
     * found on the way down (v2: a predicate on grouping keys commutes with
     * the rollup, so `WHERE lang = 'en' GROUP BY source` can serve from an
@@ -177,18 +254,16 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     * the corpus; whether the collected condition qualifies is decided by
     * the caller against the matched MV's key set).
     */
-  private def baseScan(p: LogicalPlan): Option[(String, Option[Expression])] =
+  private def baseScan(
+      p: LogicalPlan): Option[(LogicalRelation, Option[Expression])] =
     p match {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map(_.toString -> None)
-        case _ => None
-      }
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some((lr, None))
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         baseScan(c)
       case Filter(cond, c) =>
-        baseScan(c).map { case (path, inner) =>
-          (path, Some(inner.fold(cond)(And(cond, _))))
+        baseScan(c).map { case (lr, inner) =>
+          (lr, Some(inner.fold(cond)(And(cond, _))))
         }
       case _ => None
     }
@@ -203,6 +278,26 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     val p = scanPath.stripSuffix("/")
     val t = tail.stripSuffix("/").stripPrefix("/")
     p == t || p.endsWith("/" + t)
+  }
+
+  /** Does this scan belong to the registered anchor? Two spellings of the
+    * same table must both hit: a path anchor matches the file scan's root
+    * path ([[pathMatches]]), and a CATALOG anchor (a registered tail with
+    * no '/' — a bare table name, or `db.table`) matches the relation's
+    * catalog identifier — so `spark.table("docs")` rewrites against an MV
+    * registered on `docs` even though its file location is the warehouse
+    * directory, not the registered tail.
+    */
+  private def anchorMatches(lr: LogicalRelation, tail: String): Boolean = {
+    val pathOk = lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.exists(p => pathMatches(p.toString, tail))
+      case _ => false
+    }
+    pathOk || (!tail.contains("/") && lr.catalogTable.exists { ct =>
+      ct.identifier.table.equalsIgnoreCase(tail) ||
+        ct.identifier.unquotedString.equalsIgnoreCase(tail)
+    })
   }
 
   /** A base-side Filter is servable from the MV iff it is deterministic,
@@ -222,101 +317,243 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       if (agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
         Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
       else None
-    keyNames.flatMap(keys => tryPlain(agg, keys).orElse(tryJoin(agg, keys)))
+    keyNames.flatMap(keys => tryPlain(agg, keys).orElse(tryJoin(agg, keys))
+      .orElse(tryKmv(agg, keys)))
   }
 
   private def tryPlain(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
     for {
-      (path, cond) <- baseScan(agg.child)
+      (lr, cond) <- baseScan(agg.child)
       // a join-MV must never claim a plain scan of its fact table alone —
       // the dim join can drop (or multiply) fact rows
       mv <- MvRegistry.all.find(m => m.join.isEmpty &&
-        pathMatches(path, m.basePathTail) && keys.toSet.subsetOf(m.keys.toSet) &&
+        anchorMatches(lr, m.basePathTail) && keys.toSet.subsetOf(m.keys.toSet) &&
           cond.forall(c => filterServable(c, m.keys.toSet)))
       out <- rewriteWith(agg, keys, cond, mv)
     } yield out
 
-  /** The Join beneath an optional stack of column-pruning Projects and
-    * Filters, plus the conjunction of Filters found ABOVE the join.
-    */
-  private def stripToJoin(p: LogicalPlan): Option[(Join, Option[Expression])] =
-    p match {
-      case j: Join => Some((j, None))
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        stripToJoin(c)
-      case Filter(cond, c) =>
-        stripToJoin(c).map { case (j, inner) =>
-          (j, Some(inner.fold(cond)(And(cond, _))))
-        }
-      case _ => None
-    }
-
-  /** Conjuncts of a side-filter with the join-key IsNotNull guards the
-    * optimizer plants under every inner equi-join removed — the MV
-    * materialized the join itself, so those are implied; anything left
-    * must be key-servable like every other filter.
-    */
-  private def minusJoinKeyNotNull(cond: Option[Expression],
-      joinKeys: Set[String]): Option[Expression] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    cond.map(conjuncts).getOrElse(Nil).filterNot {
-      case IsNotNull(a: AttributeReference) => joinKeys.contains(a.name)
-      case _ => false
-    }.reduceOption(And)
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
   }
 
-  /** STAR-JOIN match (v3): `Aggregate over (fact INNER JOIN dim ON
-    * fk = pk)` — exactly the registered shape, either side order —
-    * rewrites to the group-sized MV. Conservative like the scan path:
-    * single equi-condition on plain columns, globally unique column names
-    * across the join output (name-based mapping must be unambiguous),
-    * residual filters deterministic / subquery-free / MV-key-only.
+  /** Flatten a tree of INNER joins (under optional column-pruning Projects
+    * and Filters) into its leaf scans and ONE conjunct pool holding every
+    * join condition and filter predicate found anywhere in the tree —
+    * inner joins commute and associate, and conjuncts float freely across
+    * them, so matching the registered join SET against the pool is
+    * order-insensitive by construction (a left-deep query and a bushy one
+    * match the same view). Returns None on anything but inner joins over
+    * plain scans.
+    */
+  private def flattenInner(
+      p: LogicalPlan): Option[(Seq[LogicalRelation], Seq[Expression])] =
+    p match {
+      case j: Join if j.joinType == Inner =>
+        for {
+          (ll, lc) <- flattenInner(j.left)
+          (rl, rc) <- flattenInner(j.right)
+        } yield (ll ++ rl, lc ++ rc ++ j.condition.toSeq.flatMap(conjunctsOf))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenInner(c)
+      case Filter(cond, c) =>
+        flattenInner(c).map { case (ls, cs) => (ls, cs ++ conjunctsOf(cond)) }
+      case other =>
+        baseScan(other).map { case (lr, cond) =>
+          (Seq(lr), cond.toSeq.flatMap(conjunctsOf))
+        }
+    }
+
+  /** JOIN match (v4 — star, snowflake, composite keys): the aggregate's
+    * child flattens to inner-join leaves whose anchors biject onto
+    * {fact} ∪ dims, and whose attr=attr conjuncts are EXACTLY the
+    * registered key pairs (as unordered name pairs — column names are
+    * required unique join-wide, so a name pair pins both the columns and
+    * their tables). IsNotNull guards on join keys are implied by the
+    * materialized inner join and dropped; every remaining conjunct must
+    * be key-servable. Any mismatch — a missing dim, an extra join, a
+    * different key set — falls through to the original plan.
     */
   private def tryJoin(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
     for {
-      (j, above) <- stripToJoin(agg.child)
-      if j.joinType == Inner
-      (lk, rk) <- j.condition match {
-        case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-          Some((a, b))
-        case _ => None
-      }
-      (lPath, lCond) <- baseScan(j.left)
-      (rPath, rCond) <- baseScan(j.right)
-      allNames = (j.left.output ++ j.right.output).map(_.name)
+      (leaves, conjs) <- flattenInner(agg.child)
+      if leaves.size >= 2
+      allNames = leaves.flatMap(_.output.map(_.name))
       if allNames.distinct.size == allNames.size
-      mv <- MvRegistry.all.find { m =>
-        m.join.exists { jd =>
-          val joinKeys = Set(jd.factKey, jd.dimKey)
-          val keyOk = {
-            // the condition attr rooted in each side must carry that
-            // side's registered key name, in either fact/dim orientation
-            val (la, ra) =
-              if (j.left.outputSet.contains(lk)) (lk, rk) else (rk, lk)
-            (pathMatches(lPath, m.basePathTail) &&
-              pathMatches(rPath, jd.dimPathTail) &&
-              la.name == jd.factKey && ra.name == jd.dimKey) ||
-            (pathMatches(lPath, jd.dimPathTail) &&
-              pathMatches(rPath, m.basePathTail) &&
-              la.name == jd.dimKey && ra.name == jd.factKey)
-          }
-          val residual = Seq(
-            minusJoinKeyNotNull(lCond, joinKeys),
-            minusJoinKeyNotNull(rCond, joinKeys),
-            above).flatten.reduceOption(And)
-          keyOk && keys.toSet.subsetOf(m.keys.toSet) &&
-            residual.forall(c => filterServable(c, m.keys.toSet))
-        }
+      eqPairs = conjs.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Set(a.name, b.name)
       }
-      residual = Seq(
-        minusJoinKeyNotNull(lCond, Set(mv.join.get.factKey, mv.join.get.dimKey)),
-        minusJoinKeyNotNull(rCond, Set(mv.join.get.factKey, mv.join.get.dimKey)),
-        above).flatten.reduceOption(And)
+      rest = conjs.filterNot {
+        case EqualTo(_: AttributeReference, _: AttributeReference) => true
+        case _ => false
+      }
+      (mv, residual) <- MvRegistry.all.iterator.flatMap { m =>
+        m.join.flatMap { jd =>
+          val reqPairs = jd.dims.flatMap(_.keys)
+            .map { case (a, b) => Set(a, b) }.toSet
+          val joinKeyNames = reqPairs.flatten
+          val residualConjs = rest.filterNot {
+            case IsNotNull(a: AttributeReference) => joinKeyNames.contains(a.name)
+            case _ => false
+          }
+          val factLeaves = leaves.filter(anchorMatches(_, m.basePathTail))
+          val dimLeaves = leaves.filterNot(factLeaves.contains)
+          val leavesOk = factLeaves.size == 1 &&
+            dimLeaves.size == jd.dims.size &&
+            jd.dims.forall(dd =>
+              dimLeaves.count(anchorMatches(_, dd.dimPathTail)) == 1) &&
+            dimLeaves.forall(l =>
+              jd.dims.count(dd => anchorMatches(l, dd.dimPathTail)) == 1)
+          if (leavesOk && eqPairs.toSet == reqPairs &&
+              keys.toSet.subsetOf(m.keys.toSet) &&
+              residualConjs.forall(c => filterServable(c, m.keys.toSet)))
+            Some((m, residualConjs.reduceOption(And)))
+          else None
+        }
+      }.nextOption()
       out <- rewriteWith(agg, keys, residual, mv)
     } yield out
+
+  /** DISTINCT-COUNT match: the one aggregate class [[fnOf]] deliberately
+    * rejects (`isDistinct`), served from a registered KMV sketch store.
+    * Two servable spellings over the base table, grouped by EXACTLY the
+    * store's keys (sketches are mergeable, but the rollup arm is left to
+    * a later round — exact-match only):
+    *
+    *  - `graft_kmv(hash64(valueCol), k)` (the [[graft.functions.Kmv
+    *    .bottomK]] aggregate): served as the stored sketch column — every
+    *    downstream estimate/size/xor projection composes unchanged via
+    *    preserved exprIds. The hash expression is matched SEMANTICALLY:
+    *    the rule re-analyzes `hash64(valueCol)` against this plan's own
+    *    attributes (LocalRelation keeps exprIds) and requires
+    *    `semanticEquals` — `graft_kmv(hash64(concat(v, 'x')), k)` or a
+    *    different k falls through.
+    *  - `count(DISTINCT valueCol)`: served as `size(kmv)` ONLY when the
+    *    store was registered `serveExactDistinct` — the registrant's
+    *    contract that every group is underfull (distinct < k), where the
+    *    bottom-k set is the complete distinct-hash set and its size the
+    *    exact answer.
+    *
+    * Key-only WHERE predicates commute exactly as in the rollup arms.
+    * Type note: parquet reads the sketch as array<bigint> with nullable
+    * elements while KmvAgg declares them non-null; content is identical
+    * (the sketch never stores nulls), so the bail-out compares types
+    * ignoring nullability here.
+    */
+  private def tryKmv(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
+    for {
+      (lr, cond) <- baseScan(agg.child)
+      kv <- MvRegistry.allKmv.find(v => anchorMatches(lr, v.basePathTail) &&
+        keys.toSet == v.keys.toSet &&
+        cond.forall(c => filterServable(c, v.keys.toSet)))
+      out <- rewriteKmv(agg, keys, cond, kv)
+    } yield out
+
+  private def rewriteKmv(agg: Aggregate, keys: Seq[String],
+      cond: Option[Expression], kv: KmvDef): Option[LogicalPlan] = {
+    import graft.functions.KmvAgg
+    val spark = SparkSession.active
+    agg.child.output.find(_.name == kv.valueCol).flatMap { _ =>
+      // the exact hash expression viewKmv sketches, ANALYZED against this
+      // plan's own attributes: LocalRelation(agg.child.output) reuses the
+      // attribute objects, so exprIds line up and semanticEquals is direct
+      val expected = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            agg.child.output))
+        .select(graft.functions.TextFunctions.hash64(
+          org.apache.spark.sql.functions.col(kv.valueCol)))
+        .queryExecution.analyzed match {
+          case Project(Seq(Alias(c, _)), _) => Some(c)
+          case Project(Seq(e), _) => Some(e: Expression)
+          case _ => None
+        }
+      expected.flatMap { expectedHash =>
+        val scan = MvRegistry.serveRelation(spark, kv.mvPath, kv.fixed)
+          .newInstance()
+        def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
+        val remappedCond = cond.map(_.transform {
+          case a: AttributeReference => mvAttr(a.name)
+        })
+        // the serving expression for one aggregate CALL — which may sit
+        // NESTED inside a scalar expression (CollapseProject folds a
+        // single-use projection like size(kmv) into the aggregate list),
+        // so outputs are rewritten by transforming every call in place
+        def serveAgg(ae: AggregateExpression): Option[Expression] =
+          if (ae.filter.nonEmpty) None
+          else ae.aggregateFunction match {
+            case ka: KmvAgg if !ae.isDistinct && ka.k == kv.k &&
+                ka.hash.semanticEquals(expectedHash) =>
+              Some(mvAttr("kmv"))
+            case Count(Seq(a: AttributeReference))
+                if ae.isDistinct && kv.serveExactDistinct &&
+                  a.name == kv.valueCol =>
+              Some(Cast(Size(mvAttr("kmv")),
+                org.apache.spark.sql.types.LongType))
+            case _ => None
+          }
+        val mapped: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map {
+            case a: AttributeReference if keys.contains(a.name) =>
+              Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+            case al @ Alias(child, name) =>
+              var ok = true
+              // transformUp for the same reason as the rollup arms: never
+              // re-match a serving expression's own internals
+              val replaced = child.transformUp {
+                case ae: AggregateExpression =>
+                  serveAgg(ae).getOrElse { ok = false; ae }
+                case a: AttributeReference if keys.contains(a.name) =>
+                  mvAttr(a.name)
+              }
+              // every remaining reference must be a store column — a leak
+              // of any base attribute means the expression wasn't fully
+              // served and the rewrite must not fire
+              if (ok && replaced.references.forall(r =>
+                  scan.output.exists(_.exprId == r.exprId)))
+                Some(Alias(replaced, name)(exprId = al.exprId))
+              else None
+            case _ => None
+          }
+        if (mapped.exists(_.isEmpty)) None
+        else {
+          val outputs = mapped.map(_.get)
+          val used = (outputs.flatMap(_.references) ++
+            remappedCond.toSeq.flatMap(_.references)).map(_.exprId).toSet
+          val prunedScan: LogicalPlan =
+            if (scan.output.forall(a => used.contains(a.exprId))) scan
+            else Project(scan.output.filter(a => used.contains(a.exprId)), scan)
+          val child =
+            remappedCond.map(Filter(_, prunedScan)).getOrElse(prunedScan)
+          val plan = Project(outputs, child)
+          val ok = plan.output.zip(agg.output).forall { case (n, o) =>
+            sameTypeIgnoreNullability(n.dataType, o.dataType)
+          }
+          if (ok) Some(plan) else None
+        }
+      }
+    }
+  }
+
+  /** Structural type equality that ignores nullability at every nesting
+    * level — the sketch-serving arm's bail-out comparator (see
+    * [[tryKmv]]'s type note).
+    */
+  private def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) =>
+        sameTypeIgnoreNullability(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameTypeIgnoreNullability(ak, bk) && sameTypeIgnoreNullability(av, bv)
+      case (StructType(af), StructType(bf)) =>
+        af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+          x.name == y.name && sameTypeIgnoreNullability(x.dataType, y.dataType)
+        }
+      case _ => a == b
+    }
+  }
 
   /** (fn, inputCol) of a supported aggregate call, or None. `count` with
     * an input column is the NON-NULL count (count(v)), distinct from the
@@ -347,52 +584,70 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       case a: AttributeReference => mvAttr(a.name)
     })
     val exact = keys.toSet == mv.keys.toSet
-    // map every output of the original aggregate
+    // a stored total, at the right granularity for the arm in play
+    def tot(d: AggDef): Expression = {
+      val src = mvAttr(d.outName)
+      if (exact) src
+      else d.fn match {
+        // rollup re-aggregation: partial counts/sums SUM. A count
+        // rollup is Coalesce'd to 0: a GLOBAL (no GROUP BY) count
+        // over zero matching MV groups must return 0 exactly like
+        // Count over an empty corpus — bare Sum would return NULL,
+        // a silent wrong answer (grouped rollups never hit the
+        // fallback: a group row implies ≥1 non-null partial count).
+        // sum/min/max/avg keep NULL-on-empty, matching the original.
+        case "count" => Coalesce(Seq(
+          Sum(src).toAggregateExpression(), Literal(0L)))
+        case "sum"   => Sum(src).toAggregateExpression()
+        case "min"   => Min(src).toAggregateExpression()
+        case "max"   => Max(src).toAggregateExpression()
+      }
+    }
+    // the serving expression for ONE aggregate call (which may sit nested
+    // inside a scalar wrapper — CollapseProject folds single-use
+    // projections like round(sum(v), 4) into the aggregate list)
+    def serveAgg(ae: AggregateExpression): Option[Expression] =
+      fnOf(ae).flatMap {
+        case ("avg", in) =>
+          // avg = stored sum / NULL-CONSISTENT count: prefer a declared
+          // count(v); a row count only substitutes when v can't be null.
+          // Double caveat: totals beyond 2^53 can differ from running-
+          // mean accumulation in the last bit — no worse than Spark's
+          // own shuffle-order-dependent double aggregation.
+          val cntDef = mv.aggs.find(d => d.fn == "count" && d.inputCol == in)
+            .orElse(mv.aggs.find(d => d.fn == "count" && d.inputCol.isEmpty)
+              .filter(_ => agg.child.output
+                .exists(a => in.contains(a.name) && !a.nullable)))
+          for {
+            sumDef <- mv.aggs.find(d => d.fn == "sum" && d.inputCol == in)
+            c <- cntDef
+          } yield Divide(Cast(tot(sumDef), DoubleType),
+            Cast(tot(c), DoubleType))
+        case (fn, in) =>
+          mv.aggs.find(d => d.fn == fn && d.inputCol == in).map(d => tot(d))
+      }
+    // map every output of the original aggregate: aggregate calls are
+    // replaced IN PLACE wherever they appear, grouping-key references
+    // re-root onto the MV scan, and any leaked base reference vetoes
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference if keys.contains(a.name) =>
         Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
-      case al @ Alias(a: AttributeReference, name) if keys.contains(a.name) =>
-        Some(Alias(mvAttr(a.name), name)(exprId = al.exprId))
-      case al @ Alias(ae: AggregateExpression, name) =>
-        // a stored total, at the right granularity for the arm in play
-        def tot(d: AggDef): Expression = {
-          val src = mvAttr(d.outName)
-          if (exact) src
-          else d.fn match {
-            // rollup re-aggregation: partial counts/sums SUM. A count
-            // rollup is Coalesce'd to 0: a GLOBAL (no GROUP BY) count
-            // over zero matching MV groups must return 0 exactly like
-            // Count over an empty corpus — bare Sum would return NULL,
-            // a silent wrong answer (grouped rollups never hit the
-            // fallback: a group row implies ≥1 non-null partial count).
-            // sum/min/max/avg keep NULL-on-empty, matching the original.
-            case "count" => Coalesce(Seq(
-              Sum(src).toAggregateExpression(), Literal(0L)))
-            case "sum"   => Sum(src).toAggregateExpression()
-            case "min"   => Min(src).toAggregateExpression()
-            case "max"   => Max(src).toAggregateExpression()
-          }
+      case al @ Alias(child, name) =>
+        var ok = true
+        // transformUp, NOT transform: serving expressions may themselves
+        // contain fresh AggregateExpressions (Sum-of-partials under a
+        // Coalesce/Divide), and a top-down transform would re-match those
+        // descendants and veto its own replacement
+        val replaced = child.transformUp {
+          case ae: AggregateExpression =>
+            serveAgg(ae).getOrElse { ok = false; ae }
+          case a: AttributeReference if keys.contains(a.name) =>
+            mvAttr(a.name)
         }
-        fnOf(ae).flatMap {
-          case ("avg", in) =>
-            // avg = stored sum / NULL-CONSISTENT count: prefer a declared
-            // count(v); a row count only substitutes when v can't be null.
-            // Double caveat: totals beyond 2^53 can differ from running-
-            // mean accumulation in the last bit — no worse than Spark's
-            // own shuffle-order-dependent double aggregation.
-            val cntDef = mv.aggs.find(d => d.fn == "count" && d.inputCol == in)
-              .orElse(mv.aggs.find(d => d.fn == "count" && d.inputCol.isEmpty)
-                .filter(_ => agg.child.output
-                  .exists(a => in.contains(a.name) && !a.nullable)))
-            for {
-              sumDef <- mv.aggs.find(d => d.fn == "sum" && d.inputCol == in)
-              c <- cntDef
-            } yield Alias(Divide(Cast(tot(sumDef), DoubleType),
-              Cast(tot(c), DoubleType)), name)(exprId = al.exprId)
-          case (fn, in) =>
-            mv.aggs.find(d => d.fn == fn && d.inputCol == in)
-              .map(d => Alias(tot(d), name)(exprId = al.exprId))
-        }
+        if (ok && replaced.references.forall(r =>
+            scan.output.exists(_.exprId == r.exprId)))
+          Some(Alias(replaced, name)(exprId = al.exprId))
+        else None
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None

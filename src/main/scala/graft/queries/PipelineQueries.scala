@@ -6846,6 +6846,137 @@ object PipelineQueries {
       | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
       | FROM fin GROUP BY 1""".stripMargin))
 
+  /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
+    * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
+    * o_custkey lives on the middle table, not the fact) rolled up to
+    * c_mktsegment; a query re-stating the full chain serves from the
+    * group-sized view with fact AND both dims gone from the plan
+    * (REQUIREd join-free). The matcher flattens the inner-join tree and
+    * compares the registered key-pair SET, so any association order the
+    * optimizer picks matches; a partial chain (fact⋈orders only) falls
+    * through — the customer join could drop rows (MvRewriteSpec pins the
+    * negatives). Warehouse economics: the two fact-sized shuffles are
+    * paid once at materialization; every segment report after reads
+    * |segments| rows.
+    */
+  val qMvRewriteSnowflake = Fixture(
+    "q_mv_rewrite_snowflake",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_sf/$h"
+      def chain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      chain.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"li_by_segment_$h"
+      MvRegistry.registerSnowflake(s, name, s"$d/lineitem.parquet",
+        Seq(s"$d/orders.parquet" -> Seq("l_orderkey" -> "o_orderkey"),
+          s"$d/customer.parquet" -> Seq("o_custkey" -> "c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = chain.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_items"),
+            Quant.q4(sum(col("l_quantity"))).as("sum_qty"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_sf")) &&
+          !scans.exists(p => p.contains("lineitem.parquet") ||
+            p.contains("orders.parquet") || p.contains("customer.parquet")),
+          s"snowflake MV rewrite did not fire; scans = ${scans.mkString(", ")}")
+        require(!q.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+          "served snowflake plan must be join-free")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""SELECT c_mktsegment, count(*) AS n_items,
+      |   ${q4("sum(l_quantity)")} AS sum_qty
+      | FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | GROUP BY 1""".stripMargin))
+
+  /** MvRewrite + KMV: the DISTINCT-COUNT dashboard served from the
+    * persisted sketch view — the aggregate class every rollup arm
+    * rejects (COUNT(DISTINCT) is holistic), closed by the sketch store:
+    * the per-lang bottom-16 KMV view is committed to a version-stamped
+    * store, registered ONCE, then refreshed through
+    * [[graft.operators.Ivm.applyDeltaKmv]] (delta-sized, corpus
+    * nowhere) as v1; a plain base-table `graft_kmv` aggregate afterwards
+    * silently serves the REFRESHED sketches (REQUIREd: the v1 directory
+    * is the plan's only leaf — the corpus scan a distinct-count
+    * dashboard used to pay is gone). Deterministic sketch content makes
+    * the oracle exact: it recomputes the post-CDC sketch from scratch
+    * and the served store must match hash-for-hash, estimate included.
+    */
+  val qMvRewriteKmvDistinct = Fixture(
+    "q_mv_rewrite_kmv_distinct",
+    (s, d) => {
+      import graft.functions.{Kmv, TextFunctions}
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.sources.SnapshotLake
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val k = 16
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_kmv/${h}_$run"
+      SnapshotLake.commit(
+        graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k), root, 0L)
+      val name = s"docs_lang_distinct_$h"
+      // register at v0, BEFORE the refresh — freshness via _CURRENT
+      MvRegistry.registerKmv(s, name, s"$d/documents.parquet", Seq("lang"),
+        "source", k, root)
+      val delta = docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
+        concat(col("source"), lit("_x")).as("new_v"))
+      SnapshotLake.commit(graft.operators.Ivm.applyDeltaKmv(
+        SnapshotLake.read(s, root), delta, Seq("lang"), k), root, 1L)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = docs.groupBy("lang")
+          .agg(Kmv.bottomK(TextFunctions.hash64(col("source")), k).as("kmv"))
+          .select(col("lang"),
+            aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
+              .as("kmv_xor"),
+            size(col("kmv")).cast("long").as("sketch_size"),
+            Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
+        val leaves = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_mv_kmv") &&
+          leaves.head.stripSuffix("/").endsWith("/v1"),
+          s"expected exactly the refreshed v1 KMV leaf; got ${leaves.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    qIvmKmvDistinct.oracle)
+
   /** Deterministic sample store for quantiles (functions/HashSample.scala)
     * — the RANK member of the at-rest sketch trio beside KMV (cardinality)
     * and CMS (frequency): each ingest shard lands the rows whose shared
@@ -6939,6 +7070,7 @@ object PipelineQueries {
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
-    qMvRewriteHaving, qMvRewriteJoin, qMvIvmServe, qStreamMvServe,
+    qMvRewriteHaving, qMvRewriteJoin, qMvRewriteSnowflake,
+    qMvRewriteKmvDistinct, qMvIvmServe, qStreamMvServe,
     qSampleQuantileStore)
 }

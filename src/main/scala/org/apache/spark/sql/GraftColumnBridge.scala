@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an arbitrary logical plan — lets an optimizer rule
+    * ANALYZE a Column-API expression against a plan's own attributes
+    * (e.g. [[graft.plans.MvRewrite]] re-deriving the hash expression a
+    * KMV view sketches, with matching exprIds via a LocalRelation over
+    * the plan's output).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

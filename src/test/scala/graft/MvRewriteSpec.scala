@@ -373,6 +373,276 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("v4: snowflake chain fact⋈dim1⋈dim2 serves join-free; partial chain falls through") {
+    val parent = freshDir("mv_snow")
+    // fact(fk,v) ⋈ mid(pk,ck) ⋈ cust(cid,seg): the classic
+    // lineitem⋈orders⋈customer shape — dim2 joins THROUGH dim1
+    (1 to 400).map(i => (i.toLong % 20, i.toLong)).toDF("fk", "v")
+      .write.parquet(s"$parent/fact")
+    (0 until 20).map(p => (p.toLong, p.toLong % 6)).toDF("pk", "ck")
+      .write.parquet(s"$parent/mid")
+    (0 until 6).map(c => (c.toLong, s"seg${c % 3}")).toDF("cid", "seg")
+      .write.parquet(s"$parent/cust")
+    val fact = spark.read.parquet(s"$parent/fact")
+    val mid = spark.read.parquet(s"$parent/mid")
+    val cust = spark.read.parquet(s"$parent/cust")
+    def joined = fact.join(mid, col("fk") === col("pk"))
+      .join(cust, col("ck") === col("cid"))
+    joined.groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(s"$parent/mv")
+    MvRegistry.registerSnowflake(spark, "mv_snow", s"$parent/fact",
+      Seq(s"$parent/mid" -> Seq("fk" -> "pk"),
+        s"$parent/cust" -> Seq("ck" -> "cid")),
+      Seq("seg"), Seq(AggDef("cnt", "count", None),
+        AggDef("sum_v", "sum", Some("v"))), s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val q = joined.groupBy("seg")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains("/mv")), s"snowflake must hit MV: $paths")
+      assert(!paths.exists(p => p.contains("/fact") || p.contains("/mid") ||
+        p.contains("/cust")), s"base tables still scanned: $paths")
+      assert(!q.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must be join-free")
+      // the OTHER association order matches too (inner joins commute)
+      val q2 = mid.join(cust, col("ck") === col("cid"))
+        .join(fact, col("fk") === col("pk"))
+        .groupBy("seg").agg(sum(col("v")).as("s"))
+      assert(scanPaths(q2).exists(_.contains("/mv")),
+        s"bushy/reordered join must also hit: ${scanPaths(q2)}")
+      // values against a hand rollup
+      val expect = (1 to 400).groupBy(i => s"seg${((i % 20) % 6) % 3}")
+        .map { case (g, is) => g -> ((is.map(_.toLong).sum, is.size.toLong)) }
+      q.collect().foreach { r =>
+        assert((r.getLong(1), r.getLong(2)) == expect(r.getString(0)), r)
+      }
+      // PARTIAL chain (fact⋈mid only) must fall through — the cust join
+      // can drop rows, so serving it from the 3-way MV would be wrong
+      val qp = fact.join(mid, col("fk") === col("pk"))
+        .groupBy("ck").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qp).exists(_.contains("/mv")),
+        "partial chain must not be served")
+      // EXTRA equi-condition (different join semantics) falls through
+      val qe = fact.join(mid, col("fk") === col("pk"))
+        .join(cust, col("ck") === col("cid") && col("fk") === col("cid"))
+        .groupBy("seg").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qe).exists(_.contains("/mv")),
+        "extra join condition must not be served")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_snow")
+    }
+  }
+
+  test("v4: composite-key star join (two equi pairs, one dim)") {
+    val parent = freshDir("mv_comp")
+    (1 to 300).map(i => (i.toLong % 10, i.toLong % 4, i.toLong))
+      .toDF("fk1", "fk2", "v").write.parquet(s"$parent/fact")
+    (for (a <- 0 until 10; b <- 0 until 4)
+      yield (a.toLong, b.toLong, s"g${(a + b) % 5}"))
+      .toDF("pk1", "pk2", "attr").write.parquet(s"$parent/dim")
+    val fact = spark.read.parquet(s"$parent/fact")
+    val dim = spark.read.parquet(s"$parent/dim")
+    def joined = fact.join(dim,
+      col("fk1") === col("pk1") && col("fk2") === col("pk2"))
+    joined.groupBy("attr")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(s"$parent/mv")
+    MvRegistry.registerSnowflake(spark, "mv_comp", s"$parent/fact",
+      Seq(s"$parent/dim" -> Seq("fk1" -> "pk1", "fk2" -> "pk2")),
+      Seq("attr"), Seq(AggDef("cnt", "count", None),
+        AggDef("sum_v", "sum", Some("v"))), s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val q = joined.groupBy("attr").agg(sum(col("v")).as("s"))
+      assert(scanPaths(q).exists(_.contains("/mv")),
+        s"composite-key join must hit: ${scanPaths(q)}")
+      val expect = (1 to 300).groupBy(i => s"g${(i % 10 + i % 4) % 5}")
+        .map { case (g, is) => g -> is.map(_.toLong).sum }
+      q.collect().foreach(r => assert(r.getLong(1) == expect(r.getString(0))))
+      // HALF the composite key is a DIFFERENT join — must fall through
+      val qh = fact.join(dim, col("fk1") === col("pk1"))
+        .groupBy("attr").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qh).exists(_.contains("/mv")),
+        "half of a composite key must not be served")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_comp")
+    }
+  }
+
+  test("catalog-table anchor: spark.table(...) queries rewrite too") {
+    val parent = freshDir("mv_cat")
+    val tblName = s"mv_cat_docs_${java.lang.Long.toHexString(System.nanoTime)}"
+    (1 to 200).map(i => (s"g${i % 4}", i.toLong)).toDF("g1", "v")
+      .write.option("path", s"$parent/tbl").saveAsTable(tblName)
+    val base = spark.table(tblName)
+    base.groupBy("g1").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(s"$parent/mv")
+    // registered by TABLE NAME, not path — both spellings must serve
+    MvRegistry.register(spark, "mv_cat", tblName, Seq("g1"),
+      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v"))),
+      s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val q = spark.table(tblName).groupBy("g1").agg(sum(col("v")).as("s"))
+      assert(scanPaths(q).exists(_.contains("/mv")),
+        s"catalog-table query must hit the MV: ${scanPaths(q)}")
+      val expect = (1 to 200).groupBy(i => s"g${i % 4}")
+        .map { case (g, is) => g -> is.map(_.toLong).sum }
+      q.collect().foreach(r => assert(r.getLong(1) == expect(r.getString(0))))
+      // SQL spelling over the catalog table serves too
+      val qs = spark.sql(s"SELECT g1, sum(v) AS s FROM $tblName GROUP BY g1")
+      assert(scanPaths(qs).exists(_.contains("/mv")),
+        s"SQL catalog query must hit the MV: ${scanPaths(qs)}")
+      // an unrelated catalog table never matches
+      val otherName = s"${tblName}_other"
+      (1 to 10).map(i => (s"g${i % 4}", i.toLong * 100)).toDF("g1", "v")
+        .write.option("path", s"$parent/other").saveAsTable(otherName)
+      val qo = spark.table(otherName).groupBy("g1").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qo).exists(_.contains("/mv")),
+        "a different catalog table must not be claimed")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_cat")
+    }
+  }
+
+  test("KMV store serves graft_kmv sketch aggregates; guards hold") {
+    import graft.functions.{Kmv, TextFunctions}
+    val parent = freshDir("mv_kmv")
+    (1 to 500).map(i => (s"g${i % 4}", s"v${i % 37}")).toDF("g1", "s")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val k = 16
+    graft.operators.Ivm.viewKmv(base, Seq("g1"), "s", k)
+      .write.parquet(s"$parent/store")
+    MvRegistry.registerKmv(spark, "mv_kmv", s"$parent/base", Seq("g1"),
+      "s", k, s"$parent/store")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def sketchAgg(kk: Int) = base.groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), kk).as("kmv"))
+      val q = sketchAgg(k)
+        .select(col("g1"), size(col("kmv")).as("n"),
+          Kmv.estimate(col("kmv"), k).as("est"))
+      assert(scanPaths(q).exists(_.contains("/store")),
+        s"sketch agg must serve from the store: ${scanPaths(q)}")
+      assert(!scanPaths(q).exists(_.contains("/base")))
+      // content identical to the direct computation (rule off)
+      spark.experimental.extraOptimizations = prev
+      val direct = sketchAgg(k)
+        .select(col("g1"), size(col("kmv")).as("n"),
+          Kmv.estimate(col("kmv"), k).as("est")).collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      spark.experimental.extraOptimizations = prev :+ MvRewrite()
+      q.collect().foreach { r =>
+        assert(direct(r.getString(0)) == ((r.getInt(1), r.getDouble(2))), r)
+      }
+      // WHERE on the grouping key commutes
+      val qf = base.where(col("g1") === "g1").groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+      assert(scanPaths(qf).exists(_.contains("/store")),
+        s"key-filtered sketch agg must serve: ${scanPaths(qf)}")
+      // guards: wrong k / different hash input / count(distinct) without
+      // the opt-in all fall through to the base
+      assert(!scanPaths(sketchAgg(8)).exists(_.contains("/store")),
+        "a different k must fall through")
+      val qh = base.groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(concat(col("s"), lit("x"))), k)
+          .as("kmv"))
+      assert(!scanPaths(qh).exists(_.contains("/store")),
+        "a different hashed expression must fall through")
+      val qd = base.groupBy("g1").agg(countDistinct(col("s")).as("d"))
+      assert(!scanPaths(qd).exists(_.contains("/store")),
+        "count(distinct) without serveExactDistinct must fall through")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_kmv")
+    }
+  }
+
+  test("KMV exact arm: count(DISTINCT v) == size(kmv) under the underfull contract") {
+    import graft.functions.{Kmv, TextFunctions}
+    val parent = freshDir("mv_kmv_ex")
+    // 4 groups × ≤13 distinct values, k = 32 → every sketch underfull
+    (1 to 400).map(i => (s"g${i % 4}", s"v${i % 13}")).toDF("g1", "s")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val k = 32
+    graft.operators.Ivm.viewKmv(base, Seq("g1"), "s", k)
+      .write.parquet(s"$parent/store")
+    MvRegistry.registerKmv(spark, "mv_kmv_ex", s"$parent/base", Seq("g1"),
+      "s", k, s"$parent/store", serveExactDistinct = true)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      val q = base.groupBy("g1").agg(countDistinct(col("s")).as("d"))
+      assert(scanPaths(q).exists(_.contains("/store")),
+        s"exact-arm count(distinct) must serve: ${scanPaths(q)}")
+      assert(!scanPaths(q).exists(_.contains("/base")))
+      val expect = (1 to 400).groupBy(i => s"g${i % 4}")
+        .map { case (g, is) => g -> is.map(_ % 13).distinct.size.toLong }
+      q.collect().foreach(r => assert(r.getLong(1) == expect(r.getString(0)), r))
+      // mixed with a non-servable aggregate → whole aggregate falls through
+      val qm = base.groupBy("g1")
+        .agg(countDistinct(col("s")).as("d"), max(col("s")).as("m"))
+      assert(!scanPaths(qm).exists(_.contains("/store")),
+        "an unservable sibling aggregate must veto the rewrite")
+      // distinct on a DIFFERENT column falls through
+      val qo = base.groupBy("g1").agg(countDistinct(col("g1")).as("d"))
+      assert(!scanPaths(qo).exists(_.contains("/store")))
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_kmv_ex")
+    }
+  }
+
+  test("versioned KMV store serves its refreshed sketch with no re-register") {
+    import graft.functions.{Kmv, TextFunctions}
+    import graft.sources.SnapshotLake
+    val parent = freshDir("mv_kmv_ver")
+    (1 to 300).map(i => (s"g${i % 3}", s"v${i % 11}")).toDF("g1", "s")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val k = 16
+    val root = s"$parent/store"
+    SnapshotLake.commit(
+      graft.operators.Ivm.viewKmv(base, Seq("g1"), "s", k), root, 0L)
+    MvRegistry.registerKmv(spark, "mv_kmv_ver", s"$parent/base", Seq("g1"),
+      "s", k, root)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def q = base.groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+        .select(col("g1"), size(col("kmv")).as("n"))
+      assert(scanPaths(q).exists(_.stripSuffix("/").endsWith("/v0")))
+      val v0 = q.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      // IVM refresh with genuinely new distincts, committed as v1
+      val delta = base.limit(50).select(col("g1"), lit("I").as("op"),
+        concat(col("s"), lit("_new")).as("new_v"))
+      SnapshotLake.commit(graft.operators.Ivm.applyDeltaKmv(
+        SnapshotLake.read(spark, root), delta, Seq("g1"), k), root, 1L)
+      assert(scanPaths(q).exists(_.stripSuffix("/").endsWith("/v1")),
+        s"must serve the refreshed v1: ${scanPaths(q)}")
+      q.collect().foreach { r =>
+        assert(r.getInt(1) >= v0(r.getString(0)),
+          "refreshed sketches can only grow")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_kmv_ver")
+    }
+  }
+
   test("global count(*) over zero matching groups returns 0, not NULL") {
     withMv { (mvDir, base) =>
       // no GROUP BY + a key filter matching NOTHING: the original plan
