@@ -105,12 +105,24 @@ object Bench {
     // q_dedup_keepers slower isolated than interleaved). The minimum over
     // back-to-back warm attempts is the best-achievable warm time — the
     // closest same-process stand-in for a fresh-JVM single-query run.
+    // Each isolated query keeps ALL THREE warm attempts (sorted) in the
+    // artifact, not just the min: round-over-round drift in an interleaved
+    // median (e.g. r13→r14 q_rp_project +15%) was previously adjudicated by
+    // judgment or an out-of-band `Explain <q> time` rerun; with the
+    // per-query [min, med, max] spread in place, a future delta outside the
+    // band is a real plan change and one inside it is pressure/noise —
+    // attributable without leaving the artifact (the stream block's
+    // min/median/max discipline applied per-query to the batch side).
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
-    val isolated = results.toSeq.sortBy(-_._2).take(isoN).map { case (name, _) =>
-      val fn = SparkEntry.queries(name)
-      val ts = (1 to 3).map(_ => once(name, fn)).filter(_ >= 0)
+    val isolatedSamples = results.toSeq.sortBy(-_._2).take(isoN)
+      .map { case (name, _) =>
+        val fn = SparkEntry.queries(name)
+        val ts = (1 to 3).map(_ => once(name, fn)).filter(_ >= 0).sorted
+        name -> ts
+      }.toMap
+    val isolated = isolatedSamples.map { case (name, ts) =>
       name -> (if (ts.isEmpty) -1.0 else ts.min)
-    }.toMap
+    }
 
     // Streaming throughput trend line: the tumbling replay core from
     // StreamBench on a RocksDB-backed child session, fixed loop count so the
@@ -180,13 +192,20 @@ object Bench {
     val iso = isolated.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query error bars: sorted warm attempts, so [head, mid, last] read
+    // as [min, med, max] (3 attempts; fewer if some threw)
+    val isoSpread = isolatedSamples.toSeq.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     // full artifact additionally carries every stream run verbatim, so a
     // reader can see the raw spread, not just min/median/max
     val runsJson = runs.map(r =>
       s"""{"tps":${r.tps},"p50":${r.p50},"p95":${r.p95},"p99":${r.p99}}""")
       .mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":$qs,"isolated":$iso,$streamKeys""" +
+      s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread,$streamKeys""" +
       s""","stream_trend":$runsJson,"sf":"$sfDir"}"""
     // Capture-proofing, round-10 form. The driver keeps only the LAST 2000
     // chars of stdout (measured from BENCH_r08/r09, both of which lost the

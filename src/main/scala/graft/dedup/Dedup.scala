@@ -277,7 +277,7 @@ object Dedup {
     * band id + band signature slice). A band-key hash collision can only
     * add a false candidate, which exact verification then rejects.
     */
-  private def bandKeys(sh: DataFrame, id: String,
+  private[graft] def bandKeys(sh: DataFrame, id: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
@@ -333,6 +333,37 @@ object Dedup {
       graft.sources.Bucketing.writeBucketed(
         sh.select(col(id).as("doc_id"), col("sh"), col("n_sh")),
         s"${table}_docs", s"$path/docs", buckets, "doc_id", Seq("doc_id"))
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** [[minhashWriteIndex]] in the STREAM-INGESTABLE layout: both tables
+    * (bands, docs) carry an `ingest_batch` partition column (base = −1),
+    * so [[graft.streaming.StreamingIndexIngest.applyMinhashBatch]] can
+    * land each crawl micro-batch as `ingest_batch = batchId` under
+    * dynamic partition overwrite — the same replay-overwrite
+    * exactly-once, and the same torn-batch healing across the TWO writes
+    * per batch (a crash between bands and docs is repaired whole by the
+    * replay), that the IVF/BM25 ingestable layouts already have. Probes
+    * ([[minhashProbeIndex]]) are unchanged: they select (bk, doc_id) /
+    * (doc_id, sh, n_sh) and never look at the partition column.
+    */
+  def minhashWriteIndexIngestable(df: DataFrame, id: String, text: String,
+      n: Int, table: String, path: String, buckets: Int,
+      numHashes: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingledHashed(df, id, text, n)
+    sh.cache(); sh.count() // both writes read it
+    try {
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        bandKeys(sh, id, numHashes, bands)
+          .select(col("bk"), col(id).as("doc_id"),
+            lit(-1L).as("ingest_batch")),
+        s"${table}_bands", s"$path/bands", buckets, "bk", "ingest_batch",
+        Seq("bk", "doc_id"))
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        sh.select(col(id).as("doc_id"), col("sh"), col("n_sh"),
+          lit(-1L).as("ingest_batch")),
+        s"${table}_docs", s"$path/docs", buckets, "doc_id", "ingest_batch",
+        Seq("doc_id"))
     } finally sh.unpersist(blocking = false)
   }
 

@@ -444,6 +444,36 @@ object Multimodal {
       table, path, buckets, "bk", Seq("bk", id))
   }
 
+  /** [[ahashWriteIndex]] in the STREAM-INGESTABLE layout: the single band
+    * table carries an `ingest_batch` partition column (base = −1), so
+    * [[graft.streaming.StreamingIndexIngest.applyAhashBatch]] can land each
+    * crawl micro-batch as `ingest_batch = batchId` under dynamic partition
+    * overwrite — the same replay-overwrite exactly-once the IVF/BM25/
+    * MinHash ingestable layouts have (one table here, so there is no torn
+    * multi-table window at all). Probes ([[ahashProbeIndex]]) are
+    * unchanged: they select (bk, id, ahash) and never look at the
+    * partition column.
+    */
+  def ahashWriteIndexIngestable(features: DataFrame, id: String,
+      hashCol: String, maxHam: Int, table: String, path: String,
+      buckets: Int): Unit = {
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      bandRows(features, id, hashCol, maxHam)
+        .select(col("bk"), col(id), col("__h").as("ahash"),
+          lit(-1L).as("ingest_batch")),
+      table, path, buckets, "bk", "ingest_batch", Seq("bk", id))
+  }
+
+  /** One micro-batch's band rows in the ingestable layout's column order
+    * (bk, id, ahash, ingest_batch) — the insert relation
+    * [[graft.streaming.StreamingIndexIngest.applyAhashBatch]] lands.
+    */
+  private[graft] def ahashBatchRows(batch: DataFrame, id: String,
+      hashCol: String, maxHam: Int, batchId: Long): DataFrame =
+    bandRows(batch, id, hashCol, maxHam)
+      .select(col("bk"), col(id), col("__h").as("ahash"),
+        lit(batchId).as("ingest_batch"))
+
   /** Probe a [[ahashWriteIndex]]-persisted index with a new batch: band the
     * batch the same way, join on bk, verify exact Hamming ≤ maxHam against
     * the STORED hash. Output (new_id, corpus_id, ham), distinct across the

@@ -1497,6 +1497,56 @@ object PipelineQueries {
       | FROM h a JOIN h b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
       | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
 
+  /** STREAMING ingest into the persisted aHash band index — the
+    * [[qStreamIvfIngest]] protocol on the FOURTH persisted index family
+    * (image near-dup): the `% 4 == 0` quarter of the image lake is built
+    * in the ingestable layout
+    * ([[Multimodal.ahashWriteIndexIngestable]]), the `% 4 == 2` quarter's
+    * (doc_id, ahash) features arrive as a 2-chunk stream landing
+    * `ingest_batch = batchId` partitions, then the LAST batch is
+    * crash-replayed with the same batchId. Probe (odd docs, unchanged
+    * [[Multimodal.ahashProbeIndex]]) must equal [[qAhashIndexProbe]]'s
+    * brute cross-parity Hamming oracle over the full even half — the
+    * probe's `distinct()` collapses band-level duplicates, so what the
+    * oracle certifies here is the torn-free landing and that the final
+    * index contains exactly the even half (a lost or doubled batch
+    * partition would drop pairs or change nothing it shouldn't).
+    */
+  val qStreamAhashIngest = Fixture(
+    "q_stream_ahash_index_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val feats = Multimodal.pixelFeatures(s,
+          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("ahash"))
+      val tbl = s"graft_ah_ing_${h}_$run"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ah_ing/$h/$run"
+      Multimodal.ahashWriteIndexIngestable(feats.where(col("doc_id") % 4 === 0),
+        "doc_id", "ahash", 3, tbl, s"$dir/idx", 8)
+      val rows = feats.where(col("doc_id") % 4 === 2)
+        .select(col("doc_id").cast("long"), col("ahash").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = graft.streaming.StreamingIndexIngest.startAhash(
+        ms.toDF().toDF("doc_id", "ahash"), "doc_id", "ahash", 3, tbl,
+        s"$dir/cp")
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // crash-replay of the last micro-batch: partition overwrite, not append
+      graft.streaming.StreamingIndexIngest.applyAhashBatch(
+        chunks.last.toSeq.toDF("doc_id", "ahash"), "doc_id", "ahash", 3, tbl,
+        chunks.length - 1L)
+      Multimodal.ahashProbeIndex(s, feats.where(col("doc_id") % 2 === 1),
+        "doc_id", "ahash", 3, tbl)
+        .select(col("new_id"), col("corpus_id"), col("ham").cast("long").as("ham"))
+    },
+    qAhashIndexProbe.oracle)
+
   /** REAL resize under the oracle, round-tripped: block PNGs (64×64, 8×8
     * uniform blocks) → [[Multimodal.resizeImages]] area-average downscale to
     * 8×8 → PNG re-encode → [[Multimodal.pixelFeatures]] decodes the RESIZED
@@ -2373,6 +2423,54 @@ object PipelineQueries {
       graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
     },
     qBm25.oracle)
+
+  /** STREAMING ingest into the persisted MinHash near-dup band index —
+    * the [[qStreamIvfIngest]] protocol on the THIRD persisted index
+    * family (near-dup, beside IVF dense and BM25 lexical): the lake is
+    * the `doc_id % 4 == 0` quarter in the ingestable layout
+    * ([[Dedup.minhashWriteIndexIngestable]]), the `% 4 == 2` quarter
+    * arrives as a 2-chunk stream whose micro-batches land bands + shingle
+    * store as `ingest_batch = batchId` partitions, then the LAST batch is
+    * crash-replayed with the same batchId. The probe (odd docs, unchanged
+    * [[Dedup.minhashProbeIndex]]) must equal [[qDedupIndexProbe]]'s exact
+    * cross-parity Jaccard oracle over the full even half: a double-append
+    * cannot change the pair SET (bands only add candidates; verification
+    * is exact), but a TORN batch (bands landed, shingle store didn't)
+    * would silently verify candidates against missing shingle rows and
+    * drop pairs — the oracle certifies the two-table batch landed whole
+    * and the replay rewrote rather than re-appended.
+    */
+  val qStreamMinhashIngest = Fixture(
+    "q_stream_minhash_index_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val docs = Tables.documents(s, d)
+      val tbl = s"graft_mh_ing_${h}_$run"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_mh_ing/$h/$run"
+      Dedup.minhashWriteIndexIngestable(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", 3, tbl, s"$dir/idx", 8)
+      val rows = docs.where(col("doc_id") % 4 === 2)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIndexIngest.startMinhash(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, tbl, s"$dir/cp")
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // crash-replay of the last micro-batch: same batchId, same rows —
+      // both partition overwrites must leave the index bit-identical
+      graft.streaming.StreamingIndexIngest.applyMinhashBatch(
+        chunks.last.toSeq.toDF("doc_id", "text"), "doc_id", "text", 3, tbl,
+        chunks.length - 1L)
+      Dedup.minhashProbeIndex(s, docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 3, 0.8, tbl)
+    },
+    qDedupIndexProbe.oracle)
 
   /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
     * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
@@ -7033,12 +7131,12 @@ object PipelineQueries {
     qDedupSubstring, qDedupSimhash, qDedupEmbed, qDedupClusters, qDedupKeepers,
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
-    qStreamIvfIngest, qStreamBm25Ingest,
+    qStreamIvfIngest, qStreamBm25Ingest, qStreamMinhashIngest,
     qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
     qRedact, qSampleHash, qSampleWeighted, qSampleWeightedPerLang, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,
     qMultimodal, qImageMeta, qImagePixelStats, qImageAhash, qImageNearDup,
-    qAhashIndexProbe,
+    qAhashIndexProbe, qStreamAhashIngest,
     qImageResize, qFrameSample, qVideoKeyframes, qVideoFramesStrided,
     qEmbedQuantize, qVocabTopK, qTopkPerGroup,
     qDecontaminate, qDecontaminateBloom, qSplitAssign, qPartitionedRoundtrip,

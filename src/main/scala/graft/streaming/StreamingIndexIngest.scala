@@ -157,6 +157,75 @@ object StreamingIndexIngest {
       }
       .start()
 
+  /** Land one micro-batch of documents into a
+    * [[graft.dedup.Dedup.minhashWriteIndexIngestable]] near-dup band
+    * index: the batch shingles, signs, and bands ALONE (batch-sized
+    * work — the signature family must be the index's own, like the IVF
+    * centroid-model contract), then its bands / shingle-store partitions
+    * are (re)written as `ingest_batch = batchId`. With this, the third
+    * persisted index family — near-dup, beside IVF (dense) and BM25
+    * (lexical) — stays fresh while the crawl runs, instead of requiring
+    * stop-the-world batch appends.
+    */
+  def applyMinhashBatch(batch: DataFrame, idCol: String, textCol: String,
+      n: Int, table: String, batchId: Long,
+      numHashes: Int = 128, bands: Int = 32): Unit =
+    withDynamicOverwrite(batch.sparkSession) {
+      requireNotCompacting(batch.sparkSession, s"${table}_bands")
+      import graft.dedup.Dedup
+      val sh = Dedup.shingledHashed(batch, idCol, textCol, n)
+      sh.persist() // both writes read it — one shingle pass per trigger
+      try {
+        Dedup.bandKeys(sh, idCol, numHashes, bands)
+          .select(col("bk"), col(idCol).as("doc_id"),
+            lit(batchId).as("ingest_batch"))
+          .write.mode("overwrite").insertInto(s"${table}_bands")
+        sh.select(col(idCol).as("doc_id"), col("sh"), col("n_sh"),
+            lit(batchId).as("ingest_batch"))
+          .write.mode("overwrite").insertInto(s"${table}_docs")
+      } finally { sh.unpersist(blocking = false); () }
+    }
+
+  /** Start a document stream into the persisted MinHash band index. */
+  def startMinhash(stream: DataFrame, idCol: String, textCol: String,
+      n: Int, table: String, checkpoint: String,
+      numHashes: Int = 128, bands: Int = 32): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMinhashBatch(batch, idCol, textCol, n, table, batchId,
+          numHashes, bands)
+        ()
+      }
+      .start()
+
+  /** Land one micro-batch of image features into a
+    * [[graft.multimodal.Multimodal.ahashWriteIndexIngestable]] perceptual-
+    * hash band index: the batch bands ALONE (maxHam+1 rows per image) and
+    * its rows land as `ingest_batch = batchId` — the fourth persisted
+    * index family (image near-dup), one table, so the replay-overwrite
+    * guarantee needs no multi-table healing at all.
+    */
+  def applyAhashBatch(batch: DataFrame, idCol: String, hashCol: String,
+      maxHam: Int, table: String, batchId: Long): Unit =
+    withDynamicOverwrite(batch.sparkSession) {
+      requireNotCompacting(batch.sparkSession, table)
+      graft.multimodal.Multimodal
+        .ahashBatchRows(batch, idCol, hashCol, maxHam, batchId)
+        .write.mode("overwrite").insertInto(table)
+    }
+
+  /** Start an (id, ahash) feature stream into the persisted aHash index. */
+  def startAhash(stream: DataFrame, idCol: String, hashCol: String,
+      maxHam: Int, table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAhashBatch(batch, idCol, hashCol, maxHam, table, batchId)
+        ()
+      }
+      .start()
+
   /** Fold ingest partitions of an IVF ingestable index back into the base
     * partition (−1): a long-running crawl otherwise accrues one partition
     * directory (with `buckets` files) PER MICRO-BATCH, and at crawl-day
@@ -239,6 +308,57 @@ object StreamingIndexIngest {
       .option("path", s"$path/stats").partitionBy("ingest_batch")
       .saveAsTable(s"${table}_stats")
     deleteDir(stage)
+  }
+
+  /** [[compactIvf]] for the two-table MinHash band index: bands and
+    * shingle-store rows of strictly-older batches re-land under partition
+    * −1; the newest batch partition is kept un-folded (same replay
+    * reasoning), the lock and empty-table guards identical.
+    */
+  def compactMinhash(spark: SparkSession, table: String, path: String,
+      buckets: Int): Unit = withCompactionLock(spark, s"${table}_bands") {
+    maxBatchOf(spark, s"${table}_bands").foreach { maxB =>
+      val stage = s"${path}__compact"
+      def fold(c: Column): Column =
+        when(c === maxB && maxB >= 0L, maxB).otherwise(-1L).as("ingest_batch")
+      spark.table(s"${table}_bands")
+        .select(col("bk"), col("doc_id"), fold(col("ingest_batch")))
+        .write.mode("overwrite").parquet(s"$stage/bands")
+      spark.table(s"${table}_docs")
+        .select(col("doc_id"), col("sh"), col("n_sh"),
+          fold(col("ingest_batch")))
+        .write.mode("overwrite").parquet(s"$stage/docs")
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        spark.read.parquet(s"$stage/bands"),
+        s"${table}_bands", s"$path/bands", buckets, "bk", "ingest_batch",
+        Seq("bk", "doc_id"))
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        spark.read.parquet(s"$stage/docs"),
+        s"${table}_docs", s"$path/docs", buckets, "doc_id", "ingest_batch",
+        Seq("doc_id"))
+      deleteDir(stage)
+    }
+  }
+
+  /** [[compactIvf]] for the single-table aHash band index: same fold
+    * (strictly-older batches → base −1, newest kept un-folded for the
+    * replay window), same lock and empty-table guards. The probe's id
+    * column name is whatever the index was built with, so it is passed in.
+    */
+  def compactAhash(spark: SparkSession, table: String, path: String,
+      buckets: Int, idCol: String): Unit = withCompactionLock(spark, table) {
+    maxBatchOf(spark, table).foreach { maxB =>
+      val stage = s"${path}__compact"
+      spark.table(table)
+        .select(col("bk"), col(idCol), col("ahash"),
+          when(col("ingest_batch") === maxB && lit(maxB) >= 0L, maxB)
+            .otherwise(-1L).as("ingest_batch"))
+        .write.mode("overwrite").parquet(stage)
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        spark.read.parquet(stage),
+        table, path, buckets, "bk", "ingest_batch", Seq("bk", idCol))
+      deleteDir(stage)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {

@@ -265,6 +265,145 @@ class StreamingIndexIngestSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("MinHash: replay overwrites both tables; torn batch healed; probe == one-shot") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_mh_spec_$run"
+    val dir = freshDir("ing_mh")
+    val docs = Tables.documents(spark, sfDir)
+    graft.dedup.Dedup.minhashWriteIndexIngestable(
+      docs.where(col("doc_id") % 4 === 0), "doc_id", "text", 3,
+      tbl, s"$dir/idx", 4)
+    val batch = docs.where(col("doc_id") % 4 === 2)
+    // crash prefix: only a TRUNCATED bands partition landed for batch 7 —
+    // the dangerous torn state (candidates without their shingle rows)
+    StreamingIndexIngest.withDynamicOverwrite(spark) {
+      import graft.dedup.Dedup
+      Dedup.bandKeys(Dedup.shingledHashed(batch.limit(3), "doc_id", "text", 3),
+          "doc_id", 128, 32)
+        .select(col("bk"), col("doc_id"), lit(7L).as("ingest_batch"))
+        .write.mode("overwrite").insertInto(s"${tbl}_bands")
+    }
+    // the replay lands BOTH tables whole; a second replay is a no-op rewrite
+    StreamingIndexIngest.applyMinhashBatch(batch, "doc_id", "text", 3, tbl, 7L)
+    val bandsOnce = spark.table(s"${tbl}_bands").count()
+    val docsOnce = spark.table(s"${tbl}_docs").count()
+    StreamingIndexIngest.applyMinhashBatch(batch, "doc_id", "text", 3, tbl, 7L)
+    assert(spark.table(s"${tbl}_bands").count() == bandsOnce,
+      "replay appended bands instead of overwriting")
+    assert(spark.table(s"${tbl}_docs").count() == docsOnce,
+      "replay appended shingle rows instead of overwriting")
+    // probe equals the one-shot non-streaming index over the same even half
+    val oneTbl = s"ing_mh_one_$run"
+    graft.dedup.Dedup.minhashWriteIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, oneTbl, s"$dir/one", 4)
+    val probe = docs.where(col("doc_id") % 2 === 1)
+    assertSameRows(
+      graft.dedup.Dedup.minhashProbeIndex(spark, probe, "doc_id", "text", 3, 0.8, tbl),
+      graft.dedup.Dedup.minhashProbeIndex(spark, probe, "doc_id", "text", 3, 0.8, oneTbl))
+  }
+
+  test("MinHash compaction folds older batches into base; probe unchanged") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_mh_cmp_$run"
+    val dir = freshDir("ing_mh_cmp")
+    val docs = Tables.documents(spark, sfDir)
+    graft.dedup.Dedup.minhashWriteIndexIngestable(
+      docs.where(col("doc_id") % 8 === 0), "doc_id", "text", 3,
+      tbl, s"$dir/idx", 4)
+    Seq(2L, 4L, 6L).zipWithIndex.foreach { case (m, i) =>
+      StreamingIndexIngest.applyMinhashBatch(
+        docs.where(col("doc_id") % 8 === m), "doc_id", "text", 3, tbl, i.toLong)
+    }
+    val probe = docs.where(col("doc_id") % 2 === 1)
+    val before = graft.dedup.Dedup
+      .minhashProbeIndex(spark, probe, "doc_id", "text", 3, 0.8, tbl)
+      .collect().toSet
+    val bandsBefore = spark.table(s"${tbl}_bands").count()
+    val docsBefore = spark.table(s"${tbl}_docs").count()
+    StreamingIndexIngest.compactMinhash(spark, tbl, s"$dir/idx", 4)
+    // newest batch partition survives un-folded in BOTH tables (replay target)
+    assert(spark.table(s"${tbl}_bands").select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L))
+    assert(spark.table(s"${tbl}_docs").select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L))
+    assert(spark.table(s"${tbl}_bands").count() == bandsBefore)
+    assert(spark.table(s"${tbl}_docs").count() == docsBefore)
+    assert(graft.dedup.Dedup
+      .minhashProbeIndex(spark, probe, "doc_id", "text", 3, 0.8, tbl)
+      .collect().toSet == before, "compaction changed probe results")
+    // crash-window replay of the kept newest batch after compaction
+    StreamingIndexIngest.applyMinhashBatch(
+      docs.where(col("doc_id") % 8 === 6), "doc_id", "text", 3, tbl, 2L)
+    assert(spark.table(s"${tbl}_bands").count() == bandsBefore,
+      "post-compaction replay duplicated the newest batch")
+    assert(graft.dedup.Dedup
+      .minhashProbeIndex(spark, probe, "doc_id", "text", 3, 0.8, tbl)
+      .collect().toSet == before, "post-compaction replay changed results")
+    assert(!new java.io.File(s"$dir/idx__compact").exists(),
+      "stage directory must be cleaned up")
+    // compacting an EMPTY minhash index is a no-op, not an NPE
+    val eTbl = s"ing_mh_empty_$run"
+    graft.dedup.Dedup.minhashWriteIndexIngestable(
+      docs.where(col("doc_id") < 0), "doc_id", "text", 3, eTbl, s"$dir/e", 4)
+    StreamingIndexIngest.compactMinhash(spark, eTbl, s"$dir/e", 4)
+    assert(spark.table(s"${eTbl}_bands").count() == 0)
+  }
+
+  test("aHash: replay overwrites its partition; probe == one-shot; compaction folds") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ah_spec_$run"
+    val dir = freshDir("ing_ah")
+    // synthetic perceptual hashes: even ids 2k and odd ids 2k+1 differ in
+    // exactly the low 2 bits (Hamming 2 <= maxHam 3); distinct k are far
+    val feats = (0L until 40L).map { i => (i, (i / 2) * 1024L + (i % 2) * 3L) }
+      .toDF("doc_id", "ahash")
+    graft.multimodal.Multimodal.ahashWriteIndexIngestable(
+      feats.where(col("doc_id") % 8 === 0), "doc_id", "ahash", 3,
+      tbl, s"$dir/idx", 4)
+    Seq(2L, 4L, 6L).zipWithIndex.foreach { case (m, i) =>
+      StreamingIndexIngest.applyAhashBatch(
+        feats.where(col("doc_id") % 8 === m), "doc_id", "ahash", 3, tbl,
+        i.toLong)
+    }
+    val once = spark.table(tbl).count()
+    // replay of the newest batch: overwrite, not append
+    StreamingIndexIngest.applyAhashBatch(
+      feats.where(col("doc_id") % 8 === 6), "doc_id", "ahash", 3, tbl, 2L)
+    assert(spark.table(tbl).count() == once, "replay appended instead of overwriting")
+    // probe equals the one-shot non-streaming index over the same even half
+    val oneTbl = s"ing_ah_one_$run"
+    graft.multimodal.Multimodal.ahashWriteIndex(
+      feats.where(col("doc_id") % 2 === 0), "doc_id", "ahash", 3,
+      oneTbl, s"$dir/one", 4)
+    val probe = feats.where(col("doc_id") % 2 === 1)
+    val viaStream = graft.multimodal.Multimodal
+      .ahashProbeIndex(spark, probe, "doc_id", "ahash", 3, tbl)
+    assert(viaStream.count() > 0, "probe found no pairs — corpus missing")
+    assertSameRows(viaStream,
+      graft.multimodal.Multimodal
+        .ahashProbeIndex(spark, probe, "doc_id", "ahash", 3, oneTbl))
+    // compaction: strictly-older batches fold to -1, newest kept; probe same
+    val before = viaStream.collect().toSet
+    StreamingIndexIngest.compactAhash(spark, tbl, s"$dir/idx", 4, "doc_id")
+    assert(spark.table(tbl).select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L))
+    assert(spark.table(tbl).count() == once)
+    assert(graft.multimodal.Multimodal
+      .ahashProbeIndex(spark, probe, "doc_id", "ahash", 3, tbl)
+      .collect().toSet == before, "compaction changed probe results")
+    // post-compaction crash-window replay of the kept newest batch
+    StreamingIndexIngest.applyAhashBatch(
+      feats.where(col("doc_id") % 8 === 6), "doc_id", "ahash", 3, tbl, 2L)
+    assert(spark.table(tbl).count() == once,
+      "post-compaction replay duplicated the newest batch")
+    // empty-index compaction is a no-op, not an NPE
+    val eTbl = s"ing_ah_empty_$run"
+    graft.multimodal.Multimodal.ahashWriteIndexIngestable(
+      feats.where(col("doc_id") < 0), "doc_id", "ahash", 3, eTbl, s"$dir/e", 4)
+    StreamingIndexIngest.compactAhash(spark, eTbl, s"$dir/e", 4, "doc_id")
+    assert(spark.table(eTbl).count() == 0)
+  }
+
   test("kill/restart: deleting the newest commit forces a replay; no double-append") {
     val run = java.lang.Long.toHexString(System.nanoTime)
     val tbl = s"ing_ivf_kr_$run"
