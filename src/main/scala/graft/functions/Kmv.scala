@@ -78,6 +78,80 @@ case class KmvAgg(
     copy(hash = c(0))
 }
 
+/** [[KmvAgg]] over SKETCH-ARRAY inputs — the merge spelled as ONE
+  * aggregate: update inserts every element of the input sketch, so a
+  * rollup over stored per-group sketches is a plain Aggregate (map-side
+  * partials work, buffers stay O(k), no explode/Generate in the plan).
+  * Because bottom-k(∪ of bottom-ks over a partition of the rows) ==
+  * bottom-k(∪ of the rows), the result is EXACTLY the sketch a direct
+  * base-table aggregate at the coarser granularity would produce — the
+  * property that lets [[graft.plans.MvRewrite]] serve subset-key sketch
+  * queries from a finer-keyed store.
+  */
+case class KmvMergeAgg(
+    k: Int,
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]] {
+
+  type Buf = scala.collection.mutable.TreeSet[Long]
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def insert(buf: Buf, h: Long): Unit =
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val arr = sketch.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      // parquet re-reads the element type as nullable; stored sketches
+      // never contain nulls, but guard anyway
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) insert(buf, a.getLong(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var j = 0
+    while (j < n) { buf += in.readLong(); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(sketch = c(0))
+}
+
 object Kmv {
   import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
   import org.apache.spark.sql.functions._
@@ -89,6 +163,14 @@ object Kmv {
   def bottomK(hash: Column, k: Int): Column =
     GraftColumnBridge.column(
       KmvAgg(k, GraftColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** Bottom-k aggregate over sketch-ARRAY inputs ([[KmvMergeAgg]]) — the
+    * one-aggregate spelling of [[merge]], for rollups over a stored
+    * per-group sketch column.
+    */
+  def mergeBottomK(sketch: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvMergeAgg(k, GraftColumnBridge.expression(sketch)).toAggregateExpression())
 
   /** Per-group KMV sketch of `value` (hashed via [[TextFunctions.hash64]]).
     * One scan, O(k) state per group; this is what an ingest shard persists.

@@ -136,6 +136,57 @@ object Ivm {
     keep.unionByName(fixedUp)
   }
 
+  /** Enrich a fact-side relation with STATIC dimension tables: inner join
+    * per dim on its (leftCol, dimCol) equi-key pairs, where a pair's left
+    * side may live on the fact or on an earlier dim in the chain (star,
+    * snowflake, composite keys — the [[graft.plans.MvRegistry.DimDef]]
+    * shape). Column names must be unique join-wide, same as the MV
+    * matcher's requirement, so names identify the condition unambiguously.
+    */
+  private def joinDims(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, pairs)) =>
+      val overlap = acc.columns.toSet.intersect(dim.columns.toSet)
+      require(overlap.isEmpty,
+        s"join-view relations need unique column names; clashing: $overlap")
+      acc.join(dim,
+        pairs.map { case (l, r) => col(l) === col(r) }.reduce(_ && _))
+    }
+
+  /** Materialize the algebraic STAR/SNOWFLAKE rollup: fact inner-joined
+    * with every dim ([[joinDims]]), grouped to `keys` (which may be dim
+    * columns — the usual warehouse shape) → (cnt, sum_v).
+    */
+  def viewJoin(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[String], v: String): DataFrame =
+    view(joinDims(fact, dims), keys, v)
+
+  /** Maintain a [[viewJoin]] star rollup from a FACT-side CDC delta under
+    * STATIC dims: the delta (fact key columns + op/old_v/new_v) is
+    * enriched with the dims — a DELTA-sized join, so Catalyst/AQE
+    * broadcasts the smaller side and the fact corpus appears nowhere —
+    * and the enriched delta folds through [[applyDelta]] exactly like a
+    * plain rollup's. Per refresh the cost is O(|delta| ⋈ dims + |view|):
+    * the two fact-sized shuffles of the original materialization are
+    * never repaid.
+    *
+    * Contract (violations change the grouping, which no algebraic fold
+    * can see):
+    *  - dims are the SAME relations the view materialized — a dim change
+    *    re-keys history and requires recompute, like every classic
+    *    star-IVM treatment;
+    *  - a `U` delta must not change the fact's join keys (or any group
+    *    key) — spell a key change as D + I, exactly the plain
+    *    [[applyDelta]] key contract;
+    *  - a delta row whose key misses its dim drops out, matching the
+    *    materialized INNER join's semantics for that fact row.
+    */
+  def applyDeltaJoin(view: DataFrame, delta: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[String]): DataFrame =
+    applyDelta(view, joinDims(delta, dims), keys)
+
   /** Materialize a DISTINCT-COUNT view as a KMV sketch store: keys → kmv
     * (the [[graft.functions.Kmv.sketch]] shape). Distinct aggregates are
     * the view class the algebraic path cannot carry (COUNT(DISTINCT) is

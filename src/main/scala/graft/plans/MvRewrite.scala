@@ -175,8 +175,9 @@ object MvRegistry {
 
   /** Register a KMV sketch store ([[graft.operators.Ivm.viewKmv]] output
     * at `mvPath` — SnapshotLake root or plain parquet, like [[register]])
-    * as the DISTINCT-COUNT view of `basePathTail` grouped by exactly
-    * `keys` over hash64(`valueCol`). `serveExactDistinct = true` is the
+    * as the DISTINCT-COUNT view of `basePathTail` grouped by `keys` (or
+    * any subset — the rollup arm merges sketches) over
+    * hash64(`valueCol`). `serveExactDistinct = true` is the
     * registrant's contract that per-group distinct counts stay < k
     * (underfull sketches are complete), enabling `count(DISTINCT v)`
     * service; sketch-aggregate (`graft_kmv`) queries serve either way.
@@ -417,9 +418,12 @@ case class MvRewrite() extends Rule[LogicalPlan] {
 
   /** DISTINCT-COUNT match: the one aggregate class [[fnOf]] deliberately
     * rejects (`isDistinct`), served from a registered KMV sketch store.
-    * Two servable spellings over the base table, grouped by EXACTLY the
-    * store's keys (sketches are mergeable, but the rollup arm is left to
-    * a later round — exact-match only):
+    * Two servable spellings over the base table, grouped by the store's
+    * keys or any SUBSET of them (sketches are mergeable: the rollup arm
+    * re-aggregates the group-sized store with [[graft.functions
+    * .KmvMergeAgg]], and bottom-k-of-union-of-bottom-ks equals the
+    * direct coarser sketch bit-for-bit; the exact-distinct arm below is
+    * exact-match only):
     *
     *  - `graft_kmv(hash64(valueCol), k)` (the [[graft.functions.Kmv
     *    .bottomK]] aggregate): served as the stored sketch column — every
@@ -445,7 +449,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
     for {
       (lr, cond) <- baseScan(agg.child)
       kv <- MvRegistry.allKmv.find(v => anchorMatches(lr, v.basePathTail) &&
-        keys.toSet == v.keys.toSet &&
+        keys.toSet.subsetOf(v.keys.toSet) &&
         cond.forall(c => filterServable(c, v.keys.toSet)))
       out <- rewriteKmv(agg, keys, cond, kv)
     } yield out
@@ -475,18 +479,28 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         val remappedCond = cond.map(_.transform {
           case a: AttributeReference => mvAttr(a.name)
         })
+        val exact = keys.toSet == kv.keys.toSet
         // the serving expression for one aggregate CALL — which may sit
         // NESTED inside a scalar expression (CollapseProject folds a
         // single-use projection like size(kmv) into the aggregate list),
-        // so outputs are rewritten by transforming every call in place
+        // so outputs are rewritten by transforming every call in place.
+        // Rollup (proper subset of store keys): the stored finer-grained
+        // sketches MERGE via [[graft.functions.KmvMergeAgg]] — bottom-k of
+        // a union of bottom-ks is the union's bottom-k, so the served
+        // sketch is bit-identical to a direct coarser aggregate. The
+        // exact-distinct arm stays EXACT-MATCH ONLY: per-group underfull
+        // (the serveExactDistinct contract) does not bound the UNION's
+        // cardinality, so a merged size(kmv) could silently truncate at k.
         def serveAgg(ae: AggregateExpression): Option[Expression] =
           if (ae.filter.nonEmpty) None
           else ae.aggregateFunction match {
             case ka: KmvAgg if !ae.isDistinct && ka.k == kv.k &&
                 ka.hash.semanticEquals(expectedHash) =>
-              Some(mvAttr("kmv"))
+              Some(if (exact) mvAttr("kmv")
+                else graft.functions.KmvMergeAgg(kv.k, mvAttr("kmv"))
+                  .toAggregateExpression())
             case Count(Seq(a: AttributeReference))
-                if ae.isDistinct && kv.serveExactDistinct &&
+                if ae.isDistinct && kv.serveExactDistinct && exact &&
                   a.name == kv.valueCol =>
               Some(Cast(Size(mvAttr("kmv")),
                 org.apache.spark.sql.types.LongType))
@@ -518,14 +532,17 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         if (mapped.exists(_.isEmpty)) None
         else {
           val outputs = mapped.map(_.get)
-          val used = (outputs.flatMap(_.references) ++
+          val keyAttrs = if (exact) Seq.empty[Attribute] else keys.map(mvAttr)
+          val used = (outputs.flatMap(_.references) ++ keyAttrs ++
             remappedCond.toSeq.flatMap(_.references)).map(_.exprId).toSet
           val prunedScan: LogicalPlan =
             if (scan.output.forall(a => used.contains(a.exprId))) scan
             else Project(scan.output.filter(a => used.contains(a.exprId)), scan)
           val child =
             remappedCond.map(Filter(_, prunedScan)).getOrElse(prunedScan)
-          val plan = Project(outputs, child)
+          val plan =
+            if (exact) Project(outputs, child)
+            else Aggregate(keys.map(mvAttr), outputs, child)
           val ok = plan.output.zip(agg.output).forall { case (n, o) =>
             sameTypeIgnoreNullability(n.dataType, o.dataType)
           }

@@ -6944,6 +6944,147 @@ object PipelineQueries {
       | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
       | FROM fin GROUP BY 1""".stripMargin))
 
+  // ---- star-rollup IVM: fact CDC deltas under static dims ----------------
+
+  /** CDC recipe over lineitem, identity (l_orderkey, l_linenumber), measure
+    * l_quantity (integral-valued doubles, so every fold is float-exact):
+    * deletes l_partkey % 13 = 5, updates % 10 = 0 (+1000), inserts % 7 = 3
+    * as new line items of the SAME order (+7) — delete wins over update,
+    * U never changes the join key, inserts are new identities, so any
+    * partition of the fact induces a valid delta partition (the streaming
+    * twin's chunked replay relies on it, like [[ivmDelta]]).
+    */
+  private def liDel = col("l_partkey") % 13 === 5
+  private def liUpd = col("l_partkey") % 10 === 0
+  private def liIns = col("l_partkey") % 7 === 3
+
+  private def liDelta(li: DataFrame): DataFrame =
+    li.where(liDel).select(col("l_orderkey"), lit("D").as("op"),
+        col("l_quantity").as("old_v"), lit(null).cast("double").as("new_v"))
+      .unionByName(li.where(!liDel && liUpd).select(col("l_orderkey"),
+        lit("U").as("op"), col("l_quantity").as("old_v"),
+        (col("l_quantity") + 1000d).as("new_v")))
+      .unionByName(li.where(liIns).select(col("l_orderkey"), lit("I").as("op"),
+        lit(null).cast("double").as("old_v"),
+        (col("l_quantity") + 7d).as("new_v")))
+
+  /** DuckDB CTE: the post-CDC fact state the maintained star view must
+    * equal after joining the static dims.
+    */
+  private val liFinSql =
+    """WITH fin AS (
+      |   SELECT l_orderkey, CASE WHEN l_partkey % 10 = 0
+      |       THEN l_quantity + 1000 ELSE l_quantity END AS v
+      |   FROM lineitem WHERE NOT (l_partkey % 13 = 5)
+      |   UNION ALL
+      |   SELECT l_orderkey, l_quantity + 7 FROM lineitem
+      |   WHERE l_partkey % 7 = 3)""".stripMargin
+
+  /** Star-rollup IVM ([[graft.operators.Ivm.applyDeltaJoin]]): the
+    * `lineitem ⋈ orders → o_orderpriority` view maintained from a
+    * FACT-side CDC delta under static dims — the delta is enriched with
+    * orders (a delta-sized join; Catalyst broadcasts the smaller side)
+    * and folds algebraically, so the fact table appears NOWHERE in the
+    * refresh plan (IvmSpec pins the leaf set). This closes the loop for
+    * JOIN views: materialize once (two fact-sized shuffles), refresh at
+    * O(|delta| ⋈ dims + |view|) per day forever. The oracle recomputes
+    * the post-CDC join rollup from scratch — maintained == recomputed.
+    */
+  val qIvmJoinRollup = Fixture(
+    "q_ivm_join_rollup",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dims = Seq(Tables.orders(s, d) ->
+        Seq("l_orderkey" -> "o_orderkey"))
+      graft.operators.Ivm.applyDeltaJoin(
+        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
+          "l_quantity"),
+        liDelta(li), dims, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+    },
+    Some(s"""$liFinSql
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
+      | FROM fin JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
+  /** The WHOLE star loop, streaming: the join MV (v3 rewrite shape) is
+    * committed as v0 of a version-stamped store and registered ONCE;
+    * fact-side CDC deltas then stream through
+    * [[graft.streaming.StreamingIvm.startJoin]] — each micro-batch joins
+    * the static dim and commits the next version, replay-safe via the
+    * pinned inception base — and a query RE-STATING the fact⋈dim rollup
+    * afterwards must serve the stream-refreshed v2 with fact AND dim gone
+    * from the plan (REQUIREd: the v2 directory is the only leaf). The
+    * warehouse end-state at 100 TB: the fact⋈dim shuffle is paid once at
+    * materialization, the stream keeps the view current per trigger at
+    * delta cost, and every dashboard report reads |groups| rows.
+    */
+  val qStreamMvJoinServe = Fixture(
+    "q_stream_mv_join_serve",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import graft.sources.SnapshotLake
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val dims = Seq(ord -> Seq("l_orderkey" -> "o_orderkey"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mvjstream_${System.nanoTime}").getAbsolutePath
+      SnapshotLake.commit(
+        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
+          "l_quantity"), root, 0L)
+      val name = s"li_join_stream_mv_${System.nanoTime}"
+      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
+        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
+        Seq("o_orderpriority"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_v", "sum", Some("l_quantity"))), root)
+      def rows(df: DataFrame) =
+        df.as[(Long, String, Option[Double], Option[Double])].collect().toSeq
+      val b1 = rows(liDelta(li.where(col("l_orderkey") % 2 === 0)))
+      val b2 = rows(liDelta(li.where(col("l_orderkey") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Double], Option[Double])]
+      val q = graft.streaming.StreamingIvm.startJoin(
+        ms.toDF().toDF("l_orderkey", "op", "old_v", "new_v"),
+        root, dims, Seq("o_orderpriority"), s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val served = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_v"))
+        val leaves = served.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_mvjstream") &&
+          leaves.head.stripSuffix("/").endsWith("/v2"),
+          s"expected the stream-refreshed v2 join-MV leaf; got ${leaves.mkString(", ")}")
+        served.select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+          .localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""$liFinSql
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
+      | FROM fin JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to
@@ -7075,6 +7216,72 @@ object PipelineQueries {
     },
     qIvmKmvDistinct.oracle)
 
+  /** The KMV ROLLUP arm: the sketch store is keyed FINER than the query —
+    * per-(lang, source) bottom-16 sketches of distinct texts — and a
+    * per-lang sketch query (with a key-only WHERE on source, commuting as
+    * in every rollup arm) serves by MERGING the stored sketches through
+    * one [[graft.functions.KmvMergeAgg]] aggregate over the group-sized
+    * store (REQUIREd: the MV is the plan's only leaf). Correctness is
+    * exact, not approximate-in-approximate: bottom-k of a union of
+    * bottom-ks IS the union's bottom-k, so the served sketch — content,
+    * size, estimate — is bit-identical to the direct corpus aggregate the
+    * oracle computes. One finer-keyed store thus serves every coarser
+    * distinct-count dashboard; at 100 TB that is |groups|-sized work per
+    * report against a corpus scanned once.
+    */
+  val qMvRewriteKmvRollup = Fixture(
+    "q_mv_rewrite_kmv_rollup",
+    (s, d) => {
+      import graft.functions.{Kmv, TextFunctions}
+      import graft.plans.{MvRewrite, MvRegistry}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val k = 16
+      val docs = Tables.documents(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_kmvr/$h"
+      graft.operators.Ivm.viewKmv(docs, Seq("lang", "source"), "text", k)
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"docs_text_distinct_$h"
+      MvRegistry.registerKmv(s, name, s"$d/documents.parquet",
+        Seq("lang", "source"), "text", k, mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = docs.where(col("source").isin("src0", "src1", "src2",
+            "src3", "src4", "src5", "src6", "src7"))
+          .groupBy("lang")
+          .agg(Kmv.bottomK(TextFunctions.hash64(col("text")), k).as("kmv"))
+          .select(col("lang"),
+            aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
+              .as("kmv_xor"),
+            size(col("kmv")).cast("long").as("sketch_size"),
+            Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
+        val leaves = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_mv_kmvr"),
+          s"expected exactly the KMV store leaf; got ${leaves.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""WITH hh AS (SELECT DISTINCT lang, ${h64("text")} AS h
+      |   FROM documents
+      |   WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7')),
+      | sk AS (SELECT lang, (list_sort(list(h)))[1:16] AS kmv FROM hh GROUP BY 1)
+      | SELECT lang,
+      |   list_reduce(list_prepend(0::BIGINT, kmv), (a, x) -> xor(a, x)) AS kmv_xor,
+      |   len(kmv)::BIGINT AS sketch_size,
+      |   ${q4("CASE WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE " +
+          "ELSE 15.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[16]::DOUBLE END")} AS est_distinct
+      | FROM sk""".stripMargin))
+
   /** Deterministic sample store for quantiles (functions/HashSample.scala)
     * — the RANK member of the at-rest sketch trio beside KMV (cardinality)
     * and CMS (frequency): each ingest shard lands the rows whose shared
@@ -7169,6 +7376,7 @@ object PipelineQueries {
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
     qMvRewriteHaving, qMvRewriteJoin, qMvRewriteSnowflake,
-    qMvRewriteKmvDistinct, qMvIvmServe, qStreamMvServe,
+    qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
+    qIvmJoinRollup, qStreamMvJoinServe,
     qSampleQuantileStore)
 }

@@ -89,6 +89,43 @@ object StreamingIvm {
       .start()
   }
 
+  /** [[applyBatch]] for a STAR/SNOWFLAKE rollup ([[Ivm.viewJoin]]
+    * schema): the micro-batch's fact-side delta is enriched with the
+    * static dims (delta-sized join) and folds through the same algebraic
+    * path — the fact corpus and its materialization shuffles appear in no
+    * trigger's plan. Same version guard; same static-dims / keys-don't-
+    * change-in-U contract as [[Ivm.applyDeltaJoin]].
+    */
+  def applyBatchJoin(batch: DataFrame, root: String,
+      dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      baseVersion: Long, batchId: Long): Boolean = {
+    val v = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, v)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(Ivm.applyDeltaJoin(view, batch, dims, keys), root, v)
+      true
+    }
+  }
+
+  /** Start a fact-side CDC delta stream into the star-rollup view at
+    * `root` (a committed [[Ivm.viewJoin]] base) — the live-dashboard
+    * refresher for JOIN views: each trigger pays a delta⋈dims join plus a
+    * view-sized fold, never a fact scan.
+    */
+  def startJoin(deltas: DataFrame, root: String,
+      dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      checkpoint: String): StreamingQuery = {
+    val base = inceptionBase(root, checkpoint)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchJoin(batch, root, dims, keys, base, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** [[applyBatch]] for a DISTINCT-COUNT (KMV sketch) view
     * ([[Ivm.viewKmv]] schema): the micro-batch's insert-only delta
     * union-merges into the stored per-key sketches and commits the next

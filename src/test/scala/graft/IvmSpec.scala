@@ -83,6 +83,41 @@ class IvmSpec extends SparkTestBase {
       s"base table must not appear in the maintenance plan: $baseScans")
   }
 
+  test("star rollup: maintained == recomputed; fact never a plan leaf; dim-miss drops") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("fk", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("pk", "grp")
+    val dims = Seq(dim -> Seq("fk" -> "pk"))
+    // D fk1/10, I fk2/8, U fk3 7->9, and an INSERT whose key misses the
+    // dim — it must drop out, exactly as the materialized inner join
+    // would have dropped that fact row
+    val d = Seq(
+      (1L, "D", Some(10L), None),
+      (2L, "I", None, Some(8L)),
+      (3L, "U", Some(7L), Some(9L)),
+      (4L, "I", None, Some(100L))
+    ).toDF("fk", "op", "old_v", "new_v")
+    val appliedFact = Seq((1L, 20L), (2L, 5L), (2L, 8L), (3L, 9L))
+      .toDF("fk", "v")
+    assertSameRows(
+      Ivm.applyDeltaJoin(Ivm.viewJoin(fact, dims, Seq("grp"), "v"), d,
+        dims, Seq("grp")),
+      Ivm.viewJoin(appliedFact, dims, Seq("grp"), "v"))
+    // structural scale property: view at rest + delta + dim are the only
+    // leaves — the fact corpus appears nowhere in the refresh plan
+    val dir = freshDir("ivm_star")
+    fact.write.parquet(s"$dir/fact")
+    Ivm.viewJoin(spark.read.parquet(s"$dir/fact"), dims, Seq("grp"), "v")
+      .write.parquet(s"$dir/view")
+    val out = Ivm.applyDeltaJoin(spark.read.parquet(s"$dir/view"), d,
+      dims, Seq("grp"))
+    val leaves = out.queryExecution.executedPlan.collectLeaves()
+      .collect { case l: LeafExecNode => l.toString }
+    assert(leaves.exists(_.contains(s"$dir/view")))
+    assert(!leaves.exists(_.contains(s"$dir/fact")),
+      s"fact table must not appear in the star refresh plan: $leaves")
+  }
+
   test("min/max recompute touches only broken groups") {
     // delete b's duplicate min: bound unbroken for a and c, broken for b
     val d = Seq(("b", "D", Option(5L), Option.empty[Long]))

@@ -605,6 +605,76 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("KMV rollup arm: subset keys merge stored sketches; exact-distinct stays exact-match") {
+    import graft.functions.{Kmv, TextFunctions}
+    val parent = freshDir("mv_kmv_ru")
+    (1 to 500).map(i => (s"g${i % 4}", s"h${i % 3}", s"v${i % 37}"))
+      .toDF("g1", "g2", "s")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val k = 16
+    graft.operators.Ivm.viewKmv(base, Seq("g1", "g2"), "s", k)
+      .write.parquet(s"$parent/store")
+    MvRegistry.registerKmv(spark, "mv_kmv_ru", s"$parent/base",
+      Seq("g1", "g2"), "s", k, s"$parent/store", serveExactDistinct = true)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def sketchBy(cols: String*) = base.groupBy(cols.map(col): _*)
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+      // subset of the store keys → served by MERGING stored sketches
+      val q = sketchBy("g1")
+        .select(col("g1"), size(col("kmv")).as("n"),
+          Kmv.estimate(col("kmv"), k).as("est"))
+      assert(scanPaths(q).exists(_.contains("/store")),
+        s"rollup sketch agg must serve from the store: ${scanPaths(q)}")
+      assert(!scanPaths(q).exists(_.contains("/base")))
+      // merged content bit-identical to the direct coarser aggregate
+      spark.experimental.extraOptimizations = prev
+      val direct = sketchBy("g1")
+        .select(col("g1"), col("kmv")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      spark.experimental.extraOptimizations = prev :+ MvRewrite()
+      val served = sketchBy("g1").select(col("g1"), col("kmv"))
+      assert(scanPaths(served).exists(_.contains("/store")))
+      served.collect().foreach { r =>
+        assert(r.getSeq[Long](1) == direct(r.getString(0)),
+          s"merged sketch differs from direct for ${r.getString(0)}")
+      }
+      // GLOBAL rollup (no grouping keys) serves and matches
+      val g = base.agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+      assert(scanPaths(g).exists(_.contains("/store")),
+        s"global sketch agg must serve: ${scanPaths(g)}")
+      spark.experimental.extraOptimizations = prev
+      val gDirect = base
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+        .collect().head.getSeq[Long](0)
+      spark.experimental.extraOptimizations = prev :+ MvRewrite()
+      assert(g.collect().head.getSeq[Long](0) == gDirect)
+      // exact-distinct arm must NOT serve under a rollup: per-group
+      // underfull does not bound the union, size(merged) could truncate
+      val qd = base.groupBy("g1").agg(countDistinct(col("s")).as("d"))
+      assert(!scanPaths(qd).exists(_.contains("/store")),
+        "count(distinct) under subset keys must fall through")
+      // key-only WHERE on a rolled-away store key still commutes
+      val qf = base.where(col("g2") === "h1").groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+      assert(scanPaths(qf).exists(_.contains("/store")),
+        s"filtered rollup must serve: ${scanPaths(qf)}")
+      spark.experimental.extraOptimizations = prev
+      val fDirect = base.where(col("g2") === "h1").groupBy("g1")
+        .agg(Kmv.bottomK(TextFunctions.hash64(col("s")), k).as("kmv"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      spark.experimental.extraOptimizations = prev :+ MvRewrite()
+      qf.collect().foreach { r =>
+        assert(r.getSeq[Long](1) == fDirect(r.getString(0)))
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_kmv_ru")
+    }
+  }
+
   test("versioned KMV store serves its refreshed sketch with no re-register") {
     import graft.functions.{Kmv, TextFunctions}
     import graft.sources.SnapshotLake
