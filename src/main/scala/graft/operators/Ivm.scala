@@ -187,6 +187,151 @@ object Ivm {
       keys: Seq[String]): DataFrame =
     applyDelta(view, joinDims(delta, dims), keys)
 
+  /** Materialize a FREQUENCY view as a Count-Min sketch store
+    * ([[graft.functions.Cms.build]]'s relational (keys…, r, c, cnt)
+    * layout): the member of the sketch-view family that — unlike the KMV
+    * cardinality sketch — is fully SUBTRACTIVE, because its cells are
+    * plain counts, so the IVM story covers inserts, updates AND deletes
+    * exactly.
+    */
+  def viewCms(base: DataFrame, keys: Seq[String], v: String,
+      depth: Int, width: Int): DataFrame =
+    graft.functions.Cms.build(base, keys, col(v), depth, width)
+
+  /** Maintain a [[viewCms]] frequency view from a FULL I/U/D CDC delta:
+    * each post-image value contributes +1 and each pre-image −1 to its
+    * `depth` cells; the signed delta matrix aggregates delta-sized and
+    * adds cell-wise into the stored matrix (counter addition — the same
+    * merge shards use), with zeroed cells dropped so the maintained
+    * store stays bit-identical to a from-scratch rebuild on the post-CDC
+    * base. The base corpus appears nowhere. Rows with a NULL or unknown
+    * op fail loudly rather than being silently skipped.
+    */
+  def applyDeltaCms(view: DataFrame, delta: DataFrame, keys: Seq[String],
+      depth: Int, width: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    require(delta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "CMS views refresh from I/U/D deltas only; op must be non-null")
+    val signed = delta.where(col("op") =!= "D")
+        .select(keys.map(col) :+ col("new_v").as("__v") :+ lit(1L).as("w"): _*)
+      .unionByName(delta.where(col("op") =!= "I")
+        .select(keys.map(col) :+ col("old_v").as("__v") :+
+          lit(-1L).as("w"): _*))
+    val d = signed
+      .select(keys.map(col) :+
+        explode(sequence(lit(0), lit(depth - 1))).as("r") :+
+        col("__v") :+ col("w"): _*)
+      .withColumn("c", pmod(TextFunctions.hash64(col("__v"), col("r")),
+        lit(width.toLong)))
+      .groupBy((keys :+ "r" :+ "c").map(col): _*)
+      .agg(sum(col("w")).as("d_cnt"))
+    view.join(d, keys ++ Seq("r", "c"), "full_outer")
+      .select((keys ++ Seq("r", "c")).map(col) :+
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("d_cnt"), lit(0L))).as("cnt"): _*)
+      .where(col("cnt") =!= 0L)
+  }
+
+  /** Maintain a [[viewJoin]] star rollup from a DIM-side CDC delta — the
+    * seam [[applyDeltaJoin]]'s static-dims contract leaves open: a
+    * dimension attribute change re-keys every fact row of that dim key
+    * (a customer moving market segment moves ALL its line items' history
+    * between groups), a dim DELETE drops those rows from the inner join,
+    * and a dim INSERT adopts previously-orphaned fact rows into it.
+    *
+    * None of that is computable from the view alone (per-dim-key
+    * contributions are not stored), but it never needs a full fact scan
+    * either: the only fact rows whose group membership can change are
+    * those joining a CHANGED dim key, so the refresh reads the fact
+    * PRUNED by a broadcast semi-join on the delta's keys — at warehouse
+    * scale, O(fact rows of the changed customers), not O(fact). Their
+    * contributions are subtracted under the OLD dim attributes and
+    * re-added under the NEW ones, then folded into the view
+    * algebraically.
+    *
+    * `dimDelta` carries one row per changed dim key: `dimKey`, `op`
+    * (I/U/D), and for EVERY dim-sourced grouping key `k` in `keys` a
+    * pre-image `old_k` (NULL for I) and post-image `new_k` (NULL for D).
+    * Fact-sourced grouping keys (if any) pass through unchanged. A `U`
+    * must not change the dim's own key (spell it D + I), mirroring the
+    * fact-side contract.
+    */
+  def applyDimDeltaJoin(view: DataFrame, fact: DataFrame, factKey: String,
+      dimDelta: DataFrame, dimKey: String, keys: Seq[String],
+      v: String): DataFrame = {
+    require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "dim deltas are I/U/D with non-null op")
+    val dimSourced = keys.filter(k => dimDelta.columns.contains(s"old_$k"))
+    require(dimSourced.nonEmpty,
+      "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
+    val factSourced = keys.filterNot(dimSourced.contains)
+    // the pruned fact slice: only rows whose fk is a changed dim key
+    val slice = fact.join(
+        broadcast(dimDelta.select(col(dimKey)).distinct()),
+        col(factKey) === col(dimKey), "left_semi")
+      .select((factSourced :+ factKey).map(col) :+ col(v).as("__v"): _*)
+    // ONE pruned fact pass: each joined row fans out to its subtract side
+    // (old attributes, −1; absent for I) and its add side (new attributes,
+    // +1; absent for D) via a 2-element explode
+    def sideStruct(prefix: String, active: org.apache.spark.sql.Column,
+        sign: Long) =
+      struct(dimSourced.map(k => col(s"$prefix$k").as(k)) :+
+        when(active, lit(sign)).otherwise(lit(0L)).as("__s"): _*)
+    val signed = slice
+      .join(broadcast(dimDelta), col(factKey) === col(dimKey))
+      .select(factSourced.map(col) ++ Seq(
+        explode(array(
+          sideStruct("old_", col("op") =!= "I", -1L),
+          sideStruct("new_", col("op") =!= "D", 1L))).as("__side"),
+        col("__v")): _*)
+      .where(col("__side.__s") =!= 0L)
+      .select(factSourced.map(col) ++
+        dimSourced.map(k => col(s"__side.$k").as(k)) ++ Seq(
+          col("__side.__s").as("__s"), col("__v")): _*)
+    val d = signed.groupBy(keys.map(col): _*)
+      .agg(sum(col("__s")).as("d_cnt"),
+        sum(col("__s") * col("__v")).as("d_sum"))
+    view.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_v"), lit(0L)) +
+          coalesce(col("d_sum"), lit(0L))).as("sum_v")): _*)
+      .where(col("cnt") > 0)
+  }
+
+  /** Materialize the RANK/quantile member of the sketch-view family: the
+    * deterministic hash-rate sample ([[graft.functions.HashSample]]) of
+    * the base — a row store holding exactly the rows whose hashed key
+    * falls under 2^60/denom.
+    */
+  def viewSample(base: DataFrame, hashKey: org.apache.spark.sql.Column,
+      denom: Int): DataFrame =
+    graft.functions.HashSample.sample(base, hashKey, denom)
+
+  /** Maintain a [[viewSample]] store from a ROW-LEVEL CDC delta (full
+    * post-image rows for I/U plus the key for D, `op` column alongside):
+    * membership is a pure function of the key hash, so the delta first
+    * FILTERS to its sample-relevant rows — after which maintenance is one
+    * key anti-join (drop every touched key) plus a union of the I/U
+    * post-images. Deterministic membership is what makes this exact:
+    * maintained == the sample of the post-CDC base, row-for-row, and the
+    * base corpus appears nowhere (delta-sized filter, sample-sized join).
+    * Same key contract as every arm: a U never changes the key (spell it
+    * D + I).
+    */
+  def applyDeltaSample(view: DataFrame, delta: DataFrame, key: String,
+      hashKey: org.apache.spark.sql.Column, denom: Int): DataFrame = {
+    require(delta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "sample views refresh from I/U/D deltas only; op must be non-null")
+    val rel = graft.functions.HashSample.sample(delta, hashKey, denom)
+    view.join(rel.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(rel.where(col("op") =!= "D").drop("op"))
+  }
+
   /** Materialize a DISTINCT-COUNT view as a KMV sketch store: keys → kmv
     * (the [[graft.functions.Kmv.sketch]] shape). Distinct aggregates are
     * the view class the algebraic path cannot carry (COUNT(DISTINCT) is

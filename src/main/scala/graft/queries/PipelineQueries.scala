@@ -6241,6 +6241,197 @@ object PipelineQueries {
     },
     qIvmKmvDistinct.oracle)
 
+  /** Shared CDC recipe for the CMS frequency view: the VALUE is `source`
+    * (a string multiset per lang), deletes doc_id % 13 = 5, updates
+    * % 10 = 0 rewrite source → source_u, inserts % 7 = 3 add source_x —
+    * one op per base doc (delete wins), so delta partitions chunk
+    * cleanly for the streaming twin.
+    */
+  private def cmsDelta(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 13 === 5).select(col("lang"),
+        lit("D").as("op"), col("source").as("old_v"),
+        lit(null).cast("string").as("new_v"))
+      .unionByName(docs.where(col("doc_id") % 13 =!= 5 &&
+          col("doc_id") % 10 === 0)
+        .select(col("lang"), lit("U").as("op"), col("source").as("old_v"),
+          concat(col("source"), lit("_u")).as("new_v")))
+      .unionByName(docs.where(col("doc_id") % 7 === 3)
+        .select(col("lang"), lit("I").as("op"),
+          lit(null).cast("string").as("old_v"),
+          concat(col("source"), lit("_x")).as("new_v")))
+
+  /** DuckDB CTE: the post-CDC (lang, source-value) multiset. */
+  private val cmsFinSql =
+    """WITH fin AS (
+      |   SELECT lang, CASE WHEN doc_id % 10 = 0 THEN source || '_u'
+      |     ELSE source END AS v
+      |   FROM documents WHERE NOT (doc_id % 13 = 5)
+      |   UNION ALL
+      |   SELECT lang, source || '_x' FROM documents WHERE doc_id % 7 = 3),
+      | rs AS (SELECT unnest(generate_series(0, 3)) AS r)""".stripMargin
+
+  /** FREQUENCY views through the IVM loop via the CMS store
+    * ([[graft.operators.Ivm.applyDeltaCms]]): the counter-matrix sketch
+    * is the member of the sketch-view family whose cells are plain
+    * counts — SUBTRACTIVE — so unlike the KMV view (insert-only, deletes
+    * refused) the FULL I/U/D delta folds exactly: each post-image +1,
+    * each pre-image −1, summed cell-wise into the stored matrix with
+    * zeroed cells dropped. The maintained store must equal a from-
+    * scratch rebuild on the post-CDC base cell-for-cell (deterministic
+    * shared-hash cells, 4×8 so collisions are real), which is what the
+    * oracle recomputes. Refresh cost: delta-sized expansion ×depth plus
+    * a sketch-sized join — the corpus appears nowhere.
+    */
+  val qIvmCmsFreq = Fixture(
+    "q_ivm_cms_freq",
+    (s, d) => {
+      val (depth, width) = (4, 8)
+      val docs = Tables.documents(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_cms/" +
+        Integer.toHexString(d.hashCode)
+      graft.operators.Ivm.viewCms(docs, Seq("lang"), "source", depth, width)
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.Ivm.applyDeltaCms(
+        s.read.parquet(dir), cmsDelta(docs), Seq("lang"), depth, width)
+        .select(col("lang"), col("r").cast("long").as("r"), col("c"),
+          col("cnt"))
+    },
+    Some(s"""$cmsFinSql
+      | SELECT lang, r, ${h64("v || '#' || r::VARCHAR")} % 8 AS c,
+      |   count(*) AS cnt
+      | FROM fin CROSS JOIN rs GROUP BY 1, 2, 3""".stripMargin))
+
+  /** Streaming twin of [[qIvmCmsFreq]]: the full I/U/D delta arrives as
+    * TWO micro-batches through [[graft.streaming.StreamingIvm.startCms]]
+    * — each trigger adds its signed cell matrix and commits the next
+    * lake version (v0→v2, replay-safe via the pinned inception base, and
+    * the fold is NOT idempotent, so the version guard is load-bearing).
+    * Counter addition is associative, so the final store equals the
+    * one-shot post-CDC rebuild under any delta chunking — cell-for-cell,
+    * deletes included, the arm the KMV stream had to refuse.
+    */
+  val qStreamIvmCms = Fixture(
+    "q_stream_ivm_cms",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (depth, width) = (4, 8)
+      val docs = Tables.documents(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_cmslake_${System.nanoTime}").getAbsolutePath
+      graft.sources.SnapshotLake.commit(
+        graft.operators.Ivm.viewCms(docs, Seq("lang"), "source", depth,
+          width), root, 0L)
+      def rows(df: DataFrame) = df
+        .as[(String, String, Option[String], Option[String])].collect().toSeq
+      val b1 = rows(cmsDelta(docs.where(col("doc_id") % 2 === 0)))
+      val b2 = rows(cmsDelta(docs.where(col("doc_id") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Option[String], Option[String])]
+      val q = graft.streaming.StreamingIvm.startCms(
+        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
+        root, Seq("lang"), depth, width, s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .select(col("lang"), col("r").cast("long").as("r"), col("c"),
+          col("cnt"))
+    },
+    qIvmCmsFreq.oracle)
+
+  /** Row-level CDC for the sample store: full post-image rows for I/U,
+    * the usual recipe mods, inserts as NEW keys (doc_id + 1 000 000 —
+    * their sample membership is as deterministic as anyone's).
+    */
+  private def sampleDelta(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 13 === 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        lit("D").as("op"))
+      .unionByName(docs.where(col("doc_id") % 13 =!= 5 &&
+          col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"), lit("U").as("op")))
+      .unionByName(docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("source"), (col("n_chars") + 7L).as("n_chars"),
+          lit("I").as("op")))
+
+  /** The RANK member of the sketch-store trio through the IVM loop
+    * ([[graft.operators.Ivm.applyDeltaSample]]): the deterministic
+    * hash-rate sample is a ROW store whose membership is a pure function
+    * of the key hash, so a row-level I/U/D delta maintains it exactly —
+    * filter the delta to its sample-member rows, anti-join the touched
+    * keys out, union the I/U post-images in. Maintained == the sample of
+    * the post-CDC base row-for-row (the oracle recomputes it), the
+    * corpus appears nowhere, and with KMV (insert-only by refusal) and
+    * CMS (fully subtractive) this closes the IVM story for all three
+    * persisted sketch families.
+    */
+  val qIvmSampleStore = Fixture(
+    "q_ivm_sample_store",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val denom = 4
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_smp/" +
+        Integer.toHexString(d.hashCode)
+      graft.operators.Ivm.viewSample(docs,
+          col("doc_id").cast("string"), denom)
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.Ivm.applyDeltaSample(s.read.parquet(dir),
+        sampleDelta(docs), "doc_id", col("doc_id").cast("string"), denom)
+    },
+    Some(s"""WITH fin AS (
+      |   SELECT doc_id, lang, source, CASE WHEN doc_id % 10 = 0
+      |       THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |   FROM documents WHERE NOT (doc_id % 13 = 5)
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, lang, source, n_chars + 7
+      |   FROM documents WHERE doc_id % 7 = 3)
+      | SELECT doc_id, lang, source, n_chars FROM fin
+      | WHERE ${graft.functions.HashSample.sampleSql("doc_id::VARCHAR", 4)}""".stripMargin))
+
+  /** Streaming twin of [[qIvmSampleStore]]: the row-level delta arrives
+    * as TWO micro-batches through
+    * [[graft.streaming.StreamingIvm.startSample]] (v0→v2, replay-safe
+    * via the pinned inception base). Membership determinism makes the
+    * result chunking-invariant: the final store equals the one-shot
+    * post-CDC sample exactly.
+    */
+  val qStreamIvmSample = Fixture(
+    "q_stream_ivm_sample",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val denom = 4
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_smplake_${System.nanoTime}").getAbsolutePath
+      graft.sources.SnapshotLake.commit(
+        graft.operators.Ivm.viewSample(docs,
+          col("doc_id").cast("string"), denom), root, 0L)
+      def rows(df: DataFrame) =
+        df.as[(Long, String, String, Long, String)].collect().toSeq
+      val b1 = rows(sampleDelta(docs.where(col("doc_id") % 2 === 0)))
+      val b2 = rows(sampleDelta(docs.where(col("doc_id") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Long, String)]
+      val q = graft.streaming.StreamingIvm.startSample(
+        ms.toDF().toDF("doc_id", "lang", "source", "n_chars", "op"),
+        root, "doc_id", col("doc_id").cast("string"), denom,
+        s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+    qIvmSampleStore.oracle)
+
   /** STREAMING hybrid retrieval — the serving form of [[qHybridRrf]]:
     * query rows arrive as a stream and are served against TWO indexes at
     * rest (the IVF cell-bucketed ANN index and the BM25 term-bucketed
@@ -7085,6 +7276,55 @@ object PipelineQueries {
       | FROM fin JOIN orders ON l_orderkey = o_orderkey
       | GROUP BY 1""".stripMargin))
 
+  /** DIM-side delta maintenance of the star rollup
+    * ([[graft.operators.Ivm.applyDimDeltaJoin]]) — the seam the fact-side
+    * arm's static-dims contract leaves open, closed without a full fact
+    * scan: the initial view joins only the orders with
+    * `o_orderkey % 50 ≠ 11` (the %50=11 orders are "missing", their line
+    * items orphaned out of the inner join), then the dim delta UPDATES
+    * %50=7 orders to a brand-new priority (moving their entire lineitem
+    * history between groups, including INTO a group the view has never
+    * seen), DELETES %50=3 (dropping their rows from the join), and
+    * INSERTS the missing %50=11 (adopting their orphans in). The refresh
+    * reads the fact pruned by a broadcast semi-join on the ~900 changed
+    * order keys — the plan property IvmSpec pins — and must equal the
+    * from-scratch post-CDC join rollup the oracle computes.
+    */
+  val qIvmJoinDimDelta = Fixture(
+    "q_ivm_join_dim_delta",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      val view0 = graft.operators.Ivm.viewJoin(li,
+        Seq(ords.where(col("o_orderkey") % 50 =!= 11) ->
+          Seq("l_orderkey" -> "o_orderkey")),
+        Seq("o_orderpriority"), "l_quantity")
+      val delta = ords.where(col("o_orderkey") % 50 === 7)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderpriority").as("old_o_orderpriority"),
+          lit("9-SPECIAL").as("new_o_orderpriority"))
+        .unionByName(ords.where(col("o_orderkey") % 50 === 3)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderpriority").as("old_o_orderpriority"),
+            lit(null).cast("string").as("new_o_orderpriority")))
+        .unionByName(ords.where(col("o_orderkey") % 50 === 11)
+          .select(col("o_orderkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_o_orderpriority"),
+            col("o_orderpriority").as("new_o_orderpriority")))
+      graft.operators.Ivm.applyDimDeltaJoin(view0,
+          li.select("l_orderkey", "l_quantity"), "l_orderkey",
+          delta, "o_orderkey", Seq("o_orderpriority"), "l_quantity")
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+    },
+    Some(s"""WITH dimf AS (
+      |   SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 7 THEN '9-SPECIAL'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |   FROM orders WHERE o_orderkey % 50 <> 3)
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v
+      | FROM lineitem JOIN dimf ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to
@@ -7372,11 +7612,12 @@ object PipelineQueries {
     qWinnowOverlap, qBm25IndexAppend, qTrainShuffle, qSelectTopFrac,
     qSnapshotDiff, qStreamJsonlIngest, qCdcChunks, qCdcChunkDedup,
     qIvmRollup, qIvmMinmax, qStreamIvmRollup, qIvmKmvDistinct, qStreamIvmKmv,
+    qIvmCmsFreq, qStreamIvmCms, qIvmSampleStore, qStreamIvmSample,
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
     qMvRewriteHaving, qMvRewriteJoin, qMvRewriteSnowflake,
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
-    qIvmJoinRollup, qStreamMvJoinServe,
+    qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta,
     qSampleQuantileStore)
 }

@@ -126,6 +126,78 @@ object StreamingIvm {
       .start()
   }
 
+  /** [[applyBatch]] for a FREQUENCY (Count-Min sketch) view
+    * ([[Ivm.viewCms]] schema): the micro-batch's I/U/D delta lands as a
+    * signed cell matrix added into the stored one — CMS cells are plain
+    * counts, so unlike the KMV sketch the full delete path folds exactly.
+    * Same version guard (the fold is NOT idempotent — a replayed batch
+    * would double-add).
+    */
+  def applyBatchCms(batch: DataFrame, root: String, keys: Seq[String],
+      depth: Int, width: Int, baseVersion: Long, batchId: Long): Boolean = {
+    val v = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, v)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(
+        Ivm.applyDeltaCms(view, batch, keys, depth, width), root, v)
+      true
+    }
+  }
+
+  /** Start an I/U/D delta stream into the CMS frequency view at `root` —
+    * streaming parity for the one sketch class whose deletes fold
+    * exactly.
+    */
+  def startCms(deltas: DataFrame, root: String, keys: Seq[String],
+      depth: Int, width: Int, checkpoint: String): StreamingQuery = {
+    val base = inceptionBase(root, checkpoint)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchCms(batch, root, keys, depth, width, base, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** [[applyBatch]] for a hash-rate SAMPLE store ([[Ivm.viewSample]]):
+    * the micro-batch's row-level I/U/D delta filters to its
+    * sample-member rows and folds via anti-join + union. The fold is
+    * content-idempotent for I/U (replacing a row with itself) but NOT
+    * for mixed replays interleaved with other batches, so the version
+    * guard stays load-bearing here too.
+    */
+  def applyBatchSample(batch: DataFrame, root: String, key: String,
+      hashKey: org.apache.spark.sql.Column, denom: Int,
+      baseVersion: Long, batchId: Long): Boolean = {
+    val v = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, v)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(
+        Ivm.applyDeltaSample(view, batch, key, hashKey, denom), root, v)
+      true
+    }
+  }
+
+  /** Start a row-level I/U/D delta stream into the sample store at
+    * `root` — with this, all three sketch-store families (KMV
+    * cardinality, CMS frequency, hash-rate sample) refresh continuously.
+    */
+  def startSample(deltas: DataFrame, root: String, key: String,
+      hashKey: org.apache.spark.sql.Column, denom: Int,
+      checkpoint: String): StreamingQuery = {
+    val base = inceptionBase(root, checkpoint)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchSample(batch, root, key, hashKey, denom, base, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** [[applyBatch]] for a DISTINCT-COUNT (KMV sketch) view
     * ([[Ivm.viewKmv]] schema): the micro-batch's insert-only delta
     * union-merges into the stored per-key sketches and commits the next

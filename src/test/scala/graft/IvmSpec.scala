@@ -118,6 +118,132 @@ class IvmSpec extends SparkTestBase {
       s"fact table must not appear in the star refresh plan: $leaves")
   }
 
+  test("dim-side star delta: re-key/delete/adopt exactly; untouched fact keys never read") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L))
+      .toDF("fk", "v")
+    val dim0 = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("pk", "grp")
+    val view0 = Ivm.viewJoin(fact, Seq(dim0 -> Seq("fk" -> "pk")),
+      Seq("grp"), "v")
+    // U: pk2 moves y→x (its fact history must move groups);
+    // D: pk3 (its rows leave the join); I: pk4 (its ORPHAN row joins in)
+    val delta = Seq(
+      (2L, "U", Option("y"), Option("x")),
+      (3L, "D", Option("x"), Option.empty[String]),
+      (4L, "I", Option.empty[String], Option("z"))
+    ).toDF("pk", "op", "old_grp", "new_grp")
+    val dimAfter = Seq((1L, "x"), (2L, "x"), (4L, "z")).toDF("pk", "grp")
+    val expected = Ivm.viewJoin(fact, Seq(dimAfter -> Seq("fk" -> "pk")),
+      Seq("grp"), "v")
+    assertSameRows(
+      Ivm.applyDimDeltaJoin(view0, fact, "fk", delta, "pk", Seq("grp"), "v"),
+      expected)
+    // pruning, pinned behaviorally: poison every fact row whose key the
+    // delta does NOT touch — if the refresh read them, the sums shift
+    val poisoned = fact.select(col("fk"),
+      when(col("fk").isin(2L, 3L, 4L), col("v"))
+        .otherwise(col("v") + 100000L).as("v"))
+    assertSameRows(
+      Ivm.applyDimDeltaJoin(view0, poisoned, "fk", delta, "pk",
+        Seq("grp"), "v"),
+      expected)
+    // a delta declaring no old_/new_ grouping keys is refused
+    val noKeys = Seq((2L, "D")).toDF("pk", "op")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDimDeltaJoin(view0, fact, "fk", noKeys, "pk", Seq("grp"), "v")
+    }
+    // NULL op is refused loudly
+    val bad = Seq((2L, null: String, Option("y"), Option("x")))
+      .toDF("pk", "op", "old_grp", "new_grp")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDimDeltaJoin(view0, fact, "fk", bad, "pk", Seq("grp"), "v")
+    }
+  }
+
+  test("CMS frequency view: full I/U/D delta folds exactly; zero cells drop; bad ops refused") {
+    val b = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "s")
+    val (depth, width) = (4, 8)
+    // D one 'x', U the 'y' -> 'w', I a 'v' in b, and delete b's only 'z'
+    // entirely — its cells must VANISH, not sit at 0
+    val d = Seq(
+      ("a", "D", Option("x"), Option.empty[String]),
+      ("a", "U", Option("y"), Option("w")),
+      ("b", "I", Option.empty[String], Option("v")),
+      ("b", "D", Option("z"), Option.empty[String])
+    ).toDF("g", "op", "old_v", "new_v")
+    val after = Seq(("a", "x"), ("a", "w"), ("b", "v")).toDF("g", "s")
+    val maintained = Ivm.applyDeltaCms(
+      Ivm.viewCms(b, Seq("g"), "s", depth, width), d, Seq("g"), depth, width)
+    assertSameRows(maintained, Ivm.viewCms(after, Seq("g"), "s", depth, width))
+    assert(maintained.where(col("cnt") === 0).count() == 0)
+    // refusal: NULL and unknown ops fail loudly, never silently skip
+    val bad = Seq(("a", null: String, Option("x"), Option.empty[String]))
+      .toDF("g", "op", "old_v", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaCms(Ivm.viewCms(b, Seq("g"), "s", depth, width), bad,
+        Seq("g"), depth, width)
+    }
+    val unk = Seq(("a", "X", Some("x"), Option.empty[String]))
+      .toDF("g", "op", "old_v", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaCms(Ivm.viewCms(b, Seq("g"), "s", depth, width), unk,
+        Seq("g"), depth, width)
+    }
+    // structural: view + delta only, base never a leaf
+    val dir = freshDir("ivm_cms")
+    b.write.parquet(s"$dir/base")
+    Ivm.viewCms(spark.read.parquet(s"$dir/base"), Seq("g"), "s", depth, width)
+      .write.parquet(s"$dir/view")
+    val out = Ivm.applyDeltaCms(spark.read.parquet(s"$dir/view"), d,
+      Seq("g"), depth, width)
+    val leaves = out.queryExecution.executedPlan.collectLeaves()
+      .collect { case l: LeafExecNode => l.toString }
+    assert(leaves.exists(_.contains(s"$dir/view")))
+    assert(!leaves.exists(_.contains(s"$dir/base")),
+      s"base table must not appear in the CMS refresh plan: $leaves")
+  }
+
+  test("sample store: row-level I/U/D maintains the exact post-CDC sample") {
+    import graft.functions.HashSample
+    // enough keys that a denom-2 sample is non-trivially populated
+    val b = (1L to 200L).map(i => (i, i * 10L)).toDF("k", "v")
+    val hk = col("k").cast("string")
+    // delete k%13==5, update k%10==0 (+1), insert new keys k+1000
+    val d = (1L to 200L).flatMap { i =>
+      if (i % 13 == 5) Seq((i, i * 10L, "D"))
+      else if (i % 10 == 0) Seq((i, i * 10L + 1L, "U"))
+      else Nil
+    }.toDF("k", "v", "op")
+      .unionByName((1L to 200L).filter(_ % 7 == 3)
+        .map(i => (i + 1000L, i, "I")).toDF("k", "v", "op"))
+    val after = (1L to 200L).filterNot(_ % 13 == 5)
+      .map(i => (i, if (i % 10 == 0) i * 10L + 1L else i * 10L))
+      .toDF("k", "v")
+      .unionByName((1L to 200L).filter(_ % 7 == 3)
+        .map(i => (i + 1000L, i)).toDF("k", "v"))
+    val maintained = Ivm.applyDeltaSample(
+      Ivm.viewSample(b, hk, 2), d, "k", hk, 2)
+    assertSameRows(maintained, Ivm.viewSample(after, hk, 2))
+    assert(maintained.count() > 10, "sample suspiciously empty")
+    // refusal: NULL op fails loudly
+    val bad = Seq((1L, 10L, null: String)).toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaSample(Ivm.viewSample(b, hk, 2), bad, "k", hk, 2)
+    }
+    // structural: view + delta only, base never a leaf
+    val dir = freshDir("ivm_smp")
+    b.write.parquet(s"$dir/base")
+    Ivm.viewSample(spark.read.parquet(s"$dir/base"), hk, 2)
+      .write.parquet(s"$dir/view")
+    val out = Ivm.applyDeltaSample(spark.read.parquet(s"$dir/view"), d,
+      "k", hk, 2)
+    val leaves = out.queryExecution.executedPlan.collectLeaves()
+      .collect { case l: LeafExecNode => l.toString }
+    assert(leaves.exists(_.contains(s"$dir/view")))
+    assert(!leaves.exists(_.contains(s"$dir/base")),
+      s"base table must not appear in the sample refresh plan: $leaves")
+  }
+
   test("min/max recompute touches only broken groups") {
     // delete b's duplicate min: bound unbroken for a and c, broken for b
     val d = Seq(("b", "D", Option(5L), Option.empty[Long]))
