@@ -1102,6 +1102,52 @@ object PipelineQueries {
     },
     qAnnIvfPq.oracle)
 
+  /** STREAMING ingest into the persisted IVF-PQ codes index — the
+    * [[qStreamIvfIngest]] protocol on the FIFTH persisted index family
+    * (coarse cells + PQ codes, the billion-vector layout): the even half
+    * is built ingestable ([[Ann.ivfPqWriteIndexIngestable]]), the odd
+    * half streams in 2 micro-batches — each trigger assigns cells AND
+    * encodes codes under the index's own models in one pass — and the
+    * last batch is crash-replayed. The search (codes-only scan, float
+    * corpus never read) must equal the one-shot full-corpus oracle: a
+    * double-append would duplicate ADC candidates and shift ranks.
+    */
+  val qStreamIvfPqIngest = Fixture(
+    "q_stream_ivf_pq_ingest",
+    (s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val h = Integer.toHexString(d.hashCode)
+      val run = java.lang.Long.toHexString(System.nanoTime)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
+      val tbl = s"graft_ivfpq_ing_${h}_$run"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ing/$h/$run"
+      Ann.ivfPqWriteIndexIngestable(emb.where(col("vec_id") % 2 === 0),
+        cents, model, tbl, s"$dir/idx", 8)
+      val rows = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingIndexIngest.startIvfPq(
+        ms.toDF().toDF("vec_id", "embedding"), cents, model, tbl, s"$dir/cp")
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // crash-replay of the last micro-batch: partition overwrite, exact
+      graft.streaming.StreamingIndexIngest.applyIvfPqBatch(
+        chunks.last.toSeq.toDF("vec_id", "embedding"), cents, model, tbl,
+        chunks.length - 1L)
+      Ann.ivfPqSearchPersisted(s, tbl, cents, model,
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        k = 5, nprobe = 2)
+    },
+    qAnnIvfPq.oracle)
+
   /** Streaming ANN serving over the PERSISTED CODES index
     * ([[Ann.ivfPqSearchStreamCandidates]]) — [[qStreamAnnProbe]]'s shape
     * with IVF-PQ economics: arriving queries probe 2 cells and
@@ -7579,6 +7625,7 @@ object PipelineQueries {
     qDedupParagraph,
     qAnnBrute, qAnnBucketed, qAnnIvf, qAnnIvfTrained, qAnnIvfPersisted,
     qStreamIvfIngest, qStreamBm25Ingest, qStreamMinhashIngest,
+    qStreamIvfPqIngest,
     qAnnPqAdc, qAnnIvfPq, qAnnIvfPqPersisted, qStreamAnnPqProbe, qAssignCentroids,
     qRedact, qSampleHash, qSampleWeighted, qSampleWeightedPerLang, qSamplePerSource, qCorpusStats, qCorpusRollup,
     qDpRelease,

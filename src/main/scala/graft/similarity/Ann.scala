@@ -346,16 +346,36 @@ object Ann {
     * (centroids and codebook) must be the ones searches will probe/score
     * with; re-index when either is retrained.
     */
-  def ivfPqWriteIndex(embIn: DataFrame, centroids: DataFrame,
-      model: Pq.PqModel, table: String, path: String, buckets: Int): Unit = {
+  /** (cell, vec_id, codes) of a batch under the index's centroid model +
+    * PQ codebook — the single-pass projection every IVF-PQ build/append/
+    * stream-ingest shares.
+    */
+  def ivfPqAssign(embIn: DataFrame, centroids: DataFrame,
+      model: Pq.PqModel): DataFrame = {
     val centArr = centroidArray(centroids)
-    val assigned = spread(embIn).select(
+    spread(embIn).select(
       (-bestCentroid(centArr).getField("ncid")).as("cell"),
       col("vec_id"),
       Pq.codesExpr(model, col("embedding")).as("codes"))
-    graft.sources.Bucketing.writeBucketed(
-      assigned, table, path, buckets, "cell", Seq("cell", "vec_id"))
   }
+
+  def ivfPqWriteIndex(embIn: DataFrame, centroids: DataFrame,
+      model: Pq.PqModel, table: String, path: String, buckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      ivfPqAssign(embIn, centroids, model), table, path, buckets, "cell",
+      Seq("cell", "vec_id"))
+
+  /** [[ivfPqWriteIndex]] in the STREAM-INGESTABLE layout ([[
+    * ivfWriteIndexIngestable]]'s `ingest_batch` partition column on the
+    * codes table) — the fifth persisted index family gets the same
+    * replay-overwrite exactly-once as the other four.
+    */
+  def ivfPqWriteIndexIngestable(embIn: DataFrame, centroids: DataFrame,
+      model: Pq.PqModel, table: String, path: String, buckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      ivfPqAssign(embIn, centroids, model).withColumn(
+        "ingest_batch", org.apache.spark.sql.functions.lit(-1L)),
+      table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
 
   /** Incremental ingest into a [[ivfPqWriteIndex]]-persisted index — the
     * [[ivfAppendIndex]] contract (same models as the build, appended files
@@ -363,14 +383,9 @@ object Ann {
     * same single pass that assigns its cells.
     */
   def ivfPqAppendIndex(embIn: DataFrame, centroids: DataFrame,
-      model: Pq.PqModel, table: String): Unit = {
-    val centArr = centroidArray(centroids)
-    spread(embIn).select(
-        (-bestCentroid(centArr).getField("ncid")).as("cell"),
-        col("vec_id"),
-        Pq.codesExpr(model, col("embedding")).as("codes"))
+      model: Pq.PqModel, table: String): Unit =
+    ivfPqAssign(embIn, centroids, model)
       .write.mode("append").insertInto(table)
-  }
 
   /** Top-k search over a [[ivfPqWriteIndex]]-persisted index: the
     * [[ivfSearchPersisted]] probe discipline (query-batch cells collected —

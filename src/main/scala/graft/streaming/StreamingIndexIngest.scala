@@ -118,6 +118,34 @@ object StreamingIndexIngest {
       }
       .start()
 
+  /** Land one micro-batch of (vec_id, embedding) rows into an
+    * [[Ann.ivfPqWriteIndexIngestable]] codes table as partition `batchId`
+    * — cell assignment AND PQ encoding under the index's OWN models in
+    * one pass, idempotent under replay. The float embeddings are never
+    * stored: the index stays m codes per row.
+    */
+  def applyIvfPqBatch(batch: DataFrame, centroids: DataFrame,
+      model: graft.similarity.Pq.PqModel, table: String,
+      batchId: Long): Unit =
+    withDynamicOverwrite(batch.sparkSession) {
+      requireNotCompacting(batch.sparkSession, table)
+      Ann.ivfPqAssign(batch, centroids, model)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").insertInto(table)
+    }
+
+  /** Start a (vec_id, embedding) stream into the persisted IVF-PQ index. */
+  def startIvfPq(stream: DataFrame, centroids: DataFrame,
+      model: graft.similarity.Pq.PqModel, table: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfPqBatch(batch, centroids, model, table, batchId)
+        ()
+      }
+      .start()
+
   /** Land one micro-batch of documents into a
     * [[Bm25.writeIndexIngestable]] index: the batch tokenizes and
     * aggregates ALONE, then its docs / postings / stats partitions are
@@ -255,6 +283,25 @@ object StreamingIndexIngest {
       spark.table(table)
         .select(col("cell"), col("vec_id"), col("embedding"),
           when(col("ingest_batch") === maxB && maxB >= 0L, maxB)
+            .otherwise(-1L).as("ingest_batch"))
+        .write.mode("overwrite").parquet(stage)
+      graft.sources.Bucketing.writeBucketedPartitioned(
+        spark.read.parquet(stage),
+        table, path, buckets, "cell", "ingest_batch", Seq("cell", "vec_id"))
+      deleteDir(stage)
+    }
+  }
+
+  /** [[compactIvf]] for the IVF-PQ codes table — identical fold, codes
+    * column instead of the float embedding.
+    */
+  def compactIvfPq(spark: SparkSession, table: String, path: String,
+      buckets: Int): Unit = withCompactionLock(spark, table) {
+    maxBatchOf(spark, table).foreach { maxB =>
+      val stage = s"${path}__compact"
+      spark.table(table)
+        .select(col("cell"), col("vec_id"), col("codes"),
+          when(col("ingest_batch") === maxB && lit(maxB) >= 0L, maxB)
             .otherwise(-1L).as("ingest_batch"))
         .write.mode("overwrite").parquet(stage)
       graft.sources.Bucketing.writeBucketedPartitioned(

@@ -265,6 +265,51 @@ class StreamingIndexIngestSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("IVF-PQ: replay overwrites; search == one-shot codes index; compaction folds") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_ivfpq_spec_$run"
+    val dir = freshDir("ing_ivfpq")
+    val model = graft.similarity.Pq.train(embAll, m = 4, ksub = 8, iters = 1)
+    Ann.ivfPqWriteIndexIngestable(embAll.where(col("vec_id") % 4 === 0),
+      cents, model, tbl, s"$dir/idx", 4)
+    (1 to 3).foreach { m =>
+      StreamingIndexIngest.applyIvfPqBatch(
+        embAll.where(col("vec_id") % 4 === m).select("vec_id", "embedding"),
+        cents, model, tbl, m - 1L)
+    }
+    val once = spark.table(tbl).count()
+    StreamingIndexIngest.applyIvfPqBatch(
+      embAll.where(col("vec_id") % 4 === 3).select("vec_id", "embedding"),
+      cents, model, tbl, 2L)
+    assert(spark.table(tbl).count() == once, "replay appended instead of overwriting")
+    val queries = embAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val oneTbl = s"ing_ivfpq_one_$run"
+    Ann.ivfPqWriteIndex(embAll, cents, model, oneTbl, s"$dir/one", 4)
+    val expect = Ann.ivfPqSearchPersisted(spark, oneTbl, cents, model,
+      queries, 5, 2).collect().toSeq
+    assert(Ann.ivfPqSearchPersisted(spark, tbl, cents, model, queries, 5, 2)
+      .collect().toSeq == expect, "streamed codes index differs from one-shot")
+    // compaction: strictly-older batches fold, newest kept; results intact
+    StreamingIndexIngest.compactIvfPq(spark, tbl, s"$dir/idx", 4)
+    assert(spark.table(tbl).select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L))
+    assert(spark.table(tbl).count() == once)
+    assert(Ann.ivfPqSearchPersisted(spark, tbl, cents, model, queries, 5, 2)
+      .collect().toSeq == expect, "compaction changed ADC results")
+    // post-compaction crash-window replay of the kept newest batch
+    StreamingIndexIngest.applyIvfPqBatch(
+      embAll.where(col("vec_id") % 4 === 3).select("vec_id", "embedding"),
+      cents, model, tbl, 2L)
+    assert(spark.table(tbl).count() == once)
+    // empty-index compaction is a no-op, not an NPE
+    val eTbl = s"ing_ivfpq_empty_$run"
+    Ann.ivfPqWriteIndexIngestable(embAll.where(col("vec_id") < 0), cents,
+      model, eTbl, s"$dir/e", 4)
+    StreamingIndexIngest.compactIvfPq(spark, eTbl, s"$dir/e", 4)
+    assert(spark.table(eTbl).count() == 0)
+  }
+
   test("MinHash: replay overwrites both tables; torn batch healed; probe == one-shot") {
     val run = java.lang.Long.toHexString(System.nanoTime)
     val tbl = s"ing_mh_spec_$run"
