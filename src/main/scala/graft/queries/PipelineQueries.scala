@@ -7371,6 +7371,64 @@ object PipelineQueries {
       | FROM lineitem JOIN dimf ON l_orderkey = o_orderkey
       | GROUP BY 1""".stripMargin))
 
+  /** Streaming twin of [[qIvmJoinDimDelta]]: the dimension's CDC changes
+    * arrive as TWO micro-batches through
+    * [[graft.streaming.StreamingIvm.startDimDelta]] (v0→v2, replay-safe
+    * via the pinned inception base; each trigger reads the fact only
+    * through a broadcast semi-join on ITS batch's keys). Chunked by
+    * o_orderkey parity, so a D+I key-change pair always lands whole.
+    * Final lake state == the one-shot post-CDC recompute — the dim side
+    * of the live star dashboard, closing the loop [[qStreamMvJoinServe]]
+    * opened on the fact side.
+    */
+  val qStreamIvmDimDelta = Fixture(
+    "q_stream_ivm_dim_delta",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dimlake_${System.nanoTime}").getAbsolutePath
+      graft.sources.SnapshotLake.commit(
+        graft.operators.Ivm.viewJoin(li,
+          Seq(ords.where(col("o_orderkey") % 50 =!= 11) ->
+            Seq("l_orderkey" -> "o_orderkey")),
+          Seq("o_orderpriority"), "l_quantity"), root, 0L)
+      def deltaOf(o: DataFrame) = o.where(col("o_orderkey") % 50 === 7)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderpriority").as("old_o_orderpriority"),
+          lit("9-SPECIAL").as("new_o_orderpriority"))
+        .unionByName(o.where(col("o_orderkey") % 50 === 3)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderpriority").as("old_o_orderpriority"),
+            lit(null).cast("string").as("new_o_orderpriority")))
+        .unionByName(o.where(col("o_orderkey") % 50 === 11)
+          .select(col("o_orderkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_o_orderpriority"),
+            col("o_orderpriority").as("new_o_orderpriority")))
+      def rows(df: DataFrame) = df
+        .as[(Long, String, Option[String], Option[String])].collect().toSeq
+      val b1 = rows(deltaOf(ords.where(col("o_orderkey") % 2 === 0)))
+      val b2 = rows(deltaOf(ords.where(col("o_orderkey") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[String], Option[String])]
+      val q = graft.streaming.StreamingIvm.startDimDelta(
+        ms.toDF().toDF("o_orderkey", "op", "old_o_orderpriority",
+          "new_o_orderpriority"),
+        root, li.select("l_orderkey", "l_quantity"), "l_orderkey",
+        "o_orderkey", Seq("o_orderpriority"), "l_quantity",
+        s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotLake.read(s, root)
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+    },
+    qIvmJoinDimDelta.oracle)
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to
@@ -7665,6 +7723,6 @@ object PipelineQueries {
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
     qMvRewriteHaving, qMvRewriteJoin, qMvRewriteSnowflake,
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
-    qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta,
+    qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qSampleQuantileStore)
 }

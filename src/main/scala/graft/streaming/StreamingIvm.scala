@@ -126,6 +126,45 @@ object StreamingIvm {
       .start()
   }
 
+  /** [[applyBatchJoin]]'s DIM-side twin ([[Ivm.applyDimDeltaJoin]]): each
+    * micro-batch of dimension changes re-keys / drops / adopts the
+    * affected fact history, reading the fact only through a broadcast
+    * semi-join on the batch's keys. Same version guard — the fold is not
+    * idempotent.
+    */
+  def applyBatchDimDelta(batch: DataFrame, root: String, fact: DataFrame,
+      factKey: String, dimKey: String, keys: Seq[String], v: String,
+      baseVersion: Long, batchId: Long): Boolean = {
+    val ver = baseVersion + batchId + 1
+    if (SnapshotLake.isCommitted(root, ver)) false
+    else {
+      val view = SnapshotLake.read(batch.sparkSession, root)
+      SnapshotLake.commit(
+        Ivm.applyDimDeltaJoin(view, fact, factKey, batch, dimKey, keys, v),
+        root, ver)
+      true
+    }
+  }
+
+  /** Start a dim-side CDC delta stream into the star-rollup view at
+    * `root` — the second half of the live star dashboard: [[startJoin]]
+    * absorbs fact changes, this absorbs dimension changes, and both
+    * commit through the same version line.
+    */
+  def startDimDelta(deltas: DataFrame, root: String, fact: DataFrame,
+      factKey: String, dimKey: String, keys: Seq[String], v: String,
+      checkpoint: String): StreamingQuery = {
+    val base = inceptionBase(root, checkpoint)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDimDelta(batch, root, fact, factKey, dimKey, keys, v,
+          base, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** [[applyBatch]] for a FREQUENCY (Count-Min sketch) view
     * ([[Ivm.viewCms]] schema): the micro-batch's I/U/D delta lands as a
     * signed cell matrix added into the stored one — CMS cells are plain
