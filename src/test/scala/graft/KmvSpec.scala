@@ -31,6 +31,28 @@ class KmvSpec extends SparkTestBase {
     assert(merged == oneShot)
   }
 
+  test("mergeBottomK (one-aggregate merge) == explode-based merge == one-shot") {
+    // the KmvMergeAgg spelling MvRewrite's rollup arm plants must be
+    // bit-identical to both the explode merge and the direct coarse sketch
+    val df = (1 to 5000).map(i => (s"tok$i", i % 7)).toDF("v", "shard")
+      .withColumn("g", lit("x"))
+    val oneShot = Kmv.sketch(df, Seq("g"), col("v"), 64)
+      .select(col("kmv")).head.getSeq[Long](0)
+    val partials = Kmv.sketch(df, Seq("g", "shard"), col("v"), 64)
+    val viaAgg = partials.groupBy("g")
+      .agg(Kmv.mergeBottomK(col("kmv"), 64).as("kmv"))
+      .select(col("kmv")).head.getSeq[Long](0)
+    assert(viaAgg == oneShot)
+    // empty-sketch partials survive as [] (the explode_outer parity)
+    val withEmpty = partials.unionByName(
+      Seq(("x", -1)).toDF("g", "shard")
+        .withColumn("kmv", array().cast("array<bigint>")))
+    val viaAgg2 = withEmpty.groupBy("g")
+      .agg(Kmv.mergeBottomK(col("kmv"), 64).as("kmv"))
+      .select(col("kmv")).head.getSeq[Long](0)
+    assert(viaAgg2 == oneShot)
+  }
+
   test("merge is idempotent under re-delivered partials") {
     val df = (1 to 2000).map(i => (s"t$i", i % 3)).toDF("v", "shard")
       .withColumn("g", lit("x"))
