@@ -7050,6 +7050,71 @@ object PipelineQueries {
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | GROUP BY 1""".stripMargin))
 
+  /** Star-join rewrite WITH a key-only WHERE — the two v2/v3 arms
+    * COMPOSED, which no other fixture exercises together: the query
+    * re-states the registered fact⋈dim join AND filters on the MV's
+    * grouping key. The optimizer pushes the predicate below the join
+    * onto the dim scan (plus its inferred IsNotNull), so the matcher
+    * must collect conjuncts from inside the join tree, recognize the
+    * join-key IsNotNull guards as implied, and verify the rest is
+    * key-only — then serve by filtering the GROUP-sized MV (REQUIREd:
+    * join-free, MV-only leaves). The dashboard shape at 100 TB: a
+    * filtered priority report reads ≤ |priorities| rows.
+    */
+  val qMvRewriteJoinFiltered = Fixture(
+    "q_mv_rewrite_join_filtered",
+    (s, d) => {
+      import graft.plans.{MvRewrite, MvRegistry}
+      import graft.plans.MvRegistry.AggDef
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_jf/$h"
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvPath)
+      val name = s"li_by_priority_f_$h"
+      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
+        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
+        Seq("o_orderpriority"),
+        Seq(AggDef("cnt", "count", None),
+          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(scans.exists(_.contains("graft_mv_jf")) &&
+          !scans.exists(p => p.contains("lineitem.parquet") ||
+            p.contains("orders.parquet")),
+          s"filtered star-join rewrite did not fire; scans = ${scans.mkString(", ")}")
+        require(!q.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+          "served filtered star plan must be join-free")
+        q.select(col("o_orderpriority"), col("n_items"),
+          Quant.q4(col("sum_qty")).as("sum_qty"))
+          .localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+      |   ${q4("sum(l_quantity)")} AS sum_qty
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      | GROUP BY 1""".stripMargin))
+
   /** The closed IVM + MV loop on the VERSION-STAMPED store: the (lang)
     * rollup is committed as v0 of a [[graft.sources.SnapshotLake]] MV
     * store and registered ONCE — BEFORE the refresh. A CDC delta then
@@ -7721,7 +7786,7 @@ object PipelineQueries {
     qCubeReport, qGroupingSets, qPivotLangMatrix, qUnpivotMetrics,
     qFuzzyJoin, qHybridRrf, qKmvSketchStore, qStreamHybridRrf, qKmvSetOps,
     qCmsSketchStore, qKAnonymity, qMvRewrite, qMvRewriteFiltered,
-    qMvRewriteHaving, qMvRewriteJoin, qMvRewriteSnowflake,
+    qMvRewriteHaving, qMvRewriteJoin, qMvRewriteJoinFiltered, qMvRewriteSnowflake,
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qSampleQuantileStore)
