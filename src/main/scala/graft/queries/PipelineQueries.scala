@@ -7494,6 +7494,111 @@ object PipelineQueries {
     },
     qIvmJoinDimDelta.oracle)
 
+  /** BOTH halves of the live star dashboard at once — a fact-side CDC
+    * stream ([[graft.streaming.StreamingIvm.startJoin]]) and a dim-side
+    * CDC stream ([[graft.streaming.StreamingIvm.startDimDelta]]) LIVE
+    * CONCURRENTLY on one rollup root, triggers interleaved A,B,A,B. Each
+    * stream is its own writer on the single version line
+    * ([[graft.sources.SnapshotLake.commitNext]]): versions allocate in
+    * commit order under the root's lock and replay detection is
+    * per-writer, so the later stream's fresh batches are never mistaken
+    * for replays when the other has advanced the pointer (under the old
+    * `base + batchId + 1` arithmetic, writer B's every batch would
+    * compute an already-passed version and be silently dropped). The two
+    * CDC sets touch DISJOINT dim-key populations (fact deltas exclude
+    * `o_orderkey % 50 ∈ {3,7,11}`, the dim deltas' keys) — the documented
+    * contract, since the dim-side refresh reads fact history through its
+    * static `fact` argument. Final lake state == the one-shot post-CDC
+    * recompute; versions and watermarks REQUIREd exact.
+    */
+  val qStreamIvmTwoWriters = Fixture(
+    "q_stream_ivm_two_writers",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.sources.SnapshotLake
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      val dimsBase = ords.where(col("o_orderkey") % 50 =!= 11)
+      val dims = Seq(dimsBase -> Seq("l_orderkey" -> "o_orderkey"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_twowriter_${System.nanoTime}").getAbsolutePath
+      SnapshotLake.commit(
+        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
+          "l_quantity"), root, 0L)
+
+      // fact-side deltas, away from the dim-touched keys
+      val liSafe = li.where(col("l_orderkey") % 50 =!= 3 &&
+        col("l_orderkey") % 50 =!= 7 && col("l_orderkey") % 50 =!= 11)
+      def factRows(df: DataFrame) =
+        df.as[(Long, String, Option[Double], Option[Double])].collect().toSeq
+      val fa1 = factRows(liDelta(liSafe.where(col("l_orderkey") % 2 === 0)))
+      val fa2 = factRows(liDelta(liSafe.where(col("l_orderkey") % 2 === 1)))
+
+      // dim-side deltas: U %50=7 → 9-SPECIAL, D %50=3, I %50=11
+      def dimDeltaOf(o: DataFrame) = o.where(col("o_orderkey") % 50 === 7)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderpriority").as("old_o_orderpriority"),
+          lit("9-SPECIAL").as("new_o_orderpriority"))
+        .unionByName(o.where(col("o_orderkey") % 50 === 3)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderpriority").as("old_o_orderpriority"),
+            lit(null).cast("string").as("new_o_orderpriority")))
+        .unionByName(o.where(col("o_orderkey") % 50 === 11)
+          .select(col("o_orderkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_o_orderpriority"),
+            col("o_orderpriority").as("new_o_orderpriority")))
+      def dimRows(df: DataFrame) =
+        df.as[(Long, String, Option[String], Option[String])].collect().toSeq
+      val db1 = dimRows(dimDeltaOf(ords.where(col("o_orderkey") % 2 === 0)))
+      val db2 = dimRows(dimDeltaOf(ords.where(col("o_orderkey") % 2 === 1)))
+
+      val msA = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Double], Option[Double])]
+      val msB = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[String], Option[String])]
+      val qA = graft.streaming.StreamingIvm.startJoin(
+        msA.toDF().toDF("l_orderkey", "op", "old_v", "new_v"),
+        root, dims, Seq("o_orderpriority"), s"${root}_ckptA")
+      val qB = graft.streaming.StreamingIvm.startDimDelta(
+        msB.toDF().toDF("o_orderkey", "op", "old_o_orderpriority",
+          "new_o_orderpriority"),
+        root, li.select("l_orderkey", "l_quantity"), "l_orderkey",
+        "o_orderkey", Seq("o_orderpriority"), "l_quantity",
+        s"${root}_ckptB")
+      try {
+        msA.addData(fa1); qA.processAllAvailable()
+        msB.addData(db1); qB.processAllAvailable()
+        msA.addData(fa2); qA.processAllAvailable()
+        msB.addData(db2); qB.processAllAvailable()
+      } finally { qA.stop(); qB.stop() }
+      require(SnapshotLake.currentVersion(root).contains(4L),
+        s"4 interleaved triggers must commit v1..v4; current = " +
+          s"${SnapshotLake.currentVersion(root)}")
+      require(SnapshotLake.watermarks(root) ==
+          Map(s"${root}_ckptA" -> 1L, s"${root}_ckptB" -> 1L),
+        s"per-writer watermarks wrong: ${SnapshotLake.watermarks(root)}")
+      SnapshotLake.read(s, root)
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+    },
+    Some(s"""WITH fin AS (
+      |   SELECT l_orderkey, CASE WHEN l_partkey % 10 = 0
+      |       AND NOT (l_orderkey % 50 IN (3, 7, 11))
+      |       THEN l_quantity + 1000 ELSE l_quantity END AS v
+      |   FROM lineitem
+      |   WHERE NOT (l_partkey % 13 = 5 AND NOT (l_orderkey % 50 IN (3, 7, 11)))
+      |   UNION ALL
+      |   SELECT l_orderkey, l_quantity + 7 FROM lineitem
+      |   WHERE l_partkey % 7 = 3 AND NOT (l_orderkey % 50 IN (3, 7, 11))),
+      | dimf AS (
+      |   SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 7 THEN '9-SPECIAL'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |   FROM orders WHERE o_orderkey % 50 <> 3)
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
+      | FROM fin JOIN dimf ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to
@@ -7789,5 +7894,5 @@ object PipelineQueries {
     qMvRewriteHaving, qMvRewriteJoin, qMvRewriteJoinFiltered, qMvRewriteSnowflake,
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
-    qSampleQuantileStore)
+    qStreamIvmTwoWriters, qSampleQuantileStore)
 }

@@ -22,6 +22,18 @@ object SnapshotLake {
 
   private def currentFile(root: String) = Paths.get(root, "_CURRENT")
 
+  /** Per-root commit monitor: serializes version allocation among the
+    * writers of one JVM (the driver owns the lake in local/test mode; on a
+    * shared object store this monitor is a conditional-put / catalog
+    * compare-and-swap — same protocol, different primitive).
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(root: String): Object =
+    commitLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
   /** The committed version number, if the table exists. */
   def currentVersion(root: String): Option[Long] = {
     val f = currentFile(root)
@@ -48,15 +60,151 @@ object SnapshotLake {
 
   /** Write `df` as version `v` and swap the pointer. Data first, pointer
     * last; the pointer move is atomic, so a crash at any step leaves the
-    * previous version readable.
+    * previous version readable. Per-writer replay watermarks
+    * ([[commitNext]]) are carried forward from the outgoing current
+    * version, so an interleaved plain commit (a compaction, an MV refresh)
+    * never erases another writer's replay history.
     */
-  def commit(df: DataFrame, root: String, v: Long): Unit = {
+  def commit(df: DataFrame, root: String, v: Long): Unit =
+    lockFor(root).synchronized {
+      commitLocked(df, root, v, watermarks(root))
+    }
+
+  /** The commit body — caller must hold [[lockFor]]. Writes the data, then
+    * the watermark sidecar INSIDE the version directory (so it rides the
+    * same atomic pointer swap), then swaps the pointer.
+    */
+  private def commitLocked(df: DataFrame, root: String, v: Long,
+      marks: Map[String, Long]): Unit = {
     df.write.mode("overwrite").parquet(versionPath(root, v))
+    writeWatermarks(root, v, marks)
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** [[commit]] plus a [[ZoneMap]] file-skipping manifest inside the new
+    * version directory: per-file min/max zone maps for `statCols` (footer
+    * reads only — no data scan) and per-file Bloom filters for
+    * `bloomCols` (one distributed pass). Like the watermark sidecar, the
+    * manifest rides the version's own atomic pointer swap — committed iff
+    * the version is. `sortWithinFiles = Some(col)` additionally lays the
+    * data out range-partitioned by that column before writing, which is
+    * what makes the zone maps TIGHT (a random layout gives every file the
+    * full value range and prunes nothing).
+    */
+  def commitWithStats(df: DataFrame, root: String, v: Long,
+      statCols: Seq[String], bloomCols: Seq[String] = Nil,
+      sortWithinFiles: Option[String] = None, numFiles: Int = 0,
+      bloomExpectedPerFile: Long = 100000L): Unit =
+    lockFor(root).synchronized {
+      val marks = watermarks(root)
+      val laid = sortWithinFiles match {
+        case Some(c) if numFiles > 0 =>
+          df.repartitionByRange(numFiles,
+            org.apache.spark.sql.functions.col(c))
+        case Some(c) =>
+          df.repartitionByRange(org.apache.spark.sql.functions.col(c))
+        case None => df
+      }
+      laid.write.mode("overwrite").parquet(versionPath(root, v))
+      ZoneMap.write(df.sparkSession, versionPath(root, v), statCols,
+        bloomCols, bloomExpectedPerFile)
+      writeWatermarks(root, v, marks)
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Manifest-pruned range scan of the CURRENT version (exact — the
+    * predicate is re-applied on the survivors). Falls back to a full
+    * scan + filter when the version has no manifest.
+    */
+  def readRange(spark: SparkSession, root: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    ZoneMap.readRange(spark, versionPath(root, v), column, lo, hi)
+  }
+
+  /** Manifest-pruned point lookup on the CURRENT version (zone map +
+    * Bloom when present; exact either way).
+    */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      v0: Any): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    ZoneMap.readPoint(spark, versionPath(root, v), column, v0)
+  }
+
+  private def watermarkFile(root: String, v: Long) =
+    Paths.get(versionPath(root, v), "_GRAFT_WATERMARKS")
+
+  private def writeWatermarks(root: String, v: Long,
+      marks: Map[String, Long]): Unit =
+    if (marks.nonEmpty) {
+      val body = marks.toSeq.sorted
+        .map { case (w, b) => s"$w\t$b" }.mkString("\n")
+      Files.write(watermarkFile(root, v), body.getBytes(StandardCharsets.UTF_8))
+    }
+
+  /** Per-writer replay watermarks of the CURRENT version: writer id → the
+    * highest micro-batch id that writer has folded into the table. Stored
+    * as an underscore-prefixed sidecar inside the version directory
+    * (invisible to parquet readers), copied forward on every commit —
+    * committed if and only if its version is the one the pointer names.
+    */
+  def watermarks(root: String): Map[String, Long] =
+    currentVersion(root).map { v =>
+      val f = watermarkFile(root, v)
+      if (!Files.exists(f)) Map.empty[String, Long]
+      else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val Array(w, b) = line.split("\t", 2)
+          (w, b.toLong)
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  /** MULTI-WRITER exactly-once commit: allocate `currentVersion + 1` under
+    * the root's commit lock and record `writerId → batchId` in the new
+    * version's watermark sidecar. Returns the committed version, or None
+    * when this (writerId, batchId) is a REPLAY (`batchId <=` the writer's
+    * committed watermark) — the fold must be skipped, not repeated.
+    *
+    * This is what makes several live CDC streams (e.g. a fact-side
+    * [[graft.streaming.StreamingIvm.startJoin]] and a dim-side
+    * [[graft.streaming.StreamingIvm.startDimDelta]] maintaining one star
+    * rollup) safe on one version line: versions interleave in commit
+    * order, while replay detection is per-writer — a writer restarting
+    * after another has advanced the pointer sees its OWN watermark, so a
+    * fresh batch is never mistaken for a replay and a replayed batch never
+    * double-folds. Structured Streaming guarantees per-checkpoint batchIds
+    * are monotone and only the latest can replay, which is exactly the
+    * `<=` watermark contract.
+    *
+    * `df` is evaluated AFTER the replay check, under the lock — pass the
+    * fold lazily so a skipped replay does no work and concurrent writers
+    * each fold on top of the version the other just committed.
+    */
+  def commitNext(df: => DataFrame, root: String, writerId: String,
+      batchId: Long): Option[Long] = {
+    require(!writerId.exists(c => c == '\t' || c == '\n'),
+      s"writerId must not contain tab/newline: $writerId")
+    lockFor(root).synchronized {
+      val cur = currentVersion(root).getOrElse(
+        sys.error(s"initialize $root with SnapshotLake.commit before commitNext"))
+      val marks = watermarks(root)
+      if (marks.get(writerId).exists(_ >= batchId)) None
+      else {
+        val v = cur + 1
+        commitLocked(df, root, v, marks + (writerId -> batchId))
+        Some(v)
+      }
+    }
   }
 
   /** TIME TRAVEL: read a pinned (committed, immutable) version — what a

@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -14,11 +11,20 @@ import graft.sources.SnapshotLake
   * (keys, op, old_v, new_v) changes folds into the current view snapshot
   * via [[Ivm.applyDelta]] and commits as the next version.
   *
-  * Exactly-once by the same version arithmetic as [[StreamingUpsert]]: the
-  * sink version is `base + batchId + 1`, so a replayed micro-batch hits
-  * [[SnapshotLake.isCommitted]] and skips — critical here because IVM is
-  * NOT idempotent (applying a delta twice double-counts), unlike the
-  * latest-wins row merge.
+  * Exactly-once via [[SnapshotLake.commitNext]]: each stream is a WRITER
+  * (identified by its checkpoint path) and each committed version records
+  * the writer's highest folded batchId in a watermark sidecar that rides
+  * the version's own atomic pointer swap. A replayed micro-batch (same
+  * checkpoint, same batchId) hits the watermark and SKIPS — critical here
+  * because IVM is NOT idempotent (applying a delta twice double-counts).
+  *
+  * MULTI-WRITER: versions are allocated as `currentVersion + 1` under the
+  * root's commit lock, so several live streams (the fact-side
+  * [[startJoin]] and dim-side [[startDimDelta]] of one star rollup, say)
+  * interleave on one version line without losing batches — replay
+  * detection is per-writer, so one stream advancing the pointer never
+  * makes another stream's fresh batch look committed. (The earlier
+  * `base + batchId + 1` arithmetic had exactly that collision.)
   *
   * Scale shape per trigger: one delta-sized aggregation plus a
   * view-sized full-outer join — the base corpus is never read. This is
@@ -29,196 +35,139 @@ import graft.sources.SnapshotLake
 object StreamingIvm {
 
   /** Fold one micro-batch (the `foreachBatch` body, exposed for direct
-    * testing): returns false when the version was already committed (a
-    * replayed batch).
+    * testing): returns false when this writer already folded this batchId
+    * (a replay). The view read and fold are built lazily inside
+    * [[SnapshotLake.commitNext]]'s lock, so concurrent writers each fold
+    * on top of the version the other just committed.
     */
   def applyBatch(batch: DataFrame, root: String, keys: Seq[String],
-      baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(Ivm.applyDelta(view, batch, keys), root, v)
-      true
-    }
-  }
-
-  /** The INCEPTION base version of the view for this checkpoint: read from
-    * a marker file beside the checkpoint if present, else snapshotted from
-    * `root`'s current version and persisted atomically (tmp + move).
-    *
-    * Why it must be stable across restarts: the sink version is
-    * `base + batchId + 1`. If `base` were re-derived from
-    * `currentVersion(root)` on every start, a crash AFTER
-    * [[SnapshotLake.commit]] but BEFORE the streaming checkpoint records
-    * the batch would replay the same batchId against a LARGER base — a
-    * fresh uncommitted version, so [[SnapshotLake.isCommitted]] would miss
-    * and the non-idempotent fold would double-count. Pinning the base at
-    * inception makes `version = f(batchId)` a pure function for the life
-    * of the checkpoint, which is the whole replay-dedup contract.
-    */
-  def inceptionBase(root: String, checkpoint: String): Long = {
-    val f = Paths.get(checkpoint, "_GRAFT_IVM_BASE")
-    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8).trim.toLong
-    else {
-      val base = SnapshotLake.currentVersion(root).getOrElse(
-        sys.error(s"initialize $root with SnapshotLake.commit before streaming"))
-      Files.createDirectories(f.getParent)
-      val tmp = Files.createTempFile(f.getParent, "_GRAFT_IVM_BASE", ".tmp")
-      Files.write(tmp, base.toString.getBytes(UTF_8))
-      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      base
-    }
-  }
+      writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDelta(SnapshotLake.read(batch.sparkSession, root), batch, keys),
+      root, writerId, batchId).isDefined
 
   /** Start the delta stream into the materialized view at `root` (which
     * must hold a committed base version, normally [[Ivm.view]] of the
-    * initial corpus). The base version is pinned ONCE per checkpoint via
-    * [[inceptionBase]] so restarts replay against the same version line.
+    * initial corpus). The checkpoint path is the writer identity — one
+    * checkpoint, one monotone batchId line.
     */
   def start(deltas: DataFrame, root: String, keys: Seq[String],
-      checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, root, keys, base, batchId)
+        applyBatch(batch, root, keys, checkpoint, batchId)
         ()
       }
       .start()
-  }
 
   /** [[applyBatch]] for a STAR/SNOWFLAKE rollup ([[Ivm.viewJoin]]
     * schema): the micro-batch's fact-side delta is enriched with the
     * static dims (delta-sized join) and folds through the same algebraic
     * path — the fact corpus and its materialization shuffles appear in no
-    * trigger's plan. Same version guard; same static-dims / keys-don't-
+    * trigger's plan. Same watermark guard; same static-dims / keys-don't-
     * change-in-U contract as [[Ivm.applyDeltaJoin]].
     */
   def applyBatchJoin(batch: DataFrame, root: String,
       dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
-      baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(Ivm.applyDeltaJoin(view, batch, dims, keys), root, v)
-      true
-    }
-  }
+      writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaJoin(
+        SnapshotLake.read(batch.sparkSession, root), batch, dims, keys),
+      root, writerId, batchId).isDefined
 
   /** Start a fact-side CDC delta stream into the star-rollup view at
     * `root` (a committed [[Ivm.viewJoin]] base) — the live-dashboard
     * refresher for JOIN views: each trigger pays a delta⋈dims join plus a
-    * view-sized fold, never a fact scan.
+    * view-sized fold, never a fact scan. Safe to run concurrently with
+    * [[startDimDelta]] on the same root.
     */
   def startJoin(deltas: DataFrame, root: String,
       dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
-      checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchJoin(batch, root, dims, keys, base, batchId)
+        applyBatchJoin(batch, root, dims, keys, checkpoint, batchId)
         ()
       }
       .start()
-  }
 
   /** [[applyBatchJoin]]'s DIM-side twin ([[Ivm.applyDimDeltaJoin]]): each
     * micro-batch of dimension changes re-keys / drops / adopts the
     * affected fact history, reading the fact only through a broadcast
-    * semi-join on the batch's keys. Same version guard — the fold is not
-    * idempotent.
+    * semi-join on the batch's keys. Same watermark guard — the fold is
+    * not idempotent.
     */
   def applyBatchDimDelta(batch: DataFrame, root: String, fact: DataFrame,
       factKey: String, dimKey: String, keys: Seq[String], v: String,
-      baseVersion: Long, batchId: Long): Boolean = {
-    val ver = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, ver)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(
-        Ivm.applyDimDeltaJoin(view, fact, factKey, batch, dimKey, keys, v),
-        root, ver)
-      true
-    }
-  }
+      writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDimDeltaJoin(
+        SnapshotLake.read(batch.sparkSession, root), fact, factKey, batch,
+        dimKey, keys, v),
+      root, writerId, batchId).isDefined
 
   /** Start a dim-side CDC delta stream into the star-rollup view at
     * `root` — the second half of the live star dashboard: [[startJoin]]
-    * absorbs fact changes, this absorbs dimension changes, and both
-    * commit through the same version line.
+    * absorbs fact changes, this absorbs dimension changes, and both are
+    * independent WRITERS on the root's single version line (interleaved
+    * commit order, per-writer replay watermarks).
     */
   def startDimDelta(deltas: DataFrame, root: String, fact: DataFrame,
       factKey: String, dimKey: String, keys: Seq[String], v: String,
-      checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchDimDelta(batch, root, fact, factKey, dimKey, keys, v,
-          base, batchId)
+          checkpoint, batchId)
         ()
       }
       .start()
-  }
 
   /** [[applyBatch]] for a FREQUENCY (Count-Min sketch) view
     * ([[Ivm.viewCms]] schema): the micro-batch's I/U/D delta lands as a
     * signed cell matrix added into the stored one — CMS cells are plain
     * counts, so unlike the KMV sketch the full delete path folds exactly.
-    * Same version guard (the fold is NOT idempotent — a replayed batch
+    * Same watermark guard (the fold is NOT idempotent — a replayed batch
     * would double-add).
     */
   def applyBatchCms(batch: DataFrame, root: String, keys: Seq[String],
-      depth: Int, width: Int, baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(
-        Ivm.applyDeltaCms(view, batch, keys, depth, width), root, v)
-      true
-    }
-  }
+      depth: Int, width: Int, writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaCms(
+        SnapshotLake.read(batch.sparkSession, root), batch, keys, depth, width),
+      root, writerId, batchId).isDefined
 
   /** Start an I/U/D delta stream into the CMS frequency view at `root` —
     * streaming parity for the one sketch class whose deletes fold
     * exactly.
     */
   def startCms(deltas: DataFrame, root: String, keys: Seq[String],
-      depth: Int, width: Int, checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      depth: Int, width: Int, checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchCms(batch, root, keys, depth, width, base, batchId)
+        applyBatchCms(batch, root, keys, depth, width, checkpoint, batchId)
         ()
       }
       .start()
-  }
 
   /** [[applyBatch]] for a hash-rate SAMPLE store ([[Ivm.viewSample]]):
     * the micro-batch's row-level I/U/D delta filters to its
     * sample-member rows and folds via anti-join + union. The fold is
     * content-idempotent for I/U (replacing a row with itself) but NOT
-    * for mixed replays interleaved with other batches, so the version
+    * for mixed replays interleaved with other batches, so the watermark
     * guard stays load-bearing here too.
     */
   def applyBatchSample(batch: DataFrame, root: String, key: String,
       hashKey: org.apache.spark.sql.Column, denom: Int,
-      baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(
-        Ivm.applyDeltaSample(view, batch, key, hashKey, denom), root, v)
-      true
-    }
-  }
+      writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaSample(
+        SnapshotLake.read(batch.sparkSession, root), batch, key, hashKey, denom),
+      root, writerId, batchId).isDefined
 
   /** Start a row-level I/U/D delta stream into the sample store at
     * `root` — with this, all three sketch-store families (KMV
@@ -226,49 +175,42 @@ object StreamingIvm {
     */
   def startSample(deltas: DataFrame, root: String, key: String,
       hashKey: org.apache.spark.sql.Column, denom: Int,
-      checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchSample(batch, root, key, hashKey, denom, base, batchId)
+        applyBatchSample(batch, root, key, hashKey, denom, checkpoint, batchId)
         ()
       }
       .start()
-  }
 
   /** [[applyBatch]] for a DISTINCT-COUNT (KMV sketch) view
     * ([[Ivm.viewKmv]] schema): the micro-batch's insert-only delta
     * union-merges into the stored per-key sketches and commits the next
-    * version. The sketch union is content-idempotent, but the version
-    * guard still makes a replay a SKIP, keeping version = f(batchId)
-    * exact; a delta carrying D/U ops throws ([[Ivm.applyDeltaKmv]]) and
-    * fails the query rather than silently mis-absorbing.
+    * version. The sketch union is content-idempotent, but the watermark
+    * guard still makes a replay a SKIP, keeping the version line an exact
+    * audit of folded batches; a delta carrying D/U ops throws
+    * ([[Ivm.applyDeltaKmv]]) and fails the query rather than silently
+    * mis-absorbing.
     */
   def applyBatchKmv(batch: DataFrame, root: String, keys: Seq[String],
-      k: Int, baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val view = SnapshotLake.read(batch.sparkSession, root)
-      SnapshotLake.commit(Ivm.applyDeltaKmv(view, batch, keys, k), root, v)
-      true
-    }
-  }
+      k: Int, writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaKmv(
+        SnapshotLake.read(batch.sparkSession, root), batch, keys, k),
+      root, writerId, batchId).isDefined
 
   /** Start an insert-only delta stream into the KMV distinct-count view
     * at `root` — streaming parity for the sketch-backed view class the
     * algebraic fold can't carry.
     */
   def startKmv(deltas: DataFrame, root: String, keys: Seq[String], k: Int,
-      checkpoint: String): StreamingQuery = {
-    val base = inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchKmv(batch, root, keys, k, base, batchId)
+        applyBatchKmv(batch, root, keys, k, checkpoint, batchId)
         ()
       }
       .start()
-  }
 }

@@ -23,40 +23,34 @@ import graft.sources.SnapshotLake
 object StreamingUpsert {
 
   /** Apply one micro-batch (the `foreachBatch` body, exposed for direct
-    * testing): merge into the current snapshot and commit version
-    * `base + batchId + 1`, skipping if already committed.
+    * testing): merge into the current snapshot and commit the next
+    * version via [[SnapshotLake.commitNext]], skipping when this writer
+    * already folded this batchId (a replay). The merged plan reads the
+    * PREVIOUS version directory and writes a NEW one, so
+    * read-under-overwrite never occurs.
     */
   def applyBatch(batch: DataFrame, root: String, key: String,
-      versionCol: String, baseVersion: Long, batchId: Long): Boolean = {
-    val v = baseVersion + batchId + 1
-    if (SnapshotLake.isCommitted(root, v)) false
-    else {
-      val lake = SnapshotLake.read(batch.sparkSession, root)
-      // cache-free safety: the merged plan reads the PREVIOUS version
-      // directory and writes a NEW one, so read-under-overwrite never occurs
-      val merged = Upsert.mergeByKeyLatest(lake, batch, key, versionCol)
-      SnapshotLake.commit(merged, root, v)
-      true
-    }
-  }
+      versionCol: String, writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Upsert.mergeByKeyLatest(
+        SnapshotLake.read(batch.sparkSession, root), batch, key, versionCol),
+      root, writerId, batchId).isDefined
 
   /** Start the CDC stream into the snapshot table at `root` (which must
-    * hold a committed base version). The base version is pinned ONCE per
-    * checkpoint ([[StreamingIvm.inceptionBase]] — same marker-file
-    * protocol): unlike the IVM fold, a replayed merge here is
-    * content-idempotent (latest-wins re-merge of the same rows), but a
-    * re-derived base would still burn a fresh version number per crash
-    * replay and break the version = f(batchId) audit line.
+    * hold a committed base version). The checkpoint path is the writer
+    * identity in the per-writer replay watermarks, so a second CDC stream
+    * upserting into the same table interleaves on the version line
+    * instead of colliding — unlike the IVM fold a replayed merge here is
+    * content-idempotent anyway, but the watermark skip keeps the version
+    * line an exact audit of folded batches.
     */
   def start(cdc: DataFrame, root: String, key: String, versionCol: String,
-      checkpoint: String): StreamingQuery = {
-    val base = StreamingIvm.inceptionBase(root, checkpoint)
+      checkpoint: String): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, root, key, versionCol, base, batchId)
+        applyBatch(batch, root, key, versionCol, checkpoint, batchId)
         ()
       }
       .start()
-  }
 }

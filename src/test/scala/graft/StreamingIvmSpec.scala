@@ -7,8 +7,10 @@ import graft.sources.SnapshotLake
 import graft.streaming.StreamingIvm
 
 /** The streaming IVM fold is NOT idempotent (a delta applied twice
-  * double-counts), so replay safety comes entirely from the version
-  * arithmetic: a re-delivered batchId must hit isCommitted and skip.
+  * double-counts), so replay safety comes entirely from the per-writer
+  * batch watermarks [[SnapshotLake.commitNext]] carries in each committed
+  * version: a re-delivered (writer, batchId) must skip, while a SECOND
+  * live writer on the same root must interleave without losing batches.
   */
 class StreamingIvmSpec extends SparkTestBase {
   import spark.implicits._
@@ -20,13 +22,13 @@ class StreamingIvmSpec extends SparkTestBase {
     val d1 = Seq(("a", "I", Option.empty[Long], Some(1L)))
       .toDF("g", "op", "old_v", "new_v")
 
-    assert(StreamingIvm.applyBatch(d1, root, Seq("g"), 0L, 0L))
+    assert(StreamingIvm.applyBatch(d1, root, Seq("g"), "w", 0L))
     val once = SnapshotLake.read(spark, root)
       .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
     assert(once == ((3L, 31L)))
 
     // crash-replay of the SAME batchId: no double-count
-    assert(!StreamingIvm.applyBatch(d1, root, Seq("g"), 0L, 0L))
+    assert(!StreamingIvm.applyBatch(d1, root, Seq("g"), "w", 0L))
     assert(SnapshotLake.currentVersion(root).contains(1L))
     val replayed = SnapshotLake.read(spark, root)
       .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
@@ -35,7 +37,7 @@ class StreamingIvmSpec extends SparkTestBase {
     // the next batch folds on top
     val d2 = Seq(("b", "D", Some(5L), Option.empty[Long]))
       .toDF("g", "op", "old_v", "new_v")
-    assert(StreamingIvm.applyBatch(d2, root, Seq("g"), 0L, 1L))
+    assert(StreamingIvm.applyBatch(d2, root, Seq("g"), "w", 1L))
     assert(SnapshotLake.read(spark, root).where(col("g") === "b").count() == 0)
     assert(SnapshotLake.currentVersion(root).contains(2L))
   }
@@ -45,12 +47,12 @@ class StreamingIvmSpec extends SparkTestBase {
     val base = Seq(("a", "s1"), ("a", "s2"), ("b", "s1")).toDF("g", "s")
     SnapshotLake.commit(Ivm.viewKmv(base, Seq("g"), "s", 4), root, 0L)
     val d1 = Seq(("a", "I", "s3")).toDF("g", "op", "new_v")
-    assert(StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, 0L, 0L))
+    assert(StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, "w", 0L))
     val once = SnapshotLake.read(spark, root)
       .where(col("g") === "a").select(size(col("kmv"))).as[Int].head()
     assert(once == 3)
     // replay: skip (and the union would be content-idempotent anyway)
-    assert(!StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, 0L, 0L))
+    assert(!StreamingIvm.applyBatchKmv(d1, root, Seq("g"), 4, "w", 0L))
     assert(SnapshotLake.currentVersion(root).contains(1L))
     // refreshed == recomputed, the deterministic-sketch bar
     assertSameRows(SnapshotLake.read(spark, root),
@@ -58,36 +60,63 @@ class StreamingIvmSpec extends SparkTestBase {
         Seq("g"), "s", 4))
   }
 
-  test("inception base is pinned per checkpoint — restart after commit-" +
-      "before-checkpoint replays into the SAME version and skips") {
-    val root = freshDir("ivm_base_pin")
-    val cp = freshDir("ivm_base_cp")
+  test("TWO live writers on one root interleave without loss — the later " +
+      "writer's fresh batch is not mistaken for a replay") {
+    val root = freshDir("ivm_two_writers")
     SnapshotLake.commit(
       Ivm.view(Seq(("a", 10L)).toDF("g", "v"), Seq("g"), "v"), root, 0L)
 
-    val base0 = StreamingIvm.inceptionBase(root, cp)
-    assert(base0 == 0L)
+    def delta(g: String, v: Long) =
+      Seq((g, "I", Option.empty[Long], Some(v))).toDF("g", "op", "old_v", "new_v")
 
-    // batch 0 commits v1, then the process dies BEFORE the streaming
-    // checkpoint records batch 0 — the exact window the guard covers
-    val d1 = Seq(("a", "I", Option.empty[Long], Some(2L)))
+    // writer A folds batches 0 and 1, advancing the pointer to v2…
+    assert(StreamingIvm.applyBatch(delta("a", 1L), root, Seq("g"), "A", 0L))
+    assert(StreamingIvm.applyBatch(delta("a", 2L), root, Seq("g"), "A", 1L))
+    assert(SnapshotLake.currentVersion(root).contains(2L))
+
+    // …then writer B starts at ITS batch 0. Under base-version arithmetic
+    // B's version (0+0+1=1) would read as already committed and the batch
+    // would be silently dropped; the per-writer watermark applies it.
+    assert(StreamingIvm.applyBatch(delta("b", 7L), root, Seq("g"), "B", 0L),
+      "writer B's first batch was mistaken for a replay")
+    assert(SnapshotLake.currentVersion(root).contains(3L))
+
+    // interleave: A again, then B, then a replay of each — replays skip
+    assert(StreamingIvm.applyBatch(delta("a", 3L), root, Seq("g"), "A", 2L))
+    assert(StreamingIvm.applyBatch(delta("b", 9L), root, Seq("g"), "B", 1L))
+    assert(!StreamingIvm.applyBatch(delta("a", 3L), root, Seq("g"), "A", 2L))
+    assert(!StreamingIvm.applyBatch(delta("b", 9L), root, Seq("g"), "B", 1L))
+    assert(SnapshotLake.currentVersion(root).contains(5L))
+    assert(SnapshotLake.watermarks(root) == Map("A" -> 2L, "B" -> 1L))
+
+    val out = SnapshotLake.read(spark, root)
+      .select("g", "cnt", "sum_v").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 4L, 16L), ("b", 2L, 16L)),
+      s"interleaved folds lost or doubled a batch: $out")
+  }
+
+  test("watermarks survive an interleaved plain commit (compaction / MV " +
+      "refresh) and ride the version pointer, not a side file") {
+    val root = freshDir("ivm_marks_carry")
+    SnapshotLake.commit(
+      Ivm.view(Seq(("a", 10L)).toDF("g", "v"), Seq("g"), "v"), root, 0L)
+    val d = Seq(("a", "I", Option.empty[Long], Some(5L)))
       .toDF("g", "op", "old_v", "new_v")
-    assert(StreamingIvm.applyBatch(d1, root, Seq("g"), base0, 0L))
-    assert(SnapshotLake.currentVersion(root).contains(1L))
+    assert(StreamingIvm.applyBatch(d, root, Seq("g"), "w", 0L))
 
-    // restart: currentVersion has advanced to 1; a re-derived base would
-    // map the replayed batchId 0 to fresh version 2 and double-count.
-    // The pinned inception base still reads 0 from the marker file…
-    val base1 = StreamingIvm.inceptionBase(root, cp)
-    assert(base1 == 0L, s"base must be pinned at inception, got $base1")
-    // …so the replay hits the committed version and skips
-    assert(!StreamingIvm.applyBatch(d1, root, Seq("g"), base1, 0L))
+    // an operator-initiated plain commit lands in between (e.g. a rewrite
+    // of the same content) — it must CARRY the watermarks forward
+    SnapshotLake.commit(SnapshotLake.read(spark, root), root, 2L)
+    assert(SnapshotLake.watermarks(root) == Map("w" -> 0L))
+
+    // so the crash-replay of batch 0 still skips after the plain commit
+    assert(!StreamingIvm.applyBatch(d, root, Seq("g"), "w", 0L))
     val a = SnapshotLake.read(spark, root)
       .where(col("g") === "a").select("cnt", "sum_v").as[(Long, Long)].head()
-    assert(a == ((2L, 12L)), s"replay after restart double-counted: $a")
+    assert(a == ((2L, 15L)), s"replay after plain commit double-counted: $a")
 
-    // a FRESH checkpoint (new query incarnation) snapshots the new current
-    val cp2 = freshDir("ivm_base_cp2")
-    assert(StreamingIvm.inceptionBase(root, cp2) == 1L)
+    // and a fresh batch applies
+    assert(StreamingIvm.applyBatch(d, root, Seq("g"), "w", 1L))
+    assert(SnapshotLake.currentVersion(root).contains(3L))
   }
 }

@@ -57,10 +57,10 @@ class StreamingUpsertSpec extends SparkTestBase {
     val root = freshRoot("replay")
     SnapshotLake.commit(Seq((1L, "a", 0L)).toDF("id", "v", "ver"), root, 0L)
     val batch = Seq((1L, "b", 1L)).toDF("id", "v", "ver")
-    assert(StreamingUpsert.applyBatch(batch, root, "id", "ver", 0L, 0L))
+    assert(StreamingUpsert.applyBatch(batch, root, "id", "ver", "w", 0L))
     val v1 = SnapshotLake.read(spark, root).collect().toSeq
     // recovery replays batch 0: must be a no-op
-    assert(!StreamingUpsert.applyBatch(batch, root, "id", "ver", 0L, 0L))
+    assert(!StreamingUpsert.applyBatch(batch, root, "id", "ver", "w", 0L))
     assert(SnapshotLake.currentVersion(root).contains(1L))
     assert(SnapshotLake.read(spark, root).collect().toSeq == v1)
   }
