@@ -61,7 +61,8 @@ object MvRegistry {
     * the join (the matcher requires join-wide unique column names), so a
     * name pair identifies the join condition unambiguously.
     */
-  final case class DimDef(dimPathTail: String, keys: Seq[(String, String)])
+  final case class DimDef(dimPathTail: String, keys: Seq[(String, String)],
+      catalogAnchor: Option[String] = None)
 
   /** JOIN views: the MV materialized the fact table inner-joined with
     * every [[DimDef]] (in any association order — inner joins commute)
@@ -71,7 +72,7 @@ object MvRegistry {
 
   final case class MvDef(name: String, basePathTail: String, keys: Seq[String],
       aggs: Seq[AggDef], mvPath: String, fixed: Option[LogicalRelation],
-      join: Option[JoinDef] = None)
+      join: Option[JoinDef] = None, catalogAnchor: Option[String] = None)
 
   /** A DISTINCT-COUNT view held as a per-group KMV sketch store
     * ([[graft.operators.Ivm.viewKmv]] schema: keys :+ `kmv`): serves
@@ -85,7 +86,8 @@ object MvRegistry {
     */
   final case class KmvDef(name: String, basePathTail: String,
       keys: Seq[String], valueCol: String, k: Int, mvPath: String,
-      fixed: Option[LogicalRelation], serveExactDistinct: Boolean)
+      fixed: Option[LogicalRelation], serveExactDistinct: Boolean,
+      catalogAnchor: Option[String] = None)
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   private val kmvViews =
@@ -104,6 +106,21 @@ object MvRegistry {
       .collectFirst { case l: LogicalRelation => l }
       .getOrElse(throw new IllegalArgumentException(
         s"$path did not analyze to a LogicalRelation"))
+
+  /** The CATALOG spelling of a registered anchor, resolved ONCE at
+    * registration: a path anchor (contains '/') has none; a bare table
+    * name is db-qualified against the session's CURRENT database; a
+    * `db.table` spelling is kept. The matcher compares only this
+    * fully-qualified form against a relation's catalog identifier — a
+    * bare `docs` registered while `default` is current must NOT rewrite
+    * a query over `somedb.docs`, which is a different table that would
+    * be served silently wrong. (Path matching keeps using the original
+    * tail: a bare anchor may also name a path segment.)
+    */
+  private def catalogAnchorOf(spark: SparkSession, tail: String): Option[String] =
+    if (tail.contains("/")) None
+    else if (tail.contains(".")) Some(tail)
+    else Some(s"${spark.catalog.currentDatabase}.$tail")
 
   /** Register `mvPath` as the materialization of base-table aggregates
     * over `basePathTail`. `mvPath` is either a SnapshotLake root (version-
@@ -129,7 +146,10 @@ object MvRegistry {
     val need = keys ++ aggs.map(_.outName)
     require(need.forall(have), s"MV $mvPath lacks ${need.filterNot(have)}")
     MvDef(name, basePathTail, keys, aggs, mvPath,
-      if (versionedAt.isDefined) None else Some(lr), join)
+      if (versionedAt.isDefined) None else Some(lr),
+      join.map(jd => JoinDef(jd.dims.map(dd =>
+        dd.copy(catalogAnchor = catalogAnchorOf(spark, dd.dimPathTail))))),
+      catalogAnchorOf(spark, basePathTail))
   }
 
   def register(spark: SparkSession, name: String, basePathTail: String,
@@ -193,7 +213,8 @@ object MvRegistry {
     val need = keys :+ "kmv"
     require(need.forall(have), s"KMV store $mvPath lacks ${need.filterNot(have)}")
     kmvViews.put(name, KmvDef(name, basePathTail, keys, valueCol, k, mvPath,
-      if (versionedAt.isDefined) None else Some(lr), serveExactDistinct))
+      if (versionedAt.isDefined) None else Some(lr), serveExactDistinct,
+      catalogAnchorOf(spark, basePathTail)))
     ()
   }
 
@@ -284,20 +305,23 @@ case class MvRewrite() extends Rule[LogicalPlan] {
   /** Does this scan belong to the registered anchor? Two spellings of the
     * same table must both hit: a path anchor matches the file scan's root
     * path ([[pathMatches]]), and a CATALOG anchor (a registered tail with
-    * no '/' — a bare table name, or `db.table`) matches the relation's
-    * catalog identifier — so `spark.table("docs")` rewrites against an MV
-    * registered on `docs` even though its file location is the warehouse
-    * directory, not the registered tail.
+    * no '/', db-qualified at registration by [[MvRegistry]]) matches the
+    * relation's FULLY QUALIFIED catalog identifier — so `spark.table(
+    * "docs")` rewrites against an MV registered on `docs` in the same
+    * database, while `somedb.docs` (a different table that merely shares
+    * the name) never serves from it. A relation whose catalog identifier
+    * carries no database cannot be verified and conservatively misses.
     */
-  private def anchorMatches(lr: LogicalRelation, tail: String): Boolean = {
+  private def anchorMatches(lr: LogicalRelation, tail: String,
+      catalogAnchor: Option[String]): Boolean = {
     val pathOk = lr.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.headOption.exists(p => pathMatches(p.toString, tail))
       case _ => false
     }
-    pathOk || (!tail.contains("/") && lr.catalogTable.exists { ct =>
-      ct.identifier.table.equalsIgnoreCase(tail) ||
-        ct.identifier.unquotedString.equalsIgnoreCase(tail)
+    pathOk || catalogAnchor.exists(q => lr.catalogTable.exists { ct =>
+      ct.identifier.database.exists(db =>
+        s"$db.${ct.identifier.table}".equalsIgnoreCase(q))
     })
   }
 
@@ -328,7 +352,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
       // a join-MV must never claim a plain scan of its fact table alone —
       // the dim join can drop (or multiply) fact rows
       mv <- MvRegistry.all.find(m => m.join.isEmpty &&
-        anchorMatches(lr, m.basePathTail) && keys.toSet.subsetOf(m.keys.toSet) &&
+        anchorMatches(lr, m.basePathTail, m.catalogAnchor) && keys.toSet.subsetOf(m.keys.toSet) &&
           cond.forall(c => filterServable(c, m.keys.toSet)))
       out <- rewriteWith(agg, keys, cond, mv)
     } yield out
@@ -398,14 +422,14 @@ case class MvRewrite() extends Rule[LogicalPlan] {
             case IsNotNull(a: AttributeReference) => joinKeyNames.contains(a.name)
             case _ => false
           }
-          val factLeaves = leaves.filter(anchorMatches(_, m.basePathTail))
+          val factLeaves = leaves.filter(anchorMatches(_, m.basePathTail, m.catalogAnchor))
           val dimLeaves = leaves.filterNot(factLeaves.contains)
           val leavesOk = factLeaves.size == 1 &&
             dimLeaves.size == jd.dims.size &&
             jd.dims.forall(dd =>
-              dimLeaves.count(anchorMatches(_, dd.dimPathTail)) == 1) &&
+              dimLeaves.count(anchorMatches(_, dd.dimPathTail, dd.catalogAnchor)) == 1) &&
             dimLeaves.forall(l =>
-              jd.dims.count(dd => anchorMatches(l, dd.dimPathTail)) == 1)
+              jd.dims.count(dd => anchorMatches(l, dd.dimPathTail, dd.catalogAnchor)) == 1)
           if (leavesOk && eqPairs.toSet == reqPairs &&
               keys.toSet.subsetOf(m.keys.toSet) &&
               residualConjs.forall(c => filterServable(c, m.keys.toSet)))
@@ -448,7 +472,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
   private def tryKmv(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
     for {
       (lr, cond) <- baseScan(agg.child)
-      kv <- MvRegistry.allKmv.find(v => anchorMatches(lr, v.basePathTail) &&
+      kv <- MvRegistry.allKmv.find(v => anchorMatches(lr, v.basePathTail, v.catalogAnchor) &&
         keys.toSet.subsetOf(v.keys.toSet) &&
         cond.forall(c => filterServable(c, v.keys.toSet)))
       out <- rewriteKmv(agg, keys, cond, kv)

@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** FILE-SKIPPING MANIFEST for a parquet directory — per-file min/max zone
+  * maps plus optional per-file Bloom filters, the data-skipping layer
+  * every table format (Delta stats, Iceberg manifests, Hudi col-stats)
+  * puts between the query and the file listing.
+  *
+  * Why it matters at 100 TB: Spark's parquet reader already skips ROW
+  * GROUPS via footer statistics, but only AFTER scheduling a task per
+  * file split and opening every footer — a 100 TB table is ~1M files, so
+  * a point/range query pays a million task launches + footer reads to
+  * select the handful of files that matter. The manifest moves that
+  * selection to the DRIVER: one small sidecar file read, then a scan plan
+  * over only the surviving files. Combined with a range/Z-order layout
+  * ([[ZOrder]]) the survivors are O(selectivity), not O(table).
+  *
+  * Build cost is metadata-only: the zone maps are read from the parquet
+  * FOOTERS the files already carry (O(#files) footer reads, no data
+  * scan); Bloom filters — for point lookups on high-cardinality keys
+  * where min/max ranges are useless — are one distributed pass over the
+  * named columns (`groupBy(input_file_name())`), paid once at commit.
+  *
+  * Pruning is always SAFE, never assumed exact: a file missing from the
+  * manifest, a column without stats, or an unsupported type keeps the
+  * file; every read API re-applies the exact predicate on the survivors.
+  */
+object ZoneMap {
+
+  /** One column's file-level range: `typ` ∈ long|double|string, min/max
+    * encoded as strings (strings URL-encoded so the TSV manifest stays
+    * line-oriented). `nulls` = whether the file has any NULLs in the
+    * column (an IS NULL probe must keep such files).
+    */
+  final case class ColRange(typ: String, min: String, max: String,
+      nulls: Boolean)
+
+  private def manifestFile(dir: String) = Paths.get(dir, "_GRAFT_ZONEMAP")
+
+  private def enc(typ: String, v: Any): String = typ match {
+    case "string" => java.net.URLEncoder.encode(v.toString, "UTF-8")
+    case _        => v.toString
+  }
+
+  /** List the directory's parquet data files (what `spark.read.parquet`
+    * would scan): non-hidden, positive-length `.parquet`/`part-` files.
+    */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getLen > 0)
+      .map(_.getPath)
+      .filter { f =>
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (n.endsWith(".parquet") || n.startsWith("part-"))
+      }
+      .sortBy(_.getName)
+  }
+
+  /** Read one file's footer and fold its row-group statistics to
+    * file-level ranges for `cols` — metadata-only (a few KB per file).
+    * Columns whose physical type is unsupported, or with any stats-less
+    * row group, are omitted (→ never pruned on).
+    */
+  private def footerRanges(spark: SparkSession, file: Path,
+      cols: Set[String]): Map[String, ColRange] = {
+    val reader = ParquetFileReader.open(
+      spark.sessionState.newHadoopConf(), file)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val perCol = scala.collection.mutable.Map[String, ColRange]()
+      val broken = scala.collection.mutable.Set[String]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (cols(name) && !broken(name)) {
+          val st = c.getStatistics
+          val typ = c.getPrimitiveType.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => "long"
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
+            case PrimitiveTypeName.BINARY
+                if c.getPrimitiveType.getLogicalTypeAnnotation != null &&
+                  c.getPrimitiveType.getLogicalTypeAnnotation.toString == "STRING" =>
+              "string"
+            case _ => ""
+          }
+          if (typ.isEmpty || st == null || !st.hasNonNullValue) {
+            // unsupported or stats-less: poison the column for this file
+            broken += name; perCol.remove(name); ()
+          } else {
+            val (mn, mx) = typ match {
+              case "string" =>
+                (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                   .toStringUsingUTF8,
+                 st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                   .toStringUsingUTF8)
+              case _ => (st.genericGetMin, st.genericGetMax)
+            }
+            val nulls = st.getNumNulls != 0L
+            val next = perCol.get(name) match {
+              case None => ColRange(typ, enc(typ, mn), enc(typ, mx), nulls)
+              case Some(prev) =>
+                ColRange(typ,
+                  if (lt(typ, enc(typ, mn), prev.min)) enc(typ, mn) else prev.min,
+                  if (lt(typ, prev.max, enc(typ, mx))) enc(typ, mx) else prev.max,
+                  prev.nulls || nulls)
+            }
+            perCol(name) = next
+          }
+        }
+      }
+      perCol.toMap
+    } finally reader.close()
+  }
+
+  private def lt(typ: String, a: String, b: String): Boolean = typ match {
+    case "long"   => a.toLong < b.toLong
+    case "double" => a.toDouble < b.toDouble
+    case _        => a < b // URL-encoding is order-preserving for ASCII keys
+  }
+
+  /** Build and write the manifest for `dir`: zone maps for `statCols`
+    * (footer reads only), Bloom filters for `bloomCols` (LONG columns —
+    * hash strings to long with `xxhash64`/`hash64` on BOTH write and
+    * probe; one distributed pass). Returns the number of files covered.
+    */
+  def write(spark: SparkSession, dir: String, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomExpectedPerFile: Long = 100000L,
+      bloomFpp: Double = 0.03): Int = {
+    val files = dataFiles(spark, dir)
+    val sb = new StringBuilder
+    val want = statCols.toSet
+    for (f <- files; (col, r) <- footerRanges(spark, f, want).toSeq.sortBy(_._1))
+      sb.append(s"S\t${f.getName}\t$col\t${r.typ}\t${r.min}\t${r.max}\t${r.nulls}\n")
+    if (bloomCols.nonEmpty) {
+      import org.apache.spark.sql.GraftColumnBridge
+      val src = spark.read.parquet(dir)
+      val aggs = bloomCols.map(c => GraftColumnBridge.column(BloomAgg(
+        bloomExpectedPerFile, bloomFpp,
+        GraftColumnBridge.expression(col(c).cast("long")))
+          .toAggregateExpression()).as(c))
+      val rows = src
+        .select((input_file_name().as("_zm_file") +: bloomCols.map(col)): _*)
+        .groupBy("_zm_file").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      for (row <- rows.sortBy(_.getString(0)); (c, i) <- bloomCols.zipWithIndex) {
+        val name = new Path(row.getString(0)).getName
+        val bytes = row.getAs[Array[Byte]](i + 1)
+        if (bytes != null)
+          sb.append(s"B\t$name\t$c\t${Base64.getEncoder.encodeToString(bytes)}\n")
+      }
+    }
+    Files.write(manifestFile(dir), sb.toString.getBytes(UTF_8))
+    files.size
+  }
+
+  /** The manifest's zone maps: file name → column → range. Empty when no
+    * manifest exists (every read then degrades to a full scan).
+    */
+  def ranges(dir: String): Map[String, Map[String, ColRange]] = {
+    val f = manifestFile(dir)
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
+      .filter(_.startsWith("S\t")).map(_.split("\t", -1))
+      .collect { case Array(_, file, col, typ, mn, mx, nulls) =>
+        (file, col, ColRange(typ, mn, mx, nulls.toBoolean)) }
+      .toSeq.groupBy(_._1)
+      .map { case (file, es) =>
+        file -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  /** The manifest's Bloom filters: file name → column → filter. */
+  def blooms(dir: String): Map[String, Map[String, BloomFilter]] = {
+    val f = manifestFile(dir)
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
+      .filter(_.startsWith("B\t")).map(_.split("\t", -1))
+      .collect { case Array(_, file, col, b64) =>
+        (file, col, BloomFilter.readFrom(
+          new ByteArrayInputStream(Base64.getDecoder.decode(b64)))) }
+      .toSeq.groupBy(_._1)
+      .map { case (file, es) => file -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  private def cmp(typ: String, a: String, b: String): Int = typ match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => a.compareTo(b)
+  }
+
+  /** Files that may hold rows with `column ∈ [lo, hi]` — a file is pruned
+    * ONLY when its zone map proves the range disjoint. Returns
+    * (survivor paths, total files).
+    */
+  def pruneRange(spark: SparkSession, dir: String, column: String,
+      lo: Any, hi: Any): (Seq[String], Int) = {
+    val rs = ranges(dir)
+    val files = dataFiles(spark, dir)
+    val keep = files.filter { f =>
+      rs.get(f.getName).flatMap(_.get(column)) match {
+        case None => true // no stats → cannot prune
+        case Some(r) =>
+          val loS = enc(r.typ, lo); val hiS = enc(r.typ, hi)
+          cmp(r.typ, r.max, loS) >= 0 && cmp(r.typ, r.min, hiS) <= 0
+      }
+    }
+    (keep.map(_.toString), files.size)
+  }
+
+  /** Files that may hold rows with `column = v`: zone-map range check
+    * AND, when a Bloom filter was built for the column, a membership
+    * probe on the SAME long encoding (`cast("long")` of the stored
+    * column — hash string keys to long on both sides).
+    */
+  def pruneEq(spark: SparkSession, dir: String, column: String,
+      v: Any): (Seq[String], Int) = {
+    val (rangeKeep, total) = pruneRange(spark, dir, column, v, v)
+    val bs = blooms(dir)
+    val keep = rangeKeep.filter { pathStr =>
+      bs.get(new Path(pathStr).getName).flatMap(_.get(column)) match {
+        case None => true
+        case Some(bf) => v match {
+          case l: Long => bf.mightContainLong(l)
+          case i: Int  => bf.mightContainLong(i.toLong)
+          case other   => bf.mightContain(other)
+        }
+      }
+    }
+    (keep, total)
+  }
+
+  private def emptyLike(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).where(lit(false))
+
+  /** Manifest-pruned range scan: read only the files whose zone map
+    * intersects `[lo, hi]`, then re-apply the exact predicate (zone maps
+    * are file-granular, never trusted as exact).
+    */
+  def readRange(spark: SparkSession, dir: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (files, _) = pruneRange(spark, dir, column, lo, hi)
+    val base =
+      if (files.isEmpty) emptyLike(spark, dir)
+      else spark.read.parquet(files: _*)
+    base.where(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Manifest-pruned point lookup (zone map + Bloom). */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+      v: Any): DataFrame = {
+    val (files, _) = pruneEq(spark, dir, column, v)
+    val base =
+      if (files.isEmpty) emptyLike(spark, dir)
+      else spark.read.parquet(files: _*)
+    base.where(col(column) === lit(v))
+  }
+}
+
+/** Per-group Bloom filter as a TypedImperativeAggregate over a LONG
+  * column — used by [[ZoneMap.write]] with `groupBy(input_file_name())`
+  * to build every file's filter in ONE distributed pass (per-file
+  * `df.stat.bloomFilter` would launch a job per file). Merge is the
+  * filters' bit-OR ([[BloomFilter.mergeInPlace]]), so partial aggregation
+  * works and the result is insertion-order independent — deterministic
+  * for a fixed file→rows assignment.
+  */
+case class BloomAgg(
+    expected: Long,
+    fpp: Double,
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expected, fpp)
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+    a.mergeInPlace(b)
+
+  override def eval(buf: BloomFilter): Any = serialize(buf)
+
+  override def serialize(buf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    buf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}

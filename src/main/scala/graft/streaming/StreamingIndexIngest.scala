@@ -48,17 +48,34 @@ object StreamingIndexIngest {
     }
   }
 
-  /** The single-writer contract, ENFORCED: compaction stages and then
-    * REBUILDS the index table, and a micro-batch landing inside that
-    * stage→rebuild window writes into a table about to be overwritten —
-    * silently lost rows. Compaction holds a lock file (a sibling of the
-    * table directory, so the rebuild's own overwrite can't wipe it) for
-    * its whole run; every ingest write checks it first and fails LOUDLY,
-    * which under Structured Streaming fails the micro-batch — the batch
-    * replays with the same batchId once the compaction finishes, and the
-    * partition overwrite makes that replay exact. Lock, not queue: an
-    * index compaction is rare and operator-initiated; blocking ingest
-    * inside foreachBatch would just hide the coordination.
+  /** The single-writer contract, ENFORCED by MUTUAL EXCLUSION: compaction
+    * stages and then REBUILDS the index table, and a micro-batch landing
+    * inside that stage→rebuild window writes into a table about to be
+    * overwritten — silently lost rows. Both sides therefore hold the SAME
+    * lock file (a sibling of the table directory, so the rebuild's own
+    * overwrite can't wipe it) for the duration of their write: compaction
+    * for its whole stage→rebuild run, every ingest micro-batch for its
+    * partition write (one create + delete per trigger — noise next to the
+    * Spark job it brackets). Whichever side finds the lock held fails
+    * LOUDLY; under Structured Streaming that fails the micro-batch, which
+    * replays with the same batchId once the lock clears, and the
+    * partition overwrite makes that replay exact. The earlier scheme
+    * (ingest only CHECKED the lock before writing) left a check-then-write
+    * window where a batch already past the check could still be mid-write
+    * when compaction locked and staged — that window is now closed for
+    * every writer that goes through this object; only an out-of-band
+    * writer calling the batch append APIs directly bypasses it (documented
+    * there). Lock, not queue: an index compaction is rare and
+    * operator-initiated; blocking ingest inside foreachBatch would just
+    * hide the coordination.
+    *
+    * CRASH SAFETY: the lock file records owner and epoch-millis timestamp.
+    * A writer that dies leaks the lock and blocks all ingest — the failure
+    * message reports the lock's owner and age, and [[breakStaleLock]]
+    * removes it once it is provably stale (older than the caller's bound,
+    * i.e. no live compaction could still be running). Detection is
+    * explicit, not automatic: a long compaction is indistinguishable from
+    * a dead one by age alone, so the operator picks the bound.
     */
   private def lockPath(spark: SparkSession,
       table: String): org.apache.hadoop.fs.Path = {
@@ -68,21 +85,82 @@ object StreamingIndexIngest {
     new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + "__lock")
   }
 
-  private def requireNotCompacting(spark: SparkSession, table: String): Unit = {
+  private def lockInfo(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val body = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    } catch { case _: Exception => "" }
+    val ts = body.split('\t') match {
+      case Array(_, t) if t.forall(_.isDigit) => Some(t.toLong)
+      case _ => None
+    }
+    val age = ts.map(t => s"${System.currentTimeMillis() - t} ms old")
+      .getOrElse("unknown age")
+    s"held by [${body.takeWhile(_ != '\t')}], $age"
+  }
+
+  /** Acquire the table's writer lock or fail loudly with owner + age. */
+  private def acquireLock(spark: SparkSession,
+      table: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
     val p = lockPath(spark, table)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(p),
-      s"index $table is being compacted (lock $p present); the failed " +
-        "micro-batch will replay with the same batchId after the " +
-        "compaction releases the lock")
+    val out = try fs.create(p, false) catch {
+      case _: java.io.IOException => sys.error(
+        s"writer lock $p for index $table already " +
+          s"${lockInfo(fs, p)}; a failed ingest micro-batch replays with " +
+          "the same batchId once it clears; if the holder is dead, " +
+          "remove it with StreamingIndexIngest.breakStaleLock")
+    }
+    try out.write(
+      s"${java.util.UUID.randomUUID()}\t${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+    finally out.close()
+    (fs, p)
+  }
+
+  /** Run one writer's critical section (an ingest batch's partition write
+    * or a compaction's whole stage→rebuild) under the table's lock.
+    */
+  private def withTableLock[T](spark: SparkSession, table: String)(
+      body: => T): T = {
+    val (fs, p) = acquireLock(spark, table)
+    try body finally { fs.delete(p, false); () }
   }
 
   private def withCompactionLock[T](spark: SparkSession, table: String)(
-      body: => T): T = {
+      body: => T): T = withTableLock(spark, table)(body)
+
+  /** Remove a LEAKED writer lock (its holder crashed) once it is older
+    * than `olderThanMs`. Returns true if a lock was removed, false if
+    * none was present; refuses (loudly) a lock YOUNGER than the bound —
+    * that one may belong to a live writer.
+    */
+  def breakStaleLock(spark: SparkSession, table: String,
+      olderThanMs: Long): Boolean = {
     val p = lockPath(spark, table)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.createNewFile(p), s"compaction lock $p already held")
-    try body finally { fs.delete(p, false); () }
+    if (!fs.exists(p)) false
+    else {
+      val ageOk = try {
+        val in = fs.open(p)
+        val body =
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        body.split('\t') match {
+          case Array(_, t) if t.forall(_.isDigit) =>
+            System.currentTimeMillis() - t.toLong >= olderThanMs
+          // unparseable/legacy lock: fall back to the file's mtime
+          case _ => System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime >= olderThanMs
+        }
+      } catch { case _: java.io.FileNotFoundException => return false }
+      require(ageOk, s"writer lock $p is ${lockInfo(fs, p)} — younger " +
+        s"than the $olderThanMs ms staleness bound; it may be live")
+      fs.delete(p, false)
+    }
   }
 
   /** max(ingest_batch) of the table, or None when it is empty (max over
@@ -101,10 +179,11 @@ object StreamingIndexIngest {
   def applyIvfBatch(batch: DataFrame, centroids: DataFrame, table: String,
       batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
-      requireNotCompacting(batch.sparkSession, table)
-      Ann.ivfAssign(batch, centroids)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite").insertInto(table)
+      withTableLock(batch.sparkSession, table) {
+        Ann.ivfAssign(batch, centroids)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").insertInto(table)
+      }
     }
 
   /** Start a (vec_id, embedding) stream into the persisted IVF index. */
@@ -128,10 +207,11 @@ object StreamingIndexIngest {
       model: graft.similarity.Pq.PqModel, table: String,
       batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
-      requireNotCompacting(batch.sparkSession, table)
-      Ann.ivfPqAssign(batch, centroids, model)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite").insertInto(table)
+      withTableLock(batch.sparkSession, table) {
+        Ann.ivfPqAssign(batch, centroids, model)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").insertInto(table)
+      }
     }
 
   /** Start a (vec_id, embedding) stream into the persisted IVF-PQ index. */
@@ -156,7 +236,7 @@ object StreamingIndexIngest {
   def applyBm25Batch(batch: DataFrame, idCol: String, textCol: String,
       table: String, batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
-      requireNotCompacting(batch.sparkSession, table)
+      withTableLock(batch.sparkSession, table) {
       // cache the tokenized batch: all three writes read it, and without
       // the cache each write re-tokenizes from scratch — a 3× per-trigger
       // tax on the continuous-crawl path (batch-sized, so memory-safe;
@@ -172,6 +252,7 @@ object StreamingIndexIngest {
           .withColumn("ingest_batch", lit(batchId))
           .write.mode("overwrite").insertInto(s"${table}_stats")
       } finally { base.unpersist(blocking = false); () }
+      }
     }
 
   /** Start a document stream into the persisted BM25 index. */
@@ -199,7 +280,7 @@ object StreamingIndexIngest {
       n: Int, table: String, batchId: Long,
       numHashes: Int = 128, bands: Int = 32): Unit =
     withDynamicOverwrite(batch.sparkSession) {
-      requireNotCompacting(batch.sparkSession, s"${table}_bands")
+      withTableLock(batch.sparkSession, s"${table}_bands") {
       import graft.dedup.Dedup
       val sh = Dedup.shingledHashed(batch, idCol, textCol, n)
       sh.persist() // both writes read it — one shingle pass per trigger
@@ -212,6 +293,7 @@ object StreamingIndexIngest {
             lit(batchId).as("ingest_batch"))
           .write.mode("overwrite").insertInto(s"${table}_docs")
       } finally { sh.unpersist(blocking = false); () }
+      }
     }
 
   /** Start a document stream into the persisted MinHash band index. */
@@ -237,10 +319,11 @@ object StreamingIndexIngest {
   def applyAhashBatch(batch: DataFrame, idCol: String, hashCol: String,
       maxHam: Int, table: String, batchId: Long): Unit =
     withDynamicOverwrite(batch.sparkSession) {
-      requireNotCompacting(batch.sparkSession, table)
-      graft.multimodal.Multimodal
-        .ahashBatchRows(batch, idCol, hashCol, maxHam, batchId)
-        .write.mode("overwrite").insertInto(table)
+      withTableLock(batch.sparkSession, table) {
+        graft.multimodal.Multimodal
+          .ahashBatchRows(batch, idCol, hashCol, maxHam, batchId)
+          .write.mode("overwrite").insertInto(table)
+      }
     }
 
   /** Start an (id, ahash) feature stream into the persisted aHash index. */

@@ -514,6 +514,48 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("catalog anchor is DATABASE-qualified: a same-named table in " +
+      "another database never serves from the MV") {
+    val parent = freshDir("mv_cat_db")
+    val suffix = java.lang.Long.toHexString(System.nanoTime)
+    val tblName = s"mv_db_docs_$suffix"
+    val db = s"mv_db_other_$suffix"
+    (1 to 100).map(i => (s"g${i % 4}", i.toLong)).toDF("g1", "v")
+      .write.option("path", s"$parent/tbl").saveAsTable(tblName)
+    spark.sql(s"CREATE DATABASE $db")
+    // the OTHER database's table shares the bare name but not the data
+    (1 to 10).map(i => (s"g${i % 4}", i.toLong * 1000)).toDF("g1", "v")
+      .write.option("path", s"$parent/tbl2").saveAsTable(s"$db.$tblName")
+    spark.table(tblName).groupBy("g1")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .write.parquet(s"$parent/mv")
+    // registered BARE while `default` is current → pinned to default.<tbl>
+    MvRegistry.register(spark, "mv_cat_db", tblName, Seq("g1"),
+      Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("v"))),
+      s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      // same database: serves
+      val q = spark.table(tblName).groupBy("g1").agg(sum(col("v")).as("s"))
+      assert(scanPaths(q).exists(_.contains("/mv")),
+        s"same-db catalog query must hit the MV: ${scanPaths(q)}")
+      // other database, same bare name: MUST run against its own data
+      val qo = spark.table(s"$db.$tblName")
+        .groupBy("g1").agg(sum(col("v")).as("s"))
+      assert(!scanPaths(qo).exists(_.contains("/mv")),
+        s"cross-database table was claimed by the MV: ${scanPaths(qo)}")
+      val got = qo.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = (1 to 10).groupBy(i => s"g${i % 4}")
+        .map { case (g, is) => g -> is.map(_.toLong * 1000).sum }
+      assert(got == expect, s"cross-db query served wrong data: $got")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_cat_db")
+      spark.sql(s"DROP DATABASE $db CASCADE")
+    }
+  }
+
   test("KMV store serves graft_kmv sketch aggregates; guards hold") {
     import graft.functions.{Kmv, TextFunctions}
     val parent = freshDir("mv_kmv")

@@ -212,28 +212,78 @@ class StreamingIndexIngestSpec extends SparkTestBase {
     val lock = new java.io.File(s"$dir/idx__lock")
     assert(lock.createNewFile())
     try {
-      val e = intercept[IllegalArgumentException] {
+      val e = intercept[RuntimeException] {
         StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
       }
-      assert(e.getMessage.contains("compacted"), e.getMessage)
+      assert(e.getMessage.contains("writer lock"), e.getMessage)
       assert(spark.table(tbl).select("ingest_batch").distinct().count() == 1,
         "the refused batch must not have written anything")
+      // MUTUAL EXCLUSION is symmetric: compaction cannot start while a
+      // writer holds the lock either (the old check-then-write scheme let
+      // compaction lock and rebuild OVER an ingest already past its check)
+      val c = intercept[RuntimeException] {
+        StreamingIndexIngest.compactIvf(spark, tbl, s"$dir/idx", 4)
+      }
+      assert(c.getMessage.contains("writer lock"), c.getMessage)
     } finally { lock.delete(); () }
-    // lock released → the SAME batchId lands cleanly (the replay path)
+    // lock released → the SAME batchId lands cleanly (the replay path)…
     StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 0L)
     assert(spark.table(tbl).where(col("ingest_batch") === 0L).count() ==
       batch.count())
+    // …and the batch's own lock hold self-cleans (no leak per trigger)
+    assert(!lock.exists(), "ingest must release the writer lock")
     // BM25 family: lock sits beside the postings table directory
     val bmTbl = s"ing_lock_bm_$run"
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 0)
     Bm25.writeIndexIngestable(docs, "doc_id", "text", bmTbl, s"$dir/bm", 4)
     val bmLock = new java.io.File(s"$dir/bm/postings__lock")
     assert(bmLock.createNewFile())
-    try intercept[IllegalArgumentException] {
+    try intercept[RuntimeException] {
       StreamingIndexIngest.applyBm25Batch(
         Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 1),
         "doc_id", "text", bmTbl, 0L)
     } finally { bmLock.delete(); () }
+  }
+
+  test("a leaked writer lock is breakable once provably stale, never while " +
+      "it may be live") {
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val tbl = s"ing_stale_$run"
+    val dir = freshDir("ing_stale")
+    Ann.ivfWriteIndexIngestable(embAll.where(col("vec_id") % 2 === 0), cents,
+      tbl, s"$dir/idx", 4)
+    val lock = new java.io.File(s"$dir/idx__lock")
+
+    // no lock present → false, nothing to do
+    assert(!StreamingIndexIngest.breakStaleLock(spark, tbl, 0L))
+
+    // a FRESH lock (live writer) is refused even at a tiny bound
+    val fresh = s"owner-live\t${System.currentTimeMillis()}"
+    java.nio.file.Files.write(lock.toPath, fresh.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      StreamingIndexIngest.breakStaleLock(spark, tbl, 60000L)
+    }
+    assert(lock.exists())
+
+    // a lock whose recorded timestamp is an hour old breaks cleanly…
+    val stale = s"owner-dead\t${System.currentTimeMillis() - 3600000L}"
+    java.nio.file.Files.write(lock.toPath, stale.getBytes("UTF-8"))
+    assert(StreamingIndexIngest.breakStaleLock(spark, tbl, 60000L))
+    assert(!lock.exists())
+    // …and ingest resumes with the same batchId (the replay contract)
+    val batch = embAll.where(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    StreamingIndexIngest.applyIvfBatch(batch, cents, tbl, 7L)
+    assert(spark.table(tbl).where(col("ingest_batch") === 7L).count() ==
+      batch.count())
+
+    // a LEGACY/unparseable lock falls back to file mtime: fresh → refused
+    assert(lock.createNewFile())
+    intercept[IllegalArgumentException] {
+      StreamingIndexIngest.breakStaleLock(spark, tbl, 3600000L)
+    }
+    assert(StreamingIndexIngest.breakStaleLock(spark, tbl, 0L))
+    assert(!lock.exists())
   }
 
   test("BM25 ingest tokenizes each micro-batch ONCE across its three writes") {

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapshotLake, ZoneMap}
+
+/** File-skipping manifests: zone-map range pruning, Bloom point pruning,
+  * and the safety contract — pruning may only ever REMOVE provably-dead
+  * files, and every read re-applies the exact predicate.
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeRangeLaid(dir: String, n: Int, files: Int): Unit =
+    (1 to n).map(i => (i.toLong, s"k${i % 100}", i * 1.5))
+      .toDF("id", "name", "score")
+      .repartitionByRange(files, col("id"))
+      .write.mode("overwrite").parquet(dir)
+
+  test("zone-map range pruning: narrow range reads a strict subset; " +
+      "results stay exact") {
+    val dir = freshDir("zm_range")
+    writeRangeLaid(dir, 10000, 8)
+    val total = ZoneMap.write(spark, dir, Seq("id", "name", "score"))
+    assert(total == 8)
+
+    val (files, all) = ZoneMap.pruneRange(spark, dir, "id", 100L, 200L)
+    assert(all == 8)
+    assert(files.size < all, s"range layout must prune: ${files.size}/$all")
+
+    val got = ZoneMap.readRange(spark, dir, "id", 100L, 200L)
+    val want = spark.read.parquet(dir).where(col("id").between(100L, 200L))
+    assert(got.count() == want.count())
+    assert(got.agg(sum("id")).head.getLong(0) ==
+      want.agg(sum("id")).head.getLong(0))
+
+    // double stats prune too
+    val (fd, _) = ZoneMap.pruneRange(spark, dir, "score", 1.0, 50.0)
+    assert(fd.size < all, s"double zone maps must prune: ${fd.size}/$all")
+
+    // a range beyond the data prunes EVERYTHING and still answers exactly
+    val (none, _) = ZoneMap.pruneRange(spark, dir, "id", 50000L, 60000L)
+    assert(none.isEmpty)
+    assert(ZoneMap.readRange(spark, dir, "id", 50000L, 60000L).count() == 0)
+  }
+
+  test("string zone maps: lexicographic pruning on a range-laid string key") {
+    val dir = freshDir("zm_str")
+    (1 to 5000).map(i => (f"key$i%05d", i)).toDF("k", "v")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    ZoneMap.write(spark, dir, Seq("k"))
+    val (files, all) = ZoneMap.pruneRange(spark, dir, "k", "key00100", "key00200")
+    assert(files.size < all, s"string zone maps must prune: ${files.size}/$all")
+    val got = ZoneMap.readRange(spark, dir, "k", "key00100", "key00200")
+    assert(got.count() == 101)
+  }
+
+  test("Bloom point pruning: high-cardinality key under a layout its zone " +
+      "maps cannot prune") {
+    val dir = freshDir("zm_bloom")
+    // laid out by SCORE: every file spans nearly the full id range, so the
+    // id zone maps are useless — the Bloom filter carries the pruning
+    (1 to 20000).map { i =>
+      val id = (i.toLong * 2654435761L) % 1000003L // scatter ids across files
+      (id, i * 1.5)
+    }.toDF("id", "score")
+      .repartitionByRange(8, col("score"))
+      .write.mode("overwrite").parquet(dir)
+    ZoneMap.write(spark, dir, Seq("id"), bloomCols = Seq("id"),
+      bloomExpectedPerFile = 10000L)
+
+    val present = (7L * 2654435761L) % 1000003L
+    val (hit, all) = ZoneMap.pruneEq(spark, dir, "id", present)
+    assert(hit.nonEmpty && hit.size < all,
+      s"bloom must prune most files for a point probe: ${hit.size}/$all")
+    val got = ZoneMap.readPoint(spark, dir, "id", present).collect()
+    assert(got.length == 1 && got.head.getLong(0) == present)
+
+    // an ABSENT key: blooms may false-positive a file or two (3% fpp) but
+    // the exact residual filter still answers zero rows
+    val (miss, _) = ZoneMap.pruneEq(spark, dir, "id", 999999999L)
+    assert(miss.size <= 2, s"absent key should survive ~0 files: ${miss.size}")
+    assert(ZoneMap.readPoint(spark, dir, "id", 999999999L).count() == 0)
+  }
+
+  test("safety: files without manifest entries are KEPT, and a missing " +
+      "manifest degrades to a full exact scan") {
+    val dir = freshDir("zm_safe")
+    writeRangeLaid(dir, 1000, 4)
+    // no manifest at all → no pruning, exact results
+    assert(ZoneMap.readRange(spark, dir, "id", 1L, 10L).count() == 10)
+
+    ZoneMap.write(spark, dir, Seq("id"))
+    // a file landing AFTER the manifest was built has no stats → kept
+    Seq((99999L, "late", 0.0)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val (files, all) = ZoneMap.pruneRange(spark, dir, "id", 99999L, 99999L)
+    assert(ZoneMap.readRange(spark, dir, "id", 99999L, 99999L).count() == 1,
+      s"late-arriving file must not be pruned (kept ${files.size}/$all)")
+  }
+
+  test("SnapshotLake.commitWithStats: manifest rides the version pointer; " +
+      "readRange/readPoint serve the CURRENT version pruned") {
+    val root = freshDir("zm_lake")
+    val v0 = (1 to 8000).map(i => (i.toLong, s"u${i % 50}", i % 997))
+      .toDF("id", "user", "bucket")
+    SnapshotLake.commitWithStats(v0, root, 0L, Seq("id"),
+      bloomCols = Seq("id"), sortWithinFiles = Some("id"), numFiles = 8)
+    val got = SnapshotLake.readRange(spark, root, "id", 10L, 20L)
+    assert(got.count() == 11)
+    assert(SnapshotLake.readPoint(spark, root, "id", 4242L).count() == 1)
+
+    // the version dir carries its own manifest; pruning is happening
+    val vp = SnapshotLake.versionPath(root, 0L)
+    val (files, all) = ZoneMap.pruneRange(spark, vp, "id", 10L, 20L)
+    assert(files.size < all, s"lake range read must prune: ${files.size}/$all")
+
+    // a new version with different data re-manifests; reads follow _CURRENT
+    val v1 = (1 to 100).map(i => (i.toLong + 100000L, "x", 1))
+      .toDF("id", "user", "bucket")
+    SnapshotLake.commitWithStats(v1, root, 1L, Seq("id"),
+      sortWithinFiles = Some("id"), numFiles = 2)
+    assert(SnapshotLake.readRange(spark, root, "id", 10L, 20L).count() == 0)
+    assert(SnapshotLake.readRange(spark, root, "id",
+      100001L, 100010L).count() == 10)
+  }
+}
