@@ -7808,6 +7808,82 @@ object PipelineQueries {
     * accuracy bit against the exact percentiles — unlike rng sampling,
     * nothing here is "approximately checkable", it is all pinned.
     */
+  /** FILE-SKIPPING on the lake ([[graft.sources.ZoneMap]] +
+    * [[graft.sources.SnapshotLake.commitWithStats]]): the fact table is
+    * committed once, range-laid by l_orderkey with per-file min/max zone
+    * maps read from the parquet FOOTERS (metadata-only — no extra data
+    * scan at commit); a narrow key-range report then plans over ONLY the
+    * files whose zone map intersects the range — REQUIREd a strict
+    * subset — and re-applies the exact predicate. The 100 TB shape: a
+    * million-file table answers a selective range probe from one driver-
+    * side manifest read + O(selectivity) file scans, instead of a task
+    * per file; row-group skipping inside the survivors still applies.
+    */
+  val qLakeZonemapPrune = Fixture(
+    "q_lake_zonemap_prune",
+    (s, d) => {
+      import graft.sources.{SnapshotLake, ZoneMap}
+      val h = Integer.toHexString(d.hashCode)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zmlake_$h").getAbsolutePath
+      FixtureOnce(s"graft_zmlake_$h") {
+        SnapshotLake.commitWithStats(
+          Tables.lineitem(s, d).select("l_orderkey", "l_returnflag",
+            "l_quantity"),
+          root, 0L, Seq("l_orderkey"),
+          sortWithinFiles = Some("l_orderkey"), numFiles = 8)
+      }
+      val vp = SnapshotLake.versionPath(root, 0L)
+      val (files, total) = ZoneMap.pruneRange(s, vp, "l_orderkey", 1000L, 2000L)
+      require(files.nonEmpty && files.size < total,
+        s"zone maps over a range layout must prune: ${files.size}/$total")
+      SnapshotLake.readRange(s, root, "l_orderkey", 1000L, 2000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          Quant.q4(sum(col("l_quantity"))).as("sum_qty"))
+    },
+    Some(s"""SELECT l_returnflag, count(*) AS cnt,
+      |   ${q4("sum(l_quantity)")} AS sum_qty
+      | FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+      | GROUP BY 1""".stripMargin))
+
+  /** Bloom-filter POINT pruning — the seam zone maps leave open: the
+    * documents table is committed laid out by n_chars, so every file's
+    * doc_id zone map spans nearly the whole id range and prunes nothing;
+    * the per-file Bloom filters (built in ONE distributed pass at commit)
+    * still route a doc_id point lookup to the file(s) that might hold it
+    * — REQUIREd a strict subset — and the exact residual filter keeps the
+    * read exact under the filters' 3% false-positive rate. This is the
+    * primary-key-lookup-without-an-index path a 100 TB document lake
+    * needs: O(1) files opened per probe, no secondary structure beyond
+    * the manifest.
+    */
+  val qLakeBloomPoint = Fixture(
+    "q_lake_bloom_point",
+    (s, d) => {
+      import graft.sources.{SnapshotLake, ZoneMap}
+      val h = Integer.toHexString(d.hashCode)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bloomlake_$h").getAbsolutePath
+      FixtureOnce(s"graft_bloomlake_$h") {
+        SnapshotLake.commitWithStats(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          root, 0L, Seq("doc_id"), bloomCols = Seq("doc_id"),
+          sortWithinFiles = Some("n_chars"), numFiles = 8,
+          bloomExpectedPerFile = 100000L)
+      }
+      val vp = SnapshotLake.versionPath(root, 0L)
+      val (rfiles, total) = ZoneMap.pruneRange(s, vp, "doc_id", 42L, 42L)
+      val (pfiles, _) = ZoneMap.pruneEq(s, vp, "doc_id", 42L)
+      require(pfiles.nonEmpty && pfiles.size < total &&
+          pfiles.size <= rfiles.size,
+        s"bloom must prune a point probe below the zone-map survivors: " +
+          s"bloom ${pfiles.size} vs zone ${rfiles.size} of $total")
+      SnapshotLake.readPoint(s, root, "doc_id", 42L)
+        .select("doc_id", "lang", "n_chars")
+    },
+    Some("SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42"))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -7894,5 +7970,6 @@ object PipelineQueries {
     qMvRewriteHaving, qMvRewriteJoin, qMvRewriteJoinFiltered, qMvRewriteSnowflake,
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
-    qStreamIvmTwoWriters, qSampleQuantileStore)
+    qStreamIvmTwoWriters, qSampleQuantileStore,
+    qLakeZonemapPrune, qLakeBloomPoint)
 }
