@@ -90,20 +90,31 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass", provider)
+      // match graft.Bench's stream-trend conditions (changelog
+      // checkpointing — the large-state production posture), so this
+      // standalone main is a valid fresh-JVM cross-check of the
+      // artifact's stream block
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val rows = loadRows(spark, sfDir)
 
-    // warmup
+    // warmup: codegen + a short UNTIMED replay so the measured run sees a
+    // JIT-warm micro-batch path (a single cold run under-reads throughput
+    // ~25% and over-reads the p99 tail — not comparable to Bench's
+    // post-prelude stream block otherwise)
+    val loops = sys.env.getOrElse("SPARK_GRAFT_LOOPS", "20").toInt
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    tumblingReplay(spark, rows, math.max(2, loops / 5))
 
     // (a) streaming micro-batch replay: tumbling window CNT+SUM by type.
     // Replay the table `loops` times (the reference loops its dataset for
     // DURATION seconds the same way) so per-tuple cost dominates the
     // micro-batch fixed overhead.
-    val loops = sys.env.getOrElse("SPARK_GRAFT_LOOPS", "20").toInt
     val (n, streamSec, lat) = tumblingReplay(spark, rows, loops)
     def pct(p: Double): Long = pctOf(lat, p)
 
