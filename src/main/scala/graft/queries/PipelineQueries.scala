@@ -7884,6 +7884,49 @@ object PipelineQueries {
     },
     Some("SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42"))
 
+  /** COMMIT-TIME QUALITY GATES ([[graft.sources.Expectations]] +
+    * [[graft.sources.SnapshotLake.commitChecked]]): the crawl batch lands
+    * on the lake through declared expectations — here `n_chars >= 100`
+    * (the short-doc filter every pretraining pipeline applies) and a
+    * well-formedness check — under the QUARANTINE policy: violators are
+    * dropped by the same job that writes the survivors (violation counts
+    * observed in-flight — no second scan), and the committed version's
+    * audit sidecar records exactly what was dropped. REQUIREd: the audit
+    * matches the oracle-visible drop count and the `__dropped` flag is
+    * set. The served report reads the published (clean) table.
+    */
+  val qLakeExpectations = Fixture(
+    "q_lake_expectations",
+    (s, d) => {
+      import graft.sources.{Expectations, SnapshotLake}
+      import graft.sources.Expectations.Expect
+      val h = Integer.toHexString(d.hashCode)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_explake_$h").getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val checks = Seq(
+        Expect("min_length", col("n_chars") >= 100L),
+        Expect("has_lang", col("lang").isNotNull && length(col("lang")) > 0))
+      FixtureOnce(s"graft_explake_$h") {
+        SnapshotLake.commitChecked(docs, root, 0L, checks,
+          dropViolations = true)
+        ()
+      }
+      val audit = SnapshotLake.readAudit(root, Some(0L))
+      val shortDocs = docs.where(col("n_chars") < 100L).count()
+      require(audit("min_length") == shortDocs && audit("__dropped") == 1L &&
+          audit("__total") == docs.count(),
+        s"audit must record the quarantined rows exactly: $audit " +
+          s"(expected min_length=$shortDocs)")
+      SnapshotLake.read(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      | FROM documents
+      | WHERE n_chars >= 100 AND lang IS NOT NULL AND length(lang) > 0
+      | GROUP BY 1""".stripMargin))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -7971,5 +8014,5 @@ object PipelineQueries {
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qStreamIvmTwoWriters, qSampleQuantileStore,
-    qLakeZonemapPrune, qLakeBloomPoint)
+    qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations)
 }

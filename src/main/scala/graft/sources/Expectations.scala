@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** COMMIT-TIME DATA-QUALITY GATES for the snapshot lake — the CHECK
+  * constraint / Delta-Live-Tables "expectations" layer a training-data
+  * pipeline needs between ingestion and the corpus: every commit either
+  * PROVES its rows satisfy the declared invariants or (policy) drops the
+  * violators and writes an audit of exactly what was dropped, so a bad
+  * crawl batch can never silently poison 100 TB of training data.
+  *
+  * Scale shape: ONE pass. Violation counts ride the write job itself via
+  * `Dataset.observe` (per-expectation aggregates collected by the
+  * executors while the filtered rows stream to parquet), so enforcement
+  * adds no second corpus scan — the fail-fast path costs one aggregation
+  * job over the batch, the drop path costs nothing beyond the write it
+  * was already doing.
+  *
+  * The audit sidecar (`_GRAFT_AUDIT` inside the version directory) rides
+  * the same atomic pointer swap as the data: committed if and only if
+  * the version is, so a crash mid-commit can never leave an audit
+  * claiming rows that were never published.
+  */
+object Expectations {
+
+  /** One named invariant: rows where `pred` is FALSE OR NULL violate it
+    * (null-hostile on purpose — `col("x") > 0` over a NULL x is a
+    * violation, not a pass; spell tolerance explicitly with isNull
+    * disjuncts).
+    */
+  final case class Expect(name: String, pred: Column) {
+    require(!name.exists(c => c == '\t' || c == '\n'),
+      s"expectation name must not contain tab/newline: $name")
+  }
+
+  private def violates(e: Expect): Column =
+    when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)
+
+  /** Per-expectation violation counts plus the total row count, in one
+    * aggregation pass (`(violations, total)` keyed by expectation name).
+    */
+  def audit(df: DataFrame,
+      expects: Seq[Expect]): (Map[String, Long], Long) = {
+    require(expects.nonEmpty, "no expectations given")
+    val aggs = expects.map(e => sum(violates(e)).as(e.name)) :+
+      count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val counts = expects.zipWithIndex
+      .map { case (e, i) => e.name -> row.getLong(i) }.toMap
+    (counts, row.getLong(expects.size))
+  }
+
+  private[sources] def auditFile(dir: String) = Paths.get(dir, "_GRAFT_AUDIT")
+
+  private[sources] def writeAudit(dir: String, counts: Map[String, Long],
+      total: Long, dropped: Boolean): Unit = {
+    val body = counts.toSeq.sorted
+      .map { case (n, c) => s"$n\t$c" }.mkString("\n") +
+      s"\n__total\t$total\n__dropped\t${if (dropped) 1 else 0}\n"
+    Files.write(auditFile(dir), body.getBytes(UTF_8))
+  }
+
+  /** The audit of a committed version directory: per-expectation
+    * violation counts, plus `__total` (rows EXAMINED, pre-drop) and
+    * `__dropped` (1 when the policy removed violators, 0 when the commit
+    * was proven clean). Empty when the version carries no audit.
+    */
+  def readAudit(dir: String): Map[String, Long] = {
+    val f = auditFile(dir)
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(n, c) = line.split("\t", 2)
+        n -> c.toLong
+      }.toMap
+  }
+
+  /** AND of "row satisfies every expectation" — the drop-policy filter. */
+  def keeps(expects: Seq[Expect]): Column =
+    expects.map(e => coalesce(e.pred, lit(false))).reduce(_ && _)
+
+  /** Attach observed violation metrics to `df` so the counts are
+    * collected BY the caller's own write job. Returns the instrumented
+    * frame and a thunk that must be called AFTER an action ran.
+    */
+  def observed(df: DataFrame, expects: Seq[Expect])
+      : (DataFrame, () => (Map[String, Long], Long)) = {
+    val obs = Observation()
+    val aggs = expects.map(e => sum(violates(e)).as(e.name)) :+
+      count(lit(1)).as("__total")
+    val inst = df.observe(obs, aggs.head, aggs.tail: _*)
+    (inst, () => {
+      val row = obs.get
+      def longOf(k: String): Long = // sum over zero rows observes NULL
+        Option(row(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (expects.map(e => e.name -> longOf(e.name)).toMap, longOf("__total"))
+    })
+  }
+}

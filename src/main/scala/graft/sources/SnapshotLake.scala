@@ -120,6 +120,67 @@ object SnapshotLake {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
+  /** [[commit]] gated by DATA-QUALITY EXPECTATIONS ([[Expectations]]) in
+    * ONE pass: the rows are written to the (not-yet-published) version
+    * directory with per-expectation violation counts observed BY the
+    * write job itself, and only then does the policy decide —
+    *
+    *   - `dropViolations = false` (prove-clean): any violation ABORTS the
+    *     commit loudly; the staged directory is removed and the pointer
+    *     never moves, so readers cannot see a poisoned version. The
+    *     pointer-last protocol is what makes single-pass fail-safe
+    *     enforcement possible: the write doubles as the validation scan
+    *     because publishing is a separate, atomic step.
+    *   - `dropViolations = true` (quarantine): violating rows are
+    *     filtered out of the write; the commit always publishes, and the
+    *     audit records exactly how many rows each expectation dropped.
+    *
+    * Either way the committed version carries a `_GRAFT_AUDIT` sidecar
+    * (per-expectation counts, `__total` examined, `__dropped` flag) that
+    * rides the atomic pointer swap. Returns the audit counts.
+    */
+  def commitChecked(df: DataFrame, root: String, v: Long,
+      expects: Seq[Expectations.Expect],
+      dropViolations: Boolean = false): Map[String, Long] =
+    lockFor(root).synchronized {
+      val marks = watermarks(root)
+      val dir = versionPath(root, v)
+      val (inst, counts) = Expectations.observed(df, expects)
+      val staged = if (dropViolations) inst.where(Expectations.keeps(expects))
+                   else inst
+      staged.write.mode("overwrite").parquet(dir)
+      val (bad, total) = counts()
+      if (!dropViolations && bad.valuesIterator.exists(_ > 0)) {
+        // leave no stale staged data behind (vacuum would also reap it)
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(new java.io.File(dir))
+        throw new IllegalStateException(
+          s"commit $v at $root REFUSED: expectations violated " +
+            bad.filter(_._2 > 0).toSeq.sorted
+              .map { case (n, c) => s"$n=$c" }.mkString("(", ", ", ")") +
+            s" over $total rows; nothing was published")
+      }
+      Expectations.writeAudit(dir, bad, total, dropViolations)
+      writeWatermarks(root, v, marks)
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      bad
+    }
+
+  /** The quality audit of a committed version (see
+    * [[Expectations.readAudit]]); defaults to the current version.
+    */
+  def readAudit(root: String, v: Option[Long] = None): Map[String, Long] = {
+    val ver = v.orElse(currentVersion(root)).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    Expectations.readAudit(versionPath(root, ver))
+  }
+
   /** Manifest-pruned range scan of the CURRENT version (exact — the
     * predicate is re-applied on the survivors). Falls back to a full
     * scan + filter when the version has no manifest.

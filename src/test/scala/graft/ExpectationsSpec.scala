@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Expectations, SnapshotLake}
+import graft.sources.Expectations.Expect
+
+/** Commit-time data-quality gates: prove-clean commits refuse and publish
+  * nothing; quarantine commits drop violators and audit exactly what was
+  * dropped; the audit rides the version pointer.
+  */
+class ExpectationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(n: Int) =
+    (1 to n).map(i => (i.toLong, if (i % 10 == 0) "" else s"text$i",
+      if (i % 7 == 0) -1L else i.toLong)).toDF("id", "text", "n_chars")
+
+  private val checks = Seq(
+    Expect("nonempty_text", length(col("text")) > 0),
+    Expect("nonneg_chars", col("n_chars") >= 0L))
+
+  test("audit counts violations per expectation in one aggregation") {
+    val (counts, total) = Expectations.audit(mk(100), checks)
+    assert(total == 100)
+    assert(counts == Map("nonempty_text" -> 10L, "nonneg_chars" -> 14L))
+    // NULL predicate input counts as a violation, not a pass
+    val withNull = Seq((1L, Option("a"), Option(5L)),
+      (2L, Option.empty[String], Option(5L))).toDF("id", "text", "n_chars")
+    val (c2, _) = Expectations.audit(withNull,
+      Seq(Expect("nonempty_text", length(col("text")) > 0)))
+    assert(c2("nonempty_text") == 1L)
+  }
+
+  test("prove-clean commit REFUSES on violations and publishes nothing") {
+    val root = freshDir("exp_fail")
+    SnapshotLake.commit(mk(50).where(col("n_chars") >= 0L &&
+      length(col("text")) > 0), root, 0L)
+    val e = intercept[IllegalStateException] {
+      SnapshotLake.commitChecked(mk(100), root, 1L, checks)
+    }
+    assert(e.getMessage.contains("nonempty_text=10") &&
+      e.getMessage.contains("nonneg_chars=14"), e.getMessage)
+    // pointer unmoved, staged data gone
+    assert(SnapshotLake.currentVersion(root).contains(0L))
+    assert(!new java.io.File(SnapshotLake.versionPath(root, 1L)).exists(),
+      "refused commit must not leave staged data")
+
+    // a clean batch then commits and audits zero violations
+    val clean = mk(100).where(col("n_chars") >= 0L && length(col("text")) > 0)
+    val counts = SnapshotLake.commitChecked(clean, root, 1L, checks)
+    assert(counts.values.forall(_ == 0L))
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+    val audit = SnapshotLake.readAudit(root)
+    assert(audit("nonempty_text") == 0L && audit("__dropped") == 0L)
+    assert(audit("__total") == clean.count())
+  }
+
+  test("quarantine commit drops violators, publishes survivors, audits " +
+      "the drops") {
+    val root = freshDir("exp_drop")
+    val counts = SnapshotLake.commitChecked(mk(100), root, 0L, checks,
+      dropViolations = true)
+    assert(counts == Map("nonempty_text" -> 10L, "nonneg_chars" -> 14L))
+    val out = SnapshotLake.read(spark, root)
+    // survivors satisfy every expectation; 100 − (10 ∪ 14 violators)
+    val expectKept = (1 to 100).count(i => i % 10 != 0 && i % 7 != 0)
+    assert(out.count() == expectKept)
+    assert(out.where(length(col("text")) === 0 || col("n_chars") < 0L)
+      .count() == 0)
+    val audit = SnapshotLake.readAudit(root)
+    assert(audit("__dropped") == 1L && audit("__total") == 100L)
+    assert(audit("nonempty_text") == 10L && audit("nonneg_chars") == 14L)
+  }
+
+  test("audit is per-version and rides the pointer") {
+    val root = freshDir("exp_ver")
+    SnapshotLake.commitChecked(mk(20), root, 0L, checks,
+      dropViolations = true)
+    val clean = mk(20).where(col("n_chars") >= 0L && length(col("text")) > 0)
+    SnapshotLake.commitChecked(clean, root, 1L, checks)
+    assert(SnapshotLake.readAudit(root, Some(0L))("nonempty_text") == 2L)
+    assert(SnapshotLake.readAudit(root)("nonempty_text") == 0L)
+    // plain commits have no audit — empty map, not an error
+    SnapshotLake.commit(clean, root, 2L)
+    assert(SnapshotLake.readAudit(root).isEmpty)
+  }
+}
