@@ -1,0 +1,247 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded, exactly-MERGEABLE quantile summary: per group keep the k
+  * (hash, value) pairs with the smallest ROW-IDENTITY hashes — a uniform
+  * without-replacement sample of the group's rows (the KMV/bottom-k
+  * construction of Bar-Yossef et al. RANDOM'02 carrying a VALUE payload),
+  * quantiles estimated as exact order statistics of the sampled values.
+  *
+  * Why this beside `percentile_approx` and the hash-RATE sample store:
+  *   - the sketch is a fixed-size VALUE (k pairs per group, not a rate —
+  *     a hot key cannot grow its sample), persistable in a store and
+  *     maintainable from insert-only CDC;
+  *   - merging is EXACT: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+  *     bottom-k(B)), so rollups over a finer-keyed store reproduce the
+  *     coarser sketch bit-for-bit (the property [[KmvMergeAgg]] gives
+  *     distinct counts, extended to a value payload);
+  *   - the CONTENT is deterministic and engine-independent (just the
+  *     k smallest values of a shared hash), so a DuckDB oracle can
+  *     reproduce sketches, merges, and estimates exactly — unlike
+  *     KLL/GK/t-digest whose internals are implementation-defined.
+  *
+  * Duplicate hashes (re-inserted or non-unique row keys) collapse
+  * DETERMINISTICALLY to the minimum value, so the sketch is a pure
+  * function of the (hash, value) multiset under any merge order — the
+  * property the oracle mirror and the exactly-once replay path both
+  * need. Accuracy is the sampling bound — the
+  * estimated q-quantile's true rank deviates by O(1/√k) of the group —
+  * the right trade for dashboard-grade percentiles over persisted
+  * summaries; exact when the group is underfull (n ≤ k).
+  */
+case class QSketchAgg(
+    k: Int,
+    hash: Expression,
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeMap[Long, Double]] {
+
+  type Buf = scala.collection.mutable.TreeMap[Long, Double]
+
+  override def children: Seq[Expression] = Seq(hash, value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = QuantileSketch.sketchType
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null)
+      QuantileSketch.insert(buf, h.asInstanceOf[Long],
+        v.asInstanceOf[Double], k)
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (h, v) => QuantileSketch.insert(a, h, v, k) }
+    a
+  }
+
+  override def eval(buf: Buf): Any = QuantileSketch.evalBuf(buf)
+
+  override def serialize(buf: Buf): Array[Byte] =
+    QuantileSketch.ser(buf)
+
+  override def deserialize(bytes: Array[Byte]): Buf =
+    QuantileSketch.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(hash = c(0), value = c(1))
+}
+
+/** [[QSketchAgg]] over stored SKETCH-ARRAY inputs — the rollup merge as
+  * ONE plain Aggregate (no explode/Generate): update inserts every
+  * (h, v) pair of the input sketch, so bottom-k over the union falls out
+  * of the same buffer. Exactness per the bottom-k merge identity.
+  */
+case class QSketchMergeAgg(
+    k: Int,
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeMap[Long, Double]] {
+
+  type Buf = scala.collection.mutable.TreeMap[Long, Double]
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = QuantileSketch.sketchType
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val arr = sketch.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) {
+          val s = a.getStruct(i, 2)
+          QuantileSketch.insert(buf, s.getLong(0), s.getDouble(1), k)
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (h, v) => QuantileSketch.insert(a, h, v, k) }
+    a
+  }
+
+  override def eval(buf: Buf): Any = QuantileSketch.evalBuf(buf)
+
+  override def serialize(buf: Buf): Array[Byte] = QuantileSketch.ser(buf)
+  override def deserialize(bytes: Array[Byte]): Buf =
+    QuantileSketch.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QSketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QSketchMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(sketch = c(0))
+}
+
+object QuantileSketch {
+  import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+  import org.apache.spark.sql.functions._
+
+  type Buf = scala.collection.mutable.TreeMap[Long, Double]
+
+  /** array<struct<h: bigint, v: double>> sorted ascending by h. */
+  val sketchType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private[functions] def insert(buf: Buf, h: Long, v: Double, k: Int): Unit =
+    buf.get(h) match {
+      case Some(old) => buf(h) = math.min(old, v); () // deterministic tie
+      case None =>
+        if (buf.size < k) { buf(h) = v; () }
+        else if (h < buf.lastKey) { buf(h) = v; buf -= buf.lastKey; () }
+    }
+
+  private[functions] def evalBuf(buf: Buf): Any =
+    new GenericArrayData(buf.toArray.map { case (h, v) =>
+      new GenericInternalRow(Array[Any](h, v)): Any
+    })
+
+  private[functions] def ser(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (h, v) => out.writeLong(h); out.writeDouble(v) }
+    out.flush(); bos.toByteArray
+  }
+
+  private[functions] def deser(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var j = 0
+    while (j < n) { buf(in.readLong()) = in.readDouble(); j += 1 }
+    buf
+  }
+
+  /** Bottom-k (hash, value) aggregate over row columns. */
+  def bottomK(hash: Column, value: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      QSketchAgg(k, GraftColumnBridge.expression(hash),
+        GraftColumnBridge.expression(value.cast("double")))
+        .toAggregateExpression())
+
+  /** Rollup merge over stored sketch arrays — one plain Aggregate. */
+  def mergeBottomK(sk: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      QSketchMergeAgg(k, GraftColumnBridge.expression(sk))
+        .toAggregateExpression())
+
+  /** Per-group quantile sketch of `value`, rows identified by `id`
+    * (hashed via [[TextFunctions.hash64]] so a DuckDB oracle mirrors the
+    * sample bit-for-bit). One scan; O(k) state per group.
+    */
+  def sketch(df: DataFrame, keys: Seq[String], id: Column, value: Column,
+      k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(bottomK(TextFunctions.hash64(id), value, k).as("qsk"))
+
+  /** Union of two stored sketches as pure HOFs over k-sized arrays:
+    * sort the concatenation (struct arrays order by field — h first,
+    * then v), keep the FIRST pair per hash (== the min value, matching
+    * the aggregate's deterministic tie-breaking), take the bottom k.
+    */
+  def unionSketch(a: Column, b: Column, k: Int): Column = {
+    val sorted = array_sort(concat(a, b))
+    // filter's index is 0-based, element_at 1-based: element_at(sorted, i)
+    // is the PREVIOUS element of x = sorted[i+1]
+    slice(filter(sorted, (x, i) => i === 0 ||
+      element_at(sorted, i).getField("h") =!= x.getField("h")), 1, k)
+  }
+
+  /** The q-quantile estimate: exact order statistic of the sampled
+    * values — `sorted_vals[max(1, ceil(q·n))]`. Exact when the group was
+    * underfull; a ±O(1/√k)-rank estimate otherwise. NULL for an empty
+    * sketch.
+    */
+  def quantile(sk: Column, q: Double): Column = {
+    val vals = array_sort(transform(sk, x => x.getField("v")))
+    element_at(vals, greatest(lit(1),
+      ceil(lit(q) * size(vals)).cast("int")))
+  }
+
+  /** DuckDB fragment mirroring [[quantile]] over a list-of-struct sketch
+    * column expression (same order statistic, same indexing).
+    */
+  def quantileSql(skSql: String, q: Double): String =
+    s"(list_sort(list_transform($skSql, x -> x['v'])))" +
+      s"[greatest(1, ceil($q * len($skSql)))::INT]"
+
+  /** Fixture-pinning checksums (check.py cannot hash raw arrays): XOR of
+    * the hash set, and XOR of the value bits (doubles scaled to 1e4 and
+    * cast — mirrorable in DuckDB).
+    */
+  def hChecksum(sk: Column): Column =
+    aggregate(transform(sk, x => x.getField("h")), lit(0L),
+      (a, x) => a.bitwiseXOR(x))
+  def vChecksum(sk: Column): Column =
+    aggregate(transform(sk, x =>
+        round(x.getField("v") * 10000d).cast("long")),
+      lit(0L), (a, x) => a.bitwiseXOR(x))
+}

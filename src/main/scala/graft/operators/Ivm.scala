@@ -374,4 +374,42 @@ object Ivm {
         coalesce(col("kmv"), empty), coalesce(col("d_kmv"), empty),
         k).as("kmv"): _*)
   }
+
+  /** A per-key QUANTILE-SKETCH store ([[graft.functions.QuantileSketch]]
+    * — bottom-k row sample carrying the value payload, `keys :+ qsk`):
+    * bounded-memory percentile summaries that merge exactly across keys,
+    * the fourth sketch-store family beside KMV cardinality, CMS
+    * frequency, and the hash-rate sample. `idCol` must identify rows
+    * uniquely (the sample is keyed by its hash).
+    */
+  def viewQuantile(base: DataFrame, keys: Seq[String], idCol: String,
+      v: String, k: Int): DataFrame =
+    graft.functions.QuantileSketch.sketch(base, keys, col(idCol), col(v), k)
+
+  /** Maintain a [[viewQuantile]] store from an INSERT-ONLY CDC delta
+    * (`keys, op, new_id, new_v`): sketch the batch per key (delta-sized)
+    * and union-merge into the stored sketches — pure HOFs over k-sized
+    * struct arrays, the base table appears nowhere. Deletes/updates are
+    * REJECTED loudly, exactly like [[applyDeltaKmv]]: a bottom-k sample
+    * is not subtractive (evicted pairs cannot be resurrected), so D/U
+    * require a recompute — the same principled family split (KMV and
+    * quantile insert-only; CMS fully subtractive; sample row store fully
+    * maintainable).
+    */
+  def applyDeltaQuantile(view: DataFrame, delta: DataFrame,
+      keys: Seq[String], k: Int): DataFrame = {
+    import graft.functions.QuantileSketch
+    require(delta.where(!(col("op") <=> "I")).isEmpty,
+      "quantile-sketch views refresh from INSERT-only deltas; " +
+        "deletes/updates require a recompute (bottom-k samples are not " +
+        "subtractive)")
+    val d = QuantileSketch.sketch(delta.where(col("op") === "I"), keys,
+        col("new_id"), col("new_v"), k)
+      .withColumnRenamed("qsk", "d_qsk")
+    val empty = array().cast("array<struct<h:bigint,v:double>>")
+    view.join(d, keys, "full_outer")
+      .select(keys.map(col) :+ QuantileSketch.unionSketch(
+        coalesce(col("qsk"), empty), coalesce(col("d_qsk"), empty),
+        k).as("qsk"): _*)
+  }
 }

@@ -7927,6 +7927,155 @@ object PipelineQueries {
       | WHERE n_chars >= 100 AND lang IS NOT NULL AND length(lang) > 0
       | GROUP BY 1""".stripMargin))
 
+  /** Spark-side id column and DuckDB spelling of the unique lineitem row
+    * key the quantile sketches hash (the sample is keyed by row
+    * identity, so both engines must hash the SAME string).
+    */
+  private def liRowId = concat(col("l_orderkey").cast("string"), lit("-"),
+    col("l_linenumber").cast("string"))
+  private val liRowIdSql = "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR"
+
+  /** Shared projection: sketch content pinned by XOR checksums (hash set
+    * + value bits — the gate can't hash raw struct arrays) with size and
+    * two order-statistic estimates riding along.
+    */
+  private def qskServe(df: DataFrame): DataFrame = {
+    import graft.functions.QuantileSketch
+    df.select(col("l_returnflag"),
+      QuantileSketch.hChecksum(col("qsk")).as("h_xor"),
+      QuantileSketch.vChecksum(col("qsk")).as("v_xor"),
+      size(col("qsk")).cast("long").as("sketch_size"),
+      Quant.q4(QuantileSketch.quantile(col("qsk"), 0.5)).as("p50_est"),
+      Quant.q4(QuantileSketch.quantile(col("qsk"), 0.95)).as("p95_est"))
+  }
+
+  private def qskServeSql(skCte: String) = {
+    import graft.functions.QuantileSketch
+    s"""$skCte
+      | SELECT l_returnflag,
+      |   list_reduce(list_prepend(0::BIGINT, list_transform(qsk, x -> x['h'])),
+      |     (a, x) -> xor(a, x)) AS h_xor,
+      |   list_reduce(list_prepend(0::BIGINT,
+      |     list_transform(qsk, x -> round(x['v'] * 10000)::BIGINT)),
+      |     (a, x) -> xor(a, x)) AS v_xor,
+      |   len(qsk)::BIGINT AS sketch_size,
+      |   ${q4(QuantileSketch.quantileSql("qsk", 0.5))} AS p50_est,
+      |   ${q4(QuantileSketch.quantileSql("qsk", 0.95))} AS p95_est
+      | FROM sk""".stripMargin
+  }
+
+  /** BOUNDED MERGEABLE QUANTILE SKETCHES
+    * ([[graft.functions.QuantileSketch]] — bottom-k-by-row-hash samples
+    * carrying the value payload): per-group percentile summaries of
+    * FIXED size k that a DuckDB oracle reproduces bit-for-bit — sketch
+    * content (both XOR checksums), size, and the p50/p95 order-statistic
+    * estimates all pinned, not just an error bound (the same
+    * deterministic-sketch bar the KMV/CMS stores meet; KLL/t-digest
+    * internals could never cross engines like this). One scan, O(k)
+    * state per group, map-side partials.
+    */
+  val qQuantileSketchStore = Fixture(
+    "q_quantile_sketch_store",
+    (s, d) => {
+      import graft.functions.QuantileSketch
+      qskServe(QuantileSketch.sketch(Tables.lineitem(s, d),
+        Seq("l_returnflag"), liRowId, col("l_quantity"), 64))
+    },
+    Some(qskServeSql(s"""WITH hh AS (
+      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
+      |     l_quantity::DOUBLE AS v FROM lineitem),
+      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
+      | sk AS (SELECT l_returnflag,
+      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
+      |   FROM dd GROUP BY 1)""".stripMargin)))
+
+  /** Quantile-sketch ROLLUP: the store is keyed FINER than the query
+    * ((l_returnflag, l_linestatus) vs per-flag) and the report merges
+    * the stored sketches with [[graft.functions.QSketchMergeAgg]] — ONE
+    * plain Aggregate over k-sized arrays, REQUIREd Generate-free.
+    * Bottom-k(∪ of bottom-ks) == bottom-k(∪), so the merged sketch is
+    * BIT-EXACT the direct coarse sketch — the oracle recomputes it from
+    * the raw rows, which is the cross-engine proof of merge exactness.
+    * The 100 TB shape: percentile dashboards over any key subset read
+    * |fine groups| k-sized arrays, never the corpus.
+    */
+  val qQuantileRollup = Fixture(
+    "q_quantile_rollup",
+    (s, d) => {
+      import graft.functions.QuantileSketch
+      val k = 64
+      val fine = QuantileSketch.sketch(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus"), liRowId, col("l_quantity"), k)
+      val rolled = fine.groupBy("l_returnflag")
+        .agg(QuantileSketch.mergeBottomK(col("qsk"), k).as("qsk"))
+      require(!rolled.queryExecution.executedPlan.toString.contains("Generate"),
+        "sketch rollup must be one plain Aggregate, no explode")
+      qskServe(rolled)
+    },
+    Some(qskServeSql(s"""WITH hh AS (
+      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
+      |     l_quantity::DOUBLE AS v FROM lineitem),
+      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
+      | sk AS (SELECT l_returnflag,
+      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
+      |   FROM dd GROUP BY 1)""".stripMargin)))
+
+  /** Streaming refresh for the quantile store
+    * ([[graft.streaming.StreamingIvm.startQuantile]]): insert-only CDC
+    * (new rows with suffixed ids and shifted values) arrives as TWO
+    * micro-batches; each trigger union-merges the batch's sketch into
+    * the stored one and commits the next lake version — replay-safe via
+    * the per-writer watermark. Bottom-k union is associative, so the
+    * final store equals the one-shot post-CDC recompute under any
+    * chunking — content, size, and estimates pinned by the oracle. All
+    * FOUR sketch-store families now refresh continuously.
+    */
+  val qStreamIvmQuantile = Fixture(
+    "q_stream_ivm_quantile",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.sources.SnapshotLake
+      val k = 64
+      val li = Tables.lineitem(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qsklake_${System.nanoTime}").getAbsolutePath
+      SnapshotLake.commit(graft.operators.Ivm.viewQuantile(
+        li.withColumn("rid", liRowId), Seq("l_returnflag"), "rid",
+        "l_quantity", k), root, 0L)
+      def deltaOf(part: DataFrame) = part.where(col("l_partkey") % 7 === 3)
+        .select(col("l_returnflag"), lit("I").as("op"),
+          concat(liRowId, lit("_x")).as("new_id"),
+          (col("l_quantity") + 7d).as("new_v"))
+      def rows(df: DataFrame) =
+        df.as[(String, String, String, Double)].collect().toSeq
+      val b1 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 0)))
+      val b2 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, String, Double)]
+      val q = graft.streaming.StreamingIvm.startQuantile(
+        ms.toDF().toDF("l_returnflag", "op", "new_id", "new_v"),
+        root, Seq("l_returnflag"), k, s"${root}_ckpt")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      require(SnapshotLake.currentVersion(root).contains(2L),
+        s"two triggers must commit v1, v2: ${SnapshotLake.currentVersion(root)}")
+      qskServe(SnapshotLake.read(s, root))
+    },
+    Some(qskServeSql(s"""WITH fin AS (
+      |   SELECT l_returnflag, $liRowIdSql AS rid, l_quantity::DOUBLE AS v
+      |   FROM lineitem
+      |   UNION ALL
+      |   SELECT l_returnflag, $liRowIdSql || '_x', (l_quantity + 7)::DOUBLE
+      |   FROM lineitem WHERE l_partkey % 7 = 3),
+      | hh AS (SELECT l_returnflag, ${h64("rid")} AS h, v FROM fin),
+      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
+      | sk AS (SELECT l_returnflag,
+      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
+      |   FROM dd GROUP BY 1)""".stripMargin)))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -8014,5 +8163,6 @@ object PipelineQueries {
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qStreamIvmTwoWriters, qSampleQuantileStore,
-    qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations)
+    qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
+    qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile)
 }

@@ -213,4 +213,31 @@ object StreamingIvm {
         ()
       }
       .start()
+
+  /** [[applyBatchKmv]] for a QUANTILE-SKETCH view ([[Ivm.viewQuantile]]
+    * schema): insert-only union-merge of the batch's (new_id, new_v)
+    * rows into the stored per-key bottom-k samples; replays SKIP via the
+    * watermark, D/U deltas throw ([[Ivm.applyDeltaQuantile]]).
+    */
+  def applyBatchQuantile(batch: DataFrame, root: String, keys: Seq[String],
+      k: Int, writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaQuantile(
+        SnapshotLake.read(batch.sparkSession, root), batch, keys, k),
+      root, writerId, batchId).isDefined
+
+  /** Start an insert-only delta stream into the quantile-sketch store at
+    * `root` — all FOUR sketch-store families (KMV cardinality, CMS
+    * frequency, hash-rate sample, bottom-k quantile) now refresh
+    * continuously.
+    */
+  def startQuantile(deltas: DataFrame, root: String, keys: Seq[String],
+      k: Int, checkpoint: String): StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchQuantile(batch, root, keys, k, checkpoint, batchId)
+        ()
+      }
+      .start()
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{QuantileSketch, TextFunctions}
+import graft.operators.Ivm
+import graft.sources.SnapshotLake
+import graft.streaming.StreamingIvm
+
+/** Bottom-k quantile sketches: deterministic content, exact mergeability
+  * (rollup == direct), order-statistic estimates with the sampling bound,
+  * and the insert-only IVM / streaming arms with loud D/U refusal.
+  */
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def data(n: Int, groups: Int) =
+    (1 to n).map(i => (s"g${i % groups}", s"id$i", i.toDouble))
+      .toDF("g", "id", "v")
+
+  test("underfull sketch is the COMPLETE sample: quantiles exact") {
+    val df = data(40, 2) // 20 rows per group < k
+    val sk = QuantileSketch.sketch(df, Seq("g"), col("id"), col("v"), 64)
+    assert(sk.select(size(col("qsk"))).as[Int].collect().forall(_ == 20))
+    val p50 = sk.where(col("g") === "g0")
+      .select(QuantileSketch.quantile(col("qsk"), 0.5)).as[Double].head()
+    // g0 holds 2,4,...,40: exact median (order statistic at ceil(.5*20)=10)
+    assert(p50 == 20.0, s"underfull quantile must be exact, got $p50")
+  }
+
+  test("estimator regime: p50/p95 within the sampling bound; content " +
+      "deterministic across rebuilds") {
+    val df = data(20000, 1)
+    val k = 256
+    val sk = QuantileSketch.sketch(df, Seq("g"), col("id"), col("v"), k)
+    val (p50, p95) = sk.select(
+      QuantileSketch.quantile(col("qsk"), 0.5),
+      QuantileSketch.quantile(col("qsk"), 0.95)).as[(Double, Double)].head()
+    // rank error O(1/sqrt(k)) ≈ 6%; allow 4 sigma
+    assert(math.abs(p50 - 10000) < 20000 * 0.25, s"p50=$p50")
+    assert(math.abs(p95 - 19000) < 20000 * 0.25, s"p95=$p95")
+    // same input → bit-identical sketch
+    val again = QuantileSketch.sketch(df, Seq("g"), col("id"), col("v"), k)
+    assertSameRows(sk, again)
+  }
+
+  test("rollup merge is EXACT: mergeBottomK over the finer store equals " +
+      "the direct coarser sketch, and the HOF union agrees") {
+    val df = (1 to 5000).map(i =>
+      (s"g${i % 3}", s"s${i % 2}", s"id$i", i.toDouble))
+      .toDF("g", "sub", "id", "v")
+    val k = 64
+    val fine = QuantileSketch.sketch(df, Seq("g", "sub"),
+      col("id"), col("v"), k)
+    val rolled = fine.groupBy("g")
+      .agg(QuantileSketch.mergeBottomK(col("qsk"), k).as("qsk"))
+    val direct = QuantileSketch.sketch(df, Seq("g"), col("id"), col("v"), k)
+    assertSameRows(rolled, direct)
+    // the one-Aggregate merge never plans a Generate/explode
+    assert(!rolled.queryExecution.executedPlan.toString.contains("Generate"))
+
+    // pairwise HOF union (the IVM fold's spelling) gives the same sketch
+    val two = fine.where(col("g") === "g1")
+      .groupBy("g").agg(collect_list(col("qsk")).as("sks"))
+      .select(col("g"), QuantileSketch.unionSketch(
+        element_at(col("sks"), 1), element_at(col("sks"), 2), k).as("qsk"))
+    assertSameRows(two, direct.where(col("g") === "g1"))
+  }
+
+  test("hash ties collapse deterministically to the MIN value — in the " +
+      "aggregate, the merge aggregate, and the HOF union alike") {
+    // duplicate row keys with different values (the non-unique-id case)
+    val df = Seq(("g", "dup", 9.0), ("g", "dup", 3.0), ("g", "dup", 7.0),
+      ("g", "solo", 5.0)).toDF("g", "id", "v")
+    val sk = QuantileSketch.sketch(df, Seq("g"), col("id"), col("v"), 8)
+    val pairs = sk.select(explode(col("qsk"))).select("col.v")
+      .as[Double].collect().sorted.toSeq
+    assert(pairs == Seq(3.0, 5.0), s"ties must keep min(v): $pairs")
+
+    // merging two stores whose sketches share a hash keeps the min too
+    val a = QuantileSketch.sketch(Seq(("g", "dup", 9.0)).toDF("g", "id", "v"),
+      Seq("g"), col("id"), col("v"), 8)
+    val b = QuantileSketch.sketch(Seq(("g", "dup", 3.0)).toDF("g", "id", "v"),
+      Seq("g"), col("id"), col("v"), 8)
+    val merged = a.unionByName(b).groupBy("g")
+      .agg(QuantileSketch.mergeBottomK(col("qsk"), 8).as("qsk"))
+    assert(merged.select(explode(col("qsk"))).select("col.v")
+      .as[Double].head() == 3.0)
+    val viaHof = a.join(b.withColumnRenamed("qsk", "b_qsk"), "g")
+      .select(QuantileSketch.unionSketch(col("qsk"), col("b_qsk"), 8).as("u"))
+    assert(viaHof.select(explode(col("u"))).select("col.v")
+      .as[Double].head() == 3.0)
+  }
+
+  test("IVM: insert-only delta maintains the store exactly; D/U refused " +
+      "loudly; streaming replay skips") {
+    val root = freshDir("qsk_ivm")
+    val base = data(300, 3)
+    SnapshotLake.commit(
+      Ivm.viewQuantile(base, Seq("g"), "id", "v", 32), root, 0L)
+    val delta = (301 to 400).map(i =>
+      (s"g${i % 3}", "I", s"id$i", i.toDouble))
+      .toDF("g", "op", "new_id", "new_v")
+
+    assert(StreamingIvm.applyBatchQuantile(delta, root, Seq("g"), 32, "w", 0L))
+    // maintained == recomputed from the post-CDC base
+    val after = data(400, 3)
+    assertSameRows(SnapshotLake.read(spark, root),
+      Ivm.viewQuantile(after, Seq("g"), "id", "v", 32))
+    // replay: skip, content unchanged
+    assert(!StreamingIvm.applyBatchQuantile(delta, root, Seq("g"), 32, "w", 0L))
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+
+    // deletes are refused, not mis-absorbed (bottom-k is not subtractive)
+    val del = Seq(("g0", "D", "id3", 3.0)).toDF("g", "op", "new_id", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaQuantile(SnapshotLake.read(spark, root), del, Seq("g"), 32)
+        .collect()
+    }
+    // a NULL op is not an insert either
+    val nul = Seq(("g0", Option.empty[String], "idx", 1.0))
+      .toDF("g", "op", "new_id", "new_v")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDeltaQuantile(SnapshotLake.read(spark, root), nul, Seq("g"), 32)
+        .collect()
+    }
+  }
+}
