@@ -89,9 +89,27 @@ object MvRegistry {
       fixed: Option[LogicalRelation], serveExactDistinct: Boolean,
       catalogAnchor: Option[String] = None)
 
+  /** A QUANTILE-SKETCH store ([[graft.operators.Ivm.viewQuantile]]
+    * schema: keys :+ `qsk`): serves `QuantileSketch.bottomK(
+    * hash64(idCol), valueCol, k)` aggregates over the base table —
+    * exact-key queries read the stored sketch, subset-key/global
+    * rollups merge the finer sketches via
+    * [[graft.functions.QSketchMergeAgg]] (bit-exact; bottom-k of a
+    * union of bottom-ks). No exact-percentile arm exists by
+    * construction: the sketch IS the estimate, so serving never changes
+    * a query's answer class the way the KMV exact-distinct contract
+    * could.
+    */
+  final case class QskDef(name: String, basePathTail: String,
+      keys: Seq[String], idCol: String, valueCol: String, k: Int,
+      mvPath: String, fixed: Option[LogicalRelation],
+      catalogAnchor: Option[String] = None)
+
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   private val kmvViews =
     new java.util.concurrent.ConcurrentHashMap[String, KmvDef]()
+  private val qskViews =
+    new java.util.concurrent.ConcurrentHashMap[String, QskDef]()
   // one analyzed relation per STORE PATH, tagged with its version: only
   // `_CURRENT` is ever served, so when a refresh advances the pointer the
   // superseded version's entry is dead by construction — keyed by path and
@@ -239,16 +257,46 @@ object MvRegistry {
         ._2
     }
 
+  /** Register a quantile-sketch store ([[graft.operators.Ivm.viewQuantile]]
+    * output at `mvPath` — SnapshotLake root or plain parquet, like
+    * [[register]]) as the percentile view of `basePathTail` grouped by
+    * `keys` (or any subset — the rollup arm merges sketches) over
+    * `valueCol`, rows identified by `idCol`.
+    */
+  def registerQuantile(spark: SparkSession, name: String,
+      basePathTail: String, keys: Seq[String], idCol: String,
+      valueCol: String, k: Int, mvPath: String): Unit = {
+    import graft.sources.SnapshotLake
+    val versionedAt = SnapshotLake.currentVersion(mvPath)
+    val lr = analyzeRelation(spark,
+      versionedAt.map(v => SnapshotLake.versionPath(mvPath, v)).getOrElse(mvPath))
+    val have = lr.output.map(_.name).toSet
+    val need = keys :+ "qsk"
+    require(need.forall(have),
+      s"quantile store $mvPath lacks ${need.filterNot(have)}")
+    qskViews.put(name, QskDef(name, basePathTail, keys, idCol, valueCol, k,
+      mvPath, if (versionedAt.isDefined) None else Some(lr),
+      catalogAnchorOf(spark, basePathTail)))
+    ()
+  }
+
+  def allQsk: Seq[QskDef] = {
+    import scala.jdk.CollectionConverters._
+    qskViews.values.asScala.toSeq
+  }
+
   def deregister(name: String): Unit = {
     Option(views.remove(name)).foreach(mv => relCache.remove(mv.mvPath))
     Option(kmvViews.remove(name)).foreach(kv => relCache.remove(kv.mvPath))
+    Option(qskViews.remove(name)).foreach(qv => relCache.remove(qv.mvPath))
   }
 
   /** Test hook: the number of cached analyzed relations — bounded by the
     * number of registered version-stamped stores, never by refresh count.
     */
   private[graft] def relCacheSize: Int = relCache.size
-  def isEmpty: Boolean = views.isEmpty && kmvViews.isEmpty
+  def isEmpty: Boolean =
+    views.isEmpty && kmvViews.isEmpty && qskViews.isEmpty
   def all: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values.asScala.toSeq
@@ -343,7 +391,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
       else None
     keyNames.flatMap(keys => tryPlain(agg, keys).orElse(tryJoin(agg, keys))
-      .orElse(tryKmv(agg, keys)))
+      .orElse(tryKmv(agg, keys)).orElse(tryQuantile(agg, keys)))
   }
 
   private def tryPlain(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =
@@ -572,6 +620,118 @@ case class MvRewrite() extends Rule[LogicalPlan] {
           }
           if (ok) Some(plan) else None
         }
+      }
+    }
+  }
+
+  /** The quantile-sketch serving arm: a query re-stating the store's
+    * exact aggregate — `QSketchAgg(k, hash64(idCol), cast(valueCol as
+    * double))` grouped by the store's keys or any subset — reads the
+    * stored k-sized sketches instead of the corpus. Exact keys project;
+    * subset keys merge via [[graft.functions.QSketchMergeAgg]] (one
+    * plain Aggregate over |fine groups| rows — bit-exact per the
+    * bottom-k union identity, so scalar expressions AROUND the call,
+    * e.g. a quantile estimate over the sketch, are preserved verbatim
+    * and see identical inputs).
+    */
+  private def tryQuantile(agg: Aggregate,
+      keys: Seq[String]): Option[LogicalPlan] =
+    for {
+      (lr, cond) <- baseScan(agg.child)
+      qv <- MvRegistry.allQsk.find(v =>
+        anchorMatches(lr, v.basePathTail, v.catalogAnchor) &&
+        keys.toSet.subsetOf(v.keys.toSet) &&
+        cond.forall(c => filterServable(c, v.keys.toSet)))
+      out <- rewriteQsk(agg, keys, cond, qv)
+    } yield out
+
+  private def rewriteQsk(agg: Aggregate, keys: Seq[String],
+      cond: Option[Expression], qv: QskDef): Option[LogicalPlan] = {
+    import graft.functions.{QSketchAgg, QSketchMergeAgg}
+    val spark = SparkSession.active
+    if (!agg.child.output.exists(_.name == qv.idCol) ||
+        !agg.child.output.exists(_.name == qv.valueCol)) return None
+    // the exact (hash, value) expression pair viewQuantile aggregates,
+    // ANALYZED against this plan's own attributes (same exprId trick as
+    // the KMV arm: LocalRelation(agg.child.output) reuses the objects)
+    val expected = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          agg.child.output))
+      .select(graft.functions.TextFunctions.hash64(
+          org.apache.spark.sql.functions.col(qv.idCol)),
+        org.apache.spark.sql.functions.col(qv.valueCol).cast("double"))
+      .queryExecution.analyzed match {
+        case Project(Seq(e1, e2), _) =>
+          def strip(e: NamedExpression): Expression = e match {
+            case Alias(c, _) => c
+            case x => x
+          }
+          Some((strip(e1), strip(e2)))
+        case _ => None
+      }
+    expected.flatMap { case (expectedHash, expectedValue) =>
+      val scan = MvRegistry.serveRelation(spark, qv.mvPath, qv.fixed)
+        .newInstance()
+      def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
+      val remappedCond = cond.map(_.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      })
+      val exact = keys.toSet == qv.keys.toSet
+      // the rule sees the OPTIMIZED plan: when valueCol is already a
+      // double, SimplifyCasts strips the bottomK builder's no-op cast,
+      // so the bare attribute is an equally valid spelling
+      val expectedValueBare =
+        agg.child.output.find(_.name == qv.valueCol)
+      def valueMatches(e: Expression): Boolean =
+        e.semanticEquals(expectedValue) ||
+          expectedValueBare.exists(e.semanticEquals)
+      def serveAgg(ae: AggregateExpression): Option[Expression] =
+        if (ae.filter.nonEmpty || ae.isDistinct) None
+        else ae.aggregateFunction match {
+          case qa: QSketchAgg if qa.k == qv.k &&
+              qa.hash.semanticEquals(expectedHash) &&
+              valueMatches(qa.value) =>
+            Some(if (exact) mvAttr("qsk")
+              else QSketchMergeAgg(qv.k, mvAttr("qsk"))
+                .toAggregateExpression())
+          case _ => None
+        }
+      val mapped: Seq[Option[NamedExpression]] =
+        agg.aggregateExpressions.map {
+          case a: AttributeReference if keys.contains(a.name) =>
+            Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+          case al @ Alias(child, name) =>
+            var ok = true
+            val replaced = child.transformUp {
+              case ae: AggregateExpression =>
+                serveAgg(ae).getOrElse { ok = false; ae }
+              case a: AttributeReference if keys.contains(a.name) =>
+                mvAttr(a.name)
+            }
+            if (ok && replaced.references.forall(r =>
+                scan.output.exists(_.exprId == r.exprId)))
+              Some(Alias(replaced, name)(exprId = al.exprId))
+            else None
+          case _ => None
+        }
+      if (mapped.exists(_.isEmpty)) None
+      else {
+        val outputs = mapped.map(_.get)
+        val keyAttrs = if (exact) Seq.empty[Attribute] else keys.map(mvAttr)
+        val used = (outputs.flatMap(_.references) ++ keyAttrs ++
+          remappedCond.toSeq.flatMap(_.references)).map(_.exprId).toSet
+        val prunedScan: LogicalPlan =
+          if (scan.output.forall(a => used.contains(a.exprId))) scan
+          else Project(scan.output.filter(a => used.contains(a.exprId)), scan)
+        val child =
+          remappedCond.map(Filter(_, prunedScan)).getOrElse(prunedScan)
+        val plan =
+          if (exact) Project(outputs, child)
+          else Aggregate(keys.map(mvAttr), outputs, child)
+        val typesOk = plan.output.zip(agg.output).forall { case (n, o) =>
+          sameTypeIgnoreNullability(n.dataType, o.dataType)
+        }
+        if (typesOk) Some(plan) else None
       }
     }
   }

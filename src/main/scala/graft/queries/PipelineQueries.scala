@@ -8076,6 +8076,76 @@ object PipelineQueries {
       |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
       |   FROM dd GROUP BY 1)""".stripMargin)))
 
+  /** TRANSPARENT SERVING for the quantile stores (MvRewrite's fourth
+    * arm): the store is registered once, keyed (l_returnflag,
+    * l_linestatus); a percentile report that re-states the bottom-k
+    * aggregate OVER THE BASE TABLE at the coarser per-flag grain is
+    * rewritten to merge the stored sketches ([[graft.functions
+    * .QSketchMergeAgg]], one plain Aggregate over |fine groups| k-sized
+    * arrays) — REQUIREd: the store is the plan's ONLY leaf. Because the
+    * bottom-k merge is bit-exact, the quantile-estimate expressions
+    * wrapped AROUND the sketch see identical inputs, so the oracle (a
+    * from-the-rows recompute) pins content and estimates unchanged. The
+    * warehouse shape: percentile dashboards at any key subset stop
+    * scanning the corpus the day the store is registered.
+    */
+  val qMvRewriteQuantile = Fixture(
+    "q_mv_rewrite_quantile",
+    (s, d) => {
+      import graft.functions.{QuantileSketch, TextFunctions}
+      import graft.plans.{MvRewrite, MvRegistry}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val k = 64
+      val h = Integer.toHexString(d.hashCode)
+      val basePath = s"${sys.props("java.io.tmpdir")}/graft_qskbase_$h"
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_qskmv_$h"
+      FixtureOnce(s"graft_qskmv_$h") {
+        // the served base: lineitem with its row id materialized as a
+        // STRING column (hash64 is a string hash; both engines must md5
+        // the same bytes)
+        Tables.lineitem(s, d)
+          .select(liRowId.as("rid"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"))
+          .write.mode("overwrite").parquet(basePath)
+        QuantileSketch.sketch(s.read.parquet(basePath),
+          Seq("l_returnflag", "l_linestatus"), col("rid"),
+          col("l_quantity"), k)
+          .write.mode("overwrite").parquet(mvPath)
+      }
+      val name = s"li_qsk_$h"
+      MvRegistry.registerQuantile(s, name, basePath,
+        Seq("l_returnflag", "l_linestatus"), "rid", "l_quantity", k, mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val served = qskServe(s.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(QuantileSketch.bottomK(TextFunctions.hash64(col("rid")),
+            col("l_quantity"), k).as("qsk")))
+        val leaves = served.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_qskmv"),
+          s"quantile query must serve from the store alone; got " +
+            leaves.mkString(", "))
+        served.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(qskServeSql(s"""WITH hh AS (
+      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
+      |     l_quantity::DOUBLE AS v FROM lineitem),
+      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
+      | sk AS (SELECT l_returnflag,
+      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
+      |   FROM dd GROUP BY 1)""".stripMargin)))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -8164,5 +8234,6 @@ object PipelineQueries {
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qStreamIvmTwoWriters, qSampleQuantileStore,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
-    qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile)
+    qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
+    qMvRewriteQuantile)
 }

@@ -556,6 +556,55 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("quantile store serves bottom-k sketch aggregates: exact keys " +
+      "project, subset keys merge; wrong k / wrong value col fall through") {
+    import graft.functions.{QuantileSketch, TextFunctions}
+    val parent = freshDir("mv_qsk")
+    val base = (1 to 4000).map(i =>
+      (s"g${i % 3}", s"s${i % 2}", s"id$i", i.toDouble))
+      .toDF("g1", "sub", "id", "v")
+    base.write.parquet(s"$parent/base")
+    val k = 32
+    val raw = spark.read.parquet(s"$parent/base")
+    QuantileSketch.sketch(raw, Seq("g1", "sub"), col("id"), col("v"), k)
+      .write.parquet(s"$parent/mv")
+    MvRegistry.registerQuantile(spark, "mv_qsk", "base", Seq("g1", "sub"),
+      "id", "v", k, s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def skAgg(kk: Int) = QuantileSketch.bottomK(
+        TextFunctions.hash64(col("id")), col("v"), kk)
+      // exact keys: projection from the store, p50 estimate around the
+      // sketch preserved verbatim
+      val exact = raw.groupBy("g1", "sub").agg(skAgg(k).as("qsk"))
+        .select(col("g1"), col("sub"),
+          QuantileSketch.quantile(col("qsk"), 0.5).as("p50"))
+      assert(scanPaths(exact).exists(_.contains("/mv")) &&
+        !scanPaths(exact).exists(_.contains("/base")),
+        s"exact-key sketch query must serve from the store: ${scanPaths(exact)}")
+      // subset key: rollup merge — result equals the direct coarse sketch
+      val rolled = raw.groupBy("g1").agg(skAgg(k).as("qsk"))
+      assert(scanPaths(rolled).exists(_.contains("/mv")),
+        s"subset-key sketch query must merge from the store: ${scanPaths(rolled)}")
+      val direct = QuantileSketch.sketch(raw, Seq("g1"),
+        col("id"), col("v"), k)
+      assertSameRows(rolled, direct)
+      // wrong k: a DIFFERENT sketch — must fall through to the base
+      val wrongK = raw.groupBy("g1", "sub").agg(skAgg(16).as("qsk"))
+      assert(!scanPaths(wrongK).exists(_.contains("/mv")),
+        "a different-k sketch must not serve from the store")
+      // wrong value column: must fall through
+      val wrongV = raw.groupBy("g1", "sub").agg(QuantileSketch.bottomK(
+        TextFunctions.hash64(col("id")), col("id").cast("double"), k).as("qsk"))
+      assert(!scanPaths(wrongV).exists(_.contains("/mv")),
+        "a different value column must not serve from the store")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_qsk")
+    }
+  }
+
   test("KMV store serves graft_kmv sketch aggregates; guards hold") {
     import graft.functions.{Kmv, TextFunctions}
     val parent = freshDir("mv_kmv")
