@@ -14,6 +14,8 @@ import graft.functions.{CosineSimilarity, HeavyHittersAgg, KmvAgg, SortedInterse
   *   graft_heavy_hitters(term, m)  — Misra-Gries heavy-hitters aggregate
   *   graft_sorted_intersect(a, b)  — sorted-merge intersection size (exact)
   *   graft_kmv(hash, k)            — KMV bottom-k distinct sketch aggregate
+  *   graft_qsketch(hash, v, k)     — bottom-k quantile sketch aggregate
+  *   graft_qsketch_merge(qsk, k)   — merge stored quantile sketches
   *
   * Register either at session build
   * (`.withExtensions(new GraftExtensions)`) or on a live session
@@ -69,6 +71,22 @@ object GraftExtensions {
           "BIGINT hashes per group, sorted ascending (functions.Kmv has the " +
           "store/merge/estimate companions)"),
       (args: Seq[Expression]) => KmvAgg(
+        args(1).eval().asInstanceOf[Number].intValue(), args(0))
+          .toAggregateExpression()),
+    ("graft_qsketch",
+      info("graft_qsketch",
+        "graft_qsketch(hash, value, k) - bottom-k quantile sketch: the k " +
+          "(hash, value) pairs with smallest BIGINT hashes per group " +
+          "(hash ties keep min value; functions.QuantileSketch has the " +
+          "store/merge/estimate companions)"),
+      (args: Seq[Expression]) => graft.functions.QSketchAgg(
+        args(2).eval().asInstanceOf[Number].intValue(), args(0), args(1))
+          .toAggregateExpression()),
+    ("graft_qsketch_merge",
+      info("graft_qsketch_merge",
+        "graft_qsketch_merge(qsk, k) - merge stored bottom-k quantile " +
+          "sketches (array<struct<h,v>>) into the union's bottom-k"),
+      (args: Seq[Expression]) => graft.functions.QSketchMergeAgg(
         args(1).eval().asInstanceOf[Number].intValue(), args(0))
           .toAggregateExpression()))
 

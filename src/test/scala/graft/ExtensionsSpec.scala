@@ -51,5 +51,17 @@ class ExtensionsSpec extends SparkTestBase {
       SELECT graft_sorted_intersect(array(9L, 1L, 5L, 3L), array(7L, 5L, 3L)) AS n""")
       .collect()(0).getInt(0)
     assert(siUnsorted == 2, s"unsorted SQL input returned $siUnsorted")
+
+    // quantile sketch: build per label, merge globally — the SQL spelling
+    // of QuantileSketch.bottomK/mergeBottomK
+    val qsk = spark.sql("""
+      WITH sk AS (
+        SELECT label, graft_qsketch(
+          CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS LONG),
+          CAST(vec_id AS DOUBLE), 8) AS qsk
+        FROM emb GROUP BY label)
+      SELECT size(graft_qsketch_merge(qsk, 8)) AS n FROM sk""")
+      .collect()(0).getInt(0)
+    assert(qsk == 8, s"merged global sketch must hold k pairs, got $qsk")
   }
 }
