@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FUNNEL ANALYSIS — ordered multi-step conversion over an event stream
+  * (view → click → purchase within a window), the product-analytics
+  * pattern SQL engines bolt on as MATCH_RECOGNIZE and the reference
+  * class of per-key SEQUENTIAL pattern detection.
+  *
+  * Semantics (the standard greedy product-analytics definition): per
+  * user, anchor at the FIRST occurrence of step 1; each later step must
+  * be the next step in order, at-or-after the previous match, and within
+  * `windowSec` of the ANCHOR. The user's result is the deepest step
+  * reached. Greedy-from-first-anchor is deterministic and engine-
+  * independent — both the Spark fold and the DuckDB oracle express the
+  * identical left fold.
+  *
+  * Spark-first shape: events filtered to the step types, ONE shuffle
+  * (groupBy user), per-user events collected and sorted as
+  * (time, step) structs, and the sequential scan expressed as the
+  * `aggregate` HOF over that array — whole-stage-codegen'd, no UDF, no
+  * window-function re-sort per step, no N self-joins (the naive funnel
+  * spelling joins once per step — N fact shuffles instead of one). Per-
+  * user state is the event list: bounded by per-user activity in the
+  * window of interest, the same envelope every sessionizer carries; at
+  * 100 TB pre-filter to the funnel's time range so the collect is
+  * range-bounded, not history-bounded.
+  */
+object Funnel {
+
+  /** Map an event-type column to its 0-based step index (−1 = not a
+    * funnel step).
+    */
+  private def stepIndex(typeCol: Column, steps: Seq[String]): Column =
+    steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(typeCol === st, lit(i)).otherwise(acc)
+    }
+
+  /** Per-user funnel progression: (user, depth, t0) for every user with
+    * at least one funnel-step event — `depth` ∈ [0, steps.length] is the
+    * deepest step reached (0 = had step events but never step 1), `t0`
+    * the anchor time (first step-1 event), NULL-free.
+    */
+  def userDepth(df: DataFrame, userCol: String, esCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val evs = df
+      .select(col(userCol).as("u"), col(esCol).cast("long").as("t"),
+        stepIndex(col(typeCol), steps).as("s"))
+      .where(col("s") >= 0)
+      .groupBy("u")
+      // struct arrays sort by field order: (t, s) — deterministic even
+      // with simultaneous events of different steps
+      .agg(sort_array(collect_list(struct(col("t"), col("s")))).as("evs"))
+    val init = struct(lit(0).as("d"), lit(0L).as("t0"))
+    val folded = aggregate(col("evs"), init, (acc, e) => {
+      val d = acc.getField("d"); val t0 = acc.getField("t0")
+      val t = e.getField("t"); val s = e.getField("s")
+      when(d === 0 && s === 0, struct(lit(1).as("d"), t.as("t0")))
+        .when(d > 0 && d < n && s === d && t <= t0 + windowSec,
+          struct((d + lit(1)).as("d"), t0.as("t0")))
+        .otherwise(acc)
+    })
+    evs.select(col("u").as(userCol), folded.getField("d").as("depth"),
+      folded.getField("t0").as("t0"))
+  }
+
+  /** The funnel report: one row per step with how many users reached AT
+    * LEAST that step — (step 1-based, step_name, n_users), monotone
+    * non-increasing. Group-sized output; the per-user table never leaves
+    * the cluster.
+    */
+  def counts(df: DataFrame, userCol: String, esCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    val names = array(steps.map(lit): _*)
+    userDepth(df, userCol, esCol, typeCol, steps, windowSec)
+      .where(col("depth") >= 1)
+      // sequence(1, 0) would yield [1, 0] — the depth >= 1 filter above
+      // is load-bearing, not cosmetic
+      .select(explode(sequence(lit(1), col("depth"))).as("step"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("step").cast("long").as("step"),
+        element_at(names, col("step")).as("step_name"), col("n_users"))
+  }
+}

@@ -6,7 +6,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.{Privacy, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.Quant
+import graft.operators.{Funnel, Quant}
 import graft.similarity.Ann
 
 /** Training-data pipeline fixtures over `documents` / `embeddings`: dedup
@@ -8146,6 +8146,45 @@ object PipelineQueries {
       |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
       |   FROM dd GROUP BY 1)""".stripMargin)))
 
+  /** FUNNEL ANALYSIS ([[graft.operators.Funnel]]): the
+    * view → click → purchase conversion funnel over the events table,
+    * 1-day window, greedy-from-first-anchor semantics — per user ONE
+    * shuffle and a codegen'd `aggregate` HOF over the sorted (t, step)
+    * structs (the naive spelling self-joins the fact once per step).
+    * The oracle expresses the IDENTICAL left fold as a DuckDB
+    * list_reduce, so the match pins the sequential semantics — ordering,
+    * window inclusion, greedy anchoring — not just totals.
+    */
+  val qFunnelSteps = Fixture(
+    "q_funnel_steps",
+    (s, d) => Funnel.counts(Tables.eventsWithEpoch(s, d), "user_id", "es",
+      "event_type", Seq("view", "click", "purchase"), 86400L),
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |       WHEN 'purchase' THEN 2 ELSE -1 END AS s
+      |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      | ag AS (SELECT u, list_sort(list({'t': t, 's': s})) AS evs
+      |   FROM ev GROUP BY 1),
+      | fold AS (SELECT u,
+      |   list_reduce(
+      |     list_prepend({'d': 0, 't0': 0::BIGINT, 't': 0::BIGINT, 's': -1},
+      |       list_transform(evs,
+      |         e -> {'d': -1, 't0': 0::BIGINT, 't': e['t'], 's': e['s']})),
+      |     (acc, x) -> CASE
+      |       WHEN acc['d'] = 0 AND x['s'] = 0
+      |         THEN {'d': 1, 't0': x['t'], 't': 0::BIGINT, 's': -1}
+      |       WHEN acc['d'] > 0 AND acc['d'] < 3 AND x['s'] = acc['d']
+      |           AND x['t'] <= acc['t0'] + 86400
+      |         THEN {'d': acc['d'] + 1, 't0': acc['t0'],
+      |           't': 0::BIGINT, 's': -1}
+      |       ELSE acc END)['d'] AS depth
+      |   FROM ag)
+      | SELECT step, CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+      |     ELSE 'purchase' END AS step_name, count(*) AS n_users
+      | FROM fold, unnest(generate_series(1, depth)) AS g(step)
+      | WHERE depth >= 1 GROUP BY 1, 2""".stripMargin))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -8235,5 +8274,5 @@ object PipelineQueries {
     qStreamIvmTwoWriters, qSampleQuantileStore,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
-    qMvRewriteQuantile)
+    qMvRewriteQuantile, qFunnelSteps)
 }

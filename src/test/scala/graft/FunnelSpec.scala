@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+/** Funnel fold semantics: greedy anchor at the first step-1 event, each
+  * next step in order within the window of the anchor; deepest step per
+  * user; at-least-step counts monotone.
+  */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "buy")
+
+  test("per-user depth: complete, window-expired, unanchored, stalled") {
+    val evs = Seq(
+      // A: completes all three inside the window
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "buy"),
+      // B: buy lands past the anchor window (anchor 100, W=250 → ≤350)
+      (2L, 100L, "view"), (2L, 200L, "click"), (2L, 400L, "buy"),
+      // C: never sees step 1 — has step events but depth 0
+      (3L, 100L, "click"), (3L, 200L, "buy"),
+      // D: anchors, then nothing
+      (4L, 100L, "view"), (4L, 150L, "error_ish"),
+      // E: GREEDY anchor — the early view's window expires before the
+      // click; a later view would have converted, but the definition
+      // anchors at the FIRST step-1 event
+      (5L, 100L, "view"), (5L, 500L, "view"), (5L, 600L, "click")
+    ).toDF("user_id", "es", "event_type")
+    val d = Funnel.userDepth(evs, "user_id", "es", "event_type", steps, 250L)
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 1), s"$d")
+  }
+
+  test("steps out of order do not count; same-timestamp ordering is " +
+      "deterministic (t, then step index)") {
+    val evs = Seq(
+      // click BEFORE the anchoring view: ignored; then in-order pair
+      (1L, 50L, "click"), (1L, 100L, "view"), (1L, 200L, "click"),
+      // simultaneous view+click at the anchor instant: (t, s) sort puts
+      // view (s=0) first, so the click at the same second counts as next
+      (2L, 100L, "view"), (2L, 100L, "click")
+    ).toDF("user_id", "es", "event_type")
+    val d = Funnel.userDepth(evs, "user_id", "es", "event_type", steps, 250L)
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 2, 2L -> 2), s"$d")
+  }
+
+  test("counts: users reaching AT LEAST each step, monotone") {
+    val evs = Seq(
+      (1L, 100L, "view"), (1L, 110L, "click"), (1L, 120L, "buy"),
+      (2L, 100L, "view"), (2L, 110L, "click"),
+      (3L, 100L, "view"),
+      (4L, 100L, "click") // unanchored: appears in no step
+    ).toDF("user_id", "es", "event_type")
+    val c = Funnel.counts(evs, "user_id", "es", "event_type", steps, 250L)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"$c")
+  }
+}
