@@ -8185,6 +8185,77 @@ object PipelineQueries {
       | FROM fold, unnest(generate_series(1, depth)) AS g(step)
       | WHERE depth >= 1 GROUP BY 1, 2""".stripMargin))
 
+  /** LIVE data skipping on a continuously-upserted lake table
+    * ([[graft.streaming.StreamingUpsert.startWithStats]]): every CDC
+    * trigger's committed version is laid out by doc_id and carries its
+    * own fresh zone-map manifest — the manifest is PART of the version
+    * (rides the pointer swap), so skipping never serves stale file
+    * stats. After two micro-batches the range report REQUIREs a strict
+    * file subset on the CURRENT (v2) version and matches the post-CDC
+    * oracle exactly. The 100 TB posture: a streamed corpus keeps
+    * point/range probes at O(selectivity) file opens forever, with the
+    * manifest build paid per trigger from the footers the write just
+    * produced.
+    */
+  val qStreamLakeZonemap = Fixture(
+    "q_stream_lake_zonemap",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.sources.{SnapshotLake, ZoneMap}
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zmcdc_${System.nanoTime}").getAbsolutePath
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"), col("n_chars"))
+      SnapshotLake.commitWithStats(docs.withColumn("ver", lit(0L)), root, 0L,
+        Seq("doc_id"), sortWithinFiles = Some("doc_id"), numFiles = 8)
+      def rows(df: DataFrame) =
+        df.as[(Long, String, Long, Long)].collect().toSeq
+      val b1 = rows(docs.where(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("ver", lit(1L)))
+      val b2 = rows(docs.where(col("doc_id") % 20 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000L).withColumn("ver", lit(2L))
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("ver", lit(1L))))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Long)]
+      val q = graft.streaming.StreamingUpsert.startWithStats(
+        ms.toDF().toDF("doc_id", "source", "n_chars", "ver"),
+        root, "doc_id", "ver", s"${root}_ckpt", Seq("doc_id"),
+        sortWithinFiles = Some("doc_id"), numFiles = 8)
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      require(SnapshotLake.currentVersion(root).contains(2L),
+        s"two triggers must commit v1, v2: ${SnapshotLake.currentVersion(root)}")
+      val vp = SnapshotLake.versionPath(root, 2L)
+      val (files, total) = ZoneMap.pruneRange(s, vp, "doc_id", 100L, 199L)
+      require(files.nonEmpty && files.size < total,
+        s"the STREAMED version's manifest must prune: ${files.size}/$total")
+      SnapshotLake.readRange(s, root, "doc_id", 100L, 199L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          max("ver").as("max_ver"))
+    },
+    Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      | fin AS (
+      |   SELECT doc_id, source,
+      |     CASE WHEN doc_id % 20 = 0 THEN n_chars + 2000
+      |          WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |          ELSE n_chars END AS n_chars,
+      |     CASE WHEN doc_id % 20 = 0 THEN 2
+      |          WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS ver
+      |   FROM base
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, source, n_chars, 1 FROM base WHERE doc_id % 7 = 3)
+      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   max(ver)::BIGINT AS max_ver
+      | FROM fin WHERE doc_id BETWEEN 100 AND 199
+      | GROUP BY 1""".stripMargin))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {
@@ -8274,5 +8345,5 @@ object PipelineQueries {
     qStreamIvmTwoWriters, qSampleQuantileStore,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
-    qMvRewriteQuantile, qFunnelSteps)
+    qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap)
 }

@@ -252,7 +252,19 @@ object SnapshotLake {
     * each fold on top of the version the other just committed.
     */
   def commitNext(df: => DataFrame, root: String, writerId: String,
-      batchId: Long): Option[Long] = {
+      batchId: Long): Option[Long] =
+    commitNextWithStats(df, root, writerId, batchId, Nil)
+
+  /** [[commitNext]] + a fresh [[ZoneMap]] manifest per committed version
+    * (the [[commitWithStats]] options, applied inside the multi-writer
+    * protocol) — what keeps data skipping live on a CONTINUOUSLY
+    * upserted table: every trigger's new version carries its own
+    * per-file stats, built from the footers the write just produced.
+    */
+  def commitNextWithStats(df: => DataFrame, root: String, writerId: String,
+      batchId: Long, statCols: Seq[String], bloomCols: Seq[String] = Nil,
+      sortWithinFiles: Option[String] = None, numFiles: Int = 0,
+      bloomExpectedPerFile: Long = 100000L): Option[Long] = {
     require(!writerId.exists(c => c == '\t' || c == '\n'),
       s"writerId must not contain tab/newline: $writerId")
     lockFor(root).synchronized {
@@ -262,7 +274,24 @@ object SnapshotLake {
       if (marks.get(writerId).exists(_ >= batchId)) None
       else {
         val v = cur + 1
-        commitLocked(df, root, v, marks + (writerId -> batchId))
+        val frame = df
+        val laid = sortWithinFiles match {
+          case Some(c) if numFiles > 0 => frame.repartitionByRange(numFiles,
+            org.apache.spark.sql.functions.col(c))
+          case Some(c) => frame.repartitionByRange(
+            org.apache.spark.sql.functions.col(c))
+          case None => frame
+        }
+        laid.write.mode("overwrite").parquet(versionPath(root, v))
+        if (statCols.nonEmpty || bloomCols.nonEmpty)
+          ZoneMap.write(frame.sparkSession, versionPath(root, v), statCols,
+            bloomCols, bloomExpectedPerFile)
+        writeWatermarks(root, v, marks + (writerId -> batchId))
+        Files.createDirectories(Paths.get(root))
+        val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
         Some(v)
       }
     }

@@ -30,11 +30,14 @@ object StreamingUpsert {
     * read-under-overwrite never occurs.
     */
   def applyBatch(batch: DataFrame, root: String, key: String,
-      versionCol: String, writerId: String, batchId: Long): Boolean =
-    SnapshotLake.commitNext(
+      versionCol: String, writerId: String, batchId: Long,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      sortWithinFiles: Option[String] = None, numFiles: Int = 0): Boolean =
+    SnapshotLake.commitNextWithStats(
       Upsert.mergeByKeyLatest(
         SnapshotLake.read(batch.sparkSession, root), batch, key, versionCol),
-      root, writerId, batchId).isDefined
+      root, writerId, batchId, statCols, bloomCols, sortWithinFiles,
+      numFiles).isDefined
 
   /** Start the CDC stream into the snapshot table at `root` (which must
     * hold a committed base version). The checkpoint path is the writer
@@ -46,10 +49,24 @@ object StreamingUpsert {
     */
   def start(cdc: DataFrame, root: String, key: String, versionCol: String,
       checkpoint: String): StreamingQuery =
+    startWithStats(cdc, root, key, versionCol, checkpoint, Nil)
+
+  /** [[start]] + a live [[graft.sources.ZoneMap]] manifest: every
+    * trigger's committed version carries fresh per-file zone maps (and
+    * optionally Bloom filters) for the named columns, laid out by
+    * `sortWithinFiles` so the maps stay tight — data skipping on the
+    * upserted table never goes stale, because the manifest is part of
+    * the version, not a separately-refreshed structure.
+    */
+  def startWithStats(cdc: DataFrame, root: String, key: String,
+      versionCol: String, checkpoint: String, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, sortWithinFiles: Option[String] = None,
+      numFiles: Int = 0): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, root, key, versionCol, checkpoint, batchId)
+        applyBatch(batch, root, key, versionCol, checkpoint, batchId,
+          statCols, bloomCols, sortWithinFiles, numFiles)
         ()
       }
       .start()
