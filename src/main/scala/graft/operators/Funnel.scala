@@ -32,7 +32,7 @@ object Funnel {
   /** Map an event-type column to its 0-based step index (−1 = not a
     * funnel step).
     */
-  private def stepIndex(typeCol: Column, steps: Seq[String]): Column =
+  private[graft] def stepIndex(typeCol: Column, steps: Seq[String]): Column =
     steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
       when(typeCol === st, lit(i)).otherwise(acc)
     }
@@ -54,8 +54,20 @@ object Funnel {
       // struct arrays sort by field order: (t, s) — deterministic even
       // with simultaneous events of different steps
       .agg(sort_array(collect_list(struct(col("t"), col("s")))).as("evs"))
+    val folded = foldDepth(col("evs"), n, windowSec)
+    evs.select(col("u").as(userCol), folded.getField("d").as("depth"),
+      folded.getField("t0").as("t0"))
+  }
+
+  /** The sequential scan itself — a left fold over a SORTED (t, s) struct
+    * array yielding struct(d = deepest step, t0 = anchor time). Shared by
+    * the batch path and the per-window streaming twin
+    * ([[graft.streaming.StreamingFunnel]]).
+    */
+  private[graft] def foldDepth(evs: Column, n: Int,
+      windowSec: Long): Column = {
     val init = struct(lit(0).as("d"), lit(0L).as("t0"))
-    val folded = aggregate(col("evs"), init, (acc, e) => {
+    aggregate(evs, init, (acc, e) => {
       val d = acc.getField("d"); val t0 = acc.getField("t0")
       val t = e.getField("t"); val s = e.getField("s")
       when(d === 0 && s === 0, struct(lit(1).as("d"), t.as("t0")))
@@ -63,8 +75,6 @@ object Funnel {
           struct((d + lit(1)).as("d"), t0.as("t0")))
         .otherwise(acc)
     })
-    evs.select(col("u").as(userCol), folded.getField("d").as("depth"),
-      folded.getField("t0").as("t0"))
   }
 
   /** The funnel report: one row per step with how many users reached AT

@@ -8164,26 +8164,24 @@ object PipelineQueries {
       |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
       |       WHEN 'purchase' THEN 2 ELSE -1 END AS s
       |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-      | ag AS (SELECT u, list_sort(list({'t': t, 's': s})) AS evs
-      |   FROM ev GROUP BY 1),
-      | fold AS (SELECT u,
-      |   list_reduce(
-      |     list_prepend({'d': 0, 't0': 0::BIGINT, 't': 0::BIGINT, 's': -1},
-      |       list_transform(evs,
-      |         e -> {'d': -1, 't0': 0::BIGINT, 't': e['t'], 's': e['s']})),
-      |     (acc, x) -> CASE
-      |       WHEN acc['d'] = 0 AND x['s'] = 0
-      |         THEN {'d': 1, 't0': x['t'], 't': 0::BIGINT, 's': -1}
-      |       WHEN acc['d'] > 0 AND acc['d'] < 3 AND x['s'] = acc['d']
-      |           AND x['t'] <= acc['t0'] + 86400
-      |         THEN {'d': acc['d'] + 1, 't0': acc['t0'],
-      |           't': 0::BIGINT, 's': -1}
-      |       ELSE acc END)['d'] AS depth
-      |   FROM ag)
-      | SELECT step, CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
-      |     ELSE 'purchase' END AS step_name, count(*) AS n_users
-      | FROM fold, unnest(generate_series(1, depth)) AS g(step)
-      | WHERE depth >= 1 GROUP BY 1, 2""".stripMargin))
+      | f1 AS (SELECT u, min(t) FILTER (WHERE s = 0) AS t1 FROM ev GROUP BY 1),
+      | f2 AS (SELECT ev.u, f1.t1, min(ev.t) FILTER (WHERE ev.s = 1
+      |     AND ev.t >= f1.t1 AND ev.t <= f1.t1 + 86400) AS t2
+      |   FROM ev JOIN f1 ON ev.u = f1.u GROUP BY 1, 2),
+      | f3 AS (SELECT f2.u, min(ev.t) FILTER (WHERE ev.s = 2
+      |     AND ev.t >= f2.t2 AND ev.t <= f2.t1 + 86400) AS t3
+      |   FROM ev JOIN f2 ON ev.u = f2.u GROUP BY 1),
+      | d AS (SELECT f1.u, CASE WHEN f3.t3 IS NOT NULL THEN 3
+      |     WHEN f2.t2 IS NOT NULL THEN 2
+      |     WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |   FROM f1 LEFT JOIN f2 ON f1.u = f2.u LEFT JOIN f3 ON f1.u = f3.u),
+      | sc AS (SELECT count(*) FILTER (WHERE depth >= 1) AS s1,
+      |     count(*) FILTER (WHERE depth >= 2) AS s2,
+      |     count(*) FILTER (WHERE depth >= 3) AS s3 FROM d)
+      | SELECT 1::BIGINT AS step, 'view' AS step_name, s1 AS n_users
+      |   FROM sc WHERE s1 > 0
+      | UNION ALL SELECT 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
+      | UNION ALL SELECT 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
 
   /** LIVE data skipping on a continuously-upserted lake table
     * ([[graft.streaming.StreamingUpsert.startWithStats]]): every CDC
@@ -8255,6 +8253,88 @@ object PipelineQueries {
       |   max(ver)::BIGINT AS max_ver
       | FROM fin WHERE doc_id BETWEEN 100 AND 199
       | GROUP BY 1""".stripMargin))
+
+  /** Streaming twin of [[qFunnelSteps]]
+    * ([[graft.streaming.StreamingFunnel.userDepth]]): the per-DAY
+    * view → click → purchase funnel computed live — watermarked tumbling
+    * day windows keyed (window, user), each user's depth emitted exactly
+    * once when the watermark closes the window, per-day step counts
+    * rolled up from the sink. Emission contract as every append fixture:
+    * windows with end ≤ max event time (over STEP events — the type
+    * filter sits below the watermark); the oracle recomputes the same
+    * fold per (day, user) in DuckDB and applies the same window filter.
+    */
+  val qStreamFunnel = Fixture(
+    "q_stream_funnel",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stepNames = Seq("view", "click", "purchase")
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id").cast("long"),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val lastStep = rows.reverse.find(r => stepNames.contains(r._3)).get
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val stream = ms.toDF().toDF("tsu", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sink = s"funnel_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingFunnel.userDepth(stream, "ts",
+            "user_id", "event_type", stepNames, 86400L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          // the final watermark only advances on a STEP event (the type
+          // filter sits below the watermark node)
+          ms.addData(Seq(lastStep)); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val names = array(stepNames.map(lit): _*)
+      s.table(sink)
+        .select(col("ws"), explode(sequence(lit(1), col("depth"))).as("step"))
+        .groupBy("ws", "step")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("ws"), col("step").cast("long").as("step"),
+          element_at(names, col("step")).as("step_name"), col("n_users"))
+    },
+    Some("""WITH e AS (
+      |   SELECT epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     epoch_us(ts::TIMESTAMP) AS eu, user_id AS u,
+      |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |       WHEN 'purchase' THEN 2 ELSE -1 END AS s
+      |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | e2 AS (SELECT (t // 86400) * 86400 AS ws, u, t, s FROM e),
+      | f1 AS (SELECT ws, u, min(t) FILTER (WHERE s = 0) AS t1
+      |   FROM e2 GROUP BY 1, 2),
+      | f2 AS (SELECT e2.ws, e2.u, f1.t1, min(e2.t) FILTER (WHERE e2.s = 1
+      |     AND e2.t >= f1.t1 AND e2.t <= f1.t1 + 86400) AS t2
+      |   FROM e2 JOIN f1 ON e2.ws = f1.ws AND e2.u = f1.u GROUP BY 1, 2, 3),
+      | f3 AS (SELECT f2.ws, f2.u, min(e2.t) FILTER (WHERE e2.s = 2
+      |     AND e2.t >= f2.t2 AND e2.t <= f2.t1 + 86400) AS t3
+      |   FROM e2 JOIN f2 ON e2.ws = f2.ws AND e2.u = f2.u GROUP BY 1, 2),
+      | d AS (SELECT f1.ws, f1.u, CASE WHEN f3.t3 IS NOT NULL THEN 3
+      |     WHEN f2.t2 IS NOT NULL THEN 2
+      |     WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |   FROM f1 LEFT JOIN f2 ON f1.ws = f2.ws AND f1.u = f2.u
+      |     LEFT JOIN f3 ON f1.ws = f3.ws AND f1.u = f3.u),
+      | sc AS (SELECT ws, count(*) FILTER (WHERE depth >= 1) AS s1,
+      |     count(*) FILTER (WHERE depth >= 2) AS s2,
+      |     count(*) FILTER (WHERE depth >= 3) AS s3
+      |   FROM d
+      |   WHERE (ws + 86400) * 1000000 <= (SELECT mx FROM mx)
+      |   GROUP BY 1)
+      | SELECT ws, 1::BIGINT AS step, 'view' AS step_name, s1 AS n_users
+      |   FROM sc WHERE s1 > 0
+      | UNION ALL SELECT ws, 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
+      | UNION ALL SELECT ws, 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
 
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
@@ -8345,5 +8425,5 @@ object PipelineQueries {
     qStreamIvmTwoWriters, qSampleQuantileStore,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
-    qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap)
+    qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel)
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+/** [[graft.operators.Funnel]]'s STREAMING twin — live per-window funnel
+  * tracking on the production append path: events flow through a
+  * watermarked tumbling-window aggregate keyed (window, user); when the
+  * watermark closes a window, the user's funnel depth for that window
+  * emits exactly once. Semantics per window: anchor at the user's first
+  * step-1 event IN the window, later steps in order within it — the
+  * per-day (per-hour, …) conversion funnel every product dashboard
+  * plots, computed incrementally instead of by re-scanning the day.
+  *
+  * Same fold, same engine-independent determinism as the batch operator
+  * ([[Funnel.foldDepth]] over sorted (t, s) structs); the stateful part
+  * is a plain windowed `collect_list`, so state per (window, user) is
+  * that user's step events in the window — the sessionizer envelope —
+  * and eviction is the standard watermark contract (emitted set =
+  * windows with end ≤ max event time).
+  *
+  * Step-type filtering happens BEFORE the watermark, so only funnel
+  * events advance event time — mirror accordingly.
+  */
+object StreamingFunnel {
+
+  /** Append-mode (ws, user, depth) per closed tumbling window; `depth` ≥
+    * 1 (a user with no anchor in the window reports 0 and is dropped
+    * here — count rollups never read unanchored rows).
+    */
+  def userDepth(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val agg = events
+      .select(col(tsCol).as("__ts"), col(userCol).as("u"),
+        Funnel.stepIndex(col(typeCol), steps).as("s"))
+      .where(col("s") >= 0)
+      .withColumn("t", expr("unix_micros(__ts) div 1000000"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$windowSec seconds"), col("u"))
+      .agg(sort_array(collect_list(struct(col("t"), col("s")))).as("evs"))
+    val folded = Funnel.foldDepth(col("evs"), n, windowSec)
+    agg.select(expr("unix_micros(window.start) div 1000000").as("ws"),
+        col("u").as(userCol), folded.getField("d").as("depth"))
+      .where(col("depth") >= 1)
+  }
+}
