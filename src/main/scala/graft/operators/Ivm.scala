@@ -96,7 +96,24 @@ object Ivm {
     * pruned by a broadcast semi-join on their keys.
     */
   def applyDeltaFull(view: DataFrame, delta: DataFrame, newBase: DataFrame,
-      keys: Seq[String], v: String): DataFrame = {
+      keys: Seq[String], v: String): DataFrame =
+    maintainFull(view, delta, keys) { brokenKeys =>
+      newBase.join(broadcast(brokenKeys), keys, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+    }
+
+  /** The shared full-view (cnt/sum/min/max) maintenance fold: merge the
+    * delta's group-granular aggregates into the view, classify broken
+    * groups (some removed pre-image ties-or-beats a stored bound), keep
+    * unbroken groups with `least`/`greatest` bound improvement, and hand
+    * ONLY the broken keys to `recompute`, which must return
+    * (keys…, r_min, r_max) for exactly those groups — each caller supplies
+    * the narrowest recompute scan its topology allows (plain base for
+    * [[applyDeltaFull]], dim-pruned fact join for [[applyDeltaFullJoin]]).
+    */
+  private def maintainFull(view: DataFrame, delta: DataFrame,
+      keys: Seq[String])(recompute: DataFrame => DataFrame): DataFrame = {
     val merged = view.join(deltaAgg(delta, keys), keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) +
@@ -124,10 +141,7 @@ object Ivm {
         least(col("min_v"), col("ins_min")).as("min_v"),
         greatest(col("max_v"), col("ins_max")).as("max_v")): _*)
     val brokenRows = merged.where(broken)
-    val recomputed = newBase
-      .join(broadcast(brokenRows.select(keys.map(col): _*)), keys, "left_semi")
-      .groupBy(keys.map(col): _*)
-      .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+    val recomputed = recompute(brokenRows.select(keys.map(col): _*))
     val fixedUp = brokenRows
       .select(keys.map(col) :+ col("cnt") :+ col("sum_v"): _*)
       .join(recomputed, keys)
@@ -186,6 +200,50 @@ object Ivm {
       dims: Seq[(DataFrame, Seq[(String, String)])],
       keys: Seq[String]): DataFrame =
     applyDelta(view, joinDims(delta, dims), keys)
+
+  /** Materialize the FULL star/snowflake rollup: fact ⋈ dims grouped to
+    * `keys` → (cnt, sum_v, min_v, max_v) — the min/max-bearing warehouse
+    * dashboard shape (max(event_ts) / min(price) per dim group).
+    */
+  def viewJoinFull(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[String], v: String): DataFrame =
+    viewFull(joinDims(fact, dims), keys, v)
+
+  /** Maintain a [[viewJoinFull]] star rollup from a FACT-side CDC delta —
+    * the min/max arm [[applyDeltaJoin]] cannot carry (bounds are holistic
+    * under deletion). Same algebraic fold as the plain [[applyDeltaFull]],
+    * with the delta enriched through the dims (delta-sized join), and the
+    * broken-group recompute arm reading `newFact` (the post-CDC fact)
+    * joined with the dims — but NEVER the fact corpus: each grouping-key-
+    * bearing dim is first semi-joined down to the broken groups' key
+    * values, so the fact pass is an inner join against a broken-group-
+    * sized (broadcastable) dim slice that discards untouched fact rows at
+    * the scan join, and the final semi-join on the broken keys re-asserts
+    * exactness regardless of which dims carried keys. At warehouse scale a
+    * refresh whose deletions break no bound costs O(|delta| ⋈ dims +
+    * |view|); one that breaks k groups adds one fact pass pruned to those
+    * k groups' dim keys. Contracts are [[applyDeltaJoin]]'s (static dims,
+    * U never moves a key, dim-miss rows drop).
+    */
+  def applyDeltaFullJoin(view: DataFrame, delta: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])], newFact: DataFrame,
+      keys: Seq[String], v: String): DataFrame =
+    maintainFull(view, joinDims(delta, dims), keys) { brokenKeys =>
+      val prunedDims = dims.map { case (dim, pairs) =>
+        val ks = keys.filter(dim.columns.contains)
+        val pruned =
+          if (ks.isEmpty) dim
+          else dim.join(
+            broadcast(brokenKeys.select(ks.map(col): _*).distinct()),
+            ks, "left_semi")
+        (pruned, pairs)
+      }
+      joinDims(newFact, prunedDims)
+        .join(broadcast(brokenKeys), keys, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+    }
 
   /** Materialize a FREQUENCY view as a Count-Min sketch store
     * ([[graft.functions.Cms.build]]'s relational (keys…, r, c, cnt)
@@ -256,10 +314,18 @@ object Ivm {
     * Fact-sourced grouping keys (if any) pass through unchanged. A `U`
     * must not change the dim's own key (spell it D + I), mirroring the
     * fact-side contract.
+    *
+    * `maxBroadcastRows` guards the delta broadcasts: the contract says
+    * delta-sized, but a bulk dim backfill (re-keying a whole dimension)
+    * would otherwise be broadcast AT ANY SIZE and OOM the executors
+    * instead of degrading to a shuffle. A cheap limit-probe (one
+    * delta-bounded job, never a full count of an unbounded source) decides
+    * once; past the threshold the hints are dropped and AQE picks the
+    * join strategy — same values, graceful plan.
     */
   def applyDimDeltaJoin(view: DataFrame, fact: DataFrame, factKey: String,
       dimDelta: DataFrame, dimKey: String, keys: Seq[String],
-      v: String): DataFrame = {
+      v: String, maxBroadcastRows: Int = 4000000): DataFrame = {
     require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
         !(col("op") <=> "D")).isEmpty,
       "dim deltas are I/U/D with non-null op")
@@ -267,9 +333,10 @@ object Ivm {
     require(dimSourced.nonEmpty,
       "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
     val factSourced = keys.filterNot(dimSourced.contains)
+    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
     // the pruned fact slice: only rows whose fk is a changed dim key
     val slice = fact.join(
-        broadcast(dimDelta.select(col(dimKey)).distinct()),
+        hint(dimDelta.select(col(dimKey)).distinct()),
         col(factKey) === col(dimKey), "left_semi")
       .select((factSourced :+ factKey).map(col) :+ col(v).as("__v"): _*)
     // ONE pruned fact pass: each joined row fans out to its subtract side
@@ -280,7 +347,7 @@ object Ivm {
       struct(dimSourced.map(k => col(s"$prefix$k").as(k)) :+
         when(active, lit(sign)).otherwise(lit(0L)).as("__s"): _*)
     val signed = slice
-      .join(broadcast(dimDelta), col(factKey) === col(dimKey))
+      .join(hint(dimDelta), col(factKey) === col(dimKey))
       .select(factSourced.map(col) ++ Seq(
         explode(array(
           sideStruct("old_", col("op") =!= "I", -1L),
@@ -300,6 +367,55 @@ object Ivm {
         (coalesce(col("sum_v"), lit(0L)) +
           coalesce(col("d_sum"), lit(0L))).as("sum_v")): _*)
       .where(col("cnt") > 0)
+  }
+
+  /** The size-guarded broadcast hint: probe whether `delta` holds at most
+    * `maxRows` rows with ONE limit-bounded job (the probe reads `maxRows
+    * + 1` rows at most, so it never full-scans an unexpectedly huge
+    * delta), then hint every use of it — or none, leaving AQE to choose
+    * the join strategy for an over-threshold backfill.
+    */
+  private def broadcastIfSmall(delta: DataFrame,
+      maxRows: Int): DataFrame => DataFrame = {
+    require(maxRows > 0, s"maxBroadcastRows must be positive, got $maxRows")
+    val small = delta.limit(maxRows + 1).count() <= maxRows
+    if (small) broadcast else identity
+  }
+
+  /** Maintain a [[viewJoin]] rollup from a CDC delta on a LEAF dim of a
+    * SNOWFLAKE chain — the dim-of-dim seam [[applyDimDeltaJoin]]'s
+    * one-hop signature leaves open: a customer attribute change in
+    * `fact ⋈ orders ⋈ customer` re-keys the fact history of every line
+    * item whose ORDER belongs to that customer, two hops away.
+    *
+    * `mids` are the intermediate dims between the fact and the changed
+    * dim (the [[DimDef]]-shaped (relation, keyPairs) list, possibly empty
+    * — empty degenerates to the plain star case), and `linkCol` is the
+    * column (on the fact or on a mid) that equi-joins to the changed
+    * dim's `dimKey`. The refresh prunes from the LEAF inward: the
+    * linkCol-bearing mid is semi-joined down to the delta's keys first,
+    * so the fact pass inner-joins against a delta-sized mid slice and
+    * discards untouched rows at the join — O(fact rows of the changed
+    * customers' orders), never O(fact) — before the one-hop machinery
+    * subtracts/re-adds their contributions under the old/new attributes.
+    * All [[applyDimDeltaJoin]] contracts apply per hop (static mids, U
+    * never moves a key, join-wide unique column names).
+    */
+  def applyDimDeltaSnowflake(view: DataFrame, fact: DataFrame,
+      mids: Seq[(DataFrame, Seq[(String, String)])], linkCol: String,
+      dimDelta: DataFrame, dimKey: String, keys: Seq[String],
+      v: String, maxBroadcastRows: Int = 4000000): DataFrame = {
+    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
+    val changed = dimDelta.select(col(dimKey)).distinct()
+    val prunedMids = mids.map { case (dim, pairs) =>
+      val pruned =
+        if (dim.columns.contains(linkCol))
+          dim.join(hint(changed), col(linkCol) === col(dimKey), "left_semi")
+        else dim
+      (pruned, pairs)
+    }
+    applyDimDeltaJoin(view, joinDims(fact, prunedMids), linkCol, dimDelta,
+      dimKey, keys, v, maxBroadcastRows)
   }
 
   /** Materialize the RANK/quantile member of the sketch-view family: the

@@ -7599,6 +7599,100 @@ object PipelineQueries {
       | FROM fin JOIN dimf ON l_orderkey = o_orderkey
       | GROUP BY 1""".stripMargin))
 
+  /** Min/max maintenance for STAR rollups
+    * ([[graft.operators.Ivm.applyDeltaFullJoin]]) — the asymmetry the
+    * r15 verdict ranked top: plain views got min/max via the broken-group
+    * recompute arm, but `viewJoin` carried cnt/sum only, so a
+    * max(quantity)-bearing star dashboard could not refresh from a delta
+    * at all. The full star view (cnt/sum/min/max of l_quantity per
+    * o_orderpriority) folds the same fact-side CDC recipe as
+    * [[qIvmJoinRollup]]; deletions that remove a group's extreme send
+    * ONLY that group to the recompute arm, which reads the post-CDC fact
+    * through dims pre-pruned to the broken groups' key values (IvmSpec
+    * pins the pruning with a poisoned fact). Oracle = from-scratch
+    * post-CDC recompute of all four aggregates.
+    */
+  val qIvmJoinMinmax = Fixture(
+    "q_ivm_join_minmax",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dims = Seq(Tables.orders(s, d) ->
+        Seq("l_orderkey" -> "o_orderkey"))
+      // the post-CDC fact (mirror of liFinSql), the recompute arm's input
+      val fin = li.where(!liDel).select(col("l_orderkey"),
+          when(liUpd, col("l_quantity") + 1000d)
+            .otherwise(col("l_quantity")).as("l_quantity"))
+        .unionByName(li.where(liIns).select(col("l_orderkey"),
+          (col("l_quantity") + 7d).as("l_quantity")))
+      graft.operators.Ivm.applyDeltaFullJoin(
+        graft.operators.Ivm.viewJoinFull(li, dims, Seq("o_orderpriority"),
+          "l_quantity"),
+        liDelta(li), dims, fin, Seq("o_orderpriority"), "l_quantity")
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"))
+    },
+    Some(s"""$liFinSql
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v,
+      |   min(v) AS min_v, max(v) AS max_v
+      | FROM fin JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
+  /** SNOWFLAKE leaf-dim delta
+    * ([[graft.operators.Ivm.applyDimDeltaSnowflake]]): the changed
+    * dimension sits TWO hops from the fact —
+    * `lineitem ⋈ orders ⋈ customer` rolled up to c_mktsegment, with the
+    * CDC delta arriving on CUSTOMER. A customer segment change re-keys
+    * the fact history of every line item of that customer's orders; the
+    * one-hop [[graft.operators.Ivm.applyDimDeltaJoin]] signature had no
+    * path for it (silent full recompute). The refresh prunes leaf-inward:
+    * orders is semi-joined down to the ~delta-many changed custkeys
+    * FIRST, so the fact pass inner-joins a delta-sized order slice —
+    * O(line items of the changed customers), never O(fact); IvmSpec pins
+    * it with a poisoned fact. Same U/D/I mix as the one-hop fixture:
+    * %50=7 customers move to a brand-new segment, %50=3 leave the join,
+    * %50=11 (absent from the initial view) adopt their orphaned history
+    * in. Oracle = post-CDC recompute through the full chain.
+    */
+  val qIvmSnowflakeDimDelta = Fixture(
+    "q_ivm_snowflake_dim_delta",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d)
+      val mids = Seq(ords -> Seq("l_orderkey" -> "o_orderkey"))
+      val view0 = graft.operators.Ivm.viewJoin(li,
+        mids :+ (cust.where(col("c_custkey") % 50 =!= 11)
+            .select("c_custkey", "c_mktsegment") ->
+          Seq("o_custkey" -> "c_custkey")),
+        Seq("c_mktsegment"), "l_quantity")
+      val delta = cust.where(col("c_custkey") % 50 === 7)
+        .select(col("c_custkey"), lit("U").as("op"),
+          col("c_mktsegment").as("old_c_mktsegment"),
+          lit("9-SPECIAL").as("new_c_mktsegment"))
+        .unionByName(cust.where(col("c_custkey") % 50 === 3)
+          .select(col("c_custkey"), lit("D").as("op"),
+            col("c_mktsegment").as("old_c_mktsegment"),
+            lit(null).cast("string").as("new_c_mktsegment")))
+        .unionByName(cust.where(col("c_custkey") % 50 === 11)
+          .select(col("c_custkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_c_mktsegment"),
+            col("c_mktsegment").as("new_c_mktsegment")))
+      graft.operators.Ivm.applyDimDeltaSnowflake(view0,
+          li.select("l_orderkey", "l_quantity"), mids, "o_custkey",
+          delta, "c_custkey", Seq("c_mktsegment"), "l_quantity")
+        .select(col("c_mktsegment"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"))
+    },
+    Some(s"""WITH dimf AS (
+      |   SELECT c_custkey, CASE WHEN c_custkey % 50 = 7 THEN '9-SPECIAL'
+      |       ELSE c_mktsegment END AS c_mktsegment
+      |   FROM customer WHERE c_custkey % 50 <> 3)
+      | SELECT c_mktsegment, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v
+      | FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN dimf ON o_custkey = c_custkey
+      | GROUP BY 1""".stripMargin))
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to
@@ -8423,6 +8517,7 @@ object PipelineQueries {
     qMvRewriteKmvDistinct, qMvRewriteKmvRollup, qMvIvmServe, qStreamMvServe,
     qIvmJoinRollup, qStreamMvJoinServe, qIvmJoinDimDelta, qStreamIvmDimDelta,
     qStreamIvmTwoWriters, qSampleQuantileStore,
+    qIvmJoinMinmax, qIvmSnowflakeDimDelta,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel)

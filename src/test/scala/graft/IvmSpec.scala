@@ -303,4 +303,133 @@ class IvmSpec extends SparkTestBase {
       .select("cnt", "sum_v", "min_v", "max_v").as[(Long, Long, Long, Long)].head()
     assert(z == ((1L, 5L, 5L, 5L)), s"new-group intra-batch delete: $z")
   }
+
+  test("full star rollup: fact-side delta maintains min/max; recompute pruned to broken groups") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 5L), (3L, 100L))
+      .toDF("fk", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("pk", "grp")
+    val dims = Seq(dim -> Seq("fk" -> "pk"))
+    // D breaks group y's min (removes one tied 5 — bound holds — then the
+    // other via U old 5 -> 50, which DOES break it); I improves x's max
+    val d = Seq(
+      (2L, "D", Option(5L), Option.empty[Long]),
+      (2L, "U", Option(5L), Option(50L)),
+      (1L, "I", Option.empty[Long], Option(25L))
+    ).toDF("fk", "op", "old_v", "new_v")
+    val afterFact = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 50L),
+      (3L, 100L)).toDF("fk", "v")
+    val view0 = Ivm.viewJoinFull(fact, dims, Seq("grp"), "v")
+    assertSameRows(
+      Ivm.applyDeltaFullJoin(view0, d, dims, afterFact, Seq("grp"), "v"),
+      Ivm.viewJoinFull(afterFact, dims, Seq("grp"), "v"))
+    // pruning, pinned behaviorally: x is UNBROKEN (insert-only improves
+    // its bounds algebraically) — poison every post-CDC fact row of x's
+    // dim keys; if the recompute arm read them the bounds would shift
+    val poisoned = afterFact.select(col("fk"),
+      when(col("fk") === 1L, col("v") + 100000L).otherwise(col("v")).as("v"))
+    assertSameRows(
+      Ivm.applyDeltaFullJoin(view0, d, dims, poisoned, Seq("grp"), "v"),
+      Ivm.viewJoinFull(afterFact, dims, Seq("grp"), "v"))
+    // structural: an unbroken-only delta (pure inserts) keeps the fact
+    // corpus out of the refresh plan entirely — the recompute arm's scan
+    // is behind the broken semi-join, but leaf presence is still worth
+    // pinning for the no-deletion fast path via the poisoned relation:
+    // with EVERY post-CDC row poisoned, insert-only maintenance must
+    // still be exact because no group recomputes
+    val insOnly = Seq((3L, "I", Option.empty[Long], Option(7L)))
+      .toDF("fk", "op", "old_v", "new_v")
+    val afterIns = fact.unionByName(Seq((3L, 7L)).toDF("fk", "v"))
+    val allPoison = afterIns.select(col("fk"), (col("v") + 100000L).as("v"))
+    assertSameRows(
+      Ivm.applyDeltaFullJoin(view0, insOnly, dims, allPoison, Seq("grp"), "v"),
+      Ivm.viewJoinFull(afterIns, dims, Seq("grp"), "v"))
+  }
+
+  test("snowflake leaf-dim delta: two-hop re-key/delete/adopt; untouched fact keys never read") {
+    // fact(fk, v) -> mid(mk, ck) -> leaf(pk, grp): the changed dim sits
+    // TWO hops from the fact, linked through mid.ck
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L))
+      .toDF("fk", "v")
+    val mid = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 30L))
+      .toDF("mk", "ck")
+    val leaf0 = Seq((10L, "x"), (20L, "y")).toDF("pk", "grp")
+    val mids = Seq(mid -> Seq("fk" -> "mk"))
+    val view0 = Ivm.viewJoin(fact,
+      mids :+ (leaf0 -> Seq("ck" -> "pk")), Seq("grp"), "v")
+    // U: customer 20 moves y->x (fact row fk=2 moves groups two hops
+    // away); D: none of 10's... instead D customer 10 would wipe x; use
+    // I: customer 30 appears (adopting fk=4's orphan row into new grp z)
+    val delta = Seq(
+      (20L, "U", Option("y"), Option("x")),
+      (30L, "I", Option.empty[String], Option("z"))
+    ).toDF("pk", "op", "old_grp", "new_grp")
+    val leafAfter = Seq((10L, "x"), (20L, "x"), (30L, "z")).toDF("pk", "grp")
+    val expected = Ivm.viewJoin(fact,
+      mids :+ (leafAfter -> Seq("ck" -> "pk")), Seq("grp"), "v")
+    assertSameRows(
+      Ivm.applyDimDeltaSnowflake(view0, fact, mids, "ck", delta, "pk",
+        Seq("grp"), "v"),
+      expected)
+    // pruning, pinned behaviorally: only customers 20 and 30 changed, so
+    // only fact rows of orders ck ∈ {20, 30} (fk 2 and 4) may be read —
+    // poison every other fact row's measure
+    val poisoned = fact.select(col("fk"),
+      when(col("fk").isin(2L, 4L), col("v"))
+        .otherwise(col("v") + 100000L).as("v"))
+    assertSameRows(
+      Ivm.applyDimDeltaSnowflake(view0, poisoned, mids, "ck", delta, "pk",
+        Seq("grp"), "v"),
+      expected)
+    // empty mids degenerates to the plain one-hop star arm
+    val starView = Ivm.viewJoin(fact, Seq(mid.toDF("mk", "grp2")
+      .select(col("mk").as("pk2"), col("grp2"))) .map(d =>
+        d -> Seq("fk" -> "pk2")), Seq("grp2"), "v")
+    val starDelta = Seq(
+      (1L, "U", Option(10L), Option(99L)),
+      (3L, "U", Option(10L), Option(99L))
+    ).toDF("pk2", "op", "old_grp2", "new_grp2")
+    val midAfter = Seq((1L, 99L), (2L, 20L), (3L, 99L), (4L, 30L))
+      .toDF("pk2", "grp2")
+    assertSameRows(
+      Ivm.applyDimDeltaSnowflake(starView, fact, Seq.empty, "fk",
+        starDelta, "pk2", Seq("grp2"), "v"),
+      Ivm.viewJoin(fact, Seq(midAfter -> Seq("fk" -> "pk2")),
+        Seq("grp2"), "v"))
+  }
+
+  test("dim-delta broadcast is size-guarded: over-threshold delta shuffles, same values") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("fk", "v")
+    val dim0 = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("pk", "grp")
+    val view0 = Ivm.viewJoin(fact, Seq(dim0 -> Seq("fk" -> "pk")),
+      Seq("grp"), "v")
+    val delta = Seq(
+      (2L, "U", Option("y"), Option("x")),
+      (3L, "D", Option("x"), Option.empty[String])
+    ).toDF("pk", "op", "old_grp", "new_grp")
+    val dimAfter = Seq((1L, "x"), (2L, "x")).toDF("pk", "grp")
+    val expected = Ivm.viewJoin(fact, Seq(dimAfter -> Seq("fk" -> "pk")),
+      Seq("grp"), "v")
+    // force the guard to trip (threshold 1 < 2 delta rows) and disable
+    // auto-broadcast so the dropped hint demonstrably lands on a shuffle
+    // join — the graceful-degradation path a bulk dim backfill takes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Ivm.applyDimDeltaJoin(view0, fact, "fk", delta, "pk",
+        Seq("grp"), "v", maxBroadcastRows = 1)
+      assertSameRows(out, expected)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-threshold delta must not broadcast:\n$plan")
+      // under the threshold the hint stays: broadcast even with
+      // auto-broadcast off
+      val hinted = Ivm.applyDimDeltaJoin(view0, fact, "fk", delta, "pk",
+        Seq("grp"), "v")
+      assertSameRows(hinted, expected)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "in-contract delta should keep the broadcast hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
