@@ -105,11 +105,31 @@ object MvRegistry {
       mvPath: String, fixed: Option[LogicalRelation],
       catalogAnchor: Option[String] = None)
 
+  /** A FREQUENCY view held as a Count-Min sketch store
+    * ([[graft.operators.Ivm.viewCms]]'s relational (keys…, r, c, cnt)
+    * layout): serves a query RE-STATING the sketch build —
+    * `Cms.build(base, subsetKeys, col(valueCol), depth, width)` — from
+    * the stored cells. Exact keys project; a SUBSET of the store's keys
+    * re-aggregates cell-wise (`sum(cnt)` by (keys, r, c)): the cell hash
+    * never involves the grouping keys, so summing a finer store's cells
+    * is bit-identical to the direct coarser build. Estimates composed
+    * downstream ([[graft.functions.Cms.pointEstimate]]'s min-over-rows
+    * probe) ride on the served relation unchanged. No exact-count arm
+    * exists: like the quantile store, the sketch IS the estimate, so
+    * serving never silently changes a query's answer class.
+    */
+  final case class CmsDef(name: String, basePathTail: String,
+      keys: Seq[String], valueCol: String, depth: Int, width: Int,
+      mvPath: String, fixed: Option[LogicalRelation],
+      catalogAnchor: Option[String] = None)
+
   private val views = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   private val kmvViews =
     new java.util.concurrent.ConcurrentHashMap[String, KmvDef]()
   private val qskViews =
     new java.util.concurrent.ConcurrentHashMap[String, QskDef]()
+  private val cmsViews =
+    new java.util.concurrent.ConcurrentHashMap[String, CmsDef]()
   // one analyzed relation per STORE PATH, tagged with its version: only
   // `_CURRENT` is ever served, so when a refresh advances the pointer the
   // superseded version's entry is dead by construction — keyed by path and
@@ -285,10 +305,42 @@ object MvRegistry {
     qskViews.values.asScala.toSeq
   }
 
+  /** Register a Count-Min sketch store ([[graft.operators.Ivm.viewCms]]
+    * output at `mvPath` — SnapshotLake root or plain parquet, like
+    * [[register]]) as the FREQUENCY view of `basePathTail` grouped by
+    * `keys` (or any subset — cells re-aggregate by sum) over `valueCol`
+    * at the given depth×width geometry. A query building a sketch with a
+    * different geometry, value column, or non-subset keys falls through
+    * to the original plan (the match is whole-plan canonical equality —
+    * see [[MvRewrite.tryCms]]).
+    */
+  def registerCms(spark: SparkSession, name: String, basePathTail: String,
+      keys: Seq[String], valueCol: String, depth: Int, width: Int,
+      mvPath: String): Unit = {
+    import graft.sources.SnapshotLake
+    require(depth > 0 && width > 0, "CMS geometry must be positive")
+    val versionedAt = SnapshotLake.currentVersion(mvPath)
+    val lr = analyzeRelation(spark,
+      versionedAt.map(v => SnapshotLake.versionPath(mvPath, v)).getOrElse(mvPath))
+    val have = lr.output.map(_.name).toSet
+    val need = keys ++ Seq("r", "c", "cnt")
+    require(need.forall(have), s"CMS store $mvPath lacks ${need.filterNot(have)}")
+    cmsViews.put(name, CmsDef(name, basePathTail, keys, valueCol, depth,
+      width, mvPath, if (versionedAt.isDefined) None else Some(lr),
+      catalogAnchorOf(spark, basePathTail)))
+    ()
+  }
+
+  def allCms: Seq[CmsDef] = {
+    import scala.jdk.CollectionConverters._
+    cmsViews.values.asScala.toSeq
+  }
+
   def deregister(name: String): Unit = {
     Option(views.remove(name)).foreach(mv => relCache.remove(mv.mvPath))
     Option(kmvViews.remove(name)).foreach(kv => relCache.remove(kv.mvPath))
     Option(qskViews.remove(name)).foreach(qv => relCache.remove(qv.mvPath))
+    Option(cmsViews.remove(name)).foreach(cv => relCache.remove(cv.mvPath))
   }
 
   /** Test hook: the number of cached analyzed relations — bounded by the
@@ -296,7 +348,7 @@ object MvRegistry {
     */
   private[graft] def relCacheSize: Int = relCache.size
   def isEmpty: Boolean =
-    views.isEmpty && kmvViews.isEmpty && qskViews.isEmpty
+    views.isEmpty && kmvViews.isEmpty && qskViews.isEmpty && cmsViews.isEmpty
   def all: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values.asScala.toSeq
@@ -307,11 +359,28 @@ object MvRegistry {
   }
 }
 
+/** Re-entrancy latch for [[MvRewrite.tryCms]]'s expected-plan
+  * construction: matching optimizes a REFERENCE `Cms.build` plan through
+  * the session's own optimizer — which includes this rule — so without
+  * the latch the reference plan could itself be rewritten to the store
+  * and never equal the query's corpus-shaped subtree.
+  */
+object MvRewrite {
+  private val inRule = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[plans] def reentrant: Boolean = inRule.get()
+  private[plans] def latched[T](body: => T): T = {
+    inRule.set(java.lang.Boolean.TRUE)
+    try body finally inRule.set(java.lang.Boolean.FALSE)
+  }
+}
+
 case class MvRewrite() extends Rule[LogicalPlan] {
   import MvRegistry._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvRegistry.isEmpty) plan
+    if (MvRegistry.isEmpty || MvRewrite.reentrant) plan
     else plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
@@ -391,7 +460,99 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         Some(agg.groupingExpressions.map(_.asInstanceOf[AttributeReference].name))
       else None
     keyNames.flatMap(keys => tryPlain(agg, keys).orElse(tryJoin(agg, keys))
-      .orElse(tryKmv(agg, keys)).orElse(tryQuantile(agg, keys)))
+      .orElse(tryKmv(agg, keys)).orElse(tryQuantile(agg, keys))
+      .orElse(tryCms(agg, keys)))
+  }
+
+  /** The CMS serving arm: a query RE-STATING a registered sketch's build
+    * — `Cms.build(base, keys', col(valueCol), depth, width)` for keys' ⊆
+    * store keys — reads the stored (keys…, r, c, cnt) cells instead of
+    * the corpus. Matching here is WHOLE-PLAN canonical equality: the
+    * build is not a single aggregate call but an explode → seeded-hash →
+    * group-count pipeline, so instead of pattern-matching its pieces, the
+    * rule rebuilds the reference plan over the query's OWN scan relation
+    * (same optimizer, [[MvRewrite.latched]] against re-entry) and
+    * compares `canonicalized` forms — structurally exhaustive (any
+    * deviation in geometry, hash seeds, value column, or key set makes
+    * the canonical forms differ) and immune to alias/exprId spelling.
+    * Serving: exact keys project the store; a proper subset re-aggregates
+    * `sum(cnt)` by (keys', r, c) — the cell hash never involves the
+    * grouping keys, so the rolled-up cells are bit-identical to the
+    * direct coarser build, and downstream estimate probes compose
+    * unchanged. Wrong geometry / value / keys falls through to the
+    * original plan, never a wrong answer.
+    */
+  private def tryCms(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] = {
+    if (MvRegistry.allCms.isEmpty) return None
+    // cheap structural gate before the expensive reference-plan build:
+    // grouping must end in the sketch's (r, c) cell coordinates
+    if (!keys.contains("r") || !keys.contains("c")) return None
+    val qKeys = keys.filterNot(k => k == "r" || k == "c")
+    val leaves = agg.collect { case lr: LogicalRelation => lr }
+    if (leaves.size != 1) return None
+    val lr = leaves.head
+    val spark = SparkSession.active
+    MvRegistry.allCms.iterator.flatMap { cv =>
+      if (!anchorMatches(lr, cv.basePathTail, cv.catalogAnchor) ||
+          !qKeys.toSet.subsetOf(cv.keys.toSet)) None
+      else {
+        // An ENCLOSING operator may have pushed inferred null-guards on
+        // the cell coordinates INTO the subtree (Cms.pointEstimate's
+        // (r, c) equi-join infers `isnotnull(c)` beneath the aggregate),
+        // so the reference plan is built in four spellings: bare, and
+        // with each subset of {r, c} null-guarded — a guard on a
+        // GROUPING column commutes with the rollup, so the served plan
+        // re-applies it to the store's own column. Any other filter
+        // (a value-column predicate, a user WHERE) matches no variant
+        // and falls through.
+        import org.apache.spark.sql.functions.{col => fcol}
+        val df = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, lr)
+        val variants: Seq[Seq[String]] =
+          Seq(Seq.empty, Seq("c"), Seq("r"), Seq("r", "c"))
+        val matched = variants.iterator.flatMap { guards =>
+          val ref = graft.functions.Cms.build(df, qKeys,
+            fcol(cv.valueCol), cv.depth, cv.width)
+          val guarded = guards.foldLeft(ref)((d, g) => d.where(fcol(g).isNotNull))
+          val expected =
+            MvRewrite.latched(guarded.queryExecution.optimizedPlan)
+          if (expected.canonicalized == agg.canonicalized) Some(guards)
+          else None
+        }.nextOption()
+        matched.flatMap { guards =>
+          val scan = MvRegistry.serveRelation(spark, cv.mvPath, cv.fixed)
+            .newInstance()
+          def mvAttr(n: String): Attribute = scan.output.find(_.name == n).get
+          val exact = qKeys.toSet == cv.keys.toSet
+          // canonical equality pins the output ORDER to the build's
+          // (keys'…, r, c, cnt), so serving maps store columns to the
+          // query's outputs positionally — alias spellings are free
+          val srcNames = qKeys ++ Seq("r", "c")
+          val pruned: LogicalPlan =
+            Project((srcNames :+ "cnt").map(mvAttr), scan)
+          val child: LogicalPlan = guards
+            .map(g => IsNotNull(mvAttr(g)): Expression)
+            .reduceOption(And).map(Filter(_, pruned)).getOrElse(pruned)
+          val plan: LogicalPlan =
+            if (exact) {
+              val outputs = agg.output.zip(srcNames :+ "cnt").map {
+                case (o, n) => Alias(mvAttr(n), o.name)(exprId = o.exprId)
+              }
+              Project(outputs, child)
+            } else {
+              val cell: Seq[Expression] = srcNames.map(mvAttr) :+
+                Sum(mvAttr("cnt")).toAggregateExpression()
+              val outputs = agg.output.zip(cell).map { case (o, e) =>
+                Alias(e, o.name)(exprId = o.exprId)
+              }
+              Aggregate(srcNames.map(mvAttr), outputs, child)
+            }
+          val ok = plan.output.zip(agg.output).forall { case (n, o) =>
+            n.dataType == o.dataType
+          }
+          if (ok) Some(plan) else None
+        }
+      }
+    }.nextOption()
   }
 
   private def tryPlain(agg: Aggregate, keys: Seq[String]): Option[LogicalPlan] =

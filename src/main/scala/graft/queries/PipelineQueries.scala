@@ -8240,6 +8240,73 @@ object PipelineQueries {
       |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
       |   FROM dd GROUP BY 1)""".stripMargin)))
 
+  /** Transparent CMS serving ([[graft.plans.MvRewrite]]'s tryCms arm) —
+    * the sketch family that could IVM-refresh ([[qIvmCmsFreq]]) but
+    * still paid the corpus scan on every approx-frequency dashboard: a
+    * query RE-STATING the sketch build (`Cms.build(lineitem, …)`) now
+    * reads the registered (keys, r, c, cnt) store instead. The match is
+    * whole-plan canonical equality against a reference build over the
+    * query's own scan (geometry, seeded hashes, value column all pinned
+    * structurally); the query here builds the GLOBAL sketch while the
+    * store is keyed by l_linestatus, so the serve path re-aggregates
+    * cells by sum — bit-identical because the cell hash never involves
+    * the keys — and the min-over-rows probe composes on top unchanged.
+    * REQUIREd: the store is the plan's only parquet leaf (the corpus is
+    * gone). Oracle rebuilds cells, rollup, and probe from lineitem.
+    */
+  val qMvRewriteCmsFreq = Fixture(
+    "q_mv_rewrite_cms_freq",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.Cms
+      import graft.plans.{MvRewrite, MvRegistry}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val (depth, width) = (4, 8)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_cmsmv_$h"
+      FixtureOnce(s"graft_cmsmv_$h") {
+        graft.operators.Ivm.viewCms(Tables.lineitem(s, d),
+            Seq("l_linestatus"), "l_returnflag", depth, width)
+          .write.mode("overwrite").parquet(mvPath)
+      }
+      val name = s"li_cms_$h"
+      MvRegistry.registerCms(s, name, s"$d/lineitem.parquet",
+        Seq("l_linestatus"), "l_returnflag", depth, width, mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val vocab = Seq("A", "N", "R", "ZZ-ABSENT")
+        val served = Cms.pointEstimate(
+          Cms.build(Tables.lineitem(s, d), Seq.empty, col("l_returnflag"),
+            depth, width),
+          vocab.toDF("term"), "term", depth, width)
+        val leaves = served.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_cmsmv"),
+          s"frequency probe must serve from the CMS store alone; got " +
+            leaves.mkString(", "))
+        served.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+      | cm AS (SELECT r, ${h64("l_returnflag || '#' || r::VARCHAR")} % 8 AS c,
+      |          count(*) AS cnt
+      |        FROM lineitem CROSS JOIN rs GROUP BY 1, 2),
+      | pv AS (SELECT unnest(['A', 'N', 'R', 'ZZ-ABSENT']) AS term),
+      | pb AS (SELECT term, r, ${h64("term || '#' || r::VARCHAR")} % 8 AS c
+      |        FROM pv CROSS JOIN rs)
+      | SELECT term, min(coalesce(cm.cnt, 0)) AS est
+      | FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
+      | GROUP BY 1""".stripMargin))
+
   /** FUNNEL ANALYSIS ([[graft.operators.Funnel]]): the
     * view → click → purchase conversion funnel over the events table,
     * 1-day window, greedy-from-first-anchor semantics — per user ONE
@@ -8520,5 +8587,6 @@ object PipelineQueries {
     qIvmJoinMinmax, qIvmSnowflakeDimDelta,
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
-    qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel)
+    qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
+    qMvRewriteCmsFreq)
 }

@@ -891,4 +891,70 @@ class MvRewriteSpec extends SparkTestBase {
     val q = paths.groupBy("g1", "g2").agg(sum(col("v")).as("s"))
     assert(!scanPaths(q).exists(_.contains("mv_view")))
   }
+
+  test("CMS store serves re-stated sketch builds; geometry/value/key guards hold") {
+    import graft.functions.Cms
+    val parent = freshDir("mv_cms")
+    (1 to 600).map(i => (s"g${i % 3}", s"x${i % 5}", s"v${i % 23}"))
+      .toDF("g1", "g2", "s")
+      .write.parquet(s"$parent/base")
+    val base = spark.read.parquet(s"$parent/base")
+    val (depth, width) = (4, 16)
+    graft.operators.Ivm.viewCms(base, Seq("g1"), "s", depth, width)
+      .write.parquet(s"$parent/store")
+    MvRegistry.registerCms(spark, "mv_cms", s"$parent/base", Seq("g1"), "s",
+      depth, width, s"$parent/store")
+    val prev = spark.experimental.extraOptimizations
+    def ruleOff[T](body: => T): T = {
+      spark.experimental.extraOptimizations = prev
+      try body
+      finally spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    }
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.toSeq.init.mkString("|") -> r.getLong(r.length - 1))
+        .sortBy(_._1).toSeq
+      // exact keys: a re-stated build projects the store, base gone
+      val exact = Cms.build(base, Seq("g1"), col("s"), depth, width)
+      assert(scanPaths(exact).exists(_.contains("/store")) &&
+        !scanPaths(exact).exists(_.contains("/base")),
+        s"exact-key build must serve from the store: ${scanPaths(exact)}")
+      assert(cells(exact) ==
+        ruleOff(cells(Cms.build(base, Seq("g1"), col("s"), depth, width))))
+      // subset (here: global) keys: cells re-aggregate by sum — equal to
+      // the direct coarser build bit-for-bit
+      val global = Cms.build(base, Seq.empty, col("s"), depth, width)
+      assert(scanPaths(global).exists(_.contains("/store")) &&
+        !scanPaths(global).exists(_.contains("/base")),
+        s"global build must roll up from the store: ${scanPaths(global)}")
+      assert(cells(global) ==
+        ruleOff(cells(Cms.build(base, Seq.empty, col("s"), depth, width))))
+      // a downstream estimate probe composes on the served relation
+      val terms = Seq("v1", "v7", "zzz").toDF("term")
+      val est = Cms.pointEstimate(
+        Cms.build(base, Seq.empty, col("s"), depth, width),
+        terms, "term", depth, width)
+      assert(!scanPaths(est).exists(_.contains("/base")),
+        s"estimate over a served build must not scan the base: ${scanPaths(est)}")
+      val servedEst = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val directEst = ruleOff(Cms.pointEstimate(
+        Cms.build(base, Seq.empty, col("s"), depth, width),
+        terms, "term", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      assert(servedEst == directEst, s"$servedEst vs $directEst")
+      // guards: different geometry, different value column, and a
+      // grouping key the store does not carry all fall through
+      for ((label, q) <- Seq(
+        "width" -> Cms.build(base, Seq("g1"), col("s"), depth, 8),
+        "depth" -> Cms.build(base, Seq("g1"), col("s"), 2, width),
+        "value" -> Cms.build(base, Seq("g1"), col("g2"), depth, width),
+        "keys" -> Cms.build(base, Seq("g2"), col("s"), depth, width)))
+        assert(!scanPaths(q).exists(_.contains("/store")),
+          s"$label mismatch must fall through to the base")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_cms")
+    }
+  }
 }
