@@ -113,9 +113,41 @@ object Bench {
     // band is a real plan change and one inside it is pressure/noise —
     // attributable without leaving the artifact (the stream block's
     // min/median/max discipline applied per-query to the batch side).
+    // Isolated set = (N slowest) ∪ (every round-over-round DRIFTER): the
+    // slowest-only selection left exactly the queries that needed
+    // adjudication without a spread — r15's two biggest drifters
+    // (q_source_overlap 1.39×, q_dedup_simhash 1.25×) sat mid-pack and
+    // had to be re-measured manually in fresh JVMs. The previous round's
+    // interleaved medians ride in the repo as bench_last.json (written at
+    // the END of each run, so at startup it still holds LAST round's
+    // artifact); any query now >1.2× its prior time carries its own
+    // [min, med, max] spread in this artifact automatically.
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
-    val isolatedSamples = results.toSeq.sortBy(-_._2).take(isoN)
-      .map { case (name, _) =>
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // the artifact is one flat JSON line; "queries" is its first
+        // object-valued key, closed by the first '}' after it. Only a
+        // SAME-SF artifact is comparable: a local smoke at another scale
+        // factor must not flag the whole gate as drifted (which would
+        // re-measure every query ×3 in the isolated block).
+        val parts = txt.split("\"queries\":\\{", 2)
+        if (parts.length < 2 ||
+            !txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else "\"([^\"]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(parts(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val drifters = results.collect {
+      case (name, t) if prevTimes.get(name).exists(p => p > 0 && t > 1.2 * p) =>
+        name
+    }.toSet
+    val isolatedNames = (results.toSeq.sortBy(-_._2).take(isoN).map(_._1) ++
+      drifters).distinct
+    val isolatedSamples = isolatedNames
+      .map { name =>
         val fn = SparkEntry.queries(name)
         val ts = (1 to 3).map(_ => once(name, fn)).filter(_ >= 0).sorted
         name -> ts
@@ -204,8 +236,13 @@ object Bench {
     val runsJson = runs.map(r =>
       s"""{"tps":${r.tps},"p50":${r.p50},"p95":${r.p95},"p99":${r.p99}}""")
       .mkString("[", ",", "]")
+    // drifter names ride in the artifact so a reader can tell which
+    // isolated entries were pulled in by the >1.2× rule vs slowest-N
+    val driftJson = drifters.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread,$streamKeys""" +
+      s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread""" +
+      s""","drifters":$driftJson,$streamKeys""" +
       s""","stream_trend":$runsJson,"sf":"$sfDir"}"""
     // Capture-proofing, round-10 form. The driver keeps only the LAST 2000
     // chars of stdout (measured from BENCH_r08/r09, both of which lost the

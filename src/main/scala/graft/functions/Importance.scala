@@ -81,7 +81,7 @@ object Importance {
     docs
       // stage the token array once: it feeds both the fold and the count,
       // and HOF arguments get no CSE (same staging rationale as
-      // PipelineQueries.qEmbedQuantize)
+      // RetrievalQueries.qEmbedQuantize)
       .withColumn("__ws", toks(col(textCol)))
       .withColumn("__lw6", aggregate(col("__ws"), lit(0L),
         (acc, w) => acc + element_at(model, bucketOf(w, m) + 1)))

@@ -28,6 +28,23 @@ object Upsert {
     lake.join(batch.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(batch)
 
+  /** Full I/U/D row-level CDC fold: `batch` carries the key, an `op`
+    * column (I/U/D, non-null — anything else fails loudly), and the
+    * POST-IMAGE of every lake column for I/U rows. Every touched key is
+    * dropped from the lake (one anti-join), then the I/U post-images are
+    * re-added — deletes are the rows that simply don't come back. Same
+    * one-anti-join + union scale shape as [[mergeByKey]]; the batch must
+    * be unique per key (compact multi-event batches first).
+    */
+  def applyCdc(lake: DataFrame, batch: DataFrame, key: String): DataFrame = {
+    require(batch.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "CDC batches are I/U/D with non-null op")
+    lake.join(batch.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(batch.where(col("op") =!= "D").drop("op")
+        .select(lake.columns.map(col): _*))
+  }
+
   /** Multi-row batches (e.g. a day of CDC events) reduce to the
     * max-`versionCol` row per key first — a partial-aggregating max_by,
     * not a window sort.

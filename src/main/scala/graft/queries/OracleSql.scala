@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.operators.Quant
+
+/** Shared DuckDB oracle fragments: cross-engine-identical primitives
+  * (the md5-prefix hash64, whitespace tokenization, distinct 3-word
+  * shingles, 0.0-seeded left-fold dot products, floor-quantization via
+  * [[graft.operators.Quant]]) every per-tier fixture file mirrors its
+  * Spark computation with.
+  */
+private[queries] object OracleSql {
+  // ---- shared DuckDB fragments -------------------------------------------
+
+  /** DuckDB mirror of TextFunctions.hash64. */
+  def h64(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  def q4(x: String) = Quant.sql(x)
+  val wordsSql = "string_split_regex(trim(text), '\\s+')"
+  /** Distinct 3-word shingles (mirror of TextFunctions.shingles(_, 3)). */
+  val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')))"
+  /** 0.0-seeded sequential fold — bit-identical to functions.aggregate. */
+  def foldSum(listExpr: String) =
+    s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
+  def dotSql(a: String, b: String) =
+    foldSum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+
+  /** Exact pairwise n-gram Jaccard pairs at a threshold — the declarative
+    * ground truth both the inverted-index and the MinHash+LSH operators must
+    * reproduce.
+    */
+  def jaccardOracle(minJ: String): String =
+    s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
+      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
+      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
+      | p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
+      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4)
+      | SELECT doc_a, doc_b, jac FROM
+      |   (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
+      | WHERE jac >= $minJ""".stripMargin
+
+}

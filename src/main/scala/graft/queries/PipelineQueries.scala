@@ -1,8538 +1,21 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.dedup.Dedup
-import graft.functions.{Privacy, TextFunctions}
-import graft.multimodal.Multimodal
-import graft.operators.{Funnel, Quant}
-import graft.similarity.Ann
+import CorpusQueries._
+import RetrievalQueries._
+import CrawlQueries._
+import SketchQueries._
+import MvQueries._
 
-/** Training-data pipeline fixtures over `documents` / `embeddings`: dedup
-  * (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
-  * similarity search (brute-force + bucketed ANN), text analysis, and the
-  * multimodal plumbing. Every oracle mirrors the Spark computation with
-  * cross-engine-identical primitives: the md5-prefix hash64, 0.0-seeded
-  * left-fold dot products, and floor-quantization (see operators.Quant).
+/** Training-data pipeline fixtures over `documents` / `embeddings` /
+  * the TPC-H-ish tables — the registration list the driver contract
+  * reads. The fixtures themselves live in per-tier files
+  * ([[CorpusQueries]], [[RetrievalQueries]], [[CrawlQueries]],
+  * [[SketchQueries]], [[MvQueries]]) with shared DuckDB fragments in
+  * [[OracleSql]]; every oracle mirrors its Spark computation with
+  * cross-engine-identical primitives (md5-prefix hash64, 0.0-seeded
+  * left-fold dot products, floor-quantization — see operators.Quant).
   */
 object PipelineQueries {
-
-  // ---- shared DuckDB fragments -------------------------------------------
-
-  /** DuckDB mirror of TextFunctions.hash64. */
-  private def h64(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
-  private def q4(x: String) = Quant.sql(x)
-  private val wordsSql = "string_split_regex(trim(text), '\\s+')"
-  /** Distinct 3-word shingles (mirror of TextFunctions.shingles(_, 3)). */
-  private val shinglesSql =
-    s"list_distinct(list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')))"
-  /** 0.0-seeded sequential fold — bit-identical to functions.aggregate. */
-  private def foldSum(listExpr: String) =
-    s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
-  private def dotSql(a: String, b: String) =
-    foldSum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
-
-  /** Exact pairwise n-gram Jaccard pairs at a threshold — the declarative
-    * ground truth both the inverted-index and the MinHash+LSH operators must
-    * reproduce.
-    */
-  private def jaccardOracle(minJ: String): String =
-    s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
-      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
-      | p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
-      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2, 3, 4)
-      | SELECT doc_a, doc_b, jac FROM
-      |   (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
-      | WHERE jac >= $minJ""".stripMargin
-
-  // ---- text analysis ------------------------------------------------------
-
-  /** Token counting (whitespace + BPE-ish regex) and quality scoring. */
-  val qTextStats = Fixture(
-    "q_text_stats",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
-      TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"),
-      Quant.q4(TextFunctions.qualityScore(col("text"))).as("quality")),
-    Some(s"""WITH t AS (SELECT doc_id, text,
-      |   len($wordsSql)::DOUBLE AS n_tok,
-      |   length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
-      | FROM documents)
-      | SELECT doc_id, n_tok::BIGINT AS n_tok_ws, n_bpe::BIGINT AS n_tok_bpe,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
-      | FROM t""".stripMargin))
-
-  /** Heuristic language-ID (stopword-family argmax). */
-  val qLangId = Fixture(
-    "q_lang_id",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      TextFunctions.langId(col("text")).as("lang_pred")),
-    Some("""WITH c AS (SELECT doc_id,
-      |   len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
-      |   len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS es,
-      |   len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
-      |   len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr
-      | FROM documents)
-      | SELECT doc_id, CASE
-      |   WHEN en + es + de + fr = 0 THEN 'und'
-      |   WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-      |   WHEN es >= de AND es >= fr THEN 'es'
-      |   WHEN de >= fr THEN 'de'
-      |   ELSE 'fr' END AS lang_pred
-      | FROM c""".stripMargin))
-
-  /** Document fingerprinting (md5 + 64-bit of normalized text). */
-  val qFingerprint = Fixture(
-    "q_fingerprint",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      TextFunctions.fingerprintMd5(col("text")).as("fp"),
-      TextFunctions.fingerprint64(col("text")).as("fp64")),
-    Some(s"""SELECT doc_id,
-      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-      |   ${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp64
-      | FROM documents""".stripMargin))
-
-  // ---- dedup --------------------------------------------------------------
-
-  val qDedupExact = Fixture(
-    "q_dedup_exact",
-    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
-    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-      |   min(doc_id) AS keeper_id, count(*) AS n_copies
-      | FROM documents GROUP BY 1""".stripMargin))
-
-  /** Streaming exact dedup under the batch oracle: the documents table is
-    * replayed as four event-time-ordered micro-batches through
-    * [[graft.streaming.StreamingDedup.firstSeen]] (watermark delay covers
-    * the whole replay horizon, so no state evicts mid-run), and the kept
-    * set's fingerprints must equal the batch distinct-fingerprint relation.
-    * The driver-side collect feeds the REPLAY only (test-harness pattern,
-    * same as StreamBench) — the operator under test shuffles by fingerprint
-    * and holds one state row per distinct fp, exactly the ingest shape.
-    * Output is the fp SET, not the winning doc ids: which copy wins inside
-    * one micro-batch is parallelism-dependent; the kept set is not.
-    */
-  val qDedupStreamFirstSeen = Fixture(
-    "q_dedup_stream_first_seen",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.documents(s, d)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      // +1s: the initial watermark is epoch 0, and a row AT the watermark is
-      // already late — doc_id 0 at timestamp_micros(0) would be dropped
-      val stream = ms.toDF().toDF("doc_id", "text")
-        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
-      val deduped = graft.streaming.StreamingDedup
-        .firstSeen(stream, "text", "ts", "1 hour")
-        .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
-      // unique sink name: attempts in the same session (Explain/Bench loops)
-      // must not collide on the memory-sink registration
-      val sink = s"stream_first_seen_${System.nanoTime}"
-      // state partitions sized to the replay, restored after — same
-      // rationale as ReferenceQueries.replayEvents
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = deduped.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-      | FROM documents""".stripMargin))
-
-  /** Streaming NEAR-dup dedup under the batch oracle: the documents replay
-    * in doc_id order through [[graft.streaming.StreamingMinhashDedup]]'s
-    * PRODUCTION form — doc-id-only band buckets (capped), a doc-keyed
-    * shingle store, exact-Jaccard verification in the arriving doc's own
-    * micro-batch, and watermark-TTL eviction on every stage (the synthetic
-    * event time is doc_id µs past epoch+1 s; the 1 h horizon covers the
-    * whole replay, so nothing evicts mid-run and the kept set must equal
-    * "documents minus the doc_b side of the exact pairwise τ = 0.8
-    * relation" — the monotone first-seen contract, computed
-    * pairwise-exactly by DuckDB). LSH recall at τ = 0.8 is 1−4e−8 per pair
-    * (the same bound q_dedup_minhash_lsh banks on), so the sets coincide.
-    */
-  val qDedupStreamMinhash = Fixture(
-    "q_dedup_stream_minhash",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.documents(s, d)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      // +1s: the initial watermark is epoch 0, and a row AT the watermark
-      // is already late (same convention as q_dedup_stream_first_seen)
-      // spread the replay across cores BEFORE the signature projection: a
-      // MemoryStream addData block is ONE partition, which would run the
-      // whole 128-hash MinHash family single-threaded (a real source's
-      // scan splits provide this parallelism for free)
-      val stream = ms.toDF().repartition(16).toDF("doc_id", "text")
-        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
-      val kept = graft.streaming.StreamingMinhashDedup
-        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8,
-          tsCol = Some("ts"), horizon = "1 hour")
-        .toDF("doc_id")
-      val sink = s"stream_minhash_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val prevCheck = s.conf
-        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // chained watermarked stateful stages trip Spark's global-watermark
-      // heuristic; sound here — see StreamingMinhashDedup's scaladoc
-      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = kept.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          // 2 replay chunks (not 4): the contract needs cross-batch state,
-          // a mid-stream watermark advance, and timer eviction — all
-          // present at 2 batches — while every extra micro-batch costs a
-          // fixed pass through FOUR chained stateful stages; this fixture
-          // is the correctness gate, StreamBench owns the throughput signal
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prevCheck)
-      }
-      s.table(sink)
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
-      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
-      | p AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
-      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2, 3, 4),
-      | d AS (SELECT DISTINCT doc_b FROM
-      |        (SELECT doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
-      |       WHERE jac >= 0.8)
-      | SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM d)""".stripMargin))
-
-  /** The SAME streaming near-dup pipeline replayed from a FILE SOURCE
-    * ([[graft.streaming.FileReplay]]) instead of MemoryStream — the
-    * landing-zone shape a production crawl actually has, and the replay
-    * harness that scales: a MemoryStream is fed by the driver one block
-    * at a time (single-threaded at any data size), while a file source
-    * hands every micro-batch one scan split per file, so the 128-hash
-    * signature computation parallelizes exactly as it would over a real
-    * ingest directory. 32 staged files at 16 per trigger = the same
-    * 2-ordered-chunk replay (cross-batch state, mid-stream watermark
-    * advance) the MemoryStream fixture constructs driver-side. Oracle
-    * unchanged: the feed mechanism must be invisible in the kept set.
-    */
-  val qDedupStreamMinhashFiles = Fixture(
-    "q_dedup_stream_minhash_files",
-    (s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_replay_minhash_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      graft.streaming.FileReplay.stageOrdered(
-        Tables.documents(s, d)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
-        dir, "doc_id", 32)
-      val stream = s.readStream
-        .schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", "16")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
-      val kept = graft.streaming.StreamingMinhashDedup
-        .firstSeen(s, stream, "doc_id", "text", n = 3, minJ = 0.8,
-          tsCol = Some("ts"), horizon = "1 hour")
-        .toDF("doc_id")
-      val sink = s"stream_minhash_files_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val prevCheck = s.conf
-        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-      // 16 (not the MemoryStream fixtures' 4): this variant exists to
-      // measure OPERATOR state at scale, and the four chained stateful
-      // stages parallelize by state partition — results are partition-
-      // count-invariant (key-hash routing), only the wall clock moves
-      s.conf.set("spark.sql.shuffle.partitions", "16")
-      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = kept.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prevCheck)
-      }
-      s.table(sink)
-    },
-    qDedupStreamMinhash.oracle)
-
-  /** Inverted-index exact n-gram Jaccard near-dup pairs (τ = 0.5). */
-  val qDedupNgram = Fixture(
-    "q_dedup_ngram_jaccard",
-    (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5),
-    Some(jaccardOracle("0.5")))
-
-  /** Exact-substring duplication pairs ([[Dedup.substringPairs]], w = 8):
-    * doc pairs sharing ≥ 1 run of 8 consecutive tokens, with shared-gram
-    * counts and per-side duplicated fractions. Oracle replays the identical
-    * distinct-8-gram inverted index in SQL (gram strings where Spark joins
-    * their xxhash64s — a collision would perturb one count, P ≈ 2⁻⁶⁵·|sh|²,
-    * the documented shingledHashed contract). maxDf stays at the default:
-    * nothing in the fixture corpus is boilerplate-hot, so the cap is
-    * exercised by SubstringDedupSpec's adversarial corpus instead.
-    */
-  val qDedupSubstring = Fixture(
-    "q_dedup_substring",
-    (s, d) => Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text", 8),
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | g AS (SELECT doc_id, list_distinct(list_transform(
-      |          generate_series(1, len(w) - 7),
-      |          i -> array_to_string(w[i:i+7], ' '))) AS gs
-      |       FROM w0 WHERE len(w) >= 8),
-      | e AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS s FROM g),
-      | hot AS (SELECT s FROM e GROUP BY s HAVING count(*) > 1000),
-      | cold AS (SELECT * FROM e WHERE s NOT IN (SELECT s FROM hot)),
-      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         a.n AS na, b.n AS nb
-      |       FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id)
-      | SELECT doc_a, doc_b, count(*) AS n_shared,
-      |   ${q4("count(*) / max(na)")} AS frac_a,
-      |   ${q4("count(*) / max(nb)")} AS frac_b
-      | FROM p GROUP BY 1, 2""".stripMargin))
-
-  /** MinHash(128) + LSH(32×4) candidates, exact-Jaccard-verified (τ = 0.8).
-    * Oracle is the full pairwise ground truth: LSH recall at τ=0.8 is
-    * 1−(1−0.8⁴)³² ≈ 1−4e−8 per pair, so the outputs must coincide.
-    */
-  val qDedupMinhash = Fixture(
-    "q_dedup_minhash_lsh",
-    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8),
-    Some(jaccardOracle("0.8")))
-
-  /** The same near-dup components through O(diameter) MIN-LABEL propagation
-    * ([[Dedup.clusters]]) — the small-graph variant kept alongside the
-    * default logarithmic path of [[qDedupClusters]]. Min-label does fewer,
-    * cheaper passes when components are tiny cliques (the common near-dup
-    * shape), but a chain-shaped duplicate family (page-revision chains)
-    * costs rounds equal to the chain length, so the composite fixtures
-    * default to large-star/small-star. Identical output contract, so the
-    * recursive-CTE oracle of [[qDedupClusters]] is reused verbatim;
-    * LsssSpec pins the round-count separation on a path graph.
-    */
-  // lazy: reuses qDedupClusters.oracle, which is declared further down —
-  // an eager val here would read null during object init
-  lazy val qDedupClustersMinLabel = Fixture(
-    "q_dedup_clusters_minlabel",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.clusters(docs, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
-    },
-    qDedupClusters.oracle)
-
-  /** Incremental near-dup against the PERSISTED MinHash band index
-    * ([[Dedup.minhashWriteIndex]] / [[Dedup.minhashProbeIndex]]): the even
-    * docs are the indexed lake, the odd docs the day's crawl; the probe
-    * never re-scans the corpus — candidates come from the stored band
-    * table (bucketed on bk, no index-side exchange) and verification joins
-    * the stored shingle table. Oracle: exact cross-parity Jaccard pairs at
-    * the same threshold — the near-dup analog of `q_dedup_incremental`'s
-    * crawl-vs-lake posture, and recall 1 on this corpus like
-    * `q_dedup_minhash_lsh`.
-    */
-  val qDedupIndexProbe = Fixture(
-    "q_dedup_index_probe",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val tbl = "mh_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_mhidx/$tbl"
-      Dedup.minhashWriteIndex(docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", 3, tbl, path, 8)
-      Dedup.minhashProbeIndex(s, docs.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", 3, 0.8, tbl)
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
-      | e AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
-      | p AS (SELECT a.doc_id AS corpus_id, a.n AS na,
-      |         b.doc_id AS new_id, b.n AS nb, count(*) AS inter
-      |       FROM e a JOIN e b ON a.sg = b.sg
-      |         AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-      |       GROUP BY 1, 2, 3, 4)
-      | SELECT new_id, corpus_id, jac FROM
-      |   (SELECT new_id, corpus_id, ${q4("inter / (na + nb - inter)")} AS jac FROM p)
-      | WHERE jac >= 0.8""".stripMargin))
-
-  /** SimHash(60-bit) near-dup pairs, Hamming ≤ 3, chunk-banding (exact by
-    * pigeonhole: 4 chunks × 15 bits). Oracle: all-pairs Hamming on
-    * identically-computed SimHash.
-    *
-    * maxHam was 7 through round 2; measured at sf0.1 that made 32 % of ALL
-    * doc pairs "near-dups" (4.04 M pairs from 5 000 docs) — a quadratic
-    * output no plan shape can save, and narrow chunk keys saturate fast. At
-    * maxHam 3 over the 60-bit fingerprint the 15-bit chunk keys hold to
-    * |docs| ≈ 2¹⁵ per shuffle bucket and the output is near-linear.
-    */
-  val qDedupSimhash = Fixture(
-    "q_dedup_simhash",
-    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
-      .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham")),
-    Some {
-      val bitSums = (0 until Dedup.SimhashBits)
-        .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(", ")
-      val assemble = (0 until Dedup.SimhashBits)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
-        | h AS (SELECT doc_id, ${h64("w")} AS hv FROM wd),
-        | s AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
-        | sh AS (SELECT doc_id, ($assemble)::BIGINT AS sim FROM s)
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   bit_count(xor(a.sim, b.sim))::BIGINT AS ham
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
-    })
-
-  /** Near-dup clustering: connected components over the τ=0.8 Jaccard pairs;
-    * every doc labeled with its component's minimum doc id (canonical
-    * keeper). DEFAULTS to the logarithmic-round large-star/small-star
-    * contraction ([[Dedup.clustersLsss]], Kiveris et al. SoCC 2014) — the
-    * composition a user should copy at 100 TB, where min-label's
-    * O(diameter) rounds lose on chain-shaped duplicate families; the
-    * min-label variant is covered by [[qDedupClustersMinLabel]].
-    * Oracle: recursive-CTE transitive closure.
-    */
-  val qDedupClusters = Fixture(
-    "q_dedup_clusters",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.clustersLsss(docs, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
-    },
-    Some(s"""WITH RECURSIVE
-      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
-      | ex AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
-      | pr AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
-      |        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-      | p AS (SELECT doc_a, doc_b FROM
-      |         (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM pr)
-      |       WHERE jac >= 0.8),
-      | e(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
-      | reach(a, b) AS (SELECT a, b FROM e
-      |   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-      | lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS cluster
-      |         FROM documents d LEFT JOIN reach ON reach.a = d.doc_id GROUP BY d.doc_id)
-      | SELECT doc_id, cluster FROM lab""".stripMargin))
-
-  /** The dedup pipeline's END PRODUCT: one keeper per near-dup cluster,
-    * chosen by quality (ties to the smaller doc_id), with the member count —
-    * what actually ships to training after near-dup detection. Composition
-    * of [[Dedup.clustersLsss]] (the log-round scale path) over the
-    * MinHash+LSH pairs with a quality argmax: the argmax is
-    * `max(struct(quality, −doc_id))` inside the per-cluster
-    * aggregate — fieldwise struct ordering, no per-cluster sort, map-side
-    * partials. Oracle: the recursive-CTE closure of [[qDedupClusters]]
-    * extended with a (quality DESC, doc_id) row_number.
-    */
-  val qDedupKeepers = Fixture(
-    "q_dedup_keepers",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val clusters = Dedup.clustersLsss(docs, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8))
-      val scored = docs.select(col("doc_id"),
-        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
-      clusters.join(scored, "doc_id")
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
-        .select(col("cluster"), (-col("best.nid")).as("keeper_id"),
-          col("n_members"), col("best.q").as("best_q"))
-    },
-    Some(s"""WITH RECURSIVE
-      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0),
-      | ex AS (SELECT doc_id, n, unnest(s) AS sg FROM f),
-      | pr AS (SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb, count(*) AS inter
-      |        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-      | p AS (SELECT doc_a, doc_b FROM
-      |         (SELECT doc_a, doc_b, ${q4("inter / (na + nb - inter)")} AS jac FROM pr)
-      |       WHERE jac >= 0.8),
-      | e(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
-      | reach(a, b) AS (SELECT a, b FROM e
-      |   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-      | lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS cluster
-      |         FROM documents d LEFT JOIN reach ON reach.a = d.doc_id GROUP BY d.doc_id),
-      | q0 AS (SELECT doc_id,
-      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
-      | FROM documents),
-      | qs AS (SELECT doc_id,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
-      | FROM q0),
-      | m AS (SELECT lab.cluster, lab.doc_id, qs.q,
-      |   row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn,
-      |   count(*) OVER (PARTITION BY cluster) AS n_members
-      | FROM lab JOIN qs USING (doc_id))
-      | SELECT cluster, doc_id AS keeper_id, n_members, q AS best_q
-      | FROM m WHERE rn = 1""".stripMargin))
-
-  /** Paragraph-level exact dedup ([[Dedup.dedupParagraphs]], the
-    * RefinedWeb/Dolma sub-document granularity): boilerplate repeats across
-    * otherwise-distinct pages, so whole-document fingerprints never see it.
-    * Paragraphs here are 10-word windows (the synthetic corpus has no
-    * newline structure — same derivation convention as `q_chunk_docs`);
-    * the corpus-wide first occurrence of each paragraph survives, later
-    * copies are dropped, and each document is reassembled from its
-    * surviving paragraphs in original order (151 drops at sf0.01). Oracle
-    * mirrors the keep/reassemble contract with a row_number over the
-    * paragraph partition and an ordered FILTERed string_agg.
-    */
-  val qDedupParagraph = Fixture(
-    "q_dedup_paragraph",
-    (s, d) => {
-      val paras = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("pos", explode(sequence(lit(0L), expr("(n_tok + 9) div 10 - 1"))))
-        .select(col("doc_id"), col("pos"),
-          array_join(slice(col("w"), (col("pos") * 10L + 1L).cast("int"), lit(10)),
-            " ").as("para"))
-      Dedup.dedupParagraphs(paras, "doc_id", "pos", "para")
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tok FROM w0),
-      | p AS (SELECT doc_id, w,
-      |         unnest(generate_series(0, (n_tok + 9) // 10 - 1)) AS pos FROM n),
-      | t AS (SELECT doc_id, pos,
-      |         array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS para FROM p),
-      | r AS (SELECT doc_id, pos, para,
-      |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-      |       FROM t)
-      | SELECT doc_id,
-      |   coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
-      |     AS text_deduped,
-      |   count(*) FILTER (WHERE rn = 1) AS n_kept,
-      |   count(*) FILTER (WHERE rn > 1) AS n_dropped
-      | FROM r GROUP BY doc_id""".stripMargin))
-
-  /** Embedding-cosine near-dup pairs within a coarse partition (label). */
-  val qDedupEmbed = Fixture(
-    "q_dedup_embed_cosine",
-    (s, d) => Ann.nearDupPairs(Tables.embeddings(s, d), "label", 0.4),
-    Some(s"""WITH e AS (SELECT vec_id, label,
-      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      | p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
-      |         ${dotSql("a.v", "b.v")} AS ab,
-      |         ${dotSql("a.v", "a.v")} AS aa,
-      |         ${dotSql("b.v", "b.v")} AS bb
-      |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      | SELECT vid_a, vid_b, cos FROM
-      |   (SELECT vid_a, vid_b, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p)
-      | WHERE cos >= 0.4""".stripMargin))
-
-  /** STREAMING embedding near-dup dedup
-    * (streaming/StreamingEmbedDedup.scala): the embeddings replay in vec_id
-    * order through label-keyed `transformWithState`; an arrival is dropped
-    * iff quantized cosine ≥ 0.4 against ANY previously-seen vector of its
-    * label — by construction the kept set is exactly "vectors that are no
-    * pair's later side" of the batch q_dedup_embed_cosine relation, which
-    * is what the oracle computes (see the module scaladoc for why
-    * seen-not-kept semantics is the curation-correct AND oracle-exact
-    * choice; EmbedDedupStreamSpec pins the chain case).
-    */
-  val qDedupStreamEmbed = Fixture(
-    "q_dedup_stream_embed",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.embeddings(s, d)
-        .select(col("label").cast("long"), col("vec_id").cast("long"),
-          col("embedding"))
-        .as[(Long, Long, Array[Float])].collect().sortBy(_._2)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, Array[Float])]
-      val out = graft.streaming.StreamingEmbedDedup
-        .firstSeen(ms.toDF().toDF("cell", "vec_id", "vec"), 0.4)
-        .select(col("vec_id"), col("cell").as("label"))
-      val sink = s"stream_embed_dedup_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, label,
-      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      | p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
-      |         ${dotSql("a.v", "b.v")} AS ab,
-      |         ${dotSql("a.v", "a.v")} AS aa,
-      |         ${dotSql("b.v", "b.v")} AS bb
-      |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-      | dup AS (SELECT vid_b FROM
-      |     (SELECT vid_b, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p)
-      |   WHERE cos >= 0.4)
-      | SELECT vec_id, label::BIGINT AS label FROM embeddings
-      | WHERE vec_id NOT IN (SELECT vid_b FROM dup)""".stripMargin))
-
-  /** Two-stage RP-sketch ANN (Ann.rpRerankTopK): candidates from the 16-dim
-    * JL sketch (top-24 by quantized sketch cosine), exact rerank on full
-    * vectors. The oracle mirrors BOTH stages — sketch derivation, candidate
-    * ranking with the (score desc, id asc) TopKAgg tie-break, exact
-    * rerank — so the composite's recall is pinned exactly, not bounded.
-    */
-  val qAnnRpRerank = Fixture(
-    "q_ann_rp_rerank",
-    (s, d) => Ann.rpRerankTopK(Tables.embeddings(s, d), col("vec_id") < 10,
-        k = 5, kCand = 24, dIn = 64, dOut = 16)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-        col("rank").cast("long").as("rank")),
-    Some {
-      val skComp =
-        """0.25 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
-          |     i -> v[i] * (CASE WHEN ('0x' || substr(md5('rp#' || (i-1) || '#' || j), 1, 15))::BIGINT % 2 = 0
-          |                  THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |        FROM embeddings),
-        | sk AS (SELECT vec_id, list_transform(generate_series(0, 15), j -> $skComp) AS s
-        |        FROM e),
-        | q AS (SELECT e.vec_id AS query_id, e.v AS qv, sk.s AS qs
-        |       FROM e JOIN sk USING (vec_id) WHERE e.vec_id < 10),
-        | c1 AS (SELECT query_id, n.vec_id AS neighbor_id,
-        |          ${q4(s"${dotSql("qs", "n.s")} / (sqrt(${dotSql("qs", "qs")}) * sqrt(${dotSql("n.s", "n.s")}))")} AS scos
-        |        FROM sk n CROSS JOIN q WHERE n.vec_id <> query_id),
-        | r1 AS (SELECT query_id, neighbor_id FROM (
-        |          SELECT query_id, neighbor_id,
-        |            row_number() OVER (PARTITION BY query_id
-        |              ORDER BY scos DESC, neighbor_id) AS rn
-        |          FROM c1) WHERE rn <= 24),
-        | c2 AS (SELECT query_id, neighbor_id,
-        |          ${q4(s"${dotSql("qv", "nv.v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv.v", "nv.v")}))")} AS cos
-        |        FROM r1 JOIN q USING (query_id)
-        |             JOIN e nv ON nv.vec_id = r1.neighbor_id)
-        | SELECT query_id, neighbor_id, cos, rank FROM (
-        |   SELECT query_id, neighbor_id, cos,
-        |     row_number() OVER (PARTITION BY query_id
-        |       ORDER BY cos DESC, neighbor_id) AS rank
-        |   FROM c2) WHERE rank <= 5""".stripMargin
-    })
-
-  // ---- similarity search --------------------------------------------------
-
-  /** Nearest-centroid assignment (k-means E-step / IVF coarse quantizer):
-    * 8 corpus vectors (vec_id < 8) serve as centroids; every vector assigns
-    * to its max-cosine centroid, ties to the smaller cid. One shuffle-free
-    * projection over the corpus — see [[Ann.assignCentroids]].
-    */
-  val qAssignCentroids = Fixture(
-    "q_assign_centroids",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Ann.assignCentroids(emb, emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c),
-      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT vec_id, cid, cos,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |       FROM s)
-      | SELECT vec_id, cid AS centroid_id, cos FROM r WHERE rn = 1""".stripMargin))
-
-  /** SemDeDup over the embedding corpus ([[Ann.semDedup]]): cluster-blocked
-    * semantic dedup — assign to the nearest of 8 seed centroids (the same
-    * deterministic seeds as [[qAssignCentroids]]), drop any vector with
-    * quantized cosine ≥ 0.4 to a lower-id vector of its cluster. The oracle
-    * replays assignment (cos DESC, cid ASC argmax) and the closed-form
-    * "some pair's later side" drop rule; `kept` is compared for EVERY
-    * vector, so both the blocking and the pair threshold are pinned.
-    */
-  val qSemDedup = Fixture(
-    "q_semdedup",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Ann.semDedup(emb, emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec")), 0.4)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c),
-      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |         ORDER BY cos DESC, cid) AS rn FROM s),
-      | asn AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-      | pr AS (SELECT y.vec_id AS vb, ${dotSql("ex.v", "ey.v")} AS ab,
-      |          ${dotSql("ex.v", "ex.v")} AS aa, ${dotSql("ey.v", "ey.v")} AS bb
-      |        FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
-      |        JOIN e ex ON ex.vec_id = x.vec_id
-      |        JOIN e ey ON ey.vec_id = y.vec_id),
-      | drp AS (SELECT DISTINCT vb FROM
-      |          (SELECT vb, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS pcos FROM pr)
-      |        WHERE pcos >= 0.4)
-      | SELECT a.vec_id, a.cid AS centroid_id, (d.vb IS NULL) AS kept
-      | FROM asn a LEFT JOIN drp d ON d.vb = a.vec_id""".stripMargin))
-
-  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
-  val qAnnBrute = Fixture(
-    "q_ann_brute_topk",
-    (s, d) => Ann.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank")),
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
-      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
-      |       FROM q JOIN e ON e.vec_id <> q.query_id),
-      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM c)
-      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin))
-
-  /** Bucketed (IVF-style sign-bit cells) top-k — the scale path. */
-  val qAnnBucketed = Fixture(
-    "q_ann_lsh_bucketed",
-    (s, d) => Ann.bucketedTopK(Tables.embeddings(s, d), col("vec_id") < 50, 3)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank")),
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-      |     ${foldSum("list_transform(generate_series(0, 7), i -> CASE WHEN embedding[i + 1] > 0 THEN 2.0 ** i ELSE 0.0 END)")}::BIGINT AS bucket
-      |   FROM embeddings),
-      | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
-      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
-      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
-      |       FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM c)
-      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
-
-  /** IVF top-k: 8 corpus vectors (vec_id < 8) as trained cells, queries
-    * (vec_id < 30) probe their 2 nearest cells, exact top-5 within probed
-    * cells — see [[Ann.ivfTopK]]. The oracle mirrors BOTH rankings (corpus
-    * cell assignment and query probe) from one quantized-cosine relation,
-    * so the probed candidate sets are engine-identical by construction.
-    */
-  val qAnnIvf = Fixture(
-    "q_ann_ivf_probe",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Ann.ivfTopK(emb,
-        emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        col("vec_id") < 30, 5, 2)
-        .select(col("query_id"), col("neighbor_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |        FROM e CROSS JOIN c),
-      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
-      | cr AS (SELECT vec_id, cid,
-      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |        FROM sc),
-      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
-      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
-      |           WHERE rn <= 2 AND vec_id < 30),
-      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-      | pr AS (SELECT query_id, neighbor_id,
-      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
-      |          ${dotSql("en.v", "en.v")} AS bb
-      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
-      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
-      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM sr)
-      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin))
-
-  /** Train → index → search end-to-end under one oracle: [[Ann.kmeans]]
-    * fits 8 centroids (one Lloyd round, the q_kmeans_converged recipe),
-    * [[Ann.ivfTopK]] then builds the inverted file from the FITTED model
-    * and answers top-3 probes. The DuckDB side unrolls the identical
-    * training round (CTEs c0…c1 match q_kmeans_converged's) and re-ranks
-    * cells/candidates from the fitted centroids — pinning that the model
-    * handed from the trainer to the index is bit-identical in both engines,
-    * not just each stage separately.
-    */
-  val qAnnIvfTrained = Fixture(
-    "q_ann_ivf_trained",
-    (s, d) => {
-      val emb = graft.Tables.embeddings(s, d)
-      Ann.ivfTopK(emb, Ann.kmeans(emb, k = 8, maxIters = 1).centroidsDf(s),
-        col("vec_id") < 20, 3, 2)
-        .select(col("query_id"), col("neighbor_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-      | p1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c0 c),
-      | s1 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p1),
-      | r1 AS (SELECT vec_id, cid,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |       FROM s1),
-      | a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
-      | q1 AS (SELECT a1.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
-      |       FROM a1 JOIN e USING (vec_id)),
-      | x1 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
-      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
-      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
-      | m1 AS (SELECT cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
-      |       FROM x1 GROUP BY 1, 2),
-      | cm AS (SELECT cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY cid),
-      | c1 AS (SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
-      |       FROM c0 LEFT JOIN cm USING (cid)),
-      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |        FROM e CROSS JOIN c1 c),
-      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
-      | cr AS (SELECT vec_id, cid,
-      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |        FROM sc),
-      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
-      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
-      |           WHERE rn <= 2 AND vec_id < 20),
-      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-      | pr AS (SELECT query_id, neighbor_id,
-      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
-      |          ${dotSql("en.v", "en.v")} AS bb
-      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
-      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
-      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM sr)
-      | SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3""".stripMargin))
-
-  /** The IVF index AT REST ([[Ann.ivfWriteIndex]] → [[Ann.ivfSearchPersisted]]):
-    * same centroids / queries / k / nprobe as [[qAnnIvf]], but the inverted
-    * file is WRITTEN bucketed-by-cell and the search runs against the
-    * persisted table, scanning only the probed buckets (the served-index
-    * 100 TB shape — ivfTopK's per-search cell shuffle paid once at ingest).
-    * Same oracle as q_ann_ivf_probe: persistence must be a pure layout
-    * change, invisible in results. AnnPersistSpec pins the scan-side bucket
-    * pruning (SelectedBucketsCount == probed cells).
-    */
-  val qAnnIvfPersisted = Fixture(
-    "q_ann_ivf_persisted",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_ivf_$h").getAbsolutePath
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      FixtureOnce(s"graft_ivf_idx_$h") {
-        Ann.ivfWriteIndex(emb, cents, s"graft_ivf_idx_$h", s"$base/idx", 8)
-      }
-      Ann.ivfSearchPersisted(s, s"graft_ivf_idx_$h", cents,
-          emb.where(col("vec_id") < 30)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-          5, 2)
-        .select(col("query_id"), col("neighbor_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-    },
-    qAnnIvf.oracle)
-
-  /** STREAMING ingest into the persisted IVF index
-    * ([[graft.streaming.StreamingIndexIngest]]): the index is built on the
-    * even half of the corpus in the `ingest_batch`-partitioned layout,
-    * the odd half arrives as a 2-chunk stream whose micro-batches land as
-    * partitions batchId 0/1 under dynamic partition overwrite, and then
-    * the LAST batch is re-applied with the same batchId — the crash-replay
-    * window. Search must equal the one-shot full-corpus IVF oracle
-    * exactly: a double-append would surface duplicate candidates and
-    * hash-mismatch, so the gate itself certifies replay idempotence, and
-    * "indexes at rest" composes with "indexes kept fresh while the crawl
-    * runs".
-    */
-  val qStreamIvfIngest = Fixture(
-    "q_stream_ivf_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val tbl = s"graft_ivf_ing_${h}_$run"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_ing/$h/$run"
-      Ann.ivfWriteIndexIngestable(emb.where(col("vec_id") % 2 === 0), cents,
-        tbl, s"$dir/idx", 8)
-      val rows = emb.where(col("vec_id") % 2 === 1)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val q = graft.streaming.StreamingIndexIngest.startIvf(
-        ms.toDF().toDF("vec_id", "embedding"), cents, tbl, s"$dir/cp")
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      // crash-replay of the last micro-batch: same batchId, same rows —
-      // the partition overwrite must leave the index bit-identical
-      graft.streaming.StreamingIndexIngest.applyIvfBatch(
-        chunks.last.toSeq.toDF("vec_id", "embedding"), cents, tbl,
-        chunks.length - 1L)
-      Ann.ivfSearchPersisted(s, tbl, cents,
-          emb.where(col("vec_id") < 30)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-          5, 2)
-        .select(col("query_id"), col("neighbor_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-    },
-    qAnnIvf.oracle)
-
-  /** Product-quantization ADC search ([[graft.similarity.Pq]], Jégou et al.
-    * TPAMI 2011): m=4 subspaces × ksub=8 codes trained with one Lloyd round
-    * (deterministic init from the 8 smallest vec_ids' subvectors), corpus
-    * encoded to 4 codes/vector (a 64× compression of the 64-float column —
-    * the memory-side scale path the IVF fixtures leave open), then top-5
-    * ADC for 10 queries: score = ordered sum over subspaces of
-    * dot(query_sub, codebook[code]). The oracle replays the ENTIRE path in
-    * SQL — subvector split, per-subspace k-means (one relational pass
-    * grouped by subspace), re-encode, ADC parts summed in subspace order —
-    * so agreement pins init, assignment tie-breaks, the quantized-mean
-    * M-step, and the fold discipline end-to-end. All floating folds are
-    * 0.0-seeded ascending on both engines; assignment distances and final
-    * scores are q4-quantized before any argmin/rank.
-    */
-  val qAnnPqAdc = Fixture(
-    "q_ann_pq_adc",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      graft.similarity.Pq.searchAdc(emb, model, col("vec_id") < 10, k = 5)
-    },
-    Some {
-      def l2(a: String, b: String) = foldSum(
-        s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
-      | sv AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
-      |        FROM e CROSS JOIN ss),
-      | c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
-      | d1 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
-      |        FROM sv a JOIN c0 c ON c.sub = a.sub),
-      | r1 AS (SELECT vec_id, sub, cid, row_number() OVER
-      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1),
-      | a1 AS (SELECT vec_id, sub, cid FROM r1 WHERE rn = 1),
-      | q1 AS (SELECT a1.sub, a1.cid,
-      |          list_transform(s.sv, x -> floor(x * 10000 + 0.5)) AS qv
-      |        FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub),
-      | x1 AS (SELECT sub, cid, u.dim AS dim, u.val AS val FROM
-      |        (SELECT sub, cid, unnest(list_transform(generate_series(1, len(qv)),
-      |           i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
-      | m1 AS (SELECT sub, cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
-      |        FROM x1 GROUP BY 1, 2, 3),
-      | cm AS (SELECT sub, cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
-      | c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.cv, c0.cv) AS cv
-      |        FROM c0 LEFT JOIN cm ON cm.sub = c0.sub AND cm.cid = c0.cid),
-      | d2 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
-      |        FROM sv a JOIN c1 c ON c.sub = a.sub),
-      | r2 AS (SELECT vec_id, sub, cid, row_number() OVER
-      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2),
-      | enc AS (SELECT vec_id, sub, cid FROM r2 WHERE rn = 1),
-      | part AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.sub,
-      |            ${dotSql("q.sv", "c.cv")} AS p
-      |          FROM enc n JOIN c1 c ON c.sub = n.sub AND c.cid = n.cid
-      |               JOIN sv q ON q.sub = n.sub AND q.vec_id <> n.vec_id
-      |          WHERE q.vec_id < 10),
-      | sc AS (SELECT query_id, neighbor_id,
-      |          ${q4("list_reduce(list_prepend(0.0, list(p ORDER BY sub)), (a, x) -> a + x)")} AS score
-      |        FROM part GROUP BY 1, 2),
-      | rk AS (SELECT query_id, neighbor_id, score, row_number() OVER
-      |          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-      |        FROM sc)
-      | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
-    })
-
-  /** IVF-PQ composed ([[Ann.ivfPqTopK]]): coarse cells bound WHICH vectors
-    * a query touches (nprobe=2 of 8 cosine cells, the q_ann_ivf_probe
-    * contract), PQ codes bound WHAT is read per touched vector (the
-    * q_ann_pq_adc codebook; ADC scoring, float corpus never read at search
-    * time) — the billion-vector layout both halves exist for. The oracle
-    * chains both proven CTE blocks and scores only in-probe candidates, so
-    * agreement pins the COMPOSITION: one corpus pass computing cell+codes
-    * together, candidate sets from the probe ranking, ADC fold order.
-    */
-  val qAnnIvfPq = Fixture(
-    "q_ann_ivf_pq",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      Ann.ivfPqTopK(emb,
-        emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        model, col("vec_id") < 10, k = 5, nprobe = 2)
-    },
-    Some {
-      def l2(a: String, b: String) = foldSum(
-        s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | cc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | cp AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |        FROM e CROSS JOIN cc c),
-      | cs AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM cp),
-      | crk AS (SELECT vec_id, cid, row_number() OVER
-      |           (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM cs),
-      | cell AS (SELECT vec_id, cid AS cell FROM crk WHERE rn = 1),
-      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM crk
-      |           WHERE rn <= 2 AND vec_id < 10),
-      | ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
-      | sv AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
-      |        FROM e CROSS JOIN ss),
-      | c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
-      | d1 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
-      |        FROM sv a JOIN c0 c ON c.sub = a.sub),
-      | r1 AS (SELECT vec_id, sub, cid, row_number() OVER
-      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1),
-      | a1 AS (SELECT vec_id, sub, cid FROM r1 WHERE rn = 1),
-      | q1 AS (SELECT a1.sub, a1.cid,
-      |          list_transform(s.sv, x -> floor(x * 10000 + 0.5)) AS qv
-      |        FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub),
-      | x1 AS (SELECT sub, cid, u.dim AS dim, u.val AS val FROM
-      |        (SELECT sub, cid, unnest(list_transform(generate_series(1, len(qv)),
-      |           i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
-      | m1 AS (SELECT sub, cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
-      |        FROM x1 GROUP BY 1, 2, 3),
-      | cm AS (SELECT sub, cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
-      | c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.cv, c0.cv) AS cv
-      |        FROM c0 LEFT JOIN cm ON cm.sub = c0.sub AND cm.cid = c0.cid),
-      | d2 AS (SELECT a.vec_id, a.sub, c.cid, ${q4(l2("a.sv", "c.cv"))} AS dist
-      |        FROM sv a JOIN c1 c ON c.sub = a.sub),
-      | r2 AS (SELECT vec_id, sub, cid, row_number() OVER
-      |          (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2),
-      | enc AS (SELECT vec_id, sub, cid FROM r2 WHERE rn = 1),
-      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-      | part AS (SELECT cand.query_id, cand.neighbor_id, n.sub,
-      |            ${dotSql("q.sv", "c.cv")} AS p
-      |          FROM cand JOIN enc n ON n.vec_id = cand.neighbor_id
-      |               JOIN c1 c ON c.sub = n.sub AND c.cid = n.cid
-      |               JOIN sv q ON q.vec_id = cand.query_id AND q.sub = n.sub),
-      | sc2 AS (SELECT query_id, neighbor_id,
-      |          ${q4("list_reduce(list_prepend(0.0, list(p ORDER BY sub)), (a, x) -> a + x)")} AS score
-      |        FROM part GROUP BY 1, 2),
-      | rk AS (SELECT query_id, neighbor_id, score, row_number() OVER
-      |          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-      |        FROM sc2)
-      | SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5""".stripMargin
-    })
-
-  /** The IVF-PQ index AT REST ([[Ann.ivfPqWriteIndex]] →
-    * [[Ann.ivfPqSearchPersisted]]): same centroids / codebook / queries /
-    * k / nprobe as [[qAnnIvfPq]], but (cell, vec_id, codes) is WRITTEN
-    * bucketed-by-cell and the search runs against the persisted table —
-    * probed buckets only, codes only, the float corpus never read after
-    * ingest (the full 100 TB serving shape; q_ann_ivf_persisted stops at
-    * floats-at-rest). Same oracle as q_ann_ivf_pq: persistence must be a
-    * pure layout change, invisible in results. AnnPersistSpec pins the
-    * bucket pruning and the codes-only read schema.
-    */
-  val qAnnIvfPqPersisted = Fixture(
-    "q_ann_ivf_pq_persisted",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_ivfpq_$h").getAbsolutePath
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      FixtureOnce(s"graft_ivfpq_idx_$h") {
-        Ann.ivfPqWriteIndex(emb, cents, model, s"graft_ivfpq_idx_$h", s"$base/idx", 8)
-      }
-      Ann.ivfPqSearchPersisted(s, s"graft_ivfpq_idx_$h", cents, model,
-        emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-        k = 5, nprobe = 2)
-    },
-    qAnnIvfPq.oracle)
-
-  /** STREAMING ingest into the persisted IVF-PQ codes index — the
-    * [[qStreamIvfIngest]] protocol on the FIFTH persisted index family
-    * (coarse cells + PQ codes, the billion-vector layout): the even half
-    * is built ingestable ([[Ann.ivfPqWriteIndexIngestable]]), the odd
-    * half streams in 2 micro-batches — each trigger assigns cells AND
-    * encodes codes under the index's own models in one pass — and the
-    * last batch is crash-replayed. The search (codes-only scan, float
-    * corpus never read) must equal the one-shot full-corpus oracle: a
-    * double-append would duplicate ADC candidates and shift ranks.
-    */
-  val qStreamIvfPqIngest = Fixture(
-    "q_stream_ivf_pq_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      val tbl = s"graft_ivfpq_ing_${h}_$run"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ing/$h/$run"
-      Ann.ivfPqWriteIndexIngestable(emb.where(col("vec_id") % 2 === 0),
-        cents, model, tbl, s"$dir/idx", 8)
-      val rows = emb.where(col("vec_id") % 2 === 1)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val q = graft.streaming.StreamingIndexIngest.startIvfPq(
-        ms.toDF().toDF("vec_id", "embedding"), cents, model, tbl, s"$dir/cp")
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      // crash-replay of the last micro-batch: partition overwrite, exact
-      graft.streaming.StreamingIndexIngest.applyIvfPqBatch(
-        chunks.last.toSeq.toDF("vec_id", "embedding"), cents, model, tbl,
-        chunks.length - 1L)
-      Ann.ivfPqSearchPersisted(s, tbl, cents, model,
-        emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-        k = 5, nprobe = 2)
-    },
-    qAnnIvfPq.oracle)
-
-  /** Streaming ANN serving over the PERSISTED CODES index
-    * ([[Ann.ivfPqSearchStreamCandidates]]) — [[qStreamAnnProbe]]'s shape
-    * with IVF-PQ economics: arriving queries probe 2 cells and
-    * stream-static join the (cell, vec_id, codes) table, ADC-scored, then
-    * a windowed argmax emits each query's top-1 neighbor. The static side
-    * a trigger reads is codes-only (m bytes per candidate at rest) — the
-    * float corpus is never opened while serving. Oracle = the chained
-    * IVF-PQ relation at rank 1 + the standard emission-window arithmetic:
-    * the serving stream must return exactly what the batch composition
-    * would.
-    */
-  val qStreamAnnPqProbe = Fixture(
-    "q_stream_ann_pq_probe",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val model = graft.similarity.Pq.train(emb, m = 4, ksub = 8, iters = 1)
-      val tbl = s"graft_ivfpq_stream_$h"
-      FixtureOnce(tbl) {
-        Ann.ivfPqWriteIndex(emb, cents, model, tbl,
-          s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream/$h", 8)
-      }
-      val rows = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val qdf = ms.toDF().toDF("query_id", "qv")
-        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
-      val out = Ann.ivfPqSearchStreamCandidates(s, tbl, cents, model, qdf, 2)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
-        .agg(max(struct(col("score"), (-col("neighbor_id")).as("nn"))).as("b"))
-        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
-          (-col("b.nn")).as("neighbor_id"), col("b.score").as("score"))
-      val sink = s"stream_annpq_$h${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    qAnnIvfPq.oracle.map { o =>
-      val tail = "SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5"
-      require(o.endsWith(tail),
-        "q_ann_ivf_pq oracle tail changed; update q_stream_ann_pq_probe")
-      o.dropRight(tail.length) +
-        """SELECT (query_id * 7 // 60) * 60 AS ws, query_id, neighbor_id, score
-          | FROM rk WHERE rank = 1
-          |   AND (query_id * 7 // 60) * 60 + 60 <=
-          |       (SELECT max(vec_id * 7) FROM e WHERE vec_id < 10)""".stripMargin
-    })
-
-  /** PII-style scrubbing: redact digit runs and email-shaped tokens —
-    * pure regexp_replace, linear, no shuffle.
-    */
-  val qRedact = Fixture(
-    "q_redact_pii",
-    (s, d) => Tables.events(s, d).select(
-      col("event_id"),
-      regexp_replace(
-        regexp_replace(col("props"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-        "[0-9]+", "<NUM>").as("props_clean")),
-    Some("""SELECT event_id,
-      |   regexp_replace(
-      |     regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-      |     '[0-9]+', '<NUM>', 'g') AS props_clean
-      | FROM events""".stripMargin))
-
-  /** Deterministic hash sampling (reproducible corpus subsetting): keep docs
-    * whose content-independent id hash lands in a 10% bucket.
-    */
-  val qSampleHash = Fixture(
-    "q_sample_hash",
-    (s, d) => Tables.documents(s, d)
-      .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")), lit(100)) < 10)
-      .select("doc_id", "lang", "n_chars"),
-    Some(s"""SELECT doc_id, lang, n_chars FROM documents
-      | WHERE ${h64("doc_id::VARCHAR")} % 100 < 10""".stripMargin))
-
-  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis, IPL 2006,
-    * the A-ES scheme): each doc draws the deterministic uniform
-    * u = (hash(id) mod 10⁶ + 0.5)/10⁶ and the selection key ln(u)/w with
-    * weight w = n_chars — the k LARGEST keys are a size-k sample where
-    * inclusion odds scale with w. This is how a quality-/length-weighted
-    * training subsample is drawn reproducibly: one scan computes keys,
-    * a distributed top-k (TakeOrdered — no full sort, no shuffle of the
-    * corpus, exactly the q_topk pattern) selects, and the same 200 docs
-    * come back on every run and every engine. Key scaled ×10⁶ before the
-    * q4 quantization so 4 decimals still separate neighbors; ties (quantized
-    * equal keys) break by doc_id on both sides.
-    */
-  val qSampleWeighted = Fixture(
-    "q_sample_weighted",
-    (s, d) => {
-      val u = (pmod(TextFunctions.hash64(col("doc_id").cast("string")),
-        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
-      val skey = Quant.q4(log(u) * lit(1000000.0) / col("n_chars"))
-      Tables.documents(s, d)
-        .where(col("n_chars") > 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"), skey.as("skey"))
-        .orderBy(col("skey").desc, col("doc_id"))
-        .limit(200)
-    },
-    Some(s"""SELECT doc_id, lang, n_chars,
-      |   ${q4(s"ln(((${h64("doc_id::VARCHAR")} % 1000000) + 0.5) / 1000000.0) * 1000000.0 / n_chars")} AS skey
-      | FROM documents WHERE n_chars > 0
-      | ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
-
-  /** STRATIFIED weighted sampling: the [[qSampleWeighted]] A-ES draw run
-    * independently per language — 20 docs per lang, inclusion odds within
-    * each stratum scaling with n_chars. This is the actual mixture-building
-    * draw (per-language quotas with quality/length weighting inside each);
-    * the window partitions BY LANG so per-partition state is one stratum,
-    * and WindowGroupLimit keeps the rank partial before the shuffle.
-    */
-  val qSampleWeightedPerLang = Fixture(
-    "q_sample_weighted_per_lang",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val u = (pmod(TextFunctions.hash64(col("doc_id").cast("string")),
-        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
-      val skey = Quant.q4(log(u) * lit(1000000.0) / col("n_chars"))
-      val w = Window.partitionBy("lang").orderBy(col("skey").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .where(col("n_chars") > 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"), skey.as("skey"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 20)
-        .select("lang", "rk", "doc_id", "skey")
-    },
-    Some(s"""WITH k AS (SELECT doc_id, lang,
-      |   ${q4(s"ln(((${h64("doc_id::VARCHAR")} % 1000000) + 0.5) / 1000000.0) * 1000000.0 / n_chars")} AS skey
-      | FROM documents WHERE n_chars > 0)
-      | SELECT lang, rk, doc_id, skey FROM (
-      |   SELECT lang, doc_id, skey, row_number() OVER
-      |     (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rk FROM k)
-      | WHERE rk <= 20""".stripMargin))
-
-  /** Deterministic fixed-size per-group sample: the k lowest content-hash
-    * docs per source — the standard reproducible eval-set / spot-check draw
-    * (hash order is a uniform shuffle, and the same k docs come back on
-    * every run and every engine). One window per source partition; at scale
-    * this is the partial TopK-per-key pattern — rank only sorts within each
-    * source.
-    */
-  val qSamplePerSource = Fixture(
-    "q_sample_per_source",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source")
-        .orderBy(TextFunctions.hash64(col("doc_id").cast("string")), col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 10)
-        .select("source", "rk", "doc_id", "lang")
-    },
-    Some(s"""SELECT source, rk, doc_id, lang FROM (
-      |   SELECT source, doc_id, lang,
-      |     row_number() OVER (PARTITION BY source
-      |       ORDER BY ${h64("doc_id::VARCHAR")}, doc_id) AS rk
-      |   FROM documents)
-      | WHERE rk <= 10""".stripMargin))
-
-  /** Corpus statistics per language: the summary pass every ingest pipeline
-    * runs before filtering decisions.
-    */
-  val qCorpusStats = Fixture(
-    "q_corpus_stats",
-    (s, d) => Tables.documents(s, d)
-      .groupBy("lang")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        Quant.q4(Quant.q4(sum(col("n_chars"))) / count(col("n_chars"))).as("avg_chars"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("total_tokens")),
-    Some(s"""SELECT lang, count(*) AS n_docs,
-      |   ${q4(s"${q4("sum(n_chars)")} / count(n_chars)")} AS avg_chars,
-      |   count(DISTINCT source) AS n_sources,
-      |   sum(len($wordsSql))::BIGINT AS total_tokens
-      | FROM documents GROUP BY lang""".stripMargin))
-
-  /** Hierarchical corpus report via grouping sets: (lang, source) detail,
-    * per-lang subtotals, and the grand total in ONE pass — Catalyst's
-    * `Expand` replays each input row once per grouping level inside the
-    * same scan, where the naive form is three scans + a union. At 100 TB
-    * the difference is 2 full corpus reads. `glevel` is the grouping_id
-    * bitmask (first rollup column = most significant bit — Spark and
-    * DuckDB agree); NULL group keys from rolled-up levels are coalesced to
-    * a sentinel on BOTH sides so the engines' null orderings never meet
-    * the comparator.
-    */
-  val qCorpusRollup = Fixture(
-    "q_corpus_rollup",
-    (s, d) => Tables.documents(s, d)
-      .rollup("lang", "source")
-      .agg(grouping_id().cast("long").as("glevel"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"))
-      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
-        coalesce(col("source"), lit("(all)")).as("source"),
-        col("glevel"), col("n_docs"), col("total_chars")),
-    Some("""SELECT coalesce(lang, '(all)') AS lang,
-      |   coalesce(source, '(all)') AS source,
-      |   GROUPING(lang, source)::BIGINT AS glevel,
-      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin))
-
-  /** Differentially-private corpus release ([[Privacy.laplaceNoise]]):
-    * per-language document counts published with Laplace(1/ε) noise,
-    * ε = 0.5, sensitivity 1 (one document changes one count by one). The
-    * noise is deterministic per (key, release-seed) — the reproducibility
-    * discipline a recurring release needs (fresh draws per re-run would let
-    * an observer average the noise away) — so the oracle replays the exact
-    * inverse-CDF draw from the shared cross-engine hash. Noise is added
-    * POST-aggregation on group-count-sized data: zero corpus-scale cost.
-    */
-  val qDpRelease = Fixture(
-    "q_dp_release_counts",
-    (s, d) => Tables.documents(s, d)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_true"))
-      .select(col("lang"),
-        Quant.q4(col("n_true").cast("double") +
-          Privacy.laplaceNoise(col("lang"), "rel1", 1.0, 0.5)).as("n_released")),
-    Some(s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
-      |   GROUP BY 1)
-      | SELECT lang,
-      |   ${q4("n + " + graft.functions.Privacy.laplaceNoiseSql("lang", "rel1", 1.0, 0.5))}
-      |     AS n_released
-      | FROM c""".stripMargin))
-
-  // ---- multimodal ---------------------------------------------------------
-
-  /** Binary media column → partition-wise signature → features (the opaque
-    * non-image media path; images have the real decode tiers below).
-    */
-  val qMultimodal = Fixture(
-    "q_multimodal_features",
-    (s, d) => Multimodal.extractFeatures(s,
-      Multimodal.mediaTable(s, Tables.documents(s, d))).toDF(),
-    Some(s"""SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
-      |   ${h64("substr(text, 1, 16)")} AS sig,
-      |   strlen(text) // 1000 + 1 AS n_frames
-      | FROM documents""".stripMargin))
-
-  /** Real image metadata decode (javax.imageio header parse) over a binary
-    * media column: the payloads are genuine PNGs encoded executor-side with
-    * dimensions derived from stored columns, and the oracle checks the
-    * DECODED width/height/format against that stored metadata — end-to-end
-    * proof that the binary-column plumbing carries real media and the decode
-    * reads real headers.
-    */
-  val qImageMeta = Fixture(
-    "q_image_meta",
-    (s, d) => Multimodal.imageMeta(s,
-      Multimodal.syntheticImages(s, Tables.documents(s, d))).toDF(),
-    Some("""SELECT doc_id, (n_chars % 31 + 1)::BIGINT AS width,
-      |   (doc_id % 17 + 1)::BIGINT AS height, 'png' AS format
-      | FROM documents""".stripMargin))
-
-  /** REAL pixel-level decode over the binary media column: `ImageIO.read`
-    * decodes each synthetic PNG's full raster executor-side, and the
-    * per-channel means must equal the stored-column prediction — the
-    * payload is all-black except pixel (0,0) = doc_id's low 24 bits, so
-    * mean_c = channel_c(doc_id) / (width · height). The hash compare proves
-    * the features derive from DECODED PIXEL CONTENT (the color lives only
-    * inside the PNG raster, not in any header or stored column). The
-    * perceptual-hash outputs of the same decode pass are spec-pinned in
-    * MultimodalSpec (their 8×8-grid arithmetic is not SQL-expressible).
-    */
-  val qImagePixelStats = Fixture(
-    "q_image_pixel_stats",
-    (s, d) => Multimodal.pixelFeatures(s,
-        Multimodal.syntheticImages(s, Tables.documents(s, d))).toDF()
-      .select(col("doc_id"), col("width"), col("height"),
-        Quant.q4(col("mean_r")).as("mean_r"),
-        Quant.q4(col("mean_g")).as("mean_g"),
-        Quant.q4(col("mean_b")).as("mean_b")),
-    Some(s"""WITH m AS (SELECT doc_id,
-      |   (n_chars % 31 + 1)::BIGINT AS width,
-      |   (doc_id % 17 + 1)::BIGINT AS height,
-      |   ((doc_id >> 16) & 255)::DOUBLE AS r,
-      |   ((doc_id >> 8) & 255)::DOUBLE AS g,
-      |   (doc_id & 255)::DOUBLE AS b
-      | FROM documents)
-      | SELECT doc_id, width, height,
-      |   ${q4("r / (width * height)")} AS mean_r,
-      |   ${q4("g / (width * height)")} AS mean_g,
-      |   ${q4("b / (width * height)")} AS mean_b
-      | FROM m""".stripMargin))
-
-  /** DuckDB mirror of Multimodal.blockVal over every (doc, cell): the
-    * lowbias32-style mix replayed verbatim (xor / shift / 32-bit-masked
-    * multiply — every intermediate fits int64), yielding relation
-    * (doc_id, i, v).
-    */
-  private val blockCellsSql =
-    """SELECT doc_id, i, xor(x2, x2 >> 16) % 256 AS v FROM (
-      |    SELECT doc_id, i, (xor(x1, x1 >> 16) * 73244475) & 4294967295 AS x2 FROM (
-      |      SELECT doc_id, i, (xor(x0, x0 >> 16) * 73244475) & 4294967295 AS x1 FROM (
-      |        SELECT doc_id, t.i AS i, (doc_id // 2) * 64 + t.i AS x0
-      |        FROM documents, generate_series(0, 63) AS t(i))))""".stripMargin
-  /** aHash from the v relation: strict mean threshold, bit 63 spelled as
-    * the signed minimum (two's-complement, matching Scala's `1L << 63`).
-    */
-  private val blockAhashSql =
-    s"""WITH c AS ($blockCellsSql),
-      | m AS (SELECT doc_id, avg(v) AS mean FROM c GROUP BY doc_id),
-      | h AS (SELECT c.doc_id,
-      |         CAST(sum(CASE WHEN v > mean THEN
-      |           CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
-      |                ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS ahash
-      |       FROM c JOIN m USING (doc_id) GROUP BY c.doc_id)""".stripMargin
-
-  /** The PERCEPTUAL HASH under the oracle: block synthetic images put 8×8
-    * uniform gray blocks exactly on the aHash grid (cell luma equals the
-    * block value exactly — the Rec.601 weights sum to 1000), so the decoded
-    * 64-bit hash is predictable from stored columns by pure SQL. Hash
-    * equality proves decode → luma grid → mean threshold end-to-end, not
-    * just channel sums.
-    */
-  val qImageAhash = Fixture(
-    "q_image_ahash",
-    (s, d) => Multimodal.pixelFeatures(s,
-        Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("ahash")),
-    Some(s"""$blockAhashSql
-      | SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height, ahash
-      | FROM h""".stripMargin))
-
-  /** Image near-dup pairing under the oracle: Hamming-banded candidate
-    * generation + bit_count verify ([[Multimodal.nearDupPairs]], recall 1
-    * by pigeonhole) against DuckDB's brute-force all-pairs Hamming over the
-    * SAME SQL-computed hashes. The mixed block content makes consecutive
-    * doc_id pairs identical and everything else Hamming-far (measured zero
-    * accidental cross-pairs at 2 500 bases), so the relation is |docs|/2
-    * rows — linear at any scale.
-    */
-  val qImageNearDup = Fixture(
-    "q_image_near_dup",
-    (s, d) => Multimodal.nearDupPairs(
-        Multimodal.pixelFeatures(s,
-          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF(),
-        "doc_id", "ahash", maxHam = 3)
-      .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham")),
-    Some(s"""$blockAhashSql
-      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   bit_count(xor(a.ahash, b.ahash))::BIGINT AS ham
-      | FROM h a JOIN h b ON a.doc_id < b.doc_id
-      | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
-
-  /** Incremental image near-dup against the PERSISTED aHash band index
-    * ([[Multimodal.ahashWriteIndex]] / [[Multimodal.ahashProbeIndex]]):
-    * even docs are the indexed image lake, odd docs the day's crawl. The
-    * banding shuffle is paid once at ingest (bucketed on bk); the probe
-    * bands only the batch and verifies exact Hamming against the STORED
-    * hash — the corpus is never re-decoded or re-hashed. Oracle: brute
-    * cross-parity Hamming ≤ 3 over the same SQL-predicted hashes; the
-    * block corpus's duplicate pairs are exactly (2k, 2k+1) — always
-    * cross-parity — so the probe must surface every true pair (pigeonhole
-    * recall 1, like [[qImageNearDup]]'s self-join form).
-    */
-  val qAhashIndexProbe = Fixture(
-    "q_ahash_index_probe",
-    (s, d) => {
-      val feats = Multimodal.pixelFeatures(s,
-          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
-        .select(col("doc_id"), col("ahash"))
-      val tbl = "ah_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ahidx/$tbl"
-      Multimodal.ahashWriteIndex(feats.where(col("doc_id") % 2 === 0),
-        "doc_id", "ahash", 3, tbl, path, 8)
-      Multimodal.ahashProbeIndex(s, feats.where(col("doc_id") % 2 === 1),
-        "doc_id", "ahash", 3, tbl)
-        .select(col("new_id"), col("corpus_id"), col("ham").cast("long").as("ham"))
-    },
-    Some(s"""$blockAhashSql
-      | SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
-      |   bit_count(xor(a.ahash, b.ahash))::BIGINT AS ham
-      | FROM h a JOIN h b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-      | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin))
-
-  /** STREAMING ingest into the persisted aHash band index — the
-    * [[qStreamIvfIngest]] protocol on the FOURTH persisted index family
-    * (image near-dup): the `% 4 == 0` quarter of the image lake is built
-    * in the ingestable layout
-    * ([[Multimodal.ahashWriteIndexIngestable]]), the `% 4 == 2` quarter's
-    * (doc_id, ahash) features arrive as a 2-chunk stream landing
-    * `ingest_batch = batchId` partitions, then the LAST batch is
-    * crash-replayed with the same batchId. Probe (odd docs, unchanged
-    * [[Multimodal.ahashProbeIndex]]) must equal [[qAhashIndexProbe]]'s
-    * brute cross-parity Hamming oracle over the full even half — the
-    * probe's `distinct()` collapses band-level duplicates, so what the
-    * oracle certifies here is the torn-free landing and that the final
-    * index contains exactly the even half (a lost or doubled batch
-    * partition would drop pairs or change nothing it shouldn't).
-    */
-  val qStreamAhashIngest = Fixture(
-    "q_stream_ahash_index_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val feats = Multimodal.pixelFeatures(s,
-          Multimodal.syntheticBlockImages(s, Tables.documents(s, d))).toDF()
-        .select(col("doc_id"), col("ahash"))
-      val tbl = s"graft_ah_ing_${h}_$run"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ah_ing/$h/$run"
-      Multimodal.ahashWriteIndexIngestable(feats.where(col("doc_id") % 4 === 0),
-        "doc_id", "ahash", 3, tbl, s"$dir/idx", 8)
-      val rows = feats.where(col("doc_id") % 4 === 2)
-        .select(col("doc_id").cast("long"), col("ahash").cast("long"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long)]
-      val q = graft.streaming.StreamingIndexIngest.startAhash(
-        ms.toDF().toDF("doc_id", "ahash"), "doc_id", "ahash", 3, tbl,
-        s"$dir/cp")
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      // crash-replay of the last micro-batch: partition overwrite, not append
-      graft.streaming.StreamingIndexIngest.applyAhashBatch(
-        chunks.last.toSeq.toDF("doc_id", "ahash"), "doc_id", "ahash", 3, tbl,
-        chunks.length - 1L)
-      Multimodal.ahashProbeIndex(s, feats.where(col("doc_id") % 2 === 1),
-        "doc_id", "ahash", 3, tbl)
-        .select(col("new_id"), col("corpus_id"), col("ham").cast("long").as("ham"))
-    },
-    qAhashIndexProbe.oracle)
-
-  /** REAL resize under the oracle, round-tripped: block PNGs (64×64, 8×8
-    * uniform blocks) → [[Multimodal.resizeImages]] area-average downscale to
-    * 8×8 → PNG re-encode → [[Multimodal.pixelFeatures]] decodes the RESIZED
-    * payload. Each target pixel averages exactly one uniform block, so the
-    * resized raster is the 8×8 block-value grid and the decoded channel
-    * means must equal avg(blockVal) predicted by pure SQL from stored
-    * columns — proving decode → resample → encode → decode end-to-end (the
-    * block values live only inside the source PNG raster). width/height = 8
-    * in the output pins that the payload really was rewritten, not passed
-    * through.
-    */
-  val qImageResize = Fixture(
-    "q_image_resize",
-    (s, d) => Multimodal.pixelFeatures(s,
-        Multimodal.resizeImages(s,
-          Multimodal.syntheticBlockImages(s, Tables.documents(s, d)), 8, 8)).toDF()
-      .select(col("doc_id"), col("width"), col("height"),
-        Quant.q4(col("mean_r")).as("mean_r"),
-        Quant.q4(col("mean_g")).as("mean_g"),
-        Quant.q4(col("mean_b")).as("mean_b")),
-    Some(s"""WITH c AS ($blockCellsSql),
-      | m AS (SELECT doc_id, avg(v) AS mv FROM c GROUP BY doc_id)
-      | SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
-      |   ${q4("mv")} AS mean_r, ${q4("mv")} AS mean_g, ${q4("mv")} AS mean_b
-      | FROM m""".stripMargin))
-
-  /** Strided frame sampling over the opaque media payload
-    * ([[Multimodal.sampleFrames]], stub demux on the 1000-byte frame grid):
-    * every 3rd frame, per-frame slice length and md5-prefix signature. The
-    * oracle replays the identical slicing/hashing in SQL (`substr` + `md5`
-    * over the same bytes), pinning the binary-column fan-out plumbing —
-    * per-doc frame explosion bounded by the stride, narrow feature rows
-    * out, payload bytes absent from the result.
-    */
-  val qFrameSample = Fixture(
-    "q_frame_sample",
-    (s, d) => Multimodal.sampleFrames(s,
-        Multimodal.mediaTable(s, Tables.documents(s, d)),
-        frameBytes = 1000, stride = 3).toDF(),
-    Some(s"""WITH f AS (
-      |   SELECT doc_id, text, strlen(text) AS len,
-      |     unnest(range(0, strlen(text) // 1000 + 1, 3)) AS i
-      |   FROM documents)
-      | SELECT doc_id, i::BIGINT AS frame_idx,
-      |   (len // 1000 + 1)::BIGINT AS n_frames,
-      |   greatest(least(len - i * 1000, 1000), 0)::BIGINT AS frame_bytes,
-      |   ${h64("substr(text, i * 1000 + 1, 1000)")} AS frame_sig
-      | FROM f""".stripMargin))
-
-  /** DuckDB replay of [[Multimodal.blockVal]] per (doc, frame, cell) for
-    * [[Multimodal.syntheticBlockVideos]] content — base = doc_id·nFrames + f
-    * — plus the per-frame mean and aHash (same signed-bit-63 spelling as
-    * [[blockAhashSql]]). `frames` is the SQL list of frame ordinals the
-    * query under test must emit.
-    */
-  private def videoFramesOracle(nFrames: Int, frames: String): String =
-    s"""WITH fr AS (SELECT doc_id, unnest([$frames]) AS f FROM documents),
-      | c AS (SELECT doc_id, f, i, xor(x2, x2 >> 16) % 256 AS v FROM (
-      |    SELECT doc_id, f, i, (xor(x1, x1 >> 16) * 73244475) & 4294967295 AS x2 FROM (
-      |      SELECT doc_id, f, i, (xor(x0, x0 >> 16) * 73244475) & 4294967295 AS x1 FROM (
-      |        SELECT doc_id, f, t.i AS i, (doc_id * $nFrames + f) * 64 + t.i AS x0
-      |        FROM fr, generate_series(0, 63) AS t(i))))),
-      | m AS (SELECT doc_id, f, avg(v) AS mean FROM c GROUP BY 1, 2),
-      | h AS (SELECT c.doc_id, c.f,
-      |         CAST(sum(CASE WHEN v > mean THEN
-      |           CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
-      |                ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS ahash
-      |       FROM c JOIN m USING (doc_id, f) GROUP BY 1, 2)
-      | SELECT m.doc_id, m.f::BIGINT AS frame_idx, $nFrames::BIGINT AS n_frames,
-      |   64::BIGINT AS width, 64::BIGINT AS height,
-      |   ${q4("m.mean")} AS mean_luma, h.ahash AS ahash
-      | FROM m JOIN h ON m.doc_id = h.doc_id AND m.f = h.f""".stripMargin
-
-  /** REAL video keyframe extraction under the oracle: synthetic AVI/RIFF
-    * containers ([[Multimodal.syntheticBlockVideos]] — 6 uncompressed
-    * 64×64 block frames per doc, every 3rd flagged AVIIF_KEYFRAME in
-    * `idx1`) → [[Multimodal.videoFrames]] parses the container INDEX and
-    * decodes ONLY the flagged frames (0 and 3), emitting mean luma + aHash
-    * of the DECODED rasters. The oracle predicts those rasters from stored
-    * columns by replaying the block mix in SQL — frame signatures derive
-    * from decoded frame content, so hash equality proves RIFF walk →
-    * idx1 selection → bottom-up BGR decode → luma grid end-to-end.
-    * Selective decode is the 100 TB posture: raster work scales with
-    * keyframes, not frames.
-    */
-  val qVideoKeyframes = Fixture(
-    "q_video_keyframes",
-    (s, d) => Multimodal.videoFrames(s,
-        Multimodal.syntheticBlockVideos(s, Tables.documents(s, d),
-          nFrames = 6, keyframeEvery = 3),
-        keyframesOnly = true).toDF()
-      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-        col("width"), col("height"),
-        Quant.q4(col("mean_luma")).as("mean_luma"), col("ahash")),
-    Some(videoFramesOracle(6, "0, 3")))
-
-  /** Strided REAL demux of the same containers, index-free: sequential
-    * `movi` walk decoding every 2nd frame (0, 2, 4) — the streaming-demux
-    * shape for containers without a usable index. Same decoded-content
-    * oracle, different container path (chunk walk vs `idx1` seek), so the
-    * two fixtures pin both demux modes.
-    */
-  val qVideoFramesStrided = Fixture(
-    "q_video_frames_strided",
-    (s, d) => Multimodal.videoFrames(s,
-        Multimodal.syntheticBlockVideos(s, Tables.documents(s, d),
-          nFrames = 6, keyframeEvery = 3),
-        keyframesOnly = false, stride = 2).toDF()
-      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-        col("width"), col("height"),
-        Quant.q4(col("mean_luma")).as("mean_luma"), col("ahash")),
-    Some(videoFramesOracle(6, "0, 2, 4")))
-
-  /** Embedding preprocessing: L2-normalize then int8-quantize
-    * (round(x/‖v‖·127)) — the standard store-shrink step before ANN at
-    * corpus scale (4× smaller than float32). Oracle-comparable per-vector
-    * summary (sum/min/max of the quantized codes are integer-exact) rather
-    * than array outputs; zero-norm vectors are excluded, documented.
-    */
-  val qEmbedQuantize = Fixture(
-    "q_embed_quantize",
-    (s, d) => {
-      import graft.functions.VectorFunctions
-      // Stage nrm and qv as materialized columns: the norm is an O(d) fold,
-      // and inlining it into the transform() lambda would make Catalyst
-      // re-evaluate the full fold per ELEMENT (O(d²) per row — HOF lambdas
-      // get no CSE); likewise qv is consumed by three aggregates and must be
-      // built once. CollapseProject keeps multi-referenced non-cheap aliases
-      // staged, so each fold runs exactly once per row.
-      Tables.embeddings(s, d)
-        .withColumn("__nrm", VectorFunctions.norm(col("embedding")))
-        .where(col("__nrm") > 0)
-        .withColumn("qv", transform(col("embedding"),
-          x => floor(x.cast("double") / col("__nrm") * lit(127.0) + lit(0.5))))
-        .select(col("vec_id"), Quant.q4(col("__nrm")).as("nrm"),
-          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
-          array_min(col("qv")).as("q_min"), array_max(col("qv")).as("q_max"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |            FROM embeddings),
-      | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-      | q AS (SELECT vec_id, nrm,
-      |         list_transform(v, x -> floor(x / nrm * 127.0 + 0.5)::BIGINT) AS qv
-      |       FROM n WHERE nrm > 0)
-      | SELECT vec_id, ${q4("nrm")} AS nrm,
-      |   list_reduce(list_prepend(0::BIGINT, qv), (a, x) -> a + x) AS q_sum,
-      |   list_min(qv) AS q_min, list_max(qv) AS q_max
-      | FROM q""".stripMargin))
-
-  /** BM25 top-k retrieval for a literal 3-term query — the lexical-search
-    * primitive a RAG/retrieval pipeline runs beside ANN (Robertson k1=1.2,
-    * b=0.75; Lucene's +1 idf so unseen terms can't go negative). Plan
-    * shape: ONE corpus scan computes per-doc term frequencies as HOF
-    * filter-counts over the token array (no explode, no posting shuffle —
-    * the query's terms are literals, so tf is a projection), corpus stats
-    * (N, avgdl, per-term df) are ONE tiny aggregation broadcast back, and
-    * the top-k is TakeOrdered (per-partition heap, no global sort). At
-    * 100 TB: scan-bound, two jobs, zero corpus shuffles.
-    *
-    * Determinism: integer tf/dl/df; avgdl and every score term are
-    * identically-formed double chains mirrored in the oracle; q4 on the
-    * output score; ties by doc_id.
-    */
-  val qBm25 = Fixture(
-    "q_bm25_topk",
-    (s, d) => {
-      val terms = Seq("table", "row", "window")
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("w"))
-        .withColumn("dl", size(col("w")).cast("long"))
-      val tfs = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-        df.withColumn(s"tf$i",
-          size(filter(col("w"), x => x === lit(t))).cast("long"))
-      }.drop("w")
-      graft.operators.Caching.withCached(tfs) {
-        val stats = tfs.agg(
-          count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
-          sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
-          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
-        def part(i: Int): org.apache.spark.sql.Column = {
-          val idf = log((col("n") - col(s"df$i") + lit(0.5)) /
-            (col(s"df$i") + lit(0.5)) + lit(1.0))
-          idf * (col(s"tf$i") * lit(2.2)) /
-            (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        }
-        tfs.crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sdl").cast("double") / col("n"))
-          .where(col("tf0") + col("tf1") + col("tf2") > 0)
-          .select(col("doc_id"), col("dl"),
-            Quant.q4(part(0) + part(1) + part(2)).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      }
-    },
-    Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-      |        FROM documents),
-      | f AS (SELECT doc_id, len(w)::BIGINT AS dl,
-      |         len(list_filter(w, x -> x = 'table'))::BIGINT AS tf0,
-      |         len(list_filter(w, x -> x = 'row'))::BIGINT AS tf1,
-      |         len(list_filter(w, x -> x = 'window'))::BIGINT AS tf2
-      |       FROM t),
-      | st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sdl,
-      |          sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
-      |          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
-      |          sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
-      |        FROM f),
-      | sc AS (SELECT doc_id, dl,
-      |     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) /
-      |       (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
-      |   + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) /
-      |       (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))
-      |   + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) /
-      |       (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl / n))) AS s
-      |   FROM f, st WHERE tf0 + tf1 + tf2 > 0)
-      | SELECT doc_id, dl, ${q4("s")} AS score FROM sc
-      | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
-
-  /** Deterministic training-order shuffle — the reproducible global
-    * permutation every trainer needs (same data order across reruns,
-    * engines, and cluster sizes): each example's rank is a SEEDED hash of
-    * its id, its shard is a fixed-width RANGE of that hash (uniform
-    * hashes → balanced shards with no sampling pass and no global sort),
-    * and its position is the rank order within the shard. Changing the
-    * seed string is a fresh epoch permutation. Plan: one scan-side
-    * projection + a per-shard sort — the only distributed-sort shape that
-    * reproduces bit-identically at any parallelism, because both shard
-    * boundary and in-shard order are pure functions of the id.
-    */
-  val qTrainShuffle = Fixture(
-    "q_train_shuffle",
-    (s, d) => {
-      val rank = TextFunctions.hash64(
-        concat(lit("shuf42#"), col("doc_id").cast("string")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("rank", "doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), rank.as("rank"))
-        // exact integer shard = rank >>> 57 (rank is a non-negative 60-bit
-        // md5 prefix, so 8 shards of 2^57). Column `/` is DOUBLE division —
-        // a rank within ~64 of a shard boundary could round across it and
-        // disagree with the oracle's integer `rank // 2^57`.
-        .withColumn("shard", shiftrightunsigned(col("rank"), 57))
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select("doc_id", "shard", "pos")
-    },
-    Some(s"""WITH r AS (SELECT doc_id,
-      |     ${h64("'shuf42#' || doc_id")} AS rank FROM documents),
-      | sh AS (SELECT doc_id, rank, rank // 144115188075855872 AS shard FROM r)
-      | SELECT doc_id, shard,
-      |   row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS pos
-      | FROM sh""".stripMargin))
-
-  /** Per-source top-fraction quality gate — "keep the best 30 % of every
-    * source" (the per-source form every mixture recipe uses so a
-    * high-volume low-quality source can't flood the cut): exact
-    * percent_rank within source over the (quantized) quality score,
-    * doc_id tiebreak so ranks are total. The per-source window sort is
-    * distributed by the source key; at 100 TB (or under source skew) the
-    * same gate becomes a per-source approx_percentile threshold broadcast
-    * back — one pass, no window — as q_length_percentiles documents.
-    */
-  val qSelectTopFrac = Fixture(
-    "q_select_top_frac",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          Quant.q4(TextFunctions.qualityScore(col("text"))).as("quality"))
-        .withColumn("pr", Quant.q4(percent_rank().over(w)))
-        .where(col("pr") <= 0.3)
-    },
-    Some(s"""WITH t AS (SELECT doc_id, source,
-      |     len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |     len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |     len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
-      |   FROM documents),
-      | sc AS (SELECT doc_id, source,
-      |     ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
-      |   FROM t),
-      | r AS (SELECT doc_id, source, quality,
-      |     ${q4("percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)")} AS pr
-      |   FROM sc)
-      | SELECT doc_id, source, quality, pr FROM r WHERE pr <= 0.3""".stripMargin))
-
-  /** Table profiling — the ingest-time data-quality snapshot every lake
-    * keeps per partition drop (row/null/distinct counts, value ranges):
-    * ONE aggregation pass over the fact table emits all metrics for all
-    * profiled columns, then a constant-width unpivot (4 selects over the
-    * single agg row) shapes one row per column. Exact distincts ride with
-    * an HLL estimate pinned to ±10 % (`hll_ok`) — at 100 TB the exact
-    * count(DISTINCT)s (whose multi-column form Expands the scan) drop out
-    * and the mergeable HLL sketches are the profile, as in
-    * q_approx_distinct. Numeric ranges quantize through q4; string ranges
-    * stay raw — cross-engine double FORMATTING is the one thing a
-    * profiler must never hash.
-    */
-  val qProfileColumns = Fixture(
-    "q_profile_columns",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val nums = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val strs = Seq("l_returnflag")
-      val aggs = (nums ++ strs).flatMap { c =>
-        Seq(count(col(c)).as(s"n_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          approx_count_distinct(col(c), 0.05).as(s"ne_$c"))
-      } ++ nums.flatMap(c => Seq(
-        Quant.q4(min(col(c))).as(s"mn_$c"), Quant.q4(max(col(c))).as(s"mx_$c"))) ++
-        strs.flatMap(c => Seq(min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c")))
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val rows = nums.map { c =>
-        one.select(lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
-          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-          (abs(col(s"ne_$c") - col(s"nd_$c")) <= col(s"nd_$c") * 0.1).as("hll_ok"),
-          col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
-          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
-      } ++ strs.map { c =>
-        one.select(lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
-          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-          (abs(col(s"ne_$c") - col(s"nd_$c")) <= col(s"nd_$c") * 0.1).as("hll_ok"),
-          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
-          col(s"ms_$c").as("min_str"), col(s"xs_$c").as("max_str"))
-      }
-      rows.reduce(_ unionAll _)
-    },
-    Some(s"""WITH p AS (
-      |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_rows,
-      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-      |    count(DISTINCT l_quantity) AS n_distinct, TRUE AS hll_ok,
-      |    ${q4("min(l_quantity)")} AS min_num, ${q4("max(l_quantity)")} AS max_num,
-      |    NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem
-      |  UNION ALL
-      |  SELECT 'l_extendedprice', count(l_extendedprice),
-      |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
-      |    count(DISTINCT l_extendedprice), TRUE,
-      |    ${q4("min(l_extendedprice)")}, ${q4("max(l_extendedprice)")}, NULL, NULL FROM lineitem
-      |  UNION ALL
-      |  SELECT 'l_discount', count(l_discount),
-      |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
-      |    count(DISTINCT l_discount), TRUE,
-      |    ${q4("min(l_discount)")}, ${q4("max(l_discount)")}, NULL, NULL FROM lineitem
-      |  UNION ALL
-      |  SELECT 'l_returnflag', count(l_returnflag),
-      |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
-      |    count(DISTINCT l_returnflag), TRUE,
-      |    NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem)
-      | SELECT * FROM p""".stripMargin))
-
-  /** Unicode NFC canonicalization ([[TextFunctions.nfc]], a codegen'd
-    * custom Expression — Spark has no built-in; DuckDB's nfc_normalize is
-    * the mirror). The fixture manufactures DECOMPOSED text from the corpus
-    * (every 'e' becomes e + combining-acute U+0301) in both engines, then
-    * normalizes: composed output must be shorter (combining pairs fuse to
-    * one codepoint) and its md5 — i.e. its exact bytes — must agree
-    * cross-engine. This is the canonicalization exact-dedup fingerprints
-    * depend on: without it, composed and decomposed forms of the same
-    * document hash apart and survive dedup.
-    */
-  val qNfcNormalize = Fixture(
-    "q_nfc_normalize",
-    (s, d) => {
-      val decomposed = regexp_replace(col("text"), "e", "é")
-      val normed = TextFunctions.nfc(decomposed)
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        length(decomposed).cast("long").as("n_decomposed"),
-        length(normed).cast("long").as("n_nfc"),
-        md5(normed).as("fp"))
-    },
-    Some("""WITH t AS (SELECT doc_id,
-      |     regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
-      |   FROM documents)
-      | SELECT doc_id, length(dec)::BIGINT AS n_decomposed,
-      |   length(nfc_normalize(dec))::BIGINT AS n_nfc,
-      |   md5(nfc_normalize(dec)) AS fp
-      | FROM t""".stripMargin))
-
-  /** kNN majority-vote auto-labeling — semi-supervised label propagation,
-    * the weak-labeling pass that turns a small hand-labeled seed set into
-    * corpus-scale training labels: every unlabeled vector takes its k=5
-    * nearest LABELED neighbors (exact cosine; ties (cos DESC, id ASC) via
-    * TopKAgg's bounded heap) and adopts the majority label, ties to the
-    * smallest label. Plan shape: the query batch broadcasts onto the
-    * labeled corpus (one scan), top-k ids — |Q|·k rows — broadcast back
-    * to fetch labels, and the vote is a tiny (query, label) aggregation
-    * finished by an argmax struct-max. No corpus×corpus pass, no
-    * rank-over-window on the big relation. At 100 TB the candidate stage
-    * swaps to the persisted-IVF probe, votes unchanged.
-    */
-  val qKnnLabel = Fixture(
-    "q_knn_label",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val labeled = emb.where(col("vec_id") % 3 === 0)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-          col("label").cast("long").as("nlabel"))
-      val q = emb.where(col("vec_id") % 3 =!= 0 && col("vec_id") < 60)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val pairs = labeled.join(broadcast(q), lit(true))
-        .select(col("query_id"), col("neighbor_id"),
-          Quant.q4(graft.functions.VectorFunctions.cosineFused(col("qv"), col("nv"))).as("cos"))
-      val topk = pairs.groupBy("query_id")
-        .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), 5).as("tk"))
-        .select(col("query_id"), explode(col("tk")).as("t"))
-        .select(col("query_id"), col("t.id").as("neighbor_id"))
-      val votes = broadcast(topk)
-        .join(labeled.select(col("neighbor_id"), col("nlabel")), Seq("neighbor_id"))
-        .groupBy(col("query_id"), col("nlabel"))
-        .agg(count(lit(1)).as("votes"))
-      votes.groupBy("query_id")
-        .agg(max(struct(col("votes"), (-col("nlabel")).as("nl"))).as("b"))
-        .select(col("query_id"), (-col("b.nl")).as("pred_label"),
-          col("b.votes").as("votes"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, label,
-      |     list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      | lab AS (SELECT vec_id AS neighbor_id, v AS nv, label::BIGINT AS nlabel
-      |         FROM e WHERE vec_id % 3 = 0),
-      | q AS (SELECT vec_id AS query_id, v AS qv FROM e
-      |       WHERE vec_id % 3 <> 0 AND vec_id < 60),
-      | p AS (SELECT query_id, neighbor_id, nlabel,
-      |         ${dotSql("qv", "nv")} AS ab, ${dotSql("qv", "qv")} AS aa,
-      |         ${dotSql("nv", "nv")} AS bb
-      |       FROM q CROSS JOIN lab),
-      | c AS (SELECT query_id, neighbor_id, nlabel,
-      |         ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT query_id, neighbor_id, nlabel,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM c),
-      | v AS (SELECT query_id, nlabel, count(*) AS votes FROM r
-      |       WHERE rank <= 5 GROUP BY 1, 2),
-      | w AS (SELECT query_id, nlabel, votes,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS rn
-      |       FROM v)
-      | SELECT query_id, nlabel AS pred_label, votes FROM w WHERE rn = 1""".stripMargin))
-
-  /** Streaming ANN serving over the PERSISTED IVF index
-    * ([[Ann.ivfSearchStreamCandidates]]): query vectors arrive as a stream,
-    * probe their 2 nearest cells via the plan-literal centroid model, and
-    * join stream-static against the index at rest — stateless candidate
-    * generation, then a windowed ARGMAX aggregate (max of (cos, −id)
-    * structs: rank-over-window doesn't exist in append streams) emits each
-    * query's top-1 neighbor. Event time = query_id·7 s so the replay
-    * spans several tumbling windows; emission semantics are the
-    * q_stream_tumbling_agg standard (window end ≤ max event time). The
-    * oracle is the batch IVF relation at rank 1 + window arithmetic —
-    * stream serving must return exactly what a batch probe would.
-    */
-  val qStreamAnnProbe = Fixture(
-    "q_stream_ann_probe",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val tbl = s"graft_ivf_stream_$h"
-      FixtureOnce(tbl) {
-        Ann.ivfWriteIndex(emb, cents, tbl,
-          s"${sys.props("java.io.tmpdir")}/graft_ivf_stream/$h", 8)
-      }
-      val rows = emb.where(col("vec_id") < 30)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val qdf = ms.toDF().toDF("query_id", "qv")
-        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
-      val out = Ann.ivfSearchStreamCandidates(s, tbl, cents, qdf, 2)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
-        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("nn"))).as("b"))
-        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
-          (-col("b.nn")).as("neighbor_id"), col("b.cos").as("cos"))
-      val sink = s"stream_ann_$h${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |        FROM e CROSS JOIN c),
-      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
-      | cr AS (SELECT vec_id, cid,
-      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |        FROM sc),
-      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
-      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
-      |           WHERE rn <= 2 AND vec_id < 30),
-      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-      | pr AS (SELECT query_id, neighbor_id,
-      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
-      |          ${dotSql("en.v", "en.v")} AS bb
-      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
-      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
-      | sr AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM sr),
-      | mx AS (SELECT max(vec_id * 7) AS mx FROM e WHERE vec_id < 30)
-      | SELECT (query_id * 7 // 60) * 60 AS ws, query_id, neighbor_id, cos
-      | FROM r WHERE rank = 1
-      |   AND (query_id * 7 // 60) * 60 + 60 <= (SELECT mx FROM mx)""".stripMargin))
-
-  /** Winnowing (MOSS) fingerprints ([[TextFunctions.winnow]], k=3 word
-    * grams, window 4): the span-granular robust fingerprints — any shared
-    * run of ≥ 6 tokens between two documents is guaranteed to share a
-    * selected (pos-localizable) fingerprint. Pure scan-side HOFs; the
-    * distinct collapses the consecutive-window reselections that give
-    * winnowing its ~2/(w+1) density. Docs shorter than one full window
-    * (< 6 tokens) have no fingerprint by definition.
-    */
-  val qWinnow = Fixture(
-    "q_winnow_fingerprints",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-      .where(size(col("w")) >= 6)
-      .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
-      .select(col("doc_id"),
-        explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
-      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
-      .distinct(),
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | h AS (SELECT doc_id,
-      |     list_transform(generate_series(1, len(w) - 2),
-      |       i -> ${h64("array_to_string(w[i:i+2], ' ')")}) AS hs
-      |   FROM w0 WHERE len(w) >= 6),
-      | st AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 3)) AS j
-      |        FROM h),
-      | sel AS (SELECT DISTINCT doc_id,
-      |     j - 1 + list_position(hs[j:j+3], list_min(hs[j:j+3])) AS pos,
-      |     list_min(hs[j:j+3]) AS fp
-      |   FROM st)
-      | SELECT doc_id, pos::BIGINT AS pos, fp FROM sel""".stripMargin))
-
-  /** Content-defined chunking — the storage-dedup primitive (rsync/LBFS
-    * lineage): a chunk boundary falls after token p wherever the rolling
-    * fingerprint of the trailing 3-gram hits 0 mod 64, so boundaries are
-    * a pure function of LOCAL content. Insert one sentence into a
-    * document and only the chunk containing it changes fingerprint —
-    * fixed-width chunking would shift every later chunk, defeating
-    * incremental dedup/storage of re-crawled pages. Expected chunk
-    * length = the modulus (64 tokens). Entirely scan-side HOFs over the
-    * staged token array (each position hashed ONCE — the winnow staging
-    * rule); emitted chunk rows land in an fp-keyed table where exact
-    * dedup is a groupBy, as `q_dedup_exact` does for whole docs.
-    */
-  val qCdcChunks = Fixture(
-    "q_cdc_chunks",
-    (s, d) => {
-      val n = size(col("w"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-        .where(size(col("w")) >= 1)
-        .withColumn("bpos",
-          when(n >= 4, filter(sequence(lit(3), n - 1), p =>
-            pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
-              lit(64L)) === 0))
-            .otherwise(array().cast("array<int>")))
-        .withColumn("starts",
-          concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
-        .withColumn("ends", concat(col("bpos"), array(n)))
-        .select(col("doc_id"), col("w"), col("starts"), col("ends"),
-          explode(sequence(lit(1), size(col("starts")))).as("ci"))
-        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
-          element_at(col("starts"), col("ci")).cast("long").as("start_tok"),
-          (element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)
-            .cast("long").as("n_tok"),
-          TextFunctions.hash64(concat_ws(" ",
-            slice(col("w"), element_at(col("starts"), col("ci")),
-              element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)))
-            .as("fp"))
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | wn AS (SELECT doc_id, w, len(w) AS n FROM w0 WHERE len(w) >= 1),
-      | b AS (SELECT doc_id, w, n,
-      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
-      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
-      |     ELSE [] END AS bpos
-      |   FROM wn),
-      | c AS (SELECT doc_id, w, n,
-      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
-      |     list_append(bpos, n) AS ends
-      |   FROM b),
-      | e AS (SELECT doc_id, w, starts, ends,
-      |     unnest(generate_series(1, len(starts))) AS ci FROM c)
-      | SELECT doc_id, ci::BIGINT AS chunk_idx, starts[ci]::BIGINT AS start_tok,
-      |   (ends[ci] - starts[ci] + 1)::BIGINT AS n_tok,
-      |   ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp
-      | FROM e""".stripMargin))
-
-  /** The storage payoff of content-defined chunking: a re-crawl arrives
-    * with every 5th document EDITED (one token appended — the re-crawl
-    * reality: pages change a little). Chunk both sides; for each edited
-    * copy report how many of its chunks already exist in the original
-    * corpus's chunk store. Because boundaries are content-defined, only
-    * the final chunk changes — reuse is (n_chunks − 1)/n_chunks instead
-    * of the ~0 a fixed-width chunker would get from the length shift.
-    * Plan: chunk relations on both sides (scan-side HOFs), one fp-keyed
-    * LEFT SEMI probe of the corpus chunk store, per-doc counts.
-    */
-  val qCdcChunkDedup = Fixture(
-    "q_cdc_chunk_dedup",
-    (s, d) => {
-      def chunksOf(df: DataFrame): DataFrame = {
-        val n = size(col("w"))
-        df.select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-          .where(size(col("w")) >= 1)
-          .withColumn("bpos",
-            when(n >= 4, filter(sequence(lit(3), n - 1), p =>
-              pmod(TextFunctions.hash64(concat_ws(" ", slice(col("w"), p - 2, lit(3)))),
-                lit(64L)) === 0))
-              .otherwise(array().cast("array<int>")))
-          .withColumn("starts",
-            concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
-          .withColumn("ends", concat(col("bpos"), array(n)))
-          .select(col("doc_id"), col("w"), col("starts"), col("ends"),
-            explode(sequence(lit(1), size(col("starts")))).as("ci"))
-          .select(col("doc_id"),
-            TextFunctions.hash64(concat_ws(" ",
-              slice(col("w"), element_at(col("starts"), col("ci")),
-                element_at(col("ends"), col("ci")) - element_at(col("starts"), col("ci")) + 1)))
-              .as("fp"))
-      }
-      val docs = Tables.documents(s, d)
-      val corpusChunks = chunksOf(docs).select("fp").distinct()
-      val edited = docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" zzedit")).as("text"))
-      val editedChunks = chunksOf(edited)
-      val reused = editedChunks.join(corpusChunks, Seq("fp"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_reused"))
-      editedChunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-        .join(reused, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_reused"), lit(0L)).as("n_reused"))
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | wn AS (SELECT doc_id, w, len(w) AS n FROM w0 WHERE len(w) >= 1),
-      | b AS (SELECT doc_id, w, n,
-      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
-      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
-      |     ELSE [] END AS bpos FROM wn),
-      | c AS (SELECT doc_id, w, n,
-      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
-      |     list_append(bpos, n) AS ends FROM b),
-      | e AS (SELECT doc_id, w, starts, ends,
-      |     unnest(generate_series(1, len(starts))) AS ci FROM c),
-      | corpus_fp AS (SELECT DISTINCT
-      |     ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp FROM e),
-      | ew0 AS (SELECT doc_id + 100000 AS doc_id,
-      |     string_split_regex(trim(text || ' zzedit'), '\\s+') AS w
-      |   FROM documents WHERE doc_id % 5 = 0),
-      | ewn AS (SELECT doc_id, w, len(w) AS n FROM ew0 WHERE len(w) >= 1),
-      | eb AS (SELECT doc_id, w, n,
-      |     CASE WHEN n >= 4 THEN list_filter(generate_series(3, n - 1),
-      |       p -> ${h64("array_to_string(w[p-2:p], ' ')")} % 64 = 0)
-      |     ELSE [] END AS bpos FROM ewn),
-      | ec AS (SELECT doc_id, w, n,
-      |     list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
-      |     list_append(bpos, n) AS ends FROM eb),
-      | ee AS (SELECT doc_id, w, starts, ends,
-      |     unnest(generate_series(1, len(starts))) AS ci FROM ec),
-      | ech AS (SELECT doc_id,
-      |     ${h64("array_to_string(w[starts[ci]:ends[ci]], ' ')")} AS fp FROM ee)
-      | SELECT doc_id, count(*) AS n_chunks,
-      |   sum(CASE WHEN fp IN (SELECT fp FROM corpus_fp) THEN 1 ELSE 0 END)::BIGINT AS n_reused
-      | FROM ech GROUP BY doc_id""".stripMargin))
-
-  /** Span-overlap candidate pairs from the winnowing index — what MOSS
-    * actually reports: documents sharing ≥ 2 selected fingerprints, i.e.
-    * at least two independent ≥ 6-token runs in common (or one long one).
-    * The inverted fingerprint self-join is bounded the same way the
-    * n-gram Jaccard index is: fingerprints appearing in > 50 documents
-    * (boilerplate) are dropped BEFORE pairing — MOSS's own over-common
-    * exclusion — so no hot key can go quadratic; everything else is
-    * |postings|² within rare fingerprints only. At 100 TB the fps
-    * relation is the persisted winnow index (fp-bucketed), and this query
-    * never rescans text.
-    */
-  val qWinnowOverlap = Fixture(
-    "q_winnow_overlap",
-    (s, d) => {
-      val fps = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-        .where(size(col("w")) >= 6)
-        .withColumn("hs", TextFunctions.kgramHashes(col("w"), 3))
-        .select(col("doc_id"),
-          explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("f"))
-        .select(col("doc_id"), col("f.fp").as("fp")).distinct()
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-        .where(col("nd") <= 50).select("fp")
-      val keep = fps.join(rare, Seq("fp"))
-      keep.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(keep.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | h AS (SELECT doc_id,
-      |     list_transform(generate_series(1, len(w) - 2),
-      |       i -> ${h64("array_to_string(w[i:i+2], ' ')")}) AS hs
-      |   FROM w0 WHERE len(w) >= 6),
-      | st AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 3)) AS j
-      |        FROM h),
-      | sel AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp FROM st),
-      | df AS (SELECT fp, count(*) AS nd FROM sel GROUP BY 1),
-      | keep AS (SELECT doc_id, s.fp FROM sel s JOIN df USING (fp) WHERE nd <= 50),
-      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      |       FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2)
-      | SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin))
-
-  /** Hard-negative mining — the contrastive-retrieval training-data shape:
-    * for each query vector, the top neighbor is the pseudo-positive and
-    * ranks 3..6 are the hard negatives (rank 2 is skipped as the classic
-    * false-negative guard: the nearest non-positive is too often an
-    * unlabeled true match). One ranked-candidates pass feeds both roles —
-    * no second search. Candidate generation here is the exact brute
-    * baseline so the oracle is closed-form; at 100 TB the SAME downstream
-    * (rank-window + role split) runs off Ann.ivfSearchPersisted's
-    * bucket-pruned candidates instead — mining cost is the index probe,
-    * never a corpus×corpus pass.
-    */
-  val qHardNegatives = Fixture(
-    "q_hard_negatives",
-    (s, d) => Ann.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 15, 6)
-      .where(col("rank") === 1 || col("rank") >= 3)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-        col("rank").cast("long").as("rank"),
-        when(col("rank") === 1, lit("pos")).otherwise(lit("neg")).as("role")),
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 15),
-      | p AS (SELECT query_id, e.vec_id AS neighbor_id,
-      |         ${dotSql("qv", "e.v")} AS ab, ${dotSql("qv", "qv")} AS aa, ${dotSql("e.v", "e.v")} AS bb
-      |       FROM q JOIN e ON e.vec_id <> q.query_id),
-      | c AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT query_id, neighbor_id, cos,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |       FROM c)
-      | SELECT query_id, neighbor_id, cos, rank,
-      |   CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role
-      | FROM r WHERE rank <= 6 AND (rank = 1 OR rank >= 3)""".stripMargin))
-
-  /** Model-based quality filtering ([[TextFunctions.classifierProb]]):
-    * hashed-feature linear classifier scored in ONE scan-side projection —
-    * the plan shape of running a trained fastText-style keep/drop model
-    * over 100 TB (the model rides the plan as a literal; no shuffle, no
-    * join, no UDF). Output pins the probability AND the keep decision;
-    * the threshold compares the quantized prob so both engines decide on
-    * the same 4-decimal value.
-    */
-  val qQualityClassifier = Fixture(
-    "q_quality_classifier",
-    (s, d) => {
-      val w = filter(TextFunctions.words(lower(col("text"))), x => x =!= "")
-      val prob = Quant.q4(TextFunctions.classifierProb(col("w")))
-      Tables.documents(s, d)
-        .select(col("doc_id"), w.as("w"))
-        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
-          prob.as("prob"))
-        .withColumn("keep", col("prob") >= lit(0.55))
-    },
-    Some(s"""WITH t AS (SELECT doc_id,
-      |     list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
-      |   FROM documents),
-      | sc AS (SELECT doc_id, len(w)::BIGINT AS n_tok,
-      |     ${foldSum(s"list_transform(w, x -> ((${h64("x")} % 1024) * 2654435761 % 1001 - 500) / 500.0)")} AS raw
-      |   FROM t),
-      | p AS (SELECT doc_id, n_tok,
-      |     ${q4("1.0 / (1.0 + exp(-(raw / greatest(n_tok, 1) + 0.1)))")} AS prob
-      |   FROM sc)
-      | SELECT doc_id, n_tok, prob, prob >= 0.55 AS keep FROM p""".stripMargin))
-
-  /** BM25 over the PERSISTED posting index ([[graft.similarity.Bm25]]):
-    * same query, same top-20, but the corpus scan happened at index-build
-    * time — the probe reads only the 3 query terms' buckets (bucket
-    * pruning on the term key), derives df from those pruned postings, and
-    * scores with the scan form's exact double chain. Oracle reused
-    * verbatim from q_bm25_topk: the index must be invisible in the result.
-    */
-  val qBm25Index = Fixture(
-    "q_bm25_index_topk",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val tbl = s"graft_bm25_idx_$h"
-      FixtureOnce(tbl) {
-        graft.similarity.Bm25.writeIndex(
-          Tables.documents(s, d), "doc_id", "text", tbl,
-          s"${sys.props("java.io.tmpdir")}/graft_bm25/$h", 8)
-      }
-      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
-    },
-    qBm25.oracle)
-
-  /** Index lifecycle: build the posting index on HALF the corpus, append
-    * the other half incrementally ([[graft.similarity.Bm25.appendIndex]] —
-    * only the batch shuffles, stats fold additively, no lake rescan), then
-    * search. Result must equal the full-corpus scan-bound BM25 exactly
-    * (oracle reused verbatim): the search cannot tell whether the index
-    * was built in one shot or grown crawl-by-crawl.
-    */
-  val qBm25IndexAppend = Fixture(
-    "q_bm25_index_append",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val tbl = s"graft_bm25_app_$h"
-      val docs = Tables.documents(s, d)
-      graft.similarity.Bm25.writeIndex(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tbl,
-        s"${sys.props("java.io.tmpdir")}/graft_bm25_app/$h", 8)
-      graft.similarity.Bm25.appendIndex(
-        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", tbl)
-      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
-    },
-    qBm25.oracle)
-
-  /** STREAMING ingest into the persisted BM25 index — the
-    * [[qStreamIvfIngest]] protocol on the three-table lexical index:
-    * build on the even half ([[graft.similarity.Bm25.writeIndexIngestable]]),
-    * stream the odd half in 2 micro-batches (each landing docs + postings
-    * + stats partitions keyed by batchId), then crash-replay the last
-    * batch. A double-append would double that batch's df and corpus
-    * stats and shift every BM25 score — the full-corpus scan oracle
-    * certifies the replay rewrote, not re-appended. This also closes
-    * [[graft.similarity.Bm25.appendIndex]]'s residual crash window: a
-    * batch that died between its three table writes is healed whole by
-    * the replay's partition overwrites.
-    */
-  val qStreamBm25Ingest = Fixture(
-    "q_stream_bm25_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val docs = Tables.documents(s, d)
-      val tbl = s"graft_bm25_ing_${h}_$run"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_bm25_ing/$h/$run"
-      graft.similarity.Bm25.writeIndexIngestable(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tbl, dir, 8)
-      val rows = docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingIndexIngest.startBm25(
-        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, s"$dir/cp")
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      graft.streaming.StreamingIndexIngest.applyBm25Batch(
-        chunks.last.toSeq.toDF("doc_id", "text"), "doc_id", "text", tbl,
-        chunks.length - 1L)
-      graft.similarity.Bm25.searchTopK(s, tbl, Seq("table", "row", "window"), 20)
-    },
-    qBm25.oracle)
-
-  /** STREAMING ingest into the persisted MinHash near-dup band index —
-    * the [[qStreamIvfIngest]] protocol on the THIRD persisted index
-    * family (near-dup, beside IVF dense and BM25 lexical): the lake is
-    * the `doc_id % 4 == 0` quarter in the ingestable layout
-    * ([[Dedup.minhashWriteIndexIngestable]]), the `% 4 == 2` quarter
-    * arrives as a 2-chunk stream whose micro-batches land bands + shingle
-    * store as `ingest_batch = batchId` partitions, then the LAST batch is
-    * crash-replayed with the same batchId. The probe (odd docs, unchanged
-    * [[Dedup.minhashProbeIndex]]) must equal [[qDedupIndexProbe]]'s exact
-    * cross-parity Jaccard oracle over the full even half: a double-append
-    * cannot change the pair SET (bands only add candidates; verification
-    * is exact), but a TORN batch (bands landed, shingle store didn't)
-    * would silently verify candidates against missing shingle rows and
-    * drop pairs — the oracle certifies the two-table batch landed whole
-    * and the replay rewrote rather than re-appended.
-    */
-  val qStreamMinhashIngest = Fixture(
-    "q_stream_minhash_index_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val docs = Tables.documents(s, d)
-      val tbl = s"graft_mh_ing_${h}_$run"
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_mh_ing/$h/$run"
-      Dedup.minhashWriteIndexIngestable(docs.where(col("doc_id") % 4 === 0),
-        "doc_id", "text", 3, tbl, s"$dir/idx", 8)
-      val rows = docs.where(col("doc_id") % 4 === 2)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingIndexIngest.startMinhash(
-        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, tbl, s"$dir/cp")
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
-      // crash-replay of the last micro-batch: same batchId, same rows —
-      // both partition overwrites must leave the index bit-identical
-      graft.streaming.StreamingIndexIngest.applyMinhashBatch(
-        chunks.last.toSeq.toDF("doc_id", "text"), "doc_id", "text", 3, tbl,
-        chunks.length - 1L)
-      Dedup.minhashProbeIndex(s, docs.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", 3, 0.8, tbl)
-    },
-    qDedupIndexProbe.oracle)
-
-  /** Corpus vocabulary top-k: whitespace tokens of lowercased text, top 100
-    * by (count desc, term asc). orderBy+limit plans as TakeOrdered — a
-    * per-partition bounded heap then a k-merge, never a global sort; the
-    * groupBy input is |corpus| but its output (the vocabulary) is what flows
-    * into the top-k.
-    */
-  val qVocabTopK = Fixture(
-    "q_vocab_topk",
-    (s, d) => Tables.documents(s, d)
-      .select(explode(TextFunctions.words(lower(col("text")))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w").asc)
-      .limit(100),
-    Some("""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-      |            FROM documents),
-      | c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1)
-      | SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 100""".stripMargin))
-
-  /** Benchmark decontamination: docs 0-24 stand in for the eval set; every
-    * other doc reports how many of its distinct 3-gram shingles appear in it.
-    */
-  val qDecontaminate = Fixture(
-    "q_decontaminate",
-    (s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contamination(
-        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
-        "doc_id", "text", 3)
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n_sh, s FROM sh WHERE len(s) > 0),
-      | bench AS (SELECT DISTINCT unnest(s) AS sg FROM f WHERE doc_id < 25),
-      | posts AS (SELECT doc_id, n_sh, unnest(s) AS sg FROM f WHERE doc_id >= 25)
-      | SELECT doc_id, count(*) AS n_overlap,
-      |        ${q4("count(*) / any_value(n_sh)")} AS frac
-      | FROM posts JOIN bench USING (sg) GROUP BY doc_id""".stripMargin))
-
-  /** SPAN-LEVEL decontamination — mask the contaminated n-gram spans
-    * instead of dropping the document (the modern alternative to doc-level
-    * removal when an otherwise-good page quotes an eval item): token p is
-    * masked iff some 3-gram window covering p appears in the eval set, and
-    * the document is re-emitted with those tokens replaced by `<MASK>`.
-    *
-    * Plan shape: POSITIONAL shingles (not the distinct set — spans need
-    * starts) explode once; the eval-set shingle relation is distinct-ed and
-    * broadcast (eval sets are small by definition) and a LEFT SEMI probe
-    * keeps only contaminated starts, so the per-doc mask aggregation
-    * shuffles contaminated positions only — orders of magnitude below the
-    * posting count. The rebuild is a scan-side HOF over the token array.
-    * The oracle replays positions, windows, and the rebuilt string, so the
-    * masked TEXT itself is hash-compared.
-    */
-  val qDecontaminateMask = Fixture(
-    "q_decontaminate_mask",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-      val posts = docs.where(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("w")) - 2),
-            i => concat_ws(" ", slice(col("w"), i, lit(3))))))
-        .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("sg"))
-      val bench = posts.where(col("doc_id") < 25).select("sg").distinct()
-      val mpos = posts.where(col("doc_id") >= 25)
-        .join(broadcast(bench), Seq("sg"), "left_semi")
-        .select(col("doc_id"),
-          explode(array(col("s"), col("s") + 1, col("s") + 2)).as("p"))
-        .groupBy("doc_id").agg(sort_array(collect_set(col("p"))).as("mp"))
-      docs.join(mpos, "doc_id")
-        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
-          size(col("mp")).cast("long").as("n_masked"),
-          concat_ws(" ", transform(sequence(lit(1), size(col("w"))),
-            p => when(array_contains(col("mp"), p), lit("<MASK>"))
-              .otherwise(element_at(col("w"), p)))).as("text_masked"))
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | st AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS s
-      |        FROM w0 WHERE len(w) >= 3),
-      | po AS (SELECT doc_id, s, array_to_string(w[s:s+2], ' ') AS sg FROM st),
-      | bset AS (SELECT DISTINCT sg FROM po WHERE doc_id < 25),
-      | cont AS (SELECT po.doc_id, po.s FROM po JOIN bset USING (sg)
-      |          WHERE po.doc_id >= 25),
-      | mp AS (SELECT doc_id, list_sort(list(p)) AS mp FROM
-      |          (SELECT DISTINCT doc_id, s + o AS p
-      |           FROM cont CROSS JOIN (VALUES (0), (1), (2)) AS t(o))
-      |        GROUP BY doc_id)
-      | SELECT w0.doc_id, len(w)::BIGINT AS n_tok, len(mp)::BIGINT AS n_masked,
-      |   array_to_string(list_transform(generate_series(1, len(w)), p ->
-      |     CASE WHEN list_contains(mp, p) THEN '<MASK>' ELSE w[p] END),
-      |     ' ') AS text_masked
-      | FROM w0 JOIN mp USING (doc_id)""".stripMargin))
-
-  /** STREAMING decontamination at ingest: the document stream is probed
-    * against the eval-set shingle set as a STATELESS projection — the
-    * hashed eval shingles ride in the plan as a sorted array literal
-    * (bounded by the EVAL set, the same smallness argument as the batch
-    * broadcast; at eval sets too large to inline, chain the
-    * contaminationBloom expression as a prefilter and sweep exact counts
-    * in batch). No state store, no watermark, no shuffle: contamination
-    * flagging adds zero streaming machinery to the ingest path. Kept
-    * semantics and output are identical to batch [[qDecontaminate]], so
-    * its oracle is reused verbatim.
-    */
-  lazy val qStreamDecontaminate = Fixture(
-    "q_stream_decontaminate",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val all = Tables.documents(s, d)
-      val evalSet: Array[Long] = all.where(col("doc_id") < 25)
-        .select(explode(TextFunctions.shingles(col("text"), 3)).as("s0"))
-        .select(xxhash64(col("s0")).as("sg")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val rows = all.where(col("doc_id") >= 25)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      // membership probe = ONE codegen'd sorted-merge per row
-      // (SortedIntersectSize against the sorted eval literal), not a
-      // per-shingle linear array_contains over the |eval| literal — the
-      // latter is O(|sh|·|eval|) interpreted work per document and
-      // measured 24.6 s at sf0.1 for this replay; the merge form is
-      // O(|sh| + |eval|) native. The hash array stages via withColumn so
-      // the shingle transform runs once per row (winnow's staging rule).
-      import org.apache.spark.sql.GraftColumnBridge
-      val litSet = lit(evalSet) // ascending — the merge contract
-      val out = ms.toDF().toDF("doc_id", "text")
-        .withColumn("sh", TextFunctions.shingles(col("text"), 3))
-        .where(size(col("sh")) > 0)
-        .withColumn("shh", sort_array(transform(col("sh"), x => xxhash64(x))))
-        .withColumn("n_overlap", GraftColumnBridge.column(
-          graft.functions.SortedIntersectSize(
-            GraftColumnBridge.expression(col("shh")),
-            GraftColumnBridge.expression(litSet), 0.0)).cast("long"))
-        .where(col("n_overlap") > 0)
-        .select(col("doc_id"), col("n_overlap"),
-          Quant.q4(col("n_overlap") / size(col("sh"))).as("frac"))
-      val sink = s"stream_decon_${System.nanoTime}"
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try {
-        // ONE trigger (the probe is STATELESS — no state store, no
-        // watermark — so batch boundaries cannot affect any row), but MANY
-        // addData blocks: MemoryStream makes one partition per block, and
-        // the shingle+hash+merge projection is the cost — one 5 000-row
-        // block would run it on a single core while 31 idle
-        rows.grouped(math.max(1, rows.length / 64 + 1)).foreach(c => ms.addData(c.toSeq))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    },
-    qDecontaminate.oracle)
-
-  /** Top-k rows per group (k best documents per source by quality) through
-    * the bounded-heap aggregate ([[graft.functions.TopKAgg]]) instead of
-    * rank-then-filter: a row_number window sorts EVERY row of each group
-    * (full shuffle + per-group sort), while the heap keeps O(k) state that
-    * partial-aggregates map-side — the per-group analog of TakeOrdered. The
-    * oracle IS the rank-filter form, pinning the (score desc, id asc)
-    * equivalence the aggregate documents.
-    */
-  val qTopkPerGroup = Fixture(
-    "q_topk_per_group",
-    (s, d) => Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
-      .groupBy("source")
-      .agg(graft.functions.TopKAgg.topK(col("q"), col("doc_id"), 3).as("tk"))
-      .select(col("source"), posexplode(col("tk")))
-      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("quality")),
-    Some(s"""WITH t0 AS (SELECT source, doc_id,
-      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
-      | FROM documents),
-      | t AS (SELECT source, doc_id,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS quality
-      | FROM t0),
-      | r AS (SELECT source, doc_id, quality,
-      |   row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
-      | FROM t)
-      | SELECT source, rank, doc_id, quality FROM r WHERE rank <= 3""".stripMargin))
-
-  /** [[qDecontaminate]] through the Bloom-prefilter path
-    * ([[Dedup.contaminationBloom]]): sketch broadcast + shuffled exact
-    * verify instead of an exact-set broadcast — the shape for eval sets too
-    * large for executor memory. Same oracle: the bloom's false positives are
-    * removed by the exact semi-join, so the results must coincide.
-    */
-  val qDecontaminateBloom = Fixture(
-    "q_decontaminate_bloom",
-    (s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminationBloom(
-        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
-        "doc_id", "text", 3, expectedItems = 1L << 16)
-    },
-    qDecontaminate.oracle)
-
-  /** Deterministic train/val/test split assignment: each document lands in
-    * a split by a fixed-width band of its content-hash (98 / 1 / 1 %),
-    * independent of row order, partitioning, or corpus growth — re-running
-    * on an extended corpus never reassigns an existing doc. Output is the
-    * per-(source, split) accounting. Pure projection + one aggregation.
-    * Bands come from the md5-prefix hash64 (cross-engine identical); the
-    * modulus is 1000, so band edges are exact integers in both engines.
-    */
-  val qSplitAssign = Fixture(
-    "q_split_assign",
-    (s, d) => Tables.documents(s, d)
-      .select(col("source"),
-        pmod(TextFunctions.fingerprint64(col("text")), lit(1000L)).as("band"))
-      .withColumn("split",
-        when(col("band") < 980, "train")
-          .when(col("band") < 990, "val")
-          .otherwise("test"))
-      .groupBy("source", "split")
-      .agg(count(lit(1)).as("n_docs")),
-    Some(s"""WITH t AS (SELECT source,
-      |   ((${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}) % 1000 + 1000) % 1000 AS band
-      | FROM documents)
-      | SELECT source,
-      |   CASE WHEN band < 980 THEN 'train'
-      |        WHEN band < 990 THEN 'val' ELSE 'test' END AS split,
-      |   count(*) AS n_docs
-      | FROM t GROUP BY 1, 2""".stripMargin))
-
-  /** Partitioned-parquet write → pruned read roundtrip: documents written
-    * `partitionBy(source)` (the standard layout for a curated corpus — one
-    * directory per source), read back with a partition-key predicate, and
-    * aggregated. The predicate must resolve at PLANNING time from the
-    * directory listing (PartitionFilters, zero data files of other sources
-    * opened) — the difference between scanning 1/20th and all of 100 TB.
-    * PartitionSpec asserts the pruned-scan plan shape; this fixture pins the
-    * roundtrip VALUES (partition-column type restoration included) against
-    * the direct DuckDB aggregate.
-    */
-  val qPartitionedRoundtrip = Fixture(
-    "q_partitioned_roundtrip",
-    (s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_part_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      Tables.documents(s, d).write.mode("overwrite")
-        .partitionBy("source").parquet(out)
-      s.read.parquet(out)
-        .where(col("source") === "src7")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents WHERE source = 'src7' GROUP BY 1""".stripMargin))
-
-  /** Bucketed-layout roundtrip → co-located fingerprint join: documents and
-    * their exact-dedup keeper index both written `bucketBy(8, fp)` (the
-    * shuffle paid once, at write time), read back through the catalog, and
-    * joined + aggregated on `fp` — the join and BOTH aggregations plan with
-    * ZERO shuffle exchanges because every operator's required distribution
-    * is already the storage layout (BucketingSpec pins that plan shape).
-    * This is the 100 TB curated-corpus layout: every fp-keyed pass the
-    * pipeline makes (keeper joins, incremental crawl dedup, contamination)
-    * reuses one ingest-time shuffle. This fixture pins the VALUES against
-    * the direct DuckDB join on the raw parquet — bucketing must be a pure
-    * layout change, invisible in the results.
-    */
-  val qBucketedJoin = Fixture(
-    "q_bucketed_join",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_bucket_$h").getAbsolutePath
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("source"), col("lang"),
-        TextFunctions.fingerprintMd5(col("text")).as("fp"))
-      graft.sources.Bucketing.writeBucketed(
-        docs, s"graft_docs_b_$h", s"$base/docs", 8, "fp", Seq("fp"))
-      val docsB = s.table(s"graft_docs_b_$h")
-      val keepers = docsB.groupBy("fp").agg(min("doc_id").as("keeper_id"))
-      graft.sources.Bucketing.writeBucketed(
-        keepers, s"graft_keep_b_$h", s"$base/keepers", 8, "fp", Seq("fp"))
-      docsB.join(s.table(s"graft_keep_b_$h"), Seq("fp"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L))
-            .as("n_keepers"))
-    },
-    Some(s"""WITH f AS (SELECT doc_id, source, lang,
-      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
-      | k AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY 1)
-      | SELECT source, lang, count(*) AS n_docs,
-      |   sum(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END)::BIGINT AS n_keepers
-      | FROM f JOIN k USING (fp) GROUP BY 1, 2""".stripMargin))
-
-  /** Repetition ratio + type-token ratio — Gopher-style cheap quality
-    * signals: top token frequency over total tokens, and distinct over total.
-    */
-  val qRepetition = Fixture(
-    "q_repetition",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(TextFunctions.words(lower(col("text")))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
-        count(lit(1)).as("n_distinct"))
-      .select(col("doc_id"),
-        Quant.q4(col("mx") / col("tot")).as("rep_ratio"),
-        Quant.q4(col("n_distinct") / col("tot")).as("ttr")),
-    Some("""WITH t AS (SELECT doc_id,
-      |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-      |       FROM documents),
-      | c AS (SELECT doc_id, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2),
-      | a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS n_distinct
-      |       FROM c GROUP BY 1)
-      | SELECT doc_id,
-      |   floor((mx / tot) * 10000 + 0.5) / 10000 AS rep_ratio,
-      |   floor((n_distinct / tot) * 10000 + 0.5) / 10000 AS ttr
-      | FROM a""".stripMargin))
-
-  /** End-to-end curation funnel per source — the composite query a real
-    * corpus pipeline runs: total docs, docs passing the quality threshold,
-    * docs whose predicted language matches the labeled one, exact-dedup
-    * keepers, and the intersection (retained). One fingerprint shuffle +
-    * a same-key join back + a tiny per-source aggregate.
-    */
-  val qCurationFunnel = Fixture(
-    "q_curation_funnel",
-    (s, d) => {
-      val enriched = Tables.documents(s, d).select(
-        col("doc_id"), col("source"), col("lang"),
-        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"),
-        TextFunctions.langId(col("text")).as("lp"),
-        TextFunctions.fingerprintMd5(col("text")).as("fp"))
-      val keepers = enriched.groupBy("fp").agg(min("doc_id").as("keeper"))
-      enriched.join(keepers, Seq("fp"))
-        .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("long"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("total"),
-          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
-          sum(when(col("lp") === col("lang"), 1L).otherwise(0L)).as("n_lang_ok"),
-          sum(col("is_keeper")).as("n_unique"),
-          sum(when(col("q") >= 0.5 && col("lp") === col("lang") &&
-            col("is_keeper") === 1L, 1L).otherwise(0L)).as("n_retained"))
-    },
-    Some(s"""WITH t AS (SELECT doc_id, source, lang,
-      |   len($wordsSql)::DOUBLE AS n_tok,
-      |   length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
-      |   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS es,
-      |   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de,
-      |   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS fr,
-      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-      | FROM documents),
-      | e AS (SELECT doc_id, source, lang, fp,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q,
-      |   CASE WHEN en + es + de + fr = 0 THEN 'und'
-      |        WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-      |        WHEN es >= de AND es >= fr THEN 'es'
-      |        WHEN de >= fr THEN 'de' ELSE 'fr' END AS lp
-      | FROM t),
-      | k AS (SELECT fp, min(doc_id) AS keeper FROM e GROUP BY 1)
-      | SELECT source, count(*) AS total,
-      |   sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
-      |   sum(CASE WHEN lp = lang THEN 1 ELSE 0 END)::BIGINT AS n_lang_ok,
-      |   sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_unique,
-      |   sum(CASE WHEN q >= 0.5 AND lp = lang AND doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_retained
-      | FROM e JOIN k USING (fp) GROUP BY 1""".stripMargin))
-
-  /** Per-source token-length percentiles — the corpus length profile a
-    * pipeline reads before choosing truncation/packing parameters. Exact
-    * `percentile` here (bit-matches DuckDB quantile_cont: both interpolate at
-    * rank p·(n−1)); at 100 TB swap the same call for `approx_percentile` —
-    * identical plan shape, one partial aggregation per source, no row
-    * expansion either way.
-    */
-  val qLengthPercentiles = Fixture(
-    "q_length_percentiles",
-    (s, d) => Tables.documents(s, d)
-      .select(col("source"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      .groupBy("source")
-      .agg(Quant.q4(expr("percentile(n_tok, 0.5D)")).as("p50"),
-           Quant.q4(expr("percentile(n_tok, 0.9D)")).as("p90"),
-           Quant.q4(expr("percentile(n_tok, 0.99D)")).as("p99"),
-           count(lit(1)).as("n_docs")),
-    Some(s"""WITH t AS (SELECT source, len($wordsSql) AS n_tok FROM documents)
-      | SELECT source, ${q4("quantile_cont(n_tok, 0.5)")} AS p50,
-      |   ${q4("quantile_cont(n_tok, 0.9)")} AS p90,
-      |   ${q4("quantile_cont(n_tok, 0.99)")} AS p99,
-      |   count(*) AS n_docs
-      | FROM t GROUP BY 1""".stripMargin))
-
-  /** Sketch-based distinct counting (HyperLogLog++): per-source distinct
-    * token count. The sketch is the 100 TB path — one pass, fixed-size
-    * mergeable state per group, partial-aggregated map-side, while exact
-    * `count(DISTINCT)` must shuffle every distinct value (Expand doubles the
-    * input here just to co-compute both). DuckDB cannot reproduce Spark's
-    * HLL++ registers, so the fixture pins the operational contract instead:
-    * the estimate must land within 10 % of the exact count (2× the declared
-    * rsd 0.05; HLL++ is deterministic for fixed input, so the boolean is
-    * stable). The exact count rides along so the oracle still compares real
-    * values, not just literals.
-    */
-  val qApproxDistinct = Fixture(
-    "q_approx_distinct",
-    (s, d) => Tables.documents(s, d)
-      .select(col("source"),
-        explode_outer(TextFunctions.words(col("text"))).as("w"))
-      .groupBy("source")
-      .agg(countDistinct(col("w")).as("n_exact"),
-           approx_count_distinct(col("w"), 0.05).as("__est"))
-      .select(col("source"), col("n_exact"),
-        (abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.1).as("hll_ok")),
-    Some(s"""WITH t AS (SELECT source, unnest($wordsSql) AS w FROM documents)
-      | SELECT source, count(DISTINCT w) AS n_exact, TRUE AS hll_ok
-      | FROM t GROUP BY 1""".stripMargin))
-
-  /** Sketch-based quantiles (Greenwald-Khanna via `approx_percentile`): the
-    * 100 TB swap that [[qLengthPercentiles]]'s docstring names, made real and
-    * accuracy-pinned. The sketch returns an actual data value at rank error
-    * ≤ n/accuracy; the contract checked cross-engine is that each estimate
-    * lands within max(10 %, ±2 tokens) of the exact interpolated percentile
-    * (the slack absorbs discrete-vs-interpolated at small n; both engines'
-    * exact interpolation already bit-matches in [[qLengthPercentiles]]).
-    * `n_docs` rides along as the oracle's real-valued column.
-    */
-  val qApproxQuantiles = Fixture(
-    "q_approx_quantiles",
-    (s, d) => {
-      def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-        abs(est - exact) <= greatest(exact * 0.1, lit(2.0))
-      Tables.documents(s, d)
-        .select(col("source"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("approx_percentile(n_tok, array(0.5D, 0.9D, 0.99D), 10000)").as("__e"),
-          expr("percentile(n_tok, 0.5D)").as("__x50"),
-          expr("percentile(n_tok, 0.9D)").as("__x90"),
-          expr("percentile(n_tok, 0.99D)").as("__x99"))
-        .select(col("source"), col("n_docs"),
-          ok(element_at(col("__e"), 1), col("__x50")).as("ok_p50"),
-          ok(element_at(col("__e"), 2), col("__x90")).as("ok_p90"),
-          ok(element_at(col("__e"), 3), col("__x99")).as("ok_p99"))
-    },
-    Some(s"""WITH t AS (SELECT source, len($wordsSql) AS n_tok FROM documents)
-      | SELECT source, count(*) AS n_docs,
-      |   TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
-      | FROM t GROUP BY 1""".stripMargin))
-
-  /** Per-doc vocabulary coverage: fraction of a document's tokens in the
-    * corpus-wide top-k vocabulary — the cheap OOV-rate proxy used to filter
-    * noisy documents before tokenizer training. The vocabulary is a
-    * TakeOrdered over a word-count aggregate (no global sort; ties broken by
-    * word for cross-engine determinism) and is broadcast to the scoring
-    * join, so the raw corpus never shuffles: scan → broadcast-hash join →
-    * per-doc aggregate.
-    */
-  val qVocabCoverage = Fixture(
-    "q_vocab_coverage",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val vocab = docs
-        .select(explode(TextFunctions.words(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("w").asc).limit(10)
-        .select(col("w"), lit(1L).as("in_v"))
-      docs.select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
-        .join(broadcast(vocab), Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-             sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
-        .select(col("doc_id"), col("n_tok"), col("n_in"),
-          Quant.q4(col("n_in") / col("n_tok")).as("coverage"))
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
-      | v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
-      |        ORDER BY cnt DESC, w LIMIT 10)
-      | SELECT doc_id, count(*) AS n_tok,
-      |   sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END)::BIGINT AS n_in,
-      |   ${q4("sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) / count(*)")} AS coverage
-      | FROM tok GROUP BY 1""".stripMargin))
-
-  /** Cross-document boilerplate coverage ([[Dedup.boilerplateCoverage]]):
-    * per-doc fraction of distinct 3-gram shingles that appear in ≥ 2 docs
-    * of the same source — the site-template signal. The cached doc-sized
-    * shingle-array relation feeds both the per-source df aggregation and
-    * the semi-join probe of its df-filtered boilerplate set; the oracle
-    * replays the identical per-source df over the same distinct-shingle
-    * relation.
-    */
-  val qBoilerplate = Fixture(
-    "q_boilerplate",
-    (s, d) => Dedup.boilerplateCoverage(
-      Tables.documents(s, d), "source", "doc_id", "text", 3, 2),
-    Some(s"""WITH w0 AS (SELECT source, doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT source, doc_id, unnest($shinglesSql) AS sg
-      |        FROM w0 WHERE len(w) >= 3),
-      | df AS (SELECT source, sg, count(*) AS df FROM sh GROUP BY 1, 2)
-      | SELECT sh.source, doc_id, count(*) AS n_sh,
-      |   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
-      |   ${q4("sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*)")} AS boiler_frac
-      | FROM sh JOIN df ON sh.source = df.source AND sh.sg = df.sg
-      | GROUP BY 1, 2""".stripMargin))
-
-  /** Inter-source n-gram overlap matrix: for each source pair, the count of
-    * distinct 3-gram shingles in common and the shingle-set Jaccard — the
-    * source-similarity accounting a curation pipeline uses to order crawls
-    * before dedup.
-    *
-    * Scale shape — ONE wide shuffle, all-long hash aggregation: sources map
-    * to bit positions (broadcast dim, ≤ 64 sources per run — shard the
-    * matrix by source group beyond that), shingles hash to longs (collision
-    * odds ≈ |shingles|²/2⁶⁵, at worst one count ±1), and a single
-    * groupBy(sg).bit_or(1 << sid) folds the corpus to one LONG mask per
-    * distinct shingle — dedup and co-occurrence in the same codegen'd
-    * HashAggregate (no collect_set object aggregation, which falls back to
-    * sort-based past ~128 k groups; no distinct + self-join, which would
-    * shuffle the relation three times). The mask histogram is tiny
-    * (≤ 2^|sources| in theory, thousands in practice); pair expansion and
-    * per-source totals are HOF array work over its set bits, weighted by
-    * count — never a join against the corpus.
-    */
-  val qSourceOverlap = Fixture(
-    "q_source_overlap",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      sourceOverlap(s, docs)
-    },
-    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
-      | sh AS (SELECT DISTINCT source, unnest($shinglesSql) AS sg
-      |        FROM w0 WHERE len(w) >= 3),
-      | n AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
-      | p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
-      |       FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
-      |       GROUP BY 1, 2)
-      | SELECT src_a, src_b, n_common,
-      |   ${q4("n_common / (na.n_sh + nb.n_sh - n_common)")} AS sim
-      | FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b""".stripMargin))
-
-  /** Body of [[qSourceOverlap]], callable on any `(source, text)` frame.
-    *
-    * Fails fast when the frame carries more than 64 distinct sources: the
-    * mask is one LONG and Spark (like the JVM) masks shift amounts mod 64,
-    * so a 65th source would silently alias bit 0 and corrupt every overlap
-    * involving source 0 — an error, not a wrong answer. Beyond 64, shard the
-    * matrix by source group and run this per shard.
-    *
-    * The source→bit dim is collected to the driver through a hard
-    * `limit(65)` bound (TakeOrdered — per-partition top-65, so the transfer
-    * is capped even on a contract-violating frame) and re-shipped as a
-    * literal local relation: ONE bounded job builds the dim, the guard, and
-    * all four broadcast uses below. The previous shape (distinct + global
-    * row_number window, plus a separate `count()` guard) re-ran the
-    * distinct-source scan once per broadcast — five scans of the corpus'
-    * source column per query (measured: the guard commit alone moved the
-    * sf0.1 fixture 2.3 s → 5.7 s; this shape returns it).
-    *
-    * Wall-clock history: after this rewrite the fixture still measured
-    * bimodal 3.5 s vs 13.9–21.4 s at sf0.1 — that was NOT this plan but the
-    * withCached cache race (concurrent broadcast builds + the probe stage
-    * re-computing the unpopulated `masks` cache up to 3×), fixed in
-    * [[graft.operators.Caching.withCached]] by materializing before the body
-    * runs. Warm-stable since: ~2.1–2.8 s median at sf0.1.
-    */
-  def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.IntegerType
-      import scala.jdk.CollectionConverters._
-      val srcCol = docs.select("source")
-      // sid order = ascending source (matches the oracle's pair orientation)
-      val collected = srcCol.distinct().orderBy("source").limit(65).collect()
-      require(collected.length <= 64,
-        s"sourceOverlap supports at most 64 distinct sources per run (got " +
-        s"${if (collected.length > 64) "more than 64" else collected.length}): " +
-        s"the co-occurrence mask is a single LONG and shift amounts " +
-        s"wrap mod 64. Shard the source set and run the overlap per shard.")
-      val srcIds = s.createDataFrame(
-        collected.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }.toSeq.asJava,
-        srcCol.schema.add("sid", IntegerType, nullable = false))
-      val masks = docs
-        .where(size(TextFunctions.words(col("text"))) >= 3)
-        // same rationale as Dedup.shingled: shingling is compute-dense and a
-        // small input is one parquet split — repartition to parallelize it
-        .repartition(s.sessionState.conf.numShufflePartitions)
-        .select(col("source"),
-          explode_outer(TextFunctions.shingles(col("text"), 3)).as("sg0"))
-        .select(col("source"), xxhash64(col("sg0")).as("sg"))
-        .join(broadcast(srcIds), "source")
-        .groupBy("sg").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
-        .groupBy("mask").agg(count(lit(1)).as("cnt"))
-      graft.operators.Caching.withCached(masks) {
-        // set-bit positions of each mask (≤ 64-element HOF filter; SQL-form
-        // lambda because shiftright-by-a-column has no Column-DSL overload)
-        val bitsArr = expr("filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)")
-        val n = masks
-          .select(col("cnt"), explode(bitsArr).as("sid"))
-          .groupBy("sid").agg(sum(col("cnt")).as("n_sh"))
-        // ordered (i < j) set-bit pairs, weighted by the mask's count
-        val pairArr = flatten(transform(
-          sequence(lit(1), size(col("bits")) - 1),
-          i => transform(slice(col("bits"), i + 1, size(col("bits"))),
-            b => struct(element_at(col("bits"), i).as("sa"), b.as("sb")))))
-        val pairs = masks
-          .withColumn("bits", bitsArr)
-          .where(size(col("bits")) >= 2)
-          .select(col("cnt"), explode(pairArr).as("p"))
-          .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
-          .agg(sum(col("cnt")).as("n_common"))
-        pairs
-          .join(broadcast(srcIds.select(col("source").as("src_a"), col("sid").as("sa"))), "sa")
-          .join(broadcast(srcIds.select(col("source").as("src_b"), col("sid").as("sb"))), "sb")
-          .join(broadcast(n.select(col("sid").as("sa"), col("n_sh").as("na"))), "sa")
-          .join(broadcast(n.select(col("sid").as("sb"), col("n_sh").as("nb"))), "sb")
-          .select(col("src_a"), col("src_b"), col("n_common"),
-            Quant.q4(col("n_common") / (col("na") + col("nb") - col("n_common"))).as("sim"))
-      }
-  }
-
-  /** Sequence packing (concat-and-chunk, the standard pretraining packing):
-    * documents are concatenated in (source, doc_id) order and cut into
-    * training sequences of `B = 2048` tokens; each document is assigned to
-    * the pack where it STARTS (pack = cumulative-start-offset div B), and the
-    * result is the per-pack accounting (docs, tokens) a data loader consumes.
-    *
-    * Scale shape: one window cumulative sum partitioned by source — the sort
-    * is per-source and the packing is deterministic, so shards can be packed
-    * independently and reproducibly. A dominant source makes that one sorted
-    * partition the critical path at 100 TB — [[qPackScalable]] runs the same
-    * packing through the distributed two-phase prefix sum instead.
-    */
-  private val packSql =
-    s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
-      |            FROM documents),
-      | o AS (SELECT source, doc_id, n_tok,
-      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-      |           ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
-      |       FROM t)
-      | SELECT source, (start_off // 2048)::BIGINT AS pack_id,
-      |   count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok_total
-      | FROM o GROUP BY 1, 2""".stripMargin
-
-  private def packInput(s: SparkSession, d: String) =
-    Tables.documents(s, d).select(col("source"), col("doc_id"),
-      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-
-  private def packAccounting(offsets: DataFrame): DataFrame = offsets
-    .withColumn("pack_id", expr("start_off div 2048"))
-    .groupBy("source", "pack_id")
-    .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_total"))
-
-  val qPackSequences = Fixture(
-    "q_pack_sequences",
-    (s, d) => packAccounting(
-      graft.operators.Packing.startOffsets(packInput(s, d), "source", "doc_id", "n_tok")),
-    Some(packSql))
-
-  /** The same packing through [[graft.operators.Packing.startOffsetsScalable]]
-    * — per-(source, shard) prefix sums plus a broadcast of the cumulated
-    * shard totals, no per-source total order. Same oracle: the offsets are
-    * definitionally equal, only the plan differs (PackingSpec pins both).
-    */
-  val qPackScalable = Fixture(
-    "q_pack_scalable",
-    (s, d) => packAccounting(
-      graft.operators.Packing.startOffsetsScalable(
-        packInput(s, d), "source", "doc_id", "n_tok", shardWidth = 16L)),
-    Some(packSql))
-
-  /** Fixed-size token chunking: each document splits into ⌈n_tok / 64⌉
-    * chunks; the output row carries the chunk's token count and first token —
-    * the shape a tokenize-and-shard pass emits before packing. Pure explode
-    * over a per-row sequence: no shuffle at all, linear in output chunks.
-    */
-  val qChunkDocs = Fixture(
-    "q_chunk_docs",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-      .withColumn("n_tok", size(col("w")).cast("long"))
-      .withColumn("chunk_id",
-        explode(sequence(lit(0L), expr("(n_tok + 63) div 64 - 1"))))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        least(lit(64L), col("n_tok") - col("chunk_id") * 64L).as("n_tok_chunk"),
-        element_at(col("w"), (col("chunk_id") * 64L + 1L).cast("int")).as("first_tok")),
-    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tok FROM t),
-      | c AS (SELECT doc_id, w, n_tok,
-      |         unnest(generate_series(0, (n_tok + 63) // 64 - 1)) AS chunk_id
-      |       FROM n)
-      | SELECT doc_id, chunk_id,
-      |   least(64, n_tok - chunk_id * 64) AS n_tok_chunk,
-      |   w[(chunk_id * 64 + 1)] AS first_tok
-      | FROM c""".stripMargin))
-
-  /** Skew-resistant aggregation, oracle-checked: per-language corpus totals
-    * through [[graft.operators.SaltedAgg]]'s two-phase (keys + salt → keys)
-    * decomposition. The fixture's 5 languages over 32 reducers is exactly the
-    * hot-key shape that pins a reducer at 100 TB — salting spreads each key
-    * over 16 partials and the merge is exact for algebraic aggregates, which
-    * the plain-GROUP-BY oracle pins.
-    */
-  val qSaltedAgg = Fixture(
-    "q_salted_lang_totals",
-    (s, d) => {
-      import graft.operators.{AggFn, AggSpec, SaltedAgg}
-      SaltedAgg.aggregate(
-        Tables.documents(s, d).select(col("lang"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"),
-          col("n_chars")),
-        Seq("lang"),
-        Seq(AggSpec(AggFn.Cnt, col("n_tok"), "n_docs"),
-            AggSpec(AggFn.Sum, col("n_tok"), "total_tok"),
-            AggSpec(AggFn.Max, col("n_chars"), "max_chars")))
-    },
-    Some(s"""SELECT lang, count(*) AS n_docs,
-      |   sum(len($wordsSql))::BIGINT AS total_tok,
-      |   max(n_chars) AS max_chars
-      | FROM documents GROUP BY 1""".stripMargin))
-
-  /** One k-means Lloyd iteration over the embeddings ([[Ann.kmeansStep]]):
-    * E-step assignment against a centroid plan-literal (no join, no
-    * shuffle), M-step elementwise mean through the O(d)-state
-    * [[graft.functions.VectorSumAgg]] — the corpus is scanned once and the
-    * shuffle carries k·d partials, never a posexplode'd corpus. Elements are
-    * 10⁴-scaled to integer-valued doubles before summing, so the mean is
-    * order-independent and bit-identical to the oracle's (see the operator
-    * doc). Output exploded to (centroid_id, dim) cells for the compare.
-    */
-  val qKmeansStep = Fixture(
-    "q_kmeans_step",
-    (s, d) => {
-      val emb = graft.Tables.embeddings(s, d)
-      Ann.kmeansStep(emb, emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c),
-      | s AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT vec_id, cid,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |       FROM s),
-      | a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-      | q AS (SELECT a.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
-      |       FROM a JOIN e USING (vec_id)),
-      | x AS (SELECT cid, u.dim AS dim, u.val AS val FROM
-      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
-      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q))
-      | SELECT cid AS centroid_id, dim, count(*) AS n_members,
-      |   ${q4("sum(val) / count(*) / 10000")} AS coord
-      | FROM x GROUP BY 1, 2""".stripMargin))
-
-  /** The full Lloyd's LOOP under the oracle: [[Ann.kmeans]] runs iteration 1
-    * (deterministic smallest-vec_id init, E-step against the centroid
-    * literal, O(d)-state M-step, q4-quantized double coords collected back
-    * into the next literal), and [[Ann.kmeansStep]] then computes iteration
-    * 2's exploded cells from the fitted model. The DuckDB side unrolls the
-    * SAME two rounds — every arithmetic step (double casts, q4 cosine,
-    * (cos DESC, cid ASC) argmax, integer-quantized sums, q4 coords) is
-    * bit-identical, including the empty-cluster keep-old coalesce. This
-    * pins the loop's round-trip (model out of round N = literal into round
-    * N+1), not just one step.
-    */
-  val qKmeansConverged = Fixture(
-    "q_kmeans_converged",
-    (s, d) => {
-      val emb = graft.Tables.embeddings(s, d)
-      Ann.kmeansStep(emb, Ann.kmeans(emb, k = 8, maxIters = 1).centroidsDf(s))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-      | p1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c0 c),
-      | s1 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p1),
-      | r1 AS (SELECT vec_id, cid,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |       FROM s1),
-      | a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
-      | q1 AS (SELECT a1.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
-      |       FROM a1 JOIN e USING (vec_id)),
-      | x1 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
-      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
-      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q1)),
-      | m1 AS (SELECT cid, dim, ${q4("sum(val) / count(*) / 10000")} AS coord
-      |       FROM x1 GROUP BY 1, 2),
-      | cm AS (SELECT cid, list(coord ORDER BY dim) AS cv FROM m1 GROUP BY cid),
-      | c1 AS (SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
-      |       FROM c0 LEFT JOIN cm USING (cid)),
-      | p2 AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c1 c),
-      | s2 AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p2),
-      | r2 AS (SELECT vec_id, cid,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |       FROM s2),
-      | a2 AS (SELECT vec_id, cid FROM r2 WHERE rn = 1),
-      | q2 AS (SELECT a2.cid, list_transform(e.v, x -> floor(x * 10000 + 0.5)) AS qv
-      |       FROM a2 JOIN e USING (vec_id)),
-      | x2 AS (SELECT cid, u.dim AS dim, u.val AS val FROM
-      |         (SELECT cid, unnest(list_transform(generate_series(1, len(qv)),
-      |            i -> {'dim': i, 'val': qv[i]})) AS u FROM q2))
-      | SELECT cid AS centroid_id, dim, count(*) AS n_members,
-      |   ${q4("sum(val) / count(*) / 10000")} AS coord
-      | FROM x2 GROUP BY 1, 2""".stripMargin))
-
-  /** Per-source characteristic terms by TF-IDF — the corpus-exploration /
-    * source-tagging staple. tf is the (source, term) aggregate, df the
-    * per-term distinct-source count computed FROM tf (vocabulary-sized
-    * input, not the corpus), and the source count ships as a broadcast
-    * 1-row relation — no driver-side action. The final per-source top-5 is
-    * a row_number over (source), which sorts each source's VOCABULARY (not
-    * its rows); at 100 TB the same query swaps the window for a
-    * string-keyed variant of the bounded-heap TopKAgg pattern
-    * (q_topk_per_group) with no upstream change. Ranking happens on the
-    * QUANTIZED score in both engines, so rank order is cross-engine
-    * deterministic (ties break on the term).
-    */
-  val qTfidfTopTerms = Fixture(
-    "q_tfidf_top_terms",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val words = graft.Tables.documents(s, d)
-        .select(col("source"),
-          explode(TextFunctions.words(lower(col("text")))).as("w"))
-        .where(col("w") =!= "")
-      val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
-      graft.operators.Caching.withCached(tf) {
-        val df = tf.groupBy("w").agg(countDistinct("source").as("df"))
-        val ns = tf.agg(countDistinct("source").as("ns"))
-        val win = Window.partitionBy("source")
-          .orderBy(col("tfidf").desc, col("w").asc)
-        tf.join(df, "w").crossJoin(broadcast(ns))
-          .select(col("source"), col("w"), col("tf"),
-            Quant.q4(col("tf") * log(col("ns") / col("df"))).as("tfidf"))
-          .withColumn("rank", row_number().over(win))
-          .where(col("rank") <= 5)
-          .select(col("source"), col("rank").cast("long").as("rank"),
-            col("w").as("term"), col("tf"), col("tfidf"))
-      }
-    },
-    Some(s"""WITH t AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-      |            FROM documents),
-      | tf AS (SELECT source, w, count(*) AS tf FROM t WHERE w <> '' GROUP BY 1, 2),
-      | df AS (SELECT w, count(DISTINCT source) AS df FROM tf GROUP BY 1),
-      | n AS (SELECT count(DISTINCT source) AS ns FROM tf),
-      | sc AS (SELECT source, w, tf, ${q4("tf * ln(ns / df)")} AS tfidf
-      |        FROM tf JOIN df USING (w) CROSS JOIN n),
-      | r AS (SELECT source, w, tf, tfidf,
-      |         row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, w) AS rank
-      |       FROM sc)
-      | SELECT source, rank, w AS term, tf, tfidf FROM r WHERE rank <= 5""".stripMargin))
-
-  /** Bigram language-model table: the 50 most frequent word bigrams with
-    * their continuation probability P(w₂|w₁) = c(w₁w₂)/c(w₁·). Bigrams come
-    * from one per-row transform+explode (no self-join on position); c(w₁·)
-    * is re-aggregated FROM the bigram counts (vocabulary-sized input) and
-    * joined back keyed on w₁ — both sides hash-partition on w₁, and at
-    * corpus scale neither is broadcastable, so the co-partitioned shuffle
-    * join IS the right plan. Counts are integers, so P is cross-engine
-    * deterministic; the global top-50 plans as TakeOrdered (per-partition
-    * heap + k-merge, no global sort).
-    */
-  val qBigramLm = Fixture(
-    "q_bigram_lm",
-    (s, d) => {
-      val pairs = graft.Tables.documents(s, d)
-        .select(TextFunctions.words(lower(col("text"))).as("w"))
-        .where(size(col("w")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      graft.operators.Caching.withCached(c12) {
-        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-        c12.join(c1, "w1")
-          .select(col("w1"), col("w2"), col("c12"), col("c1"),
-            Quant.q4(col("c12") / col("c1")).as("p"))
-          .orderBy(col("c12").desc, col("w1"), col("w2"))
-          .limit(50)
-      }
-    },
-    Some(s"""WITH w0 AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
-      |             FROM documents),
-      | b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-      |         i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM w0 WHERE len(w) >= 2),
-      | c12 AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c12 FROM b GROUP BY 1, 2),
-      | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1)
-      | SELECT w1, w2, c12, c1, ${q4("c12 / c1")} AS p
-      | FROM c12 JOIN c1 USING (w1)
-      | ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin))
-
-  /** Per-document LM scoring under the corpus bigram LM — the CCNet/KenLM
-    * quality-filter posture: each document's average log P(w₂|w₁) under the
-    * maximum-likelihood bigram model of the corpus itself (every doc bigram
-    * is in the model by construction, so no smoothing term is needed).
-    * Low scores flag gibberish / boilerplate; the score feeds the same
-    * keep/drop policies as [[qTopkPerGroup]]'s heuristic quality.
-    *
-    * Plan shape at 100 TB: the model is the observed-bigram table (ONE
-    * aggregation of the exploded corpus, vocabulary²-bounded in theory,
-    * observed-bigrams-bounded in fact — the sharded-KenLM posture), and
-    * scoring is ONE equi-join of the doc bigrams against it keyed on
-    * (w1, w2) — co-partitioned with the aggregation that built the model,
-    * so ReuseExchange serves both from a single corpus shuffle. Nothing
-    * broadcasts at corpus scale; c12 is cached model-sized via withCached.
-    *
-    * Cross-engine determinism: ln(c12/c1) is computed on identical doubles
-    * (integer÷integer) in both engines, then integer-scaled
-    * (floor(·10⁶ + 0.5)) per BIGRAM before the per-doc sum — integer sums
-    * are partial-merge-order-exact (the kmeansStep trick), so the only
-    * cross-engine surface is a 1-ulp ln() difference crossing a 10⁻⁶ floor
-    * boundary (P ≈ 10⁻¹⁰ per distinct bigram; ln(1) = 0 exactly for the
-    * common c12 = c1 case).
-    */
-  val qLmDocScore = Fixture(
-    "q_lm_doc_score",
-    (s, d) => {
-      val bi = graft.Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      graft.operators.Caching.withCached(c12) {
-        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-        val model = c12.join(c1, "w1")
-          .select(col("w1"), col("w2"),
-            floor(log(col("c12") / col("c1")) * lit(1e6) + lit(0.5)).as("lp6"))
-        bi.join(model, Seq("w1", "w2"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("slp"))
-          .select(col("doc_id"), col("n_bigrams"),
-            Quant.q4(col("slp") / col("n_bigrams") / lit(1e6)).as("avg_logp"))
-      }
-    },
-    Some(s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-      |             FROM documents),
-      | b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-      |         i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM w0 WHERE len(w) >= 2),
-      | bi AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b),
-      | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-      | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
-      | m AS (SELECT w1, w2, floor(ln(c12 / c1) * 1000000 + 0.5) AS lp6
-      |       FROM c12 JOIN c1 USING (w1))
-      | SELECT doc_id, count(*) AS n_bigrams,
-      |   ${q4("sum(lp6) / count(*) / 1000000")} AS avg_logp
-      | FROM bi JOIN m USING (w1, w2) GROUP BY doc_id""".stripMargin))
-
-  /** robots.txt compliance gate ([[graft.sources.Robots]]): 40 synthetic
-    * per-domain robots files — a `googlebot` group with `Disallow: /` that
-    * MUST be skipped (broken group selection disallows everything and
-    * fails every row), comments, an empty `Disallow:` (the allow-all
-    * idiom), an unknown directive — and a frontier whose paths exercise
-    * longest-match (`Allow: /privateK/ok` beating `Disallow: /privateK/`),
-    * pure prefix semantics (`/tmp` blocks `/tmpfile`), the
-    * shorter-than-rule miss (`/privateK` vs `/privateK/`), and the
-    * no-match default. The oracle predicts each decision from doc_id
-    * arithmetic alone, so equality proves parse → group selection →
-    * longest-match → tie-break end-to-end. Rules are a domain-keyed
-    * relation; the gate is one equi-join + per-URL window.
-    */
-  val qRobotsGate = Fixture(
-    "q_robots_gate",
-    (s, d) => {
-      val kd = col("id").cast("string")
-      val robots = s.range(0, 40).select(
-        concat(lit("site"), kd, lit(".com")).as("domain"),
-        concat(
-          lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /\n\n" +
-            "User-agent: *\nDisallow: /private"), kd,
-          lit("/\nDisallow: /tmp\nAllow: /private"), kd, lit("/ok\n"),
-          when(col("id") % 3 === 0, lit("Disallow:\n")).otherwise(lit("")),
-          when(col("id") % 2 === 0, lit("Crawl-delay: 2\n")).otherwise(lit("")))
-          .as("robots_txt"))
-      val rules = graft.sources.Robots.parseRules(s, robots)
-      val k = (col("doc_id") % 40).cast("string")
-      val urls = Tables.documents(s, d).select(col("doc_id"),
-        concat(lit("site"), k, lit(".com")).as("domain"),
-        when(col("doc_id") % 6 === 0,
-            concat(lit("/private"), k, lit("/ok/page"), col("doc_id").cast("string")))
-          .when(col("doc_id") % 6 === 1, concat(lit("/private"), k, lit("/secret")))
-          .when(col("doc_id") % 6 === 2, lit("/tmpfile"))
-          .when(col("doc_id") % 6 === 3,
-            concat(lit("/public/page"), col("doc_id").cast("string")))
-          .when(col("doc_id") % 6 === 4, lit("/tmp/x"))
-          .otherwise(concat(lit("/private"), k)).as("path"))
-      graft.sources.Robots.gate(urls, rules)
-        .select("doc_id", "domain", "path", "allowed")
-    },
-    Some("""SELECT doc_id, 'site' || (doc_id % 40) || '.com' AS domain,
-      |   CASE doc_id % 6
-      |     WHEN 0 THEN '/private' || (doc_id % 40) || '/ok/page' || doc_id
-      |     WHEN 1 THEN '/private' || (doc_id % 40) || '/secret'
-      |     WHEN 2 THEN '/tmpfile'
-      |     WHEN 3 THEN '/public/page' || doc_id
-      |     WHEN 4 THEN '/tmp/x'
-      |     ELSE '/private' || (doc_id % 40) END AS path,
-      |   doc_id % 6 IN (0, 3, 5) AS allowed
-      | FROM documents""".stripMargin))
-
-  /** Sitemap ingest ([[graft.sources.Sitemap]]): per-domain `<urlset>`
-    * documents assembled from the corpus (entries whitespace-padded inside
-    * `<loc>` to exercise trimming, `<priority>` present only on even ids,
-    * plus one loc-less junk `<url>` block per sitemap that extraction must
-    * DROP), then exploded back to the frontier feed. The oracle predicts
-    * every (loc, lastmod, priority) from doc_id arithmetic — the junk
-    * block and padding vanish only if the block extraction, per-field
-    * recovery, trim, and loc-filter all work. Assembly sorts entries by
-    * doc_id before concatenation so the per-domain XML is deterministic
-    * at any parallelism; one sitemap = one row, fan-out bounded by the
-    * protocol's 50 000-URL cap.
-    */
-  val qSitemapIngest = Fixture(
-    "q_sitemap_ingest",
-    (s, d) => {
-      val k = (col("doc_id") % 40).cast("string")
-      val entry = concat(
-        lit("<url><loc>\n  http://site"), k, lit(".com/a/"),
-        col("doc_id").cast("string"), lit(" </loc><lastmod>2024-01-"),
-        lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"),
-        lit("</lastmod>"),
-        when(col("doc_id") % 2 === 0, lit("<priority>0.5</priority>"))
-          .otherwise(lit("")),
-        lit("</url>"))
-      val xml = concat(
-        lit("<?xml version=\"1.0\"?><urlset><url><lastmod>junk</lastmod></url>"),
-        array_join(transform(
-          sort_array(col("es")), e => e.getField("entry")), ""),
-        lit("</urlset>"))
-      Tables.documents(s, d)
-        .select(concat(lit("site"), k, lit(".com")).as("domain"),
-          struct(col("doc_id"), entry.as("entry")).as("e"))
-        .groupBy("domain").agg(collect_list(col("e")).as("es"))
-        .select(col("domain"),
-          explode(graft.sources.Sitemap.sitemapUrls(xml)).as("u"))
-        .select(col("domain"), col("u.loc").as("loc"),
-          col("u.lastmod").as("lastmod"), col("u.priority").as("priority"))
-    },
-    Some("""SELECT 'site' || (doc_id % 40) || '.com' AS domain,
-      |   'http://site' || (doc_id % 40) || '.com/a/' || doc_id AS loc,
-      |   '2024-01-' || lpad((doc_id % 27 + 1)::VARCHAR, 2, '0') AS lastmod,
-      |   CASE WHEN doc_id % 2 = 0 THEN '0.5' ELSE '' END AS priority
-      | FROM documents""".stripMargin))
-
-  /** Sitemap INDEX hierarchy ([[graft.sources.Sitemap.sitemapChildren]] →
-    * [[graft.sources.Sitemap.sitemapUrls]]): large sites split their URL
-    * inventory across leaf sitemaps and publish one `<sitemapindex>` root
-    * (the protocol's 50 000-URL / 50 MB cap forces this) — discovery must
-    * walk index → leaf → URL. Here: 40 per-domain leaf sitemaps assembled
-    * from the corpus, one root index listing them (locs whitespace-padded
-    * to exercise trim), children extracted and JOINED back to the leaf
-    * relation, then leaf URLs exploded. The child→leaf join is
-    * broadcast-sized (the index fan-out is site count, not URL count); the
-    * URL fan-out stays in the leaf explode — the same shape at a million
-    * sites. Oracle predicts every (sitemap, loc) from doc_id arithmetic:
-    * rows survive only if index extraction, trim, the join, and leaf
-    * extraction all agree.
-    */
-  val qSitemapIndex = Fixture(
-    "q_sitemap_index",
-    (s, d) => {
-      val k = (col("doc_id") % 40).cast("string")
-      val entry = concat(lit("<url><loc>http://site"), k, lit(".com/a/"),
-        col("doc_id").cast("string"), lit("</loc></url>"))
-      val leaf = Tables.documents(s, d)
-        .select(concat(lit("http://site"), k, lit(".com/sitemap.xml")).as("sm_loc"),
-          struct(col("doc_id"), entry.as("entry")).as("e"))
-        .groupBy("sm_loc").agg(collect_list(col("e")).as("es"))
-        .select(col("sm_loc"),
-          concat(lit("<urlset>"),
-            array_join(transform(sort_array(col("es")), e => e.getField("entry")), ""),
-            lit("</urlset>")).as("xml"))
-      val index = leaf
-        .select(concat(lit("<sitemap><loc> "), col("sm_loc"),
-          lit(" </loc></sitemap>")).as("entry"))
-        .agg(concat(lit("<sitemapindex>"),
-          array_join(sort_array(collect_list(col("entry"))), ""),
-          lit("</sitemapindex>")).as("xml"))
-      val children = index.select(
-        explode(graft.sources.Sitemap.sitemapChildren(col("xml"))).as("sm_loc"))
-      children.join(leaf, "sm_loc")
-        .select(col("sm_loc").as("sitemap"),
-          explode(graft.sources.Sitemap.sitemapUrls(col("xml"))).as("u"))
-        .select(col("sitemap"), col("u.loc").as("loc"))
-    },
-    Some("""SELECT 'http://site' || (doc_id % 40) || '.com/sitemap.xml' AS sitemap,
-      |   'http://site' || (doc_id % 40) || '.com/a/' || doc_id AS loc
-      | FROM documents""".stripMargin))
-
-  /** ORC lake roundtrip — the other columnar format in Spark's built-in
-    * set (a 100 TB lake is rarely format-pure; Hive-era producers land
-    * ORC). Stage a corpus projection as ORC, read it back with a
-    * filter + narrow projection, aggregate. The VALUE contract is this
-    * oracle (against the parquet original, so the write→read loop must be
-    * lossless); the PLAN contract — predicate pushdown into the ORC
-    * reader, ReadSchema pruned to the touched columns — is pinned by
-    * `OrcSpec`, mirroring what q_partitioned_roundtrip does for parquet.
-    */
-  val qOrcRoundtrip = Fixture(
-    "q_orc_roundtrip",
-    (s, d) => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc/docs_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
-      Tables.documents(s, d)
-        .select("doc_id", "lang", "source", "n_chars")
-        .write.mode("overwrite").orc(dir)
-      s.read.orc(dir)
-        .where(col("n_chars") >= 200L)
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-          max("doc_id").as("max_id"))
-    },
-    Some("""SELECT lang, source, count(*) AS n_docs,
-      |   sum(n_chars)::BIGINT AS sum_chars, max(doc_id) AS max_id
-      | FROM documents WHERE n_chars >= 200
-      | GROUP BY 1, 2""".stripMargin))
-
-  /** Frontier scheduling with per-domain politeness — the step after the
-    * robots gate: a crawler may issue at most one request per domain per
-    * round, so the frontier is striped into rounds by per-domain rank
-    * (authority-ordered in production; doc_id here for determinism).
-    * `fetch_round` = that rank: round r contains at most one URL of each
-    * domain, total rounds = the largest domain's backlog — the standard
-    * politeness shape. The window partitions BY DOMAIN (state = one
-    * domain's URLs); the composition with [[qRobotsGate]]'s gate and
-    * [[qDomainCaps]]' cap is three stages sharing the SAME domain-keyed
-    * shuffle, which ReuseExchange serves once.
-    */
-  val qFrontierSchedule = Fixture(
-    "q_frontier_schedule",
-    (s, d) => {
-      val k = (col("doc_id") % 40).cast("string")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("domain").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          concat(lit("site"), k,
-            when(col("doc_id") % 4 === 0, lit(".co.uk"))
-              .otherwise(lit(".com"))).as("domain"))
-        .withColumn("fetch_round", row_number().over(w).cast("long"))
-    },
-    Some("""SELECT doc_id,
-      |   'site' || (doc_id % 40) ||
-      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS domain,
-      |   row_number() OVER (PARTITION BY ('site' || (doc_id % 40) ||
-      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END))
-      |     ORDER BY doc_id)::BIGINT AS fetch_round
-      | FROM documents""".stripMargin))
-
-  /** STREAMING frontier politeness ([[graft.streaming.StreamingFrontier]])
-    * under the SAME oracle as the batch [[qFrontierSchedule]]: discovered
-    * URLs replay in doc_id order across 4 micro-batches and each must
-    * receive the fetch_round the batch ranking would give it — which holds
-    * only if the per-domain counter survives across triggers (cross-batch
-    * keyed state, the thing this fixture exists to pin). The streaming form
-    * touches only arriving rows; the batch form re-ranks the accumulated
-    * frontier per recompute — same contract, incremental cost.
-    */
-  val qStreamFrontier = Fixture(
-    "q_stream_frontier",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.documents(s, d)
-        .select(col("doc_id").cast("long")).as[Long].collect().sorted
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-      val stream = ms.toDF().toDF("doc_id")
-        .withColumn("domain", concat(lit("site"),
-          (col("doc_id") % 40).cast("string"),
-          when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".com"))))
-        // whole-second event times ((id+1) s past epoch): the emitted
-        // Timestamp is ms-precision, so sub-ms offsets would truncate
-        // BEHIND the already-advanced watermark and trip
-        // EMITTING_ROWS_OLDER_THAN_WATERMARK on the chained stage
-        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
-        .withWatermark("ts", "0 seconds")
-      val sched = graft.streaming.StreamingFrontier
-        .schedule(stream, "doc_id", "domain", "ts")
-        .select(col("id").as("doc_id"), col("domain"), col("fetch_round"))
-      val sink = s"stream_frontier_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = sched.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    qFrontierSchedule.oracle)
-
-  /** Politeness in TIME ([[graft.sources.Robots.parseCrawlDelay]] composed
-    * with the frontier rounds): each domain's `Crawl-delay` (default 5 s
-    * where robots.txt declares none — only even-k domains do here) spaces
-    * its rounds into absolute offsets, `fetch_at_s = (round−1)·delay` —
-    * what the fetcher actually consumes. The delay relation is
-    * domain-keyed and joins the frontier on the SAME domain key the round
-    * window partitions by: one shuffle serves both, and the delay side is
-    * #domains-sized (broadcast at any scale). A planted star-group
-    * `Crawl-delay` after a googlebot group proves group attribution; odd
-    * domains prove the no-row → default path.
-    */
-  val qFrontierFetchAt = Fixture(
-    "q_frontier_fetch_at",
-    (s, d) => {
-      val kd = col("id").cast("string")
-      val robots = s.range(0, 40).select(
-        concat(lit("site"), kd, lit(".com")).as("domain"),
-        concat(
-          lit("User-agent: googlebot\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /private\n"),
-          when(col("id") % 2 === 0,
-            concat(lit("Crawl-delay: "), (col("id") % 7 + 1).cast("string"),
-              lit("\n"))).otherwise(lit("")))
-          .as("robots_txt"))
-      val delays = graft.sources.Robots.parseCrawlDelay(s, robots)
-      val k = (col("doc_id") % 40).cast("string")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("domain").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), concat(lit("site"), k, lit(".com")).as("domain"))
-        .withColumn("fetch_round", row_number().over(w).cast("long"))
-        .join(delays, Seq("domain"), "left")
-        .select(col("doc_id"), col("domain"), col("fetch_round"),
-          ((col("fetch_round") - 1L) *
-            coalesce(col("crawl_delay"), lit(5.0))).as("fetch_at_s"))
-    },
-    Some("""WITH f AS (SELECT doc_id, 'site' || (doc_id % 40) || '.com' AS domain,
-      |     row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id)::BIGINT
-      |       AS fetch_round
-      |   FROM documents)
-      | SELECT doc_id, domain, fetch_round,
-      |   (fetch_round - 1) * (CASE WHEN doc_id % 40 % 2 = 0
-      |      THEN (doc_id % 40 % 7 + 1)::DOUBLE ELSE 5.0 END) AS fetch_at_s
-      | FROM f""".stripMargin))
-
-  /** Point-in-interval join ([[graft.operators.IntervalJoin]]): events
-    * against 200 synthetic "session" intervals (arithmetic starts/ends, some
-    * overlapping) via the time-CHUNK decomposition — interval fan-out to
-    * chunk ids + plain equi-join + exact filter — where the naive spelling
-    * is a broadcast nested-loop over every (point, interval) pair. The
-    * oracle IS that naive spelling (DuckDB `BETWEEN` theta join), so hash
-    * equality proves the decomposition loses and invents nothing at chunk
-    * boundaries (chunk 15000 vs interval lengths 3000–15000 exercises
-    * intervals spanning 1–2 chunks). Same-unit integer `div` chunking —
-    * no double rounding near boundaries.
-    */
-  val qIntervalJoin = Fixture(
-    "q_interval_join",
-    (s, d) => {
-      val pts = Tables.events(s, d)
-        .select(col("event_id"), col("ts").cast("long").as("t"))
-      val iv = s.range(0, 200).select(col("id").as("iid"),
-        (lit(1704067200L) + col("id") * 11000).as("s0"),
-        (lit(1704067200L) + col("id") * 11000 + 3000 + (col("id") % 7) * 2000).as("e0"))
-      graft.operators.IntervalJoin.pointInInterval(pts, "t", iv, "s0", "e0",
-          chunk = 15000L)
-        .select(col("event_id"), col("iid"))
-    },
-    Some(s"""WITH iv AS (SELECT j AS iid, 1704067200 + j * 11000 AS s0,
-      |     1704067200 + j * 11000 + 3000 + (j % 7) * 2000 AS e0
-      |   FROM (SELECT unnest(generate_series(0, 199)) AS j)),
-      | p AS (SELECT event_id, ${SqlGen.es("ts")} AS t FROM events)
-      | SELECT p.event_id, iv.iid FROM p JOIN iv ON p.t BETWEEN iv.s0 AND iv.e0""".stripMargin))
-
-  /** CCNet-style quality bucketing: per-LANGUAGE perplexity terciles over
-    * the corpus-LM document scores ([[qLmDocScore]]'s exact pipeline, by
-    * composition) — head/middle/tail is the split CCNet publishes and
-    * training mixtures key on ("train on head+middle, drop tail").
-    * Per-language windows matter: absolute LM scores are not comparable
-    * across languages, so bucketing must be within-lang. Ordering is the
-    * quantized score (identical doubles both engines) with doc_id
-    * tie-break — fully deterministic; `ntile` partitions are per-language
-    * (never corpus-wide window state). Bucket 1 = most fluent.
-    */
-  val qCcnetBuckets = Fixture(
-    "q_ccnet_buckets",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(qLmDocScore.build(s, d), "doc_id")
-        .select(col("doc_id"), col("lang"),
-          ntile(3).over(w).cast("long").as("bucket"))
-    },
-    Some(s"""WITH scored AS (${qLmDocScore.oracle.get})
-      | SELECT d.doc_id, d.lang,
-      |   ntile(3) OVER (PARTITION BY d.lang
-      |                  ORDER BY s.avg_logp DESC, d.doc_id)::BIGINT AS bucket
-      | FROM documents d JOIN scored s ON d.doc_id = s.doc_id""".stripMargin))
-
-  /** DSIR-style hashed-unigram importance weights
-    * ([[graft.functions.Importance]]): each document scored by the
-    * log-likelihood ratio between the TARGET unigram model (the `en` slice,
-    * standing in for a trusted reference corpus) and the RAW corpus model
-    * over 1 024 hash buckets, add-one smoothed — the importance-resampling
-    * selection signal of Xie et al. (NeurIPS 2023). The model is two
-    * bucket-keyed histogram aggregations folded into a 1 024-long plan
-    * literal; SCORING is one shuffle-free corpus scan (per-row fold over
-    * the token buckets). `lw6` is the exact integer-scaled weight — the
-    * oracle matches it bit-for-bit, pinning model counts, smoothing,
-    * bucketing, and the per-doc fold in one comparison.
-    */
-  val qDsirWeights = Fixture(
-    "q_dsir_weights",
-    (s, d) => {
-      import graft.functions.Importance
-      val docs = Tables.documents(s, d)
-      val lam = Importance.lambda6(docs.where(col("lang") === "en"), docs, "text", 1024)
-      Importance.score(docs, Seq("doc_id"), "text", lam)
-        .where(col("n_tok") > 0)
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, lang, w
-      |        FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)
-      |        WHERE w <> ''),
-      | b AS (SELECT doc_id, lang, ${h64("w")} % 1024 AS bk FROM tok),
-      | cr AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
-      | ct AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
-      | tots AS (SELECT (SELECT count(*) FROM b) AS r,
-      |                 (SELECT count(*) FROM b WHERE lang = 'en') AS t),
-      | lam AS (SELECT cr.bk,
-      |     floor(ln(((coalesce(ct.c, 0) + 1) * (r + 1024))::DOUBLE /
-      |              ((cr.c + 1) * (t + 1024))) * 1000000 + 0.5)::BIGINT AS l6
-      |   FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tots)
-      | SELECT doc_id, count(*) AS n_tok, sum(l6)::BIGINT AS lw6,
-      |   ${q4("sum(l6) / count(*) / 1000000")} AS avg_lw
-      | FROM b JOIN lam USING (bk) GROUP BY doc_id""".stripMargin))
-
-  /** The DSIR SELECTION step on top of [[qDsirWeights]]' signal: keep the
-    * top 25 % most-target-like documents per source by per-token importance
-    * (lw6/n_tok, exact-integer ratio so the ordering is engine-identical;
-    * ties by doc_id). Deterministic rank-quota selection is the
-    * reproducible-pipeline variant of the paper's Gumbel resampling — same
-    * marginal effect (keep high-weight docs, per-source quota), but
-    * re-runnable bit-identically, which is what a training-data lineage
-    * audit needs. Plan: the shuffle-free scoring scan, then ONE per-source
-    * window shuffle shared by the rank and the quota count.
-    */
-  val qDsirSelect = Fixture(
-    "q_dsir_select",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.Importance
-      val docs = Tables.documents(s, d)
-      val lam = Importance.lambda6(docs.where(col("lang") === "en"), docs, "text", 1024)
-      val scored = Importance.score(docs, Seq("doc_id", "source"), "text", lam)
-        .where(col("n_tok") > 0)
-      val byW = Window.partitionBy("source")
-        .orderBy((col("lw6") / col("n_tok")).desc, col("doc_id"))
-      scored
-        .withColumn("rk", row_number().over(byW).cast("long"))
-        .withColumn("__ns", count(lit(1)).over(Window.partitionBy("source")))
-        .where(col("rk") <= ceil(col("__ns") * lit(0.25)))
-        .select(col("source"), col("doc_id"), col("rk"), col("avg_lw"))
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, source, lang, w
-      |        FROM (SELECT doc_id, source, lang, unnest($wordsSql) AS w FROM documents)
-      |        WHERE w <> ''),
-      | b AS (SELECT doc_id, source, lang, ${h64("w")} % 1024 AS bk FROM tok),
-      | cr AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
-      | ct AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
-      | tots AS (SELECT (SELECT count(*) FROM b) AS r,
-      |                 (SELECT count(*) FROM b WHERE lang = 'en') AS t),
-      | lam AS (SELECT cr.bk,
-      |     floor(ln(((coalesce(ct.c, 0) + 1) * (r + 1024))::DOUBLE /
-      |              ((cr.c + 1) * (t + 1024))) * 1000000 + 0.5)::BIGINT AS l6
-      |   FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tots),
-      | pd AS (SELECT doc_id, source, count(*) AS n_tok, sum(l6)::BIGINT AS lw6
-      |        FROM b JOIN lam USING (bk) GROUP BY 1, 2),
-      | sel AS (SELECT doc_id, source, n_tok, lw6,
-      |          row_number() OVER (PARTITION BY source
-      |            ORDER BY lw6 / n_tok DESC, doc_id) AS rk,
-      |          count(*) OVER (PARTITION BY source) AS ns
-      |        FROM pd)
-      | SELECT source, doc_id, rk, ${q4("lw6 / n_tok / 1000000")} AS avg_lw
-      | FROM sel WHERE rk <= ceil(ns * 0.25)""".stripMargin))
-
-  /** Per-source length z-scores with outlier flags — distribution-shift /
-    * anomaly screening per source. The per-source moments come from ONE
-    * aggregation of exact INTEGER sums (Σx, Σx², n — order-independent,
-    * cross-engine identical; a float stddev aggregate is neither), shipped
-    * back as a BROADCAST join: at 100 TB that is a tiny stats relation
-    * against a corpus scan, where the window-function form
-    * (avg/stddev OVER (PARTITION BY source)) would shuffle and buffer the
-    * whole corpus per source. The outlier flag compares the QUANTIZED z in
-    * both engines.
-    */
-  val qZscoreOutliers = Fixture(
-    "q_zscore_outliers",
-    (s, d) => {
-      val docs = graft.Tables.documents(s, d)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-      val stats = docs.groupBy("source").agg(
-        sum(col("n_chars")).as("sx"),
-        sum(col("n_chars") * col("n_chars")).as("sxx"),
-        count(lit(1)).as("n"))
-      val mu = col("sx") / col("n")
-      val z = Quant.q4((col("n_chars") - mu) /
-        sqrt(greatest(col("sxx") / col("n") - mu * mu, lit(1e-12))))
-      docs.join(broadcast(stats), "source")
-        .select(col("doc_id"), col("source"), col("n_chars"), z.as("z"))
-        .withColumn("is_outlier", abs(col("z")) > lit(2.0))
-    },
-    Some(s"""WITH d AS (SELECT source, doc_id, n_chars FROM documents),
-      | st AS (SELECT source, sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx,
-      |          count(*) AS n FROM d GROUP BY 1),
-      | z AS (SELECT doc_id, d.source, n_chars,
-      |         ${q4("(n_chars - sx / n) / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 1e-12))")} AS z
-      |       FROM d JOIN st USING (source))
-      | SELECT doc_id, source, n_chars, z, (abs(z) > 2.0) AS is_outlier FROM z""".stripMargin))
-
-  /** Language-ID confusion matrix: predicted vs labeled language with
-    * per-label fractions — the quality audit that closes the loop on
-    * q_lang_id. Two tiny aggregations (|langs|² cells) off one corpus scan;
-    * the per-label totals re-aggregate FROM the cell counts and broadcast
-    * back. Counts are integers → fractions cross-engine deterministic.
-    */
-  val qLangConfusion = Fixture(
-    "q_lang_confusion",
-    (s, d) => {
-      val cm = graft.Tables.documents(s, d)
-        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
-        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
-      graft.operators.Caching.withCached(cm) {
-        val tot = cm.groupBy("lang").agg(sum("cnt").as("total"))
-        cm.join(broadcast(tot), "lang")
-          .select(col("lang"), col("lang_pred"), col("cnt"),
-            Quant.q4(col("cnt") / col("total")).as("frac"))
-      }
-    },
-    Some(s"""WITH c AS (SELECT lang,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
-      |   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS es,
-      |   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de,
-      |   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS fr
-      | FROM documents),
-      | p AS (SELECT lang, CASE
-      |   WHEN en + es + de + fr = 0 THEN 'und'
-      |   WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-      |   WHEN es >= de AND es >= fr THEN 'es'
-      |   WHEN de >= fr THEN 'de'
-      |   ELSE 'fr' END AS lang_pred FROM c),
-      | cm AS (SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY 1, 2),
-      | t AS (SELECT lang, sum(cnt)::BIGINT AS total FROM cm GROUP BY 1)
-      | SELECT lang, lang_pred, cnt, ${q4("cnt / total")} AS frac
-      | FROM cm JOIN t USING (lang)""".stripMargin))
-
-  /** Weighted data-mixing sampler: each language is kept at its target rate
-    * (per-10⁴) by a deterministic content-hash threshold — the knob that
-    * turns raw corpus proportions into a training mixture. The rate table
-    * rides in the plan as a map literal (no join, no shuffle, no driver
-    * action); membership is reproducible under any partitioning, ordering,
-    * or corpus growth, exactly like [[qSampleHash]]. Unknown languages fall
-    * to rate 0 (fail-closed: an unconfigured source never leaks into the
-    * mixture).
-    */
-  val qMixSample = Fixture(
-    "q_mix_weighted_sample",
-    (s, d) => {
-      val rates = map(
-        lit("en"), lit(10000L), lit("zh"), lit(4000L), lit("de"), lit(2500L),
-        lit("fr"), lit(1000L), lit("es"), lit(500L))
-      Tables.documents(s, d)
-        .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")), lit(10000)) <
-          coalesce(element_at(rates, col("lang")), lit(0L)))
-        .select("doc_id", "lang", "source")
-    },
-    Some(s"""SELECT doc_id, lang, source FROM documents
-      | WHERE ${h64("doc_id::VARCHAR")} % 10000 <
-      |   CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 4000 WHEN 'de' THEN 2500
-      |        WHEN 'fr' THEN 1000 WHEN 'es' THEN 500 ELSE 0 END""".stripMargin))
-
-  /** Heavy hitters through the Misra-Gries sketch
-    * ([[graft.functions.HeavyHittersAgg]]): ONE pass, O(m) mergeable state —
-    * versus the exact form, which aggregates the full item domain only to
-    * read off its head. The fixture aggregates user cohorts (√-bucketed, so
-    * cohort populations grow linearly — real skew on an otherwise uniform
-    * testset) and checks the sketch CONTRACT on exactly the guaranteed set
-    * (true count > n/m): present, never overcounting, undercount ≤ n/m.
-    * Estimates themselves are partitioning-dependent; only the bounds are
-    * deterministic, so the bounds are what the fixture (and oracle) pin —
-    * same pattern as q_approx_distinct/q_approx_quantiles.
-    */
-  val qHeavyHitters = Fixture(
-    "q_heavy_hitters",
-    (s, d) => {
-      val m = 8
-      val items = Tables.events(s, d)
-        .select(floor(sqrt(col("user_id") % 150)).cast("long").cast("string").as("bk"))
-      val exact = items.groupBy("bk").agg(count(lit(1)).as("cnt"))
-      val sketch = items
-        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("bk"), m).as("hh"))
-        .select(explode(col("hh")).as("e"))
-        .select(col("e.term").as("bk"), col("e.est").as("est"))
-      graft.operators.Caching.withCached(exact) {
-        val n = exact.agg(sum("cnt").as("n"))
-        exact.crossJoin(broadcast(n))
-          .where(col("cnt") * m > col("n"))
-          .join(sketch, Seq("bk"), "left")
-          .select(col("bk"), col("cnt"),
-            (col("est").isNotNull && col("est") <= col("cnt") &&
-              (col("cnt") - col("est")) * m <= col("n")).as("mg_ok"))
-      }
-    },
-    Some(s"""WITH b AS (SELECT floor(sqrt(user_id % 150))::BIGINT::VARCHAR AS bk FROM events),
-      | c AS (SELECT bk, count(*) AS cnt FROM b GROUP BY 1),
-      | n AS (SELECT sum(cnt)::BIGINT AS n FROM c)
-      | SELECT bk, cnt, TRUE AS mg_ok FROM c, n WHERE cnt * 8 > n""".stripMargin))
-
-  /** STREAMING Misra-Gries heavy hitters per group
-    * ([[graft.streaming.StreamingHeavyHitters]]): the events replay in 4
-    * chunks through group-keyed `transformWithState` (capacity 16 per
-    * event_type, O(capacity) state per group); each trigger emits the
-    * group's refreshed sketch snapshot tagged with an update sequence
-    * number, and the fixture reads the LATEST snapshot per group — the
-    * dashboard consumption pattern. With capacity ≥ the 13-value item
-    * domain no decrement ever fires, so the final sketch IS the exact
-    * (event_type, bucket) count relation independent of chunking — the
-    * oracle computes exactly that in SQL (the eviction path's
-    * order-dependent estimates are spec territory, same split as the
-    * batch q_heavy_hitters fixture).
-    */
-  val qStreamHeavyHitters = Fixture(
-    "q_stream_heavy_hitters",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows = Tables.eventsWithEpoch(s, d)
-        .select(col("event_type"),
-          floor(sqrt(col("user_id") % 150)).cast("long").cast("string").as("bk"),
-          col("es"), col("event_id"))
-        .as[(String, String, Long, Long)].collect().sortBy(r => (r._3, r._4))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, Long, Long)]
-      val stream = ms.toDF().toDF("event_type", "bk", "es", "event_id")
-      val out = graft.streaming.StreamingHeavyHitters
-        .heavyHitters(stream, "event_type", "bk", 16)
-      val sink = s"stream_hh_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-      s.table(sink)
-        .withColumn("__mx", max("seq").over(w))
-        .where(col("seq") === col("__mx"))
-        .select(col("grp").as("event_type"), col("term").as("bk"), col("est"))
-    },
-    Some("""SELECT event_type, floor(sqrt(user_id % 150))::BIGINT::VARCHAR AS bk,
-      |   count(*) AS est
-      | FROM events GROUP BY 1, 2""".stripMargin))
-
-  /** STREAMING embedding drift monitor: the vector stream is assigned to
-    * its nearest centroid by the SAME stateless plan-literal projection as
-    * batch [[Ann.assignCentroids]] (online IVF ingest — no state, no join;
-    * the model rides in the plan), then chained into a per-cell tumbling
-    * 60 s count under a delay-0 watermark. The per-window cell histogram is
-    * the drift signal a serving pipeline alarms on (cells drifting hot ⇒
-    * re-train the coarse quantizer). Emission contract and oracle filter
-    * are the q_stream_tumbling_agg standard: windows with
-    * end ≤ max event time; event time = vec_id seconds, so the oracle is
-    * the batch assignment relation + window arithmetic.
-    */
-  val qStreamDrift = Fixture(
-    "q_stream_drift",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val out = Ann.assignCentroids(ms.toDF().toDF("vec_id", "embedding"), cents)
-        .withColumn("ts", timestamp_seconds(col("vec_id")))
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "60 seconds"), col("centroid_id"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp(col("window.start")).as("ws"),
-          col("centroid_id"), col("n"))
-      val sink = s"stream_drift_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | p AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |         ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |       FROM e CROSS JOIN c),
-      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM p),
-      | r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |         ORDER BY cos DESC, cid) AS rn FROM sc),
-      | asn AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-      | mx AS (SELECT max(vec_id) AS mx FROM embeddings)
-      | SELECT (vec_id // 60) * 60 AS ws, cid AS centroid_id, count(*) AS n
-      | FROM asn GROUP BY 1, 2
-      | HAVING ws + 60 <= (SELECT mx FROM mx)""".stripMargin))
-
-  /** JSONL landing-zone ingest ([[graft.sources.JsonIngest]]): events
-    * round-trip through JSON Lines WITH two injected corrupt lines, read
-    * back schema-EXPLICIT in PERMISSIVE mode, and the result is the ingest
-    * accounting — per-type counts/sums over rows that parsed, plus a
-    * `__corrupt__` row counting the lines that did not. The oracle computes
-    * the same aggregation from the original parquet (+ the known corrupt
-    * count), so a value that survives parquet → JSON → parse differently
-    * (precision, nulls, type coercion) fails the hash. Sums use the
-    * integer-scaling trick (floor(value·10⁴ + 0.5) summed as BIGINT) so
-    * partial-merge order can't move a float boundary.
-    */
-  val qJsonlIngest = Fixture(
-    "q_jsonl_ingest",
-    (s, d) => {
-      import org.apache.spark.sql.types._
-      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value")
-      val dir = graft.sources.JsonIngest.stageJsonl(ev,
-        "events_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
-        Seq("{\"event_id\": 1, broken", "not json at all"))
-      val schema = new StructType()
-        .add("event_id", LongType).add("event_type", StringType)
-        .add("user_id", LongType).add("value", DoubleType)
-      // one parse pass serves both consumers — also required: Spark rejects
-      // an uncached query whose pruned scan would reference ONLY the
-      // corrupt-record column (the `bad` count), since corrupt capture
-      // happens at parse time, not per consumer
-      val r = graft.sources.JsonIngest.readJsonl(s, dir, schema)
-      graft.operators.Caching.withCached(r) {
-        val good = r.where(col("_corrupt_record").isNull)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            sum(floor(col("value") * lit(1e4) + lit(0.5))).cast("long").as("sum_v4"))
-        val bad = r.where(col("_corrupt_record").isNotNull)
-          .agg(count(lit(1)).as("n_events"))
-          .select(lit("__corrupt__").as("event_type"), col("n_events"),
-            lit(null).cast("long").as("sum_v4"))
-        good.unionAll(bad)
-      }
-    },
-    Some("""SELECT event_type, count(*) AS n_events,
-      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4
-      | FROM events GROUP BY 1
-      | UNION ALL SELECT '__corrupt__', 2, NULL""".stripMargin))
-
-  /** CSV landing-zone ingest ([[graft.sources.CsvIngest]]): events
-    * round-trip through headerless CSV WITH the `props` JSON column —
-    * commas, quotes and escapes inside a quoted field — plus two injected
-    * TYPE-corrupt lines (CSV token-count errors null-fill rather than
-    * corrupt; only cast failures land in `_corrupt_record`, which is why
-    * the injected lines break a LONG field). The accounting result adds
-    * `sum_plen` (total props length) so a quoting/escape bug that mangles
-    * one character of one field fails the hash, not just the row count.
-    */
-  val qCsvIngest = Fixture(
-    "q_csv_ingest",
-    (s, d) => {
-      import org.apache.spark.sql.types._
-      val ev = Tables.events(s, d)
-        .select("event_id", "event_type", "user_id", "value", "props")
-      val dir = graft.sources.CsvIngest.stageCsv(ev,
-        "events_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
-        Seq("notalong,click,5,1.0,{}", "7,scroll,badid,2.5,{}"))
-      val schema = new StructType()
-        .add("event_id", LongType).add("event_type", StringType)
-        .add("user_id", LongType).add("value", DoubleType)
-        .add("props", StringType)
-      val r = graft.sources.CsvIngest.readCsv(s, dir, schema)
-      graft.operators.Caching.withCached(r) {
-        val good = r.where(col("_corrupt_record").isNull)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            sum(floor(col("value") * lit(1e4) + lit(0.5))).cast("long").as("sum_v4"),
-            sum(length(col("props"))).cast("long").as("sum_plen"))
-        val bad = r.where(col("_corrupt_record").isNotNull)
-          .agg(count(lit(1)).as("n_events"))
-          .select(lit("__corrupt__").as("event_type"), col("n_events"),
-            lit(null).cast("long").as("sum_v4"),
-            lit(null).cast("long").as("sum_plen"))
-        good.unionAll(bad)
-      }
-    },
-    Some("""SELECT event_type, count(*) AS n_events,
-      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4,
-      |   sum(strlen(props))::BIGINT AS sum_plen
-      | FROM events GROUP BY 1
-      | UNION ALL SELECT '__corrupt__', 2, NULL, NULL""".stripMargin))
-
-  /** STREAMING landing-zone ingest — the autoloader shape: the same
-    * staged JSONL directory q_jsonl_ingest reads in batch is consumed as
-    * a FILE-SOURCE STREAM (schema-explicit, PERMISSIVE, corrupt column),
-    * one file per trigger so the accounting aggregation demonstrably
-    * folds across micro-batches; complete-mode snapshot compared against
-    * the BATCH oracle verbatim. At 100 TB this is the continuous-ingest
-    * front door: new files land, each trigger parses only its files, and
-    * the running corrupt/count accounting is the producer-health monitor.
-    */
-  val qStreamJsonlIngest = Fixture(
-    "q_stream_jsonl_ingest",
-    (s, d) => {
-      import org.apache.spark.sql.types._
-      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id", "value")
-      val dir = graft.sources.JsonIngest.stageJsonl(ev,
-        "events_stream_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
-        Seq("{\"event_id\": 1, broken", "not json at all"))
-      val schema = new StructType()
-        .add("event_id", LongType).add("event_type", StringType)
-        .add("user_id", LongType).add("value", DoubleType)
-      val stream = s.readStream
-        .schema(schema.add("_corrupt_record", StringType))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .option("maxFilesPerTrigger", "1")
-        .json(dir)
-      val out = stream
-        .groupBy(coalesce(
-          when(col("_corrupt_record").isNotNull, lit("__corrupt__")),
-          col("event_type")).as("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("_corrupt_record").isNull,
-            floor(col("value") * lit(1e4) + lit(0.5)))).cast("long").as("sum_v4"))
-      val sink = s"stream_jsonl_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = out.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some("""SELECT event_type, count(*) AS n_events,
-      |   sum(floor(value * 10000 + 0.5))::BIGINT AS sum_v4
-      | FROM events GROUP BY 1
-      | UNION ALL SELECT '__corrupt__', 2, NULL""".stripMargin))
-
-  /** Incremental (new-crawl-vs-lake) exact dedup through
-    * [[Dedup.incrementalExact]]. The testdata has no natural exact
-    * duplicates, so the fixture constructs the re-crawl: the new batch is
-    * the src0 shard plus renumbered copies (+100000) of every 7th corpus
-    * document — copies of non-src0 docs must flag is_dup_in_corpus, copies
-    * of src0 docs must flag is_dup_in_batch (their twin sits in the same
-    * batch), and everything else keeps.
-    */
-  val qDedupIncremental = Fixture(
-    "q_dedup_incremental",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val newBatch = docs.where(col("source") === "src0")
-        .select(col("doc_id"), col("text"))
-        .unionAll(docs.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      val corpus = docs.where(col("source") =!= "src0")
-      Dedup.incrementalExact(newBatch, corpus, "doc_id", "text")
-    },
-    Some("""WITH f AS (SELECT doc_id, source,
-      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-      |       FROM documents),
-      | n AS (SELECT doc_id, fp FROM f WHERE source = 'src0'
-      |       UNION ALL SELECT doc_id + 100000, fp FROM f WHERE doc_id % 7 = 0),
-      | c AS (SELECT DISTINCT fp FROM f WHERE source <> 'src0'),
-      | r AS (SELECT n.doc_id, n.fp, EXISTS (SELECT 1 FROM c WHERE c.fp = n.fp) AS dc,
-      |         row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
-      |       FROM n)
-      | SELECT doc_id, dc AS is_dup_in_corpus, rn > 1 AS is_dup_in_batch,
-      |   (NOT dc AND rn = 1) AS keep FROM r""".stripMargin))
-
-  /** The END-TO-END curation pipeline as one composed query — the artifact a
-    * training run actually consumes: candidate docs (eval set excluded) →
-    * quality gate (q ≥ 0.5) → exact-dup keeper → decontamination against
-    * the eval set (drop frac > 0.10, on the quantized fraction both engines
-    * compute identically) → deterministic 98/1/1 split → the TRAIN shard's
-    * pack manifest (per-source cumulative token offsets div 2048). Every
-    * stage is an already-oracle-proven operator (q_text_stats,
-    * q_dedup_exact, q_decontaminate, q_split_assign, q_pack_sequences);
-    * this fixture pins their COMPOSITION — stage ordering, column flow, and
-    * the join/filter seams between them — which is what a user of the
-    * library actually runs. Plan shape: one corpus scan feeds the quality +
-    * fingerprint projection; the keeper and contamination stages are
-    * fp-/shingle-keyed shuffles of the REDUCED survivor set; the pack
-    * stage is [[graft.operators.Packing.startOffsetsScalable]] — the
-    * distributed two-phase prefix sum (per-(source, shard) sorts plus the
-    * tiny cumulated shard-base relation), NOT a per-source total-order
-    * window, so the composite a user copies ships the form that survives a
-    * crawl being 80 % of the corpus (q_pack_scalable pins the equality of
-    * the two forms under this same oracle). Nothing rescans the corpus.
-    */
-  val qTrainingManifest = Fixture(
-    "q_training_manifest",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val enriched = docs.where(col("doc_id") >= 25).select(
-        col("doc_id"), col("source"), col("text"),
-        Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"),
-        TextFunctions.fingerprintMd5(col("text")).as("fp"),
-        pmod(TextFunctions.fingerprint64(col("text")), lit(1000L)).as("band"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      val quality = enriched.where(col("q") >= 0.5)
-      val keepers = quality.groupBy("fp").agg(min("doc_id").as("keeper"))
-      val unique = quality.join(keepers, Seq("fp"))
-        .where(col("doc_id") === col("keeper"))
-      val evalSet = docs.where(col("doc_id") < 25)
-      val tooContaminated = Dedup
-        .contamination(unique.select("doc_id", "text"), evalSet, "doc_id", "text", 3)
-        .where(col("frac") > 0.10)
-        .select("doc_id")
-      val clean = unique.join(tooContaminated, Seq("doc_id"), "left_anti")
-      graft.operators.Packing
-        .startOffsetsScalable(clean.where(col("band") < 980) /* train shard */,
-          "source", "doc_id", "n_tok", shardWidth = 64L)
-        .select(col("doc_id"), col("source"), col("q"), col("n_tok"),
-          expr("start_off div 2048").as("pack_id"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, source, text,
-      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
-      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-      |   ((${h64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}) % 1000 + 1000) % 1000 AS band
-      | FROM documents WHERE doc_id >= 25),
-      | e AS (SELECT doc_id, source, text, fp, band, n_tok::BIGINT AS n_tok,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
-      | FROM t0),
-      | ql AS (SELECT * FROM e WHERE q >= 0.5),
-      | k AS (SELECT fp, min(doc_id) AS keeper FROM ql GROUP BY 1),
-      | u AS (SELECT ql.* FROM ql JOIN k USING (fp) WHERE doc_id = keeper),
-      | w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      | sh AS (SELECT doc_id, $shinglesSql AS s FROM w0),
-      | f AS (SELECT doc_id, len(s) AS n_sh, s FROM sh WHERE len(s) > 0),
-      | bench AS (SELECT DISTINCT unnest(s) AS sg FROM f WHERE doc_id < 25),
-      | posts AS (SELECT doc_id, n_sh, unnest(s) AS sg FROM f
-      |           WHERE doc_id IN (SELECT doc_id FROM u)),
-      | contam AS (SELECT doc_id FROM (
-      |     SELECT doc_id, ${q4("count(*) / any_value(n_sh)")} AS frac
-      |     FROM posts JOIN bench USING (sg) GROUP BY doc_id)
-      |   WHERE frac > 0.10),
-      | clean AS (SELECT * FROM u WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-      | tr AS (SELECT * FROM clean WHERE band < 980)
-      | SELECT doc_id, source, q, n_tok,
-      |   ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 2048)::BIGINT AS pack_id
-      | FROM tr""".stripMargin))
-
-  /** Curriculum / difficulty binning: each document assigned to a quality
-    * quartile WITHOUT a global sort — the boundaries come from ONE tiny
-    * aggregation (exact interpolated percentiles here; `approx_percentile`
-    * is the same-plan 100 TB swap, contract pinned by q_approx_quantiles)
-    * broadcast back to the scan, and assignment is a scan-side CASE. The
-    * ntile()-window alternative would range-shuffle and sort the entire
-    * corpus. Quartiles compare on the QUANTIZED quality in both engines.
-    */
-  val qCurriculumBins = Fixture(
-    "q_curriculum_bins",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          Quant.q4(TextFunctions.qualityScore(col("text"))).as("q"))
-      val bounds = docs.agg(
-        Quant.q4(expr("percentile(q, 0.25D)")).as("b1"),
-        Quant.q4(expr("percentile(q, 0.5D)")).as("b2"),
-        Quant.q4(expr("percentile(q, 0.75D)")).as("b3"))
-      docs.crossJoin(broadcast(bounds))
-        .select(col("doc_id"), col("q"),
-          when(col("q") < col("b1"), 0L)
-            .when(col("q") < col("b2"), 1L)
-            .when(col("q") < col("b3"), 2L)
-            .otherwise(3L).as("bin"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id,
-      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop
-      | FROM documents),
-      | t AS (SELECT doc_id,
-      |   ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
-      | FROM t0),
-      | b AS (SELECT ${q4("quantile_cont(q, 0.25)")} AS b1,
-      |         ${q4("quantile_cont(q, 0.5)")} AS b2,
-      |         ${q4("quantile_cont(q, 0.75)")} AS b3 FROM t)
-      | SELECT doc_id, q,
-      |   (CASE WHEN q < b1 THEN 0 WHEN q < b2 THEN 1
-      |         WHEN q < b3 THEN 2 ELSE 3 END)::BIGINT AS bin
-      | FROM t, b""".stripMargin))
-
-  /** Z-ordered lake layout roundtrip (sources/ZOrder.scala): documents
-    * rewritten as 12 Morton-clustered files on (n_chars, doc_id), then a
-    * 2-D box predicate + aggregation over the clustered copy. Like
-    * q_bucketed_join, the oracle runs on the RAW table — clustering must be
-    * a pure layout change, invisible in the values; ZOrderSpec pins the
-    * pruning payoff (file min/max stats actually shrink the candidate set).
-    */
-  val qZorderLayout = Fixture(
-    "q_zorder_layout",
-    (s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_zorder_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      graft.sources.ZOrder.writeZOrdered(
-        Tables.documents(s, d), Seq("n_chars", "doc_id"), out, 12)
-      s.read.parquet(out)
-        .where(col("n_chars").between(100, 300) && col("doc_id").between(100, 350))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents
-      | WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
-      | GROUP BY 1""".stripMargin))
-
-  /** Compaction roundtrip (sources/Compaction.scala): the incremental-crawl
-    * fragmentation case — 48 tiny files AQE-rebalanced into ~targetBytes
-    * files — read back through the compacted layout and aggregated. Oracle
-    * on the raw table: compaction must be value-invariant; CompactionSpec
-    * pins the file-count mechanics (merge up, record-bound split down).
-    */
-  val qCompactRoundtrip = Fixture(
-    "q_compact_roundtrip",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_compact_$h").getAbsolutePath
-      Tables.documents(s, d).repartition(48)
-        .write.mode("overwrite").parquet(s"$base/fragged")
-      graft.sources.Compaction.compact(s, s"$base/fragged", s"$base/compacted")
-      s.read.parquet(s"$base/compacted")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          max("doc_id").as("max_doc_id"))
-    },
-    Some("""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |   max(doc_id) AS max_doc_id
-      | FROM documents GROUP BY 1""".stripMargin))
-
-  /** End-to-end STREAMING curation — the ingest-time mirror of
-    * q_curation_funnel's batch composite: stateless quality filter →
-    * first-seen exact dedup → tumbling per-source accepted-volume counts.
-    * Two CHAINED stateful operators under ONE delay-0 watermark: the dedup
-    * is [[graft.streaming.StreamingFirstSeen]]'s `transformWithState`
-    * stage, whose horizon is state TTL rather than the watermark delay
-    * (`dropDuplicatesWithinWatermark` couples the two, and a horizon long
-    * enough for the corpus' 3600 s-apart duplicates would hold every
-    * 60 s window open for the whole replay — watermark redefinition
-    * between chained stateful operators is disallowed). Event time chains
-    * through the processor's output, so windows finalize at delay 0.
-    *
-    * Emission contract (append mode): windows with end ≤ max event time of
-    * the QUALITY-PASSING rows — the filter sits before the watermark node,
-    * so rejected rows never advance event time; the oracle computes the
-    * same cutoff from the filtered set. Dedup keeps the min-doc_id copy
-    * *among quality passers* (a rejected earlier copy never reaches the
-    * state store — ordering of filter vs dedup is observable and pinned).
-    */
-  val qStreamCuration = Fixture(
-    "q_stream_curation",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.documents(s, d)
-        .select(col("doc_id").cast("long"), col("text"), col("source"))
-        .as[(Long, String, String)].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, String)]
-      // spread the replay across cores BEFORE the regex-heavy quality
-      // scoring: a MemoryStream addData block is ONE partition (a real
-      // source's scan splits provide this parallelism for free)
-      val stream = ms.toDF().repartition(16).toDF("doc_id", "text", "source")
-        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
-        .where(Quant.q4(TextFunctions.qualityScore(col("text"))) >= 0.5)
-        .withWatermark("ts", "0 seconds")
-      val out = graft.streaming.StreamingFirstSeen
-        .firstSeen(stream, "text", "ts")
-        .groupBy(window(col("ts"), "60 seconds"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
-        .withColumn("ws", col("window.start").cast("long"))
-        .select("ws", "source", "n_docs", "n_tok")
-      val sink = s"stream_curation_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try {
-          // 2 chunks: the replay is doc_id-sorted, so first-seen keeps the
-          // min-doc_id copy under ANY chunking (first arrival = smallest
-          // id; within-batch ties go to minBy(doc_id)) — cross-batch state
-          // carry is exercised at 2 batches, extra triggers are overhead
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-          // one more batch so the final chunk's watermark gets APPLIED
-          // (watermark updates lag one micro-batch)
-          ms.addData(Seq(rows.last))
-          q.processAllAvailable()
-        } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some(s"""WITH t AS (SELECT doc_id, source, text,
-      |   len($wordsSql)::DOUBLE AS n_tok, length(text)::DOUBLE AS n_chars,
-      |   len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha,
-      |   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b'))::DOUBLE AS stop,
-      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-      | FROM documents),
-      | flt AS (SELECT doc_id, source, fp, n_tok::BIGINT AS n_tok FROM (
-      |     SELECT *, ${q4("least(n_tok / 100.0, 1.0) * 0.3 + (alpha / greatest(n_chars, 1.0)) * 0.4 + least(stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3")} AS q
-      |     FROM t)
-      |   WHERE q >= 0.5),
-      | k AS (SELECT fp, min(doc_id) AS keeper FROM flt GROUP BY 1),
-      | kept AS (SELECT f.* FROM flt f JOIN k ON f.fp = k.fp AND f.doc_id = k.keeper),
-      | mx AS (SELECT max(doc_id) + 1 AS maxts FROM flt)
-      | SELECT ((doc_id + 1) // 60) * 60 AS ws, source,
-      |   count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok
-      | FROM kept, mx
-      | WHERE ((doc_id + 1) // 60) * 60 + 60 <= maxts
-      | GROUP BY 1, 2""".stripMargin))
-
-  /** Streaming curation replayed from a FILE SOURCE — same rationale as
-    * [[qDedupStreamMinhashFiles]]: the regex-heavy quality scoring gets a
-    * scan split per staged file instead of the driver's single-threaded
-    * MemoryStream feed. The staged tail file (a duplicate of the max-id
-    * row, listed last by mtime) is the file-source spelling of the
-    * trailing addData: one extra micro-batch so the final data batch's
-    * watermark is APPLIED and its windows emit. Oracle unchanged.
-    */
-  val qStreamCurationFiles = Fixture(
-    "q_stream_curation_files",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_replay_curation_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      graft.streaming.FileReplay.stageOrdered(docs, dir, "doc_id", 32,
-        tail = Some(docs.orderBy(col("doc_id").desc).limit(1)))
-      val stream = s.readStream
-        .schema("doc_id LONG, text STRING, source STRING")
-        .option("maxFilesPerTrigger", "16")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
-        .where(Quant.q4(TextFunctions.qualityScore(col("text"))) >= 0.5)
-        .withWatermark("ts", "0 seconds")
-      val out = graft.streaming.StreamingFirstSeen
-        .firstSeen(stream, "text", "ts")
-        .groupBy(window(col("ts"), "60 seconds"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
-        .withColumn("ws", col("window.start").cast("long"))
-        .select("ws", "source", "n_docs", "n_tok")
-      val sink = s"stream_curation_files_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "16") // see minhash-files note
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    qStreamCuration.oracle)
-
-  /** Lake schema evolution — the read-compat half every long-lived corpus
-    * needs: a crawl adds a metadata column mid-life, new files carry it,
-    * the years of old files do not, and one scan must read BOTH — legacy
-    * rows surfacing NULL for the new column, never an error, never a
-    * silent drop. Staged as two parquet generations (evens = legacy
-    * 3-column schema, odds = evolved 4-column) under one directory, read
-    * with mergeSchema, aggregated per language with explicit legacy/
-    * evolved accounting. The oracle predicts every count from doc_id
-    * parity, so a miscounted generation or a non-null legacy `source`
-    * fails the hash. Scale note: mergeSchema infers by sampling footers —
-    * fine here; at 100 TB the schema lives in a catalog and this fixture
-    * pins the READ semantics that catalog schema implies.
-    */
-  val qSchemaEvolution = Fixture(
-    "q_schema_evolution",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_schema_evo_$h").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      docs.where(col("doc_id") % 2 === 0)
-        .select("doc_id", "lang", "n_chars")
-        .write.mode("overwrite").parquet(dir)
-      docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-        .write.mode("append").parquet(dir)
-      s.read.option("mergeSchema", "true").parquet(dir)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
-          count(col("source")).as("n_evolved"),
-          sum("n_chars").as("sum_chars"))
-    },
-    Some("""SELECT lang, count(*) AS n_docs,
-      |   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
-      |   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_evolved,
-      |   sum(n_chars)::BIGINT AS sum_chars
-      | FROM documents GROUP BY 1""".stripMargin))
-
-  /** STREAMING read of the evolving landing zone — the continuous-ingest
-    * form of [[qSchemaEvolution]]: a file-source stream declares the
-    * EVOLVED schema (streams cannot infer or merge; the catalog schema is
-    * the contract) and must read legacy files anyway, surfacing NULL for
-    * the column they predate — parquet resolves columns by name, so a
-    * missing column is null, not an error. Same oracle as the batch scan:
-    * the feed mechanism and the generation mix must both be invisible in
-    * the aggregate. Complete-mode snapshot, one file per trigger so the
-    * fold demonstrably crosses generations mid-stream.
-    */
-  val qStreamSchemaEvolution = Fixture(
-    "q_stream_schema_evolution",
-    (s, d) => {
-      val h = Integer.toHexString(d.hashCode)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_schema_evo_stream_$h").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      docs.where(col("doc_id") % 2 === 0)
-        .select("doc_id", "lang", "n_chars")
-        .repartition(4)
-        .write.mode("overwrite").parquet(dir)
-      docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-        .repartition(4)
-        .write.mode("append").parquet(dir)
-      val stream = s.readStream
-        .schema("doc_id LONG, lang STRING, n_chars LONG, source STRING")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-      val out = stream.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
-          count(col("source")).as("n_evolved"),
-          sum("n_chars").as("sum_chars"))
-      val sink = s"stream_schevo_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = out.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    qSchemaEvolution.oracle)
-
-  /** MERGE INTO upsert (operators/Upsert.scala): a re-crawl batch (changed
-    * docs + brand-new docs) folded into the lake snapshot — replaced rows
-    * take the batch values, new keys append, the rest carry over. One
-    * anti-join + union; UpsertSpec pins the zero-lake-exchange plan on the
-    * bucketed layout. The oracle recomputes the same snapshot from the raw
-    * table.
-    */
-  val qMergeUpsert = Fixture(
-    "q_merge_upsert",
-    (s, d) => {
-      val lake = Tables.documents(s, d)
-      val updates = lake.where(col("doc_id") % 10 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L)
-      val fresh = lake.where(col("doc_id") % 7 === 3)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      graft.operators.Upsert
-        .mergeByKey(lake, updates.unionByName(fresh), "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          sum("doc_id").as("id_sum"))
-    },
-    Some("""WITH b AS (
-      |   SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars
-      |   FROM documents WHERE doc_id % 10 = 0
-      |   UNION ALL
-      |   SELECT doc_id + 1000000, text, lang, source, n_chars
-      |   FROM documents WHERE doc_id % 7 = 3),
-      | m AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM b)
-      |       UNION ALL SELECT * FROM b)
-      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |   sum(doc_id)::BIGINT AS id_sum
-      | FROM m GROUP BY 1""".stripMargin))
-
-  /** JL random projection 64 → 16 (VectorFunctions.rpProject): the
-    * deterministic ±1 sketch that compresses embeddings 4× ahead of the
-    * shuffle-heavy ANN stages. Every (row, component) pinned against the
-    * DuckDB mirror of the same hash-derived matrix and left fold; RpSpec
-    * pins the sign derivation and the similarity-preservation quality.
-    */
-  val qRpProject = Fixture(
-    "q_rp_project",
-    (s, d) => Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(graft.functions.VectorFunctions
-          .rpProject(col("embedding"), 64, 16)))
-      .select(col("vec_id"), col("pos").cast("long").as("j"),
-        Quant.q4(col("col")).as("comp")),
-    Some(s"""SELECT vec_id, j,
-      |   ${q4("0.25 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5('rp#' || (i-1) || '#' || j), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)")} AS comp
-      | FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""".stripMargin))
-
-  /** Audio-tier plumbing (Multimodal.syntheticPcm/audioWindows): s16le PCM
-    * born as REAL bytes executor-side, decoded back through a little-endian
-    * ShortBuffer, reduced to per-window RMS + peak — the loudness/clipping
-    * screen before transcription. The oracle recomputes every sample from
-    * the integer recurrence without touching binary; the byte roundtrip is
-    * exactly what it verifies (any endianness/offset slip shifts every
-    * window's sum).
-    */
-  val qAudioEnergy = Fixture(
-    "q_audio_energy",
-    (s, d) => {
-      val audio = Multimodal.syntheticPcm(s, Tables.documents(s, d))
-      Multimodal.audioWindows(s, audio).toDF()
-        .select(col("doc_id"), col("win_id"),
-          Quant.q4(col("rms")).as("rms"), col("peak"))
-    },
-    Some(s"""WITH d AS (SELECT doc_id, 2048 + (doc_id % 5) * 1024 AS n FROM documents),
-      | w AS (SELECT doc_id, unnest(generate_series(0, n // 1024 - 1)) AS win_id FROM d),
-      | sm AS (SELECT doc_id, win_id,
-      |          unnest(generate_series(win_id * 1024, win_id * 1024 + 1023)) AS k
-      |        FROM w),
-      | v AS (SELECT doc_id, win_id,
-      |         ((doc_id * 1000003 + k * 7919) % 65536) - 32768 AS x FROM sm)
-      | SELECT doc_id, win_id, ${q4("sqrt(sum(x * x) / 1024.0)")} AS rms,
-      |   max(abs(x)) AS peak
-      | FROM v GROUP BY 1, 2""".stripMargin))
-
-  /** VAD-style audio segmentation on top of the decoded window features:
-    * windows whose peak clears the activity gate are merged into maximal
-    * CONSECUTIVE runs — the classic gaps-and-islands `win_id − row_number`
-    * grouping — and each segment reports its span, length and peak. This
-    * is the speech-curation step between loudness screening and
-    * transcription: ship segments, not raw hours. The per-doc window
-    * function is bounded by a single recording's window count (never
-    * corpus-scaled state), and the segment aggregation shuffles only
-    * gated windows. Gate = peak ≥ 32720 — an order statistic of the
-    * synthetic waveform that splits windows ≈ 50/50, so runs and gaps are
-    * both exercised; both engines compute it exactly (integer peak).
-    */
-  val qAudioSegments = Fixture(
-    "q_audio_segments",
-    (s, d) => {
-      val wins = Multimodal.audioWindows(s,
-        Multimodal.syntheticPcm(s, Tables.documents(s, d))).toDF()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("win_id")
-      wins.where(col("peak") >= 32720)
-        .withColumn("g", col("win_id") - row_number().over(w))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(min(col("win_id")).as("seg_start"), max(col("win_id")).as("seg_end"),
-          count(lit(1)).as("n_win"), max(col("peak")).as("seg_peak"))
-        .select("doc_id", "seg_start", "seg_end", "n_win", "seg_peak")
-    },
-    Some("""WITH d AS (SELECT doc_id, 2048 + (doc_id % 5) * 1024 AS n FROM documents),
-      | w AS (SELECT doc_id, unnest(generate_series(0, n // 1024 - 1)) AS win_id FROM d),
-      | sm AS (SELECT doc_id, win_id,
-      |          unnest(generate_series(win_id * 1024, win_id * 1024 + 1023)) AS k
-      |        FROM w),
-      | v AS (SELECT doc_id, win_id,
-      |         ((doc_id * 1000003 + k * 7919) % 65536) - 32768 AS x FROM sm),
-      | p AS (SELECT doc_id, win_id, max(abs(x)) AS peak FROM v GROUP BY 1, 2),
-      | a AS (SELECT doc_id, win_id, peak,
-      |         win_id - row_number() OVER (PARTITION BY doc_id ORDER BY win_id) AS g
-      |       FROM p WHERE peak >= 32720)
-      | SELECT doc_id, min(win_id) AS seg_start, max(win_id) AS seg_end,
-      |   count(*) AS n_win, max(peak) AS seg_peak
-      | FROM a GROUP BY doc_id, g""".stripMargin))
-
-  /** REAL audio-container metadata ([[Multimodal.syntheticWavs]] →
-    * [[Multimodal.wavMeta]]): every doc's recurrence samples wrapped in an
-    * actual RIFF/WAVE file — per-doc sample rate in the `fmt ` chunk, every
-    * third container carrying a `LIST`-INFO chunk before `data` — then
-    * header-parsed back. The oracle predicts channels/rate/bits/frames from
-    * stored columns, so hash equality proves the chunk WALK (not a fixed
-    * byte offset) recovered the format fields; a parse failure would emit
-    * the (-1, …) sentinel and mismatch. This is the screen-before-decode
-    * step of an audio curation pass — header-only, no sample decode paid.
-    */
-  val qWavMeta = Fixture(
-    "q_wav_meta",
-    (s, d) => Multimodal.wavMeta(s,
-        Multimodal.syntheticWavs(s, Tables.documents(s, d))).toDF(),
-    Some("""SELECT doc_id, 1::BIGINT AS channels,
-      |   (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
-      |   16::BIGINT AS bits, (2048 + (doc_id % 5) * 1024)::BIGINT AS n_frames
-      | FROM documents""".stripMargin))
-
-  /** Container-driven waveform decode end-to-end: [[Multimodal.wavAudio]]
-    * locates each WAV's `data` chunk by RIFF parse (zero-copy slice, no
-    * re-encode) and the shared [[Multimodal.audioWindows]] reducer computes
-    * per-window RMS + peak from the sliced bytes. Oracle = the same integer
-    * recurrence as `q_audio_energy`; equality through the CONTAINER proves
-    * chunk-walk → data location → s16le decode, and any offset slip (e.g.
-    * mis-skipping the LIST chunk present in a third of the files) shifts
-    * every sample and fails the hash.
-    */
-  val qWavWindows = Fixture(
-    "q_wav_windows",
-    (s, d) => Multimodal.audioWindows(s,
-        Multimodal.wavAudio(s,
-          Multimodal.syntheticWavs(s, Tables.documents(s, d)))).toDF()
-        .select(col("doc_id"), col("win_id"),
-          Quant.q4(col("rms")).as("rms"), col("peak")),
-    qAudioEnergy.oracle)
-
-  /** Crawl-archive ingest end-to-end ([[graft.sources.Warc]]): documents
-    * serialized into REAL multi-record WARC shards (warcinfo lead record +
-    * one HTTP response per doc, status/content-type varying by id, body =
-    * the document text), then exploded back by the Content-Length record
-    * walk + HTTP unwrap. The oracle predicts every parsed field from stored
-    * columns, so hash equality proves the full container path: record
-    * framing, header parse, warcinfo skip, status-line split, byte-exact
-    * UTF-8 body recovery. This is the entry format of a crawl-scale corpus
-    * (Common Crawl ships exactly this shape); parallelism is per-FILE, the
-    * unit Spark's binaryFile source hands out.
-    */
-  val qWarcIngest = Fixture(
-    "q_warc_ingest",
-    (s, d) => graft.sources.Warc.ingestResponses(s,
-      graft.sources.Warc.syntheticWarcFiles(s, Tables.documents(s, d))),
-    Some("""SELECT doc_id // 50 AS file_id,
-      |   'http://example.com/doc/' || doc_id AS target_uri,
-      |   CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
-      |   (CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END)::BIGINT AS http_status,
-      |   coalesce(text, '') AS body
-      | FROM documents""".stripMargin))
-
-  /** Deterministic MESSY url per doc — mixed-case scheme/host, default and
-    * non-default ports, empty paths, tracking + empty + unsorted query
-    * params, fragments — the input both the Spark fixture and the DuckDB
-    * oracle construct IDENTICALLY (it is the shared test vector; keep the
-    * two spellings in sync), then normalize with their own independent
-    * implementations.
-    */
-  private def messyUrl: org.apache.spark.sql.Column = concat(
-    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-    lit("://WWW.Site"), (col("doc_id") % 40).cast("string"),
-    when(col("doc_id") % 4 === 0, lit(".CO.UK")).otherwise(lit(".com")),
-    when(col("doc_id") % 6 === 0, lit(":80"))
-      .when(col("doc_id") % 6 === 3, lit(":8080"))
-      .when(col("doc_id") % 6 === 1, lit(":443")).otherwise(lit("")),
-    when(col("doc_id") % 5 === 0, lit(""))
-      .otherwise(concat(lit("/a/"), col("doc_id").cast("string"))),
-    when(col("doc_id") % 3 === 0, lit("?b=2&utm_source=x&&a=1"))
-      .when(col("doc_id") % 3 === 1, lit("?single=1")).otherwise(lit("")),
-    when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
-
-  /** The same construction in DuckDB SQL (column `url` over `documents`).
-    * Single-line on purpose: it interpolates into templates that apply
-    * stripMargin, which would eat the first char of a leading `||`.
-    */
-  private val messyUrlSql = Seq(
-    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)",
-    "'://WWW.Site' || (doc_id % 40)",
-    "(CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.com' END)",
-    "(CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 3 THEN ':8080' WHEN doc_id % 6 = 1 THEN ':443' ELSE '' END)",
-    "(CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/a/' || doc_id END)",
-    "(CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=x&&a=1' WHEN doc_id % 3 = 1 THEN '?single=1' ELSE '' END)",
-    "(CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)").mkString(" || ")
-
-  /** URL canonicalization ([[UrlFunctions.urlNormalize]]) — the
-    * dedup-by-URL key every crawl pipeline computes before content dedup:
-    * scheme/host lowercased, default port stripped, empty path → `/`,
-    * fragment dropped, `utm_*`/empty params dropped and the rest sorted.
-    * Spark side is pure built-in column functions (whole-stage codegen,
-    * no UDF); the oracle re-derives the contract from RFC 3986 §6 spelled
-    * in DuckDB string/list functions. Hash equality proves the two
-    * independent implementations agree on every case the messy corpus
-    * covers (http+https × 4 port shapes × empty/real path × 3 query
-    * shapes × fragment).
-    */
-  val qUrlNormalize = Fixture(
-    "q_url_normalize",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.UrlFunctions.urlNormalize(messyUrl).as("url_norm")),
-    Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
-      | n AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
-      | p AS (SELECT doc_id,
-      |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |   regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n),
-      | q AS (SELECT doc_id, scheme,
-      |   regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
-      |   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq FROM p),
-      | r AS (SELECT doc_id, scheme,
-      |   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-      |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |   regexp_extract(pathq, '^([^?]*)', 1) AS path,
-      |   regexp_extract(pathq, '\\?(.*)$$', 1) AS query FROM q),
-      | s AS (SELECT doc_id, scheme, host,
-      |   CASE WHEN port = '' THEN ''
-      |        WHEN scheme = 'http' AND port = '80' THEN ''
-      |        WHEN scheme = 'https' AND port = '443' THEN ''
-      |        ELSE ':' || port END AS portn,
-      |   CASE WHEN path = '' THEN '/' ELSE path END AS pathn,
-      |   list_sort(list_filter(string_split(query, '&'),
-      |     x -> x <> '' AND x NOT LIKE 'utm_%')) AS params FROM r)
-      | SELECT doc_id, scheme || '://' || host || portn || pathn ||
-      |   CASE WHEN len(params) = 0 THEN ''
-      |        ELSE '?' || array_to_string(params, '&') END AS url_norm
-      | FROM s""".stripMargin))
-
-  /** Domain balance ([[UrlFunctions.urlHost]] + [[UrlFunctions.apexDomain]]
-    * + per-domain cap): group the crawl by registrable domain (public-suffix
-    * aware: `www.site.co.uk` → `site.co.uk`) and keep at most 8 docs per
-    * domain in doc_id order — the cap that stops a handful of mega-domains
-    * from dominating the token budget. The window partitions BY DOMAIN, so
-    * per-partition state is one domain's docs (never corpus-scaled), and at
-    * 100 TB the same plan runs with AQE skew splitting on the giants.
-    */
-  val qDomainCaps = Fixture(
-    "q_domain_caps",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("domain").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.UrlFunctions.apexDomain(
-          graft.functions.UrlFunctions.urlHost(messyUrl)).as("domain"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 8)
-        .select("domain", "doc_id")
-    },
-    Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
-      | h AS (SELECT doc_id, lower(regexp_extract(
-      |     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |     '^([^:]*)', 1)) AS host FROM u),
-      | l AS (SELECT doc_id, string_split(host, '.') AS lab FROM h),
-      | d AS (SELECT doc_id,
-      |   CASE WHEN len(lab) >= 3 AND array_to_string(lab[len(lab)-1:], '.')
-      |          IN ('co.uk', 'com.au', 'co.jp', 'com.br')
-      |        THEN array_to_string(lab[len(lab)-2:], '.')
-      |        ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain FROM l),
-      | a AS (SELECT domain, doc_id,
-      |   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM d)
-      | SELECT domain, doc_id FROM a WHERE rn <= 8""".stripMargin))
-
-  /** Streaming crawl ingest — the PRODUCTION shape of WARC consumption: a
-    * continuous crawler lands shard files and the pipeline parses them as
-    * they arrive, not in a nightly batch. The stream carries whole WARC
-    * FILES (the natural arrival unit — a file is sequential inside, so the
-    * record walk is per-file executor work exactly as in batch), exploded
-    * to response records by the same [[graft.sources.Warc.ingestResponses]]
-    * path, so batch and stream share one parser. Stateless → ONE trigger;
-    * many addData blocks so the per-file parse fans across cores
-    * (MemoryStream = one partition per block). Oracle = the batch ingest
-    * oracle: chunking cannot affect a stateless explode.
-    */
-  lazy val qStreamWarcIngest = Fixture(
-    "q_stream_warc_ingest",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val files = graft.sources.Warc
-        .syntheticWarcFiles(s, Tables.documents(s, d))
-        .map(f => (f.file_id, f.warc))
-        .collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Byte])]
-      val out = graft.sources.Warc.ingestResponses(s,
-        ms.toDS().map { case (id, bytes) => graft.sources.Warc.WarcFile(id, bytes) })
-      val sink = s"stream_warc_${System.nanoTime}"
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try {
-        files.grouped(math.max(1, files.length / 8 + 1)).foreach(c => ms.addData(c.toSeq))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    },
-    qWarcIngest.oracle)
-
-  /** Deterministic HTML wrapping of each document — title with an entity,
-    * a style block, a script whose body contains `<`, `>` and quotes (the
-    * classic naive-tag-strip desync), a comment, entity-quoted body text,
-    * and two links — constructed IDENTICALLY by the Spark fixture and the
-    * oracle (shared test vector; keep in sync with [[messyHtmlSql]]).
-    */
-  private def messyHtml: org.apache.spark.sql.Column = concat(
-    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-    lit(" &amp; friends</title><style>p { color: red; }</style>" +
-      "<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>" +
-      "<body><!-- hidden --><h1 class=\"t\">Doc "),
-    col("doc_id").cast("string"),
-    lit("</h1><p>&quot;"), col("text"),
-    lit("&quot; &amp;&nbsp;more</p><a href=\"HTTP://Site"),
-    (col("doc_id") % 9).cast("string"),
-    lit(".com:80/p?utm_a=1&b=2#f\">l1</a><a href='/rel'>l2</a></body></html>"))
-
-  /** The same construction in DuckDB SQL (column `html` over `documents`). */
-  private val messyHtmlSql = Seq(
-    "'<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'",
-    "'<style>p { color: red; }</style>'",
-    "'<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>'",
-    "'<body><!-- hidden --><h1 class=\"t\">Doc ' || doc_id || '</h1>'",
-    "'<p>&quot;' || text || '&quot; &amp;&nbsp;more</p>'",
-    "'<a href=\"HTTP://Site' || (doc_id % 9) || '.com:80/p?utm_a=1&b=2#f\">l1</a>'",
-    "'<a href=''/rel''>l2</a></body></html>'").mkString(" || ")
-
-  /** HTML → text extraction ([[HtmlFunctions]]) — the step between WARC
-    * ingest and every downstream text operator: script/style/comment
-    * bodies dropped, tags spaced out, core entities decoded (`&amp;`
-    * last), whitespace collapsed; plus `<title>` recovery and the `href`
-    * link list (the crawl-frontier feed). The script body embeds `<`,
-    * `>`, `&&` and a literal `</div>` string — a tag-strip that doesn't
-    * remove script elements FIRST emits fragments of code and fails the
-    * hash. Spark side is all built-in column functions under whole-stage
-    * codegen; the oracle re-derives extraction with RE2 regexes — the
-    * patterns are deliberately backreference-free so both engines run
-    * them.
-    */
-  val qHtmlExtract = Fixture(
-    "q_html_extract",
-    (s, d) => {
-      import graft.functions.HtmlFunctions._
-      Tables.documents(s, d).select(col("doc_id"),
-        htmlTitle(messyHtml).as("title"),
-        htmlToText(messyHtml).as("txt"),
-        array_join(htmlLinks(messyHtml), " ").as("links"),
-        size(htmlLinks(messyHtml)).cast("long").as("n_links"))
-    },
-    Some(s"""WITH u AS (SELECT doc_id, text, $messyHtmlSql AS html FROM documents),
-      | s1 AS (SELECT doc_id, text, html,
-      |   regexp_replace(html, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g') AS h FROM u),
-      | s2 AS (SELECT doc_id, text, html,
-      |   regexp_replace(h, '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g') AS h FROM s1),
-      | s3 AS (SELECT doc_id, text, html,
-      |   regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
-      | s4 AS (SELECT doc_id, text, html,
-      |   regexp_replace(h, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS h FROM s3),
-      | s5 AS (SELECT doc_id, text, html,
-      |   replace(replace(replace(replace(replace(replace(h,
-      |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-      |     '&nbsp;', ' '), '&amp;', '&') AS h FROM s4),
-      | fin AS (SELECT doc_id, html,
-      |   trim(regexp_replace(h, '\\s+', ' ', 'g')) AS txt FROM s5)
-      | SELECT doc_id,
-      |   trim(regexp_replace(regexp_extract(html,
-      |     '(?is)<title[^>]*>(.*?)</title', 1), '\\s+', ' ', 'g')) AS title,
-      |   txt,
-      |   array_to_string(list_filter(regexp_extract_all(html,
-      |     '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1),
-      |     x -> x <> ''), ' ') AS links,
-      |   len(list_filter(regexp_extract_all(html,
-      |     '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1),
-      |     x -> x <> ''))::BIGINT AS n_links
-      | FROM fin""".stripMargin))
-
-  /** END-TO-END crawl manifest — the crawl tier's `q_training_manifest`:
-    * one fixture chaining every stage seam instead of pinning each stage
-    * alone. The corpus is wrapped in HTML pages (visible text = the
-    * document text in quotes — deliberately doc_id-free so real duplicate
-    * prefixes survive to the dedup stage), serialized into REAL WARC
-    * shards, and then the pipeline runs exactly as production would:
-    *
-    *   1. WARC record walk + HTTP unwrap ([[graft.sources.Warc]]), keep
-    *      status-200 fetches (the %17 404s drop here);
-    *   2. HTML → text ([[HtmlFunctions.htmlToText]] — script/style/comment
-    *      drop, entity decode, whitespace collapse);
-    *   3. URL canonicalize + registrable domain ([[UrlFunctions]], the
-    *      shared messy-URL vector) with the robots PATH taken from the
-    *      NORMALIZED url (the seam: gate what you'd fetch, not the raw
-    *      spelling);
-    *   4. robots gate ([[graft.sources.Robots]]) over CRLF-terminated
-    *      per-domain files (both TLD forms), star-group selection;
-    *   5. frontier politeness rounds + per-domain cap (one domain-keyed
-    *      window serves both);
-    *   6. dedup handoff: normalized-prefix fingerprint, min-id keeper,
-    *      duplicate count ([[Dedup.exact]]'s shape on the EXTRACTED text).
-    *
-    * The oracle re-derives all six stages in SQL from stored columns, so
-    * a slip at ANY seam — record framing, tag strip, entity order, port
-    * rules, apex labels, path extraction, group selection, window frame,
-    * fingerprint bytes — changes the hash. Scale shape: per-file WARC
-    * parallelism, codegen'd extraction, one domain-keyed shuffle for
-    * gate+rounds+cap, one fp-keyed shuffle for dedup; nothing corpus-sized
-    * on the driver.
-    */
-  val qCrawlManifest = Fixture(
-    "q_crawl_manifest",
-    (s, d) => {
-      val pageHtml = concat(
-        lit("<html><head><title>Page &amp; co</title>" +
-          "<style>p { color: red; }</style>" +
-          "<script>if (1 < 2 && x > 0) { y = \"</div>\"; }</script></head>" +
-          "<body><!-- hidden --><p>&quot;"), col("text"),
-        lit("&quot;</p></body></html>"))
-      val pages = Tables.documents(s, d).select(col("doc_id"), pageHtml.as("text"))
-      val fetched = graft.sources.Warc.ingestResponses(s,
-          graft.sources.Warc.syntheticWarcFiles(s, pages))
-        .where(col("http_status") === 200)
-        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
-          .cast("long").as("doc_id"), col("body"))
-      val extracted = fetched.select(col("doc_id"),
-        graft.functions.HtmlFunctions.htmlToText(col("body")).as("txt"))
-      val urled = extracted
-        .withColumn("url_norm",
-          graft.functions.UrlFunctions.urlNormalize(messyUrl))
-        .withColumn("domain", graft.functions.UrlFunctions.apexDomain(
-          graft.functions.UrlFunctions.urlHost(messyUrl)))
-        .withColumn("path",
-          regexp_extract(col("url_norm"), "^[a-z]+://[^/]*(/.*)$", 1))
-      val kd = col("id").cast("string")
-      val robots = s.range(0, 40)
-        .select(col("id"), explode(array(lit(".com"), lit(".co.uk"))).as("tld"))
-        .select(concat(lit("site"), kd, col("tld")).as("domain"),
-          concat(
-            lit("User-agent: googlebot\r\nDisallow: /\r\n\r\nUser-agent: *\r\n"),
-            when(col("id") % 3 === 0, lit("Disallow: /a\r\n"))
-              .otherwise(lit("Disallow: /zzz\r\n"))).as("robots_txt"))
-      val gated = graft.sources.Robots.gate(
-          urled.select("doc_id", "domain", "path"),
-          graft.sources.Robots.parseRules(s, robots))
-        .where(col("allowed")).select("doc_id")
-        .join(urled, Seq("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("domain").orderBy("doc_id")
-      val capped = gated
-        .withColumn("fetch_round", row_number().over(w).cast("long"))
-        .where(col("fetch_round") <= 8)
-      val keyed = capped.withColumn("fp", md5(substring(col("txt"), 1, 64)))
-      val keepers = keyed.groupBy("fp")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-      keyed.select(col("doc_id"), col("domain"), col("url_norm"),
-          col("fetch_round"), length(col("txt")).cast("long").as("n_chars"))
-        .join(keepers.select("doc_id", "n_dups"), Seq("doc_id"))
-    },
-    Some(s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
-      | x AS (SELECT doc_id,
-      |   'Page & co "' || regexp_replace(text, '\\s+', ' ', 'g') || '"' AS txt
-      |   FROM src),
-      | u AS (SELECT doc_id, txt, $messyUrlSql AS url FROM x),
-      | n AS (SELECT doc_id, txt, regexp_replace(url, '#.*', '') AS nf FROM u),
-      | p AS (SELECT doc_id, txt,
-      |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |   regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n),
-      | q AS (SELECT doc_id, txt, scheme,
-      |   regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
-      |   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq FROM p),
-      | r AS (SELECT doc_id, txt, scheme,
-      |   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-      |   regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |   regexp_extract(pathq, '^([^?]*)', 1) AS path0,
-      |   regexp_extract(pathq, '\\?(.*)$$', 1) AS query FROM q),
-      | s AS (SELECT doc_id, txt, scheme, host,
-      |   CASE WHEN port = '' THEN ''
-      |        WHEN scheme = 'http' AND port = '80' THEN ''
-      |        WHEN scheme = 'https' AND port = '443' THEN ''
-      |        ELSE ':' || port END AS portn,
-      |   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pathn,
-      |   list_sort(list_filter(string_split(query, '&'),
-      |     y -> y <> '' AND y NOT LIKE 'utm_%')) AS params FROM r),
-      | nu AS (SELECT doc_id, txt, host,
-      |   scheme || '://' || host || portn || pathn ||
-      |   CASE WHEN len(params) = 0 THEN ''
-      |        ELSE '?' || array_to_string(params, '&') END AS url_norm FROM s),
-      | l AS (SELECT doc_id, txt, url_norm, string_split(host, '.') AS lab FROM nu),
-      | dm AS (SELECT doc_id, txt, url_norm,
-      |   CASE WHEN len(lab) >= 3 AND array_to_string(lab[len(lab)-1:], '.')
-      |          IN ('co.uk', 'com.au', 'co.jp', 'com.br')
-      |        THEN array_to_string(lab[len(lab)-2:], '.')
-      |        ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain FROM l),
-      | pp AS (SELECT doc_id, txt, url_norm, domain,
-      |   regexp_extract(url_norm, '^[a-z]+://[^/]*(/.*)$$', 1) AS path FROM dm),
-      | g AS (SELECT * FROM pp
-      |   WHERE NOT ((doc_id % 40) % 3 = 0 AND path LIKE '/a%')),
-      | f AS (SELECT doc_id, txt, url_norm, domain, row_number() OVER
-      |   (PARTITION BY domain ORDER BY doc_id)::BIGINT AS fetch_round FROM g),
-      | c AS (SELECT * FROM f WHERE fetch_round <= 8),
-      | k AS (SELECT md5(substr(txt, 1, 64)) AS fp, min(doc_id) AS doc_id,
-      |   count(*) AS n_dups FROM c GROUP BY 1)
-      | SELECT c.doc_id, c.domain, c.url_norm, c.fetch_round,
-      |   length(c.txt)::BIGINT AS n_chars, k.n_dups
-      | FROM c JOIN k USING (doc_id)""".stripMargin))
-
-  /** Domain link-graph edges extracted the long way — page URL →
-    * [[UrlFunctions.apexDomain]] source, every ABSOLUTE `href` in the HTML
-    * ([[HtmlFunctions.htmlLinks]]) → destination domain — aggregated to a
-    * weighted edge list, the crawl-frontier / authority-graph feed. The
-    * oracle predicts the edges from doc_id arithmetic alone, so hash
-    * equality proves HTML link scrape → relative-link drop → host parse →
-    * apex mapping end-to-end. One corpus scan, one edge-sized shuffle.
-    */
-  val qLinkGraph = Fixture(
-    "q_link_graph",
-    (s, d) => {
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      Tables.documents(s, d)
-        .select(
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
-          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
-        .where(lower(col("link")).startsWith("http"))
-        .select(col("src"),
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
-    },
-    Some("""SELECT 'site' || (doc_id % 40) ||
-      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
-      |   'site' || (doc_id % 9) || '.com' AS dst, count(*)::BIGINT AS cnt
-      | FROM documents GROUP BY 1, 2""".stripMargin))
-
-  /** Fixed-iteration PageRank over the extracted domain graph
-    * ([[graft.operators.LinkGraph.pageRank]], 3 rounds, d = 0.85) — domain
-    * authority, the curation signal that weights quality scores and orders
-    * the crawl frontier. The oracle unrolls the same synchronous iteration
-    * in SQL (r0 → r1 → r2 → r3, dangling mass dropped per the operator's
-    * contract), so agreement pins the CONTRACT, not one engine's quirks.
-    * Each Spark round is one node-sized shuffle joined to the static
-    * out-degree relation; lineage is checkpoint-truncated per round — the
-    * plan a 100 TB crawl graph needs (rank state is node-sized, driver
-    * holds nothing).
-    */
-  val qDomainPagerank = Fixture(
-    "q_domain_pagerank",
-    (s, d) => {
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      val edges = Tables.documents(s, d)
-        .select(
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
-          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
-        .where(lower(col("link")).startsWith("http"))
-        .select(col("src"),
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
-      graft.operators.LinkGraph.pageRank(s, edges, iters = 3)
-        .select(col("node"), Quant.q4(col("rank")).as("rank"))
-    },
-    Some(s"""WITH raw AS (SELECT 'site' || (doc_id % 40) ||
-      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
-      |   'site' || (doc_id % 9) || '.com' AS dst FROM documents),
-      | e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
-      | o AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY 1),
-      | nd AS (SELECT DISTINCT node FROM
-      |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      | nn AS (SELECT count(*)::DOUBLE AS n FROM nd),
-      | r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
-      | c1 AS (SELECT e.dst AS node, sum(r0.rank * e.w / o.outdeg) AS m
-      |        FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
-      | r1 AS (SELECT nd.node,
-      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c1.m, 0) AS rank
-      |   FROM nd LEFT JOIN c1 USING (node)),
-      | c2 AS (SELECT e.dst AS node, sum(r1.rank * e.w / o.outdeg) AS m
-      |        FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
-      | r2 AS (SELECT nd.node,
-      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c2.m, 0) AS rank
-      |   FROM nd LEFT JOIN c2 USING (node)),
-      | c3 AS (SELECT e.dst AS node, sum(r2.rank * e.w / o.outdeg) AS m
-      |        FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
-      | r3 AS (SELECT nd.node,
-      |     (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.m, 0) AS rank
-      |   FROM nd LEFT JOIN c3 USING (node))
-      | SELECT node, ${q4("rank")} AS rank FROM r3""".stripMargin))
-
-  /** HITS hubs-and-authorities over the extracted domain graph
-    * ([[graft.operators.LinkGraph.hits]], 2 rounds, L1-normalized) — the
-    * complementary authority signal to [[qDomainPagerank]]: hub scores
-    * rank the directory/aggregator domains that seed frontier expansion,
-    * authority scores rank canonical sources. The oracle unrolls both
-    * half-rounds of both iterations in SQL (auth ← hubs then normalize,
-    * hub ← fresh auths then normalize), so agreement pins the
-    * mutual-reinforcement contract itself, not one engine's quirks. Per
-    * half-round cost: one shuffle of the node-sized score relation against
-    * the static weighted edge list; the L1 normalizer is a one-row
-    * broadcast folded back in-plan — nothing driver-side, nothing
-    * corpus-sized.
-    */
-  val qDomainHits = Fixture(
-    "q_domain_hits",
-    (s, d) => {
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      val edges = Tables.documents(s, d)
-        .select(
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(messyUrl)).as("src"),
-          explode(HtmlFunctions.htmlLinks(messyHtml)).as("link"))
-        .where(lower(col("link")).startsWith("http"))
-        .select(col("src"),
-          UrlFunctions.apexDomain(UrlFunctions.urlHost(col("link"))).as("dst"))
-      graft.operators.LinkGraph.hits(s, edges, iters = 2)
-        .select(col("node"), Quant.q4(col("hub")).as("hub"),
-          Quant.q4(col("auth")).as("auth"))
-    },
-    Some(s"""WITH raw AS (SELECT 'site' || (doc_id % 40) ||
-      |     (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS src,
-      |   'site' || (doc_id % 9) || '.com' AS dst FROM documents),
-      | e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
-      | nd AS (SELECT DISTINCT node FROM
-      |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      | h0 AS (SELECT node, 1.0 AS hub FROM nd),
-      | a1r AS (SELECT e.dst AS node, sum(h0.hub * e.w) AS s
-      |         FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
-      | a1u AS (SELECT nd.node, coalesce(a1r.s, 0) AS auth
-      |         FROM nd LEFT JOIN a1r USING (node)),
-      | a1 AS (SELECT node, auth / (SELECT sum(auth) FROM a1u) AS auth FROM a1u),
-      | h1r AS (SELECT e.src AS node, sum(a1.auth * e.w) AS s
-      |         FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
-      | h1u AS (SELECT nd.node, coalesce(h1r.s, 0) AS hub
-      |         FROM nd LEFT JOIN h1r USING (node)),
-      | h1 AS (SELECT node, hub / (SELECT sum(hub) FROM h1u) AS hub FROM h1u),
-      | a2r AS (SELECT e.dst AS node, sum(h1.hub * e.w) AS s
-      |         FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
-      | a2u AS (SELECT nd.node, coalesce(a2r.s, 0) AS auth
-      |         FROM nd LEFT JOIN a2r USING (node)),
-      | a2 AS (SELECT node, auth / (SELECT sum(auth) FROM a2u) AS auth FROM a2u),
-      | h2r AS (SELECT e.src AS node, sum(a2.auth * e.w) AS s
-      |         FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
-      | h2u AS (SELECT nd.node, coalesce(h2r.s, 0) AS hub
-      |         FROM nd LEFT JOIN h2r USING (node)),
-      | h2 AS (SELECT node, hub / (SELECT sum(hub) FROM h2u) AS hub FROM h2u)
-      | SELECT node, ${q4("hub")} AS hub, ${q4("auth")} AS auth
-      | FROM h2 JOIN a2 USING (node)""".stripMargin))
-
-  /** Snapshot time-travel diff ([[graft.sources.SnapshotLake.readVersion]]
-    * + [[graft.sources.SnapshotLake.diff]]): commit v0 = the corpus, v1 =
-    * an edited corpus (every 10th doc's n_chars bumped, every
-    * (id % 7 = 3) doc added under a new id, every (id % 13 = 5) doc
-    * dropped), then read BOTH pinned versions back and diff — the audit a
-    * training run does between "the corpus my model saw" and today's.
-    * Unchanged rows drop before moving; output is change-sized. The
-    * oracle reconstructs the same edit arithmetic from the base table.
-    */
-  val qSnapshotDiff = Fixture(
-    "q_snapshot_diff",
-    (s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_sdiff_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      graft.sources.SnapshotLake.commit(docs, root, 0L)
-      val v1 = docs.where(col("doc_id") % 13 =!= 5)
-        .withColumn("n_chars",
-          when(col("doc_id") % 10 === 0, col("n_chars") + 1000L)
-            .otherwise(col("n_chars")))
-        .unionByName(docs.where(col("doc_id") % 7 === 3)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")))
-      graft.sources.SnapshotLake.commit(v1, root, 1L)
-      graft.sources.SnapshotLake.diff(
-        graft.sources.SnapshotLake.readVersion(s, root, 0L),
-        graft.sources.SnapshotLake.readVersion(s, root, 1L),
-        "doc_id", "n_chars")
-    },
-    Some("""WITH base AS (SELECT doc_id, n_chars FROM documents),
-      | v1 AS (SELECT doc_id,
-      |     CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
-      |   FROM base WHERE doc_id % 13 <> 5
-      |   UNION ALL
-      |   SELECT doc_id + 1000000, n_chars FROM base WHERE doc_id % 7 = 3),
-      | j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-      |         o.n_chars AS old_v, n.n_chars AS new_v
-      |       FROM base o FULL OUTER JOIN v1 n ON o.doc_id = n.doc_id)
-      | SELECT doc_id,
-      |   CASE WHEN old_v IS NULL THEN 'added'
-      |        WHEN new_v IS NULL THEN 'removed'
-      |        WHEN old_v <> new_v THEN 'changed' END AS change,
-      |   old_v, new_v
-      | FROM j
-      | WHERE old_v IS NULL OR new_v IS NULL OR old_v <> new_v""".stripMargin))
-
-  /** Streaming CDC apply into the versioned snapshot lake
-    * (streaming/StreamingUpsert + sources/SnapshotLake): two change batches
-    * replayed through `foreachBatch`, each folded in with latest-wins merge
-    * and committed pointer-last; the fixture reads the FINAL snapshot — so
-    * the oracle checks the whole chain (merge semantics × version
-    * arithmetic × pointer swap), and StreamingUpsertSpec separately pins
-    * replayed-batch idempotence.
-    */
-  val qStreamCdcUpsert = Fixture(
-    "q_stream_cdc_upsert",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_cdclake_${System.nanoTime}").getAbsolutePath
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("long"), col("source"), col("n_chars"))
-      graft.sources.SnapshotLake.commit(
-        docs.withColumn("ver", lit(0L)), root, 0L)
-      def rows(df: DataFrame) =
-        df.as[(Long, String, Long, Long)].collect().toSeq
-      val b1 = rows(docs.where(col("doc_id") % 10 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L).withColumn("ver", lit(1L)))
-      val b2 = rows(docs.where(col("doc_id") % 20 === 0)
-        .withColumn("n_chars", col("n_chars") + 2000L).withColumn("ver", lit(2L))
-        .unionByName(docs.where(col("doc_id") % 7 === 3)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("ver", lit(1L))))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Long, Long)]
-      val q = graft.streaming.StreamingUpsert.start(
-        ms.toDF().toDF("doc_id", "source", "n_chars", "ver"),
-        root, "doc_id", "ver", s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          sum("doc_id").as("id_sum"), max("ver").as("max_ver"))
-    },
-    Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
-      | fin AS (
-      |   SELECT doc_id, source,
-      |     CASE WHEN doc_id % 20 = 0 THEN n_chars + 2000
-      |          WHEN doc_id % 10 = 0 THEN n_chars + 1000
-      |          ELSE n_chars END AS n_chars,
-      |     CASE WHEN doc_id % 20 = 0 THEN 2
-      |          WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS ver
-      |   FROM base
-      |   UNION ALL
-      |   SELECT doc_id + 1000000, source, n_chars, 1 FROM base WHERE doc_id % 7 = 3)
-      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |   sum(doc_id)::BIGINT AS id_sum, max(ver)::BIGINT AS max_ver
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  /** Same contract as q_zorder_layout, equal-frequency ranks
-    * (ZOrder.writeZOrderedQuantile): the skew-robust clustering path must
-    * also be invisible in query values. ZOrderSpec pins WHY this variant
-    * exists (outlier-stretched ranges collapse equal-width binning).
-    */
-  val qZorderQuantile = Fixture(
-    "q_zorder_quantile",
-    (s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_zorderq_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      graft.sources.ZOrder.writeZOrderedQuantile(
-        Tables.documents(s, d), Seq("n_chars", "doc_id"), out, 12)
-      s.read.parquet(out)
-        .where(col("n_chars").between(100, 300) && col("doc_id").between(100, 350))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents
-      | WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
-      | GROUP BY 1""".stripMargin))
-
-  /** Text cleaning (TextFunctions.cleanText) under the oracle: the corpus
-    * is born clean, so the fixture CONSTRUCTS deterministic dirt — leading
-    * spaces, tabs, a NUL, trailing run — identically in both engines, then
-    * cleans it and fingerprints. A clean(dirty(text)) == normalized(text)
-    * invariant is exactly what ingest relies on: whitespace/control noise
-    * must not split exact-dedup fingerprints.
-    */
-  val qCleanText = Fixture(
-    "q_clean_text",
-    (s, d) => {
-      val dirty = concat(lit("  "), col("text"), lit("\t\t"),
-        lit("\u0000"), lit("end  "))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        length(TextFunctions.cleanText(dirty)).cast("long").as("n_clean"),
-        md5(TextFunctions.cleanText(dirty)).as("fp_clean"))
-    },
-    Some("""SELECT doc_id,
-      |   strlen(trim(regexp_replace(regexp_replace(
-      |     '  ' || text || chr(9) || chr(9) || chr(0) || 'end  ',
-      |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS n_clean,
-      |   md5(trim(regexp_replace(regexp_replace(
-      |     '  ' || text || chr(9) || chr(9) || chr(0) || 'end  ',
-      |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))) AS fp_clean
-      | FROM documents""".stripMargin))
-
-  /** Temperature-weighted mixture planning — the α-sampling recipe step
-    * (multilingual-LM style, α = 0.5): per-source sampling weights
-    * wₛ = pₛ^α / Σ pₛ^α from token mass, and the implied epochs over each
-    * source at a fixed token budget. Three TINY aggregations chained by
-    * broadcast (source cardinality ≤ hundreds at any corpus size — the
-    * q_source_overlap dimension-bound argument); the corpus is touched
-    * ONCE for token counts. sqrt (α = ½) is IEEE-exact in both engines;
-    * divisions quantize at the output.
-    */
-  val qMixTemperature = Fixture(
-    "q_mix_temperature",
-    (s, d) => {
-      val counts = Tables.documents(s, d).groupBy("source")
-        .agg(sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_tok"))
-      graft.operators.Caching.withCached(counts) {
-        val tot = counts.agg(sum("n_tok").as("tot"))
-        // integer-scaled weights (the lm_doc_score trick): the weight SUM
-        // must be merge-order-exact or w's q4 can flip cross-engine
-        val raw = counts.crossJoin(broadcast(tot))
-          .withColumn("w6",
-            floor(sqrt(col("n_tok").cast("double") / col("tot")) * lit(1e6)
-              + lit(0.5)).cast("long"))
-        val wsum = raw.agg(sum("w6").as("wsum6"))
-        raw.crossJoin(broadcast(wsum))
-          .select(col("source"), col("n_tok"),
-            Quant.q4(col("n_tok").cast("double") / col("tot")).as("p"),
-            Quant.q4(col("w6").cast("double") / col("wsum6")).as("w"),
-            Quant.q4(col("w6").cast("double") / col("wsum6") * lit(1000000.0) /
-              col("n_tok")).as("epochs_at_1m"))
-      }
-    },
-    Some(s"""WITH c AS (SELECT source, sum(len($wordsSql))::BIGINT AS n_tok
-      |        FROM documents GROUP BY 1),
-      | t AS (SELECT sum(n_tok)::BIGINT AS tot FROM c),
-      | r AS (SELECT source, n_tok,
-      |         floor(sqrt(n_tok / tot) * 1000000 + 0.5)::BIGINT AS w6 FROM c, t),
-      | ws AS (SELECT sum(w6)::BIGINT AS wsum6 FROM r)
-      | SELECT source, n_tok, ${q4("n_tok / (SELECT tot FROM t)")} AS p,
-      |   ${q4("w6 / wsum6")} AS w,
-      |   ${q4("w6 / wsum6 * 1000000.0 / n_tok")} AS epochs_at_1m
-      | FROM r, ws""".stripMargin))
-
-  /** EXECUTING the temperature-mixture plan ([[qMixTemperature]] computes
-    * the weights; this draws the sample): per-source keep rate
-    * rₛ = min(1, wₛ·B / tokₛ) at token budget B = 10 000, membership by the
-    * deterministic id-hash threshold (`h64(doc_id) % 10⁶ < floor(rₛ·10⁶)`)
-    * — the q_sample_hash rule with a COMPUTED per-source rate, so the drawn
-    * corpus is reproducible bit-for-bit across runs, engines, and corpus
-    * growth (a doc's membership never depends on other docs of its
-    * source). Plan: two tiny aggregations broadcast-chained, then the rate
-    * relation broadcast onto one corpus scan — the membership test is a
-    * scan-side predicate, nothing shuffles. Threshold arithmetic keeps the
-    * q_mix_temperature integer-scaled weights end-to-end: the only float
-    * ops are identically-formed double chains, and the final compare is
-    * integer vs integer.
-    */
-  val qMixExecute = Fixture(
-    "q_mix_execute",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      val counts = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
-      graft.operators.Caching.withCached(counts) {
-        val tot = counts.agg(sum("tok_s").as("tot"))
-        val raw = counts.crossJoin(broadcast(tot))
-          .withColumn("w6",
-            floor(sqrt(col("tok_s").cast("double") / col("tot")) * lit(1e6)
-              + lit(0.5)).cast("long"))
-        val wsum = raw.agg(sum("w6").as("wsum6"))
-        val thr = raw.crossJoin(broadcast(wsum))
-          .select(col("source"),
-            least(
-              floor(col("w6").cast("double") / col("wsum6") * lit(10000)
-                / col("tok_s") * lit(1e6) + lit(0.5)).cast("long"),
-              lit(1000000L)).as("thr"))
-        docs.join(broadcast(thr), "source")
-          .where(pmod(TextFunctions.hash64(col("doc_id").cast("string")),
-            lit(1000000L)) < col("thr"))
-          .select("source", "doc_id", "n_tok")
-      }
-    },
-    Some(s"""WITH t AS (SELECT source, doc_id, len($wordsSql)::BIGINT AS n_tok
-      |        FROM documents),
-      | c AS (SELECT source, sum(n_tok)::BIGINT AS tok_s FROM t GROUP BY 1),
-      | tt AS (SELECT sum(tok_s)::BIGINT AS tot FROM c),
-      | w AS (SELECT source, tok_s,
-      |         floor(sqrt(tok_s / tot) * 1000000 + 0.5)::BIGINT AS w6 FROM c, tt),
-      | ws AS (SELECT sum(w6)::BIGINT AS wsum6 FROM w),
-      | r AS (SELECT source,
-      |         least(floor(w6 / wsum6 * 10000 / tok_s * 1000000 + 0.5),
-      |           1000000)::BIGINT AS thr FROM w, ws)
-      | SELECT t.source, doc_id, n_tok
-      | FROM t JOIN r ON t.source = r.source
-      | WHERE ${h64("doc_id::VARCHAR")} % 1000000 < thr""".stripMargin))
-
-  // ---- BPE vocabulary induction ------------------------------------------
-
-  /** Shared CTE chain for the BPE oracles: wf (word freqs), s0 (initial
-    * double-space symbol sequences), then per round k: pair counts pk,
-    * argmax mk, rewritten sequences sk. Mirrors functions.Bpe exactly —
-    * integer counts + binary-string tie-break keep every round
-    * cross-engine deterministic; see Bpe.scala for why the DOUBLE-space
-    * encoding makes plain `replace` reproduce leftmost non-overlapping
-    * BPE pairing in both engines.
-    */
-  private def bpeOracleCtes(n: Int): String = {
-    val base =
-      s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
-        |     SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-        |     FROM documents)
-        |   WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
-        | s0 AS (SELECT ' ' || array_to_string(list_append(
-        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
-        |          '</w>'), '  ') || ' ' AS seq, freq FROM wf)""".stripMargin
-    val rounds = (1 to n).map { k =>
-      s""" p$k AS (SELECT u.lhs AS lhs, u.rhs AS rhs, freq FROM (
-        |   SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |            i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u, freq
-        |   FROM (SELECT string_split(trim(seq), '  ') AS t, freq FROM s${k - 1})
-        |   WHERE len(t) >= 2)),
-        | m$k AS (SELECT $k AS merge_rank, lhs, rhs, sum(freq)::BIGINT AS cnt
-        |   FROM p$k GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-        | s$k AS (SELECT replace(seq,
-        |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM m$k), chr(1)),
-        |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM m$k), chr(1))) AS seq,
-        |   freq FROM s${k - 1})""".stripMargin
-    }
-    (base +: rounds).mkString(",\n")
-  }
-
-  /** BPE merge-table induction (functions/Bpe.scala): N rounds of
-    * vocab-scale pair aggregation, driver-held N-row model. The oracle
-    * unrolls the identical rounds as CTEs; the `coalesce(chr(1))` guard
-    * makes an exhausted round a no-op rewrite so early stopping matches.
-    */
-  val qBpeMerges = Fixture(
-    "q_bpe_merges",
-    (s, d) => graft.functions.Bpe.train(Tables.documents(s, d), "text", 6),
-    Some(s"""${bpeOracleCtes(6)}
-      | SELECT * FROM (
-      |   SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
-      |   SELECT * FROM m3 UNION ALL SELECT * FROM m4 UNION ALL
-      |   SELECT * FROM m5 UNION ALL SELECT * FROM m6)
-      | ORDER BY merge_rank""".stripMargin))
-
-  /** Train → apply: per-document token count under the learned 6-merge
-    * model. The merge chain folds into one projection over a single corpus
-    * scan — the model rides as plan literals (Ann's centroid posture). The
-    * oracle re-derives the same model in CTEs and applies it with the same
-    * guarded replace chain.
-    */
-  val qBpeSegment = Fixture(
-    "q_bpe_segment",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val model = graft.functions.Bpe.trainMerges(docs, "text", 6)
-      graft.functions.Bpe.segmentTokenCount(docs, "text", "doc_id", model)
-    },
-    Some {
-      val applyChain = (1 to 6).map { k =>
-        s""" a$k AS (SELECT doc_id, replace(seq,
-          |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM m$k), chr(1)),
-          |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM m$k), chr(1))) AS seq
-          |   FROM a${k - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""${bpeOracleCtes(6)},
-        | d0 AS (SELECT doc_id, word FROM (
-        |     SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-        |     FROM documents)
-        |   WHERE regexp_matches(word, '^[a-z]+$$')),
-        | a0 AS (SELECT doc_id, ' ' || array_to_string(list_append(
-        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
-        |          '</w>'), '  ') || ' ' AS seq FROM d0),
-        |$applyChain
-        | SELECT doc_id, sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_tok_bpe
-        | FROM a6 GROUP BY doc_id""".stripMargin
-    })
-
-  /** Shared pair-extraction CTE body for the batched-BPE oracle. */
-  private def bpePairsSql(from: String): String =
-    s"""(SELECT u.lhs AS lhs, u.rhs AS rhs, freq FROM (
-      |   SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-      |            i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u, freq
-      |   FROM (SELECT string_split(trim(seq), '  ') AS t, freq FROM $from)
-      |   WHERE len(t) >= 2))""".stripMargin
-
-  /** Batched-BPE oracle: per round, pair counts → per-symbol best
-    * (window) → locally-dominant winners (best for EVERY touched symbol)
-    * ranked and capped → a cap-deep guarded replace chain. Mirrors
-    * [[graft.functions.Bpe.trainMergesBatched]] CTE-for-stage.
-    */
-  private def bpeBatchedCtes(rounds: Int, cap: Int): String = {
-    val base =
-      s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
-        |     SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-        |     FROM documents)
-        |   WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
-        | s0 AS (SELECT ' ' || array_to_string(list_append(
-        |          list_transform(generate_series(1, strlen(word)), i -> word[i]),
-        |          '</w>'), '  ') || ' ' AS seq, freq FROM wf)""".stripMargin
-    val blocks = (1 to rounds).map { r =>
-      val apply = (1 to cap).foldLeft("seq") { (acc, k) =>
-        s"""replace($acc,
-          |     coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM w$r WHERE rank = $k), chr(1)),
-          |     coalesce((SELECT ' ' || lhs || rhs || ' ' FROM w$r WHERE rank = $k), chr(1)))""".stripMargin
-      }
-      s""" p$r AS ${bpePairsSql(s"s${r - 1}")},
-        | c$r AS (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p$r GROUP BY 1, 2),
-        | e$r AS (SELECT lhs, rhs, cnt, unnest(list_distinct([lhs, rhs])) AS sym FROM c$r),
-        | b$r AS (SELECT lhs, rhs, cnt FROM (
-        |     SELECT e$r.*, row_number() OVER (PARTITION BY sym
-        |       ORDER BY cnt DESC, lhs, rhs) AS rn FROM e$r) WHERE rn = 1),
-        | w$r AS (SELECT row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank,
-        |     lhs, rhs, cnt FROM (
-        |     SELECT lhs, rhs, cnt, count(*) AS wins FROM b$r GROUP BY 1, 2, 3)
-        |   WHERE wins = CASE WHEN lhs = rhs THEN 1 ELSE 2 END
-        |   QUALIFY rank <= $cap),
-        | s$r AS (SELECT $apply AS seq, freq FROM s${r - 1})""".stripMargin
-    }
-    (base +: blocks).mkString(",\n")
-  }
-
-  /** Batched BPE induction (Bpe.trainMergesBatched): each round takes ALL
-    * locally-dominant pairs (capped) instead of one global argmax — the
-    * winners are mutually disjoint so their merges commute and their
-    * counts are exact at application time; a 32k-merge vocabulary costs
-    * ~|symbols|-paced rounds instead of 32k sequential driver jobs. The
-    * oracle unrolls the identical selection (explode→window→wins test)
-    * and the cap-deep guarded replace chain per round.
-    */
-  val qBpeMergesBatched = Fixture(
-    "q_bpe_merges_batched",
-    (s, d) => graft.functions.Bpe.trainBatched(Tables.documents(s, d),
-      "text", 3, 4),
-    Some(s"""${bpeBatchedCtes(3, 4)}
-      | SELECT row_number() OVER (ORDER BY round, rank)::INT AS merge_rank,
-      |   lhs, rhs, cnt
-      | FROM (SELECT 1 AS round, * FROM w1 UNION ALL
-      |       SELECT 2, * FROM w2 UNION ALL SELECT 3, * FROM w3)""".stripMargin))
-
-  /** Fixed reference vocabulary for the synthetic large-model stressor —
-    * the posture of a production tokenizer: the model ships with the
-    * vocabulary it was induced from and is APPLIED to whatever corpus
-    * arrives (unknown symbols simply stay unmerged, in both engines).
-    */
-  private val bpeRefVocab = Seq(
-    "join", "hash", "row", "batch", "scan", "column", "customer", "filter",
-    "small", "slow", "merge", "order", "vector", "line", "data", "table",
-    "agg", "value", "key", "stream", "window", "a", "spark", "part",
-    "group", "big", "sort", "query", "fast", "the", "dup")
-
-  /** ≥1024-merge APPLY-path stressor (Bpe.segmentUnitsExecutor): a
-    * 1536-merge synthetic model ([[graft.functions.Bpe.prefixMerges]] over
-    * [[bpeRefVocab]] word-pair units) applied to the corpus's adjacent-
-    * word-pair units. At this depth the folded-expression path is
-    * structurally unsound (Janino's 64KB ceiling), so segmentation runs
-    * executor-side over DISTINCT units with the model broadcast once —
-    * the plan is one corpus scan + a vocab-sized mapPartitions + one
-    * join-back shuffle, and it is invariant in model depth. The oracle
-    * replays the same 1536 literal replaces as a generated CTE chain
-    * (MATERIALIZED barriers every 300 steps keep DuckDB's inliner under
-    * its expression-depth limit); java/Spark/DuckDB `replace` share
-    * leftmost non-overlapping literal semantics, so the chain agrees
-    * byte-for-byte.
-    */
-  val qBpeSegmentLarge = Fixture(
-    "q_bpe_segment_large",
-    (s, d) => {
-      val model = graft.functions.Bpe.prefixMerges(bpeRefVocab, 1536)
-      require(model.size >= 1024, s"stressor needs >=1024 merges, got ${model.size}")
-      val ws = filter(split(trim(lower(col("text"))), "\\s+"),
-        w => w.rlike("^[a-z]+$"))
-      val du = Tables.documents(s, d)
-        .select(col("doc_id"), ws.as("ws"))
-        .where(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ws")) - 1),
-          i => concat(element_at(col("ws"), i),
-            element_at(col("ws"), i + 1)))).as("unit"))
-      val perDoc = du.groupBy("doc_id", "unit").agg(count(lit(1)).as("n_occ"))
-      val seg = graft.functions.Bpe.segmentUnitsExecutor(
-        du.select("unit"), "unit", model)
-      perDoc.join(seg, "unit")
-        .groupBy("doc_id").agg(sum(col("n_occ") * col("n_tok")).as("n_tok_bpe"))
-    },
-    Some {
-      val model = graft.functions.Bpe.prefixMerges(bpeRefVocab, 1536)
-      val steps = model.map { m =>
-        val mat = if (m.merge_rank % 300 == 0) " MATERIALIZED" else ""
-        s""" a${m.merge_rank} AS$mat (SELECT unit, replace(seq,
-          |   ' ${m.lhs}  ${m.rhs} ', ' ${m.lhs}${m.rhs} ') AS seq
-          |   FROM a${m.merge_rank - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH w AS (SELECT doc_id,
-        |     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-        |       x -> regexp_matches(x, '^[a-z]+$$')) AS ws
-        |   FROM documents),
-        | du AS (SELECT doc_id, unnest(list_transform(
-        |     generate_series(1, len(ws) - 1), i -> ws[i] || ws[i+1])) AS unit
-        |   FROM w WHERE len(ws) >= 2),
-        | v AS (SELECT DISTINCT unit FROM du),
-        | a0 AS (SELECT unit, ' ' || array_to_string(list_append(
-        |     list_transform(generate_series(1, strlen(unit)), i -> unit[i]),
-        |     '</w>'), '  ') || ' ' AS seq FROM v),
-        |$steps,
-        | vn AS (SELECT unit, len(string_split(trim(seq), '  '))::BIGINT AS n_tok
-        |   FROM a${model.size})
-        | SELECT du.doc_id, sum(n_tok)::BIGINT AS n_tok_bpe
-        | FROM du JOIN vn USING (unit) GROUP BY 1""".stripMargin
-    })
-
-  // ---- incremental view maintenance (operators/Ivm.scala) ----------------
-
-  /** Shared CDC recipe over documents, keyed by lang on n_chars: deletes
-    * doc_id % 13 = 5 plus EVERY n_chars < 100 row (which removes each
-    * lang's minimum — forcing the min/max recompute arm at the gate, not
-    * just in the spec), updates doc_id % 10 = 0 (+1000), inserts
-    * doc_id % 7 = 3 as new rows (+7). One op per base row (delete wins
-    * over update; inserts are new identities), so any partition of the
-    * base induces a valid partition of the delta — what the streaming
-    * twin's chunked replay relies on.
-    */
-  private def ivmDel = col("doc_id") % 13 === 5 || col("n_chars") < 100
-  private def ivmUpd = col("doc_id") % 10 === 0
-  private def ivmIns = col("doc_id") % 7 === 3
-
-  private def ivmDelta(docs: DataFrame): DataFrame =
-    docs.where(ivmDel).select(col("lang"), lit("D").as("op"),
-        col("n_chars").as("old_v"), lit(null).cast("long").as("new_v"))
-      .unionByName(docs.where(!ivmDel && ivmUpd).select(col("lang"),
-        lit("U").as("op"), col("n_chars").as("old_v"),
-        (col("n_chars") + 1000L).as("new_v")))
-      .unionByName(docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
-        lit(null).cast("long").as("old_v"), (col("n_chars") + 7L).as("new_v")))
-
-  /** DuckDB CTE: the post-CDC final state the maintained view must equal. */
-  private val ivmFinSql =
-    """WITH fin AS (
-      |   SELECT lang, CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
-      |     ELSE n_chars END AS v
-      |   FROM documents WHERE NOT (doc_id % 13 = 5 OR n_chars < 100)
-      |   UNION ALL
-      |   SELECT lang, n_chars + 7 FROM documents WHERE doc_id % 7 = 3)""".stripMargin
-
-  /** Algebraic IVM (Ivm.applyDelta): the lang rollup maintained purely
-    * from the CDC delta — the plan contains NO scan of the base table
-    * (applyDelta structurally takes none; IvmSpec pins the leaf count).
-    * The oracle recomputes the final state from scratch, so the check is
-    * exactly "maintained == recomputed". avg derives from sum/cnt, the
-    * algebraic-aggregate story at 100 TB: a day's rollup refresh costs
-    * O(|delta| + |view|), never a corpus scan.
-    */
-  val qIvmRollup = Fixture(
-    "q_ivm_rollup",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.Ivm.applyDelta(
-        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"),
-        ivmDelta(docs), Seq("lang"))
-        .select(col("lang"), col("cnt"), col("sum_v"),
-          Quant.q4(col("sum_v").cast("double") / col("cnt")).as("avg_v"))
-    },
-    Some(s"""$ivmFinSql
-      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v,
-      |   ${q4("sum(v)::DOUBLE / count(*)")} AS avg_v
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  /** Min/max IVM (Ivm.applyDeltaFull): deletion can break a bound, so
-    * broken groups — here every lang, because the recipe deletes each
-    * group's minimum row — recompute from the post-CDC base via a
-    * broadcast semi-join on the broken keys, while unbroken bounds
-    * maintain as least/greatest against inserted values only. cnt/sum
-    * stay delta-maintained in the same pass.
-    */
-  val qIvmMinmax = Fixture(
-    "q_ivm_minmax",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val newBase = docs.where(!ivmDel)
-        .select(col("lang"), when(ivmUpd, col("n_chars") + 1000L)
-          .otherwise(col("n_chars")).as("v"))
-        .unionByName(docs.where(ivmIns)
-          .select(col("lang"), (col("n_chars") + 7L).as("v")))
-      graft.operators.Ivm.applyDeltaFull(
-        graft.operators.Ivm.viewFull(docs, Seq("lang"), "n_chars"),
-        ivmDelta(docs), newBase, Seq("lang"), "v")
-    },
-    Some(s"""$ivmFinSql
-      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v,
-      |   min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  /** Streaming IVM (streaming/StreamingIvm): the same delta split into two
-    * micro-batches folds into the SnapshotLake-held view via foreachBatch —
-    * version arithmetic makes the non-idempotent fold replay-safe (a
-    * replayed batchId hits isCommitted and skips; StreamingIvmSpec pins
-    * that directly). Final lake state == the batch oracle: the fold is
-    * associative across any chunking of the delta.
-    */
-  val qStreamIvmRollup = Fixture(
-    "q_stream_ivm_rollup",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivmlake_${System.nanoTime}").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      graft.sources.SnapshotLake.commit(
-        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
-      def rows(df: DataFrame) =
-        df.as[(String, String, Option[Long], Option[Long])].collect().toSeq
-      val b1 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 0)))
-      val b2 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, Option[Long], Option[Long])]
-      val q = graft.streaming.StreamingIvm.start(
-        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
-        root, Seq("lang"), s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .select(col("lang"), col("cnt"), col("sum_v"))
-    },
-    Some(s"""$ivmFinSql
-      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  // ---- multi-granularity reporting: cube / grouping sets / (un)pivot -----
-
-  /** Full CUBE over (lang, source): all four granularities — detail, each
-    * one-dimension margin, grand total — in ONE `Expand` pass over a
-    * single scan (q_corpus_rollup's argument, one level further: the naive
-    * spelling is four scans + unions). Rolled-up NULL keys coalesce to a
-    * sentinel on both sides, `glevel` is the shared grouping_id bitmask.
-    */
-  val qCubeReport = Fixture(
-    "q_cube_report",
-    (s, d) => Tables.documents(s, d)
-      .cube("lang", "source")
-      .agg(grouping_id().cast("long").as("glevel"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"))
-      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
-        coalesce(col("source"), lit("(all)")).as("source"),
-        col("glevel"), col("n_docs"), col("total_chars")),
-    Some("""SELECT coalesce(lang, '(all)') AS lang,
-      |   coalesce(source, '(all)') AS source,
-      |   GROUPING(lang, source)::BIGINT AS glevel,
-      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents GROUP BY CUBE(lang, source)""".stripMargin))
-
-  /** Disjoint GROUPING SETS ((lang), (source)): two independent margin
-    * reports from one scan — the non-hierarchical shape rollup/cube can't
-    * spell (no detail level, no grand total). This is the "dashboard
-    * refresh" plan: every per-dimension breakdown a report needs, one
-    * Expand, one shuffle.
-    */
-  val qGroupingSets = Fixture(
-    "q_grouping_sets",
-    (s, d) => Tables.documents(s, d)
-      .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
-        col("lang"), col("source"))
-      .agg(grouping_id().cast("long").as("glevel"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"))
-      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
-        coalesce(col("source"), lit("(all)")).as("source"),
-        col("glevel"), col("n_docs"), col("total_chars")),
-    Some("""SELECT coalesce(lang, '(all)') AS lang,
-      |   coalesce(source, '(all)') AS source,
-      |   GROUPING(lang, source)::BIGINT AS glevel,
-      |   count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents GROUP BY GROUPING SETS ((lang), (source))""".stripMargin))
-
-  /** PIVOT to a source × lang matrix with EXPLICIT pivot values — the
-    * scale-critical form: values-free `.pivot(col)` runs a driver-side
-    * distinct scan over the corpus to discover columns, this one compiles
-    * straight to conditional aggregation (one pass, map-side partials).
-    * sum over an absent (source, lang) cell is NULL in both engines,
-    * which is why the fixture pivots a sum and not a count.
-    */
-  val qPivotLangMatrix = Fixture(
-    "q_pivot_lang_matrix",
-    (s, d) => Tables.documents(s, d)
-      .groupBy("source")
-      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
-      .agg(sum(col("n_chars"))),
-    Some("""SELECT source,
-      |   sum(CASE WHEN lang = 'de' THEN n_chars END)::BIGINT AS de,
-      |   sum(CASE WHEN lang = 'en' THEN n_chars END)::BIGINT AS en,
-      |   sum(CASE WHEN lang = 'es' THEN n_chars END)::BIGINT AS es,
-      |   sum(CASE WHEN lang = 'fr' THEN n_chars END)::BIGINT AS fr,
-      |   sum(CASE WHEN lang = 'zh' THEN n_chars END)::BIGINT AS zh
-      | FROM documents GROUP BY source""".stripMargin))
-
-  /** UNPIVOT (melt) of a wide per-source stats row to (source, metric,
-    * value) long form — the inverse reshape, constant-width row expansion
-    * with no shuffle beyond the feeding aggregation. Wide→long is how a
-    * metrics table feeds a generic drift monitor (q_stream_drift's input
-    * shape) without one query per metric.
-    */
-  val qUnpivotMetrics = Fixture(
-    "q_unpivot_metrics",
-    (s, d) => Tables.documents(s, d)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-        max("n_chars").as("max_chars"))
-      .unpivot(Array(col("source")),
-        Array(col("n_docs"), col("sum_chars"), col("max_chars")),
-        "metric", "value"),
-    Some("""WITH w AS (SELECT source, count(*) AS n_docs,
-      |     sum(n_chars)::BIGINT AS sum_chars, max(n_chars) AS max_chars
-      |   FROM documents GROUP BY 1)
-      | SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
-      | UNION ALL SELECT source, 'sum_chars', sum_chars FROM w
-      | UNION ALL SELECT source, 'max_chars', max_chars FROM w""".stripMargin))
-
-  /** Edit-distance similarity join (dedup/FuzzyJoin.scala): probe keys are
-    * each document key with ONE character deleted at a recipe position, so
-    * every probe must find at least its own source row at Levenshtein ≤ 1.
-    * The Spark side runs the deletion-neighborhood banding (index +
-    * equi-join + pair-local verify); the DuckDB oracle runs the BRUTE
-    * FORCE cross join with levenshtein ≤ 1 — so a hash match certifies
-    * the candidate generator is complete, not merely self-consistent.
-    * Keys are the [a-z]-stripped first 12 chars of text (ASCII-stable
-    * across engines; zh rows fall out at the shared length gate).
-    */
-  val qFuzzyJoin = Fixture(
-    "q_fuzzy_join_ed1",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val keys = docs.select(col("doc_id"),
-        regexp_replace(lower(substring(col("text"), 1, 12)), "[^a-z]", "")
-          .as("key"))
-        .where(length(col("key")) >= 4)
-      val p = col("doc_id") % 4 + 1
-      val probes = keys.select((col("doc_id") + 5000000L).as("pid"),
-        concat(col("key").substr(lit(1), p - 1),
-          col("key").substr(p + 1, length(col("key")))).as("pkey"))
-      graft.dedup.FuzzyJoin
-        .joinWithin1(probes, "pid", "pkey", keys, "doc_id", "key")
-        .groupBy(col("l_id").as("pid"))
-        .agg(count(lit(1)).as("n_matches"), min(col("r_id")).as("first_match"))
-    },
-    Some("""WITH k AS (SELECT doc_id,
-      |     regexp_replace(lower(substr(text, 1, 12)), '[^a-z]', '', 'g') AS key
-      |   FROM documents),
-      | kk AS (SELECT * FROM k WHERE strlen(key) >= 4),
-      | pr AS (SELECT doc_id + 5000000 AS pid,
-      |     substr(key, 1, (doc_id % 4 + 1) - 1)
-      |       || substr(key, (doc_id % 4 + 1) + 1, 99) AS pkey
-      |   FROM kk),
-      | m AS (SELECT pid, doc_id FROM pr, kk WHERE levenshtein(pkey, key) <= 1)
-      | SELECT pid, count(*) AS n_matches, min(doc_id) AS first_match
-      | FROM m GROUP BY 1""".stripMargin))
-
-  /** Hybrid retrieval via reciprocal-rank fusion (similarity/Fusion.scala):
-    * the BM25 top-20 (the exact [[qBm25]] lexical ranking, rank attached)
-    * fused with a cosine top-20 of the embedding corpus against a literal
-    * query vector — the sparse+dense first stage of a RAG pipeline. RRF
-    * score = Σ 1/(60 + rank), rank-only, so the two rankers' incompatible
-    * score scales never need calibration (Cormack et al., SIGIR'09).
-    * Corpus-sized work stays inside the rankers (one scan each, TakeOrdered
-    * top-k); the fuse itself touches ≤40 rows. The oracle recomputes both
-    * rankings and the fusion from scratch in DuckDB; doc_id aligns with
-    * vec_id by generation, which is what makes fusing their ids meaningful.
-    * Determinism: both ranks order by q4-quantized scores with id
-    * tie-breaks; the fused sum has ≤2 addends (commutative-exact), q4 at
-    * the boundary; final order by (raw fused desc, best_rank, id).
-    */
-  val qHybridRrf = Fixture(
-    "q_hybrid_rrf",
-    (s, d) => {
-      val lex = qBm25.build(s, d)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id").as("id"), col("rank"))
-      val qv = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
-      val den = graft.similarity.Fusion.cosineRank(
-          Tables.embeddings(s, d), "vec_id", "embedding", qv, 20,
-          Quant.q4(_))
-        .select(col("id"), col("rank"))
-      graft.similarity.Fusion.rrf(Seq(lex, den), "id", "rank")
-        .select(col("id"), Quant.q4(col("fused_score")).as("fused_score"),
-          col("n_lists"), col("best_rank"), col("fused_rank"))
-    },
-    Some(s"""WITH lex AS (SELECT doc_id AS id,
-      |     row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-      |   FROM (${qBm25.oracle.get})),
-      | e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |       FROM embeddings),
-      | qq AS (SELECT list_transform(generate_series(0, 63),
-      |          i -> (((i * 37) % 19 - 9) / 10.0)::DOUBLE) AS q),
-      | dc AS (SELECT vec_id AS id,
-      |     ${q4(s"${dotSql("v", "q")} / (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("q", "q")}))")} AS cos
-      |   FROM e, qq),
-      | den AS (SELECT id,
-      |     row_number() OVER (ORDER BY cos DESC, id) AS rank
-      |   FROM (SELECT id, cos FROM dc ORDER BY cos DESC, id LIMIT 20)),
-      | u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM den),
-      | fu AS (SELECT id, sum(1.0::DOUBLE / (60 + rank)) AS fs,
-      |     count(*) AS n_lists, min(rank) AS best_rank
-      |   FROM u GROUP BY 1)
-      | SELECT id, ${q4("fs")} AS fused_score, n_lists, best_rank,
-      |   row_number() OVER (ORDER BY fs DESC, best_rank, id) AS fused_rank
-      | FROM fu ORDER BY fused_rank LIMIT 20""".stripMargin))
-
-  /** KMV distinct-sketch store (functions/Kmv.scala): per-(lang, shard)
-    * bottom-64 distinct-hash sketches persisted to parquet at ingest, then
-    * per-lang distinct-token estimates — plus a grand-total row merged from
-    * the per-lang sketches — computed entirely from the STORE (the token
-    * corpus is scanned once at write time; queries touch only k-sized
-    * arrays). This is the sketch the HLL fixture can't pin: KMV content is
-    * deterministic engine-independent data, so the DuckDB oracle replays
-    * sketch → merge → two-level union → (k−1)/u_k estimate bit-for-bit
-    * (Beyer et al. SIGMOD'07). `n_exact` rides along with a computed ok25
-    * accuracy bit (k=64 ⇒ rsd ≈ 13%); both engines derive the boolean from
-    * the same numbers, so it is hash-stable by construction.
-    */
-  val qKmvSketchStore = Fixture(
-    "q_kmv_sketch_store",
-    (s, d) => {
-      import graft.functions.Kmv
-      val k = 64
-      val toks = Tables.documents(s, d).select(col("lang"),
-        (col("doc_id") % 4).as("shard"),
-        explode(TextFunctions.words(lower(col("text")))).as("w"))
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_kmv/" +
-        Integer.toHexString(d.hashCode)
-      Kmv.sketch(toks, Seq("lang", "shard"), col("w"), k)
-        .write.mode("overwrite").parquet(dir)
-      val atRest = s.read.parquet(dir)
-      val perLang = Kmv.merge(atRest, Seq("lang"), "kmv", k)
-      val total = Kmv.merge(perLang.withColumn("lang", lit("(all)")),
-        Seq("lang"), "kmv", k)
-      val nPart = atRest.groupBy("lang").agg(count(lit(1)).as("n_partials"))
-        .unionByName(atRest.agg(count(lit(1)).as("n_partials"))
-          .withColumn("lang", lit("(all)")))
-      val exact = toks.groupBy("lang").agg(countDistinct(col("w")).as("n_exact"))
-        .unionByName(toks.agg(countDistinct(col("w")).as("n_exact"))
-          .withColumn("lang", lit("(all)")))
-      val est = Kmv.estimate(col("kmv"), k)
-      perLang.unionByName(total)
-        .join(broadcast(nPart), "lang").join(broadcast(exact), "lang")
-        .select(col("lang"), col("n_partials"),
-          size(col("kmv")).cast("long").as("sketch_size"),
-          Quant.q4(est).as("est_distinct"), col("n_exact"),
-          (abs(est - col("n_exact")) <= col("n_exact") * 0.25).as("ok25"))
-    },
-    Some(s"""WITH t AS (SELECT lang, doc_id % 4 AS shard,
-      |       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-      |     FROM documents),
-      | hh AS (SELECT DISTINCT lang, shard, ${h64("w")} AS h FROM t),
-      | sk AS (SELECT lang, shard, (list_sort(list(h)))[1:64] AS kmv
-      |        FROM hh GROUP BY 1, 2),
-      | m1 AS (SELECT lang, (list_sort(list(DISTINCT uh)))[1:64] AS kmv
-      |        FROM (SELECT lang, unnest(kmv) AS uh FROM sk) GROUP BY 1),
-      | m2 AS (SELECT '(all)' AS lang,
-      |          (list_sort(list(DISTINCT uh)))[1:64] AS kmv
-      |        FROM (SELECT unnest(kmv) AS uh FROM m1)),
-      | m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
-      | np AS (SELECT lang, count(*) AS n_partials FROM sk GROUP BY 1
-      |        UNION ALL SELECT '(all)', count(*) FROM sk),
-      | ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM t GROUP BY 1
-      |        UNION ALL SELECT '(all)', count(DISTINCT w) FROM t),
-      | est AS (SELECT lang, kmv,
-      |     CASE WHEN len(kmv) < 64 THEN len(kmv)::DOUBLE
-      |       ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[64]::DOUBLE
-      |     END AS e
-      |   FROM m)
-      | SELECT est.lang, np.n_partials, len(est.kmv)::BIGINT AS sketch_size,
-      |   ${q4("e")} AS est_distinct, ex.n_exact,
-      |   (abs(e - ex.n_exact) <= ex.n_exact * 0.25) AS ok25
-      | FROM est JOIN np ON np.lang = est.lang
-      |          JOIN ex ON ex.lang = est.lang""".stripMargin))
-
-  /** Distinct-count views through the IVM loop via the KMV store
-    * ([[graft.operators.Ivm.applyDeltaKmv]]): COUNT(DISTINCT) is the view
-    * class both the algebraic IVM arm and the MV rewrite conservatively
-    * skip (holistic, not delta-foldable) — but a bottom-k sketch IS
-    * mergeable state, so an insert-only CDC delta refreshes the persisted
-    * per-lang sketch with one delta-sized aggregation + k-array HOFs, the
-    * corpus scanned only at materialization. Because KMV content is
-    * deterministic, the oracle recomputes the post-CDC sketch FROM
-    * SCRATCH and the refreshed store must match it hash-for-hash — the
-    * maintained≡recomputed bar, applied to a distinct-count view.
-    * Deletes are rejected by the operator (sketches are not subtractive);
-    * IvmSpec pins the refusal.
-    */
-  val qIvmKmvDistinct = Fixture(
-    "q_ivm_kmv_distinct",
-    (s, d) => {
-      import graft.functions.Kmv
-      val k = 16
-      val docs = Tables.documents(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_kmv/" +
-        Integer.toHexString(d.hashCode)
-      graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k)
-        .write.mode("overwrite").parquet(dir)
-      // insert-only CDC: the usual insert recipe, but with SUFFIXED source
-      // values so the refresh adds genuinely new distincts per group
-      val delta = docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
-        concat(col("source"), lit("_x")).as("new_v"))
-      val v2 = graft.operators.Ivm.applyDeltaKmv(
-        s.read.parquet(dir), delta, Seq("lang"), k)
-      // kmv_xor pins the refreshed sketch CONTENT hash-for-hash (the gate
-      // can't compare raw array columns); size + estimate ride along
-      v2.select(col("lang"),
-        aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("kmv_xor"),
-        size(col("kmv")).cast("long").as("sketch_size"),
-        Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
-    },
-    Some(s"""WITH fin AS (
-      |   SELECT lang, source AS v FROM documents
-      |   UNION ALL
-      |   SELECT lang, source || '_x' FROM documents WHERE doc_id % 7 = 3),
-      | hh AS (SELECT DISTINCT lang, ${h64("v")} AS h FROM fin),
-      | sk AS (SELECT lang, (list_sort(list(h)))[1:16] AS kmv FROM hh GROUP BY 1)
-      | SELECT lang,
-      |   list_reduce(list_prepend(0::BIGINT, kmv), (a, x) -> xor(a, x)) AS kmv_xor,
-      |   len(kmv)::BIGINT AS sketch_size,
-      |   ${q4("CASE WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE " +
-          "ELSE 15.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[16]::DOUBLE END")} AS est_distinct
-      | FROM sk""".stripMargin))
-
-  /** Streaming twin of [[qIvmKmvDistinct]]: the insert-only delta arrives
-    * as TWO micro-batches through [[graft.streaming.StreamingIvm.startKmv]]
-    * — each trigger union-merges the batch's hashes into the stored
-    * per-lang sketches and commits the next lake version (v0→v2),
-    * replay-safe via the pinned inception base. Deterministic sketch
-    * content makes the check exact: the final stored state must equal
-    * the from-scratch post-CDC recompute hash-for-hash, under ANY
-    * chunking of the delta (bottom-k union is associative).
-    */
-  val qStreamIvmKmv = Fixture(
-    "q_stream_ivm_kmv",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.functions.Kmv
-      val k = 16
-      val docs = Tables.documents(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_kmvlake_${System.nanoTime}").getAbsolutePath
-      graft.sources.SnapshotLake.commit(
-        graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k), root, 0L)
-      def rows(df: DataFrame) = df
-        .select(col("lang"), lit("I").as("op"),
-          concat(col("source"), lit("_x")).as("new_v"))
-        .as[(String, String, String)].collect().toSeq
-      val b1 = rows(docs.where(ivmIns && col("doc_id") % 2 === 0))
-      val b2 = rows(docs.where(ivmIns && col("doc_id") % 2 === 1))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, String)]
-      val q = graft.streaming.StreamingIvm.startKmv(
-        ms.toDF().toDF("lang", "op", "new_v"),
-        root, Seq("lang"), k, s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .select(col("lang"),
-          aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("kmv_xor"),
-          size(col("kmv")).cast("long").as("sketch_size"),
-          Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
-    },
-    qIvmKmvDistinct.oracle)
-
-  /** Shared CDC recipe for the CMS frequency view: the VALUE is `source`
-    * (a string multiset per lang), deletes doc_id % 13 = 5, updates
-    * % 10 = 0 rewrite source → source_u, inserts % 7 = 3 add source_x —
-    * one op per base doc (delete wins), so delta partitions chunk
-    * cleanly for the streaming twin.
-    */
-  private def cmsDelta(docs: DataFrame): DataFrame =
-    docs.where(col("doc_id") % 13 === 5).select(col("lang"),
-        lit("D").as("op"), col("source").as("old_v"),
-        lit(null).cast("string").as("new_v"))
-      .unionByName(docs.where(col("doc_id") % 13 =!= 5 &&
-          col("doc_id") % 10 === 0)
-        .select(col("lang"), lit("U").as("op"), col("source").as("old_v"),
-          concat(col("source"), lit("_u")).as("new_v")))
-      .unionByName(docs.where(col("doc_id") % 7 === 3)
-        .select(col("lang"), lit("I").as("op"),
-          lit(null).cast("string").as("old_v"),
-          concat(col("source"), lit("_x")).as("new_v")))
-
-  /** DuckDB CTE: the post-CDC (lang, source-value) multiset. */
-  private val cmsFinSql =
-    """WITH fin AS (
-      |   SELECT lang, CASE WHEN doc_id % 10 = 0 THEN source || '_u'
-      |     ELSE source END AS v
-      |   FROM documents WHERE NOT (doc_id % 13 = 5)
-      |   UNION ALL
-      |   SELECT lang, source || '_x' FROM documents WHERE doc_id % 7 = 3),
-      | rs AS (SELECT unnest(generate_series(0, 3)) AS r)""".stripMargin
-
-  /** FREQUENCY views through the IVM loop via the CMS store
-    * ([[graft.operators.Ivm.applyDeltaCms]]): the counter-matrix sketch
-    * is the member of the sketch-view family whose cells are plain
-    * counts — SUBTRACTIVE — so unlike the KMV view (insert-only, deletes
-    * refused) the FULL I/U/D delta folds exactly: each post-image +1,
-    * each pre-image −1, summed cell-wise into the stored matrix with
-    * zeroed cells dropped. The maintained store must equal a from-
-    * scratch rebuild on the post-CDC base cell-for-cell (deterministic
-    * shared-hash cells, 4×8 so collisions are real), which is what the
-    * oracle recomputes. Refresh cost: delta-sized expansion ×depth plus
-    * a sketch-sized join — the corpus appears nowhere.
-    */
-  val qIvmCmsFreq = Fixture(
-    "q_ivm_cms_freq",
-    (s, d) => {
-      val (depth, width) = (4, 8)
-      val docs = Tables.documents(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_cms/" +
-        Integer.toHexString(d.hashCode)
-      graft.operators.Ivm.viewCms(docs, Seq("lang"), "source", depth, width)
-        .write.mode("overwrite").parquet(dir)
-      graft.operators.Ivm.applyDeltaCms(
-        s.read.parquet(dir), cmsDelta(docs), Seq("lang"), depth, width)
-        .select(col("lang"), col("r").cast("long").as("r"), col("c"),
-          col("cnt"))
-    },
-    Some(s"""$cmsFinSql
-      | SELECT lang, r, ${h64("v || '#' || r::VARCHAR")} % 8 AS c,
-      |   count(*) AS cnt
-      | FROM fin CROSS JOIN rs GROUP BY 1, 2, 3""".stripMargin))
-
-  /** Streaming twin of [[qIvmCmsFreq]]: the full I/U/D delta arrives as
-    * TWO micro-batches through [[graft.streaming.StreamingIvm.startCms]]
-    * — each trigger adds its signed cell matrix and commits the next
-    * lake version (v0→v2, replay-safe via the pinned inception base, and
-    * the fold is NOT idempotent, so the version guard is load-bearing).
-    * Counter addition is associative, so the final store equals the
-    * one-shot post-CDC rebuild under any delta chunking — cell-for-cell,
-    * deletes included, the arm the KMV stream had to refuse.
-    */
-  val qStreamIvmCms = Fixture(
-    "q_stream_ivm_cms",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val (depth, width) = (4, 8)
-      val docs = Tables.documents(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_cmslake_${System.nanoTime}").getAbsolutePath
-      graft.sources.SnapshotLake.commit(
-        graft.operators.Ivm.viewCms(docs, Seq("lang"), "source", depth,
-          width), root, 0L)
-      def rows(df: DataFrame) = df
-        .as[(String, String, Option[String], Option[String])].collect().toSeq
-      val b1 = rows(cmsDelta(docs.where(col("doc_id") % 2 === 0)))
-      val b2 = rows(cmsDelta(docs.where(col("doc_id") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, Option[String], Option[String])]
-      val q = graft.streaming.StreamingIvm.startCms(
-        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
-        root, Seq("lang"), depth, width, s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .select(col("lang"), col("r").cast("long").as("r"), col("c"),
-          col("cnt"))
-    },
-    qIvmCmsFreq.oracle)
-
-  /** Row-level CDC for the sample store: full post-image rows for I/U,
-    * the usual recipe mods, inserts as NEW keys (doc_id + 1 000 000 —
-    * their sample membership is as deterministic as anyone's).
-    */
-  private def sampleDelta(docs: DataFrame): DataFrame =
-    docs.where(col("doc_id") % 13 === 5)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        lit("D").as("op"))
-      .unionByName(docs.where(col("doc_id") % 13 =!= 5 &&
-          col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("lang"), col("source"),
-          (col("n_chars") + 1000L).as("n_chars"), lit("U").as("op")))
-      .unionByName(docs.where(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-          col("source"), (col("n_chars") + 7L).as("n_chars"),
-          lit("I").as("op")))
-
-  /** The RANK member of the sketch-store trio through the IVM loop
-    * ([[graft.operators.Ivm.applyDeltaSample]]): the deterministic
-    * hash-rate sample is a ROW store whose membership is a pure function
-    * of the key hash, so a row-level I/U/D delta maintains it exactly —
-    * filter the delta to its sample-member rows, anti-join the touched
-    * keys out, union the I/U post-images in. Maintained == the sample of
-    * the post-CDC base row-for-row (the oracle recomputes it), the
-    * corpus appears nowhere, and with KMV (insert-only by refusal) and
-    * CMS (fully subtractive) this closes the IVM story for all three
-    * persisted sketch families.
-    */
-  val qIvmSampleStore = Fixture(
-    "q_ivm_sample_store",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select("doc_id", "lang", "source", "n_chars")
-      val denom = 4
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivm_smp/" +
-        Integer.toHexString(d.hashCode)
-      graft.operators.Ivm.viewSample(docs,
-          col("doc_id").cast("string"), denom)
-        .write.mode("overwrite").parquet(dir)
-      graft.operators.Ivm.applyDeltaSample(s.read.parquet(dir),
-        sampleDelta(docs), "doc_id", col("doc_id").cast("string"), denom)
-    },
-    Some(s"""WITH fin AS (
-      |   SELECT doc_id, lang, source, CASE WHEN doc_id % 10 = 0
-      |       THEN n_chars + 1000 ELSE n_chars END AS n_chars
-      |   FROM documents WHERE NOT (doc_id % 13 = 5)
-      |   UNION ALL
-      |   SELECT doc_id + 1000000, lang, source, n_chars + 7
-      |   FROM documents WHERE doc_id % 7 = 3)
-      | SELECT doc_id, lang, source, n_chars FROM fin
-      | WHERE ${graft.functions.HashSample.sampleSql("doc_id::VARCHAR", 4)}""".stripMargin))
-
-  /** Streaming twin of [[qIvmSampleStore]]: the row-level delta arrives
-    * as TWO micro-batches through
-    * [[graft.streaming.StreamingIvm.startSample]] (v0→v2, replay-safe
-    * via the pinned inception base). Membership determinism makes the
-    * result chunking-invariant: the final store equals the one-shot
-    * post-CDC sample exactly.
-    */
-  val qStreamIvmSample = Fixture(
-    "q_stream_ivm_sample",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val denom = 4
-      val docs = Tables.documents(s, d)
-        .select("doc_id", "lang", "source", "n_chars")
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_smplake_${System.nanoTime}").getAbsolutePath
-      graft.sources.SnapshotLake.commit(
-        graft.operators.Ivm.viewSample(docs,
-          col("doc_id").cast("string"), denom), root, 0L)
-      def rows(df: DataFrame) =
-        df.as[(Long, String, String, Long, String)].collect().toSeq
-      val b1 = rows(sampleDelta(docs.where(col("doc_id") % 2 === 0)))
-      val b2 = rows(sampleDelta(docs.where(col("doc_id") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, String, Long, String)]
-      val q = graft.streaming.StreamingIvm.startSample(
-        ms.toDF().toDF("doc_id", "lang", "source", "n_chars", "op"),
-        root, "doc_id", col("doc_id").cast("string"), denom,
-        s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .select("doc_id", "lang", "source", "n_chars")
-    },
-    qIvmSampleStore.oracle)
-
-  /** STREAMING hybrid retrieval — the serving form of [[qHybridRrf]]:
-    * query rows arrive as a stream and are served against TWO indexes at
-    * rest (the IVF cell-bucketed ANN index and the BM25 term-bucketed
-    * posting index), candidates fused per query by RRF. Plan shape: both
-    * candidate generators are STATELESS stream-static equi-joins (cell /
-    * term bucket pruning on the static side); the only state is one
-    * windowed aggregate holding two bounded [[graft.functions.TopKAgg]]
-    * buffers (k=5 each) per query — ranks are array positions, because
-    * rank-over-window does not exist in append streams — and fusion is a
-    * post-aggregate HOF projection ([[graft.similarity.Fusion.rrfFuseArrays]]).
-    * At serving scale nothing is corpus-sized: per-batch cost is candidate
-    * rows, state is O(k) per live query. Each query's term comes from a
-    * 4-term vocab by query_id; its vector is the query row itself. The
-    * oracle re-derives dense candidates (cell assignment + 2-cell probe),
-    * lexical BM25 over matched docs, both top-5 rankings, the RRF fold,
-    * and the emission window arithmetic — streaming hybrid serving must
-    * return exactly what the batch rankers + fusion would.
-    */
-  val qStreamHybridRrf = Fixture(
-    "q_stream_hybrid_rrf",
-    (s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      import graft.functions.TopKAgg
-      val h = Integer.toHexString(d.hashCode)
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val ivfTbl = s"graft_hyb_ivf_$h"
-      val bmTbl = s"graft_hyb_bm_$h"
-      FixtureOnce(ivfTbl) {
-        Ann.ivfWriteIndex(emb, cents, ivfTbl,
-          s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf/$h", 8)
-        graft.similarity.Bm25.writeIndex(Tables.documents(s, d), "doc_id",
-          "text", bmTbl, s"${sys.props("java.io.tmpdir")}/graft_hyb_bm/$h", 8)
-      }
-      val vocab = Seq("table", "row", "window", "data")
-      val posts = s.table(bmTbl).where(col("term").isin(vocab: _*))
-      val termStats = posts.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(s.table(s"${bmTbl}_stats")
-          .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl")))
-      val rows = emb.where(col("vec_id") < 30)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Float])]
-      val qdf = ms.toDF().toDF("query_id", "qv")
-        .withColumn("ts", timestamp_seconds(col("query_id") * 7))
-      val den = Ann.ivfSearchStreamCandidates(s, ivfTbl, cents,
-          qdf.select("query_id", "qv", "ts"), 2)
-        .select(col("query_id"), col("ts"), lit(1).as("tag"),
-          col("neighbor_id").as("id"), col("cos").as("score"))
-      val idf = log((col("n") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0))
-      val lex = qdf
-        .withColumn("term", element_at(array(vocab.map(lit): _*),
-          (col("query_id") % 4 + 1).cast("int")))
-        .join(posts.select("term", "doc_id", "tf", "dl"), Seq("term"))
-        .join(broadcast(termStats), Seq("term"))
-        .withColumn("avgdl", col("sdl").cast("double") / col("n"))
-        .select(col("query_id"), col("ts"), lit(0).as("tag"),
-          col("doc_id").as("id"),
-          Quant.q4(idf * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("score"))
-      val out = lex.unionByName(den)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "60 seconds"), col("query_id"))
-        .agg(TopKAgg.topK(when(col("tag") === 0, col("score")), col("id"), 5)
-            .as("lex5"),
-          TopKAgg.topK(when(col("tag") === 1, col("score")), col("id"), 5)
-            .as("den5"))
-        .select(unix_timestamp(col("window.start")).as("ws"), col("query_id"),
-          posexplode(graft.similarity.Fusion.rrfFuseArrays(
-            col("lex5"), col("den5"), 60, 3)))
-        .select(col("ws"), col("query_id"), (col("pos") + 1).cast("long")
-            .as("fused_rank"), col("col.id").as("id"),
-          Quant.q4(col("col.fused_score")).as("fused_score"),
-          col("col.n_lists").as("n_lists"), col("col.best_rank").as("best_rank"))
-      val sink = s"stream_hyb_$h${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.Streams.withRocksDb(s) {
-        val q = out.writeStream.outputMode("append")
-          .format("memory").queryName(sink).start()
-        try
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq)
-            q.processAllAvailable()
-          }
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |        FROM embeddings),
-      | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-      | pc AS (SELECT e.vec_id, c.cid, ${dotSql("e.v", "c.cv")} AS ab,
-      |          ${dotSql("e.v", "e.v")} AS aa, ${dotSql("c.cv", "c.cv")} AS bb
-      |        FROM e CROSS JOIN c),
-      | sc AS (SELECT vec_id, cid, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pc),
-      | cr AS (SELECT vec_id, cid,
-      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |        FROM sc),
-      | cell AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
-      | probe AS (SELECT vec_id AS query_id, cid AS cell FROM cr
-      |           WHERE rn <= 2 AND vec_id < 30),
-      | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-      |          FROM probe p JOIN cell a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-      | pr AS (SELECT query_id, neighbor_id,
-      |          ${dotSql("eq.v", "en.v")} AS ab, ${dotSql("eq.v", "eq.v")} AS aa,
-      |          ${dotSql("en.v", "en.v")} AS bb
-      |        FROM cand JOIN e eq ON eq.vec_id = cand.query_id
-      |                  JOIN e en ON en.vec_id = cand.neighbor_id),
-      | srd AS (SELECT query_id, neighbor_id, ${q4("ab / (sqrt(aa) * sqrt(bb))")} AS cos FROM pr),
-      | den AS (SELECT query_id, neighbor_id AS id,
-      |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-      |        FROM srd),
-      | t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-      |       FROM documents),
-      | dw AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM t),
-      | st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sdl FROM dw),
-      | qs AS (SELECT vec_id AS query_id,
-      |          CASE vec_id % 4 WHEN 0 THEN 'table' WHEN 1 THEN 'row'
-      |            WHEN 2 THEN 'window' ELSE 'data' END AS term
-      |        FROM e WHERE vec_id < 30),
-      | tf AS (SELECT q.query_id, q.term, d.doc_id, d.dl,
-      |          len(list_filter(d.w, x -> x = q.term))::BIGINT AS tf
-      |        FROM qs q CROSS JOIN dw d),
-      | dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
-      |         WHERE tf > 0 GROUP BY 1),
-      | lexsc AS (SELECT f.query_id, f.doc_id AS id,
-      |     ${q4("ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))")} AS score
-      |   FROM tf f JOIN dfx ON dfx.term = f.term, st WHERE f.tf > 0),
-      | lex AS (SELECT query_id, id,
-      |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
-      |        FROM lexsc),
-      | u AS (SELECT query_id, id, rn FROM lex WHERE rn <= 5
-      |       UNION ALL SELECT query_id, id, rn FROM den WHERE rn <= 5),
-      | fu AS (SELECT query_id, id, sum(1.0::DOUBLE / (60 + rn)) AS fs,
-      |          count(*) AS n_lists, min(rn) AS best_rank
-      |        FROM u GROUP BY 1, 2),
-      | fr AS (SELECT query_id, id, fs, n_lists, best_rank,
-      |          row_number() OVER (PARTITION BY query_id
-      |            ORDER BY fs DESC, best_rank, id) AS fused_rank
-      |        FROM fu),
-      | mx AS (SELECT max(vec_id * 7) AS mx FROM e WHERE vec_id < 30)
-      | SELECT (query_id * 7 // 60) * 60 AS ws, query_id, fused_rank, id,
-      |   ${q4("fs")} AS fused_score, n_lists, best_rank
-      | FROM fr WHERE fused_rank <= 3
-      |   AND (query_id * 7 // 60) * 60 + 60 <= (SELECT mx FROM mx)""".stripMargin))
-
-  /** KMV set algebra over stored sketches: per-source-PAIR union /
-    * Jaccard / intersection estimates computed ENTIRELY from per-source
-    * bottom-128 shingle sketches (functions/Kmv.scala — Beyer et al.
-    * SIGMOD'07 §4: the union sketch's k smallest hashes are a uniform
-    * sample of the union, so ρ = |L∩A∩B|/|L| estimates Jaccard and ρ·U
-    * the intersection). This is the sketch-store answer to
-    * [[qSourceOverlap]]'s question — cross-corpus contamination /overlap
-    * triage at 100 TB compares 190 pairs of k-sized arrays, never
-    * re-joining shingle relations; the corpus is scanned once when the
-    * per-source sketches land. Exact pair intersections ride along via
-    * the q_source_overlap mask-histogram (bit_or per shingle — never a
-    * shingle self-join) so the estimates sit beside ground truth (the
-    * estimator's accuracy itself is spec-pinned in KmvSpec). Every
-    * number is deterministic shared-hash data — the oracle replays
-    * sketch, union, ρ, and both estimates bit-for-bit.
-    */
-  val qKmvSetOps = Fixture(
-    "q_kmv_set_ops",
-    (s, d) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.IntegerType
-      import scala.jdk.CollectionConverters._
-      import graft.functions.Kmv
-      val k = 128
-      val docs = Tables.documents(s, d)
-      // source→bit dim, the sourceOverlap shape (≤64 sources per mask long)
-      val collected = docs.select("source").distinct()
-        .orderBy("source").limit(65).collect()
-      require(collected.length <= 64, "mask path supports ≤64 sources")
-      val srcIds = s.createDataFrame(
-        collected.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }
-          .toSeq.asJava,
-        docs.select("source").schema.add("sid", IntegerType, nullable = false))
-      // shingling is compute-dense and sf-sized parquet is few splits —
-      // repartition to parallelize it (the sourceOverlap rationale); hash
-      // shingles to LONGs immediately so the cache and both aggregations
-      // below never carry strings. No distinct: the sketch buffer and the
-      // per-hash bit_or both collapse duplicates themselves.
-      val tx = docs
-        .repartition(s.sessionState.conf.numShufflePartitions)
-        .select(col("source"),
-          explode(TextFunctions.shingles(col("text"), 3)).as("sg"))
-        .select(col("source"), TextFunctions.hash64(col("sg")).as("h"))
-      graft.operators.Caching.withCached(tx) {
-        val sk = tx.groupBy("source").agg(Kmv.bottomK(col("h"), k).as("kmv"))
-        val pairs = sk.as("a")
-          .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
-          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-            col("a.kmv").as("ka"), col("b.kmv").as("kb"))
-        // exact pair intersections via the q_source_overlap mask histogram
-        // (one aggregate per shingle + bit enumeration of mask-sized rows)
-        // instead of a shingle self-join, which blows up on hot shingles
-        val hist = tx.join(broadcast(srcIds), "source")
-          .groupBy("h").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
-          .groupBy("mask").agg(count(lit(1)).as("cnt"))
-        val bitsArr = expr("filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)")
-        val ex = hist
-          .select(col("cnt"), col("mask"), explode(bitsArr).as("ia"))
-          .select(col("cnt"), col("ia"), explode(expr(
-            "filter(sequence(0, 63), b -> b > ia AND (shiftright(mask, b) & 1) = 1)")).as("ib"))
-          .join(broadcast(srcIds.select(col("sid").as("ia"),
-            col("source").as("src_a"))), "ia")
-          .join(broadcast(srcIds.select(col("sid").as("ib"),
-            col("source").as("src_b"))), "ib")
-          .groupBy("src_a", "src_b").agg(sum(col("cnt")).as("n_inter_exact"))
-        pairs
-          .select(col("src_a"), col("src_b"),
-            Quant.q4(Kmv.estimate(Kmv.unionSketch(col("ka"), col("kb"), k), k))
-              .as("union_est"),
-            Quant.q4(Kmv.jaccardEstimate(col("ka"), col("kb"), k)).as("jacc_est"),
-            Quant.q4(Kmv.intersectEstimate(col("ka"), col("kb"), k))
-              .as("inter_est"))
-          .join(ex, Seq("src_a", "src_b"), "left")
-          .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
-      }
-    },
-    Some(s"""WITH w0 AS (SELECT source, $wordsSql AS w FROM documents),
-      | shl AS (SELECT source, unnest($shinglesSql) AS sg FROM w0),
-      | hh AS (SELECT DISTINCT source, ${h64("sg")} AS h FROM shl),
-      | sk AS (SELECT source, (list_sort(list(h)))[1:128] AS kmv
-      |        FROM hh GROUP BY 1),
-      | p AS (SELECT a.source AS src_a, b.source AS src_b,
-      |         a.kmv AS ka, b.kmv AS kb
-      |       FROM sk a JOIN sk b ON a.source < b.source),
-      | lu AS (SELECT src_a, src_b, ka, kb,
-      |          (list_sort(list_distinct(list_concat(ka, kb))))[1:128] AS l
-      |        FROM p),
-      | es AS (SELECT src_a, src_b,
-      |     CASE WHEN len(l) < 128 THEN len(l)::DOUBLE
-      |       ELSE 127.0::DOUBLE * 1152921504606846976.0::DOUBLE / l[128]::DOUBLE
-      |     END AS u_est,
-      |     len(list_intersect(list_intersect(ka, kb), l))::DOUBLE / len(l) AS rho
-      |   FROM lu),
-      | ex AS (SELECT x.source AS src_a, y.source AS src_b,
-      |          count(*) AS n_inter_exact
-      |        FROM hh x JOIN hh y ON x.h = y.h AND x.source < y.source
-      |        GROUP BY 1, 2)
-      | SELECT es.src_a, es.src_b, ${q4("u_est")} AS union_est,
-      |   ${q4("rho")} AS jacc_est, ${q4("rho * u_est")} AS inter_est,
-      |   coalesce(ex.n_inter_exact, 0) AS n_inter_exact
-      | FROM es LEFT JOIN ex ON ex.src_a = es.src_a AND ex.src_b = es.src_b""".stripMargin))
-
-  /** Count-Min frequency-sketch store (functions/Cms.scala): per-shard
-    * 4×8 counter matrices over tokens persisted relationally, merged by
-    * (r, c) sum, then point-estimated for a 7-term probe vocabulary —
-    * with the deliberately TINY width forcing collisions so the min-over-
-    * rows recovery and the never-underestimate invariant (est ≥ exact,
-    * Cormode & Muthukrishnan J.Alg'05) are exercised, not vacuous. The
-    * probe joins a broadcast sketch (depth·width rows by construction);
-    * exact counts ride along, plus an absent term pinning the
-    * empty-cell → 0 path. Sketch cells are plain grouped counts of a
-    * shared seeded hash — the oracle rebuilds matrix, merge, probe, and
-    * invariant exactly.
-    */
-  val qCmsSketchStore = Fixture(
-    "q_cms_sketch_store",
-    (s, d) => {
-      import s.implicits._
-      import graft.functions.Cms
-      val (depth, width) = (4, 8)
-      val toks = Tables.documents(s, d).select((col("doc_id") % 4).as("shard"),
-        explode(TextFunctions.words(lower(col("text")))).as("w"))
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_cms/" +
-        Integer.toHexString(d.hashCode)
-      Cms.build(toks, Seq("shard"), col("w"), depth, width)
-        .write.mode("overwrite").parquet(dir)
-      val merged = Cms.merge(s.read.parquet(dir), Seq())
-      val vocab = Seq("table", "row", "window", "data", "stream", "the",
-        "zzzabsent")
-      val est = Cms.pointEstimate(merged, vocab.toDF("term"), "term",
-        depth, width)
-      val exact = toks.groupBy(col("w").as("term"))
-        .agg(count(lit(1)).as("n_exact"))
-      est.join(exact, Seq("term"), "left")
-        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
-        .withColumn("never_under", col("est") >= col("n_exact"))
-    },
-    Some(s"""WITH t AS (SELECT doc_id % 4 AS shard,
-      |       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-      |     FROM documents),
-      | rs AS (SELECT unnest(generate_series(0, 3)) AS r),
-      | cm AS (SELECT r, ${h64("w || '#' || r::VARCHAR")} % 8 AS c,
-      |          count(*) AS cnt
-      |        FROM t CROSS JOIN rs GROUP BY 1, 2),
-      | pv AS (SELECT unnest(['table', 'row', 'window', 'data', 'stream',
-      |          'the', 'zzzabsent']) AS term),
-      | pb AS (SELECT term, r, ${h64("term || '#' || r::VARCHAR")} % 8 AS c
-      |        FROM pv CROSS JOIN rs),
-      | est AS (SELECT term, min(coalesce(cm.cnt, 0)) AS est
-      |         FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
-      |         GROUP BY 1),
-      | ex AS (SELECT w AS term, count(*) AS n_exact FROM t GROUP BY 1)
-      | SELECT est.term, est.est, coalesce(ex.n_exact, 0) AS n_exact,
-      |   est.est >= coalesce(ex.n_exact, 0) AS never_under
-      | FROM est LEFT JOIN ex ON ex.term = est.term""".stripMargin))
-
-  /** k-anonymity generalization ladder ([[graft.functions.Privacy
-    * .kAnonLevels]], Sweeney IJUFKS'02): every document is released at
-    * the finest quasi-identifier granularity whose group reaches k=7 —
-    * full (lang, source, length-bucket, long-doc flag), then source
-    * generalized away, then the bucket too — or suppressed when even
-    * (lang, isl) is too small (the rare long-doc flag persists down the
-    * ladder, so suppression genuinely triggers). All level cardinalities
-    * come from ONE grouping-sets scan (one Expand, one shuffle) with
-    * model-sized count tables broadcast back — the release gate a corpus
-    * report runs before publishing per-slice statistics. The recipe
-    * exercises all four arms at sf0.01 (16/453/17/14 rows); the oracle
-    * recomputes every level count and the CASE ladder.
-    */
-  val qKAnonymity = Fixture(
-    "q_k_anonymity",
-    (s, d) => {
-      val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        col("source"), expr("n_chars div 100").as("b100"),
-        (col("n_chars") > 500).as("isl"))
-      graft.functions.Privacy.kAnonLevels(staged,
-        Seq(Seq("lang", "source", "b100", "isl"),
-          Seq("lang", "b100", "isl"), Seq("lang", "isl")), 7)
-        .select(col("doc_id"), col("anon_level"),
-          when(col("anon_level") === 0, concat_ws("|", col("lang"),
-            col("source"), col("b100"), col("isl")))
-          .when(col("anon_level") === 1, concat_ws("|", col("lang"),
-            lit("*"), col("b100"), col("isl")))
-          .when(col("anon_level") === 2, concat_ws("|", col("lang"),
-            lit("*"), lit("*"), col("isl")))
-          .otherwise(lit("(suppressed)")).as("released"))
-    },
-    Some("""WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS b100,
-      |       n_chars > 500 AS isl FROM documents),
-      | c0 AS (SELECT lang, source, b100, isl, count(*) AS n
-      |        FROM d GROUP BY 1, 2, 3, 4),
-      | c1 AS (SELECT lang, b100, isl, count(*) AS n FROM d GROUP BY 1, 2, 3),
-      | c2 AS (SELECT lang, isl, count(*) AS n FROM d GROUP BY 1, 2),
-      | lv AS (SELECT d.doc_id, d.lang, d.source, d.b100, d.isl,
-      |          CASE WHEN c0.n >= 7 THEN 0 WHEN c1.n >= 7 THEN 1
-      |            WHEN c2.n >= 7 THEN 2 ELSE 3 END AS anon_level
-      |        FROM d
-      |        JOIN c0 ON c0.lang = d.lang AND c0.source = d.source
-      |          AND c0.b100 = d.b100 AND c0.isl = d.isl
-      |        JOIN c1 ON c1.lang = d.lang AND c1.b100 = d.b100
-      |          AND c1.isl = d.isl
-      |        JOIN c2 ON c2.lang = d.lang AND c2.isl = d.isl)
-      | SELECT doc_id, anon_level::BIGINT AS anon_level,
-      |   CASE anon_level
-      |     WHEN 0 THEN lang || '|' || source || '|' || b100::VARCHAR || '|' || isl::VARCHAR
-      |     WHEN 1 THEN lang || '|*|' || b100::VARCHAR || '|' || isl::VARCHAR
-      |     WHEN 2 THEN lang || '|*|*|' || isl::VARCHAR
-      |     ELSE '(suppressed)' END AS released
-      | FROM lv""".stripMargin))
-
-  /** Transparent materialized-view rewrite (plans/MvRewrite.scala): the
-    * query addresses the BASE documents table with a plain
-    * groupBy(lang).agg(count, sum, max); a registered (lang, source) MV
-    * makes the optimizer swap the corpus scan for the group-sized MV scan
-    * and ROLL UP (sum of sums, SUM of partial counts, max of maxes). The
-    * fixture REQUIREs the rewritten plan reads the MV and not the base —
-    * a silent non-rewrite fails the gate — and executes while the rule is
-    * live (localCheckpoint) so the restore in finally can't unwind it.
-    * The oracle is the plain base aggregation: rewrite must be invisible.
-    */
-  val qMvRewrite = Fixture(
-    "q_mv_rewrite",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv/$h"
-      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).as("sum_chars"), max(col("n_chars")).as("max_chars"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"docs_by_lang_source_$h"
-      MvRegistry.register(s, name, s"$d/documents.parquet",
-        Seq("lang", "source"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_chars", "sum", Some("n_chars")),
-          AggDef("max_chars", "max", Some("n_chars"))), mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"), max(col("n_chars")).as("max_chars"))
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv")) &&
-          !scans.exists(_.contains("documents.parquet")),
-          s"MV rewrite did not fire; scans = ${scans.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |   max(n_chars) AS max_chars
-      | FROM documents GROUP BY 1""".stripMargin))
-
-  /** MvRewrite v2, the dashboard shape: `WHERE lang IN (…) GROUP BY
-    * source` over the BASE table. The predicate references only MV key
-    * columns, so it selects whole groups and commutes with the rollup —
-    * the optimizer serves it by filtering the GROUP-sized MV, and the
-    * 100 TB corpus appears nowhere in the plan (REQUIREd, like
-    * [[qMvRewrite]]). v1 sent exactly this query to the corpus scan.
-    */
-  val qMvRewriteFiltered = Fixture(
-    "q_mv_rewrite_filtered",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_f/$h"
-      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).as("sum_chars"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"docs_mv_filtered_$h"
-      MvRegistry.register(s, name, s"$d/documents.parquet",
-        Seq("lang", "source"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_chars", "sum", Some("n_chars"))), mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = docs.where(col("lang").isin("en", "de"))
-          .groupBy("source").agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("total_chars"))
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv_f")) &&
-          !scans.exists(_.contains("documents.parquet")),
-          s"filtered MV rewrite did not fire; scans = ${scans.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some("""SELECT source, count(*) AS n_docs,
-      |   sum(n_chars)::BIGINT AS total_chars
-      | FROM documents WHERE lang IN ('en', 'de') GROUP BY 1""".stripMargin))
-
-  /** MvRewrite v2, HAVING shape: SQL `GROUP BY lang HAVING count(1) >= 75`
-    * over the base table. Catalyst plants the HAVING as a Filter ABOVE the
-    * Aggregate; the rewrite preserves output exprIds, so the post-agg
-    * filter composes with the MV-served aggregate untouched — the REQUIRE
-    * pins that the combination actually lands on the MV scan.
-    */
-  val qMvRewriteHaving = Fixture(
-    "q_mv_rewrite_having",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_h/$h"
-      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).as("sum_chars"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"docs_mv_having_$h"
-      MvRegistry.register(s, name, s"$d/documents.parquet",
-        Seq("lang", "source"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_chars", "sum", Some("n_chars"))), mvPath)
-      docs.createOrReplaceTempView(s"docs_mvh_$h")
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = s.sql(
-          s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS total_chars
-             |FROM docs_mvh_$h GROUP BY lang HAVING count(1) >= 75""".stripMargin)
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv_h")) &&
-          !scans.exists(_.contains("documents.parquet")),
-          s"HAVING MV rewrite did not fire; scans = ${scans.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-      | FROM documents GROUP BY 1 HAVING count(*) >= 75""".stripMargin))
-
-  /** MvRewrite v3, the star-schema shape: the MV materialized
-    * `lineitem INNER JOIN orders ON l_orderkey = o_orderkey` rolled up to
-    * o_orderpriority; a query RE-STATING that join + rollup serves from
-    * the group-sized view — neither fact nor dim appears in the plan
-    * (REQUIREd). This is the warehouse-dashboard economics: the fact⋈dim
-    * shuffle is paid once at materialization, every report after reads
-    * |priorities| rows. Conservative matching: exact inner equi-join on
-    * the registered key pair, unique column names, residual filters
-    * key-only; a plain fact aggregate is never claimed (the join can drop
-    * or multiply fact rows).
-    */
-  val qMvRewriteJoin = Fixture(
-    "q_mv_rewrite_join",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val li = Tables.lineitem(s, d)
-      val ord = Tables.orders(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_j/$h"
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"li_by_priority_$h"
-      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
-        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
-        Seq("o_orderpriority"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv_j")) &&
-          !scans.exists(p => p.contains("lineitem.parquet") ||
-            p.contains("orders.parquet")),
-          s"star-join MV rewrite did not fire; scans = ${scans.mkString(", ")}")
-        // q4 OUTSIDE the aggregate (a wrapped sum would block the matcher);
-        // the double sum is reassociation-noisy in the last ulp either way
-        q.select(col("o_orderpriority"), col("n_items"),
-          Quant.q4(col("sum_qty")).as("sum_qty"))
-          .localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
-      |   ${q4("sum(l_quantity)")} AS sum_qty
-      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** Star-join rewrite WITH a key-only WHERE — the two v2/v3 arms
-    * COMPOSED, which no other fixture exercises together: the query
-    * re-states the registered fact⋈dim join AND filters on the MV's
-    * grouping key. The optimizer pushes the predicate below the join
-    * onto the dim scan (plus its inferred IsNotNull), so the matcher
-    * must collect conjuncts from inside the join tree, recognize the
-    * join-key IsNotNull guards as implied, and verify the rest is
-    * key-only — then serve by filtering the GROUP-sized MV (REQUIREd:
-    * join-free, MV-only leaves). The dashboard shape at 100 TB: a
-    * filtered priority report reads ≤ |priorities| rows.
-    */
-  val qMvRewriteJoinFiltered = Fixture(
-    "q_mv_rewrite_join_filtered",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val li = Tables.lineitem(s, d)
-      val ord = Tables.orders(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_jf/$h"
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"li_by_priority_f_$h"
-      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
-        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
-        Seq("o_orderpriority"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv_jf")) &&
-          !scans.exists(p => p.contains("lineitem.parquet") ||
-            p.contains("orders.parquet")),
-          s"filtered star-join rewrite did not fire; scans = ${scans.mkString(", ")}")
-        require(!q.queryExecution.optimizedPlan.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
-          "served filtered star plan must be join-free")
-        q.select(col("o_orderpriority"), col("n_items"),
-          Quant.q4(col("sum_qty")).as("sum_qty"))
-          .localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
-      |   ${q4("sum(l_quantity)")} AS sum_qty
-      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      | WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      | GROUP BY 1""".stripMargin))
-
-  /** The closed IVM + MV loop on the VERSION-STAMPED store: the (lang)
-    * rollup is committed as v0 of a [[graft.sources.SnapshotLake]] MV
-    * store and registered ONCE — BEFORE the refresh. A CDC delta then
-    * refreshes it via [[graft.operators.Ivm.applyDelta]] (stored view +
-    * delta only, never the corpus) and commits v1; the query afterwards
-    * must serve v1 WITHOUT re-registering, because the rewrite resolves
-    * the store's `_CURRENT` pointer at query time (the REQUIRE pins the
-    * v1 directory in the plan). Stale-file serving is structurally
-    * impossible: version dirs are immutable, the pointer swap atomic.
-    * Dashboard-refresh economics at 100 TB: corpus scanned once at
-    * materialization, refreshes delta-sized, queries view-sized. The
-    * oracle is the post-CDC recompute from scratch ([[ivmFinSql]]), so a
-    * stale or mis-maintained view hash-mismatches.
-    */
-  val qMvIvmServe = Fixture(
-    "q_mv_ivm_serve",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import graft.sources.SnapshotLake
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_ivm/${h}_$run"
-      SnapshotLake.commit(
-        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
-      val name = s"docs_lang_rollup_$h"
-      // register at v0, BEFORE the refresh — freshness must come from the
-      // pointer resolution, not from re-registration
-      MvRegistry.register(s, name, s"$d/documents.parquet", Seq("lang"),
-        Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("n_chars"))),
-        root)
-      // day-2 refresh: stored view + CDC delta only, committed as v1
-      SnapshotLake.commit(
-        graft.operators.Ivm.applyDelta(SnapshotLake.read(s, root),
-          ivmDelta(docs), Seq("lang")), root, 1L)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = docs.groupBy("lang").agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).as("sum_v"))
-        val leaves = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mv_ivm") &&
-          leaves.head.stripSuffix("/").endsWith("/v1"),
-          s"expected exactly the refreshed v1 MV leaf; got ${leaves.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""$ivmFinSql
-      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  /** The WHOLE loop, streaming: CDC deltas stream through
-    * [[graft.streaming.StreamingIvm]] into the version-stamped MV store
-    * (each micro-batch commits the next version, replay-safe via the
-    * pinned inception base), and the MV was registered ONCE — BEFORE any
-    * delta arrived. After the stream drains, a plain base-table aggregate
-    * must silently serve the post-stream state, because the rewrite
-    * resolves `_CURRENT` at query time (REQUIREd: the v2 directory is the
-    * plan's only leaf). This is the live-dashboard posture at 100 TB: the
-    * corpus was scanned once at materialization, the stream keeps the
-    * view current at O(|delta|+|view|) per trigger, and every report
-    * reads |groups| rows with zero coordination between the refresher
-    * and the reader beyond one atomic pointer.
-    */
-  val qStreamMvServe = Fixture(
-    "q_stream_mv_serve",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import graft.sources.SnapshotLake
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val docs = Tables.documents(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mvstream_${System.nanoTime}").getAbsolutePath
-      SnapshotLake.commit(
-        graft.operators.Ivm.view(docs, Seq("lang"), "n_chars"), root, 0L)
-      val name = s"docs_stream_mv_${System.nanoTime}"
-      MvRegistry.register(s, name, s"$d/documents.parquet", Seq("lang"),
-        Seq(AggDef("cnt", "count", None), AggDef("sum_v", "sum", Some("n_chars"))),
-        root)
-      def rows(df: DataFrame) =
-        df.as[(String, String, Option[Long], Option[Long])].collect().toSeq
-      val b1 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 0)))
-      val b2 = rows(ivmDelta(docs.where(col("doc_id") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, Option[Long], Option[Long])]
-      val q = graft.streaming.StreamingIvm.start(
-        ms.toDF().toDF("lang", "op", "old_v", "new_v"),
-        root, Seq("lang"), s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val served = docs.groupBy("lang").agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).as("sum_v"))
-        val leaves = served.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mvstream") &&
-          leaves.head.stripSuffix("/").endsWith("/v2"),
-          s"expected the stream-refreshed v2 leaf; got ${leaves.mkString(", ")}")
-        served.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""$ivmFinSql
-      | SELECT lang, count(*) AS cnt, sum(v)::BIGINT AS sum_v
-      | FROM fin GROUP BY 1""".stripMargin))
-
-  // ---- star-rollup IVM: fact CDC deltas under static dims ----------------
-
-  /** CDC recipe over lineitem, identity (l_orderkey, l_linenumber), measure
-    * l_quantity (integral-valued doubles, so every fold is float-exact):
-    * deletes l_partkey % 13 = 5, updates % 10 = 0 (+1000), inserts % 7 = 3
-    * as new line items of the SAME order (+7) — delete wins over update,
-    * U never changes the join key, inserts are new identities, so any
-    * partition of the fact induces a valid delta partition (the streaming
-    * twin's chunked replay relies on it, like [[ivmDelta]]).
-    */
-  private def liDel = col("l_partkey") % 13 === 5
-  private def liUpd = col("l_partkey") % 10 === 0
-  private def liIns = col("l_partkey") % 7 === 3
-
-  private def liDelta(li: DataFrame): DataFrame =
-    li.where(liDel).select(col("l_orderkey"), lit("D").as("op"),
-        col("l_quantity").as("old_v"), lit(null).cast("double").as("new_v"))
-      .unionByName(li.where(!liDel && liUpd).select(col("l_orderkey"),
-        lit("U").as("op"), col("l_quantity").as("old_v"),
-        (col("l_quantity") + 1000d).as("new_v")))
-      .unionByName(li.where(liIns).select(col("l_orderkey"), lit("I").as("op"),
-        lit(null).cast("double").as("old_v"),
-        (col("l_quantity") + 7d).as("new_v")))
-
-  /** DuckDB CTE: the post-CDC fact state the maintained star view must
-    * equal after joining the static dims.
-    */
-  private val liFinSql =
-    """WITH fin AS (
-      |   SELECT l_orderkey, CASE WHEN l_partkey % 10 = 0
-      |       THEN l_quantity + 1000 ELSE l_quantity END AS v
-      |   FROM lineitem WHERE NOT (l_partkey % 13 = 5)
-      |   UNION ALL
-      |   SELECT l_orderkey, l_quantity + 7 FROM lineitem
-      |   WHERE l_partkey % 7 = 3)""".stripMargin
-
-  /** Star-rollup IVM ([[graft.operators.Ivm.applyDeltaJoin]]): the
-    * `lineitem ⋈ orders → o_orderpriority` view maintained from a
-    * FACT-side CDC delta under static dims — the delta is enriched with
-    * orders (a delta-sized join; Catalyst broadcasts the smaller side)
-    * and folds algebraically, so the fact table appears NOWHERE in the
-    * refresh plan (IvmSpec pins the leaf set). This closes the loop for
-    * JOIN views: materialize once (two fact-sized shuffles), refresh at
-    * O(|delta| ⋈ dims + |view|) per day forever. The oracle recomputes
-    * the post-CDC join rollup from scratch — maintained == recomputed.
-    */
-  val qIvmJoinRollup = Fixture(
-    "q_ivm_join_rollup",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val dims = Seq(Tables.orders(s, d) ->
-        Seq("l_orderkey" -> "o_orderkey"))
-      graft.operators.Ivm.applyDeltaJoin(
-        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
-          "l_quantity"),
-        liDelta(li), dims, Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-    },
-    Some(s"""$liFinSql
-      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
-      | FROM fin JOIN orders ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** The WHOLE star loop, streaming: the join MV (v3 rewrite shape) is
-    * committed as v0 of a version-stamped store and registered ONCE;
-    * fact-side CDC deltas then stream through
-    * [[graft.streaming.StreamingIvm.startJoin]] — each micro-batch joins
-    * the static dim and commits the next version, replay-safe via the
-    * pinned inception base — and a query RE-STATING the fact⋈dim rollup
-    * afterwards must serve the stream-refreshed v2 with fact AND dim gone
-    * from the plan (REQUIREd: the v2 directory is the only leaf). The
-    * warehouse end-state at 100 TB: the fact⋈dim shuffle is paid once at
-    * materialization, the stream keeps the view current per trigger at
-    * delta cost, and every dashboard report reads |groups| rows.
-    */
-  val qStreamMvJoinServe = Fixture(
-    "q_stream_mv_join_serve",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import graft.sources.SnapshotLake
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val li = Tables.lineitem(s, d)
-      val ord = Tables.orders(s, d)
-      val dims = Seq(ord -> Seq("l_orderkey" -> "o_orderkey"))
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mvjstream_${System.nanoTime}").getAbsolutePath
-      SnapshotLake.commit(
-        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
-          "l_quantity"), root, 0L)
-      val name = s"li_join_stream_mv_${System.nanoTime}"
-      MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
-        s"$d/orders.parquet", "l_orderkey", "o_orderkey",
-        Seq("o_orderpriority"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_v", "sum", Some("l_quantity"))), root)
-      def rows(df: DataFrame) =
-        df.as[(Long, String, Option[Double], Option[Double])].collect().toSeq
-      val b1 = rows(liDelta(li.where(col("l_orderkey") % 2 === 0)))
-      val b2 = rows(liDelta(li.where(col("l_orderkey") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Option[Double], Option[Double])]
-      val q = graft.streaming.StreamingIvm.startJoin(
-        ms.toDF().toDF("l_orderkey", "op", "old_v", "new_v"),
-        root, dims, Seq("o_orderpriority"), s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val served = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_v"))
-        val leaves = served.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mvjstream") &&
-          leaves.head.stripSuffix("/").endsWith("/v2"),
-          s"expected the stream-refreshed v2 join-MV leaf; got ${leaves.mkString(", ")}")
-        served.select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-          .localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""$liFinSql
-      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
-      | FROM fin JOIN orders ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** DIM-side delta maintenance of the star rollup
-    * ([[graft.operators.Ivm.applyDimDeltaJoin]]) — the seam the fact-side
-    * arm's static-dims contract leaves open, closed without a full fact
-    * scan: the initial view joins only the orders with
-    * `o_orderkey % 50 ≠ 11` (the %50=11 orders are "missing", their line
-    * items orphaned out of the inner join), then the dim delta UPDATES
-    * %50=7 orders to a brand-new priority (moving their entire lineitem
-    * history between groups, including INTO a group the view has never
-    * seen), DELETES %50=3 (dropping their rows from the join), and
-    * INSERTS the missing %50=11 (adopting their orphans in). The refresh
-    * reads the fact pruned by a broadcast semi-join on the ~900 changed
-    * order keys — the plan property IvmSpec pins — and must equal the
-    * from-scratch post-CDC join rollup the oracle computes.
-    */
-  val qIvmJoinDimDelta = Fixture(
-    "q_ivm_join_dim_delta",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val ords = Tables.orders(s, d)
-      val view0 = graft.operators.Ivm.viewJoin(li,
-        Seq(ords.where(col("o_orderkey") % 50 =!= 11) ->
-          Seq("l_orderkey" -> "o_orderkey")),
-        Seq("o_orderpriority"), "l_quantity")
-      val delta = ords.where(col("o_orderkey") % 50 === 7)
-        .select(col("o_orderkey"), lit("U").as("op"),
-          col("o_orderpriority").as("old_o_orderpriority"),
-          lit("9-SPECIAL").as("new_o_orderpriority"))
-        .unionByName(ords.where(col("o_orderkey") % 50 === 3)
-          .select(col("o_orderkey"), lit("D").as("op"),
-            col("o_orderpriority").as("old_o_orderpriority"),
-            lit(null).cast("string").as("new_o_orderpriority")))
-        .unionByName(ords.where(col("o_orderkey") % 50 === 11)
-          .select(col("o_orderkey"), lit("I").as("op"),
-            lit(null).cast("string").as("old_o_orderpriority"),
-            col("o_orderpriority").as("new_o_orderpriority")))
-      graft.operators.Ivm.applyDimDeltaJoin(view0,
-          li.select("l_orderkey", "l_quantity"), "l_orderkey",
-          delta, "o_orderkey", Seq("o_orderpriority"), "l_quantity")
-        .select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-    },
-    Some(s"""WITH dimf AS (
-      |   SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 7 THEN '9-SPECIAL'
-      |       ELSE o_orderpriority END AS o_orderpriority
-      |   FROM orders WHERE o_orderkey % 50 <> 3)
-      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v
-      | FROM lineitem JOIN dimf ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** Streaming twin of [[qIvmJoinDimDelta]]: the dimension's CDC changes
-    * arrive as TWO micro-batches through
-    * [[graft.streaming.StreamingIvm.startDimDelta]] (v0→v2, replay-safe
-    * via the pinned inception base; each trigger reads the fact only
-    * through a broadcast semi-join on ITS batch's keys). Chunked by
-    * o_orderkey parity, so a D+I key-change pair always lands whole.
-    * Final lake state == the one-shot post-CDC recompute — the dim side
-    * of the live star dashboard, closing the loop [[qStreamMvJoinServe]]
-    * opened on the fact side.
-    */
-  val qStreamIvmDimDelta = Fixture(
-    "q_stream_ivm_dim_delta",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val li = Tables.lineitem(s, d)
-      val ords = Tables.orders(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dimlake_${System.nanoTime}").getAbsolutePath
-      graft.sources.SnapshotLake.commit(
-        graft.operators.Ivm.viewJoin(li,
-          Seq(ords.where(col("o_orderkey") % 50 =!= 11) ->
-            Seq("l_orderkey" -> "o_orderkey")),
-          Seq("o_orderpriority"), "l_quantity"), root, 0L)
-      def deltaOf(o: DataFrame) = o.where(col("o_orderkey") % 50 === 7)
-        .select(col("o_orderkey"), lit("U").as("op"),
-          col("o_orderpriority").as("old_o_orderpriority"),
-          lit("9-SPECIAL").as("new_o_orderpriority"))
-        .unionByName(o.where(col("o_orderkey") % 50 === 3)
-          .select(col("o_orderkey"), lit("D").as("op"),
-            col("o_orderpriority").as("old_o_orderpriority"),
-            lit(null).cast("string").as("new_o_orderpriority")))
-        .unionByName(o.where(col("o_orderkey") % 50 === 11)
-          .select(col("o_orderkey"), lit("I").as("op"),
-            lit(null).cast("string").as("old_o_orderpriority"),
-            col("o_orderpriority").as("new_o_orderpriority")))
-      def rows(df: DataFrame) = df
-        .as[(Long, String, Option[String], Option[String])].collect().toSeq
-      val b1 = rows(deltaOf(ords.where(col("o_orderkey") % 2 === 0)))
-      val b2 = rows(deltaOf(ords.where(col("o_orderkey") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Option[String], Option[String])]
-      val q = graft.streaming.StreamingIvm.startDimDelta(
-        ms.toDF().toDF("o_orderkey", "op", "old_o_orderpriority",
-          "new_o_orderpriority"),
-        root, li.select("l_orderkey", "l_quantity"), "l_orderkey",
-        "o_orderkey", Seq("o_orderpriority"), "l_quantity",
-        s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      graft.sources.SnapshotLake.read(s, root)
-        .select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-    },
-    qIvmJoinDimDelta.oracle)
-
-  /** BOTH halves of the live star dashboard at once — a fact-side CDC
-    * stream ([[graft.streaming.StreamingIvm.startJoin]]) and a dim-side
-    * CDC stream ([[graft.streaming.StreamingIvm.startDimDelta]]) LIVE
-    * CONCURRENTLY on one rollup root, triggers interleaved A,B,A,B. Each
-    * stream is its own writer on the single version line
-    * ([[graft.sources.SnapshotLake.commitNext]]): versions allocate in
-    * commit order under the root's lock and replay detection is
-    * per-writer, so the later stream's fresh batches are never mistaken
-    * for replays when the other has advanced the pointer (under the old
-    * `base + batchId + 1` arithmetic, writer B's every batch would
-    * compute an already-passed version and be silently dropped). The two
-    * CDC sets touch DISJOINT dim-key populations (fact deltas exclude
-    * `o_orderkey % 50 ∈ {3,7,11}`, the dim deltas' keys) — the documented
-    * contract, since the dim-side refresh reads fact history through its
-    * static `fact` argument. Final lake state == the one-shot post-CDC
-    * recompute; versions and watermarks REQUIREd exact.
-    */
-  val qStreamIvmTwoWriters = Fixture(
-    "q_stream_ivm_two_writers",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.sources.SnapshotLake
-      val li = Tables.lineitem(s, d)
-      val ords = Tables.orders(s, d)
-      val dimsBase = ords.where(col("o_orderkey") % 50 =!= 11)
-      val dims = Seq(dimsBase -> Seq("l_orderkey" -> "o_orderkey"))
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_twowriter_${System.nanoTime}").getAbsolutePath
-      SnapshotLake.commit(
-        graft.operators.Ivm.viewJoin(li, dims, Seq("o_orderpriority"),
-          "l_quantity"), root, 0L)
-
-      // fact-side deltas, away from the dim-touched keys
-      val liSafe = li.where(col("l_orderkey") % 50 =!= 3 &&
-        col("l_orderkey") % 50 =!= 7 && col("l_orderkey") % 50 =!= 11)
-      def factRows(df: DataFrame) =
-        df.as[(Long, String, Option[Double], Option[Double])].collect().toSeq
-      val fa1 = factRows(liDelta(liSafe.where(col("l_orderkey") % 2 === 0)))
-      val fa2 = factRows(liDelta(liSafe.where(col("l_orderkey") % 2 === 1)))
-
-      // dim-side deltas: U %50=7 → 9-SPECIAL, D %50=3, I %50=11
-      def dimDeltaOf(o: DataFrame) = o.where(col("o_orderkey") % 50 === 7)
-        .select(col("o_orderkey"), lit("U").as("op"),
-          col("o_orderpriority").as("old_o_orderpriority"),
-          lit("9-SPECIAL").as("new_o_orderpriority"))
-        .unionByName(o.where(col("o_orderkey") % 50 === 3)
-          .select(col("o_orderkey"), lit("D").as("op"),
-            col("o_orderpriority").as("old_o_orderpriority"),
-            lit(null).cast("string").as("new_o_orderpriority")))
-        .unionByName(o.where(col("o_orderkey") % 50 === 11)
-          .select(col("o_orderkey"), lit("I").as("op"),
-            lit(null).cast("string").as("old_o_orderpriority"),
-            col("o_orderpriority").as("new_o_orderpriority")))
-      def dimRows(df: DataFrame) =
-        df.as[(Long, String, Option[String], Option[String])].collect().toSeq
-      val db1 = dimRows(dimDeltaOf(ords.where(col("o_orderkey") % 2 === 0)))
-      val db2 = dimRows(dimDeltaOf(ords.where(col("o_orderkey") % 2 === 1)))
-
-      val msA = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Option[Double], Option[Double])]
-      val msB = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Option[String], Option[String])]
-      val qA = graft.streaming.StreamingIvm.startJoin(
-        msA.toDF().toDF("l_orderkey", "op", "old_v", "new_v"),
-        root, dims, Seq("o_orderpriority"), s"${root}_ckptA")
-      val qB = graft.streaming.StreamingIvm.startDimDelta(
-        msB.toDF().toDF("o_orderkey", "op", "old_o_orderpriority",
-          "new_o_orderpriority"),
-        root, li.select("l_orderkey", "l_quantity"), "l_orderkey",
-        "o_orderkey", Seq("o_orderpriority"), "l_quantity",
-        s"${root}_ckptB")
-      try {
-        msA.addData(fa1); qA.processAllAvailable()
-        msB.addData(db1); qB.processAllAvailable()
-        msA.addData(fa2); qA.processAllAvailable()
-        msB.addData(db2); qB.processAllAvailable()
-      } finally { qA.stop(); qB.stop() }
-      require(SnapshotLake.currentVersion(root).contains(4L),
-        s"4 interleaved triggers must commit v1..v4; current = " +
-          s"${SnapshotLake.currentVersion(root)}")
-      require(SnapshotLake.watermarks(root) ==
-          Map(s"${root}_ckptA" -> 1L, s"${root}_ckptB" -> 1L),
-        s"per-writer watermarks wrong: ${SnapshotLake.watermarks(root)}")
-      SnapshotLake.read(s, root)
-        .select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-    },
-    Some(s"""WITH fin AS (
-      |   SELECT l_orderkey, CASE WHEN l_partkey % 10 = 0
-      |       AND NOT (l_orderkey % 50 IN (3, 7, 11))
-      |       THEN l_quantity + 1000 ELSE l_quantity END AS v
-      |   FROM lineitem
-      |   WHERE NOT (l_partkey % 13 = 5 AND NOT (l_orderkey % 50 IN (3, 7, 11)))
-      |   UNION ALL
-      |   SELECT l_orderkey, l_quantity + 7 FROM lineitem
-      |   WHERE l_partkey % 7 = 3 AND NOT (l_orderkey % 50 IN (3, 7, 11))),
-      | dimf AS (
-      |   SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 7 THEN '9-SPECIAL'
-      |       ELSE o_orderpriority END AS o_orderpriority
-      |   FROM orders WHERE o_orderkey % 50 <> 3)
-      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v
-      | FROM fin JOIN dimf ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** Min/max maintenance for STAR rollups
-    * ([[graft.operators.Ivm.applyDeltaFullJoin]]) — the asymmetry the
-    * r15 verdict ranked top: plain views got min/max via the broken-group
-    * recompute arm, but `viewJoin` carried cnt/sum only, so a
-    * max(quantity)-bearing star dashboard could not refresh from a delta
-    * at all. The full star view (cnt/sum/min/max of l_quantity per
-    * o_orderpriority) folds the same fact-side CDC recipe as
-    * [[qIvmJoinRollup]]; deletions that remove a group's extreme send
-    * ONLY that group to the recompute arm, which reads the post-CDC fact
-    * through dims pre-pruned to the broken groups' key values (IvmSpec
-    * pins the pruning with a poisoned fact). Oracle = from-scratch
-    * post-CDC recompute of all four aggregates.
-    */
-  val qIvmJoinMinmax = Fixture(
-    "q_ivm_join_minmax",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val dims = Seq(Tables.orders(s, d) ->
-        Seq("l_orderkey" -> "o_orderkey"))
-      // the post-CDC fact (mirror of liFinSql), the recompute arm's input
-      val fin = li.where(!liDel).select(col("l_orderkey"),
-          when(liUpd, col("l_quantity") + 1000d)
-            .otherwise(col("l_quantity")).as("l_quantity"))
-        .unionByName(li.where(liIns).select(col("l_orderkey"),
-          (col("l_quantity") + 7d).as("l_quantity")))
-      graft.operators.Ivm.applyDeltaFullJoin(
-        graft.operators.Ivm.viewJoinFull(li, dims, Seq("o_orderpriority"),
-          "l_quantity"),
-        liDelta(li), dims, fin, Seq("o_orderpriority"), "l_quantity")
-        .select(col("o_orderpriority"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"))
-    },
-    Some(s"""$liFinSql
-      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(v)")} AS sum_v,
-      |   min(v) AS min_v, max(v) AS max_v
-      | FROM fin JOIN orders ON l_orderkey = o_orderkey
-      | GROUP BY 1""".stripMargin))
-
-  /** SNOWFLAKE leaf-dim delta
-    * ([[graft.operators.Ivm.applyDimDeltaSnowflake]]): the changed
-    * dimension sits TWO hops from the fact —
-    * `lineitem ⋈ orders ⋈ customer` rolled up to c_mktsegment, with the
-    * CDC delta arriving on CUSTOMER. A customer segment change re-keys
-    * the fact history of every line item of that customer's orders; the
-    * one-hop [[graft.operators.Ivm.applyDimDeltaJoin]] signature had no
-    * path for it (silent full recompute). The refresh prunes leaf-inward:
-    * orders is semi-joined down to the ~delta-many changed custkeys
-    * FIRST, so the fact pass inner-joins a delta-sized order slice —
-    * O(line items of the changed customers), never O(fact); IvmSpec pins
-    * it with a poisoned fact. Same U/D/I mix as the one-hop fixture:
-    * %50=7 customers move to a brand-new segment, %50=3 leave the join,
-    * %50=11 (absent from the initial view) adopt their orphaned history
-    * in. Oracle = post-CDC recompute through the full chain.
-    */
-  val qIvmSnowflakeDimDelta = Fixture(
-    "q_ivm_snowflake_dim_delta",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val ords = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val cust = Tables.customer(s, d)
-      val mids = Seq(ords -> Seq("l_orderkey" -> "o_orderkey"))
-      val view0 = graft.operators.Ivm.viewJoin(li,
-        mids :+ (cust.where(col("c_custkey") % 50 =!= 11)
-            .select("c_custkey", "c_mktsegment") ->
-          Seq("o_custkey" -> "c_custkey")),
-        Seq("c_mktsegment"), "l_quantity")
-      val delta = cust.where(col("c_custkey") % 50 === 7)
-        .select(col("c_custkey"), lit("U").as("op"),
-          col("c_mktsegment").as("old_c_mktsegment"),
-          lit("9-SPECIAL").as("new_c_mktsegment"))
-        .unionByName(cust.where(col("c_custkey") % 50 === 3)
-          .select(col("c_custkey"), lit("D").as("op"),
-            col("c_mktsegment").as("old_c_mktsegment"),
-            lit(null).cast("string").as("new_c_mktsegment")))
-        .unionByName(cust.where(col("c_custkey") % 50 === 11)
-          .select(col("c_custkey"), lit("I").as("op"),
-            lit(null).cast("string").as("old_c_mktsegment"),
-            col("c_mktsegment").as("new_c_mktsegment")))
-      graft.operators.Ivm.applyDimDeltaSnowflake(view0,
-          li.select("l_orderkey", "l_quantity"), mids, "o_custkey",
-          delta, "c_custkey", Seq("c_mktsegment"), "l_quantity")
-        .select(col("c_mktsegment"), col("cnt"),
-          Quant.q4(col("sum_v")).as("sum_v"))
-    },
-    Some(s"""WITH dimf AS (
-      |   SELECT c_custkey, CASE WHEN c_custkey % 50 = 7 THEN '9-SPECIAL'
-      |       ELSE c_mktsegment END AS c_mktsegment
-      |   FROM customer WHERE c_custkey % 50 <> 3)
-      | SELECT c_mktsegment, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v
-      | FROM lineitem
-      | JOIN orders ON l_orderkey = o_orderkey
-      | JOIN dimf ON o_custkey = c_custkey
-      | GROUP BY 1""".stripMargin))
-
-  /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
-    * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
-    * o_custkey lives on the middle table, not the fact) rolled up to
-    * c_mktsegment; a query re-stating the full chain serves from the
-    * group-sized view with fact AND both dims gone from the plan
-    * (REQUIREd join-free). The matcher flattens the inner-join tree and
-    * compares the registered key-pair SET, so any association order the
-    * optimizer picks matches; a partial chain (fact⋈orders only) falls
-    * through — the customer join could drop rows (MvRewriteSpec pins the
-    * negatives). Warehouse economics: the two fact-sized shuffles are
-    * paid once at materialization; every segment report after reads
-    * |segments| rows.
-    */
-  val qMvRewriteSnowflake = Fixture(
-    "q_mv_rewrite_snowflake",
-    (s, d) => {
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.plans.MvRegistry.AggDef
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val li = Tables.lineitem(s, d)
-      val ord = Tables.orders(s, d)
-      val cust = Tables.customer(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_sf/$h"
-      def chain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-      chain.groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"li_by_segment_$h"
-      MvRegistry.registerSnowflake(s, name, s"$d/lineitem.parquet",
-        Seq(s"$d/orders.parquet" -> Seq("l_orderkey" -> "o_orderkey"),
-          s"$d/customer.parquet" -> Seq("o_custkey" -> "c_custkey")),
-        Seq("c_mktsegment"),
-        Seq(AggDef("cnt", "count", None),
-          AggDef("sum_qty", "sum", Some("l_quantity"))), mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = chain.groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_items"),
-            Quant.q4(sum(col("l_quantity"))).as("sum_qty"))
-        val scans = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(scans.exists(_.contains("graft_mv_sf")) &&
-          !scans.exists(p => p.contains("lineitem.parquet") ||
-            p.contains("orders.parquet") || p.contains("customer.parquet")),
-          s"snowflake MV rewrite did not fire; scans = ${scans.mkString(", ")}")
-        require(!q.queryExecution.optimizedPlan.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
-          "served snowflake plan must be join-free")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""SELECT c_mktsegment, count(*) AS n_items,
-      |   ${q4("sum(l_quantity)")} AS sum_qty
-      | FROM lineitem
-      | JOIN orders ON l_orderkey = o_orderkey
-      | JOIN customer ON o_custkey = c_custkey
-      | GROUP BY 1""".stripMargin))
-
-  /** MvRewrite + KMV: the DISTINCT-COUNT dashboard served from the
-    * persisted sketch view — the aggregate class every rollup arm
-    * rejects (COUNT(DISTINCT) is holistic), closed by the sketch store:
-    * the per-lang bottom-16 KMV view is committed to a version-stamped
-    * store, registered ONCE, then refreshed through
-    * [[graft.operators.Ivm.applyDeltaKmv]] (delta-sized, corpus
-    * nowhere) as v1; a plain base-table `graft_kmv` aggregate afterwards
-    * silently serves the REFRESHED sketches (REQUIREd: the v1 directory
-    * is the plan's only leaf — the corpus scan a distinct-count
-    * dashboard used to pay is gone). Deterministic sketch content makes
-    * the oracle exact: it recomputes the post-CDC sketch from scratch
-    * and the served store must match hash-for-hash, estimate included.
-    */
-  val qMvRewriteKmvDistinct = Fixture(
-    "q_mv_rewrite_kmv_distinct",
-    (s, d) => {
-      import graft.functions.{Kmv, TextFunctions}
-      import graft.plans.{MvRewrite, MvRegistry}
-      import graft.sources.SnapshotLake
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val k = 16
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val run = java.lang.Long.toHexString(System.nanoTime)
-      val root = s"${sys.props("java.io.tmpdir")}/graft_mv_kmv/${h}_$run"
-      SnapshotLake.commit(
-        graft.operators.Ivm.viewKmv(docs, Seq("lang"), "source", k), root, 0L)
-      val name = s"docs_lang_distinct_$h"
-      // register at v0, BEFORE the refresh — freshness via _CURRENT
-      MvRegistry.registerKmv(s, name, s"$d/documents.parquet", Seq("lang"),
-        "source", k, root)
-      val delta = docs.where(ivmIns).select(col("lang"), lit("I").as("op"),
-        concat(col("source"), lit("_x")).as("new_v"))
-      SnapshotLake.commit(graft.operators.Ivm.applyDeltaKmv(
-        SnapshotLake.read(s, root), delta, Seq("lang"), k), root, 1L)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = docs.groupBy("lang")
-          .agg(Kmv.bottomK(TextFunctions.hash64(col("source")), k).as("kmv"))
-          .select(col("lang"),
-            aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
-              .as("kmv_xor"),
-            size(col("kmv")).cast("long").as("sketch_size"),
-            Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
-        val leaves = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mv_kmv") &&
-          leaves.head.stripSuffix("/").endsWith("/v1"),
-          s"expected exactly the refreshed v1 KMV leaf; got ${leaves.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    qIvmKmvDistinct.oracle)
-
-  /** The KMV ROLLUP arm: the sketch store is keyed FINER than the query —
-    * per-(lang, source) bottom-16 sketches of distinct texts — and a
-    * per-lang sketch query (with a key-only WHERE on source, commuting as
-    * in every rollup arm) serves by MERGING the stored sketches through
-    * one [[graft.functions.KmvMergeAgg]] aggregate over the group-sized
-    * store (REQUIREd: the MV is the plan's only leaf). Correctness is
-    * exact, not approximate-in-approximate: bottom-k of a union of
-    * bottom-ks IS the union's bottom-k, so the served sketch — content,
-    * size, estimate — is bit-identical to the direct corpus aggregate the
-    * oracle computes. One finer-keyed store thus serves every coarser
-    * distinct-count dashboard; at 100 TB that is |groups|-sized work per
-    * report against a corpus scanned once.
-    */
-  val qMvRewriteKmvRollup = Fixture(
-    "q_mv_rewrite_kmv_rollup",
-    (s, d) => {
-      import graft.functions.{Kmv, TextFunctions}
-      import graft.plans.{MvRewrite, MvRegistry}
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val k = 16
-      val docs = Tables.documents(s, d)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_mv_kmvr/$h"
-      graft.operators.Ivm.viewKmv(docs, Seq("lang", "source"), "text", k)
-        .write.mode("overwrite").parquet(mvPath)
-      val name = s"docs_text_distinct_$h"
-      MvRegistry.registerKmv(s, name, s"$d/documents.parquet",
-        Seq("lang", "source"), "text", k, mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val q = docs.where(col("source").isin("src0", "src1", "src2",
-            "src3", "src4", "src5", "src6", "src7"))
-          .groupBy("lang")
-          .agg(Kmv.bottomK(TextFunctions.hash64(col("text")), k).as("kmv"))
-          .select(col("lang"),
-            aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
-              .as("kmv_xor"),
-            size(col("kmv")).cast("long").as("sketch_size"),
-            Quant.q4(Kmv.estimate(col("kmv"), k)).as("est_distinct"))
-        val leaves = q.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_mv_kmvr"),
-          s"expected exactly the KMV store leaf; got ${leaves.mkString(", ")}")
-        q.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""WITH hh AS (SELECT DISTINCT lang, ${h64("text")} AS h
-      |   FROM documents
-      |   WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7')),
-      | sk AS (SELECT lang, (list_sort(list(h)))[1:16] AS kmv FROM hh GROUP BY 1)
-      | SELECT lang,
-      |   list_reduce(list_prepend(0::BIGINT, kmv), (a, x) -> xor(a, x)) AS kmv_xor,
-      |   len(kmv)::BIGINT AS sketch_size,
-      |   ${q4("CASE WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE " +
-          "ELSE 15.0::DOUBLE * 1152921504606846976.0::DOUBLE / kmv[16]::DOUBLE END")} AS est_distinct
-      | FROM sk""".stripMargin))
-
-  /** Deterministic sample store for quantiles (functions/HashSample.scala)
-    * — the RANK member of the at-rest sketch trio beside KMV (cardinality)
-    * and CMS (frequency): each ingest shard lands the rows whose shared
-    * doc_id hash falls under 2^60/4, and because the threshold is global,
-    * the UNION of shard files IS the merged sample — reading the store
-    * back is the merge. Per-lang medians/p90s and total estimates then
-    * cost sample-sized work forever; the corpus was scanned once at
-    * ingest. Hash-rate membership is engine-deterministic, so the oracle
-    * reproduces the exact sample rows, both quantile estimates, and the
-    * accuracy bit against the exact percentiles — unlike rng sampling,
-    * nothing here is "approximately checkable", it is all pinned.
-    */
-  /** FILE-SKIPPING on the lake ([[graft.sources.ZoneMap]] +
-    * [[graft.sources.SnapshotLake.commitWithStats]]): the fact table is
-    * committed once, range-laid by l_orderkey with per-file min/max zone
-    * maps read from the parquet FOOTERS (metadata-only — no extra data
-    * scan at commit); a narrow key-range report then plans over ONLY the
-    * files whose zone map intersects the range — REQUIREd a strict
-    * subset — and re-applies the exact predicate. The 100 TB shape: a
-    * million-file table answers a selective range probe from one driver-
-    * side manifest read + O(selectivity) file scans, instead of a task
-    * per file; row-group skipping inside the survivors still applies.
-    */
-  val qLakeZonemapPrune = Fixture(
-    "q_lake_zonemap_prune",
-    (s, d) => {
-      import graft.sources.{SnapshotLake, ZoneMap}
-      val h = Integer.toHexString(d.hashCode)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zmlake_$h").getAbsolutePath
-      FixtureOnce(s"graft_zmlake_$h") {
-        SnapshotLake.commitWithStats(
-          Tables.lineitem(s, d).select("l_orderkey", "l_returnflag",
-            "l_quantity"),
-          root, 0L, Seq("l_orderkey"),
-          sortWithinFiles = Some("l_orderkey"), numFiles = 8)
-      }
-      val vp = SnapshotLake.versionPath(root, 0L)
-      val (files, total) = ZoneMap.pruneRange(s, vp, "l_orderkey", 1000L, 2000L)
-      require(files.nonEmpty && files.size < total,
-        s"zone maps over a range layout must prune: ${files.size}/$total")
-      SnapshotLake.readRange(s, root, "l_orderkey", 1000L, 2000L)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("cnt"),
-          Quant.q4(sum(col("l_quantity"))).as("sum_qty"))
-    },
-    Some(s"""SELECT l_returnflag, count(*) AS cnt,
-      |   ${q4("sum(l_quantity)")} AS sum_qty
-      | FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
-      | GROUP BY 1""".stripMargin))
-
-  /** Bloom-filter POINT pruning — the seam zone maps leave open: the
-    * documents table is committed laid out by n_chars, so every file's
-    * doc_id zone map spans nearly the whole id range and prunes nothing;
-    * the per-file Bloom filters (built in ONE distributed pass at commit)
-    * still route a doc_id point lookup to the file(s) that might hold it
-    * — REQUIREd a strict subset — and the exact residual filter keeps the
-    * read exact under the filters' 3% false-positive rate. This is the
-    * primary-key-lookup-without-an-index path a 100 TB document lake
-    * needs: O(1) files opened per probe, no secondary structure beyond
-    * the manifest.
-    */
-  val qLakeBloomPoint = Fixture(
-    "q_lake_bloom_point",
-    (s, d) => {
-      import graft.sources.{SnapshotLake, ZoneMap}
-      val h = Integer.toHexString(d.hashCode)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bloomlake_$h").getAbsolutePath
-      FixtureOnce(s"graft_bloomlake_$h") {
-        SnapshotLake.commitWithStats(
-          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
-          root, 0L, Seq("doc_id"), bloomCols = Seq("doc_id"),
-          sortWithinFiles = Some("n_chars"), numFiles = 8,
-          bloomExpectedPerFile = 100000L)
-      }
-      val vp = SnapshotLake.versionPath(root, 0L)
-      val (rfiles, total) = ZoneMap.pruneRange(s, vp, "doc_id", 42L, 42L)
-      val (pfiles, _) = ZoneMap.pruneEq(s, vp, "doc_id", 42L)
-      require(pfiles.nonEmpty && pfiles.size < total &&
-          pfiles.size <= rfiles.size,
-        s"bloom must prune a point probe below the zone-map survivors: " +
-          s"bloom ${pfiles.size} vs zone ${rfiles.size} of $total")
-      SnapshotLake.readPoint(s, root, "doc_id", 42L)
-        .select("doc_id", "lang", "n_chars")
-    },
-    Some("SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42"))
-
-  /** COMMIT-TIME QUALITY GATES ([[graft.sources.Expectations]] +
-    * [[graft.sources.SnapshotLake.commitChecked]]): the crawl batch lands
-    * on the lake through declared expectations — here `n_chars >= 100`
-    * (the short-doc filter every pretraining pipeline applies) and a
-    * well-formedness check — under the QUARANTINE policy: violators are
-    * dropped by the same job that writes the survivors (violation counts
-    * observed in-flight — no second scan), and the committed version's
-    * audit sidecar records exactly what was dropped. REQUIREd: the audit
-    * matches the oracle-visible drop count and the `__dropped` flag is
-    * set. The served report reads the published (clean) table.
-    */
-  val qLakeExpectations = Fixture(
-    "q_lake_expectations",
-    (s, d) => {
-      import graft.sources.{Expectations, SnapshotLake}
-      import graft.sources.Expectations.Expect
-      val h = Integer.toHexString(d.hashCode)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_explake_$h").getAbsolutePath
-      val docs = Tables.documents(s, d)
-      val checks = Seq(
-        Expect("min_length", col("n_chars") >= 100L),
-        Expect("has_lang", col("lang").isNotNull && length(col("lang")) > 0))
-      FixtureOnce(s"graft_explake_$h") {
-        SnapshotLake.commitChecked(docs, root, 0L, checks,
-          dropViolations = true)
-        ()
-      }
-      val audit = SnapshotLake.readAudit(root, Some(0L))
-      val shortDocs = docs.where(col("n_chars") < 100L).count()
-      require(audit("min_length") == shortDocs && audit("__dropped") == 1L &&
-          audit("__total") == docs.count(),
-        s"audit must record the quarantined rows exactly: $audit " +
-          s"(expected min_length=$shortDocs)")
-      SnapshotLake.read(s, root)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-      | FROM documents
-      | WHERE n_chars >= 100 AND lang IS NOT NULL AND length(lang) > 0
-      | GROUP BY 1""".stripMargin))
-
-  /** Spark-side id column and DuckDB spelling of the unique lineitem row
-    * key the quantile sketches hash (the sample is keyed by row
-    * identity, so both engines must hash the SAME string).
-    */
-  private def liRowId = concat(col("l_orderkey").cast("string"), lit("-"),
-    col("l_linenumber").cast("string"))
-  private val liRowIdSql = "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR"
-
-  /** Shared projection: sketch content pinned by XOR checksums (hash set
-    * + value bits — the gate can't hash raw struct arrays) with size and
-    * two order-statistic estimates riding along.
-    */
-  private def qskServe(df: DataFrame): DataFrame = {
-    import graft.functions.QuantileSketch
-    df.select(col("l_returnflag"),
-      QuantileSketch.hChecksum(col("qsk")).as("h_xor"),
-      QuantileSketch.vChecksum(col("qsk")).as("v_xor"),
-      size(col("qsk")).cast("long").as("sketch_size"),
-      Quant.q4(QuantileSketch.quantile(col("qsk"), 0.5)).as("p50_est"),
-      Quant.q4(QuantileSketch.quantile(col("qsk"), 0.95)).as("p95_est"))
-  }
-
-  private def qskServeSql(skCte: String) = {
-    import graft.functions.QuantileSketch
-    s"""$skCte
-      | SELECT l_returnflag,
-      |   list_reduce(list_prepend(0::BIGINT, list_transform(qsk, x -> x['h'])),
-      |     (a, x) -> xor(a, x)) AS h_xor,
-      |   list_reduce(list_prepend(0::BIGINT,
-      |     list_transform(qsk, x -> round(x['v'] * 10000)::BIGINT)),
-      |     (a, x) -> xor(a, x)) AS v_xor,
-      |   len(qsk)::BIGINT AS sketch_size,
-      |   ${q4(QuantileSketch.quantileSql("qsk", 0.5))} AS p50_est,
-      |   ${q4(QuantileSketch.quantileSql("qsk", 0.95))} AS p95_est
-      | FROM sk""".stripMargin
-  }
-
-  /** BOUNDED MERGEABLE QUANTILE SKETCHES
-    * ([[graft.functions.QuantileSketch]] — bottom-k-by-row-hash samples
-    * carrying the value payload): per-group percentile summaries of
-    * FIXED size k that a DuckDB oracle reproduces bit-for-bit — sketch
-    * content (both XOR checksums), size, and the p50/p95 order-statistic
-    * estimates all pinned, not just an error bound (the same
-    * deterministic-sketch bar the KMV/CMS stores meet; KLL/t-digest
-    * internals could never cross engines like this). One scan, O(k)
-    * state per group, map-side partials.
-    */
-  val qQuantileSketchStore = Fixture(
-    "q_quantile_sketch_store",
-    (s, d) => {
-      import graft.functions.QuantileSketch
-      qskServe(QuantileSketch.sketch(Tables.lineitem(s, d),
-        Seq("l_returnflag"), liRowId, col("l_quantity"), 64))
-    },
-    Some(qskServeSql(s"""WITH hh AS (
-      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
-      |     l_quantity::DOUBLE AS v FROM lineitem),
-      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
-      | sk AS (SELECT l_returnflag,
-      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
-      |   FROM dd GROUP BY 1)""".stripMargin)))
-
-  /** Quantile-sketch ROLLUP: the store is keyed FINER than the query
-    * ((l_returnflag, l_linestatus) vs per-flag) and the report merges
-    * the stored sketches with [[graft.functions.QSketchMergeAgg]] — ONE
-    * plain Aggregate over k-sized arrays, REQUIREd Generate-free.
-    * Bottom-k(∪ of bottom-ks) == bottom-k(∪), so the merged sketch is
-    * BIT-EXACT the direct coarse sketch — the oracle recomputes it from
-    * the raw rows, which is the cross-engine proof of merge exactness.
-    * The 100 TB shape: percentile dashboards over any key subset read
-    * |fine groups| k-sized arrays, never the corpus.
-    */
-  val qQuantileRollup = Fixture(
-    "q_quantile_rollup",
-    (s, d) => {
-      import graft.functions.QuantileSketch
-      val k = 64
-      val fine = QuantileSketch.sketch(Tables.lineitem(s, d),
-        Seq("l_returnflag", "l_linestatus"), liRowId, col("l_quantity"), k)
-      val rolled = fine.groupBy("l_returnflag")
-        .agg(QuantileSketch.mergeBottomK(col("qsk"), k).as("qsk"))
-      require(!rolled.queryExecution.executedPlan.toString.contains("Generate"),
-        "sketch rollup must be one plain Aggregate, no explode")
-      qskServe(rolled)
-    },
-    Some(qskServeSql(s"""WITH hh AS (
-      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
-      |     l_quantity::DOUBLE AS v FROM lineitem),
-      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
-      | sk AS (SELECT l_returnflag,
-      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
-      |   FROM dd GROUP BY 1)""".stripMargin)))
-
-  /** Streaming refresh for the quantile store
-    * ([[graft.streaming.StreamingIvm.startQuantile]]): insert-only CDC
-    * (new rows with suffixed ids and shifted values) arrives as TWO
-    * micro-batches; each trigger union-merges the batch's sketch into
-    * the stored one and commits the next lake version — replay-safe via
-    * the per-writer watermark. Bottom-k union is associative, so the
-    * final store equals the one-shot post-CDC recompute under any
-    * chunking — content, size, and estimates pinned by the oracle. All
-    * FOUR sketch-store families now refresh continuously.
-    */
-  val qStreamIvmQuantile = Fixture(
-    "q_stream_ivm_quantile",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.sources.SnapshotLake
-      val k = 64
-      val li = Tables.lineitem(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_qsklake_${System.nanoTime}").getAbsolutePath
-      SnapshotLake.commit(graft.operators.Ivm.viewQuantile(
-        li.withColumn("rid", liRowId), Seq("l_returnflag"), "rid",
-        "l_quantity", k), root, 0L)
-      def deltaOf(part: DataFrame) = part.where(col("l_partkey") % 7 === 3)
-        .select(col("l_returnflag"), lit("I").as("op"),
-          concat(liRowId, lit("_x")).as("new_id"),
-          (col("l_quantity") + 7d).as("new_v"))
-      def rows(df: DataFrame) =
-        df.as[(String, String, String, Double)].collect().toSeq
-      val b1 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 0)))
-      val b2 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, String, String, Double)]
-      val q = graft.streaming.StreamingIvm.startQuantile(
-        ms.toDF().toDF("l_returnflag", "op", "new_id", "new_v"),
-        root, Seq("l_returnflag"), k, s"${root}_ckpt")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      require(SnapshotLake.currentVersion(root).contains(2L),
-        s"two triggers must commit v1, v2: ${SnapshotLake.currentVersion(root)}")
-      qskServe(SnapshotLake.read(s, root))
-    },
-    Some(qskServeSql(s"""WITH fin AS (
-      |   SELECT l_returnflag, $liRowIdSql AS rid, l_quantity::DOUBLE AS v
-      |   FROM lineitem
-      |   UNION ALL
-      |   SELECT l_returnflag, $liRowIdSql || '_x', (l_quantity + 7)::DOUBLE
-      |   FROM lineitem WHERE l_partkey % 7 = 3),
-      | hh AS (SELECT l_returnflag, ${h64("rid")} AS h, v FROM fin),
-      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
-      | sk AS (SELECT l_returnflag,
-      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
-      |   FROM dd GROUP BY 1)""".stripMargin)))
-
-  /** TRANSPARENT SERVING for the quantile stores (MvRewrite's fourth
-    * arm): the store is registered once, keyed (l_returnflag,
-    * l_linestatus); a percentile report that re-states the bottom-k
-    * aggregate OVER THE BASE TABLE at the coarser per-flag grain is
-    * rewritten to merge the stored sketches ([[graft.functions
-    * .QSketchMergeAgg]], one plain Aggregate over |fine groups| k-sized
-    * arrays) — REQUIREd: the store is the plan's ONLY leaf. Because the
-    * bottom-k merge is bit-exact, the quantile-estimate expressions
-    * wrapped AROUND the sketch see identical inputs, so the oracle (a
-    * from-the-rows recompute) pins content and estimates unchanged. The
-    * warehouse shape: percentile dashboards at any key subset stop
-    * scanning the corpus the day the store is registered.
-    */
-  val qMvRewriteQuantile = Fixture(
-    "q_mv_rewrite_quantile",
-    (s, d) => {
-      import graft.functions.{QuantileSketch, TextFunctions}
-      import graft.plans.{MvRewrite, MvRegistry}
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val k = 64
-      val h = Integer.toHexString(d.hashCode)
-      val basePath = s"${sys.props("java.io.tmpdir")}/graft_qskbase_$h"
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_qskmv_$h"
-      FixtureOnce(s"graft_qskmv_$h") {
-        // the served base: lineitem with its row id materialized as a
-        // STRING column (hash64 is a string hash; both engines must md5
-        // the same bytes)
-        Tables.lineitem(s, d)
-          .select(liRowId.as("rid"), col("l_returnflag"),
-            col("l_linestatus"), col("l_quantity"))
-          .write.mode("overwrite").parquet(basePath)
-        QuantileSketch.sketch(s.read.parquet(basePath),
-          Seq("l_returnflag", "l_linestatus"), col("rid"),
-          col("l_quantity"), k)
-          .write.mode("overwrite").parquet(mvPath)
-      }
-      val name = s"li_qsk_$h"
-      MvRegistry.registerQuantile(s, name, basePath,
-        Seq("l_returnflag", "l_linestatus"), "rid", "l_quantity", k, mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val served = qskServe(s.read.parquet(basePath)
-          .groupBy("l_returnflag")
-          .agg(QuantileSketch.bottomK(TextFunctions.hash64(col("rid")),
-            col("l_quantity"), k).as("qsk")))
-        val leaves = served.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_qskmv"),
-          s"quantile query must serve from the store alone; got " +
-            leaves.mkString(", "))
-        served.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(qskServeSql(s"""WITH hh AS (
-      |   SELECT l_returnflag, ${h64(liRowIdSql)} AS h,
-      |     l_quantity::DOUBLE AS v FROM lineitem),
-      | dd AS (SELECT l_returnflag, h, min(v) AS v FROM hh GROUP BY 1, 2),
-      | sk AS (SELECT l_returnflag,
-      |   (list_sort(list({'h': h, 'v': v})))[1:64] AS qsk
-      |   FROM dd GROUP BY 1)""".stripMargin)))
-
-  /** Transparent CMS serving ([[graft.plans.MvRewrite]]'s tryCms arm) —
-    * the sketch family that could IVM-refresh ([[qIvmCmsFreq]]) but
-    * still paid the corpus scan on every approx-frequency dashboard: a
-    * query RE-STATING the sketch build (`Cms.build(lineitem, …)`) now
-    * reads the registered (keys, r, c, cnt) store instead. The match is
-    * whole-plan canonical equality against a reference build over the
-    * query's own scan (geometry, seeded hashes, value column all pinned
-    * structurally); the query here builds the GLOBAL sketch while the
-    * store is keyed by l_linestatus, so the serve path re-aggregates
-    * cells by sum — bit-identical because the cell hash never involves
-    * the keys — and the min-over-rows probe composes on top unchanged.
-    * REQUIREd: the store is the plan's only parquet leaf (the corpus is
-    * gone). Oracle rebuilds cells, rollup, and probe from lineitem.
-    */
-  val qMvRewriteCmsFreq = Fixture(
-    "q_mv_rewrite_cms_freq",
-    (s, d) => {
-      import s.implicits._
-      import graft.functions.Cms
-      import graft.plans.{MvRewrite, MvRegistry}
-      import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val (depth, width) = (4, 8)
-      val h = Integer.toHexString(d.hashCode)
-      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_cmsmv_$h"
-      FixtureOnce(s"graft_cmsmv_$h") {
-        graft.operators.Ivm.viewCms(Tables.lineitem(s, d),
-            Seq("l_linestatus"), "l_returnflag", depth, width)
-          .write.mode("overwrite").parquet(mvPath)
-      }
-      val name = s"li_cms_$h"
-      MvRegistry.registerCms(s, name, s"$d/lineitem.parquet",
-        Seq("l_linestatus"), "l_returnflag", depth, width, mvPath)
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ MvRewrite()
-      try {
-        val vocab = Seq("A", "N", "R", "ZZ-ABSENT")
-        val served = Cms.pointEstimate(
-          Cms.build(Tables.lineitem(s, d), Seq.empty, col("l_returnflag"),
-            depth, width),
-          vocab.toDF("term"), "term", depth, width)
-        val leaves = served.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty
-          }
-        }.flatten
-        require(leaves.size == 1 && leaves.head.contains("graft_cmsmv"),
-          s"frequency probe must serve from the CMS store alone; got " +
-            leaves.mkString(", "))
-        served.localCheckpoint(true)
-      } finally {
-        s.experimental.extraOptimizations = prev
-        MvRegistry.deregister(name)
-      }
-    },
-    Some(s"""WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
-      | cm AS (SELECT r, ${h64("l_returnflag || '#' || r::VARCHAR")} % 8 AS c,
-      |          count(*) AS cnt
-      |        FROM lineitem CROSS JOIN rs GROUP BY 1, 2),
-      | pv AS (SELECT unnest(['A', 'N', 'R', 'ZZ-ABSENT']) AS term),
-      | pb AS (SELECT term, r, ${h64("term || '#' || r::VARCHAR")} % 8 AS c
-      |        FROM pv CROSS JOIN rs)
-      | SELECT term, min(coalesce(cm.cnt, 0)) AS est
-      | FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
-      | GROUP BY 1""".stripMargin))
-
-  /** FUNNEL ANALYSIS ([[graft.operators.Funnel]]): the
-    * view → click → purchase conversion funnel over the events table,
-    * 1-day window, greedy-from-first-anchor semantics — per user ONE
-    * shuffle and a codegen'd `aggregate` HOF over the sorted (t, step)
-    * structs (the naive spelling self-joins the fact once per step).
-    * The oracle expresses the IDENTICAL left fold as a DuckDB
-    * list_reduce, so the match pins the sequential semantics — ordering,
-    * window inclusion, greedy anchoring — not just totals.
-    */
-  val qFunnelSteps = Fixture(
-    "q_funnel_steps",
-    (s, d) => Funnel.counts(Tables.eventsWithEpoch(s, d), "user_id", "es",
-      "event_type", Seq("view", "click", "purchase"), 86400L),
-    Some("""WITH ev AS (
-      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
-      |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-      |       WHEN 'purchase' THEN 2 ELSE -1 END AS s
-      |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-      | f1 AS (SELECT u, min(t) FILTER (WHERE s = 0) AS t1 FROM ev GROUP BY 1),
-      | f2 AS (SELECT ev.u, f1.t1, min(ev.t) FILTER (WHERE ev.s = 1
-      |     AND ev.t >= f1.t1 AND ev.t <= f1.t1 + 86400) AS t2
-      |   FROM ev JOIN f1 ON ev.u = f1.u GROUP BY 1, 2),
-      | f3 AS (SELECT f2.u, min(ev.t) FILTER (WHERE ev.s = 2
-      |     AND ev.t >= f2.t2 AND ev.t <= f2.t1 + 86400) AS t3
-      |   FROM ev JOIN f2 ON ev.u = f2.u GROUP BY 1),
-      | d AS (SELECT f1.u, CASE WHEN f3.t3 IS NOT NULL THEN 3
-      |     WHEN f2.t2 IS NOT NULL THEN 2
-      |     WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
-      |   FROM f1 LEFT JOIN f2 ON f1.u = f2.u LEFT JOIN f3 ON f1.u = f3.u),
-      | sc AS (SELECT count(*) FILTER (WHERE depth >= 1) AS s1,
-      |     count(*) FILTER (WHERE depth >= 2) AS s2,
-      |     count(*) FILTER (WHERE depth >= 3) AS s3 FROM d)
-      | SELECT 1::BIGINT AS step, 'view' AS step_name, s1 AS n_users
-      |   FROM sc WHERE s1 > 0
-      | UNION ALL SELECT 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
-      | UNION ALL SELECT 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
-
-  /** LIVE data skipping on a continuously-upserted lake table
-    * ([[graft.streaming.StreamingUpsert.startWithStats]]): every CDC
-    * trigger's committed version is laid out by doc_id and carries its
-    * own fresh zone-map manifest — the manifest is PART of the version
-    * (rides the pointer swap), so skipping never serves stale file
-    * stats. After two micro-batches the range report REQUIREs a strict
-    * file subset on the CURRENT (v2) version and matches the post-CDC
-    * oracle exactly. The 100 TB posture: a streamed corpus keeps
-    * point/range probes at O(selectivity) file opens forever, with the
-    * manifest build paid per trigger from the footers the write just
-    * produced.
-    */
-  val qStreamLakeZonemap = Fixture(
-    "q_stream_lake_zonemap",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import graft.sources.{SnapshotLake, ZoneMap}
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zmcdc_${System.nanoTime}").getAbsolutePath
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("long"), col("source"), col("n_chars"))
-      SnapshotLake.commitWithStats(docs.withColumn("ver", lit(0L)), root, 0L,
-        Seq("doc_id"), sortWithinFiles = Some("doc_id"), numFiles = 8)
-      def rows(df: DataFrame) =
-        df.as[(Long, String, Long, Long)].collect().toSeq
-      val b1 = rows(docs.where(col("doc_id") % 10 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L)
-        .withColumn("ver", lit(1L)))
-      val b2 = rows(docs.where(col("doc_id") % 20 === 0)
-        .withColumn("n_chars", col("n_chars") + 2000L).withColumn("ver", lit(2L))
-        .unionByName(docs.where(col("doc_id") % 7 === 3)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("ver", lit(1L))))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Long, Long)]
-      val q = graft.streaming.StreamingUpsert.startWithStats(
-        ms.toDF().toDF("doc_id", "source", "n_chars", "ver"),
-        root, "doc_id", "ver", s"${root}_ckpt", Seq("doc_id"),
-        sortWithinFiles = Some("doc_id"), numFiles = 8)
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      require(SnapshotLake.currentVersion(root).contains(2L),
-        s"two triggers must commit v1, v2: ${SnapshotLake.currentVersion(root)}")
-      val vp = SnapshotLake.versionPath(root, 2L)
-      val (files, total) = ZoneMap.pruneRange(s, vp, "doc_id", 100L, 199L)
-      require(files.nonEmpty && files.size < total,
-        s"the STREAMED version's manifest must prune: ${files.size}/$total")
-      SnapshotLake.readRange(s, root, "doc_id", 100L, 199L)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          max("ver").as("max_ver"))
-    },
-    Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
-      | fin AS (
-      |   SELECT doc_id, source,
-      |     CASE WHEN doc_id % 20 = 0 THEN n_chars + 2000
-      |          WHEN doc_id % 10 = 0 THEN n_chars + 1000
-      |          ELSE n_chars END AS n_chars,
-      |     CASE WHEN doc_id % 20 = 0 THEN 2
-      |          WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS ver
-      |   FROM base
-      |   UNION ALL
-      |   SELECT doc_id + 1000000, source, n_chars, 1 FROM base WHERE doc_id % 7 = 3)
-      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |   max(ver)::BIGINT AS max_ver
-      | FROM fin WHERE doc_id BETWEEN 100 AND 199
-      | GROUP BY 1""".stripMargin))
-
-  /** Streaming twin of [[qFunnelSteps]]
-    * ([[graft.streaming.StreamingFunnel.userDepth]]): the per-DAY
-    * view → click → purchase funnel computed live — watermarked tumbling
-    * day windows keyed (window, user), each user's depth emitted exactly
-    * once when the watermark closes the window, per-day step counts
-    * rolled up from the sink. Emission contract as every append fixture:
-    * windows with end ≤ max event time (over STEP events — the type
-    * filter sits below the watermark); the oracle recomputes the same
-    * fold per (day, user) in DuckDB and applies the same window filter.
-    */
-  val qStreamFunnel = Fixture(
-    "q_stream_funnel",
-    (s, d) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stepNames = Seq("view", "click", "purchase")
-      val rows = Tables.events(s, d)
-        .select(unix_micros(col("ts")), col("user_id").cast("long"),
-          col("event_type"))
-        .as[(Long, Long, String)].collect().sortBy(_._1)
-      val lastStep = rows.reverse.find(r => stepNames.contains(r._3)).get
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, String)]
-      val stream = ms.toDF().toDF("tsu", "user_id", "event_type")
-        .withColumn("ts", timestamp_micros(col("tsu")))
-      val sink = s"funnel_${System.nanoTime}"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = graft.streaming.StreamingFunnel.userDepth(stream, "ts",
-            "user_id", "event_type", stepNames, 86400L)
-          .writeStream.outputMode("append").format("memory")
-          .queryName(sink).start()
-        try {
-          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-            ms.addData(chunk.toSeq); q.processAllAvailable()
-          }
-          // the final watermark only advances on a STEP event (the type
-          // filter sits below the watermark node)
-          ms.addData(Seq(lastStep)); q.processAllAvailable()
-        } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      val names = array(stepNames.map(lit): _*)
-      s.table(sink)
-        .select(col("ws"), explode(sequence(lit(1), col("depth"))).as("step"))
-        .groupBy("ws", "step")
-        .agg(count(lit(1)).as("n_users"))
-        .select(col("ws"), col("step").cast("long").as("step"),
-          element_at(names, col("step")).as("step_name"), col("n_users"))
-    },
-    Some("""WITH e AS (
-      |   SELECT epoch_us(ts::TIMESTAMP) // 1000000 AS t,
-      |     epoch_us(ts::TIMESTAMP) AS eu, user_id AS u,
-      |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-      |       WHEN 'purchase' THEN 2 ELSE -1 END AS s
-      |   FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-      | mx AS (SELECT max(eu) AS mx FROM e),
-      | e2 AS (SELECT (t // 86400) * 86400 AS ws, u, t, s FROM e),
-      | f1 AS (SELECT ws, u, min(t) FILTER (WHERE s = 0) AS t1
-      |   FROM e2 GROUP BY 1, 2),
-      | f2 AS (SELECT e2.ws, e2.u, f1.t1, min(e2.t) FILTER (WHERE e2.s = 1
-      |     AND e2.t >= f1.t1 AND e2.t <= f1.t1 + 86400) AS t2
-      |   FROM e2 JOIN f1 ON e2.ws = f1.ws AND e2.u = f1.u GROUP BY 1, 2, 3),
-      | f3 AS (SELECT f2.ws, f2.u, min(e2.t) FILTER (WHERE e2.s = 2
-      |     AND e2.t >= f2.t2 AND e2.t <= f2.t1 + 86400) AS t3
-      |   FROM e2 JOIN f2 ON e2.ws = f2.ws AND e2.u = f2.u GROUP BY 1, 2),
-      | d AS (SELECT f1.ws, f1.u, CASE WHEN f3.t3 IS NOT NULL THEN 3
-      |     WHEN f2.t2 IS NOT NULL THEN 2
-      |     WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
-      |   FROM f1 LEFT JOIN f2 ON f1.ws = f2.ws AND f1.u = f2.u
-      |     LEFT JOIN f3 ON f1.ws = f3.ws AND f1.u = f3.u),
-      | sc AS (SELECT ws, count(*) FILTER (WHERE depth >= 1) AS s1,
-      |     count(*) FILTER (WHERE depth >= 2) AS s2,
-      |     count(*) FILTER (WHERE depth >= 3) AS s3
-      |   FROM d
-      |   WHERE (ws + 86400) * 1000000 <= (SELECT mx FROM mx)
-      |   GROUP BY 1)
-      | SELECT ws, 1::BIGINT AS step, 'view' AS step_name, s1 AS n_users
-      |   FROM sc WHERE s1 > 0
-      | UNION ALL SELECT ws, 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
-      | UNION ALL SELECT ws, 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
-
-  val qSampleQuantileStore = Fixture(
-    "q_sample_quantile_store",
-    (s, d) => {
-      import graft.functions.HashSample
-      val docs = Tables.documents(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_sample/" +
-        Integer.toHexString(d.hashCode)
-      HashSample.sample(docs.withColumn("shard", col("doc_id") % 4),
-          col("doc_id").cast("string"), 4)
-        .select(col("shard"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").partitionBy("shard").parquet(dir)
-      val sm = s.read.parquet(dir)
-      val fromSample = sm.groupBy("lang").agg(
-        count(lit(1)).as("n_sample"),
-        HashSample.countEstimate(count(lit(1)), 4).as("est_total"),
-        Quant.q4(expr("percentile(n_chars, 0.5D)")).as("p50_est"),
-        Quant.q4(expr("percentile(n_chars, 0.9D)")).as("p90_est"))
-      val exact = docs.groupBy("lang").agg(count(lit(1)).as("n_exact"),
-        Quant.q4(expr("percentile(n_chars, 0.5D)")).as("p50_exact"))
-      fromSample.join(exact, "lang")
-        .withColumn("ok_p50",
-          abs(col("p50_est") - col("p50_exact")) <= col("p50_exact") * 0.25)
-    },
-    Some(s"""WITH sm AS (SELECT lang, n_chars FROM documents
-      |        WHERE ${graft.functions.HashSample.sampleSql("doc_id::VARCHAR", 4)}),
-      | fs AS (SELECT lang, count(*) AS n_sample, count(*) * 4 AS est_total,
-      |          ${q4("quantile_cont(n_chars, 0.5)")} AS p50_est,
-      |          ${q4("quantile_cont(n_chars, 0.9)")} AS p90_est
-      |        FROM sm GROUP BY 1),
-      | ex AS (SELECT lang, count(*) AS n_exact,
-      |          ${q4("quantile_cont(n_chars, 0.5)")} AS p50_exact
-      |        FROM documents GROUP BY 1)
-      | SELECT fs.lang, n_sample, est_total, p50_est, p90_est, n_exact,
-      |   p50_exact,
-      |   abs(p50_est - p50_exact) <= p50_exact * 0.25 AS ok_p50
-      | FROM fs JOIN ex ON ex.lang = fs.lang""".stripMargin))
 
   def fixtures: Seq[Fixture] = Seq(
     qTextStats, qLangId, qFingerprint,
@@ -8588,5 +71,6 @@ object PipelineQueries {
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
-    qMvRewriteCmsFreq)
+    qMvRewriteCmsFreq, qStreamPipelineComposite,
+    qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe)
 }

@@ -93,6 +93,64 @@ object StreamingIvm {
       }
       .start()
 
+  /** [[applyBatchJoin]] for the FULL (cnt/sum/min/max) star rollup
+    * ([[Ivm.viewJoinFull]] schema) — min/max are holistic under deletion,
+    * so the view fold needs the POST-CDC fact for its broken-group
+    * recompute arm. The answer is the row-store pairing the scaladoc
+    * promises: `factRoot` is a [[SnapshotLake]] holding the fact rows
+    * (`rid` + the delta's join/grouping columns + `v`), and each trigger
+    * folds the SAME batch into BOTH roots, row store FIRST:
+    *
+    *  1. [[graft.operators.Upsert.applyCdc]] merges the batch's row-level
+    *     changes into the fact store (post-image `new_v` becomes `v`);
+    *  2. [[Ivm.applyDeltaFullJoin]] folds the view, reading the
+    *     just-committed fact version for broken groups only.
+    *
+    * The ORDER is the crash-safety argument: if the process dies between
+    * the two commits, the replay's fact commit SKIPS (per-writer
+    * watermark) and the view fold still sees the post-batch fact — which
+    * is exactly the state [[Ivm.applyDeltaFullJoin]]'s `newFact` contract
+    * requires. View-first would leave a replayed fold reading a PRE-batch
+    * fact. Batch schema: `rid` (row identity), the fact's join/grouping
+    * key columns, `op`, `old_v`, `new_v`; a U must not move `rid` or any
+    * key (spell it D + I), and an I's `rid` must be fresh.
+    */
+  def applyBatchJoinFull(batch: DataFrame, viewRoot: String,
+      factRoot: String, rid: String,
+      dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      v: String, writerId: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val factLake = SnapshotLake.read(spark, factRoot)
+    val rows = batch.withColumn(v, org.apache.spark.sql.functions.col("new_v"))
+    SnapshotLake.commitNext(
+      graft.operators.Upsert.applyCdc(factLake, rows
+        .select((factLake.columns :+ "op").distinct.map(
+          org.apache.spark.sql.functions.col): _*), rid),
+      factRoot, writerId, batchId)
+    SnapshotLake.commitNext(
+      Ivm.applyDeltaFullJoin(
+        SnapshotLake.read(spark, viewRoot), batch.drop(rid), dims,
+        SnapshotLake.read(spark, factRoot), keys, v),
+      viewRoot, writerId, batchId).isDefined
+  }
+
+  /** Start a fact-side CDC stream into a FULL star rollup + its paired
+    * fact row store — the live min/max dashboard: every trigger pays the
+    * delta⋈dims fold plus (only when a deletion broke a bound) one fact
+    * pass pruned to the broken groups' dim keys.
+    */
+  def startJoinFull(deltas: DataFrame, viewRoot: String, factRoot: String,
+      rid: String, dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[String], v: String, checkpoint: String): StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchJoinFull(batch, viewRoot, factRoot, rid, dims, keys, v,
+          checkpoint, batchId)
+        ()
+      }
+      .start()
+
   /** [[applyBatchJoin]]'s DIM-side twin ([[Ivm.applyDimDeltaJoin]]): each
     * micro-batch of dimension changes re-keys / drops / adopts the
     * affected fact history, reading the fact only through a broadcast
@@ -122,6 +180,40 @@ object StreamingIvm {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchDimDelta(batch, root, fact, factKey, dimKey, keys, v,
           checkpoint, batchId)
+        ()
+      }
+      .start()
+
+  /** [[applyBatchDimDelta]] for a SNOWFLAKE chain
+    * ([[Ivm.applyDimDeltaSnowflake]]): the CDC batch changes a LEAF dim
+    * two or more hops from the fact; each trigger prunes the chain
+    * leaf-inward (the linkCol-bearing mid semi-joined to the batch's
+    * keys), so the fact pass is delta-sized per trigger. Same watermark
+    * guard and static-mids contract.
+    */
+  def applyBatchSnowflake(batch: DataFrame, root: String, fact: DataFrame,
+      mids: Seq[(DataFrame, Seq[(String, String)])], linkCol: String,
+      dimKey: String, keys: Seq[String], v: String,
+      writerId: String, batchId: Long): Boolean =
+    SnapshotLake.commitNext(
+      Ivm.applyDimDeltaSnowflake(
+        SnapshotLake.read(batch.sparkSession, root), fact, mids, linkCol,
+        batch, dimKey, keys, v),
+      root, writerId, batchId).isDefined
+
+  /** Start a leaf-dim CDC stream into a snowflake rollup at `root` — the
+    * dim-of-dim half of the live star dashboard (a customer-attribute
+    * stream keeping a lineitem⋈orders⋈customer view current).
+    */
+  def startSnowflakeDimDelta(deltas: DataFrame, root: String,
+      fact: DataFrame, mids: Seq[(DataFrame, Seq[(String, String)])],
+      linkCol: String, dimKey: String, keys: Seq[String], v: String,
+      checkpoint: String): StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchSnowflake(batch, root, fact, mids, linkCol, dimKey, keys,
+          v, checkpoint, batchId)
         ()
       }
       .start()

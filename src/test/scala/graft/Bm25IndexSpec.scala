@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.PipelineQueries
+import graft.queries.RetrievalQueries
 import graft.similarity.Bm25
 
 /** Persisted BM25 posting index: probe-vs-scan equivalence and the bucket
@@ -19,7 +19,7 @@ class Bm25IndexSpec extends SparkTestBase {
 
   test("index probe returns exactly the scan-bound BM25 result") {
     val tbl = buildIndex()
-    val scan = PipelineQueries.qBm25.build(spark, sfDir)
+    val scan = RetrievalQueries.qBm25.build(spark, sfDir)
     val probe = Bm25.searchTopK(spark, tbl, terms, 20)
     assertSameRows(scan, probe)
   }
@@ -57,7 +57,7 @@ class Bm25IndexSpec extends SparkTestBase {
     // the stats table is an append-only delta log: build row + append row
     assert(spark.table(s"${tbl}_stats").count() == 2,
       "append must land a stats DELTA row, not rewrite the log")
-    val scan = PipelineQueries.qBm25.build(spark, sfDir)
+    val scan = RetrievalQueries.qBm25.build(spark, sfDir)
     assertSameRows(scan, Bm25.searchTopK(spark, tbl, terms, 20))
     // crash repair: clobber the stats log (as if a delta was lost), then
     // rebuild from the doc-level table — totals and probe results recover

@@ -69,7 +69,7 @@ class EdgeCaseSpec extends SparkTestBase {
   test("chunking: empty and single-token docs yield exactly one chunk") {
     // split('') = [""] — one token, one chunk, first_tok empty/itself
     val docs = Seq((1L, ""), (2L, "lone"), (3L, "a b c")).toDF("doc_id", "text")
-    val got = queries.PipelineQueries.qChunkDocs.build(spark, sfDir) // smoke real table
+    val got = queries.CrawlQueries.qChunkDocs.build(spark, sfDir) // smoke real table
     assert(got.columns.toSeq == Seq("doc_id", "chunk_id", "n_tok_chunk", "first_tok"))
     val chunks = docs.select(col("doc_id"),
         graft.functions.TextFunctions.words(col("text")).as("w"))
@@ -81,7 +81,7 @@ class EdgeCaseSpec extends SparkTestBase {
   }
 
   test("sequence packing: pack token totals tile the corpus and packs are contiguous") {
-    val packs = queries.PipelineQueries.qPackSequences.build(spark, sfDir)
+    val packs = queries.CrawlQueries.qPackSequences.build(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
     val totalTok = docs.select(
       sum(graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")))

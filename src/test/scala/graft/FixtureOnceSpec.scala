@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{FixtureOnce, PipelineQueries}
+import graft.queries.{FixtureOnce, RetrievalQueries}
 
 /** FixtureOnce (queries/Fixture.scala): the session-scoped ingest
   * memoization must leave a re-run fixture's RESULTS identical — the
@@ -9,7 +9,7 @@ import graft.queries.{FixtureOnce, PipelineQueries}
 class FixtureOnceSpec extends SparkTestBase {
 
   test("second run of an index-at-rest fixture skips the build, same rows") {
-    val fx = PipelineQueries.qBm25Index
+    val fx = RetrievalQueries.qBm25Index
     val first = fx.build(spark, sfDir).collect().map(_.toSeq).toSeq
     val second = fx.build(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(first == second && first.nonEmpty)

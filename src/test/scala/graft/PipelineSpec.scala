@@ -19,11 +19,11 @@ class PipelineSpec extends SparkTestBase {
       .map(i => (s"src_$i", "alpha beta gamma delta epsilon"))
       .toDF("source", "text")
     val e = intercept[IllegalArgumentException] {
-      graft.queries.PipelineQueries.sourceOverlap(spark, wide)
+      graft.queries.RetrievalQueries.sourceOverlap(spark, wide)
     }
     assert(e.getMessage.contains("64"))
     // 64 sources is still within the LONG mask — must build a plan, not throw
-    graft.queries.PipelineQueries.sourceOverlap(spark, wide.limit(0)
+    graft.queries.RetrievalQueries.sourceOverlap(spark, wide.limit(0)
       .union(wide.where(col("source") =!= "src_64")))
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.PipelineQueries
+import graft.queries.RetrievalQueries
 
 /** The sketch fixtures' accuracy contracts must hold at every scale factor a
   * gate runs (verify: sf0.01, bench: sf0.1) — the oracle emits literal TRUE,
@@ -14,7 +14,7 @@ class SketchSpec extends SparkTestBase {
 
   test("approx_count_distinct lands within 10% of exact on every source") {
     for (d <- dirs) {
-      val bad = PipelineQueries.qApproxDistinct.build(spark, d)
+      val bad = RetrievalQueries.qApproxDistinct.build(spark, d)
         .where(!org.apache.spark.sql.functions.col("hll_ok")).collect()
       assert(bad.isEmpty, s"$d: ${bad.mkString(", ")}")
     }
@@ -22,7 +22,7 @@ class SketchSpec extends SparkTestBase {
 
   test("approx_percentile lands within max(10%, 2) of exact on every source") {
     for (d <- dirs) {
-      val f = PipelineQueries.qApproxQuantiles.build(spark, d)
+      val f = RetrievalQueries.qApproxQuantiles.build(spark, d)
       val bad = f.where(org.apache.spark.sql.functions.expr(
         "NOT (ok_p50 AND ok_p90 AND ok_p99)")).collect()
       assert(bad.isEmpty, s"$d: ${bad.mkString(", ")}")

@@ -48,4 +48,26 @@ class UpsertSpec extends SparkTestBase {
     assert(exchanges <= 1, s"lake side must not shuffle:\n$p")
     assert(merged.count() == Tables.documents(spark, sfDir).count() + 1)
   }
+
+  test("applyCdc: full I/U/D row fold; bad ops refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lake = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val batch = Seq(
+      (2L, "U", "b2", 21L),   // update in place
+      (3L, "D", null, 0L),    // delete
+      (4L, "I", "d", 40L)     // insert
+    ).toDF("k", "op", "s", "v")
+    val out = Upsert.applyCdc(lake, batch, "k")
+    assertSameRows(out,
+      Seq((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)).toDF("k", "s", "v"))
+    // NULL / unknown op fails loudly, never a silent skip
+    val bad = Seq((1L, null: String, "x", 1L)).toDF("k", "op", "s", "v")
+    intercept[IllegalArgumentException] { Upsert.applyCdc(lake, bad, "k") }
+    val unk = Seq((1L, "X", "x", 1L)).toDF("k", "op", "s", "v")
+    intercept[IllegalArgumentException] { Upsert.applyCdc(lake, unk, "k") }
+    // applying the same batch twice is content-idempotent (keys re-drop)
+    assertSameRows(Upsert.applyCdc(out, batch, "k"), out)
+  }
 }
