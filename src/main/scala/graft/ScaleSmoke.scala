@@ -57,8 +57,17 @@ object ScaleSmoke {
       // events.ts normalizes through Tables.events (nanos legacy form);
       // re-landing writes plain TIMESTAMP(MICROS), which Tables reads fine
       land("events", replicate(Tables.events(spark, src), Seq("event_id", "user_id")))
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem"))
+      // the STAR schema replicates CONSISTENTLY (join keys shift in
+      // lockstep across fact and dims), so the star/snowflake IVM and
+      // MV fixtures scale with the factor too: every replica is a
+      // disjoint copy of the whole fact⋈orders⋈customer subgraph
+      land("lineitem", replicate(Tables.lineitem(spark, src),
+        Seq("l_orderkey")))
+      land("orders", replicate(Tables.orders(spark, src),
+        Seq("o_orderkey", "o_custkey")))
+      land("customer", replicate(Tables.customer(spark, src),
+        Seq("c_custkey")))
+      for (t <- Seq("region", "nation", "supplier", "part"))
         land(t, Tables.load(spark, src, t))
       new java.io.File(s"$dest/_SMOKE_READY").createNewFile()
     } else println(s"[smoke] reusing $dest")

@@ -369,6 +369,81 @@ object Ivm {
       .where(col("cnt") > 0)
   }
 
+  /** Maintain a [[viewJoinFull]] (cnt/sum/min/max) star rollup from a
+    * DIM-side CDC delta — the last cell of the IVM matrix ({fact, dim} ×
+    * {algebraic, full}): a dim re-key MOVES fact history between groups,
+    * which for bounds means the source group may lose the row HOLDING its
+    * bound (broken → recompute) while the target group's bound can only
+    * improve (algebraic `least`/`greatest`). The fold reuses both proven
+    * pieces: the pruned fact slice fans out to a subtract side (op `D`,
+    * OLD dim attributes, pre-image value) and an add side (op `I`, NEW
+    * attributes, post-image value) — a synthetic fact-shaped delta — and
+    * [[maintainFull]] classifies broken groups exactly as in the fact-
+    * side arm. The recompute scan reads the UNCHANGED fact joined with
+    * `newDims` (the post-CDC dimensions, the same relations a from-
+    * scratch [[viewJoinFull]] would use), pruned to the broken groups'
+    * key values — never the corpus. Contracts: [[applyDimDeltaJoin]]'s
+    * delta shape (`dimKey, op, old_k/new_k` per dim-sourced key) and
+    * size-guarded broadcasts.
+    */
+  def applyDimDeltaFullJoin(view: DataFrame, fact: DataFrame,
+      factKey: String, dimDelta: DataFrame, dimKey: String,
+      newDims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      v: String, maxBroadcastRows: Int = 4000000): DataFrame = {
+    require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "dim deltas are I/U/D with non-null op")
+    val dimSourced = keys.filter(k => dimDelta.columns.contains(s"old_$k"))
+    require(dimSourced.nonEmpty,
+      "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
+    val factSourced = keys.filterNot(dimSourced.contains)
+    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
+    val slice = fact.join(
+        hint(dimDelta.select(col(dimKey)).distinct()),
+        col(factKey) === col(dimKey), "left_semi")
+      .select((factSourced :+ factKey).map(col) :+ col(v).as("__v"): _*)
+    // synthetic fact-side delta: one pruned fact pass fans each joined
+    // row out to (old attrs, D, old_v) and (new attrs, I, new_v)
+    def sideStruct(prefix: String, op: String,
+        active: org.apache.spark.sql.Column) = {
+      // a NULL of __v's OWN type (when with no matching branch), so the
+      // synthetic delta never widens the view's value type
+      val nullV = when(lit(false), col("__v"))
+      struct(dimSourced.map(k => col(s"$prefix$k").as(k)) ++ Seq(
+        lit(op).as("op"),
+        (if (op == "D") when(active, col("__v")) else nullV).as("old_v"),
+        (if (op == "I") when(active, col("__v")) else nullV).as("new_v"),
+        when(active, lit(1)).otherwise(lit(0)).as("__a")): _*)
+    }
+    val synthetic = slice
+      .join(hint(dimDelta), col(factKey) === col(dimKey))
+      .select(factSourced.map(col) ++ Seq(
+        explode(array(
+          sideStruct("old_", "D", col("op") =!= "I"),
+          sideStruct("new_", "I", col("op") =!= "D"))).as("__side"),
+        col("__v")): _*)
+      .where(col("__side.__a") === 1)
+      .select(factSourced.map(col) ++
+        dimSourced.map(k => col(s"__side.$k").as(k)) ++ Seq(
+          col("__side.op").as("op"), col("__side.old_v").as("old_v"),
+          col("__side.new_v").as("new_v")): _*)
+    maintainFull(view, synthetic, keys) { brokenKeys =>
+      val prunedDims = newDims.map { case (dim, pairs) =>
+        val ks = keys.filter(dim.columns.contains)
+        val pruned =
+          if (ks.isEmpty) dim
+          else dim.join(
+            broadcast(brokenKeys.select(ks.map(col): _*).distinct()),
+            ks, "left_semi")
+        (pruned, pairs)
+      }
+      joinDims(fact, prunedDims)
+        .join(broadcast(brokenKeys), keys, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+    }
+  }
+
   /** The size-guarded broadcast hint: probe whether `delta` holds at most
     * `maxRows` rows with ONE limit-bounded job (the probe reads `maxRows
     * + 1` rows at most, so it never full-scans an unexpectedly huge

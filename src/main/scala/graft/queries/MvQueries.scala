@@ -872,6 +872,60 @@ object MvQueries {
       | JOIN dimf ON o_custkey = c_custkey
       | GROUP BY 1""".stripMargin))
 
+  /** DIM-side min/max maintenance ([[graft.operators.Ivm
+    * .applyDimDeltaFullJoin]]) — the LAST cell of the IVM matrix
+    * ({fact, dim} × {algebraic, full}): the same U/D/I dim recipe as
+    * [[qIvmJoinDimDelta]], applied to the FULL (cnt/sum/min/max) star
+    * rollup. A re-key OUT of a group can remove the row holding its
+    * bound (broken → recompute against the unchanged fact ⋈ post-CDC
+    * dims, pruned to the broken groups' keys), a re-key IN only improves
+    * bounds algebraically, and an adopted group materializes from its
+    * orphans. Oracle = from-scratch post-CDC recompute of all four
+    * aggregates through the join.
+    */
+  val qIvmJoinDimMinmax = Fixture(
+    "q_ivm_join_dim_minmax",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      val view0 = graft.operators.Ivm.viewJoinFull(li,
+        Seq(ords.where(col("o_orderkey") % 50 =!= 11) ->
+          Seq("l_orderkey" -> "o_orderkey")),
+        Seq("o_orderpriority"), "l_quantity")
+      val delta = ords.where(col("o_orderkey") % 50 === 7)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderpriority").as("old_o_orderpriority"),
+          lit("9-SPECIAL").as("new_o_orderpriority"))
+        .unionByName(ords.where(col("o_orderkey") % 50 === 3)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderpriority").as("old_o_orderpriority"),
+            lit(null).cast("string").as("new_o_orderpriority")))
+        .unionByName(ords.where(col("o_orderkey") % 50 === 11)
+          .select(col("o_orderkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_o_orderpriority"),
+            col("o_orderpriority").as("new_o_orderpriority")))
+      // the post-CDC dimension — what a from-scratch rebuild would join
+      val dimAfter = ords.where(col("o_orderkey") % 50 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 50 === 7, lit("9-SPECIAL"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      graft.operators.Ivm.applyDimDeltaFullJoin(view0,
+          li.select("l_orderkey", "l_quantity"), "l_orderkey",
+          delta, "o_orderkey",
+          Seq(dimAfter -> Seq("l_orderkey" -> "o_orderkey")),
+          Seq("o_orderpriority"), "l_quantity")
+        .select(col("o_orderpriority"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"))
+    },
+    Some(s"""WITH dimf AS (
+      |   SELECT o_orderkey, CASE WHEN o_orderkey % 50 = 7 THEN '9-SPECIAL'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |   FROM orders WHERE o_orderkey % 50 <> 3)
+      | SELECT o_orderpriority, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v,
+      |   min(l_quantity) AS min_v, max(l_quantity) AS max_v
+      | FROM lineitem JOIN dimf ON l_orderkey = o_orderkey
+      | GROUP BY 1""".stripMargin))
+
   /** Streaming twin of [[qIvmJoinMinmax]]
     * ([[graft.streaming.StreamingIvm.startJoinFull]]): a fact-side CDC
     * stream maintains the FULL (cnt/sum/min/max) star rollup — each

@@ -72,5 +72,6 @@ object PipelineQueries {
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
     qMvRewriteCmsFreq, qStreamPipelineComposite,
-    qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe)
+    qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
+    qIvmJoinDimMinmax)
 }

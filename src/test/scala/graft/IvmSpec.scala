@@ -345,6 +345,48 @@ class IvmSpec extends SparkTestBase {
       Ivm.viewJoinFull(afterIns, dims, Seq("grp"), "v"))
   }
 
+  test("dim-side FULL star delta: bounds re-key exactly; untouched unbroken groups never read") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L),
+      (5L, 55L)).toDF("fk", "v")
+    val dim0 = Seq((1L, "x"), (2L, "y"), (3L, "x"), (5L, "w"))
+      .toDF("pk", "grp")
+    val view0 = Ivm.viewJoinFull(fact, Seq(dim0 -> Seq("fk" -> "pk")),
+      Seq("grp"), "v")
+    // U: pk2 y→x (y vanishes — its only row leaves; x gains 5, an
+    // algebraic min improvement); D: pk3 (x loses 7 — its CURRENT min,
+    // so x is BROKEN and recomputes); I: pk4 (orphan 100 adopted into a
+    // brand-new group z); group w (pk5) untouched
+    val delta = Seq(
+      (2L, "U", Option("y"), Option("x")),
+      (3L, "D", Option("x"), Option.empty[String]),
+      (4L, "I", Option.empty[String], Option("z"))
+    ).toDF("pk", "op", "old_grp", "new_grp")
+    val dimAfter = Seq((1L, "x"), (2L, "x"), (4L, "z"), (5L, "w"))
+      .toDF("pk", "grp")
+    val newDims = Seq(dimAfter -> Seq("fk" -> "pk"))
+    val expected = Ivm.viewJoinFull(fact, newDims, Seq("grp"), "v")
+    assertSameRows(
+      Ivm.applyDimDeltaFullJoin(view0, fact, "fk", delta, "pk", newDims,
+        Seq("grp"), "v"),
+      expected)
+    // pruning, pinned behaviorally: fk=5's group w is untouched AND
+    // unbroken, so neither the slice pass (changed keys {2,3,4}) nor the
+    // recompute pass (broken group x → post-CDC keys {1,2}) may read it
+    val poisoned = fact.select(col("fk"),
+      when(col("fk") === 5L, col("v") + 100000L).otherwise(col("v")).as("v"))
+    assertSameRows(
+      Ivm.applyDimDeltaFullJoin(view0, poisoned, "fk", delta, "pk", newDims,
+        Seq("grp"), "v"),
+      expected)
+    // bad ops refused, same as every dim arm
+    val bad = Seq((2L, null: String, Option("y"), Option("x")))
+      .toDF("pk", "op", "old_grp", "new_grp")
+    intercept[IllegalArgumentException] {
+      Ivm.applyDimDeltaFullJoin(view0, fact, "fk", bad, "pk", newDims,
+        Seq("grp"), "v")
+    }
+  }
+
   test("snowflake leaf-dim delta: two-hop re-key/delete/adopt; untouched fact keys never read") {
     // fact(fk, v) -> mid(mk, ck) -> leaf(pk, grp): the changed dim sits
     // TWO hops from the fact, linked through mid.ck
