@@ -229,21 +229,34 @@ object Ivm {
   def applyDeltaFullJoin(view: DataFrame, delta: DataFrame,
       dims: Seq[(DataFrame, Seq[(String, String)])], newFact: DataFrame,
       keys: Seq[String], v: String): DataFrame =
-    maintainFull(view, joinDims(delta, dims), keys) { brokenKeys =>
-      val prunedDims = dims.map { case (dim, pairs) =>
-        val ks = keys.filter(dim.columns.contains)
-        val pruned =
-          if (ks.isEmpty) dim
-          else dim.join(
-            broadcast(brokenKeys.select(ks.map(col): _*).distinct()),
-            ks, "left_semi")
-        (pruned, pairs)
-      }
-      joinDims(newFact, prunedDims)
-        .join(broadcast(brokenKeys), keys, "left_semi")
-        .groupBy(keys.map(col): _*)
-        .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+    maintainFull(view, joinDims(delta, dims), keys)(
+      recomputeJoin(newFact, dims, keys, v))
+
+  /** The shared broken-group recompute arm for every JOIN-view full
+    * maintenance path: each grouping-key-bearing dim is semi-joined down
+    * to the broken groups' key values (broadcastable by construction —
+    * broken groups are a handful), the fact joins that pruned slice so
+    * untouched rows drop at the join, and the final semi-join on the
+    * broken keys re-asserts exactness regardless of which dims carried
+    * keys.
+    */
+  private def recomputeJoin(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      v: String)(brokenKeys: DataFrame): DataFrame = {
+    val prunedDims = dims.map { case (dim, pairs) =>
+      val ks = keys.filter(dim.columns.contains)
+      val pruned =
+        if (ks.isEmpty) dim
+        else dim.join(
+          broadcast(brokenKeys.select(ks.map(col): _*).distinct()),
+          ks, "left_semi")
+      (pruned, pairs)
     }
+    joinDims(fact, prunedDims)
+      .join(broadcast(brokenKeys), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
+  }
 
   /** Materialize a FREQUENCY view as a Count-Min sketch store
     * ([[graft.functions.Cms.build]]'s relational (keys…, r, c, cnt)
@@ -389,7 +402,49 @@ object Ivm {
   def applyDimDeltaFullJoin(view: DataFrame, fact: DataFrame,
       factKey: String, dimDelta: DataFrame, dimKey: String,
       newDims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
+      v: String, maxBroadcastRows: Int = 4000000): DataFrame =
+    dimDeltaFullCore(view, fact, factKey, dimDelta, dimKey, keys, v,
+      maxBroadcastRows)(recomputeJoin(fact, newDims, keys, v))
+
+  /** [[applyDimDeltaFullJoin]] for a CDC delta on the LEAF dim of a
+    * SNOWFLAKE chain — the final cell of the matrix ({star, snowflake} ×
+    * {fact, dim} × {algebraic, full}). The DELTA side walks the chain
+    * pruned leaf-inward (the linkCol-bearing mid semi-joined to the
+    * changed keys, as in [[applyDimDeltaSnowflake]]); the RECOMPUTE side
+    * deliberately does NOT prune by changed keys — a broken group's bound
+    * must recompute over ALL its surviving rows, most of which belong to
+    * UNTOUCHED leaf keys — so it reads the fact through the full mids
+    * joined to `newLeaf` (the post-CDC leaf), pruned only to the broken
+    * groups' key values like every full arm.
+    */
+  def applyDimDeltaFullSnowflake(view: DataFrame, fact: DataFrame,
+      mids: Seq[(DataFrame, Seq[(String, String)])], linkCol: String,
+      dimDelta: DataFrame, dimKey: String,
+      newLeaf: (DataFrame, Seq[(String, String)]), keys: Seq[String],
       v: String, maxBroadcastRows: Int = 4000000): DataFrame = {
+    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
+    val changed = dimDelta.select(col(dimKey)).distinct()
+    val prunedMids = mids.map { case (dim, pairs) =>
+      val pruned =
+        if (dim.columns.contains(linkCol))
+          dim.join(hint(changed), col(linkCol) === col(dimKey), "left_semi")
+        else dim
+      (pruned, pairs)
+    }
+    dimDeltaFullCore(view, joinDims(fact, prunedMids), linkCol, dimDelta,
+      dimKey, keys, v, maxBroadcastRows)(
+      recomputeJoin(fact, mids :+ newLeaf, keys, v))
+  }
+
+  /** The shared dim-side FULL-view fold: build the synthetic fact-shaped
+    * delta from `sliceFact` (the fact, possibly pre-enriched with pruned
+    * chain mids) joined to the dim delta on `linkCol = dimKey`, then run
+    * [[maintainFull]] with the caller's recompute arm.
+    */
+  private def dimDeltaFullCore(view: DataFrame, sliceFact: DataFrame,
+      factKey: String, dimDelta: DataFrame, dimKey: String,
+      keys: Seq[String], v: String, maxBroadcastRows: Int)(
+      recompute: DataFrame => DataFrame): DataFrame = {
     require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
         !(col("op") <=> "D")).isEmpty,
       "dim deltas are I/U/D with non-null op")
@@ -398,6 +453,7 @@ object Ivm {
       "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
     val factSourced = keys.filterNot(dimSourced.contains)
     val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
+    val fact = sliceFact
     val slice = fact.join(
         hint(dimDelta.select(col(dimKey)).distinct()),
         col(factKey) === col(dimKey), "left_semi")
@@ -427,21 +483,7 @@ object Ivm {
         dimSourced.map(k => col(s"__side.$k").as(k)) ++ Seq(
           col("__side.op").as("op"), col("__side.old_v").as("old_v"),
           col("__side.new_v").as("new_v")): _*)
-    maintainFull(view, synthetic, keys) { brokenKeys =>
-      val prunedDims = newDims.map { case (dim, pairs) =>
-        val ks = keys.filter(dim.columns.contains)
-        val pruned =
-          if (ks.isEmpty) dim
-          else dim.join(
-            broadcast(brokenKeys.select(ks.map(col): _*).distinct()),
-            ks, "left_semi")
-        (pruned, pairs)
-      }
-      joinDims(fact, prunedDims)
-        .join(broadcast(brokenKeys), keys, "left_semi")
-        .groupBy(keys.map(col): _*)
-        .agg(min(col(v)).as("r_min"), max(col(v)).as("r_max"))
-    }
+    maintainFull(view, synthetic, keys)(recompute)
   }
 
   /** The size-guarded broadcast hint: probe whether `delta` holds at most

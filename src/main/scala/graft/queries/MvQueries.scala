@@ -1172,6 +1172,63 @@ object MvQueries {
     },
     qIvmSnowflakeDimDelta.oracle)
 
+  /** SNOWFLAKE leaf-dim delta against the FULL view — the final cell of
+    * the IVM matrix ({star, snowflake} × {fact, dim} ×
+    * {algebraic, full}): the same customer U/D/I recipe as
+    * [[qIvmSnowflakeDimDelta]], maintaining cnt/sum/min/max
+    * ([[graft.operators.Ivm.applyDimDeltaFullSnowflake]]). The delta side
+    * walks the chain pruned leaf-inward; groups whose departing rows held
+    * a bound recompute against the fact ⋈ full orders ⋈ post-CDC
+    * customer, pruned to the broken segments only. Oracle = post-CDC
+    * recompute of all four aggregates through the chain.
+    */
+  val qIvmSnowflakeDimMinmax = Fixture(
+    "q_ivm_snowflake_dim_minmax",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d)
+      val mids = Seq(ords -> Seq("l_orderkey" -> "o_orderkey"))
+      val view0 = graft.operators.Ivm.viewJoinFull(li,
+        mids :+ (cust.where(col("c_custkey") % 50 =!= 11)
+            .select("c_custkey", "c_mktsegment") ->
+          Seq("o_custkey" -> "c_custkey")),
+        Seq("c_mktsegment"), "l_quantity")
+      val delta = cust.where(col("c_custkey") % 50 === 7)
+        .select(col("c_custkey"), lit("U").as("op"),
+          col("c_mktsegment").as("old_c_mktsegment"),
+          lit("9-SPECIAL").as("new_c_mktsegment"))
+        .unionByName(cust.where(col("c_custkey") % 50 === 3)
+          .select(col("c_custkey"), lit("D").as("op"),
+            col("c_mktsegment").as("old_c_mktsegment"),
+            lit(null).cast("string").as("new_c_mktsegment")))
+        .unionByName(cust.where(col("c_custkey") % 50 === 11)
+          .select(col("c_custkey"), lit("I").as("op"),
+            lit(null).cast("string").as("old_c_mktsegment"),
+            col("c_mktsegment").as("new_c_mktsegment")))
+      val leafAfter = cust.where(col("c_custkey") % 50 =!= 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 50 === 7, lit("9-SPECIAL"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.operators.Ivm.applyDimDeltaFullSnowflake(view0,
+          li.select("l_orderkey", "l_quantity"), mids, "o_custkey",
+          delta, "c_custkey",
+          leafAfter -> Seq("o_custkey" -> "c_custkey"),
+          Seq("c_mktsegment"), "l_quantity")
+        .select(col("c_mktsegment"), col("cnt"),
+          Quant.q4(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"))
+    },
+    Some(s"""WITH dimf AS (
+      |   SELECT c_custkey, CASE WHEN c_custkey % 50 = 7 THEN '9-SPECIAL'
+      |       ELSE c_mktsegment END AS c_mktsegment
+      |   FROM customer WHERE c_custkey % 50 <> 3)
+      | SELECT c_mktsegment, count(*) AS cnt, ${q4("sum(l_quantity)")} AS sum_v,
+      |   min(l_quantity) AS min_v, max(l_quantity) AS max_v
+      | FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN dimf ON o_custkey = c_custkey
+      | GROUP BY 1""".stripMargin))
+
   /** MvRewrite v4, SNOWFLAKE shape: the MV materialized
     * `lineitem ⋈ orders ⋈ customer` (the chain joins THROUGH orders —
     * o_custkey lives on the middle table, not the fact) rolled up to

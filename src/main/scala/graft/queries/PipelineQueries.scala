@@ -73,5 +73,5 @@ object PipelineQueries {
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
     qMvRewriteCmsFreq, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
-    qIvmJoinDimMinmax)
+    qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax)
 }

@@ -439,6 +439,44 @@ class IvmSpec extends SparkTestBase {
         Seq("grp2"), "v"))
   }
 
+  test("snowflake leaf-dim FULL delta: bounds re-key through two hops; unbroken untouched never read") {
+    val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L),
+      (5L, 55L)).toDF("fk", "v")
+    val mid = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 30L), (5L, 40L))
+      .toDF("mk", "ck")
+    val mids = Seq(mid -> Seq("fk" -> "mk"))
+    val leaf0 = Seq((10L, "x"), (20L, "y"), (40L, "w")).toDF("pk", "grp")
+    val view0 = Ivm.viewJoinFull(fact,
+      mids :+ (leaf0 -> Seq("ck" -> "pk")), Seq("grp"), "v")
+    // D: customer 10 leaves — x loses the rows HOLDING its bounds
+    // (fk1, fk3; min 7 was among them → BROKEN); U: customer 20 y→x
+    // (fk2's 5 moves in — y vanishes, x's incoming side is algebraic);
+    // I: customer 30 appears (fk4's orphan 100 adopted into new group z);
+    // customer 40 / group w untouched
+    val delta = Seq(
+      (10L, "D", Option("x"), Option.empty[String]),
+      (20L, "U", Option("y"), Option("x")),
+      (30L, "I", Option.empty[String], Option("z"))
+    ).toDF("pk", "op", "old_grp", "new_grp")
+    val leafAfter = Seq((20L, "x"), (30L, "z"), (40L, "w")).toDF("pk", "grp")
+    val newLeaf = leafAfter -> Seq("ck" -> "pk")
+    val expected = Ivm.viewJoinFull(fact, mids :+ newLeaf, Seq("grp"), "v")
+    assertSameRows(
+      Ivm.applyDimDeltaFullSnowflake(view0, fact, mids, "ck", delta, "pk",
+        newLeaf, Seq("grp"), "v"),
+      expected)
+    // fk5 (customer 40, group w) is untouched AND unbroken: neither the
+    // leaf-inward delta slice (changed keys {10,20,30} → fks {1,2,3,4})
+    // nor the broken-group recompute (x → post-CDC leaf key 20 → fk 2)
+    // may read it
+    val poisoned = fact.select(col("fk"),
+      when(col("fk") === 5L, col("v") + 100000L).otherwise(col("v")).as("v"))
+    assertSameRows(
+      Ivm.applyDimDeltaFullSnowflake(view0, poisoned, mids, "ck", delta,
+        "pk", newLeaf, Seq("grp"), "v"),
+      expected)
+  }
+
   test("dim-delta broadcast is size-guarded: over-threshold delta shuffles, same values") {
     val fact = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
       .toDF("fk", "v")

@@ -892,6 +892,46 @@ class MvRewriteSpec extends SparkTestBase {
     assert(!scanPaths(q).exists(_.contains("mv_view")))
   }
 
+  test("join MV with min/max serves rollups: min-of-mins over the group-sized store") {
+    val parent = freshDir("mv_jf")
+    (1 to 400).map(i => (i.toLong, (i % 97).toLong * 3L))
+      .toDF("fk", "v").write.parquet(s"$parent/fact")
+    (1 to 400).map(i => (i.toLong, s"g${i % 4}", s"s${i % 10}"))
+      .toDF("pk", "grp", "sub").write.parquet(s"$parent/dim")
+    val fact = spark.read.parquet(s"$parent/fact")
+    val dim = spark.read.parquet(s"$parent/dim")
+    graft.operators.Ivm.viewJoinFull(fact, Seq(dim -> Seq("fk" -> "pk")),
+        Seq("grp", "sub"), "v")
+      .write.parquet(s"$parent/mv")
+    MvRegistry.registerJoin(spark, "mv_jf", s"$parent/fact", s"$parent/dim",
+      "fk", "pk", Seq("grp", "sub"),
+      Seq(MvRegistry.AggDef("cnt", "count", None),
+        MvRegistry.AggDef("sum_v", "sum", Some("v")),
+        MvRegistry.AggDef("min_v", "min", Some("v")),
+        MvRegistry.AggDef("max_v", "max", Some("v"))), s"$parent/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite()
+    try {
+      def q() = fact.join(dim, col("fk") === col("pk"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val served = q()
+      assert(scanPaths(served).forall(_.contains("/mv")) &&
+        scanPaths(served).nonEmpty,
+        s"coarser min/max rollup must serve from the join MV: ${scanPaths(served)}")
+      val got = served.collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+      spark.experimental.extraOptimizations = prev
+      val direct = q().collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      spark.experimental.extraOptimizations = prev :+ MvRewrite()
+      assert(got == direct, s"$got vs $direct")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRegistry.deregister("mv_jf")
+    }
+  }
+
   test("CMS store serves re-stated sketch builds; geometry/value/key guards hold") {
     import graft.functions.Cms
     val parent = freshDir("mv_cms")
