@@ -2337,6 +2337,145 @@ object CrawlQueries {
       |   sum(doc_id)::BIGINT AS id_sum, max(ver)::BIGINT AS max_ver
       | FROM fin GROUP BY 1""".stripMargin))
 
+  /** MERGE-ON-READ CDC ([[graft.sources.SnapshotLake.commitNextMor]]) —
+    * the copy-on-write upsert path above rewrites the whole snapshot per
+    * batch (exact, but a 100 TB table cannot pay a table-sized write for
+    * a row-sized trigger); the MoR layout commits ONLY the batch's add
+    * rows and delete keys per version (REQUIREd structurally: v1's add
+    * layer holds exactly the batch), resolves at read as
+    * latest-add-wins-unless-a-later-delete, and
+    * [[graft.sources.SnapshotLake.compactMor]] folds the layers into a
+    * fresh base on the owner's cadence — exercised MID-SEQUENCE here, so
+    * the second delta stacks on a compacted base and the final read must
+    * still equal the one-shot post-CDC recompute.
+    */
+  val qLakeMorCdc = Fixture(
+    "q_lake_mor_cdc",
+    (s, d) => {
+      import graft.sources.SnapshotLake
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_morlake_${System.nanoTime}").getAbsolutePath
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"),
+          col("n_chars").cast("long"))
+      SnapshotLake.commitMorBase(docs, root, 0L)
+      // delta 1: update %10==0 (+1000), insert %7==3 twins (+1e6 ids,
+      // +7 chars), delete %13==5
+      val adds1 = docs.where(col("doc_id") % 10 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("n_chars", col("n_chars") + 7L))
+      val dels1 = docs.where(col("doc_id") % 13 === 5).select("doc_id")
+      SnapshotLake.commitNextMor(adds1, dels1, root, "w", 0L)
+      val addCount = s.read.parquet(
+        s"${SnapshotLake.versionPath(root, 1L)}/add").count()
+      require(addCount == adds1.count(),
+        s"MoR commit must be batch-sized: v1/add holds $addCount rows")
+      // fold the layers into a fresh base mid-sequence
+      SnapshotLake.compactMor(s, root, "doc_id")
+      // delta 2 stacks on the compacted base: update %20==0 (+2000 over
+      // the ORIGINAL chars — the later add shadows delta 1's), delete
+      // %11==4 of the surviving un-updated rows
+      val adds2 = docs.where(col("doc_id") % 20 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .withColumn("n_chars", col("n_chars") + 2000L)
+      val dels2 = docs.where(col("doc_id") % 11 === 4 &&
+          col("doc_id") % 13 =!= 5 && col("doc_id") % 20 =!= 0)
+        .select("doc_id")
+      SnapshotLake.commitNextMor(adds2, dels2, root, "w", 1L)
+      require(SnapshotLake.currentVersion(root).contains(3L),
+        s"base + delta + compaction + delta = v3; got " +
+          s"${SnapshotLake.currentVersion(root)}")
+      SnapshotLake.readMor(s, root, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"))
+    },
+    Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      | fin AS (
+      |   SELECT doc_id, source,
+      |     CASE WHEN doc_id % 20 = 0 THEN n_chars + 2000
+      |          WHEN doc_id % 10 = 0 THEN n_chars + 1000
+      |          ELSE n_chars END AS n_chars
+      |   FROM base
+      |   WHERE NOT (doc_id % 13 = 5)
+      |     AND NOT (doc_id % 11 = 4 AND doc_id % 20 <> 0)
+      |   UNION ALL
+      |   SELECT doc_id + 1000000, source, n_chars + 7 FROM base
+      |   WHERE doc_id % 7 = 3)
+      | SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |   sum(doc_id)::BIGINT AS id_sum
+      | FROM fin GROUP BY 1""".stripMargin))
+
+  /** Streaming twin of [[qLakeMorCdc]]
+    * ([[graft.streaming.StreamingUpsert.startMor]]): the same I/U/D
+    * recipe arrives as TWO CDC micro-batches; each trigger commits
+    * O(|batch|) — the add rows and delete keys, never the table — and the
+    * last batch is crash-replayed (same writer, same batchId, REQUIREd to
+    * SKIP on the per-writer watermark). Final resolved content == the
+    * one-shot post-CDC recompute, same oracle.
+    */
+  val qStreamLakeMor = Fixture(
+    "q_stream_lake_mor",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.sources.SnapshotLake
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_morstream_${System.nanoTime}").getAbsolutePath
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"),
+          col("n_chars").cast("long"))
+      SnapshotLake.commitMorBase(docs, root, 0L)
+      def rows(df: DataFrame) =
+        df.as[(Long, String, Long, String, Long)].collect().toSeq
+      val b1 = rows(docs.where(col("doc_id") % 10 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"), lit("U").as("op"),
+          lit(1L).as("ver"))
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            (col("n_chars") + 7L).as("n_chars"), lit("I").as("op"),
+            lit(1L).as("ver")))
+        .unionByName(docs.where(col("doc_id") % 13 === 5)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            lit("D").as("op"), lit(1L).as("ver"))))
+      val b2 = rows(docs.where(col("doc_id") % 20 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 2000L).as("n_chars"), lit("U").as("op"),
+          lit(2L).as("ver"))
+        .unionByName(docs.where(col("doc_id") % 11 === 4 &&
+            col("doc_id") % 13 =!= 5 && col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            lit("D").as("op"), lit(2L).as("ver"))))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, String, Long)]
+      val ckpt = s"${root}_ckpt"
+      val q = graft.streaming.StreamingUpsert.startMor(
+        ms.toDF().toDF("doc_id", "source", "n_chars", "op", "ver"),
+        root, "doc_id", "ver", ckpt)
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      // crash-replay of the last batch: the per-writer watermark must SKIP
+      val replayed = graft.streaming.StreamingUpsert.applyBatchMor(
+        b2.toDF("doc_id", "source", "n_chars", "op", "ver"),
+        root, "doc_id", "ver", ckpt, 1L)
+      require(!replayed, "a replayed MoR batch must SKIP, not double-commit")
+      require(SnapshotLake.currentVersion(root).contains(2L),
+        s"2 triggers = v1..v2; got ${SnapshotLake.currentVersion(root)}")
+      SnapshotLake.readMor(s, root, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"))
+    },
+    qLakeMorCdc.oracle)
+
   /** Same contract as q_zorder_layout, equal-frequency ranks
     * (ZOrder.writeZOrderedQuantile): the skew-robust clustering path must
     * also be invisible in query values. ZOrderSpec pins WHY this variant

@@ -73,5 +73,6 @@ object PipelineQueries {
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
     qMvRewriteCmsFreq, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
-    qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax)
+    qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,
+    qLakeMorCdc, qStreamLakeMor)
 }

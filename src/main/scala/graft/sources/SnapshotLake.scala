@@ -297,6 +297,152 @@ object SnapshotLake {
     }
   }
 
+  // ---- merge-on-read (deletion-delta) layout -----------------------------
+  //
+  // Every copy-on-write commit above rewrites the WHOLE snapshot — exact
+  // and simple, but a CDC trigger against a 100 TB table cannot pay a
+  // table-sized write for a row-sized batch. The MoR layout makes the
+  // commit O(|batch|): a version directory holds only the batch's
+  // `add/` rows (I/U post-images) and `del/` keys (deletes); reads fold
+  // the layers since the last BASE version (a `_MOR_BASE`-marked version
+  // whose add/ is the complete content), resolving per key as
+  // latest-add-wins-unless-a-later-delete; compaction folds the layers
+  // back into a fresh base, bounding read amplification. Same pointer
+  // protocol, same per-writer replay watermarks, same vacuum/time-travel
+  // machinery — readVersion of a MoR root goes through [[readMorVersion]].
+
+  private def morBaseMarker(root: String, v: Long) =
+    Paths.get(versionPath(root, v), "_MOR_BASE")
+
+  /** Initialize a merge-on-read table: `df` becomes base version `v`
+    * (complete content in `add/`, marked `_MOR_BASE`).
+    */
+  def commitMorBase(df: DataFrame, root: String, v: Long): Unit =
+    lockFor(root).synchronized {
+      df.write.mode("overwrite").parquet(s"${versionPath(root, v)}/add")
+      Files.createFile(morBaseMarker(root, v))
+      val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** MULTI-WRITER exactly-once MoR commit ([[commitNext]]'s protocol —
+    * version allocated under the root's lock, per-writer batchId
+    * watermark riding the version's atomic pointer swap): the version
+    * directory receives ONLY the batch's `adds` rows (full post-images
+    * for inserts/updates) and `delKeys` (one key column for deletes) —
+    * the table's content is never rewritten, so the commit cost is
+    * O(|batch|) regardless of table size. Upsert spelling: an update is
+    * just an add (a later add shadows earlier adds of the key); a
+    * del + add of one key in the SAME batch resolves add-wins.
+    */
+  def commitNextMor(adds: => DataFrame, delKeys: => DataFrame, root: String,
+      writerId: String, batchId: Long): Option[Long] = {
+    require(!writerId.exists(c => c == '\t' || c == '\n'),
+      s"writerId must not contain tab/newline: $writerId")
+    lockFor(root).synchronized {
+      val cur = currentVersion(root).getOrElse(
+        sys.error(s"initialize $root with SnapshotLake.commitMorBase first"))
+      val marks = watermarks(root)
+      if (marks.get(writerId).exists(_ >= batchId)) None
+      else {
+        val v = cur + 1
+        adds.write.mode("overwrite").parquet(s"${versionPath(root, v)}/add")
+        delKeys.write.mode("overwrite")
+          .parquet(s"${versionPath(root, v)}/del")
+        writeWatermarks(root, v, marks + (writerId -> batchId))
+        val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        Some(v)
+      }
+    }
+  }
+
+  /** Resolve the MoR content AT version `v`: union the add layers since
+    * the newest base ≤ v (each stamped with its version), aggregate to
+    * the latest add per key, and drop keys whose newest delete is
+    * STRICTLY newer than their newest add (same-version del + add =
+    * upsert, add wins). One key-shuffle at read — the price of O(|batch|)
+    * commits; [[compactMor]] folds it away periodically, and a bucketed
+    * layout would remove the shuffle entirely.
+    */
+  private def resolveMor(spark: SparkSession, root: String, v: Long,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = (v to 0L by -1L)
+      .find(i => Files.exists(morBaseMarker(root, i)))
+      .getOrElse(sys.error(s"$root has no _MOR_BASE version ≤ $v"))
+    val layers = (base to v)
+    val adds = layers.map { i =>
+      spark.read.parquet(s"${versionPath(root, i)}/add")
+        .withColumn("__mv", lit(i))
+    }.reduce(_ unionByName _)
+    val dels = layers.filter(i =>
+        Files.exists(Paths.get(versionPath(root, i), "del")))
+      .map(i => spark.read.parquet(s"${versionPath(root, i)}/del")
+        .select(col(key), lit(i).as("__dv")))
+    val cols = adds.columns.filterNot(_ == "__mv")
+    val latest = adds
+      .groupBy(col(key).as("__k"))
+      .agg(max_by(struct(cols.map(col) :+ col("__mv"): _*),
+        col("__mv")).as("__r"))
+      .select(col("__k") +: cols.map(c => col(s"__r.$c").as(c)) :+
+        col("__r.__mv").as("__mv"): _*)
+    val resolved = dels.reduceOption(_ unionByName _) match {
+      case None => latest
+      case Some(d) =>
+        val delMax = d.groupBy(col(key).as("__k"))
+          .agg(max(col("__dv")).as("__dmax"))
+        latest.join(delMax, Seq("__k"), "left")
+          .where(col("__dmax").isNull || col("__mv") >= col("__dmax"))
+    }
+    resolved.select(cols.map(col): _*)
+  }
+
+  /** Read the CURRENT content of a merge-on-read table. */
+  def readMor(spark: SparkSession, root: String, key: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no committed version at $root"))
+    resolveMor(spark, root, v, key)
+  }
+
+  /** Time travel on a MoR table: the resolved content as of committed
+    * version `v` — layers after `v` are invisible, exactly like
+    * [[readVersion]] on a copy-on-write table.
+    */
+  def readMorVersion(spark: SparkSession, root: String, v: Long,
+      key: String): DataFrame = {
+    require(isCommitted(root, v),
+      s"version $v is not committed at $root (current: ${currentVersion(root)})")
+    resolveMor(spark, root, v, key)
+  }
+
+  /** Fold the accumulated MoR layers into a fresh BASE version (one
+    * table-sized write — the amortized cost the per-batch commits
+    * deferred): subsequent reads resolve from here, so read
+    * amplification is bounded by the compaction cadence. Rides the same
+    * version line (lock, watermark carry-forward, pointer-last), so it
+    * interleaves safely with live CDC writers.
+    */
+  def compactMor(spark: SparkSession, root: String, key: String): Long =
+    lockFor(root).synchronized {
+      val cur = currentVersion(root).getOrElse(
+        sys.error(s"no committed version at $root"))
+      val v = cur + 1
+      resolveMor(spark, root, cur, key)
+        .write.mode("overwrite").parquet(s"${versionPath(root, v)}/add")
+      Files.createFile(morBaseMarker(root, v))
+      writeWatermarks(root, v, watermarks(root))
+      val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      v
+    }
+
   /** TIME TRAVEL: read a pinned (committed, immutable) version — what a
     * training run records so the exact dataset is re-readable after later
     * commits. Refuses uncommitted versions: an orphan directory from a
@@ -375,7 +521,16 @@ object SnapshotLake {
       .filter(p => p.getFileName.toString.matches("v\\d+"))
       .map(p => p.getFileName.toString.drop(1).toLong)
       .toSeq.sorted
-    val keepFloor = cur - (keepLast - 1)
+    // a MERGE-ON-READ root's current content spans every layer since the
+    // newest base version — those layers are live data regardless of
+    // keepLast, so the floor never rises past the newest base ≤ cur
+    // (compaction, which creates a new base, is what ADVANCES what
+    // vacuum may reclaim on a MoR table)
+    val newestBase = (cur to 0L by -1L)
+      .find(i => Files.exists(morBaseMarker(root, i)))
+    val keepFloor = newestBase
+      .map(b => math.min(b, cur - (keepLast - 1)))
+      .getOrElse(cur - (keepLast - 1))
     val cutoff = System.currentTimeMillis() - orphanOlderThanMs
     // newest mtime under the dir — a live writer adding files keeps it fresh
     def newestMtime(v: Long): Long =

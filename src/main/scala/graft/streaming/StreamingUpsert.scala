@@ -70,4 +70,44 @@ object StreamingUpsert {
         ()
       }
       .start()
+
+  /** [[applyBatch]] against a MERGE-ON-READ table
+    * ([[SnapshotLake.commitNextMor]]): the batch's I/U/D events compact
+    * to the max-`versionCol` event per key (the CDC compaction rule),
+    * then the trigger commits ONLY the batch's add rows and delete keys —
+    * O(|batch|) per trigger regardless of table size, the posture a
+    * 100 TB continuously-upserted table requires (the copy-on-write
+    * [[applyBatch]] rewrites the snapshot every trigger). Batch schema:
+    * the lake's columns + `op` (I/U/D) + `versionCol`.
+    */
+  def applyBatchMor(batch: DataFrame, root: String, key: String,
+      versionCol: String, writerId: String, batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    require(batch.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
+        !(col("op") <=> "D")).isEmpty,
+      "MoR CDC batches are I/U/D with non-null op")
+    val others = batch.columns.filter(_ != key)
+    val latest = batch
+      .groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), col(versionCol)).as("__r"))
+      .select(col(key) +: others.map(c => col(s"__r.$c").as(c)): _*)
+    SnapshotLake.commitNextMor(
+      latest.where(col("op") =!= "D").drop("op", versionCol),
+      latest.where(col("op") === "D").select(col(key)),
+      root, writerId, batchId).isDefined
+  }
+
+  /** Start a CDC stream against a merge-on-read lake: per-trigger cost is
+    * the batch's own write; [[SnapshotLake.compactMor]] amortizes the
+    * read-side merge on whatever cadence the table owner picks.
+    */
+  def startMor(cdc: DataFrame, root: String, key: String,
+      versionCol: String, checkpoint: String): StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchMor(batch, root, key, versionCol, checkpoint, batchId)
+        ()
+      }
+      .start()
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLake
+
+/** Merge-on-read lake layout: O(|batch|) commits, latest-add-wins /
+  * later-delete-drops resolution, compaction equivalence, replay skips,
+  * and MoR time travel.
+  */
+class MorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("add/del layers resolve: shadowing, delete, re-add, same-version upsert") {
+    val root = freshDir("mor")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), root, 0L)
+    // v1: update 2 (add shadows), delete 3, insert 4
+    SnapshotLake.commitNextMor(
+      Seq((2L, "b1"), (4L, "d")).toDF("k", "s"),
+      Seq(3L).toDF("k"), root, "w", 0L)
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((1L, "a"), (2L, "b1"), (4L, "d")).toDF("k", "s"))
+    // v2: re-add 3 (delete in v1 is OLDER — row lives), del+add of 2 in
+    // the SAME version (upsert semantics: add wins), delete 4
+    SnapshotLake.commitNextMor(
+      Seq((3L, "c2"), (2L, "b2")).toDF("k", "s"),
+      Seq(2L, 4L).toDF("k"), root, "w", 1L)
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((1L, "a"), (2L, "b2"), (3L, "c2")).toDF("k", "s"))
+    // time travel: v1's resolved content is unchanged by v2
+    assertSameRows(SnapshotLake.readMorVersion(spark, root, 1L, "k"),
+      Seq((1L, "a"), (2L, "b1"), (4L, "d")).toDF("k", "s"))
+    // the O(|batch|) property, structurally: v2's add layer holds exactly
+    // its 2 batch rows, never the table
+    assert(spark.read.parquet(
+      s"${SnapshotLake.versionPath(root, 2L)}/add").count() == 2)
+  }
+
+  test("replay skips; compaction folds to a base; deltas stack on top") {
+    val root = freshDir("mor_c")
+    SnapshotLake.commitMorBase(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"), root, 0L)
+    SnapshotLake.commitNextMor(
+      Seq((1L, 11L), (101L, 1010L)).toDF("k", "v"),
+      Seq(50L).toDF("k"), root, "w", 0L)
+    // replay of batch 0: must SKIP (None) and change nothing
+    assert(SnapshotLake.commitNextMor(
+      Seq((999L, 0L)).toDF("k", "v"), Seq(1L).toDF("k"), root, "w", 0L).isEmpty)
+    val before = SnapshotLake.readMor(spark, root, "k").collect().toSet
+    val cv = SnapshotLake.compactMor(spark, root, "k")
+    assert(SnapshotLake.currentVersion(root).contains(cv))
+    assert(SnapshotLake.readMor(spark, root, "k").collect().toSet == before)
+    // watermarks survive compaction: a replay AFTER compaction still skips
+    assert(SnapshotLake.commitNextMor(
+      Seq((999L, 0L)).toDF("k", "v"), Seq(1L).toDF("k"), root, "w", 0L).isEmpty)
+    // and a fresh delta applies on top of the new base
+    SnapshotLake.commitNextMor(
+      Seq((102L, 1020L)).toDF("k", "v"), Seq(2L).toDF("k"), root, "w", 1L)
+    val after = SnapshotLake.readMor(spark, root, "k")
+    assert(after.where(col("k") === 2L).count() == 0)
+    assert(after.where(col("k") === 102L).count() == 1)
+    assert(after.count() == 100)  // 100 - del50 + ins101 (pre) - del2 + ins102
+  }
+
+  test("vacuum never reclaims live MoR layers; compaction advances the floor") {
+    val root = freshDir("mor_v")
+    SnapshotLake.commitMorBase(Seq((1L, "a")).toDF("k", "s"), root, 0L)
+    SnapshotLake.commitNextMor(Seq((2L, "b")).toDF("k", "s"),
+      spark.emptyDataset[Long].toDF("k"), root, "w", 0L)
+    SnapshotLake.commitNextMor(Seq((3L, "c")).toDF("k", "s"),
+      spark.emptyDataset[Long].toDF("k"), root, "w", 1L)
+    // keepLast=1 would doom v0..v1 on a CoW root — on MoR they are LIVE
+    // layers (the base is v0), so nothing may go
+    assert(SnapshotLake.vacuum(root, keepLast = 1) == Seq.empty)
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    // compaction creates a new base — NOW vacuum may fold history away
+    val cv = SnapshotLake.compactMor(spark, root, "k")
+    val doomed = SnapshotLake.vacuum(root, keepLast = 1)
+    assert(doomed.nonEmpty && doomed.forall(_ < cv), s"doomed: $doomed")
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+  }
+
+  test("streaming MoR CDC: latest-wins in-batch compaction; bad ops refused") {
+    import graft.streaming.StreamingUpsert
+    val root = freshDir("mor_s")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, 0L)
+    // two events for key 1 in one batch: the max-versionCol one (a D) wins
+    val batch = Seq(
+      (1L, "U", "a1", 1L), (1L, "D", null, 2L),
+      (3L, "I", "c", 1L)
+    ).toDF("k", "op", "s", "ver")
+    assert(StreamingUpsert.applyBatchMor(batch, root, "k", "ver", "cp", 0L))
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+    // replay skips
+    assert(!StreamingUpsert.applyBatchMor(batch, root, "k", "ver", "cp", 0L))
+    val bad = Seq((1L, "X", "z", 1L)).toDF("k", "op", "s", "ver")
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.applyBatchMor(bad, root, "k", "ver", "cp", 1L)
+    }
+  }
+}
