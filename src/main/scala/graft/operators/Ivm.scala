@@ -338,7 +338,18 @@ object Ivm {
     */
   def applyDimDeltaJoin(view: DataFrame, fact: DataFrame, factKey: String,
       dimDelta: DataFrame, dimKey: String, keys: Seq[String],
-      v: String, maxBroadcastRows: Int = 4000000): DataFrame = {
+      v: String, maxBroadcastRows: Int = 4000000): DataFrame =
+    applyDimDeltaJoinHinted(view, fact, factKey, dimDelta, dimKey, keys, v,
+      broadcastIfSmall(dimDelta, maxBroadcastRows))
+
+  /** [[applyDimDeltaJoin]] with the size-probe decision already made —
+    * wrappers that probed the SAME delta (the snowflake arms) thread their
+    * hint here instead of re-running an identical probe job per trigger.
+    */
+  private def applyDimDeltaJoinHinted(view: DataFrame, fact: DataFrame,
+      factKey: String, dimDelta: DataFrame, dimKey: String,
+      keys: Seq[String], v: String,
+      hint: DataFrame => DataFrame): DataFrame = {
     require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
         !(col("op") <=> "D")).isEmpty,
       "dim deltas are I/U/D with non-null op")
@@ -346,7 +357,6 @@ object Ivm {
     require(dimSourced.nonEmpty,
       "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
     val factSourced = keys.filterNot(dimSourced.contains)
-    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
     // the pruned fact slice: only rows whose fk is a changed dim key
     val slice = fact.join(
         hint(dimDelta.select(col(dimKey)).distinct()),
@@ -404,7 +414,8 @@ object Ivm {
       newDims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
       v: String, maxBroadcastRows: Int = 4000000): DataFrame =
     dimDeltaFullCore(view, fact, factKey, dimDelta, dimKey, keys, v,
-      maxBroadcastRows)(recomputeJoin(fact, newDims, keys, v))
+      broadcastIfSmall(dimDelta, maxBroadcastRows))(
+      recomputeJoin(fact, newDims, keys, v))
 
   /** [[applyDimDeltaFullJoin]] for a CDC delta on the LEAF dim of a
     * SNOWFLAKE chain — the final cell of the matrix ({star, snowflake} ×
@@ -432,7 +443,7 @@ object Ivm {
       (pruned, pairs)
     }
     dimDeltaFullCore(view, joinDims(fact, prunedMids), linkCol, dimDelta,
-      dimKey, keys, v, maxBroadcastRows)(
+      dimKey, keys, v, hint)(
       recomputeJoin(fact, mids :+ newLeaf, keys, v))
   }
 
@@ -443,7 +454,7 @@ object Ivm {
     */
   private def dimDeltaFullCore(view: DataFrame, sliceFact: DataFrame,
       factKey: String, dimDelta: DataFrame, dimKey: String,
-      keys: Seq[String], v: String, maxBroadcastRows: Int)(
+      keys: Seq[String], v: String, hint: DataFrame => DataFrame)(
       recompute: DataFrame => DataFrame): DataFrame = {
     require(dimDelta.where(!(col("op") <=> "I") && !(col("op") <=> "U") &&
         !(col("op") <=> "D")).isEmpty,
@@ -452,7 +463,6 @@ object Ivm {
     require(dimSourced.nonEmpty,
       "dimDelta declares no old_/new_ grouping keys — nothing to re-key")
     val factSourced = keys.filterNot(dimSourced.contains)
-    val hint = broadcastIfSmall(dimDelta, maxBroadcastRows)
     val fact = sliceFact
     val slice = fact.join(
         hint(dimDelta.select(col(dimKey)).distinct()),
@@ -531,8 +541,8 @@ object Ivm {
         else dim
       (pruned, pairs)
     }
-    applyDimDeltaJoin(view, joinDims(fact, prunedMids), linkCol, dimDelta,
-      dimKey, keys, v, maxBroadcastRows)
+    applyDimDeltaJoinHinted(view, joinDims(fact, prunedMids), linkCol,
+      dimDelta, dimKey, keys, v, hint)
   }
 
   /** Materialize the RANK/quantile member of the sketch-view family: the

@@ -2358,7 +2358,10 @@ object CrawlQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long"), col("source"),
           col("n_chars").cast("long"))
-      SnapshotLake.commitMorBase(docs, root, 0L)
+      // BUCKETED layers: every layer hash-bucketed by the key at write, so
+      // the read-side resolution is a zero-exchange co-bucketed merge — at
+      // 100 TB the un-bucketed alternative re-shuffles the table per read
+      SnapshotLake.commitMorBase(docs, root, 0L, buckets = 8, key = "doc_id")
       // delta 1: update %10==0 (+1000), insert %7==3 twins (+1e6 ids,
       // +7 chars), delete %13==5
       val adds1 = docs.where(col("doc_id") % 10 === 0 &&
@@ -2388,7 +2391,11 @@ object CrawlQueries {
       require(SnapshotLake.currentVersion(root).contains(3L),
         s"base + delta + compaction + delta = v3; got " +
           s"${SnapshotLake.currentVersion(root)}")
-      SnapshotLake.readMor(s, root, "doc_id")
+      val resolved = SnapshotLake.readMor(s, root, "doc_id")
+      val rp = resolved.queryExecution.executedPlan.toString
+      require(!rp.contains("Exchange hashpartitioning"),
+        s"bucketed MoR resolve must plan zero key shuffles:\n$rp")
+      resolved
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           sum("doc_id").as("id_sum"))
@@ -2428,7 +2435,7 @@ object CrawlQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long"), col("source"),
           col("n_chars").cast("long"))
-      SnapshotLake.commitMorBase(docs, root, 0L)
+      SnapshotLake.commitMorBase(docs, root, 0L, buckets = 8, key = "doc_id")
       def rows(df: DataFrame) =
         df.as[(Long, String, Long, String, Long)].collect().toSeq
       val b1 = rows(docs.where(col("doc_id") % 10 === 0 &&

@@ -929,10 +929,11 @@ object MvQueries {
   /** Streaming twin of [[qIvmJoinMinmax]]
     * ([[graft.streaming.StreamingIvm.startJoinFull]]): a fact-side CDC
     * stream maintains the FULL (cnt/sum/min/max) star rollup — each
-    * trigger folds the batch into the paired fact ROW STORE first
-    * ([[graft.operators.Upsert.applyCdc]]) and then into the view, whose
+    * trigger commits the batch into the paired MERGE-ON-READ fact row
+    * store first ([[graft.streaming.StreamingIvm.commitFactMor]],
+    * O(|batch|) add/del layers) and then folds the view, whose
     * broken-group recompute arm reads the just-committed post-batch fact
-    * version. Three chunks stream through two live triggers; the THIRD is
+    * through the zero-exchange bucketed resolve. Three chunks stream through two live triggers; the THIRD is
     * then delivered as a TORN trigger — its fact half committed manually
     * (the crash point: row store advanced, view commit lost) before the
     * full fold replays with the same batchId, which must SKIP the fact
@@ -954,8 +955,13 @@ object MvQueries {
       val (viewRoot, factRoot) = (s"$base/view", s"$base/fact")
       SnapshotLake.commit(graft.operators.Ivm.viewJoinFull(li, dims,
         Seq("o_orderpriority"), "l_quantity"), viewRoot, 0L)
-      SnapshotLake.commit(li.select(liRowId.as("rid"), col("l_orderkey"),
-        col("l_quantity")), factRoot, 0L)
+      // the fact row store is MERGE-ON-READ and rid-bucketed: each trigger
+      // commits O(|batch|) add/del layers (never a fact-sized rewrite —
+      // the CoW path's ×2.7 linear term at 10×), and the view fold's
+      // broken-group recompute resolves them with zero key shuffles
+      SnapshotLake.commitMorBase(li.select(liRowId.as("rid"),
+        col("l_orderkey"), col("l_quantity")), factRoot, 0L,
+        buckets = 8, key = "rid")
       // the liDelta recipe carrying each change's row identity (inserts
       // are NEW line items, so their rids are fresh by construction)
       def deltaOf(part: DataFrame) = part.where(liDel)
@@ -990,11 +996,8 @@ object MvQueries {
       // row-store commit), then the whole fold re-delivers with the same
       // batchId — fact skips on the watermark, view folds post-batch
       val b2 = chunks(2).toDF("rid", "l_orderkey", "op", "old_v", "new_v")
-      val factLake = SnapshotLake.read(s, factRoot)
-      SnapshotLake.commitNext(graft.operators.Upsert.applyCdc(factLake,
-          b2.withColumn("l_quantity", col("new_v"))
-            .select((factLake.columns :+ "op").map(col): _*), "rid"),
-        factRoot, ckpt, 2L)
+      graft.streaming.StreamingIvm.commitFactMor(
+        b2, factRoot, "rid", "l_quantity", ckpt, 2L)
       val folded = graft.streaming.StreamingIvm.applyBatchJoinFull(
         b2, viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
         "l_quantity", ckpt, 2L)
@@ -1036,8 +1039,9 @@ object MvQueries {
       val (viewRoot, factRoot) = (s"$base/view", s"$base/fact")
       SnapshotLake.commit(graft.operators.Ivm.viewJoinFull(li, dims,
         Seq("o_orderpriority"), "l_quantity"), viewRoot, 0L)
-      SnapshotLake.commit(li.select(liRowId.as("rid"), col("l_orderkey"),
-        col("l_quantity")), factRoot, 0L)
+      SnapshotLake.commitMorBase(li.select(liRowId.as("rid"),
+        col("l_orderkey"), col("l_quantity")), factRoot, 0L,
+        buckets = 8, key = "rid")
       val name = s"li_jfull_mv_${System.nanoTime}"
       MvRegistry.registerJoin(s, name, s"$d/lineitem.parquet",
         s"$d/orders.parquet", "l_orderkey", "o_orderkey",

@@ -97,14 +97,21 @@ object StreamingIvm {
     * ([[Ivm.viewJoinFull]] schema) — min/max are holistic under deletion,
     * so the view fold needs the POST-CDC fact for its broken-group
     * recompute arm. The answer is the row-store pairing the scaladoc
-    * promises: `factRoot` is a [[SnapshotLake]] holding the fact rows
-    * (`rid` + the delta's join/grouping columns + `v`), and each trigger
-    * folds the SAME batch into BOTH roots, row store FIRST:
+    * promises: `factRoot` is a MERGE-ON-READ [[SnapshotLake]] root
+    * (initialized with [[SnapshotLake.commitMorBase]], ideally bucketed
+    * by `rid`) holding the fact rows (`rid` + the delta's join/grouping
+    * columns + `v`), and each trigger folds the SAME batch into BOTH
+    * roots, row store FIRST:
     *
-    *  1. [[graft.operators.Upsert.applyCdc]] merges the batch's row-level
-    *     changes into the fact store (post-image `new_v` becomes `v`);
+    *  1. [[commitFactMor]] commits the batch's I/U post-images as the
+    *     version's `add/` layer and its D row ids as the `del/` layer
+    *     ([[SnapshotLake.commitNextMor]]) — O(|batch|) per trigger, never
+    *     a table write (the copy-on-write `Upsert.applyCdc` commit this
+    *     replaces rewrote the whole fact snapshot per trigger — the ×2.7
+    *     linear term the 10× smoke measured);
     *  2. [[Ivm.applyDeltaFullJoin]] folds the view, reading the
-    *     just-committed fact version for broken groups only.
+    *     just-committed post-batch fact ([[SnapshotLake.readMor]]) for
+    *     broken groups only.
     *
     * The ORDER is the crash-safety argument: if the process dies between
     * the two commits, the replay's fact commit SKIPS (per-writer
@@ -113,25 +120,37 @@ object StreamingIvm {
     * requires. View-first would leave a replayed fold reading a PRE-batch
     * fact. Batch schema: `rid` (row identity), the fact's join/grouping
     * key columns, `op`, `old_v`, `new_v`; a U must not move `rid` or any
-    * key (spell it D + I), and an I's `rid` must be fresh.
+    * key (spell it D + I), and an I's `rid` must be fresh. (A MoR layer
+    * stack realizes those exactly: a U is a later add shadowing the
+    * key's earlier adds, a D a later delete.)
     */
   def applyBatchJoinFull(batch: DataFrame, viewRoot: String,
       factRoot: String, rid: String,
       dims: Seq[(DataFrame, Seq[(String, String)])], keys: Seq[String],
       v: String, writerId: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val factLake = SnapshotLake.read(spark, factRoot)
-    val rows = batch.withColumn(v, org.apache.spark.sql.functions.col("new_v"))
-    SnapshotLake.commitNext(
-      graft.operators.Upsert.applyCdc(factLake, rows
-        .select((factLake.columns :+ "op").distinct.map(
-          org.apache.spark.sql.functions.col): _*), rid),
-      factRoot, writerId, batchId)
+    commitFactMor(batch, factRoot, rid, v, writerId, batchId)
     SnapshotLake.commitNext(
       Ivm.applyDeltaFullJoin(
         SnapshotLake.read(spark, viewRoot), batch.drop(rid), dims,
-        SnapshotLake.read(spark, factRoot), keys, v),
+        SnapshotLake.readMor(spark, factRoot, rid), keys, v),
       viewRoot, writerId, batchId).isDefined
+  }
+
+  /** The fact-store half of [[applyBatchJoinFull]]: one O(|batch|)
+    * merge-on-read commit — I/U post-images (the batch's `new_v` landing
+    * as the store's `v` column) as the version's `add/` layer, D row ids
+    * as its `del/` layer. Exposed so a TORN trigger (crash between the
+    * fact and view commits) is reproducible in fixtures.
+    */
+  def commitFactMor(batch: DataFrame, factRoot: String, rid: String,
+      v: String, writerId: String, batchId: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    SnapshotLake.commitNextMor(
+      batch.where(col("op") =!= "D")
+        .withColumn(v, col("new_v")).drop("op", "old_v", "new_v"),
+      batch.where(col("op") === "D").select(col(rid)),
+      factRoot, writerId, batchId)
   }
 
   /** Start a fact-side CDC stream into a FULL star rollup + its paired

@@ -83,6 +83,78 @@ class MorSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
   }
 
+  test("stale compaction marker is cleared by the next delta commit; marker writes replay-safe") {
+    val root = freshDir("mor_m")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, 0L)
+    SnapshotLake.commitNextMor(Seq((3L, "c")).toDF("k", "s"),
+      spark.emptyDataset[Long].toDF("k"), root, "w", 0L)
+    // simulate a compaction that died AFTER creating its _MOR_BASE marker
+    // at v2 but BEFORE the pointer swap: v2 holds only the stale marker
+    val v2 = java.nio.file.Paths.get(SnapshotLake.versionPath(root, 2L))
+    java.nio.file.Files.createDirectories(v2)
+    java.nio.file.Files.createFile(v2.resolve("_MOR_BASE"))
+    // the next delta commit reuses v2 — it must CLEAR the stale marker so
+    // its delta-only layer is never read as a full base (which would
+    // silently drop all prior content AND let vacuum reclaim live layers)
+    SnapshotLake.commitNextMor(Seq((4L, "d")).toDF("k", "s"),
+      Seq(1L).toDF("k"), root, "w", 1L)
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"))
+    // vacuum's floor still sees v0 as the newest base: nothing reclaimable
+    assert(SnapshotLake.vacuum(root, keepLast = 1) == Seq.empty)
+    // a compaction replaying over its own leftover marker must not die on
+    // FileAlreadyExistsException
+    val v3 = java.nio.file.Paths.get(SnapshotLake.versionPath(root, 3L))
+    java.nio.file.Files.createDirectories(v3)
+    java.nio.file.Files.createFile(v3.resolve("_MOR_BASE"))
+    val cv = SnapshotLake.compactMor(spark, root, "k")
+    assert(cv == 3L)
+    assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+      Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"))
+  }
+
+  test("bucketed MoR layers: identical resolution, ZERO-exchange resolve, compaction keeps the layout") {
+    val root = freshDir("mor_b")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), root, 0L,
+      buckets = 4, key = "k")
+    SnapshotLake.commitNextMor(Seq((2L, "b1"), (4L, "d")).toDF("k", "s"),
+      Seq(3L).toDF("k"), root, "w", 0L)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val resolved = SnapshotLake.readMor(spark, root, "k")
+      assertSameRows(resolved,
+        Seq((1L, "a"), (2L, "b1"), (4L, "d")).toDF("k", "s"))
+      val p = resolved.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed MoR resolve must not shuffle:\n$p")
+      // same-version del+add upsert, re-add over an older delete
+      SnapshotLake.commitNextMor(Seq((3L, "c2"), (2L, "b2")).toDF("k", "s"),
+        Seq(2L, 4L).toDF("k"), root, "w", 1L)
+      assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+        Seq((1L, "a"), (2L, "b2"), (3L, "c2")).toDF("k", "s"))
+      // an EMPTY del layer (bucketed writer emits no files) is skipped
+      SnapshotLake.commitNextMor(Seq((5L, "e")).toDF("k", "s"),
+        spark.emptyDataset[Long].toDF("k"), root, "w", 2L)
+      // compaction rides the same bucketed layout: resolve over the fresh
+      // base + later deltas stays exchange-free
+      SnapshotLake.compactMor(spark, root, "k")
+      SnapshotLake.commitNextMor(Seq((6L, "f")).toDF("k", "s"),
+        Seq(1L).toDF("k"), root, "w", 3L)
+      val post = SnapshotLake.readMor(spark, root, "k")
+      assertSameRows(post, Seq((2L, "b2"), (3L, "c2"), (5L, "e"),
+        (6L, "f")).toDF("k", "s"))
+      val p2 = post.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange"),
+        s"post-compaction bucketed resolve must not shuffle:\n$p2")
+      // MoR time travel is unchanged by the layout
+      assertSameRows(SnapshotLake.readMorVersion(spark, root, 1L, "k"),
+        Seq((1L, "a"), (2L, "b1"), (4L, "d")).toDF("k", "s"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("streaming MoR CDC: latest-wins in-batch compaction; bad ops refused") {
     import graft.streaming.StreamingUpsert
     val root = freshDir("mor_s")
