@@ -5,6 +5,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall-clock time box (seconds). The r16 artifact was LOST to a driver
+    // timeout (rc 124) after ~75 min: a bench that cannot finish inside its
+    // caller's window is worth less than a truncated one that can. Every
+    // phase below checks the remaining budget and degrades gracefully —
+    // fewer interleave passes, a smaller isolated block, fewer stream
+    // replays — and the artifact carries a "truncated" marker naming what
+    // was cut. The budget clock starts HERE (JVM + sbt startup are the
+    // caller's overhead, not the bench's).
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
+    def leftS: Double = budgetS - elapsedS
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,7 +27,11 @@ object Bench {
       // another's codegen. Static conf — must be set before session creation.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the r16 kill tail was a wall of streaming WARN lines
+    // that pushed every parseable byte out of the driver's 2000-char stdout
+    // window. With incremental emission (below) the LAST printed compact
+    // line is the recovery point; log noise after it must be minimal.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/scan paths once so the first measured query isn't
     // charged for JIT + file-source initialization.
     try {
@@ -59,16 +76,152 @@ object Bench {
     // transient host-load spike lands on ONE attempt of many queries instead
     // of EVERY attempt of one query (back-to-back attempts share correlated
     // noise — best-of-2 could not filter it). Median of the per-query samples
-    // then discards the spike. N is tunable; 5 bounds a full run at sf0.1 to
-    // a few minutes while leaving 2 clean samples even if 2 of 5 are noisy.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // then discards the spike.
+    //
+    // ADAPTIVE attempts: a sub-2-second query's median does not need 4 warm
+    // samples — at 250+ fixtures the quick majority's extra passes (plus
+    // their per-run settle) were most of the r16 wall clock. Quickness is
+    // decided from the FIRST measured sample; quick queries stop after
+    // `quickIters` warm samples, heavy ones run all `iters`. Round-over-
+    // round comparability is preserved by the drifter rule: any query whose
+    // (now cheaper) median drifts >1.2× its prior same-SF time gets isolated
+    // re-measures with a full [min,med,max] spread anyway.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
+    val quickIters = 2
+    val quickBelowS = 2.0
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    def median(xs: Vector[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    def results: Map[String, Double] =
+      samples.map { case (k, v) => k -> median(v) }.toMap
+
+    // Previous round's interleaved medians (the drifter baseline) — read
+    // BEFORE the first incremental emission overwrites bench_last.json.
+    // Only a SAME-SF artifact is comparable: a local smoke at another scale
+    // factor must not flag the whole gate as drifted.
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val parts = txt.split("\"queries\":\\{", 2)
+        if (parts.length < 2 ||
+            !txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else "\"([^\"]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(parts(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+
+    // ---- incremental artifact emission --------------------------------
+    // The artifact is (re)written and (re)printed at every phase boundary —
+    // end of each measured interleave pass, end of the isolated block, end
+    // of each stream replay — so an external kill at ANY point leaves (a)
+    // bench_last.json/tmp holding the last completed state and (b) a
+    // complete compact JSON line inside the killer's stdout tail window.
+    // Centisecond precision, trailing zeros stripped: the bench noise band
+    // is ~35 %, so 2 decimals lose nothing, and every byte counts against
+    // the driver's 2000-char stdout tail window.
+    def fmt(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    case class StreamRun(tps: Long, p50: Long, p95: Long, p99: Long)
+    var isolatedSamples = Map.empty[String, Seq[Double]]
+    var drifterNames = Set.empty[String]
+    var streamRuns = Seq.empty[StreamRun]
+    var truncated = List.empty[String]
+    def emit(phase: String, printFull: Boolean): Unit = {
+      val res = results
+      def medL(xs: Seq[Long]): Long =
+        if (xs.isEmpty) -1L else xs.sorted.apply(xs.size / 2)
+      val runs = streamRuns
+      val (sTps, sP50, sP95, sP99) =
+        (medL(runs.map(_.tps)), medL(runs.map(_.p50)),
+          medL(runs.map(_.p95)), medL(runs.map(_.p99)))
+      val (sTpsMin, sTpsMax) =
+        if (runs.isEmpty) (-1L, -1L)
+        else (runs.map(_.tps).min, runs.map(_.tps).max)
+      val total = if (res.nonEmpty) res.values.sum else 0.0
+      // Flat keys only (no nested objects before "queries"): the driver's
+      // tail parser must be able to start at the first '{' it sees and
+      // read one JSON object.
+      val streamKeys = s""""stream_tps":$sTps,"stream_p50_ms":$sP50""" +
+        s""","stream_p95_ms":$sP95,"stream_p99_ms":$sP99""" +
+        s""","stream_tps_min":$sTpsMin,"stream_tps_max":$sTpsMax""" +
+        s""","stream_runs":${runs.size}"""
+      val qs = res.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val isolated = isolatedSamples.map { case (name, ts) =>
+        name -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+      val iso = isolated.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // per-query error bars: sorted warm attempts — [min, med, max]
+      val isoSpread = isolatedSamples.toSeq.sortBy(_._1)
+        .map { case (k, ts) =>
+          "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+        }
+        .mkString("{", ",", "}")
+      val runsJson = runs.map(r =>
+        s"""{"tps":${r.tps},"p50":${r.p50},"p95":${r.p95},"p99":${r.p99}}""")
+        .mkString("[", ",", "]")
+      val driftJson = drifterNames.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val truncJson = truncated.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","phase":"$phase","truncated":$truncJson""" +
+        s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread""" +
+        s""","drifters":$driftJson,$streamKeys""" +
+        s""","stream_trend":$runsJson,"sf":"$sfDir"}"""
+      // Two lines, parse target last. The driver keeps only the LAST 2000
+      // chars of stdout (BENCH_r08/r09 lost the head of the one-line
+      // artifact): line 1 is the full artifact (also persisted for the
+      // driver and for bench_last.json so it rides the round's commit);
+      // line 2 is a compact line that ALWAYS fits the tail window —
+      // totals, stream tps/latency, and as many per-query entries as fit
+      // a strict byte budget, slowest first, with "queries_full" pointing
+      // at the complete in-repo artifact. The visible tail of line 1 (the
+      // sorted map's end) contains no '{', so the first '{' in the window
+      // opens the parse target.
+      val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","n_queries":${res.size},"phase":"$phase",$streamKeys""" +
+        s""","sf":"$sfDir","queries_full":"bench_last.json","queries":{"""
+      val budget = 1400 - head.length - 2
+      val slowestFirst = res.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      for (e <- slowestFirst if used + e.length + 1 <= budget) {
+        picked += e; used += e.length + 1
+      }
+      val compact = head + picked.mkString(",") + "}}"
+      for (p <- Seq("/tmp/bench.json", "bench_last.json"))
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(p),
+          full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      if (printFull) println(full)
+      println(compact)
+      System.out.flush()
+    }
+
+    // ---- interleaved passes -------------------------------------------
     // Iteration 0 is a DISCARDED warm-up pass: each query's first attempt on
     // its fresh child session pays codegen JIT + plan-cache fill, and that
     // cold cost is big enough (measured 10.5 s cold vs 2.0/2.5 s warm on
-    // q_dedup_simhash at sf0.1) to drag a median-of-5 across the driver's 2×
+    // q_dedup_simhash at sf0.1) to drag a median across the driver's 2×
     // regression bar when host pressure stacks 2+ cold-ish attempts. Warm
     // steady-state is the number that projects to a long-running cluster job.
     // Deterministic per-iteration shuffle: with a FIXED order, a query's
@@ -78,206 +231,126 @@ object Bench {
     // mid-alphabet fixtures 1.4–1.7× this way. Shuffling per iteration
     // decorrelates position from query, so the median sees each query in
     // several contexts. Seeded by iteration index: runs stay reproducible.
-    for (it <- 0 to iters;
-         (name, fn) <- new scala.util.Random(it.toLong).shuffle(ordered)) {
-      val t = once(name, fn)
-      if (it > 0) samples(name) = samples(name) :+ t
+    val quick = scala.collection.mutable.Set.empty[String]
+    var it = 0
+    var interleaveDone = false
+    while (it <= iters && !interleaveDone) {
+      // stop starting new passes when the remaining budget could not fit
+      // one more pass over the still-active queries (estimated from the
+      // medians so far, settle included) plus the tail phases (~300 s)
+      if (it >= 2) {
+        val active = ordered.filterNot { case (n, _) =>
+          quick(n) && samples(n).size >= quickIters }
+        val passCost = active.map { case (n, _) =>
+          math.max(median(samples(n)), 0.0) + 0.6 }.sum
+        if (leftS < passCost + 300) {
+          truncated ::= s"interleave_stopped_after_pass_${it - 1}"
+          interleaveDone = true
+        }
+      }
+      if (!interleaveDone) {
+        for ((name, fn) <- new scala.util.Random(it.toLong).shuffle(ordered)
+             if it <= quickIters || !quick(name)) {
+          val t = once(name, fn)
+          if (it > 0) {
+            samples(name) = samples(name) :+ t
+            if (it == 1 && t >= -0.5 && t < quickBelowS) quick += name
+          }
+        }
+        if (it > 0) emit(s"interleave_$it", printFull = false)
+      }
+      it += 1
     }
-    def median(xs: Vector[Double]): Double = {
-      val ok = xs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0
-      else if (ok.size % 2 == 1) ok(ok.size / 2)
-      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-    }
-    val results = samples.map { case (k, v) => k -> median(v) }.toMap
 
-    // Isolated warm re-measure of the slowest queries: the interleave
-    // medians above still carry whole-gate JVM pressure (the artifact's
-    // round-over-round noise source — regressions kept needing manual
-    // `Explain <q> time` adjudication). Back-to-back attempts on the
-    // query's own already-warm session, with the usual settle between,
-    // approximate that isolated shape inside one run; emitting BOTH
-    // numbers lets a reader split plan cost (isolated) from gate pressure
-    // (interleaved − isolated) without leaving the artifact.
-    // MIN of 3, not median: this block runs AFTER the full interleave, in
-    // the most-pressured JVM state of the whole run, so any single attempt
-    // can still catch a GC/compaction tail (r13 shakedown: a median showed
-    // q_dedup_keepers slower isolated than interleaved). The minimum over
-    // back-to-back warm attempts is the best-achievable warm time — the
-    // closest same-process stand-in for a fresh-JVM single-query run.
-    // Each isolated query keeps ALL THREE warm attempts (sorted) in the
-    // artifact, not just the min: round-over-round drift in an interleaved
-    // median (e.g. r13→r14 q_rp_project +15%) was previously adjudicated by
-    // judgment or an out-of-band `Explain <q> time` rerun; with the
-    // per-query [min, med, max] spread in place, a future delta outside the
-    // band is a real plan change and one inside it is pressure/noise —
-    // attributable without leaving the artifact (the stream block's
-    // min/median/max discipline applied per-query to the batch side).
-    // Isolated set = (N slowest) ∪ (every round-over-round DRIFTER): the
-    // slowest-only selection left exactly the queries that needed
-    // adjudication without a spread — r15's two biggest drifters
-    // (q_source_overlap 1.39×, q_dedup_simhash 1.25×) sat mid-pack and
-    // had to be re-measured manually in fresh JVMs. The previous round's
-    // interleaved medians ride in the repo as bench_last.json (written at
-    // the END of each run, so at startup it still holds LAST round's
-    // artifact); any query now >1.2× its prior time carries its own
-    // [min, med, max] spread in this artifact automatically.
+    // ---- isolated warm re-measures ------------------------------------
+    // The interleave medians above still carry whole-gate JVM pressure.
+    // Back-to-back attempts on the query's own already-warm session, with
+    // the usual settle between, approximate the isolated shape inside one
+    // run; emitting BOTH numbers lets a reader split plan cost (isolated)
+    // from gate pressure (interleaved − isolated) without leaving the
+    // artifact. MIN of the attempts, not median: this block runs AFTER the
+    // full interleave, in the most-pressured JVM state of the whole run, so
+    // any single attempt can still catch a GC/compaction tail; the minimum
+    // over back-to-back warm attempts is the best-achievable warm time.
+    // Isolated set = (N slowest) ∪ (every round-over-round DRIFTER >1.2×
+    // its prior same-SF interleaved median): each carries its own sorted
+    // [min, med, max] spread so a future delta outside the band is a real
+    // plan change and one inside it is pressure/noise — attributable
+    // without leaving the artifact. 2 attempts (was 3): the spread loses
+    // its mid sample, but the r15/r16 adjudications only ever used min and
+    // max, and the block's wall cost halves.
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
-    val prevTimes: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_last.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // the artifact is one flat JSON line; "queries" is its first
-        // object-valued key, closed by the first '}' after it. Only a
-        // SAME-SF artifact is comparable: a local smoke at another scale
-        // factor must not flag the whole gate as drifted (which would
-        // re-measure every query ×3 in the isolated block).
-        val parts = txt.split("\"queries\":\\{", 2)
-        if (parts.length < 2 ||
-            !txt.contains(s""""sf":"$sfDir"""")) Map.empty
-        else "\"([^\"]+)\":(-?[0-9.]+)".r
-          .findAllMatchIn(parts(1).takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
-    val drifters = results.collect {
+    val isoAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_ATTEMPTS", "2").toInt
+    val res1 = results
+    drifterNames = res1.collect {
       case (name, t) if prevTimes.get(name).exists(p => p > 0 && t > 1.2 * p) =>
         name
     }.toSet
-    val isolatedNames = (results.toSeq.sortBy(-_._2).take(isoN).map(_._1) ++
-      drifters).distinct
-    val isolatedSamples = isolatedNames
-      .map { name =>
+    val isolatedNames = (res1.toSeq.sortBy(-_._2).take(isoN).map(_._1) ++
+      drifterNames).distinct
+    val isoBuf = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    for (name <- isolatedNames) {
+      // each isolated query costs ~attempts × its own time; skip the rest
+      // when the budget cannot fit this one plus the stream block (~240 s)
+      val est = math.max(res1.getOrElse(name, 0.0), 0.0) * isoAttempts + 1.0
+      if (leftS < est + 240) {
+        if (!truncated.exists(_.startsWith("isolated")))
+          truncated ::= s"isolated_stopped_before_$name"
+      } else {
         val fn = SparkEntry.queries(name)
-        val ts = (1 to 3).map(_ => once(name, fn)).filter(_ >= 0).sorted
-        name -> ts
-      }.toMap
-    val isolated = isolatedSamples.map { case (name, ts) =>
-      name -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-
-    // Streaming throughput trend line: the tumbling replay core from
-    // StreamBench on a RocksDB-backed child session, fixed loop count so the
-    // tps/latency numbers compare round-over-round (they previously lived
-    // only in StreamBench's own output, which the driver never captured).
-    // 25 loops ⇒ ~25 data triggers: with the prior 10, ceil(.95n) and
-    // ceil(.99n) indexed the SAME sample, so the artifact reported p95==p99
-    // by construction; ≥21 triggers make the two percentile indices distinct.
-    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
-    // ≥3 INDEPENDENT replays (fresh child session + query each), reported as
-    // median-of-runs plus min/max spread — the same de-noising discipline the
-    // batch side got (interleaved median) applied to the stream trend. One
-    // 25-loop run has no error bar, so a real operator regression and a
-    // replay-harness hiccup look identical round-over-round (the r13 artifact
-    // moved −9.6% t/s with zero streaming-plan changes and could not be
-    // adjudicated). With a spread in the artifact, a future delta is
-    // attributable in place: outside the band ⇒ real; inside ⇒ noise.
-    val streamRuns = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt
-    case class StreamRun(tps: Long, p50: Long, p95: Long, p99: Long)
-    val runs: Seq[StreamRun] = (1 to streamRuns).flatMap { _ =>
-      try {
-        settle()
-        val ss = spark.newSession()
-        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        // Changelog checkpointing: commit uploads the per-batch delta instead
-        // of a full RocksDB snapshot — the production posture for large state,
-        // and it removes the periodic snapshot-upload spike that otherwise
-        // lands on one unlucky trigger and sets the latency tail.
-        ss.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          "true")
-        val rows = StreamBench.loadRows(ss, sfDir)
-        val (n, sec, lat) = StreamBench.tumblingReplay(ss, rows, streamLoops)
-        Some(StreamRun((n / sec).toLong, StreamBench.pctOf(lat, 0.50),
-          StreamBench.pctOf(lat, 0.95), StreamBench.pctOf(lat, 0.99)))
-      } catch { case _: Throwable => None }
-    }
-    def medL(xs: Seq[Long]): Long =
-      if (xs.isEmpty) -1L else xs.sorted.apply(xs.size / 2)
-    val (sTps, sP50, sP95, sP99) =
-      (medL(runs.map(_.tps)), medL(runs.map(_.p50)),
-        medL(runs.map(_.p95)), medL(runs.map(_.p99)))
-    val (sTpsMin, sTpsMax) =
-      if (runs.isEmpty) (-1L, -1L) else (runs.map(_.tps).min, runs.map(_.tps).max)
-
-    // Centisecond precision, trailing zeros stripped: the bench noise band
-    // is ~35 %, so 2 decimals lose nothing, and every byte counts against
-    // the driver's 2000-char stdout tail window (see below).
-    def fmt(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) {
-        val t = s.reverse.dropWhile(_ == '0').reverse
-        if (t.endsWith(".")) t.dropRight(1) else t
-      } else s
-    }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Flat keys only (no nested objects): the driver's tail parser must be
-    // able to start at the first '{' it sees and read one JSON object.
-    val streamKeys = s""""stream_tps":$sTps,"stream_p50_ms":$sP50""" +
-      s""","stream_p95_ms":$sP95,"stream_p99_ms":$sP99""" +
-      s""","stream_tps_min":$sTpsMin,"stream_tps_max":$sTpsMax""" +
-      s""","stream_runs":${runs.size}"""
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val iso = isolated.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // per-query error bars: sorted warm attempts, so [head, mid, last] read
-    // as [min, med, max] (3 attempts; fewer if some threw)
-    val isoSpread = isolatedSamples.toSeq.sortBy(_._1)
-      .map { case (k, ts) =>
-        "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+        isoBuf(name) = (1 to isoAttempts).map(_ => once(name, fn))
+          .filter(_ >= 0).sorted
       }
-      .mkString("{", ",", "}")
-    // full artifact additionally carries every stream run verbatim, so a
-    // reader can see the raw spread, not just min/median/max
-    val runsJson = runs.map(r =>
-      s"""{"tps":${r.tps},"p50":${r.p50},"p95":${r.p95},"p99":${r.p99}}""")
-      .mkString("[", ",", "]")
-    // drifter names ride in the artifact so a reader can tell which
-    // isolated entries were pulled in by the >1.2× rule vs slowest-N
-    val driftJson = drifters.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread""" +
-      s""","drifters":$driftJson,$streamKeys""" +
-      s""","stream_trend":$runsJson,"sf":"$sfDir"}"""
-    // Capture-proofing, round-10 form. The driver keeps only the LAST 2000
-    // chars of stdout (measured from BENCH_r08/r09, both of which lost the
-    // head of the one-line artifact: ~2.6 KB of 96 query names can never
-    // fit). So emit TWO lines, parse target last:
-    //  1. the full artifact (also persisted to /tmp/bench.json for the
-    //     driver and bench_last.json so it rides in the round's commit);
-    //  2. a compact line that ALWAYS fits the tail window: totals, stream
-    //     tps/latency, and as many per-query entries as fit a strict byte
-    //     budget, slowest first (the ones worth auditing), with
-    //     "queries_full" pointing at the complete in-repo artifact.
-    // The compact line is the process's last bytes — logging off, session
-    // stopped first — and the visible tail of line 1 (the sorted map's end)
-    // contains no '{', so the first '{' in the window opens the parse
-    // target.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n_queries":${results.size},$streamKeys,"sf":"$sfDir"""" +
-      s""","queries_full":"bench_last.json","queries":{"""
-    val budget = 1400 - head.length - 2
-    val slowestFirst = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    for (e <- slowestFirst if used + e.length + 1 <= budget) {
-      picked += e; used += e.length + 1
     }
-    val compact = head + picked.mkString(",") + "}}"
-    for (p <- Seq("/tmp/bench.json", "bench_last.json"))
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(p),
-        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+    isolatedSamples = isoBuf.toMap
+    emit("isolated", printFull = false)
+
+    // ---- streaming throughput trend -----------------------------------
+    // The tumbling replay core from StreamBench on a RocksDB-backed child
+    // session, fixed loop count so the tps/latency numbers compare round-
+    // over-round. 25 loops ⇒ ~25 data triggers: with fewer, ceil(.95n) and
+    // ceil(.99n) index the SAME sample and p95==p99 by construction; ≥21
+    // triggers keep the two percentile indices distinct. ≥2 INDEPENDENT
+    // replays (fresh child session + query each), reported as median-of-
+    // runs plus min/max spread — the same de-noising discipline as the
+    // batch side: with a spread in the artifact a future delta is
+    // attributable in place (outside the band ⇒ real; inside ⇒ noise).
+    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
+    val streamRunsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt
+    for (i <- 1 to streamRunsN) {
+      // a replay is ~90-120 s at sf0.1: skip remaining replays rather than
+      // blow the window (one replay still yields a comparable median)
+      if (leftS < 150) {
+        if (!truncated.exists(_.startsWith("stream")))
+          truncated ::= s"stream_stopped_before_run_$i"
+      } else {
+        try {
+          settle()
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          // Changelog checkpointing: commit uploads the per-batch delta
+          // instead of a full RocksDB snapshot — the production posture for
+          // large state, and it removes the periodic snapshot-upload spike
+          // that otherwise lands on one unlucky trigger and sets the tail.
+          ss.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true")
+          val rows = StreamBench.loadRows(ss, sfDir)
+          val (n, sec, lat) = StreamBench.tumblingReplay(ss, rows, streamLoops)
+          streamRuns = streamRuns :+ StreamRun((n / sec).toLong,
+            StreamBench.pctOf(lat, 0.50), StreamBench.pctOf(lat, 0.95),
+            StreamBench.pctOf(lat, 0.99))
+          emit(s"stream_$i", printFull = false)
+        } catch { case _: Throwable => () }
+      }
+    }
+
+    // final emission is the process's last bytes — logging off, session
+    // stopped first, full artifact then the compact parse target
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(full)
-    println(compact)
+    emit("final", printFull = true)
   }
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SEQUENTIAL PATTERN MATCHING — the MATCH_RECOGNIZE-class generalization
+  * of [[Funnel]] (which is the fixed special case "each step is one event
+  * type, no guards"): per key, an ordered sequence of pattern STEPS, each
+  * an ARBITRARY row predicate (`event_type = 'purchase' AND value > 50`),
+  * optionally protected by an ABSENCE guard (`no 'error' event between
+  * the previous match and this one` — MATCH_RECOGNIZE's negated pattern
+  * variable), all bounded by a window from the match's anchor. The
+  * reference class is per-key sequential detection over streams (LRB-
+  * style accident patterns); this is its Spark-first spelling.
+  *
+  * Semantics (greedy-from-first-anchor, [[Funnel]]'s determinism
+  * contract extended):
+  *
+  *  - anchor at the key's FIRST event satisfying step 1;
+  *  - step i+1 matches the earliest event at-or-after the step-i match
+  *    satisfying its predicate, within `windowSec` of the ANCHOR;
+  *  - a guard kill: an event satisfying step i+1's `absentBefore`
+  *    STRICTLY after the step-i match and strictly before the step-i+1
+  *    candidate blocks the pattern (an event at the SAME timestamp as
+  *    the candidate does not — ties resolve in the pattern's favor, on
+  *    both the fold and oracle sides, so the semantics are engine-
+  *    independent).
+  *
+  * Spark-first shape, identical scale envelope to [[Funnel]]: predicates
+  * evaluated ONCE per event in the scan projection (so the collected
+  * structs carry booleans, not payloads), events pre-filtered to rows
+  * that touch any step or guard, ONE shuffle (groupBy key), and the
+  * sequential scan as the codegen'd `aggregate` HOF over the sorted
+  * per-key struct array — no UDF, no per-step self-join, no window
+  * re-sort. At 100 TB: pre-filter to the pattern's time range first;
+  * per-key state is the key's flagged events, the sessionizer envelope.
+  */
+object Pattern {
+
+  /** One pattern step: `pred` selects matching events;
+    * `absentBefore` (steps ≥ 2) kills the pattern if such an event
+    * falls strictly between the previous match and this step's match.
+    */
+  final case class Step(name: String, pred: Column,
+      absentBefore: Option[Column] = None)
+
+  /** The per-event flag columns: m0..m(n−1) = step predicates,
+    * g1..g(n−1) = guard predicates (false where a step has none).
+    * Null predicates (e.g. `value > 50` over a NULL value) coalesce to
+    * false — a row that cannot be proven to match does not match.
+    */
+  private[graft] def flagCols(steps: Seq[Step]): Seq[Column] =
+    steps.zipWithIndex.map { case (s, i) =>
+      coalesce(s.pred, lit(false)).as(s"m$i")
+    } ++ steps.zipWithIndex.drop(1).map { case (s, i) =>
+      coalesce(s.absentBefore.getOrElse(lit(false)), lit(false)).as(s"g$i")
+    }
+
+  private[graft] def flagNames(n: Int): Seq[String] =
+    (0 until n).map(i => s"m$i") ++ (1 until n).map(i => s"g$i")
+
+  /** The sequential scan — a left fold over the SORTED per-key
+    * (t, m0.., g1..) struct array yielding struct(d = steps matched,
+    * t0 = anchor time, k = first guard time of the OPEN gap). Guard
+    * bookkeeping: `k` records the earliest guard event seen since the
+    * last match; a step candidate at `t` advances only while `t <= k`
+    * (a guard strictly earlier blocks; an equal-timestamp one does not),
+    * and advancing resets `k`. Shared by the batch path and the
+    * per-window streaming twin ([[graft.streaming.StreamingPattern]]).
+    */
+  private[graft] def foldMatch(evs: Column, n: Int,
+      windowSec: Long): Column = {
+    val noKill = lit(Long.MaxValue)
+    val init = struct(lit(0).as("d"), lit(0L).as("t0"), noKill.as("k"))
+    aggregate(evs, init, (acc, e) => {
+      val d = acc.getField("d"); val t0 = acc.getField("t0")
+      val k = acc.getField("k"); val t = e.getField("t")
+      val anchor = when(d === 0 && e.getField("m0"),
+        struct(lit(1).as("d"), t.as("t0"), noKill.as("k")))
+      // advance arms first: an event matching both the step and its own
+      // guard is a match, not a kill
+      val advanced = (1 until n).foldLeft(anchor) { (c, i) =>
+        c.when(d === i && e.getField(s"m$i") &&
+            t <= t0 + windowSec && t <= k,
+          struct(lit(i + 1).as("d"), t0.as("t0"), noKill.as("k")))
+      }
+      val guarded = (1 until n).foldLeft(advanced) { (c, i) =>
+        c.when(d === i && e.getField(s"g$i"),
+          struct(d.as("d"), t0.as("t0"), least(k, t).as("k")))
+      }
+      guarded.otherwise(acc)
+    })
+  }
+
+  /** Per-key pattern progression: (key, depth, t0, matched) for every
+    * key with at least one step/guard event — `depth` ∈ [0, n] is the
+    * number of steps matched in order (0 = had flagged events but never
+    * step 1), `t0` the anchor time, `matched` = the whole pattern
+    * completed within the window.
+    */
+  def keyMatch(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[Step], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val n = steps.length
+    val names = flagNames(n)
+    val flagged = df.select(
+      col(keyCol).as("u") +: col(esCol).cast("long").as("t") +:
+        flagCols(steps): _*)
+      .where(names.map(col).reduce(_ || _))
+    val evs = flagged
+      .groupBy("u")
+      // struct arrays sort by field order: (t, flags…) — and every guard
+      // flag field sorts false-first, which is what makes the equal-
+      // timestamp tie rules deterministic
+      .agg(sort_array(collect_list(
+        struct(col("t") +: names.map(col): _*))).as("evs"))
+    val folded = foldMatch(col("evs"), n, windowSec)
+    evs.select(col("u").as(keyCol), folded.getField("d").as("depth"),
+      folded.getField("t0").as("t0"),
+      (folded.getField("d") === n).as("matched"))
+  }
+
+  /** The pattern report ([[Funnel.counts]]'s shape): one row per step
+    * with how many keys matched AT LEAST that far — (step 1-based,
+    * step_name, n_keys), monotone non-increasing, group-sized output.
+    */
+  def counts(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[Step], windowSec: Long): DataFrame = {
+    val names = array(steps.map(s => lit(s.name)): _*)
+    keyMatch(df, keyCol, esCol, steps, windowSec)
+      .where(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("step"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_keys"))
+      .select(col("step").cast("long").as("step"),
+        element_at(names, col("step")).as("step_name"), col("n_keys"))
+  }
+}

@@ -502,16 +502,39 @@ case class MvRewrite() extends Rule[LogicalPlan] {
         // so the reference plan is built in four spellings: bare, and
         // with each subset of {r, c} null-guarded — a guard on a
         // GROUPING column commutes with the rollup, so the served plan
-        // re-applies it to the store's own column. Any other filter
-        // (a value-column predicate, a user WHERE) matches no variant
-        // and falls through.
+        // re-applies it to the store's own column. Any other filter on
+        // the BUILD output (a measure predicate) matches no variant and
+        // falls through.
         import org.apache.spark.sql.functions.{col => fcol}
         val df = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, lr)
+        // The key-predicate COMMUTE arm (the one the plain/KMV/quantile
+        // arms already have): a WHERE over the base commutes with the
+        // sketch when it references only STORE KEY columns — such a
+        // predicate selects whole key groups, a group's cells are
+        // disjoint from every other group's, and the cell hash never
+        // involves the keys, so filtering the stored cells by the same
+        // predicate is bit-identical to building over the filtered
+        // corpus. The predicate is read off the query's own scan (the
+        // optimizer has pushed the user's WHERE there); anything not
+        // key-only serves nothing — falls through, never a wrong answer.
+        val scanFilter: Option[Expression] = agg.collectFirst {
+          case Filter(cond, lr2: LogicalRelation) if lr2 eq lr => cond
+        }
+        val filteredDf = scanFilter match {
+          case None => Some(df)
+          case Some(cond) if filterServable(cond, cv.keys.toSet) =>
+            Some(df.where(org.apache.spark.sql.GraftColumnBridge.column(cond)))
+          case Some(_) => None
+        }
+        filteredDf.flatMap { fdf =>
+        // the reference build is guard-independent — built ONCE, not per
+        // null-guard variant (each variant still pays its own analyzer +
+        // optimizer pass, but only until the first match; bare form first)
+        val ref = graft.functions.Cms.build(fdf, qKeys,
+          fcol(cv.valueCol), cv.depth, cv.width)
         val variants: Seq[Seq[String]] =
           Seq(Seq.empty, Seq("c"), Seq("r"), Seq("r", "c"))
         val matched = variants.iterator.flatMap { guards =>
-          val ref = graft.functions.Cms.build(df, qKeys,
-            fcol(cv.valueCol), cv.depth, cv.width)
           val guarded = guards.foldLeft(ref)((d, g) => d.where(fcol(g).isNotNull))
           val expected =
             MvRewrite.latched(guarded.queryExecution.optimizedPlan)
@@ -527,8 +550,17 @@ case class MvRewrite() extends Rule[LogicalPlan] {
           // (keys'…, r, c, cnt), so serving maps store columns to the
           // query's outputs positionally — alias spellings are free
           val srcNames = qKeys ++ Seq("r", "c")
+          // the key predicate lands DIRECTLY above the store scan: its
+          // columns may include store keys the query rolled away, so it
+          // must filter before the projection prunes them
+          val filteredScan: LogicalPlan = scanFilter match {
+            case Some(cond) => Filter(cond.transform {
+              case a: AttributeReference => mvAttr(a.name)
+            }, scan)
+            case None => scan
+          }
           val pruned: LogicalPlan =
-            Project((srcNames :+ "cnt").map(mvAttr), scan)
+            Project((srcNames :+ "cnt").map(mvAttr), filteredScan)
           val child: LogicalPlan = guards
             .map(g => IsNotNull(mvAttr(g)): Expression)
             .reduceOption(And).map(Filter(_, pruned)).getOrElse(pruned)
@@ -550,6 +582,7 @@ case class MvRewrite() extends Rule[LogicalPlan] {
             n.dataType == o.dataType
           }
           if (ok) Some(plan) else None
+        }
         }
       }
     }.nextOption()

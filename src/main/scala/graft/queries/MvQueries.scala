@@ -1847,6 +1847,74 @@ object MvQueries {
       | FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
       | GROUP BY 1""".stripMargin))
 
+  /** FILTERED CMS serving ([[graft.plans.MvRewrite]]'s tryCms
+    * key-predicate commute arm — the seam the r16 verdict ranked #2): a
+    * frequency dashboard over a key-filtered slice
+    * (`Cms.build(lineitem WHERE l_linestatus = 'F', …)`) serves from the
+    * stored cells with the SAME predicate applied to the store's key
+    * column — exact, because a key predicate selects whole key groups
+    * and the cell hash never involves the keys, so the filtered store's
+    * rolled-up cells are bit-identical to a direct build over the
+    * filtered corpus. The query builds the GLOBAL sketch (keys rolled
+    * away), so the serve path must filter on a store column the query
+    * itself never mentions — pinning that the predicate lands BELOW the
+    * projection. REQUIREd: the store is the plan's only parquet leaf.
+    */
+  val qMvRewriteCmsFiltered = Fixture(
+    "q_mv_rewrite_cms_filtered",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.Cms
+      import graft.plans.{MvRewrite, MvRegistry}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val (depth, width) = (4, 8)
+      val h = Integer.toHexString(d.hashCode)
+      val mvPath = s"${sys.props("java.io.tmpdir")}/graft_cmsfmv_$h"
+      FixtureOnce(s"graft_cmsfmv_$h") {
+        graft.operators.Ivm.viewCms(Tables.lineitem(s, d),
+            Seq("l_linestatus"), "l_returnflag", depth, width)
+          .write.mode("overwrite").parquet(mvPath)
+      }
+      val name = s"li_cmsf_$h"
+      MvRegistry.registerCms(s, name, s"$d/lineitem.parquet",
+        Seq("l_linestatus"), "l_returnflag", depth, width, mvPath)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ MvRewrite()
+      try {
+        val vocab = Seq("A", "N", "R", "ZZ-ABSENT")
+        val served = Cms.pointEstimate(
+          Cms.build(Tables.lineitem(s, d)
+              .where(col("l_linestatus") === "F"),
+            Seq.empty, col("l_returnflag"), depth, width),
+          vocab.toDF("term"), "term", depth, width)
+        val leaves = served.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten
+        require(leaves.size == 1 && leaves.head.contains("graft_cmsfmv"),
+          s"filtered frequency probe must serve from the CMS store alone; " +
+            s"got ${leaves.mkString(", ")}")
+        served.localCheckpoint(true)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        MvRegistry.deregister(name)
+      }
+    },
+    Some(s"""WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+      | cm AS (SELECT r, ${h64("l_returnflag || '#' || r::VARCHAR")} % 8 AS c,
+      |          count(*) AS cnt
+      |        FROM lineitem CROSS JOIN rs
+      |        WHERE l_linestatus = 'F' GROUP BY 1, 2),
+      | pv AS (SELECT unnest(['A', 'N', 'R', 'ZZ-ABSENT']) AS term),
+      | pb AS (SELECT term, r, ${h64("term || '#' || r::VARCHAR")} % 8 AS c
+      |        FROM pv CROSS JOIN rs)
+      | SELECT term, min(coalesce(cm.cnt, 0)) AS est
+      | FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.c = pb.c
+      | GROUP BY 1""".stripMargin))
+
   /** FUNNEL ANALYSIS ([[graft.operators.Funnel]]): the
     * view → click → purchase conversion funnel over the events table,
     * 1-day window, greedy-from-first-anchor semantics — per user ONE
@@ -2036,6 +2104,134 @@ object MvQueries {
       |   FROM sc WHERE s1 > 0
       | UNION ALL SELECT ws, 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
       | UNION ALL SELECT ws, 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
+
+  /** SEQUENTIAL PATTERN MATCHING ([[graft.operators.Pattern]]) — the
+    * MATCH_RECOGNIZE-class generalization of the funnel (the r16
+    * verdict's seam #4): steps are ARBITRARY predicates
+    * (`purchase AND value > 50`, not just a type) and a step can carry
+    * an ABSENCE guard (`no 'error' strictly between the signup and the
+    * qualifying purchase` — the negated pattern variable). Greedy-from-
+    * first-anchor, 2-day window. The oracle expresses the IDENTICAL
+    * semantics as cascading FILTERs — anchor, candidate, first-guard
+    * time — including the equal-timestamp tie rule (`p2 <= k2`), so the
+    * match pins guard placement and ordering, not just totals.
+    */
+  val qPatternMatch = Fixture(
+    "q_pattern_match",
+    (s, d) => {
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.Step("signup", col("event_type") === "signup"),
+        Pattern.Step("qualified_purchase",
+          col("event_type") === "purchase" && col("value") > 50,
+          absentBefore = Some(col("event_type") === "error")))
+      Pattern.counts(Tables.eventsWithEpoch(s, d), "user_id", "es",
+        steps, 172800L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     event_type AS y, value AS v FROM events),
+      | f1 AS (SELECT u, min(t) FILTER (WHERE y = 'signup') AS t1
+      |   FROM ev GROUP BY 1),
+      | f2 AS (SELECT ev.u, f1.t1,
+      |     min(ev.t) FILTER (WHERE ev.y = 'purchase' AND ev.v > 50
+      |       AND ev.t >= f1.t1 AND ev.t <= f1.t1 + 172800) AS p2,
+      |     min(ev.t) FILTER (WHERE ev.y = 'error' AND ev.t > f1.t1) AS k2
+      |   FROM ev JOIN f1 ON ev.u = f1.u
+      |   WHERE f1.t1 IS NOT NULL GROUP BY 1, 2),
+      | d AS (SELECT u, CASE WHEN p2 IS NOT NULL AND (k2 IS NULL OR p2 <= k2)
+      |     THEN 2 ELSE 1 END AS depth FROM f2),
+      | sc AS (SELECT count(*) AS s1,
+      |     count(*) FILTER (WHERE depth >= 2) AS s2 FROM d)
+      | SELECT 1::BIGINT AS step, 'signup' AS step_name, s1 AS n_keys
+      |   FROM sc WHERE s1 > 0
+      | UNION ALL SELECT 2::BIGINT, 'qualified_purchase', s2 FROM sc
+      |   WHERE s2 > 0""".stripMargin))
+
+  /** Streaming twin of [[qPatternMatch]]
+    * ([[graft.streaming.StreamingPattern.keyMatch]]): the guarded
+    * signup → qualified-purchase pattern per DAY window, computed live —
+    * watermarked tumbling windows keyed (window, user), each key's depth
+    * emitted exactly once at window close. The flag filter sits below
+    * the watermark (only pattern-relevant events advance event time);
+    * the oracle recomputes the same guarded fold per (day, user) and
+    * applies the same closed-window filter.
+    */
+  val qStreamPatternMatch = Fixture(
+    "q_stream_pattern_match",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.Step("signup", col("event_type") === "signup"),
+        Pattern.Step("qualified_purchase",
+          col("event_type") === "purchase" && col("value") > 50,
+          absentBefore = Some(col("event_type") === "error")))
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id").cast("long"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      def flagged(r: (Long, Long, String, Double)) =
+        r._3 == "signup" || r._3 == "error" ||
+          (r._3 == "purchase" && r._4 > 50)
+      val lastStep = rows.reverse.find(flagged).get
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val stream = ms.toDF().toDF("tsu", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sink = s"pattern_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingPattern.keyMatch(stream, "ts",
+            "user_id", steps, 86400L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          // the final watermark only advances on a FLAGGED event (the
+          // flag filter sits below the watermark node)
+          ms.addData(Seq(lastStep)); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val names = array(steps.map(st => lit(st.name)): _*)
+      s.table(sink)
+        .select(col("ws"), explode(sequence(lit(1), col("depth"))).as("step"))
+        .groupBy("ws", "step")
+        .agg(count(lit(1)).as("n_keys"))
+        .select(col("ws"), col("step").cast("long").as("step"),
+          element_at(names, col("step")).as("step_name"), col("n_keys"))
+    },
+    Some("""WITH e AS (
+      |   SELECT epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     epoch_us(ts::TIMESTAMP) AS eu, user_id AS u,
+      |     event_type AS y, value AS v
+      |   FROM events
+      |   WHERE event_type = 'signup' OR event_type = 'error'
+      |     OR (event_type = 'purchase' AND value > 50)),
+      | mx AS (SELECT max(eu) AS mx FROM e),
+      | e2 AS (SELECT (t // 86400) * 86400 AS ws, u, t, y, v FROM e),
+      | f1 AS (SELECT ws, u, min(t) FILTER (WHERE y = 'signup') AS t1
+      |   FROM e2 GROUP BY 1, 2),
+      | f2 AS (SELECT e2.ws, e2.u, f1.t1,
+      |     min(e2.t) FILTER (WHERE e2.y = 'purchase' AND e2.v > 50
+      |       AND e2.t >= f1.t1 AND e2.t <= f1.t1 + 86400) AS p2,
+      |     min(e2.t) FILTER (WHERE e2.y = 'error' AND e2.t > f1.t1) AS k2
+      |   FROM e2 JOIN f1 ON e2.ws = f1.ws AND e2.u = f1.u
+      |   WHERE f1.t1 IS NOT NULL GROUP BY 1, 2, 3),
+      | d AS (SELECT ws, u, CASE WHEN p2 IS NOT NULL
+      |     AND (k2 IS NULL OR p2 <= k2) THEN 2 ELSE 1 END AS depth FROM f2),
+      | sc AS (SELECT ws, count(*) AS s1,
+      |     count(*) FILTER (WHERE depth >= 2) AS s2
+      |   FROM d WHERE (ws + 86400) * 1000000 <= (SELECT mx FROM mx)
+      |   GROUP BY 1)
+      | SELECT ws, 1::BIGINT AS step, 'signup' AS step_name, s1 AS n_keys
+      |   FROM sc WHERE s1 > 0
+      | UNION ALL SELECT ws, 2::BIGINT, 'qualified_purchase', s2 FROM sc
+      |   WHERE s2 > 0""".stripMargin))
 
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",

@@ -71,7 +71,8 @@ object PipelineQueries {
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
-    qMvRewriteCmsFreq, qStreamPipelineComposite,
+    qPatternMatch, qStreamPatternMatch,
+    qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,
     qLakeMorCdc, qStreamLakeMor)

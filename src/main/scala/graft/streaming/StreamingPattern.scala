@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pattern
+
+/** [[graft.operators.Pattern]]'s STREAMING twin — live per-window
+  * sequential-pattern detection on the production append path, the same
+  * harness as [[StreamingFunnel]]: events flow through a watermarked
+  * tumbling-window aggregate keyed (window, key); when the watermark
+  * closes a window, the key's pattern depth for that window emits
+  * exactly once. Semantics per window: anchor at the key's first step-1
+  * event IN the window, later steps in order within it, guard kills
+  * between matches — [[Pattern.foldMatch]] verbatim, so batch and
+  * streaming agree event-for-event.
+  *
+  * The step/guard predicates are evaluated in the pre-watermark
+  * projection (the collected state carries booleans, not payloads), and
+  * the flag filter sits below the watermark — only pattern-relevant
+  * events advance event time; mirror accordingly. State per
+  * (window, key) is that key's flagged events in the window — the
+  * sessionizer envelope — evicted by the standard watermark contract.
+  */
+object StreamingPattern {
+
+  /** Append-mode (ws, key, depth, matched) per closed tumbling window;
+    * `depth` ≥ 1 (a key with no anchor in the window reports 0 and is
+    * dropped here — count rollups never read unanchored rows).
+    */
+  def keyMatch(events: DataFrame, tsCol: String, keyCol: String,
+      steps: Seq[Pattern.Step], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val n = steps.length
+    val names = Pattern.flagNames(n)
+    val agg = events
+      .select(col(tsCol).as("__ts") +: col(keyCol).as("u") +:
+        Pattern.flagCols(steps): _*)
+      .where(names.map(col).reduce(_ || _))
+      .withColumn("t", expr("unix_micros(__ts) div 1000000"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$windowSec seconds"), col("u"))
+      .agg(sort_array(collect_list(
+        struct(col("t") +: names.map(col): _*))).as("evs"))
+    val folded = Pattern.foldMatch(col("evs"), n, windowSec)
+    agg.select(expr("unix_micros(window.start) div 1000000").as("ws"),
+        col("u").as(keyCol), folded.getField("d").as("depth"),
+        (folded.getField("d") === n).as("matched"))
+      .where(col("depth") >= 1)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pattern
+import graft.operators.Pattern.Step
+
+/** Sequential pattern matching (operators/Pattern.scala) — the
+  * MATCH_RECOGNIZE-class funnel generalization: arbitrary per-step
+  * predicates, absence guards between steps, anchored window; plus the
+  * per-window streaming twin's agreement with the batch fold.
+  */
+class PatternSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val steps = Seq(
+    Step("start", col("ty") === "a"),
+    Step("finish", col("ty") === "b" && col("v") > 10,
+      absentBefore = Some(col("ty") === "x")))
+
+  private def depths(rows: Seq[(Long, Long, String, Double)],
+      windowSec: Long = 1000L): Map[Long, (Int, Boolean)] =
+    Pattern.keyMatch(rows.toDF("k", "es", "ty", "v"), "k", "es", steps,
+        windowSec)
+      .select("k", "depth", "matched").as[(Long, Int, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("predicates, guards, window: the full case table") {
+    val d = depths(Seq(
+      // 1: clean match — a then qualifying b
+      (1L, 100L, "a", 0.0), (1L, 200L, "b", 50.0),
+      // 2: b fails the VALUE predicate — stalls at depth 1
+      (2L, 100L, "a", 0.0), (2L, 200L, "b", 5.0),
+      // 3: guard kill — x strictly between a and the qualifying b
+      (3L, 100L, "a", 0.0), (3L, 150L, "x", 0.0), (3L, 200L, "b", 50.0),
+      // 4: x BEFORE the anchor does not kill
+      (4L, 50L, "x", 0.0), (4L, 100L, "a", 0.0), (4L, 200L, "b", 50.0),
+      // 5: x AFTER the match does not kill
+      (5L, 100L, "a", 0.0), (5L, 200L, "b", 50.0), (5L, 300L, "x", 0.0),
+      // 6: b past the anchor window (anchor 100, W=1000 → ≤1100)
+      (6L, 100L, "a", 0.0), (6L, 2000L, "b", 50.0),
+      // 7: flagged events but never an anchor — depth 0
+      (7L, 100L, "b", 50.0), (7L, 200L, "x", 0.0)
+    ))
+    assert(d == Map(1L -> (2, true), 2L -> (1, false), 3L -> (1, false),
+      4L -> (2, true), 5L -> (2, true), 6L -> (1, false),
+      7L -> (0, false)), s"$d")
+  }
+
+  test("equal-timestamp ties resolve in the pattern's favor, deterministically") {
+    val d = depths(Seq(
+      // guard at the SAME timestamp as the qualifying b: no kill
+      (1L, 100L, "a", 0.0), (1L, 200L, "x", 0.0), (1L, 200L, "b", 50.0),
+      // guard at the SAME timestamp as the anchor: no kill
+      (2L, 100L, "x", 0.0), (2L, 100L, "a", 0.0), (2L, 200L, "b", 50.0),
+      // guard strictly between, even by 1: kill
+      (3L, 100L, "a", 0.0), (3L, 199L, "x", 0.0), (3L, 200L, "b", 50.0)
+    ))
+    assert(d == Map(1L -> (2, true), 2L -> (2, true), 3L -> (1, false)),
+      s"$d")
+  }
+
+  test("greedy-from-first-anchor; a kill is permanent for the gap") {
+    val d = depths(Seq(
+      // kill, then a later qualifying b: still blocked (k only shrinks)
+      (1L, 100L, "a", 0.0), (1L, 150L, "x", 0.0),
+      (1L, 200L, "b", 50.0), (1L, 300L, "b", 50.0),
+      // second anchor after a kill does NOT re-anchor
+      (2L, 100L, "a", 0.0), (2L, 150L, "x", 0.0),
+      (2L, 400L, "a", 0.0), (2L, 500L, "b", 50.0)
+    ))
+    assert(d == Map(1L -> (1, false), 2L -> (1, false)), s"$d")
+  }
+
+  test("counts report: monotone at-least-step totals with step names") {
+    val rows = Seq(
+      (1L, 100L, "a", 0.0), (1L, 200L, "b", 50.0),
+      (2L, 100L, "a", 0.0),
+      (3L, 100L, "a", 0.0), (3L, 150L, "x", 0.0), (3L, 200L, "b", 50.0)
+    ).toDF("k", "es", "ty", "v")
+    val got = Pattern.counts(rows, "k", "es", steps, 1000L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "start", 3L), (2L, "finish", 1L)), s"$got")
+  }
+
+  test("streaming twin agrees with the batch fold per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two day-windows; key 1 matches in w0, is guard-killed in w1;
+    // key 2 anchors in w0 only
+    val rows = Seq(
+      (1L, 100L, "a", 0.0), (1L, 200L, "b", 50.0),
+      (2L, 300L, "a", 0.0),
+      (1L, 86400L + 100L, "a", 0.0), (1L, 86400L + 150L, "x", 0.0),
+      (1L, 86400L + 200L, "b", 50.0),
+      // window-2 event whose watermark closes w0 and w1
+      (9L, 2 * 86400L + 10L, "a", 0.0)
+    ).sortBy(_._2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val stream = ms.toDF().toDF("k", "es", "ty", "v")
+      .withColumn("ts", timestamp_micros(col("es") * 1000000L))
+    val sink = s"pattern_spec_${System.nanoTime}"
+    val q = graft.streaming.StreamingPattern.keyMatch(stream, "ts", "k",
+        steps, 86400L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      ms.addData(rows); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+      .select("ws", "k", "depth", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(got == Set((0L, 1L, 2, true), (0L, 2L, 1, false),
+      (86400L, 1L, 1, false)), s"$got")
+  }
+}
