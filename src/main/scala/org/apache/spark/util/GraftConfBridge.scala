@@ -1,0 +1,21 @@
+package org.apache.spark.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.SparkContext
+import org.apache.spark.broadcast.Broadcast
+
+/** Bridge to the spark-package-private [[SerializableConfiguration]] —
+  * the standard vehicle for shipping the session's Hadoop configuration
+  * to executor-side code (here: [[graft.sources.ZoneMap.write]]'s
+  * distributed parquet-footer pass). Only the broadcast/unwrap pair is
+  * exposed; no Spark internals leak past this file.
+  */
+object GraftConfBridge {
+
+  def broadcastConf(sc: SparkContext,
+      conf: Configuration): Broadcast[SerializableConfiguration] =
+    SerializableConfiguration.broadcast(sc, conf)
+
+  def conf(b: Broadcast[SerializableConfiguration]): Configuration =
+    b.value.value
+}
