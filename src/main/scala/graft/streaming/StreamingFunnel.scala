@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Funnel
 
@@ -47,5 +48,75 @@ object StreamingFunnel {
     agg.select(expr("unix_micros(window.start) div 1000000").as("ws"),
         col("u").as(userCol), folded.getField("d").as("depth"))
       .where(col("depth") >= 1)
+  }
+
+  case class StepIn(ws: Long, u: String, t: Long, s: Int)
+  case class FunnelState(seq: Long, ts: Seq[Long], ss: Seq[Int])
+  case class LiveOut(ws: Long, u: String, seq: Long, depth: Int)
+
+  /** The per-(window, user) live fold: state is the user's sorted step
+    * events in the window (the same envelope the closed-window
+    * `collect_list` carries), replayed through the IDENTICAL left fold
+    * as [[Funnel.foldDepth]] on every trigger with arrivals — so the
+    * provisional depth is at every trigger exactly what the closed
+    * window WOULD report on the data seen so far, and the final snapshot
+    * equals the closed-window emission (spec-pinned convergence).
+    */
+  private class LiveProc(n: Int, windowSec: Long)
+      extends StatefulProcessor[(Long, String), StepIn, LiveOut] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "fs", Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String), rows: Iterator[StepIn],
+        tv: TimerValues): Iterator[LiveOut] = {
+      val prev = if (st.exists()) st.get() else FunnelState(0L, Nil, Nil)
+      val evs = (prev.ts.zip(prev.ss) ++ rows.map(r => (r.t, r.s))).sorted
+      // the same greedy-from-first-anchor fold as Funnel.foldDepth —
+      // sorted (t, s), anchor at first step-0, advance in order within
+      // the anchor window
+      var d = 0; var t0 = 0L
+      for ((t, s) <- evs) {
+        if (d == 0 && s == 0) { d = 1; t0 = t }
+        else if (d > 0 && d < n && s == d && t <= t0 + windowSec) d += 1
+      }
+      val seq = prev.seq + 1
+      st.update(FunnelState(seq, evs.map(_._1), evs.map(_._2)))
+      if (d >= 1) Iterator.single(LiveOut(key._1, key._2, seq, d))
+      else Iterator.empty
+    }
+  }
+
+  /** PROGRESSIVE funnel emission — the live-dashboard variant of
+    * [[userDepth]], which only speaks when the watermark CLOSES a window
+    * (a full window of latency between a conversion and the dashboard
+    * seeing it). Here every trigger with arrivals emits the (window,
+    * user)'s refreshed provisional depth tagged with a per-key update
+    * sequence number — [[StreamingHeavyHitters]]'s snapshot+seq contract:
+    * a consumer reads max-seq rows ("latest wins") and is never more than
+    * one trigger behind, while the provisional value CONVERGES to the
+    * closed-window [[userDepth]] emission (same events, same fold —
+    * pinned by StreamingFunnelLiveSpec). State per (window, user) is the
+    * sorted step-event list, the sessionizer envelope; pair with the
+    * closed-window query (or a state TTL) when windows must eventually
+    * evict.
+    */
+  def userDepthLive(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(tsCol).as("__ts"), col(userCol).cast("string").as("u"),
+        Funnel.stepIndex(col(typeCol), steps).as("s"))
+      .where(col("s") >= 0)
+      .withColumn("t", expr("unix_micros(__ts) div 1000000"))
+      .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
+      .select(col("ws"), col("u"), col("t"), col("s").cast("int").as("s"))
+      .as[StepIn]
+      .groupByKey(r => (r.ws, r.u))
+      .transformWithState(new LiveProc(steps.length, windowSec),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 }

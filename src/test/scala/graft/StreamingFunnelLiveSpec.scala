@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Progressive funnel emission (StreamingFunnel.userDepthLive): per-
+  * trigger provisional depths with a snapshot+seq latest-wins contract,
+  * CONVERGING to the closed-window emission — the live dashboard is at
+  * most one trigger behind instead of a full window.
+  */
+class StreamingFunnelLiveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "buy")
+
+  test("provisional depths are monotone per key and converge to the closed-window fold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = 86400L
+    // user 1 converts across THREE triggers inside one window; user 2
+    // anchors only; user 3's click lands before its anchor (stays 1);
+    // plus a second window where user 1 stalls at depth 2
+    val chunks = Seq(
+      Seq((1L, 100L, "view"), (2L, 150L, "view"), (3L, 50L, "click")),
+      Seq((1L, 200L, "click"), (3L, 300L, "view")),
+      Seq((1L, 300L, "buy"),
+        (1L, w + 100L, "view"), (1L, w + 200L, "click"))
+    )
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val stream = ms.toDF().toDF("user_id", "es", "event_type")
+      .withColumn("ts", timestamp_micros(col("es") * 1000000L))
+    val sink = s"funnel_live_${System.nanoTime}"
+    graft.streaming.Streams.withRocksDb(spark) {
+      val q = graft.streaming.StreamingFunnel.userDepthLive(stream, "ts",
+          "user_id", "event_type", steps, w)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    val rows = spark.table(sink)
+      .select("ws", "u", "seq", "depth")
+      .as[(Long, String, Long, Int)].collect()
+
+    // per (ws, u): depths monotone non-decreasing in seq
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      val bySeq = rs.sortBy(_._3).map(_._4)
+      assert(bySeq.zip(bySeq.tail).forall { case (a, b) => a <= b },
+        s"$k: provisional depths must be monotone, got ${bySeq.toSeq}")
+    }
+    // user 1's window-0 progression is visible trigger by trigger
+    val u1 = rows.filter(r => r._1 == 0L && r._2 == "1")
+      .sortBy(_._3).map(_._4).toSeq
+    assert(u1 == Seq(1, 2, 3), s"expected live 1→2→3, got $u1")
+
+    // latest-wins snapshot == the BATCH operator's fold per window (the
+    // value the closed-window streaming emission also reports)
+    val latest = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.maxBy(_._3)._4 }
+    val all = chunks.flatten.toDF("user_id", "es", "event_type")
+      .withColumn("ws", expr(s"(es div $w) * $w"))
+    val closed = Seq(0L, w).flatMap { ws =>
+      graft.operators.Funnel.userDepth(all.where(col("ws") === ws),
+          "user_id", "es", "event_type", steps, w)
+        .select("user_id", "depth").as[(Long, Int)].collect()
+        .filter(_._2 >= 1)
+        .map { case (u, d) => (ws, u.toString) -> d }
+    }.toMap
+    assert(latest == closed, s"latest $latest vs closed-window $closed")
+  }
+}
