@@ -976,26 +976,33 @@ object MvQueries {
           .select(concat(lit("ins-"), liRowId).as("rid"), col("l_orderkey"),
             lit("I").as("op"), lit(null).cast("double").as("old_v"),
             (col("l_quantity") + 7d).as("new_v")))
-      def rows(df: DataFrame) = df
-        .as[(String, Long, String, Option[Double], Option[Double])]
-        .collect().toSeq
-      val chunks = (0 to 2).map(i =>
-        rows(deltaOf(li.where(col("l_orderkey") % 3 === i))))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long, String, Option[Double], Option[Double])]
+      // FILE-SOURCE replay (graft.streaming.FileReplay): the two live
+      // chunks arrive as one staged parquet file per trigger, so every
+      // micro-batch gets real scan splits — the bench then measures the
+      // IVM fold, not a single-threaded driver addData feed; the staged
+      // dir is content-keyed and reused across bench attempts
+      val replayDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_replay_jfull_${Integer.toHexString(d.hashCode)}")
+        .getAbsolutePath
+      graft.streaming.FileReplay.stageOrdered(
+        deltaOf(li.where(col("l_orderkey") % 3 < 2))
+          .withColumn("chunk", (col("l_orderkey") % 3).cast("int")),
+        replayDir, "chunk", 2)
+      val stream = s.readStream
+        .schema("rid STRING, l_orderkey LONG, op STRING, " +
+          "old_v DOUBLE, new_v DOUBLE, chunk INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir)
+        .drop("chunk")
       val ckpt = s"$base/cp"
       val q = graft.streaming.StreamingIvm.startJoinFull(
-        ms.toDF().toDF("rid", "l_orderkey", "op", "old_v", "new_v"),
-        viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
+        stream, viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
         "l_quantity", ckpt)
-      try {
-        ms.addData(chunks(0)); q.processAllAvailable()
-        ms.addData(chunks(1)); q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       // TORN trigger 2: the fact half lands (simulated crash after the
       // row-store commit), then the whole fold re-delivers with the same
       // batchId — fact skips on the watermark, view folds post-batch
-      val b2 = chunks(2).toDF("rid", "l_orderkey", "op", "old_v", "new_v")
+      val b2 = deltaOf(li.where(col("l_orderkey") % 3 === 2))
       graft.streaming.StreamingIvm.commitFactMor(
         b2, factRoot, "rid", "l_quantity", ckpt, 2L)
       val folded = graft.streaming.StreamingIvm.applyBatchJoinFull(
@@ -1062,21 +1069,25 @@ object MvQueries {
           .select(concat(lit("ins-"), liRowId).as("rid"), col("l_orderkey"),
             lit("I").as("op"), lit(null).cast("double").as("old_v"),
             (col("l_quantity") + 7d).as("new_v")))
-      def rows(df: DataFrame) = df
-        .as[(String, Long, String, Option[Double], Option[Double])]
-        .collect().toSeq
-      val b1 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 0)))
-      val b2 = rows(deltaOf(li.where(col("l_orderkey") % 2 === 1)))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long, String, Option[Double], Option[Double])]
+      // FILE-SOURCE replay: one staged file per CDC trigger (see
+      // q_stream_ivm_join_minmax — same rationale, staged dir reused)
+      val replayDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_replay_jfmv_${Integer.toHexString(d.hashCode)}")
+        .getAbsolutePath
+      graft.streaming.FileReplay.stageOrdered(
+        deltaOf(li)
+          .withColumn("chunk", (col("l_orderkey") % 2).cast("int")),
+        replayDir, "chunk", 2)
+      val stream = s.readStream
+        .schema("rid STRING, l_orderkey LONG, op STRING, " +
+          "old_v DOUBLE, new_v DOUBLE, chunk INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir)
+        .drop("chunk")
       val q = graft.streaming.StreamingIvm.startJoinFull(
-        ms.toDF().toDF("rid", "l_orderkey", "op", "old_v", "new_v"),
-        viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
+        stream, viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
         "l_quantity", s"$base/cp")
-      try {
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       val prev = s.experimental.extraOptimizations
       s.experimental.extraOptimizations = prev :+ MvRewrite()
       try {

@@ -1185,17 +1185,23 @@ object RetrievalQueries {
         seed, "doc_id", "text", bmTbl, s"$dir/bm", 8)
       Dedup.minhashWriteIndexIngestable(
         seed, "doc_id", "text", 3, mhTbl, s"$dir/mh", 8)
-      // the live source: the %4==2 quarter, event-time ordered
-      val rows = docs.where(col("doc_id") % 4 === 2)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
+      // the live source: the %4==2 quarter, event-time ordered, replayed
+      // from a STAGED FILE SET (graft.streaming.FileReplay) — one file
+      // per trigger, so each micro-batch gets real scan splits and the
+      // bench measures the pipeline, not a driver-side addData feed; the
+      // staged dir is content-keyed and reused across bench attempts
+      val replayDir = s"${sys.props("java.io.tmpdir")}/graft_replay_pipe_$h"
+      graft.streaming.FileReplay.stageOrdered(
+        docs.where(col("doc_id") % 4 === 2)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        replayDir, "doc_id", 2)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir)
+        .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L))
       val curated = graft.streaming.StreamingDedup.firstSeen(
-          ms.toDF().toDF("doc_id", "text")
-            .withColumn("ts", timestamp_micros(col("doc_id") + 1000000L)),
-          "text", "ts", "1 hour")
+          stream, "text", "ts", "1 hour")
         .where(quality)
         .select("doc_id", "text")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1215,18 +1221,20 @@ object RetrievalQueries {
             } finally { b.unpersist(); () }
           }
           .start()
-        try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+        try q.processAllAvailable()
         finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      // crash-replay of the LAST batch into BOTH families: the post-
-      // pipeline rows of that chunk (dedup is passthrough on this corpus,
-      // the gate is deterministic), same batchId — every table must come
-      // out bit-identical
-      val replay = chunks.last.toSeq.toDF("doc_id", "text").where(quality)
-      StreamingIndexIngest.applyBm25Batch(replay, "doc_id", "text", bmTbl,
-        chunks.length - 1L)
+      // crash-replay of the LAST batch into BOTH families: the last
+      // staged file IS the last micro-batch (one file per trigger), its
+      // post-pipeline rows re-derived (dedup is passthrough on this
+      // corpus, the gate is deterministic), same batchId — every table
+      // must come out bit-identical
+      val replay = s.read.parquet(
+          graft.streaming.FileReplay.stagedFiles(replayDir).last)
+        .where(quality)
+      StreamingIndexIngest.applyBm25Batch(replay, "doc_id", "text", bmTbl, 1L)
       StreamingIndexIngest.applyMinhashBatch(replay, "doc_id", "text", 3,
-        mhTbl, chunks.length - 1L)
+        mhTbl, 1L)
       // serving probes, tag-unioned: lexical top-k over the curated index
       // + near-dup screening of the odd docs against it
       val bm = graft.similarity.Bm25

@@ -74,6 +74,13 @@ object FileReplay {
     dir
   }
 
+  /** The staged data files in replay (name == range == mtime) order —
+    * e.g. to re-read the LAST micro-batch's exact rows for a
+    * crash-replay check without collecting anything driver-side.
+    */
+  def stagedFiles(dir: String): Seq[String] =
+    partFiles(dir).map(_.toString)
+
   private def partFiles(dir: String): Seq[Path] =
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
