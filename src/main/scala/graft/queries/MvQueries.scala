@@ -984,16 +984,14 @@ object MvQueries {
       val replayDir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_replay_jfull_${Integer.toHexString(d.hashCode)}")
         .getAbsolutePath
-      graft.streaming.FileReplay.stageOrdered(
-        deltaOf(li.where(col("l_orderkey") % 3 < 2))
-          .withColumn("chunk", (col("l_orderkey") % 3).cast("int")),
-        replayDir, "chunk", 2)
+      graft.streaming.FileReplay.stageChunks(
+        (0 to 1).map(i => deltaOf(li.where(col("l_orderkey") % 3 === i))),
+        replayDir, "jfull_mod3")
       val stream = s.readStream
         .schema("rid STRING, l_orderkey LONG, op STRING, " +
-          "old_v DOUBLE, new_v DOUBLE, chunk INT")
+          "old_v DOUBLE, new_v DOUBLE")
         .option("maxFilesPerTrigger", "1")
         .parquet(replayDir)
-        .drop("chunk")
       val ckpt = s"$base/cp"
       val q = graft.streaming.StreamingIvm.startJoinFull(
         stream, viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
@@ -1074,16 +1072,14 @@ object MvQueries {
       val replayDir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_replay_jfmv_${Integer.toHexString(d.hashCode)}")
         .getAbsolutePath
-      graft.streaming.FileReplay.stageOrdered(
-        deltaOf(li)
-          .withColumn("chunk", (col("l_orderkey") % 2).cast("int")),
-        replayDir, "chunk", 2)
+      graft.streaming.FileReplay.stageChunks(
+        (0 to 1).map(i => deltaOf(li.where(col("l_orderkey") % 2 === i))),
+        replayDir, "jfmv_mod2")
       val stream = s.readStream
         .schema("rid STRING, l_orderkey LONG, op STRING, " +
-          "old_v DOUBLE, new_v DOUBLE, chunk INT")
+          "old_v DOUBLE, new_v DOUBLE")
         .option("maxFilesPerTrigger", "1")
         .parquet(replayDir)
-        .drop("chunk")
       val q = graft.streaming.StreamingIvm.startJoinFull(
         stream, viewRoot, factRoot, "rid", dims, Seq("o_orderpriority"),
         "l_quantity", s"$base/cp")

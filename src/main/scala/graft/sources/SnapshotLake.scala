@@ -376,8 +376,12 @@ object SnapshotLake {
       val spark = df.sparkSession
       val tmp = "graft_mor_w_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
+      // bucketBy WITHOUT sortBy: the resolve is a hash aggregation (and
+      // its join partitioning-only), so per-bucket sort order buys
+      // nothing — and sorting every commit's layer by key was the
+      // dominant write cost at fixture scale
       try df.write.mode("overwrite").format("parquet").option("path", dir)
-        .bucketBy(n, key).sortBy(key).saveAsTable(tmp)
+        .bucketBy(n, key).saveAsTable(tmp)
       finally spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
       ()
     case _ => df.write.mode("overwrite").parquet(dir)
@@ -538,11 +542,17 @@ object SnapshotLake {
       s"${dirs.head._1}_${dirs.last._1}_${dirs.size}"
     lockFor(root).synchronized {
       if (!spark.catalog.tableExists(name)) {
+        // the table's own (empty) location must exist BEFORE the DDL:
+        // relation resolution stats it (FileStreamSink.hasMetadata)
+        Files.createDirectories(Paths.get(root, s"_catalog_$name"))
         val cols = schema.toDDL
+        // no SORTED BY: layers are written bucketed-unsorted, and a
+        // catalog sort claim over unsorted files would let the planner
+        // elide sorts that are actually needed
         spark.sql(
           s"CREATE TABLE `$name` ($cols, `$partCol` BIGINT) USING parquet " +
             s"PARTITIONED BY (`$partCol`) CLUSTERED BY (`$key`) " +
-            s"SORTED BY (`$key`) INTO $n BUCKETS " +
+            s"INTO $n BUCKETS " +
             s"LOCATION '${Paths.get(root, s"_catalog_$name")}'")
         for ((i, dir) <- dirs)
           spark.sql(s"ALTER TABLE `$name` ADD PARTITION (`$partCol`=$i) " +

@@ -74,6 +74,41 @@ object FileReplay {
     dir
   }
 
+  /** Stage EXPLICIT micro-batches: each DataFrame in `parts` becomes
+    * exactly ONE staged file, replayed in list order (name + mtime
+    * ordered) — the discrete-chunk alternative to [[stageOrdered]],
+    * whose range partitioner may legitimately collapse a low-cardinality
+    * order column (2 chunk values sampled into 1 bound) and cannot
+    * guarantee chunk-per-file alignment. Same idempotence marker
+    * contract; `recipeKey` names the chunk recipe so a fixture that
+    * changes its chunking invalidates stale staging.
+    */
+  def stageChunks(parts: Seq[DataFrame], dir: String,
+      recipeKey: String): String = {
+    require(parts.nonEmpty, "stageChunks needs at least one chunk")
+    val recipe =
+      s"chunks/$recipeKey/${parts.size}/${parts.head.schema.catalogString}"
+    val marker = Paths.get(dir, "_REPLAY_READY")
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == recipe)
+      return dir
+    if (Files.exists(Paths.get(dir))) deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = s"$dir/_chunk_stage"
+      p.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = partFiles(tmp).head
+      Files.move(src, Paths.get(dir, f"part-$i%05d.parquet"))
+      deleteRecursively(Paths.get(tmp))
+    }
+    val base = 1_000_000_000_000L
+    partFiles(dir).zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
+    }
+    Files.write(marker, recipe.getBytes("UTF-8"))
+    dir
+  }
+
   /** The staged data files in replay (name == range == mtime) order —
     * e.g. to re-read the LAST micro-batch's exact rows for a
     * crash-replay check without collecting anything driver-side.
