@@ -14,7 +14,7 @@ object Bench {
     // was cut. The budget clock starts HERE (JVM + sbt startup are the
     // caller's overhead, not the bench's).
     val budgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     def leftS: Double = budgetS - elapsedS
@@ -64,8 +64,9 @@ object Bench {
     // long-running cluster job sees.
     val sessions = scala.collection.mutable.Map.empty[String, SparkSession]
     def once(name: String,
-             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      settle()
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             hygiene: Boolean = true): Double = {
+      if (hygiene) settle()
       val session = sessions.getOrElseUpdate(name, spark.newSession())
       val t0 = System.nanoTime()
       try { fn(session, sfDir).write.format("noop").mode("overwrite").save() }
@@ -251,7 +252,9 @@ object Bench {
       if (!interleaveDone) {
         for ((name, fn) <- new scala.util.Random(it.toLong).shuffle(ordered)
              if it <= quickIters || !quick(name)) {
-          val t = once(name, fn)
+          // the warm-up pass is discarded — skip its per-query settle
+          // (gc + sleep × 255 queries is minutes of pure overhead)
+          val t = once(name, fn, hygiene = it > 0)
           if (it > 0) {
             samples(name) = samples(name) :+ t
             if (it == 1 && t >= -0.5 && t < quickBelowS) quick += name
