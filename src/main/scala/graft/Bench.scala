@@ -14,7 +14,7 @@ object Bench {
     // was cut. The budget clock starts HERE (JVM + sbt startup are the
     // caller's overhead, not the bench's).
     val budgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "3000").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     def leftS: Double = budgetS - elapsedS
@@ -83,12 +83,21 @@ object Bench {
     // samples — at 250+ fixtures the quick majority's extra passes (plus
     // their per-run settle) were most of the r16 wall clock. Quickness is
     // decided from the FIRST measured sample; quick queries stop after
-    // `quickIters` warm samples, heavy ones run all `iters`. Round-over-
-    // round comparability is preserved by the drifter rule: any query whose
-    // (now cheaper) median drifts >1.2× its prior same-SF time gets isolated
-    // re-measures with a full [min,med,max] spread anyway.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
-    val quickIters = 2
+    // `quickIters` warm samples, heavy ones run all `iters`. 3 quick
+    // samples, not 2: a median-of-2 is a mean, and with both samples drawn
+    // from the two COLDEST measured passes it inflated 49 sub-2s queries
+    // past the 1.2× drifter bar in the r17 shakedown (isolated re-measures
+    // confirmed pure noise — e.g. 0.49 interleaved vs 0.12 isolated);
+    // median-of-3 discards the one slow sample. Round-over-round
+    // comparability is preserved by the drifter rule either way.
+    // Default ITERS 3 (== quickIters): the r17 shakedowns measured the
+    // full 4-iteration schedule at ~47 min wall at sf0.1 — the extra
+    // heavy-only pass crowded the isolated block out of the budget, and
+    // heavy medians-of-3 plus the isolated [min,max] spreads adjudicate
+    // drift just as well. Raising SPARK_GRAFT_BENCH_ITERS re-enables the
+    // deeper schedule; the adaptive quick/heavy split stays in place.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val quickIters = 3
     val quickBelowS = 2.0
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -290,8 +299,17 @@ object Bench {
       case (name, t) if prevTimes.get(name).exists(p => p > 0 && t > 1.2 * p) =>
         name
     }.toSet
+    // drifter re-measures are CAPPED (worst ratios first): a noisy run can
+    // flag dozens of queries, and an uncapped set × attempts blows the
+    // wall budget before the stream block — the r17 shakedown hit exactly
+    // that (65 flagged, isolated block truncated). The cap keeps the
+    // block bounded; anything past it simply waits for the next round's
+    // baseline to stabilize.
+    val driftCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_CAP", "12").toInt
+    val worstDrifters = drifterNames.toSeq
+      .sortBy(n => -(res1(n) / prevTimes(n))).take(driftCap)
     val isolatedNames = (res1.toSeq.sortBy(-_._2).take(isoN).map(_._1) ++
-      drifterNames).distinct
+      worstDrifters).distinct
     val isoBuf = scala.collection.mutable.Map.empty[String, Seq[Double]]
     for (name <- isolatedNames) {
       // each isolated query costs ~attempts × its own time; skip the rest
