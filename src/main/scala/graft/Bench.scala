@@ -338,7 +338,11 @@ object Bench {
     // batch side: with a spread in the artifact a future delta is
     // attributable in place (outside the band ⇒ real; inside ⇒ noise).
     val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
-    val streamRunsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt
+    // 3 replays when the budget allows (an odd count is a true median and
+    // the per-replay guard below skips the third on a slow host); the r17
+    // full runs ended with ~4 min of budget to spare at the default
+    // schedule, so the usual case affords it
+    val streamRunsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt
     for (i <- 1 to streamRunsN) {
       // a replay is ~90-120 s at sf0.1: skip remaining replays rather than
       // blow the window (one replay still yields a comparable median)

@@ -348,6 +348,17 @@ object SnapshotLake {
     ()
   }
 
+  /** Catalog entries [[bucketedLayers]] created per root — dropped at
+    * compaction ([[compactMor]]), which obsoletes every pre-compaction
+    * layer range: without the hook a long-lived CDC root that resolves
+    * at many versions would leak one table entry per (root, range) into
+    * the session catalog for its whole lifetime. Data is untouched by
+    * the drops (external tables); a post-compaction time travel simply
+    * recreates the range it needs.
+    */
+  private val morTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
   private def morBucketsFile(root: String) = Paths.get(root, "_MOR_BUCKETS")
 
   /** The root's bucketed-layer spec, if [[commitMorBase]] declared one:
@@ -557,6 +568,11 @@ object SnapshotLake {
         for ((i, dir) <- dirs)
           spark.sql(s"ALTER TABLE `$name` ADD PARTITION (`$partCol`=$i) " +
             s"LOCATION '$dir'")
+        morTables.computeIfAbsent(
+          Paths.get(root).toAbsolutePath.normalize.toString,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+          .add(name)
+        ()
       }
     }
     spark.table(name)
@@ -595,6 +611,12 @@ object SnapshotLake {
       writeMorLayer(resolveMor(spark, root, cur, key),
         s"${versionPath(root, v)}/add", morBucketSpec(root))
       markMorBase(root, v)
+      // the new base obsoletes every pre-compaction layer range: drop the
+      // resolve tables this root accumulated (recreated on demand)
+      val stale = morTables.remove(
+        Paths.get(root).toAbsolutePath.normalize.toString)
+      if (stale != null)
+        stale.forEach(n => { spark.sql(s"DROP TABLE IF EXISTS `$n`"); () })
       writeWatermarks(root, v, watermarks(root))
       val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
       Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))

@@ -152,6 +152,18 @@ class MorSpec extends SparkTestBase {
       // MoR time travel is unchanged by the layout
       assertSameRows(SnapshotLake.readMorVersion(spark, root, 1L, "k"),
         Seq((1L, "a"), (2L, "b1"), (4L, "d")).toDF("k", "s"))
+      // compaction drops the root's accumulated resolve-table catalog
+      // entries (a long-lived CDC root must not leak one per range);
+      // post-compaction resolves recreate what they need
+      val tag = math.abs(root.hashCode.toLong).toString
+      def mine() = spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith("graft_mor_") && n.contains(tag)).toSet
+      assert(mine().nonEmpty, "resolves should have registered tables")
+      SnapshotLake.compactMor(spark, root, "k")
+      assert(mine().isEmpty,
+        "compaction must drop the root's stale resolve tables")
+      assertSameRows(SnapshotLake.readMor(spark, root, "k"),
+        Seq((2L, "b2"), (3L, "c2"), (5L, "e"), (6L, "f")).toDF("k", "s"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
