@@ -120,6 +120,90 @@ object Pattern {
       (folded.getField("d") === n).as("matched"))
   }
 
+  /** One CONTIGUOUS-pattern step: events satisfying `pred` form the
+    * step's class; `plus` = the MATCH_RECOGNIZE `+` quantifier (one or
+    * more consecutive events), otherwise exactly one.
+    */
+  final case class RunStep(name: String, pred: Column,
+      plus: Boolean = false)
+
+  /** STRICT (contiguous) MATCH_RECOGNIZE semantics — the tier
+    * [[keyMatch]]'s skip-tolerant semantics cannot express: under
+    * skip-tolerance quantifiers are provably vacuous (`B+ C` ≡ `B C` —
+    * extra Bs never change whether a C follows), but under CONTIGUITY
+    * they are load-bearing (`A B C` must NOT match A,B,B,C). Per key:
+    * classify every event to its first matching step class (−1 = no
+    * class — and a −1 event BREAKS contiguity, it is not skipped),
+    * RUN-LENGTH-ENCODE the ordered class sequence, and match the
+    * pattern over consecutive RUNS — a `plus` step accepts any run of
+    * its class, a non-plus step requires run length exactly 1. For
+    * MUTUALLY-EXCLUSIVE step predicates this is EXACT regex semantics,
+    * not a greedy approximation: a quantified step's class differs from
+    * its successor's, so consuming less than the full run can never
+    * rescue a failed match. Reported match = the key's FIRST (earliest
+    * run index) occurrence, with the span from the match's first event
+    * to the LAST step's first event bounded by `windowSec`.
+    *
+    * Same scale envelope as the rest of the family — one shuffle, and
+    * the RLE + match scan as codegen'd array HOFs over the sorted
+    * per-key events (state = the key's events in the time range of
+    * interest; pre-filter to it at 100 TB).
+    *
+    * Returns (key, m_start) for matched keys — m_start the first
+    * matched event's time.
+    */
+  def contiguousFirst(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[RunStep], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val m = steps.length
+    // first matching step wins on (discouraged) predicate overlap
+    val cls = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (acc, (s, i)) =>
+        when(coalesce(s.pred, lit(false)), lit(i)).otherwise(acc)
+    }
+    val evs = df
+      .select(col(keyCol).as("u"), col(esCol).cast("long").as("t"),
+        cls.as("c"))
+      .groupBy("u")
+      // (t, c) struct sort: deterministic under equal timestamps, and
+      // mirrored verbatim by the oracle's ORDER BY t, c
+      .agg(sort_array(collect_list(struct(col("t"), col("c")))).as("evs"))
+    def ev(i: Column) = element_at(col("evs"), i + 1)
+    val withRuns = evs
+      // run heads: positions where the class changes
+      .withColumn("heads",
+        filter(sequence(lit(0), size(col("evs")) - 1), i =>
+          // CaseWhen, not ||: the i−1 probe must never evaluate at i=0
+          when(i === 0, lit(true))
+            .otherwise(ev(i).getField("c") =!= ev(i - 1).getField("c"))))
+      // runs: (class, first event time, length)
+      .withColumn("runs",
+        transform(sequence(lit(0), size(col("heads")) - 1), k => {
+          val h = element_at(col("heads"), k + 1)
+          val nxt = when(k + 1 < size(col("heads")),
+            element_at(col("heads"), k + 2)).otherwise(size(col("evs")))
+          struct(ev(h).getField("c").as("c"), ev(h).getField("t").as("t"),
+            (nxt - h).as("len"))
+        }))
+    def run(i: Column) = element_at(col("runs"), i + 1)
+    val stepOk = (r0: Column) => (0 until m).map { j =>
+      val r = run(r0 + j)
+      r.getField("c") === j &&
+        (if (steps(j).plus) lit(true) else r.getField("len") === 1)
+    }.reduce(_ && _)
+    val matched = withRuns
+      .withColumn("starts",
+        when(size(col("runs")) >= m,
+          filter(sequence(lit(0), size(col("runs")) - m), r0 =>
+            stepOk(r0) &&
+              run(r0 + (m - 1)).getField("t") - run(r0).getField("t") <=
+                windowSec))
+          .otherwise(array().cast("array<int>")))
+      .where(size(col("starts")) > 0)
+    matched.select(col("u").as(keyCol),
+      run(element_at(col("starts"), 1)).getField("t").as("m_start"))
+  }
+
   /** The pattern report ([[Funnel.counts]]'s shape): one row per step
     * with how many keys matched AT LEAST that far — (step 1-based,
     * step_name, n_keys), monotone non-increasing, group-sized output.

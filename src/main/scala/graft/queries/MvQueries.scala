@@ -2240,6 +2240,51 @@ object MvQueries {
       | UNION ALL SELECT ws, 2::BIGINT, 'qualified_purchase', s2 FROM sc
       |   WHERE s2 > 0""".stripMargin))
 
+  /** STRICT (contiguous) pattern matching
+    * ([[graft.operators.Pattern.contiguousFirst]]) — the quantifier tier
+    * skip-tolerant matching cannot express: `view+ click purchase+`
+    * over CONSECUTIVE events (any other event type breaks the run, and
+    * `click` must appear EXACTLY once — A,B,B,C must not match A B C).
+    * Implementation run-length-encodes each user's ordered class
+    * sequence and matches the pattern over consecutive runs (exact
+    * regex semantics for disjoint classes); the oracle is an
+    * INDEPENDENT formulation — gaps-and-islands run construction via
+    * dueling row_numbers, then per-step self-joins on the run index —
+    * so the match pins contiguity, quantifier exactness, tie order, and
+    * first-match selection, not a re-run of the same fold.
+    */
+  val qPatternContiguous = Fixture(
+    "q_pattern_contiguous",
+    (s, d) => {
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.RunStep("view", col("event_type") === "view", plus = true),
+        Pattern.RunStep("click", col("event_type") === "click"),
+        Pattern.RunStep("purchase", col("event_type") === "purchase",
+          plus = true))
+      Pattern.contiguousFirst(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 86400L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |       WHEN 'purchase' THEN 2 ELSE -1 END AS c
+      |   FROM events),
+      | o AS (SELECT u, t, c,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, c) AS rn,
+      |     row_number() OVER (PARTITION BY u, c ORDER BY t, c) AS rnc
+      |   FROM ev),
+      | runs AS (SELECT u, c, min(t) AS t0, count(*) AS len,
+      |     row_number() OVER (PARTITION BY u ORDER BY min(rn)) AS ri
+      |   FROM o GROUP BY u, c, rn - rnc),
+      | mt AS (SELECT r0.u, r0.t0 AS ms
+      |   FROM runs r0
+      |   JOIN runs r1 ON r1.u = r0.u AND r1.ri = r0.ri + 1
+      |   JOIN runs r2 ON r2.u = r0.u AND r2.ri = r0.ri + 2
+      |   WHERE r0.c = 0 AND r1.c = 1 AND r1.len = 1 AND r2.c = 2
+      |     AND r2.t0 - r0.t0 <= 86400)
+      | SELECT u AS user_id, min(ms) AS m_start FROM mt GROUP BY 1""".stripMargin))
+
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",
     (s, d) => {

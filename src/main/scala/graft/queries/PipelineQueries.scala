@@ -71,7 +71,7 @@ object PipelineQueries {
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
-    qPatternMatch, qStreamPatternMatch,
+    qPatternMatch, qStreamPatternMatch, qPatternContiguous,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

@@ -83,6 +83,40 @@ class PatternSpec extends SparkTestBase {
     assert(got == Set((1L, "start", 3L), (2L, "finish", 1L)), s"$got")
   }
 
+  test("contiguous matching: quantifier exactness, breakers, window, first match") {
+    import graft.operators.Pattern.RunStep
+    val rsteps = Seq(
+      RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"),
+      RunStep("c", col("ty") === "c", plus = true))
+    def m(rows: Seq[(Long, Long, String)], w: Long = 1000L) =
+      graft.operators.Pattern.contiguousFirst(
+          rows.map(r => (r._1, r._2, r._3, 0.0)).toDF("k", "es", "ty", "v"),
+          "k", "es", rsteps, w)
+        .as[(Long, Long)].collect().toMap
+    val got = m(Seq(
+      // 1: clean a+ b c+ (two as, one b, two cs)
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "b"),
+      (1L, 130L, "c"), (1L, 140L, "c"),
+      // 2: b run of length 2 — `b` is NOT plus, must NOT match
+      (2L, 100L, "a"), (2L, 110L, "b"), (2L, 120L, "b"), (2L, 130L, "c"),
+      // 3: a non-class event between b and c BREAKS contiguity
+      (3L, 100L, "a"), (3L, 110L, "b"), (3L, 120L, "x"), (3L, 130L, "c"),
+      // 4: skip-tolerant would match; strict must not (x inside)
+      (4L, 100L, "a"), (4L, 105L, "x"), (4L, 110L, "b"), (4L, 120L, "c"),
+      // 5: two matches — the FIRST (earliest) is reported
+      (5L, 100L, "a"), (5L, 110L, "b"), (5L, 120L, "c"),
+      (5L, 200L, "a"), (5L, 210L, "b"), (5L, 220L, "c"),
+      // 6: window: span from match start to c's first event > W
+      (6L, 100L, "a"), (6L, 110L, "b"), (6L, 2000L, "c")
+    ))
+    assert(got == Map(1L -> 100L, 5L -> 100L), s"$got")
+    // window measured to the LAST step's FIRST event: exactly at bound
+    val edge = m(Seq(
+      (1L, 0L, "a"), (1L, 500L, "b"), (1L, 1000L, "c")))
+    assert(edge == Map(1L -> 0L), s"$edge")
+  }
+
   test("streaming twin agrees with the batch fold per window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // two day-windows; key 1 matches in w0, is guard-killed in w1;
