@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: events filtered to the step types, ONE shuffle
   * (groupBy user), per-user events collected and sorted as
-  * (time, step) structs, and the sequential scan expressed as the
-  * `aggregate` HOF over that array — whole-stage-codegen'd, no UDF, no
+  * (time, step) structs, and the sequential scan expressed as ONE
+  * `aggregate` HOF over that array — array HOFs are INTERPRETED (no
+  * whole-stage codegen, no CSE), which is fine exactly because the scan
+  * is a single linear fold appearing once in the plan; no UDF, no
   * window-function re-sort per step, no N self-joins (the naive funnel
   * spelling joins once per step — N fact shuffles instead of one). Per-
   * user state is the event list: bounded by per-user activity in the

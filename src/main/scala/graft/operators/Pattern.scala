@@ -18,22 +18,33 @@ import org.apache.spark.sql.functions._
   *
   *  - anchor at the key's FIRST event satisfying step 1;
   *  - step i+1 matches the earliest event at-or-after the step-i match
-  *    satisfying its predicate, within `windowSec` of the ANCHOR;
+  *    satisfying its predicate, within `windowSec` of the ANCHOR. "At":
+  *    an event at the SAME timestamp as the step-i match advances — the
+  *    sort key orders step matches by ascending step index within a
+  *    timestamp (negated flags), so a same-second chain folds in pattern
+  *    order, matching the oracle's `t >= t_prev` formulation. One event
+  *    advances at most one step: an event satisfying both step i and
+  *    step i+1 is consumed by step i.
   *  - a guard kill: an event satisfying step i+1's `absentBefore`
   *    STRICTLY after the step-i match and strictly before the step-i+1
-  *    candidate blocks the pattern (an event at the SAME timestamp as
-  *    the candidate does not — ties resolve in the pattern's favor, on
-  *    both the fold and oracle sides, so the semantics are engine-
-  *    independent).
+  *    candidate blocks the pattern. Both bounds are timestamp-based
+  *    (state carries the previous match time), so an equal-timestamp
+  *    guard never blocks regardless of fold order — ties resolve in the
+  *    pattern's favor on both the fold and oracle sides, and the
+  *    semantics are engine-independent.
   *
   * Spark-first shape, identical scale envelope to [[Funnel]]: predicates
   * evaluated ONCE per event in the scan projection (so the collected
   * structs carry booleans, not payloads), events pre-filtered to rows
   * that touch any step or guard, ONE shuffle (groupBy key), and the
-  * sequential scan as the codegen'd `aggregate` HOF over the sorted
-  * per-key struct array — no UDF, no per-step self-join, no window
-  * re-sort. At 100 TB: pre-filter to the pattern's time range first;
-  * per-key state is the key's flagged events, the sessionizer envelope.
+  * sequential scan as ONE `aggregate` HOF over the sorted per-key struct
+  * array, evaluated INSIDE the aggregate's result projection — array
+  * HOFs are interpreted (no whole-stage codegen, no common-subexpression
+  * elimination), so the fold must appear exactly once in the plan; the
+  * post-agg projection only reads fields off its attribute. No UDF, no
+  * per-step self-join, no window re-sort. At 100 TB: pre-filter to the
+  * pattern's time range first; per-key state is the key's flagged
+  * events, the sessionizer envelope.
   */
 object Pattern {
 
@@ -59,34 +70,55 @@ object Pattern {
   private[graft] def flagNames(n: Int): Seq[String] =
     (0 until n).map(i => s"m$i") ++ (1 until n).map(i => s"g$i")
 
+  /** The sortable per-event struct: (t, z0..z(n−1), g1..g(n−1)) with
+    * z_i = NOT m_i, so within an equal timestamp an event matching an
+    * EARLIER step sorts first (false < true) and a same-second
+    * step-i → step-(i+1) chain is folded in pattern order — the
+    * at-or-after contract. Guard flags trail for total-order
+    * determinism; guard SEMANTICS are timestamp-based in [[foldMatch]]
+    * and do not depend on their position in a tie.
+    */
+  private[graft] def sortStruct(n: Int): Column =
+    struct(col("t") +:
+      ((0 until n).map(i => (!col(s"m$i")).as(s"z$i")) ++
+        (1 until n).map(i => col(s"g$i"))): _*)
+
   /** The sequential scan — a left fold over the SORTED per-key
-    * (t, m0.., g1..) struct array yielding struct(d = steps matched,
-    * t0 = anchor time, k = first guard time of the OPEN gap). Guard
-    * bookkeeping: `k` records the earliest guard event seen since the
-    * last match; a step candidate at `t` advances only while `t <= k`
-    * (a guard strictly earlier blocks; an equal-timestamp one does not),
-    * and advancing resets `k`. Shared by the batch path and the
-    * per-window streaming twin ([[graft.streaming.StreamingPattern]]).
+    * (t, z0.., g1..) struct array yielding struct(d = steps matched,
+    * t0 = anchor time, tp = previous match time, k = first guard time
+    * of the OPEN gap). Guard bookkeeping: `k` records the earliest
+    * guard event seen since the last match; a step candidate at `t`
+    * advances only while the guard is NOT strictly inside (tp, t) —
+    * `k <= tp || k >= t` — so a guard at the previous match's
+    * timestamp or at the candidate's own timestamp never blocks,
+    * independent of fold order. Advancing resets `k`. Shared by the
+    * batch path and the per-window streaming twin
+    * ([[graft.streaming.StreamingPattern]]).
     */
   private[graft] def foldMatch(evs: Column, n: Int,
       windowSec: Long): Column = {
     val noKill = lit(Long.MaxValue)
-    val init = struct(lit(0).as("d"), lit(0L).as("t0"), noKill.as("k"))
+    val init = struct(lit(0).as("d"), lit(0L).as("t0"), lit(0L).as("tp"),
+      noKill.as("k"))
     aggregate(evs, init, (acc, e) => {
       val d = acc.getField("d"); val t0 = acc.getField("t0")
-      val k = acc.getField("k"); val t = e.getField("t")
-      val anchor = when(d === 0 && e.getField("m0"),
-        struct(lit(1).as("d"), t.as("t0"), noKill.as("k")))
+      val tp = acc.getField("tp"); val k = acc.getField("k")
+      val t = e.getField("t")
+      def m(i: Int) = !e.getField(s"z$i")
+      val anchor = when(d === 0 && m(0),
+        struct(lit(1).as("d"), t.as("t0"), t.as("tp"), noKill.as("k")))
       // advance arms first: an event matching both the step and its own
       // guard is a match, not a kill
       val advanced = (1 until n).foldLeft(anchor) { (c, i) =>
-        c.when(d === i && e.getField(s"m$i") &&
-            t <= t0 + windowSec && t <= k,
-          struct(lit(i + 1).as("d"), t0.as("t0"), noKill.as("k")))
+        c.when(d === i && m(i) && t <= t0 + windowSec &&
+            (k <= tp || k >= t),
+          struct(lit(i + 1).as("d"), t0.as("t0"), t.as("tp"),
+            noKill.as("k")))
       }
       val guarded = (1 until n).foldLeft(advanced) { (c, i) =>
         c.when(d === i && e.getField(s"g$i"),
-          struct(d.as("d"), t0.as("t0"), least(k, t).as("k")))
+          struct(d.as("d"), t0.as("t0"), tp.as("tp"),
+            least(k, t).as("k")))
       }
       guarded.otherwise(acc)
     })
@@ -107,17 +139,18 @@ object Pattern {
       col(keyCol).as("u") +: col(esCol).cast("long").as("t") +:
         flagCols(steps): _*)
       .where(names.map(col).reduce(_ || _))
-    val evs = flagged
+    // the fold runs inside the aggregate's result projection so it is
+    // evaluated exactly once per key; the projection below touches only
+    // fields of its output attribute (interpreted HOFs have no CSE — a
+    // repeated fold expression would re-run the whole scan per field)
+    val folded = flagged
       .groupBy("u")
-      // struct arrays sort by field order: (t, flags…) — and every guard
-      // flag field sorts false-first, which is what makes the equal-
-      // timestamp tie rules deterministic
-      .agg(sort_array(collect_list(
-        struct(col("t") +: names.map(col): _*))).as("evs"))
-    val folded = foldMatch(col("evs"), n, windowSec)
-    evs.select(col("u").as(keyCol), folded.getField("d").as("depth"),
-      folded.getField("t0").as("t0"),
-      (folded.getField("d") === n).as("matched"))
+      .agg(foldMatch(sort_array(collect_list(sortStruct(n))), n,
+        windowSec).as("f"))
+    folded.select(col("u").as(keyCol),
+      col("f").getField("d").as("depth"),
+      col("f").getField("t0").as("t0"),
+      (col("f").getField("d") === n).as("matched"))
   }
 
   /** One CONTIGUOUS-pattern step: events satisfying `pred` form the
@@ -134,74 +167,128 @@ object Pattern {
     * they are load-bearing (`A B C` must NOT match A,B,B,C). Per key:
     * classify every event to its first matching step class (−1 = no
     * class — and a −1 event BREAKS contiguity, it is not skipped),
-    * RUN-LENGTH-ENCODE the ordered class sequence, and match the
-    * pattern over consecutive RUNS — a `plus` step accepts any run of
-    * its class, a non-plus step requires run length exactly 1. For
-    * MUTUALLY-EXCLUSIVE step predicates this is EXACT regex semantics,
-    * not a greedy approximation: a quantified step's class differs from
-    * its successor's, so consuming less than the full run can never
-    * rescue a failed match. Reported match = the key's FIRST (earliest
-    * run index) occurrence, with the span from the match's first event
-    * to the LAST step's first event bounded by `windowSec`.
+    * then run-length-encode the ordered class sequence and regex-match
+    * it over consecutive runs in ONE pass: a `plus` step accepts any
+    * run of its class; an INTERIOR non-plus step requires run length
+    * exactly 1; BOUNDARY non-plus steps accept any run — strict regex
+    * matches `A B` against A,A,B starting at the SECOND A (the anchor
+    * is the first run's LAST event) and against A,B,B by consuming the
+    * last run's FIRST event (trailing events are simply outside the
+    * match). For MUTUALLY-EXCLUSIVE step predicates this is EXACT
+    * first-match regex semantics, not a greedy approximation: step j's
+    * class is exactly j, so the pattern's class word 0,1,…,m−1 has no
+    * repeated symbol, no proper prefix recurs, and the only restart
+    * candidate after a failed attempt is the failing run itself (when
+    * its class is 0) — a linear scan needs no backtracking. Reported
+    * match = the key's FIRST (earliest run index) occurrence whose span
+    * from the match's first event to the LAST step's first event is
+    * within `windowSec`; a structurally-valid occurrence busting the
+    * window does not block later occurrences.
     *
-    * Same scale envelope as the rest of the family — one shuffle, and
-    * the RLE + match scan as codegen'd array HOFs over the sorted
-    * per-key events (state = the key's events in the time range of
-    * interest; pre-filter to it at 100 TB).
+    * Implementation: RLE + match fused into a single `aggregate` HOF
+    * fold over the sorted per-key (t, c) array — state = (open-run
+    * class/length/first/last, steps matched, anchor, result) — built
+    * INSIDE the aggregate's result projection so the interpreted HOF
+    * (no codegen, no CSE) is evaluated exactly once per key. Never
+    * cross-reference array-HOF-built columns: each `element_at` over a
+    * `transform`/`filter` output re-evaluates the whole upstream array
+    * per access (the r17 version did exactly that and was ~500× slower
+    * than this fold). Same scale envelope as the rest of the family —
+    * one shuffle; state = the key's events in the time range of
+    * interest; pre-filter to it at 100 TB.
     *
-    * Returns (key, m_start) for matched keys — m_start the first
-    * matched event's time.
+    * Returns (key, m_start) for matched keys — m_start the matched
+    * occurrence's first event time.
     */
   def contiguousFirst(df: DataFrame, keyCol: String, esCol: String,
       steps: Seq[RunStep], windowSec: Long): DataFrame = {
     require(steps.nonEmpty, "pattern needs at least one step")
-    val m = steps.length
     // first matching step wins on (discouraged) predicate overlap
     val cls = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
       case (acc, (s, i)) =>
         when(coalesce(s.pred, lit(false)), lit(i)).otherwise(acc)
     }
-    val evs = df
-      .select(col(keyCol).as("u"), col(esCol).cast("long").as("t"),
+    df.select(col(keyCol).as("u"), col(esCol).cast("long").as("t"),
         cls.as("c"))
       .groupBy("u")
       // (t, c) struct sort: deterministic under equal timestamps, and
       // mirrored verbatim by the oracle's ORDER BY t, c
-      .agg(sort_array(collect_list(struct(col("t"), col("c")))).as("evs"))
-    def ev(i: Column) = element_at(col("evs"), i + 1)
-    val withRuns = evs
-      // run heads: positions where the class changes
-      .withColumn("heads",
-        filter(sequence(lit(0), size(col("evs")) - 1), i =>
-          // CaseWhen, not ||: the i−1 probe must never evaluate at i=0
-          when(i === 0, lit(true))
-            .otherwise(ev(i).getField("c") =!= ev(i - 1).getField("c"))))
-      // runs: (class, first event time, length)
-      .withColumn("runs",
-        transform(sequence(lit(0), size(col("heads")) - 1), k => {
-          val h = element_at(col("heads"), k + 1)
-          val nxt = when(k + 1 < size(col("heads")),
-            element_at(col("heads"), k + 2)).otherwise(size(col("evs")))
-          struct(ev(h).getField("c").as("c"), ev(h).getField("t").as("t"),
-            (nxt - h).as("len"))
-        }))
-    def run(i: Column) = element_at(col("runs"), i + 1)
-    val stepOk = (r0: Column) => (0 until m).map { j =>
-      val r = run(r0 + j)
-      r.getField("c") === j &&
-        (if (steps(j).plus) lit(true) else r.getField("len") === 1)
-    }.reduce(_ && _)
-    val matched = withRuns
-      .withColumn("starts",
-        when(size(col("runs")) >= m,
-          filter(sequence(lit(0), size(col("runs")) - m), r0 =>
-            stepOk(r0) &&
-              run(r0 + (m - 1)).getField("t") - run(r0).getField("t") <=
-                windowSec))
-          .otherwise(array().cast("array<int>")))
-      .where(size(col("starts")) > 0)
-    matched.select(col("u").as(keyCol),
-      run(element_at(col("starts"), 1)).getField("t").as("m_start"))
+      .agg(contiguousFold(
+        sort_array(collect_list(struct(col("t"), col("c")))),
+        steps, windowSec).as("m_start"))
+      .where(col("m_start") >= 0L)
+      .select(col("u").as(keyCol), col("m_start"))
+  }
+
+  /** The fused RLE + regex scan over the sorted (t, c) event array:
+    * returns the first in-window occurrence's start time, or −1. State:
+    * (pc, rl, rt, rq) = the OPEN run's class / length / first / last
+    * event time (pc = −2 before the first event), (d, at) = completed-
+    * run matcher depth and anchor, res = the result. A run is folded
+    * into the matcher when the class changes and once more at finish.
+    */
+  private[graft] def contiguousFold(evs: Column, steps: Seq[RunStep],
+      windowSec: Long): Column = {
+    val m = steps.length
+    val none = lit(-1L)
+    def mkState(pc: Column, rl: Column, rt: Column, rq: Column,
+        d: Column, at: Column, res: Column) =
+      struct(pc.as("pc"), rl.as("rl"), rt.as("rt"), rq.as("rq"),
+        d.as("d"), at.as("at"), res.as("res"))
+    val init = mkState(lit(-2), lit(0), lit(0L), lit(0L), lit(0),
+      lit(0L), none)
+    // fold one COMPLETED run (class p, first rt, last rq, length rl)
+    // into matcher (d, at, res) → struct(d, at, res)
+    def closeRun(p: Column, rt: Column, rq: Column, rl: Column,
+        d: Column, at: Column, res: Column): Column = {
+      def lenOk(j: Int): Column =
+        if (j == 0 || j == m - 1 || steps(j).plus) lit(true)
+        else rl === 1
+      // strict-contiguous anchor: a non-plus first step consumes ONE
+      // event — the run's LAST, the earliest start that can reach step
+      // 2 (for a single-step pattern the earliest match is the first)
+      val anchor = if (steps.head.plus || m == 1) rt else rq
+      val adv = (0 until m).map(j => d === j && p === j && lenOk(j))
+        .reduce(_ || _)
+      val d2 = when(adv, d + 1)
+        .when(p === 0, lit(1))
+        .otherwise(lit(0))
+      val at2 = when(adv && d =!= 0, at)
+        .when(adv || p === 0, anchor)
+        .otherwise(lit(0L))
+      // window: match's first event → LAST step's first event (= this
+      // closing run's rt); a busted full match resets and scanning
+      // continues (the run's class is m−1 ≠ 0 for m ≥ 2, and m = 1
+      // cannot bust: span 0 ≤ windowSec)
+      val hit = d2 === m && rt - at2 <= windowSec
+      when(res =!= none,
+        struct(lit(0).as("d"), lit(0L).as("at"), res.as("res")))
+        .otherwise(struct(
+          when(d2 === m, lit(0)).otherwise(d2).as("d"),
+          when(d2 === m, lit(0L)).otherwise(at2).as("at"),
+          when(hit, at2).otherwise(none).as("res")))
+    }
+    aggregate(evs, init, (acc, e) => {
+      val pc = acc.getField("pc"); val rl = acc.getField("rl")
+      val rt = acc.getField("rt"); val rq = acc.getField("rq")
+      val d = acc.getField("d"); val at = acc.getField("at")
+      val res = acc.getField("res")
+      val t = e.getField("t"); val c = e.getField("c")
+      val closed = closeRun(pc, rt, rq, rl, d, at, res)
+      when(pc === -2,
+        mkState(c, lit(1), t, t, lit(0), lit(0L), res))
+        .when(c === pc,
+          mkState(pc, rl + 1, rt, t, d, at, res))
+        .otherwise(mkState(c, lit(1), t, t, closed.getField("d"),
+          closed.getField("at"), closed.getField("res")))
+    }, acc => {
+      // flush the final open run
+      val closed = closeRun(acc.getField("pc"), acc.getField("rt"),
+        acc.getField("rq"), acc.getField("rl"), acc.getField("d"),
+        acc.getField("at"), acc.getField("res"))
+      when(acc.getField("pc") === -2, none).otherwise(
+        closed.getField("res"))
+    })
   }
 
   /** The pattern report ([[Funnel.counts]]'s shape): one row per step

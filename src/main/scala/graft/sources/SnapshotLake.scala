@@ -348,16 +348,45 @@ object SnapshotLake {
     ()
   }
 
-  /** Catalog entries [[bucketedLayers]] created per root — dropped at
-    * compaction ([[compactMor]]), which obsoletes every pre-compaction
-    * layer range: without the hook a long-lived CDC root that resolves
-    * at many versions would leak one table entry per (root, range) into
-    * the session catalog for its whole lifetime. Data is untouched by
-    * the drops (external tables); a post-compaction time travel simply
-    * recreates the range it needs.
+  /** Catalog entries [[bucketedLayers]] created per root, in REGISTRATION
+    * ORDER — dropped at compaction ([[compactMor]]), which obsoletes
+    * every pre-compaction layer range, and bounded BETWEEN compactions by
+    * [[morTableCap]]: a long-lived CDC root that never compacts but
+    * resolves at many versions would otherwise leak one table entry per
+    * (root, sub, range) into the session catalog for its whole lifetime.
+    * Data is untouched by the drops (external tables); an evicted range a
+    * later time travel needs is simply recreated on demand.
     */
-  private val morTables =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private val morTables = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Most-recent resolve-table entries kept per (root, layer kind) — a
+    * small window so an alternating re-resolve pattern (bench loops, IVM
+    * recompute arms flipping between two versions) stays cached while the
+    * catalog stays O(1) per root over an unbounded version line.
+    */
+  private val morTableCap = 4
+
+  /** This root's resolve-table catalog entries (oldest first) — the
+    * surface the bounding spec pins.
+    */
+  private[graft] def morResolveTables(root: String): Seq[String] = {
+    val q = morTables.get(Paths.get(root).toAbsolutePath.normalize.toString)
+    if (q == null) Seq.empty
+    else q.iterator().asScala.toSeq
+  }
+
+  /** Collision-resistant catalog-name tag for a root: SHA-1 prefix of
+    * the normalized absolute path. String.hashCode collides (and folds
+    * sign under abs) — two roots colliding with the same layer kind,
+    * range, and size would silently serve each other's registered
+    * resolve table, and the per-root locks would not even exclude them.
+    */
+  private[graft] def morRootTag(root: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(Paths.get(root).toAbsolutePath.normalize.toString
+        .getBytes(StandardCharsets.UTF_8))
+      .take(9).map("%02x".format(_)).mkString
 
   private def morBucketsFile(root: String) = Paths.get(root, "_MOR_BUCKETS")
 
@@ -549,7 +578,9 @@ object SnapshotLake {
       key: String): DataFrame = {
     require(dirs.nonEmpty, s"no live $sub layers to resolve at $root")
     val schema = spark.read.parquet(dirs.head._2).schema
-    val name = s"graft_mor_${math.abs(root.hashCode.toLong)}_${sub}_" +
+    val rootKey = Paths.get(root).toAbsolutePath.normalize.toString
+    val rootTag = morRootTag(root)
+    val name = s"graft_mor_${rootTag}_${sub}_" +
       s"${dirs.head._1}_${dirs.last._1}_${dirs.size}"
     lockFor(root).synchronized {
       if (!spark.catalog.tableExists(name)) {
@@ -568,11 +599,19 @@ object SnapshotLake {
         for ((i, dir) <- dirs)
           spark.sql(s"ALTER TABLE `$name` ADD PARTITION (`$partCol`=$i) " +
             s"LOCATION '$dir'")
-        morTables.computeIfAbsent(
-          Paths.get(root).toAbsolutePath.normalize.toString,
-          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-          .add(name)
-        ()
+        val q = morTables.computeIfAbsent(rootKey,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+        q.add(name)
+        // bound the catalog over an unbounded version line: keep only the
+        // newest morTableCap entries per (root, layer kind) — evicted
+        // ranges are recreated on demand if time travel revisits them
+        val subPrefix = s"graft_mor_${rootTag}_${sub}_"
+        val sameSub = q.iterator().asScala.filter(_.startsWith(subPrefix))
+          .toSeq
+        for (old <- sameSub.dropRight(morTableCap)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$old`")
+          q.remove(old)
+        }
       }
     }
     spark.table(name)

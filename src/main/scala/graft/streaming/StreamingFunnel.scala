@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Funnel
 
@@ -50,9 +50,11 @@ object StreamingFunnel {
       .where(col("depth") >= 1)
   }
 
-  case class StepIn(ws: Long, u: String, t: Long, s: Int)
+  case class StepIn(ws: Long, u: String, t: Long, s: Int,
+      ts: java.sql.Timestamp)
   case class FunnelState(seq: Long, ts: Seq[Long], ss: Seq[Int])
-  case class LiveOut(ws: Long, u: String, seq: Long, depth: Int)
+  case class LiveOut(ws: Long, u: String, seq: Long, depth: Int,
+      fin: Boolean)
 
   /** The per-(window, user) live fold: state is the user's sorted step
     * events in the window (the same envelope the closed-window
@@ -61,6 +63,14 @@ object StreamingFunnel {
     * provisional depth is at every trigger exactly what the closed
     * window WOULD report on the data seen so far, and the final snapshot
     * equals the closed-window emission (spec-pinned convergence).
+    *
+    * SELF-CONTAINED EVICTION: each key registers ONE event-time timer at
+    * its window's end; when the watermark crosses it the key emits a
+    * terminal `fin = true` row (the same depth the closed-window
+    * [[userDepth]] reports) and its state is CLEARED — so a long-running
+    * dashboard query holds state only for open windows, without pairing
+    * with a second query or a wall-clock TTL that could fire mid-window
+    * on a lagging stream.
     */
   private class LiveProc(n: Int, windowSec: Long)
       extends StatefulProcessor[(Long, String), StepIn, LiveOut] {
@@ -68,22 +78,44 @@ object StreamingFunnel {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState](
         "fs", Encoders.product[FunnelState], TTLConfig.NONE)
-    override def handleInputRows(key: (Long, String), rows: Iterator[StepIn],
-        tv: TimerValues): Iterator[LiveOut] = {
-      val prev = if (st.exists()) st.get() else FunnelState(0L, Nil, Nil)
-      val evs = (prev.ts.zip(prev.ss) ++ rows.map(r => (r.t, r.s))).sorted
-      // the same greedy-from-first-anchor fold as Funnel.foldDepth —
-      // sorted (t, s), anchor at first step-0, advance in order within
-      // the anchor window
+    // the same greedy-from-first-anchor fold as Funnel.foldDepth —
+    // sorted (t, s), anchor at first step-0, advance in order within
+    // the anchor window
+    private def depthOf(evs: Seq[(Long, Int)]): Int = {
       var d = 0; var t0 = 0L
       for ((t, s) <- evs) {
         if (d == 0 && s == 0) { d = 1; t0 = t }
         else if (d > 0 && d < n && s == d && t <= t0 + windowSec) d += 1
       }
+      d
+    }
+    override def handleInputRows(key: (Long, String), rows: Iterator[StepIn],
+        tv: TimerValues): Iterator[LiveOut] = {
+      val prev = if (st.exists()) st.get() else FunnelState(0L, Nil, Nil)
+      val evs = (prev.ts.zip(prev.ss) ++ rows.map(r => (r.t, r.s))).sorted
+      val d = depthOf(evs)
       val seq = prev.seq + 1
       st.update(FunnelState(seq, evs.map(_._1), evs.map(_._2)))
-      if (d >= 1) Iterator.single(LiveOut(key._1, key._2, seq, d))
+      // one timer per key at the window's close (listTimers guards the
+      // re-register on later triggers — timers are per-expiry, not upsert)
+      val exp = (key._1 + windowSec) * 1000L
+      if (!getHandle.listTimers().contains(exp)) getHandle.registerTimer(exp)
+      if (d >= 1) Iterator.single(LiveOut(key._1, key._2, seq, d,
+        fin = false))
       else Iterator.empty
+    }
+    override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[LiveOut] = {
+      val out = if (st.exists()) {
+        val prev = st.get()
+        val d = depthOf(prev.ts.zip(prev.ss))
+        if (d >= 1)
+          Iterator.single(LiveOut(key._1, key._2, prev.seq + 1, d,
+            fin = true))
+        else Iterator.empty
+      } else Iterator.empty
+      st.clear()
+      out
     }
   }
 
@@ -96,13 +128,18 @@ object StreamingFunnel {
     * a consumer reads max-seq rows ("latest wins") and is never more than
     * one trigger behind, while the provisional value CONVERGES to the
     * closed-window [[userDepth]] emission (same events, same fold —
-    * pinned by StreamingFunnelLiveSpec). State per (window, user) is the
-    * sorted step-event list, the sessionizer envelope; pair with the
-    * closed-window query (or a state TTL) when windows must eventually
-    * evict.
+    * pinned by StreamingFunnelLiveSpec). When the watermark passes a
+    * window's end, each of its keys emits a terminal `fin = true` row
+    * (always the max-seq row for the key, equal to the closed-window
+    * depth) and the key's state is evicted — the query is self-contained:
+    * state is bounded by the OPEN windows' keys, with no companion query
+    * or wall-clock TTL needed. The step-type filter sits BELOW the
+    * watermark, so only funnel events advance event time — mirror
+    * accordingly.
     */
   def userDepthLive(events: DataFrame, tsCol: String, userCol: String,
-      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+      typeCol: String, steps: Seq[String], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
@@ -110,13 +147,15 @@ object StreamingFunnel {
       .select(col(tsCol).as("__ts"), col(userCol).cast("string").as("u"),
         Funnel.stepIndex(col(typeCol), steps).as("s"))
       .where(col("s") >= 0)
+      .withWatermark("__ts", watermark)
       .withColumn("t", expr("unix_micros(__ts) div 1000000"))
       .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
-      .select(col("ws"), col("u"), col("t"), col("s").cast("int").as("s"))
+      .select(col("ws"), col("u"), col("t"), col("s").cast("int").as("s"),
+        col("__ts").as("ts"))
       .as[StepIn]
       .groupByKey(r => (r.ws, r.u))
       .transformWithState(new LiveProc(steps.length, windowSec),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 }

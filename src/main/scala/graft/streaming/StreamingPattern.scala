@@ -41,12 +41,15 @@ object StreamingPattern {
       .withColumn("t", expr("unix_micros(__ts) div 1000000"))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), s"$windowSec seconds"), col("u"))
-      .agg(sort_array(collect_list(
-        struct(col("t") +: names.map(col): _*))).as("evs"))
-    val folded = Pattern.foldMatch(col("evs"), n, windowSec)
+      // fold inside the aggregate's result projection — evaluated once
+      // per closed (window, key); the interpreted HOF must not be
+      // repeated per output field (no CSE in interpreted eval)
+      .agg(Pattern.foldMatch(
+        sort_array(collect_list(Pattern.sortStruct(n))), n,
+        windowSec).as("f"))
     agg.select(expr("unix_micros(window.start) div 1000000").as("ws"),
-        col("u").as(keyCol), folded.getField("d").as("depth"),
-        (folded.getField("d") === n).as("matched"))
+        col("u").as(keyCol), col("f").getField("d").as("depth"),
+        (col("f").getField("d") === n).as("matched"))
       .where(col("depth") >= 1)
   }
 }

@@ -155,9 +155,9 @@ class MorSpec extends SparkTestBase {
       // compaction drops the root's accumulated resolve-table catalog
       // entries (a long-lived CDC root must not leak one per range);
       // post-compaction resolves recreate what they need
-      val tag = math.abs(root.hashCode.toLong).toString
+      val tag = SnapshotLake.morRootTag(root)
       def mine() = spark.catalog.listTables().collect().map(_.name)
-        .filter(n => n.startsWith("graft_mor_") && n.contains(tag)).toSet
+        .filter(n => n.startsWith(s"graft_mor_${tag}_")).toSet
       assert(mine().nonEmpty, "resolves should have registered tables")
       SnapshotLake.compactMor(spark, root, "k")
       assert(mine().isEmpty,
@@ -165,6 +165,62 @@ class MorSpec extends SparkTestBase {
       assertSameRows(SnapshotLake.readMor(spark, root, "k"),
         Seq((2L, "b2"), (3L, "c2"), (5L, "e"), (6L, "f")).toDF("k", "s"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed resolve stays zero-exchange at 64 buckets with AQE on") {
+    // pins the layout contract at a realistic bucket count under AQE: a
+    // future AQE change that re-plans the co-bucketed merge with an
+    // Exchange (e.g. coalescing "small" bucketed scans) must fail here,
+    // not at 100 TB
+    val root = freshDir("mor_b64")
+    SnapshotLake.commitMorBase(
+      (1L to 500L).map(i => (i, s"v$i")).toDF("k", "s"), root, 0L,
+      buckets = 64, key = "k")
+    SnapshotLake.commitNextMor(
+      (1L to 50L).map(i => (i, s"u$i")).toDF("k", "s"),
+      (451L to 460L).toDF("k"), root, "w", 0L)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val resolved = SnapshotLake.readMor(spark, root, "k")
+      assert(resolved.count() == 490)
+      // inspect the FINAL adaptive plan (post-execution), not the initial
+      val p = resolved.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"64-bucket AQE resolve must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"resolve must read through the bucketed scan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
+  test("resolve-table catalog entries stay bounded over a long version line") {
+    // a never-compacting CDC root that time-travels across many versions
+    // must not leak one catalog entry per (root, range) — only the newest
+    // few per layer kind are kept; evicted ranges recreate on demand
+    val root = freshDir("mor_cap")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a")).toDF("k", "s"), root, 0L, buckets = 4, key = "k")
+    for (b <- 0L until 8L)
+      SnapshotLake.commitNextMor(
+        Seq((b + 2L, s"v$b")).toDF("k", "s"),
+        Seq(b + 100L).toDF("k"), root, "w", b)
+    for (v <- 1L to 8L) SnapshotLake.readMorVersion(spark, root, v, "k")
+      .count()
+    val entries = SnapshotLake.morResolveTables(root)
+    assert(entries.size <= 8, s"catalog entries unbounded: $entries")
+    val tag = SnapshotLake.morRootTag(root)
+    val inCatalog = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"graft_mor_${tag}_"))
+    assert(inCatalog.length == entries.size,
+      s"tracking drifted from the catalog: $inCatalog vs $entries")
+    // an evicted early range is recreated on demand, content unchanged
+    assertSameRows(SnapshotLake.readMorVersion(spark, root, 1L, "k"),
+      Seq((1L, "a"), (2L, "v0")).toDF("k", "s"))
   }
 
   test("streaming MoR CDC: latest-wins in-batch compaction; bad ops refused") {

@@ -60,6 +60,33 @@ class PatternSpec extends SparkTestBase {
       s"$d")
   }
 
+  test("a step candidate at the SAME timestamp as the previous match advances") {
+    val d = depths(Seq(
+      // anchor and qualifying b in the same (truncated) second: the
+      // at-or-after contract — oracle-side this is ev.t >= t1
+      (1L, 100L, "a", 0.0), (1L, 100L, "b", 50.0),
+      // same, with a guard event also at that second: tie favors the
+      // pattern on BOTH rules at once
+      (2L, 100L, "a", 0.0), (2L, 100L, "x", 0.0), (2L, 100L, "b", 50.0),
+      // control: candidate strictly before the anchor second never counts
+      (3L, 99L, "b", 50.0), (3L, 100L, "a", 0.0)
+    ))
+    assert(d == Map(1L -> (2, true), 2L -> (2, true), 3L -> (1, false)),
+      s"$d")
+  }
+
+  test("same-timestamp three-step chain folds in pattern order") {
+    val steps3 = Seq(
+      Step("s1", col("ty") === "a"),
+      Step("s2", col("ty") === "b"),
+      Step("s3", col("ty") === "c"))
+    val got = Pattern.keyMatch(
+      Seq((1L, 100L, "c", 0.0), (1L, 100L, "a", 0.0), (1L, 100L, "b", 0.0))
+        .toDF("k", "es", "ty", "v"), "k", "es", steps3, 1000L)
+      .select("k", "depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3), s"$got")
+  }
+
   test("greedy-from-first-anchor; a kill is permanent for the gap") {
     val d = depths(Seq(
       // kill, then a later qualifying b: still blocked (k only shrinks)
@@ -115,6 +142,58 @@ class PatternSpec extends SparkTestBase {
     val edge = m(Seq(
       (1L, 0L, "a"), (1L, 500L, "b"), (1L, 1000L, "c")))
     assert(edge == Map(1L -> 0L), s"$edge")
+  }
+
+  test("contiguous: boundary non-plus steps accept longer runs; interior stays strict") {
+    import graft.operators.Pattern.RunStep
+    val ab = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"))
+    def m(rsteps: Seq[RunStep], rows: Seq[(Long, Long, String)],
+        w: Long = 1000L) =
+      Pattern.contiguousFirst(
+          rows.map(r => (r._1, r._2, r._3, 0.0)).toDF("k", "es", "ty", "v"),
+          "k", "es", rsteps, w)
+        .as[(Long, Long)].collect().toMap
+    // A B over A,A,B: strict regex matches starting at the SECOND A
+    val first = m(ab, Seq(
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "b"),
+      // A B over A,B,B: events after the match are irrelevant
+      (2L, 100L, "a"), (2L, 110L, "b"), (2L, 120L, "b"),
+      // both at once: anchor at the last A
+      (3L, 100L, "a"), (3L, 105L, "a"), (3L, 110L, "b"), (3L, 120L, "b")))
+    assert(first == Map(1L -> 110L, 2L -> 100L, 3L -> 105L), s"$first")
+    // the window anchors at the CONSUMED first-step event (run's last)
+    val win = m(ab, Seq(
+      (1L, 0L, "a"), (1L, 600L, "a"), (1L, 1500L, "b"),
+      (2L, 0L, "a"), (2L, 400L, "a"), (2L, 1500L, "b")))
+    assert(win == Map(1L -> 600L), s"$win")
+    // INTERIOR non-plus steps still require run length exactly 1
+    val abc = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"), RunStep("c", col("ty") === "c"))
+    val interior = m(abc, Seq(
+      (1L, 100L, "a"), (1L, 110L, "b"), (1L, 120L, "b"), (1L, 130L, "c"),
+      (2L, 100L, "a"), (2L, 105L, "a"), (2L, 110L, "b"), (2L, 120L, "c"),
+      (2L, 125L, "c")))
+    assert(interior == Map(2L -> 105L), s"$interior")
+    // single-step pattern: earliest event of the first matching run
+    val single = m(Seq(RunStep("a", col("ty") === "a")), Seq(
+      (1L, 90L, "x"), (1L, 100L, "a"), (1L, 110L, "a")))
+    assert(single == Map(1L -> 100L), s"$single")
+  }
+
+  test("contiguous: a window-busted occurrence does not block a later one") {
+    import graft.operators.Pattern.RunStep
+    val rsteps = Seq(
+      RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"))
+    val got = Pattern.contiguousFirst(
+        Seq((1L, 0L, "a", 0.0), (1L, 10L, "b", 0.0),
+          // first occurrence busts W=5; the later pair is in-window
+          (1L, 100L, "a", 0.0), (1L, 103L, "b", 0.0))
+          .toDF("k", "es", "ty", "v"),
+        "k", "es", rsteps, 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 100L), s"$got")
   }
 
   test("streaming twin agrees with the batch fold per window") {
