@@ -63,15 +63,54 @@ object Bench {
     // interleaved attempts then reflects warm steady-state, which is what a
     // long-running cluster job sees.
     val sessions = scala.collection.mutable.Map.empty[String, SparkSession]
+    // Per-query wall cap: one pathological query must not eat the whole
+    // schedule — r17's final commit carried a 459-s fixture that truncated
+    // the driver's bench to ONE interleave pass and starved the isolated
+    // block. An attempt that hits the cap is canceled through its job
+    // group (and its session's streaming queries stopped), recorded AT the
+    // cap, listed under "timed_out" in the artifact, and skipped for the
+    // rest of the run — the capped number is an explicit floor, which is
+    // all a >cap query can honestly contribute.
+    val qCapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QCAP_S", "60").toDouble
+    val timedOut = scala.collection.mutable.Set.empty[String]
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              hygiene: Boolean = true): Double = {
+      if (timedOut(name)) return qCapS
       if (hygiene) settle()
       val session = sessions.getOrElseUpdate(name, spark.newSession())
-      val t0 = System.nanoTime()
-      try { fn(session, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      // job group is thread-local: set it in the worker thread that
+      // submits the jobs, cancel it from here on timeout
+      val group = s"bench_${name}_${System.nanoTime()}"
+      val result = new java.util.concurrent.CompletableFuture[java.lang.Double]()
+      val worker = new Thread(() => {
+        session.sparkContext.setJobGroup(group, name,
+          interruptOnCancel = true)
+        val t0 = System.nanoTime()
+        try {
+          fn(session, sfDir).write.format("noop").mode("overwrite").save()
+          result.complete((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => result.complete(-1.0) }
+        finally session.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      try result.get((qCapS * 1000).toLong,
+        java.util.concurrent.TimeUnit.MILLISECONDS).doubleValue
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          timedOut += name
+          // batch jobs die with the group; streaming fixtures run their
+          // micro-batches under the stream's own group, so stop those too.
+          // The worker thread is then abandoned (daemon) — it unwinds as
+          // its jobs cancel, and every attempt gets a fresh thread.
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => () }
+          try session.streams.active.foreach(_.stop())
+          catch { case _: Throwable => () }
+          qCapS
+        case _: Throwable => -1.0
+      }
     }
     // Interleaved median-of-N: iterate queries in iteration-major order so a
     // transient host-load spike lands on ONE attempt of many queries instead
@@ -114,7 +153,12 @@ object Bench {
     // Previous round's interleaved medians (the drifter baseline) — read
     // BEFORE the first incremental emission overwrites bench_last.json.
     // Only a SAME-SF artifact is comparable: a local smoke at another scale
-    // factor must not flag the whole gate as drifted.
+    // factor must not flag the whole gate as drifted. Only a FINAL-phase
+    // artifact whose interleave ran ≥2 measured passes is a baseline: a
+    // run killed (or budget-truncated) after pass 1 leaves single-sample
+    // cold-heavy medians that spuriously flag dozens of drifters the next
+    // round (r17's driver artifact did exactly that — 19 flags, all
+    // in-band on isolated re-measure).
     val prevTimes: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -122,7 +166,9 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         val parts = txt.split("\"queries\":\\{", 2)
         if (parts.length < 2 ||
-            !txt.contains(s""""sf":"$sfDir"""")) Map.empty
+            !txt.contains(s""""sf":"$sfDir"""") ||
+            !txt.contains(""""phase":"final"""") ||
+            txt.contains("interleave_stopped_after_pass_1")) Map.empty
         else "\"([^\"]+)\":(-?[0-9.]+)".r
           .findAllMatchIn(parts(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -190,8 +236,11 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val truncJson = truncated.reverse.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
+      val toJson = timedOut.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","phase":"$phase","truncated":$truncJson""" +
+        s""","timed_out":$toJson""" +
         s""","queries":$qs,"isolated":$iso,"isolated_spread":$isoSpread""" +
         s""","drifters":$driftJson,$streamKeys""" +
         s""","stream_trend":$runsJson,"sf":"$sfDir"}"""
@@ -308,8 +357,10 @@ object Bench {
     val driftCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_CAP", "12").toInt
     val worstDrifters = drifterNames.toSeq
       .sortBy(n => -(res1(n) / prevTimes(n))).take(driftCap)
+    // a timed-out query's floor is already known — 2 more capped attempts
+    // would cost 2×cap for no information
     val isolatedNames = (res1.toSeq.sortBy(-_._2).take(isoN).map(_._1) ++
-      worstDrifters).distinct
+      worstDrifters).distinct.filterNot(timedOut)
     val isoBuf = scala.collection.mutable.Map.empty[String, Seq[Double]]
     for (name <- isolatedNames) {
       // each isolated query costs ~attempts × its own time; skip the rest

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** CONTIGUOUS pattern matching with OVERLAPPING step predicates — the
+  * tier [[Pattern.contiguousFirst]] explicitly leaves out (its
+  * classify-each-event-to-ONE-class run-length encoding is exact only
+  * for mutually exclusive predicates; under overlap, `A = (view|click),
+  * B = click` over the events click,click must match A B, but
+  * first-class-wins labels both events A and the run matcher sees one
+  * run). Here each event carries a BITMASK of every step it satisfies
+  * and the per-key scan simulates the pattern's NFA — all parses live
+  * simultaneously, so no backtracking is ever needed (Thompson 1968's
+  * construction, the standard answer to regex-over-sequences; the
+  * reference class is the same per-key sequential detection as
+  * [[Pattern]], generalized).
+  *
+  * Semantics, generalizing [[Pattern.contiguousFirst]]'s contract:
+  *
+  *  - a MATCH is a contiguous slice of the key's time-ordered events
+  *    partitioned into consecutive non-empty blocks, block k all
+  *    satisfying step k, |block| = 1 for non-plus steps (boundary
+  *    included — under overlap a "longer boundary run" has no single
+  *    class, so the relaxation that made sense for disjoint classes is
+  *    meaningless here; a spare boundary event simply starts/ends the
+  *    slice one event over, which the thread model already explores);
+  *  - ACCEPTANCE happens at the first event completing the last step —
+  *    the window span is `t(accept) − t(start) ≤ windowSec`, the same
+  *    "match start to last step's first event" bound as the RLE tier;
+  *  - reported match = the FIRST acceptance event (earliest completion)
+  *    that has at least one window-valid thread; among its threads, the
+  *    EARLIEST window-valid start. A window-busted acceptance does not
+  *    block later ones. Note the per-thread window is more permissive
+  *    than the RLE tier's per-run anchor: when a plus run's first event
+  *    busts the window, a thread starting mid-run can still match — each
+  *    start is its own parse here, which IS strict regex semantics.
+  *
+  * Spark-first shape — and the reason this tier exists as mapPartitions
+  * rather than another aggregate-HOF fold: the NFA state is a per-step
+  * SET of live thread starts (dynamic, pruned), which an interpreted
+  * Catalyst lambda cannot hold efficiently, and `collect_list` would
+  * materialize every key's full history in one array. Instead the
+  * classic secondary sort: ONE shuffle (`repartition(key)`), an
+  * in-partition sort by (key, t, mask), and a STREAMING per-partition
+  * scan that holds O(pattern length × events-in-window) state per key —
+  * a monster key flows through without ever materializing. Mask
+  * evaluation happens once per event in the scan projection. At 100 TB:
+  * pre-filter to the pattern's time range; state is the window
+  * envelope, not the key's history.
+  *
+  * Window pruning keeps the thread sets bounded: an acceptance at time
+  * t only admits starts ≥ t − windowSec, and t only grows, so starts
+  * below the horizon are dropped as events arrive — each start enters
+  * and leaves its set at most once (amortized O(1)).
+  *
+  * Returns (key, m_start, m_end): the winning thread's start time and
+  * the acceptance event's time.
+  */
+object PatternNfa {
+
+  import Pattern.RunStep
+
+  /** Per-event step bitmask: bit j set iff the event satisfies step j's
+    * predicate (null-safe — unprovable is false). Shared with the
+    * streaming twin so batch and stream label events identically.
+    */
+  private[graft] def maskCol(steps: Seq[RunStep]): org.apache.spark.sql.Column = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    require(steps.length <= 31, "mask is an int: at most 31 steps")
+    steps.zipWithIndex.map { case (s, j) =>
+      when(coalesce(s.pred, lit(false)), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  def contiguousNfa(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[RunStep], windowSec: Long): DataFrame = {
+    val m = steps.length
+    val mask = maskCol(steps)
+    val proj = df.select(col(keyCol).as("u"),
+      col(esCol).cast("long").as("t"), mask.as("mask"))
+    val keyField = proj.schema.head
+    val outSchema = StructType(Seq(
+      StructField(keyCol, keyField.dataType, keyField.nullable),
+      StructField("m_start", LongType, nullable = false),
+      StructField("m_end", LongType, nullable = false)))
+    val plus = steps.map(_.plus).toArray
+    val w = windowSec
+    // secondary sort: events of a key arrive consecutively and
+    // time-ordered, ties ordered by mask (mirrored by the oracle's
+    // ORDER BY t, mask; equal (t, mask) rows are interchangeable — the
+    // NFA only reads masks)
+    proj.repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("mask"))
+      .mapPartitions(rows => new NfaScan(rows, m, plus, w))(
+        Encoders.row(outSchema))
+  }
+
+  /** The per-key NFA core, shared by the batch scan and the streaming
+    * twin ([[graft.streaming.StreamingPatternNfa]]). NFA state j ∈ 1..m
+    * = "threads that have completed steps 0..j−1, as their sorted start
+    * times"; on an event with mask b: state j receives state j−1 if bit
+    * j−1 set (consume one event, completing step j−1; state 0 is the
+    * implicit always-available empty prefix, so bit 0 also starts a
+    * fresh thread at the event itself), plus its own old value if step
+    * j−1 is `plus` (extend the block); everything not advanced dies —
+    * contiguity. Accept when state m is non-empty: earliest start
+    * ≥ t − window wins; otherwise the busted completions are dropped
+    * and the scan goes on.
+    *
+    * @param events time-ordered (t, mask) — consumed lazily, stops at
+    *               the first valid acceptance
+    * @return Some((m_start, m_end)) of the first window-valid match
+    */
+  private[graft] def scanKey(events: Iterator[(Long, Int)], m: Int,
+      plus: Array[Boolean], windowSec: Long): Option[(Long, Long)] = {
+    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    while (events.hasNext) {
+      val (t, b) = events.next()
+      var j = m
+      while (j >= 1) {
+        val sat = ((b >> (j - 1)) & 1) == 1
+        val ns = new java.util.TreeSet[java.lang.Long]()
+        if (sat) {
+          ns.addAll(states(j - 1))
+          if (plus(j - 1)) ns.addAll(states(j))
+          if (j == 1) ns.add(t)
+        }
+        states(j) = ns
+        j -= 1
+      }
+      val acc = states(m)
+      if (!acc.isEmpty) {
+        val minValid = acc.ceiling(t - windowSec)
+        if (minValid != null) return Some((minValid.longValue, t))
+        // completed threads never improve: extending the last block
+        // only widens the span
+        acc.clear()
+      }
+      // window horizon only grows — starts below it are dead
+      var k = 1
+      while (k < m) {
+        states(k).headSet(java.lang.Long.valueOf(t - windowSec), false)
+          .clear()
+        k += 1
+      }
+    }
+    None
+  }
+
+  /** Streaming per-partition scan over (key, t, mask) rows sorted by
+    * (key, t, mask): runs [[scanKey]] per consecutive key group, lazily —
+    * after a key's first match the rest of its rows are skipped without
+    * touching the NFA.
+    */
+  private final class NfaScan(rows: Iterator[Row], m: Int,
+      plus: Array[Boolean], windowSec: Long)
+      extends Iterator[Row] with Serializable {
+    private var cur: Row = if (rows.hasNext) rows.next() else null
+    private var out: Row = null
+
+    private def advance(): Unit = {
+      while (out == null && cur != null) {
+        val key = cur.get(0)
+        val keyEvents = new Iterator[(Long, Int)] {
+          override def hasNext: Boolean = cur != null && cur.get(0) == key
+          override def next(): (Long, Int) = {
+            val r = (cur.getLong(1), cur.getInt(2))
+            cur = if (rows.hasNext) rows.next() else null
+            r
+          }
+        }
+        val found = scanKey(keyEvents, m, plus, windowSec)
+        // drain the key's remaining rows (scanKey stops at first match)
+        while (cur != null && cur.get(0) == key)
+          cur = if (rows.hasNext) rows.next() else null
+        out = found.map(f => Row(key, f._1, f._2)).orNull
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); out != null }
+    override def next(): Row = {
+      advance()
+      val r = out; out = null
+      if (r == null) throw new NoSuchElementException("empty NFA scan")
+      r
+    }
+  }
+}

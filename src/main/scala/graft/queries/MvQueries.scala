@@ -2112,6 +2112,67 @@ object MvQueries {
       | UNION ALL SELECT ws, 2::BIGINT, 'click', s2 FROM sc WHERE s2 > 0
       | UNION ALL SELECT ws, 3::BIGINT, 'purchase', s3 FROM sc WHERE s3 > 0""".stripMargin))
 
+  /** PROGRESSIVE funnel — FINAL markers
+    * ([[graft.streaming.StreamingFunnel.userDepthLive]] with event-time
+    * timer eviction): the live variant emits per-trigger provisional
+    * depths, then a terminal `fin = true` row per (window, user) when the
+    * watermark closes the window, and CLEARS the key's state — the query
+    * is self-contained (state bounded by open windows). This fixture
+    * keeps only the FINAL rows and rolls them into the same per-day step
+    * counts as [[qStreamFunnel]]; the oracle is qStreamFunnel's verbatim
+    * — the FINAL emission must equal the closed-window operator exactly.
+    */
+  val qStreamFunnelFinal = Fixture(
+    "q_stream_funnel_final",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stepNames = Seq("view", "click", "purchase")
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id").cast("long"),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val lastStep = rows.reverse.find(r => stepNames.contains(r._3)).get
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val stream = ms.toDF().toDF("tsu", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sink = s"funnel_fin_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // timers + value state = multiple column families: RocksDB only
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = graft.streaming.StreamingFunnel.userDepthLive(stream, "ts",
+            "user_id", "event_type", stepNames, 86400L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          // split at a STRICT time increase: transformWithState drops
+          // input at-or-below the watermark, so a chunk boundary inside
+          // an equal-timestamp run would silently lose the tail rows
+          var cut = rows.length / 2
+          while (cut < rows.length && rows(cut)._1 == rows(cut - 1)._1)
+            cut += 1
+          Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty)
+            .foreach { chunk =>
+              ms.addData(chunk.toSeq); q.processAllAvailable()
+            }
+          // the final watermark only advances on a STEP event (the type
+          // filter sits below the watermark node)
+          ms.addData(Seq(lastStep)); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val names = array(stepNames.map(lit): _*)
+      s.table(sink)
+        .where(col("fin"))
+        .select(col("ws"), explode(sequence(lit(1), col("depth"))).as("step"))
+        .groupBy("ws", "step")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("ws"), col("step").cast("long").as("step"),
+          element_at(names, col("step")).as("step_name"), col("n_users"))
+    },
+    qStreamFunnel.oracle)
+
   /** SEQUENTIAL PATTERN MATCHING ([[graft.operators.Pattern]]) — the
     * MATCH_RECOGNIZE-class generalization of the funnel (the r16
     * verdict's seam #4): steps are ARBITRARY predicates
@@ -2284,6 +2345,215 @@ object MvQueries {
       |   WHERE r0.c = 0 AND r1.c = 1 AND r1.len = 1 AND r2.c = 2
       |     AND r2.t0 - r0.t0 <= 86400)
       | SELECT u AS user_id, min(ms) AS m_start FROM mt GROUP BY 1""".stripMargin))
+
+  /** Contiguous matching with NON-PLUS BOUNDARY steps — the strict-regex
+    * corner [[qPatternContiguous]]'s all-plus boundaries never exercise:
+    * `click purchase+ view` must match C,C,P,V (the match starts at the
+    * SECOND click — a non-plus first step consumes the run's LAST event,
+    * which is also the window anchor) and C,P,V,V (events after the
+    * consumed first view are outside the match). Interior steps stay
+    * strict. The oracle is the same independent gaps-and-islands
+    * formulation with per-run min/max times, so anchor choice and the
+    * window's anchored span are pinned cross-engine.
+    */
+  val qPatternContiguousBounds = Fixture(
+    "q_pattern_contiguous_bounds",
+    (s, d) => {
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.RunStep("click", col("event_type") === "click"),
+        Pattern.RunStep("purchase", col("event_type") === "purchase",
+          plus = true),
+        Pattern.RunStep("view", col("event_type") === "view"))
+      Pattern.contiguousFirst(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 86400L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+      |       WHEN 'view' THEN 2 ELSE -1 END AS c
+      |   FROM events),
+      | o AS (SELECT u, t, c,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, c) AS rn,
+      |     row_number() OVER (PARTITION BY u, c ORDER BY t, c) AS rnc
+      |   FROM ev),
+      | runs AS (SELECT u, c, min(t) AS t0, max(t) AS t1,
+      |     row_number() OVER (PARTITION BY u ORDER BY min(rn)) AS ri
+      |   FROM o GROUP BY u, c, rn - rnc),
+      | mt AS (SELECT r0.u, r0.t1 AS ms
+      |   FROM runs r0
+      |   JOIN runs r1 ON r1.u = r0.u AND r1.ri = r0.ri + 1
+      |   JOIN runs r2 ON r2.u = r0.u AND r2.ri = r0.ri + 2
+      |   WHERE r0.c = 0 AND r1.c = 1 AND r2.c = 2
+      |     AND r2.t0 - r0.t1 <= 86400)
+      | SELECT u AS user_id, min(ms) AS m_start FROM mt GROUP BY 1""".stripMargin))
+
+  /** Contiguous matching with OVERLAPPING step predicates
+    * ([[graft.operators.PatternNfa.contiguousNfa]]) — the case the RLE
+    * tier's one-class-per-event labeling cannot express: step 2 here is
+    * a VALUE predicate (`value > 60`) that any event type can satisfy,
+    * so an engagement click with a high value serves as step 1 OR step
+    * 2 depending on the parse, and only the NFA explores both. Three
+    * consecutive events: engagement (view|click), high-value (any
+    * type), conversion (purchase|signup), within a day. The oracle is a
+    * consecutive-triple self-join over the same (t, mask) order — an
+    * independent formulation pinning contiguity, overlap handling, tie
+    * order, first-acceptance selection, and the window.
+    */
+  val qPatternNfaOverlap = Fixture(
+    "q_pattern_nfa_overlap",
+    (s, d) => {
+      import graft.operators.{Pattern, PatternNfa}
+      val steps = Seq(
+        Pattern.RunStep("engage",
+          col("event_type") === "view" || col("event_type") === "click"),
+        Pattern.RunStep("highvalue", col("value") > 60),
+        Pattern.RunStep("convert",
+          col("event_type") === "purchase" || col("event_type") === "signup"))
+      PatternNfa.contiguousNfa(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 86400L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     (CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END
+      |      + CASE WHEN value > 60 THEN 2 ELSE 0 END
+      |      + CASE WHEN event_type IN ('purchase','signup') THEN 4 ELSE 0 END)
+      |       AS mask
+      |   FROM events),
+      | o AS (SELECT u, t, mask,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, mask) AS rn
+      |   FROM ev),
+      | mt AS (SELECT a.u, a.t AS ms, c.t AS me, c.rn AS arn
+      |   FROM o a JOIN o b ON b.u = a.u AND b.rn = a.rn + 1
+      |            JOIN o c ON c.u = a.u AND c.rn = a.rn + 2
+      |   WHERE a.mask & 1 = 1 AND b.mask & 2 = 2 AND c.mask & 4 = 4
+      |     AND c.t - a.t <= 86400)
+      | SELECT u AS user_id, min_by(ms, arn) AS m_start,
+      |   min_by(me, arn) AS m_end
+      | FROM mt GROUP BY 1""".stripMargin))
+
+  /** The NFA tier's `plus` quantifier under overlap
+    * ([[graft.operators.PatternNfa.contiguousNfa]]): `lowvalue+
+    * purchase` where a low-value purchase satisfies BOTH steps — a
+    * thread may consume it as block extension while a sibling accepts
+    * on it. Acceptance at the first purchase after a contiguous
+    * low-value run; the reported start is the EARLIEST window-valid
+    * thread (per-thread window — a run whose head busts the window can
+    * still match from a later element). Oracle: gaps-and-islands over
+    * the low-value runs, purchases joined to their preceding island,
+    * window applied per island member — fully independent of the NFA.
+    */
+  val qPatternNfaPlus = Fixture(
+    "q_pattern_nfa_plus",
+    (s, d) => {
+      import graft.operators.{Pattern, PatternNfa}
+      val steps = Seq(
+        Pattern.RunStep("lowvalue", col("value") < 70, plus = true),
+        Pattern.RunStep("purchase", col("event_type") === "purchase"))
+      PatternNfa.contiguousNfa(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 43200L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     (CASE WHEN value < 70 THEN 1 ELSE 0 END
+      |      + CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END) AS mask
+      |   FROM events),
+      | o AS (SELECT u, t, mask,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, mask) AS rn
+      |   FROM ev),
+      | li AS (SELECT u, t, rn,
+      |     rn - row_number() OVER (PARTITION BY u ORDER BY rn) AS grp
+      |   FROM o WHERE mask & 1 = 1),
+      | acc AS (SELECT p.u, p.rn AS arn, p.t AS me, l.t AS st
+      |   FROM o p
+      |   JOIN li q ON q.u = p.u AND q.rn = p.rn - 1
+      |   JOIN li l ON l.u = p.u AND l.grp = q.grp AND l.rn < p.rn
+      |     AND l.t >= p.t - 43200
+      |   WHERE p.mask & 2 = 2),
+      | a2 AS (SELECT u, arn, me, min(st) AS m_start
+      |   FROM acc GROUP BY 1, 2, 3)
+      | SELECT u AS user_id, min_by(m_start, arn) AS m_start,
+      |   min_by(me, arn) AS m_end
+      | FROM a2 GROUP BY 1""".stripMargin))
+
+  /** Streaming twin of [[qPatternNfaOverlap]]
+    * ([[graft.streaming.StreamingPatternNfa.firstMatch]]): per-DAY
+    * contiguous NFA matching computed live — every event (breakers
+    * included) flows into (window, key) ListState, an event-time timer
+    * fires at each window's close, the SHARED batch NFA core scans the
+    * sorted state, and the key's state evicts. Emission = windows with
+    * end ≤ max event time over ALL events (no step filter below the
+    * watermark here — breakers are load-bearing); the oracle buckets the
+    * same triple-join formulation per day and applies the same close
+    * condition.
+    */
+  val qStreamPatternNfa = Fixture(
+    "q_stream_pattern_nfa",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.RunStep("engage",
+          col("event_type") === "view" || col("event_type") === "click"),
+        Pattern.RunStep("highvalue", col("value") > 60),
+        Pattern.RunStep("convert",
+          col("event_type") === "purchase" || col("event_type") === "signup"))
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id").cast("long"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val stream = ms.toDF().toDF("tsu", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sink = s"pattern_nfa_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = graft.streaming.StreamingPatternNfa.firstMatch(stream,
+            "ts", "user_id", steps, 86400L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          // split at a STRICT time increase (transformWithState drops
+          // input at-or-below the watermark)
+          var cut = rows.length / 2
+          while (cut < rows.length && rows(cut)._1 == rows(cut - 1)._1)
+            cut += 1
+          Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty)
+            .foreach { chunk =>
+              ms.addData(chunk.toSeq); q.processAllAvailable()
+            }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+        .select(col("ws"), col("u").cast("long").as("user_id"),
+          col("m_start"), col("m_end"))
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     epoch_us(ts::TIMESTAMP) AS eu,
+      |     (CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END
+      |      + CASE WHEN value > 60 THEN 2 ELSE 0 END
+      |      + CASE WHEN event_type IN ('purchase','signup') THEN 4 ELSE 0 END)
+      |       AS mask
+      |   FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM ev),
+      | o AS (SELECT u, (t // 86400) * 86400 AS ws, t, mask,
+      |     row_number() OVER (PARTITION BY u, (t // 86400) ORDER BY t, mask)
+      |       AS rn
+      |   FROM ev),
+      | mt AS (SELECT a.u, a.ws, a.t AS ms, c.t AS me, c.rn AS arn
+      |   FROM o a JOIN o b ON b.u = a.u AND b.ws = a.ws AND b.rn = a.rn + 1
+      |            JOIN o c ON c.u = a.u AND c.ws = a.ws AND c.rn = a.rn + 2
+      |   WHERE a.mask & 1 = 1 AND b.mask & 2 = 2 AND c.mask & 4 = 4
+      |     AND c.t - a.t <= 86400)
+      | SELECT ws, u AS user_id, min_by(ms, arn) AS m_start,
+      |   min_by(me, arn) AS m_end
+      | FROM mt
+      | WHERE (ws + 86400) * 1000000 <= (SELECT mx FROM mx)
+      | GROUP BY 1, 2""".stripMargin))
 
   val qSampleQuantileStore = Fixture(
     "q_sample_quantile_store",

@@ -71,7 +71,10 @@ object PipelineQueries {
     qLakeZonemapPrune, qLakeBloomPoint, qLakeExpectations,
     qQuantileSketchStore, qQuantileRollup, qStreamIvmQuantile,
     qMvRewriteQuantile, qFunnelSteps, qStreamLakeZonemap, qStreamFunnel,
+    qStreamFunnelFinal,
     qPatternMatch, qStreamPatternMatch, qPatternContiguous,
+    qPatternContiguousBounds, qPatternNfaOverlap, qPatternNfaPlus,
+    qStreamPatternNfa,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+import graft.operators.PatternNfa
+import graft.operators.Pattern.RunStep
+
+/** [[graft.operators.PatternNfa]]'s STREAMING twin — per-window
+  * contiguous matching with OVERLAPPING step predicates on the live
+  * append path. Unlike the flag-filtered funnel/pattern twins, EVERY
+  * event flows into state: a no-step event is a contiguity BREAKER, so
+  * dropping it would change the match (and, conveniently, the watermark
+  * advances on every event — no trailing-step caveat).
+  *
+  * Shape: events keyed (tumbling window, key), per-key (t, mask) pairs
+  * appended to ListState (mask evaluated once, pre-shuffle, by the SAME
+  * [[PatternNfa.maskCol]] projection as the batch operator); ONE
+  * event-time timer per key at the window's end. On expiry the state is
+  * sorted by (t, mask) — the batch operator's exact order — and scanned
+  * by the SHARED [[PatternNfa.scanKey]] NFA core, so batch and stream
+  * agree event-for-event; the match (if any) emits exactly once and the
+  * key's state is cleared. State per (window, key) = the window's
+  * events, the sessionizer envelope, self-evicted by the timer.
+  */
+object StreamingPatternNfa {
+
+  case class EvIn(ws: Long, u: String, t: Long, mask: Int,
+      ts: java.sql.Timestamp)
+  case class NfaOut(ws: Long, u: String, m_start: Long, m_end: Long)
+
+  private class Proc(m: Int, plus: Array[Boolean], windowSec: Long)
+      extends StatefulProcessor[(Long, String), EvIn, NfaOut] {
+    @transient private var st: ListState[(Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, Int)]("evs",
+        Encoders.product[(Long, Int)], TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String), rows: Iterator[EvIn],
+        tv: TimerValues): Iterator[NfaOut] = {
+      st.appendList(rows.map(r => (r.t, r.mask)).toArray)
+      val exp = (key._1 + windowSec) * 1000L
+      if (!getHandle.listTimers().contains(exp)) getHandle.registerTimer(exp)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[NfaOut] = {
+      val evs = st.get().toArray.sorted
+      st.clear()
+      PatternNfa.scanKey(evs.iterator, m, plus, windowSec) match {
+        case Some((s, e)) => Iterator.single(NfaOut(key._1, key._2, s, e))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Append-mode (ws, key, m_start, m_end) per closed tumbling window,
+    * one row per key whose window contains a match.
+    */
+  def firstMatch(events: DataFrame, tsCol: String, keyCol: String,
+      steps: Seq[RunStep], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(tsCol).as("__ts"), col(keyCol).cast("string").as("u"),
+        PatternNfa.maskCol(steps).as("mask"))
+      .withWatermark("__ts", watermark)
+      .withColumn("t", expr("unix_micros(__ts) div 1000000"))
+      .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
+      .select(col("ws"), col("u"), col("t"), col("mask").cast("int").as("mask"),
+        col("__ts").as("ts"))
+      .as[EvIn]
+      .groupByKey(r => (r.ws, r.u))
+      .transformWithState(new Proc(steps.length, steps.map(_.plus).toArray,
+        windowSec), TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pattern, PatternNfa}
+import graft.operators.Pattern.RunStep
+
+/** Contiguous pattern matching under OVERLAPPING step predicates
+  * (operators/PatternNfa.scala): NFA thread simulation over per-event
+  * step bitmasks — the case the RLE tier's one-class-per-event
+  * labeling cannot express — plus per-thread window validity, first-
+  * acceptance reporting, and agreement with the RLE tier on disjoint
+  * patterns.
+  */
+class PatternNfaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(steps: Seq[RunStep], rows: Seq[(Long, Long, String, Double)],
+      w: Long = 1000L): Map[Long, (Long, Long)] =
+    PatternNfa.contiguousNfa(
+        rows.toDF("k", "es", "ty", "v"), "k", "es", steps, w)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("overlap is load-bearing: an event satisfying two steps serves either parse") {
+    // s0 = a|b, s1 = b: over (b, b) the first b is consumed as s0 —
+    // classify-first labels both events class 0 and finds no match
+    val steps = Seq(
+      RunStep("ab", col("ty") === "a" || col("ty") === "b"),
+      RunStep("b", col("ty") === "b"))
+    val rows = Seq(
+      (1L, 100L, "b", 0.0), (1L, 110L, "b", 0.0),
+      // a then b still matches, of course
+      (2L, 100L, "a", 0.0), (2L, 110L, "b", 0.0),
+      // a alone, or b alone, must not
+      (3L, 100L, "a", 0.0), (4L, 100L, "b", 0.0))
+    assert(run(steps, rows) == Map(1L -> (100L, 110L), 2L -> (100L, 110L)))
+    // the RLE tier (documented restriction) misses BOTH: first-class-wins
+    // labels every b as class 0, so no class-1 run ever exists
+    val rle = Pattern.contiguousFirst(
+        rows.toDF("k", "es", "ty", "v"), "k", "es", steps, 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(rle.isEmpty, s"$rle")
+  }
+
+  test("plus blocks extend through overlapping events; breakers kill threads") {
+    // s0 = v < 10 (plus), s1 = ty == p; a p with v < 10 satisfies both
+    val steps = Seq(
+      RunStep("low", col("v") < 10, plus = true),
+      RunStep("p", col("ty") === "p"))
+    val got = run(steps, Seq(
+      // low, low, p: earliest start
+      (1L, 100L, "x", 1.0), (1L, 110L, "x", 2.0), (1L, 120L, "p", 50.0),
+      // the intermediate p IS low: consumed as block-extension by the
+      // thread that then accepts at the second p
+      (2L, 100L, "x", 1.0), (2L, 110L, "p", 2.0), (2L, 120L, "p", 50.0),
+      // a non-low, non-p event between breaks contiguity
+      (3L, 100L, "x", 1.0), (3L, 110L, "y", 99.0), (3L, 120L, "p", 50.0),
+      // p with no low predecessor: no match
+      (4L, 100L, "p", 50.0)))
+    // key 2 accepts at the FIRST p (110): the 100-thread completed s0
+    // at 100 and consumes the p at 110 as step 1
+    assert(got == Map(1L -> (100L, 120L), 2L -> (100L, 110L)), s"$got")
+  }
+
+  test("per-thread window: a busted earliest start yields to a valid later one") {
+    val steps = Seq(
+      RunStep("low", col("v") < 10, plus = true),
+      RunStep("p", col("ty") === "p"))
+    val got = run(steps, Seq(
+      // starts at 0 and 500; window 300: only the 500 thread is valid
+      (1L, 0L, "x", 1.0), (1L, 500L, "x", 2.0), (1L, 600L, "p", 50.0),
+      // all starts bust: no match
+      (2L, 0L, "x", 1.0), (2L, 100L, "x", 2.0), (2L, 900L, "p", 50.0)),
+      w = 300L)
+    assert(got == Map(1L -> (500L, 600L)), s"$got")
+  }
+
+  test("first acceptance wins; a window-busted acceptance does not block later ones") {
+    val steps = Seq(
+      RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"))
+    val got = run(steps, Seq(
+      // two full matches: the first acceptance (110) is reported
+      (1L, 100L, "a", 0.0), (1L, 110L, "b", 0.0),
+      (1L, 200L, "a", 0.0), (1L, 210L, "b", 0.0),
+      // first acceptance busts the window, second is valid
+      (2L, 0L, "a", 0.0), (2L, 5000L, "b", 0.0),
+      (2L, 6000L, "a", 0.0), (2L, 6010L, "b", 0.0)))
+    assert(got == Map(1L -> (100L, 110L), 2L -> (6000L, 6010L)), s"$got")
+  }
+
+  test("single-step pattern and acceptance-time window bound") {
+    val steps = Seq(RunStep("a", col("ty") === "a"))
+    val got = run(steps, Seq(
+      (1L, 90L, "x", 0.0), (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0)))
+    assert(got == Map(1L -> (100L, 100L)), s"$got")
+    // exact window edge: accept at start + W is still valid
+    val ab = Seq(RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"))
+    val edge = run(ab, Seq(
+      (1L, 0L, "a", 0.0), (1L, 1000L, "b", 0.0)))
+    assert(edge == Map(1L -> (0L, 1000L)), s"$edge")
+  }
+
+  test("agrees with the RLE tier on disjoint step classes") {
+    val steps = Seq(
+      RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"),
+      RunStep("c", col("ty") === "c", plus = true))
+    val rows = Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0), (1L, 120L, "b", 0.0),
+      (1L, 130L, "c", 0.0), (1L, 140L, "c", 0.0),
+      (2L, 100L, "a", 0.0), (2L, 110L, "b", 0.0), (2L, 120L, "b", 0.0),
+      (2L, 130L, "c", 0.0),
+      (3L, 100L, "a", 0.0), (3L, 110L, "b", 0.0), (3L, 120L, "x", 0.0),
+      (3L, 130L, "c", 0.0),
+      (5L, 100L, "a", 0.0), (5L, 110L, "b", 0.0), (5L, 120L, "c", 0.0))
+    val nfa = run(steps, rows).view.mapValues(_._1).toMap
+    val rle = Pattern.contiguousFirst(
+        rows.toDF("k", "es", "ty", "v"), "k", "es", steps, 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(nfa == rle, s"nfa $nfa vs rle $rle")
+    assert(nfa == Map(1L -> 100L, 5L -> 100L), s"$nfa")
+  }
+}

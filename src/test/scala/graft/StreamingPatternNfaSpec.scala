@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pattern, PatternNfa}
+import graft.operators.Pattern.RunStep
+
+/** Streaming NFA pattern matching (streaming/StreamingPatternNfa.scala):
+  * per-window overlap-capable contiguous matching through the shared
+  * batch core — stream output must equal the batch operator run per
+  * window bucket, unclosed windows stay silent, and closed-window state
+  * evicts.
+  */
+class StreamingPatternNfaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-window stream output equals the batch NFA; unclosed windows are silent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = 86400L
+    val steps = Seq(
+      RunStep("ab", col("ty") === "a" || col("ty") === "b"),
+      RunStep("b", col("ty") === "b"))
+    // window 0: key 1 matches only through overlap (b consumed as step
+    // 1 by one parse, step 2 by another); key 2 is broken by an x
+    // between; window 1: key 1 matches; window 2: open — never emitted
+    val rows = Seq(
+      (1L, 100L, "b"), (1L, 110L, "b"),
+      (2L, 100L, "a"), (2L, 105L, "x"), (2L, 110L, "b"),
+      (1L, w + 50L, "a"), (1L, w + 60L, "b"),
+      (9L, 2 * w + 10L, "x")
+    ).sortBy(_._2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val stream = ms.toDF().toDF("k", "es", "ty")
+      .withColumn("ts", timestamp_micros(col("es") * 1000000L))
+    val sink = s"nfa_stream_${System.nanoTime}"
+    var lastStateRows = -1L
+    graft.streaming.Streams.withRocksDb(spark) {
+      val q = graft.streaming.StreamingPatternNfa.firstMatch(stream, "ts",
+          "k", steps, w)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        rows.grouped(3).foreach { c => ms.addData(c); q.processAllAvailable() }
+        lastStateRows = q.recentProgress.reverse
+          .find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      } finally q.stop()
+    }
+    val got = spark.table(sink)
+      .select("ws", "u", "m_start", "m_end")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // batch truth per closed window
+    val all = rows.toDF("k", "es", "ty").withColumn("ws",
+      expr(s"(es div $w) * $w"))
+    val expected = Seq(0L, w).flatMap { ws =>
+      PatternNfa.contiguousNfa(all.where(col("ws") === ws), "k", "es",
+          steps, w)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (ws, r._1.toString, r._2, r._3))
+    }.toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got == Set((0L, "1", 100L, 110L), (w, "1", w + 50L, w + 60L)),
+      s"$got")
+    // closed-window state evicted: only window 2's single key remains
+    // (its event list + its pending timer)
+    assert(lastStateRows >= 0 && lastStateRows <= 2,
+      s"state must evict on close, $lastStateRows rows remain")
+  }
+}
