@@ -291,6 +291,121 @@ object Pattern {
     })
   }
 
+  /** MATCH_RECOGNIZE-style MEASURES over the FIRST contiguous match —
+    * the clause (FIRST(A.t), LAST(A.t), COUNT(B.*)) that turns "did the
+    * pattern occur" into "what did each step consume": one row per
+    * pattern step with the consumed block's first event time, last
+    * event time, and event count. Consumption follows
+    * [[contiguousFirst]]'s semantics exactly: a `plus` step consumes
+    * its full run; a non-plus FIRST step consumes its run's LAST event
+    * (the match anchor); a non-plus LAST step consumes its run's FIRST
+    * event; interior non-plus steps consume their single-event run.
+    * Same fused single-fold shape as [[contiguousFirst]] with the
+    * attempt's consumed blocks accumulated in the fold state (array
+    * append per CLOSED RUN of an active attempt — O(runs × m) worst
+    * case, not per event) and frozen at the first in-window hit.
+    *
+    * Returns (key, step 1-based, step_name, b_start, b_end, b_len) —
+    * m rows per matched key, nothing for unmatched keys.
+    */
+  def contiguousMeasures(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[RunStep], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val cls = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (acc, (s, i)) =>
+        when(coalesce(s.pred, lit(false)), lit(i)).otherwise(acc)
+    }
+    val names = array(steps.map(s => lit(s.name)): _*)
+    df.select(col(keyCol).as("u"), col(esCol).cast("long").as("t"),
+        cls.as("c"))
+      .groupBy("u")
+      .agg(measuresFold(
+        sort_array(collect_list(struct(col("t"), col("c")))),
+        steps, windowSec).as("mb"))
+      .where(size(col("mb")) > 0)
+      .select(col("u").as(keyCol), posexplode(col("mb")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("step"),
+        element_at(names, col("pos") + 1).as("step_name"),
+        col("col.t0").as("b_start"), col("col.t1").as("b_end"),
+        col("col.n").cast("long").as("b_len"))
+  }
+
+  /** [[contiguousFold]] extended with per-step consumed-block
+    * accumulation: state gains `bl` (the active attempt's blocks) and
+    * `mb` (the matched blocks, frozen at the first in-window hit);
+    * returns `mb` — empty for unmatched keys.
+    */
+  private[graft] def measuresFold(evs: Column, steps: Seq[RunStep],
+      windowSec: Long): Column = {
+    val m = steps.length
+    val emptyB = array().cast("array<struct<t0:bigint,t1:bigint,n:int>>")
+    def mkState(pc: Column, rl: Column, rt: Column, rq: Column,
+        d: Column, at: Column, bl: Column, mb: Column) =
+      struct(pc.as("pc"), rl.as("rl"), rt.as("rt"), rq.as("rq"),
+        d.as("d"), at.as("at"), bl.as("bl"), mb.as("mb"))
+    val init = mkState(lit(-2), lit(0), lit(0L), lit(0L), lit(0),
+      lit(0L), emptyB, emptyB)
+    // what step j consumes from a closed run (class j, first rt, last
+    // rq, length rl) — mirrors the window anchor rules
+    def blockFor(j: Int, rt: Column, rq: Column, rl: Column): Column =
+      if (m > 1 && j == 0 && !steps.head.plus)
+        struct(rq.as("t0"), rq.as("t1"), lit(1).as("n"))
+      else if (m > 1 && j == m - 1 && !steps(m - 1).plus)
+        struct(rt.as("t0"), rt.as("t1"), lit(1).as("n"))
+      else struct(rt.as("t0"), rq.as("t1"), rl.as("n"))
+    def closeRun(p: Column, rt: Column, rq: Column, rl: Column,
+        d: Column, at: Column, bl: Column, mb: Column): Column = {
+      def lenOk(j: Int): Column =
+        if (j == 0 || j == m - 1 || steps(j).plus) lit(true)
+        else rl === 1
+      val anchor = if (steps.head.plus || m == 1) rt else rq
+      val adv = (0 until m).map(j => d === j && p === j && lenOk(j))
+        .reduce(_ || _)
+      val d2 = when(adv, d + 1)
+        .when(p === 0, lit(1))
+        .otherwise(lit(0))
+      val at2 = when(adv && d =!= 0, at)
+        .when(adv || p === 0, anchor)
+        .otherwise(lit(0L))
+      val blockAtD = (1 until m).foldLeft(blockFor(0, rt, rq, rl)) {
+        (c, j) => when(d === j, blockFor(j, rt, rq, rl)).otherwise(c)
+      }
+      val bl2 = when(adv && d =!= 0, concat(bl, array(blockAtD)))
+        .when(adv || p === 0, array(blockFor(0, rt, rq, rl)))
+        .otherwise(emptyB)
+      val hit = d2 === m && rt - at2 <= windowSec
+      when(size(mb) > 0,
+        struct(lit(0).as("d"), lit(0L).as("at"), emptyB.as("bl"),
+          mb.as("mb")))
+        .otherwise(struct(
+          when(d2 === m, lit(0)).otherwise(d2).as("d"),
+          when(d2 === m, lit(0L)).otherwise(at2).as("at"),
+          when(d2 === m, emptyB).otherwise(bl2).as("bl"),
+          when(hit, bl2).otherwise(mb).as("mb")))
+    }
+    aggregate(evs, init, (acc, e) => {
+      val pc = acc.getField("pc"); val rl = acc.getField("rl")
+      val rt = acc.getField("rt"); val rq = acc.getField("rq")
+      val d = acc.getField("d"); val at = acc.getField("at")
+      val bl = acc.getField("bl"); val mb = acc.getField("mb")
+      val t = e.getField("t"); val c = e.getField("c")
+      val closed = closeRun(pc, rt, rq, rl, d, at, bl, mb)
+      when(pc === -2,
+        mkState(c, lit(1), t, t, lit(0), lit(0L), emptyB, mb))
+        .when(c === pc,
+          mkState(pc, rl + 1, rt, t, d, at, bl, mb))
+        .otherwise(mkState(c, lit(1), t, t, closed.getField("d"),
+          closed.getField("at"), closed.getField("bl"),
+          closed.getField("mb")))
+    }, acc => {
+      val closed = closeRun(acc.getField("pc"), acc.getField("rt"),
+        acc.getField("rq"), acc.getField("rl"), acc.getField("d"),
+        acc.getField("at"), acc.getField("bl"), acc.getField("mb"))
+      when(acc.getField("pc") === -2, emptyB).otherwise(
+        closed.getField("mb"))
+    })
+  }
+
   /** The pattern report ([[Funnel.counts]]'s shape): one row per step
     * with how many keys matched AT LEAST that far — (step 1-based,
     * step_name, n_keys), monotone non-increasing, group-sized output.

@@ -2388,6 +2388,59 @@ object MvQueries {
       |     AND r2.t0 - r0.t1 <= 86400)
       | SELECT u AS user_id, min(ms) AS m_start FROM mt GROUP BY 1""".stripMargin))
 
+  /** MATCH_RECOGNIZE MEASURES over the first contiguous match
+    * ([[graft.operators.Pattern.contiguousMeasures]]): per step, the
+    * consumed block's first/last event time and event count — FIRST(A),
+    * LAST(A), COUNT(B.*) for `click purchase+ view`. Boundary
+    * consumption is the discriminating part: the non-plus first step
+    * consumes its run's LAST click (the anchor), the plus interior step
+    * its FULL purchase run, the non-plus last step its run's FIRST
+    * view. The oracle reads the same blocks off the gaps-and-islands
+    * runs CTE (per-run min/max/count) at the first in-window match.
+    */
+  val qPatternMeasures = Fixture(
+    "q_pattern_measures",
+    (s, d) => {
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.RunStep("click", col("event_type") === "click"),
+        Pattern.RunStep("purchase", col("event_type") === "purchase",
+          plus = true),
+        Pattern.RunStep("view", col("event_type") === "view"))
+      Pattern.contiguousMeasures(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 86400L)
+    },
+    Some("""WITH ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+      |       WHEN 'view' THEN 2 ELSE -1 END AS c
+      |   FROM events),
+      | o AS (SELECT u, t, c,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, c) AS rn,
+      |     row_number() OVER (PARTITION BY u, c ORDER BY t, c) AS rnc
+      |   FROM ev),
+      | runs AS (SELECT u, c, min(t) AS t0, max(t) AS t1,
+      |     count(*) AS len,
+      |     row_number() OVER (PARTITION BY u ORDER BY min(rn)) AS ri
+      |   FROM o GROUP BY u, c, rn - rnc),
+      | mt AS (SELECT r0.u, r0.ri AS sri,
+      |     r0.t1 AS s1t, r1.t0 AS s2a, r1.t1 AS s2b, r1.len AS s2n,
+      |     r2.t0 AS s3t
+      |   FROM runs r0
+      |   JOIN runs r1 ON r1.u = r0.u AND r1.ri = r0.ri + 1
+      |   JOIN runs r2 ON r2.u = r0.u AND r2.ri = r0.ri + 2
+      |   WHERE r0.c = 0 AND r1.c = 1 AND r2.c = 2
+      |     AND r2.t0 - r0.t1 <= 86400),
+      | fm AS (SELECT u, min_by(s1t, sri) AS s1t, min_by(s2a, sri) AS s2a,
+      |     min_by(s2b, sri) AS s2b, min_by(s2n, sri) AS s2n,
+      |     min_by(s3t, sri) AS s3t
+      |   FROM mt GROUP BY 1)
+      | SELECT u AS user_id, 1::BIGINT AS step, 'click' AS step_name,
+      |   s1t AS b_start, s1t AS b_end, 1::BIGINT AS b_len FROM fm
+      | UNION ALL SELECT u, 2::BIGINT, 'purchase', s2a, s2b, s2n FROM fm
+      | UNION ALL SELECT u, 3::BIGINT, 'view', s3t, s3t, 1::BIGINT
+      |   FROM fm""".stripMargin))
+
   /** Contiguous matching with OVERLAPPING step predicates
     * ([[graft.operators.PatternNfa.contiguousNfa]]) — the case the RLE
     * tier's one-class-per-event labeling cannot express: step 2 here is

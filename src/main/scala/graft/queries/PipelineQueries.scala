@@ -74,7 +74,7 @@ object PipelineQueries {
     qStreamFunnelFinal,
     qPatternMatch, qStreamPatternMatch, qPatternContiguous,
     qPatternContiguousBounds, qPatternNfaOverlap, qPatternNfaPlus,
-    qStreamPatternNfa,
+    qStreamPatternNfa, qPatternMeasures,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

@@ -196,6 +196,50 @@ class PatternSpec extends SparkTestBase {
     assert(got == Map(1L -> 100L), s"$got")
   }
 
+  test("measures: per-step consumed blocks of the first match, boundary rules included") {
+    import graft.operators.Pattern.RunStep
+    def meas(rsteps: Seq[RunStep], rows: Seq[(Long, Long, String)],
+        w: Long = 1000L) =
+      Pattern.contiguousMeasures(
+          rows.map(r => (r._1, r._2, r._3, 0.0)).toDF("k", "es", "ty", "v"),
+          "k", "es", rsteps, w)
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // plus boundaries consume full runs; interior non-plus its one event
+    val abc = Seq(RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"),
+      RunStep("c", col("ty") === "c", plus = true))
+    val full = meas(abc, Seq(
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "b"),
+      (1L, 130L, "c"), (1L, 140L, "c"),
+      // no match: nothing emitted
+      (2L, 100L, "a"), (2L, 110L, "c")))
+    assert(full == Set(
+      (1L, 1L, "a", 100L, 110L, 2L),
+      (1L, 2L, "b", 120L, 120L, 1L),
+      (1L, 3L, "c", 130L, 140L, 2L)), s"$full")
+    // non-plus boundaries: first consumes its run's LAST event, last its
+    // run's FIRST — blocks mirror contiguousFirst's anchor/window rules
+    val ab = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"))
+    val bounds = meas(ab, Seq(
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "b"), (1L, 130L, "b")))
+    assert(bounds == Set(
+      (1L, 1L, "a", 110L, 110L, 1L),
+      (1L, 2L, "b", 120L, 120L, 1L)), s"$bounds")
+    // first-match selection and b_start(step 1) == contiguousFirst.m_start
+    val two = Seq(
+      (3L, 100L, "a"), (3L, 110L, "b"),
+      (3L, 200L, "a"), (3L, 210L, "b"))
+    val m2 = meas(ab, two)
+    assert(m2 == Set((3L, 1L, "a", 100L, 100L, 1L),
+      (3L, 2L, "b", 110L, 110L, 1L)), s"$m2")
+    val first = Pattern.contiguousFirst(
+        two.map(r => (r._1, r._2, r._3, 0.0)).toDF("k", "es", "ty", "v"),
+        "k", "es", ab, 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(first(3L) == 100L)
+  }
+
   test("streaming twin agrees with the batch fold per window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // two day-windows; key 1 matches in w0, is guard-killed in w1;
