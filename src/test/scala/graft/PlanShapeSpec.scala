@@ -95,6 +95,26 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("contiguousNfa: one exchange, in-partition sort, pruned scan") {
+    import graft.operators.{Pattern, PatternNfa}
+    val ev = Tables.eventsWithEpoch(spark, sfDir)
+    val steps = Seq(
+      Pattern.RunStep("e", col("event_type") === "view"),
+      Pattern.RunStep("h", col("value") > 60))
+    val df = PatternNfa.contiguousNfa(ev, "user_id", "es", steps, 86400L)
+    df.write.format("noop").mode("overwrite").save()
+    val p = plan(df)
+    // exactly ONE shuffle (the key repartition); the sort is
+    // partition-local, never a global Exchange+Sort pair
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Sort") && !p.contains("rangepartitioning"), p)
+    // the scan reads only what the mask projection needs
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("user_id") && rs.contains("event_type") &&
+      rs.contains("value") && !rs.contains("props") && !rs.contains("event_id"),
+      s"scan must prune to the mask's columns: $rs\n$p")
+  }
+
   test("incrementalExact: exactly one exchange feeds both the join and the window") {
     // at test scale the fp join would plan as BroadcastHashJoin, which has no
     // exchange to reuse and would skip the pinned property vacuously — force
