@@ -97,6 +97,111 @@ object PatternNfa {
         Encoders.row(outSchema))
   }
 
+  /** ALL-MATCHES enumeration — MATCH_RECOGNIZE's default AFTER MATCH
+    * SKIP PAST LAST ROW, on [[contiguousNfa]]'s acceptance contract:
+    * matches are accepted at the FIRST event completing the last step
+    * (minimal last block — for all-non-plus patterns this is exactly
+    * MATCH_RECOGNIZE; a trailing `plus` run's extra events are left for
+    * the next match attempt rather than greedily consumed), and after
+    * each accepted match EVERY live thread dies — the next match can
+    * start no earlier than the following event, so reported matches
+    * never overlap. Window-busted completions are skipped without
+    * consuming anything, exactly as in first-match mode.
+    *
+    * Same one-shuffle secondary-sort shape; per-key buffering holds the
+    * MATCHES (≤ events/m), never the events. Returns (key, match_no
+    * 1-based in time order, m_start, m_end).
+    */
+  def contiguousNfaAll(df: DataFrame, keyCol: String, esCol: String,
+      steps: Seq[RunStep], windowSec: Long): DataFrame = {
+    val m = steps.length
+    val mask = maskCol(steps)
+    val proj = df.select(col(keyCol).as("u"),
+      col(esCol).cast("long").as("t"), mask.as("mask"))
+    val keyField = proj.schema.head
+    val outSchema = StructType(Seq(
+      StructField(keyCol, keyField.dataType, keyField.nullable),
+      StructField("match_no", LongType, nullable = false),
+      StructField("m_start", LongType, nullable = false),
+      StructField("m_end", LongType, nullable = false)))
+    val plus = steps.map(_.plus).toArray
+    val w = windowSec
+    proj.repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("mask"))
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private var cur: Row = if (rows.hasNext) rows.next() else null
+          private var pending: List[Row] = Nil
+          private def refill(): Unit = {
+            while (pending.isEmpty && cur != null) {
+              val key = cur.get(0)
+              val keyEvents = new Iterator[(Long, Int)] {
+                override def hasNext: Boolean =
+                  cur != null && cur.get(0) == key
+                override def next(): (Long, Int) = {
+                  val r = (cur.getLong(1), cur.getInt(2))
+                  cur = if (rows.hasNext) rows.next() else null
+                  r
+                }
+              }
+              pending = scanKeyAll(keyEvents, m, plus, w).zipWithIndex
+                .map { case ((s, e), i) => Row(key, (i + 1).toLong, s, e) }
+            }
+          }
+          override def hasNext: Boolean = { refill(); pending.nonEmpty }
+          override def next(): Row = {
+            refill()
+            pending match {
+              case h :: t => pending = t; h
+              case Nil => throw new NoSuchElementException("empty scan")
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** [[scanKey]]'s enumerating sibling: on each window-valid acceptance
+    * the match is recorded and ALL states clear (skip past last row —
+    * including the fresh thread the accepting event itself started),
+    * then scanning continues. Consumes the whole iterator.
+    */
+  private[graft] def scanKeyAll(events: Iterator[(Long, Int)], m: Int,
+      plus: Array[Boolean], windowSec: Long): List[(Long, Long)] = {
+    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    while (events.hasNext) {
+      val (t, b) = events.next()
+      var j = m
+      while (j >= 1) {
+        val sat = ((b >> (j - 1)) & 1) == 1
+        val ns = new java.util.TreeSet[java.lang.Long]()
+        if (sat) {
+          ns.addAll(states(j - 1))
+          if (plus(j - 1)) ns.addAll(states(j))
+          if (j == 1) ns.add(t)
+        }
+        states(j) = ns
+        j -= 1
+      }
+      val acc = states(m)
+      if (!acc.isEmpty) {
+        val minValid = acc.ceiling(t - windowSec)
+        if (minValid != null) {
+          out += ((minValid.longValue, t))
+          var k = 1
+          while (k <= m) { states(k).clear(); k += 1 }
+        } else acc.clear()
+      }
+      var k = 1
+      while (k < m) {
+        states(k).headSet(java.lang.Long.valueOf(t - windowSec), false)
+          .clear()
+        k += 1
+      }
+    }
+    out.toList
+  }
+
   /** The per-key NFA core, shared by the batch scan and the streaming
     * twin ([[graft.streaming.StreamingPatternNfa]]). NFA state j ∈ 1..m
     * = "threads that have completed steps 0..j−1, as their sorted start

@@ -2388,6 +2388,53 @@ object MvQueries {
       |     AND r2.t0 - r0.t1 <= 86400)
       | SELECT u AS user_id, min(ms) AS m_start FROM mt GROUP BY 1""".stripMargin))
 
+  /** ALL-MATCHES pattern enumeration
+    * ([[graft.operators.PatternNfa.contiguousNfaAll]]) — MATCH_RECOGNIZE's
+    * AFTER MATCH SKIP PAST LAST ROW: every non-overlapping occurrence of
+    * two CONSECUTIVE purchases within half a day, per user, numbered in
+    * time order. The pattern's two steps share one predicate — per-event
+    * classification is impossible (both steps are the same class), so
+    * this is also the NFA tier's overlap support under enumeration. The
+    * oracle computes the same greedy left-to-right non-overlapping
+    * selection with a RECURSIVE CTE over the valid consecutive pairs
+    * (next pick = the earliest valid start at-or-after the previous
+    * pick's end + 1) — an independent fixed-point formulation, not a
+    * re-run of the scan.
+    */
+  val qPatternNfaAll = Fixture(
+    "q_pattern_nfa_all",
+    (s, d) => {
+      import graft.operators.{Pattern, PatternNfa}
+      val steps = Seq(
+        Pattern.RunStep("p1", col("event_type") === "purchase"),
+        Pattern.RunStep("p2", col("event_type") === "purchase"))
+      PatternNfa.contiguousNfaAll(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 43200L)
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     CASE WHEN event_type = 'purchase' THEN 3 ELSE 0 END AS mask
+      |   FROM events),
+      | o AS (SELECT u, t, mask,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, mask) AS rn
+      |   FROM ev),
+      | valid AS (SELECT a.u, a.rn AS s, a.t AS ms, b.t AS me
+      |   FROM o a JOIN o b ON b.u = a.u AND b.rn = a.rn + 1
+      |   WHERE a.mask = 3 AND b.mask = 3 AND b.t - a.t <= 43200),
+      | picks AS (
+      |   SELECT u, s, ms, me FROM valid v
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.s < v.s)
+      |   UNION
+      |   SELECT v.u, v.s, v.ms, v.me FROM picks p
+      |   JOIN valid v ON v.u = p.u AND v.s >= p.s + 2
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.s >= p.s + 2 AND w.s < v.s))
+      | SELECT u AS user_id,
+      |   row_number() OVER (PARTITION BY u ORDER BY s) AS match_no,
+      |   ms AS m_start, me AS m_end
+      | FROM picks""".stripMargin))
+
   /** MATCH_RECOGNIZE MEASURES over the first contiguous match
     * ([[graft.operators.Pattern.contiguousMeasures]]): per step, the
     * consumed block's first/last event time and event count — FIRST(A),

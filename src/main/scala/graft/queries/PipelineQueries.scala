@@ -74,7 +74,7 @@ object PipelineQueries {
     qStreamFunnelFinal,
     qPatternMatch, qStreamPatternMatch, qPatternContiguous,
     qPatternContiguousBounds, qPatternNfaOverlap, qPatternNfaPlus,
-    qStreamPatternNfa, qPatternMeasures,
+    qStreamPatternNfa, qPatternMeasures, qPatternNfaAll,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

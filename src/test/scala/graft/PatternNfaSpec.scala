@@ -103,6 +103,52 @@ class PatternNfaSpec extends SparkTestBase {
     assert(edge == Map(1L -> (0L, 1000L)), s"$edge")
   }
 
+  test("all-matches: skip past last row, non-overlap, busted windows skipped") {
+    def runAll(steps: Seq[RunStep], rows: Seq[(Long, Long, String, Double)],
+        w: Long = 1000L): Map[Long, Seq[(Long, Long, Long)]] =
+      PatternNfa.contiguousNfaAll(
+          rows.toDF("k", "es", "ty", "v"), "k", "es", steps, w)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+    // SAME-predicate consecutive pair "a a" — overlap the RLE tier can't
+    // even label; over a,a,a greedy non-overlap yields ONE match, over
+    // a,a,a,a two
+    val aa = Seq(RunStep("a1", col("ty") === "a"),
+      RunStep("a2", col("ty") === "a"))
+    val got = runAll(aa, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0), (1L, 120L, "a", 0.0),
+      (2L, 100L, "a", 0.0), (2L, 110L, "a", 0.0), (2L, 120L, "a", 0.0),
+      (2L, 130L, "a", 0.0)))
+    assert(got == Map(
+      1L -> Seq((1L, 100L, 110L)),
+      2L -> Seq((1L, 100L, 110L), (2L, 120L, 130L))), s"$got")
+    // disjoint pattern, two separated matches; a busted-window valid
+    // pair is skipped without blocking the next
+    val ab = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"))
+    val got2 = runAll(ab, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "b", 0.0),
+      (1L, 200L, "a", 0.0), (1L, 210L, "b", 0.0),
+      (2L, 0L, "a", 0.0), (2L, 5000L, "b", 0.0),
+      (2L, 6000L, "a", 0.0), (2L, 6010L, "b", 0.0)))
+    assert(got2 == Map(
+      1L -> Seq((1L, 100L, 110L), (2L, 200L, 210L)),
+      2L -> Seq((1L, 6000L, 6010L))), s"$got2")
+    // plus pattern: minimal-match acceptance — the trailing b stays
+    // unconsumed and cannot match alone
+    val abp = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b", plus = true))
+    val got3 = runAll(abp, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "b", 0.0), (1L, 120L, "b", 0.0)))
+    assert(got3 == Map(1L -> Seq((1L, 100L, 110L))), s"$got3")
+    // first match of the enumeration == contiguousNfa's single match
+    val single = run(ab, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "b", 0.0),
+      (1L, 200L, "a", 0.0), (1L, 210L, "b", 0.0)))
+    assert(single(1L) == (100L, 110L))
+  }
+
   test("agrees with the RLE tier on disjoint step classes") {
     val steps = Seq(
       RunStep("a", col("ty") === "a", plus = true),
