@@ -4,8 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SEQUENTIAL PATTERN MATCHING — the MATCH_RECOGNIZE-class generalization
-  * of [[Funnel]] (which is the fixed special case "each step is one event
-  * type, no guards"): per key, an ordered sequence of pattern STEPS, each
+  * of [[Funnel]]. The family map (pick by semantics):
+  *
+  *   - [[keyMatch]] — SKIP-TOLERANT steps with absence guards and an
+  *     anchored window (funnel semantics, arbitrary predicates);
+  *   - [[contiguousFirst]] — STRICT contiguity with `+` quantifiers,
+  *     mutually exclusive step predicates (RLE + regex over runs);
+  *   - [[contiguousMeasures]] — the same first match, reported as
+  *     per-step consumed blocks (FIRST/LAST/COUNT measures);
+  *   - [[PatternNfa.contiguousNfa]] / [[PatternNfa.contiguousNfaAll]] —
+  *     strict contiguity when step predicates OVERLAP (NFA thread
+  *     simulation; first match / every non-overlapping match);
+  *   - streaming twins: [[graft.streaming.StreamingPattern]],
+  *     [[graft.streaming.StreamingPatternNfa]],
+  *     [[graft.streaming.StreamingFunnel]] (per-window, shared cores).
+  *
+  * Here [[keyMatch]]'s tier: per key, an ordered sequence of pattern
+  * STEPS, each
   * an ARBITRARY row predicate (`event_type = 'purchase' AND value > 50`),
   * optionally protected by an ABSENCE guard (`no 'error' event between
   * the previous match and this one` — MATCH_RECOGNIZE's negated pattern
