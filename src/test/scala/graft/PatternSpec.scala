@@ -196,6 +196,28 @@ class PatternSpec extends SparkTestBase {
     assert(got == Map(1L -> 100L), s"$got")
   }
 
+  test("one event advances at most one step, even when it satisfies two") {
+    // scaladoc contract: an event matching both step i and step i+1 is
+    // consumed by step i — a later step-(i+1) event is still required.
+    // (Gate oracles keep step predicates disjoint, so this is pinned
+    // here, not by a fixture.)
+    val overlapping = Seq(
+      Step("s1", col("ty") === "a" || col("ty") === "b"),
+      Step("s2", col("ty") === "b"))
+    def d(rows: Seq[(Long, Long, String, Double)]) =
+      Pattern.keyMatch(rows.toDF("k", "es", "ty", "v"), "k", "es",
+          overlapping, 1000L)
+        .select("k", "depth").as[(Long, Int)].collect().toMap
+    // a single b satisfies BOTH steps: it anchors as step 1 and cannot
+    // also serve as step 2
+    assert(d(Seq((1L, 100L, "b", 0.0))) == Map(1L -> 1))
+    // a second b (same or later second) completes the pattern
+    assert(d(Seq((1L, 100L, "b", 0.0), (1L, 100L, "b", 0.0))) ==
+      Map(1L -> 2))
+    assert(d(Seq((1L, 100L, "b", 0.0), (1L, 200L, "b", 0.0))) ==
+      Map(1L -> 2))
+  }
+
   test("measures: per-step consumed blocks of the first match, boundary rules included") {
     import graft.operators.Pattern.RunStep
     def meas(rsteps: Seq[RunStep], rows: Seq[(Long, Long, String)],
