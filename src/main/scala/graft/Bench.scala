@@ -75,8 +75,8 @@ object Bench {
     val timedOut = scala.collection.mutable.Set.empty[String]
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             hygiene: Boolean = true): Double = {
-      if (timedOut(name)) return qCapS
+             hygiene: Boolean = true, force: Boolean = false): Double = {
+      if (!force && timedOut(name)) return qCapS
       if (hygiene) settle()
       val session = sessions.getOrElseUpdate(name, spark.newSession())
       // job group is thread-local: set it in the worker thread that
@@ -374,6 +374,18 @@ object Bench {
         isoBuf(name) = (1 to isoAttempts).map(_ => once(name, fn))
           .filter(_ >= 0).sorted
       }
+    }
+    // one bounded RE-PROBE per timed-out query: the interleave records
+    // only the cap floor, so without this a host stall on one attempt is
+    // indistinguishable from a real regression. The re-probe rides the
+    // isolated block's spread (its single sample next to the cap) at a
+    // cost of ≤cap each; a second timeout simply re-records the cap.
+    for (name <- timedOut.toSeq.sorted) {
+      if (leftS >= qCapS + 240) {
+        val t = once(name, SparkEntry.queries(name), force = true)
+        isoBuf(name) = Seq(t).filter(_ >= 0)
+      } else if (!truncated.exists(_.startsWith("isolated")))
+        truncated ::= s"isolated_stopped_before_$name"
     }
     isolatedSamples = isoBuf.toMap
     emit("isolated", printFull = false)
