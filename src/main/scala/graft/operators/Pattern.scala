@@ -231,12 +231,15 @@ object Pattern {
       .agg(contiguousFold(
         sort_array(collect_list(struct(col("t"), col("c")))),
         steps, windowSec).as("m_start"))
-      .where(col("m_start") >= 0L)
+      .where(col("m_start") =!= lit(Long.MinValue))
       .select(col("u").as(keyCol), col("m_start"))
   }
 
   /** The fused RLE + regex scan over the sorted (t, c) event array:
-    * returns the first in-window occurrence's start time, or −1. State:
+    * returns the first in-window occurrence's start time, or
+    * Long.MinValue for no match (NOT −1: event times are epoch seconds
+    * and a pre-1970 match legitimately starts at a negative second —
+    * the sentinel must be outside the domain). State:
     * (pc, rl, rt, rq) = the OPEN run's class / length / first / last
     * event time (pc = −2 before the first event), (d, at) = completed-
     * run matcher depth and anchor, res = the result. A run is folded
@@ -245,7 +248,7 @@ object Pattern {
   private[graft] def contiguousFold(evs: Column, steps: Seq[RunStep],
       windowSec: Long): Column = {
     val m = steps.length
-    val none = lit(-1L)
+    val none = lit(Long.MinValue)
     def mkState(pc: Column, rl: Column, rt: Column, rq: Column,
         d: Column, at: Column, res: Column) =
       struct(pc.as("pc"), rl.as("rl"), rt.as("rt"), rq.as("rq"),
@@ -363,7 +366,12 @@ object Pattern {
     // what step j consumes from a closed run (class j, first rt, last
     // rq, length rl) — mirrors the window anchor rules
     def blockFor(j: Int, rt: Column, rq: Column, rl: Column): Column =
-      if (m > 1 && j == 0 && !steps.head.plus)
+      if (m == 1 && !steps.head.plus)
+        // single-step non-plus: ONE event — the run's FIRST, matching
+        // contiguousFirst's m == 1 anchor (the earliest match wins and a
+        // one-event span can never bust the window)
+        struct(rt.as("t0"), rt.as("t1"), lit(1).as("n"))
+      else if (m > 1 && j == 0 && !steps.head.plus)
         struct(rq.as("t0"), rq.as("t1"), lit(1).as("n"))
       else if (m > 1 && j == m - 1 && !steps(m - 1).plus)
         struct(rt.as("t0"), rt.as("t1"), lit(1).as("n"))

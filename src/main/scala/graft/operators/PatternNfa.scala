@@ -50,10 +50,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * pre-filter to the pattern's time range; state is the window
   * envelope, not the key's history.
   *
-  * Window pruning keeps the thread sets bounded: an acceptance at time
-  * t only admits starts ≥ t − windowSec, and t only grows, so starts
-  * below the horizon are dropped as events arrive — each start enters
-  * and leaves its set at most once (amortized O(1)).
+  * Window pruning keeps the thread sets bounded by window occupancy: an
+  * acceptance at time t only admits starts ≥ t − windowSec, and t only
+  * grows, so starts below the horizon are dropped as events arrive.
+  * Per-event cost is O(transferred starts), NOT a full rebuild: a state
+  * transfer whose source slot is reassigned anyway (non-plus source
+  * step) MOVES the set by reference, a `plus` self-loop mutates its own
+  * set in place, and only a transfer OUT of a still-live `plus` set
+  * copies. The common dense case — every event satisfies a `plus` step
+  * 1 over a wide window — is therefore linear (one add per event,
+  * pinned by PatternNfaSpec's monster-key test); the residual
+  * super-linear corner is a plus step FEEDING another dense step every
+  * event (A+ B with both predicates near-always true), where the
+  * A-set's live threads genuinely all transfer per event — that state
+  * is set-valued by construction (see the non-interval counterexample
+  * in scanKey's scaladoc), so pre-filter to the pattern's time range
+  * rather than widening the window.
   *
   * Returns (key, m_start, m_end): the winning thread's start time and
   * the acceptance event's time.
@@ -160,6 +172,227 @@ object PatternNfa {
       }(Encoders.row(outSchema))
   }
 
+  /** PER-MATCH MEASURES under enumeration — [[contiguousNfaAll]]'s
+    * match list with each match expanded into its per-step consumed
+    * blocks, MATCH_RECOGNIZE's `MEASURES FIRST(A.t), LAST(A.t),
+    * COUNT(B.*)` emitted for EVERY match instead of
+    * [[Pattern.contiguousMeasures]]'s first-only. Same acceptance
+    * contract as the enumerator (minimal last block — acceptance at the
+    * first event completing the last step, so step m's block is always
+    * exactly the accepting event, plus-quantified or not; threads die
+    * after each accepted match). Ambiguity under overlapping predicates
+    * resolves the MATCH_RECOGNIZE way: quantifiers are GREEDY — each
+    * `plus` block extends as far as a full parse of the remainder
+    * allows before the next step begins.
+    *
+    * Block reconstruction is per ACCEPTED match, not per thread: the
+    * scan buffers the window's events (the same envelope the thread
+    * sets already occupy), and on acceptance re-parses just the match's
+    * slice with an O(steps × slice) feasibility table + greedy walk —
+    * so the per-event hot path stays [[advanceStates]]'s transfer cost
+    * and unmatched data pays nothing.
+    *
+    * Returns (key, match_no 1-based in time order, step 1-based,
+    * step_name, b_start, b_end, b_len) — `steps.length` rows per match.
+    */
+  def contiguousNfaAllMeasures(df: DataFrame, keyCol: String,
+      esCol: String, steps: Seq[RunStep], windowSec: Long): DataFrame = {
+    val m = steps.length
+    val mask = maskCol(steps)
+    val proj = df.select(col(keyCol).as("u"),
+      col(esCol).cast("long").as("t"), mask.as("mask"))
+    val keyField = proj.schema.head
+    val outSchema = StructType(Seq(
+      StructField(keyCol, keyField.dataType, keyField.nullable),
+      StructField("match_no", LongType, nullable = false),
+      StructField("step", LongType, nullable = false),
+      StructField("step_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("b_start", LongType, nullable = false),
+      StructField("b_end", LongType, nullable = false),
+      StructField("b_len", LongType, nullable = false)))
+    val plus = steps.map(_.plus).toArray
+    val names = steps.map(_.name).toArray
+    val w = windowSec
+    proj.repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("mask"))
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private var cur: Row = if (rows.hasNext) rows.next() else null
+          private var pending: List[Row] = Nil
+          private def refill(): Unit = {
+            while (pending.isEmpty && cur != null) {
+              val key = cur.get(0)
+              val keyEvents = new Iterator[(Long, Int)] {
+                override def hasNext: Boolean =
+                  cur != null && cur.get(0) == key
+                override def next(): (Long, Int) = {
+                  val r = (cur.getLong(1), cur.getInt(2))
+                  cur = if (rows.hasNext) rows.next() else null
+                  r
+                }
+              }
+              pending = scanKeyAllMeasures(keyEvents, m, plus, w).zipWithIndex
+                .flatMap { case (blocks, i) =>
+                  blocks.iterator.zipWithIndex.map { case ((t0, t1, n), j) =>
+                    Row(key, (i + 1).toLong, (j + 1).toLong, names(j),
+                      t0, t1, n.toLong)
+                  }
+                }
+            }
+          }
+          override def hasNext: Boolean = { refill(); pending.nonEmpty }
+          override def next(): Row = {
+            refill()
+            pending match {
+              case h :: t => pending = t; h
+              case Nil => throw new NoSuchElementException("empty scan")
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** [[scanKeyAll]] with per-match block reconstruction: buffers the
+    * window's events alongside the NFA state; each window-valid
+    * acceptance re-parses its slice via [[parseBlocks]] and clears both
+    * states and buffer (skip past last row). Returns each match's
+    * per-step (b_start, b_end, b_len) blocks, matches in time order.
+    */
+  private[graft] def scanKeyAllMeasures(events: Iterator[(Long, Int)],
+      m: Int, plus: Array[Boolean],
+      windowSec: Long): List[Array[(Long, Long, Int)]] = {
+    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    val buf = new scala.collection.mutable.ArrayDeque[(Long, Int)]()
+    val out = scala.collection.mutable.ListBuffer
+      .empty[Array[(Long, Long, Int)]]
+    while (events.hasNext) {
+      val ev = events.next()
+      val (t, b) = ev
+      buf.append(ev)
+      while (buf.nonEmpty && buf.head._1 < t - windowSec) {
+        buf.removeHead(); ()
+      }
+      advanceStates(states, t, b, m, plus)
+      val acc = states(m)
+      if (!acc.isEmpty) {
+        val minValid = acc.ceiling(t - windowSec)
+        if (minValid != null) {
+          val slice = buf.iterator.dropWhile(_._1 < minValid.longValue)
+            .toArray
+          out += parseBlocks(slice, m, plus, minValid.longValue)
+          var k = 1
+          while (k <= m) {
+            states(k) = new java.util.TreeSet[java.lang.Long](); k += 1
+          }
+          buf.clear()
+        } else acc.clear()
+      }
+      pruneStates(states, t - windowSec, m)
+    }
+    out.toList
+  }
+
+  /** Greedy block assignment over an accepted match's event slice
+    * (slice(0) at the match's start time, last element the accepting
+    * event). `feas(j)(i)` = events i..end parse as steps j..m with the
+    * last block exactly the final event (the acceptance contract);
+    * computed backward in O(m × slice), then walked forward greedily —
+    * a `plus` block extends while the remainder still parses. The
+    * accepted thread is the parse's existence witness, so the walk
+    * never dead-ends.
+    */
+  private def parseBlocks(sl: Array[(Long, Int)], m: Int,
+      plus: Array[Boolean], startT: Long): Array[(Long, Long, Int)] = {
+    val last = sl.length - 1
+    val feas = Array.ofDim[Boolean](m + 2, sl.length + 1)
+    var j = m
+    while (j >= 1) {
+      var i = last
+      while (i >= 0) {
+        val sat = ((sl(i)._2 >> (j - 1)) & 1) == 1
+        feas(j)(i) =
+          if (j == m) i == last && sat
+          else sat && (feas(j + 1)(i + 1) ||
+            (plus(j - 1) && i + 1 <= last && feas(j)(i + 1)))
+        i -= 1
+      }
+      j -= 1
+    }
+    var i0 = 0
+    while (i0 <= last && !(sl(i0)._1 == startT && feas(1)(i0))) i0 += 1
+    require(i0 <= last, "internal: accepted match has no parse witness")
+    val out = new Array[(Long, Long, Int)](m)
+    var pos = i0
+    j = 1
+    while (j <= m) {
+      val bStart = pos
+      while (plus(j - 1) && pos + 1 <= last && feas(j)(pos + 1)) pos += 1
+      out(j - 1) = (sl(bStart)._1, sl(pos)._1, pos - bStart + 1)
+      pos += 1
+      j += 1
+    }
+    out
+  }
+
+  /** One NFA transition — the shared per-event state update. Iterates
+    * slots m → 1 (slot j reads the not-yet-updated slot j−1) with the
+    * cheapest legal set plumbing per branch:
+    *
+    *  - unsatisfied step → the slot gets a FRESH empty set (never
+    *    `clear()`: the old object may have just been moved up);
+    *  - `plus` step → self-loop keeps the slot's set identity; the
+    *    predecessor's starts merge IN PLACE (safe: a plus slot is never
+    *    a move target's still-live source — the move rule below demands
+    *    a non-plus source step);
+    *  - non-plus step → the slot is REPLACED by its predecessor's set:
+    *    MOVED by reference when the source step is itself non-plus (the
+    *    source slot gets reassigned this same event, so the alias dies
+    *    before anyone mutates), COPIED only when the source step is
+    *    `plus` (its slot self-loops in place and must keep its set).
+    *
+    * So the r18 version's per-event full rebuild (fresh TreeSet +
+    * addAll per slot — O(live threads) per event, quadratic on a dense
+    * key) collapses to O(1) per event plus the genuinely transferred
+    * starts.
+    */
+  private def advanceStates(states: Array[java.util.TreeSet[java.lang.Long]],
+      t: Long, b: Int, m: Int, plus: Array[Boolean]): Unit = {
+    var j = m
+    while (j >= 1) {
+      val sat = ((b >> (j - 1)) & 1) == 1
+      if (!sat) {
+        states(j) = new java.util.TreeSet[java.lang.Long]()
+      } else if (plus(j - 1)) {
+        if (j == 1) states(1).add(t)
+        else if (!states(j - 1).isEmpty) states(j).addAll(states(j - 1))
+      } else {
+        if (j == 1) {
+          val ns = new java.util.TreeSet[java.lang.Long](); ns.add(t)
+          states(1) = ns
+        } else if (plus(j - 2)) {
+          val ns = new java.util.TreeSet[java.lang.Long]()
+          ns.addAll(states(j - 1))
+          states(j) = ns
+        } else states(j) = states(j - 1)
+      }
+      j -= 1
+    }
+  }
+
+  /** Drop window-dead starts from the intermediate states (slot m is
+    * handled by the acceptance logic). The horizon only grows, so each
+    * start leaves its set at most once.
+    */
+  private def pruneStates(states: Array[java.util.TreeSet[java.lang.Long]],
+      horizon: Long, m: Int): Unit = {
+    var k = 1
+    while (k < m) {
+      states(k).headSet(java.lang.Long.valueOf(horizon), false).clear()
+      k += 1
+    }
+  }
+
   /** [[scanKey]]'s enumerating sibling: on each window-valid acceptance
     * the match is recorded and ALL states clear (skip past last row —
     * including the fresh thread the accepting event itself started),
@@ -171,33 +404,17 @@ object PatternNfa {
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     while (events.hasNext) {
       val (t, b) = events.next()
-      var j = m
-      while (j >= 1) {
-        val sat = ((b >> (j - 1)) & 1) == 1
-        val ns = new java.util.TreeSet[java.lang.Long]()
-        if (sat) {
-          ns.addAll(states(j - 1))
-          if (plus(j - 1)) ns.addAll(states(j))
-          if (j == 1) ns.add(t)
-        }
-        states(j) = ns
-        j -= 1
-      }
+      advanceStates(states, t, b, m, plus)
       val acc = states(m)
       if (!acc.isEmpty) {
         val minValid = acc.ceiling(t - windowSec)
         if (minValid != null) {
           out += ((minValid.longValue, t))
           var k = 1
-          while (k <= m) { states(k).clear(); k += 1 }
+          while (k <= m) { states(k) = new java.util.TreeSet[java.lang.Long](); k += 1 }
         } else acc.clear()
       }
-      var k = 1
-      while (k < m) {
-        states(k).headSet(java.lang.Long.valueOf(t - windowSec), false)
-          .clear()
-        k += 1
-      }
+      pruneStates(states, t - windowSec, m)
     }
     out.toList
   }
@@ -214,6 +431,13 @@ object PatternNfa {
     * ≥ t − window wins; otherwise the busted completions are dropped
     * and the scan goes on.
     *
+    * The states are genuinely SET-valued — no interval compression is
+    * sound in general. Counterexample (`A+ B+`): events e1 sat A only,
+    * e2 sat B only, e3 sat A and B, e4 sat B — at e4 the viable starts
+    * are {e1, e3} but NOT e2 (e2 cannot head an A-run), a hole in the
+    * middle. Hence the move/in-place plumbing in [[advanceStates]]
+    * rather than (min, max, count) summaries.
+    *
     * @param events time-ordered (t, mask) — consumed lazily, stops at
     *               the first valid acceptance
     * @return Some((m_start, m_end)) of the first window-valid match
@@ -223,18 +447,7 @@ object PatternNfa {
     val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
     while (events.hasNext) {
       val (t, b) = events.next()
-      var j = m
-      while (j >= 1) {
-        val sat = ((b >> (j - 1)) & 1) == 1
-        val ns = new java.util.TreeSet[java.lang.Long]()
-        if (sat) {
-          ns.addAll(states(j - 1))
-          if (plus(j - 1)) ns.addAll(states(j))
-          if (j == 1) ns.add(t)
-        }
-        states(j) = ns
-        j -= 1
-      }
+      advanceStates(states, t, b, m, plus)
       val acc = states(m)
       if (!acc.isEmpty) {
         val minValid = acc.ceiling(t - windowSec)
@@ -244,12 +457,7 @@ object PatternNfa {
         acc.clear()
       }
       // window horizon only grows — starts below it are dead
-      var k = 1
-      while (k < m) {
-        states(k).headSet(java.lang.Long.valueOf(t - windowSec), false)
-          .clear()
-        k += 1
-      }
+      pruneStates(states, t - windowSec, m)
     }
     None
   }

@@ -149,6 +149,95 @@ class PatternNfaSpec extends SparkTestBase {
     assert(single(1L) == (100L, 110L))
   }
 
+  test("dense monster key: a plus step satisfied by EVERY event scans linearly") {
+    // 200k events, all satisfying the plus step 1, window wider than the
+    // whole key — the case the r18 scan (fresh TreeSet + addAll per
+    // event) made quadratic: 2×10^10 set inserts, hours of wall. The
+    // move/in-place plumbing does one add per event (~O(n log n)); the
+    // generous bound below only trips on a complexity regression, not on
+    // host noise.
+    val n = 200000
+    val events = Iterator.tabulate(n) { i =>
+      (i.toLong, if (i == n - 1) 3 else 1)
+    }
+    val t0 = System.nanoTime()
+    val got = PatternNfa.scanKey(events, 2, Array(true, false), n + 10L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.contains((0L, (n - 1).toLong)), s"$got")
+    assert(secs < 30.0, f"dense scan took $secs%.1f s — quadratic regression?")
+    // the enumerating scan shares advanceStates — same envelope, and the
+    // single greedy re-parse at the end must not change the bound
+    val t1 = System.nanoTime()
+    val all = PatternNfa.scanKeyAll(Iterator.tabulate(n) { i =>
+      (i.toLong, if (i == n - 1) 3 else 1)
+    }, 2, Array(true, false), n + 10L)
+    val secsAll = (System.nanoTime() - t1) / 1e9
+    assert(all == List((0L, (n - 1).toLong)), s"$all")
+    assert(secsAll < 30.0, f"dense scanKeyAll took $secsAll%.1f s")
+  }
+
+  test("per-match measures: greedy plus blocks, minimal last block, every match") {
+    def runMeas(steps: Seq[RunStep], rows: Seq[(Long, Long, String, Double)],
+        w: Long = 1000L): Map[Long, Seq[(Long, Long, String, Long, Long, Long)]] =
+      PatternNfa.contiguousNfaAllMeasures(
+          rows.toDF("k", "es", "ty", "v"), "k", "es", steps, w)
+        .as[(Long, Long, Long, String, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4, r._5, r._6, r._7))
+          .sortBy(x => (x._1, x._2)).toSeq).toMap
+    // OVERLAP + greedy: ab+ then b over a,a,b — the earliest thread wins
+    // and the plus block greedily spans both a's; the accept event is
+    // always its own single-event last block
+    val abp = Seq(
+      RunStep("ab", col("ty") === "a" || col("ty") === "b", plus = true),
+      RunStep("b", col("ty") === "b"))
+    val greedy = runMeas(abp, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0), (1L, 120L, "b", 0.0)))
+    assert(greedy == Map(1L -> Seq(
+      (1L, 1L, "ab", 100L, 110L, 2L),
+      (1L, 2L, "b", 120L, 120L, 1L))), s"$greedy")
+    // every match measured; skip-past-last-row between them
+    val ab = Seq(RunStep("a", col("ty") === "a", plus = true),
+      RunStep("b", col("ty") === "b"))
+    val multi = runMeas(ab, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0), (1L, 120L, "b", 0.0),
+      (1L, 200L, "a", 0.0), (1L, 210L, "b", 0.0)))
+    assert(multi == Map(1L -> Seq(
+      (1L, 1L, "a", 100L, 110L, 2L), (1L, 2L, "b", 120L, 120L, 1L),
+      (2L, 1L, "a", 200L, 200L, 1L), (2L, 2L, "b", 210L, 210L, 1L))),
+      s"$multi")
+    // plus LAST step still consumes exactly the accepting event
+    // (acceptance at the first completion — the trailing b is left for
+    // the next attempt, mirroring contiguousNfaAll)
+    val abLastPlus = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b", plus = true))
+    val minimal = runMeas(abLastPlus, Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "b", 0.0), (1L, 120L, "b", 0.0)))
+    assert(minimal == Map(1L -> Seq(
+      (1L, 1L, "a", 100L, 100L, 1L),
+      (1L, 2L, "b", 110L, 110L, 1L))), s"$minimal")
+    // window-busted earliest thread: the parse anchors at the reported
+    // (valid) start, not the busted one
+    val win = runMeas(abp, Seq(
+      (2L, 0L, "a", 0.0), (2L, 500L, "a", 0.0), (2L, 600L, "b", 0.0)),
+      w = 300L)
+    assert(win == Map(2L -> Seq(
+      (1L, 1L, "ab", 500L, 500L, 1L),
+      (1L, 2L, "b", 600L, 600L, 1L))), s"$win")
+    // agreement: m_start/m_end of each measured match == contiguousNfaAll
+    val rows = Seq(
+      (1L, 100L, "a", 0.0), (1L, 110L, "a", 0.0), (1L, 120L, "b", 0.0),
+      (1L, 200L, "a", 0.0), (1L, 210L, "b", 0.0))
+    val fromMeas = runMeas(ab, rows)(1L)
+      .groupBy(_._1).view.mapValues(bs =>
+        (bs.minBy(_._2)._4, bs.maxBy(_._2)._5)).toMap
+    val fromAll = PatternNfa.contiguousNfaAll(
+        rows.toDF("k", "es", "ty", "v"), "k", "es", ab, 1000L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(fromMeas == fromAll, s"meas $fromMeas vs all $fromAll")
+  }
+
   test("agrees with the RLE tier on disjoint step classes") {
     val steps = Seq(
       RunStep("a", col("ty") === "a", plus = true),

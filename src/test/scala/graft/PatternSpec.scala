@@ -262,6 +262,39 @@ class PatternSpec extends SparkTestBase {
     assert(first(3L) == 100L)
   }
 
+  test("contiguous: a pre-1970 (negative epoch) match start is reported") {
+    import graft.operators.Pattern.RunStep
+    val ab = Seq(RunStep("a", col("ty") === "a"),
+      RunStep("b", col("ty") === "b"))
+    // the no-match sentinel must live OUTSIDE the time domain: a match
+    // starting at a negative second — including exactly −1 — is a match
+    val got = Pattern.contiguousFirst(
+        Seq((1L, -100L, "a", 0.0), (1L, -90L, "b", 0.0),
+          (2L, -1L, "a", 0.0), (2L, 0L, "b", 0.0))
+          .toDF("k", "es", "ty", "v"),
+        "k", "es", ab, 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> -100L, 2L -> -1L), s"$got")
+  }
+
+  test("measures: single-step non-plus pattern consumes ONE event — the run's first") {
+    import graft.operators.Pattern.RunStep
+    def meas(rsteps: Seq[RunStep], rows: Seq[(Long, Long, String)]) =
+      Pattern.contiguousMeasures(
+          rows.map(r => (r._1, r._2, r._3, 0.0)).toDF("k", "es", "ty", "v"),
+          "k", "es", rsteps, 1000L)
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // m == 1 non-plus: the block is the single anchor event (the first
+    // run's FIRST — contiguousFirst's m == 1 anchor), not the whole run
+    val single = meas(Seq(RunStep("a", col("ty") === "a")), Seq(
+      (1L, 90L, "x"), (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "a")))
+    assert(single == Set((1L, 1L, "a", 100L, 100L, 1L)), s"$single")
+    // m == 1 PLUS still consumes the full first run
+    val plus = meas(Seq(RunStep("a", col("ty") === "a", plus = true)), Seq(
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "x"), (1L, 130L, "a")))
+    assert(plus == Set((1L, 1L, "a", 100L, 110L, 2L)), s"$plus")
+  }
+
   test("streaming twin agrees with the batch fold per window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // two day-windows; key 1 matches in w0, is guard-killed in w1;
