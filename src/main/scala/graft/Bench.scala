@@ -108,6 +108,13 @@ object Bench {
           catch { case _: Throwable => () }
           try session.streams.active.foreach(_.stop())
           catch { case _: Throwable => () }
+          // also interrupt the worker itself: cancelJobGroup only kills
+          // jobs ALREADY submitted — driver-side fixture code that
+          // swallows the cancellation (or submits follow-up jobs) would
+          // keep the abandoned daemon running Spark work that contends
+          // with every later measurement
+          try worker.interrupt()
+          catch { case _: Throwable => () }
           qCapS
         case _: Throwable => -1.0
       }
@@ -194,6 +201,7 @@ object Bench {
     var isolatedSamples = Map.empty[String, Seq[Double]]
     var drifterNames = Set.empty[String]
     var streamRuns = Seq.empty[StreamRun]
+    var streamEarly: Option[StreamRun] = None
     var truncated = List.empty[String]
     def emit(phase: String, printFull: Boolean): Unit = {
       val res = results
@@ -213,7 +221,10 @@ object Bench {
       val streamKeys = s""""stream_tps":$sTps,"stream_p50_ms":$sP50""" +
         s""","stream_p95_ms":$sP95,"stream_p99_ms":$sP99""" +
         s""","stream_tps_min":$sTpsMin,"stream_tps_max":$sTpsMax""" +
-        s""","stream_runs":${runs.size}"""
+        s""","stream_runs":${runs.size}""" +
+        s""","stream_early_tps":${streamEarly.map(_.tps).getOrElse(-1L)}""" +
+        s""","stream_early_p50_ms":${streamEarly.map(_.p50).getOrElse(-1L)}""" +
+        s""","stream_early_p99_ms":${streamEarly.map(_.p99).getOrElse(-1L)}"""
       val qs = res.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -275,6 +286,52 @@ object Bench {
       println(compact)
       System.out.flush()
     }
+
+    // ---- one stream replay (shared by the early probe and the trend) --
+    // Fresh RocksDB-backed child session per replay, changelog
+    // checkpointing on (the large-state production posture — commit
+    // uploads the per-batch delta, removing the periodic snapshot-upload
+    // spike that otherwise lands on one unlucky trigger and sets the
+    // tail). `warm = true` prepends a short UNTIMED replay so a replay
+    // taken before the interleave phases (JVM cold on the streaming
+    // path) is comparable to the post-interleave ones, which inherit
+    // ~260 queries' worth of JIT warmth.
+    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
+    // 3 replays when the budget allows (an odd count is a true median and
+    // the per-replay guard below skips the third on a slow host); the r17
+    // full runs ended with ~4 min of budget to spare at the default
+    // schedule, so the usual case affords it
+    val streamRunsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt
+    def oneStreamReplay(warm: Boolean): Option[StreamRun] =
+      try {
+        settle()
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+        val rows = StreamBench.loadRows(ss, sfDir)
+        if (warm)
+          StreamBench.tumblingReplay(ss, rows, math.max(2, streamLoops / 5))
+        val (n, sec, lat) = StreamBench.tumblingReplay(ss, rows, streamLoops)
+        Some(StreamRun((n / sec).toLong,
+          StreamBench.pctOf(lat, 0.50), StreamBench.pctOf(lat, 0.95),
+          StreamBench.pctOf(lat, 0.99)))
+      } catch { case _: Throwable => None }
+
+    // ---- EARLY stream probe -------------------------------------------
+    // One replay BEFORE any query runs (r18 verdict item 1): the trend
+    // replays at the END of the run declined monotonically while the
+    // batch side held flat, and the artifact could not separate
+    // end-of-run JVM/state pressure from host drift. This probe is the
+    // discriminator: measured on a fresh-but-warmed JVM under zero gate
+    // pressure, reported under its own key (NOT folded into the
+    // round-over-round stream_tps median, which stays end-positioned and
+    // comparable to r14–r18). early ≫ late ⇒ end-of-run pressure;
+    // early ≈ late ⇒ host-level drift.
+    if (sys.env.getOrElse("SPARK_GRAFT_STREAM_EARLY", "1") == "1")
+      streamEarly = oneStreamReplay(warm = true)
 
     // ---- interleaved passes -------------------------------------------
     // Iteration 0 is a DISCARDED warm-up pass: each query's first attempt on
@@ -400,12 +457,6 @@ object Bench {
     // runs plus min/max spread — the same de-noising discipline as the
     // batch side: with a spread in the artifact a future delta is
     // attributable in place (outside the band ⇒ real; inside ⇒ noise).
-    val streamLoops = sys.env.getOrElse("SPARK_GRAFT_STREAM_LOOPS", "25").toInt
-    // 3 replays when the budget allows (an odd count is a true median and
-    // the per-replay guard below skips the third on a slow host); the r17
-    // full runs ended with ~4 min of budget to spare at the default
-    // schedule, so the usual case affords it
-    val streamRunsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt
     for (i <- 1 to streamRunsN) {
       // a replay is ~90-120 s at sf0.1: skip remaining replays rather than
       // blow the window (one replay still yields a comparable median)
@@ -413,25 +464,10 @@ object Bench {
         if (!truncated.exists(_.startsWith("stream")))
           truncated ::= s"stream_stopped_before_run_$i"
       } else {
-        try {
-          settle()
-          val ss = spark.newSession()
-          ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-          // Changelog checkpointing: commit uploads the per-batch delta
-          // instead of a full RocksDB snapshot — the production posture for
-          // large state, and it removes the periodic snapshot-upload spike
-          // that otherwise lands on one unlucky trigger and sets the tail.
-          ss.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-            "true")
-          val rows = StreamBench.loadRows(ss, sfDir)
-          val (n, sec, lat) = StreamBench.tumblingReplay(ss, rows, streamLoops)
-          streamRuns = streamRuns :+ StreamRun((n / sec).toLong,
-            StreamBench.pctOf(lat, 0.50), StreamBench.pctOf(lat, 0.95),
-            StreamBench.pctOf(lat, 0.99))
+        oneStreamReplay(warm = false).foreach { r =>
+          streamRuns = streamRuns :+ r
           emit(s"stream_$i", printFull = false)
-        } catch { case _: Throwable => () }
+        }
       }
     }
 

@@ -2576,6 +2576,124 @@ object MvQueries {
       |   min_by(me, arn) AS m_end
       | FROM a2 GROUP BY 1""".stripMargin))
 
+  /** ALL-MATCHES enumeration with a PLUS-QUANTIFIED step sharing its
+    * predicate with the neighbor ([[graft.operators.PatternNfa
+    * .contiguousNfaAll]] on `lowvalue+ purchase`, where a low-value
+    * purchase satisfies BOTH steps) — the r18 verdict's item 2: the
+    * operator's plus path was spec-pinned but the enumeration oracle
+    * covered non-plus patterns only. The oracle composes the
+    * gaps-and-islands run table (bounded run-length state: every valid
+    * (thread start, acceptance) pair = an island member whose island
+    * reaches the purchase's predecessor, in-window) with the greedy
+    * non-overlapping fixed point as a RECURSIVE CTE: each pick's
+    * successor is the lexicographically least (acceptance, start-time,
+    * start-row) valid pair strictly after the pick's accepting row —
+    * exactly skip-past-last-row with earliest-window-valid-thread
+    * reporting, formulated independently of the NFA scan.
+    */
+  val qPatternNfaAllPlus = Fixture(
+    "q_pattern_nfa_all_plus",
+    (s, d) => {
+      import graft.operators.{Pattern, PatternNfa}
+      val steps = Seq(
+        Pattern.RunStep("lowvalue", col("value") < 70, plus = true),
+        Pattern.RunStep("purchase", col("event_type") === "purchase"))
+      PatternNfa.contiguousNfaAll(Tables.eventsWithEpoch(s, d), "user_id",
+        "es", steps, 43200L)
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     (CASE WHEN value < 70 THEN 1 ELSE 0 END
+      |      + CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END) AS mask
+      |   FROM events),
+      | o AS (SELECT u, t, mask,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, mask) AS rn
+      |   FROM ev),
+      | li AS (SELECT u, t, rn,
+      |     rn - row_number() OVER (PARTITION BY u ORDER BY rn) AS grp
+      |   FROM o WHERE mask & 1 = 1),
+      | valid AS (SELECT p.u, l.rn AS s, p.rn AS a, l.t AS ms, p.t AS me
+      |   FROM o p
+      |   JOIN li q ON q.u = p.u AND q.rn = p.rn - 1
+      |   JOIN li l ON l.u = p.u AND l.grp = q.grp AND l.rn < p.rn
+      |     AND l.t >= p.t - 43200
+      |   WHERE p.mask & 2 = 2),
+      | picks AS (
+      |   SELECT u, s, a, ms, me FROM valid v
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u
+      |       AND (w.a, w.ms, w.s) < (v.a, v.ms, v.s))
+      |   UNION
+      |   SELECT v.u, v.s, v.a, v.ms, v.me FROM picks p
+      |   JOIN valid v ON v.u = p.u AND v.s > p.a
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.s > p.a
+      |       AND (w.a, w.ms, w.s) < (v.a, v.ms, v.s)))
+      | SELECT u AS user_id,
+      |   row_number() OVER (PARTITION BY u ORDER BY a) AS match_no,
+      |   ms AS m_start, me AS m_end
+      | FROM picks""".stripMargin))
+
+  /** PER-MATCH MEASURES under enumeration ([[graft.operators.PatternNfa
+    * .contiguousNfaAllMeasures]]) — the r18 verdict's item 3: every
+    * match of `lowvalue+ purchase` reported as its per-step consumed
+    * blocks (the low run's first/last/count, then the accepting
+    * purchase as the always-single-event last block). For a 2-step
+    * pattern the slice partition is forced (block 1 = rows start..a−1,
+    * block 2 = the acceptance), so the oracle derives the blocks by
+    * ISLAND ARITHMETIC on the same recursive greedy picks as
+    * [[qPatternNfaAllPlus]] — b_end(step 1) is the island member at the
+    * purchase's predecessor row, b_len the row distance — fully
+    * independent of the operator's feasibility-table parse.
+    */
+  val qPatternNfaAllMeasures = Fixture(
+    "q_pattern_nfa_all_measures",
+    (s, d) => {
+      import graft.operators.{Pattern, PatternNfa}
+      val steps = Seq(
+        Pattern.RunStep("lowvalue", col("value") < 70, plus = true),
+        Pattern.RunStep("purchase", col("event_type") === "purchase"))
+      PatternNfa.contiguousNfaAllMeasures(Tables.eventsWithEpoch(s, d),
+        "user_id", "es", steps, 43200L)
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     (CASE WHEN value < 70 THEN 1 ELSE 0 END
+      |      + CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END) AS mask
+      |   FROM events),
+      | o AS (SELECT u, t, mask,
+      |     row_number() OVER (PARTITION BY u ORDER BY t, mask) AS rn
+      |   FROM ev),
+      | li AS (SELECT u, t, rn,
+      |     rn - row_number() OVER (PARTITION BY u ORDER BY rn) AS grp
+      |   FROM o WHERE mask & 1 = 1),
+      | valid AS (SELECT p.u, l.rn AS s, p.rn AS a, l.t AS ms, p.t AS me,
+      |     q.t AS qt
+      |   FROM o p
+      |   JOIN li q ON q.u = p.u AND q.rn = p.rn - 1
+      |   JOIN li l ON l.u = p.u AND l.grp = q.grp AND l.rn < p.rn
+      |     AND l.t >= p.t - 43200
+      |   WHERE p.mask & 2 = 2),
+      | picks AS (
+      |   SELECT u, s, a, ms, me, qt FROM valid v
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u
+      |       AND (w.a, w.ms, w.s) < (v.a, v.ms, v.s))
+      |   UNION
+      |   SELECT v.u, v.s, v.a, v.ms, v.me, v.qt FROM picks p
+      |   JOIN valid v ON v.u = p.u AND v.s > p.a
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.s > p.a
+      |       AND (w.a, w.ms, w.s) < (v.a, v.ms, v.s))),
+      | nd AS (SELECT u, s, a, ms, me, qt,
+      |     row_number() OVER (PARTITION BY u ORDER BY a) AS match_no
+      |   FROM picks)
+      | SELECT u AS user_id, match_no, 1::BIGINT AS step,
+      |   'lowvalue' AS step_name, ms AS b_start, qt AS b_end,
+      |   a - s AS b_len FROM nd
+      | UNION ALL SELECT u, match_no, 2::BIGINT, 'purchase', me, me,
+      |   1::BIGINT FROM nd""".stripMargin))
+
   /** Streaming twin of [[qPatternNfaOverlap]]
     * ([[graft.streaming.StreamingPatternNfa.firstMatch]]): per-DAY
     * contiguous NFA matching computed live — every event (breakers
@@ -2627,8 +2745,10 @@ object MvQueries {
             }
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // native-typed keys: `u` comes back as the long it went in as —
+      // no cast-back (r18 seam #3 closed)
       s.table(sink)
-        .select(col("ws"), col("u").cast("long").as("user_id"),
+        .select(col("ws"), col("u").as("user_id"),
           col("m_start"), col("m_end"))
     },
     Some("""WITH ev AS (

@@ -75,6 +75,7 @@ object PipelineQueries {
     qPatternMatch, qStreamPatternMatch, qPatternContiguous,
     qPatternContiguousBounds, qPatternNfaOverlap, qPatternNfaPlus,
     qStreamPatternNfa, qPatternMeasures, qPatternNfaAll,
+    qPatternNfaAllPlus, qPatternNfaAllMeasures,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

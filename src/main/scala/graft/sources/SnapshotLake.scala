@@ -348,8 +348,8 @@ object SnapshotLake {
     ()
   }
 
-  /** Catalog entries [[bucketedLayers]] created per root, in REGISTRATION
-    * ORDER — dropped at compaction ([[compactMor]]), which obsoletes
+  /** Catalog entries [[bucketedLayers]] created per root, in LAST-RESOLVE
+    * (LRU) order — dropped at compaction ([[compactMor]]), which obsoletes
     * every pre-compaction layer range, and bounded BETWEEN compactions by
     * [[morTableCap]]: a long-lived CDC root that never compacts but
     * resolves at many versions would otherwise leak one table entry per
@@ -360,12 +360,31 @@ object SnapshotLake {
   private val morTables = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
-  /** Most-recent resolve-table entries kept per (root, layer kind) — a
+  /** Most-recently-RESOLVED entries kept per (root, layer kind) — a
     * small window so an alternating re-resolve pattern (bench loops, IVM
     * recompute arms flipping between two versions) stays cached while the
     * catalog stays O(1) per root over an unbounded version line.
+    * Session-configurable (`spark.graft.morTableCap`, default 4): a
+    * workload that round-robins over more historical versions than the
+    * default raises the cap instead of thrashing DDL. Eviction is LRU by
+    * last resolve, not registration order — a steadily re-read range
+    * stays registered no matter how many one-shot time travels pass by.
+    *
+    * CAVEAT (execution-time coupling): an evicted entry's TABLE is
+    * dropped, so a DataFrame returned by an earlier resolve that has not
+    * executed yet fails at execution if more than cap DISTINCT (root,
+    * layer kind, range) resolves intervene. Execute (or persist) a
+    * resolved DataFrame promptly, or raise the cap to the number of
+    * version handles held open concurrently.
     */
-  private val morTableCap = 4
+  private def morTableCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.morTableCap").map(_.toInt).getOrElse(4)
+
+  /** Resolve-table CREATE count — the DDL-churn observable the bounding
+    * spec pins (a cache hit must not re-run DDL; an eviction's re-create
+    * must).
+    */
+  private[graft] val morDdlCreates = new java.util.concurrent.atomic.AtomicLong
 
   /** This root's resolve-table catalog entries (oldest first) — the
     * surface the bounding spec pins.
@@ -583,6 +602,8 @@ object SnapshotLake {
     val name = s"graft_mor_${rootTag}_${sub}_" +
       s"${dirs.head._1}_${dirs.last._1}_${dirs.size}"
     lockFor(root).synchronized {
+      val q = morTables.computeIfAbsent(rootKey,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
       if (!spark.catalog.tableExists(name)) {
         // the table's own (empty) location must exist BEFORE the DDL:
         // relation resolution stats it (FileStreamSink.hasMetadata)
@@ -599,19 +620,19 @@ object SnapshotLake {
         for ((i, dir) <- dirs)
           spark.sql(s"ALTER TABLE `$name` ADD PARTITION (`$partCol`=$i) " +
             s"LOCATION '$dir'")
-        val q = morTables.computeIfAbsent(rootKey,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-        q.add(name)
-        // bound the catalog over an unbounded version line: keep only the
-        // newest morTableCap entries per (root, layer kind) — evicted
-        // ranges are recreated on demand if time travel revisits them
-        val subPrefix = s"graft_mor_${rootTag}_${sub}_"
-        val sameSub = q.iterator().asScala.filter(_.startsWith(subPrefix))
-          .toSeq
-        for (old <- sameSub.dropRight(morTableCap)) {
-          spark.sql(s"DROP TABLE IF EXISTS `$old`")
-          q.remove(old)
-        }
+        morDdlCreates.incrementAndGet()
+      } else q.remove(name)
+      // LRU by last resolve: the queue holds recency order (cache hits
+      // re-append), so dropping from the head evicts the least-recently-
+      // resolved ranges once the per-(root, layer kind) cap is exceeded;
+      // evicted ranges are recreated on demand if time travel revisits
+      q.add(name)
+      val subPrefix = s"graft_mor_${rootTag}_${sub}_"
+      val sameSub = q.iterator().asScala.filter(_.startsWith(subPrefix))
+        .toSeq
+      for (old <- sameSub.dropRight(morTableCap(spark))) {
+        spark.sql(s"DROP TABLE IF EXISTS `$old`")
+        q.remove(old)
       }
     }
     spark.table(name)

@@ -50,10 +50,10 @@ object StreamingFunnel {
       .where(col("depth") >= 1)
   }
 
-  case class StepIn(ws: Long, u: String, t: Long, s: Int,
+  case class StepIn[K](ws: Long, u: K, t: Long, s: Int,
       ts: java.sql.Timestamp)
   case class FunnelState(seq: Long, ts: Seq[Long], ss: Seq[Int])
-  case class LiveOut(ws: Long, u: String, seq: Long, depth: Int,
+  case class LiveOut[K](ws: Long, u: K, seq: Long, depth: Int,
       fin: Boolean)
 
   /** The per-(window, user) live fold: state is the user's sorted step
@@ -72,8 +72,8 @@ object StreamingFunnel {
     * with a second query or a wall-clock TTL that could fire mid-window
     * on a lagging stream.
     */
-  private class LiveProc(n: Int, windowSec: Long)
-      extends StatefulProcessor[(Long, String), StepIn, LiveOut] {
+  private class LiveProc[K](n: Int, windowSec: Long)
+      extends StatefulProcessor[(Long, K), StepIn[K], LiveOut[K]] {
     @transient private var st: ValueState[FunnelState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState](
@@ -89,8 +89,8 @@ object StreamingFunnel {
       }
       d
     }
-    override def handleInputRows(key: (Long, String), rows: Iterator[StepIn],
-        tv: TimerValues): Iterator[LiveOut] = {
+    override def handleInputRows(key: (Long, K), rows: Iterator[StepIn[K]],
+        tv: TimerValues): Iterator[LiveOut[K]] = {
       val prev = if (st.exists()) st.get() else FunnelState(0L, Nil, Nil)
       val evs = (prev.ts.zip(prev.ss) ++ rows.map(r => (r.t, r.s))).sorted
       val d = depthOf(evs)
@@ -104,8 +104,8 @@ object StreamingFunnel {
         fin = false))
       else Iterator.empty
     }
-    override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[LiveOut] = {
+    override def handleExpiredTimer(key: (Long, K), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[LiveOut[K]] = {
       val out = if (st.exists()) {
         val prev = st.get()
         val d = depthOf(prev.ts.zip(prev.ss))
@@ -141,10 +141,36 @@ object StreamingFunnel {
       typeCol: String, steps: Seq[String], windowSec: Long,
       watermark: String = "0 seconds"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // native key typing (the r18 verdict's seam #3): `u` keeps the user
+    // column's own type for long/int/string keys; anything else casts to
+    // string (documented fallback). Null keys unsupported for primitive
+    // key types — filter upstream.
+    events.schema(userCol).dataType match {
+      case LongType => liveImpl[Long](events, tsCol, col(userCol),
+        typeCol, steps, windowSec, watermark)
+      case IntegerType => liveImpl[Int](events, tsCol, col(userCol),
+        typeCol, steps, windowSec, watermark)
+      case StringType => liveImpl[String](events, tsCol, col(userCol),
+        typeCol, steps, windowSec, watermark)
+      case _ => liveImpl[String](events, tsCol,
+        col(userCol).cast("string"), typeCol, steps, windowSec, watermark)
+    }
+  }
+
+  private def liveImpl[K: scala.reflect.runtime.universe.TypeTag](
+      events: DataFrame, tsCol: String,
+      userExpr: org.apache.spark.sql.Column, typeCol: String,
+      steps: Seq[String], windowSec: Long,
+      watermark: String): DataFrame = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[StepIn[K]] =
+      Encoders.product[StepIn[K]]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(Long, K)] =
+      Encoders.product[(Long, K)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[LiveOut[K]] =
+      Encoders.product[LiveOut[K]]
     events
-      .select(col(tsCol).as("__ts"), col(userCol).cast("string").as("u"),
+      .select(col(tsCol).as("__ts"), userExpr.as("u"),
         Funnel.stepIndex(col(typeCol), steps).as("s"))
       .where(col("s") >= 0)
       .withWatermark("__ts", watermark)
@@ -152,9 +178,9 @@ object StreamingFunnel {
       .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
       .select(col("ws"), col("u"), col("t"), col("s").cast("int").as("s"),
         col("__ts").as("ts"))
-      .as[StepIn]
+      .as[StepIn[K]]
       .groupByKey(r => (r.ws, r.u))
-      .transformWithState(new LiveProc(steps.length, windowSec),
+      .transformWithState(new LiveProc[K](steps.length, windowSec),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 import graft.operators.PatternNfa
 import graft.operators.Pattern.RunStep
@@ -23,28 +26,36 @@ import graft.operators.Pattern.RunStep
   * agree event-for-event; the match (if any) emits exactly once and the
   * key's state is cleared. State per (window, key) = the window's
   * events, the sessionizer envelope, self-evicted by the timer.
+  *
+  * Keys are NATIVE-typed (the r18 verdict's seam #3): `groupByKey` runs
+  * on the input column's own type for long/int/string keys — the output
+  * `u` column keeps that type, no cast and no fixture cast-back. Any
+  * other key type falls back to a string cast (documented, not silent:
+  * the output column is then a string). Null keys are not supported for
+  * primitive key types (the encoder would read null as 0) — filter them
+  * upstream.
   */
 object StreamingPatternNfa {
 
-  case class EvIn(ws: Long, u: String, t: Long, mask: Int,
+  case class EvIn[K](ws: Long, u: K, t: Long, mask: Int,
       ts: java.sql.Timestamp)
-  case class NfaOut(ws: Long, u: String, m_start: Long, m_end: Long)
+  case class NfaOut[K](ws: Long, u: K, m_start: Long, m_end: Long)
 
-  private class Proc(m: Int, plus: Array[Boolean], windowSec: Long)
-      extends StatefulProcessor[(Long, String), EvIn, NfaOut] {
+  private class Proc[K](m: Int, plus: Array[Boolean], windowSec: Long)
+      extends StatefulProcessor[(Long, K), EvIn[K], NfaOut[K]] {
     @transient private var st: ListState[(Long, Int)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getListState[(Long, Int)]("evs",
         Encoders.product[(Long, Int)], TTLConfig.NONE)
-    override def handleInputRows(key: (Long, String), rows: Iterator[EvIn],
-        tv: TimerValues): Iterator[NfaOut] = {
+    override def handleInputRows(key: (Long, K), rows: Iterator[EvIn[K]],
+        tv: TimerValues): Iterator[NfaOut[K]] = {
       st.appendList(rows.map(r => (r.t, r.mask)).toArray)
       val exp = (key._1 + windowSec) * 1000L
       if (!getHandle.listTimers().contains(exp)) getHandle.registerTimer(exp)
       Iterator.empty
     }
-    override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[NfaOut] = {
+    override def handleExpiredTimer(key: (Long, K), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[NfaOut[K]] = {
       val evs = st.get().toArray.sorted
       st.clear()
       PatternNfa.scanKey(evs.iterator, m, plus, windowSec) match {
@@ -54,26 +65,45 @@ object StreamingPatternNfa {
     }
   }
 
-  /** Append-mode (ws, key, m_start, m_end) per closed tumbling window,
-    * one row per key whose window contains a match.
-    */
-  def firstMatch(events: DataFrame, tsCol: String, keyCol: String,
-      steps: Seq[RunStep], windowSec: Long,
-      watermark: String = "0 seconds"): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  private def impl[K: TypeTag](events: DataFrame, tsCol: String,
+      keyExpr: org.apache.spark.sql.Column, steps: Seq[RunStep],
+      windowSec: Long, watermark: String): DataFrame = {
+    implicit val evEnc: Encoder[EvIn[K]] = Encoders.product[EvIn[K]]
+    implicit val keyEnc: Encoder[(Long, K)] = Encoders.product[(Long, K)]
+    implicit val outEnc: Encoder[NfaOut[K]] = Encoders.product[NfaOut[K]]
     events
-      .select(col(tsCol).as("__ts"), col(keyCol).cast("string").as("u"),
+      .select(col(tsCol).as("__ts"), keyExpr.as("u"),
         PatternNfa.maskCol(steps).as("mask"))
       .withWatermark("__ts", watermark)
       .withColumn("t", expr("unix_micros(__ts) div 1000000"))
       .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
-      .select(col("ws"), col("u"), col("t"), col("mask").cast("int").as("mask"),
-        col("__ts").as("ts"))
-      .as[EvIn]
+      .select(col("ws"), col("u"), col("t"),
+        col("mask").cast("int").as("mask"), col("__ts").as("ts"))
+      .as[EvIn[K]]
       .groupByKey(r => (r.ws, r.u))
-      .transformWithState(new Proc(steps.length, steps.map(_.plus).toArray,
-        windowSec), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new Proc[K](steps.length,
+        steps.map(_.plus).toArray, windowSec),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
+
+  /** Append-mode (ws, u, m_start, m_end) per closed tumbling window,
+    * one row per key whose window contains a match; `u` keeps the key
+    * column's native type (long/int/string; anything else casts to
+    * string).
+    */
+  def firstMatch(events: DataFrame, tsCol: String, keyCol: String,
+      steps: Seq[RunStep], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame =
+    events.schema(keyCol).dataType match {
+      case LongType =>
+        impl[Long](events, tsCol, col(keyCol), steps, windowSec, watermark)
+      case IntegerType =>
+        impl[Int](events, tsCol, col(keyCol), steps, windowSec, watermark)
+      case StringType =>
+        impl[String](events, tsCol, col(keyCol), steps, windowSec, watermark)
+      case _ =>
+        impl[String](events, tsCol, col(keyCol).cast("string"), steps,
+          windowSec, watermark)
+    }
 }

@@ -223,6 +223,52 @@ class MorSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "v0")).toDF("k", "s"))
   }
 
+  test("morTableCap: session conf raises the window; eviction is LRU by last resolve") {
+    val root = freshDir("mor_lru")
+    SnapshotLake.commitMorBase(
+      Seq((1L, "a")).toDF("k", "s"), root, 0L, buckets = 4, key = "k")
+    for (b <- 0L until 6L)
+      SnapshotLake.commitNextMor(
+        Seq((b + 2L, s"v$b")).toDF("k", "s"),
+        Seq(b + 100L).toDF("k"), root, "w", b)
+    def creates = SnapshotLake.morDdlCreates.get()
+    val saved = spark.conf.getOption("spark.graft.morTableCap")
+    try {
+      // cap ≥ working set: round-robin over 6 historical versions pays
+      // DDL once per range — two more full passes add ZERO creates
+      // (the default cap of 4 would thrash: each resolve evicts a range
+      // the round-robin is about to need again)
+      spark.conf.set("spark.graft.morTableCap", "12")
+      for (v <- 1L to 6L)
+        SnapshotLake.readMorVersion(spark, root, v, "k").count()
+      val afterFirst = creates
+      for (_ <- 1 to 2; v <- 1L to 6L)
+        SnapshotLake.readMorVersion(spark, root, v, "k").count()
+      assert(creates == afterFirst,
+        s"round-robin re-resolves under a big-enough cap must be DDL-free")
+      // LRU, not registration order: at cap 2, a re-resolved v5 survives
+      // a v4 resolve's eviction (registration order would drop v5 as
+      // oldest-registered and the final probe would re-create it)
+      spark.conf.set("spark.graft.morTableCap", "2")
+      SnapshotLake.readMorVersion(spark, root, 5L, "k").count()
+      SnapshotLake.readMorVersion(spark, root, 6L, "k").count()
+      SnapshotLake.readMorVersion(spark, root, 5L, "k").count()
+      val beforeV4 = creates
+      SnapshotLake.readMorVersion(spark, root, 4L, "k").count()
+      assert(creates > beforeV4, "v4's range was evicted and must re-create")
+      val beforeProbe = creates
+      SnapshotLake.readMorVersion(spark, root, 5L, "k").count()
+      assert(creates == beforeProbe,
+        "v5 was the most-recently-resolved range and must survive (LRU)")
+      // correctness unchanged through the churn
+      assertSameRows(SnapshotLake.readMorVersion(spark, root, 1L, "k"),
+        Seq((1L, "a"), (2L, "v0")).toDF("k", "s"))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.morTableCap", v)
+      case None => spark.conf.unset("spark.graft.morTableCap")
+    }
+  }
+
   test("streaming MoR CDC: latest-wins in-batch compaction; bad ops refused") {
     import graft.streaming.StreamingUpsert
     val root = freshDir("mor_s")

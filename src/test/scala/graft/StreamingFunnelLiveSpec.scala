@@ -51,9 +51,10 @@ class StreamingFunnelLiveSpec extends SparkTestBase {
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       } finally q.stop()
     }
+    // native-typed keys: the long user_id comes back as a long `u`
     val rows = spark.table(sink)
       .select("ws", "u", "seq", "depth", "fin")
-      .as[(Long, String, Long, Int, Boolean)].collect()
+      .as[(Long, Long, Long, Int, Boolean)].collect()
 
     // per (ws, u): depths monotone non-decreasing in seq, fin last
     rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
@@ -65,7 +66,7 @@ class StreamingFunnelLiveSpec extends SparkTestBase {
         s"$k: only the terminal row may be fin")
     }
     // user 1's window-0 progression is visible trigger by trigger
-    val u1 = rows.filter(r => r._1 == 0L && r._2 == "1" && !r._5)
+    val u1 = rows.filter(r => r._1 == 0L && r._2 == 1L && !r._5)
       .sortBy(_._3).map(_._4).toSeq
     assert(u1 == Seq(1, 2, 3), s"expected live 1→2→3, got $u1")
 
@@ -77,7 +78,7 @@ class StreamingFunnelLiveSpec extends SparkTestBase {
           "user_id", "es", "event_type", steps, w)
         .select("user_id", "depth").as[(Long, Int)].collect()
         .filter(_._2 >= 1)
-        .map { case (u, d) => (ws, u.toString) -> d }.toMap
+        .map { case (u, d) => (ws, u) -> d }.toMap
 
     // FINAL rows exist exactly for the CLOSED windows (0 and 1 — the
     // watermark never passes window 2's end) and carry the closed depth

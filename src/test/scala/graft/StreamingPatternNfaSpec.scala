@@ -47,9 +47,10 @@ class StreamingPatternNfaSpec extends SparkTestBase {
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       } finally q.stop()
     }
+    // native-typed keys: the long key comes back as a long `u`
     val got = spark.table(sink)
       .select("ws", "u", "m_start", "m_end")
-      .as[(Long, String, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     // batch truth per closed window
     val all = rows.toDF("k", "es", "ty").withColumn("ws",
       expr(s"(es div $w) * $w"))
@@ -57,10 +58,10 @@ class StreamingPatternNfaSpec extends SparkTestBase {
       PatternNfa.contiguousNfa(all.where(col("ws") === ws), "k", "es",
           steps, w)
         .as[(Long, Long, Long)].collect()
-        .map(r => (ws, r._1.toString, r._2, r._3))
+        .map(r => (ws, r._1, r._2, r._3))
     }.toSet
     assert(got == expected, s"stream $got vs batch $expected")
-    assert(got == Set((0L, "1", 100L, 110L), (w, "1", w + 50L, w + 60L)),
+    assert(got == Set((0L, 1L, 100L, 110L), (w, 1L, w + 50L, w + 60L)),
       s"$got")
     // closed-window state evicted: only window 2's single key remains
     // (its event list + its pending timer)
