@@ -189,7 +189,7 @@ object PatternNfa {
     * scan buffers the window's events (the same envelope the thread
     * sets already occupy), and on acceptance re-parses just the match's
     * slice with an O(steps × slice) feasibility table + greedy walk —
-    * so the per-event hot path stays [[advanceStates]]'s transfer cost
+    * so the per-event hot path stays [[NfaState.advance]]'s transfer cost
     * and unmatched data pays nothing.
     *
     * Returns (key, match_no 1-based in time order, step 1-based,
@@ -262,7 +262,7 @@ object PatternNfa {
   private[graft] def scanKeyAllMeasures(events: Iterator[(Long, Int)],
       m: Int, plus: Array[Boolean],
       windowSec: Long): List[Array[(Long, Long, Int)]] = {
-    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    val st = new NfaState(m, plus)
     val buf = new scala.collection.mutable.ArrayDeque[(Long, Int)]()
     val out = scala.collection.mutable.ListBuffer
       .empty[Array[(Long, Long, Int)]]
@@ -273,22 +273,19 @@ object PatternNfa {
       while (buf.nonEmpty && buf.head._1 < t - windowSec) {
         buf.removeHead(); ()
       }
-      advanceStates(states, t, b, m, plus)
-      val acc = states(m)
+      st.advance(t, b)
+      val acc = st.acc
       if (!acc.isEmpty) {
         val minValid = acc.ceiling(t - windowSec)
         if (minValid != null) {
           val slice = buf.iterator.dropWhile(_._1 < minValid.longValue)
             .toArray
           out += parseBlocks(slice, m, plus, minValid.longValue)
-          var k = 1
-          while (k <= m) {
-            states(k) = new java.util.TreeSet[java.lang.Long](); k += 1
-          }
+          st.resetAll()
           buf.clear()
-        } else acc.clear()
+        } else st.bustAcc()
       }
-      pruneStates(states, t - windowSec, m)
+      st.prune(t - windowSec)
     }
     out.toList
   }
@@ -335,9 +332,9 @@ object PatternNfa {
     out
   }
 
-  /** One NFA transition — the shared per-event state update. Iterates
-    * slots m → 1 (slot j reads the not-yet-updated slot j−1) with the
-    * cheapest legal set plumbing per branch:
+  /** The NFA's thread-set state plus the transition logic. [[advance]]
+    * iterates slots m → 1 (slot j reads the not-yet-updated slot j−1)
+    * with the cheapest legal set plumbing per branch:
     *
     *  - unsatisfied step → the slot gets a FRESH empty set (never
     *    `clear()`: the old object may have just been moved up);
@@ -355,41 +352,103 @@ object PatternNfa {
     * addAll per slot — O(live threads) per event, quadratic on a dense
     * key) collapses to O(1) per event plus the genuinely transferred
     * starts.
+    *
+    * SLOT-2 DELTA MERGE — the `A+ B …` dense-dense case: when both step
+    * 1 (plus) and step 2 (plus) are satisfied by nearly every event,
+    * slot 2's in-place merge re-reads ALL of slot 1 per event even
+    * though almost all of it transferred already. Slot 1 is special:
+    * between replacements it only GAINS at the top (its own `add(t)`,
+    * t monotone) and only LOSES at the bottom (window pruning), so the
+    * yet-untransferred part is exactly `tailSet(lastMax)`. Each slot
+    * carries a GENERATION (bumped on replacement or wholesale reset,
+    * NOT on top-adds or bottom-prunes); while both slot generations are
+    * unchanged since the last merge, only the delta transfers — O(new
+    * starts) per event. Soundness of ignoring prunes: a pruned element
+    * ≤ lastMax was already transferred; a pruned element > lastMax is
+    * below the horizon on BOTH sides (the prune uses one shared
+    * horizon), so the full merge would not have moved anything the
+    * delta skips. Sources other than slot 1 gain in the middle (their
+    * own inflows arrive with older start times), so the delta shortcut
+    * applies to slot 2 only — the residual O(live) transfer for `A+ B+
+    * C`-style chains at j ≥ 3 remains, window-bounded.
     */
-  private def advanceStates(states: Array[java.util.TreeSet[java.lang.Long]],
-      t: Long, b: Int, m: Int, plus: Array[Boolean]): Unit = {
-    var j = m
-    while (j >= 1) {
-      val sat = ((b >> (j - 1)) & 1) == 1
-      if (!sat) {
-        states(j) = new java.util.TreeSet[java.lang.Long]()
-      } else if (plus(j - 1)) {
-        if (j == 1) states(1).add(t)
-        else if (!states(j - 1).isEmpty) states(j).addAll(states(j - 1))
-      } else {
-        if (j == 1) {
-          val ns = new java.util.TreeSet[java.lang.Long](); ns.add(t)
-          states(1) = ns
-        } else if (plus(j - 2)) {
-          val ns = new java.util.TreeSet[java.lang.Long]()
-          ns.addAll(states(j - 1))
-          states(j) = ns
-        } else states(j) = states(j - 1)
-      }
-      j -= 1
-    }
-  }
+  private[graft] final class NfaState(m: Int, plus: Array[Boolean]) {
+    val states: Array[java.util.TreeSet[java.lang.Long]] =
+      Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    private val gen = new Array[Long](m + 1)
+    private var lastSrcGen = -1L
+    private var lastDstGen = -2L
+    private var lastMax = Long.MinValue
 
-  /** Drop window-dead starts from the intermediate states (slot m is
-    * handled by the acceptance logic). The horizon only grows, so each
-    * start leaves its set at most once.
-    */
-  private def pruneStates(states: Array[java.util.TreeSet[java.lang.Long]],
-      horizon: Long, m: Int): Unit = {
-    var k = 1
-    while (k < m) {
-      states(k).headSet(java.lang.Long.valueOf(horizon), false).clear()
-      k += 1
+    private def replace(j: Int): Unit = {
+      states(j) = new java.util.TreeSet[java.lang.Long]()
+      gen(j) += 1
+    }
+
+    /** The acceptance set (slot m). */
+    def acc: java.util.TreeSet[java.lang.Long] = states(m)
+
+    /** Skip past last row: every thread dies. */
+    def resetAll(): Unit = {
+      var k = 1
+      while (k <= m) { replace(k); k += 1 }
+    }
+
+    /** Window-busted completions die; earlier slots keep their threads
+      * (completed threads never improve — extending the last block only
+      * widens the span).
+      */
+    def bustAcc(): Unit = replace(m)
+
+    def advance(t: Long, b: Int): Unit = {
+      var j = m
+      while (j >= 1) {
+        val sat = ((b >> (j - 1)) & 1) == 1
+        if (!sat) replace(j)
+        else if (plus(j - 1)) {
+          if (j == 1) { states(1).add(t); () }
+          else if (!states(j - 1).isEmpty) {
+            if (j == 2 && lastSrcGen == gen(1) && lastDstGen == gen(2)) {
+              val d = states(1)
+                .tailSet(java.lang.Long.valueOf(lastMax), false)
+              if (!d.isEmpty) states(2).addAll(d)
+              lastMax = states(1).last.longValue
+            } else {
+              states(j).addAll(states(j - 1))
+              if (j == 2) {
+                lastSrcGen = gen(1); lastDstGen = gen(2)
+                lastMax = states(1).last.longValue
+              }
+            }
+          }
+        } else {
+          if (j == 1) { replace(1); states(1).add(t); () }
+          else if (plus(j - 2)) {
+            val ns = new java.util.TreeSet[java.lang.Long]()
+            ns.addAll(states(j - 1))
+            states(j) = ns
+            gen(j) += 1
+          } else {
+            states(j) = states(j - 1)
+            gen(j) += 1
+          }
+        }
+        j -= 1
+      }
+    }
+
+    /** Drop window-dead starts from the intermediate states (slot m is
+      * handled by the acceptance logic). The horizon only grows, so
+      * each start leaves its set at most once; bottom-only removal
+      * deliberately does NOT bump generations (see the delta-merge
+      * soundness note above).
+      */
+    def prune(horizon: Long): Unit = {
+      var k = 1
+      while (k < m) {
+        states(k).headSet(java.lang.Long.valueOf(horizon), false).clear()
+        k += 1
+      }
     }
   }
 
@@ -400,21 +459,20 @@ object PatternNfa {
     */
   private[graft] def scanKeyAll(events: Iterator[(Long, Int)], m: Int,
       plus: Array[Boolean], windowSec: Long): List[(Long, Long)] = {
-    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    val st = new NfaState(m, plus)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     while (events.hasNext) {
       val (t, b) = events.next()
-      advanceStates(states, t, b, m, plus)
-      val acc = states(m)
+      st.advance(t, b)
+      val acc = st.acc
       if (!acc.isEmpty) {
         val minValid = acc.ceiling(t - windowSec)
         if (minValid != null) {
           out += ((minValid.longValue, t))
-          var k = 1
-          while (k <= m) { states(k) = new java.util.TreeSet[java.lang.Long](); k += 1 }
-        } else acc.clear()
+          st.resetAll()
+        } else st.bustAcc()
       }
-      pruneStates(states, t - windowSec, m)
+      st.prune(t - windowSec)
     }
     out.toList
   }
@@ -435,7 +493,7 @@ object PatternNfa {
     * sound in general. Counterexample (`A+ B+`): events e1 sat A only,
     * e2 sat B only, e3 sat A and B, e4 sat B — at e4 the viable starts
     * are {e1, e3} but NOT e2 (e2 cannot head an A-run), a hole in the
-    * middle. Hence the move/in-place plumbing in [[advanceStates]]
+    * middle. Hence the move/in-place plumbing in [[NfaState.advance]]
     * rather than (min, max, count) summaries.
     *
     * @param events time-ordered (t, mask) — consumed lazily, stops at
@@ -444,20 +502,18 @@ object PatternNfa {
     */
   private[graft] def scanKey(events: Iterator[(Long, Int)], m: Int,
       plus: Array[Boolean], windowSec: Long): Option[(Long, Long)] = {
-    val states = Array.fill(m + 1)(new java.util.TreeSet[java.lang.Long]())
+    val st = new NfaState(m, plus)
     while (events.hasNext) {
       val (t, b) = events.next()
-      advanceStates(states, t, b, m, plus)
-      val acc = states(m)
+      st.advance(t, b)
+      val acc = st.acc
       if (!acc.isEmpty) {
         val minValid = acc.ceiling(t - windowSec)
         if (minValid != null) return Some((minValid.longValue, t))
-        // completed threads never improve: extending the last block
-        // only widens the span
-        acc.clear()
+        st.bustAcc()
       }
       // window horizon only grows — starts below it are dead
-      pruneStates(states, t - windowSec, m)
+      st.prune(t - windowSec)
     }
     None
   }

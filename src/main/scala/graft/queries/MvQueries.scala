@@ -2634,6 +2634,88 @@ object MvQueries {
       |   ms AS m_start, me AS m_end
       | FROM picks""".stripMargin))
 
+  /** Streaming ALL-MATCHES enumeration
+    * ([[graft.streaming.StreamingPatternNfa.allMatches]]): per-DAY
+    * non-overlapping "two consecutive purchases" matches computed live —
+    * every event (breakers included) flows into (window, key) ListState,
+    * the window-close timer runs the SHARED [[graft.operators.PatternNfa
+    * .scanKeyAll]] enumerator, matches emit numbered in time order, and
+    * the key's state evicts. The two steps share one predicate (per-event
+    * classification impossible — the NFA overlap tier), and the oracle is
+    * the same recursive greedy fixed point as [[qPatternNfaAll]]
+    * partitioned per day bucket, with the stream's window-close
+    * condition.
+    */
+  val qStreamPatternNfaAll = Fixture(
+    "q_stream_pattern_nfa_all",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.Pattern
+      val steps = Seq(
+        Pattern.RunStep("p1", col("event_type") === "purchase"),
+        Pattern.RunStep("p2", col("event_type") === "purchase"))
+      val rows = Tables.events(s, d)
+        .select(unix_micros(col("ts")), col("user_id").cast("long"),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val stream = ms.toDF().toDF("tsu", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sink = s"pattern_nfa_all_${System.nanoTime}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.withRocksDb(s) {
+        val q = graft.streaming.StreamingPatternNfa.allMatches(stream,
+            "ts", "user_id", steps, 86400L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          // split at a STRICT time increase (transformWithState drops
+          // input at-or-below the watermark)
+          var cut = rows.length / 2
+          while (cut < rows.length && rows(cut)._1 == rows(cut - 1)._1)
+            cut += 1
+          Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty)
+            .foreach { chunk =>
+              ms.addData(chunk.toSeq); q.processAllAvailable()
+            }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+        .select(col("ws"), col("u").as("user_id"), col("match_no"),
+          col("m_start"), col("m_end"))
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |   SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t,
+      |     epoch_us(ts::TIMESTAMP) AS eu,
+      |     CASE WHEN event_type = 'purchase' THEN 3 ELSE 0 END AS mask
+      |   FROM events),
+      | mx AS (SELECT max(eu) AS mx FROM ev),
+      | o AS (SELECT u, (t // 86400) * 86400 AS ws, t, mask,
+      |     row_number() OVER (PARTITION BY u, t // 86400 ORDER BY t, mask)
+      |       AS rn
+      |   FROM ev),
+      | valid AS (SELECT a.u, a.ws, a.rn AS s, a.t AS ms, b.t AS me
+      |   FROM o a JOIN o b ON b.u = a.u AND b.ws = a.ws AND b.rn = a.rn + 1
+      |   WHERE a.mask = 3 AND b.mask = 3),
+      | picks AS (
+      |   SELECT u, ws, s, ms, me FROM valid v
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.ws = v.ws AND w.s < v.s)
+      |   UNION
+      |   SELECT v.u, v.ws, v.s, v.ms, v.me FROM picks p
+      |   JOIN valid v ON v.u = p.u AND v.ws = p.ws AND v.s >= p.s + 2
+      |   WHERE NOT EXISTS (SELECT 1 FROM valid w
+      |     WHERE w.u = v.u AND w.ws = v.ws AND w.s >= p.s + 2
+      |       AND w.s < v.s))
+      | SELECT ws, u AS user_id,
+      |   row_number() OVER (PARTITION BY u, ws ORDER BY s) AS match_no,
+      |   ms AS m_start, me AS m_end
+      | FROM picks
+      | WHERE (ws + 86400) * 1000000 <= (SELECT mx FROM mx)""".stripMargin))
+
   /** PER-MATCH MEASURES under enumeration ([[graft.operators.PatternNfa
     * .contiguousNfaAllMeasures]]) — the r18 verdict's item 3: every
     * match of `lowvalue+ purchase` reported as its per-step consumed

@@ -75,7 +75,7 @@ object PipelineQueries {
     qPatternMatch, qStreamPatternMatch, qPatternContiguous,
     qPatternContiguousBounds, qPatternNfaOverlap, qPatternNfaPlus,
     qStreamPatternNfa, qPatternMeasures, qPatternNfaAll,
-    qPatternNfaAllPlus, qPatternNfaAllMeasures,
+    qPatternNfaAllPlus, qPatternNfaAllMeasures, qStreamPatternNfaAll,
     qMvRewriteCmsFreq, qMvRewriteCmsFiltered, qStreamPipelineComposite,
     qStreamIvmJoinMinmax, qStreamIvmSnowflake, qStreamMvJoinMinmaxServe,
     qIvmJoinDimMinmax, qIvmSnowflakeDimMinmax,

@@ -65,6 +65,85 @@ object StreamingPatternNfa {
     }
   }
 
+  case class NfaAllOut[K](ws: Long, u: K, match_no: Long, m_start: Long,
+      m_end: Long)
+
+  /** [[Proc]]'s enumerating sibling: the window-close scan runs
+    * [[PatternNfa.scanKeyAll]] — every non-overlapping match in the
+    * closed window, numbered in time order (AFTER MATCH SKIP PAST LAST
+    * ROW), exactly the batch [[PatternNfa.contiguousNfaAll]] contract
+    * per (window, key). Same ListState envelope, same timer eviction.
+    */
+  private class AllProc[K](m: Int, plus: Array[Boolean], windowSec: Long)
+      extends StatefulProcessor[(Long, K), EvIn[K], NfaAllOut[K]] {
+    @transient private var st: ListState[(Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, Int)]("evs",
+        Encoders.product[(Long, Int)], TTLConfig.NONE)
+    override def handleInputRows(key: (Long, K), rows: Iterator[EvIn[K]],
+        tv: TimerValues): Iterator[NfaAllOut[K]] = {
+      st.appendList(rows.map(r => (r.t, r.mask)).toArray)
+      val exp = (key._1 + windowSec) * 1000L
+      if (!getHandle.listTimers().contains(exp)) getHandle.registerTimer(exp)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: (Long, K), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[NfaAllOut[K]] = {
+      val evs = st.get().toArray.sorted
+      st.clear()
+      PatternNfa.scanKeyAll(evs.iterator, m, plus, windowSec).iterator
+        .zipWithIndex.map { case ((s, e), i) =>
+          NfaAllOut(key._1, key._2, (i + 1).toLong, s, e)
+        }
+    }
+  }
+
+  private def implAll[K: TypeTag](events: DataFrame, tsCol: String,
+      keyExpr: org.apache.spark.sql.Column, steps: Seq[RunStep],
+      windowSec: Long, watermark: String): DataFrame = {
+    implicit val evEnc: Encoder[EvIn[K]] = Encoders.product[EvIn[K]]
+    implicit val keyEnc: Encoder[(Long, K)] = Encoders.product[(Long, K)]
+    implicit val outEnc: Encoder[NfaAllOut[K]] =
+      Encoders.product[NfaAllOut[K]]
+    events
+      .select(col(tsCol).as("__ts"), keyExpr.as("u"),
+        PatternNfa.maskCol(steps).as("mask"))
+      .withWatermark("__ts", watermark)
+      .withColumn("t", expr("unix_micros(__ts) div 1000000"))
+      .withColumn("ws", expr(s"(t div $windowSec) * $windowSec"))
+      .select(col("ws"), col("u"), col("t"),
+        col("mask").cast("int").as("mask"), col("__ts").as("ts"))
+      .as[EvIn[K]]
+      .groupByKey(r => (r.ws, r.u))
+      .transformWithState(new AllProc[K](steps.length,
+        steps.map(_.plus).toArray, windowSec),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Append-mode (ws, u, match_no, m_start, m_end) per closed tumbling
+    * window — ALL non-overlapping matches, numbered in time order; `u`
+    * keeps the key column's native type (long/int/string; anything else
+    * casts to string).
+    */
+  def allMatches(events: DataFrame, tsCol: String, keyCol: String,
+      steps: Seq[RunStep], windowSec: Long,
+      watermark: String = "0 seconds"): DataFrame =
+    events.schema(keyCol).dataType match {
+      case LongType =>
+        implAll[Long](events, tsCol, col(keyCol), steps, windowSec,
+          watermark)
+      case IntegerType =>
+        implAll[Int](events, tsCol, col(keyCol), steps, windowSec,
+          watermark)
+      case StringType =>
+        implAll[String](events, tsCol, col(keyCol), steps, windowSec,
+          watermark)
+      case _ =>
+        implAll[String](events, tsCol, col(keyCol).cast("string"), steps,
+          windowSec, watermark)
+    }
+
   private def impl[K: TypeTag](events: DataFrame, tsCol: String,
       keyExpr: org.apache.spark.sql.Column, steps: Seq[RunStep],
       windowSec: Long, watermark: String): DataFrame = {

@@ -176,6 +176,73 @@ class PatternNfaSpec extends SparkTestBase {
     assert(secsAll < 30.0, f"dense scanKeyAll took $secsAll%.1f s")
   }
 
+  test("dense A+ B+ C chain: the slot-2 delta merge keeps the scan near-linear") {
+    // 100k events all satisfying BOTH plus steps (A and B), one final C —
+    // slot 2's naive in-place merge re-reads all of slot 1 per event
+    // (quadratic in window occupancy); the generation-guarded delta
+    // transfers only the new starts. Correct answer: every start is a
+    // live thread, earliest window-valid start wins at the C.
+    val n = 100000
+    val events = Iterator.tabulate(n) { i =>
+      (i.toLong, if (i == n - 1) 4 else 3)
+    }
+    val t0 = System.nanoTime()
+    val got = PatternNfa.scanKey(events, 3,
+      Array(true, true, false), n + 10L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.contains((0L, (n - 1).toLong)), s"$got")
+    assert(secs < 30.0, f"dense A+ B+ C took $secs%.1f s — delta merge broken?")
+  }
+
+  test("NfaState plumbing agrees with a brute-force rebuild on random sequences") {
+    // differential guard for the move/in-place/delta set plumbing: a
+    // straightforward immutable-set rebuild of the same transition
+    // relation, compared on 300 random (steps, quantifiers, window,
+    // masks, duplicate-timestamp) configurations
+    def brute(events: Seq[(Long, Int)], m: Int, plus: Array[Boolean],
+        w: Long): List[(Long, Long)] = {
+      var states = Array.fill(m + 1)(Set.empty[Long])
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      for ((t, b) <- events) {
+        val ns = Array.fill(m + 1)(Set.empty[Long])
+        for (j <- 1 to m) {
+          val sat = ((b >> (j - 1)) & 1) == 1
+          if (sat)
+            ns(j) = states(j - 1) ++
+              (if (plus(j - 1)) states(j) else Set.empty) ++
+              (if (j == 1) Set(t) else Set.empty)
+        }
+        states = ns
+        if (states(m).nonEmpty) {
+          val valid = states(m).filter(_ >= t - w)
+          if (valid.nonEmpty) {
+            out += ((valid.min, t))
+            states = Array.fill(m + 1)(Set.empty[Long])
+          } else states(m) = Set.empty
+        }
+        for (k <- 1 until m) states(k) = states(k).filter(_ >= t - w)
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 300) {
+      val m = 1 + rnd.nextInt(3)
+      val plus = Array.fill(m)(rnd.nextBoolean())
+      val w = 1 + rnd.nextInt(30)
+      val n = 1 + rnd.nextInt(60)
+      var t = 0L
+      val evs = (1 to n).map { _ =>
+        if (rnd.nextInt(3) > 0) t += rnd.nextInt(4)
+        (t, rnd.nextInt(1 << m))
+      }
+      val got = PatternNfa.scanKeyAll(evs.iterator, m, plus, w)
+      val want = brute(evs, m, plus, w)
+      assert(got == want,
+        s"trial $trial m=$m plus=${plus.toSeq} w=$w evs=$evs:" +
+          s" got $got want $want")
+    }
+  }
+
   test("per-match measures: greedy plus blocks, minimal last block, every match") {
     def runMeas(steps: Seq[RunStep], rows: Seq[(Long, Long, String, Double)],
         w: Long = 1000L): Map[Long, Seq[(Long, Long, String, Long, Long, Long)]] =

@@ -68,4 +68,50 @@ class StreamingPatternNfaSpec extends SparkTestBase {
     assert(lastStateRows >= 0 && lastStateRows <= 2,
       s"state must evict on close, $lastStateRows rows remain")
   }
+
+  test("all-matches stream twin equals the batch enumeration per closed window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = 86400L
+    // same-predicate consecutive pair — the overlap-only enumeration
+    val steps = Seq(
+      RunStep("p1", col("ty") === "a"),
+      RunStep("p2", col("ty") === "a"))
+    val rows = Seq(
+      // window 0: key 1 has a,a,a,a → two matches; key 2 a,x,a,a → one
+      (1L, 100L, "a"), (1L, 110L, "a"), (1L, 120L, "a"), (1L, 130L, "a"),
+      (2L, 200L, "a"), (2L, 210L, "x"), (2L, 220L, "a"), (2L, 230L, "a"),
+      // window 1: key 1 one match
+      (1L, w + 50L, "a"), (1L, w + 60L, "a"),
+      // window 2: open — closes 0 and 1, never emits itself
+      (9L, 2 * w + 10L, "x")
+    ).sortBy(_._2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val stream = ms.toDF().toDF("k", "es", "ty")
+      .withColumn("ts", timestamp_micros(col("es") * 1000000L))
+    val sink = s"nfa_all_stream_${System.nanoTime}"
+    graft.streaming.Streams.withRocksDb(spark) {
+      val q = graft.streaming.StreamingPatternNfa.allMatches(stream, "ts",
+          "k", steps, w)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try rows.grouped(4).foreach { c => ms.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val got = spark.table(sink)
+      .select("ws", "u", "match_no", "m_start", "m_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val all = rows.toDF("k", "es", "ty").withColumn("ws",
+      expr(s"(es div $w) * $w"))
+    val expected = Seq(0L, w).flatMap { ws =>
+      PatternNfa.contiguousNfaAll(all.where(col("ws") === ws), "k", "es",
+          steps, w)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (ws, r._1, r._2, r._3, r._4))
+    }.toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got == Set(
+      (0L, 1L, 1L, 100L, 110L), (0L, 1L, 2L, 120L, 130L),
+      (0L, 2L, 1L, 220L, 230L), (w, 1L, 1L, w + 50L, w + 60L)), s"$got")
+  }
 }
