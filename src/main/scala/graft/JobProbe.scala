@@ -1,0 +1,76 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Job/stage/task accounting for one fixture run — the "count jobs per
+  * trigger first" instrument of guide §1/§2: how many Spark jobs, stages
+  * and tasks one fixture submits, and where the task time goes. Wall
+  * seconds here are secondary (use Explain/Bench for timing); the counts
+  * are noise-free and expose per-trigger fixed cost directly.
+  *
+  * Usage: runMain graft.JobProbe <sfDir> <q1,q2,...> [iters]
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val iters = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskTimeMs = new AtomicLong
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobLog.add(f"job ${j.jobId}%4d stages=${j.stageInfos.size}%2d $desc")
+        ()
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+        ()
+      }
+    })
+
+    for (name <- names; i <- 1 to iters) {
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(250)
+      val session = spark.newSession()
+      jobLog.clear()
+      val (j0, s0, t0, m0) =
+        (jobs.get, stages.get, tasks.get, taskTimeMs.get)
+      val w0 = System.nanoTime()
+      SparkEntry.queries(name)(session, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val wallS = (System.nanoTime() - w0) / 1e9
+      // listener bus is async: let the queue drain before reading counters
+      Thread.sleep(500)
+      println(f"[probe] $name%-34s iter $i wall ${wallS}%7.2f s  " +
+        f"jobs ${jobs.get - j0}%4d  stages ${stages.get - s0}%4d  " +
+        f"tasks ${tasks.get - t0}%6d  taskTime ${(taskTimeMs.get - m0) / 1000.0}%8.1f s")
+      if (sys.env.getOrElse("SPARK_GRAFT_PROBE_JOBS", "0") == "1")
+        jobLog.forEach(l => println(s"         $l"))
+    }
+    spark.stop()
+  }
+}
